@@ -1,0 +1,292 @@
+package graft.io
+
+import java.io.Writer
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model._
+import graft.origin._
+import graft.parse._
+
+/** StarTable CSV reading (reference: pdtable/io/csv.py:21-117 read_csv).
+  *
+  * The block segmentation + metadata extraction runs driver-side (it is a
+  * cheap, single-pass, early-abort scan — reference blocks.py:3-5); table
+  * payloads materialize as DataFrames via createDataFrame, after which all
+  * relational work is distributed. For single files larger than driver
+  * memory, see [[CsvReader.readHugeTable]] which segments distributively.
+  */
+object CsvReader {
+  val DefaultSep = ";"
+
+  /** Lines → cell rows → block stream. Trailing empty cells are kept,
+    * matching Python's str.split (reference: csv.py:114-115). */
+  def parseLines(
+      lines: Iterator[String],
+      sep: String = DefaultSep,
+      locationSheet: LocationSheet = NullLocationFile().makeLocationSheet(),
+      filter: Option[Blocks.BlockFilter] = None,
+      fixer: ParseFixer = new ParseFixer(),
+      issueTracker: InputIssueTracker = new NullInputIssueTracker()
+  ): Iterator[(BlockType, Block)] = {
+    val cellRows: Iterator[Seq[Any]] =
+      lines.map(l => l.stripLineEnd.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+    Blocks.parseBlocks(cellRows, locationSheet, Blocks.defaultHandlers, filter,
+      fixer, issueTracker)
+  }
+
+  /** Read a StarTable CSV file as a block stream. */
+  def read(
+      path: Path,
+      sep: String = DefaultSep,
+      filter: Option[Blocks.BlockFilter] = None,
+      fixer: ParseFixer = new ParseFixer(),
+      issueTracker: InputIssueTracker = new NullInputIssueTracker(),
+      loadItem: Option[LoadItem] = None
+  ): Iterator[(BlockType, Block)] = {
+    val item = loadItem.getOrElse(LoadItem(path.toString, None))
+    val sheet = FilesystemLocationFile(path, item).makeLocationSheet()
+    val lines = Files.readAllLines(path).iterator()
+    parseLines(new Iterator[String] {
+      def hasNext = lines.hasNext; def next() = lines.next()
+    }, sep, sheet, filter, fixer, issueTracker)
+  }
+
+  /** Read from an in-memory string (stream input analog,
+    * reference: csv.py:96-109). */
+  def readString(
+      content: String,
+      sep: String = DefaultSep,
+      origin: String = "<stream>",
+      filter: Option[Blocks.BlockFilter] = None,
+      fixer: ParseFixer = new ParseFixer(),
+      issueTracker: InputIssueTracker = new NullInputIssueTracker()
+  ): Iterator[(BlockType, Block)] =
+    parseLines(content.linesIterator, sep,
+      NullLocationFile(origin).makeLocationSheet(), filter, fixer, issueTracker)
+
+  /** Read a file straight into a TableBundle
+    * (reference: pdtable/utils.py:42-62 read_bundle_from_csv). */
+  def readBundle(spark: SparkSession, path: Path, sep: String = DefaultSep,
+                 filter: Option[Blocks.BlockFilter] = None): TableBundle =
+    TableBundle.fromBlocks(spark, read(path, sep, filter))
+
+  def readBundleFromString(spark: SparkSession, content: String,
+                           sep: String = DefaultSep): TableBundle =
+    TableBundle.fromBlocks(spark, readString(content, sep))
+
+  /** Scale path for a single huge StarTable file (SURVEY §7.4): a distributed
+    * `spark.read.text` scan finds block-marker line numbers, the driver keeps
+    * only the tiny block index (name, header, line range), and each table's
+    * data rows are parsed distributively with vectorized casts — the driver
+    * never holds table payloads. Requires the table of interest to be
+    * identified by name.
+    */
+  def readHugeTable(spark: SparkSession, path: String, tableName: String,
+                    sep: String = DefaultSep): Option[StarTable] = {
+    import spark.implicits._
+    val quoted = java.util.regex.Pattern.quote(sep)
+    // 1. Distributed marker scan: line number + first cell of marker lines.
+    val lines = spark.read.textFile(path)
+      .select(monotonically_increasing_id().as("lineno"), col("value"))
+    val markers = lines
+      .filter(col("value").startsWith("**") || trim(col("value")) === "")
+      .collect() // tiny: one row per block boundary / blank line
+      .map(r => (r.getLong(0), r.getString(1)))
+    val starts = markers.filter(_._2.startsWith("**"))
+    val startIdx = starts.indexWhere { case (_, v) =>
+      val n = v.split(quoted, -1).head.drop(2)
+      n == tableName || n == tableName + "*"
+    }
+    if (startIdx < 0) return None
+    val (startLine, markerCell) = starts(startIdx)
+    val blanksAfter = markers.filter { case (ln, v) => ln > startLine && v.trim.isEmpty }
+    val endLine = blanksAfter.map(_._1).minOption.getOrElse(Long.MaxValue)
+
+    // 2. Driver parses only the 4 header lines.
+    val header = lines
+      .filter(col("lineno") >= startLine && col("lineno") < math.min(startLine + 4, endLine))
+      .orderBy("lineno").collect().map(_.getString(1))
+    val transposed = markerCell.split(quoted, -1).head.endsWith("*")
+    require(!transposed, "readHugeTable supports row-major tables")
+    val destinations = header(1).split(quoted, -1).head.trim.split(" ").toSet
+    val columnNames = Blocks.parseColumnNames(header(2).split(quoted, -1).toSeq)
+    val units = header(3).split(quoted, -1).take(columnNames.size).map(_.trim).toSeq
+
+    // 3. Distributed parse of the data rows: split + per-unit vectorized cast.
+    val dataLines = lines.filter(col("lineno") >= startLine + 4 && col("lineno") < endLine)
+    val cellsCol = split(col("value"), quoted)
+    val parsedCols = columnNames.zipWithIndex.map { case (cname, i) =>
+      val cell = trim(cellsCol.getItem(i))
+      val missing = cell === "-" || lower(cell) === "nan" || cell === ""
+      val parsed = units(i) match {
+        case "text"     => cellsCol.getItem(i)
+        case "onoff"    =>
+          when(lower(cell).isin("1", "true"), lit(true))
+            .when(lower(cell).isin("0", "false"), lit(false))
+        case "datetime" => when(missing, lit(null)).otherwise(to_timestamp(cell))
+        case _          => when(missing, lit(null)).otherwise(cell.cast(DoubleType))
+      }
+      parsed.as(cname)
+    }
+    val df = dataLines.select(parsedCols: _*)
+    val item = LoadItem(path, None)
+    val origin = TableOrigin.leaf(
+      FilesystemLocationFile(Paths.get(path), item).makeLocationSheet()
+        .makeLocationBlock(startLine.toInt))
+    val cm = columnNames.zip(units).map { case (n, u) => n -> ColumnMetadata(u) }
+    Some(StarTable(df,
+      TableMetadata(tableName, destinations, origin),
+      scala.collection.immutable.ListMap(cm: _*)))
+  }
+}
+
+/** StarTable CSV writing (reference: pdtable/io/csv.py:120-207 write_csv +
+  * pdtable/io/_represent.py:8-54 value representation).
+  */
+object CsvWriter {
+  val DefaultSep = ";"
+  val DefaultNaRep = "-"
+
+  private val tsNoFrac = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Python-str()-compatible rendering of a timestamp. */
+  def formatTimestamp(t: Timestamp): String = {
+    val ldt = t.toLocalDateTime
+    if (ldt.getNano == 0) ldt.format(tsNoFrac)
+    else ldt.format(tsNoFrac) + f".${ldt.getNano / 1000}%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
+  private def isNa(v: Any): Boolean = v match {
+    case null                 => true
+    case d: Double if d.isNaN => true
+    case f: Float if f.isNaN  => true
+    case _                    => false
+  }
+
+  /** Represent one value per its unit (reference: _represent.py:8-54):
+    * NaN-likes in non-text columns → naRep; onoff → 0/1; text → str with
+    * first-column empty-string sealed as "-"; datetime → python-style str.
+    */
+  def represent(v: Any, unit: String, colIndex: Int, naRep: String): Any = {
+    if (unit != "text" && isNa(v)) naRep
+    else unit match {
+      case "onoff" =>
+        v match {
+          case true | 1  => 1
+          case false | 0 => 0
+          case other     => other
+        }
+      case "text" =>
+        val s = if (v == null) "" else v.toString
+        if (s.isEmpty && colIndex == 0) "-" else s
+      case "datetime" =>
+        v match {
+          case t: Timestamp => formatTimestamp(t)
+          case other        => other
+        }
+      case _ => v
+    }
+  }
+
+  private def stringify(v: Any, format: Option[ColumnFormat]): String = v match {
+    case s: String => s
+    case d: Double =>
+      format.map(_.format(d)).getOrElse {
+        if (d == d.floor && !d.isInfinite && math.abs(d) < 1e16) {
+          if (d == 0.0 && 1.0 / d < 0) "-0.0" else s"${d.toLong}.0"
+        } else d.toString
+      }
+    case other => format.map(_.format(other)).getOrElse(other.toString)
+  }
+
+  /** Render one table as a StarTable CSV string
+    * (reference: csv.py:159-207 _table_to_csv). Collects to the driver:
+    * exact format fidelity (transposed layout, sealing, format specifiers)
+    * requires row-level control. For big tables use [[writeDistributed]].
+    */
+  def tableToCsvString(t: StarTable, sep: String = DefaultSep,
+                       naRep: String = DefaultNaRep): String = {
+    val units = t.units
+    val formats = t.columnNames.map(c => t.colMeta(c).displayFormat)
+    val rows = t.df.collect()
+    val sb = new StringBuilder
+
+    if (t.meta.transposed) {
+      sb.append(s"**${t.name}*$sep\n")
+      sb.append(t.destinations.mkString(" ")).append('\n')
+      t.columnNames.zipWithIndex.foreach { case (cname, ci) =>
+        val vals = rows.map { r =>
+          stringify(represent(r.get(ci), units(ci), ci, naRep), formats(ci))
+        }
+        sb.append(cname).append(sep).append(units(ci)).append(sep)
+          .append(vals.mkString(sep)).append('\n')
+      }
+      sb.append('\n')
+    } else {
+      sb.append(s"**${t.name}$sep\n")
+      sb.append(t.destinations.mkString(" ")).append('\n')
+      sb.append(t.columnNames.mkString(sep)).append('\n')
+      sb.append(units.mkString(sep)).append('\n')
+      rows.foreach { r =>
+        val cells = t.columnNames.indices.map { ci =>
+          stringify(represent(r.get(ci), units(ci), ci, naRep), formats(ci))
+        }
+        sb.append(cells.mkString(sep)).append('\n')
+      }
+      sb.append('\n')
+    }
+    sb.toString
+  }
+
+  /** Write tables to a file (reference: csv.py:120-157 write_csv). */
+  def write(tables: Seq[StarTable], path: Path, sep: String = DefaultSep,
+            naRep: String = DefaultNaRep): Unit = {
+    val w = Files.newBufferedWriter(path)
+    try writeTo(tables, w, sep, naRep)
+    finally w.close()
+  }
+
+  def writeTo(tables: Seq[StarTable], w: Writer, sep: String = DefaultSep,
+              naRep: String = DefaultNaRep): Unit =
+    tables.foreach(t => w.write(tableToCsvString(t, sep, naRep)))
+
+  /** Scale path: data rows are formatted by codegen'd Spark expressions and
+    * written by the distributed text sink; only the 4-line header is written
+    * driver-side. Output is a directory of part files whose concatenation
+    * (header + parts) is a valid StarTable CSV.
+    */
+  def writeDistributed(t: StarTable, outDir: String, sep: String = DefaultSep,
+                       naRep: String = DefaultNaRep): Unit = {
+    val cols = t.columnNames.zipWithIndex.map { case (c, ci) =>
+      val u = t.unit(c)
+      val base = u match {
+        case "onoff"    => when(col(c), lit("1")).otherwise(lit("0"))
+        case "datetime" => date_format(col(c), "yyyy-MM-dd HH:mm:ss")
+        case "text"     =>
+          if (ci == 0) when(col(c) === "", lit("-")).otherwise(col(c)) else col(c)
+        case _ =>
+          t.colMeta(c).displayFormat match {
+            case Some(f) => format_string(toJavaFormat(f.specifier), col(c))
+            case None    =>
+              // match Python float repr for integral doubles: "1.0" not "1"
+              when(col(c) === col(c).cast(LongType).cast(DoubleType),
+                concat(col(c).cast(LongType).cast(StringType), lit(".0")))
+                .otherwise(col(c).cast(StringType))
+          }
+      }
+      coalesce(base.cast(StringType), lit(naRep))
+    }
+    val lines = t.df.select(concat_ws(sep, cols: _*).as("value"))
+    lines.write.mode("overwrite").text(outDir)
+    val header = s"**${t.name}$sep\n" + t.destinations.mkString(" ") + "\n" +
+      t.columnNames.mkString(sep) + "\n" + t.units.mkString(sep) + "\n"
+    Files.writeString(Paths.get(outDir, "_header.txt"), header)
+  }
+
+  private def toJavaFormat(spec: String): String = "%" + spec
+}

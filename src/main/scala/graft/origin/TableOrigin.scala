@@ -1,0 +1,160 @@
+package graft.origin
+
+/** Provenance model for StarTable inputs.
+  *
+  * Mirrors the semantics of the reference implementation's provenance layer
+  * (reference: pdtable/table_origin.py:122-405): a table's origin is either a
+  * leaf (a concrete location in a loaded input) or a branch (an operation over
+  * parent origins). Locations form a file → sheet → block hierarchy.
+  */
+
+/** A load specification: what was asked to be loaded, and from where.
+  *
+  * reference: pdtable/table_origin.py:36-64 (LoadItem / load_history chain).
+  */
+final case class LoadItem(spec: String, source: Option[LoadLocation]) {
+  /** Chain of include specifications up to the root. */
+  def loadHistory: List[LoadItem] =
+    this :: source.map(_.loadItem.loadHistory).getOrElse(Nil)
+
+  override def toString: String = {
+    val src = source.map(s => s" included from ${s.loadIdentifier}").getOrElse("")
+    s"$spec$src"
+  }
+}
+
+/** Any location that a LoadItem can resolve to (file or folder). */
+trait LoadLocation {
+  def loadItem: LoadItem
+  /** Unique identifier for loop detection / caching (e.g. abs-path@mtime). */
+  def loadIdentifier: String
+  def localFolderPath: Option[java.nio.file.Path]
+}
+
+/** A folder input location (reference: pdtable/io/load/_loaders.py:81-123). */
+final case class LocationFolder(
+    localPath: java.nio.file.Path,
+    loadItem: LoadItem
+) extends LoadLocation {
+  def loadIdentifier: String = localPath.toString
+  def localFolderPath: Option[java.nio.file.Path] = Some(localPath)
+}
+
+/** A file input location (reference: pdtable/table_origin.py:122-293). */
+trait LocationFile extends LoadLocation {
+  def makeLocationSheet(sheetName: Option[String] = None): LocationSheet =
+    LocationSheet(this, sheetName)
+}
+
+/** File on a local filesystem; identifier is absolute path (+mtime when
+  * available), matching FilesystemLocationFile (table_origin.py:224-293). */
+final case class FilesystemLocationFile(
+    localPath: java.nio.file.Path,
+    loadItem: LoadItem
+) extends LocationFile {
+  def loadIdentifier: String = {
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(localPath).toMillis.toString
+      catch { case _: Throwable => "?" }
+    s"${localPath.toAbsolutePath}@$mtime"
+  }
+  def localFolderPath: Option[java.nio.file.Path] = Option(localPath.getParent)
+  override def toString: String = localPath.toString
+}
+
+/** Placeholder for stream / in-memory input (table_origin.py:193-221). */
+final case class NullLocationFile(description: String = "<stream>")
+    extends LocationFile {
+  def loadItem: LoadItem = LoadItem(description, None)
+  def loadIdentifier: String = description
+  def localFolderPath: Option[java.nio.file.Path] = None
+  override def toString: String = description
+}
+
+/** A sheet within a file (trivial for CSV) (table_origin.py:296-303). */
+final case class LocationSheet(file: LocationFile, sheetName: Option[String]) {
+  def makeLocationBlock(row: Int): LocationBlock = LocationBlock(this, row)
+}
+
+/** A block at a row within a sheet (table_origin.py:306-347). */
+final case class LocationBlock(sheet: LocationSheet, row: Int) {
+  override def toString: String = {
+    val sh = sheet.sheetName.map(s => s" sheet '$s'").getOrElse("")
+    s"Row $row$sh of '${sheet.file}'"
+  }
+}
+
+/** Provenance tree: leaf = loaded input location; branch = operation over
+  * parents (table_origin.py:350-405).
+  */
+final case class TableOrigin(
+    inputLocation: Option[LocationBlock] = None,
+    operation: Option[String] = None,
+    parents: Seq[TableOrigin] = Nil
+) {
+  require(
+    inputLocation.isEmpty || (operation.isEmpty && parents.isEmpty),
+    "TableOrigin is either a leaf (inputLocation) or a branch (operation+parents)"
+  )
+  def isLeaf: Boolean = inputLocation.nonEmpty
+
+  /** Render as an indented tree (table_origin.py:408-430). */
+  def render(indent: Int = 0): String = {
+    val pad = "  " * indent
+    if (isLeaf) s"$pad${inputLocation.get}"
+    else {
+      val op = operation.getOrElse("<operation>")
+      (s"$pad$op" +: parents.map(_.render(indent + 1))).mkString("\n")
+    }
+  }
+  override def toString: String =
+    if (isLeaf) inputLocation.get.toString
+    else operation.getOrElse("<unknown origin>")
+}
+
+object TableOrigin {
+  val empty: TableOrigin = TableOrigin()
+  def leaf(loc: LocationBlock): TableOrigin = TableOrigin(inputLocation = Some(loc))
+  def branch(operation: String, parents: Seq[TableOrigin]): TableOrigin =
+    TableOrigin(operation = Some(operation), parents = parents)
+}
+
+/** An issue (error/warning) encountered while reading input.
+  * reference: pdtable/table_origin.py:448-557.
+  */
+final case class InputIssue(
+    message: String,
+    severity: String, // "error" | "warning"
+    loadItem: Option[LoadItem] = None,
+    location: Option[AnyRef] = None
+) {
+  override def toString: String = s"[$severity] $message"
+}
+
+class InputError(msg: String) extends RuntimeException(msg)
+
+/** Accumulate-or-raise strategy for input issues. */
+trait InputIssueTracker {
+  def addError(message: String, location: Option[AnyRef] = None): Unit
+  def addWarning(message: String, location: Option[AnyRef] = None): Unit
+  def issues: Seq[InputIssue]
+  def isOk: Boolean = !issues.exists(_.severity == "error")
+}
+
+/** Default tracker: raises immediately on error (table_origin.py:528-545). */
+final class NullInputIssueTracker extends InputIssueTracker {
+  def addError(message: String, location: Option[AnyRef]): Unit =
+    throw new InputError(message)
+  def addWarning(message: String, location: Option[AnyRef]): Unit = ()
+  def issues: Seq[InputIssue] = Nil
+}
+
+/** Collects issues for later inspection (table_origin.py:493-525). */
+final class AccumulatingInputIssueTracker extends InputIssueTracker {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[InputIssue]
+  def addError(message: String, location: Option[AnyRef]): Unit =
+    buf += InputIssue(message, "error", location = location)
+  def addWarning(message: String, location: Option[AnyRef]): Unit =
+    buf += InputIssue(message, "warning", location = location)
+  def issues: Seq[InputIssue] = buf.toSeq
+}

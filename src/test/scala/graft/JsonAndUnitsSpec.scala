@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{CsvReader, JsonIo, JsonValue}
+import graft.model._
+import graft.units._
+
+/** Ports of pdtable/test/io/test_json.py and pdtable/test/test_units.py. */
+class JsonAndUnitsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val placesJson: String =
+    """{
+      |  "name": "places_to_go",
+      |  "destinations": {"all": null},
+      |  "columns": {
+      |    "place":    {"unit": "text",  "values": ["home", "work"]},
+      |    "distance": {"unit": "km",    "values": [0.0, 1.0]},
+      |    "is_hot":   {"unit": "onoff", "values": [true, false]}
+      |  }
+      |}""".stripMargin
+
+  test("json_data -> table (test_json.py:27-125)") {
+    val t = JsonIo.jsonDataToTable(spark, placesJson)
+    assert(t.name == "places_to_go")
+    assert(t.units == Seq("text", "km", "onoff"))
+    assert(t.df.count() == 2)
+  }
+
+  test("table <-> json round trip preserves column order (test_json.py:193, 279)") {
+    val t = JsonIo.jsonDataToTable(spark, placesJson)
+    val js = JsonIo.tableToJsonString(t)
+    val back = JsonIo.jsonDataToTable(spark, js)
+    assert(t.equalsTable(back))
+    assert(back.columnNames == Seq("place", "distance", "is_hot"))
+  }
+
+  test("NaN and NaT map to JSON null (test_json.py:168)") {
+    val csv =
+      """**t
+        |all
+        |x;dt
+        |-;datetime
+        |1;2020-01-01 00:00:00
+        |-;-
+        |""".stripMargin
+    val t = CsvReader.readBundleFromString(spark, csv).unique("t")
+    val js = JsonIo.tableToJsonString(t)
+    assert(js.contains("[1,null]") || js.contains("[1, null]"))
+    assert(js.contains(""""2020-01-01 00:00:00""""))
+    val back = JsonIo.jsonDataToTable(spark, js)
+    assert(t.equalsTable(back))
+  }
+
+  test("JSON codec handles escapes and nesting") {
+    val v = JsonValue.parse("""{"a":[1,2.5,null,true],"b":"q\"\nA"}""")
+    val s = JsonValue.write(v)
+    assert(JsonValue.parse(s) == v)
+  }
+
+  // ---- units (reference: pdtable/test/test_units.py + demo/unit_converter.py)
+
+  test("demo conversions: mm->m, C->K, g->kg (unit_converter.py:36-64)") {
+    val c = BuiltinUnitConverter.default
+    assert(c.convert(1000.0, "mm")._1 == 1.0)
+    assert(c.convert(1000.0, "mm")._2 == "m")
+    assert(c.convert(0.0, "C") == ((273.15, "K")))
+    assert(c.convert(500.0, "g")._1 == 0.5)
+    assert(c.transform("m", "mm")(1.0) == 1000.0)
+    // alias support
+    assert(c.transform("meter", "mm")(1.0) == 1000.0)
+    assertThrows[UnitConversionError] { c.transform("kg", "m") }
+  }
+
+  def mmTable: StarTable = CsvReader.readBundleFromString(spark,
+    """**lengths
+      |all
+      |name;len;temp;mass
+      |text;mm;C;g
+      |a;1000;0;500
+      |b;2000;100;1500
+      |""".stripMargin).unique("lengths")
+
+  test("table convert_units to base: inconvertible columns skipped (proxy.py:318-425)") {
+    val t = mmTable.convertUnits(UnitTargets.AllBase)
+    assert(t.units == Seq("text", "m", "K", "kg"))
+    val r = t.df.orderBy("name").collect()(0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 273.15)
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("convert_units by name and by position") {
+    val byName = mmTable.convertUnits(UnitTargets.ByName(Map("len" -> "m")))
+    assert(byName.units == Seq("text", "m", "C", "g"))
+
+    val byPos = mmTable.convertUnits(UnitTargets.ByPosition(
+      Seq(None, Some("m"), None, Some("kg"))))
+    assert(byPos.units == Seq("text", "m", "C", "kg"))
+
+    assertThrows[IllegalArgumentException] {
+      mmTable.convertUnits(UnitTargets.ByPosition(Seq(Some("m"))))
+    }
+  }
+
+  test("convert on inconvertible indicator raises (proxy.py:16, 91-94)") {
+    assertThrows[UnitConversionError] {
+      mmTable.convertColumnUnits("name", Some("m"))
+    }
+  }
+
+  test("custom converter trait is pluggable (test_units.py custom converter)") {
+    val custom = new BuiltinUnitConverter(
+      extra = Map("furlong" -> ("m", Affine(201.168))),
+      aliases = Map("fur" -> "furlong"))
+    val t = mmTable.convertColumnUnits("len", Some("furlong"), custom)
+    assert(t.unit("len") == "furlong")
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.load._
+import graft.model.TableBundle
+import graft.origin._
+import graft.parse._
+
+/** Ports of pdtable/test/io/test_load.py: include resolution (relative and
+  * root-absolute), folder scan, loop detection.
+  */
+class LoadSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def withTempDir[T](f: Path => T): T = {
+    val dir = Files.createTempDirectory("graft_load")
+    f(dir)
+  }
+
+  val barCsv = "**bar_table\nall\ncol_1;col_2\n-;-\n1;1\n"
+
+  test("include: relative and root-absolute specs (with_include fixture)") {
+    withTempDir { dir =>
+      Files.writeString(dir.resolve("input_foo.csv"),
+        "***include\nbar.csv\n/bar_abs.csv\n")
+      Files.writeString(dir.resolve("bar.csv"), barCsv)
+      Files.writeString(dir.resolve("bar_abs.csv"),
+        "**abs_table\nall\ncol_1\n-\n7\n")
+      val blocks = Load.loadFiles(Seq("input_foo.csv"), rootFolder = Some(dir))
+      val names = blocks.collect { case (BlockType.Table, t: ParsedTable) => t.name }
+      assert(names.toSet == Set("bar_table", "abs_table"))
+    }
+  }
+
+  test("include loop detected (with_loop_include, test_load.py:115)") {
+    withTempDir { dir =>
+      Files.writeString(dir.resolve("load_include_loop.csv"),
+        "***include\nload_include_loop.csv\n\n" + barCsv)
+      val tracker = new AccumulatingInputIssueTracker()
+      Load.loadFiles(Seq("load_include_loop.csv"), rootFolder = Some(dir),
+        issueTracker = tracker)
+      assert(tracker.issues.exists(i =>
+        i.severity == "error" && i.message.contains("loop")))
+    }
+  }
+
+  test("duplicate include via two paths loads once") {
+    withTempDir { dir =>
+      Files.writeString(dir.resolve("a.csv"), "***include\nshared.csv\n")
+      Files.writeString(dir.resolve("b.csv"), "***include\nshared.csv\n")
+      Files.writeString(dir.resolve("shared.csv"), barCsv)
+      val blocks = Load.loadFiles(Seq("a.csv", "b.csv"), rootFolder = Some(dir))
+      val names = blocks.collect { case (BlockType.Table, t: ParsedTable) => t.name }
+      assert(names == Seq("bar_table"))
+    }
+  }
+
+  test("folder scan picks up csv files, excludes excel temp names") {
+    withTempDir { dir =>
+      val sub = Files.createDirectory(dir.resolve("inputs"))
+      Files.writeString(sub.resolve("one.csv"), barCsv)
+      Files.writeString(sub.resolve("two.csv"), "**t2\nall\nc\n-\n3\n")
+      Files.writeString(sub.resolve("~$junk.csv"), "garbage")
+      Files.writeString(sub.resolve("readme.txt"), "not a table")
+      val blocks = Load.loadFiles(Seq("inputs"), rootFolder = Some(dir))
+      val names = blocks.collect { case (BlockType.Table, t: ParsedTable) => t.name }
+      assert(names.toSet == Set("bar_table", "t2"))
+    }
+  }
+
+  test("escape outside root folder rejected (_loaders.py:142-234)") {
+    withTempDir { dir =>
+      val sub = Files.createDirectory(dir.resolve("root"))
+      Files.writeString(dir.resolve("outside.csv"), barCsv)
+      Files.writeString(sub.resolve("main.csv"), "***include\n../outside.csv\n")
+      val tracker = new AccumulatingInputIssueTracker()
+      Load.loadFiles(Seq("main.csv"), rootFolder = Some(sub), issueTracker = tracker)
+      assert(tracker.issues.exists(_.message.contains("escapes root")))
+    }
+  }
+
+  test("origin records load provenance chain") {
+    withTempDir { dir =>
+      Files.writeString(dir.resolve("outer.csv"), "***include\ninner.csv\n")
+      Files.writeString(dir.resolve("inner.csv"), barCsv)
+      val blocks = Load.loadFiles(Seq("outer.csv"), rootFolder = Some(dir))
+      val t = blocks.collectFirst { case (BlockType.Table, t: ParsedTable) => t }.get
+      assert(t.origin.isLeaf)
+      val loc = t.origin.inputLocation.get
+      assert(loc.sheet.file.toString.contains("inner.csv"))
+      // the load chain remembers it was included from outer.csv
+      val chain = loc.sheet.file.loadItem.loadHistory
+      assert(chain.exists(_.source.exists(_.loadIdentifier.contains("outer.csv"))))
+    }
+  }
+
+  test("loaded bundle materializes as StarTables") {
+    withTempDir { dir =>
+      Files.writeString(dir.resolve("main.csv"), barCsv)
+      val bundle: TableBundle = Load.loadBundle(spark, Seq("main.csv"), Some(dir))
+      assert(bundle.unique("bar_table").df.count() == 1)
+      assert(bundle.unique("bar_table").columnNames == Seq("col_1", "col_2"))
+    }
+  }
+}
