@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a single codegen'd scan, no shuffle
+  * except the final top-k (TakeOrderedAndProject). Scale path: hyperplane-LSH
+  * bucketing (deterministic seeded projections) so the scan touches only
+  * matching buckets, plus an IVF-style coarse quantizer over seeded anchor
+  * points.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (promoted to double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = norm(a); val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  private def vecLit(v: Seq[Float]): Column =
+    array(v.map(x => lit(x)): _*)
+
+  /** Brute-force cosine top-k against a literal query vector.
+    * Plan shape: scan → project(cosine) → TakeOrderedAndProject — one pass,
+    * no shuffle of the embedding column. Ties broken by id for determinism. */
+  def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,
+                     query: Seq[Float], k: Int): DataFrame =
+    df.select(col(idCol), cosine(col(embCol), vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * derived from xxhash64(seed, p, j) mapped to [-1, 1]. Computed driver-side
+    * once (tiny), shipped as literals. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { j =>
+        // splitmix64-style scramble of (seed, p, j) — public-domain mixing
+        var z = seed + p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        (z.toDouble / Long.MaxValue.toDouble).toFloat
+      }
+    }
+
+  /** LSH bucket id for a vector: sign bits against `planes` packed into a
+    * long. Same-bucket vectors are likely neighbors (random hyperplane LSH
+    * approximates angular distance). */
+  def lshBucket(emb: Column, planes: Seq[Seq[Float]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      when(dot(emb, vecLit(plane)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: restrict the cosine scan to vectors whose bucket
+    * matches the query's in at least one of `tables` independent hash tables
+    * (multi-probe via multiple tables, the standard recall lever). At scale,
+    * bucket ids can be a partition/bucketing key so matching buckets are a
+    * partition-pruned read instead of a full scan. */
+  def lshTopK(df: DataFrame, embCol: String, idCol: String,
+              query: Seq[Float], k: Int,
+              numPlanes: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val dim = query.size
+    val allPlanes = (0 until tables).map(t => hyperplanes(numPlanes, dim, seed + t * 1000L))
+    def bucketOf(v: Seq[Float], planes: Seq[Seq[Float]]): Long =
+      planes.zipWithIndex.map { case (plane, i) =>
+        val d = plane.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        if (d >= 0) 1L << i else 0L
+      }.foldLeft(0L)(_ | _)
+    val queryBuckets = allPlanes.map(p => bucketOf(query, p))
+    val cond = allPlanes.zip(queryBuckets).map { case (planes, qb) =>
+      lshBucket(col(embCol), planes) === lit(qb)
+    }.reduce(_ || _)
+    df.filter(cond)
+      .select(col(idCol), cosine(col(embCol), vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-style coarse index: assign every vector to its nearest of `nlist`
+    * deterministic anchor directions; a query probes only the `nprobe`
+    * closest anchors' lists. Returns the assignment DataFrame — at scale,
+    * write it partitioned by `ivf_list` so probes prune partitions. */
+  def ivfAssign(df: DataFrame, embCol: String, idCol: String,
+                nlist: Int, dim: Int, seed: Long = 7L): DataFrame = {
+    val anchors = hyperplanes(nlist, dim, seed)
+    val sims = anchors.zipWithIndex.map { case (a, i) =>
+      struct(cosine(col(embCol), vecLit(a)).as("sim"), lit(i).as("list"))
+    }
+    df.select(col(idCol), col(embCol),
+      array_max(array(sims: _*)).getField("list").as("ivf_list"))
+  }
+
+  /** All-pairs near-duplicate search over embeddings via LSH bucket join:
+    * pairs sharing a bucket in any table, verified by exact cosine ≥
+    * threshold. The embedding-cosine near-dup operator. */
+  def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,
+                         threshold: Double, dim: Int,
+                         numPlanes: Int = 10, tables: Int = 3,
+                         seed: Long = 42L): DataFrame = {
+    val tablesBuckets = (0 until tables).map { t =>
+      val planes = hyperplanes(numPlanes, dim, seed + t * 1000L)
+      struct(lit(t).as("tbl"), lshBucket(col(embCol), planes).as("bucket"))
+    }
+    val bucketed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+        explode(array(tablesBuckets: _*)).as("bk"))
+      .select(col("id"), col("emb"), col("bk.tbl"), col("bk.bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("idA"), col("emb").as("embA"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("idB"), col("emb").as("embB"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), cosine(col("embA"), col("embB")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

@@ -83,6 +83,11 @@ object UnitIndicator {
     case StringType                                          => Text
     case _: NumericType | TimestampType | DateType           => Default
     case TimestampNTZType                                    => Default
+    // Extension surface beyond the reference's scalar-only cells
+    // (SURVEY §7.5): embeddings, multimodal payloads, nested data.
+    case _: ArrayType                                        => "vector"
+    case BinaryType                                          => "binary"
+    case _: MapType | _: StructType                          => "struct"
     case _ =>
       throw new ColumnUnitException(
         s"The Spark data type $dt cannot be assigned a StarTable unit")

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Dedup, Similarity, Text}
+import Tables.star
+
+/** The LLM-training-data-pipeline operator coverage (BASELINE.json north
+  * star): dedup, text analysis, similarity search over the `documents` and
+  * `embeddings` tables. SQL-expressible operators carry an exact DuckDB
+  * oracle; signature-based ones (minhash/simhash/LSH — engine-specific hash
+  * functions) are declared without oracle and validated by their own
+  * ScalaTest specs plus the driver's rows-only check.
+  */
+object PipelineQueries {
+
+  val enStop: Seq[String] = Seq("the", "a")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- text analysis -----------------------------------------------------
+    "q_doc_tokens" -> ((s, dir) =>
+      star(s, dir, "documents").df
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          Text.charCount(col("text")).cast(LongType).as("n_chars_m"),
+          Text.stopwordCount(col("text"), enStop).as("n_stop"))),
+
+    "q_doc_quality" -> ((s, dir) =>
+      star(s, dir, "documents").df
+        .select(col("doc_id"),
+          round(Text.avgWordLength(col("text")), 6).as("avg_word_len"),
+          round(Text.stopwordRatio(col("text"), enStop), 6).as("stop_ratio"),
+          round(Text.digitRatio(col("text")), 6).as("digit_ratio"))),
+
+    "q_doc_langdist" -> ((s, dir) =>
+      star(s, dir, "documents")
+        .groupByAgg(Seq("lang"), Seq(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars")))
+        .df
+        .withColumn("sum_chars", col("sum_chars").cast(LongType))),
+
+    // language-ID heuristic vs the dataset's own lang label: report the
+    // confusion counts — deterministic and oracle-free (heuristic is ours).
+    "q_doc_langid" -> ((s, dir) =>
+      star(s, dir, "documents").df
+        .select(col("doc_id"), col("lang"),
+          Text.langId(col("text")).as("lang_pred"))),
+
+    // --- fingerprinting ----------------------------------------------------
+    "q_doc_fingerprint" -> ((s, dir) =>
+      star(s, dir, "documents").df
+        .select(col("doc_id"), Text.fingerprintMd5(col("text")).as("fp"))),
+
+    // --- dedup -------------------------------------------------------------
+    // Exact dedup keep-first: survivor ids per (lang, source) group.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(star(s, dir, "documents").df, Seq("lang", "source"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // Exact content dedup via md5-hash groupBy (shuffle the hash, not text).
+    "q_dedup_content" -> ((s, dir) =>
+      star(s, dir, "documents").df
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))),
+
+    // MinHash-LSH near-dup candidates (no oracle: engine-specific hashes).
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(star(s, dir, "documents").df, "doc_id", "text",
+        shingleSize = 2, numHashes = 32, bands = 8)
+        .filter(col("jaccard_est") >= 0.5)),
+
+    // SimHash near-dup candidates (no oracle: engine-specific hashes).
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(star(s, dir, "documents").df, "doc_id", "text",
+        maxHamming = 10)),
+
+    // N-gram Jaccard similarity of adjacent doc pairs — deterministic
+    // integer set ops, exact oracle via duckdb list functions.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = star(s, dir, "documents").df
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val a = d.select((col("doc_id")).as("id_a"), col("toks").as("toks_a"))
+      val b = d.select((col("doc_id")).as("id_b"), col("toks").as("toks_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(Text.jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
+    }),
+
+    // --- similarity search -------------------------------------------------
+    // Brute-force cosine top-10 for a probe vector taken from the corpus
+    // (vec_id 0), excluding itself. No oracle: float-sum order sensitivity.
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = star(s, dir, "embeddings").df
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, 10)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    // LSH-bucketed ANN for the same probe (scale path; no oracle).
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = star(s, dir, "embeddings").df
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, 10, numPlanes = 4, tables = 8)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    // Embedding stats per label: deterministic min/max of a vector slot.
+    "q_emb_stats" -> ((s, dir) =>
+      star(s, dir, "embeddings").df
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("embedding").getItem(0).cast(DoubleType)), 6).as("min_d0"),
+          round(max(col("embedding").getItem(0).cast(DoubleType)), 6).as("max_d0"))),
+
+    // IVF coarse assignment counts (no oracle: seeded anchors are ours).
+    "q_emb_ivf" -> ((s, dir) =>
+      Similarity.ivfAssign(star(s, dir, "embeddings").df, "embedding", "vec_id",
+        nlist = 8, dim = 64)
+        .groupBy(col("ivf_list"))
+        .agg(count(lit(1)).as("n")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_doc_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |FROM documents""".stripMargin,
+
+    "q_doc_quality" ->
+      """SELECT doc_id,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+        |    END, 6) AS avg_word_len,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks)
+        |    END, 6) AS stop_ratio,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / length(text) END, 6) AS digit_ratio
+        |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents)""".stripMargin,
+
+    "q_doc_langdist" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1""".stripMargin,
+
+    "q_dedup_content" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """SELECT id_a, id_b,
+        |  round(CASE WHEN len(list_distinct(list_concat(ta, tb))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(list_distinct(ta), list_distinct(tb))) AS DOUBLE)
+        |      / len(list_distinct(list_concat(ta, tb))) END, 6) AS jaccard
+        |FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    string_split_regex(trim(a.text), '\s+') AS ta,
+        |    string_split_regex(trim(b.text), '\s+') AS tb
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |)""".stripMargin,
+
+    "q_emb_stats" ->
+      """SELECT label, count(*) AS n,
+        |  round(min(CAST(embedding[1] AS DOUBLE)), 6) AS min_d0,
+        |  round(max(CAST(embedding[1] AS DOUBLE)), 6) AS max_d0
+        |FROM embeddings GROUP BY label""".stripMargin
+  )
+}

@@ -1,0 +1,468 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.StarTable
+import Tables.star
+
+/** The SURVEY §2.3 relational-operator coverage: one query per whitelisted
+  * operation, each with an exact DuckDB oracle.
+  *
+  * Float determinism: sums/averages of doubles are order-dependent, and
+  * Spark's partial aggregation order differs from DuckDB's sequential scan.
+  * Every aggregated monetary/quantity column is therefore summed as
+  * DECIMAL(18,2) (exact, associative) and cast back to double — both engines
+  * produce bit-identical results. Averages are exact-sum / count, divided in
+  * double on both sides.
+  */
+object RelationalQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact decimal sum rendered as double. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** Exact average: decimal sum / count, divided in double. */
+  private def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+
+  // DuckDB-side equivalents of the helpers above.
+  private def sqlDsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  private def sqlDavg(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)/count(*)"
+  private val sqlRevenue =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+  private def revenue: Column =
+    dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- filter + projection (pandas mask + reindex) -----------------------
+    "q_filter_project" -> ((s, dir) =>
+      star(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .df),
+
+    // --- groupBy/agg: TPC-H Q1 pricing summary (flagship) ------------------
+    "q1_pricing_summary" -> ((s, dir) =>
+      star(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast(TimestampType))
+        .groupByAgg(Seq("l_returnflag", "l_linestatus"), Seq(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenue).cast(DoubleType).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")))
+        .orderByNames("l_returnflag", "l_linestatus")
+        .df),
+
+    // --- withColumn (add_column, unit inference) ----------------------------
+    "q_withcolumn_revenue" -> ((s, dir) =>
+      star(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .withColumn("revenue", revenue.cast(DoubleType))
+        .select("l_orderkey", "l_linenumber", "revenue")
+        .df),
+
+    // --- broadcast join + agg ----------------------------------------------
+    "q_join_broadcast" -> ((s, dir) => {
+      val orders = star(s, dir, "orders")
+      val customer = star(s, dir, "customer")
+      // dim side is small: broadcast it (no shuffle of orders)
+      orders.df.join(broadcast(customer.df),
+          orders.df("o_custkey") === customer.df("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_price"))
+    }),
+
+    // --- multi-join: TPC-H Q3 shipping priority -----------------------------
+    "q3_shipping_priority" -> ((s, dir) => {
+      val customer = star(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = star(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast(TimestampType))
+      val lineitem = star(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
+      customer.joinOn(orders, col("c_custkey") === col("o_custkey"))
+        .joinOn(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupByAgg(Seq("l_orderkey", "o_orderdate"),
+          Seq(sum(revenue).cast(DoubleType).as("revenue")))
+        .df
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // --- 5-way join through the star schema (TPC-H Q5 shape) ---------------
+    "q5_revenue_by_nation" -> ((s, dir) => {
+      val c = star(s, dir, "customer").df
+      val o = star(s, dir, "orders").df
+      val l = star(s, dir, "lineitem").df
+      val su = star(s, dir, "supplier").df
+      val n = star(s, dir, "nation").df
+      val r = star(s, dir, "region").df
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revenue).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // --- union / vertical concat (pd.concat axis=0) -------------------------
+    "q_concat_union" -> ((s, dir) => {
+      val li = star(s, dir, "lineitem")
+      val low = li.filter(col("l_quantity") < 3)
+      val high = li.filter(col("l_quantity") > 48)
+      low.concat(high)
+        .groupByAgg(Seq("l_returnflag"),
+          Seq(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")))
+        .df
+    }),
+
+    // --- sort + limit --------------------------------------------------------
+    "q_sort_limit" -> ((s, dir) =>
+      star(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+        .df),
+
+    // --- replace -------------------------------------------------------------
+    "q_replace_status" -> ((s, dir) =>
+      star(s, dir, "orders")
+        .replace("o_orderstatus",
+          Map("O" -> "OPEN", "F" -> "FINISHED", "P" -> "PENDING"))
+        .groupByAgg(Seq("o_orderstatus"), Seq(count(lit(1)).as("n")))
+        .df),
+
+    // --- cast / astype -------------------------------------------------------
+    "q_cast_quantity" -> ((s, dir) =>
+      star(s, dir, "lineitem")
+        .castColumn("l_quantity", IntegerType)
+        .groupByAgg(Seq("l_quantity"), Seq(count(lit(1)).as("n")))
+        .df),
+
+    // --- fillna ---------------------------------------------------------------
+    "q_fillna_value" -> ((s, dir) =>
+      star(s, dir, "events")
+        .withColumn("capped", when(col("value") <= 15, col("value")), unit = Some("-"))
+        .fillna(-1.0, Seq("capped"))
+        .groupByAgg(Seq("event_type"),
+          Seq(dsum(col("capped")).as("sum_capped"), count(lit(1)).as("n")))
+        .df),
+
+    // --- rename ----------------------------------------------------------------
+    "q_rename_avg_price" -> ((s, dir) =>
+      star(s, dir, "part")
+        .withColumnRenamed("p_retailprice", "price")
+        .groupByAgg(Seq("p_brand"),
+          Seq(davg(col("price")).as("avg_price"), count(lit(1)).as("n")))
+        .df),
+
+    // --- pivot (unstack) --------------------------------------------------------
+    "q_pivot_qty" -> ((s, dir) =>
+      star(s, dir, "lineitem")
+        .pivot("l_returnflag", "l_linestatus", "l_quantity",
+          c => sum(dec(col(c))).cast(DoubleType))
+        .df),
+
+    // --- unpivot (melt) -----------------------------------------------------------
+    "q_unpivot_part" -> ((s, dir) =>
+      star(s, dir, "part")
+        .filter(col("p_partkey") <= 50)
+        .withColumn("p_size_d", col("p_size").cast(DoubleType), unit = Some("-"))
+        .select("p_partkey", "p_size_d", "p_retailprice")
+        .unpivot(Seq("p_partkey"), Seq("p_size_d", "p_retailprice"))
+        .df),
+
+    // --- distinct ------------------------------------------------------------------
+    "q_distinct_status" -> ((s, dir) =>
+      star(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .df),
+
+    // --- window: top order per customer ----------------------------------------------
+    "q_window_top_order" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      star(s, dir, "orders").df
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // --- window: running sum over event time -------------------------------------------
+    "q_window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      star(s, dir, "events").df
+        .filter(col("user_id") < 5)
+        .withColumn("running_value",
+          sum(dec(col("value"))).over(w).cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+    }),
+
+    // --- semi join (EXISTS) ---------------------------------------------------------------
+    "q_semi_join" -> ((s, dir) => {
+      val li = star(s, dir, "lineitem").df.filter(col("l_quantity") >= 49)
+      star(s, dir, "supplier").df
+        .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // --- anti join (NOT EXISTS) --------------------------------------------------------------
+    // customers with no big-ticket order (plain no-orders is empty at all SFs)
+    "q_anti_join" -> ((s, dir) => {
+      val o = star(s, dir, "orders").df.filter(col("o_totalprice") > 400000)
+      star(s, dir, "customer").df
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // --- groupBy + having ------------------------------------------------------------------
+    "q_group_having" -> ((s, dir) =>
+      star(s, dir, "lineitem")
+        .groupByAgg(Seq("l_partkey"),
+          Seq(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")))
+        .filter(col("n") >= 5)
+        .df),
+
+    // --- append row (pandas append / loc[n]=) -------------------------------------------------
+    "q_append_row" -> ((s, dir) =>
+      star(s, dir, "nation")
+        .appendRow(Seq(77, "ZEALANDIA", 3))
+        .df
+        .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast(LongType).as("n_regionkey"))),
+
+    // --- global aggregate (no grouping) ---------------------------------------------------------
+    "q_global_agg" -> ((s, dir) =>
+      star(s, dir, "lineitem")
+        .groupByAgg(Seq.empty[String] :+ "l_linestatus", Seq(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship")))
+        .df),
+
+    // --- case/when bucketing ----------------------------------------------------------------------
+    "q_case_when" -> ((s, dir) =>
+      star(s, dir, "lineitem")
+        .withColumn("qty_class",
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 40, "mid")
+            .otherwise("high"), unit = Some("text"))
+        .groupByAgg(Seq("qty_class"), Seq(count(lit(1)).as("n")))
+        .df),
+
+    // --- time bucketing (hourly rollup of the event stream, batch form) ----------------------------
+    "q_events_hourly" -> ((s, dir) =>
+      star(s, dir, "events")
+        .withColumn("hour", date_trunc("hour", col("ts")), unit = Some("datetime"))
+        .groupByAgg(Seq("hour", "event_type"),
+          Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+        .df),
+
+    // --- sessionization (gaps-and-islands; 30-min inactivity) ---------------------------------------
+    "q_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      star(s, dir, "events").df
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // --- JSON extraction from the props payload ------------------------------------------------------
+    "q_json_extract" -> ((s, dir) =>
+      star(s, dir, "events").df
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45""".stripMargin,
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(sum($sqlRevenue) AS DOUBLE) AS sum_disc_price,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_withcolumn_revenue" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST($sqlRevenue AS DOUBLE) AS revenue
+         |FROM lineitem WHERE l_orderkey <= 100""".stripMargin,
+
+    "q_join_broadcast" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, CAST(sum($sqlRevenue) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+
+    "q5_revenue_by_nation" ->
+      s"""SELECT n_name, CAST(sum($sqlRevenue) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY n_name""".stripMargin,
+
+    "q_concat_union" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM (
+         |  SELECT * FROM lineitem WHERE l_quantity < 3
+         |  UNION ALL
+         |  SELECT * FROM lineitem WHERE l_quantity > 48
+         |) GROUP BY l_returnflag""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_replace_status" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FINISHED'
+        |  WHEN 'P' THEN 'PENDING' ELSE o_orderstatus END AS o_orderstatus,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_cast_quantity" ->
+      """SELECT CAST(l_quantity AS INTEGER) AS l_quantity, count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_fillna_value" ->
+      s"""SELECT event_type,
+         |  CAST(sum(CAST(coalesce(CASE WHEN value <= 15 THEN value END, -1.0)
+         |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_capped,
+         |  count(*) AS n
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_rename_avg_price" ->
+      s"""SELECT p_brand, ${sqlDavg("p_retailprice")} AS avg_price, count(*) AS n
+         |FROM part GROUP BY p_brand""".stripMargin,
+
+    "q_pivot_qty" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_unpivot_part" ->
+      """SELECT p_partkey, 'p_size_d' AS variable, CAST(p_size AS DOUBLE) AS value
+        |FROM part WHERE p_partkey <= 50
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value
+        |FROM part WHERE p_partkey <= 50""".stripMargin,
+
+    "q_distinct_status" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q_window_top_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn = 1""".stripMargin,
+
+    "q_window_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events WHERE user_id < 5""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND l_quantity >= 49)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "q_group_having" ->
+      s"""SELECT l_partkey, count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 5""".stripMargin,
+
+    "q_append_row" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
+        |UNION ALL SELECT 77, 'ZEALANDIA', 3""".stripMargin,
+
+    "q_global_agg" ->
+      s"""SELECT l_linestatus, count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty,
+         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |  WHEN l_quantity < 40 THEN 'mid' ELSE 'high' END AS qty_class,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_events_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  count(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessions" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY ts ASC, event_id ASC) AS prev_us
+        |    FROM events
+        |  )
+        |) GROUP BY user_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Similarity, Text}
+
+/** Semantics of the LLM-pipeline operators on small known inputs. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenCount / charCount / avgWordLength") {
+    val df = Seq("the cat sat", "", "a  b").toDF("t")
+    val r = df.select(
+      Text.tokenCount(col("t")).as("n"),
+      Text.avgWordLength(col("t")).as("awl")).collect()
+    assert(r(0).getInt(0) == 3)
+    assert(r(2).getInt(0) == 2) // multi-space splits once
+    assert(r(0).getDouble(1) == 3.0)
+  }
+
+  test("stopwordRatio and qualityScore bounds") {
+    val df = Seq("the a the a", "xyzzy qwerty").toDF("t")
+    val r = df.select(
+      Text.stopwordRatio(col("t"), Seq("the", "a")).as("sr"),
+      Text.qualityScore(col("t")).as("q")).collect()
+    assert(r(0).getDouble(0) == 1.0)
+    assert(r(1).getDouble(0) == 0.0)
+    r.foreach(row => assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0))
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val df = Seq(
+      "the cat is on the mat and it is warm",
+      "el gato en la casa y el perro",
+      "der Hund und die Katze ist da",
+      "le chat et le chien est la").toDF("t")
+    val langs = df.select(Text.langId(col("t"))).collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en", "es", "de", "fr"))
+  }
+
+  test("shingles and jaccard") {
+    val df = Seq(("a b c d", "b c d e")).toDF("x", "y")
+    val sh = df.select(Text.shingles(col("x"), 2)).head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    val j = df.select(Text.jaccard(
+      Text.tokens(col("x")), Text.tokens(col("y")))).head().getDouble(0)
+    assert(j == 3.0 / 5.0)
+  }
+
+  test("exactDedup keeps min id per key, deterministically") {
+    val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "k")
+    val out = Dedup.exactDedup(df, Seq("k"), "id").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash: identical docs agree on all slots; disjoint docs on few") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("id", "text")
+    val cands = Dedup.minhashCandidates(df, "id", "text",
+      shingleSize = 2, numHashes = 16, bands = 4).collect()
+    val pair12 = cands.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair12.isDefined && pair12.get.getDouble(2) == 1.0)
+    assert(!cands.exists(r => r.getLong(1) == 3L && r.getDouble(2) > 0.5))
+  }
+
+  test("simhash: identical → hamming 0; near-identical → small; different → large") {
+    val df = Seq(
+      "spark catalyst tungsten shuffle partition broadcast join agg",
+      "spark catalyst tungsten shuffle partition broadcast join filter",
+      "completely unrelated words about cooking pasta tomatoes basil").toDF("text")
+    val sigs = df.select(Dedup.simhash64(Text.tokens(col("text")))).collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0), sigs(0)) == 0)
+    assert(ham(sigs(0), sigs(1)) < ham(sigs(0), sigs(2)))
+  }
+
+  test("cosine similarity: orthogonal 0, identical 1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 1f), Array(1f, 1f))).toDF("a", "b")
+    val r = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(r(0) - 1.0) < 1e-12)
+    assert(r(1) == 0.0)
+    assert(math.abs(r(2) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK finds the nearest vector first") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, "embedding", "vec_id", Seq(1f, 0f, 0f), 2)
+      .collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("LSH top-k recalls exact nearest on clustered data") {
+    val vecs = (0 until 20).map(i => (i.toLong,
+      if (i < 10) Array(1f + i * 0.01f, 0.1f * i, 0f)
+      else Array(0f, 0.1f * i, 1f + i * 0.01f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val res = Similarity.lshTopK(df, "embedding", "vec_id",
+      Seq(1f, 0.05f, 0f), 3, numPlanes = 3, tables = 6)
+    val got = res.collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.subsetOf((0L until 10L).toSet))
+  }
+
+  test("cosineNearDupPairs finds planted duplicates") {
+    val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val dup = base.clone()
+    val other = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, base), (2L, dup), (3L, other)).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "embedding", "vec_id",
+      threshold = 0.99, dim = 8).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("fingerprints are stable and distinct") {
+    val df = Seq("doc one", "doc two", "doc one").toDF("t")
+    val fps = df.select(Text.fingerprint64(col("t"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+  }
+}
