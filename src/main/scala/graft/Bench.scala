@@ -1,23 +1,60 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":…,"value":…,"queries":{…},"sf":…}.
+  *
+  * Measurement notes:
+  *  - Results are materialized through the `noop` sink: `count()` would let
+  *    Catalyst prune the projected expressions (a text-metrics query would
+  *    benchmark nothing but a row count).
+  *  - A warm-up pass at sf0.001 triggers JIT + codegen compilation so the
+  *    timed pass measures steady-state throughput, which is what matters at
+  *    100 TB — not first-query compile latency.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warm-up: JIT + whole-stage-codegen compile at the smallest SF.
+    ordered.foreach { case (_, fn) =>
+      try run(fn, warmDir) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    spark.sharedState.cacheManager.clearCache()
+
+    val results = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try run(fn, sfDir) catch {
+        case e: Throwable =>
+          // a failed query must be loud — a swallowed error reads as a
+          // suspiciously fast benchmark number
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // signature caches from dedup queries must not leak memory pressure
+      // (and GC) into the queries that follow
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

