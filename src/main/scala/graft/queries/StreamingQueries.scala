@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Multimodal
+import graft.streaming.EventStreams
+
+/** Streaming + multimodal operator coverage. Streaming queries execute the
+  * events file source INCREMENTALLY through Structured Streaming (memory
+  * sink, run to completion) and must produce the same result as the batch
+  * oracle — the batch/stream parity check.
+  */
+object StreamingQueries {
+
+  private def sqlDsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Watermarked tumbling-window rollup, executed as a stream.
+    "q_stream_hourly" -> ((s, dir) =>
+      EventStreams.runToBatch(s,
+        EventStreams.hourlyRollup(EventStreams.readStream(s, dir)))),
+
+    // Gap-based session windows executed as a stream; per-user counts
+    // aggregated in batch over the session rows.
+    "q_stream_sessions" -> ((s, dir) =>
+      EventStreams.runToBatch(s,
+        EventStreams.sessionWindows(EventStreams.readStream(s, dir)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))),
+
+    // Multimodal: binary payload + real byte-length metadata (decode STUB
+    // provides format/dims — excluded here so the oracle is exact).
+    "q_multimodal_bytes" -> ((s, dir) => {
+      val docs = Tables.star(s, dir, "documents").df
+      val withPayload = docs.withColumn("payload",
+        Multimodal.payloadFromText(col("text")))
+      Multimodal.withMediaMeta(withPayload, "payload")
+        .select(col("doc_id"), col("media_meta.bytes").as("n_bytes"))
+    }),
+
+    // Multimodal feature-extraction plumbing (stubbed model, rows-only).
+    "q_multimodal_features" -> ((s, dir) => {
+      val docs = Tables.star(s, dir, "documents").df
+        .withColumn("payload", Multimodal.payloadFromText(col("text")))
+        .select("doc_id", "payload")
+      Multimodal.extractFeaturesStub(s, docs, "payload", "doc_id")
+        .select(col("doc_id"), col("features"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  count(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // session_window semantics: a new session starts when the gap is >= 30min
+    "q_stream_sessions" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY ts ASC, event_id ASC) AS prev_us
+        |    FROM events
+        |  )
+        |) GROUP BY user_id""".stripMargin,
+
+    "q_multimodal_bytes" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference has no event-time streaming (SURVEY §2.7) — this is the
+  * engine's native extension: watermarked windowed aggregation, gap-based
+  * session windows, and custom state via flatMapGroupsWithState. Each
+  * transform is defined on a DataFrame so the SAME code runs in batch mode
+  * (for the DuckDB oracle) and under readStream (for incremental execution);
+  * parity between the two is the streaming correctness test.
+  */
+object EventStreams {
+
+  /** The events schema (nanos read as long, converted like the batch path). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events parquet as a stream (file-source incremental read). */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream sources take a directory; select just the events file
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly tumbling-window counts with a 1-hour watermark. In batch mode
+    * window() degenerates to the same grouping — oracle-comparable. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization: one row per (user, session). session_window
+    * merges events closer than the gap; a new session starts when the gap is
+    * ≥ 30 min. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Sessions per user (count of session windows). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    sessionWindows(events)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+
+  /** Run a streaming DataFrame to completion against its (static) file
+    * source and return the result as a batch DataFrame, via the memory sink.
+    * `Complete` mode so aggregates fold over all input. */
+  def runToBatch(spark: SparkSession, streamed: DataFrame,
+                 mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = streamed.writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  // ---------------------------------------------------------------- custom state
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class UserRunningState(nEvents: Long, totalValue: Double, lastTs: Long)
+  case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-user running state via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset stateful-processing extension point
+    * (mapGroupsWithState family). Emits a snapshot per user per batch. */
+  def runningUserStats(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds = events.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val updated = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunningState, UserSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0, Long.MinValue))
+          var n = prev.nEvents; var tot = prev.totalValue; var last = prev.lastTs
+          rows.foreach { e =>
+            n += 1; tot += e.value; last = math.max(last, e.ts.getTime)
+          }
+          state.update(UserRunningState(n, tot, last))
+          Iterator(UserSnapshot(uid, n, tot))
+      }
+    updated.toDF()
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Multimodal
+import graft.queries.Tables
+import graft.streaming.EventStreams
+
+/** Streaming/batch parity + multimodal plumbing. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  def batchEvents = Tables.df(spark, sfDir, "events")
+
+  test("streamed hourly rollup equals batch computation") {
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.hourlyRollup(EventStreams.readStream(spark, sfDir)))
+    val batch = EventStreams.hourlyRollup(batchEvents)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streamed session windows cover all events exactly once") {
+    val sessions = EventStreams.runToBatch(spark,
+      EventStreams.sessionWindows(EventStreams.readStream(spark, sfDir)))
+    val totalEvents = sessions.agg(sum("n_events")).head().getLong(0)
+    assert(totalEvents == batchEvents.count())
+    // session windows per user are disjoint: session count >= 1 per active user
+    val users = sessions.select("user_id").distinct().count()
+    assert(users == batchEvents.select("user_id").distinct().count())
+  }
+
+  test("flatMapGroupsWithState running stats reach batch totals") {
+    val out = EventStreams.runToBatch(spark,
+      EventStreams.runningUserStats(spark, EventStreams.readStream(spark, sfDir)),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    // last snapshot per user must equal the batch per-user aggregate
+    val lastPerUser = out.groupBy("user_id").agg(max("n_events").as("n_events"))
+    val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(lastPerUser.exceptAll(batch).isEmpty)
+  }
+
+  test("multimodal: payload bytes real, stub meta deterministic, batch shape") {
+    val docs = Tables.df(spark, sfDir, "documents")
+      .withColumn("payload", Multimodal.payloadFromText(col("text")))
+    val withMeta = Multimodal.withMediaMeta(docs, "payload")
+    val r = withMeta.select(col("n_chars"), col("media_meta.bytes"),
+      col("media_meta.width"), col("media_meta.format")).collect()
+    r.foreach { row =>
+      assert(row.getLong(1) >= row.getLong(0)) // bytes >= chars (multi-byte)
+      assert(row.getInt(2) >= 1 && row.getInt(2) <= 1920)
+      assert(Seq("png", "jpeg", "webp").contains(row.getString(3)))
+    }
+    // deterministic across runs
+    val again = Multimodal.withMediaMeta(docs, "payload")
+      .select(col("media_meta.width")).collect().map(_.getInt(0)).toSeq
+    assert(again == withMeta.select(col("media_meta.width")).collect().map(_.getInt(0)).toSeq)
+
+    val feats = Multimodal.extractFeaturesStub(spark, docs.select("doc_id", "payload"),
+      "payload", "doc_id", batchSize = 7)
+    assert(feats.count() == docs.count())
+    assert(feats.head().getSeq[Float](1).size == 8)
+
+    val frames = docs.select(Multimodal.frameSampleStub(col("payload"), 4).as("f"))
+    assert(frames.head().getSeq[Array[Byte]](0).size == 4)
+  }
+}
