@@ -69,11 +69,24 @@ object CsvReader {
     parseLines(content.linesIterator, sep,
       NullLocationFile(origin).makeLocationSheet(), filter, fixer, issueTracker)
 
-  /** Read a file straight into a TableBundle
-    * (reference: pdtable/utils.py:42-62 read_bundle_from_csv). */
+  /** Read a file straight into a TableBundle, with optional bulk unit
+    * normalization applied per table at read time
+    * (reference: pdtable/utils.py:14-62 read_bundle_from_csv +
+    * normalized_table_generator). `convertUnitsTo` maps a table name to its
+    * unit targets (None = leave the table as-is). */
   def readBundle(spark: SparkSession, path: Path, sep: String = DefaultSep,
-                 filter: Option[Blocks.BlockFilter] = None): TableBundle =
-    TableBundle.fromBlocks(spark, read(path, sep, filter))
+                 filter: Option[Blocks.BlockFilter] = None,
+                 convertUnitsTo: String => Option[graft.model.UnitTargets] = _ => None,
+                 converter: graft.units.UnitConverter = graft.units.Units.defaultConverter
+                ): TableBundle = {
+    val bundle = TableBundle.fromBlocks(spark, read(path, sep, filter))
+    TableBundle.fromTables(bundle.tables.map { t =>
+      convertUnitsTo(t.name) match {
+        case Some(targets) => t.convertUnits(targets, converter)
+        case None          => t
+      }
+    })
+  }
 
   def readBundleFromString(spark: SparkSession, content: String,
                            sep: String = DefaultSep): TableBundle =

@@ -201,6 +201,34 @@ final case class StarTable(
   def dropDuplicates(cols: Seq[String]): StarTable =
     finalized(if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols), "dropDuplicates")
 
+  /** Data transpose — pandas `transpose` (reference: frame.py:84 whitelist;
+    * test_pdtable.py:400-407: all resulting columns are text, since rows of
+    * mixed types become object columns). Inherently driver-side (matches the
+    * reference's use for display/transposed-write of small tables): Spark
+    * has no row index, so the original column names materialize as the first
+    * column `column`, and row positions become columns `r0..rN`. */
+  def transpose(): StarTable = {
+    val rows = df.collect()
+    val header = StructField("column", org.apache.spark.sql.types.StringType) +:
+      rows.indices.map(i => StructField(s"r$i", org.apache.spark.sql.types.StringType))
+    val schema = StructType(header.toIndexedSeq)
+    val data = columnNames.zipWithIndex.map { case (c, ci) =>
+      Row.fromSeq(c +: rows.toIndexedSeq.map { r =>
+        val v = r.get(ci)
+        if (v == null) null else v.toString
+      })
+    }
+    val newDf = df.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      schema)
+    val cm = schema.fields.map(f => f.name -> ColumnMetadata(UnitIndicator.Text))
+    StarTable(newDf,
+      TableMetadata(meta.name, meta.destinations,
+        TableOrigin.branch("Spark transpose", Seq(meta.origin)),
+        meta.transposed, meta.strictTypes),
+      ListMap(cm.toIndexedSeq: _*))
+  }
+
   /** Positional row access (inherently driver-side; reference:
     * pdtable/proxy.py:236-238 get_row). */
   def getRow(index: Int): Seq[Any] = {

@@ -196,7 +196,10 @@ object Blocks {
   val defaultHandlers: Map[BlockType, BlockHandler] = Map(
     BlockType.Metadata -> ((g, o, _) => Some(makeMetadataBlock(g, o))),
     BlockType.Directive -> ((g, o, _) => Some(makeDirective(g, o))),
-    BlockType.Table -> ((g, o, f) => Some(parseTableGrid(g, o, f)))
+    BlockType.Table -> ((g, o, f) => Some(parseTableGrid(g, o, f))),
+    // Template rows are "not yet implemented" in the reference; parity with
+    // its legacy behavior is to surface them as raw cells (blocks.py:338-341)
+    BlockType.TemplateRow -> ((g, _, _) => Some(RawCells(g)))
   )
 
   /** Wrap handlers with the early block filter: non-matching TABLE blocks cost
