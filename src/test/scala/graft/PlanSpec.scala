@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.RelationalQueries
+
+/** Physical-plan assertions: the plans that make 100 TB viable must not
+  * silently regress. Checks pushdown, column pruning, broadcast selection,
+  * map-side partial aggregation, and whole-stage codegen presence.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.01"
+
+  private def planOf(q: String): String = {
+    val df = RelationalQueries.queries(q)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter+project pushes filters and prunes columns at the parquet scan") {
+    val plan = planOf("q_filter_project")
+    assert(plan.contains("PushedFilters: ["), "no pushdown section")
+    assert(plan.contains("IsNotNull(l_quantity)") || plan.contains("GreaterThan(l_quantity"),
+      s"quantity filter not pushed:\n$plan")
+    // scan must read only the 5 needed columns, not all 11
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_returnflag"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("Q1 aggregates partially before the shuffle (map-side combine)") {
+    val plan = planOf("q1_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("partial_"),
+      s"no partial aggregation:\n$plan")
+    // note: with AQE the pre-execution plan string has no codegen markers;
+    // codegen presence is asserted on non-adaptive leaf plans elsewhere
+  }
+
+  test("dimension join broadcasts the small side") {
+    val plan = planOf("q_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"customer dim not broadcast:\n$plan")
+  }
+
+  test("5-way star join broadcasts nation and region") {
+    val plan = planOf("q5_revenue_by_nation")
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected >=2 broadcasts (nation, region), got $broadcasts")
+  }
+
+  test("top-k sort+limit uses TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q_sort_limit")
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for a top-10:\n$plan")
+  }
+
+  test("semi/anti joins plan as join, not subquery re-scan") {
+    assert(planOf("q_semi_join").contains("LeftSemi"))
+    assert(planOf("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("brute-force ANN is scan + TakeOrdered (no shuffle of embeddings)") {
+    val df = graft.queries.PipelineQueries.queries("q_ann_bruteforce")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"ANN should be top-k:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in brute-force ANN:\n$plan")
+  }
+}
