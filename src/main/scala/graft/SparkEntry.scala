@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.queries.{PipelineQueries, RelationalQueries, StreamingQueries}
+import graft.queries.{AnalyticQueries, PipelineQueries, RelationalQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries ++ StreamingQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++ StreamingQueries.queries ++ AnalyticQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (engine-specific hash signatures, seeded LSH) → rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++ StreamingQueries.oracleSql
+    RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++ StreamingQueries.oracleSql ++ AnalyticQueries.oracleSql
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.AsOfJoin
+import Tables.star
+
+/** The native analytic surface beyond the reference's pandas whitelist
+  * (SURVEY §2.3 "not implemented in the reference, in scope for the Spark
+  * engine"): grouping sets (rollup/cube), set operations, as-of join,
+  * approximate aggregates.
+  */
+object AnalyticQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  private def sqlDsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- grouping sets -----------------------------------------------------
+    "q_rollup" -> ((s, dir) =>
+      star(s, dir, "lineitem").df
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    "q_cube" -> ((s, dir) =>
+      star(s, dir, "orders").df
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))),
+
+    // --- set operations ----------------------------------------------------
+    // customers that bought in BOTH of two segments' part ranges
+    "q_intersect" -> ((s, dir) => {
+      val li = star(s, dir, "lineitem").df
+      val a = li.filter(col("l_quantity") >= 45).select(col("l_suppkey"))
+      val b = li.filter(col("l_quantity") <= 5).select(col("l_suppkey"))
+      a.intersect(b)
+    }),
+
+    // customers who never placed a pending-status order
+    "q_except" -> ((s, dir) => {
+      val c = star(s, dir, "customer").df.select(col("c_custkey"))
+      val pending = star(s, dir, "orders").df
+        .filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey"))
+      c.except(pending)
+    }),
+
+    // --- as-of join ---------------------------------------------------------
+    // each purchase event gets the most recent prior-or-simultaneous error
+    // event of the same user
+    "q_asof_join" -> ((s, dir) => {
+      val events = Tables.df(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+      AsOfJoin.asofPrior(
+        purchases, errors,
+        partitionCols = Seq("user_id"),
+        leftTime = "ts", rightTime = "err_ts",
+        rightPayload = Seq("err_id", "err_ts"),
+        rightTiebreak = Some("err_id"))
+    }),
+
+    // --- approximate aggregates (engine-specific sketches: rows-only) -------
+    "q_approx_stats" -> ((s, dir) =>
+      star(s, dir, "lineitem").df
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("median_qty"),
+          count(lit(1)).as("n")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45
+        |INTERSECT
+        |SELECT l_suppkey FROM lineitem WHERE l_quantity <= 5""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, e.err_id, e.err_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, event_id AS err_id
+        |      FROM events WHERE event_type = 'error') e
+        |ON p.user_id = e.user_id AND p.ts >= e.err_ts""".stripMargin
+  )
+}
