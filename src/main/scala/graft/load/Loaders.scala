@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-import graft.io.CsvReader
+import graft.io.{CsvReader, Xlsx}
 import graft.model.TableBundle
 import graft.origin._
 import graft.parse.{Block, BlockType, Blocks, Directive, ParseFixer}
@@ -49,6 +49,8 @@ class FileReader(
     ext match {
       case "csv" =>
         CsvReader.read(p, csvSep, fixer = fixerFactory(), loadItem = Some(file.loadItem))
+      case "xlsx" if !additionalReaders.contains("xlsx") =>
+        Xlsx.read(p, fixer = fixerFactory(), loadItem = Some(file.loadItem))
       case other if additionalReaders.contains(other) =>
         additionalReaders(other)(p, location, orch)
       case other =>
@@ -75,7 +77,7 @@ class FolderReader(fileNamePattern: scala.util.matching.Regex = FolderReader.def
   }
 }
 object FolderReader {
-  val defaultPattern: scala.util.matching.Regex = """^(?!~\$).*\.(csv)$""".r
+  val defaultPattern: scala.util.matching.Regex = """^(?!~\$).*\.(csv|xlsx)$""".r
 }
 
 /** Path resolution: relative to the including file; a leading '/' means

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{CsvReader, Xlsx}
+import graft.load.Load
+import graft.model.ColumnFormat
+
+/** XLSX round-trip parity (functional analog of pdtable/test/io/test_excel.py
+  * for the unstyled surface). */
+class XlsxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val bundleCsv: String =
+    """**places_to_go
+      |all
+      |place;distance;ETA;is_hot
+      |text;km;datetime;onoff
+      |home;0;2020-08-04 08:00;1
+      |work;1;2020-08-04 09:00;0
+      |beach;2;2020-08-04 17:00;TRUE
+      |wonderland;-;-;FaLsE
+      |
+      |**spelling_numbers
+      |all
+      |number;spelling
+      |-;text
+      |1;one
+      |6;six
+      |42;forty-two
+      |""".stripMargin
+
+  test("tables are preserved when written to and read from xlsx") {
+    val bundle = CsvReader.readBundleFromString(spark, bundleCsv)
+    val p = Files.createTempDirectory("graft_xlsx").resolve("out.xlsx")
+    Xlsx.write(bundle.tables, p)
+    val back = Xlsx.readBundle(spark, p)
+    assert(back.size == 2)
+    assert(bundle.unique("places_to_go").equalsTable(back.unique("places_to_go")))
+    assert(bundle.unique("spelling_numbers").equalsTable(back.unique("spelling_numbers")))
+  }
+
+  test("transposed table survives xlsx round trip") {
+    val t = CsvReader.readBundleFromString(spark,
+      "**tr*;\nall\ncol1;-;1;3\ncol2;-;2;4\n").unique("tr")
+    val p = Files.createTempDirectory("graft_xlsx").resolve("tr.xlsx")
+    Xlsx.write(Seq(t), p)
+    val back = Xlsx.readBundle(spark, p).unique("tr")
+    assert(back.meta.transposed)
+    assert(t.equalsTable(back))
+  }
+
+  test("xml-special and multiline text cells escape correctly") {
+    val t = CsvReader.readBundleFromString(spark,
+      "**esc\nall\na\ntext\nx<y&z>\"q\"\n").unique("esc")
+    val p = Files.createTempDirectory("graft_xlsx").resolve("esc.xlsx")
+    Xlsx.write(Seq(t), p)
+    val back = Xlsx.readBundle(spark, p).unique("esc")
+    assert(back.df.head().getString(0) == "x<y&z>\"q\"")
+  }
+
+  test("xlsx files load through the standard load system") {
+    val dir = Files.createTempDirectory("graft_xlsx_load")
+    val bundle = CsvReader.readBundleFromString(spark, bundleCsv)
+    Xlsx.write(bundle.tables, dir.resolve("book.xlsx"))
+    val loaded = Load.loadBundle(spark, Seq("book.xlsx"), Some(dir))
+    assert(loaded.size == 2)
+    assert(loaded.unique("places_to_go").unit("distance") == "km")
+  }
+
+  test("foreign xlsx with sharedStrings parses (openpyxl-style output)") {
+    // construct the shared-strings variant a typical external writer emits
+    val dir = Files.createTempDirectory("graft_xlsx_ss")
+    val p = dir.resolve("ss.xlsx")
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>2</v></c><c r="B3" t="s"><v>3</v></c></row>
+        |<row r="4"><c r="A4" t="s"><v>4</v></c><c r="B4" t="s"><v>5</v></c></row>
+        |<row r="5"><c r="A5" t="s"><v>6</v></c><c r="B5"><v>1.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val shared =
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="7" uniqueCount="7">
+        |<si><t>**py_table</t></si><si><t>all</t></si><si><t>a</t></si><si><t>b</t></si>
+        |<si><t>text</t></si><si><t>-</t></si><si><t>x</t></si></sst>""".stripMargin
+    val zip = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+    def part(n: String, c: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(c.getBytes("UTF-8")); zip.closeEntry()
+    }
+    part("xl/worksheets/sheet1.xml", sheet)
+    part("xl/sharedStrings.xml", shared)
+    zip.close()
+
+    val bundle = Xlsx.readBundle(spark, p)
+    val t = bundle.unique("py_table")
+    assert(t.columnNames == Seq("a", "b"))
+    assert(t.units == Seq("text", "-"))
+    assert(t.df.head().toSeq == Seq("x", 1.5))
+  }
+
+  test("sheet name pattern filters sheets") {
+    val bundle = CsvReader.readBundleFromString(spark, bundleCsv)
+    val p = Files.createTempDirectory("graft_xlsx").resolve("f.xlsx")
+    Xlsx.write(bundle.tables, p)
+    assert(Xlsx.readBundle(spark, p, Some("nomatch".r)).size == 0)
+    assert(Xlsx.readBundle(spark, p, Some("sheet1".r)).size == 2)
+  }
+}
