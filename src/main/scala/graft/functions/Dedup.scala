@@ -85,15 +85,16 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, seed: Int = 42): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Two-step materialization: (1) hash shingles once (the only pass over
-    // the text), (2) derive the signature from the cached hash array. The
-    // persist is a barrier against CollapseProject inlining the text
-    // pipeline into the 32-way signature and both self-join legs; the cached
-    // signatures are ~8·numHashes bytes/doc — ~0.3% of corpus size at 100 TB.
-    val hashed = df.select(col(idCol).as("id"),
-      shingleHashes(Text.shingles(col(textCol), shingleSize), seed).as("bh"))
-    val sig = hashed
-      .select(col("id"), minhashFromHashes(col("bh"), numHashes, seed).as("sig"))
+    // Fully-fused signature: tokens → k minima in one codegen'd expression
+    // (no shingle strings, one hash per token). The persist is a barrier
+    // against CollapseProject inlining the pipeline into both self-join
+    // legs; cached signatures are ~8·numHashes bytes/doc — ~0.3% of corpus
+    // size at 100 TB.
+    val sig = df
+      .select(col(idCol).as("id"),
+        graft.functions.expressions.MinHashExpression
+          .minhashTokens(Text.tokens(col(textCol)), shingleSize, numHashes, seed.toLong)
+          .as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = sig.select(col("id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -158,18 +159,25 @@ object Dedup {
         }.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
-  /** SimHash near-dup candidates: block on 4 × 16-bit sub-keys (any doc pair
-    * with Hamming distance ≤ 3 shares at least one sub-key by pigeonhole
-    * over 4 blocks), then verify exact Hamming distance ≤ maxHamming. */
+  /** SimHash near-dup candidates: block on `maxHamming + 1` bit-range
+    * sub-keys — by pigeonhole, any pair within Hamming distance maxHamming
+    * agrees on at least one block — then verify the exact distance. Fewer
+    * blocks (lower maxHamming) = cheaper blocking join; recall is exact
+    * within the stated radius either way. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, seed: Int = 42): DataFrame = {
+    val nBlocks = math.min(maxHamming + 1, 16)
+    // block b covers bits [start, start+width); widths differ by ≤1
+    val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
     // persist: barrier against recomputing the signature in both join legs
     val sigs = simhashSignatures(df, idCol, textCol, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map { blk =>
+      explode(array((0 until nBlocks).map { blk =>
+        val start = bounds(blk); val width = bounds(blk + 1) - start
+        val mask = if (width == 64) -1L else (1L << width) - 1
         struct(lit(blk).as("blk"),
-          shiftright(col("sig"), blk * 16).bitwiseAND(0xFFFFL).as("key"))
+          shiftright(col("sig"), start).bitwiseAND(mask).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.blk"), col("bk.key"))
     val a = blocked.select(col("blk"), col("key"), col("id").as("idA"), col("sig").as("sigA"))
@@ -179,6 +187,63 @@ object Dedup {
       .select(col("idA"), col("idB"), hamming64(col("sigA"), col("sigB")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Distributed connected components over a candidate-pair edge list by
+    * iterative min-label propagation: each node repeatedly adopts the
+    * smallest id reachable in one hop, converging in O(diameter) rounds.
+    * Duplicate clusters have tiny diameters (near-dup graphs are dense
+    * cliques), so a handful of joins suffices at any corpus size — the
+    * driver never materializes the graph.
+    *
+    * Input: (idA, idB) pairs. Output: (id, component) with component = the
+    * minimum id in each connected component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+      .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels: for each edge (src,dst), dst's current component
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "nbr_component"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_component")).as("min_nbr"))
+      val updated = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("min_nbr"), col("component")))
+            .as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate removal: find MinHash-LSH candidates above
+    * `threshold`, cluster them, and return the input minus every
+    * non-canonical duplicate (the minimum id of each cluster survives —
+    * deterministic, partition-independent). */
+  def dedupNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.8,
+                          shingleSize: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16, seed: Int = 42): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands, seed)
+      .filter(col("jaccard_est") >= threshold)
+    val comps = connectedComponents(cands.select(col("idA"), col("idB")))
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** N-gram Jaccard near-dup pairs within LSH-free small candidate sets:

@@ -89,7 +89,113 @@ case class MinHashArray(child: Expression, numHashes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fully-fused MinHash: token array → signature in one expression. Hashes
+  * each token once (XXH64 over its UTF-8 bytes), combines `shingleSize`
+  * consecutive token hashes with an order-dependent FNV-style fold (no
+  * shingle strings are ever built), and folds the k splitmix64 minima — all
+  * in one codegen'd pass. Replaces three interpreted stages (shingle
+  * construction, string hashing, per-slot transform).
+  *
+  * Documents shorter than `shingleSize` produce one window over all tokens
+  * (mirroring Text.shingles). Null tokens hash as 0.
+  */
+case class MinHashOfTokens(child: Expression, shingleSize: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val tokH = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      tokH(i) = if (arr.isNullAt(i)) 0L else {
+        val s = arr.getUTF8String(i)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+      }
+      i += 1
+    }
+    val nWin = math.max(1, nTok - shingleSize + 1)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var w = 0
+    while (w < nWin) {
+      var combo = 0x9E3779B97F4A7C15L
+      var j = w
+      val end = math.min(w + shingleSize, nTok)
+      while (j < end) { combo = (combo ^ tokH(j)) * 0x100000001B3L; j += 1 }
+      var k = 0
+      while (k < numHashes) {
+        var x = combo ^ (seed + k.toLong * 0x9E3779B97F4A7C15L)
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x = x ^ (x >>> 31)
+        if (x < mins(k)) mins(k) = x
+        k += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val w = ctx.freshName("w"); val nTok = ctx.freshName("nTok")
+      val tokH = ctx.freshName("tokH"); val mins = ctx.freshName("mins")
+      val nWin = ctx.freshName("nWin"); val combo = ctx.freshName("combo")
+      val end = ctx.freshName("end"); val x = ctx.freshName("x")
+      val s = ctx.freshName("s")
+      s"""
+         |int $nTok = $a.numElements();
+         |long[] $tokH = new long[$nTok];
+         |for (int $i = 0; $i < $nTok; $i++) {
+         |  if ($a.isNullAt($i)) { $tokH[$i] = 0L; } else {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    $tokH[$i] = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
+         |  }
+         |}
+         |int $nWin = java.lang.Math.max(1, $nTok - $shingleSize + 1);
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $w = 0; $w < $nWin; $w++) {
+         |  long $combo = 0x9E3779B97F4A7C15L;
+         |  int $end = java.lang.Math.min($w + $shingleSize, $nTok);
+         |  for (int $j = $w; $j < $end; $j++) {
+         |    $combo = ($combo ^ $tokH[$j]) * 0x100000001B3L;
+         |  }
+         |  for (int $k = 0; $k < $numHashes; $k++) {
+         |    long $x = $combo ^ (${seed}L + (long) $k * 0x9E3779B97F4A7C15L);
+         |    $x = ($x ^ ($x >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |    $x = ($x ^ ($x >>> 27)) * 0x94D049BB133111EBL;
+         |    $x = $x ^ ($x >>> 31);
+         |    if ($x < $mins[$k]) $mins[$k] = $x;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object MinHashExpression {
   def minhashArray(baseHashes: Column, numHashes: Int, seed: Long): Column =
     ColumnBridge.column(MinHashArray(ColumnBridge.expression(baseHashes), numHashes, seed))
+
+  def minhashTokens(tokens: Column, shingleSize: Int, numHashes: Int, seed: Long): Column =
+    ColumnBridge.column(MinHashOfTokens(
+      ColumnBridge.expression(tokens), shingleSize, numHashes, seed))
 }

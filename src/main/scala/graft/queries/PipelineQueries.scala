@@ -77,9 +77,11 @@ object PipelineQueries {
         .filter(col("jaccard_est") >= 0.5)),
 
     // SimHash near-dup candidates (no oracle: engine-specific hashes).
+    // radius 8: 9 pigeonhole blocks of ~7 bits — larger radii shrink the
+    // block keys and blow up the blocking join's collision rate
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(star(s, dir, "documents").df, "doc_id", "text",
-        maxHamming = 10)),
+        maxHamming = 8)),
 
     // N-gram Jaccard similarity of adjacent doc pairs — deterministic
     // integer set ops, exact oracle via duckdb list functions.
