@@ -381,6 +381,50 @@ object StarTable {
       cm)
   }
 
+  /** Write a StarTable as parquet with units embedded in the parquet schema
+    * (StructField.metadata survives the parquet round trip), plus table
+    * metadata as a sidecar JSON. The distributed-native persistence format:
+    * N part files, predicate pushdown and column pruning on re-read. */
+  def writeParquet(t: StarTable, path: String): Unit = {
+    val withMeta = t.df.select(t.columnNames.map { c =>
+      col(c).as(c, new MetadataBuilder()
+        .putString(UnitMetaKey, t.unit(c)).build())
+    }: _*)
+    withMeta.write.mode("overwrite").parquet(path)
+    val metaJson = graft.io.JsonValue.write(
+      graft.io.JsonValue.JsonObject(scala.collection.immutable.ListMap(
+        "name" -> graft.io.JsonValue.JsonString(t.name),
+        "destinations" -> graft.io.JsonValue.JsonArray(
+          t.destinations.toVector.sorted.map(graft.io.JsonValue.JsonString(_))),
+        "transposed" -> graft.io.JsonValue.JsonBool(t.meta.transposed))))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_startable_meta.json"), metaJson)
+  }
+
+  /** Read a StarTable written by [[writeParquet]]: units from the parquet
+    * schema metadata, table metadata from the sidecar. */
+  def readParquet(spark: SparkSession, path: String): StarTable = {
+    val df = spark.read.parquet(path)
+    val sidecar = java.nio.file.Paths.get(path, "_startable_meta.json")
+    val (name, dests, transposed) =
+      if (java.nio.file.Files.exists(sidecar)) {
+        val o = graft.io.JsonValue.parse(java.nio.file.Files.readString(sidecar))
+          .asInstanceOf[graft.io.JsonValue.JsonObject]
+        (o.fields("name").asInstanceOf[graft.io.JsonValue.JsonString].value,
+          o.fields("destinations").asInstanceOf[graft.io.JsonValue.JsonArray]
+            .values.map(_.asInstanceOf[graft.io.JsonValue.JsonString].value).toSet,
+          o.fields("transposed").asInstanceOf[graft.io.JsonValue.JsonBool].value)
+      } else (new java.io.File(path).getName, Set("all"), false)
+    val cm = df.schema.fields.map { f =>
+      val unit =
+        if (f.metadata.contains(UnitMetaKey)) f.metadata.getString(UnitMetaKey)
+        else UnitIndicator.unitFromType(f.dataType)
+      f.name -> ColumnMetadata(unit)
+    }
+    StarTable(df, TableMetadata(name, dests, transposed = transposed),
+      ListMap(cm.toIndexedSeq: _*))
+  }
+
   /** Wrap an existing DataFrame (e.g. a parquet read) as a StarTable;
     * units inferred from Spark types unless given. */
   def fromDataFrame(df: DataFrame, name: String,

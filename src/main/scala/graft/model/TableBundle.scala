@@ -33,6 +33,16 @@ final class TableBundle(val tables: IndexedSeq[StarTable]) {
     * store.py:56 — destination filtering is the client's job). */
   def forDestination(dst: String): Seq[StarTable] =
     tables.filter(_.destinations.contains(dst))
+
+  /** Register every uniquely-named table as a temp view so `spark.sql`
+    * can query the bundle (SURVEY §1.4). Duplicate names are skipped —
+    * resolve them via all()/unique() first. */
+  def createTempViews(): Unit =
+    byName.foreach {
+      case (name, ts) if ts.size == 1 =>
+        ts.head.df.createOrReplaceTempView(name)
+      case _ => ()
+    }
 }
 
 object TableBundle {
