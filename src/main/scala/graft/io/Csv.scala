@@ -120,10 +120,15 @@ object CsvReader {
     val blanksAfter = markers.filter { case (ln, v) => ln > startLine && v.trim.isEmpty }
     val endLine = blanksAfter.map(_._1).minOption.getOrElse(Long.MaxValue)
 
-    // 2. Driver parses only the 4 header lines.
-    val header = lines
-      .filter(col("lineno") >= startLine && col("lineno") < math.min(startLine + 4, endLine))
-      .orderBy("lineno").collect().map(_.getString(1))
+    // 2. Driver parses only the 4 header lines. NOTE: monotonically
+    // increasing ids are monotonic with file order but NOT contiguous
+    // (they jump at partition boundaries), so the header is "first 4
+    // ordered lines after the marker", never startLine+k arithmetic.
+    val headerRows = lines
+      .filter(col("lineno") >= startLine && col("lineno") < endLine)
+      .orderBy("lineno").limit(4).collect()
+    val header = headerRows.map(_.getString(1))
+    val headerEnd = headerRows.last.getLong(0)
     val transposed = markerCell.split(quoted, -1).head.endsWith("*")
     require(!transposed, "readHugeTable supports row-major tables")
     val destinations = header(1).split(quoted, -1).head.trim.split(" ").toSet
@@ -131,7 +136,7 @@ object CsvReader {
     val units = header(3).split(quoted, -1).take(columnNames.size).map(_.trim).toSeq
 
     // 3. Distributed parse of the data rows: split + per-unit vectorized cast.
-    val dataLines = lines.filter(col("lineno") >= startLine + 4 && col("lineno") < endLine)
+    val dataLines = lines.filter(col("lineno") > headerEnd && col("lineno") < endLine)
     val cellsCol = split(col("value"), quoted)
     val parsedCols = columnNames.zipWithIndex.map { case (cname, i) =>
       val cell = trim(cellsCol.getItem(i))

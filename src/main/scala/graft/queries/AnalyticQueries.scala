@@ -66,6 +66,14 @@ object AnalyticQueries {
         rightTiebreak = Some("err_id"))
     }),
 
+    // --- resample + LOCF gap filling -----------------------------------------
+    // 6-hour bins per user, decimal-exact bin sums, forward-filled gaps
+    "q_resample_locf" -> ((s, dir) =>
+      graft.operators.Resample.resampleLocf(
+        Tables.df(s, dir, "events"), "user_id", "ts", "value",
+        binSeconds = 21600L,
+        agg = c => sum(c.cast(DecimalType(18, 2))).cast(DoubleType))),
+
     // --- approximate aggregates (engine-specific sketches: rows-only) -------
     "q_approx_stats" -> ((s, dir) =>
       star(s, dir, "lineitem").df
@@ -96,6 +104,17 @@ object AnalyticQueries {
       """SELECT c_custkey FROM customer
         |EXCEPT
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+
+    "q_resample_locf" ->
+      """WITH binned AS (
+        |  SELECT user_id, (CAST(epoch(ts) AS BIGINT) // 21600) * 21600 AS bin,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(bin) AS lo, max(bin) AS hi FROM binned GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 21600)) AS bin FROM bounds)
+        |SELECT g.user_id, make_timestamp(g.bin * 1000000) AS bin_ts, b.obs AS value
+        |FROM grid g ASOF LEFT JOIN binned b
+        |  ON g.user_id = b.user_id AND g.bin >= b.bin""".stripMargin,
 
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, e.err_id, e.err_ts

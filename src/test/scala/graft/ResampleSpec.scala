@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Resample, SkewedJoin}
+
+class ResampleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("resampleLocf fills gaps with the last observation") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 10.0),
+      (1L, ts("2024-01-01 03:10:00"), 20.0), // 3 empty hours in between
+      (2L, ts("2024-01-01 01:00:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Resample.resampleLocf(df, "user_id", "ts", "value", 3600L)
+      .orderBy("user_id", "bin_ts").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.length == 4) // hours 00,01,02,03
+    assert(u1.map(_.getDouble(2)).toSeq == Seq(10.0, 10.0, 10.0, 20.0))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2(0).getDouble(2) == 5.0)
+  }
+
+  test("saltedJoin equals plain join (correctness under salting)") {
+    val probe = (1 to 1000).map(i => (i.toLong % 3, i.toLong)).toDF("k", "v")
+    val build = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val plain = probe.join(build, Seq("k")).groupBy("name").count()
+    val salted = SkewedJoin.saltedJoin(probe, build, Seq("k"), buckets = 8)
+      .groupBy("name").count()
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("saltedJoin spreads a hot key across buckets") {
+    val probe = (1 to 100).map(i => (0L, i.toLong)).toDF("k", "v") // all one key
+    val build = Seq((0L, "hot")).toDF("k", "name")
+    val salted = SkewedJoin.saltedJoin(probe, build, Seq("k"), buckets = 4)
+    assert(salted.count() == 100)
+    // distinct salt values used > 1 proves the key was actually spread
+    val salts = probe.withColumn("__salt",
+      pmod(xxhash64(struct(probe.columns.map(col).toIndexedSeq: _*)), lit(4)))
+      .select("__salt").distinct().count()
+    assert(salts > 1)
+  }
+}
