@@ -3,13 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.io.{CsvReader, CsvWriter, JsonIo}
+import graft.io.{CsvReader, CsvWriter, JsonIo, Xlsx}
 import graft.model._
 import graft.units.BuiltinUnitConverter
 
-/** Executable demo of the full vertical slice (SURVEY §7.3) — the analog of
-  * the reference's examples/pdtable_demo.py. Run:
-  *   sbt "runMain graft.Demo"
+/** Executable demo of the engine surface — the analog of the reference's
+  * examples/pdtable_demo.py. Run: sbt "runMain graft.Demo"
   */
 object Demo {
   def main(args: Array[String]): Unit = {
@@ -21,6 +20,7 @@ object Demo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     val bundleCsv =
       """author:;XYODA
@@ -52,27 +52,50 @@ object Demo {
     val bundle = CsvReader.readBundleFromString(spark, bundleCsv)
     bundle.iterator.foreach(t => println(s"  $t  rows=${t.df.count()}"))
 
-    println("\n=== 2. query: hot places, avg distance ===")
+    println("\n=== 2. metadata-preserving query + provenance ===")
     val places = bundle.unique("places_to_go")
     val hot = places
       .filter(col("is_hot") === true)
-      .groupByAgg(Seq.empty :+ "is_hot", Seq(avg(col("distance")).as("avg_km")))
+      .groupByAgg(Seq("is_hot"), Seq(avg(col("distance")).as("avg_km")))
     hot.df.show()
-    println(s"  origin: ${hot.meta.origin.render()}")
+    println(hot.meta.origin.render())
 
-    println("=== 3. unit conversion km -> m (vectorized affine) ===")
+    println("=== 3. unit conversion (vectorized affine) ===")
     val km = new BuiltinUnitConverter(extra = Map("km" -> ("m", graft.units.Affine(1000))))
     val inMeters = places.convertColumnUnits("distance", Some("m"), km)
-    inMeters.df.show()
     println(s"  units now: ${inMeters.units.mkString(", ")}")
 
-    println("=== 4. write back as StarTable CSV ===")
+    println("\n=== 4. write: CSV block / JSON / XLSX ===")
     print(CsvWriter.tableToCsvString(inMeters))
-
-    println("=== 5. JSON interchange ===")
     println(JsonIo.tableToJsonString(bundle.unique("spelling_numbers")))
+    val xlsxPath = java.nio.file.Files.createTempDirectory("demo").resolve("out.xlsx")
+    Xlsx.write(bundle.tables, xlsxPath)
+    println(s"  xlsx written + re-read: ${Xlsx.readBundle(spark, xlsxPath).size} tables")
 
-    println("\n=== 6. physical plan of the query (Catalyst) ===")
+    println("\n=== 5. SQL over the bundle + custom expressions ===")
+    bundle.createTempViews()
+    GraftExtensions.register(spark)
+    spark.sql(
+      """SELECT place, graft_cosine(array(distance, 1.0D), array(1.0D, 1.0D)) AS dir_sim
+        |FROM places_to_go WHERE distance IS NOT NULL""".stripMargin).show()
+
+    println("=== 6. LLM-pipeline ops: near-dup removal + similarity ===")
+    val docs = Seq(
+      (1L, "spark shuffles partitions across the cluster"),
+      (2L, "spark shuffles partitions across the cluster"),  // dup
+      (3L, "completely different text about cooking pasta")
+    ).toDF("doc_id", "text")
+    val deduped = graft.functions.Dedup.dedupNearDuplicates(
+      docs, "doc_id", "text", threshold = 0.5, shingleSize = 2, numHashes = 32, bands = 16)
+    println(s"  3 docs -> ${deduped.count()} after near-dup removal")
+
+    println("\n=== 7. as-of join + resample (time series) ===")
+    val obs = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:45:00"), 2.0))
+      .toDF("user_id", "ts", "value")
+    graft.operators.Resample.resampleLocf(obs, "user_id", "ts", "value", 3600L).show()
+
+    println("=== 8. the physical plan Catalyst builds ===")
     hot.df.explain("formatted")
 
     spark.stop()
