@@ -100,6 +100,42 @@ object Similarity {
       array_max(array(sims: _*)).getField("list").as("ivf_list"))
   }
 
+  /** Persist an IVF index: vectors written partitioned by their coarse list,
+    * so a probe reads only `nprobe` partitions of a 100 TB index instead of
+    * scanning it (directory-level partition pruning — verified by PlanSpec's
+    * PartitionFilters assertion). */
+  def writeIvfIndex(df: DataFrame, embCol: String, idCol: String, path: String,
+                    nlist: Int, dim: Int, seed: Long = 7L): Unit =
+    ivfAssign(df, embCol, idCol, nlist, dim, seed)
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+
+  /** Probe the persisted IVF index: rank anchors against the query
+    * driver-side (tiny), read only the nprobe best lists, cosine top-k. */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    query: Seq[Float], k: Int, nprobe: Int,
+                    nlist: Int, seed: Long = 7L,
+                    embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = query.size
+    val anchors = hyperplanes(nlist, dim, seed)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dotV = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.size) {
+        dotV += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dotV / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeLists = anchors.zipWithIndex
+      .sortBy { case (a, _) => -cos(a, query) }
+      .take(nprobe).map(_._2)
+    spark.read.parquet(path)
+      .filter(col("ivf_list").isInCollection(probeLists))
+      .select(col(idCol),
+        cosine(col(embCol), vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs near-duplicate search over embeddings via LSH bucket join:
     * pairs sharing a bucket in any table, verified by exact cosine ≥
     * threshold. The embedding-cosine near-dup operator. */

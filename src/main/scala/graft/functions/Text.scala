@@ -117,6 +117,29 @@ object Text {
     array_max(array(withIdx: _*)).getField("lang")
   }
 
+  // PII scrubbing patterns: deliberately lookaround-free so the same regex
+  // runs identically on Java (Spark) and RE2-based engines (oracle parity).
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+  val ipPattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact emails, phone-like numbers, and IPv4 addresses — the standard
+    * pre-training scrub pass, fully codegen'd regexp_replace chain. */
+  def redactPii(text: Column,
+                emailTag: String = "<EMAIL>",
+                phoneTag: String = "<PHONE>",
+                ipTag: String = "<IP>"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, emailTag),
+        ipPattern, ipTag),
+      phonePattern, phoneTag)
+
+  /** Count of PII matches per document (for filtering decisions). */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(emailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(ipPattern), lit(0)))).cast("long")
+
   /** Document fingerprint: 64-bit content hash (xxhash64 — codegen'd,
     * seed-stable, the rolling-hash analog for whole-document identity). */
   def fingerprint64(text: Column): Column = xxhash64(text)

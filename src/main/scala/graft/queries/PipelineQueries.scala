@@ -52,6 +52,23 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           Text.langId(col("text")).as("lang_pred"))),
 
+    // PII scrub: identical regex in both engines (no lookaround) → exact oracle
+    "q_doc_redact" -> ((s, dir) =>
+      star(s, dir, "documents").df
+        .select(col("doc_id"),
+          Text.redactPii(concat(col("text"),
+            lit(" contact: a.b@example.com or 192.168.0.1"))).as("redacted"))),
+
+    // token heavy hitters via the Misra-Gries TypedImperativeAggregate
+    // (sketch counts are merge-order-dependent: rows-only)
+    "q_token_topk" -> ((s, dir) => {
+      val toks = star(s, dir, "documents").df
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      toks.agg(graft.functions.expressions.HeavyHitters
+          .approxTopK(col("tok"), 20).as("hh"))
+        .select(explode(col("hh")).as(Seq("token", "min_count")))
+    }),
+
     // --- fingerprinting ----------------------------------------------------
     "q_doc_fingerprint" -> ((s, dir) =>
       star(s, dir, "documents").df
@@ -163,6 +180,16 @@ object PipelineQueries {
 
     "q_doc_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    "q_doc_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text || ' contact: a.b@example.com or 192.168.0.1',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM (

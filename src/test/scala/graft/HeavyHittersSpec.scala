@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.expressions.HeavyHitters
+
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Misra-Gries guarantee: frequency > n/k implies membership") {
+    // 1000 rows: "hot" x 400, "warm" x 200, 400 distinct cold singletons
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(200)("warm") ++
+      (0 until 400).map(i => s"cold_$i")
+    val df = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .shuffle(rows).toDF("token").repartition(8)
+    val m = df.agg(HeavyHitters.approxTopK(col("token"), 10).as("hh"))
+      .head().getMap[String, Long](0)
+    assert(m.contains("hot") && m.contains("warm")) // freq > n/k = 100
+    // count lower bound within n/k of truth
+    assert(m("hot") >= 400 - 100 && m("hot") <= 400)
+    assert(m.size <= 10)
+  }
+
+  test("heavy hitters over document tokens at corpus scale") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tokens = docs.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val n = tokens.count()
+    val m = tokens.agg(HeavyHitters.approxTopK(col("tok"), 20).as("hh"))
+      .head().getMap[String, Long](0)
+    // exact counts for cross-check
+    val exact = tokens.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mustHave = exact.filter { case (_, c) => c > n / 20 }.keySet
+    assert(mustHave.subsetOf(m.keySet.toSet))
+  }
+}
