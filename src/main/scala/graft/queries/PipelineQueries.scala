@@ -25,6 +25,7 @@ object PipelineQueries {
       star(s, dir, "documents").df
         .select(col("doc_id"),
           Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          Text.tokenCountBpeIsh(col("text")).cast(LongType).as("n_tokens_bpe"),
           Text.charCount(col("text")).cast(LongType).as("n_chars_m"),
           Text.stopwordCount(col("text"), enStop).as("n_stop"))),
 
@@ -142,6 +143,19 @@ object PipelineQueries {
           round(min(col("embedding").getItem(0).cast(DoubleType)), 6).as("min_d0"),
           round(max(col("embedding").getItem(0).cast(DoubleType)), 6).as("max_d0"))),
 
+    // Embedding-cosine near-dup: plant exact copies of 5 vectors (shifted
+    // ids), run the LSH-bucketed near-dup search; only the planted pairs
+    // clear the threshold (corpus max cross-cosine is ~0.48) — so the
+    // output is oracle-exact after rounding.
+    "q_dedup_embedding" -> ((s, dir) => {
+      val emb = star(s, dir, "embeddings").df.select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairs(emb.unionByName(planted),
+          "embedding", "vec_id", threshold = 0.85, dim = 64)
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // IVF coarse assignment counts (no oracle: seeded anchors are ours).
     "q_emb_ivf" -> ((s, dir) =>
       Similarity.ivfAssign(star(s, dir, "embeddings").df, "embedding", "vec_id",
@@ -154,6 +168,8 @@ object PipelineQueries {
     "q_doc_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe,
         |  CAST(length(text) AS BIGINT) AS n_chars_m,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
         |    t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
@@ -213,6 +229,10 @@ object PipelineQueries {
         |    string_split_regex(trim(b.text), '\s+') AS tb
         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |)""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """SELECT vec_id AS idA, CAST(vec_id + 100000 AS BIGINT) AS idB, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     "q_emb_stats" ->
       """SELECT label, count(*) AS n,
