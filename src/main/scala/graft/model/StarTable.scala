@@ -110,10 +110,27 @@ final case class StarTable(
   /** Slice — pandas positional slicing. */
   def limit(n: Int): StarTable = finalized(df.limit(n), "limit")
 
-  /** Value replacement — pandas `replace` (unit/type-guarded in reference:
-    * test_pdtable.py:384-391). */
-  def replace[T](colName: String, replacement: Map[T, T]): StarTable =
+  /** Value replacement — pandas `replace`. Unit/type-guarded like the
+    * reference (test_pdtable.py:384-391: replacing a bool with a string in
+    * an onoff column raises): Spark's na.replace silently ignores
+    * type-mismatched columns, so the guard is explicit here. */
+  def replace[T](colName: String, replacement: Map[T, T]): StarTable = {
+    val dt = df.schema(colName).dataType
+    def compatible(v: Any): Boolean = (v, dt) match {
+      case (null, _)                        => true
+      case (_: String, StringType)          => true
+      case (_: Boolean, BooleanType)        => true
+      case (_: Double | _: Float | _: Int | _: Long, _: NumericType) => true
+      case _                                => false
+    }
+    replacement.foreach { case (k, v) =>
+      if (!compatible(k) || !compatible(v))
+        throw new ColumnUnitException(
+          s"replace on column '$colName' (${unit(colName)}, $dt) with " +
+            s"incompatible value type: $k -> $v")
+    }
     finalized(df.na.replace(colName, replacement), "replace")
+  }
 
   /** Cast — pandas `astype`; raises ColumnUnitException when the new type
     * contradicts the column's unit under strict types
@@ -126,9 +143,26 @@ final case class StarTable(
     out
   }
 
-  /** Fill missing — pandas `fillna` (type-guarded: test_pdtable.py:440-457). */
+  /** Fill missing — pandas `fillna` (type-guarded: test_pdtable.py:440-457:
+    * filling a numeric column with a string raises; Spark's na.fill would
+    * silently skip the column instead). */
   def fillna(value: Any, cols: Seq[String] = Nil): StarTable = {
     val target = if (cols.isEmpty) df.columns.toSeq else cols
+    if (cols.nonEmpty) {
+      cols.foreach { c =>
+        val dt = df.schema(c).dataType
+        val ok = (value, dt) match {
+          case (_: String, StringType)                                  => true
+          case (_: Boolean, BooleanType)                                => true
+          case (_: Double | _: Float | _: Int | _: Long, _: NumericType) => true
+          case _                                                        => false
+        }
+        if (!ok)
+          throw new ColumnUnitException(
+            s"fillna on column '$c' (${unit(c)}, $dt) with incompatible " +
+              s"fill value '$value'")
+      }
+    }
     val newDf = value match {
       case d: Double  => df.na.fill(d, target)
       case i: Int     => df.na.fill(i.toDouble, target)

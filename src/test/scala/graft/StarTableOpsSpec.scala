@@ -110,6 +110,10 @@ class StarTableOpsSpec extends AnyFunSuite {
   test("replace values (:384-391)") {
     val t = places.replace("place", Map("home" -> "HOME"))
     assert(t.df.filter(col("place") === "HOME").count() == 1)
+    // unit-type guard: replacing a boolean with a string raises (:389-391)
+    assertThrows[ColumnUnitException] {
+      places.replace("is_hot", Map[Any, Any](true -> "a"))
+    }
   }
 
   test("cast: legal and illegal under strict types (:409-424)") {
@@ -125,6 +129,10 @@ class StarTableOpsSpec extends AnyFunSuite {
   test("fillna (:440-457)") {
     val t = places.fillna(99.0, Seq("distance"))
     assert(t.df.filter(col("distance") === 99.0).count() == 1)
+    // type guard: filling a numeric column with text raises
+    assertThrows[ColumnUnitException] {
+      places.fillna("oops", Seq("distance"))
+    }
   }
 
   test("rename carries column metadata (:459-469)") {
