@@ -117,7 +117,8 @@ object AnalyticQueries {
         |  ON g.user_id = b.user_id AND g.bin >= b.bin""".stripMargin,
 
     "q_asof_join" ->
-      """SELECT p.event_id, p.user_id, p.ts, e.err_id, e.err_ts
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, e.err_id,
+        |  CAST(e.err_ts AS TIMESTAMP) AS err_ts
         |FROM (SELECT event_id, user_id, ts FROM events
         |      WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, event_id AS err_id

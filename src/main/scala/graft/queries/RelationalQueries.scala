@@ -441,7 +441,7 @@ object RelationalQueries {
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_events_hourly" ->
-      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
          |  count(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
 

@@ -54,7 +54,7 @@ object StreamingQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_hourly" ->
-      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
          |  count(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
 
