@@ -79,13 +79,21 @@ object Xlsx {
       s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(s.toString)}</t></is></c>"""
   }
 
-  /** Write tables to an xlsx file (single sheet, blank row between blocks). */
-  def write(tables: Seq[StarTable], path: Path, naRep: String = "-"): Unit = {
-    val grids = tables.map(tableGrid(_, naRep))
-    val allRows: Seq[Seq[Any]] = grids.zipWithIndex.flatMap { case (g, i) =>
-      if (i == 0) g else Seq(Seq.empty[Any]) ++ g
-    }
-    val sheetXml = {
+  /** Write tables to an xlsx file (single sheet, blank rows between
+    * blocks; reference default layout). */
+  def write(tables: Seq[StarTable], path: Path, naRep: String = "-",
+            sepLines: Int = 1): Unit =
+    writeSheets(Seq("Sheet1" -> tables), path, naRep, sepLines)
+
+  /** Write tables to named worksheets (reference: write_excel's
+    * Dict[sheet_name, tables] form, excel.py:116-140). */
+  def writeSheets(sheets: Seq[(String, Seq[StarTable])], path: Path,
+                  naRep: String = "-", sepLines: Int = 1): Unit = {
+    def sheetXml(tables: Seq[StarTable]): String = {
+      val grids = tables.map(tableGrid(_, naRep))
+      val allRows: Seq[Seq[Any]] = grids.zipWithIndex.flatMap { case (g, i) =>
+        if (i == 0) g else Seq.fill(sepLines)(Seq.empty[Any]) ++ g
+      }
       val sb = new StringBuilder
       sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
       sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
@@ -100,14 +108,18 @@ object Xlsx {
       sb.toString
     }
 
+    val n = sheets.size
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
         |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
         |<Default Extension="xml" ContentType="application/xml"/>
         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-        |</Types>""".stripMargin
+        |""".stripMargin +
+        (1 to n).map(i =>
+          s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+          .mkString("\n") +
+        "\n</Types>"
     val rels =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
@@ -116,13 +128,19 @@ object Xlsx {
     val workbook =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-        |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
-        |</workbook>""".stripMargin
+        |<sheets>""".stripMargin +
+        sheets.zipWithIndex.map { case ((name, _), i) =>
+          s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        }.mkString +
+        "</sheets></workbook>"
     val wbRels =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |</Relationships>""".stripMargin
+        |""".stripMargin +
+        (1 to n).map(i =>
+          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+          .mkString("\n") +
+        "\n</Relationships>"
 
     val out: OutputStream = Files.newOutputStream(path)
     val zip = new ZipOutputStream(out)
@@ -136,7 +154,9 @@ object Xlsx {
       part("_rels/.rels", rels)
       part("xl/workbook.xml", workbook)
       part("xl/_rels/workbook.xml.rels", wbRels)
-      part("xl/worksheets/sheet1.xml", sheetXml)
+      sheets.zipWithIndex.foreach { case ((_, tables), i) =>
+        part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(tables))
+      }
     } finally zip.close()
   }
 
@@ -217,6 +237,8 @@ object Xlsx {
     // Pass 1: collect parts (sheets may precede sharedStrings in the zip)
     val sheets = mutable.LinkedHashMap.empty[String, Array[Byte]]
     var sharedRaw: Option[Array[Byte]] = None
+    var workbookRaw: Option[Array[Byte]] = None
+    var wbRelsRaw: Option[Array[Byte]] = None
     val zin = new ZipInputStream(Files.newInputStream(path))
     try {
       var e = zin.getNextEntry
@@ -225,9 +247,45 @@ object Xlsx {
           sheets(e.getName) = zin.readAllBytes()
         else if (e.getName == "xl/sharedStrings.xml")
           sharedRaw = Some(zin.readAllBytes())
+        else if (e.getName == "xl/workbook.xml")
+          workbookRaw = Some(zin.readAllBytes())
+        else if (e.getName == "xl/_rels/workbook.xml.rels")
+          wbRelsRaw = Some(zin.readAllBytes())
         e = zin.getNextEntry
       }
     } finally zin.close()
+
+    // Resolve real sheet names: workbook.xml gives (name, r:id); the rels
+    // part maps r:id → worksheets/sheetN.xml.
+    val sheetNameByPath: Map[String, String] = (for {
+      wb <- workbookRaw.toSeq
+      rels <- wbRelsRaw.toSeq
+    } yield {
+      def attrs(bytes: Array[Byte], elem: String, keys: Seq[String]): Seq[Map[String, String]] = {
+        val f = javax.xml.stream.XMLInputFactory.newInstance()
+        val r = f.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+        val out = mutable.ArrayBuffer.empty[Map[String, String]]
+        while (r.hasNext) {
+          if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == elem) {
+            out += keys.flatMap { k =>
+              (0 until r.getAttributeCount)
+                .find(i => r.getAttributeLocalName(i) == k)
+                .map(i => k -> r.getAttributeValue(i))
+            }.toMap
+          }
+        }
+        out.toSeq
+      }
+      val targetById = attrs(rels, "Relationship", Seq("Id", "Target")).flatMap { m =>
+        for (id <- m.get("Id"); t <- m.get("Target"))
+          yield id -> ("xl/" + t.stripPrefix("/xl/").stripPrefix("xl/"))
+      }.toMap
+      attrs(wb, "sheet", Seq("name", "id")).flatMap { m =>
+        for (n <- m.get("name"); rid <- m.get("id"); tgt <- targetById.get(rid))
+          yield tgt -> n
+      }.toMap
+    }).headOption.getOrElse(Map.empty)
 
     val shared: IndexedSeq[String] = sharedRaw.map { bytes =>
       val f = javax.xml.stream.XMLInputFactory.newInstance()
@@ -253,7 +311,8 @@ object Xlsx {
 
     val item = loadItem.getOrElse(LoadItem(path.toString, None))
     sheets.iterator.flatMap { case (name, bytes) =>
-      val sheetName = name.stripPrefix("xl/worksheets/").stripSuffix(".xml")
+      val sheetName = sheetNameByPath.getOrElse(name,
+        name.stripPrefix("xl/worksheets/").stripSuffix(".xml"))
       if (sheetNamePattern.exists(p => !p.matches(sheetName))) Iterator.empty
       else {
         val grid = parseSheet(new java.io.ByteArrayInputStream(bytes), shared)

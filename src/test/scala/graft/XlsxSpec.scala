@@ -107,6 +107,20 @@ class XlsxSpec extends AnyFunSuite {
     val p = Files.createTempDirectory("graft_xlsx").resolve("f.xlsx")
     Xlsx.write(bundle.tables, p)
     assert(Xlsx.readBundle(spark, p, Some("nomatch".r)).size == 0)
-    assert(Xlsx.readBundle(spark, p, Some("sheet1".r)).size == 2)
+    assert(Xlsx.readBundle(spark, p, Some("Sheet1".r)).size == 2)
+  }
+
+  test("multi-sheet workbook: named sheets write and filter (excel.py dict form)") {
+    val bundle = CsvReader.readBundleFromString(spark, bundleCsv)
+    val p = Files.createTempDirectory("graft_xlsx").resolve("multi.xlsx")
+    Xlsx.writeSheets(Seq(
+      "trips" -> Seq(bundle.unique("places_to_go")),
+      "numbers" -> Seq(bundle.unique("spelling_numbers"))), p)
+    val all = Xlsx.readBundle(spark, p)
+    assert(all.size == 2)
+    val onlyTrips = Xlsx.readBundle(spark, p, Some("trips".r))
+    assert(onlyTrips.size == 1 && onlyTrips(0).name == "places_to_go")
+    // per-sheet provenance carries the real sheet name
+    assert(onlyTrips(0).meta.origin.inputLocation.get.sheet.sheetName.contains("trips"))
   }
 }
