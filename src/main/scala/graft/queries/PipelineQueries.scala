@@ -46,8 +46,10 @@ object PipelineQueries {
         .df
         .withColumn("sum_chars", col("sum_chars").cast(LongType))),
 
-    // language-ID heuristic vs the dataset's own lang label: report the
-    // confusion counts — deterministic and oracle-free (heuristic is ours).
+    // language-ID heuristic vs the dataset's own lang label. The arg-max
+    // over per-language stopword hits (ties break toward the earlier
+    // profile) is reproduced exactly in the DuckDB oracle via a
+    // priority-encoded CASE chain over list_filter counts.
     "q_doc_langid" -> ((s, dir) =>
       star(s, dir, "documents").df
         .select(col("doc_id"), col("lang"),
@@ -174,6 +176,19 @@ object PipelineQueries {
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
         |    t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
         |FROM documents""".stripMargin,
+
+    "q_doc_langid" ->
+      """SELECT doc_id, lang, CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_zh THEN 'en' WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh THEN 'es' WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de' WHEN h_fr >= h_zh THEN 'fr' ELSE 'zh' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'que', 'y', 'en', 'un', 'los', 'se', 'del'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('der', 'die', 'und', 'das', 'ist', 'von', 'mit', 'den', 'ein', 'zu'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('le', 'la', 'de', 'et', 'les', 'des', 'un', 'une', 'du', 'est'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('的', '是', '了', '在', '和', '有', '我', '不', '这', '他'))) AS h_zh
+        |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+        |        FROM documents)
+        |)""".stripMargin,
 
     "q_doc_quality" ->
       """SELECT doc_id,
