@@ -107,7 +107,7 @@ object AnalyticQueries {
 
     "q_resample_locf" ->
       """WITH binned AS (
-        |  SELECT user_id, (CAST(epoch(ts) AS BIGINT) // 21600) * 21600 AS bin,
+        |  SELECT user_id, ((epoch_us(ts) // 1000000) // 21600) * 21600 AS bin,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS obs
         |  FROM events GROUP BY 1, 2),
         |bounds AS (SELECT user_id, min(bin) AS lo, max(bin) AS hi FROM binned GROUP BY 1),
