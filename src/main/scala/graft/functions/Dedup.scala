@@ -257,8 +257,12 @@ object Dedup {
       Text.charNgrams(col(textCol), n).as("g"), length(col(textCol)).as("len"))
     val withBand = grams.withColumn("band",
       floor(log(1.0 + lengthBandPct, col("len").cast("double"))).cast("long"))
+    // The idA<idB filter below fixes which doc plays each role, so the A
+    // side must cover BOTH adjacent bands ({band-1, band, band+1}) — an
+    // asymmetric {band, band+1} explode would miss pairs whose smaller-id
+    // doc sits in the higher length band. distinct() dedups double joins.
     val bandsExpanded = withBand.select(col("id"), col("g"), col("len"),
-      explode(array(col("band"), col("band") + 1)).as("jband"))
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("jband"))
     val a = bandsExpanded.select(col("jband"), col("id").as("idA"), col("g").as("gA"))
     val b = withBand.select(col("band").as("jband"), col("id").as("idB"), col("g").as("gB"))
     a.join(b, Seq("jband"))

@@ -49,15 +49,13 @@ case class MisraGriesTopK(
       case None =>
         if (buf.size < k) buf(v) = c
         else {
-          // decrement-all step, amortized over the offered count
+          // decrement-all step, amortized over the offered count; the
+          // decrement/prune pass runs BEFORE the offered key is inserted so
+          // the new entry is not double-decremented (it enters at c - dec).
           val dec = math.min(c, buf.values.min)
-          if (c > dec) buf(v) = c - dec
-          val dead = buf.iterator.collect {
-            case (key, cnt) if cnt - dec <= 0 && key != v => key
-          }.toList
-          buf.mapValuesInPlace((key, cnt) => cnt - dec)
-          dead.foreach(buf.remove)
+          buf.mapValuesInPlace((_, cnt) => cnt - dec)
           buf.filterInPlace((_, cnt) => cnt > 0)
+          if (c > dec) buf(v) = c - dec
         }
     }
   }

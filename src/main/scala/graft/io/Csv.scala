@@ -172,11 +172,13 @@ object CsvWriter {
 
   private val tsNoFrac = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 
-  /** Python-str()-compatible rendering of a timestamp. */
+  /** Python-str()-compatible rendering of a timestamp: str(datetime) keeps
+    * the full 6-digit microsecond fraction whenever it is nonzero, so a
+    * written fractional timestamp re-parses losslessly. */
   def formatTimestamp(t: Timestamp): String = {
     val ldt = t.toLocalDateTime
     if (ldt.getNano == 0) ldt.format(tsNoFrac)
-    else ldt.format(tsNoFrac) + f".${ldt.getNano / 1000}%06d".reverse.dropWhile(_ == '0').reverse
+    else ldt.format(tsNoFrac) + f".${ldt.getNano / 1000}%06d"
   }
 
   private def isNa(v: Any): Boolean = v match {
@@ -282,13 +284,29 @@ object CsvWriter {
                        naRep: String = DefaultNaRep): Unit = {
     val cols = t.columnNames.zipWithIndex.map { case (c, ci) =>
       val u = t.unit(c)
-      val base = u match {
-        case "onoff"    => when(col(c), lit("1")).otherwise(lit("0"))
-        case "datetime" => date_format(col(c), "yyyy-MM-dd HH:mm:ss")
-        case "text"     =>
-          if (ci == 0) when(col(c) === "", lit("-")).otherwise(col(c)) else col(c)
+      u match {
+        case "onoff" =>
+          // A null onoff is MISSING, not false: keep null through the
+          // true/false branches so the coalesce applies naRep.
+          coalesce(
+            when(col(c).isNull, lit(null).cast(StringType))
+              .when(col(c), lit("1")).otherwise(lit("0")),
+            lit(naRep))
+        case "datetime" =>
+          // Match CsvWriter.formatTimestamp: no fraction when zero, full
+          // 6-digit microsecond fraction otherwise.
+          coalesce(
+            when(pmod(unix_micros(col(c)), lit(1000000L)) === 0,
+              date_format(col(c), "yyyy-MM-dd HH:mm:ss"))
+              .otherwise(date_format(col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+            lit(naRep))
+        case "text" =>
+          // Null text renders as "" (not naRep) like the driver-side writer;
+          // the first column seals empty strings as "-".
+          val s = coalesce(col(c).cast(StringType), lit(""))
+          if (ci == 0) when(s === "", lit("-")).otherwise(s) else s
         case _ =>
-          t.colMeta(c).displayFormat match {
+          val base = t.colMeta(c).displayFormat match {
             case Some(f) => format_string(toJavaFormat(f.specifier), col(c))
             case None    =>
               // match Python float repr for integral doubles: "1.0" not "1"
@@ -296,8 +314,8 @@ object CsvWriter {
                 concat(col(c).cast(LongType).cast(StringType), lit(".0")))
                 .otherwise(col(c).cast(StringType))
           }
+          coalesce(base.cast(StringType), lit(naRep))
       }
-      coalesce(base.cast(StringType), lit(naRep))
     }
     val lines = t.df.select(concat_ws(sep, cols: _*).as("value"))
     lines.write.mode("overwrite").text(outDir)

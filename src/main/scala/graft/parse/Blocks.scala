@@ -138,11 +138,12 @@ object Blocks {
         cells.drop(4).map(_.take(nCol))
       } else Nil
 
-    // Pad short rows (blocks.py:185-192)
+    // Pad short rows (blocks.py:185-192) — original cell values pass through
+    // unchanged; only the "NaN" padding is appended (fix_missing_rows_in_
+    // column_data parity; stringifying would corrupt typed Excel cells).
     dataRows = dataRows.zipWithIndex.map { case (row, iRow) =>
-      if (row.size < nCol) {
-        fixer.fixMissingRowsInColumnData(iRow, row.map(c => if (c == null) null else c.toString), nCol)
-      } else row
+      if (row.size < nCol) fixer.fixMissingRowsInColumnData(iRow, row, nCol)
+      else row
     }
 
     // Column-wise coercion (blocks.py:195-204)

@@ -41,15 +41,22 @@ object ColumnParsers {
       throw new IllegalArgumentException(s"Illegal value in onoff column: $v"))
 
   // Accepted datetime shapes; reference delegates to pd.to_datetime
-  // (columns.py:115-118) — we support the ISO-ish formats StarTable files use.
+  // (columns.py:115-118) — we support the ISO-ish formats StarTable files
+  // use. Seconds formats take an OPTIONAL variable-width fraction (1-9
+  // digits) so Python-str() output like ".1" or ".100000" re-parses.
+  private def secondsWithOptFrac(base: String): DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern(base)
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+      .optionalEnd()
+      .toFormatter()
   private val dtFormats: Seq[DateTimeFormatter] = Seq(
-    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"),
-    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"),
+    secondsWithOptFrac("yyyy-MM-dd HH:mm:ss"),
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"),
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS"),
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"),
+    secondsWithOptFrac("yyyy-MM-dd'T'HH:mm:ss"),
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm"),
-    DateTimeFormatter.ofPattern("yyyy/MM/dd HH:mm:ss"),
+    secondsWithOptFrac("yyyy/MM/dd HH:mm:ss"),
     DateTimeFormatter.ofPattern("yyyy/MM/dd HH:mm")
   )
   private val dateFormats: Seq[DateTimeFormatter] = Seq(

@@ -43,8 +43,10 @@ class ParseFixer extends Serializable {
   }
 
   /** reference: fixer.py:90-104. Pads with the literal string "NaN" so the
-    * downstream column parser sees a missing-value marker. */
-  def fixMissingRowsInColumnData(row: Int, rowData: Seq[String], numColumns: Int): Seq[String] = {
+    * downstream column parser sees a missing-value marker; existing cells
+    * pass through UNCHANGED (stringifying e.g. an Excel Timestamp cell would
+    * corrupt it into an unparseable "...00:00:00.0" form). */
+  def fixMissingRowsInColumnData(row: Int, rowData: Seq[Any], numColumns: Int): Seq[Any] = {
     val msg = s"Missing data in row $row of table '$tableName'"
     messages += msg
     if (verbose) println(msg)

@@ -43,12 +43,18 @@ object StreamingQueries {
     }),
 
     // Multimodal feature-extraction plumbing (stubbed model, rows-only).
+    // The feature vector is projected to scalar columns f0..f7 so the
+    // driver-side pandas normalizer can sort rows (an Array column is
+    // unhashable there); the array itself stays internal.
     "q_multimodal_features" -> ((s, dir) => {
       val docs = Tables.star(s, dir, "documents").df
         .withColumn("payload", Multimodal.payloadFromText(col("text")))
         .select("doc_id", "payload")
-      Multimodal.extractFeaturesStub(s, docs, "payload", "doc_id")
-        .select(col("doc_id"), col("features"))
+      val feats = Multimodal.extractFeaturesStub(s, docs, "payload", "doc_id")
+      feats.select(
+        col("doc_id") +:
+          (0 until 8).map(i =>
+            element_at(col("features"), i + 1).cast(DoubleType).as(s"f$i")): _*)
     })
   )
 

@@ -141,6 +141,21 @@ class BlockParserSpec extends AnyFunSuite {
     assert(t.columns(1)(1) == null)
   }
 
+  test("short-row padding keeps typed cells intact (Excel Timestamp survives)") {
+    // An Excel-sourced grid carries java.sql.Timestamp cells; padding a
+    // short row must append "NaN" WITHOUT stringifying existing cells (a
+    // stringified "…00:00:00.0" would be nulled by the datetime parser).
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val grid: Seq[Seq[Any]] = Seq(
+      Seq("**t"), Seq("all"),
+      Seq("when", "x"), Seq("datetime", "-"),
+      Seq(ts) // short row: missing x
+    )
+    val p = Blocks.parseTableGrid(grid, graft.origin.TableOrigin.empty, new ParseFixer())
+    assert(p.columns(0) == Seq(ts))
+    assert(p.columns(1) == Seq(null)) // "NaN" padding → missing
+  }
+
   test("empty table (no unit row) raises") {
     val csv = "**bad\nall\ncol1;col2\n"
     assertThrows[graft.origin.InputError] {

@@ -106,6 +106,53 @@ class CsvRoundTripSpec extends AnyFunSuite {
     assert(out.contains("-;1.0"))
   }
 
+  test("fractional-second timestamps round-trip (full 6-digit fraction)") {
+    // Python str(datetime) keeps all 6 microsecond digits when nonzero; a
+    // stripped ".1" would not re-parse under exactly-3-digit .SSS formats.
+    val csv =
+      """**ts
+        |all
+        |a;when
+        |text;datetime
+        |x;2020-08-04 08:00:00.1
+        |y;2020-08-04 08:00:00.123456
+        |z;2020-08-04 08:00:00
+        |""".stripMargin
+    val t = CsvReader.readBundleFromString(spark, csv).unique("ts")
+    val written = CsvWriter.tableToCsvString(t)
+    assert(written.contains("x;2020-08-04 08:00:00.100000"))
+    assert(written.contains("y;2020-08-04 08:00:00.123456"))
+    assert(written.contains("z;2020-08-04 08:00:00\n"))
+    val back = CsvReader.readBundleFromString(spark, written).unique("ts")
+    assert(t.equalsTable(back))
+  }
+
+  test("distributed write: null onoff is missing (naRep), null text empty, fraction kept") {
+    import scala.collection.immutable.ListMap
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("place", StringType), StructField("flag", BooleanType),
+      StructField("when", TimestampType), StructField("note", StringType)))
+    val rows = Seq(
+      Row("a", null, java.sql.Timestamp.valueOf("2020-08-04 08:00:00.1"), null),
+      Row("b", java.lang.Boolean.TRUE, java.sql.Timestamp.valueOf("2020-08-04 08:00:00"), "hi"))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val t = StarTable(df, TableMetadata("d"), ListMap(
+      "place" -> ColumnMetadata("text"), "flag" -> ColumnMetadata("onoff"),
+      "when" -> ColumnMetadata("datetime"), "note" -> ColumnMetadata("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dist_null").toString
+    CsvWriter.writeDistributed(t, s"$dir/out")
+    import scala.jdk.CollectionConverters._
+    val body = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out"))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala).toSeq.sorted
+    assert(body == Seq(
+      "a;-;2020-08-04 08:00:00.100000;",
+      "b;1;2020-08-04 08:00:00;hi"))
+  }
+
   test("distributed write produces equivalent rows at scale") {
     val t = places
     val dir = java.nio.file.Files.createTempDirectory("graft_dist_csv").toString

@@ -49,6 +49,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(j == 3.0 / 5.0)
   }
 
+  test("ngramJaccardPairs finds adjacent-band pairs regardless of id order") {
+    // Cyclic texts → identical 3-gram sets (jaccard 1.0) but lengths in
+    // ADJACENT length bands. The smaller id carries the LONGER text, which
+    // the old asymmetric {band, band+1} A-side explode silently missed.
+    val long = "0123456789" * 10           // 100 chars
+    val short = "0123456789" * 8 ++ "01234" // 85 chars, one band below
+    val df = Seq((1L, long), (2L, short), (3L, "completely different text zz"))
+      .toDF("id", "t")
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "t", n = 3, threshold = 0.9)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
   test("exactDedup keeps min id per key, deterministically") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "k")
     val out = Dedup.exactDedup(df, Seq("k"), "id").orderBy("id").collect()

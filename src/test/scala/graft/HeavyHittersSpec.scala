@@ -23,6 +23,22 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(m.size <= 10)
   }
 
+  test("merge does not double-decrement the offered key") {
+    // Offering (c=2) into a full buffer whose min is 1: dec=1, so the key
+    // must survive at count 1. The old insert-then-decrement order dropped
+    // it (inserted at 1, decremented to 0, pruned) — breaking the n/k bound
+    // on every cross-partition merge.
+    import scala.collection.mutable
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.expressions.MisraGriesTopK
+    val agg = MisraGriesTopK(Literal("x"), k = 2)
+    val a = mutable.HashMap("a" -> 5L, "b" -> 1L)
+    val merged = agg.merge(a, mutable.HashMap("c" -> 2L))
+    assert(merged("a") == 4L)
+    assert(merged("c") == 1L)
+    assert(!merged.contains("b"))
+  }
+
   test("heavy hitters over document tokens at corpus scale") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tokens = docs.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
