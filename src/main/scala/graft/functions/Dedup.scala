@@ -83,7 +83,8 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16, seed: Int = 42): DataFrame = {
+                        bands: Int = 16, seed: Int = 42,
+                        maxBucketSize: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Fully-fused signature: tokens → k minima in one codegen'd expression
     // (no shingle strings, one hash per token). The persist is a barrier
@@ -96,20 +97,50 @@ object Dedup {
           .minhashTokens(Text.tokens(col(textCol)), shingleSize, numHashes, seed.toLong)
           .as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bucketed = sig.select(col("id"), col("sig"),
+    // Collapse to DISTINCT signatures before the LSH self-join: on a
+    // boilerplate-heavy corpus (10% identical docs) the largest (band,
+    // bucket) group would otherwise scale with corpus size — after the
+    // collapse it scales with *distinct* signatures, and the identical-doc
+    // pairs come back from the output-proportional expansion joins below.
+    val distinctSig = sig.select(col("sig")).distinct()
+      .withColumn("sid", xxhash64(col("sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed0 = distinctSig.select(col("sid"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+      .select(col("sid"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // Optional hard cap on residual oversized buckets (true hash-degenerate
+    // groups of distinct signatures). Dropping a bucket only loses a pair
+    // if it shares NO other band — a documented recall/cost tradeoff; the
+    // default (0) keeps exact banded-LSH recall and lets AQE split skew.
+    val bucketed = if (maxBucketSize > 0) {
+      val sizes = bucketed0.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      bucketed0.join(sizes.filter(col("__n") <= maxBucketSize), Seq("band", "bucket"))
+        .drop("__n")
+    } else bucketed0
     val a = bucketed.select(col("band"), col("bucket"),
-      col("id").as("idA"), col("sig").as("sigA"))
+      col("sid").as("sidA"), col("sig").as("sigA"))
     val b = bucketed.select(col("band"), col("bucket"),
-      col("id").as("idB"), col("sig").as("sigB"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        (aggregate(zip_with(col("sigA"), col("sigB"),
-            (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v)
-          .cast("double") / lit(numHashes)).as("jaccard_est"))
+      col("sid").as("sidB"), col("sig").as("sigB"))
+    // Self-join on distinct signatures; <= keeps the (s,s) pair that later
+    // expands into the identical-signature doc pairs.
+    val sigPairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("sidA") <= col("sidB"))
+      .select(col("sidA"), col("sidB"), col("sigA"), col("sigB"))
       .distinct()
+      .select(col("sidA"), col("sidB"),
+        (graft.functions.expressions.MinHashExpression
+          .signatureAgreement(col("sigA"), col("sigB"))
+          .cast("double") / lit(numHashes)).as("jaccard_est"))
+    // Expansion: sig-pair → doc pairs. Cross-signature pairs appear under
+    // exactly one (sidA < sidB) ordering and are normalized by least/
+    // greatest; identical-signature pairs take the idA < idB branch.
+    val ia = sig.select(col("id").as("__ia"), xxhash64(col("sig")).as("sidA"))
+    val ib = sig.select(col("id").as("__ib"), xxhash64(col("sig")).as("sidB"))
+    sigPairs.join(ia, "sidA").join(ib, "sidB")
+      .filter(col("sidA") =!= col("sidB") || col("__ia") < col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("idA"),
+        greatest(col("__ia"), col("__ib")).as("idB"),
+        col("jaccard_est"))
   }
 
   /** SimHash-64 of a token array: bit i of the result is the sign of the sum
@@ -121,7 +152,9 @@ object Dedup {
     // aggregate lambda references its bound variable (cheap), whereas
     // hashing inside the 64-element array builder would recompute the
     // string hash 64 times per token after expression inlining.
-    val hashes = transform(tokens, t => xxhash64(t, lit(seed)))
+    // lit(seed.toLong): the long literal makes the xxhash64 chain identical
+    // to the fused SimHashOfTokens expression (hashLong, not hashInt)
+    val hashes = transform(tokens, t => xxhash64(t, lit(seed.toLong)))
     val counts = aggregate(
       hashes,
       array_repeat(lit(0L), 64),
@@ -138,55 +171,103 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash signatures computed the scale-friendly way: explode tokens →
-    * hash once → groupBy(id) with 64 codegen'd ± sums (map-side partial
-    * aggregation collapses each partition to one row per id before the
-    * shuffle). ~10× faster than the per-row array-aggregate [[simhash64]]
-    * because hash aggregates are whole-stage codegen'd while higher-order
-    * array functions are interpreted. Returns (id, sig). */
+  /** SimHash signatures as a narrow per-row projection: the fused codegen
+    * [[graft.functions.expressions.SimHashOfTokens]] turns the token array
+    * into the 64-bit signature in one pass — no explode, no aggregate, no
+    * shuffle (an earlier explode → groupBy(id) 64-sum formulation spent
+    * ~4 s at sf0.1 on the generate + 65-column hash aggregate alone).
+    * Produces the same signatures as the interpreted [[simhash64]].
+    * Returns (id, sig). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        seed: Int = 42): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok"), lit(seed)).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i")
-    }
-    exploded.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"),
-        (0 until 64).map { i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+                        seed: Int = 42): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.expressions.SimHashExpression
+        .simhashTokens(Text.tokens(col(textCol)), seed.toLong).as("sig"))
+
+  /** XOR masks of `width`-bit words with popcount ≤ maxPop, in popcount
+    * order (identity mask first). C(width, ≤maxPop) masks. */
+  def xorMasks(width: Int, maxPop: Int): Seq[Long] = {
+    def exactly(p: Int, start: Int): Seq[Long] =
+      if (p == 0) Seq(0L)
+      else (start to width - p).flatMap(i => exactly(p - 1, i + 1).map(_ | (1L << i)))
+    (0 to maxPop).flatMap(p => exactly(p, 0))
   }
 
-  /** SimHash near-dup candidates: block on `maxHamming + 1` bit-range
-    * sub-keys — by pigeonhole, any pair within Hamming distance maxHamming
-    * agrees on at least one block — then verify the exact distance. Fewer
-    * blocks (lower maxHamming) = cheaper blocking join; recall is exact
-    * within the stated radius either way. */
+  /** SimHash near-dup candidates within Hamming radius `maxHamming`, with
+    * exact recall. Blocking is multi-index hashing (Norouzi et al., "Fast
+    * Search in Hamming Space with Multi-Index Hashing"): the 64-bit
+    * signature splits into 4 blocks of 16 bits; by pigeonhole any pair
+    * within distance r agrees within q = ⌊r/4⌋ on some block, so the probe
+    * side expands each block key by the C(16, ≤q) XOR masks of popcount ≤ q
+    * and joins EXACTLY on (block, key).
+    *
+    * Versus (r+1)-way exact pigeonhole this keeps the join key at 16 bits
+    * (65 536 buckets/block) for any radius — at r = 8 the old scheme's
+    * ~7-bit keys put ~1/128 of the corpus in one bucket (quadratic); here
+    * the collision rate per block is C(16,≤2)/2^16 ≈ 0.2%.
+    *
+    * Signatures are also collapsed to DISTINCT values before the join —
+    * identical-signature groups (boilerplate) contribute one blocking row
+    * each and their doc pairs come back from output-proportional expansion.
+    */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, seed: Int = 42): DataFrame = {
-    val nBlocks = math.min(maxHamming + 1, 16)
-    // block b covers bits [start, start+width); widths differ by ≤1
-    val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
     // persist: barrier against recomputing the signature in both join legs
     val sigs = simhashSignatures(df, idCol, textCol, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocked = sigs.select(col("id"), col("sig"),
-      explode(array((0 until nBlocks).map { blk =>
-        val start = bounds(blk); val width = bounds(blk + 1) - start
-        val mask = if (width == 64) -1L else (1L << width) - 1
-        struct(lit(blk).as("blk"),
-          shiftright(col("sig"), start).bitwiseAND(mask).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.blk"), col("bk.key"))
-    val a = blocked.select(col("blk"), col("key"), col("id").as("idA"), col("sig").as("sigA"))
-    val b = blocked.select(col("blk"), col("key"), col("id").as("idB"), col("sig").as("sigB"))
-    a.join(b, Seq("blk", "key"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), hamming64(col("sigA"), col("sigB")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    simhashCandidatesFromSigs(sigs, maxHamming)
+  }
+
+  /** Blocking + verify + expansion over precomputed (id, sig) rows; see
+    * [[simhashCandidates]]. Exposed for reuse and for candidate-volume
+    * testing. */
+  def simhashCandidatesFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      s"maxHamming must be in [0, 16), got $maxHamming")
+    val nBlocks = 4
+    val q = maxHamming / nBlocks
+    val masks = xorMasks(16, q)
+    val distinctSigs = sigs.select(col("sig")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def blockKey(sig: Column, b: Int): Column =
+      shiftright(sig, 16 * b).bitwiseAND(lit(0xFFFFL))
+    val build = distinctSigs.select(col("sig").as("sigB"),
+        explode(array((0 until nBlocks).map(b =>
+          struct(lit(b).as("blk"), blockKey(col("sig"), b).as("key"))): _*)).as("bk"))
+      .select(col("sigB"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    // The mask set rides along as a LITERAL ARRAY exploded per block row —
+    // building C(16,≤q) xor expressions instead (697 at q=3) overflows
+    // Janino's method limit and drops the stage out of codegen.
+    val probe = distinctSigs.select(col("sig").as("sigA"),
+        explode(array((0 until nBlocks).map(b =>
+          struct(lit(b).as("blk"), blockKey(col("sig"), b).as("key"))): _*)).as("bk"))
+      .select(col("sigA"), col("bk.blk").as("blk"), col("bk.key").as("key0"),
+        explode(typedLit(masks)).as("m"))
+      .select(col("sigA"), col("blk"), col("key0").bitwiseXOR(col("m")).as("key"))
+    // Dedup WITHOUT a distinct shuffle: a pair can match in up to 4 blocks,
+    // so keep only its LEFTMOST matching block — every earlier block must
+    // disagree by more than q. Combined with the sigA <= sigB direction
+    // filter (which keeps the (s,s) self-pair for identical-sig expansion)
+    // and the one-mask-per-(pair, block) join key, each sig pair survives
+    // exactly once; the join output is filtered narrowly, never shuffled.
+    val xorSig = col("sigA").bitwiseXOR(col("sigB"))
+    def blockHamming(b: Int): Column =
+      bit_count(shiftright(xorSig, 16 * b).bitwiseAND(lit(0xFFFFL)))
+    val leftmost = (0 until nBlocks - 1)
+      .map(bp => col("blk") <= bp || blockHamming(bp) > q)
+      .reduce(_ && _)
+    val sigPairs = probe.join(build, Seq("blk", "key"))
+      .filter(col("sigA") <= col("sigB"))
+      .filter(leftmost)
+      .filter(hamming64(col("sigA"), col("sigB")) <= maxHamming)
+      .select(col("sigA"), col("sigB"))
+    val a = sigs.select(col("id").as("__ia"), col("sig").as("sigA"))
+    val b = sigs.select(col("id").as("__ib"), col("sig").as("sigB"))
+    sigPairs.join(a, "sigA").join(b, "sigB")
+      .filter(col("sigA") =!= col("sigB") || col("__ia") < col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("idA"),
+        greatest(col("__ia"), col("__ib")).as("idB"),
+        hamming64(col("sigA"), col("sigB")).as("hamming"))
   }
 
   /** Distributed connected components over a candidate-pair edge list by
@@ -200,30 +281,60 @@ object Dedup {
     * minimum id in each connected component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
       .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
+      .persist(MEMORY_AND_DISK)
+    // Resource hygiene for deep iteration at scale: exactly one cached
+    // label generation is live in steady state (the superseded one is
+    // unpersisted as soon as its successor is materialized), the
+    // convergence test rides the SAME action that materializes the new
+    // labels (one aggregate, no extra join+count pass), and an eager
+    // localCheckpoint every 3 rounds truncates the otherwise
+    // quadratically-deepening lineage.
+    val sc = pairs.sparkSession.sparkContext
+    var prevGen: DataFrame = labels
+    var prevCheckpointIds: Set[Int] = Set.empty
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // neighbor labels: for each edge (src,dst), dst's current component
       val nbr = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("component", "nbr_component"), Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("component").as("nbr_component")),
+          Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_component")).as("min_nbr"))
       val updated = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("min_nbr"), col("component")))
             .as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = updated
+        .persist(MEMORY_AND_DISK)
+      // one action: materializes `updated` AND computes the convergence test
+      val changed = updated
+        .agg(count(when(col("component") =!= col("__old"), lit(1))).as("n"))
+        .head().getLong(0)
+      prevGen.unpersist()
+      if ((iter + 1) % 3 == 0) {
+        // localCheckpoint registers its backing RDD outside the cache
+        // manager, so the superseded checkpoint must be freed by RDD id —
+        // df.unpersist() alone would leak one stored RDD per checkpoint
+        val idsBefore = sc.getPersistentRDDs.keySet
+        labels = updated.select("id", "component").localCheckpoint(true)
+        val newIds = (sc.getPersistentRDDs.keySet -- idsBefore).toSet
+        updated.unpersist()
+        prevCheckpointIds.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        prevCheckpointIds = newIds
+        prevGen = labels
+      } else {
+        labels = updated.select("id", "component")
+        prevGen = updated
+      }
       converged = changed == 0
       iter += 1
     }

@@ -191,6 +191,60 @@ case class MinHashOfTokens(child: Expression, shingleSize: Int, numHashes: Int, 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Number of equal slots between two equal-length long-array signatures —
+  * the MinHash Jaccard-estimate numerator.
+  *
+  * Why an expression: the zip_with + aggregate formulation is two nested
+  * interpreted higher-order functions per candidate pair AND disables
+  * whole-stage codegen for the verify stage; this is one fused loop that
+  * stays inside codegen. Trailing slots of the longer array (if lengths
+  * ever differ) count as disagreement.
+  */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && $a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object MinHashExpression {
   def minhashArray(baseHashes: Column, numHashes: Int, seed: Long): Column =
     ColumnBridge.column(MinHashArray(ColumnBridge.expression(baseHashes), numHashes, seed))
@@ -198,4 +252,8 @@ object MinHashExpression {
   def minhashTokens(tokens: Column, shingleSize: Int, numHashes: Int, seed: Long): Column =
     ColumnBridge.column(MinHashOfTokens(
       ColumnBridge.expression(tokens), shingleSize, numHashes, seed))
+
+  def signatureAgreement(sigA: Column, sigB: Column): Column =
+    ColumnBridge.column(SignatureAgreement(
+      ColumnBridge.expression(sigA), ColumnBridge.expression(sigB)))
 }

@@ -97,8 +97,10 @@ object PipelineQueries {
         .filter(col("jaccard_est") >= 0.5)),
 
     // SimHash near-dup candidates (no oracle: engine-specific hashes).
-    // radius 8: 9 pigeonhole blocks of ~7 bits — larger radii shrink the
-    // block keys and blow up the blocking join's collision rate
+    // radius 8 via multi-index blocking: 4 blocks of 16 bits, probe side
+    // expanded by C(16,≤2)=137 XOR masks — join keys stay at 65k buckets
+    // per block at ANY radius, and identical signatures collapse before
+    // the self-join (see Dedup.simhashCandidatesFromSigs).
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(star(s, dir, "documents").df, "doc_id", "text",
         maxHamming = 8)),

@@ -34,6 +34,74 @@ class DedupGraphSpec extends AnyFunSuite {
     assert(out.contains(4L) && out.contains(5L))
   }
 
+  test("multi-index simhash blocking is exact at radius 8 on adversarial signatures") {
+    // Signatures hand-built around the pigeonhole boundary: pairs at
+    // distance exactly 8 with errors spread 2-2-2-2 across the four 16-bit
+    // blocks (the worst case for block agreement), at distance 9 (must be
+    // excluded), and identical signatures (distance 0 via the collapse path).
+    val s0 = 0x0123456789ABCDEFL
+    def flip(s: Long, bits: Seq[Int]) = bits.foldLeft(s)((x, b) => x ^ (1L << b))
+    val sigs = Seq(
+      (1L, s0),
+      (2L, flip(s0, Seq(0, 1, 16, 17, 32, 33, 48, 49))), // d=8, spread 2-2-2-2
+      (3L, flip(s0, Seq(0, 1, 2, 16, 17, 32, 33, 48, 49))), // d=9 from 1
+      (4L, s0),                                          // identical to 1
+      (5L, flip(s0, Seq(5))),                            // d=1
+      (6L, ~s0)                                          // d=64
+    ).toDF("id", "sig")
+    val got = Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 8)
+      .select("idA", "idB", "hamming").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val raw = Map(1L -> s0, 2L -> flip(s0, Seq(0, 1, 16, 17, 32, 33, 48, 49)),
+      3L -> flip(s0, Seq(0, 1, 2, 16, 17, 32, 33, 48, 49)), 4L -> s0,
+      5L -> flip(s0, Seq(5)), 6L -> ~s0)
+    val truth = (for {
+      a <- raw.keys; b <- raw.keys if a < b && ham(raw(a), raw(b)) <= 8
+    } yield (a, b) -> ham(raw(a), raw(b))).toMap
+    assert(got == truth)
+    assert(got.contains((1L, 2L)) && !got.contains((1L, 3L)) && got((1L, 4L)) == 0)
+  }
+
+  test("identical-signature boilerplate collapses before the blocking join") {
+    // 10% of the corpus shares ONE signature: the blocking self-join sees a
+    // single distinct-sig row for the whole group (no quadratic bucket),
+    // while the expansion emits exactly the C(k,2) intra-group pairs.
+    val boiler = (0 until 50).map(i => (1000L + i, 0xDEADBEEFL))
+    val rest = (0 until 450).map(i => (i.toLong, 0x8000000000000000L | (i.toLong << 20) | (i.toLong * 2654435761L >>> 44)))
+    val sigs = (boiler ++ rest).toDF("id", "sig")
+    val pairs = Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 2)
+      .filter(col("idA") >= 1000L)
+      .collect()
+    assert(pairs.count(r => r.getInt(2) == 0) == 50 * 49 / 2)
+  }
+
+  test("minhash survives a planted-boilerplate corpus and keeps est=1.0 pairs") {
+    val boiler = "identical boilerplate text repeated across many documents in the corpus"
+    val docs = ((0 until 40).map(i => (i.toLong, boiler)) ++
+      (40 until 400).map(i => (i.toLong,
+        s"unique document $i with words w${i}a w${i}b w${i}c w${i}d w${i}e"))).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, bands = 8)
+      .filter(col("jaccard_est") >= 0.99)
+      .collect()
+    val intra = cands.filter(r => r.getLong(0) < 40 && r.getLong(1) < 40)
+    assert(intra.length == 40 * 39 / 2)
+    intra.foreach(r => assert(r.getDouble(2) == 1.0))
+  }
+
+  test("connectedComponents keeps cached storage bounded across iterations") {
+    // A 40-node chain needs many label-propagation rounds; the superseded
+    // label generations must be unpersisted as the loop advances.
+    val chain = (0 until 39).map(i => (i.toLong, i.toLong + 1)).toDF("idA", "idB")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val comps = Dedup.connectedComponents(chain, maxIter = 12)
+    assert(comps.filter(col("component") === 0L).count() >= 1)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // edges + at most one live label generation (+ one checkpoint RDD)
+    assert(after - before <= 3, s"cached RDDs grew by ${after - before}")
+  }
+
   test("simhash blocking at radius r finds all pairs within r") {
     // construct docs, compute true pairwise hamming, compare with candidates
     val docs = Seq(

@@ -91,6 +91,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ham(sigs(0), sigs(1)) < ham(sigs(0), sigs(2)))
   }
 
+  test("fused SimHashOfTokens matches the interpreted HOF simhash64") {
+    val df = Seq(
+      "spark catalyst tungsten shuffle partition broadcast join agg",
+      "the quick brown fox jumps over the lazy dog",
+      "", "one").toDF("text")
+    val rows = df.select(
+      Dedup.simhash64(graft.functions.Text.tokens(col("text"))).as("hof"),
+      graft.functions.expressions.SimHashExpression
+        .simhashTokens(graft.functions.Text.tokens(col("text")), 42L).as("fused"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("cosine similarity: orthogonal 0, identical 1") {
     val df = Seq(
       (Array(1f, 0f), Array(1f, 0f)),
