@@ -20,12 +20,11 @@ object Text {
 
   /** BPE-ish subword count estimate: words + punctuation clusters + digit
     * runs each count; long words count ceil(len/4) pieces (the common
-    * ~4-chars-per-token heuristic). */
+    * ~4-chars-per-token heuristic). Fused codegen kernel — the
+    * transform+aggregate HOF formulation was interpreted AND disabled
+    * whole-stage codegen for its stage. */
   def tokenCountBpeIsh(text: Column): Column =
-    aggregate(
-      transform(tokens(text), w => ceil(length(w).cast("double") / lit(4.0)).cast("long")),
-      lit(0L),
-      (acc, x) => acc + x)
+    graft.functions.expressions.TextExpressions.bpeIshTokenCount(tokens(text))
 
   def charCount(text: Column): Column = length(text)
 
@@ -163,11 +162,9 @@ object Text {
       array_distinct(transform(sequence(lit(0), length(text) - n),
         i => text.substr(i + 1, lit(n)))))
 
-  /** Jaccard similarity of two string arrays (as sets). */
-  def jaccard(a: Column, b: Column): Column = {
-    val da = array_distinct(a); val db = array_distinct(b)
-    val inter = size(array_intersect(da, db)).cast("double")
-    val uni = size(array_union(da, db)).cast("double")
-    when(uni === 0, lit(0.0)).otherwise(inter / uni)
-  }
+  /** Jaccard similarity of two string arrays (as sets): one fused hash-set
+    * kernel instead of the distinct/intersect/union chain (three set builds
+    * per candidate pair). */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.expressions.TextExpressions.jaccardSimilarity(a, b)
 }

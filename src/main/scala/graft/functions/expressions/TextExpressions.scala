@@ -1,0 +1,119 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared kernels for the fused text expressions; static forwarders make
+  * them directly callable from generated Java, so the expressions stay
+  * one-line calls inside whole-stage codegen. */
+object TextExprUtil {
+
+  /** Σ over tokens of ceil(numChars/4) — the BPE-ish subword estimate. */
+  def bpeIsh(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val c = arr.getUTF8String(i).numChars()
+        total += (c + 3) / 4
+      }
+      i += 1
+    }
+    total
+  }
+
+  /** Set Jaccard of two string arrays (nulls ignored); 0.0 when the union
+    * is empty. One hash-set pass per side instead of three array ops
+    * (distinct ×2, intersect, union) each building its own set. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val setA = new java.util.HashSet[UTF8String]()
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (!a.isNullAt(i)) setA.add(a.getUTF8String(i))
+      i += 1
+    }
+    val setB = new java.util.HashSet[UTF8String]()
+    var inter = 0
+    var j = 0
+    val nb = b.numElements()
+    while (j < nb) {
+      if (!b.isNullAt(j)) {
+        val s = b.getUTF8String(j)
+        if (setB.add(s) && setA.contains(s)) inter += 1
+      }
+      j += 1
+    }
+    val union = setA.size + setB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
+/** Fused BPE-ish token count (reference heuristic: ~4 chars per subword).
+  * Replaces the interpreted transform+aggregate HOF pair, which also
+  * disabled whole-stage codegen for its stage. */
+case class BpeIshTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprUtil.bpeIsh(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.TextExprUtil.bpeIsh($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fused set-Jaccard of two string arrays — the candidate-pair scorer for
+  * n-gram near-dup verification. Replaces the distinct/intersect/union
+  * array-expression chain (three hash-set builds per row) with one kernel. */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects (array<string>, array<string>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextExprUtil.jaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.TextExprUtil.jaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object TextExpressions {
+  def bpeIshTokenCount(tokens: Column): Column =
+    ColumnBridge.column(BpeIshTokenCount(ColumnBridge.expression(tokens)))
+
+  def jaccardSimilarity(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -74,14 +74,29 @@ object AnalyticQueries {
         binSeconds = 21600L,
         agg = c => sum(c.cast(DecimalType(18, 2))).cast(DoubleType))),
 
-    // --- approximate aggregates (engine-specific sketches: rows-only) -------
+    // --- approximate aggregates, oracle-checked via their bounds -----------
+    // The sketch estimates themselves are engine-specific, so the query
+    // emits the EXACT columns plus in-Spark bound checks: hll_ok asserts
+    // approx_count_distinct within 10% of the exact distinct count (default
+    // rsd 5%), med_ok asserts percentile_approx(0.5) lands between the
+    // exact 45th and 55th percentiles (GK rank error ε = 1/accuracy ≪ 5%).
+    // The DuckDB oracle computes the exact columns and literal TRUE flags —
+    // a violated bound now FAILS the hash check instead of hiding in a
+    // rows-only row.
     "q_approx_stats" -> ((s, dir) =>
       star(s, dir, "lineitem").df
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("median_qty"),
-          count(lit(1)).as("n")))
+          approx_count_distinct(col("l_partkey")).as("apx"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("apx_med"),
+          expr("percentile(l_quantity, 0.45)").as("p45"),
+          expr("percentile(l_quantity, 0.55)").as("p55"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"), col("n_parts"),
+          (abs(col("apx") - col("n_parts")).cast(DoubleType) <=
+            col("n_parts").cast(DoubleType) * 0.10).as("hll_ok"),
+          (col("apx_med") >= col("p45") && col("apx_med") <= col("p55")).as("med_ok")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -123,6 +138,12 @@ object AnalyticQueries {
         |      WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, event_id AS err_id
         |      FROM events WHERE event_type = 'error') e
-        |ON p.user_id = e.user_id AND p.ts >= e.err_ts""".stripMargin
+        |ON p.user_id = e.user_id AND p.ts >= e.err_ts""".stripMargin,
+
+    "q_approx_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  TRUE AS hll_ok, TRUE AS med_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

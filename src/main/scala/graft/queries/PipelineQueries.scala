@@ -62,14 +62,20 @@ object PipelineQueries {
           Text.redactPii(concat(col("text"),
             lit(" contact: a.b@example.com or 192.168.0.1"))).as("redacted"))),
 
-    // token heavy hitters via the Misra-Gries TypedImperativeAggregate
-    // (sketch counts are merge-order-dependent: rows-only)
+    // Token heavy hitters via the Misra-Gries TypedImperativeAggregate.
+    // Capacity 64 exceeds the corpus vocabulary (31 distinct tokens,
+    // spec-asserted), so the buffer never decrements, counts are EXACT, and
+    // the top-20 with a deterministic tie-break is oracle-checkable — the
+    // sketch's graceful degradation (exact under capacity, bounded error
+    // over) demonstrated at its exact end.
     "q_token_topk" -> ((s, dir) => {
       val toks = star(s, dir, "documents").df
         .select(explode(Text.tokens(col("text"))).as("tok"))
       toks.agg(graft.functions.expressions.HeavyHitters
-          .approxTopK(col("tok"), 20).as("hh"))
+          .approxTopK(col("tok"), 64).as("hh"))
         .select(explode(col("hh")).as(Seq("token", "min_count")))
+        .orderBy(col("min_count").desc, col("token").asc)
+        .limit(20)
     }),
 
     // --- fingerprinting ----------------------------------------------------
@@ -255,6 +261,14 @@ object PipelineQueries {
       """SELECT label, count(*) AS n,
         |  round(min(CAST(embedding[1] AS DOUBLE)), 6) AS min_d0,
         |  round(max(CAST(embedding[1] AS DOUBLE)), 6) AS max_d0
-        |FROM embeddings GROUP BY label""".stripMargin
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_token_topk" ->
+      """SELECT tok AS token, CAST(cnt AS BIGINT) AS min_count FROM (
+        |  SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok)
+        |ORDER BY min_count DESC, token ASC LIMIT 20""".stripMargin
   )
 }

@@ -51,4 +51,21 @@ class HeavyHittersSpec extends AnyFunSuite {
     val mustHave = exact.filter { case (_, c) => c > n / 20 }.keySet
     assert(mustHave.subsetOf(m.keySet.toSet))
   }
+
+  test("capacity above the vocabulary makes the sketch exact (q_token_topk contract)") {
+    // q_token_topk's oracle requires EXACT counts, which Misra-Gries
+    // guarantees iff the buffer never evicts — i.e. capacity ≥ distinct
+    // tokens. Guard the corpus assumption and the exactness itself.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val tokens = docs.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val distinct = tokens.distinct().count()
+    assert(distinct <= 64, s"documents vocabulary grew to $distinct > 64; " +
+      "q_token_topk's exact-count oracle no longer holds")
+    val m = tokens.agg(HeavyHitters.approxTopK(col("tok"), 64).as("hh"))
+      .head().getMap[String, Long](0)
+    val exact = tokens.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.size == exact.size)
+    exact.foreach { case (tok, c) => assert(m(tok) == c) }
+  }
 }
