@@ -12,20 +12,55 @@ import graft.model.{StarTable, TableBundle}
 import graft.origin._
 import graft.parse._
 
+/** Cell-styling model for styled XLSX output — the Scala analog of the
+  * reference's style-spec dicts (pdtable/io/_excel_write_helper.py:6-15,
+  * applied in pdtable/io/_excel_openpyxl.py:111-210): per table part
+  * (name / destinations / column names / units / values), an optional font
+  * (color, bold, italic), solid fill color, and horizontal alignment.
+  * Colors are RGB hex "RRGGBB"; a leading alpha pair is accepted. */
+final case class XlsxFont(color: Option[String] = None, bold: Boolean = false,
+                          italic: Boolean = false)
+final case class XlsxCellStyle(font: Option[XlsxFont] = None,
+                               fillColor: Option[String] = None,
+                               horizontalAlignment: Option[String] = None) {
+  def isPlain: Boolean = font.isEmpty && fillColor.isEmpty && horizontalAlignment.isEmpty
+  /** Transposed-table default centering unless explicitly aligned
+    * (reference: _excel_openpyxl.py:196-205). */
+  def withDefaultAlignment(h: String): XlsxCellStyle =
+    if (horizontalAlignment.isEmpty) copy(horizontalAlignment = Some(h)) else this
+}
+final case class XlsxStyles(
+    tableName: XlsxCellStyle = XlsxCellStyle(),
+    destinations: XlsxCellStyle = XlsxCellStyle(),
+    columnNames: XlsxCellStyle = XlsxCellStyle(),
+    units: XlsxCellStyle = XlsxCellStyle(),
+    values: XlsxCellStyle = XlsxCellStyle())
+object XlsxStyles {
+  /** The reference's DEFAULT_STYLE_SPEC (neutral greys + dark blue,
+    * _excel_write_helper.py:6-15) — what `styles=True` applies. */
+  val default: XlsxStyles = XlsxStyles(
+    tableName = XlsxCellStyle(Some(XlsxFont(Some("1F4E78"), bold = true)), Some("D9D9D9")),
+    destinations = XlsxCellStyle(Some(XlsxFont(Some("808080"), bold = true)), Some("D9D9D9")),
+    columnNames = XlsxCellStyle(Some(XlsxFont(bold = true)), Some("F2F2F2")),
+    units = XlsxCellStyle(None, Some("F2F2F2")),
+    values = XlsxCellStyle())
+}
+
 /** Minimal XLSX read/write with zero dependencies beyond the JDK
   * (java.util.zip + javax.xml.stream). The XLSX container is public
   * ECMA-376: a zip of XML parts. Functional analog of the reference's
-  * read_excel/write_excel (pdtable/io/excel.py) for unstyled data:
+  * read_excel/write_excel (pdtable/io/excel.py):
   *
-  *  - write: all tables into one worksheet, blocks separated by a blank row
-  *    (the reference's default single-sheet layout); strings as inline
-  *    strings, numbers/booleans as native cells, datetimes as ISO strings
-  *    (the datetime column parser accepts them on read).
+  *  - write: all tables into one worksheet, blocks separated by `sepLines`
+  *    blank rows; strings as inline strings, numbers/booleans as native
+  *    cells, datetimes as ISO strings (the datetime column parser accepts
+  *    them on read); optional per-table-part styling via [[XlsxStyles]]
+  *    (a real styles.xml part with fonts/fills/cellXfs).
   *  - read: every worksheet's cell grid → the same block parser as CSV;
   *    `sheetNamePattern` filters sheets (reference: excel.py:28-108).
   *
-  * Not supported (styled-output surface of the reference): cell styles,
-  * number-format-driven date detection in foreign files, zip64 (>4 GB).
+  * Not supported: number-format-driven date detection in foreign files,
+  * zip64 (>4 GB).
   */
 object Xlsx {
 
@@ -43,64 +78,148 @@ object Xlsx {
       case '"' => "&quot;"; case c => c.toString
     }
 
-  /** Render tables to worksheet rows (cell grids), reusing the CSV writer's
-    * value representation rules (na_rep, onoff → 0/1, sealing). */
-  private def tableGrid(t: StarTable, naRep: String): Seq[Seq[Any]] = {
+  /** Render tables to worksheet rows of (value, styleId), reusing the CSV
+    * writer's value representation rules (na_rep, onoff → 0/1, sealing).
+    * Style ids come from `part`: table part name → cellXfs index (0 = none).
+    * Transposed layout styles per CELL (name/unit run down the first two
+    * columns — reference: _excel_openpyxl.py:166-175). */
+  private def tableGrid(t: StarTable, naRep: String,
+                        part: String => Int): Seq[Seq[(Any, Int)]] = {
     val units = t.units
     val rows = t.df.collect()
-    val header: Seq[Seq[Any]] =
-      if (t.meta.transposed)
-        Seq(Seq(s"**${t.name}*"), Seq(t.destinations.mkString(" ")))
-      else
-        Seq(Seq(s"**${t.name}"), Seq(t.destinations.mkString(" ")),
-          t.columnNames, units)
-    val body: Seq[Seq[Any]] =
-      if (t.meta.transposed)
-        t.columnNames.zipWithIndex.map { case (c, ci) =>
-          Seq(c, units(ci)) ++ rows.map(r => CsvWriter.represent(r.get(ci), units(ci), ci, naRep))
-        }
-      else
-        rows.toIndexedSeq.map { r =>
-          t.columnNames.indices.map(ci => CsvWriter.represent(r.get(ci), units(ci), ci, naRep))
-        }
-    header ++ body
+    val sName = part("table_name"); val sDest = part("destinations")
+    val sCol = part("column_names"); val sUnit = part("units")
+    val sVal = part("values")
+    if (t.meta.transposed) {
+      val header: Seq[Seq[(Any, Int)]] = Seq(
+        Seq((s"**${t.name}*", sName)),
+        Seq((t.destinations.mkString(" "), sDest)))
+      val body = t.columnNames.zipWithIndex.map { case (c, ci) =>
+        Seq((c: Any, sCol), (units(ci): Any, sUnit)) ++
+          rows.map(r => (CsvWriter.represent(r.get(ci), units(ci), ci, naRep), sVal))
+      }
+      header ++ body
+    } else {
+      val header: Seq[Seq[(Any, Int)]] = Seq(
+        Seq((s"**${t.name}", sName)),
+        Seq((t.destinations.mkString(" "), sDest)),
+        t.columnNames.map(c => (c: Any, sCol)),
+        units.map(u => (u: Any, sUnit)))
+      val body = rows.toIndexedSeq.map { r =>
+        t.columnNames.indices.map(ci =>
+          (CsvWriter.represent(r.get(ci), units(ci), ci, naRep), sVal))
+      }
+      header ++ body
+    }
   }
 
-  private def cellXml(ref: String, v: Any): String = v match {
-    case null => ""
-    case b: Boolean =>
-      s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
-    case n: Int    => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Long   => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
-    case ts: java.sql.Timestamp =>
-      s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(CsvWriter.formatTimestamp(ts))}</t></is></c>"""
-    case s =>
-      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(s.toString)}</t></is></c>"""
+  private def cellXml(ref: String, v: Any, styleId: Int): String = {
+    val s = if (styleId > 0) s""" s="$styleId"""" else ""
+    v match {
+      case null => ""
+      case b: Boolean =>
+        s"""<c r="$ref"$s t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case n: Int    => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case n: Long   => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case n: Double => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case ts: java.sql.Timestamp =>
+        s"""<c r="$ref"$s t="inlineStr"><is><t>${xmlEscape(CsvWriter.formatTimestamp(ts))}</t></is></c>"""
+      case other =>
+        s"""<c r="$ref"$s t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>"""
+    }
   }
 
-  /** Write tables to an xlsx file (single sheet, blank rows between
-    * blocks; reference default layout). */
+  /** Normalize "RRGGBB" / "AARRGGBB" to the ARGB form styles.xml wants. */
+  private def argb(c: String): String = if (c.length == 8) c else "FF" + c
+
+  /** Build styles.xml plus the per-(table-part, transposed) cellXfs index
+    * maps. Returns (xml, part resolver for row-major, resolver for
+    * transposed tables — which default-center units and values). */
+  private def buildStyles(spec: XlsxStyles): (String, String => Int, String => Int) = {
+    val partsRow: Seq[(String, XlsxCellStyle)] = Seq(
+      "table_name" -> spec.tableName, "destinations" -> spec.destinations,
+      "column_names" -> spec.columnNames, "units" -> spec.units,
+      "values" -> spec.values)
+    val partsTrans: Seq[(String, XlsxCellStyle)] = Seq(
+      "table_name" -> spec.tableName, "destinations" -> spec.destinations,
+      "column_names" -> spec.columnNames,
+      "units" -> spec.units.withDefaultAlignment("center"),
+      "values" -> spec.values.withDefaultAlignment("center"))
+
+    val distinct = (partsRow ++ partsTrans).map(_._2).filterNot(_.isPlain).distinct
+    val fonts = distinct.flatMap(_.font).distinct
+    val fills = distinct.flatMap(_.fillColor).distinct
+
+    def fontId(f: Option[XlsxFont]): Int = f.map(fonts.indexOf(_) + 1).getOrElse(0)
+    def fillId(c: Option[String]): Int = c.map(fills.indexOf(_) + 2).getOrElse(0)
+    def xfId(st: XlsxCellStyle): Int =
+      if (st.isPlain) 0 else distinct.indexOf(st) + 1
+
+    val fontXml = ("<font/>" +: fonts.map { f =>
+      "<font>" + (if (f.bold) "<b/>" else "") + (if (f.italic) "<i/>" else "") +
+        f.color.map(c => s"""<color rgb="${argb(c)}"/>""").getOrElse("") + "</font>"
+    }).mkString
+    val fillXml = (Seq(
+      """<fill><patternFill patternType="none"/></fill>""",
+      """<fill><patternFill patternType="gray125"/></fill>""") ++
+      fills.map(c =>
+        s"""<fill><patternFill patternType="solid"><fgColor rgb="${argb(c)}"/><bgColor indexed="64"/></patternFill></fill>""")).mkString
+    val xfXml = ("""<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>""" +:
+      distinct.map { st =>
+        val align = st.horizontalAlignment
+          .map(h => s"""<alignment horizontal="$h"/>""").getOrElse("")
+        s"""<xf numFmtId="0" fontId="${fontId(st.font)}" fillId="${fillId(st.fillColor)}" borderId="0" xfId="0"""" +
+          (if (st.font.nonEmpty) """ applyFont="1"""" else "") +
+          (if (st.fillColor.nonEmpty) """ applyFill="1"""" else "") +
+          (if (align.nonEmpty) s""" applyAlignment="1">$align</xf>""" else "/>")
+      }).mkString
+
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        s"""<fonts count="${fonts.size + 1}">$fontXml</fonts>""" +
+        s"""<fills count="${fills.size + 2}">$fillXml</fills>""" +
+        """<borders count="1"><border><left/><right/><top/><bottom/><diagonal/></border></borders>""" +
+        """<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>""" +
+        s"""<cellXfs count="${distinct.size + 1}">$xfXml</cellXfs>""" +
+        """</styleSheet>"""
+
+    val rowMap = partsRow.map { case (n, st) => n -> xfId(st) }.toMap
+    val transMap = partsTrans.map { case (n, st) => n -> xfId(st) }.toMap
+    (xml, rowMap, transMap)
+  }
+
+  /** Write tables to an xlsx file (single sheet, `sepLines` blank rows
+    * between blocks; reference default layout). `styles` applies per-part
+    * styling (pass [[XlsxStyles.default]] for the reference's styles=True). */
   def write(tables: Seq[StarTable], path: Path, naRep: String = "-",
-            sepLines: Int = 1): Unit =
-    writeSheets(Seq("Sheet1" -> tables), path, naRep, sepLines)
+            sepLines: Int = 1, styles: Option[XlsxStyles] = None): Unit =
+    writeSheets(Seq("Sheet1" -> tables), path, naRep, sepLines, styles)
 
   /** Write tables to named worksheets (reference: write_excel's
     * Dict[sheet_name, tables] form, excel.py:116-140). */
   def writeSheets(sheets: Seq[(String, Seq[StarTable])], path: Path,
-                  naRep: String = "-", sepLines: Int = 1): Unit = {
+                  naRep: String = "-", sepLines: Int = 1,
+                  styles: Option[XlsxStyles] = None): Unit = {
+    val (stylesXml, rowPart, transPart) = styles match {
+      case Some(spec) => buildStyles(spec)
+      case None       =>
+        val zero = (_: String) => 0
+        ("", zero, zero)
+    }
     def sheetXml(tables: Seq[StarTable]): String = {
-      val grids = tables.map(tableGrid(_, naRep))
-      val allRows: Seq[Seq[Any]] = grids.zipWithIndex.flatMap { case (g, i) =>
-        if (i == 0) g else Seq.fill(sepLines)(Seq.empty[Any]) ++ g
+      val grids = tables.map(t =>
+        tableGrid(t, naRep, if (t.meta.transposed) transPart else rowPart))
+      val allRows: Seq[Seq[(Any, Int)]] = grids.zipWithIndex.flatMap { case (g, i) =>
+        if (i == 0) g else Seq.fill(sepLines)(Seq.empty[(Any, Int)]) ++ g
       }
       val sb = new StringBuilder
       sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
       sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
       allRows.zipWithIndex.foreach { case (row, r) =>
         sb.append(s"""<row r="${r + 1}">""")
-        row.zipWithIndex.foreach { case (v, c) =>
-          sb.append(cellXml(s"${colRef(c)}${r + 1}", v))
+        row.zipWithIndex.foreach { case ((v, sid), c) =>
+          sb.append(cellXml(s"${colRef(c)}${r + 1}", v, sid))
         }
         sb.append("</row>")
       }
@@ -109,6 +228,7 @@ object Xlsx {
     }
 
     val n = sheets.size
+    val withStyles = styles.nonEmpty
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -116,6 +236,9 @@ object Xlsx {
         |<Default Extension="xml" ContentType="application/xml"/>
         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
         |""".stripMargin +
+        (if (withStyles)
+          """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" + "\n"
+        else "") +
         (1 to n).map(i =>
           s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
           .mkString("\n") +
@@ -137,8 +260,11 @@ object Xlsx {
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
         |""".stripMargin +
-        (1 to n).map(i =>
-          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+        ((1 to n).map(i =>
+          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""") ++
+          (if (withStyles)
+            Seq(s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""")
+          else Nil))
           .mkString("\n") +
         "\n</Relationships>"
 
@@ -154,6 +280,7 @@ object Xlsx {
       part("_rels/.rels", rels)
       part("xl/workbook.xml", workbook)
       part("xl/_rels/workbook.xml.rels", wbRels)
+      if (withStyles) part("xl/styles.xml", stylesXml)
       sheets.zipWithIndex.foreach { case ((_, tables), i) =>
         part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(tables))
       }

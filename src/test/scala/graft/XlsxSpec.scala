@@ -52,6 +52,81 @@ class XlsxSpec extends AnyFunSuite {
     assert(t.equalsTable(back))
   }
 
+  test("styled write round-trips and produces a valid styles.xml (test_excel.py styles=True)") {
+    import graft.io.{XlsxCellStyle, XlsxFont, XlsxStyles}
+    val bundle = CsvReader.readBundleFromString(spark, bundleCsv)
+    val p = Files.createTempDirectory("graft_xlsx").resolve("styled.xlsx")
+    Xlsx.write(bundle.tables, p, styles = Some(XlsxStyles.default))
+
+    // Data survives styling untouched (test_read_write_excel__round_trip_with_styles)
+    val back = Xlsx.readBundle(spark, p)
+    assert(bundle.unique("places_to_go").equalsTable(back.unique("places_to_go")))
+    assert(bundle.unique("spelling_numbers").equalsTable(back.unique("spelling_numbers")))
+
+    // The container carries a schema-valid styles part wired into the rels.
+    val zf = new java.util.zip.ZipFile(p.toFile)
+    def partText(name: String): String = {
+      val e = zf.getEntry(name)
+      assert(e != null, s"missing zip part $name")
+      new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+    }
+    try {
+      val styles = partText("xl/styles.xml")
+      // well-formed XML
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(styles.getBytes("UTF-8")))
+      assert(doc.getDocumentElement.getNodeName == "styleSheet")
+      // reference default spec colors: dark-blue bold name on grey fill
+      assert(styles.contains("FF1F4E78") && styles.contains("FFD9D9D9")
+        && styles.contains("FFF2F2F2") && styles.contains("<b/>"))
+      assert(partText("[Content_Types].xml").contains("/xl/styles.xml"))
+      assert(partText("xl/_rels/workbook.xml.rels").contains("styles.xml"))
+      // name/destination/header rows carry style references; a values row
+      // in the default spec does not (values style is empty)
+      val sheet = partText("xl/worksheets/sheet1.xml")
+      assert(sheet.contains("""<c r="A1" s="""))
+      assert(sheet.contains("""<c r="A2" s="""))
+      assert(!sheet.contains("""<c r="A5" s="""))
+    } finally zf.close()
+  }
+
+  test("transposed styled write centers units and values by default") {
+    import graft.io.XlsxStyles
+    val t = CsvReader.readBundleFromString(spark,
+      "**tr*;\nall\ncol1;-;1;3\ncol2;-;2;4\n").unique("tr")
+    val p = Files.createTempDirectory("graft_xlsx").resolve("trs.xlsx")
+    Xlsx.write(Seq(t), p, styles = Some(XlsxStyles.default))
+    assert(t.equalsTable(Xlsx.readBundle(spark, p).unique("tr")))
+    val zf = new java.util.zip.ZipFile(p.toFile)
+    try {
+      val styles = new String(zf.getInputStream(zf.getEntry("xl/styles.xml"))
+        .readAllBytes(), "UTF-8")
+      assert(styles.contains("""<alignment horizontal="center"/>"""))
+      // transposed value cells (C3 onward) reference a style (centering)
+      val sheet = new String(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml"))
+        .readAllBytes(), "UTF-8")
+      assert(sheet.contains("""<c r="C3" s="""))
+    } finally zf.close()
+  }
+
+  test("sep_lines=2 writes two blank rows between tables (test_write_excel__sep_lines)") {
+    val bundle = CsvReader.readBundleFromString(spark, bundleCsv)
+    val p = Files.createTempDirectory("graft_xlsx").resolve("sep2.xlsx")
+    Xlsx.write(bundle.tables, p, sepLines = 2)
+    val back = Xlsx.readBundle(spark, p)
+    assert(back.size == 2)
+    assert(bundle.unique("places_to_go").equalsTable(back.unique("places_to_go")))
+    val zf = new java.util.zip.ZipFile(p.toFile)
+    try {
+      val sheet = new String(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml"))
+        .readAllBytes(), "UTF-8")
+      // rows 9 and 10 (after the 8-row first table) are the empty separators
+      assert(sheet.contains("""<row r="9"></row><row r="10"></row>"""))
+      assert(sheet.contains("""<row r="11"><c r="A11"""))
+    } finally zf.close()
+  }
+
   test("xml-special and multiline text cells escape correctly") {
     val t = CsvReader.readBundleFromString(spark,
       "**esc\nall\na\ntext\nx<y&z>\"q\"\n").unique("esc")
