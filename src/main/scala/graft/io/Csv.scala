@@ -31,29 +31,33 @@ object CsvReader {
       locationSheet: LocationSheet = NullLocationFile().makeLocationSheet(),
       filter: Option[Blocks.BlockFilter] = None,
       fixer: ParseFixer = new ParseFixer(),
-      issueTracker: InputIssueTracker = new NullInputIssueTracker()
+      issueTracker: InputIssueTracker = new NullInputIssueTracker(),
+      to: String = "pdtable"
   ): Iterator[(BlockType, Block)] = {
     val cellRows: Iterator[Seq[Any]] =
       lines.map(l => l.stripLineEnd.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
-    Blocks.parseBlocks(cellRows, locationSheet, Blocks.defaultHandlers, filter,
+    Blocks.parseBlocks(cellRows, locationSheet, Blocks.handlersFor(to), filter,
       fixer, issueTracker)
   }
 
-  /** Read a StarTable CSV file as a block stream. */
+  /** Read a StarTable CSV file as a block stream. `to` picks the table
+    * parse target: "pdtable" (default), "jsondata", or "cellgrid"
+    * (reference: csv.py:21-117 read_csv's `to`, blocks.py:346-360). */
   def read(
       path: Path,
       sep: String = DefaultSep,
       filter: Option[Blocks.BlockFilter] = None,
       fixer: ParseFixer = new ParseFixer(),
       issueTracker: InputIssueTracker = new NullInputIssueTracker(),
-      loadItem: Option[LoadItem] = None
+      loadItem: Option[LoadItem] = None,
+      to: String = "pdtable"
   ): Iterator[(BlockType, Block)] = {
     val item = loadItem.getOrElse(LoadItem(path.toString, None))
     val sheet = FilesystemLocationFile(path, item).makeLocationSheet()
     val lines = Files.readAllLines(path).iterator()
     parseLines(new Iterator[String] {
       def hasNext = lines.hasNext; def next() = lines.next()
-    }, sep, sheet, filter, fixer, issueTracker)
+    }, sep, sheet, filter, fixer, issueTracker, to)
   }
 
   /** Read from an in-memory string (stream input analog,
@@ -64,10 +68,11 @@ object CsvReader {
       origin: String = "<stream>",
       filter: Option[Blocks.BlockFilter] = None,
       fixer: ParseFixer = new ParseFixer(),
-      issueTracker: InputIssueTracker = new NullInputIssueTracker()
+      issueTracker: InputIssueTracker = new NullInputIssueTracker(),
+      to: String = "pdtable"
   ): Iterator[(BlockType, Block)] =
     parseLines(content.linesIterator, sep,
-      NullLocationFile(origin).makeLocationSheet(), filter, fixer, issueTracker)
+      NullLocationFile(origin).makeLocationSheet(), filter, fixer, issueTracker, to)
 
   /** Read a file straight into a TableBundle, with optional bulk unit
     * normalization applied per table at read time

@@ -359,7 +359,8 @@ object Xlsx {
       sheetNamePattern: Option[scala.util.matching.Regex] = None,
       fixer: ParseFixer = new ParseFixer(),
       issueTracker: InputIssueTracker = new NullInputIssueTracker(),
-      loadItem: Option[LoadItem] = None
+      loadItem: Option[LoadItem] = None,
+      to: String = "pdtable"
   ): Iterator[(BlockType, Block)] = {
     // Pass 1: collect parts (sheets may precede sharedStrings in the zip)
     val sheets = mutable.LinkedHashMap.empty[String, Array[Byte]]
@@ -444,7 +445,7 @@ object Xlsx {
       else {
         val grid = parseSheet(new java.io.ByteArrayInputStream(bytes), shared)
         val sheet = LocationSheet(FilesystemLocationFile(path, item), Some(sheetName))
-        Blocks.parseBlocks(grid.iterator, sheet, Blocks.defaultHandlers, None,
+        Blocks.parseBlocks(grid.iterator, sheet, Blocks.handlersFor(to), None,
           fixer, issueTracker)
       }
     }

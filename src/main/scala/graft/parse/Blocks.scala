@@ -30,6 +30,11 @@ final case class Directive(name: String, lines: Seq[String], origin: Option[Stri
 /** Raw unparsed cell grid (reference: blocks.py:269-270 make_raw_cells). */
 final case class RawCells(grid: Seq[Seq[Any]]) extends Block
 
+/** Table as a JSON-ready data structure — the `to="jsondata"` parse target
+  * (reference: blocks.py:255-266 make_table_json_data): {name, destinations,
+  * columns: {col: {unit, values}}} with NaN/NaT → null, datetime → str. */
+final case class JsonDataBlock(json: graft.io.JsonValue.JsonObject) extends Block
+
 /** A fully parsed table block in columnar form — the analog of the
   * reference's JsonDataPrecursor (reference: blocks.py:116-221). Column order
   * is the file order; `columns(i)` aligns with `units(i)`. Values are
@@ -202,6 +207,50 @@ object Blocks {
     // its legacy behavior is to surface them as raw cells (blocks.py:338-341)
     BlockType.TemplateRow -> ((g, _, _) => Some(RawCells(g)))
   )
+
+  /** ParsedTable → the reference's JsonData shape (blocks.py:255-266):
+    * units fold into per-column objects, values coerce to JSON scalars
+    * (NaN/NaT → null, datetime → str, onoff → bool). */
+  def parsedToJsonData(p: ParsedTable): graft.io.JsonValue.JsonObject = {
+    import graft.io.JsonValue
+    import graft.io.JsonValue._
+    val cols = p.columnNames.zipWithIndex.map { case (c, ci) =>
+      val values = p.columns(ci).toVector.map[JsonValue] {
+        case null                     => JsonNull
+        case d: Double if d.isNaN     => JsonNull
+        case d: Double                => JsonNumber(d)
+        case n: java.lang.Number      => JsonNumber(n.doubleValue())
+        case b: java.lang.Boolean     => JsonBool(b)
+        case ts: java.sql.Timestamp   =>
+          JsonString(graft.io.CsvWriter.formatTimestamp(ts))
+        case s                        => JsonString(s.toString)
+      }
+      c -> (JsonObject(ListMap(
+        "unit" -> JsonString(p.units(ci)),
+        "values" -> JsonArray(values))): JsonValue)
+    }
+    JsonObject(ListMap(
+      "name" -> JsonString(p.name),
+      "destinations" -> JsonObject(
+        ListMap(p.destinations.toSeq.map(d => d -> (JsonNull: JsonValue)): _*)),
+      "columns" -> JsonObject(ListMap(cols: _*))))
+  }
+
+  /** The `to=` TABLE-handler dispatch (reference: blocks.py:346-360
+    * TABLE_HANDLERS + parse_blocks handler setup): "pdtable" → full parse,
+    * "jsondata" → [[JsonDataBlock]], "cellgrid" → [[RawCells]]. */
+  val tableHandlers: Map[String, BlockHandler] = Map(
+    "pdtable" -> ((g, o, f) => Some(parseTableGrid(g, o, f))),
+    "jsondata" -> ((g, o, f) => Some(JsonDataBlock(parsedToJsonData(parseTableGrid(g, o, f))))),
+    "cellgrid" -> ((g, _, _) => Some(RawCells(g)))
+  )
+
+  /** Default handlers with the TABLE handler swapped per `to`; unknown
+    * targets raise like the reference (blocks.py:352-356). */
+  def handlersFor(to: String): Map[BlockType, BlockHandler] =
+    defaultHandlers.updated(BlockType.Table, tableHandlers.getOrElse(to,
+      throw new IllegalArgumentException(
+        s"Unknown parsing output type '$to'; expected one of ${tableHandlers.keys.mkString(", ")}")))
 
   /** Wrap handlers with the early block filter: non-matching TABLE blocks cost
     * only a top-left-cell peek (reference: blocks.py:303-312 _apply_filter;

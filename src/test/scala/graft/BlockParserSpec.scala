@@ -141,6 +141,39 @@ class BlockParserSpec extends AnyFunSuite {
     assert(t.columns(1)(1) == null)
   }
 
+  test("to=jsondata emits the JsonData shape (blocks.py:255-266,348-360)") {
+    import graft.io.JsonValue._
+    val tables = CsvReader.readString(bundleCsv, to = "jsondata").collect {
+      case (BlockType.Table, j: JsonDataBlock) => j.json
+    }.toSeq
+    assert(tables.size == 3)
+    val places = tables.head.fields
+    assert(places("name") == JsonString("places_to_go"))
+    assert(places("destinations").asInstanceOf[JsonObject].fields.keySet == Set("all"))
+    val cols = places("columns").asInstanceOf[JsonObject].fields
+    assert(cols.keys.toSeq == Seq("place", "distance", "is_hot"))
+    val dist = cols("distance").asInstanceOf[JsonObject].fields
+    assert(dist("unit") == JsonString("km"))
+    // wonderland's '-' distance → null; onoff values → booleans
+    assert(dist("values").asInstanceOf[JsonArray].values ==
+      Vector(JsonNumber(0.0), JsonNumber(1.0), JsonNumber(2.0), JsonNull))
+    val hot = cols("is_hot").asInstanceOf[JsonObject].fields
+    assert(hot("values").asInstanceOf[JsonArray].values ==
+      Vector(JsonBool(true), JsonBool(false), JsonBool(true), JsonBool(false)))
+  }
+
+  test("to=cellgrid emits raw cells; unknown target raises (blocks.py:352-356)") {
+    val grids = CsvReader.readString(bundleCsv, to = "cellgrid").collect {
+      case (BlockType.Table, r: RawCells) => r.grid
+    }.toSeq
+    assert(grids.size == 3)
+    assert(grids.head.head.head == "**places_to_go")
+    assert(grids.head(2).take(3) == Seq("place", "distance", "is_hot"))
+    intercept[IllegalArgumentException] {
+      CsvReader.readString(bundleCsv, to = "nonsense").toSeq
+    }
+  }
+
   test("short-row padding keeps typed cells intact (Excel Timestamp survives)") {
     // An Excel-sourced grid carries java.sql.Timestamp cells; padding a
     // short row must append "NaN" WITHOUT stringifying existing cells (a
