@@ -65,4 +65,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"unexpected shuffle in brute-force ANN:\n$plan")
   }
+
+  test("no CartesianProduct or unkeyed nested-loop join in ANY driver query plan") {
+    // The whole 54-query surface: a cartesian product at 100 TB is always a
+    // bug. BroadcastNestedLoopJoin is tolerated only for a broadcast side
+    // (tiny literal frames); plain CartesianProduct never is.
+    graft.SparkEntry.queries.foreach { case (name, q) =>
+      val plan = q(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
+
+  test("simhash signatures are a narrow projection (no explode, no aggregate)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.functions.Dedup.simhashSignatures(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature stage shuffles:\n$plan")
+    assert(!plan.contains("Generate"), s"signature stage explodes:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"signature stage aggregates:\n$plan")
+  }
+
+  test("simhash blocking joins on (blk, key), not on signatures or content") {
+    val plan = graft.queries.PipelineQueries.queries("q_dedup_simhash")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // hash join KEYED on (blk, key) — broadcast at this SF, shuffle at scale;
+    // either is fine as long as the equi-join keys are the block keys
+    assert(plan.contains("HashJoin [blk") || plan.contains("hashpartitioning(blk"),
+      s"blocking join not keyed on (blk, key):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("minhash LSH joins on (band, bucket), distinct-sig collapse shuffles 8-byte keys") {
+    val plan = graft.queries.PipelineQueries.queries("q_dedup_minhash")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin [band") || plan.contains("hashpartitioning(band"),
+      s"LSH join not keyed on (band, bucket):\n$plan")
+    // the distinct-signature collapse shuffles the signature only (no text)
+    assert(plan.contains("hashpartitioning(sig"),
+      s"sig collapse does not shuffle on the signature:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
