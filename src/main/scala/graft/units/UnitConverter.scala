@@ -50,30 +50,90 @@ class BuiltinUnitConverter(
     aliases: Map[String, String] = Map.empty
 ) extends UnitConverter {
 
-  private val defaultAliases: Map[String, String] =
-    Map("meter" -> "m", "metre" -> "m", "mètre" -> "m")
+  private val defaultAliases: Map[String, String] = Map(
+    "meter" -> "m", "metre" -> "m", "mètre" -> "m",
+    "millimeter" -> "mm", "millimetre" -> "mm", "centimeter" -> "cm",
+    "centimetre" -> "cm", "kilometer" -> "km", "kilometre" -> "km",
+    "degC" -> "C", "°C" -> "C", "celsius" -> "C", "degF" -> "F", "°F" -> "F",
+    "fahrenheit" -> "F", "kelvin" -> "K",
+    "gram" -> "g", "kilogram" -> "kg", "tonne" -> "t", "ton" -> "t",
+    "sec" -> "s", "second" -> "s", "minute" -> "min", "hour" -> "h",
+    "day" -> "d",
+    "deg" -> "°", "degree" -> "°", "radian" -> "rad",
+    "pascal" -> "Pa", "newton" -> "N", "joule" -> "J", "watt" -> "W",
+    "liter" -> "L", "litre" -> "L", "percent" -> "%")
 
-  /** unit → (base unit, transform-to-base). Base units map to themselves. */
+  /** unit → (base unit, transform-to-base). Base units map to themselves.
+    * SI base + the practical engineering set the reference's pint converter
+    * (pdtable/units/pint.py:11-74) would resolve — all affine, so every
+    * conversion stays a vectorized Spark expression. */
   private val toBase: Map[String, (String, Affine)] = {
     val core = Map(
       // length
       "mm" -> ("m", Affine(1e-3)),
       "cm" -> ("m", Affine(1e-2)),
       "km" -> ("m", Affine(1e3)),
+      "in" -> ("m", Affine(0.0254)),
+      "ft" -> ("m", Affine(0.3048)),
+      "mi" -> ("m", Affine(1609.344)),
+      "nmi" -> ("m", Affine(1852.0)),
       "m"  -> ("m", Affine.identity),
-      // temperature
+      // temperature (affine!)
       "C" -> ("K", Affine(1.0, 273.15)),
+      "F" -> ("K", Affine(5.0 / 9.0, 255.3722222222222)),
       "K" -> ("K", Affine.identity),
       // mass
       "g"  -> ("kg", Affine(1e-3)),
       "mg" -> ("kg", Affine(1e-6)),
       "t"  -> ("kg", Affine(1e3)),
+      "lb" -> ("kg", Affine(0.45359237)),
       "kg" -> ("kg", Affine.identity),
       // time
       "ms"  -> ("s", Affine(1e-3)),
+      "us"  -> ("s", Affine(1e-6)),
       "min" -> ("s", Affine(60)),
       "h"   -> ("s", Affine(3600)),
+      "d"   -> ("s", Affine(86400)),
       "s"   -> ("s", Affine.identity),
+      // angle
+      "°"    -> ("rad", Affine(math.Pi / 180.0)),
+      "grad" -> ("rad", Affine(math.Pi / 200.0)),
+      "rad"  -> ("rad", Affine.identity),
+      // pressure
+      "kPa"  -> ("Pa", Affine(1e3)),
+      "MPa"  -> ("Pa", Affine(1e6)),
+      "bar"  -> ("Pa", Affine(1e5)),
+      "mbar" -> ("Pa", Affine(1e2)),
+      "atm"  -> ("Pa", Affine(101325.0)),
+      "psi"  -> ("Pa", Affine(6894.757293168361)),
+      "Pa"   -> ("Pa", Affine.identity),
+      // force
+      "kN" -> ("N", Affine(1e3)),
+      "MN" -> ("N", Affine(1e6)),
+      "N"  -> ("N", Affine.identity),
+      // energy
+      "kJ"  -> ("J", Affine(1e3)),
+      "MJ"  -> ("J", Affine(1e6)),
+      "Wh"  -> ("J", Affine(3600.0)),
+      "kWh" -> ("J", Affine(3.6e6)),
+      "cal" -> ("J", Affine(4.184)),
+      "J"   -> ("J", Affine.identity),
+      // power
+      "kW" -> ("W", Affine(1e3)),
+      "MW" -> ("W", Affine(1e6)),
+      "W"  -> ("W", Affine.identity),
+      // volume
+      "mL" -> ("L", Affine(1e-3)),
+      "m3" -> ("L", Affine(1e3)),
+      "L"  -> ("L", Affine.identity),
+      // frequency
+      "kHz" -> ("Hz", Affine(1e3)),
+      "MHz" -> ("Hz", Affine(1e6)),
+      "Hz"  -> ("Hz", Affine.identity),
+      // speed
+      "km/h" -> ("m/s", Affine(1.0 / 3.6)),
+      "kt"   -> ("m/s", Affine(1852.0 / 3600.0)),
+      "m/s"  -> ("m/s", Affine.identity),
       // dimensionless
       "-" -> ("-", Affine.identity),
       "%" -> ("-", Affine(1e-2))

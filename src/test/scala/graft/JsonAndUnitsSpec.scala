@@ -73,6 +73,34 @@ class JsonAndUnitsSpec extends AnyFunSuite {
     assertThrows[UnitConversionError] { c.transform("kg", "m") }
   }
 
+  test("engineering registry: pressure, energy, angle, imperial, speed, F<->C") {
+    val c = BuiltinUnitConverter.default
+    // pressure family converges on Pa
+    assert(c.convert(1.0, "bar") == ((1e5, "Pa")))
+    assert(math.abs(c.transform("psi", "kPa")(1.0) - 6.894757293168361) < 1e-12)
+    assert(c.convert(1.0, "atm")._1 == 101325.0)
+    // energy: kWh -> J and the cal alias path
+    assert(c.convert(1.0, "kWh") == ((3.6e6, "J")))
+    assert(c.transform("cal", "kJ")(1000.0) == 4.184)
+    // angle: degrees (alias "deg"/"degree") -> rad
+    assert(math.abs(c.transform("deg", "rad")(180.0) - math.Pi) < 1e-12)
+    assert(math.abs(c.transform("degree", "grad")(90.0) - 100.0) < 1e-9)
+    // imperial length/mass
+    assert(c.transform("ft", "m")(1.0) == 0.3048)
+    assert(c.transform("in", "cm")(1.0) == 2.54)
+    assert(c.convert(1.0, "lb")._1 == 0.45359237)
+    // affine temperature chain: F -> C round trip
+    assert(math.abs(c.transform("F", "C")(212.0) - 100.0) < 1e-9)
+    assert(math.abs(c.transform("C", "F")(37.0) - 98.6) < 1e-9)
+    // speed
+    assert(math.abs(c.transform("km/h", "m/s")(36.0) - 10.0) < 1e-12)
+    // aliases resolve through canonical()
+    assert(c.convert(1.0, "pascal")._2 == "Pa")
+    assert(c.transform("hour", "minute")(1.0) == 60.0)
+    // dimension mismatch still raises
+    assertThrows[UnitConversionError] { c.transform("Pa", "J") }
+  }
+
   def mmTable: StarTable = CsvReader.readBundleFromString(spark,
     """**lengths
       |all
