@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag training documents
+  * that share word n-grams with an evaluation/benchmark set — the standard
+  * "13-gram overlap" contamination check (public method: GPT-3 appendix C /
+  * The Pile; n is configurable).
+  *
+  * Scale design: benchmark n-grams collapse to DISTINCT 64-bit hashes (a
+  * benchmark is tiny next to a 100 TB corpus, so Catalyst broadcasts it);
+  * the corpus side streams (doc_id, gramHash) pairs out of a narrow
+  * explode — the join shuffles/broadcasts 8-byte hashes, never gram text.
+  * Output is per-contaminated-doc, proportional to the contamination.
+  */
+object Decontamination {
+
+  /** n-gram hashes of a text column as an array (windows of `n` tokens
+    * joined by space, xxhash64'd; short docs = one window, mirroring
+    * Text.shingles). */
+  def ngramHashes(text: Column, n: Int): Column =
+    transform(Text.shingles(text, n), g => xxhash64(g))
+
+  /** (doc_id, n_shared) for every corpus document sharing at least one
+    * word n-gram with `benchmark`; n_shared counts distinct shared grams. */
+  def sharedNgramCounts(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(ngramHashes(col(textCol), n)).as("g"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(col(idCol), explode(ngramHashes(col(textCol), n)).as("g"))
+      .distinct() // per-doc distinct grams so the count is "distinct shared"
+    corpusGrams.join(benchGrams, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Training split minus contaminated docs (≥ `minShared` shared n-grams). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8,
+                    minShared: Long = 1L): DataFrame = {
+    val bad = sharedNgramCounts(corpus, benchmark, idCol, textCol, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** Intra-document repetition: 1 − distinct/total tokens (0 for empty
+    * docs) — high values mark degenerate "aaaa…" spam. */
+  def dupTokenRatio(text: Column): Column = {
+    val toks = Text.tokens(text)
+    val total = size(toks)
+    when(total === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(toks)).cast("double") / total.cast("double"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Dedup, Similarity, Text}
+import graft.functions.{Decontamination, Dedup, Similarity, Text}
 import Tables.star
 
 /** The LLM-training-data-pipeline operator coverage (BASELINE.json north
@@ -77,6 +77,24 @@ object PipelineQueries {
         .orderBy(col("min_count").desc, col("token").asc)
         .limit(20)
     }),
+
+    // Benchmark decontamination: training docs sharing word 4-grams with
+    // the "benchmark" split (doc_id < 10). Shared-gram counts are exact —
+    // the oracle rebuilds the same windows with DuckDB list slicing.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      Decontamination.sharedNgramCounts(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 4)
+    }),
+
+    // Intra-document repetition: duplicate-token mass per doc.
+    "q_doc_repetition" -> ((s, dir) =>
+      star(s, dir, "documents").df.select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        size(array_distinct(Text.tokens(col("text")))).cast(LongType).as("n_distinct"),
+        round(Decontamination.dupTokenRatio(col("text")), 6).as("dup_ratio"))),
 
     // --- fingerprinting ----------------------------------------------------
     "q_doc_fingerprint" -> ((s, dir) =>
@@ -262,6 +280,28 @@ object PipelineQueries {
         |  round(min(CAST(embedding[1] AS DOUBLE)), 6) AS min_d0,
         |  round(max(CAST(embedding[1] AS DOUBLE)), 6) AS max_d0
         |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |              FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+        |  FROM docs, unnest(range(1, greatest(len(toks) - 4, 0) + 2)) AS t(i)
+        |),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+        |SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
+        |FROM grams g JOIN bench b ON g.g = b.g
+        |WHERE g.doc_id >= 10 GROUP BY g.doc_id""".stripMargin,
+
+    "q_doc_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |    END, 6) AS dup_ratio
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents)""".stripMargin,
 
     "q_token_topk" ->
       """SELECT tok AS token, CAST(cnt AS BIGINT) AS min_count FROM (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Dedup, Similarity, Text}
+import graft.functions.{Decontamination, Dedup, Similarity, Text}
 
 /** Semantics of the LLM-pipeline operators on small known inputs. */
 class FunctionsSpec extends AnyFunSuite {
@@ -146,6 +146,31 @@ class FunctionsSpec extends AnyFunSuite {
       threshold = 0.99, dim = 8).collect()
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
     assert(!pairs.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("decontamination flags docs sharing benchmark n-grams, spares clean docs") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox appears here"), // shares "the quick brown fox"
+      (2L, "completely unrelated content about databases and shuffles"),
+      (3L, "the quick brown fox jumps over the lazy dog verbatim copy")
+    ).toDF("doc_id", "text")
+    val hits = Decontamination.sharedNgramCounts(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) == 1L)
+    assert(!hits.contains(2L))
+    assert(hits(3L) == 6L) // all 6 windows of the copied 9-token sentence
+    val clean = Decontamination.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
+  test("dupTokenRatio: 0 for all-distinct, rises with repetition") {
+    val df = Seq("a b c d", "a a a a", "a b a b", "").toDF("t")
+    val r = df.select(Decontamination.dupTokenRatio(col("t"))).collect().map(_.getDouble(0))
+    assert(r(0) == 0.0)
+    assert(r(1) == 0.75)
+    assert(r(2) == 0.5)
   }
 
   test("fingerprints are stable and distinct") {
