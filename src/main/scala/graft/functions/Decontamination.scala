@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
-  /** n-gram hashes of a text column as an array (windows of `n` tokens
-    * joined by space, xxhash64'd; short docs = one window, mirroring
-    * Text.shingles). */
+  /** n-gram window identities of a text column as an array of 64-bit
+    * hashes — one fused codegen pass (tokenize → per-token hash → window
+    * fold), no window strings and no interpreted HOFs. Token sequences
+    * biject with their joined grams, so distinct-hash counts equal
+    * distinct-gram counts modulo 64-bit collisions. Short docs = one
+    * window, mirroring Text.shingles. */
   def ngramHashes(text: Column, n: Int): Column =
-    transform(Text.shingles(text, n), g => xxhash64(g))
+    graft.functions.expressions.MinHashExpression
+      .ngramWindowHashes(Text.tokens(text), n)
 
   /** (doc_id, n_shared) for every corpus document sharing at least one
     * word n-gram with `benchmark`; n_shared counts distinct shared grams. */

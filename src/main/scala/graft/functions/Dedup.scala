@@ -220,31 +220,44 @@ object Dedup {
 
   /** Blocking + verify + expansion over precomputed (id, sig) rows; see
     * [[simhashCandidates]]. Exposed for reuse and for candidate-volume
-    * testing. */
+    * testing.
+    *
+    * The block count adapts to the radius: more, narrower blocks let the
+    * per-block neighbor budget q = ⌊r/B⌋ stay at 1 instead of 2+, which
+    * shrinks the probe-side mask explosion ~8× (e.g. r=8: 5×~C(13,≤1)=69
+    * probe structs vs 4×C(16,≤2)=548) at a comparable per-block collision
+    * rate. */
   def simhashCandidatesFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16,
       s"maxHamming must be in [0, 16), got $maxHamming")
-    val nBlocks = 4
+    val nBlocks =
+      if (maxHamming <= 3) 4        // q=0: exact 16-bit blocks
+      else if (maxHamming <= 9) 5   // q=1: ~13-bit blocks, ≤14 masks each
+      else if (maxHamming <= 13) 7  // q=1: ~9-bit blocks
+      else 8                        // q=1: 8-bit blocks
     val q = maxHamming / nBlocks
-    val masks = xorMasks(16, q)
+    val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
+    def blockWidth(b: Int): Int = bounds(b + 1) - bounds(b)
+    def blockMask(b: Int): Long =
+      if (blockWidth(b) == 64) -1L else (1L << blockWidth(b)) - 1
+    def blockKey(sig: Column, b: Int): Column =
+      shiftright(sig, bounds(b)).bitwiseAND(lit(blockMask(b)))
     val distinctSigs = sigs.select(col("sig")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def blockKey(sig: Column, b: Int): Column =
-      shiftright(sig, 16 * b).bitwiseAND(lit(0xFFFFL))
     val build = distinctSigs.select(col("sig").as("sigB"),
         explode(array((0 until nBlocks).map(b =>
           struct(lit(b).as("blk"), blockKey(col("sig"), b).as("key"))): _*)).as("bk"))
       .select(col("sigB"), col("bk.blk").as("blk"), col("bk.key").as("key"))
-    // The mask set rides along as a LITERAL ARRAY exploded per block row —
-    // building C(16,≤q) xor expressions instead (697 at q=3) overflows
-    // Janino's method limit and drops the stage out of codegen.
+    // One struct per (block, XOR mask of popcount ≤ q) — ~70 total at any
+    // supported radius, fused into a single explode.
+    val probeStructs = (0 until nBlocks).flatMap { b =>
+      xorMasks(blockWidth(b), q).map(m =>
+        struct(lit(b).as("blk"), blockKey(col("sig"), b).bitwiseXOR(lit(m)).as("key")))
+    }
     val probe = distinctSigs.select(col("sig").as("sigA"),
-        explode(array((0 until nBlocks).map(b =>
-          struct(lit(b).as("blk"), blockKey(col("sig"), b).as("key"))): _*)).as("bk"))
-      .select(col("sigA"), col("bk.blk").as("blk"), col("bk.key").as("key0"),
-        explode(typedLit(masks)).as("m"))
-      .select(col("sigA"), col("blk"), col("key0").bitwiseXOR(col("m")).as("key"))
-    // Dedup WITHOUT a distinct shuffle: a pair can match in up to 4 blocks,
+        explode(array(probeStructs: _*)).as("bk"))
+      .select(col("sigA"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    // Dedup WITHOUT a distinct shuffle: a pair can match in several blocks,
     // so keep only its LEFTMOST matching block — every earlier block must
     // disagree by more than q. Combined with the sigA <= sigB direction
     // filter (which keeps the (s,s) self-pair for identical-sig expansion)
@@ -252,7 +265,7 @@ object Dedup {
     // exactly once; the join output is filtered narrowly, never shuffled.
     val xorSig = col("sigA").bitwiseXOR(col("sigB"))
     def blockHamming(b: Int): Column =
-      bit_count(shiftright(xorSig, 16 * b).bitwiseAND(lit(0xFFFFL)))
+      bit_count(shiftright(xorSig, bounds(b)).bitwiseAND(lit(blockMask(b))))
     val leftmost = (0 until nBlocks - 1)
       .map(bp => col("blk") <= bp || blockHamming(bp) > q)
       .reduce(_ && _)

@@ -191,6 +191,91 @@ case class MinHashOfTokens(child: Expression, shingleSize: Int, numHashes: Int, 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Hashes of every `shingleSize`-token window of a token array — one
+  * 64-bit identity per window, computed with the same one-pass
+  * token-hash + order-dependent FNV fold as [[MinHashOfTokens]] (no window
+  * strings are built). Token sequences are in bijection with their
+  * joined-string grams (tokens cannot contain whitespace), so counting
+  * distinct window hashes ≡ counting distinct n-gram strings, modulo
+  * 64-bit collisions. Documents shorter than `shingleSize` produce one
+  * window over all tokens (mirroring Text.shingles).
+  */
+case class NgramWindowHashes(child: Expression, shingleSize: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val tokH = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      tokH(i) = if (arr.isNullAt(i)) 0L else {
+        val s = arr.getUTF8String(i)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+      }
+      i += 1
+    }
+    val nWin = math.max(1, nTok - shingleSize + 1)
+    val out = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var combo = 0x9E3779B97F4A7C15L
+      var j = w
+      val end = math.min(w + shingleSize, nTok)
+      while (j < end) { combo = (combo ^ tokH(j)) * 0x100000001B3L; j += 1 }
+      out(w) = combo
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val w = ctx.freshName("w"); val nTok = ctx.freshName("nTok")
+      val tokH = ctx.freshName("tokH"); val outArr = ctx.freshName("outArr")
+      val nWin = ctx.freshName("nWin"); val combo = ctx.freshName("combo")
+      val end = ctx.freshName("end"); val s = ctx.freshName("s")
+      s"""
+         |int $nTok = $a.numElements();
+         |long[] $tokH = new long[$nTok];
+         |for (int $i = 0; $i < $nTok; $i++) {
+         |  if ($a.isNullAt($i)) { $tokH[$i] = 0L; } else {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    $tokH[$i] = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
+         |  }
+         |}
+         |int $nWin = java.lang.Math.max(1, $nTok - $shingleSize + 1);
+         |long[] $outArr = new long[$nWin];
+         |for (int $w = 0; $w < $nWin; $w++) {
+         |  long $combo = 0x9E3779B97F4A7C15L;
+         |  int $end = java.lang.Math.min($w + $shingleSize, $nTok);
+         |  for (int $j = $w; $j < $end; $j++) {
+         |    $combo = ($combo ^ $tokH[$j]) * 0x100000001B3L;
+         |  }
+         |  $outArr[$w] = $combo;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($outArr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Number of equal slots between two equal-length long-array signatures —
   * the MinHash Jaccard-estimate numerator.
   *
@@ -256,4 +341,8 @@ object MinHashExpression {
   def signatureAgreement(sigA: Column, sigB: Column): Column =
     ColumnBridge.column(SignatureAgreement(
       ColumnBridge.expression(sigA), ColumnBridge.expression(sigB)))
+
+  def ngramWindowHashes(tokens: Column, shingleSize: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(NgramWindowHashes(
+      ColumnBridge.expression(tokens), shingleSize, seed))
 }
