@@ -100,6 +100,60 @@ object Similarity {
       array_max(array(sims: _*)).getField("list").as("ivf_list"))
   }
 
+  /** Distributed Lloyd's k-means over the embedding column — the clustering
+    * primitive behind real IVF training and corpus topic bucketing.
+    *
+    * Scale shape per iteration: one narrow pass assigns each vector to its
+    * nearest centroid (codegen'd dot products against literal centroids,
+    * dist² = |x|² − 2x·c + |c|²), then the centroid update is a posexplode
+    * → groupBy(cluster, dim) partial-aggregated sum — the shuffle carries
+    * k×dim partial sums per partition, never vectors. Only the k×dim
+    * centroid table ever reaches the driver.
+    *
+    * Determinism: centroid sums use DECIMAL(28,10) (float-sum order
+    * independence), init is the k lowest-id vectors, distance ties break
+    * toward the lower cluster index — same clustering on every run and any
+    * partitioning.
+    *
+    * Returns (assignments (id, cluster), final centroids, per-iteration
+    * decimal-exact inertia). */
+  def kmeans(df: DataFrame, embCol: String, idCol: String,
+             k: Int, dim: Int, iters: Int = 5): (DataFrame, Array[Array[Double]], Seq[Double]) = {
+    import org.apache.spark.sql.types.DecimalType
+    var centroids: Array[Array[Double]] =
+      df.orderBy(col(idCol)).limit(k).select(col(embCol)).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(centroids.length == k, s"need at least $k vectors, got ${centroids.length}")
+    val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val distStructs = centroids.zipWithIndex.map { case (c, i) =>
+        val cNormSq = c.map(x => x * x).sum
+        val d2 = dot(col(embCol), array(c.map(x => lit(x.toFloat)): _*)) * lit(-2.0) + lit(cNormSq)
+        struct(d2.as("d"), lit(i).as("c"))
+      }
+      val best = array_min(array(distStructs.toIndexedSeq: _*))
+      assigned = df.select(col(idCol), col(embCol),
+        best.getField("c").as("cluster"),
+        (best.getField("d") + dot(col(embCol), col(embCol))).as("dist2"))
+      // decimal-exact centroid sums: k×dim rows after the partial agg
+      val sums = assigned
+        .select(col("cluster"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v").cast(DecimalType(28, 10))).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val cl = r.getInt(0); val pos = r.getInt(1)
+        next(cl)(pos) = r.getDecimal(2).doubleValue() / r.getLong(3)
+      }
+      centroids = next
+      inertias += assigned
+        .agg(sum(col("dist2").cast(DecimalType(28, 10)))).head().getDecimal(0).doubleValue()
+    }
+    (assigned.select(col(idCol), col("cluster")), centroids, inertias.toSeq)
+  }
+
   /** Persist an IVF index: vectors written partitioned by their coarse list,
     * so a probe reads only `nprobe` partitions of a 100 TB index instead of
     * scanning it (directory-level partition pruning — verified by PlanSpec's

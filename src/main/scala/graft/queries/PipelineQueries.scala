@@ -184,6 +184,15 @@ object PipelineQueries {
         .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // Distributed Lloyd's k-means cluster sizes (no oracle: iterative
+    // float arithmetic; determinism + convergence asserted in KmeansSpec).
+    "q_emb_kmeans" -> ((s, dir) => {
+      val emb = star(s, dir, "embeddings").df
+      val (assign, _, _) = Similarity.kmeans(emb, "embedding", "vec_id",
+        k = 8, dim = 64, iters = 3)
+      assign.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    }),
+
     // IVF coarse assignment counts (no oracle: seeded anchors are ours).
     "q_emb_ivf" -> ((s, dir) =>
       Similarity.ivfAssign(star(s, dir, "embeddings").df, "embedding", "vec_id",

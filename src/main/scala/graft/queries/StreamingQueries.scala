@@ -32,6 +32,15 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).as("n_events"))),
 
+    // Watermarked streaming dedup (bounded state), run incrementally in
+    // Append mode; survivors aggregated in batch for the parity oracle.
+    "q_stream_dedup" -> ((s, dir) =>
+      EventStreams.runToBatch(s,
+        EventStreams.dedupedEvents(EventStreams.readStream(s, dir)),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))),
+
     // Multimodal: binary payload + real byte-length metadata (decode STUB
     // provides format/dims — excluded here so the oracle is exact).
     "q_multimodal_bytes" -> ((s, dir) => {
@@ -82,6 +91,12 @@ object StreamingQueries {
 
     "q_multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n FROM (
+        |  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+        |  FROM events
+        |) GROUP BY event_type""".stripMargin
   )
 }

@@ -54,6 +54,17 @@ object EventStreams {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Watermarked streaming deduplication: one surviving event per
+    * (user, event_type, minute) — dropDuplicates keeps per-key state only
+    * until the watermark passes, so state is bounded by the lateness
+    * horizon, not the stream length. Same code runs in batch for the
+    * parity oracle. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .dropDuplicates("user_id", "event_type", "minute")
+
   /** Sessions per user (count of session windows). */
   def sessionCounts(events: DataFrame): DataFrame =
     sessionWindows(events)

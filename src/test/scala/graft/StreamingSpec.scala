@@ -32,6 +32,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(users == batchEvents.select("user_id").distinct().count())
   }
 
+  test("streamed watermarked dedup equals batch distinct") {
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.dedupedEvents(EventStreams.readStream(spark, sfDir)),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = EventStreams.dedupedEvents(batchEvents)
+    assert(streamed.count() == batch.count())
+    val sKeys = streamed.select("user_id", "event_type", "minute")
+    val bKeys = batch.select("user_id", "event_type", "minute")
+    assert(sKeys.exceptAll(bKeys).isEmpty && bKeys.exceptAll(sKeys).isEmpty)
+  }
+
   test("flatMapGroupsWithState running stats reach batch totals") {
     val out = EventStreams.runToBatch(spark,
       EventStreams.runningUserStats(spark, EventStreams.readStream(spark, sfDir)),
