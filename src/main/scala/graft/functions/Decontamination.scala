@@ -59,4 +59,19 @@ object Decontamination {
     when(total === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(toks)).cast("double") / total.cast("double"))
   }
+
+  /** Deterministic content-hash split assignment: bucket 0..99 derived from
+    * the md5 of a key column. Unlike seeded `sample()`, the split is a pure
+    * function of the data — reproducible across engines, runs, partitionings
+    * and cluster sizes, which is what train/validation/test carving of a
+    * 100 TB corpus actually requires (md5 because every engine computes the
+    * same bytes; the cost is off the hot path). */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** The rows whose hash bucket falls in [lo, hi) — e.g. (0,90) train,
+    * (90,95) validation, (95,100) test; the three calls partition the
+    * corpus exactly. */
+  def hashSplit(df: DataFrame, keyCol: String, lo: Int, hi: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol)) >= lo && hashBucket(col(keyCol)) < hi)
 }

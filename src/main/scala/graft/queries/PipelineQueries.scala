@@ -88,6 +88,19 @@ object PipelineQueries {
         "doc_id", "text", n = 4)
     }),
 
+    // Deterministic content-hash train/validation/test split (90/5/5):
+    // a pure function of doc_id, identical across engines and runs.
+    "q_doc_split" -> ((s, dir) =>
+      star(s, dir, "documents").df
+        .select(col("doc_id"),
+          Decontamination.hashBucket(col("doc_id")).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "validation")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"))),
+
     // Intra-document repetition: duplicate-token mass per doc.
     "q_doc_repetition" -> ((s, dir) =>
       star(s, dir, "documents").df.select(
@@ -301,6 +314,16 @@ object PipelineQueries {
         |SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id >= 10 GROUP BY g.doc_id""".stripMargin,
+
+    "q_doc_split" ->
+      """SELECT CASE WHEN b < 90 THEN 'train'
+        |            WHEN b < 95 THEN 'validation'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM (SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |        AS INTEGER) % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
 
     "q_doc_repetition" ->
       """SELECT doc_id,

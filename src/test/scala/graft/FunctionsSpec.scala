@@ -165,6 +165,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(clean == Set(2L))
   }
 
+  test("hashSplit partitions the corpus exactly and reproducibly") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = Decontamination.hashSplit(df, "doc_id", 0, 90)
+    val valid = Decontamination.hashSplit(df, "doc_id", 90, 95)
+    val test = Decontamination.hashSplit(df, "doc_id", 95, 100)
+    assert(train.count() + valid.count() + test.count() == df.count())
+    assert(train.join(valid, "doc_id").count() == 0)
+    // reproducible: same rows on a different partitioning
+    val train2 = Decontamination.hashSplit(df.repartition(13), "doc_id", 0, 90)
+    assert(train.select("doc_id").exceptAll(train2.select("doc_id")).isEmpty)
+  }
+
   test("dupTokenRatio: 0 for all-distinct, rises with repetition") {
     val df = Seq("a b c d", "a a a a", "a b a b", "").toDF("t")
     val r = df.select(Decontamination.dupTokenRatio(col("t"))).collect().map(_.getDouble(0))
