@@ -32,6 +32,19 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).as("n_events"))),
 
+    // Stream-stream interval join run incrementally (purchases joined to
+    // same-user errors within the prior 30 min; watermark-bounded state).
+    "q_stream_join" -> ((s, dir) => {
+      val src = EventStreams.readStream(s, dir)
+      EventStreams.runToBatch(s,
+        EventStreams.purchaseErrorJoin(
+          src.filter(col("event_type") === "purchase"),
+          src.filter(col("event_type") === "error")),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Watermarked streaming dedup (bounded state), run incrementally in
     // Append mode; survivors aggregated in batch for the parity oracle.
     "q_stream_dedup" -> ((s, dir) =>
@@ -92,6 +105,17 @@ object StreamingQueries {
     "q_multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT p.user_id, count(*) AS n_pairs
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND e.ts >= p.ts - INTERVAL 30 MINUTE
+        | AND e.ts <= p.ts
+        |GROUP BY p.user_id""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n FROM (

@@ -65,6 +65,27 @@ object EventStreams {
       .withColumn("minute", date_trunc("minute", col("ts")))
       .dropDuplicates("user_id", "event_type", "minute")
 
+  /** Stream-stream interval join: each purchase joined to the SAME USER's
+    * error events from the preceding `windowMinutes` — the watermark bounds
+    * both join-state buffers, so state is O(lateness × rate), not O(stream).
+    * Inner equi-join + event-time interval condition is exactly the shape
+    * Structured Streaming can run incrementally; identical code runs in
+    * batch for the parity oracle. */
+  def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame,
+                        windowMinutes: Int = 30): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
+      col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val e = errors.select(col("event_id").as("e_id"),
+      col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    p.join(e,
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("e_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("e_id"), col("e_ts"))
+  }
+
   /** Sessions per user (count of session windows). */
   def sessionCounts(events: DataFrame): DataFrame =
     sessionWindows(events)

@@ -43,6 +43,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(sKeys.exceptAll(bKeys).isEmpty && bKeys.exceptAll(sKeys).isEmpty)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.filter(col("event_type") === "purchase"),
+        df.filter(col("event_type") === "error"))
+    val (sp, se) = split(EventStreams.readStream(spark, sfDir))
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.purchaseErrorJoin(sp, se),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val (bp, be) = split(batchEvents)
+    val batch = EventStreams.purchaseErrorJoin(bp, be)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("flatMapGroupsWithState running stats reach batch totals") {
     val out = EventStreams.runToBatch(spark,
       EventStreams.runningUserStats(spark, EventStreams.readStream(spark, sfDir)),
