@@ -109,6 +109,23 @@ object PipelineQueries {
         size(array_distinct(Text.tokens(col("text")))).cast(LongType).as("n_distinct"),
         round(Decontamination.dupTokenRatio(col("text")), 6).as("dup_ratio"))),
 
+    // Grouped top-k via the bounded-heap aggregate (map-side combine, O(k)
+    // state per group) — the scale-correct form of "top N docs per language
+    // by quality"; exact oracle via a window in DuckDB.
+    "q_top_docs_per_lang" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val score = round(
+        least(length(col("text")).cast(DoubleType) / lit(500.0), lit(1.0)) * lit(0.5) +
+          least(Text.stopwordRatio(col("text"), enStop) * lit(5.0), lit(1.0)) * lit(0.5),
+        6)
+      docs.select(col("lang"), col("doc_id"), score.as("score"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.expressions.TopKByKey
+          .topK(col("score"), col("doc_id"), 3).as("top"))
+        .select(col("lang"), explode(col("top")).as("t"))
+        .select(col("lang"), col("t.id").as("doc_id"), col("t.score").as("score"))
+    }),
+
     // --- fingerprinting ----------------------------------------------------
     "q_doc_fingerprint" -> ((s, dir) =>
       star(s, dir, "documents").df
@@ -314,6 +331,23 @@ object PipelineQueries {
         |SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id >= 10 GROUP BY g.doc_id""".stripMargin,
+
+    "q_top_docs_per_lang" ->
+      """SELECT lang, doc_id, score FROM (
+        |  SELECT lang, doc_id, score,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM (
+        |    SELECT lang, doc_id,
+        |      round(least(length(text) / 500.0, 1.0) * 0.5 +
+        |        least(CASE WHEN len(toks) = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE)
+        |            / len(toks) END * 5.0, 1.0) * 0.5, 6) AS score
+        |    FROM (SELECT lang, doc_id, text,
+        |            string_split_regex(trim(text), '\s+') AS toks
+        |          FROM documents)
+        |  )
+        |) WHERE rn <= 3""".stripMargin,
 
     "q_doc_split" ->
       """SELECT CASE WHEN b < 90 THEN 'train'

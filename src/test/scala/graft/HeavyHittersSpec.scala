@@ -52,6 +52,32 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(mustHave.subsetOf(m.keySet.toSet))
   }
 
+  test("TopKPairs equals the window formulation and is partition-independent") {
+    import graft.functions.expressions.TopKByKey
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2000).map(i =>
+      (s"g${i % 7}", rnd.nextInt(50).toDouble, i.toLong))
+    val df = rows.toDF("g", "score", "id")
+    def viaAgg(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy("g").agg(TopKByKey.topK(col("score"), col("id"), 5).as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t.score"), col("t.id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("g", "score", "id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaAgg(df) == viaWindow)
+    assert(viaAgg(df.repartition(17)) == viaWindow) // partitioning-independent
+    // plan: partial (map-side) object-hash aggregation, no Window sort
+    val plan = df.groupBy("g").agg(TopKByKey.topK(col("score"), col("id"), 5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_"),
+      s"no map-side combine:\n$plan")
+    assert(!plan.contains("Window"))
+  }
+
   test("capacity above the vocabulary makes the sketch exact (q_token_topk contract)") {
     // q_token_topk's oracle requires EXACT counts, which Misra-Gries
     // guarantees iff the buffer never evicts — i.e. capacity ≥ distinct
