@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{FloatVecCosine, FloatVecDot, MinHashArray}
+import graft.functions.expressions.{BpeIshTokenCount, FloatVecCosine, FloatVecDot,
+  JaccardSimilarity, MinHashArray, MinHashOfTokens, NgramWindowHashes,
+  SignatureAgreement, SimHashOfTokens}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql(...)` users get them
@@ -16,6 +18,12 @@ import graft.functions.expressions.{FloatVecCosine, FloatVecDot, MinHashArray}
   *   - graft_cosine(a, b) — fused cosine similarity over float/double arrays
   *   - graft_dot(a, b)    — fused dot product
   *   - graft_minhash(hashes, k, seed) — k-minima minhash signature
+  *   - graft_minhash_tokens(tokens, shingleSize, k, seed) — fused tokens→sig
+  *   - graft_simhash(tokens, seed) — fused 64-bit simhash
+  *   - graft_sig_agreement(a, b) — equal-slot count of two signatures
+  *   - graft_jaccard(a, b) — set Jaccard of two string arrays
+  *   - graft_bpeish_count(tokens) — BPE-ish subword count
+  *   - graft_ngram_hashes(tokens, n, seed) — n-gram window hashes
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -45,6 +53,29 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashArray].getName, "graft_minhash"),
       (args: Seq[Expression]) =>
         MinHashArray(args(0), intLit(args(1), "numHashes"),
+          intLit(args(2), "seed").toLong)),
+    "graft_minhash_tokens" -> (
+      new ExpressionInfo(classOf[MinHashOfTokens].getName, "graft_minhash_tokens"),
+      (args: Seq[Expression]) =>
+        MinHashOfTokens(args(0), intLit(args(1), "shingleSize"),
+          intLit(args(2), "numHashes"), intLit(args(3), "seed").toLong)),
+    "graft_simhash" -> (
+      new ExpressionInfo(classOf[SimHashOfTokens].getName, "graft_simhash"),
+      (args: Seq[Expression]) =>
+        SimHashOfTokens(args(0), intLit(args(1), "seed").toLong)),
+    "graft_sig_agreement" -> (
+      new ExpressionInfo(classOf[SignatureAgreement].getName, "graft_sig_agreement"),
+      (args: Seq[Expression]) => SignatureAgreement(args(0), args(1))),
+    "graft_jaccard" -> (
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "graft_jaccard"),
+      (args: Seq[Expression]) => JaccardSimilarity(args(0), args(1))),
+    "graft_bpeish_count" -> (
+      new ExpressionInfo(classOf[BpeIshTokenCount].getName, "graft_bpeish_count"),
+      (args: Seq[Expression]) => BpeIshTokenCount(args(0))),
+    "graft_ngram_hashes" -> (
+      new ExpressionInfo(classOf[NgramWindowHashes].getName, "graft_ngram_hashes"),
+      (args: Seq[Expression]) =>
+        NgramWindowHashes(args(0), intLit(args(1), "n"),
           intLit(args(2), "seed").toLong))
   )
 

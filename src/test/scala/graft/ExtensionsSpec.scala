@@ -17,6 +17,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 16)
   }
 
+  test("round-2 graft_* functions: simhash/jaccard/agreement/bpeish/ngrams from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash(array('a', 'b'), 42) AS sh,
+        |       graft_jaccard(array('a', 'b', 'c'), array('b', 'c', 'd')) AS j,
+        |       graft_sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS agree,
+        |       graft_bpeish_count(array('short', 'a', 'sevenchars')) AS bpe,
+        |       size(graft_ngram_hashes(array('a', 'b', 'c'), 2, 42)) AS ng,
+        |       size(graft_minhash_tokens(array('a', 'b', 'c'), 2, 8, 42)) AS mh
+        |""".stripMargin).head()
+    assert(r.getLong(0) != 0L)
+    assert(r.getDouble(1) == 0.5)
+    assert(r.getInt(2) == 2)
+    assert(r.getLong(3) == 2 + 1 + 3) // ceil(5/4)+ceil(1/4)+ceil(10/4)
+    assert(r.getInt(4) == 2)
+    assert(r.getInt(5) == 8)
+  }
+
   test("extensions class wires into a fresh session builder") {
     // verify the SparkSessionExtensions path compiles/applies (shares the
     // local metastore, so reuse the active session's context)
