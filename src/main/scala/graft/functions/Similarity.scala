@@ -136,8 +136,12 @@ object Similarity {
       assigned = df.select(col(idCol), col(embCol),
         best.getField("c").as("cluster"),
         (best.getField("d") + dot(col(embCol), col(embCol))).as("dist2"))
+      // one materialization per iteration serves both the centroid sums
+      // and the inertia aggregate
+      val cached = assigned
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // decimal-exact centroid sums: k×dim rows after the partial agg
-      val sums = assigned
+      val sums = cached
         .select(col("cluster"), posexplode(col(embCol)).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("v").cast(DecimalType(28, 10))).as("s"), count(lit(1)).as("n"))
@@ -148,8 +152,9 @@ object Similarity {
         next(cl)(pos) = r.getDecimal(2).doubleValue() / r.getLong(3)
       }
       centroids = next
-      inertias += assigned
+      inertias += cached
         .agg(sum(col("dist2").cast(DecimalType(28, 10)))).head().getDecimal(0).doubleValue()
+      cached.unpersist()
     }
     (assigned.select(col(idCol), col("cluster")), centroids, inertias.toSeq)
   }
