@@ -102,6 +102,38 @@ class DedupGraphSpec extends AnyFunSuite {
     assert(after - before <= 3, s"cached RDDs grew by ${after - before}")
   }
 
+  test("property: MIH blocking is exact for random signatures at radii 0..12") {
+    // 200 random sigs + planted near pairs; candidates must equal the
+    // brute-force pair set at every radius band the adaptive blocker uses.
+    val rnd = new scala.util.Random(1234)
+    val base = (0 until 200).map(i => (i.toLong, rnd.nextLong()))
+    // plant near-duplicates at controlled distances off existing sigs
+    def flipBits(s: Long, n: Int): Long = {
+      var x = s
+      val picked = scala.collection.mutable.Set.empty[Int]
+      while (picked.size < n) picked += rnd.nextInt(64)
+      picked.foreach(b => x ^= 1L << b)
+      x
+    }
+    val planted = (0 until 40).map { i =>
+      val (_, s) = base(rnd.nextInt(base.size))
+      (1000L + i, flipBits(s, rnd.nextInt(13)))
+    }
+    val all = base ++ planted
+    val sigsDf = all.toDF("id", "sig")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (r <- Seq(0, 2, 3, 5, 8, 12)) {
+      val truth = (for {
+        (ia, sa) <- all; (ib, sb) <- all
+        if ia < ib && ham(sa, sb) <= r
+      } yield (ia, ib)).toSet
+      val got = Dedup.simhashCandidatesFromSigs(sigsDf, maxHamming = r)
+        .select("idA", "idB").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == truth, s"radius $r: got ${got.size}, truth ${truth.size}")
+    }
+  }
+
   test("simhash blocking at radius r finds all pairs within r") {
     // construct docs, compute true pairwise hamming, compare with candidates
     val docs = Seq(

@@ -78,6 +78,30 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(!plan.contains("Window"))
   }
 
+  test("property: TopKBuffer equals sort-take under random inserts and merges") {
+    import graft.functions.expressions.TopKBuffer
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 50) {
+      val k = 1 + rnd.nextInt(8)
+      val items = (0 until rnd.nextInt(200)).map(i =>
+        (rnd.nextInt(20).toDouble, rnd.nextInt(1000).toLong))
+      // split into random partial buffers, then merge — simulating map-side
+      // combine across arbitrary partitionings
+      val buffers = items.grouped(1 + rnd.nextInt(20)).map { chunk =>
+        val b = new TopKBuffer(k)
+        chunk.foreach { case (s, i) => b.offer(s, i) }
+        b
+      }.toSeq
+      val merged = buffers.headOption.getOrElse(new TopKBuffer(k))
+      buffers.drop(1).foreach(merged.mergeFrom)
+      val got = merged.sortedBestFirst.toSeq
+      // duplicate (score,id) pairs stay separate entries, exactly as the
+      // aggregate would see separate input rows
+      val expected = items.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(got == expected, s"trial $trial k=$k")
+    }
+  }
+
   test("capacity above the vocabulary makes the sketch exact (q_token_topk contract)") {
     // q_token_topk's oracle requires EXACT counts, which Misra-Gries
     // guarantees iff the buffer never evicts — i.e. capacity ≥ distinct
