@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 connector: spark.read.format("startable"). */
+class StarTableSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val fileA: String =
+    """**places
+      |all
+      |place;distance;ETA;is_hot
+      |text;km;datetime;onoff
+      |home;0;2020-08-04 08:00;1
+      |work;1;2020-08-04 09:00;0
+      |
+      |**other
+      |all
+      |x
+      |-
+      |42
+      |""".stripMargin
+  val fileB: String =
+    """**places
+      |all
+      |place;distance;ETA;is_hot
+      |text;km;datetime;onoff
+      |beach;2;2020-08-04 17:00;1
+      |dunes;-;-;0
+      |""".stripMargin
+
+  def writeDir(): String = {
+    val dir = Files.createTempDirectory("graft_dsv2")
+    Files.writeString(dir.resolve("a.csv"), fileA)
+    Files.writeString(dir.resolve("b.csv"), fileB)
+    dir.toString
+  }
+
+  test("reads a directory of StarTable files, one partition per file") {
+    val dir = writeDir()
+    val df = spark.read.format("startable").option("table", "places").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("place", "distance", "ETA", "is_hot"))
+    assert(df.schema("distance").metadata.getString("startable.unit") == "km")
+    assert(df.schema("is_hot").dataType == org.apache.spark.sql.types.BooleanType)
+    assert(df.count() == 4)
+    assert(df.rdd.getNumPartitions == 2)
+    val hot = df.filter(col("is_hot")).select("place")
+      .collect().map(_.getString(0)).toSet
+    assert(hot == Set("home", "beach"))
+    // missing values surface as nulls
+    assert(df.filter(col("distance").isNull).count() == 1)
+  }
+
+  test("column pruning reaches the scan (pushed into the parse)") {
+    val dir = writeDir()
+    val df = spark.read.format("startable").option("table", "places").load(dir)
+      .select("place")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("place") && !plan.contains("distance"),
+      s"pruning not visible in scan:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSet ==
+      Set("home", "work", "beach", "dunes"))
+  }
+
+  test("defaults to the first table; explicit name selects the right block") {
+    val dir = writeDir()
+    val first = spark.read.format("startable").load(s"$dir/a.csv")
+    assert(first.schema.fieldNames.head == "place")
+    val other = spark.read.format("startable").option("table", "other")
+      .load(s"$dir/a.csv")
+    assert(other.schema.fieldNames.toSeq == Seq("x"))
+    assert(other.head().getDouble(0) == 42.0)
+  }
+
+  test("SQL access via USING startable") {
+    val dir = writeDir()
+    spark.sql(s"""
+      CREATE OR REPLACE TEMPORARY VIEW star_places
+      USING startable
+      OPTIONS (path '$dir', `table` 'places')""")
+    val n = spark.sql("SELECT count(*) FROM star_places WHERE is_hot").head().getLong(0)
+    assert(n == 2)
+  }
+}
