@@ -139,6 +139,15 @@ object Text {
     (size(regexp_extract_all(text, lit(emailPattern), lit(0))) +
       size(regexp_extract_all(text, lit(ipPattern), lit(0)))).cast("long")
 
+  /** Canonical text normalization for dedup/fingerprint pipelines:
+    * lowercase, strip punctuation, collapse whitespace runs, trim. Pure
+    * codegen'd string ops with engine-portable regexes (no lookaround, no
+    * unicode classes) so the result is oracle-exact. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\p{Punct}]", ""),
+      "\\s+", " "))
+
   /** Document fingerprint: 64-bit content hash (xxhash64 — codegen'd,
     * seed-stable, the rolling-hash analog for whole-document identity). */
   def fingerprint64(text: Column): Column = xxhash64(text)

@@ -78,6 +78,30 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // Canonical normalization (lower/strip-punct/collapse-ws) + fingerprint
+    // of the normalized form — the dedup-pipeline preprocessing stage.
+    "q_doc_normalize" -> ((s, dir) =>
+      star(s, dir, "documents").df
+        .select(col("doc_id"),
+          Text.normalizeText(col("text")).as("norm"),
+          md5(Text.normalizeText(col("text"))).as("norm_fp"))),
+
+    // One-row corpus summary; the exact-distinct lives in its own pass
+    // joined on a dummy key (mixing count(DISTINCT) into the main aggregate
+    // would Expand-copy the table per aggregate family).
+    "q_corpus_stats" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("sum_chars"),
+        sum(Text.tokenCount(col("text")).cast(LongType)).as("sum_tokens"))
+      val langs = docs.select(col("lang")).distinct()
+        .agg(count(lit(1)).as("n_langs"))
+      base.withColumn("__k", lit(1))
+        .join(langs.withColumn("__k", lit(1)), "__k")
+        .drop("__k")
+    }),
+
     // Benchmark decontamination: training docs sharing word 4-grams with
     // the "benchmark" split (doc_id < 10). Shared-gram counts are exact —
     // the oracle rebuilds the same windows with DuckDB list slicing.
@@ -319,6 +343,23 @@ object PipelineQueries {
         |  round(min(CAST(embedding[1] AS DOUBLE)), 6) AS min_d0,
         |  round(max(CAST(embedding[1] AS DOUBLE)), 6) AS max_d0
         |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_doc_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS norm,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS norm_fp
+        |FROM documents""".stripMargin,
+
+    "q_corpus_stats" ->
+      """SELECT d.n_docs, d.sum_chars, d.sum_tokens, l.n_langs
+        |FROM (SELECT count(*) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |          AS sum_tokens
+        |      FROM documents) d
+        |CROSS JOIN (SELECT count(DISTINCT lang) AS n_langs FROM documents) l""".stripMargin,
 
     "q_decontaminate" ->
       """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
