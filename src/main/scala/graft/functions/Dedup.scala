@@ -62,16 +62,12 @@ object Dedup {
   def minhashSignature(shingles: Column, numHashes: Int, seed: Int = 42): Column =
     minhashFromHashes(shingleHashes(shingles, seed), numHashes, seed)
 
-  /** LSH band keys from a minhash signature: `bands` buckets, each hashing
-    * `rowsPerBand = numHashes/bands` signature slots. Emits an array of
-    * (band, bucketHash) structs ready to explode. */
+  /** LSH band keys from a minhash signature: `bands` buckets, each folding
+    * `rowsPerBand = numHashes/bands` signature slots in one fused codegen
+    * pass (band index = array position; posexplode downstream). */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(array_join(
-          transform(slice(signature, b * rowsPerBand + 1, rowsPerBand),
-            x => x.cast("string")), ",")).as("bucket"))
-    }: _*)
+    graft.functions.expressions.MinHashExpression
+      .bandHashes(signature, bands, rowsPerBand)
 
   /** MinHash+LSH candidate pairs: documents sharing ≥1 LSH band bucket.
     * Returns (idA, idB, jaccardEstimate) with idA < idB, where
@@ -106,8 +102,7 @@ object Dedup {
       .withColumn("sid", xxhash64(col("sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed0 = distinctSig.select(col("sid"), col("sig"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("sid"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     // Optional hard cap on residual oversized buckets (true hash-degenerate
     // groups of distinct signatures). Dropping a bucket only loses a pair
     // if it shares NO other band — a documented recall/cost tradeoff; the

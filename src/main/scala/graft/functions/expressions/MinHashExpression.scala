@@ -191,6 +191,67 @@ case class MinHashOfTokens(child: Expression, shingleSize: Int, numHashes: Int, 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** LSH band-bucket hashes of a minhash signature: element b of the result
+  * folds signature slots [b·rowsPerBand, (b+1)·rowsPerBand) with the
+  * order-dependent FNV combo — the banded-LSH bucketing key, computed
+  * without building per-band strings (the array_join + transform(slice)
+  * formulation is interpreted AND allocates a string per band per row).
+  * Band index = array position. */
+case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var combo = 0x9E3779B97F4A7C15L
+      var j = b * rowsPerBand
+      val end = math.min(j + rowsPerBand, arr.numElements())
+      while (j < end) {
+        combo = (combo ^ (if (arr.isNullAt(j)) 0L else arr.getLong(j))) * 0x100000001B3L
+        j += 1
+      }
+      out(b) = combo
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.freshName("b"); val j = ctx.freshName("j")
+      val end = ctx.freshName("end"); val combo = ctx.freshName("combo")
+      val outArr = ctx.freshName("outArr")
+      s"""
+         |long[] $outArr = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $combo = 0x9E3779B97F4A7C15L;
+         |  int $end = java.lang.Math.min(($b + 1) * $rowsPerBand, $a.numElements());
+         |  for (int $j = $b * $rowsPerBand; $j < $end; $j++) {
+         |    $combo = ($combo ^ ($a.isNullAt($j) ? 0L : $a.getLong($j))) * 0x100000001B3L;
+         |  }
+         |  $outArr[$b] = $combo;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($outArr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hashes of every `shingleSize`-token window of a token array — one
   * 64-bit identity per window, computed with the same one-pass
   * token-hash + order-dependent FNV fold as [[MinHashOfTokens]] (no window
@@ -345,4 +406,8 @@ object MinHashExpression {
   def ngramWindowHashes(tokens: Column, shingleSize: Int, seed: Long = 42L): Column =
     ColumnBridge.column(NgramWindowHashes(
       ColumnBridge.expression(tokens), shingleSize, seed))
+
+  def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(BandHashes(
+      ColumnBridge.expression(signature), bands, rowsPerBand))
 }
