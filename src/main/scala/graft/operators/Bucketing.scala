@@ -39,4 +39,29 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Bucketed persistence for a StarTable: unit metadata rides in the
+    * parquet/catalog schema (StarTable.UnitMetaKey), so the re-read wrapper
+    * recovers units AND same-key joins stay exchange-free. */
+  def writeBucketedStarTable(t: graft.model.StarTable, table: String, path: String,
+                             bucketCol: String, numBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    val withMeta = t.df.select(t.columnNames.map { c =>
+      col(c).as(c, new MetadataBuilder()
+        .putString(graft.model.StarTable.UnitMetaKey, t.unit(c)).build())
+    }: _*)
+    writeBucketed(withMeta, table, path, bucketCol, numBuckets)
+  }
+
+  /** Read a bucketed StarTable back with units restored from the schema. */
+  def readBucketedStarTable(spark: SparkSession, table: String,
+                            name: String): graft.model.StarTable = {
+    val df = spark.table(table)
+    val units = df.schema.fields.collect {
+      case f if f.metadata.contains(graft.model.StarTable.UnitMetaKey) =>
+        f.name -> f.metadata.getString(graft.model.StarTable.UnitMetaKey)
+    }.toMap
+    graft.model.StarTable.fromDataFrame(df, name, units)
+  }
 }

@@ -39,6 +39,29 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("StarTable bucketed round trip keeps units and joins exchange-free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_st").toString
+    val csv =
+      """**weights
+        |all
+        |item;mass
+        |text;kg
+        |a;1
+        |b;2
+        |""".stripMargin
+    val t = graft.io.CsvReader.readBundleFromString(spark, csv).unique("weights")
+    Bucketing.writeBucketedStarTable(t, "b_weights", s"$dir/w", "item", 4)
+    val back = Bucketing.readBucketedStarTable(spark, "b_weights", "weights")
+    assert(back.unit("mass") == "kg")
+    assert(t.equalsTable(back))
+    Bucketing.writeBucketedStarTable(t, "b_weights2", s"$dir/w2", "item", 4)
+    withNoBroadcast {
+      val plan = Bucketing.bucketedJoin(spark, "b_weights", "b_weights2", "item")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"StarTable bucketed join shuffles:\n$plan")
+    }
+  }
+
   test("aggregation on the bucket key needs no exchange either") {
     withNoBroadcast {
       val agg = Bucketing.bucketedTable(spark, "b_lineitem")

@@ -72,6 +72,19 @@ class RoundTripPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random table -> XLSX -> parse -> equalsTable (styled and plain)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_xlsx")
+    var i = 0
+    checkAll(tableGen, 15) { p =>
+      val t = StarTable.fromParsed(spark, p)
+      val path = dir.resolve(s"t$i.xlsx"); i += 1
+      val styles = if (i % 2 == 0) Some(graft.io.XlsxStyles.default) else None
+      graft.io.Xlsx.write(Seq(t), path, styles = styles)
+      val back = graft.io.Xlsx.readBundle(spark, path).unique(p.name)
+      assert(t.equalsTable(back), s"XLSX round-trip failed (styles=$styles) for ${p.name}")
+    }
+  }
+
   test("random table -> JSON -> parse -> equalsTable") {
     checkAll(tableGen, 25) { p =>
       val t = StarTable.fromParsed(spark, p)
