@@ -95,7 +95,29 @@ object Demo {
       .toDF("user_id", "ts", "value")
     graft.operators.Resample.resampleLocf(obs, "user_id", "ts", "value", 3600L).show()
 
-    println("=== 8. the physical plan Catalyst builds ===")
+    println("=== 8. DataSource V2: spark.read.format(\"startable\") ===")
+    val srcDir = java.nio.file.Files.createTempDirectory("demo_src")
+    java.nio.file.Files.writeString(srcDir.resolve("inputs.csv"), bundleCsv)
+    val viaSource = spark.read.format("startable")
+      .option("table", "places_to_go").load(srcDir.toString)
+    println(s"  schema: ${viaSource.schema.map(f =>
+      s"${f.name}[${f.metadata.getString(StarTable.UnitMetaKey)}]").mkString(", ")}")
+
+    println("\n=== 9. decontamination + deterministic split ===")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "report: the quick brown fox jumps over everything"),
+      (2L, "unrelated database shuffle partition text"))
+      .toDF("doc_id", "text")
+    val cleanCorpus = graft.functions.Decontamination
+      .decontaminate(corpus, bench, "doc_id", "text", n = 4)
+    println(s"  2 docs -> ${cleanCorpus.count()} after benchmark decontamination")
+    val trainRows = graft.functions.Decontamination
+      .hashSplit(corpus, "doc_id", 0, 90).count()
+    println(s"  deterministic 90% train split: $trainRows of 2")
+
+    println("\n=== 10. the physical plan Catalyst builds ===")
     hot.df.explain("formatted")
 
     spark.stop()

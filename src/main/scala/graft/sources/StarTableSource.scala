@@ -89,30 +89,32 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
     StarTableSource.resolveFiles(StarTableSource.paths(options)),
     Option(options.get("table")),
     Option(options.get("sep")).getOrElse(";"),
+    Option(options.get("failFast")).exists(_.toBoolean),
     required)
 }
 
 private[sources] class StarTableScan(files: Seq[String], tableName: Option[String],
-                                     sep: String, required: StructType)
+                                     sep: String, failFast: Boolean,
+                                     required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => StarFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new StarTableReaderFactory(tableName, sep, required)
+    new StarTableReaderFactory(tableName, sep, failFast, required)
 }
 
 private[sources] case class StarFilePartition(path: String) extends InputPartition
 
 private[sources] class StarTableReaderFactory(tableName: Option[String], sep: String,
-                                              required: StructType)
+                                              failFast: Boolean, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[StarFilePartition].path
     new PartitionReader[InternalRow] {
       private val rows: Iterator[InternalRow] =
-        StarTableSource.parseNamedTable(path, tableName, sep) match {
+        StarTableSource.parseNamedTable(path, tableName, sep, failFast) match {
           case None => Iterator.empty
           case Some(p) =>
             // column pruning pushed into the parse: look up only required
@@ -167,9 +169,12 @@ private[sources] object StarTableSource {
   }
 
   /** Parse one file for the named table (or the first table); the early
-    * block filter peeks only the top-left cell of non-matching blocks. */
-  def parseNamedTable(path: String, tableName: Option[String],
-                      sep: String): Option[ParsedTable] = {
+    * block filter peeks only the top-left cell of non-matching blocks.
+    * `failFast` arms the fixer's stop-on-errors so malformed cells raise on
+    * the EXECUTOR (visible as a task failure) instead of being auto-fixed —
+    * the permissive/failfast split of Spark's built-in file sources. */
+  def parseNamedTable(path: String, tableName: Option[String], sep: String,
+                      failFast: Boolean = false): Option[ParsedTable] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(conf)
@@ -179,8 +184,15 @@ private[sources] object StarTableSource {
       finally in.close()
     val filter: Option[Blocks.BlockFilter] = tableName.map(n =>
       (bt: BlockType, name: String) => bt != BlockType.Table || name == n)
-    graft.io.CsvReader.readString(content, sep, origin = path, filter = filter)
+    val fixer = new graft.parse.ParseFixer()
+    if (failFast) { fixer.stopOnErrors = true; fixer.verbose = false }
+    val tracker: graft.origin.InputIssueTracker =
+      if (failFast) new graft.origin.NullInputIssueTracker()
+      else new graft.origin.AccumulatingInputIssueTracker()
+    val it = graft.io.CsvReader.readString(content, sep, origin = path,
+      filter = filter, fixer = fixer, issueTracker = tracker)
       .collectFirst { case (BlockType.Table, p: ParsedTable) => p }
+    it
   }
 
   def toCatalyst(v: Any): Any = v match {

@@ -75,6 +75,26 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(other.head().getDouble(0) == 42.0)
   }
 
+  test("failFast surfaces malformed cells as task failures; default repairs") {
+    val dir = Files.createTempDirectory("graft_dsv2_ff")
+    Files.writeString(dir.resolve("bad.csv"),
+      """**t
+        |all
+        |a;b
+        |text;kg
+        |x;notanumber
+        |y;2
+        |""".stripMargin)
+    val permissive = spark.read.format("startable").load(dir.toString)
+    assert(permissive.count() == 2) // "notanumber" auto-fixed to missing
+    assert(permissive.filter(col("b").isNull).count() == 1)
+    val strict = spark.read.format("startable")
+      .option("failFast", "true").load(dir.toString)
+    val e = intercept[org.apache.spark.SparkException] { strict.count() }
+    assert(e.getMessage.contains("Stopped parsing") ||
+      Option(e.getCause).exists(_.getMessage.contains("Stopped parsing")))
+  }
+
   test("SQL access via USING startable") {
     val dir = writeDir()
     spark.sql(s"""
