@@ -118,7 +118,8 @@ object Similarity {
     * Returns (assignments (id, cluster), final centroids, per-iteration
     * decimal-exact inertia). */
   def kmeans(df: DataFrame, embCol: String, idCol: String,
-             k: Int, dim: Int, iters: Int = 5): (DataFrame, Array[Array[Double]], Seq[Double]) = {
+             k: Int, dim: Int, iters: Int = 5,
+             trackInertia: Boolean = true): (DataFrame, Array[Array[Double]], Seq[Double]) = {
     import org.apache.spark.sql.types.DecimalType
     var centroids: Array[Array[Double]] =
       df.orderBy(col(idCol)).limit(k).select(col(embCol)).collect()
@@ -152,8 +153,9 @@ object Similarity {
         next(cl)(pos) = r.getDecimal(2).doubleValue() / r.getLong(3)
       }
       centroids = next
-      inertias += cached
-        .agg(sum(col("dist2").cast(DecimalType(28, 10)))).head().getDecimal(0).doubleValue()
+      if (trackInertia)
+        inertias += cached
+          .agg(sum(col("dist2").cast(DecimalType(28, 10)))).head().getDecimal(0).doubleValue()
       cached.unpersist()
     }
     (assigned.select(col(idCol), col("cluster")), centroids, inertias.toSeq)

@@ -243,7 +243,7 @@ object PipelineQueries {
     "q_emb_kmeans" -> ((s, dir) => {
       val emb = star(s, dir, "embeddings").df
       val (assign, _, _) = Similarity.kmeans(emb, "embedding", "vec_id",
-        k = 8, dim = 64, iters = 3)
+        k = 8, dim = 64, iters = 3, trackInertia = false)
       assign.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
     }),
 
