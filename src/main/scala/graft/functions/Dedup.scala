@@ -191,15 +191,16 @@ object Dedup {
   /** SimHash near-dup candidates within Hamming radius `maxHamming`, with
     * exact recall. Blocking is multi-index hashing (Norouzi et al., "Fast
     * Search in Hamming Space with Multi-Index Hashing"): the 64-bit
-    * signature splits into 4 blocks of 16 bits; by pigeonhole any pair
-    * within distance r agrees within q = ⌊r/4⌋ on some block, so the probe
-    * side expands each block key by the C(16, ≤q) XOR masks of popcount ≤ q
-    * and joins EXACTLY on (block, key).
+    * signature splits into B blocks (B adapts to the radius, see
+    * [[simhashCandidatesFromSigs]]); by pigeonhole any pair within distance
+    * r agrees within q = ⌊r/B⌋ on some block, so the probe side expands
+    * each block key by the C(width, ≤q) XOR masks of popcount ≤ q and joins
+    * EXACTLY on (block, key).
     *
-    * Versus (r+1)-way exact pigeonhole this keeps the join key at 16 bits
-    * (65 536 buckets/block) for any radius — at r = 8 the old scheme's
-    * ~7-bit keys put ~1/128 of the corpus in one bucket (quadratic); here
-    * the collision rate per block is C(16,≤2)/2^16 ≈ 0.2%.
+    * Versus (r+1)-way exact pigeonhole this keeps join keys at 12-16 bits
+    * for any radius — at r = 8 the old scheme's ~7-bit keys put ~1/128 of
+    * the corpus in one bucket (quadratic); here the per-block collision
+    * rate stays ≈ 0.2%.
     *
     * Signatures are also collapsed to DISTINCT values before the join —
     * identical-signature groups (boilerplate) contribute one blocking row
