@@ -197,6 +197,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** Trained IVF: k-means centroids as the coarse quantizer (the real FAISS
+    * IVF recipe — random hyperplane anchors are the train-free fallback).
+    * Returns the centroid table to keep for probing. */
+  def trainIvfCentroids(df: DataFrame, embCol: String, idCol: String,
+                        nlist: Int, dim: Int, iters: Int = 5): Array[Array[Double]] =
+    kmeans(df, embCol, idCol, nlist, dim, iters, trackInertia = false)._2
+
+  /** Assign vectors to their nearest trained centroid (squared-euclidean,
+    * codegen'd dot products, ties to the lower list id). */
+  def ivfAssignCentroids(df: DataFrame, embCol: String, idCol: String,
+                         centroids: Array[Array[Double]]): DataFrame = {
+    val distStructs = centroids.zipWithIndex.map { case (c, i) =>
+      val cNormSq = c.map(x => x * x).sum
+      val d2 = dot(col(embCol), array(c.map(x => lit(x.toFloat)): _*)) * lit(-2.0) + lit(cNormSq)
+      struct(d2.as("d"), lit(i).as("list"))
+    }
+    df.select(col(idCol), col(embCol),
+      array_min(array(distStructs.toIndexedSeq: _*)).getField("list").as("ivf_list"))
+  }
+
+  /** Persist a TRAINED IVF index (k-means coarse lists), partitioned by
+    * list for partition-pruned probes; centroids ride along as a sidecar. */
+  def writeTrainedIvfIndex(df: DataFrame, embCol: String, idCol: String,
+                           path: String, nlist: Int, dim: Int,
+                           iters: Int = 5): Array[Array[Double]] = {
+    val centroids = trainIvfCentroids(df, embCol, idCol, nlist, dim, iters)
+    ivfAssignCentroids(df, embCol, idCol, centroids)
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    val json = graft.io.JsonValue.JsonArray(centroids.toVector.map(c =>
+      graft.io.JsonValue.JsonArray(c.toVector.map(graft.io.JsonValue.JsonNumber(_)))))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_ivf_centroids.json"),
+      graft.io.JsonValue.write(json))
+    centroids
+  }
+
+  /** Probe a trained IVF index: rank centroids driver-side (k×dim floats),
+    * read only the nprobe best lists via partition pruning, cosine top-k. */
+  def probeTrainedIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                           query: Seq[Float], k: Int, nprobe: Int,
+                           embCol: String = "embedding",
+                           idCol: String = "vec_id"): DataFrame = {
+    val centroids = graft.io.JsonValue.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_ivf_centroids.json")))
+      .asInstanceOf[graft.io.JsonValue.JsonArray].values
+      .map(_.asInstanceOf[graft.io.JsonValue.JsonArray].values
+        .map(_.asInstanceOf[graft.io.JsonValue.JsonNumber].value).toArray)
+    def d2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < query.size) {
+        val d = query(i) - c(i); s += d * d; i += 1
+      }
+      s
+    }
+    val probeLists = centroids.zipWithIndex
+      .sortBy { case (c, i) => (d2(c), i) }
+      .take(nprobe).map(_._2)
+    spark.read.parquet(path)
+      .filter(col("ivf_list").isInCollection(probeLists))
+      .select(col(idCol), cosine(col(embCol), vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs near-duplicate search over embeddings via LSH bucket join:
     * pairs sharing a bucket in any table, verified by exact cosine ≥
     * threshold. The embedding-cosine near-dup operator. */

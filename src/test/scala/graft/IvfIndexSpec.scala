@@ -33,4 +33,25 @@ class IvfIndexSpec extends AnyFunSuite {
     val got = top.map(_.getLong(0)).toSet
     assert(got.intersect(exact).size >= 2)
   }
+
+  test("trained IVF (k-means coarse lists) probes with pruning and better recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_t").toString + "/idx"
+    val centroids = Similarity.writeTrainedIvfIndex(
+      emb, "embedding", "vec_id", dir, nlist = 8, dim = 64, iters = 3)
+    assert(centroids.length == 8)
+    // sidecar is valid and feeds the probe path
+    val query = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 123)
+      .select("embedding").head().getSeq[Float](0)
+    val probed = Similarity.probeTrainedIvfIndex(spark, dir, query, k = 5, nprobe = 3)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("ivf_list"),
+      s"no partition pruning:\n$plan")
+    val top = probed.collect()
+    // the query vector lives in the best-ranked list, so it MUST be recalled
+    assert(top.head.getLong(0) == 123L && math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(top.map(_.getLong(0)).toSet.intersect(exact).size >= 2)
+  }
 }
