@@ -64,6 +64,19 @@ object StreamingQueries {
         .select(col("doc_id"), col("media_meta.bytes").as("n_bytes"))
     }),
 
+    // Multimodal frame sampling: the byte-slicing arithmetic is exact, so
+    // the explode-downstream plumbing gets a real oracle (the demux itself
+    // stays a documented stub).
+    "q_multimodal_frames" -> ((s, dir) => {
+      val docs = Tables.star(s, dir, "documents").df
+        .withColumn("payload", Multimodal.payloadFromText(col("text")))
+      docs.select(col("doc_id"),
+          explode(Multimodal.frameSampleStub(col("payload"), 4)).as("frame"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).cast(LongType).as("frame_bytes"))
+    }),
+
     // Multimodal feature-extraction plumbing (stubbed model, rows-only).
     // The feature vector is projected to scalar columns f0..f7 so the
     // driver-side pandas normalizer can sort rows (an Array column is
@@ -104,6 +117,11 @@ object StreamingQueries {
 
     "q_multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(4 * (octet_length(encode(text)) // 4) AS BIGINT) AS frame_bytes
         |FROM documents""".stripMargin,
 
     "q_stream_join" ->
