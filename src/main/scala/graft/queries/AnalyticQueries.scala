@@ -66,6 +66,24 @@ object AnalyticQueries {
         rightTiebreak = Some("err_id"))
     }),
 
+    // --- binned range join ---------------------------------------------------
+    // Non-equi join at scale: errors within the 30 min before each purchase,
+    // as a hash equi-join on (user, time-bin) + exact verify — the batch
+    // analog of q_stream_join (same oracle semantics, different engine path).
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+        .withColumn("lo", col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("e_ts"))
+      graft.operators.RangeJoin.binnedRangeJoin(
+          errors, purchases, "e_ts", "lo", "p_ts",
+          partitionCols = Seq("user_id"), binSeconds = 1800L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // --- resample + LOCF gap filling -----------------------------------------
     // 6-hour bins per user, decimal-exact bin sums, forward-filled gaps
     "q_resample_locf" -> ((s, dir) =>
@@ -147,6 +165,15 @@ object AnalyticQueries {
         |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, event_id AS err_id
         |      FROM events WHERE event_type = 'error') e
         |ON p.user_id = e.user_id AND p.ts >= e.err_ts""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts AS e_ts FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND e.e_ts >= p.ts - INTERVAL 30 MINUTE
+        | AND e.e_ts <= p.ts
+        |GROUP BY p.user_id""".stripMargin,
 
     "q_approx_stats" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+// (RangeJoin tests live here with the other time-series operators)
 
 import graft.operators.{Resample, SkewedJoin}
 
@@ -35,6 +36,33 @@ class ResampleSpec extends AnyFunSuite {
     val salted = SkewedJoin.saltedJoin(probe, build, Seq("k"), buckets = 8)
       .groupBy("name").count()
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("binnedRangeJoin equals the naive range join and stays an equi-join") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(5)
+    val points = (0 until 400).map(i =>
+      (i.toLong % 5, Timestamp.valueOf(
+        java.time.LocalDateTime.ofEpochSecond(1700000000L + rnd.nextInt(86400), 0,
+          java.time.ZoneOffset.UTC)), i.toLong)).toDF("user_id", "t", "pid")
+    val intervals = (0 until 60).map { i =>
+      val lo = 1700000000L + rnd.nextInt(86400)
+      (i.toLong % 5, Timestamp.valueOf(java.time.LocalDateTime.ofEpochSecond(lo, 0,
+        java.time.ZoneOffset.UTC)),
+        Timestamp.valueOf(java.time.LocalDateTime.ofEpochSecond(lo + 1 + rnd.nextInt(7200), 0,
+          java.time.ZoneOffset.UTC)), i.toLong)
+    }.toDF("user_id", "lo", "hi", "iid")
+    val binned = RangeJoin.binnedRangeJoin(points, intervals, "t", "lo", "hi",
+      Seq("user_id"), binSeconds = 3600L)
+      .select("pid", "iid")
+    val naive = points.join(intervals, Seq("user_id"))
+      .filter(col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pid", "iid")
+    assert(binned.count() == naive.count())
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a product:\n$plan")
   }
 
   test("saltedJoin spreads a hot key across buckets") {
