@@ -58,6 +58,19 @@ object RelationalQueries {
         .orderByNames("l_returnflag", "l_linestatus")
         .df),
 
+    // --- TPC-H Q6: forecast revenue change (pure filter-agg; every
+    // predicate must reach the parquet scan) ---------------------------------
+    "q6_forecast_revenue" -> ((s, dir) =>
+      star(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .df
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n"))),
+
     // --- withColumn (add_column, unit inference) ----------------------------
     "q_withcolumn_revenue" -> ((s, dir) =>
       star(s, dir, "lineitem")
@@ -299,6 +312,16 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

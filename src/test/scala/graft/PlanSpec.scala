@@ -28,6 +28,13 @@ class PlanSpec extends AnyFunSuite {
       s"column pruning failed: $readSchema")
   }
 
+  test("Q6 pushes every predicate to the parquet scan") {
+    val plan = planOf("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters: ["))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(plan.contains(s"($c"), s"$c filter not pushed:\n$plan"))
+  }
+
   test("Q1 aggregates partially before the shuffle (map-side combine)") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.contains("partial_sum") || plan.contains("partial_"),
