@@ -24,8 +24,13 @@ object RangeJoin {
 
   private def binOf(ts: Column, binUs: Long): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
+    // FLOOR division: IntegralDivide truncates toward zero, which would
+    // mis-bin pre-1970 timestamps; subtracting the non-negative pmod first
+    // makes the dividend an exact multiple, so truncation == floor.
+    val us = unix_micros(ts)
+    val floored = us - pmod(us, lit(binUs))
     ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      ColumnBridge.expression(unix_micros(ts)),
+      ColumnBridge.expression(floored),
       ColumnBridge.expression(lit(binUs)))).cast("long")
   }
 

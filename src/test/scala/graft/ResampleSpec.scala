@@ -65,6 +65,21 @@ class ResampleSpec extends AnyFunSuite {
       s"range join fell back to a product:\n$plan")
   }
 
+  test("binnedRangeJoin bins pre-1970 timestamps with floor semantics") {
+    import graft.operators.RangeJoin
+    // a point just before the epoch must land in the interval spanning it —
+    // truncate-toward-zero division would put point and interval bounds in
+    // the wrong bins relative to each other
+    val p = Seq((1L, Timestamp.valueOf("1969-12-31 23:59:00"), 10L))
+      .toDF("user_id", "t", "pid")
+    val iv = Seq((1L, Timestamp.valueOf("1969-12-31 23:00:00"),
+      Timestamp.valueOf("1970-01-01 01:00:00"), 20L))
+      .toDF("user_id", "lo", "hi", "iid")
+    val got = RangeJoin.binnedRangeJoin(p, iv, "t", "lo", "hi",
+      Seq("user_id"), binSeconds = 1800L).select("pid", "iid").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
+  }
+
   test("saltedJoin spreads a hot key across buckets") {
     val probe = (1 to 100).map(i => (0L, i.toLong)).toDF("k", "v") // all one key
     val build = Seq((0L, "hot")).toDF("k", "name")
