@@ -60,6 +60,41 @@ object Decontamination {
       lit(1.0) - size(array_distinct(toks)).cast("double") / total.cast("double"))
   }
 
+  /** Repeated-span statistics across the corpus — the signal behind
+    * exact-substring dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2021): for every document, how many of its
+    * word n-gram windows also occur in at least `minDocs − 1` OTHER
+    * documents, and what fraction of the document that covers
+    * (`n_repeated` counts DISTINCT repeated windows, `n_windows` counts all
+    * window positions — so rep_ratio slightly understates for documents
+    * that repeat their own grams).
+    *
+    * Scale shape: per-doc distinct window hashes (8 bytes) → document
+    * frequency per hash (map-side combined) → hash join back. Nothing
+    * wider than (id, hash) ever shuffles. Returns
+    * (id, n_windows, n_repeated, rep_ratio). */
+  def repeatedNgramStats(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol), explode(ngramHashes(col(textCol), n)).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repeated = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("g"))
+    val perDoc = grams.join(repeated, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_repeated"))
+    val totals = df.select(col(idCol),
+      size(ngramHashes(col(textCol), n)).cast("long").as("n_windows"))
+    totals.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        round(coalesce(col("n_repeated"), lit(0L)).cast("double") /
+          col("n_windows").cast("double"), 6).as("rep_ratio"))
+  }
+
   /** Deterministic content-hash split assignment: bucket 0..99 derived from
     * the md5 of a key column. Unlike seeded `sample()`, the split is a pure
     * function of the data — reproducible across engines, runs, partitionings

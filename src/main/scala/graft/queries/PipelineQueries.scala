@@ -125,6 +125,12 @@ object PipelineQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"))),
 
+    // Repeated-span statistics (exact-substring dedup signal): distinct
+    // 4-gram windows occurring in >= 2 docs, per document.
+    "q_repeated_spans" -> ((s, dir) =>
+      Decontamination.repeatedNgramStats(
+        star(s, dir, "documents").df, "doc_id", "text", n = 4, minDocs = 2)),
+
     // Intra-document repetition: duplicate-token mass per doc.
     "q_doc_repetition" -> ((s, dir) =>
       star(s, dir, "documents").df.select(
@@ -399,6 +405,25 @@ object PipelineQueries {
         |        AS INTEGER) % 100 AS b
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
+
+    "q_repeated_spans" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |              FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+        |  FROM docs, unnest(range(1, greatest(len(toks) - 4, 0) + 2)) AS t(i)
+        |),
+        |rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |per_doc AS (
+        |  SELECT gr.doc_id, count(*) AS n_repeated
+        |  FROM grams gr JOIN rep USING (g) GROUP BY gr.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(greatest(len(d.toks) - 4, 0) + 1 AS BIGINT) AS n_windows,
+        |  CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+        |  round(CAST(coalesce(p.n_repeated, 0) AS DOUBLE)
+        |    / (greatest(len(d.toks) - 4, 0) + 1), 6) AS rep_ratio
+        |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
 
     "q_doc_repetition" ->
       """SELECT doc_id,

@@ -165,6 +165,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(clean == Set(2L))
   }
 
+  test("repeatedNgramStats flags cross-document spans, not unique text") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares 4-gram run with 2
+      (2L, "intro alpha beta gamma delta closing"),
+      (3L, "entirely unique words nowhere else found")
+    ).toDF("doc_id", "text")
+    val r = Decontamination.repeatedNgramStats(df, "doc_id", "text", n = 4)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // doc1: windows of 6 tokens = 3; "alpha beta gamma delta" shared → 1 repeated
+    assert(r(1L) == ((3L, 1L)))
+    assert(r(2L) == ((3L, 1L)))
+    assert(r(3L)._2 == 0L)
+  }
+
   test("hashSplit partitions the corpus exactly and reproducibly") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val train = Decontamination.hashSplit(df, "doc_id", 0, 90)
