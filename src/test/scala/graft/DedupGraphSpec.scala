@@ -90,6 +90,22 @@ class DedupGraphSpec extends AnyFunSuite {
     intra.foreach(r => assert(r.getDouble(2) == 1.0))
   }
 
+  test("dedup candidate sets are invariant under repartitioning") {
+    // Distributed correctness: results must not depend on how the input is
+    // split across tasks — run the same corpora at 2 and 19 partitions.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def simhashSet(p: Int) =
+      Dedup.simhashCandidates(docs.repartition(p), "doc_id", "text", maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(simhashSet(2) == simhashSet(19))
+    def minhashSet(p: Int) =
+      Dedup.minhashCandidates(docs.repartition(p), "doc_id", "text",
+        shingleSize = 2, numHashes = 32, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(minhashSet(2) == minhashSet(19))
+  }
+
   test("connectedComponents keeps cached storage bounded across iterations") {
     // A 40-node chain needs many label-propagation rounds; the superseded
     // label generations must be unpersisted as the loop advances.
