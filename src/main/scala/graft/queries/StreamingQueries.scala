@@ -32,6 +32,21 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).as("n_events"))),
 
+    // Stream-STATIC join: documents stream in and are decontaminated
+    // against a static benchmark-gram table on arrival; same oracle as the
+    // batch q_decontaminate shape.
+    "q_stream_decontaminate" -> ((s, dir) => {
+      val static = Tables.star(s, dir, "documents").df
+      val benchGrams = static.filter(col("doc_id") < 10)
+        .select(explode(graft.functions.Decontamination
+          .ngramHashes(col("text"), 4)).as("g"))
+        .distinct()
+      val stream = EventStreams.readDocumentsStream(s, dir)
+        .filter(col("doc_id") >= 10)
+      EventStreams.runToBatch(s,
+        EventStreams.streamingContamination(stream, benchGrams, n = 4))
+    }),
+
     // Stream-stream interval join run incrementally (purchases joined to
     // same-user errors within the prior 30 min; watermark-bounded state).
     "q_stream_join" -> ((s, dir) => {
@@ -118,6 +133,18 @@ object StreamingQueries {
     "q_multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+
+    "q_stream_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |              FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+        |  FROM docs, unnest(range(1, greatest(len(toks) - 4, 0) + 2)) AS t(i)
+        |),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+        |SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
+        |FROM grams g JOIN bench b ON g.g = b.g
+        |WHERE g.doc_id >= 10 GROUP BY g.doc_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,

@@ -86,6 +86,37 @@ object EventStreams {
       .select(col("p_id"), col("user_id"), col("p_ts"), col("e_id"), col("e_ts"))
   }
 
+  /** The documents table as a file-source stream (for streaming-ingest
+    * pipeline stages: filtering, decontamination, scoring on arrival). */
+  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType),
+      StructField("text", StringType)))
+    spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Stream-STATIC join: incoming documents checked against a static
+    * benchmark-gram set on arrival — streaming decontamination. The static
+    * side is a plain DataFrame (broadcast by Catalyst when small); no
+    * watermark needed because the static side never changes. Emits
+    * (doc_id, n_shared) for contaminated documents only. */
+  def streamingContamination(docs: DataFrame, benchmarkGrams: DataFrame,
+                             n: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+        // per-doc distinct BEFORE the explode (array_distinct on the window
+        // hashes) — a streaming dropDuplicates here would add a second
+        // stateful operator for state that is local to one row anyway
+        explode(array_distinct(
+          graft.functions.Decontamination.ngramHashes(col("text"), n))).as("g"))
+      .join(benchmarkGrams, "g") // stream-static inner join
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+
   /** Sessions per user (count of session windows). */
   def sessionCounts(events: DataFrame): DataFrame =
     sessionWindows(events)
