@@ -106,6 +106,25 @@ class CsvRoundTripSpec extends AnyFunSuite {
     assert(out.contains("-;1.0"))
   }
 
+  test("represent: value coercion parity (test_formatting.py _represent_row_elements)") {
+    import graft.io.CsvWriter.represent
+    // standard values pass through; onoff → 0/1
+    assert(represent("foo", "text", 1, "-") == "foo")
+    assert(represent(123.0, "km", 1, "-") == 123.0)
+    assert(represent(true, "onoff", 3, "-") == 1)
+    assert(represent(false, "onoff", 3, "-") == 0)
+    // NaN-like things → na_rep in non-text columns
+    assert(represent(Double.NaN, "km", 1, "-") == "-")
+    assert(represent(null, "datetime", 2, "-") == "-")
+    assert(represent(Double.NaN, "km", 1, "NaN") == "NaN")
+    // empty strings: sealed in the first column, kept elsewhere
+    assert(represent("", "text", 0, "-") == "-")
+    assert(represent("", "text", 1, "-") == "")
+    // timestamps render python-str style
+    assert(represent(java.sql.Timestamp.valueOf("2020-08-04 08:00:00"),
+      "datetime", 2, "-") == "2020-08-04 08:00:00")
+  }
+
   test("fractional-second timestamps round-trip (full 6-digit fraction)") {
     // Python str(datetime) keeps all 6 microsecond digits when nonzero; a
     // stripped ".1" would not re-parse under exactly-3-digit .SSS formats.
