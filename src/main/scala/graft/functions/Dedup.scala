@@ -347,6 +347,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // No silent caps: labels from a truncated propagation are NOT final
+    // components — make the condition visible instead of returning quietly.
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: NOT converged after " +
+        s"$maxIter iterations — labels are an upper approximation; raise maxIter " +
+        "(near-dup cliques normally converge in 2-3 rounds)")
     labels
   }
 

@@ -126,6 +126,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("LSH ANN recall@10 on the real embeddings is quantified (deterministic)") {
+    // Everything is seeded, so the measured recall is a fixed number — this
+    // pins the quality of the default LSH parameters against drift.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = Seq(1L, 7L, 42L)
+    val recalls = probes.map { pid =>
+      val q = emb.filter(col("vec_id") === pid).select("embedding").head().getSeq[Float](0)
+      val rest = emb.filter(col("vec_id") =!= pid)
+      val exact = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val lsh = Similarity.lshTopK(rest, "embedding", "vec_id", q, 10,
+        numPlanes = 4, tables = 8)
+        .collect().map(_.getLong(0)).toSet
+      lsh.intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 degraded to $mean (per-probe: $recalls)")
+  }
+
   test("LSH top-k recalls exact nearest on clustered data") {
     val vecs = (0 until 20).map(i => (i.toLong,
       if (i < 10) Array(1f + i * 0.01f, 0.1f * i, 0f)
