@@ -95,6 +95,14 @@ class StarTableSourceSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("Stopped parsing")))
   }
 
+  test("multiple load paths resolve through the paths JSON option") {
+    val dir = writeDir()
+    val df = spark.read.format("startable").option("table", "places")
+      .load(s"$dir/a.csv", s"$dir/b.csv")
+    assert(df.count() == 4)
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
   test("SQL access via USING startable") {
     val dir = writeDir()
     spark.sql(s"""
