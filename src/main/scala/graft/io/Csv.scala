@@ -329,5 +329,33 @@ object CsvWriter {
     Files.writeString(Paths.get(outDir, "_header.txt"), header)
   }
 
+  /** Merge a [[writeDistributed]] output directory into one StarTable CSV
+    * file: header first, then the part files streamed in name order (which
+    * is partition order). Driver-side IO but STREAMED — constant memory, so
+    * it merges outputs far larger than the driver heap; uses the Hadoop FS
+    * API so the directory can live on any supported filesystem. */
+  def mergeDistributed(outDir: String, targetFile: String): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dir.getFileSystem(conf)
+    val target = new org.apache.hadoop.fs.Path(targetFile)
+    val out = fs.create(target, true)
+    try {
+      val header = fs.open(new org.apache.hadoop.fs.Path(outDir, "_header.txt"))
+      try org.apache.hadoop.io.IOUtils.copyBytes(header, out, 65536, false)
+      finally header.close()
+      val parts = fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      parts.foreach { p =>
+        val in = fs.open(p.getPath)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        finally in.close()
+        // text parts end without a trailing newline only when empty; the
+        // text sink terminates every record, so no separator is needed
+      }
+    } finally out.close()
+  }
+
   private def toJavaFormat(spec: String): String = "%" + spec
 }

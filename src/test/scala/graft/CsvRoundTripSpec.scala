@@ -172,6 +172,16 @@ class CsvRoundTripSpec extends AnyFunSuite {
       "b;1;2020-08-04 08:00:00;hi"))
   }
 
+  test("mergeDistributed produces a single valid StarTable CSV file") {
+    val t = places
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    CsvWriter.writeDistributed(t, s"$dir/out")
+    CsvWriter.mergeDistributed(s"$dir/out", s"$dir/merged.csv")
+    val back = TableBundle.fromBlocks(spark,
+      CsvReader.read(java.nio.file.Paths.get(s"$dir/merged.csv"))).unique("foo")
+    assert(t.equalsTable(back))
+  }
+
   test("distributed write produces equivalent rows at scale") {
     val t = places
     val dir = java.nio.file.Files.createTempDirectory("graft_dist_csv").toString

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Curation
+
+/** The end-to-end curation pipeline on a planted corpus: every stage must
+  * remove exactly the rows planted for it. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("curate removes exact dups, near dups, contamination, and low quality") {
+    val fluent = "the cat sat on the mat and the dog slept near the door all day"
+    val docs = Seq(
+      (1L, fluent + " while birds sang in the garden trees outside"),
+      (2L, "The cat sat on the mat, and the dog slept near the door all day " +
+        "while birds sang in the garden trees outside"), // exact dup of 1 modulo case/punct
+      (3L, fluent + " while birds sang in the garden trees nearby"), // near dup of 1
+      (4L, "the quick brown fox jumps over the lazy dog again and again " +
+        "in the quiet morning light of the farm"), // contaminated vs benchmark
+      (5L, "zz qq xx 123 456 789 000 111 222 333"), // low quality (no stopwords)
+      (6L, "a completely fluent and original document that the pipeline " +
+        "should keep because it is the only copy and it is clean")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+
+    val (out, report) = Curation.curate(docs, benchmark, "doc_id", "text",
+      nearDupThreshold = 0.6, decontamN = 6, minQuality = 0.3)
+
+    assert(report.nInput == 6)
+    assert(report.nAfterExact == 5)    // doc 2 dropped (normalized-exact dup)
+    assert(report.nAfterNearDup == 4)  // doc 3 dropped (near dup)
+    assert(report.nAfterDecontam == 3) // doc 4 dropped (benchmark 6-gram)
+    assert(report.nAfterQuality == 2)  // doc 5 dropped (quality floor)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 6L))
+    assert(report.splitCounts.values.sum == 2)
+    // the split column is one of the three values
+    val splits = out.select("split").collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "validation", "test")))
+  }
+}
