@@ -172,6 +172,29 @@ class CsvRoundTripSpec extends AnyFunSuite {
       "b;1;2020-08-04 08:00:00;hi"))
   }
 
+  test("unicode text (CJK, emoji, RTL, combining) and megabyte cells round-trip") {
+    val big = "x" * 1000000
+    val csv =
+      s"""**uni
+         |all
+         |a;b
+         |text;text
+         |中文文本;😀🚀
+         |العربية;ñoño é côté
+         |combining éé;$big
+         |""".stripMargin
+    val t = CsvReader.readBundleFromString(spark, csv).unique("uni")
+    assert(t.equalsTable(
+      CsvReader.readBundleFromString(spark, CsvWriter.tableToCsvString(t)).unique("uni")))
+    // and through the XLSX container (UTF-8 XML + inline strings)
+    val p = java.nio.file.Files.createTempDirectory("graft_uni").resolve("u.xlsx")
+    graft.io.Xlsx.write(Seq(t), p)
+    assert(t.equalsTable(graft.io.Xlsx.readBundle(spark, p).unique("uni")))
+    // and through JSON
+    assert(t.equalsTable(graft.io.JsonIo.jsonDataToTable(spark,
+      graft.io.JsonIo.tableToJsonString(t))))
+  }
+
   test("mergeDistributed produces a single valid StarTable CSV file") {
     val t = places
     val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
