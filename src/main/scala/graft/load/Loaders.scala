@@ -202,6 +202,66 @@ object Load {
     out.toSeq
   }
 
+  /** Wave-parallel variant of [[queuedLoad]]: each BFS wave's resolved
+    * files parse concurrently on a fixed pool (the reference is explicitly
+    * single-threaded, _orchestrators.py:24 — file parses are independent, so
+    * a many-file input set loads at IO/parse parallelism). Output order is
+    * IDENTICAL to the serial version (FIFO wave order; Future.traverse
+    * preserves order), so the two are interchangeable. Loop/duplicate
+    * detection stays in the serial resolve phase; readers must create
+    * per-call fixers (FileReader's fixerFactory default does). */
+  def queuedLoadParallel(
+      roots: Seq[LoadItem],
+      loader: Loader,
+      issueTracker0: InputIssueTracker = new NullInputIssueTracker(),
+      parallelism: Int = 8
+  ): Seq[(BlockType, Block)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val queue = mutable.Queue.empty[LoadItem]
+    val visited = mutable.Set.empty[String]
+    val out = mutable.ArrayBuffer.empty[(BlockType, Block)]
+    val lock = new Object
+    val orch = new LoadOrchestrator {
+      def enqueue(item: LoadItem): Unit = lock.synchronized { queue.enqueue(item) }
+      def issueTracker: InputIssueTracker = issueTracker0
+    }
+    roots.foreach(orch.enqueue)
+    try {
+      var wave = lock.synchronized { queue.dequeueAll(_ => true).toList }
+      while (wave.nonEmpty) {
+        // serial resolve + dedup/loop phase (cheap; may enqueue folders)
+        val toRead = wave.flatMap { item =>
+          loader.resolve(item, orch).flatMap { case (loc, reader) =>
+            val id = loc.loadIdentifier
+            def chainIds(src: Option[LoadLocation]): List[String] = src match {
+              case None    => Nil
+              case Some(l) => l.loadIdentifier :: chainIds(l.loadItem.source)
+            }
+            if (visited.contains(id)) {
+              if (chainIds(item.source).contains(id))
+                issueTracker0.addError(s"Load loop detected: '$id' includes itself")
+              None
+            } else {
+              visited += id
+              Some((loc, reader))
+            }
+          }
+        }
+        // parallel parse; each worker fully materializes its file's blocks
+        val results = Await.result(
+          Future.traverse(toRead) { case (loc, reader) =>
+            Future(reader.read(loc, orch).toVector)
+          }, Duration.Inf)
+        results.foreach(out ++= _)
+        wave = lock.synchronized { queue.dequeueAll(_ => true).toList }
+      }
+      out.toSeq
+    } finally pool.shutdown()
+  }
+
   /** Build the default loader stack (reference: _loaders.py:294-377
     * make_loader): IncludeLoader(FileSystemLoader(FileReader, FolderReader)). */
   def makeLoader(
@@ -218,15 +278,21 @@ object Load {
     new IncludeLoader(base)
   }
 
-  /** Load an input set (reference: _orchestrators.py:55-112 load_files). */
+  /** Load an input set (reference: _orchestrators.py:55-112 load_files).
+    * `parallelism > 1` parses independent files concurrently with identical
+    * output order. */
   def loadFiles(
       roots: Seq[String],
       rootFolder: Option[Path] = None,
       csvSep: String = CsvReader.DefaultSep,
-      issueTracker: InputIssueTracker = new NullInputIssueTracker()
-  ): Seq[(BlockType, Block)] =
-    queuedLoad(roots.map(r => LoadItem(r, None)),
-      makeLoader(rootFolder, csvSep), issueTracker)
+      issueTracker: InputIssueTracker = new NullInputIssueTracker(),
+      parallelism: Int = 1
+  ): Seq[(BlockType, Block)] = {
+    val items = roots.map(r => LoadItem(r, None))
+    val loader = makeLoader(rootFolder, csvSep)
+    if (parallelism > 1) queuedLoadParallel(items, loader, issueTracker, parallelism)
+    else queuedLoad(items, loader, issueTracker)
+  }
 
   def loadBundle(spark: org.apache.spark.sql.SparkSession, roots: Seq[String],
                  rootFolder: Option[Path] = None): TableBundle =

@@ -149,12 +149,13 @@ final class NullInputIssueTracker extends InputIssueTracker {
   def issues: Seq[InputIssue] = Nil
 }
 
-/** Collects issues for later inspection (table_origin.py:493-525). */
+/** Collects issues for later inspection (table_origin.py:493-525).
+  * Synchronized: the parallel load path reports from worker threads. */
 final class AccumulatingInputIssueTracker extends InputIssueTracker {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[InputIssue]
   def addError(message: String, location: Option[AnyRef]): Unit =
-    buf += InputIssue(message, "error", location = location)
+    synchronized { buf += InputIssue(message, "error", location = location) }
   def addWarning(message: String, location: Option[AnyRef]): Unit =
-    buf += InputIssue(message, "warning", location = location)
-  def issues: Seq[InputIssue] = buf.toSeq
+    synchronized { buf += InputIssue(message, "warning", location = location) }
+  def issues: Seq[InputIssue] = synchronized { buf.toSeq }
 }

@@ -97,6 +97,33 @@ class LoadSpec extends AnyFunSuite {
     }
   }
 
+  test("parallel load equals serial load, including include expansion") {
+    withTempDir { dir =>
+      // 24 files, one of which includes two others (the include chain must
+      // still resolve and dedupe under the wave-parallel scheduler)
+      (0 until 24).foreach { i =>
+        Files.writeString(dir.resolve(f"t$i%02d.csv"),
+          s"**table_$i\nall\na;b\n-;text\n$i;row$i\n")
+      }
+      Files.writeString(dir.resolve("main.csv"),
+        "***include\nt01.csv\nt02.csv\n\n**main_table\nall\nx\n-\n9\n")
+      def names(blocks: Seq[(BlockType, Block)]) = blocks.collect {
+        case (BlockType.Table, p: ParsedTable) => p.name
+      }
+      val serial = Load.loadFiles(Seq("."), Some(dir))
+      val parallel = Load.loadFiles(Seq("."), Some(dir), parallelism = 8)
+      assert(names(parallel) == names(serial))
+      assert(parallel.size == serial.size)
+      // loop detection still fires under the parallel scheduler
+      Files.writeString(dir.resolve("loop_a.csv"), "***include\nloop_b.csv\n")
+      Files.writeString(dir.resolve("loop_b.csv"), "***include\nloop_a.csv\n")
+      val tracker = new AccumulatingInputIssueTracker()
+      Load.loadFiles(Seq("loop_a.csv"), Some(dir), issueTracker = tracker,
+        parallelism = 4)
+      assert(tracker.issues.exists(_.message.contains("loop")))
+    }
+  }
+
   test("loaded bundle materializes as StarTables") {
     withTempDir { dir =>
       Files.writeString(dir.resolve("main.csv"), barCsv)
