@@ -80,6 +80,36 @@ class ResampleSpec extends AnyFunSuite {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
   }
 
+  test("AQE splits a planted skewed join partition (runtime skew handling)") {
+    // One key carries ~90% of the probe side. With skew thresholds tuned to
+    // the test's data volume, AQE must mark the sort-merge join skew=true
+    // in the final adaptive plan — the runtime complement to saltedJoin.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val probe = ((1 to 200000).map(i => (0L, s"payload_$i" * 3)) ++
+        (1 to 2000).map(i => (i.toLong % 50 + 1, s"p_$i"))).toDF("k", "v")
+      val build = (0L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = probe.join(build, "k")
+      // collect() drives THIS dataframe's own QueryExecution, so its
+      // AdaptiveSparkPlan reaches the final re-optimized state (count() or
+      // a write would plan and execute a separate QueryExecution)
+      assert(joined.collect().length == 202000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not flag the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin spreads a hot key across buckets") {
     val probe = (1 to 100).map(i => (0L, i.toLong)).toDF("k", "v") // all one key
     val build = Seq((0L, "hot")).toDF("k", "name")
