@@ -189,6 +189,26 @@ class BlockParserSpec extends AnyFunSuite {
     assert(p.columns(1) == Seq(null)) // "NaN" padding → missing
   }
 
+  test("marker edge cases: **** is not a block marker; ** mid-cell is data") {
+    // reference regex (blocks.py:386-399): `(?<!\*)(\*\*\*?)(?!\*)` — four
+    // stars match nothing, and a ** not at cell start is plain data.
+    val csv =
+      """**t
+        |all
+        |a
+        |text
+        |****not_a_marker
+        |x ** y
+        |
+        |****ignored
+        |""".stripMargin
+    val tables = CsvReader.readString(csv).collect {
+      case (BlockType.Table, p: ParsedTable) => p
+    }.toSeq
+    assert(tables.map(_.name) == Seq("t"))
+    assert(tables.head.columns.head == Seq("****not_a_marker", "x ** y"))
+  }
+
   test("empty table (no unit row) raises") {
     val csv = "**bad\nall\ncol1;col2\n"
     assertThrows[graft.origin.InputError] {
