@@ -37,6 +37,7 @@ object Bench {
       try run(fn, warmDir) catch { case _: Throwable => () }
     }
     spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -47,9 +48,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // signature caches from dedup queries must not leak memory pressure
-      // (and GC) into the queries that follow
+      // Isolation between queries: one query's cache hygiene bug must not
+      // distort its alphabetical neighbors (the round-2 bench lost three
+      // queries 10-14× to a leaked persist). clearCache covers cache-manager
+      // entries; the explicit sweep below also frees checkpoint-backed and
+      // otherwise-orphaned RDDs, blockingly, so freeing completes before the
+      // next timer starts.
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

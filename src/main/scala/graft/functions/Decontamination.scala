@@ -75,23 +75,26 @@ object Decontamination {
     * (id, n_windows, n_repeated, rep_ratio). */
   def repeatedNgramStats(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 8, minDocs: Int = 2): DataFrame = {
-    val grams = df
-      .select(col(idCol), explode(ngramHashes(col(textCol), n)).as("g"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repeated = grams.groupBy(col("g"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select(col("g"))
-    val perDoc = grams.join(repeated, "g")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_repeated"))
-    val totals = df.select(col(idCol),
-      size(ngramHashes(col(textCol), n)).cast("long").as("n_windows"))
-    totals.join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_windows"),
-        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
-        round(coalesce(col("n_repeated"), lit(0L)).cast("double") /
+    // Single pass, single consumer chain, zero persists: tokenize+hash ONCE,
+    // carry n_windows alongside the exploded per-doc-distinct gram hashes,
+    // compute each gram's document frequency with a window over the hash
+    // (count over the whole partition — one shuffle on the 8-byte hash),
+    // then aggregate back per document (second shuffle, (id, n_windows)
+    // grouping keys). Versus the former two-projection formulation this
+    // removes a full tokenize+hash pass, a distinct shuffle, a join, and the
+    // operator-lifetime cache the caller could never free.
+    // explode_outer keeps zero-window docs (g null) so every input id
+    // survives to the output, mirroring the left join it replaces.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    df.select(col(idCol), ngramHashes(col(textCol), n).as("__hs"))
+      .select(col(idCol), size(col("__hs")).cast("long").as("n_windows"),
+        explode_outer(array_distinct(col("__hs"))).as("g"))
+      .withColumn("__df", count(col("g")).over(w))
+      .groupBy(col(idCol), col("n_windows"))
+      .agg(count(when(col("g").isNotNull && col("__df") >= minDocs, lit(1)))
+        .as("n_repeated"))
+      .select(col(idCol), col("n_windows"), col("n_repeated"),
+        round(col("n_repeated").cast("double") /
           col("n_windows").cast("double"), 6).as("rep_ratio"))
   }
 

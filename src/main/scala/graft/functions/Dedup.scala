@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Cache hygiene for operators with internal persists: materialize the
+    * result into its own cache, then free the internal barriers (blocking)
+    * so a long-lived session — the 100 TB deployment model — never strands
+    * operator-lifetime blocks. The returned DataFrame is persisted; the
+    * caller owns exactly one `unpersist()` (correctness survives earlier
+    * unpersist — lineage is intact — only recompute cost is at stake). */
+  private[functions] def materializeAndFree(result: DataFrame,
+                                            internals: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize: internals are no longer needed for `out`
+    internals.foreach(_.unpersist(blocking = true))
+    out
+  }
+
   /** Exact dedup, keep-first-by-id: one row per distinct value of `keyCols`,
     * the survivor being the row with the minimum `idCol`. Deterministic
     * (unlike dropDuplicates, whose survivor is arbitrary) — at scale the
@@ -76,6 +90,10 @@ object Dedup {
     * Scale: the self-join is on (band, bucket) — high-cardinality keys, so
     * the shuffle is fine-grained; skewed buckets (boilerplate docs) can be
     * capped upstream by filtering bucket sizes.
+    *
+    * EAGER: the result is computed when the method returns, cached, with
+    * every internal barrier already freed (see [[materializeAndFree]]); the
+    * caller owns one `unpersist()` on the returned frame.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 64,
@@ -99,9 +117,8 @@ object Dedup {
     // collapse it scales with *distinct* signatures, and the identical-doc
     // pairs come back from the output-proportional expansion joins below.
     val distinctSig = sig.select(col("sig")).distinct()
-      .withColumn("sid", xxhash64(col("sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bucketed0 = distinctSig.select(col("sid"), col("sig"),
+    val bucketed0 = distinctSig.select(col("sig"),
         posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     // Optional hard cap on residual oversized buckets (true hash-degenerate
     // groups of distinct signatures). Dropping a bucket only loses a pair
@@ -112,30 +129,33 @@ object Dedup {
       bucketed0.join(sizes.filter(col("__n") <= maxBucketSize), Seq("band", "bucket"))
         .drop("__n")
     } else bucketed0
-    val a = bucketed.select(col("band"), col("bucket"),
-      col("sid").as("sidA"), col("sig").as("sigA"))
-    val b = bucketed.select(col("band"), col("bucket"),
-      col("sid").as("sidB"), col("sig").as("sigB"))
+    val a = bucketed.select(col("band"), col("bucket"), col("sig").as("sigA"))
+    val b = bucketed.select(col("band"), col("bucket"), col("sig").as("sigB"))
     // Self-join on distinct signatures; <= keeps the (s,s) pair that later
-    // expands into the identical-signature doc pairs.
+    // expands into the identical-signature doc pairs. Ordering, dedup and
+    // the expansion joins all use the FULL signature array — a 64-bit
+    // surrogate (xxhash64(sig)) would silently merge distinct signatures on
+    // a birthday collision, which at billions of distinct signatures is an
+    // expected event, emitting false jaccard_est=1.0 pairs.
     val sigPairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("sidA") <= col("sidB"))
-      .select(col("sidA"), col("sidB"), col("sigA"), col("sigB"))
+      .filter(col("sigA") <= col("sigB"))
+      .select(col("sigA"), col("sigB"))
       .distinct()
-      .select(col("sidA"), col("sidB"),
-        (graft.functions.expressions.MinHashExpression
+      .withColumn("jaccard_est",
+        graft.functions.expressions.MinHashExpression
           .signatureAgreement(col("sigA"), col("sigB"))
-          .cast("double") / lit(numHashes)).as("jaccard_est"))
+          .cast("double") / lit(numHashes))
     // Expansion: sig-pair → doc pairs. Cross-signature pairs appear under
-    // exactly one (sidA < sidB) ordering and are normalized by least/
+    // exactly one (sigA < sigB) ordering and are normalized by least/
     // greatest; identical-signature pairs take the idA < idB branch.
-    val ia = sig.select(col("id").as("__ia"), xxhash64(col("sig")).as("sidA"))
-    val ib = sig.select(col("id").as("__ib"), xxhash64(col("sig")).as("sidB"))
-    sigPairs.join(ia, "sidA").join(ib, "sidB")
-      .filter(col("sidA") =!= col("sidB") || col("__ia") < col("__ib"))
+    val ia = sig.select(col("id").as("__ia"), col("sig").as("sigA"))
+    val ib = sig.select(col("id").as("__ib"), col("sig").as("sigB"))
+    val result = sigPairs.join(ia, "sigA").join(ib, "sigB")
+      .filter(col("sigA") =!= col("sigB") || col("__ia") < col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("idA"),
         greatest(col("__ia"), col("__ib")).as("idB"),
         col("jaccard_est"))
+    materializeAndFree(result, sig, distinctSig)
   }
 
   /** SimHash-64 of a token array: bit i of the result is the sign of the sum
@@ -208,15 +228,21 @@ object Dedup {
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, seed: Int = 42): DataFrame = {
-    // persist: barrier against recomputing the signature in both join legs
+    // persist: barrier against recomputing the signature in both join legs.
+    // simhashCandidatesFromSigs materializes its (cached) result, so the
+    // barrier can be freed before returning — EAGER semantics, the caller
+    // owns one unpersist() on the returned frame.
     val sigs = simhashSignatures(df, idCol, textCol, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    simhashCandidatesFromSigs(sigs, maxHamming)
+    val result = simhashCandidatesFromSigs(sigs, maxHamming)
+    sigs.unpersist(blocking = true)
+    result
   }
 
   /** Blocking + verify + expansion over precomputed (id, sig) rows; see
     * [[simhashCandidates]]. Exposed for reuse and for candidate-volume
-    * testing.
+    * testing. EAGER: returns a cached, already-computed frame with internal
+    * barriers freed (the caller-supplied `sigs` frame is left untouched).
     *
     * The block count adapts to the radius: more, narrower blocks let the
     * per-block neighbor budget q = ⌊r/B⌋ stay at 1 instead of 2+, which
@@ -272,11 +298,12 @@ object Dedup {
       .select(col("sigA"), col("sigB"))
     val a = sigs.select(col("id").as("__ia"), col("sig").as("sigA"))
     val b = sigs.select(col("id").as("__ib"), col("sig").as("sigB"))
-    sigPairs.join(a, "sigA").join(b, "sigB")
+    val result = sigPairs.join(a, "sigA").join(b, "sigB")
       .filter(col("sigA") =!= col("sigB") || col("__ia") < col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("idA"),
         greatest(col("__ia"), col("__ib")).as("idB"),
         hamming64(col("sigA"), col("sigB")).as("hamming"))
+    materializeAndFree(result, distinctSigs)
   }
 
   /** Distributed connected components over a candidate-pair edge list by
@@ -288,6 +315,17 @@ object Dedup {
     *
     * Input: (idA, idB) pairs. Output: (id, component) with component = the
     * minimum id in each connected component.
+    *
+    * EAGER: the labels are computed before returning, cached, and every
+    * internal structure (edge cache, superseded generations, checkpoint
+    * backing RDDs) is freed — the caller owns one `unpersist()`.
+    *
+    * Fault tolerance: lineage is truncated every 3 rounds with
+    * localCheckpoint, whose blocks live in executor storage — an executor
+    * loss during the computation kills the job (documented Spark
+    * localCheckpoint semantics). For long multi-hour runs on a real
+    * cluster, set `sc.setCheckpointDir(...)` first: the operator then uses
+    * RELIABLE checkpoints (stable storage), which survive executor loss.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -329,11 +367,19 @@ object Dedup {
         .head().getLong(0)
       prevGen.unpersist()
       if ((iter + 1) % 3 == 0) {
-        // localCheckpoint registers its backing RDD outside the cache
-        // manager, so the superseded checkpoint must be freed by RDD id —
-        // df.unpersist() alone would leak one stored RDD per checkpoint
+        // Truncate lineage. Ordering matters for recoverability: the
+        // SUPERSEDED checkpoint is freed only after the new one is fully
+        // materialized (localCheckpoint(true) / checkpoint+count are eager),
+        // so no live generation ever lineage-depends on freed data.
+        // Reliable checkpoints (checkpointDir set) live on stable storage
+        // and are not in getPersistentRDDs — the id-based free is a no-op
+        // for them, and lost partitions re-read the checkpoint files.
         val idsBefore = sc.getPersistentRDDs.keySet
-        labels = updated.select("id", "component").localCheckpoint(true)
+        labels =
+          if (sc.getCheckpointDir.isDefined) {
+            val cp = updated.select("id", "component").checkpoint(eager = true)
+            cp
+          } else updated.select("id", "component").localCheckpoint(true)
         val newIds = (sc.getPersistentRDDs.keySet -- idsBefore).toSet
         updated.unpersist()
         prevCheckpointIds.foreach(id =>
@@ -353,22 +399,43 @@ object Dedup {
       System.err.println(s"[graft] connectedComponents: NOT converged after " +
         s"$maxIter iterations — labels are an upper approximation; raise maxIter " +
         "(near-dup cliques normally converge in 2-3 rounds)")
-    labels
+    // Hand back a self-contained cached result and free EVERYTHING internal:
+    // the edge cache, the final generation's cache/checkpoint blocks.
+    val out = materializeAndFree(labels.select("id", "component"), edges)
+    // When the final generation IS a checkpoint, labels has no cache-manager
+    // entry and unpersisting it would instead evict `out` (the re-projection
+    // canonicalizes to the same plan → sameResult match). Only the
+    // non-checkpoint case has a distinct cached plan (the __old column) to
+    // free.
+    if (prevGen ne labels) prevGen.unpersist(blocking = true)
+    prevCheckpointIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+    out
   }
 
   /** End-to-end near-duplicate removal: find MinHash-LSH candidates above
     * `threshold`, cluster them, and return the input minus every
     * non-canonical duplicate (the minimum id of each cluster survives —
-    * deterministic, partition-independent). */
+    * deterministic, partition-independent).
+    *
+    * Cache contract: only the loser-id filter (size ∝ duplicates, not
+    * corpus) stays cached when this returns — every upstream intermediate
+    * (signatures, candidate pairs, component labels) is already freed. The
+    * returned frame is a lazy anti-join against that cached filter; after
+    * writing the result out, free it with `spark.catalog.clearCache()` (or
+    * compose the pieces yourself for finer control). */
   def dedupNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.8,
                           shingleSize: Int = 3, numHashes: Int = 64,
                           bands: Int = 16, seed: Int = 42): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands, seed)
-      .filter(col("jaccard_est") >= threshold)
-    val comps = connectedComponents(cands.select(col("idA"), col("idB")))
-    val losers = comps.filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
+    val comps = connectedComponents(
+      cands.filter(col("jaccard_est") >= threshold)
+        .select(col("idA"), col("idB")))
+    cands.unpersist(blocking = true) // comps is materialized (eager)
+    val losers = materializeAndFree(
+      comps.filter(col("id") =!= col("component")).select(col("id").as(idCol)),
+      comps)
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Decontamination, Dedup}
+
+/** Operator cache hygiene: operators with internal persist barriers must not
+  * strand storage blocks in a long-lived session (the 100 TB deployment
+  * model — round-2 bench showed leaked persists inflating unrelated queries
+  * 10-14×). Contract: after an operator returns, the ONLY persisted thing is
+  * its own (documented, eager) result; one `unpersist()` on the returned
+  * frame leaves `sc.getPersistentRDDs` exactly as it was.
+  */
+class OperatorHygieneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs: DataFrame = {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    (0 until 60).map { i =>
+      val text = if (i % 3 == 0) base else s"$base doc $i variant ${i * 7} text"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  /** Runs `op`, materializes + frees its result, and asserts zero net growth
+    * of persisted RDDs (cache-manager entries AND checkpoint-backed blocks —
+    * getPersistentRDDs sees both, so a localCheckpoint leak cannot hide). */
+  private def assertHygienic(label: String)(op: => DataFrame): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = op
+    out.write.format("noop").mode("overwrite").save() // a real consumer action
+    val during = sc.getPersistentRDDs.keySet -- before
+    out.unpersist(blocking = true)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"$label leaked persisted RDDs $leaked (live during use: $during)")
+  }
+
+  test("repeatedNgramStats persists nothing at all") {
+    val sc = spark.sparkContext
+    spark.sharedState.cacheManager.clearCache()
+    val before = sc.getPersistentRDDs.keySet
+    Decontamination.repeatedNgramStats(docs, "doc_id", "text", n = 3)
+      .write.format("noop").mode("overwrite").save()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "repeatedNgramStats should be persist-free (single-consumer chain)")
+  }
+
+  test("minhashCandidates frees its signature barriers") {
+    assertHygienic("minhashCandidates") {
+      Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 16, bands = 4)
+    }
+  }
+
+  test("simhashCandidates frees signature + distinct-signature barriers") {
+    assertHygienic("simhashCandidates") {
+      Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
+  test("simhashCandidatesFromSigs leaves the caller's sigs frame alone") {
+    spark.sharedState.cacheManager.clearCache()
+    val sigs = Seq((1L, 0L), (2L, 1L), (3L, 255L), (4L, 0L))
+      .toDF("id", "sig")
+      .persist()
+    sigs.count()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 2)
+    out.collect()
+    out.unpersist(blocking = true)
+    // net growth zero AND the caller's cache must still be alive
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.intersect(before) == before,
+      "caller-owned sigs cache was freed by the operator")
+    sigs.unpersist(blocking = true)
+  }
+
+  test("connectedComponents frees edges, generations and checkpoint blocks") {
+    // long chain → multiple iterations AND at least one localCheckpoint round
+    val chain = (0 until 25).map(i => (i.toLong, i.toLong + 1)).toDF("idA", "idB")
+    assertHygienic("connectedComponents") {
+      Dedup.connectedComponents(chain, maxIter = 30)
+    }
+  }
+
+  test("dedupNearDuplicates strands nothing after clearCache") {
+    // contract: only the loser-id filter stays cached (documented), and it
+    // is freeable by the cache manager — no zombie blocks beyond its reach
+    val sc = spark.sparkContext
+    spark.sharedState.cacheManager.clearCache()
+    val before = sc.getPersistentRDDs.keySet
+    Dedup.dedupNearDuplicates(docs, "doc_id", "text", threshold = 0.9,
+        shingleSize = 2, numHashes = 16, bands = 4)
+      .write.format("noop").mode("overwrite").save()
+    spark.sharedState.cacheManager.clearCache()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"zombie RDDs beyond the cache manager: $leaked")
+  }
+}
