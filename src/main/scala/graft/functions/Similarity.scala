@@ -86,6 +86,97 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist a multi-probe hyperplane-LSH index: every vector is bucketed in
+    * `tables` independent hash tables, so probes become a pruned read — at
+    * query time NO per-row hashing happens at all (the round-2 filter-based
+    * lshTopK evaluated tables×planes dot products per row, which at dim 64
+    * costs more than the cosine it was meant to avoid; bucketing must be
+    * paid at WRITE time, once, to be a win).
+    *
+    * Layout is LAYERED, the standard lakehouse index shape: directories are
+    * (tbl, bucket >> coarse-shift) — a bounded count, so file listing stays
+    * cheap at any scale — and rows inside each directory are sorted by the
+    * full bucket, so the probe's `bucket IN (…)` predicate prunes at the
+    * parquet row-group level via min/max stats. One dir per (tbl, bucket)
+    * would make PARTITION DISCOVERY the bottleneck (measured: ~770 dirs
+    * cost 1.8 s to list per probe at toy scale; at 100 TB a 2^numPlanes
+    * directory fanout per table is a metastore killer). */
+  def writeLshIndex(df: DataFrame, embCol: String, idCol: String, path: String,
+                    dim: Int, numPlanes: Int = 8, tables: Int = 3,
+                    coarseBits: Int = 4, seed: Long = 42L,
+                    rowGroupBytes: Long = 4L * 1024 * 1024): Unit = {
+    val shift = math.max(numPlanes - coarseBits, 0)
+    val tb = (0 until tables).map { t =>
+      val planes = hyperplanes(numPlanes, dim, seed + t * 1000L)
+      struct(lit(t).as("tbl"), lshBucket(col(embCol), planes).as("bucket"))
+    }
+    df.select(col(idCol), col(embCol), explode(array(tb: _*)).as("bk"))
+      .select(col(idCol), col(embCol), col("bk.tbl").as("tbl"),
+        col("bk.bucket").as("bucket"),
+        shiftright(col("bk.bucket"), shift).as("bcoarse"))
+      .repartition(col("tbl"), col("bcoarse"))
+      .sortWithinPartitions(col("bucket")) // row-group clustering on fine bits
+      // Small row groups on purpose: an ANN index is read in tiny selective
+      // slices, so fine-grained min/max skipping on the sorted bucket column
+      // is worth the extra footer metadata (a scan-optimized 128 MB row
+      // group would make the pushed `bucket IN (…)` filter useless — the
+      // whole dir would be read whenever one of its buckets is probed).
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .partitionBy("tbl", "bcoarse").parquet(path)
+  }
+
+  /** Query-directed multi-probe over a [[writeLshIndex]] index (Lv et al.
+    * 2007, "Multi-Probe LSH"): per table, rank candidate buckets by the sum
+    * of |margin| of the flipped hyperplanes — a near neighbor most likely
+    * disagrees on exactly the planes the query is closest to — and read the
+    * `nprobe` cheapest buckets (flip sets of size ≤ 3). All ranking happens
+    * driver-side on the tiny plane set; the scan reads only the coarse
+    * partitions covering the probed buckets (PartitionFilters), prunes row
+    * groups on the fine bucket bits (PushedFilters on the sorted bucket
+    * column), and computes ONE cosine per candidate row. Candidates found
+    * in several tables are deduplicated before the top-k. */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    query: Seq[Float], k: Int,
+                    dim: Int, numPlanes: Int = 8, tables: Int = 3,
+                    nprobe: Int = 16, coarseBits: Int = 4,
+                    seed: Long = 42L,
+                    embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val shift = math.max(numPlanes - coarseBits, 0)
+    val probeCond = (0 until tables).map { t =>
+      val planes = hyperplanes(numPlanes, dim, seed + t * 1000L)
+      val margins = planes.map(p =>
+        p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+      val exact = margins.zipWithIndex.foldLeft(0L) { case (acc, (m, i)) =>
+        if (m >= 0) acc | (1L << i) else acc
+      }
+      // perturbation sets: flip ≤3 planes, cost = sum of flipped |margins|
+      val flipSets = (0 to math.min(3, numPlanes)).flatMap(sz =>
+        (0 until numPlanes).combinations(sz).map(_.toSeq))
+      val buckets = flipSets
+        .map(s => (s.map(j => math.abs(margins(j))).sum,
+          s.foldLeft(exact)((b, j) => b ^ (1L << j))))
+        .sortBy(_._1)
+        .take(nprobe)
+        .map(_._2)
+      val coarse = buckets.map(_ >> shift).distinct
+      col("tbl") === t && col("bcoarse").isInCollection(coarse) &&
+        col("bucket").isInCollection(buckets)
+    }.reduce(_ || _)
+    // Project to (id, cosine) BEFORE deduplicating across tables: the
+    // groupBy partial-aggregates map-side, so the shuffle carries 16-byte
+    // rows for near-distinct candidates — deduplicating first would shuffle
+    // the embeddings themselves (~20× wider). max() of identical values is
+    // deterministic.
+    spark.read.parquet(path)
+      .filter(probeCond)
+      .select(col(idCol), cosine(col(embCol), vecLit(query)).as("__cos"))
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF-style coarse index: assign every vector to its nearest of `nlist`
     * deterministic anchor directions; a query probes only the `nprobe`
     * closest anchors' lists. Returns the assignment DataFrame — at scale,
