@@ -190,18 +190,58 @@ object PipelineQueries {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))),
 
-    // MinHash-LSH near-dup candidates (no oracle: engine-specific hashes).
-    "q_dedup_minhash" -> ((s, dir) =>
+    // MinHash-LSH with PLANTED exact duplicates (docs 0-4 copied to
+    // doc_id+100000): the LSH pipeline must surface every planted pair with
+    // signature agreement 1.0, and the output is restricted to pairs whose
+    // TEXT is verified identical — an engine-independent set the oracle
+    // enumerates with a self-join (planted pairs plus the corpus's natural
+    // exact duplicates). A missed bucket join, broken signature, or bad
+    // expansion breaks the hash match.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df.select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val cands = Dedup.minhashCandidates(docs.unionByName(planted),
+        "doc_id", "text", shingleSize = 2, numHashes = 32, bands = 8)
+        .filter(col("jaccard_est") === 1.0)
+      val t = docs.unionByName(planted)
+      cands
+        .join(t.select(col("doc_id").as("idA"), col("text").as("__ta")), "idA")
+        .join(t.select(col("doc_id").as("idB"), col("text").as("__tb")), "idB")
+        .filter(col("__ta") === col("__tb"))
+        .select(col("idA"), col("idB"))
+    }),
+
+    // Raw MinHash-LSH near-dup candidates (no oracle: engine-specific
+    // hashes; validated by FunctionsSpec exactness + the planted query).
+    "q_dedup_minhash_cands" -> ((s, dir) =>
       Dedup.minhashCandidates(star(s, dir, "documents").df, "doc_id", "text",
         shingleSize = 2, numHashes = 32, bands = 8)
         .filter(col("jaccard_est") >= 0.5)),
 
-    // SimHash near-dup candidates (no oracle: engine-specific hashes).
-    // radius 8 via multi-index blocking: 4 blocks of 16 bits, probe side
-    // expanded by C(16,≤2)=137 XOR masks — join keys stay at 65k buckets
-    // per block at ANY radius, and identical signatures collapse before
-    // the self-join (see Dedup.simhashCandidatesFromSigs).
-    "q_dedup_simhash" -> ((s, dir) =>
+    // SimHash with PLANTED exact duplicates, same construction as minhash:
+    // hamming-0 pairs with verified-identical text are engine-independent.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df.select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val cands = Dedup.simhashCandidates(docs.unionByName(planted),
+        "doc_id", "text", maxHamming = 8)
+        .filter(col("hamming") === 0)
+      val t = docs.unionByName(planted)
+      cands
+        .join(t.select(col("doc_id").as("idA"), col("text").as("__ta")), "idA")
+        .join(t.select(col("doc_id").as("idB"), col("text").as("__tb")), "idB")
+        .filter(col("__ta") === col("__tb"))
+        .select(col("idA"), col("idB"))
+    }),
+
+    // Raw SimHash near-dup candidates (no oracle: engine-specific hashes).
+    // radius 8 via multi-index blocking: 5 radius-adaptive blocks, probe
+    // side expanded by ≤14 XOR masks per block — join keys stay 12-16 bits
+    // at ANY radius, and identical signatures collapse before the
+    // self-join (see Dedup.simhashCandidatesFromSigs).
+    "q_dedup_simhash_cands" -> ((s, dir) =>
       Dedup.simhashCandidates(star(s, dir, "documents").df, "doc_id", "text",
         maxHamming = 8)),
 
@@ -366,6 +406,30 @@ object PipelineQueries {
     "q_dedup_embedding" ->
       """SELECT vec_id AS idA, CAST(vec_id + 100000 AS BIGINT) AS idB, CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // Every identical-text pair — the planted copies AND any natural exact
+    // duplicates in the corpus (sf0.1 has 8) — must be surfaced by the LSH
+    // pipeline: identical text → identical signature → every pair of the
+    // group shares all buckets and expands.
+    "q_dedup_minhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 5
+        |)
+        |SELECT CAST(a.doc_id AS BIGINT) AS idA, CAST(b.doc_id AS BIGINT) AS idB
+        |FROM all_docs a JOIN all_docs b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 5
+        |)
+        |SELECT CAST(a.doc_id AS BIGINT) AS idA, CAST(b.doc_id AS BIGINT) AS idB
+        |FROM all_docs a JOIN all_docs b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
 
     "q_emb_stats" ->
       """SELECT label, count(*) AS n,
