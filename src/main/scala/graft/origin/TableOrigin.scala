@@ -31,6 +31,25 @@ trait LoadLocation {
   def localFolderPath: Option[java.nio.file.Path]
 }
 
+/** Shared interactive-identifier defaults for file-like locations —
+  * reference: pdtable/table_origin.py:150-160. */
+trait InteractiveLocation {
+  def loadIdentifier: String
+
+  /** Human-facing identifier for a (sheet, row) within this file; defaults
+    * to the load identifier plus location, as the reference's base class. */
+  def getInteractiveIdentifier(sheet: Option[String], row: Option[Int]): String = {
+    val sLoc = sheet.map(s => s" Sheet '$s'").getOrElse("")
+    val rLoc = row.map(r => s" Row $r").getOrElse("")
+    s"$loadIdentifier$sLoc$rLoc"
+  }
+
+  /** URI that would open the location in an interactive tool; None for
+    * non-addressable inputs (streams). Headless here — the URI is rendered,
+    * never opened (interactive_open is the documented permanent omission). */
+  def interactiveUri(sheet: Option[String], row: Option[Int]): Option[String] = None
+}
+
 /** A folder input location (reference: pdtable/io/load/_loaders.py:81-123). */
 final case class LocationFolder(
     localPath: java.nio.file.Path,
@@ -41,7 +60,7 @@ final case class LocationFolder(
 }
 
 /** A file input location (reference: pdtable/table_origin.py:122-293). */
-trait LocationFile extends LoadLocation {
+trait LocationFile extends LoadLocation with InteractiveLocation {
   def makeLocationSheet(sheetName: Option[String] = None): LocationSheet =
     LocationSheet(this, sheetName)
 }
@@ -59,6 +78,27 @@ final case class FilesystemLocationFile(
     s"${localPath.toAbsolutePath}@$mtime"
   }
   def localFolderPath: Option[java.nio.file.Path] = Option(localPath.getParent)
+
+  /** "Row 4 of 'file.csv'" / "'Sheet1'!A4 of 'file.csv'"
+    * (table_origin.py:274-279). */
+  override def getInteractiveIdentifier(sheet: Option[String], row: Option[Int]): String = {
+    val loc = sheet match {
+      case None    => s"Row ${row.getOrElse(0)}"
+      case Some(s) => s"'$s'!A${row.getOrElse(0)}"
+    }
+    s"$loc of '$localPath'"
+  }
+
+  /** file:// URI with an Excel-style fragment (table_origin.py:281-293). */
+  override def interactiveUri(sheet: Option[String], row: Option[Int]): Option[String] = {
+    val fileUri = localPath.toAbsolutePath.toUri.toString
+    if (sheet.isEmpty && row.isEmpty) Some(fileUri)
+    else {
+      val sh = sheet.getOrElse("Sheet1")
+      val rowMark = row.map(r => s"!A$r").getOrElse("")
+      Some(s"$fileUri#'$sh'$rowMark")
+    }
+  }
   override def toString: String = localPath.toString
 }
 
@@ -78,6 +118,10 @@ final case class LocationSheet(file: LocationFile, sheetName: Option[String]) {
 
 /** A block at a row within a sheet (table_origin.py:306-347). */
 final case class LocationBlock(sheet: LocationSheet, row: Int) {
+  def interactiveIdentifier: String =
+    sheet.file.getInteractiveIdentifier(sheet.sheetName, Some(row))
+  def interactiveUri: Option[String] =
+    sheet.file.interactiveUri(sheet.sheetName, Some(row))
   override def toString: String = {
     val sh = sheet.sheetName.map(s => s" sheet '$s'").getOrElse("")
     s"Row $row$sh of '${sheet.file}'"
@@ -98,7 +142,8 @@ final case class TableOrigin(
   )
   def isLeaf: Boolean = inputLocation.nonEmpty
 
-  /** Render as an indented tree (table_origin.py:408-430). */
+  /** Render as an indented tree (table_origin.py:428-443,
+    * table_origin_as_str). */
   def render(indent: Int = 0): String = {
     val pad = "  " * indent
     if (isLeaf) s"$pad${inputLocation.get}"
@@ -107,12 +152,41 @@ final case class TableOrigin(
       (s"$pad$op" +: parents.map(_.render(indent + 1))).mkString("\n")
     }
   }
+
+  /** Render as HTML, mirroring the reference's structure exactly
+    * (table_origin.py:408-425, table_origin_as_html): a leaf is an anchor
+    * with class "input-table-origin" (href = the interactive URI when the
+    * location has one), a branch is a div with class "derived-table-origin"
+    * wrapping the operation and a list of parents. Notebook/report-facing
+    * counterpart of [[render]]. */
+  def renderHtml: String =
+    if (isLeaf) {
+      val loc = inputLocation.get
+      val href = loc.interactiveUri.map(TableOrigin.escapeHtml).getOrElse("")
+      val id = TableOrigin.escapeHtml(loc.interactiveIdentifier)
+      s"""<a href="$href" class="input-table-origin">$id</a>"""
+    } else {
+      val op = TableOrigin.escapeHtml(operation.getOrElse("<operation>"))
+      val items = parents.map(p => s"<li>${p.renderHtml}</li>").mkString("\n")
+      s"""<div class="derived-table-origin"><span>$op</span><ul>""" +
+        items + "</ul></div>"
+    }
+
   override def toString: String =
     if (isLeaf) inputLocation.get.toString
     else operation.getOrElse("<unknown origin>")
 }
 
 object TableOrigin {
+  private[origin] def escapeHtml(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c   => c.toString
+    }
+
   val empty: TableOrigin = TableOrigin()
   def leaf(loc: LocationBlock): TableOrigin = TableOrigin(inputLocation = Some(loc))
   def branch(operation: String, parents: Seq[TableOrigin]): TableOrigin =
