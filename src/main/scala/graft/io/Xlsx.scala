@@ -22,12 +22,45 @@ final case class XlsxFont(color: Option[String] = None, bold: Boolean = false,
                           italic: Boolean = false)
 final case class XlsxCellStyle(font: Option[XlsxFont] = None,
                                fillColor: Option[String] = None,
-                               horizontalAlignment: Option[String] = None) {
-  def isPlain: Boolean = font.isEmpty && fillColor.isEmpty && horizontalAlignment.isEmpty
+                               horizontalAlignment: Option[String] = None,
+                               numberFormat: Option[String] = None) {
+  def isPlain: Boolean = font.isEmpty && fillColor.isEmpty &&
+    horizontalAlignment.isEmpty && numberFormat.isEmpty
   /** Transposed-table default centering unless explicitly aligned
     * (reference: _excel_openpyxl.py:196-205). */
   def withDefaultAlignment(h: String): XlsxCellStyle =
     if (horizontalAlignment.isEmpty) copy(horizontalAlignment = Some(h)) else this
+}
+
+/** Excel number-format codes: builtin numFmtId registry (ECMA-376 §18.8.30)
+  * plus the mapping from the column display-format mini-language
+  * ([[graft.model.ColumnFormat]], e.g. ".2f", "d", "14.3e", ".1%") to a
+  * format code — so a column's declared display format becomes a real
+  * spreadsheet number format instead of being lost on Excel export. */
+object XlsxNumFmt {
+  /** ECMA-376 builtin ids; codes not listed get a custom id ≥ 164. */
+  val builtinIds: Map[String, Int] = Map(
+    "General" -> 0, "0" -> 1, "0.00" -> 2, "#,##0" -> 3, "#,##0.00" -> 4,
+    "0%" -> 9, "0.00%" -> 10, "0.00E+00" -> 11, "@" -> 49)
+
+  val customBase = 164
+
+  /** Map a ColumnFormat specifier to an Excel format code (None = leave the
+    * cell as General). Covers the fixed/int/exponent/percent forms the
+    * display-format layer supports. */
+  def fromColumnFormat(cf: graft.model.ColumnFormat): Option[String] = {
+    val FixedRe = """(?:\d+)?\.(\d+)f""".r
+    val ExpRe = """(?:\d+)?\.(\d+)e""".r
+    val PctRe = """(?:\d+)?\.(\d+)%""".r
+    cf.specifier match {
+      case FixedRe(d) => Some(if (d.toInt == 0) "0" else "0." + "0" * d.toInt)
+      case ExpRe(d)   => Some("0." + "0" * math.max(d.toInt, 1) + "E+00")
+      case PctRe(d)   => Some(if (d.toInt == 0) "0%" else "0." + "0" * d.toInt + "%")
+      case "d"        => Some("0")
+      case "%"        => Some("0%")
+      case _          => None
+    }
+  }
 }
 final case class XlsxStyles(
     tableName: XlsxCellStyle = XlsxCellStyle(),
@@ -59,8 +92,13 @@ object XlsxStyles {
   *  - read: every worksheet's cell grid → the same block parser as CSV;
   *    `sheetNamePattern` filters sheets (reference: excel.py:28-108).
   *
-  * Not supported: number-format-driven date detection in foreign files,
-  * zip64 (>4 GB).
+  * Large workbooks: the container is written through java.util.zip, which
+  * emits ZIP64 records automatically once entry sizes or counts exceed the
+  * classic limits — >4 GB workbooks need no opt-in flag (unlike the
+  * reference's xlsxwriter backend, excel.py:194-196 `use_zip64`); validated
+  * by the ZIP64 round-trip in XlsxSpec.
+  *
+  * Not supported: number-format-driven date detection in foreign files.
   */
 object Xlsx {
 
@@ -84,19 +122,29 @@ object Xlsx {
     * Transposed layout styles per CELL (name/unit run down the first two
     * columns — reference: _excel_openpyxl.py:166-175). */
   private def tableGrid(t: StarTable, naRep: String,
-                        part: String => Int): Seq[Seq[(Any, Int)]] = {
+                        part: String => Int,
+                        valueFmt: String => Int): Seq[Seq[(Any, Int)]] = {
     val units = t.units
     val rows = t.df.collect()
     val sName = part("table_name"); val sDest = part("destinations")
     val sCol = part("column_names"); val sUnit = part("units")
     val sVal = part("values")
+    // per-column value style: the column's declared display format becomes a
+    // real number format on its value cells (reference honors num_format in
+    // its Excel writers — _excel_xlsxwriter.py:91-94)
+    val colStyle: Seq[Int] = t.columnNames.map { c =>
+      t.colMeta(c).displayFormat.flatMap(XlsxNumFmt.fromColumnFormat) match {
+        case Some(code) => valueFmt(code)
+        case None       => sVal
+      }
+    }
     if (t.meta.transposed) {
       val header: Seq[Seq[(Any, Int)]] = Seq(
         Seq((s"**${t.name}*", sName)),
         Seq((t.destinations.mkString(" "), sDest)))
       val body = t.columnNames.zipWithIndex.map { case (c, ci) =>
         Seq((c: Any, sCol), (units(ci): Any, sUnit)) ++
-          rows.map(r => (CsvWriter.represent(r.get(ci), units(ci), ci, naRep), sVal))
+          rows.map(r => (CsvWriter.represent(r.get(ci), units(ci), ci, naRep), colStyle(ci)))
       }
       header ++ body
     } else {
@@ -107,7 +155,7 @@ object Xlsx {
         units.map(u => (u: Any, sUnit)))
       val body = rows.toIndexedSeq.map { r =>
         t.columnNames.indices.map(ci =>
-          (CsvWriter.represent(r.get(ci), units(ci), ci, naRep), sVal))
+          (CsvWriter.represent(r.get(ci), units(ci), ci, naRep), colStyle(ci)))
       }
       header ++ body
     }
@@ -132,10 +180,15 @@ object Xlsx {
   /** Normalize "RRGGBB" / "AARRGGBB" to the ARGB form styles.xml wants. */
   private def argb(c: String): String = if (c.length == 8) c else "FF" + c
 
-  /** Build styles.xml plus the per-(table-part, transposed) cellXfs index
-    * maps. Returns (xml, part resolver for row-major, resolver for
-    * transposed tables — which default-center units and values). */
-  private def buildStyles(spec: XlsxStyles): (String, String => Int, String => Int) = {
+  /** styles.xml plus the cellXfs resolvers: per table part (row-major and
+    * transposed — the latter default-center units/values) and per value
+    * number-format code (each declared column format gets a values-style
+    * variant carrying its numFmtId). */
+  private final case class StyleIndex(xml: String,
+      rowPart: String => Int, transPart: String => Int,
+      rowValueFmt: String => Int, transValueFmt: String => Int)
+
+  private def buildStyles(spec: XlsxStyles, valueFmtCodes: Seq[String]): StyleIndex = {
     val partsRow: Seq[(String, XlsxCellStyle)] = Seq(
       "table_name" -> spec.tableName, "destinations" -> spec.destinations,
       "column_names" -> spec.columnNames, "units" -> spec.units,
@@ -145,16 +198,36 @@ object Xlsx {
       "column_names" -> spec.columnNames,
       "units" -> spec.units.withDefaultAlignment("center"),
       "values" -> spec.values.withDefaultAlignment("center"))
+    val rowValue: Seq[(String, XlsxCellStyle)] =
+      valueFmtCodes.map(c => c -> spec.values.copy(numberFormat = Some(c)))
+    val transValue: Seq[(String, XlsxCellStyle)] =
+      valueFmtCodes.map(c =>
+        c -> spec.values.withDefaultAlignment("center").copy(numberFormat = Some(c)))
 
-    val distinct = (partsRow ++ partsTrans).map(_._2).filterNot(_.isPlain).distinct
+    val distinct = (partsRow ++ partsTrans ++ rowValue ++ transValue)
+      .map(_._2).filterNot(_.isPlain).distinct
     val fonts = distinct.flatMap(_.font).distinct
     val fills = distinct.flatMap(_.fillColor).distinct
+    // custom number formats (not in the ECMA builtin registry) get ids ≥ 164
+    val customCodes = distinct.flatMap(_.numberFormat).distinct
+      .filterNot(XlsxNumFmt.builtinIds.contains)
 
     def fontId(f: Option[XlsxFont]): Int = f.map(fonts.indexOf(_) + 1).getOrElse(0)
     def fillId(c: Option[String]): Int = c.map(fills.indexOf(_) + 2).getOrElse(0)
+    def numFmtId(c: Option[String]): Int = c match {
+      case None => 0
+      case Some(code) => XlsxNumFmt.builtinIds.getOrElse(code,
+        XlsxNumFmt.customBase + customCodes.indexOf(code))
+    }
     def xfId(st: XlsxCellStyle): Int =
       if (st.isPlain) 0 else distinct.indexOf(st) + 1
 
+    val numFmtsXml =
+      if (customCodes.isEmpty) ""
+      else s"""<numFmts count="${customCodes.size}">""" +
+        customCodes.map(c =>
+          s"""<numFmt numFmtId="${numFmtId(Some(c))}" formatCode="${xmlEscape(c)}"/>""").mkString +
+        "</numFmts>"
     val fontXml = ("<font/>" +: fonts.map { f =>
       "<font>" + (if (f.bold) "<b/>" else "") + (if (f.italic) "<i/>" else "") +
         f.color.map(c => s"""<color rgb="${argb(c)}"/>""").getOrElse("") + "</font>"
@@ -168,7 +241,8 @@ object Xlsx {
       distinct.map { st =>
         val align = st.horizontalAlignment
           .map(h => s"""<alignment horizontal="$h"/>""").getOrElse("")
-        s"""<xf numFmtId="0" fontId="${fontId(st.font)}" fillId="${fillId(st.fillColor)}" borderId="0" xfId="0"""" +
+        s"""<xf numFmtId="${numFmtId(st.numberFormat)}" fontId="${fontId(st.font)}" fillId="${fillId(st.fillColor)}" borderId="0" xfId="0"""" +
+          (if (st.numberFormat.nonEmpty) """ applyNumberFormat="1"""" else "") +
           (if (st.font.nonEmpty) """ applyFont="1"""" else "") +
           (if (st.fillColor.nonEmpty) """ applyFill="1"""" else "") +
           (if (align.nonEmpty) s""" applyAlignment="1">$align</xf>""" else "/>")
@@ -177,6 +251,7 @@ object Xlsx {
     val xml =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        numFmtsXml +
         s"""<fonts count="${fonts.size + 1}">$fontXml</fonts>""" +
         s"""<fills count="${fills.size + 2}">$fillXml</fills>""" +
         """<borders count="1"><border><left/><right/><top/><bottom/><diagonal/></border></borders>""" +
@@ -186,7 +261,11 @@ object Xlsx {
 
     val rowMap = partsRow.map { case (n, st) => n -> xfId(st) }.toMap
     val transMap = partsTrans.map { case (n, st) => n -> xfId(st) }.toMap
-    (xml, rowMap, transMap)
+    val rowValueMap = rowValue.map { case (c, st) => c -> xfId(st) }.toMap
+    val transValueMap = transValue.map { case (c, st) => c -> xfId(st) }.toMap
+    StyleIndex(xml, rowMap, transMap,
+      c => rowValueMap.getOrElse(c, rowMap("values")),
+      c => transValueMap.getOrElse(c, transMap("values")))
   }
 
   /** Write tables to an xlsx file (single sheet, `sepLines` blank rows
@@ -201,15 +280,23 @@ object Xlsx {
   def writeSheets(sheets: Seq[(String, Seq[StarTable])], path: Path,
                   naRep: String = "-", sepLines: Int = 1,
                   styles: Option[XlsxStyles] = None): Unit = {
-    val (stylesXml, rowPart, transPart) = styles match {
-      case Some(spec) => buildStyles(spec)
-      case None       =>
+    // Columns with a declared display format need number-format styles even
+    // when no part styling was requested — a styles.xml with only numFmts.
+    val fmtCodes = sheets.flatMap(_._2).flatMap(t =>
+      t.columnNames.flatMap(c =>
+        t.colMeta(c).displayFormat.flatMap(XlsxNumFmt.fromColumnFormat))).distinct
+    val effStyles =
+      if (styles.isEmpty && fmtCodes.nonEmpty) Some(XlsxStyles()) else styles
+    val idx = effStyles match {
+      case Some(spec) => buildStyles(spec, fmtCodes)
+      case None =>
         val zero = (_: String) => 0
-        ("", zero, zero)
+        StyleIndex("", zero, zero, zero, zero)
     }
     def sheetXml(tables: Seq[StarTable]): String = {
       val grids = tables.map(t =>
-        tableGrid(t, naRep, if (t.meta.transposed) transPart else rowPart))
+        if (t.meta.transposed) tableGrid(t, naRep, idx.transPart, idx.transValueFmt)
+        else tableGrid(t, naRep, idx.rowPart, idx.rowValueFmt))
       val allRows: Seq[Seq[(Any, Int)]] = grids.zipWithIndex.flatMap { case (g, i) =>
         if (i == 0) g else Seq.fill(sepLines)(Seq.empty[(Any, Int)]) ++ g
       }
@@ -228,7 +315,7 @@ object Xlsx {
     }
 
     val n = sheets.size
-    val withStyles = styles.nonEmpty
+    val withStyles = effStyles.nonEmpty
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -280,7 +367,7 @@ object Xlsx {
       part("_rels/.rels", rels)
       part("xl/workbook.xml", workbook)
       part("xl/_rels/workbook.xml.rels", wbRels)
-      if (withStyles) part("xl/styles.xml", stylesXml)
+      if (withStyles) part("xl/styles.xml", idx.xml)
       sheets.zipWithIndex.foreach { case ((_, tables), i) =>
         part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(tables))
       }

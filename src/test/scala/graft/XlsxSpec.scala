@@ -198,4 +198,90 @@ class XlsxSpec extends AnyFunSuite {
     // per-sheet provenance carries the real sheet name
     assert(onlyTrips(0).meta.origin.inputLocation.get.sheet.sheetName.contains("trips"))
   }
+
+  test("column display formats become numFmtId-backed styles (builtin + custom)") {
+    val bundle = CsvReader.readBundleFromString(spark, bundleCsv)
+    val t = bundle.unique("places_to_go")
+      .withFormat("distance", ColumnFormat(2))        // ".2f" -> builtin "0.00" (id 2)
+    val t2 = bundle.unique("spelling_numbers")
+      .withFormat("number", ColumnFormat("14.3e"))    // custom "0.000E+00" (id >= 164)
+    val p = Files.createTempDirectory("graft_xlsx").resolve("fmt.xlsx")
+    Xlsx.write(Seq(t, t2), p, styles = Some(graft.io.XlsxStyles.default))
+    val zf = new java.util.zip.ZipFile(p.toFile)
+    try {
+      def partText(n: String) = new String(
+        zf.getInputStream(zf.getEntry(n)).readAllBytes(), "UTF-8")
+      val styles = partText("xl/styles.xml")
+      // custom format declared with a custom id
+      assert(styles.contains("""formatCode="0.000E+00""""),
+        s"custom numFmt missing: $styles")
+      assert(styles.contains("""numFmtId="164""""))
+      // some cellXf applies the builtin 0.00 id and one the custom id
+      assert(styles.contains("""<xf numFmtId="2" """) &&
+        styles.contains("""<xf numFmtId="164" """))
+      assert(styles.contains("""applyNumberFormat="1""""))
+      // value cells of the formatted columns carry a style id
+      val sheet = partText("xl/worksheets/sheet1.xml")
+      assert(sheet.contains(""" s="""), "no styled cells in sheet")
+      // data survives (round trip unchanged by formats)
+      val back = Xlsx.readBundle(spark, p)
+      assert(t.equalsTable(back.unique("places_to_go")))
+      assert(t2.equalsTable(back.unique("spelling_numbers")))
+    } finally zf.close()
+  }
+
+  test("display formats emit a styles.xml even when no part styling is requested") {
+    val bundle = CsvReader.readBundleFromString(spark, bundleCsv)
+    val t = bundle.unique("places_to_go").withFormat("distance", ColumnFormat(1))
+    val p = Files.createTempDirectory("graft_xlsx").resolve("fmtonly.xlsx")
+    Xlsx.write(Seq(t), p) // styles = None
+    val zf = new java.util.zip.ZipFile(p.toFile)
+    try {
+      assert(zf.getEntry("xl/styles.xml") != null, "styles.xml missing")
+      val styles = new String(
+        zf.getInputStream(zf.getEntry("xl/styles.xml")).readAllBytes(), "UTF-8")
+      assert(styles.contains("""formatCode="0.0"""") ||
+        styles.contains("""numFmtId="164""""), s"format lost: $styles")
+      assert(new String(zf.getInputStream(
+        zf.getEntry("[Content_Types].xml")).readAllBytes(), "UTF-8")
+        .contains("/xl/styles.xml"))
+    } finally zf.close()
+  }
+
+  test("ColumnFormat -> Excel format code mapping") {
+    import graft.io.XlsxNumFmt
+    def code(s: String) = XlsxNumFmt.fromColumnFormat(ColumnFormat(s))
+    assert(code(".2f") == Some("0.00"))
+    assert(code(".0f") == Some("0"))
+    assert(code("d") == Some("0"))
+    assert(code("14.3e") == Some("0.000E+00"))
+    assert(code(".1%") == Some("0.0%"))
+    assert(code("weird") == None)
+  }
+
+  test("container goes ZIP64 transparently past the classic entry-count limit") {
+    // The reference needs use_zip64=True for >4 GB workbooks
+    // (excel.py:194-196); java.util.zip switches to ZIP64 automatically. A
+    // 4 GB entry is too slow for CI, but the 65 535-entry ceiling triggers
+    // the same ZIP64 end-of-central-directory machinery — prove the records
+    // are written and re-readable.
+    val p = Files.createTempFile("graft_zip64", ".zip")
+    val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+    val n = 65600
+    var i = 0
+    while (i < n) {
+      out.putNextEntry(new java.util.zip.ZipEntry(s"e$i"))
+      out.write('x'); out.closeEntry(); i += 1
+    }
+    out.close()
+    // ZIP64 end-of-central-directory signature PK\x06\x06 must be present
+    val bytes = Files.readAllBytes(p)
+    def hasSig(sig: Array[Byte]): Boolean =
+      bytes.sliding(4).exists(_.sameElements(sig))
+    assert(hasSig(Array(0x50, 0x4b, 0x06, 0x06).map(_.toByte)),
+      "no ZIP64 EOCD record")
+    val zf = new java.util.zip.ZipFile(p.toFile)
+    try assert(zf.size() == n, s"reread ${zf.size()} of $n entries")
+    finally { zf.close(); Files.delete(p) }
+  }
 }
