@@ -90,25 +90,26 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
     Option(options.get("table")),
     Option(options.get("sep")).getOrElse(";"),
     Option(options.get("failFast")).exists(_.toBoolean),
-    required)
+    fullSchema, required)
 }
 
 private[sources] class StarTableScan(files: Seq[String], tableName: Option[String],
                                      sep: String, failFast: Boolean,
-                                     required: StructType)
+                                     fullSchema: StructType, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => StarFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new StarTableReaderFactory(tableName, sep, failFast, required)
+    new StarTableReaderFactory(tableName, sep, failFast, fullSchema, required)
 }
 
 private[sources] case class StarFilePartition(path: String) extends InputPartition
 
 private[sources] class StarTableReaderFactory(tableName: Option[String], sep: String,
-                                              failFast: Boolean, required: StructType)
+                                              failFast: Boolean,
+                                              fullSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[StarFilePartition].path
@@ -117,6 +118,14 @@ private[sources] class StarTableReaderFactory(tableName: Option[String], sep: St
         StarTableSource.parseNamedTable(path, tableName, sep, failFast) match {
           case None => Iterator.empty
           case Some(p) =>
+            // Per-file schema-drift validation against the inferred (or
+            // user-supplied) schema: a drifted file is an ERROR under
+            // failFast (task failure naming file and difference) and a
+            // WARNING under permissive reads — where the by-name lookup
+            // below null-pads missing columns and drops extras, the
+            // documented permissive reshaping. Silent reshaping was the
+            // round-2 behavior; drift is now always surfaced.
+            StarTableSource.validateSchema(path, p, fullSchema, failFast)
             // column pruning pushed into the parse: look up only required
             // columns; everything else skipped entirely
             val idx = required.fields.map(f => p.columnNames.indexOf(f.name))
@@ -193,6 +202,38 @@ private[sources] object StarTableSource {
       filter = filter, fixer = fixer, issueTracker = tracker)
       .collectFirst { case (BlockType.Table, p: ParsedTable) => p }
     it
+  }
+
+  /** Compare a parsed file's declared block schema (column names + units)
+    * with the scan schema. failFast → raise on the executor; permissive →
+    * warn on stderr (executor log) and let the by-name null-padding read
+    * proceed. */
+  def validateSchema(path: String, p: ParsedTable,
+                     expected: StructType, failFast: Boolean): Unit = {
+    val fileCols = p.columnNames
+    val expCols = expected.fields.map(_.name).toSeq
+    val missing = expCols.filterNot(fileCols.contains)
+    val extra = fileCols.filterNot(expCols.contains)
+    val unitByName = fileCols.zip(p.units).toMap
+    val unitDrift = expected.fields.toSeq.flatMap { f =>
+      for {
+        fileUnit <- unitByName.get(f.name)
+        expUnit = if (f.metadata.contains(StarTable.UnitMetaKey))
+          f.metadata.getString(StarTable.UnitMetaKey) else fileUnit
+        if fileUnit != expUnit
+      } yield s"${f.name}: '$fileUnit' != '$expUnit'"
+    }
+    if (missing.nonEmpty || extra.nonEmpty || unitDrift.nonEmpty) {
+      val msg = s"startable source: schema drift in $path — " +
+        Seq(
+          if (missing.nonEmpty) Some(s"missing columns ${missing.mkString(", ")}") else None,
+          if (extra.nonEmpty) Some(s"extra columns ${extra.mkString(", ")}") else None,
+          if (unitDrift.nonEmpty) Some(s"unit mismatch [${unitDrift.mkString("; ")}]") else None
+        ).flatten.mkString("; ")
+      if (failFast) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] WARN $msg (permissive read: " +
+        "missing columns null-padded, extra columns dropped)")
+    }
   }
 
   def toCatalyst(v: Any): Any = v match {

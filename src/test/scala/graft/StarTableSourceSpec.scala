@@ -112,4 +112,51 @@ class StarTableSourceSpec extends AnyFunSuite {
     val n = spark.sql("SELECT count(*) FROM star_places WHERE is_hot").head().getLong(0)
     assert(n == 2)
   }
+
+  test("schema drift in a second file: failFast raises naming file and diff") {
+    val dir = Files.createTempDirectory("graft_dsv2_drift")
+    Files.writeString(dir.resolve("a.csv"), fileA)
+    // drifted: column renamed (speed vs distance) and ETA unit changed
+    Files.writeString(dir.resolve("b.csv"),
+      """**places
+        |all
+        |place;speed;ETA;is_hot
+        |text;km;text;onoff
+        |beach;2;later;1
+        |""".stripMargin)
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("startable").option("table", "places")
+        .option("failFast", "true").load(dir.toString).collect()
+    }
+    val msg = ex.getCause match { case null => ex.getMessage; case c => c.getMessage }
+    assert(msg.contains("schema drift") && msg.contains("b.csv"), msg)
+    assert(msg.contains("distance") && msg.contains("speed"), msg)
+    assert(msg.contains("ETA"), msg) // unit mismatch surfaced too
+  }
+
+  test("schema drift under permissive read warns and null-pads by name") {
+    val dir = Files.createTempDirectory("graft_dsv2_drift2")
+    Files.writeString(dir.resolve("a.csv"), fileA)
+    Files.writeString(dir.resolve("b.csv"),
+      """**places
+        |all
+        |place;speed;ETA;is_hot
+        |text;km;datetime;onoff
+        |beach;2;2020-08-04 17:00;1
+        |""".stripMargin)
+    val df = spark.read.format("startable").option("table", "places")
+      .load(dir.toString)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    // the drifted file's row has a null distance (missing column null-padded)
+    val beach = rows.find(_.getString(0) == "beach").get
+    assert(beach.isNullAt(df.schema.fieldIndex("distance")))
+  }
+
+  test("matching files produce no drift error under failFast") {
+    val dir = writeDir()
+    val df = spark.read.format("startable").option("table", "places")
+      .option("failFast", "true").load(dir)
+    assert(df.count() == 4) // both files parse clean
+  }
 }
