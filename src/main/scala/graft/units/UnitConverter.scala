@@ -147,16 +147,117 @@ class BuiltinUnitConverter(
 
   def baseUnit(unit: String): Option[String] =
     toBase.get(canonical(unit)).map(_._1)
+      .orElse(
+        try Some(CompoundUnits.render(parseCompound(unit)._1))
+        catch { case _: UnitConversionError => None })
 
   def transform(from: String, to: String): Affine = {
     val f = canonical(from); val t = canonical(to)
     if (f == t) return Affine.identity
     (toBase.get(f), toBase.get(t)) match {
       case (Some((bf, af)), Some((bt, at))) if bf == bt => af.andThen(at.inverse)
-      case _ =>
-        throw new UnitConversionError(
-          s"Don't know how to convert from '$from' to '$to'")
+      case _ => compoundTransform(from, to)
     }
+  }
+
+  // ------------------------------------------------- compound-unit algebra
+
+  /** Resolve one atomic token inside a compound expression to its primary
+    * dimension vector and linear scale, raised to `exp`. Affine-offset units
+    * (°C, °F) are ill-defined inside products/powers — raise, as pint does
+    * without delta-units. */
+  private def atomicDim(token: String, exp: Int): (Map[String, Int], Double) = {
+    val c = canonical(token)
+    val (base, aff) = toBase.getOrElse(c,
+      throw new UnitConversionError(
+        s"Don't know how to convert unit '$token' (unknown in compound expression)"))
+    if (aff.offset != 0.0)
+      throw new UnitConversionError(
+        s"Offset unit '$token' cannot appear in a compound or exponentiated " +
+          "expression (convert the column to its base unit first)")
+    val (dims, pscale) = CompoundUnits.primary.getOrElse(base, (Map(base -> 1), 1.0))
+    (dims.map { case (k, v) => k -> v * exp },
+      math.pow(aff.scale * pscale, exp.toDouble))
+  }
+
+  /** Parse a compound unit expression ("m/s", "kg*m2/s2", "N*m", "kJ/kg")
+    * into (primary dimension vector, scale to primary). Grammar: terms
+    * joined by '*' or '/', each term a unit name with an optional integer
+    * exponent ("m2", "s^-1"); '/' negates only its own term (kg*m2/s2/s =
+    * kg·m²·s⁻³, pint semantics). */
+  private def parseCompound(expr: String): (Map[String, Int], Double) = {
+    val TokenRe = """([A-Za-z°µ%]+|-)\^?(-?\d+)?""".r
+    val parts = expr.replaceAll("\\s+", "").split("(?=[*/])")
+    if (parts.isEmpty || parts.forall(_.isEmpty))
+      throw new UnitConversionError(s"Empty unit expression '$expr'")
+    var dims = Map.empty[String, Int]
+    var scale = 1.0
+    parts.foreach { p0 =>
+      val (sign, p) =
+        if (p0.startsWith("/")) (-1, p0.tail)
+        else if (p0.startsWith("*")) (1, p0.tail)
+        else (1, p0)
+      p match {
+        case TokenRe(name, e) =>
+          val exp = sign * Option(e).map(_.toInt).getOrElse(1)
+          val (d, s) = atomicDim(name, exp)
+          dims = d.foldLeft(dims) { case (acc, (k, v)) =>
+            acc.updated(k, acc.getOrElse(k, 0) + v)
+          }
+          scale *= s
+        case other =>
+          throw new UnitConversionError(
+            s"Don't know how to parse unit term '$other' in '$expr'")
+      }
+    }
+    (dims.filter(_._2 != 0), scale)
+  }
+
+  /** Linear conversion between two compound expressions of equal dimension
+    * (exponent-vector equality); the residual gap vs pint is non-affine
+    * forms (log units), which the reference's converters also exclude. */
+  private def compoundTransform(from: String, to: String): Affine = {
+    val (df, sf) = parseCompound(from)
+    val (dt, st) = parseCompound(to)
+    if (df != dt)
+      throw new UnitConversionError(
+        s"Don't know how to convert from '$from' to '$to': incompatible " +
+          s"dimensions ${CompoundUnits.render(df)} vs ${CompoundUnits.render(dt)}")
+    Affine(sf / st)
+  }
+}
+
+/** Primary-dimension decomposition of the registry's base units — the SI
+  * skeleton that makes cross-family conversions (N*m → J, kJ/kg → m2/s2)
+  * dimensionally sound. */
+object CompoundUnits {
+  /** base unit → (primary dimension vector, scale to primary). Unlisted
+    * bases are their own primary dimension. */
+  val primary: Map[String, (Map[String, Int], Double)] = Map(
+    "m" -> (Map("m" -> 1), 1.0),
+    "kg" -> (Map("kg" -> 1), 1.0),
+    "s" -> (Map("s" -> 1), 1.0),
+    "K" -> (Map("K" -> 1), 1.0),
+    "rad" -> (Map("rad" -> 1), 1.0),
+    "-" -> (Map.empty[String, Int], 1.0),
+    "N" -> (Map("kg" -> 1, "m" -> 1, "s" -> -2), 1.0),
+    "Pa" -> (Map("kg" -> 1, "m" -> -1, "s" -> -2), 1.0),
+    "J" -> (Map("kg" -> 1, "m" -> 2, "s" -> -2), 1.0),
+    "W" -> (Map("kg" -> 1, "m" -> 2, "s" -> -3), 1.0),
+    "Hz" -> (Map("s" -> -1), 1.0),
+    "L" -> (Map("m" -> 3), 1e-3),
+    "m/s" -> (Map("m" -> 1, "s" -> -1), 1.0))
+
+  /** Canonical rendering of a dimension vector: "kg*m2/s2" (alphabetical
+    * within numerator and denominator; "-" for dimensionless). */
+  def render(dims: Map[String, Int]): String = {
+    val pos = dims.filter(_._2 > 0).toSeq.sortBy(_._1)
+      .map { case (u, e) => if (e == 1) u else s"$u$e" }
+    val neg = dims.filter(_._2 < 0).toSeq.sortBy(_._1)
+      .map { case (u, e) => if (e == -1) u else s"$u${-e}" }
+    if (pos.isEmpty && neg.isEmpty) "-"
+    else (if (pos.isEmpty) "1" else pos.mkString("*")) +
+      (if (neg.isEmpty) "" else neg.mkString("/", "/", ""))
   }
 }
 

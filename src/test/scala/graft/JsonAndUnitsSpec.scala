@@ -145,4 +145,48 @@ class JsonAndUnitsSpec extends AnyFunSuite {
     val t = mmTable.convertColumnUnits("len", Some("furlong"), custom)
     assert(t.unit("len") == "furlong")
   }
+
+  test("compound units: m/s family, kg*m2/s2 == J, N*m == J (dimensional algebra)") {
+    val c = BuiltinUnitConverter.default
+    // velocity expressions (atomic km/h registry entry vs parsed mi/h)
+    assert(math.abs(c.transform("km/h", "m/s")(36.0) - 10.0) < 1e-12)
+    assert(math.abs(c.transform("mi/h", "m/s")(1.0) - 0.44704) < 1e-12)
+    // energy identities across families
+    assert(math.abs(c.transform("kg*m2/s2", "J")(1.0) - 1.0) < 1e-12)
+    assert(math.abs(c.transform("N*m", "J")(1.0) - 1.0) < 1e-12)
+    assert(math.abs(c.transform("kN*mm", "J")(1.0) - 1.0) < 1e-12)
+    // specific energy: kJ/kg == m2/s2 * 1000
+    assert(math.abs(c.transform("kJ/kg", "m2/s2")(1.0) - 1000.0) < 1e-9)
+    // pressure decomposes: bar == kN/m2 * 100
+    assert(math.abs(c.transform("bar", "kN/m2")(1.0) - 100.0) < 1e-9)
+    // exponent syntax variants and '/' chaining (left-assoc product)
+    assert(math.abs(c.transform("kg*m^2/s^2", "J")(1.0) - 1.0) < 1e-12)
+    assert(math.abs(c.transform("kg*m2/s/s", "J")(1.0) - 1.0) < 1e-12)
+    // volume bridges to length-cubed through L's 1e-3 scale
+    assert(math.abs(c.transform("L", "m3")(1000.0) - 1.0) < 1e-12)
+    assert(math.abs(c.transform("mL", "cm3")(1.0) - 1.0) < 1e-12)
+  }
+
+  test("compound units: dimension mismatch and offset units raise") {
+    val c = BuiltinUnitConverter.default
+    val ex = intercept[UnitConversionError] { c.transform("kg*m/s2", "J") }
+    assert(ex.getMessage.contains("incompatible dimensions"), ex.getMessage)
+    // offset units are ill-defined inside compounds (no delta-units)
+    assertThrows[UnitConversionError] { c.transform("C/s", "K/s") }
+    assertThrows[UnitConversionError] { c.transform("C2", "K2") }
+    // unknown token names the culprit
+    val ex2 = intercept[UnitConversionError] { c.transform("furlong/s", "m/s") }
+    assert(ex2.getMessage.contains("furlong"), ex2.getMessage)
+  }
+
+  test("compound units: baseUnit reports the canonical dimension rendering") {
+    val c = BuiltinUnitConverter.default
+    assert(c.baseUnit("kJ/kg") == Some("m2/s2"))
+    assert(c.baseUnit("N*m") == Some("kg*m2/s2"))
+    assert(c.baseUnit("1e-nonsense") == None)
+    // dimensionless quotient
+    assert(c.baseUnit("m/m") == Some("-"))
+    // pure denominator renders with a leading 1
+    assert(c.baseUnit("Hz") == Some("Hz")) // atomic registry wins for atomics
+  }
 }
