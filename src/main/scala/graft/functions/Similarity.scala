@@ -202,30 +202,63 @@ object Similarity {
     * centroid table ever reaches the driver.
     *
     * Determinism: centroid sums use DECIMAL(28,10) (float-sum order
-    * independence), init is the k lowest-id vectors, distance ties break
-    * toward the lower cluster index — same clustering on every run and any
-    * partitioning.
+    * independence), init is deterministic farthest-point k-means++ (max-D²
+    * variant: the D²-sampling of classic k-means++ replaced by the argmax
+    * with ties toward the lower id — removes the random draw while keeping
+    * the spread-out-seeding property that makes k-means++ converge fast),
+    * distance ties break toward the lower cluster index — same clustering
+    * on every run and any partitioning.
+    *
+    * `iters` is a CAP: Lloyd iterations stop early once the centroid table
+    * is unchanged (decimal-exact sums make exact equality meaningful), and
+    * the returned assignments come from a FINAL pass against the returned
+    * centroids — the (assignments, centroids) pair is internally
+    * consistent.
     *
     * Returns (assignments (id, cluster), final centroids, per-iteration
     * decimal-exact inertia). */
   def kmeans(df: DataFrame, embCol: String, idCol: String,
              k: Int, dim: Int, iters: Int = 5,
-             trackInertia: Boolean = true): (DataFrame, Array[Array[Double]], Seq[Double]) = {
+             trackInertia: Boolean = true,
+             init: String = "kmeans++"): (DataFrame, Array[Array[Double]], Seq[Double]) = {
     import org.apache.spark.sql.types.DecimalType
-    var centroids: Array[Array[Double]] =
-      df.orderBy(col(idCol)).limit(k).select(col(embCol)).collect()
-        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    require(centroids.length == k, s"need at least $k vectors, got ${centroids.length}")
-    val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
-      val distStructs = centroids.zipWithIndex.map { case (c, i) =>
+
+    def distStructs(cs: Array[Array[Double]]): Seq[Column] =
+      cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         val cNormSq = c.map(x => x * x).sum
         val d2 = dot(col(embCol), array(c.map(x => lit(x.toFloat)): _*)) * lit(-2.0) + lit(cNormSq)
         struct(d2.as("d"), lit(i).as("c"))
       }
-      val best = array_min(array(distStructs.toIndexedSeq: _*))
-      assigned = df.select(col(idCol), col(embCol),
+
+    // ---- init: deterministic farthest-point k-means++ (or first-k by id)
+    var centroids: Array[Array[Double]] = init match {
+      case "first" =>
+        df.orderBy(col(idCol)).limit(k).select(col(embCol)).collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      case _ =>
+        val first = df.orderBy(col(idCol)).limit(1).select(col(embCol)).head()
+          .getSeq[Float](0).toArray.map(_.toDouble)
+        val picked = scala.collection.mutable.ArrayBuffer(first)
+        while (picked.size < k) {
+          // one codegen'd pass: distance² to the nearest chosen center,
+          // argmax via TakeOrdered (ties → lower id)
+          val dMin = array_min(array(distStructs(picked.toArray): _*)).getField("d") +
+            dot(col(embCol), col(embCol))
+          val next = df.select(col(idCol), col(embCol), dMin.as("d2"))
+            .orderBy(col("d2").desc, col(idCol).asc)
+            .limit(1).select(col(embCol)).head().getSeq[Float](0)
+          picked += next.toArray.map(_.toDouble)
+        }
+        picked.toArray
+    }
+    require(centroids.length == k, s"need at least $k vectors, got ${centroids.length}")
+
+    val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var converged = false
+    var iter = 0
+    while (iter < iters && !converged) {
+      val best = array_min(array(distStructs(centroids): _*))
+      val assigned = df.select(col(idCol), col(embCol),
         best.getField("c").as("cluster"),
         (best.getField("d") + dot(col(embCol), col(embCol))).as("dist2"))
       // one materialization per iteration serves both the centroid sums
@@ -243,13 +276,20 @@ object Similarity {
         val cl = r.getInt(0); val pos = r.getInt(1)
         next(cl)(pos) = r.getDecimal(2).doubleValue() / r.getLong(3)
       }
-      centroids = next
       if (trackInertia)
         inertias += cached
           .agg(sum(col("dist2").cast(DecimalType(28, 10)))).head().getDecimal(0).doubleValue()
       cached.unpersist()
+      // early stop: unchanged centroids ⇒ assignments are a fixed point
+      converged = next.zip(centroids).forall { case (a, b) => a.sameElements(b) }
+      centroids = next
+      iter += 1
     }
-    (assigned.select(col(idCol), col("cluster")), centroids, inertias.toSeq)
+    // final assignment pass against the RETURNED centroids — without it a
+    // point may sit nearer a different returned centroid than its label
+    val bestFinal = array_min(array(distStructs(centroids): _*))
+    val finalAssign = df.select(col(idCol), bestFinal.getField("c").as("cluster"))
+    (finalAssign, centroids, inertias.toSeq)
   }
 
   /** Persist an IVF index: vectors written partitioned by their coarse list,
