@@ -99,6 +99,9 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, seed: Int = 42,
                         maxBucketSize: Int = 0): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) " +
+        "— a partial trailing band would silently weaken the LSH guarantee")
     val rowsPerBand = numHashes / bands
     // Fully-fused signature: tokens → k minima in one codegen'd expression
     // (no shingle strings, one hash per token). The persist is a barrier

@@ -200,6 +200,9 @@ case class MinHashOfTokens(child: Expression, shingleSize: Int, numHashes: Int, 
 case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
     extends UnaryExpression {
 
+  require(bands > 0 && rowsPerBand > 0,
+    s"bands ($bands) and rowsPerBand ($rowsPerBand) must be positive")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes()
@@ -214,12 +217,21 @@ case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // A band whose slot range starts past the signature end would fold zero
+    // elements and return the constant seed — putting EVERY row in one
+    // bucket for that band and making the downstream LSH self-join
+    // quadratic. Refuse loudly instead.
+    if (arr.numElements() < bands * rowsPerBand)
+      throw new IllegalArgumentException(
+        s"band_hashes: signature has ${arr.numElements()} slots but " +
+          s"bands*rowsPerBand = ${bands * rowsPerBand}; a truncated band " +
+          "would degenerate to a single LSH bucket")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
       var combo = 0x9E3779B97F4A7C15L
       var j = b * rowsPerBand
-      val end = math.min(j + rowsPerBand, arr.numElements())
+      val end = j + rowsPerBand
       while (j < end) {
         combo = (combo ^ (if (arr.isNullAt(j)) 0L else arr.getLong(j))) * 0x100000001B3L
         j += 1
@@ -236,10 +248,16 @@ case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
       val end = ctx.freshName("end"); val combo = ctx.freshName("combo")
       val outArr = ctx.freshName("outArr")
       s"""
+         |if ($a.numElements() < ${bands * rowsPerBand}) {
+         |  throw new IllegalArgumentException(
+         |    "band_hashes: signature has " + $a.numElements() + " slots but " +
+         |    "bands*rowsPerBand = ${bands * rowsPerBand}; a truncated band " +
+         |    "would degenerate to a single LSH bucket");
+         |}
          |long[] $outArr = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $combo = 0x9E3779B97F4A7C15L;
-         |  int $end = java.lang.Math.min(($b + 1) * $rowsPerBand, $a.numElements());
+         |  int $end = ($b + 1) * $rowsPerBand;
          |  for (int $j = $b * $rowsPerBand; $j < $end; $j++) {
          |    $combo = ($combo ^ ($a.isNullAt($j) ? 0L : $a.getLong($j))) * 0x100000001B3L;
          |  }

@@ -206,10 +206,14 @@ object Load {
     * files parse concurrently on a fixed pool (the reference is explicitly
     * single-threaded, _orchestrators.py:24 — file parses are independent, so
     * a many-file input set loads at IO/parse parallelism). Output order is
-    * IDENTICAL to the serial version (FIFO wave order; Future.traverse
-    * preserves order), so the two are interchangeable. Loop/duplicate
-    * detection stays in the serial resolve phase; readers must create
-    * per-call fixers (FileReader's fixerFactory default does). */
+    * IDENTICAL to the serial version: blocks ride Future.traverse order,
+    * and includes/folder children enqueued DURING a parallel read are
+    * captured in per-file buffers and replayed in wave order — never
+    * interleaved into the shared queue at thread-completion time (which
+    * would make the next wave, and thus duplicate-table-name resolution,
+    * scheduling-dependent). Loop/duplicate detection stays in the serial
+    * resolve phase; readers must create per-call fixers (FileReader's
+    * fixerFactory default does). */
   def queuedLoadParallel(
       roots: Seq[LoadItem],
       loader: Loader,
@@ -250,12 +254,28 @@ object Load {
             }
           }
         }
-        // parallel parse; each worker fully materializes its file's blocks
+        // Parallel parse; each worker fully materializes its file's blocks
+        // AND collects its enqueues (includes, folder children) in a local
+        // buffer. Replaying the buffers in Future.traverse order — not in
+        // thread-completion order into a shared queue — keeps the next
+        // wave's item order, and therefore the output block order (e.g.
+        // duplicate-table-name resolution in TableBundle), bit-identical to
+        // the serial queuedLoad on every run.
         val results = Await.result(
           Future.traverse(toRead) { case (loc, reader) =>
-            Future(reader.read(loc, orch).toVector)
+            Future {
+              val localBuf = mutable.ArrayBuffer.empty[LoadItem]
+              val localOrch = new LoadOrchestrator {
+                def enqueue(item: LoadItem): Unit = localBuf += item
+                def issueTracker: InputIssueTracker = issueTracker0
+              }
+              (reader.read(loc, localOrch).toVector, localBuf.toVector)
+            }
           }, Duration.Inf)
-        results.foreach(out ++= _)
+        results.foreach { case (blocks, enqueued) =>
+          out ++= blocks
+          enqueued.foreach(orch.enqueue)
+        }
         wave = lock.synchronized { queue.dequeueAll(_ => true).toList }
       }
       out.toSeq

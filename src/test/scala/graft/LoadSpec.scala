@@ -132,4 +132,53 @@ class LoadSpec extends AnyFunSuite {
       assert(bundle.unique("bar_table").columnNames == Seq("col_1", "col_2"))
     }
   }
+
+  test("parallel wave order is deterministic with MANY include-bearing files") {
+    withTempDir { dir =>
+      // 12 include-bearing files, each pulling two children: with a shared
+      // queue the next-wave order would be thread-scheduling-dependent; the
+      // per-file enqueue buffers replay in wave order, so repeated parallel
+      // runs and the serial run must agree on the FULL block order.
+      (0 until 12).foreach { i =>
+        Files.writeString(dir.resolve(f"inc$i%02d.csv"),
+          f"***include\nchild${i}%02d_a.csv\nchild${i}%02d_b.csv\n\n**inc_table_$i%02d\nall\nx\n-\n$i\n")
+        Files.writeString(dir.resolve(f"child$i%02d_a.csv"),
+          f"**child_a_$i%02d\nall\ny\n-\n$i\n")
+        Files.writeString(dir.resolve(f"child$i%02d_b.csv"),
+          f"**child_b_$i%02d\nall\ny\n-\n$i\n")
+      }
+      def names(blocks: Seq[(BlockType, Block)]) = blocks.collect {
+        case (BlockType.Table, p: ParsedTable) => p.name
+      }
+      val serial = names(Load.loadFiles(Seq("."), Some(dir)))
+      (1 to 3).foreach { _ =>
+        val par = names(Load.loadFiles(Seq("."), Some(dir), parallelism = 6))
+        assert(par == serial, "parallel block order diverged from serial")
+      }
+    }
+  }
+
+  test("band_hashes refuses band ranges past the signature end") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Tuple1(Seq(1L, 2L, 3L, 4L))).toDF("sig")
+    // 3 bands x 2 rows = 6 > 4 slots: the third band would fold nothing and
+    // bucket every row together — must refuse loudly
+    val ex = intercept[Exception] {
+      df.select(graft.functions.Dedup.lshBandKeys(col("sig"), 3, 2)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("band_hashes")), ex.toString)
+    // exact fit still works
+    val ok = df.select(graft.functions.Dedup.lshBandKeys(col("sig"), 2, 2)).collect()
+    assert(ok.head.getSeq[Long](0).size == 2)
+    // and the operator-level guard rejects a non-divisible band count
+    assertThrows[IllegalArgumentException] {
+      graft.functions.Dedup.minhashCandidates(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text",
+        numHashes = 32, bands = 5)
+    }
+  }
 }
