@@ -176,4 +176,86 @@ object Text {
     * per candidate pair). */
   def jaccard(a: Column, b: Column): Column =
     graft.functions.expressions.TextExpressions.jaccardSimilarity(a, b)
+
+  // -------------------------------------------------- Gopher quality rules
+
+  /** Count of tokens containing at least one ASCII letter. */
+  def alphaWordCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("(?<=^|\\s)\\S*[A-Za-z]\\S*(?=\\s|$)"), lit(0))).cast("long")
+
+  /** Count of "symbol" occurrences (#, …, ...) — the Gopher
+    * symbol-to-word-ratio numerator. */
+  def symbolCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
+
+  /** Fraction of newline-separated lines starting with a bullet marker. */
+  def bulletLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    val bullets = size(regexp_extract_all(text,
+      lit("(?m)^\\s*(?:[-*•‣▪])"), lit(0)))
+    bullets.cast("double") / size(lines).cast("double")
+  }
+
+  /** Fraction of lines ending with an ellipsis. */
+  def ellipsisLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    val ell = size(regexp_extract_all(text, lit("(?m)(?:\\.\\.\\.|…)\\s*$"), lit(0)))
+    ell.cast("double") / size(lines).cast("double")
+  }
+
+  /** Gopher-style quality rule evaluation (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * App. A document filters — public method). Every rule is a codegen'd
+    * regex/arithmetic expression; the composite `passes` requires all:
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10]
+    *   - symbol-to-word ratio < 0.1
+    *   - < 90% of lines bullet-started, < 30% ellipsis-ended
+    *   - ≥ 80% of words contain an alphabetic character
+    *   - ≥ 2 stopword hits
+    * Returns a struct; select fields or `.getField("passes")` to filter. */
+  def gopherRules(text: Column,
+                  stopwords: Seq[String] = defaultStopwords("en"),
+                  minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val nWords = tokenCount(text).cast("long")
+    val meanLen = avgWordLength(text)
+    val symRatio = when(nWords === 0, lit(1.0))
+      .otherwise(symbolCount(text).cast("double") / nWords.cast("double"))
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(alphaWordCount(text).cast("double") / nWords.cast("double"))
+    val nStop = stopwordCount(text, stopwords)
+    val bullet = bulletLineRatio(text)
+    val ellipsis = ellipsisLineRatio(text)
+    val passes = nWords.between(minWords, maxWords) &&
+      meanLen.between(3.0, 10.0) && symRatio < 0.1 &&
+      bullet < 0.9 && ellipsis < 0.3 && alphaFrac >= 0.8 && nStop >= 2
+    struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), bullet.as("bullet_ratio"),
+      ellipsis.as("ellipsis_ratio"), alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop"), passes.as("passes"))
+  }
+
+  // ---------------------------------------------------- URL canonicalization
+
+  /** Canonicalize a URL for dedup keys, the standard web-corpus
+    * normalization: lowercase scheme+host, drop the fragment, strip
+    * tracking parameters (utm_*, fbclid, gclid, ref), collapse leftover
+    * separators, drop default ports, drop a trailing slash. Every step is
+    * a lookaround-free regex, so an external engine (the DuckDB oracle)
+    * applies the identical transformation. */
+  def canonicalizeUrl(url: Column): Column = {
+    val t = trim(url)
+    // lowercase exactly the scheme://host[:port] prefix, keep the rest
+    val head = regexp_extract(t, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(head), substr(t, length(head) + 1, lit(Int.MaxValue)))
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|ref)=[^&#]*", "")
+    val collapsed = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "&+", "&"), "\\?&", "?"),
+      "[?&]+$", "")
+    val noPort = regexp_replace(collapsed, "^([a-z]+://[^/?#:]*):(?:80|443)([/?]|$)", "$1$2")
+    regexp_replace(noPort, "/$", "")
+  }
 }

@@ -172,6 +172,47 @@ object PipelineQueries {
         .select(col("lang"), col("t.id").as("doc_id"), col("t.score").as("score"))
     }),
 
+    // Gopher-style quality rules (Rae et al. 2021 App. A): every rule a
+    // codegen'd regex/arithmetic expression, thresholds chosen so the
+    // corpus splits (median 56 words vs minWords=50). passes as INT for
+    // engine-neutral hashing.
+    "q_doc_gopher" -> ((s, dir) =>
+      star(s, dir, "documents").df
+        .select(col("doc_id"), Text.gopherRules(col("text"), enStop).as("g"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          round(col("g.mean_word_len"), 6).as("mean_word_len"),
+          round(col("g.symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("g.alpha_frac"), 6).as("alpha_frac"),
+          col("g.n_stop").as("n_stop"),
+          col("g.passes").cast(IntegerType).as("passes"))),
+
+    // URL canonicalization for web-corpus dedup keys: synthetic URLs built
+    // from doc attributes (the corpus has no URL column), normalized by the
+    // shared lookaround-free regex chain — oracle applies the identical
+    // transformation.
+    "q_url_canonical" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val url = concat(lit("HTTPS://"), upper(col("source")),
+        lit(".Example.COM:443/docs/"), col("doc_id"),
+        lit("/page?utm_source=feed&id="), col("doc_id"),
+        lit("&utm_campaign=x&ref=tw#sec-2"))
+      docs.select(col("doc_id"), url.as("url"),
+        Text.canonicalizeUrl(url).as("canonical"))
+    }),
+
+    // Deterministic source-mix rebalancing: downsample every source to
+    // ~15 docs via pure integer hash arithmetic (no sampling state; exact
+    // same predicate in the oracle). Output is the mixture audit report.
+    "q_source_rebalance" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val kept = graft.functions.Mixing.rebalanceGroups(docs, "doc_id", "source",
+        targetPerGroup = 15)
+      graft.functions.Mixing.mixReport(docs, kept, "source")
+        .withColumn("n_before", col("n_before").cast(LongType))
+        .withColumn("n_after", col("n_after").cast(LongType))
+    }),
+
     // --- fingerprinting ----------------------------------------------------
     "q_doc_fingerprint" -> ((s, dir) =>
       star(s, dir, "documents").df
@@ -369,6 +410,73 @@ object PipelineQueries {
 
     "q_doc_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    "q_doc_gopher" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+        |    END, 6) AS mean_word_len,
+        |  round(CASE WHEN len(toks) = 0 THEN 1.0
+        |    ELSE CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(toks)
+        |    END, 6) AS symbol_ratio,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+        |    END, 6) AS alpha_frac,
+        |  CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+        |  CAST(CASE WHEN len(toks) BETWEEN 50 AND 100000
+        |    AND (CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) END)
+        |        BETWEEN 3.0 AND 10.0
+        |    AND (CASE WHEN len(toks) = 0 THEN 1.0
+        |         ELSE CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(toks) END) < 0.1
+        |    AND (CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '(?m)^\s*(?:[-*•‣▪])')) AS DOUBLE)
+        |           / len(string_split(text, chr(10))) END) < 0.9
+        |    AND (CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '(?m)(?:\.\.\.|…)\s*$')) AS DOUBLE)
+        |           / len(string_split(text, chr(10))) END) < 0.3
+        |    AND (CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END) >= 0.8
+        |    AND len(list_filter(toks, t -> t IN ('the', 'a'))) >= 2
+        |    THEN 1 ELSE 0 END AS INT) AS passes
+        |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents)""".stripMargin,
+
+    "q_url_canonical" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    'HTTPS://' || upper(source) || '.Example.COM:443/docs/' || doc_id ||
+        |    '/page?utm_source=feed&id=' || doc_id || '&utm_campaign=x&ref=tw#sec-2' AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) ||
+        |    substring(url, length(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS s
+        |  FROM u0),
+        |c2 AS (SELECT doc_id, url, regexp_replace(s, '#.*$', '', 'g') AS s FROM c1),
+        |c3 AS (SELECT doc_id, url,
+        |  regexp_replace(s, '(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g') AS s
+        |  FROM c2),
+        |c4 AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(regexp_replace(s, '&+', '&', 'g'),
+        |    '\?&', '?', 'g'), '[?&]+$', '', 'g') AS s FROM c3),
+        |c5 AS (SELECT doc_id, url,
+        |  regexp_replace(s, '^([a-z]+://[^/?#:]*):(?:80|443)([/?]|$)', '\1\2', 'g') AS s
+        |  FROM c4)
+        |SELECT doc_id, url, regexp_replace(s, '/$', '', 'g') AS canonical FROM c5""".stripMargin,
+
+    "q_source_rebalance" ->
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |kept AS (
+        |  SELECT d.source FROM documents d JOIN counts c USING (source)
+        |  WHERE (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) AS BIGINT)
+        |         % 10000) * c.n < 15 * 10000
+        |)
+        |SELECT c.source, CAST(c.n AS BIGINT) AS n_before,
+        |  CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_after
+        |FROM counts c
+        |LEFT JOIN (SELECT source, count(*) AS n_after FROM kept GROUP BY source) k
+        |  USING (source)""".stripMargin,
 
     "q_doc_redact" ->
       """SELECT doc_id,

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Mixing, Text}
+
+/** Gopher quality rules, URL canonicalization and mixture rebalancing —
+  * edge cases the synthetic corpus doesn't exercise (bulleted/ellipsized
+  * lines, odd URLs, over/under-target groups). */
+class QualityMixSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def gopher(text: String, minWords: Int = 3) =
+    Seq(Tuple1(text)).toDF("t")
+      .select(Text.gopherRules(col("t"), Seq("the", "a"), minWords = minWords).as("g"))
+      .select("g.*").head()
+
+  test("gopher rules: clean prose passes") {
+    val r = gopher("the quick brown fox jumps over a lazy dog the end")
+    assert(r.getAs[Boolean]("passes"), r.toString)
+    assert(r.getAs[Long]("n_words") == 11)
+    assert(r.getAs[Long]("n_stop") == 3)
+  }
+
+  test("gopher rules: symbol spam, bullet walls and ellipsis runs fail") {
+    val symbols = gopher("the a ### fox ### dog ### cat ### bird ### cow ###")
+    assert(!symbols.getAs[Boolean]("passes"), "symbol ratio should fail")
+    assert(symbols.getAs[Double]("symbol_ratio") > 0.1)
+
+    val bullets = gopher("- the point one\n- a point two\n- point three")
+    assert(bullets.getAs[Double]("bullet_ratio") >= 0.9)
+    assert(!bullets.getAs[Boolean]("passes"), "bullet wall should fail")
+
+    val ellipses = gopher("the thing...\na thing...\nmore things here")
+    assert(ellipses.getAs[Double]("ellipsis_ratio") > 0.3)
+    assert(!ellipses.getAs[Boolean]("passes"), "ellipsis run should fail")
+
+    val numeric = gopher("the 1 2 3 4 5 6 7 8 9 10 11 12 a")
+    assert(numeric.getAs[Double]("alpha_frac") < 0.8)
+    assert(!numeric.getAs[Boolean]("passes"), "non-alpha wall should fail")
+  }
+
+  test("gopher rules: word-count and mean-length windows") {
+    assert(!gopher("the a fox", minWords = 10).getAs[Boolean]("passes"))
+    val longWords = gopher("the a preposterousnesses incomprehensibilities " +
+      "antidisestablishmentarianisms floccinaucinihilipilifications " +
+      "pseudopseudohypoparathyroidisms supercalifragilisticexpialidocious")
+    assert(longWords.getAs[Double]("mean_word_len") > 10.0)
+    assert(!longWords.getAs[Boolean]("passes"))
+  }
+
+  private def canon(url: String): String =
+    Seq(Tuple1(url)).toDF("u")
+      .select(Text.canonicalizeUrl(col("u"))).head().getString(0)
+
+  test("url canonicalization: tracking params, fragments, ports, case") {
+    assert(canon("HTTPS://WWW.Example.COM:443/A/b?utm_source=x&id=7&ref=tw#top")
+      == "https://www.example.com/A/b?id=7")
+    assert(canon("http://host.com:80/path/") == "http://host.com/path")
+    // non-default port survives; path case survives
+    assert(canon("http://Host.com:8080/Path") == "http://host.com:8080/Path")
+    // all params tracking → no query at all
+    assert(canon("https://h.co/p?utm_a=1&utm_b=2") == "https://h.co/p")
+    // interior tracking param between kept ones
+    assert(canon("https://h.co/p?a=1&gclid=xyz&b=2") == "https://h.co/p?a=1&b=2")
+    // no scheme/host → unchanged except trims
+    assert(canon("  not a url  ") == "not a url")
+  }
+
+  test("rebalance: over-target groups downsample, under-target keep all, deterministic") {
+    val df = ((0 until 200).map(i => (i.toLong, "big")) ++
+      (1000 until 1008).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val kept = Mixing.rebalanceGroups(df, "id", "grp", targetPerGroup = 20)
+    val report = Mixing.mixReport(df, kept, "grp").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report("small") == ((8L, 8L)), "under-target group must keep all")
+    val (bigBefore, bigAfter) = report("big")
+    assert(bigBefore == 200L)
+    assert(bigAfter > 5 && bigAfter < 40, s"~20 expected, got $bigAfter")
+    // determinism + partition independence
+    val again = Mixing.rebalanceGroups(df.repartition(13), "id", "grp", 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
+    // kept rows are a sub-SET of input (no duplication, no mutation)
+    assert(again.subsetOf(df.select("id").collect().map(_.getLong(0)).toSet))
+  }
+}
