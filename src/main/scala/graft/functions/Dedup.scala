@@ -442,6 +442,45 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme): the
+    * distinct selected k-gram hashes of each document — ~2/(window+1) of
+    * all gram hashes, with the guarantee that any cross-document substring
+    * match of ≥ window+shingleSize−1 tokens shares a fingerprint. The
+    * robust exact-substring dedup primitive: store fingerprints, not
+    * grams. Returns (id, fps array<long>). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 6, window: Int = 8,
+                         seed: Int = 42): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(graft.functions.expressions.MinHashExpression
+        .winnowMinHashes(
+          graft.functions.expressions.MinHashExpression
+            .ngramWindowHashes(Text.tokens(col(textCol)), shingleSize, seed.toLong),
+          window)).as("fps"))
+
+  /** Candidate pairs sharing ≥ `minShared` winnow fingerprints — documents
+    * containing a common run of ≥ window+shingleSize−1 tokens are
+    * GUARANTEED to pair (the winnowing property), at fingerprint-join cost
+    * instead of all-grams cost. Returns (idA, idB, n_shared). EAGER with
+    * internal barriers freed, like the other candidate generators; skewed
+    * boilerplate fingerprints are AQE's skew-join case, same as LSH
+    * buckets. */
+  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 6, window: Int = 8,
+                       minShared: Int = 1, seed: Int = 42): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, shingleSize, window, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val a = ex.select(col("fp"), col("id").as("idA"))
+    val b = ex.select(col("fp"), col("id").as("idB"))
+    val result = a.join(b, Seq("fp"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    materializeAndFree(result, fps)
+  }
+
   /** N-gram Jaccard near-dup pairs within LSH-free small candidate sets:
     * exact pairwise Jaccard over char n-grams, pre-blocked by length band
     * (docs with very different lengths can't be near-dups). For corpora

@@ -355,6 +355,95 @@ case class NgramWindowHashes(child: Expression, shingleSize: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+  * scheme, public): from an array of k-gram hashes, select the minimum of
+  * every `window`-length sliding window (ties to the RIGHTMOST occurrence,
+  * the paper's robust-winnowing rule), emitting each selected position
+  * once. Guarantee: any substring match of at least window+k−1 tokens
+  * between two documents shares at least one selected fingerprint, while
+  * only ~2/(window+1) of all hashes are kept — the standard
+  * exact-substring-at-scale primitive.
+  *
+  * One fused O(n·window) pass (window is small; a deque adds allocation
+  * for no win at these sizes), codegen'd; inputs shorter than the window
+  * yield their single minimum.
+  */
+case class WinnowMinHashes(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  require(window > 0, s"window must be positive, got $window")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = if (arr.isNullAt(i)) 0L else arr.getLong(i); i += 1 }
+    val nWin = math.max(1, n - window + 1)
+    val out = new Array[Long](nWin)
+    var m = 0
+    var prevPos = -1
+    var w = 0
+    while (w < nWin) {
+      var best = w
+      var j = w + 1
+      val end = math.min(w + window, n)
+      while (j < end) { if (h(j) <= h(best)) best = j; j += 1 } // rightmost min
+      if (best != prevPos) { out(m) = h(best); m += 1; prevPos = best }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val w = ctx.freshName("w")
+      val j = ctx.freshName("j"); val end = ctx.freshName("end")
+      val best = ctx.freshName("best"); val prevPos = ctx.freshName("prevPos")
+      val out = ctx.freshName("out"); val m = ctx.freshName("m")
+      val nWin = ctx.freshName("nWin")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $h = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $h[$i] = $a.isNullAt($i) ? 0L : $a.getLong($i);
+         |}
+         |int $nWin = java.lang.Math.max(1, $n - $window + 1);
+         |long[] $out = new long[$n == 0 ? 0 : $nWin];
+         |int $m = 0; int $prevPos = -1;
+         |if ($n > 0) {
+         |  for (int $w = 0; $w < $nWin; $w++) {
+         |    int $best = $w;
+         |    int $end = java.lang.Math.min($w + $window, $n);
+         |    for (int $j = $w + 1; $j < $end; $j++) {
+         |      if ($h[$j] <= $h[$best]) $best = $j;
+         |    }
+         |    if ($best != $prevPos) { $out[$m++] = $h[$best]; $prevPos = $best; }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $m));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Number of equal slots between two equal-length long-array signatures —
   * the MinHash Jaccard-estimate numerator.
   *
@@ -428,4 +517,7 @@ object MinHashExpression {
   def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
     ColumnBridge.column(BandHashes(
       ColumnBridge.expression(signature), bands, rowsPerBand))
+
+  def winnowMinHashes(hashes: Column, window: Int): Column =
+    ColumnBridge.column(WinnowMinHashes(ColumnBridge.expression(hashes), window))
 }

@@ -277,6 +277,26 @@ object PipelineQueries {
         .select(col("idA"), col("idB"))
     }),
 
+    // Winnowing fingerprint dedup (MOSS scheme) with PLANTED exact copies:
+    // identical documents have identical fingerprint sets, so every planted
+    // pair (and natural exact duplicate) is guaranteed to pair; the output
+    // is the text-verified identical pairs — the same engine-independent
+    // oracle as the minhash/simhash planted queries, driven through the
+    // winnow-select → explode → fingerprint-join pipeline instead.
+    "q_dedup_winnow" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df.select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val cands = Dedup.winnowCandidates(docs.unionByName(planted),
+        "doc_id", "text", shingleSize = 6, window = 8, minShared = 1)
+      val t = docs.unionByName(planted)
+      cands
+        .join(t.select(col("doc_id").as("idA"), col("text").as("__ta")), "idA")
+        .join(t.select(col("doc_id").as("idB"), col("text").as("__tb")), "idB")
+        .filter(col("__ta") === col("__tb"))
+        .select(col("idA"), col("idB"))
+    }),
+
     // Raw SimHash near-dup candidates (no oracle: engine-specific hashes).
     // radius 8 via multi-index blocking: 5 radius-adaptive blocks, probe
     // side expanded by ≤14 XOR masks per block — join keys stay 12-16 bits
@@ -520,6 +540,16 @@ object PipelineQueries {
     // pipeline: identical text → identical signature → every pair of the
     // group shares all buckets and expands.
     "q_dedup_minhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 5
+        |)
+        |SELECT CAST(a.doc_id AS BIGINT) AS idA, CAST(b.doc_id AS BIGINT) AS idB
+        |FROM all_docs a JOIN all_docs b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_dedup_winnow" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Dedup
+import graft.functions.expressions.MinHashExpression
+
+/** Winnowing fingerprint selection (Schleimer et al. 2003): exactness vs a
+  * reference implementation, the detection guarantee, and the selection
+  * density bound. */
+class WinnowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference robust winnowing: rightmost minimum of each window, emit per
+    * selected position. */
+  private def winnowRef(h: Seq[Long], w: Int): Seq[Long] = {
+    if (h.isEmpty) return Nil
+    val nWin = math.max(1, h.size - w + 1)
+    var prev = -1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (i <- 0 until nWin) {
+      val win = h.slice(i, math.min(i + w, h.size))
+      val best = i + win.zipWithIndex.minBy { case (v, j) => (v, -j) }._2
+      if (best != prev) { out += h(best); prev = best }
+    }
+    out.toSeq
+  }
+
+  private def winnowSpark(h: Seq[Long], w: Int): Seq[Long] =
+    Seq(Tuple1(h)).toDF("h")
+      .select(MinHashExpression.winnowMinHashes(col("h"), w))
+      .head().getSeq[Long](0)
+
+  test("matches the reference implementation on random inputs (codegen path)") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 3, 8, 50, 200); w <- Seq(1, 2, 4, 8)) {
+      val h = Seq.fill(n)(rnd.nextLong())
+      assert(winnowSpark(h, w) == winnowRef(h, w), s"n=$n w=$w")
+    }
+    // adversarial: runs of equal values (rightmost-min tie rule)
+    assert(winnowSpark(Seq(5L, 5L, 5L, 5L), 2) == winnowRef(Seq(5L, 5L, 5L, 5L), 2))
+    assert(winnowSpark(Seq(3L, 1L, 1L, 3L, 1L), 3) == winnowRef(Seq(3L, 1L, 1L, 3L, 1L), 3))
+  }
+
+  test("guarantee: a shared run of >= window+k-1 tokens yields a shared fingerprint") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
+      "kilo lima mike november oscar papa"
+    val docs = Seq(
+      (1L, s"unique one two three $shared tail piece here"),
+      (2L, s"$shared completely different ending text goes on")).toDF("doc_id", "text")
+    // k=4, w=4: guarantee threshold = 7 tokens; the shared run is 16 tokens
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text",
+      shingleSize = 4, window = 4)
+    val sets = fps.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(sets(1L).intersect(sets(2L)).nonEmpty,
+      "winnowing guarantee violated: no shared fingerprint for a 16-token shared run")
+    // and the candidate generator surfaces the pair
+    val pairs = Dedup.winnowCandidates(docs, "doc_id", "text",
+      shingleSize = 4, window = 4)
+    assert(pairs.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    pairs.unpersist()
+  }
+
+  test("density: selected fraction tracks the 2/(w+1) expectation") {
+    val rnd = new scala.util.Random(42)
+    val h = Seq.fill(4000)(rnd.nextLong())
+    val w = 7
+    val kept = winnowSpark(h, w).size.toDouble / h.size
+    val expected = 2.0 / (w + 1)
+    assert(kept > expected * 0.6 && kept < expected * 1.6,
+      s"density $kept far from ${expected}")
+  }
+
+  test("unrelated documents share no fingerprints") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidates(docs, "doc_id", "text",
+      shingleSize = 3, window = 3)
+    assert(pairs.collect().isEmpty)
+    pairs.unpersist()
+  }
+}
