@@ -442,6 +442,46 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus MinHash-LSH: near-dup candidates between a NEW batch and
+    * an existing REFERENCE corpus — the incremental-ingest shape (dedup the
+    * day's crawl against the 100 TB corpus without an all-corpus
+    * self-join). Both sides collapse to DISTINCT signatures before the
+    * bipartite band join (boilerplate skew control, as in
+    * [[minhashCandidates]]); only candidate signature pairs expand back to
+    * (newId, refId, jaccardEstimate). EAGER; the caller owns one
+    * unpersist(). */
+  def minhashCandidatesAgainst(newDf: DataFrame, refDf: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleSize: Int = 3, numHashes: Int = 64,
+                               bands: Int = 16, seed: Int = 42): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    def sigOf(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        graft.functions.expressions.MinHashExpression
+          .minhashTokens(Text.tokens(col(textCol)), shingleSize, numHashes, seed.toLong)
+          .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigN = sigOf(newDf)
+    val sigR = sigOf(refDf)
+    def bucketed(sig: DataFrame, as: String) = sig.select(col("sig")).distinct()
+      .select(col("sig").as(as),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val sigPairs = bucketed(sigN, "sigN").join(bucketed(sigR, "sigR"), Seq("band", "bucket"))
+      .select(col("sigN"), col("sigR"))
+      .distinct()
+      .withColumn("jaccard_est",
+        graft.functions.expressions.MinHashExpression
+          .signatureAgreement(col("sigN"), col("sigR"))
+          .cast("double") / lit(numHashes))
+    val in = sigN.select(col("id").as("idNew"), col("sig").as("sigN"))
+    val ir = sigR.select(col("id").as("idRef"), col("sig").as("sigR"))
+    val result = sigPairs.join(in, "sigN").join(ir, "sigR")
+      .select(col("idNew"), col("idRef"), col("jaccard_est"))
+    materializeAndFree(result, sigN, sigR)
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme): the
     * distinct selected k-gram hashes of each document — ~2/(window+1) of
     * all gram hashes, with the guarantee that any cross-document substring

@@ -277,6 +277,27 @@ object PipelineQueries {
         .select(col("idA"), col("idB"))
     }),
 
+    // Incremental ingest dedup: a "new batch" (docs 0-9 plus planted copies
+    // of reference docs 10-14 under shifted ids) deduplicated AGAINST the
+    // existing corpus (docs >= 10) via the bipartite MinHash-LSH band join —
+    // no all-corpus self-join. Output restricted to text-verified identical
+    // (new, ref) pairs, which a DuckDB cross join enumerates exactly.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df.select(col("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") >= 10)
+      val newBatch = docs.filter(col("doc_id") < 10).unionByName(
+        docs.filter(col("doc_id").between(10, 14))
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val cands = Dedup.minhashCandidatesAgainst(newBatch, ref, "doc_id", "text",
+        shingleSize = 2, numHashes = 32, bands = 8)
+        .filter(col("jaccard_est") === 1.0)
+      cands
+        .join(newBatch.select(col("doc_id").as("idNew"), col("text").as("__tn")), "idNew")
+        .join(ref.select(col("doc_id").as("idRef"), col("text").as("__tr")), "idRef")
+        .filter(col("__tn") === col("__tr"))
+        .select(col("idNew"), col("idRef"))
+    }),
+
     // Winnowing fingerprint dedup (MOSS scheme) with PLANTED exact copies:
     // identical documents have identical fingerprint sets, so every planted
     // pair (and natural exact duplicate) is guaranteed to pair; the output
@@ -548,6 +569,16 @@ object PipelineQueries {
         |SELECT CAST(a.doc_id AS BIGINT) AS idA, CAST(b.doc_id AS BIGINT) AS idB
         |FROM all_docs a JOIN all_docs b
         |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH newd AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  WHERE doc_id BETWEEN 10 AND 14),
+        |refd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10)
+        |SELECT CAST(n.doc_id AS BIGINT) AS idNew, CAST(r.doc_id AS BIGINT) AS idRef
+        |FROM newd n JOIN refd r ON n.text = r.text""".stripMargin,
 
     "q_dedup_winnow" ->
       """WITH all_docs AS (

@@ -168,4 +168,27 @@ class DedupGraphSpec extends AnyFunSuite {
       .select("idA", "idB").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(truth.subsetOf(cands) && cands.subsetOf(truth))
   }
+
+  test("cross-corpus minhash finds near-dups between batches, not within") {
+    val base = "spark catalyst tungsten shuffle partition broadcast join agg filter scan"
+    val ref = Seq(
+      (100L, base),
+      (101L, "reference doc about cooking pasta tomatoes basil herbs and olive oil"),
+      (102L, "sailing boats wind sea waves harbor anchor deck sail mast")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (1L, base),                                   // exact dup of ref 100
+      (2L, base + " extra"),                        // near dup of ref 100
+      (3L, "entirely new content about mountain hiking trails and snow")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashCandidatesAgainst(newBatch, ref, "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 16)
+      .filter(col("jaccard_est") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 100L)), s"exact cross-corpus dup missed: $out")
+    assert(out.contains((2L, 100L)), s"near cross-corpus dup missed: $out")
+    assert(!out.exists(_._1 == 3L), s"false pair for novel doc: $out")
+    // bipartite: no new-new or ref-ref pairs by construction
+    assert(out.forall { case (n, r) => n < 100 && r >= 100 })
+  }
 }

@@ -102,4 +102,20 @@ class OperatorHygieneSpec extends AnyFunSuite {
     val leaked = sc.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"zombie RDDs beyond the cache manager: $leaked")
   }
+
+  test("minhashCandidatesAgainst frees both corpus signature barriers") {
+    assertHygienic("minhashCandidatesAgainst") {
+      val newBatch = docs.filter(col("doc_id") < 20)
+      val ref = docs.filter(col("doc_id") >= 20)
+      Dedup.minhashCandidatesAgainst(newBatch, ref, "doc_id", "text",
+        shingleSize = 2, numHashes = 16, bands = 4)
+    }
+  }
+
+  test("winnowCandidates frees its fingerprint barrier") {
+    assertHygienic("winnowCandidates") {
+      Dedup.winnowCandidates(docs, "doc_id", "text",
+        shingleSize = 3, window = 3)
+    }
+  }
 }
