@@ -113,4 +113,37 @@ class PlanSpec extends AnyFunSuite {
       s"sig collapse does not shuffle on the signature:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("gopher rules and URL canonicalization are shuffle-free scan+project") {
+    Seq("q_doc_gopher", "q_url_canonical").foreach { q =>
+      val plan = graft.queries.PipelineQueries.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q shuffles a pure per-row pipeline:\n$plan")
+      // the *(n) stage markers are the executedPlan rendering of codegen
+      assert(plan.contains("*("), s"$q left whole-stage codegen:\n$plan")
+    }
+  }
+
+  test("source rebalance broadcasts the group counts, never shuffles the data") {
+    val plan = graft.queries.PipelineQueries.queries("q_source_rebalance")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"group counts not broadcast:\n$plan")
+  }
+
+  test("winnow candidate join is keyed on the fingerprint") {
+    val plan = graft.queries.PipelineQueries.queries("q_dedup_winnow")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin [fp") || plan.contains("hashpartitioning(fp"),
+      s"fingerprint join not keyed on fp:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("incremental dedup joins bipartite on (band, bucket)") {
+    val plan = graft.queries.PipelineQueries.queries("q_dedup_incremental")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin [band") || plan.contains("hashpartitioning(band"),
+      s"cross-corpus LSH join not keyed on (band, bucket):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
