@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{BpeIshTokenCount, FloatVecCosine, FloatVecDot,
-  JaccardSimilarity, MinHashArray, MinHashOfTokens, NgramWindowHashes,
-  SignatureAgreement, SimHashOfTokens}
+import graft.functions.expressions.{BandHashes, BpeIshTokenCount, FloatVecCosine,
+  FloatVecDot, JaccardSimilarity, MinHashArray, MinHashOfTokens,
+  NgramWindowHashes, SignatureAgreement, SimHashOfTokens, WinnowMinHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql(...)` users get them
@@ -24,6 +24,8 @@ import graft.functions.expressions.{BpeIshTokenCount, FloatVecCosine, FloatVecDo
   *   - graft_jaccard(a, b) — set Jaccard of two string arrays
   *   - graft_bpeish_count(tokens) — BPE-ish subword count
   *   - graft_ngram_hashes(tokens, n, seed) — n-gram window hashes
+  *   - graft_winnow(hashes, window) — winnowing fingerprint selection
+  *   - graft_band_hashes(sig, bands, rowsPerBand) — LSH band bucket keys
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -76,7 +78,16 @@ object GraftExtensions {
       new ExpressionInfo(classOf[NgramWindowHashes].getName, "graft_ngram_hashes"),
       (args: Seq[Expression]) =>
         NgramWindowHashes(args(0), intLit(args(1), "n"),
-          intLit(args(2), "seed").toLong))
+          intLit(args(2), "seed").toLong)),
+    "graft_winnow" -> (
+      new ExpressionInfo(classOf[WinnowMinHashes].getName, "graft_winnow"),
+      (args: Seq[Expression]) =>
+        WinnowMinHashes(args(0), intLit(args(1), "window"))),
+    "graft_band_hashes" -> (
+      new ExpressionInfo(classOf[BandHashes].getName, "graft_band_hashes"),
+      (args: Seq[Expression]) =>
+        BandHashes(args(0), intLit(args(1), "bands"),
+          intLit(args(2), "rowsPerBand")))
   )
 
   /** Register on an already-built session. */

@@ -47,6 +47,21 @@ object StreamingQueries {
         EventStreams.streamingContamination(stream, benchGrams, n = 4))
     }),
 
+    // Streaming incremental near-dedup: every arriving document (ids
+    // shifted +300000 so the "new batch" is disjoint) is checked against
+    // the static corpus's LSH band buckets and text-verified — each doc
+    // must rediscover its own batch twin (plus any natural duplicates),
+    // which the oracle enumerates with a text self-join. Exercises the
+    // stream-static bucket join + verify + pair-collapse aggregate.
+    "q_stream_neardedup" -> ((s, dir) => {
+      val ref = Tables.star(s, dir, "documents").df
+      val refBuckets = EventStreams.referenceBandBuckets(ref, "doc_id", "text")
+      val stream = EventStreams.readDocumentsStream(s, dir)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      EventStreams.runToBatch(s,
+        EventStreams.streamingNearDup(stream, refBuckets))
+    }),
+
     // Stream-stream interval join run incrementally (purchases joined to
     // same-user errors within the prior 30 min; watermark-bounded state).
     "q_stream_join" -> ((s, dir) => {
@@ -145,6 +160,11 @@ object StreamingQueries {
         |SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id >= 10 GROUP BY g.doc_id""".stripMargin,
+
+    "q_stream_neardedup" ->
+      """SELECT CAST(a.doc_id + 300000 AS BIGINT) AS idNew,
+        |  CAST(b.doc_id AS BIGINT) AS idRef
+        |FROM documents a JOIN documents b ON a.text = b.text""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,

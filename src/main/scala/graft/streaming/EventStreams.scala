@@ -117,6 +117,48 @@ object EventStreams {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
 
+  /** Static reference side for streaming near-dedup: the corpus's minhash
+    * LSH band buckets, carrying the reference id and text (the verify
+    * payload; at 100 TB carry the signature and verify in a later stage
+    * instead). Build once, reuse across micro-batches. */
+  def referenceBandBuckets(ref: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 2, numHashes: Int = 32,
+                           bands: Int = 8, seed: Int = 42): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    ref.select(col(idCol).as("idRef"), col(textCol).as("__tr"),
+        graft.functions.expressions.MinHashExpression
+          .minhashTokens(graft.functions.Text.tokens(col(textCol)),
+            shingleSize, numHashes, seed.toLong).as("__sigR"))
+      .select(col("idRef"), col("__tr"),
+        posexplode(graft.functions.expressions.MinHashExpression
+          .bandHashes(col("__sigR"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+  }
+
+  /** Stream-STATIC near-duplicate detection: each arriving document
+    * computes its minhash band keys (one codegen'd projection) and joins
+    * the static reference bucket table; bucket-collision candidates are
+    * verified by exact text equality, and a pair found in several bands
+    * collapses in the aggregate. The incremental-ingest dedup shape — new
+    * data checked against the standing corpus on arrival, state bounded by
+    * the output (pair set), never the stream. Emits (idNew, idRef). */
+  def streamingNearDup(docs: DataFrame, refBuckets: DataFrame,
+                       shingleSize: Int = 2, numHashes: Int = 32,
+                       bands: Int = 8, seed: Int = 42): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    docs.select(col("doc_id").as("idNew"), col("text").as("__tn"),
+        graft.functions.expressions.MinHashExpression
+          .minhashTokens(graft.functions.Text.tokens(col("text")),
+            shingleSize, numHashes, seed.toLong).as("__sigN"))
+      .select(col("idNew"), col("__tn"),
+        posexplode(graft.functions.expressions.MinHashExpression
+          .bandHashes(col("__sigN"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+      .join(refBuckets, Seq("band", "bucket")) // stream-static inner join
+      .filter(col("__tn") === col("__tr"))    // exact verify on the candidate
+      .groupBy(col("idNew"), col("idRef"))
+      .agg(count(lit(1)).as("__bands")) // collapse multi-band hits
+      .select(col("idNew"), col("idRef"))
+  }
+
   /** Sessions per user (count of session windows). */
   def sessionCounts(events: DataFrame): DataFrame =
     sessionWindows(events)

@@ -42,4 +42,21 @@ class ExtensionsSpec extends AnyFunSuite {
     val dummy = new org.apache.spark.sql.SparkSessionExtensions
     ext.apply(dummy) // must not throw; registration list is well-formed
   }
+
+  test("round-3 graft_* functions: winnow and band hashes from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT size(graft_winnow(array(9L, 1L, 8L, 1L, 7L, 2L), 3)) AS wn,
+        |       size(graft_band_hashes(graft_minhash_tokens(array('a','b','c'), 2, 8, 42), 4, 2)) AS bh
+        |""".stripMargin).head()
+    assert(r.getInt(0) >= 1 && r.getInt(0) <= 4) // ~2/(w+1) of 6 kept
+    assert(r.getInt(1) == 4)
+    // the band guard surfaces through SQL too
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_band_hashes(array(1L, 2L), 3, 2)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("band_hashes")), ex.toString)
+  }
 }
