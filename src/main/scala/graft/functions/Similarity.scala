@@ -236,18 +236,42 @@ object Similarity {
         df.orderBy(col(idCol)).limit(k).select(col(embCol)).collect()
           .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       case _ =>
-        val first = df.orderBy(col(idCol)).limit(1).select(col(embCol)).head()
-          .getSeq[Float](0).toArray.map(_.toDouble)
-        val picked = scala.collection.mutable.ArrayBuffer(first)
+        // Farthest-point selection over a deterministic hash-sample: ONE
+        // Spark job collects ~sampleSize candidate vectors (smallest md5
+        // buckets — partitioning-independent), then the k sequential argmax
+        // rounds run driver-side on the sample. k driver-side loops over a
+        // bounded sample instead of k cluster-wide jobs — the k-means||
+        // observation (Bahmani et al. 2012) that init needs a good sketch,
+        // not the full corpus, per round.
+        val sampleSize = math.max(k * 64, 1024)
+        val sample = df
+          .select(col(idCol), col(embCol),
+            conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+              .cast("long").as("__b"))
+          .orderBy(col("__b").asc, col(idCol).asc)
+          .limit(sampleSize)
+          .select(col(idCol), col(embCol))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+          .sortBy(_._1)
+        def d2(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+          s
+        }
+        val picked = scala.collection.mutable.ArrayBuffer(sample.head._2)
+        val minD = sample.map(v => d2(v._2, picked.head)).toArray
         while (picked.size < k) {
-          // one codegen'd pass: distance² to the nearest chosen center,
-          // argmax via TakeOrdered (ties → lower id)
-          val dMin = array_min(array(distStructs(picked.toArray): _*)).getField("d") +
-            dot(col(embCol), col(embCol))
-          val next = df.select(col(idCol), col(embCol), dMin.as("d2"))
-            .orderBy(col("d2").desc, col(idCol).asc)
-            .limit(1).select(col(embCol)).head().getSeq[Float](0)
-          picked += next.toArray.map(_.toDouble)
+          var best = 0
+          var i = 1
+          while (i < sample.length) { if (minD(i) > minD(best)) best = i; i += 1 }
+          picked += sample(best)._2
+          i = 0
+          while (i < sample.length) {
+            val d = d2(sample(i)._2, picked.last)
+            if (d < minD(i)) minD(i) = d
+            i += 1
+          }
         }
         picked.toArray
     }
