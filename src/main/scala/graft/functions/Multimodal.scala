@@ -73,9 +73,14 @@ object Multimodal {
     * batches so peak memory is batchSize × payload, independent of partition
     * size.
     *
-    * ======= STUB ======= the per-payload "model" is a deterministic
-    * 8-dim hash-derived vector; a real deployment runs the codec + encoder
-    * here (the only non-plumbing line is marked).
+    * ======= STUB ======= the per-payload "model" is a deterministic 8-dim
+    * vector derived from the payload's MD5 (first two digest bytes → h ∈
+    * [0, 65535]; feature i = float32 of (h·(i+1) mod 2¹⁶)/65535 − 0.5); a
+    * real deployment runs the codec + encoder here (the only non-plumbing
+    * lines are marked). MD5 rather than an ad-hoc JVM hash so the stub
+    * arithmetic is reproducible by ANY engine — the driver's DuckDB oracle
+    * mirrors it exactly (double math, then one round-to-float), giving the
+    * mapPartitions plumbing a full hash-matched correctness check.
     */
   def extractFeaturesStub(spark: SparkSession, df: DataFrame, payloadCol: String,
                           idCol: String, batchSize: Int = 64): DataFrame = {
@@ -87,14 +92,16 @@ object Multimodal {
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
     val out: Dataset[Row] = df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.grouped(batchSize).flatMap { batch =>
         // REAL IMPL HERE: decode batch of payloads + run feature model.
         batch.map { r =>
           val payload = r.getAs[Array[Byte]](payIdx)
-          val h = java.util.Arrays.hashCode(payload)
+          val dig = md.digest(payload) // resets the digest for the next row
+          val h = ((dig(0) & 0xFF) << 8) | (dig(1) & 0xFF)
           val feats = Array.tabulate(8) { i =>
-            (((h * (i + 1)) & 0xFFFF).toFloat / 65535f) - 0.5f // STUB features
-          }
+            ((h.toLong * (i + 1)) % 65536L).toDouble / 65535.0 - 0.5
+          }.map(_.toFloat) // STUB features
           Row(r.get(idIdx), feats)
         }
       }

@@ -19,13 +19,14 @@ object PipelineQueries {
   val enStop: Seq[String] = Seq("the", "a")
 
   /** Build-once-per-dataset LSH index under the JVM temp dir, keyed by the
-    * source directory (testdata is immutable within a run). The parquet
-    * `_SUCCESS` marker gates the rebuild, so Verify and Bench share one
-    * build per dataset per container. */
+    * source directory and a variant marker (testdata is immutable within a
+    * run). The parquet `_SUCCESS` marker gates the rebuild, so Verify and
+    * Bench share one build per dataset per container. */
   private def lshIndexFor(s: SparkSession, dir: String,
-                          emb: org.apache.spark.sql.DataFrame): String = {
+                          emb: org.apache.spark.sql.DataFrame,
+                          marker: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|p8t2s42|ex0".getBytes("UTF-8"))
+      .digest(s"$dir|p8t2s42|$marker".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_$key"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
@@ -33,6 +34,40 @@ object PipelineQueries {
         dim = 64, numPlanes = 8, tables = 2)
     path
   }
+
+  /** Planted ANN neighbors with EXACTLY-known cosines to the probe e1 =
+    * (1, 0, …, 0): vector j is a·e1 + b·e_{d_j} with (a, b, c) a Pythagorean
+    * triple, so cosine(e1, v) = a / √(a²+b²) = a/c — every intermediate
+    * (dot = a, norm² = c², √(c²) = c) is EXACT in IEEE double, making the
+    * value engine-independent by construction, not by float-error luck. The
+    * ten cosines descend 1.0 → 0.849, all far above the corpus's max
+    * cosine-to-e1 (~0.39 at every SF), so the top-10 is exactly the planted
+    * set; distinct perturbation dims keep the LSH bucket patterns of the
+    * planted set diverse (all ten verified reachable by the nprobe=24
+    * query-directed probe — deterministic, seeded planes). */
+  private[queries] val annTriples: Seq[(Int, Int, Int, Int)] = Seq(
+    (1, 0, 1, 1), (60, 11, 61, 1), (40, 9, 41, 2), (63, 16, 65, 3),
+    (24, 7, 25, 4), (35, 12, 37, 5), (12, 5, 13, 6), (15, 8, 17, 7),
+    (56, 33, 65, 8), (45, 28, 53, 9))
+
+  private val e1Probe: Seq[Float] = 1f +: Seq.fill(63)(0f)
+
+  private def plantedAnn(s: SparkSession): DataFrame = {
+    import s.implicits._
+    annTriples.zipWithIndex.map { case ((a, b, _, d), j) =>
+      val v = new Array[Float](64); v(0) = a.toFloat; v(d) = b.toFloat
+      (100000L + j, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Shared oracle for the two planted-ANN queries: the top-10 is the
+    * planted set with cosines derived by the SAME exact division a/c. */
+  private val annOracle: String =
+    """SELECT CAST(j + 100000 AS BIGINT) AS vec_id,
+      |  round(CAST(a AS DOUBLE) / c, 4) AS cosine
+      |FROM (VALUES (0, 1, 1), (1, 60, 61), (2, 40, 41), (3, 63, 65),
+      |      (4, 24, 25), (5, 35, 37), (6, 12, 13), (7, 15, 17),
+      |      (8, 56, 65), (9, 45, 53)) t(j, a, c)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -340,30 +375,32 @@ object PipelineQueries {
     }),
 
     // --- similarity search -------------------------------------------------
-    // Brute-force cosine top-10 for a probe vector taken from the corpus
-    // (vec_id 0), excluding itself. No oracle: float-sum order sensitivity.
+    // Brute-force cosine top-10 over the corpus plus ten PLANTED neighbors
+    // at exactly-known Pythagorean cosines (see [[annTriples]]): the scan
+    // must rank the planted set above every corpus vector (max corpus
+    // cosine-to-e1 ≈ 0.39 vs planted min 0.849) and report their exact
+    // cosines — engine-independent, hash-matched oracle.
     "q_ann_bruteforce" -> ((s, dir) => {
-      val emb = star(s, dir, "embeddings").df
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0)
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
-        "embedding", "vec_id", q, 10)
+      val emb = star(s, dir, "embeddings").df.select("vec_id", "embedding")
+      Similarity.bruteForceTopK(emb.unionByName(plantedAnn(s)),
+        "embedding", "vec_id", e1Probe, 10)
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
-    // LSH-indexed ANN for the same probe (scale path; no oracle). The
+    // LSH-indexed ANN for the same planted probe (the scale path). The
     // bucket-partitioned index is built ONCE per dataset (memoized on disk)
     // and every probe is a partition-pruned read + one cosine per candidate
-    // — zero per-row hashing at query time, unlike the round-2 filter
-    // formulation whose 32 plane-dots per row cost more than the cosine it
-    // avoided. Declared in SparkEntry.indexedQueries: the bench measures
-    // steady-state probe latency, the standard ANN-index metric.
+    // — zero per-row hashing at query time. Against the planted oracle this
+    // also pins RECALL: all ten planted neighbors sit within reach of the
+    // nprobe=24 query-directed probe in both tables (deterministic planes),
+    // so a probing/pruning regression that drops any of them — letting a
+    // corpus vector into the top-10 — breaks the hash match. Declared in
+    // SparkEntry.indexedQueries: the bench measures steady-state probe
+    // latency, the standard ANN-index metric.
     "q_ann_lsh" -> ((s, dir) => {
-      val emb = star(s, dir, "embeddings").df
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0)
-      val path = lshIndexFor(s, dir, emb.filter(col("vec_id") =!= 0))
-      Similarity.probeLshIndex(s, path, q, 10, dim = 64,
+      val emb = star(s, dir, "embeddings").df.select("vec_id", "embedding")
+      val path = lshIndexFor(s, dir, emb.unionByName(plantedAnn(s)), "plant10")
+      Similarity.probeLshIndex(s, path, e1Probe, 10, dim = 64,
           numPlanes = 8, tables = 2, nprobe = 24)
         .withColumn("cosine", round(col("cosine"), 4))
     }),
@@ -389,9 +426,33 @@ object PipelineQueries {
         .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
     }),
 
-    // Distributed Lloyd's k-means cluster sizes (no oracle: iterative
-    // float arithmetic; determinism + convergence asserted in KmeansSpec).
+    // Distributed Lloyd's k-means with PLANTED cluster recovery: group g
+    // (g = 0..7) is 10+g copies of base vector g with a tiny deterministic
+    // dim-0 perturbation (≤ 0.016 in-group diameter vs ≥ 1.19 between-base
+    // distance at every SF), so farthest-point init must seed one centroid
+    // per group and Lloyd must recover the partition exactly. Cluster LABELS
+    // are engine-specific, so the output is the size multiset (distinct by
+    // construction: 10..17) — a full hash-matched oracle for the clustering
+    // machinery end to end.
     "q_emb_kmeans" -> ((s, dir) => {
+      val planted = star(s, dir, "embeddings").df
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), col("vec_id") + 9)).as("copy"))
+        .select((col("vec_id") * 1000 + col("copy")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + col("copy").cast(FloatType) * lit(0.001f))
+              .otherwise(x)).as("embedding"))
+      val (assign, _, _) = Similarity.kmeans(planted, "embedding", "vec_id",
+        k = 8, dim = 64, iters = 5, trackInertia = false)
+      assign.groupBy(col("cluster")).agg(count(lit(1)).as("n")).select(col("n"))
+    }),
+
+    // Corpus-scale k-means workload (no oracle: iterative float arithmetic
+    // on real vectors; determinism + convergence asserted in KmeansSpec,
+    // planted recovery oracle-checked by q_emb_kmeans above). Kept as the
+    // bench's full-corpus clustering measurement.
+    "q_emb_kmeans_corpus" -> ((s, dir) => {
       val emb = star(s, dir, "embeddings").df
       val (assign, _, _) = Similarity.kmeans(emb, "embedding", "vec_id",
         k = 8, dim = 64, iters = 3, trackInertia = false)
@@ -599,6 +660,16 @@ object PipelineQueries {
         |SELECT CAST(a.doc_id AS BIGINT) AS idA, CAST(b.doc_id AS BIGINT) AS idB
         |FROM all_docs a JOIN all_docs b
         |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+
+    // Planted-ANN top-10: exact Pythagorean cosines (see annTriples) — both
+    // engines compute the identical double a/c before rounding.
+    "q_ann_bruteforce" -> annOracle,
+    "q_ann_lsh" -> annOracle,
+
+    // Planted k-means recovery: the size multiset 10..17 (labels are
+    // engine-specific; sizes are fully determined by the construction).
+    "q_emb_kmeans" ->
+      "SELECT CAST(range AS BIGINT) AS n FROM range(10, 18)",
 
     "q_emb_stats" ->
       """SELECT label, count(*) AS n,

@@ -107,8 +107,10 @@ object StreamingQueries {
           sum(length(col("frame"))).cast(LongType).as("frame_bytes"))
     }),
 
-    // Multimodal feature-extraction plumbing (stubbed model, rows-only).
-    // The feature vector is projected to scalar columns f0..f7 so the
+    // Multimodal feature-extraction plumbing: the stubbed "model" is
+    // MD5-derived arithmetic (see Multimodal.extractFeaturesStub), so the
+    // mapPartitions batch pipeline gets a full hash-matched oracle. The
+    // feature vector is projected to scalar columns f0..f7 so the
     // driver-side pandas normalizer can sort rows (an Array column is
     // unhashable there); the array itself stays internal.
     "q_multimodal_features" -> ((s, dir) => {
@@ -170,6 +172,20 @@ object StreamingQueries {
       """SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
         |  CAST(4 * (octet_length(encode(text)) // 4) AS BIGINT) AS frame_bytes
         |FROM documents""".stripMargin,
+
+    // Mirrors the MD5-derived stub arithmetic exactly: h = first 16 bits of
+    // md5(utf8 bytes); f_i = float32 of ((h*(i+1)) % 65536)/65535 - 0.5,
+    // widened back to double — identical IEEE ops in both engines.
+    "q_multimodal_features" -> {
+      val fCols = (0 until 8).map(i =>
+        s"CAST(CAST(((h * ${i + 1}) % 65536) / 65535.0 - 0.5 AS REAL) AS DOUBLE) AS f$i")
+        .mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $fCols
+         |FROM (SELECT doc_id,
+         |        CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) AS h
+         |      FROM documents)""".stripMargin
+    },
 
     "q_stream_join" ->
       """SELECT p.user_id, count(*) AS n_pairs
