@@ -502,32 +502,84 @@ object Dedup {
     * containing a common run of ≥ window+shingleSize−1 tokens are
     * GUARANTEED to pair (the winnowing property), at fingerprint-join cost
     * instead of all-grams cost. Returns (idA, idB, n_shared). EAGER with
-    * internal barriers freed, like the other candidate generators; skewed
-    * boilerplate fingerprints are AQE's skew-join case, same as LSH
-    * buckets. */
+    * internal barriers freed, like the other candidate generators.
+    *
+    * `maxDocFreq` guards the fingerprint self-join against corpus-wide
+    * boilerplate: the join is QUADRATIC per fingerprint group, so one
+    * license header shared by 1M documents would emit ~5·10¹¹ pairs from a
+    * single fingerprint — AQE skew-split spreads that work but cannot
+    * shrink the output. Fingerprints whose document frequency exceeds the
+    * cap are dropped before the join (standard MOSS practice): a dropped
+    * ubiquitous fingerprint loses nothing — documents sharing it still pair
+    * via their other fingerprints, or it IS corpus boilerplate. The drop is
+    * LOUD (count reported on stderr, never silent); note that dropped
+    * fingerprints also don't count toward `n_shared`, so pairs held
+    * together ONLY by boilerplate fall below high `minShared` thresholds —
+    * exactly the pairs a dedup pass should not act on. Pass 0 to disable
+    * (exact behavior, unbounded skew). */
   def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 6, window: Int = 8,
-                       minShared: Int = 1, seed: Int = 42): DataFrame = {
+                       minShared: Int = 1, seed: Int = 42,
+                       maxDocFreq: Int = 1000): DataFrame = {
     val fps = winnowFingerprints(df, idCol, textCol, shingleSize, window, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
-    val a = ex.select(col("fp"), col("id").as("idA"))
-    val b = ex.select(col("fp"), col("id").as("idB"))
+    val (exKept, dfreqBarrier) = if (maxDocFreq > 0) {
+      // fps are distinct per document (array_distinct upstream), so the
+      // count per fp IS its document frequency. The df table is one row per
+      // distinct fingerprint — the same small shape the join shuffles anyway.
+      val dfreq = ex.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDropped = dfreq.filter(col("__df") > maxDocFreq).count()
+      if (nDropped > 0)
+        System.err.println(s"[graft] winnowCandidates: dropping $nDropped " +
+          s"fingerprint(s) with document frequency > $maxDocFreq before the " +
+          "pair join (corpus boilerplate; co-occurring documents still pair " +
+          "via their other fingerprints). Raise maxDocFreq or pass 0 to keep them.")
+      (ex.join(dfreq.filter(col("__df") <= maxDocFreq), Seq("fp")).drop("__df"),
+        Seq(dfreq))
+    } else (ex, Seq.empty[DataFrame])
+    val a = exKept.select(col("fp"), col("id").as("idA"))
+    val b = exKept.select(col("fp"), col("id").as("idB"))
     val result = a.join(b, Seq("fp"))
       .filter(col("idA") < col("idB"))
       .groupBy(col("idA"), col("idB"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    materializeAndFree(result, fps)
+    materializeAndFree(result, fps +: dfreqBarrier: _*)
   }
 
   /** N-gram Jaccard near-dup pairs within LSH-free small candidate sets:
     * exact pairwise Jaccard over char n-grams, pre-blocked by length band
     * (docs with very different lengths can't be near-dups). For corpora
-    * where a full MinHash pass isn't warranted. */
+    * where a full MinHash pass isn't warranted.
+    *
+    * GUARDED small-corpus fallback: within a length band this is ALL-PAIRS
+    * — a band of size m joins m² rows carrying full gram arrays, which at
+    * corpus scale is a near-cartesian shuffle no optimizer can save. The
+    * method therefore REFUSES (loud error, one cheap length-only pre-pass)
+    * when any band's population exceeds `maxBandSize`, directing the caller
+    * to [[minhashCandidates]] — the sub-quadratic operator for that scale.
+    * Raising the cap is a deliberate, visible act, never a silent default. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        lengthBandPct: Double = 0.2): DataFrame = {
+                        lengthBandPct: Double = 0.2,
+                        maxBandSize: Int = 5000): DataFrame = {
+    if (maxBandSize > 0) {
+      // Pre-pass on (len) only — no gram materialization, one narrow scan.
+      val worst = df
+        .select(floor(log(1.0 + lengthBandPct,
+          length(col(textCol)).cast("double"))).as("band"))
+        .groupBy("band").agg(count(lit(1)).as("m"))
+        .agg(max(col("m"))).head().get(0)
+      val worstM = if (worst == null) 0L else worst.asInstanceOf[Long]
+      require(worstM <= maxBandSize,
+        s"ngramJaccardPairs: a length band holds $worstM documents (> " +
+          s"maxBandSize=$maxBandSize); the within-band join is all-pairs " +
+          "(~m² gram-array comparisons) and does not scale. Use " +
+          "Dedup.minhashCandidates for corpora of this size, or raise " +
+          "maxBandSize explicitly if the quadratic cost is intended.")
+    }
     val grams = df.select(col(idCol).as("id"), col(textCol).as("t"),
       Text.charNgrams(col(textCol), n).as("g"), length(col(textCol)).as("len"))
     val withBand = grams.withColumn("band",

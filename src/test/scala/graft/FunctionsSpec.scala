@@ -62,6 +62,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("ngramJaccardPairs refuses an oversized length band, pointing at minhash") {
+    // 12 same-length docs land in ONE band: the within-band join would be
+    // all-pairs. The guard must fire from the cheap length-only pre-pass.
+    val docs = (1L to 12L).map(i => (i, f"document number $i%02d with text"))
+      .toDF("id", "t")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "id", "t", maxBandSize = 10)
+    }
+    assert(e.getMessage.contains("minhashCandidates"), e.getMessage)
+    assert(e.getMessage.contains("12"), e.getMessage)
+    // explicitly raising the cap (or disabling) is the documented escape
+    assert(Dedup.ngramJaccardPairs(docs, "id", "t", threshold = 0.1,
+      maxBandSize = 0).count() > 0)
+  }
+
   test("exactDedup keeps min id per key, deterministically") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "k")
     val out = Dedup.exactDedup(df, Seq("k"), "id").orderBy("id").collect()

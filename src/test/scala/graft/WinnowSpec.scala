@@ -73,6 +73,36 @@ class WinnowSpec extends AnyFunSuite {
       s"density $kept far from ${expected}")
   }
 
+  test("document-frequency cap bounds planted-boilerplate pair volume") {
+    // 1,000 docs share one 12-token boilerplate run (k=4, w=4 ⇒ guarantee
+    // threshold 7 tokens, so every doc carries boilerplate fingerprints);
+    // two docs (1, 2) are exact duplicates of each other beyond it. Without
+    // a cap the boilerplate fingerprint group alone yields ~C(1000,2) ≈
+    // 500k pairs; with the df cap the join must drop it and return ONLY the
+    // planted duplicate pair (their non-boilerplate fingerprints have df=2).
+    val boiler = "this text is standard corpus boilerplate shared by every document here"
+    val docs = (1L to 1000L).map { i =>
+      val tail = if (i <= 2) "identical planted duplicate body content"
+      else s"unique tail $i alpha${i} beta${i} gamma${i} delta${i}"
+      (i, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidates(docs, "doc_id", "text",
+      shingleSize = 4, window = 4, maxDocFreq = 100)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.unpersist()
+    assert(got == Set((1L, 2L)),
+      s"expected only the planted pair after the df cap, got ${got.size} pairs")
+
+    // sanity: on a small slice the SAME boilerplate does pair when uncapped
+    val small = docs.filter(col("doc_id") <= 10)
+    val uncapped = Dedup.winnowCandidates(small, "doc_id", "text",
+      shingleSize = 4, window = 4, maxDocFreq = 0)
+    val nUncapped = uncapped.count()
+    uncapped.unpersist()
+    assert(nUncapped == 45L, // C(10,2): all-pairs via the shared fingerprint
+      s"uncapped boilerplate should pair all docs, got $nUncapped")
+  }
+
   test("unrelated documents share no fingerprints") {
     val docs = Seq(
       (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"),
