@@ -28,13 +28,25 @@ object Curation {
   /** Run the full pipeline. The returned DataFrame carries a `split` column
     * ("train" / "validation" / "test"); the report materializes stage
     * counts (one action per stage — curation is a batch job, not a lazy
-    * view). */
+    * view).
+    *
+    * `checkpointDir`: stable-storage directory (HDFS/object store on a
+    * cluster) for RELIABLE checkpoints during the connected-components
+    * iteration inside near-dedup. Without it the iteration truncates
+    * lineage with `localCheckpoint`, whose blocks live in executor storage
+    * — on a real cluster an executor loss mid-run then kills the job
+    * (documented Spark semantics). A multi-hour 100 TB curation run should
+    * always set this; the per-round checkpoint write is tiny (the label
+    * table, two longs per candidate doc). Applied via
+    * `sc.setCheckpointDir`, which [[Dedup.connectedComponents]] picks up. */
   def curate(docs: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String,
              nearDupThreshold: Double = 0.8,
              decontamN: Int = 8,
              minQuality: Double = 0.25,
-             trainPct: Int = 90, validationPct: Int = 5): (DataFrame, CurationReport) = {
+             trainPct: Int = 90, validationPct: Int = 5,
+             checkpointDir: Option[String] = None): (DataFrame, CurationReport) = {
+    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
     val nInput = docs.count()
 
     // 1. exact dedup on the NORMALIZED text (casing/punct/ws-insensitive),

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -79,37 +79,62 @@ private[sources] class StarTableTable(schema: StructType, props: Map[String, Str
 
 private[sources] class StarTableScanBuilder(fullSchema: StructType,
                                             options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Predicate pushdown INTO the parse — the connector-layer analog of the
+    * reference's early block filter. Supported predicates (comparisons on
+    * text/number/onoff columns) are evaluated on parsed cell values before
+    * any row materialization, and a block whose header is CONTRADICTED by a
+    * pushed null-rejecting predicate (the filtered column isn't in the
+    * block at all) is skipped without touching its rows. ALL filters are
+    * also returned as residual: Spark re-evaluates them post-scan, so the
+    * parse-level evaluation is a pruning fast path, never the correctness
+    * authority (same contract as parquet row-group skipping). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(StarTableSource.supportedFilter(fullSchema))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new StarTableScan(
     StarTableSource.resolveFiles(StarTableSource.paths(options)),
     Option(options.get("table")),
     Option(options.get("sep")).getOrElse(";"),
     Option(options.get("failFast")).exists(_.toBoolean),
-    fullSchema, required)
+    fullSchema, required, pushed)
 }
 
 private[sources] class StarTableScan(files: Seq[String], tableName: Option[String],
                                      sep: String, failFast: Boolean,
-                                     fullSchema: StructType, required: StructType)
+                                     fullSchema: StructType, required: StructType,
+                                     pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => StarFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new StarTableReaderFactory(tableName, sep, failFast, fullSchema, required)
+    new StarTableReaderFactory(tableName, sep, failFast, fullSchema, required, pushed)
+  // surface the pushdown in explain() so plans are auditable, mirroring the
+  // built-in file sources' "PushedFilters: [...]" line
+  override def description(): String =
+    s"startable table=${tableName.getOrElse("<first>")} " +
+      s"ReadSchema: ${required.catalogString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 }
 
 private[sources] case class StarFilePartition(path: String) extends InputPartition
 
 private[sources] class StarTableReaderFactory(tableName: Option[String], sep: String,
                                               failFast: Boolean,
-                                              fullSchema: StructType, required: StructType)
+                                              fullSchema: StructType, required: StructType,
+                                              pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[StarFilePartition].path
@@ -126,18 +151,45 @@ private[sources] class StarTableReaderFactory(tableName: Option[String], sep: St
             // documented permissive reshaping. Silent reshaping was the
             // round-2 behavior; drift is now always surfaced.
             StarTableSource.validateSchema(path, p, fullSchema, failFast)
-            // column pruning pushed into the parse: look up only required
-            // columns; everything else skipped entirely
-            val idx = required.fields.map(f => p.columnNames.indexOf(f.name))
-            (0 until p.numRows).iterator.map { r =>
-              val out = new Array[Any](idx.length)
-              var c = 0
-              while (c < idx.length) {
-                out(c) = if (idx(c) < 0) null
-                else StarTableSource.toCatalyst(p.columns(idx(c))(r))
-                c += 1
+            if (StarTableSource.blockContradicted(pushed, p.columnNames)) {
+              // a pushed null-rejecting predicate references a column this
+              // block doesn't declare — no row can satisfy it; skip the
+              // whole block without iterating rows
+              StarTableSource.blocksSkipped.increment()
+              Iterator.empty
+            } else {
+              // column pruning pushed into the parse: look up only required
+              // columns; everything else skipped entirely
+              val idx = required.fields.map(f => p.columnNames.indexOf(f.name))
+              val fIdx: Map[String, Int] =
+                pushed.flatMap(_.references).distinct
+                  .map(c => c -> p.columnNames.indexOf(c)).toMap
+              (0 until p.numRows).iterator.flatMap { r =>
+                // missing column or NaN cell reads as null — the same view
+                // toCatalyst gives Spark, so the parse-level verdict can
+                // only be FALSE where Spark's would be (rows kept here are
+                // re-checked by the residual filters)
+                def getv(n: String): Any = fIdx(n) match {
+                  case -1 => null
+                  case i => p.columns(i)(r) match {
+                    case d: java.lang.Double if d.isNaN => null
+                    case v => v
+                  }
+                }
+                if (!pushed.forall(f => StarTableSource.evalFilter(f, getv))) {
+                  StarTableSource.rowsFiltered.increment()
+                  None
+                } else {
+                  val out = new Array[Any](idx.length)
+                  var c = 0
+                  while (c < idx.length) {
+                    out(c) = if (idx(c) < 0) null
+                    else StarTableSource.toCatalyst(p.columns(idx(c))(r))
+                    c += 1
+                  }
+                  Some(new GenericInternalRow(out))
+                }
               }
-              new GenericInternalRow(out)
             }
         }
       private var current: InternalRow = _
@@ -150,7 +202,85 @@ private[sources] class StarTableReaderFactory(tableName: Option[String], sep: St
   }
 }
 
-private[sources] object StarTableSource {
+private[graft] object StarTableSource {
+
+  /** Pushdown observability (and spec hooks): blocks skipped whole by a
+    * contradicted header, and rows dropped by parse-level predicate
+    * evaluation. Per-JVM LongAdders — exact in local mode; per-executor
+    * counts on a cluster (visible in executor logs/metrics). */
+  val blocksSkipped = new java.util.concurrent.atomic.LongAdder
+  val rowsFiltered = new java.util.concurrent.atomic.LongAdder
+  def resetPushdownCounters(): Unit = { blocksSkipped.reset(); rowsFiltered.reset() }
+
+  /** Filters the parse can evaluate: comparisons/IN/null-tests on columns
+    * parsed as String, Double or Boolean (timestamp comparisons stay
+    * Spark-side — micros conversion subtleties aren't worth re-implementing
+    * for a pruning fast path), plus their And/Or/Not compositions. */
+  def supportedFilter(schema: StructType)(f: Filter): Boolean = {
+    def colOk(n: String): Boolean = schema.fields.find(_.name == n).exists(fd =>
+      fd.dataType == StringType || fd.dataType == DoubleType ||
+        fd.dataType == BooleanType)
+    f match {
+      case EqualTo(a, _)            => colOk(a)
+      case GreaterThan(a, _)        => colOk(a)
+      case GreaterThanOrEqual(a, _) => colOk(a)
+      case LessThan(a, _)           => colOk(a)
+      case LessThanOrEqual(a, _)    => colOk(a)
+      case In(a, _)                 => colOk(a)
+      case IsNull(a)                => schema.fieldNames.contains(a)
+      case IsNotNull(a)             => schema.fieldNames.contains(a)
+      case And(l, r)                => supportedFilter(schema)(l) && supportedFilter(schema)(r)
+      case Or(l, r)                 => supportedFilter(schema)(l) && supportedFilter(schema)(r)
+      case Not(c)                   => supportedFilter(schema)(c)
+      case _                        => false
+    }
+  }
+
+  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (null, _) | (_, null)    => None
+    case (a: Number, b: Number)   => Some(java.lang.Double.compare(a.doubleValue, b.doubleValue))
+    case (a: String, b: String)   => Some(a.compareTo(b))
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+    case _                        => None
+  }
+
+  /** Three-valued-logic-safe evaluation on parsed cell values: a null (or
+    * type-mismatched) comparison yields false, matching what Spark's
+    * residual evaluation would decide for the same row. */
+  def evalFilter(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v)            => cmp(get(a), v).contains(0)
+    case GreaterThan(a, v)        => cmp(get(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(get(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(get(a), v).exists(_ <= 0)
+    case In(a, vs)                => vs.exists(v => cmp(get(a), v).contains(0))
+    case IsNull(a)                => get(a) == null
+    case IsNotNull(a)             => get(a) != null
+    case And(l, r)                => evalFilter(l, get) && evalFilter(r, get)
+    case Or(l, r)                 => evalFilter(l, get) || evalFilter(r, get)
+    case Not(c)                   => !evalFilter(c, get)
+    case _                        => true // unsupported: defer to Spark
+  }
+
+  /** Columns that must be non-null for `f` to possibly hold (Or keeps only
+    * refs required on BOTH branches; Not/IsNull reject nothing). */
+  private def nullRejectingRefs(f: Filter): Set[String] = f match {
+    case EqualTo(a, _)            => Set(a)
+    case GreaterThan(a, _)        => Set(a)
+    case GreaterThanOrEqual(a, _) => Set(a)
+    case LessThan(a, _)           => Set(a)
+    case LessThanOrEqual(a, _)    => Set(a)
+    case In(a, _)                 => Set(a)
+    case IsNotNull(a)             => Set(a)
+    case And(l, r)                => nullRejectingRefs(l) ++ nullRejectingRefs(r)
+    case Or(l, r)                 => nullRejectingRefs(l).intersect(nullRejectingRefs(r))
+    case _                        => Set.empty
+  }
+
+  /** True when some pushed conjunct can never hold in a block lacking one
+    * of its required columns — the whole block is skippable unread. */
+  def blockContradicted(pushed: Array[Filter], blockCols: Seq[String]): Boolean =
+    pushed.exists(f => nullRejectingRefs(f).exists(c => !blockCols.contains(c)))
 
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).map { js =>

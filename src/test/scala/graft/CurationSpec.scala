@@ -41,4 +41,39 @@ class CurationSpec extends AnyFunSuite {
     val splits = out.select("split").collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "validation", "test")))
   }
+
+  test("curate with a reliable checkpointDir produces the same result") {
+    // Same planted corpus; checkpointDir routes connectedComponents through
+    // RELIABLE checkpoints (stable storage — survives executor loss on a
+    // cluster) instead of localCheckpoint. Results must be identical, the
+    // dir must be adopted by the context, and checkpoint files written
+    // there must not leak as persisted RDDs afterwards.
+    val fluent = "the cat sat on the mat and the dog slept near the door all day"
+    val docs = Seq(
+      (1L, fluent + " while birds sang in the garden trees outside"),
+      (3L, fluent + " while birds sang in the garden trees nearby"), // near dup of 1
+      (6L, "a completely fluent and original document that the pipeline " +
+        "should keep because it is the only copy and it is clean")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val (out, report) = Curation.curate(docs, benchmark, "doc_id", "text",
+        nearDupThreshold = 0.6, decontamN = 6, minQuality = 0.3,
+        checkpointDir = Some(cpDir))
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(
+        new java.io.File(cpDir).getName)))
+      assert(report.nInput == 3 && report.nAfterNearDup == 2)
+      assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 6L))
+      spark.sharedState.cacheManager.clearCache()
+      val after = spark.sparkContext.getPersistentRDDs.keySet
+      assert((after -- before).isEmpty,
+        s"leaked persisted RDDs: ${(after -- before)}")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null) // restore default for other suites
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cpDir))
+    }
+  }
 }

@@ -118,6 +118,36 @@ class DedupGraphSpec extends AnyFunSuite {
     assert(after - before <= 3, s"cached RDDs grew by ${after - before}")
   }
 
+  test("connectedComponents uses RELIABLE checkpoints when a dir is set") {
+    // A 10-node chain (min-label propagation crosses one hop per round, so
+    // it converges inside maxIter while still firing the every-3-rounds
+    // truncation three times) with sc.setCheckpointDir: lineage truncation
+    // must go through stable-storage checkpoints (files appear under the
+    // dir — the path that survives executor loss on a cluster), produce
+    // identical labels, and leave no extra cached RDDs.
+    val sc = spark.sparkContext
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_cc_cp").toString
+    try {
+      sc.setCheckpointDir(cpDir)
+      val chain = (0 until 9).map(i => (i.toLong, i.toLong + 1)).toDF("idA", "idB")
+      val before = sc.getPersistentRDDs.size
+      val comps = Dedup.connectedComponents(chain, maxIter = 12)
+      val labels = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 10 && labels.values.forall(_ == 0L),
+        "chain must collapse to component 0")
+      comps.unpersist(blocking = true)
+      val after = sc.getPersistentRDDs.size
+      assert(after - before <= 0, s"cached RDDs grew by ${after - before}")
+      // reliable checkpoint files were actually written to stable storage
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(cpDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no reliable checkpoint files written under the dir")
+    } finally {
+      sc.setCheckpointDir(null) // restore localCheckpoint behavior for other suites
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cpDir))
+    }
+  }
+
   test("property: MIH blocking is exact for random signatures at radii 0..12") {
     // 200 random sigs + planted near pairs; candidates must equal the
     // brute-force pair set at every radius band the adaptive blocker uses.

@@ -65,6 +65,64 @@ class StarTableSourceSpec extends AnyFunSuite {
       Set("home", "work", "beach", "dunes"))
   }
 
+  test("predicate pushdown reaches the parse: PushedFilters + row skipping") {
+    val dir = writeDir()
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val df = spark.read.format("startable").option("table", "places").load(dir)
+      .filter(col("distance") > 0.5 && col("place") =!= "dunes")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(distance,0.5)"),
+      s"pushdown not visible in scan:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSet == Set("work", "beach"))
+    // home (distance 0) and dunes (missing distance → null) never left the
+    // parser; the residual Spark filter re-checked the survivors
+    assert(graft.sources.StarTableSource.rowsFiltered.sum() >= 2,
+      s"expected parse-level row skips, got ${graft.sources.StarTableSource.rowsFiltered.sum()}")
+  }
+
+  test("a block lacking the filtered column is skipped whole (no row iteration)") {
+    val dir = Files.createTempDirectory("graft_dsv2_skip")
+    Files.writeString(dir.resolve("a.csv"), fileA)
+    // b.csv's places block has no `distance` column at all: a null-rejecting
+    // predicate on distance can never hold there — the reader must skip the
+    // block without materializing any of its rows
+    Files.writeString(dir.resolve("b.csv"),
+      """**places
+        |all
+        |place;ETA;is_hot
+        |text;datetime;onoff
+        |beach;2020-08-04 17:00;1
+        |dunes;-;0
+        |""".stripMargin)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val df = spark.read.format("startable").option("table", "places").load(dir.toString)
+      .filter(col("distance") >= 0.0)
+    assert(df.collect().map(_.getString(0)).toSet == Set("home", "work"))
+    assert(graft.sources.StarTableSource.blocksSkipped.sum() == 1,
+      s"expected 1 skipped block, got ${graft.sources.StarTableSource.blocksSkipped.sum()}")
+    // without the predicate, the same read visits both blocks (null-padded)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val all = spark.read.format("startable").option("table", "places").load(dir.toString)
+    assert(all.count() == 4)
+    assert(graft.sources.StarTableSource.blocksSkipped.sum() == 0)
+  }
+
+  test("IsNull predicates do NOT skip blocks lacking the column (null-padded rows match)") {
+    val dir = Files.createTempDirectory("graft_dsv2_isnull")
+    Files.writeString(dir.resolve("a.csv"), fileA)
+    Files.writeString(dir.resolve("b.csv"),
+      """**places
+        |all
+        |place;ETA;is_hot
+        |text;datetime;onoff
+        |beach;2020-08-04 17:00;1
+        |""".stripMargin)
+    val df = spark.read.format("startable").option("table", "places").load(dir.toString)
+      .filter(col("distance").isNull)
+    // beach's missing distance IS null after padding — it must survive
+    assert(df.collect().map(_.getString(0)).toSet == Set("beach"))
+  }
+
   test("defaults to the first table; explicit name selects the right block") {
     val dir = writeDir()
     val first = spark.read.format("startable").load(s"$dir/a.csv")
