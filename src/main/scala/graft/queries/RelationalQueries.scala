@@ -45,18 +45,50 @@ object RelationalQueries {
         .df),
 
     // --- groupBy/agg: TPC-H Q1 pricing summary (flagship) ------------------
-    "q1_pricing_summary" -> ((s, dir) =>
+    // Two-level exact aggregation. A direct sum over DECIMAL(18,2) carries a
+    // DECIMAL(28,2) buffer — beyond Spark's 18-digit Long-backed fast path,
+    // so every row update allocates java BigDecimals (measured ~1.4 s at
+    // sf0.1 vs ~0.9 s for this shape). Level 1 sums integer CENTS (and
+    // cents², for the discount product) as plain LONGs per (group,
+    // partition) — pure codegen'd long adds. Level 2 merges the ≤
+    // groups×partitions partial rows exactly in DECIMAL(38,x) and rescales.
+    //
+    // Exactness: 2-decimal monetary doubles → cents via round(x·100) is the
+    // same HALF_UP the DECIMAL(18,2) cast applies, so results stay
+    // bit-identical to the oracle's decimal sums (driver-checked).
+    // Scale: a GLOBAL long-cents sum overflows ~1e19 cents² at full-corpus
+    // revenue scale (why round 3 rejected it); per-PARTITION partials are
+    // bounded by partition size — ~1.3e6 rows at 128 MB × ~4e8 cents²/row
+    // ≈ 5e14, four orders of magnitude under Long.MaxValue, and ANSI mode
+    // makes any breach a loud error, never a wrong number.
+    "q1_pricing_summary" -> ((s, dir) => {
+      val cQty = round(col("l_quantity") * 100).cast(LongType)
+      val cPrice = round(col("l_extendedprice") * 100).cast(LongType)
+      val cDisc = round(col("l_discount") * 100).cast(LongType)
+      def dec38(c: Column): Column = sum(c.cast(DecimalType(38, 0)))
       star(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("2001-09-02").cast(TimestampType))
-        .groupByAgg(Seq("l_returnflag", "l_linestatus"), Seq(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(revenue).cast(DoubleType).as("sum_disc_price"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("count_order")))
-        .orderByNames("l_returnflag", "l_linestatus")
-        .df),
+        .df
+        .select(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("__pid"),
+          cQty.as("__cq"), cPrice.as("__cp"),
+          (cPrice * (lit(100L) - cDisc)).as("__crev"), cDisc.as("__cd"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("__pid"))
+        .agg(sum(col("__cq")).as("pq"), sum(col("__cp")).as("pp"),
+          sum(col("__crev")).as("pr"), sum(col("__cd")).as("pd"),
+          count(lit(1)).as("pn"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (dec38(col("pq")) / 100).cast(DoubleType).as("sum_qty"),
+          (dec38(col("pp")) / 100).cast(DoubleType).as("sum_base_price"),
+          (dec38(col("pr")) / 10000).cast(DoubleType).as("sum_disc_price"),
+          ((dec38(col("pq")) / 100).cast(DoubleType) /
+            sum(col("pn"))).as("avg_qty"),
+          ((dec38(col("pd")) / 100).cast(DoubleType) /
+            sum(col("pn"))).as("avg_disc"),
+          sum(col("pn")).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
 
     // --- TPC-H Q6: forecast revenue change (pure filter-agg; every
     // predicate must reach the parquet scan) ---------------------------------
