@@ -28,7 +28,9 @@ object Curation {
   /** Run the full pipeline. The returned DataFrame carries a `split` column
     * ("train" / "validation" / "test"); the report materializes stage
     * counts (one action per stage — curation is a batch job, not a lazy
-    * view).
+    * view). EAGER cache contract, as for the dedup operators: the result is
+    * computed + cached when this returns, all internal barriers are freed,
+    * and the caller owns exactly one `unpersist()` on the result.
     *
     * `checkpointDir`: stable-storage directory (HDFS/object store on a
     * cluster) for RELIABLE checkpoints during the connected-components
@@ -45,31 +47,58 @@ object Curation {
              decontamN: Int = 8,
              minQuality: Double = 0.25,
              trainPct: Int = 90, validationPct: Int = 5,
-             checkpointDir: Option[String] = None): (DataFrame, CurationReport) = {
+             checkpointDir: Option[String] = None,
+             verbose: Boolean = false): (DataFrame, CurationReport) = {
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (verbose) System.err.println(
+        f"[graft] curate/$label%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
     checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
-    val nInput = docs.count()
+    val nInput = timed("input-count")(docs.count())
 
     // 1. exact dedup on the NORMALIZED text (casing/punct/ws-insensitive),
-    //    deterministic min-id survivor; hash groupBy — content never shuffles
+    //    deterministic min-id survivor; hash groupBy — content never shuffles.
+    //    PERSISTED: every later stage (near-dedup build, three stage counts,
+    //    the final write) re-reads these survivors — without the barrier the
+    //    lazy chain re-ran scan+normalize+dedup-join per ACTION, ~5× the
+    //    work (measured 120 s → ~30 s at sf0.1). MEMORY_AND_DISK spills to
+    //    executor-local disk at corpus scale — the managed equivalent of
+    //    writing stage intermediates, standard for multi-action batch
+    //    pipelines (or pass a checkpointDir and Spark re-reads from there
+    //    on executor loss).
     val normalized = docs.withColumn("__norm", Text.normalizeText(col(textCol)))
     val exactSurvivors = normalized
       .join(Dedup.exactDedupIds(normalized, "__norm", idCol), Seq(idCol))
-    val nAfterExact = exactSurvivors.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nAfterExact = timed("exact-dedup")(exactSurvivors.count())
 
-    // 2. near-duplicate removal (banded LSH → components → min-id survivor)
-    val nearDeduped = Dedup.dedupNearDuplicates(
-      exactSurvivors, idCol, textCol, threshold = nearDupThreshold)
-    val nAfterNearDup = nearDeduped.count()
+    // 2. near-duplicate removal (banded LSH → components → min-id
+    //    survivor), composed from the operator pieces rather than
+    //    dedupNearDuplicates so curate OWNS every internal barrier: when it
+    //    returns, the only live cache is the result frame.
+    val cands = timed("minhash-cands")(Dedup.minhashCandidates(exactSurvivors, idCol, textCol))
+    val comps = timed("components")(Dedup.connectedComponents(
+      cands.filter(col("jaccard_est") >= nearDupThreshold)
+        .select(col("idA"), col("idB"))))
+    cands.unpersist(blocking = true)
+    val losers = Dedup.materializeAndFree(
+      comps.filter(col("id") =!= col("component")).select(col("id").as(idCol)),
+      comps)
+    val nearDeduped = exactSurvivors.join(losers, Seq(idCol), "left_anti")
+    val nAfterNearDup = timed("near-dedup")(nearDeduped.count())
 
     // 3. benchmark decontamination (shared n-gram hashes)
     val decontaminated = Decontamination.decontaminate(
       nearDeduped, benchmark, idCol, textCol, n = decontamN)
-    val nAfterDecontam = decontaminated.count()
+    val nAfterDecontam = timed("decontaminate")(decontaminated.count())
 
     // 4. quality floor (codegen'd heuristic score)
     val qualityFiltered = decontaminated
       .filter(Text.qualityScore(col(textCol)) >= minQuality)
-    val nAfterQuality = qualityFiltered.count()
+    val nAfterQuality = timed("quality")(qualityFiltered.count())
 
     // 5. deterministic content-hash split
     val withSplit = qualityFiltered
@@ -79,8 +108,16 @@ object Curation {
             "validation")
           .otherwise("test"))
       .drop("__norm")
-    val splitCounts = withSplit.groupBy("split").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val splitCounts = timed("split-materialize")(withSplit.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // the returned frame is materialized + cached (EAGER, like the dedup
+    // operators); every internal barrier (exact survivors, candidate pairs,
+    // component labels, loser ids) is freed. The caller owns ONE
+    // unpersist() on the result — correctness survives an early unpersist
+    // (lineage intact), only recompute cost is at stake.
+    exactSurvivors.unpersist(blocking = true)
+    losers.unpersist(blocking = true)
 
     (withSplit, CurationReport(nInput, nAfterExact, nAfterNearDup,
       nAfterDecontam, nAfterQuality, splitCounts))

@@ -404,12 +404,24 @@ object Dedup {
         "(near-dup cliques normally converge in 2-3 rounds)")
     // Hand back a self-contained cached result and free EVERYTHING internal:
     // the edge cache, the final generation's cache/checkpoint blocks.
-    val out = materializeAndFree(labels.select("id", "component"), edges)
+    val out0 = materializeAndFree(labels.select("id", "component"), edges)
     // When the final generation IS a checkpoint, labels has no cache-manager
-    // entry and unpersisting it would instead evict `out` (the re-projection
-    // canonicalizes to the same plan → sameResult match). Only the
-    // non-checkpoint case has a distinct cached plan (the __old column) to
-    // free.
+    // entry and unpersisting it would instead evict `out0` (the
+    // re-projection canonicalizes to the same plan → sameResult match).
+    // Only the non-checkpoint case has a distinct cached plan (the __old
+    // column) to free.
+    // PLAN truncation, not just RDD-lineage truncation: the label plan
+    // after k un-checkpointed rounds is a ~2^k join tree over the full edge
+    // pipeline, and every CONSUMER action re-analyzes/canonicalizes it —
+    // measured ~30-40 DRIVER seconds per downstream action in the curation
+    // pipeline while stages took milliseconds. Rebuild the result over the
+    // materialized rows (flat LogicalRDD), re-cache, then free the
+    // tree-shaped cache. Lineage stays correct: losing a cached partition
+    // re-executes the (uncached) upstream plan.
+    val out = org.apache.spark.sql.graft.PlanBridge.flattenPlan(out0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // copy the tiny (id, component) table into the flat cache
+    out0.unpersist(blocking = true)
     if (prevGen ne labels) prevGen.unpersist(blocking = true)
     prevCheckpointIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))

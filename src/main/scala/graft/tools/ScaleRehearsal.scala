@@ -1,0 +1,145 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: run the flagship pipeline operators end-to-end at 1×
+  * and 10× the sf0.1 corpus (documents replicated with per-replica
+  * perturbation so the duplicate RATE stays that of the base corpus rather
+  * than exploding, embeddings replicated with a per-replica dim-0 shift)
+  * and record per-stage wall times. The claim under test: stage cost is
+  * linear in data above the per-action floor, and the LSH probe is FLAT
+  * (partition-pruned) as the index grows.
+  *
+  *   sbt "runMain graft.tools.ScaleRehearsal [mults…]"   (default: 1 10)
+  *
+  * Results land in SURVEY.md §perf notes (round 4).
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    def sweep(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
+
+    val baseDocs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+
+    // Warm-up: a miniature pass through every measured operator so JIT +
+    // whole-stage-codegen compilation is off the timed runs (the first
+    // curate otherwise pays ~2× in compile latency and the 1× row reads
+    // SLOWER than 10×).
+    {
+      val mini = baseDocs.filter(col("doc_id") < 400)
+      val (warmOut, _) = graft.functions.Curation.curate(
+        mini, mini.filter(col("doc_id") < 5), "doc_id", "text")
+      warmOut.write.format("noop").mode("overwrite").save()
+      graft.functions.Dedup.minhashCandidatesAgainst(
+        mini.select((col("doc_id") + 500000000L).as("doc_id"), col("text")),
+        mini, "doc_id", "text", shingleSize = 2, numHashes = 32, bands = 8)
+        .unpersist(blocking = true)
+      sweep()
+    }
+
+    mults.foreach { mult =>
+      val root = s"/tmp/graft_scale_v3_$mult"
+      val docPath = s"$root/documents.parquet"
+      val embPath = s"$root/embeddings.parquet"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(docPath, "_SUCCESS"))) {
+        // Replica r gets disjoint ids and a REPLICA-SHARED ~15-token tail:
+        // within a replica, pairs gain the same tokens on both sides, so
+        // the base corpus's exact/near-dup structure survives intact
+        // (near-dup pairs land ≈0.93 Jaccard), while cross-replica copies
+        // of the same base doc fall to ≈0.65 — below the 0.8 threshold.
+        // (A doc-unique tail would instead destroy WITHIN-replica dups,
+        // and a single-token suffix would leave cross-replica pairs at
+        // ~0.96 and collapse the corpus back to 1×.) The benchmark side of
+        // decontamination uses the raw BASE docs — tail tokens never form
+        // benchmark n-grams, so contamination structure also stays that of
+        // the base corpus, scaled.
+        val tail = concat((1 to 15).map(j =>
+          concat(lit(s" zq"), col("rep"), lit(s"w$j"))): _*)
+        baseDocs.crossJoin(spark.range(mult).toDF("rep"))
+          .select((col("rep") * 1000000L + col("doc_id")).as("doc_id"),
+            concat(col("text"), tail).as("text"))
+          .repartition(32).write.mode("overwrite").parquet(docPath)
+        baseEmb.crossJoin(spark.range(mult).toDF("rep"))
+          .select((col("rep") * 1000000L + col("vec_id")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, x + col("rep").cast("float") * lit(0.01f))
+                .otherwise(x)).as("embedding"))
+          .repartition(32).write.mode("overwrite").parquet(embPath)
+      }
+      val docs = spark.read.parquet(docPath)
+      val emb = spark.read.parquet(embPath)
+      val nDocs = docs.count(); val nVecs = emb.count()
+      println(s"[scale] ===== mult=$mult  docs=$nDocs  vecs=$nVecs =====")
+      sweep()
+
+      // 1. curation capstone (exact dedup → near-dedup → decontaminate →
+      //    quality → split), stage counts inside. Benchmark = raw base docs
+      //    (see generation note: keeps contamination proportional).
+      val benchmark = baseDocs.filter(col("doc_id") < 10)
+      t(s"curate (mult=$mult)") {
+        val (out, report) = graft.functions.Curation.curate(
+          docs, benchmark, "doc_id", "text")
+        println(s"[scale]   report: in=${report.nInput} exact=${report.nAfterExact} " +
+          s"near=${report.nAfterNearDup} decon=${report.nAfterDecontam} " +
+          s"quality=${report.nAfterQuality}")
+        out.write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+
+      // 2. incremental cross-corpus dedup: a 1% "daily batch" against the
+      //    full corpus (the 100 TB ingest shape)
+      t(s"minhashCandidatesAgainst 1% vs all (mult=$mult)") {
+        val batch = docs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+        val cands = graft.functions.Dedup.minhashCandidatesAgainst(
+          batch, docs, "doc_id", "text", shingleSize = 2, numHashes = 32, bands = 8)
+        println(s"[scale]   candidates: ${cands.count()}")
+        cands.unpersist(blocking = true)
+      }
+      sweep()
+
+      // 3. ANN index build (once) + steady-state probes
+      val idxPath = s"$root/lsh_index"
+      t(s"writeLshIndex (mult=$mult)") {
+        graft.functions.Similarity.writeLshIndex(emb, "embedding", "vec_id",
+          idxPath, dim = 64, numPlanes = 8, tables = 2)
+      }
+      val q = baseEmb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      // one warm-up probe (reader/codegen init), then 5 timed probes
+      graft.functions.Similarity.probeLshIndex(spark, idxPath, q, 10,
+        dim = 64, numPlanes = 8, tables = 2, nprobe = 24).collect()
+      val probeTimes = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        graft.functions.Similarity.probeLshIndex(spark, idxPath, q, 10,
+          dim = 64, numPlanes = 8, tables = 2, nprobe = 24).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[scale] probeLshIndex median of 5 (mult=$mult)   ${probeTimes(2)}%8.3f s")
+      sweep()
+    }
+    spark.stop()
+  }
+}

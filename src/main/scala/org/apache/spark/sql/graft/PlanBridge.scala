@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Bridge to `internalCreateDataFrame` (package `org.apache.spark.sql`
+  * visibility): rebuilds a DataFrame over the physical rows of an existing
+  * one, so the new frame's LOGICAL plan is a flat `LogicalRDD` instead of
+  * the full upstream tree.
+  *
+  * Why this exists: an iteratively-built DataFrame (label propagation,
+  * Lloyd iterations) has a logical plan that roughly DOUBLES per round —
+  * the analyzer, cache-lookup canonicalization, and AQE re-planning walk
+  * that whole tree on EVERY downstream action, which can cost tens of
+  * driver seconds per action while the actual stages take milliseconds.
+  * This is the same truncation `Dataset.checkpoint` performs, but over an
+  * in-memory persisted plan instead of checkpoint files, so the normal
+  * persist/unpersist cache contract keeps working.
+  */
+object PlanBridge {
+  /** New DataFrame with identical rows/schema and a flat logical plan. The
+    * result is LAZY and unpersisted; its lineage re-executes `df`'s
+    * physical plan (hitting `df`'s cache while that is live). */
+  def flattenPlan(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    sess.internalCreateDataFrame(
+      df.queryExecution.toRdd.setName("graft_flattened_plan"), df.schema)
+  }
+}

@@ -67,7 +67,9 @@ class CurationSpec extends AnyFunSuite {
         new java.io.File(cpDir).getName)))
       assert(report.nInput == 3 && report.nAfterNearDup == 2)
       assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 6L))
-      spark.sharedState.cacheManager.clearCache()
+      // EAGER cache contract: only the result frame is live; one unpersist
+      // returns the session to its starting cache state
+      out.unpersist(blocking = true)
       val after = spark.sparkContext.getPersistentRDDs.keySet
       assert((after -- before).isEmpty,
         s"leaked persisted RDDs: ${(after -- before)}")
