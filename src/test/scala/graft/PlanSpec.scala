@@ -43,6 +43,20 @@ class PlanSpec extends AnyFunSuite {
     // codegen presence is asserted on non-adaptive leaf plans elsewhere
   }
 
+  test("Q1 level-1 partials sum LONG cents; decimals appear only in the final merge") {
+    // The two-level shape: the per-(group, partition) aggregate must carry
+    // bigint sums (Long-backed fast path) — a DECIMAL(28,2) buffer in level
+    // 1 would put BigDecimal allocation back on the per-row path.
+    val df = graft.SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    val aggs = analyzed.linesIterator.filter(_.contains("Aggregate")).toSeq
+    assert(aggs.size >= 2, s"expected two aggregate levels:\n$analyzed")
+    val level1 = aggs.last // innermost aggregate (bottom of the plan dump)
+    assert(level1.contains("__pid"), s"level 1 not partition-keyed:\n$level1")
+    assert(!level1.toLowerCase.contains("decimal"),
+      s"level-1 buffer fell back to decimal:\n$level1")
+  }
+
   test("dimension join broadcasts the small side") {
     val plan = planOf("q_join_broadcast")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
