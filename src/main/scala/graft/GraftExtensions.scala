@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.expressions.{BandHashes, BpeIshTokenCount, FloatVecCosine,
   FloatVecDot, JaccardSimilarity, MinHashArray, MinHashOfTokens,
-  NgramWindowHashes, SignatureAgreement, SimHashOfTokens, WinnowMinHashes}
+  NgramWindowHashes, SignatureAgreement, SimHashOfTokens, WinnowMinHashes,
+  WinnowMinPositions}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql(...)` users get them
@@ -25,6 +26,7 @@ import graft.functions.expressions.{BandHashes, BpeIshTokenCount, FloatVecCosine
   *   - graft_bpeish_count(tokens) — BPE-ish subword count
   *   - graft_ngram_hashes(tokens, n, seed) — n-gram window hashes
   *   - graft_winnow(hashes, window) — winnowing fingerprint selection
+  *   - graft_winnow_positions(hashes, window) — selected token offsets (span reconstruction)
   *   - graft_band_hashes(sig, bands, rowsPerBand) — LSH band bucket keys
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -83,6 +85,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[WinnowMinHashes].getName, "graft_winnow"),
       (args: Seq[Expression]) =>
         WinnowMinHashes(args(0), intLit(args(1), "window"))),
+    "graft_winnow_positions" -> (
+      new ExpressionInfo(classOf[WinnowMinPositions].getName, "graft_winnow_positions"),
+      (args: Seq[Expression]) =>
+        WinnowMinPositions(args(0), intLit(args(1), "window"))),
     "graft_band_hashes" -> (
       new ExpressionInfo(classOf[BandHashes].getName, "graft_band_hashes"),
       (args: Seq[Expression]) =>

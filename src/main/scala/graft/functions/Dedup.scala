@@ -561,6 +561,83 @@ object Dedup {
     materializeAndFree(result, fps +: dfreqBarrier: _*)
   }
 
+  /** POSITIONAL winnow fingerprints: one row per selected fingerprint with
+    * its token offset — (id, fp, pos). Same selection as
+    * [[winnowFingerprints]] (so the ≥ window+shingleSize−1 detection
+    * guarantee holds), but keeping WHERE each fingerprint sits enables
+    * matched-span reconstruction instead of set-level candidate pairs.
+    * Repeated in-document fingerprints keep every position. */
+  def winnowFingerprintsPositional(df: DataFrame, idCol: String, textCol: String,
+                                   shingleSize: Int = 6, window: Int = 8,
+                                   seed: Int = 42): DataFrame = {
+    val ex = graft.functions.expressions.MinHashExpression
+    val hashes = ex.ngramWindowHashes(Text.tokens(col(textCol)), shingleSize, seed.toLong)
+    // __h stays a carried column through the Generate so the hash array is
+    // computed once per document, not re-inlined into the per-row lookup
+    df.select(col(idCol).as("id"), hashes.as("__h"))
+      .select(col("id"), col("__h"),
+        explode(ex.winnowMinPositions(col("__h"), window)).as("pos"))
+      .select(col("id"),
+        element_at(col("__h"), col("pos") + 1).as("fp"), col("pos"))
+  }
+
+  /** MOSS-style matched-SPAN reconstruction between document pairs: shared
+    * positional fingerprints are grouped by their alignment offset
+    * (posA − posB) — fingerprints of one contiguous common run agree on the
+    * offset — and consecutive matches within `maxGap` tokens merge into one
+    * span. Returns (idA, idB, startA, endA, startB, endB, n_fps) with
+    * end = last matched gram start + shingleSize − 1 (inclusive token
+    * offsets).
+    *
+    * Guarantee inherited from winnowing: a common run of ≥
+    * window+shingleSize−1 tokens yields ≥ 1 shared fingerprint, and every
+    * window of the run yields one, so a long shared run reconstructs as a
+    * span covering it to within ~window tokens at each edge.
+    *
+    * Scale shape: the fp join is the same output-proportional shape as
+    * [[winnowCandidates]] (including the `maxDocFreq` boilerplate cap);
+    * span merging is a per-(pair, offset) window function — no driver
+    * logic, no all-pairs work. */
+  def winnowMatchedSpans(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 6, window: Int = 8,
+                         minShared: Int = 1, seed: Int = 42,
+                         maxDocFreq: Int = 1000,
+                         maxGap: Int = 0): DataFrame = {
+    val gap = if (maxGap > 0) maxGap else window + shingleSize
+    val fps = winnowFingerprintsPositional(df, idCol, textCol, shingleSize, window, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = if (maxDocFreq > 0) {
+      val dfreq = fps.groupBy("fp")
+        .agg(countDistinct(col("id")).as("__df"))
+        .filter(col("__df") <= maxDocFreq)
+      fps.join(dfreq, Seq("fp")).drop("__df")
+    } else fps
+    val a = kept.select(col("fp"), col("id").as("idA"), col("pos").as("posA"))
+    val b = kept.select(col("fp"), col("id").as("idB"), col("pos").as("posB"))
+    val matches = a.join(b, Seq("fp"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("off", col("posA") - col("posB"))
+    // sessionize per (pair, offset): a new span starts where the position
+    // jump exceeds the gap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("idA"), col("idB"), col("off")).orderBy(col("posA"))
+    val spans = matches
+      .withColumn("__newSpan",
+        when(col("posA") - lag(col("posA"), 1).over(w) > gap, 1)
+          .otherwise(lit(0)))
+      .withColumn("__span", sum(col("__newSpan")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("idA"), col("idB"), col("off"), col("__span"))
+      .agg(min(col("posA")).as("startA"),
+        (max(col("posA")) + lit(shingleSize - 1)).as("endA"),
+        min(col("posB")).as("startB"),
+        (max(col("posB")) + lit(shingleSize - 1)).as("endB"),
+        count(lit(1)).as("n_fps"))
+      .filter(col("n_fps") >= minShared)
+      .select("idA", "idB", "startA", "endA", "startB", "endB", "n_fps")
+    materializeAndFree(spans, fps)
+  }
+
   /** N-gram Jaccard near-dup pairs within LSH-free small candidate sets:
     * exact pairwise Jaccard over char n-grams, pre-blocked by length band
     * (docs with very different lengths can't be near-dups). For corpora

@@ -444,6 +444,89 @@ case class WinnowMinHashes(child: Expression, window: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** POSITIONS selected by robust winnowing — the same rightmost-minimum
+  * selection as [[WinnowMinHashes]], emitting each selected gram's token
+  * index (strictly increasing array<int>) instead of its hash. Pairing
+  * positions with `element_at(hashes, pos + 1)` yields positional
+  * fingerprints (fp, pos), the input to MOSS-style matched-SPAN
+  * reconstruction: a shared fingerprint at (posA, posB) localizes the
+  * common substring in both documents.
+  */
+case class WinnowMinPositions(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  require(window > 0, s"window must be positive, got $window")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyIntArray)
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = if (arr.isNullAt(i)) 0L else arr.getLong(i); i += 1 }
+    val nWin = math.max(1, n - window + 1)
+    val out = new Array[Int](nWin)
+    var m = 0
+    var prevPos = -1
+    var w = 0
+    while (w < nWin) {
+      var best = w
+      var j = w + 1
+      val end = math.min(w + window, n)
+      while (j < end) { if (h(j) <= h(best)) best = j; j += 1 } // rightmost min
+      if (best != prevPos) { out(m) = best; m += 1; prevPos = best }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val w = ctx.freshName("w")
+      val j = ctx.freshName("j"); val end = ctx.freshName("end")
+      val best = ctx.freshName("best"); val prevPos = ctx.freshName("prevPos")
+      val out = ctx.freshName("out"); val m = ctx.freshName("m")
+      val nWin = ctx.freshName("nWin")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $h = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $h[$i] = $a.isNullAt($i) ? 0L : $a.getLong($i);
+         |}
+         |int $nWin = java.lang.Math.max(1, $n - $window + 1);
+         |int[] $out = new int[$n == 0 ? 0 : $nWin];
+         |int $m = 0; int $prevPos = -1;
+         |if ($n > 0) {
+         |  for (int $w = 0; $w < $nWin; $w++) {
+         |    int $best = $w;
+         |    int $end = java.lang.Math.min($w + $window, $n);
+         |    for (int $j = $w + 1; $j < $end; $j++) {
+         |      if ($h[$j] <= $h[$best]) $best = $j;
+         |    }
+         |    if ($best != $prevPos) { $out[$m++] = $best; $prevPos = $best; }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $m));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Number of equal slots between two equal-length long-array signatures —
   * the MinHash Jaccard-estimate numerator.
   *
@@ -520,4 +603,7 @@ object MinHashExpression {
 
   def winnowMinHashes(hashes: Column, window: Int): Column =
     ColumnBridge.column(WinnowMinHashes(ColumnBridge.expression(hashes), window))
+
+  def winnowMinPositions(hashes: Column, window: Int): Column =
+    ColumnBridge.column(WinnowMinPositions(ColumnBridge.expression(hashes), window))
 }

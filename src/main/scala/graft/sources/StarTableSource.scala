@@ -213,13 +213,16 @@ private[graft] object StarTableSource {
   def resetPushdownCounters(): Unit = { blocksSkipped.reset(); rowsFiltered.reset() }
 
   /** Filters the parse can evaluate: comparisons/IN/null-tests on columns
-    * parsed as String, Double or Boolean (timestamp comparisons stay
-    * Spark-side — micros conversion subtleties aren't worth re-implementing
-    * for a pruning fast path), plus their And/Or/Not compositions. */
+    * parsed as String, Double, Boolean or Timestamp, plus their And/Or/Not
+    * compositions. Timestamp literals arrive as java.sql.Timestamp or (with
+    * the java8 datetime API) java.time.Instant; both compare exactly
+    * against the parsed java.sql.Timestamp cells. Any OTHER type mismatch
+    * makes [[cmp]] return None → the row is KEPT and Spark's residual
+    * filter decides — a wrong verdict here can only be over-keeping. */
   def supportedFilter(schema: StructType)(f: Filter): Boolean = {
     def colOk(n: String): Boolean = schema.fields.find(_.name == n).exists(fd =>
       fd.dataType == StringType || fd.dataType == DoubleType ||
-        fd.dataType == BooleanType)
+        fd.dataType == BooleanType || fd.dataType == TimestampType)
     f match {
       case EqualTo(a, _)            => colOk(a)
       case GreaterThan(a, _)        => colOk(a)
@@ -241,6 +244,9 @@ private[graft] object StarTableSource {
     case (a: Number, b: Number)   => Some(java.lang.Double.compare(a.doubleValue, b.doubleValue))
     case (a: String, b: String)   => Some(a.compareTo(b))
     case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+    case (a: java.sql.Timestamp, b: java.sql.Timestamp) => Some(a.compareTo(b))
+    case (a: java.sql.Timestamp, b: java.time.Instant) =>
+      Some(a.toInstant.compareTo(b))
     case _                        => None
   }
 

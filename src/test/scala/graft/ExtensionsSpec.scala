@@ -47,10 +47,14 @@ class ExtensionsSpec extends AnyFunSuite {
     GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT size(graft_winnow(array(9L, 1L, 8L, 1L, 7L, 2L), 3)) AS wn,
-        |       size(graft_band_hashes(graft_minhash_tokens(array('a','b','c'), 2, 8, 42), 4, 2)) AS bh
+        |       size(graft_band_hashes(graft_minhash_tokens(array('a','b','c'), 2, 8, 42), 4, 2)) AS bh,
+        |       graft_winnow_positions(array(9L, 1L, 8L, 1L, 7L, 2L), 3) AS wp
         |""".stripMargin).head()
     assert(r.getInt(0) >= 1 && r.getInt(0) <= 4) // ~2/(w+1) of 6 kept
     assert(r.getInt(1) == 4)
+    // positions name the same selection as the hash variant: rightmost min
+    // of window 1 is the 1 at index 3
+    assert(r.getSeq[Int](2).contains(3))
     // the band guard surfaces through SQL too
     val ex = intercept[Exception] {
       spark.sql("SELECT graft_band_hashes(array(1L, 2L), 3, 2)").collect()

@@ -107,6 +107,20 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(graft.sources.StarTableSource.blocksSkipped.sum() == 0)
   }
 
+  test("timestamp predicates push into the parse and filter exactly") {
+    val dir = writeDir()
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val df = spark.read.format("startable").option("table", "places").load(dir)
+      .filter(col("ETA") > lit("2020-08-04 08:30").cast(
+        org.apache.spark.sql.types.TimestampType))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(ETA"), s"timestamp filter not pushed:\n$plan")
+    // work (09:00) and beach (17:00) pass; home (08:00) and dunes (null ETA)
+    // are dropped at the parser
+    assert(df.collect().map(_.getString(0)).toSet == Set("work", "beach"))
+    assert(graft.sources.StarTableSource.rowsFiltered.sum() >= 2)
+  }
+
   test("IsNull predicates do NOT skip blocks lacking the column (null-padded rows match)") {
     val dir = Files.createTempDirectory("graft_dsv2_isnull")
     Files.writeString(dir.resolve("a.csv"), fileA)

@@ -103,6 +103,63 @@ class WinnowSpec extends AnyFunSuite {
       s"uncapped boilerplate should pair all docs, got $nUncapped")
   }
 
+  test("positional selection matches the reference positions (codegen path)") {
+    def winnowRefPos(h: Seq[Long], w: Int): Seq[Int] = {
+      if (h.isEmpty) return Nil
+      val nWin = math.max(1, h.size - w + 1)
+      var prev = -1
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      for (i <- 0 until nWin) {
+        val win = h.slice(i, math.min(i + w, h.size))
+        val best = i + win.zipWithIndex.minBy { case (v, j) => (v, -j) }._2
+        if (best != prev) { out += best; prev = best }
+      }
+      out.toSeq
+    }
+    def sparkPos(h: Seq[Long], w: Int): Seq[Int] =
+      Seq(Tuple1(h)).toDF("h")
+        .select(MinHashExpression.winnowMinPositions(col("h"), w))
+        .head().getSeq[Int](0)
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 5, 60, 300); w <- Seq(1, 3, 8)) {
+      val h = Seq.fill(n)(rnd.nextLong())
+      assert(sparkPos(h, w) == winnowRefPos(h, w), s"n=$n w=$w")
+    }
+    // positions and hashes must describe the same selection
+    val h = Seq.fill(100)(rnd.nextLong())
+    val pos = sparkPos(h, 5)
+    assert(pos.map(h) == winnowSpark(h, 5))
+  }
+
+  test("matched-span reconstruction localizes a planted shared run") {
+    // Docs share a 16-token run at DIFFERENT offsets: doc 1 at tokens 4..19,
+    // doc 2 at tokens 0..15. k=4, w=4 ⇒ every window of the run selects a
+    // fingerprint, so the reconstructed span must sit inside the run and
+    // cover it to within ~w tokens at each edge, with the alignment offset
+    // (startA - startB ≈ 4) recovered.
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
+      "kilo lima mike november oscar papa"
+    val docs = Seq(
+      (1L, s"unique one two three $shared tail piece here"),
+      (2L, s"$shared completely different ending text goes on")).toDF("doc_id", "text")
+    val spans = Dedup.winnowMatchedSpans(docs, "doc_id", "text",
+      shingleSize = 4, window = 4)
+    val rows = spans.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6)))
+    spans.unpersist()
+    assert(rows.nonEmpty, "no spans reconstructed for a 16-token shared run")
+    // the dominant span (most fingerprints) must match the planted alignment
+    val (idA, idB, startA, endA, startB, endB, nFps) = rows.maxBy(_._7)
+    assert(idA == 1L && idB == 2L)
+    assert(startA - startB == 4, s"alignment offset wrong: $startA - $startB")
+    // doc1 run = tokens 4..19; doc2 run = tokens 0..15 (gram starts ..12)
+    assert(startA >= 4 && endA <= 19 + 1, s"spanA [$startA,$endA] outside run")
+    assert(startB >= 0 && endB <= 15 + 1, s"spanB [$startB,$endB] outside run")
+    // coverage: the span reaches within ~window tokens of the run edges
+    assert(endA - startA + 1 >= 16 - 4 - 3, s"spanA too short [$startA,$endA]")
+    assert(nFps >= 2)
+  }
+
   test("unrelated documents share no fingerprints") {
     val docs = Seq(
       (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"),
