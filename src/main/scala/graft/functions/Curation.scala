@@ -59,6 +59,18 @@ object Curation {
     checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
     val nInput = timed("input-count")(docs.count())
 
+    // Every internal barrier (own persists AND the eager frames the dedup
+    // operators hand back) registers here and deregisters when freed on the
+    // success path; a failure in any later stage unpersists whatever is
+    // still live, so the EAGER cache contract holds on the error path too —
+    // no barrier outlives the call except the returned frame.
+    val liveBarriers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def tracked(df: DataFrame): DataFrame = { liveBarriers += df; df }
+    def freeTracked(df: DataFrame): Unit = {
+      df.unpersist(blocking = true); liveBarriers -= df
+    }
+    try {
+
     // 1. exact dedup on the NORMALIZED text (casing/punct/ws-insensitive),
     //    deterministic min-id survivor; hash groupBy — content never shuffles.
     //    PERSISTED: every later stage (near-dedup build, three stage counts,
@@ -70,23 +82,25 @@ object Curation {
     //    pipelines (or pass a checkpointDir and Spark re-reads from there
     //    on executor loss).
     val normalized = docs.withColumn("__norm", Text.normalizeText(col(textCol)))
-    val exactSurvivors = normalized
+    val exactSurvivors = tracked(normalized
       .join(Dedup.exactDedupIds(normalized, "__norm", idCol), Seq(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nAfterExact = timed("exact-dedup")(exactSurvivors.count())
 
     // 2. near-duplicate removal (banded LSH → components → min-id
     //    survivor), composed from the operator pieces rather than
     //    dedupNearDuplicates so curate OWNS every internal barrier: when it
     //    returns, the only live cache is the result frame.
-    val cands = timed("minhash-cands")(Dedup.minhashCandidates(exactSurvivors, idCol, textCol))
-    val comps = timed("components")(Dedup.connectedComponents(
+    val cands = tracked(timed("minhash-cands")(
+      Dedup.minhashCandidates(exactSurvivors, idCol, textCol)))
+    val comps = tracked(timed("components")(Dedup.connectedComponents(
       cands.filter(col("jaccard_est") >= nearDupThreshold)
-        .select(col("idA"), col("idB"))))
-    cands.unpersist(blocking = true)
-    val losers = Dedup.materializeAndFree(
+        .select(col("idA"), col("idB")))))
+    freeTracked(cands)
+    val losers = tracked(Dedup.materializeAndFree(
       comps.filter(col("id") =!= col("component")).select(col("id").as(idCol)),
-      comps)
+      comps))
+    liveBarriers -= comps
     val nearDeduped = exactSurvivors.join(losers, Seq(idCol), "left_anti")
     val nAfterNearDup = timed("near-dedup")(nearDeduped.count())
 
@@ -101,14 +115,14 @@ object Curation {
     val nAfterQuality = timed("quality")(qualityFiltered.count())
 
     // 5. deterministic content-hash split
-    val withSplit = qualityFiltered
+    val withSplit = tracked(qualityFiltered
       .withColumn("split",
         when(Decontamination.hashBucket(col(idCol)) < trainPct, "train")
           .when(Decontamination.hashBucket(col(idCol)) < trainPct + validationPct,
             "validation")
           .otherwise("test"))
       .drop("__norm")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val splitCounts = timed("split-materialize")(withSplit.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     // the returned frame is materialized + cached (EAGER, like the dedup
@@ -116,10 +130,18 @@ object Curation {
     // component labels, loser ids) is freed. The caller owns ONE
     // unpersist() on the result — correctness survives an early unpersist
     // (lineage intact), only recompute cost is at stake.
-    exactSurvivors.unpersist(blocking = true)
-    losers.unpersist(blocking = true)
+    freeTracked(exactSurvivors)
+    freeTracked(losers)
+    liveBarriers -= withSplit // ownership transfers to the caller
 
     (withSplit, CurationReport(nInput, nAfterExact, nAfterNearDup,
       nAfterDecontam, nAfterQuality, splitCounts))
+    } catch {
+      case t: Throwable =>
+        liveBarriers.foreach { b =>
+          try b.unpersist(blocking = true) catch { case _: Throwable => () }
+        }
+        throw t
+    }
   }
 }

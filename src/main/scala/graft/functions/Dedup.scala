@@ -606,12 +606,21 @@ object Dedup {
     val gap = if (maxGap > 0) maxGap else window + shingleSize
     val fps = winnowFingerprintsPositional(df, idCol, textCol, shingleSize, window, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = if (maxDocFreq > 0) {
+    val (kept, dfreqBarrier) = if (maxDocFreq > 0) {
       val dfreq = fps.groupBy("fp")
         .agg(countDistinct(col("id")).as("__df"))
-        .filter(col("__df") <= maxDocFreq)
-      fps.join(dfreq, Seq("fp")).drop("__df")
-    } else fps
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // same LOUD-drop contract as [[winnowCandidates]]: a span suppressed
+      // by the boilerplate cap must never vanish silently
+      val nDropped = dfreq.filter(col("__df") > maxDocFreq).count()
+      if (nDropped > 0)
+        System.err.println(s"[graft] winnowMatchedSpans: dropping $nDropped " +
+          s"fingerprint(s) with document frequency > $maxDocFreq before the " +
+          "span join (corpus boilerplate; spans held together only by these " +
+          "fingerprints are suppressed). Raise maxDocFreq or pass 0 to keep them.")
+      (fps.join(dfreq.filter(col("__df") <= maxDocFreq), Seq("fp")).drop("__df"),
+        Seq(dfreq))
+    } else (fps, Seq.empty[DataFrame])
     val a = kept.select(col("fp"), col("id").as("idA"), col("pos").as("posA"))
     val b = kept.select(col("fp"), col("id").as("idB"), col("pos").as("posB"))
     val matches = a.join(b, Seq("fp"))
@@ -635,7 +644,7 @@ object Dedup {
         count(lit(1)).as("n_fps"))
       .filter(col("n_fps") >= minShared)
       .select("idA", "idB", "startA", "endA", "startB", "endB", "n_fps")
-    materializeAndFree(spans, fps)
+    materializeAndFree(spans, fps +: dfreqBarrier: _*)
   }
 
   /** N-gram Jaccard near-dup pairs within LSH-free small candidate sets:
@@ -656,18 +665,29 @@ object Dedup {
                         maxBandSize: Int = 5000): DataFrame = {
     if (maxBandSize > 0) {
       // Pre-pass on (len) only — no gram materialization, one narrow scan.
-      val worst = df
+      // The join explodes each A-side doc across {band-1, band, band+1},
+      // so the quantity that actually bounds the all-pairs work is the
+      // ADJACENT-TRIPLE population m[b-1]+m[b]+m[b+1], not a single band's
+      // count — two adjacent bands each just under a per-band cap would
+      // otherwise triple the intended m² ceiling. Band counts are few
+      // (log-scale over document length), so the triple max is driver-side.
+      val counts = df
         .select(floor(log(1.0 + lengthBandPct,
           length(col(textCol)).cast("double"))).as("band"))
         .groupBy("band").agg(count(lit(1)).as("m"))
-        .agg(max(col("m"))).head().get(0)
-      val worstM = if (worst == null) 0L else worst.asInstanceOf[Long]
+        .collect().collect { case r if !r.isNullAt(0) => r.getLong(0) -> r.getLong(1) }
+        .toMap
+      val worstM =
+        if (counts.isEmpty) 0L
+        else counts.keys.map(b =>
+          counts.getOrElse(b - 1, 0L) + counts(b) + counts.getOrElse(b + 1, 0L)).max
       require(worstM <= maxBandSize,
-        s"ngramJaccardPairs: a length band holds $worstM documents (> " +
-          s"maxBandSize=$maxBandSize); the within-band join is all-pairs " +
-          "(~m² gram-array comparisons) and does not scale. Use " +
-          "Dedup.minhashCandidates for corpora of this size, or raise " +
-          "maxBandSize explicitly if the quadratic cost is intended.")
+        s"ngramJaccardPairs: an adjacent length-band window holds $worstM " +
+          s"documents (> maxBandSize=$maxBandSize); the banded join is " +
+          "all-pairs across adjacent bands (~m² gram-array comparisons) and " +
+          "does not scale. Use Dedup.minhashCandidates for corpora of this " +
+          "size, or raise maxBandSize explicitly if the quadratic cost is " +
+          "intended.")
     }
     val grams = df.select(col(idCol).as("id"), col(textCol).as("t"),
       Text.charNgrams(col(textCol), n).as("g"), length(col(textCol)).as("len"))

@@ -242,7 +242,13 @@ private[graft] object StarTableSource {
   private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
     case (null, _) | (_, null)    => None
     case (a: Number, b: Number)   => Some(java.lang.Double.compare(a.doubleValue, b.doubleValue))
-    case (a: String, b: String)   => Some(a.compareTo(b))
+    // Spark orders strings by UTF-8 BYTES (UTF8String), not UTF-16 code
+    // units: for supplementary characters vs U+E000..U+FFFF the two orders
+    // DISAGREE, and a pushed </> verdict stricter than Spark's would drop
+    // rows the residual filter can never restore. Compare exactly as Spark
+    // does.
+    case (a: String, b: String)   =>
+      Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
     case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
     case (a: java.sql.Timestamp, b: java.sql.Timestamp) => Some(a.compareTo(b))
     case (a: java.sql.Timestamp, b: java.time.Instant) =>

@@ -19,10 +19,16 @@ import org.apache.spark.sql.DataFrame
 object PlanBridge {
   /** New DataFrame with identical rows/schema and a flat logical plan. The
     * result is LAZY and unpersisted; its lineage re-executes `df`'s
-    * physical plan (hitting `df`'s cache while that is live). */
+    * physical plan (hitting `df`'s cache while that is live).
+    *
+    * Rows are copied out of the physical iterator (as `Dataset.checkpoint`
+    * does) because `execute()` may yield REUSED UnsafeRow buffers: without
+    * the copy, a caller persisting or localCheckpointing the underlying RDD
+    * would store aliased buffers and read corrupted rows. */
   def flattenPlan(df: DataFrame): DataFrame = {
     val sess = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     sess.internalCreateDataFrame(
-      df.queryExecution.toRdd.setName("graft_flattened_plan"), df.schema)
+      df.queryExecution.toRdd.map(_.copy()).setName("graft_flattened_plan"),
+      df.schema)
   }
 }

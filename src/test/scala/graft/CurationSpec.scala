@@ -42,6 +42,27 @@ class CurationSpec extends AnyFunSuite {
     assert(splits.subsetOf(Set("train", "validation", "test")))
   }
 
+  test("curate frees every internal barrier when a stage fails") {
+    // The benchmark table lacks the text column: decontamination (stage 3)
+    // raises AnalysisException AFTER the exact-dedup survivors and the
+    // near-dup loser ids have been persisted. The EAGER cache contract must
+    // hold on the error path too — no internal barrier may outlive the call.
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog slept near the door all day"),
+      (2L, "a completely fluent and original document that the pipeline " +
+        "should keep because it is the only copy and it is clean")
+    ).toDF("doc_id", "text")
+    val badBenchmark = Seq((100L, "x")).toDF("doc_id", "wrong_col")
+    spark.sharedState.cacheManager.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Curation.curate(docs, badBenchmark, "doc_id", "text")
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"curate leaked persisted barriers on failure: $leaked")
+  }
+
   test("curate with a reliable checkpointDir produces the same result") {
     // Same planted corpus; checkpointDir routes connectedComponents through
     // RELIABLE checkpoints (stable storage — survives executor loss on a

@@ -77,6 +77,23 @@ class FunctionsSpec extends AnyFunSuite {
       maxBandSize = 0).count() > 0)
   }
 
+  test("ngramJaccardPairs guard bounds adjacent-band windows, not single bands") {
+    // The join explodes each A-side doc across {band-1, band, band+1}, so
+    // two ADJACENT bands each under a per-band cap still produce ~3× the
+    // intended m² work. 6 docs at 100 chars (band 25) + 6 at 85 chars
+    // (band 24): each band alone is 6 ≤ 10, the adjacent window is 12 > 10
+    // — the guard must fire on the windowed sum.
+    val long = "0123456789" * 10            // 100 chars
+    val short = "0123456789" * 8 ++ "01234" // 85 chars, one band below
+    val docs = ((1L to 6L).map(i => (i, long)) ++
+      (7L to 12L).map(i => (i, short))).toDF("id", "t")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "id", "t", maxBandSize = 10)
+    }
+    assert(e.getMessage.contains("12") && e.getMessage.contains("adjacent"),
+      e.getMessage)
+  }
+
   test("exactDedup keeps min id per key, deterministically") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "k")
     val out = Dedup.exactDedup(df, Seq("k"), "id").orderBy("id").collect()

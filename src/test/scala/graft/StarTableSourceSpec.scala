@@ -231,4 +231,29 @@ class StarTableSourceSpec extends AnyFunSuite {
       .option("failFast", "true").load(dir)
     assert(df.count() == 4) // both files parse clean
   }
+
+  test("string pushdown orders by UTF-8 bytes, matching Spark (supplementary chars)") {
+    // U+1F600 (a supplementary character) sits BELOW U+E000 in UTF-16
+    // code-unit order (its surrogates are U+D83D/U+DE00) but ABOVE it in
+    // UTF-8 byte order, which is how Spark compares UTF8String. A pushed
+    // verdict computed with String.compareTo would wrongly judge \uD83D\uDE00 < \uE000
+    // and drop the row at the parse — unrecoverable by the residual filter.
+    val dir = Files.createTempDirectory("graft_dsv2_utf8")
+    Files.writeString(dir.resolve("a.csv"),
+      "**places\nall\nplace;distance\ntext;km\n😀;1\nzz;2\n")
+    val df = spark.read.format("startable").option("table", "places")
+      .load(dir.toString)
+      .filter(col("place") > "\uE000")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(place"),
+      s"pushdown not visible in scan:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSet == Set("😀"),
+      "supplementary-character row was dropped by a UTF-16-ordered pushed filter")
+    // and the same predicate WITHOUT pushdown agrees (Spark-side truth)
+    val truth = spark.read.format("startable").option("table", "places")
+      .load(dir.toString).collect()
+      .filter(r => org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString("\uE000")) > 0)
+    assert(truth.map(_.getString(0)).toSet == Set("😀"))
+  }
 }

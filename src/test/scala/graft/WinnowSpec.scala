@@ -160,6 +160,34 @@ class WinnowSpec extends AnyFunSuite {
     assert(nFps >= 2)
   }
 
+  test("matched-span boilerplate cap drops loudly, not silently") {
+    // Same planted shape as the winnowCandidates cap test: every doc opens
+    // with shared boilerplate, docs 1-2 are full duplicates. The span path
+    // must (a) suppress boilerplate-only spans via the df cap, and (b) SAY
+    // SO on stderr — the same loud-drop contract as winnowCandidates, so a
+    // span suppressed by the cap never vanishes without a trace.
+    val boiler = "this text is standard corpus boilerplate shared by every document here"
+    val docs = (1L to 50L).map { i =>
+      val tail = if (i <= 2) "identical planted duplicate body content"
+      else s"unique tail $i alpha${i} beta${i} gamma${i} delta${i}"
+      (i, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    val captured = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    val spans = try {
+      System.setErr(new java.io.PrintStream(captured, true))
+      Dedup.winnowMatchedSpans(docs, "doc_id", "text",
+        shingleSize = 4, window = 4, maxDocFreq = 10)
+    } finally System.setErr(oldErr)
+    val got = spans.select("idA", "idB").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spans.unpersist()
+    assert(got == Set((1L, 2L)),
+      s"expected only the planted duplicate pair after the df cap, got $got")
+    assert(captured.toString.contains("winnowMatchedSpans: dropping"),
+      s"boilerplate drop was silent; stderr: ${captured.toString.take(500)}")
+  }
+
   test("unrelated documents share no fingerprints") {
     val docs = Seq(
       (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"),
