@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch sequence preparation: pack variable-length documents into
+  * fixed-token-capacity training sequences, and slice documents into
+  * (optionally overlapping) token windows.
+  *
+  * Packing semantics are GPT-style "concatenate and slice": documents are
+  * laid end-to-end in a deterministic order (`idCol` ascending) and the
+  * token stream is cut every `capacity` tokens. A document belongs to the
+  * sequence holding its FIRST token; a document straddling a cut (or longer
+  * than `capacity`) spills into the following sequence(s), exactly as the
+  * training dataloader would consume it. The whole mapping is a pure
+  * function of (id order, token counts) — engine-, run- and
+  * partitioning-independent, so it is DuckDB-oracle-checkable.
+  *
+  * Scale shape: the global exclusive prefix sum over document order is the
+  * only coupling between documents, computed as a two-level scan — bucket
+  * subtotals (one narrow aggregate), driver-side prefix over the tiny
+  * bucket table, then a per-bucket window cumsum with the bucket offset
+  * added. No global single-partition window anywhere: the widest window
+  * runs over one id bucket (`bucketWidth` ids), and the driver sees one row
+  * per bucket (~N/bucketWidth — at 100 TB and bucketWidth=1e6 that is
+  * ~1e5 rows). This is the textbook distributed prefix-scan shape.
+  */
+object Packing {
+
+  /** Integer `div` on non-negative longs: double division (Spark's `/`)
+    * would lose precision past 2^53 — a 100 TB corpus is ~2.5e13 tokens
+    * today and the id space is unconstrained, so stay exact. */
+  private def intDiv(a: Column, b: Long): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ColumnBridge.expression(a),
+      ColumnBridge.expression(lit(b)))).cast("long")
+  }
+
+  /** Per-document packing assignment: (id, n_tokens, seq_id, seq_offset)
+    * where `seq_id` = index of the capacity-token sequence holding the
+    * document's first token and `seq_offset` = that token's position within
+    * the sequence.
+    *
+    * `tokenCount` is any integral Column computed from the document row
+    * (e.g. [[Text.tokenCount]] of the text column, or a physical token
+    * count carried in the table).
+    *
+    * `bucketWidth` groups ids into prefix-scan buckets: ids in
+    * [k·bucketWidth, (k+1)·bucketWidth) form bucket k. Ids need not be
+    * dense — sparse buckets just carry fewer rows — but the id column must
+    * be non-negative integral for the bucket arithmetic. */
+  def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
+                    capacity: Long, bucketWidth: Long = 1000000L): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val d = df.select(col(idCol).cast("long").as("id"),
+      tokenCount.cast("long").as("n_tokens"),
+      intDiv(col(idCol).cast("long"), bucketWidth).as("__bucket"))
+
+    // Level 1: one row per bucket; driver-side exclusive prefix over the
+    // sorted bucket totals (tiny), re-joined as a broadcast offset table.
+    val totals = d.groupBy("__bucket").agg(sum("n_tokens").as("__t"))
+      .orderBy("__bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.tail.zip(totals).map { case ((b, inclusive), (_, t)) => (b, inclusive - t) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(offsets.toSeq.toDF("__bucket", "__offset"))
+
+    // Level 2: window cumsum WITHIN each bucket + the bucket's offset =
+    // global exclusive prefix sum (`start` = first-token position in the
+    // concatenated stream).
+    val w = Window.partitionBy("__bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(offsetDf, Seq("__bucket"))
+      .withColumn("__start",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + col("__offset"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        intDiv(col("__start"), capacity).as("seq_id"),
+        pmod(col("__start"), lit(capacity)).as("seq_offset"))
+  }
+
+  /** Per-sequence packing report over [[packSequences]]: (seq_id, n_docs,
+    * n_tokens) where `n_docs`/`n_tokens` count the documents STARTING in
+    * the sequence (concat-and-slice semantics: a straddler's tail tokens
+    * belong to later sequences but the document is accounted where it
+    * starts). Every interior sequence boundary is exactly `capacity` tokens
+    * apart in the concatenated stream, so sum(n_tokens) telescopes to the
+    * corpus total. */
+  def packedStats(df: DataFrame, idCol: String, tokenCount: Column,
+                  capacity: Long, bucketWidth: Long = 1000000L): DataFrame =
+    packSequences(df, idCol, tokenCount, capacity, bucketWidth)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+
+  /** Slice each document's whitespace-token stream into windows of
+    * `window` tokens every `stride` tokens (overlapping when
+    * stride < window) — the context-preparation step for RAG chunking and
+    * long-document eval. One output row per (doc, window): (id, chunk_idx,
+    * start_tok, n_tok, chunk_text), with starts 0, stride, 2·stride, …
+    * strictly below the document's token count and n_tok =
+    * min(window, n − start). Pure per-row arithmetic — fully parallel, no
+    * shuffle, engine-independent. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0,
+      s"window and stride must be positive, got window=$window stride=$stride")
+    val toks = Text.tokens(col(textCol))
+    df.select(col(idCol).as("id"), toks.as("__t"), size(toks).as("__n"))
+      .select(col("id"), col("__t"), col("__n"),
+        posexplode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
+          lit(stride))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start_tok")
+      .select(col("id").as(idCol), col("chunk_idx"), col("start_tok"),
+        least(lit(window), col("__n") - col("start_tok")).as("n_tok"),
+        concat_ws(" ", slice(col("__t"), col("start_tok") + 1, lit(window)))
+          .as("chunk_text"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model scoring — the CCNet-style perplexity quality
+  * signal, reduced to its scalable core: train token frequencies on a
+  * (reference or self) corpus, then score each document by its mean
+  * negative log-probability under that unigram distribution. Documents full
+  * of rare/garbage tokens score high (bad), fluent in-distribution text
+  * scores low — the standard cheap proxy where a full KenLM is unavailable,
+  * and the same two-stage shape (train counts → broadcast → score) a
+  * higher-order model would use.
+  *
+  * Determinism contract (DuckDB-oracle-checkable): each token's
+  * log-probability is rounded to `logScale` decimals and summed EXACTLY as
+  * DECIMAL(28,`logScale`) — the per-document sum is order-independent, so
+  * the score is partitioning- and engine-independent (log() ulp noise sits
+  * ~9 orders of magnitude below the rounding grid).
+  *
+  * Scale shape: counting shuffles each distinct (token) once — inherent to
+  * frequency training; scoring joins the exploded corpus to the frequency
+  * table on the token string. With `maxVocab` set, the vocabulary is capped
+  * to the most frequent tokens (count desc, token asc — deterministic) and
+  * BROADCAST, making the scoring pass shuffle-free; uncapped, the join is a
+  * plain equi-join AQE is free to re-plan. Out-of-vocabulary tokens score
+  * as `oovCount` pseudo-occurrences (default 0.5 — Jeffreys-style), so the
+  * cap only coarsens tail probabilities, never drops tokens.
+  */
+object UnigramLm {
+
+  /** Token frequency table (token, cnt) of `df`'s whitespace tokens,
+    * capped to `maxVocab` most-frequent when positive. */
+  def tokenFrequencies(df: DataFrame, textCol: String,
+                       maxVocab: Int = 0): DataFrame = {
+    val freq = df.select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    if (maxVocab > 0)
+      freq.orderBy(col("cnt").desc, col("token").asc).limit(maxVocab)
+    else freq
+  }
+
+  /** Score every document of `df` against frequencies trained on
+    * `reference` (pass `df` itself for self-scoring). Returns
+    * (id, n_tokens, xent) where xent = mean −log p(token) rounded to
+    * `outScale` decimals; lower is more fluent. `total` is always the FULL
+    * reference token count, so in-vocab probabilities are true MLE
+    * frequencies regardless of the vocabulary cap and OOV tokens get
+    * `oovCount`/total. EAGER with the internal frequency barrier freed
+    * (the dedup-operator cache contract): the result is materialized, the
+    * caller owns one `unpersist()`. */
+  def score(df: DataFrame, reference: DataFrame,
+            idCol: String, textCol: String,
+            maxVocab: Int = 0, oovCount: Double = 0.5,
+            logScale: Int = 6, outScale: Int = 4): DataFrame = {
+    val freq = tokenFrequencies(reference, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = freq.agg(sum(col("cnt"))).head().getLong(0)
+    require(total > 0, "unigram training corpus has no tokens")
+    val freqSide =
+      if (maxVocab > 0)
+        broadcast(freq.orderBy(col("cnt").desc, col("token").asc).limit(maxVocab))
+      else freq
+
+    val toks = df.select(col(idCol).as("id"),
+      explode(Text.tokens(col(textCol))).as("token"))
+    val logp = round(
+      log(coalesce(col("cnt").cast("double"), lit(oovCount)) / lit(total.toDouble)),
+      logScale).cast(s"decimal(28,$logScale)")
+    val result = toks.join(freqSide, Seq("token"), "left")
+      .select(col("id"), logp.as("__lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__sum"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        round(-col("__sum").cast("double") / col("n_tokens"), outScale).as("xent"))
+    Dedup.materializeAndFree(result, freq)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Decontamination, Dedup, Similarity, Text}
+import graft.functions.{Decontamination, Dedup, Packing, Similarity, Text, UnigramLm}
 import Tables.star
 
 /** The LLM-training-data-pipeline operator coverage (BASELINE.json north
@@ -246,6 +246,37 @@ object PipelineQueries {
       graft.functions.Mixing.mixReport(docs, kept, "source")
         .withColumn("n_before", col("n_before").cast(LongType))
         .withColumn("n_after", col("n_after").cast(LongType))
+    }),
+
+    // --- sequence preparation ----------------------------------------------
+    // GPT-style concat-and-slice sequence packing: documents laid end-to-end
+    // in doc_id order, the token stream cut every 2048 tokens; output is the
+    // per-sequence doc/token report. The global prefix sum is a two-level
+    // scan (bucket subtotals + within-bucket window — no single-partition
+    // window anywhere); bucketWidth=100 forces the multi-bucket path even at
+    // sf0.01. Pure integer arithmetic — the oracle repeats it with a DuckDB
+    // window.
+    "q_doc_pack" -> ((s, dir) =>
+      Packing.packedStats(star(s, dir, "documents").df, "doc_id",
+        Text.tokenCount(col("text")), capacity = 2048, bucketWidth = 100)),
+
+    // Token-window chunking (RAG/context preparation): 40-token windows
+    // every 30 tokens, one row per (doc, window) with the chunk fingerprint
+    // (md5 keeps the verified payload narrow). Per-row arithmetic only — no
+    // shuffle, no join.
+    "q_doc_chunks" -> ((s, dir) =>
+      Packing.chunkTokens(star(s, dir, "documents").df, "doc_id", "text",
+        window = 40, stride = 30)
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("n_tok"),
+          Text.fingerprintMd5(col("chunk_text")).as("chunk_fp"))),
+
+    // Unigram-LM scoring (the CCNet perplexity quality signal, unigram
+    // core): self-trained token frequencies, mean −log p(token) per doc.
+    // Token log-probs are rounded then summed as DECIMAL — order- and
+    // engine-independent, so the score hash-matches the oracle.
+    "q_doc_perplexity" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      UnigramLm.score(docs, docs, "doc_id", "text")
     }),
 
     // --- fingerprinting ----------------------------------------------------
@@ -722,6 +753,50 @@ object PipelineQueries {
         |          FROM documents)
         |  )
         |) WHERE rn <= 3""".stripMargin,
+
+    "q_doc_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM t)
+        |SELECT CAST(s // 2048 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, greatest(len(toks) - 1, 0), 30)) AS s
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(s // 30 AS INT) AS chunk_idx,
+        |  CAST(s AS INT) AS start_tok,
+        |  CAST(least(40, len(toks) - s) AS INT) AS n_tok,
+        |  md5(array_to_string(toks[s + 1 : s + 40], ' ')) AS chunk_fp
+        |FROM c""".stripMargin,
+
+    "q_doc_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |freq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+        |SELECT t.doc_id,
+        |  count(*) AS n_tokens,
+        |  round(-CAST(sum(CAST(round(ln(CAST(f.cnt AS DOUBLE) / tot.total), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS xent
+        |FROM tok t JOIN freq f USING (token), tot
+        |GROUP BY t.doc_id""".stripMargin,
 
     "q_doc_split" ->
       """SELECT CASE WHEN b < 90 THEN 'train'

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Packing, Text, UnigramLm}
+
+/** Sequence packing, token chunking, and unigram-LM scoring. */
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def naivePack(counts: Seq[(Long, Long)], capacity: Long): Map[Long, (Long, Long)] = {
+    // reference: sort by id, exclusive running sum, seq = start / capacity
+    var acc = 0L
+    counts.sortBy(_._1).map { case (id, n) =>
+      val start = acc; acc += n
+      id -> (start / capacity, start % capacity)
+    }.toMap
+  }
+
+  test("packSequences matches the sequential reference on irregular counts") {
+    val counts = (0L until 200L).map(i => (i * 3 + 7, (i * 37 % 90) + 1)) // sparse ids
+    val df = counts.toDF("id", "n").repartition(7)
+    val got = Packing.packSequences(df, "id", col("n"), capacity = 512,
+        bucketWidth = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == naivePack(counts, 512))
+  }
+
+  test("packSequences is bucketWidth- and partitioning-independent") {
+    val counts = (0L until 150L).map(i => (i, (i * 13 % 40) + 5))
+    val expected = naivePack(counts, 256)
+    for (bw <- Seq(1L, 17L, 1000000L); parts <- Seq(1, 11)) {
+      val got = Packing.packSequences(counts.toDF("id", "n").repartition(parts),
+          "id", col("n"), capacity = 256, bucketWidth = bw)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(got == expected, s"bucketWidth=$bw parts=$parts diverged")
+    }
+  }
+
+  test("a document longer than the capacity starts its own sequences (concat-slice)") {
+    // doc 1: 100 tokens fills seq 0 and straddles into 1; doc 2 starts at
+    // global token 100 → seq 1 offset 36; doc 3 at 150 → seq 2 offset 22
+    val df = Seq((1L, 100L), (2L, 50L), (3L, 10L)).toDF("id", "n")
+    val got = Packing.packSequences(df, "id", col("n"), capacity = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 0L, 0L), (2L, 1L, 36L), (3L, 2L, 22L)))
+  }
+
+  test("packedStats telescopes to the corpus token total") {
+    val counts = (0L until 97L).map(i => (i, (i % 29) + 1))
+    val stats = Packing.packedStats(counts.toDF("id", "n"), "id", col("n"),
+      capacity = 100, bucketWidth = 10)
+    assert(stats.agg(sum("n_tokens")).head().getLong(0) == counts.map(_._2).sum)
+    assert(stats.agg(sum("n_docs")).head().getLong(0) == counts.length)
+  }
+
+  test("chunkTokens emits overlapping windows with exact boundaries") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("id", "text")
+    val rows = Packing.chunkTokens(df, "id", "text", window = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toSet
+    assert(rows == Set(
+      (1L, 0, 0, 3, "a b c"), (1L, 1, 2, 3, "c d e"),
+      (1L, 2, 4, 3, "e f g"), (1L, 3, 6, 1, "g"),
+      (2L, 0, 0, 1, "x")))
+  }
+
+  test("unigram scoring matches the hand-computed decimal arithmetic") {
+    // corpus: "a a b" + "a c" → freqs a:3, b:1, c:1, total 5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "text")
+    def lp(cnt: Double): BigDecimal =
+      BigDecimal(math.log(cnt / 5.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def xent(lps: Seq[BigDecimal]): Double =
+      (-(lps.sum.toDouble) / lps.size * 10000).round / 10000.0
+    val got = UnigramLm.score(docs, docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((3L, xent(Seq(lp(3), lp(3), lp(1))))))
+    assert(got(2L) == ((2L, xent(Seq(lp(3), lp(1))))))
+  }
+
+  test("out-of-vocabulary tokens score with the smoothing pseudo-count") {
+    val ref = Seq((1L, "a a b")).toDF("id", "text") // total 3
+    val target = Seq((9L, "a zz")).toDF("id", "text") // zz unseen
+    def lp(cnt: Double): BigDecimal =
+      BigDecimal(math.log(cnt / 3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (-((lp(2) + lp(0.5)).toDouble) / 2 * 10000).round / 10000.0
+    val got = UnigramLm.score(target, ref, "id", "text")
+      .head()
+    assert(got.getLong(1) == 2L)
+    assert(got.getDouble(2) == expected)
+  }
+
+  test("capped vocabulary broadcasts and keeps rare tokens as OOV mass") {
+    val ref = Seq((1L, "a a a b b c")).toDF("id", "text")
+    val scored = UnigramLm.score(ref, ref, "id", "text", maxVocab = 2)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"capped vocab should broadcast:\n$plan")
+    // c is outside the top-2 vocab → scored as OOV (0.5/6), not dropped
+    def lp(cnt: Double): BigDecimal =
+      BigDecimal(math.log(cnt / 6.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (-((lp(3) * 3 + lp(2) * 2 + lp(0.5)).toDouble) / 6 * 10000)
+      .round / 10000.0
+    assert(scored.head().getDouble(2) == expected)
+  }
+
+  test("pack + chunk queries agree with Text.tokenCount semantics") {
+    // the driver queries feed Text.tokenCount into packSequences — empty
+    // and whitespace-heavy docs must count like the tokenizer does
+    val df = Seq((1L, "  two  tokens  "), (2L, "one")).toDF("id", "text")
+    val got = Packing.packSequences(df, "id", Text.tokenCount(col("text")),
+        capacity = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+}
