@@ -160,4 +160,34 @@ class PlanSpec extends AnyFunSuite {
       s"cross-corpus LSH join not keyed on (band, bucket):\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("token chunking is a shuffle-free scan + generate") {
+    val plan = graft.queries.PipelineQueries.queries("q_doc_chunks")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"q_doc_chunks shuffles a pure per-row pipeline:\n$plan")
+  }
+
+  test("sequence packing broadcasts the bucket offsets; windows stay per-bucket") {
+    val plan = graft.queries.PipelineQueries.queries("q_doc_pack")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the tiny driver-prefixed offset table must broadcast, never shuffle
+    // the corpus side for the join
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bucket offsets not broadcast:\n$plan")
+    // the prefix-sum window partitions by bucket — a global single-partition
+    // window (SinglePartition) would be the 100 TB deadlock
+    assert(!plan.contains("Exchange SinglePartition, ENSURE"),
+      s"q_doc_pack plans a global single-partition exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(__bucket"),
+      s"prefix-sum window not partitioned by bucket:\n$plan")
+  }
+
+  test("unigram scoring partial-aggregates the per-doc sums") {
+    val plan = graft.queries.PipelineQueries.queries("q_doc_perplexity")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"per-doc score aggregation not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
