@@ -187,14 +187,41 @@ object EventStreams {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     // restore only after the stream COMPLETES: the query clones the session
     // conf during startup on its own thread, so an immediate restore races
+    val ckpt = scratchCheckpointDir(name)
     try {
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
       val q = streamed.writeStream
-        .format("memory").queryName(name).outputMode(mode).start()
+        .format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      deleteRecursively(new java.io.File(ckpt)) // scratch by construction
+    }
     spark.table(name)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Scratch checkpoint dir for run-to-completion memory-sink streams:
+    * tmpfs (/dev/shm) when present, else the JVM temp dir. These
+    * checkpoints are discard-after-run by construction (the memory sink is
+    * already non-durable), so the per-micro-batch offset-log and
+    * state-store commit fsyncs should hit RAM, not the container's disk —
+    * the measured floor is then the engine's, not the scratch volume's. A
+    * durable pipeline passes its own checkpointLocation on real storage. */
+  private def scratchCheckpointDir(name: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    base.resolve(s"graft_ckpt_$name").toString
   }
 
   // ---------------------------------------------------------------- custom state
