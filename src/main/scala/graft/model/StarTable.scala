@@ -329,10 +329,10 @@ final case class StarTable(
           throw new UnitConversionError(s"No base unit defined for unit '$from'"))
       case u => u
     }
-    val t = converter.transform(from, target)
+    val t = converter.valueTransform(from, target)
     val newDf =
-      if (t == graft.units.Affine.identity) df
-      else df.withColumn(colName, col(colName) * lit(t.scale) + lit(t.offset))
+      if (t == graft.units.AffineTransform(graft.units.Affine.identity)) df
+      else df.withColumn(colName, t.toColumn(col(colName)))
     copy(df = newDf,
       columnMeta = columnMeta.updated(colName,
         colMeta(colName).copy(unit = converter.canonical(target))))

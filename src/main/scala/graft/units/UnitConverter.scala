@@ -14,6 +14,58 @@ final case class Affine(scale: Double, offset: Double = 0.0) {
 
 object Affine { val identity: Affine = Affine(1.0, 0.0) }
 
+/** A unit conversion as a value map that is still a single vectorized Spark
+  * expression (codegen'd pow/log builtins — no UDF). Affine covers every
+  * linear/compound conversion; the Exp/Log forms cover LOGARITHMIC units
+  * (dB, dBm, Np, pH, octave — pint's log-unit family), whose conversions
+  * are exponential in one direction and logarithmic in the other. */
+sealed trait ValueTransform extends Serializable {
+  def apply(x: Double): Double
+  def toColumn(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+}
+
+final case class AffineTransform(a: Affine) extends ValueTransform {
+  def apply(x: Double): Double = a(x)
+  def toColumn(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    c * lit(a.scale) + lit(a.offset)
+  }
+}
+
+/** log unit → linear unit: y = post(ref · logBase^(x/k)). */
+final case class ExpTransform(k: Double, logBase: Double, ref: Double,
+                              post: Affine) extends ValueTransform {
+  def apply(x: Double): Double = post(ref * math.pow(logBase, x / k))
+  def toColumn(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pow}
+    pow(lit(logBase), c / lit(k)) * lit(ref) * lit(post.scale) + lit(post.offset)
+  }
+}
+
+/** linear unit → log unit: y = k · log_logBase(pre(x)/ref). */
+final case class LogTransform(pre: Affine, k: Double, logBase: Double,
+                              ref: Double) extends ValueTransform {
+  def apply(x: Double): Double = k * (math.log(pre(x) / ref) / math.log(logBase))
+  def toColumn(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, log}
+    log(logBase, (c * lit(pre.scale) + lit(pre.offset)) / lit(ref)) * lit(k)
+  }
+}
+
+/** log unit → log unit (via the shared linear dimension):
+  * y = k2 · log_b2(scale · ref1 · b1^(x/k1) / ref2). */
+final case class LogLogTransform(k1: Double, b1: Double, ref1: Double,
+                                 scale: Double,
+                                 k2: Double, b2: Double, ref2: Double)
+    extends ValueTransform {
+  def apply(x: Double): Double =
+    k2 * (math.log(scale * ref1 * math.pow(b1, x / k1) / ref2) / math.log(b2))
+  def toColumn(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, log, pow}
+    log(b2, pow(lit(b1), c / lit(k1)) * lit(scale * ref1 / ref2)) * lit(k2)
+  }
+}
+
 /** Unit conversion contract (reference: pdtable/proxy.py:352-369 converter
   * spec + pdtable/units/pint.py:11-74). A converter maps (from, to) to an
   * affine value transform and resolves a unit's base unit. Implementations
@@ -25,8 +77,16 @@ trait UnitConverter extends Serializable {
   def canonical(unit: String): String = unit
   /** Base unit of `unit`, if known. */
   def baseUnit(unit: String): Option[String]
-  /** Affine transform converting values in `from` to values in `to`. */
+  /** Affine transform converting values in `from` to values in `to`.
+    * Raises for pairs whose conversion is not affine (log units) — those
+    * are reachable through [[valueTransform]]. */
   def transform(from: String, to: String): Affine
+
+  /** General value transform for `from` → `to`. Defaults to the affine
+    * contract, so existing custom converters keep working unchanged;
+    * converters that support logarithmic units override this. */
+  def valueTransform(from: String, to: String): ValueTransform =
+    AffineTransform(transform(from, to))
 
   /** Convert a single value; `to=None` means "to base unit"
     * (reference: pdtable/demo/unit_converter.py:36-64 signature). */
@@ -34,7 +94,7 @@ trait UnitConverter extends Serializable {
     val target = to.getOrElse(
       baseUnit(from).getOrElse(
         throw new UnitConversionError(s"No base unit defined for unit '$from'")))
-    (transform(from, target)(value), canonical(target))
+    (valueTransform(from, target)(value), canonical(target))
   }
 }
 
@@ -61,7 +121,8 @@ class BuiltinUnitConverter(
     "day" -> "d",
     "deg" -> "°", "degree" -> "°", "radian" -> "rad",
     "pascal" -> "Pa", "newton" -> "N", "joule" -> "J", "watt" -> "W",
-    "liter" -> "L", "litre" -> "L", "percent" -> "%")
+    "liter" -> "L", "litre" -> "L", "percent" -> "%",
+    "decibel" -> "dB", "neper" -> "Np")
 
   /** unit → (base unit, transform-to-base). Base units map to themselves.
     * SI base + the practical engineering set the reference's pint converter
@@ -134,6 +195,9 @@ class BuiltinUnitConverter(
       "km/h" -> ("m/s", Affine(1.0 / 3.6)),
       "kt"   -> ("m/s", Affine(1852.0 / 3600.0)),
       "m/s"  -> ("m/s", Affine.identity),
+      // amount concentration (pH's linear dimension)
+      "mmol/L" -> ("mol/L", Affine(1e-3)),
+      "mol/L"  -> ("mol/L", Affine.identity),
       // dimensionless
       "-" -> ("-", Affine.identity),
       "%" -> ("-", Affine(1e-2))
@@ -141,22 +205,64 @@ class BuiltinUnitConverter(
     core ++ extra
   }
 
+  /** Logarithmic units (the pint log-unit family the affine registry could
+    * not express): unit → (linear base unit, k, log base, reference), with
+    * linear = ref · logBase^(x/k). The linear value of the ratio units
+    * (dB, Np, octave, decade) is the POWER ratio, so 1 Np = 20·log10(e) ≈
+    * 8.686 dB (the field-quantity neper: amplitude e^x ⇒ power e^2x ⇒
+    * k = 0.5). pH is −log10 of concentration in mol/L. */
+  private val logUnits: Map[String, (String, Double, Double, Double)] = Map(
+    "dB"     -> ("-", 10.0, 10.0, 1.0),
+    "dBm"    -> ("W", 10.0, 10.0, 1e-3),
+    "dBW"    -> ("W", 10.0, 10.0, 1.0),
+    "Np"     -> ("-", 0.5, math.E, 1.0),
+    "octave" -> ("-", 1.0, 2.0, 1.0),
+    "decade" -> ("-", 1.0, 10.0, 1.0),
+    "pH"     -> ("mol/L", -1.0, 10.0, 1.0))
+
   private val allAliases = defaultAliases ++ aliases
 
   override def canonical(unit: String): String = allAliases.getOrElse(unit, unit)
 
-  def baseUnit(unit: String): Option[String] =
-    toBase.get(canonical(unit)).map(_._1)
+  def baseUnit(unit: String): Option[String] = {
+    val c = canonical(unit)
+    logUnits.get(c).map(_._1)
+      .orElse(toBase.get(c).map(_._1))
       .orElse(
         try Some(CompoundUnits.render(parseCompound(unit)._1))
         catch { case _: UnitConversionError => None })
+  }
 
   def transform(from: String, to: String): Affine = {
     val f = canonical(from); val t = canonical(to)
     if (f == t) return Affine.identity
+    if (logUnits.contains(f) || logUnits.contains(t))
+      throw new UnitConversionError(
+        s"Conversion '$from' → '$to' involves a logarithmic unit and is not " +
+          "affine; use valueTransform (column conversions route through it)")
     (toBase.get(f), toBase.get(t)) match {
       case (Some((bf, af)), Some((bt, at))) if bf == bt => af.andThen(at.inverse)
       case _ => compoundTransform(from, to)
+    }
+  }
+
+  /** General transform: affine pairs fall through to [[transform]];
+    * logarithmic units convert via their linear dimension — log→linear is
+    * an Exp form, linear→log a Log form, log→log composes both (and is
+    * itself affine only when the log bases agree, e.g. dBm→dBW = x−30,
+    * which the composed expression evaluates to exactly). */
+  override def valueTransform(from: String, to: String): ValueTransform = {
+    val f = canonical(from); val t = canonical(to)
+    if (f == t) return AffineTransform(Affine.identity)
+    (logUnits.get(f), logUnits.get(t)) match {
+      case (None, None) => AffineTransform(transform(f, t))
+      case (Some((lin, k, b, r)), None) =>
+        ExpTransform(k, b, r, transform(lin, t))
+      case (None, Some((lin, k, b, r))) =>
+        LogTransform(transform(f, lin), k, b, r)
+      case (Some((lin1, k1, b1, r1)), Some((lin2, k2, b2, r2))) =>
+        val aff = transform(lin1, lin2) // scale-only for all registered dims
+        LogLogTransform(k1, b1, r1, aff.scale, k2, b2, r2)
     }
   }
 

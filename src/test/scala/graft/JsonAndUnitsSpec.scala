@@ -189,4 +189,52 @@ class JsonAndUnitsSpec extends AnyFunSuite {
     // pure denominator renders with a leading 1
     assert(c.baseUnit("Hz") == Some("Hz")) // atomic registry wins for atomics
   }
+
+  test("log units: dBm/dBW/dB/Np/octave/pH convert through the linear dimension") {
+    val c = BuiltinUnitConverter.default
+    def ~=(a: Double, b: Double): Boolean = math.abs(a - b) < 1e-9
+    // log → linear: 0 dBm = 1 mW; 30 dBm = 1 W; base unit of dBm is W
+    assert(~=(c.convert(0.0, "dBm", Some("W"))._1, 1e-3))
+    assert(~=(c.convert(30.0, "dBm")._1, 1.0))
+    assert(c.convert(30.0, "dBm")._2 == "W")
+    assert(~=(c.convert(0.0, "dBm", Some("kW"))._1, 1e-6)) // post-affine leg
+    // linear → log
+    assert(~=(c.convert(1.0, "W", Some("dBm"))._1, 30.0))
+    assert(~=(c.convert(100.0, "-", Some("dB"))._1, 20.0))
+    // log → log with equal bases is exactly affine: dBm → dBW = x − 30
+    assert(~=(c.convert(47.0, "dBm", Some("dBW"))._1, 17.0))
+    // cross-base log → log: 1 Np = 20·log10(e) dB (power-ratio convention)
+    assert(~=(c.convert(1.0, "Np", Some("dB"))._1, 20.0 * math.log10(math.E)))
+    // octaves and decades are log counts of a ratio: 3 octaves = ×8
+    assert(~=(c.convert(3.0, "octave", Some("-"))._1, 8.0))
+    assert(~=(c.convert(8.0, "-", Some("octave"))._1, 3.0))
+    // pH 7 is 1e-7 mol/L, and back
+    assert(~=(c.convert(7.0, "pH", Some("mol/L"))._1, 1e-7))
+    assert(~=(c.convert(1e-7, "mol/L", Some("pH"))._1, 7.0))
+    // round trip through the log domain is identity
+    assert(~=(c.convert(c.convert(13.0, "dBm", Some("W"))._1, "W", Some("dBm"))._1, 13.0))
+    // the affine contract refuses log pairs loudly (valueTransform covers them)
+    assertThrows[UnitConversionError] { c.transform("dBm", "W") }
+    // dimensionally incompatible log conversions raise
+    assertThrows[UnitConversionError] { c.convert(1.0, "dB", Some("pH")) }
+    assertThrows[UnitConversionError] { c.convert(1.0, "dBm", Some("kg")) }
+  }
+
+  test("log-unit column conversion is a vectorized expression on the table") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, 0.0), (2L, 30.0), (3L, 47.0)).toDF("id", "p")
+    val t = StarTable(df, TableMetadata("signals"), Map.empty)
+      .withUnit("p", "dBm")
+    val w = t.convertColumnUnits("p", Some("W"))
+    assert(w.unit("p") == "W")
+    val got = w.df.orderBy("id").collect().map(_.getDouble(1))
+    assert(got.zip(Seq(1e-3, 1.0, math.pow(10.0, 1.7))).forall {
+      case (a, b) => math.abs(a - b) < 1e-9 })
+    // no UDF: the plan is pure expression work
+    assert(!w.df.queryExecution.executedPlan.toString.contains("BatchEval"))
+    // "__base__" resolves a log unit to its linear dimension
+    val base = t.convertColumnUnits("p", Some("__base__"))
+    assert(base.unit("p") == "W")
+  }
 }
