@@ -466,16 +466,8 @@ object PipelineQueries {
     // construction: 10..17) — a full hash-matched oracle for the clustering
     // machinery end to end.
     "q_emb_kmeans" -> ((s, dir) => {
-      val planted = star(s, dir, "embeddings").df
-        .filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding"),
-          explode(sequence(lit(0L), col("vec_id") + 9)).as("copy"))
-        .select((col("vec_id") * 1000 + col("copy")).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            when(i === 0, x + col("copy").cast(FloatType) * lit(0.001f))
-              .otherwise(x)).as("embedding"))
-      val (assign, _, _) = Similarity.kmeans(planted, "embedding", "vec_id",
-        k = 8, dim = 64, iters = 5, trackInertia = false)
+      val (assign, _, _) = Similarity.kmeans(plantedClusters(s, dir),
+        "embedding", "vec_id", k = 8, dim = 64, iters = 5, trackInertia = false)
       assign.groupBy(col("cluster")).agg(count(lit(1)).as("n")).select(col("n"))
     }),
 
@@ -495,8 +487,50 @@ object PipelineQueries {
       Similarity.ivfAssign(star(s, dir, "embeddings").df, "embedding", "vec_id",
         nlist = 8, dim = 64)
         .groupBy(col("ivf_list"))
-        .agg(count(lit(1)).as("n")))
+        .agg(count(lit(1)).as("n"))),
+
+    // Trained-IVF PROBE with a planted oracle: the index is trained (k-means)
+    // on the 8 planted well-separated groups, so the coarse lists ARE the
+    // groups; probing base vector 3 with nprobe=1 must read exactly group 3's
+    // partition and return its 13 members — an engine-independent answer that
+    // pins centroid training, list assignment, partition-pruned probing, and
+    // top-k ranking end to end (a pruning regression that reads the wrong
+    // list, or a training regression that splits a group, breaks the hash).
+    "q_emb_ivf_probe" -> ((s, dir) => {
+      val path = ivfIndexFor(s, dir)
+      val probe = star(s, dir, "embeddings").df.filter(col("vec_id") === 3)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.probeTrainedIvfIndex(s, path, probe, k = 13, nprobe = 1)
+        .select(col("vec_id"))
+    })
   )
+
+  /** 8 planted well-separated clusters from the first 8 corpus vectors:
+    * group g = 10+g perturbed copies of base vector g (dim-0 shift ≤ 0.016
+    * vs ≥ 1.19 between-base distance) — deterministic cluster recovery for
+    * the k-means and trained-IVF oracles. */
+  private def plantedClusters(s: SparkSession, dir: String): DataFrame =
+    star(s, dir, "embeddings").df
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0L), col("vec_id") + 9)).as("copy"))
+      .select((col("vec_id") * 1000 + col("copy")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + col("copy").cast(FloatType) * lit(0.001f))
+            .otherwise(x)).as("embedding"))
+
+  /** Build-once-per-dataset trained IVF index over the planted clusters
+    * (memoized like the LSH index; `_SUCCESS` gates the rebuild). */
+  private def ivfIndexFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|ivfplant8".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      Similarity.writeTrainedIvfIndex(plantedClusters(s, dir),
+        "embedding", "vec_id", path, nlist = 8, dim = 64)
+    path
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_doc_tokens" ->
@@ -696,6 +730,12 @@ object PipelineQueries {
     // engines compute the identical double a/c before rounding.
     "q_ann_bruteforce" -> annOracle,
     "q_ann_lsh" -> annOracle,
+
+    // the planted IVF probe returns exactly group 3's 13 member ids
+    // (vec_id 3000..3012) — see the query comment for why this is fully
+    // determined
+    "q_emb_ivf_probe" ->
+      "SELECT CAST(3000 + i AS BIGINT) AS vec_id FROM range(13) t(i)",
 
     // Planted k-means recovery: the size multiset 10..17 (labels are
     // engine-specific; sizes are fully determined by the construction).
