@@ -34,6 +34,65 @@ object Mixing {
       .drop("__n")
   }
 
+  /** Downsample every group to a TOKEN budget rather than a row count —
+    * mixture weights for pre-training are token weights, and sources with
+    * very different document lengths make row-count targets the wrong
+    * knob. Keeps, per group, the documents whose EXCLUSIVE cumulative
+    * token count in deterministic hash order stays under
+    * `tokenBudgetPerGroup` (so each group's kept mass is the budget plus
+    * at most one straddling document, and the kept set is a reproducible
+    * function of content — no sampling state).
+    *
+    * Scale shape: the same two-level prefix scan as sequence packing,
+    * keyed by (group, leading hash byte): per-(group, bucket) subtotals
+    * are one narrow aggregate (n_groups × 256 rows to the driver), the
+    * driver prefixes each group's 256 buckets, and the within-bucket
+    * cumsum is a window over one hash bucket — no per-group
+    * single-partition window, so a 10 TB source group cannot serialize
+    * onto one task. Returns the kept rows of `df` unchanged. */
+  def rebalanceTokenBudget(df: DataFrame, keyCol: String, groupCol: String,
+                           tokenCount: Column,
+                           tokenBudgetPerGroup: Long): DataFrame = {
+    require(tokenBudgetPerGroup > 0,
+      s"tokenBudgetPerGroup must be positive, got $tokenBudgetPerGroup")
+    val h = md5(col(keyCol).cast("string"))
+    val d = df
+      .withColumn("__n", tokenCount.cast("long"))
+      .withColumn("__h", h)
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    // level 1: per-(group, bucket) totals; driver prefix within each group
+    // (hash-hex order == bucket numeric order, so (bucket, hash) is the
+    // global per-group order)
+    val totals = d.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__n")).as("__t"))
+      .collect()
+      .map(r => ((r.get(0), r.getInt(1)), r.getLong(2)))
+      .toSeq
+    val offsets = totals.groupBy(_._1._1).flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1._2).map { case ((g, b), t) =>
+        val excl = acc; acc += t; (g, b, excl)
+      }
+    }.toSeq
+    val spark = df.sparkSession
+    val offsetDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.map {
+        case (g, b, o) => org.apache.spark.sql.Row(g, b, o) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        d.schema(groupCol),
+        org.apache.spark.sql.types.StructField("__b", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__offset", org.apache.spark.sql.types.LongType)))))
+    // level 2: within-bucket exclusive cumsum + bucket offset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__b")).orderBy(col("__h"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    d.join(offsetDf, Seq(groupCol, "__b"))
+      .withColumn("__start",
+        coalesce(sum(col("__n")).over(w), lit(0L)) + col("__offset"))
+      .filter(col("__start") < tokenBudgetPerGroup)
+      .drop("__n", "__h", "__b", "__offset", "__start")
+  }
+
   /** Per-group kept/total report for a rebalanced frame — the mixture
     * audit a pipeline logs after resampling. */
   def mixReport(df: DataFrame, rebalanced: DataFrame,

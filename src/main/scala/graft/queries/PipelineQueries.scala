@@ -248,6 +248,20 @@ object PipelineQueries {
         .withColumn("n_after", col("n_after").cast(LongType))
     }),
 
+    // Token-budget source mixing: mixture weights for pre-training are
+    // TOKEN weights, so each source keeps the docs whose cumulative token
+    // count in deterministic hash order stays under a 3000-token budget.
+    // Two-level prefix scan per (source, hash byte) — no per-group
+    // single-partition window. Output is the kept-mass audit per source.
+    "q_source_token_budget" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      graft.functions.Mixing.rebalanceTokenBudget(docs, "doc_id", "source",
+          Text.tokenCount(col("text")), tokenBudgetPerGroup = 3000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+    }),
+
     // --- sequence preparation ----------------------------------------------
     // GPT-style concat-and-slice sequence packing: documents laid end-to-end
     // in doc_id order, the token stream cut every 2048 tokens; output is the
@@ -793,6 +807,20 @@ object PipelineQueries {
         |          FROM documents)
         |  )
         |) WHERE rn <= 3""".stripMargin,
+
+    "q_source_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n) OVER (PARTITION BY source
+        |    ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM c WHERE s < 3000 GROUP BY source""".stripMargin,
 
     "q_doc_pack" ->
       """WITH t AS (

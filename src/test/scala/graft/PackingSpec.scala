@@ -105,6 +105,40 @@ class PackingSpec extends AnyFunSuite {
     assert(scored.head().getDouble(2) == expected)
   }
 
+  test("token-budget mixing matches the sequential per-group reference") {
+    import graft.functions.Mixing
+    val docs = (0L until 120L).map { i =>
+      (i, s"src${i % 3}", ("tok " * (i % 17 + 1).toInt).trim)
+    }.toDF("id", "grp", "text")
+    val kept = Mixing.rebalanceTokenBudget(docs, "id", "grp",
+        Text.tokenCount(col("text")), tokenBudgetPerGroup = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // sequential reference: per group, md5-hash order, keep while the
+    // exclusive running token total is under budget
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until 120L).groupBy(_ % 3).values.flatMap { ids =>
+      var acc = 0L
+      ids.toSeq.sortBy(i => (md5hex(i.toString), i)).flatMap { i =>
+        val n = i % 17 + 1
+        val keep = acc < 100L; acc += n
+        if (keep) Some(i) else None
+      }
+    }.toSet
+    assert(kept == expected)
+    // determinism under repartitioning
+    val kept2 = Mixing.rebalanceTokenBudget(docs.repartition(13), "id", "grp",
+        Text.tokenCount(col("text")), tokenBudgetPerGroup = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+    // a group's kept token mass is budget + at most one straddler
+    val mass = Mixing.rebalanceTokenBudget(docs, "id", "grp",
+        Text.tokenCount(col("text")), tokenBudgetPerGroup = 100L)
+      .groupBy("grp").agg(sum(Text.tokenCount(col("text"))).as("m"))
+      .collect().map(_.getLong(1))
+    assert(mass.forall(m => m >= 100L - 17 && m <= 100L + 17))
+  }
+
   test("pack + chunk queries agree with Text.tokenCount semantics") {
     // the driver queries feed Text.tokenCount into packSequences — empty
     // and whitespace-heavy docs must count like the tokenizer does
