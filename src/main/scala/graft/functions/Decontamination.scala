@@ -41,6 +41,54 @@ object Decontamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[sharedNgramCounts]] with a BLOOM-FILTER PREFILTER on the corpus side
+    * — the shape for decontaminating against a LARGE benchmark/eval corpus
+    * (cross-corpus overlap checks, multi-GB held-out sets) where even the
+    * distinct benchmark gram hashes are too many to broadcast-join against
+    * every corpus gram comfortably.
+    *
+    * Two phases, EXACT result: (1) a bloom filter built over the distinct
+    * benchmark gram hashes is shipped as a literal and evaluated map-side
+    * on every corpus gram — no shuffle, no join; the overwhelmingly clean
+    * gram mass dies in the scan stage at `fpp` false-positive cost; (2) the
+    * tiny survivor set exact-joins the benchmark hashes, which removes the
+    * bloom's false positives. No false negatives exist, so the output is
+    * BIT-IDENTICAL to [[sharedNgramCounts]] — the bloom only moves work,
+    * never changes the answer (same DuckDB oracle).
+    *
+    * `expectedGrams` sizes the filter (pass ≥ the benchmark's distinct gram
+    * count; ~1.2 MB per million entries at fpp=0.01). EAGER with the
+    * internal benchmark-gram barrier freed; caller owns one unpersist. */
+  def sharedNgramCountsBloom(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String, n: Int = 8,
+                             expectedGrams: Long = 1000000L,
+                             fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val benchGrams = benchmark
+      .select(explode(ngramHashes(col(textCol), n)).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = benchGrams.stat.bloomFilter("g", expectedGrams, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bytes, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(col("g"))))
+    val corpusGrams = corpus
+      .select(col(idCol), explode(ngramHashes(col(textCol), n)).as("g"))
+      .filter(mightContain) // map-side: clean grams never reach the distinct
+      .distinct()
+    val result = corpusGrams.join(benchGrams, "g") // exact verify kills bloom FPs
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+    Dedup.materializeAndFree(result, benchGrams)
+  }
+
   /** Training split minus contaminated docs (≥ `minShared` shared n-grams). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 8,

@@ -163,6 +163,18 @@ object PipelineQueries {
         "doc_id", "text", n = 4)
     }),
 
+    // Bloom-prefiltered decontamination: SAME answer as q_decontaminate (the
+    // bloom is a map-side prefilter whose false positives are removed by the
+    // exact verify join — no false negatives exist), so it shares the oracle.
+    // This is the cross-corpus scale path: clean gram mass dies in the scan
+    // stage instead of reaching the shuffle.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      Decontamination.sharedNgramCountsBloom(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 4, expectedGrams = 100000L)
+    }),
+
     // Deterministic content-hash train/validation/test split (90/5/5):
     // a pure function of doc_id, identical across engines and runs.
     "q_doc_split" -> ((s, dir) =>
@@ -780,6 +792,18 @@ object PipelineQueries {
         |CROSS JOIN (SELECT count(DISTINCT lang) AS n_langs FROM documents) l""".stripMargin,
 
     "q_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |              FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+        |  FROM docs, unnest(range(1, greatest(len(toks) - 4, 0) + 2)) AS t(i)
+        |),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+        |SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
+        |FROM grams g JOIN bench b ON g.g = b.g
+        |WHERE g.doc_id >= 10 GROUP BY g.doc_id""".stripMargin,
+
+    "q_decontaminate_bloom" ->
       """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |              FROM documents),
         |grams AS (

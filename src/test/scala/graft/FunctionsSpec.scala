@@ -216,6 +216,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(clean == Set(2L))
   }
 
+  test("bloom-prefiltered decontamination is bit-identical to the exact path") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = (1L to 200L).map { i =>
+      if (i % 50 == 0) (i, s"noise $i then the quick brown fox jumps over it")
+      else (i, s"clean document $i about item${i} and topic${i * 7} only")
+    }.toDF("doc_id", "text")
+    val exact = Decontamination.sharedNgramCounts(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sharedState.cacheManager.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val bloomed = Decontamination.sharedNgramCountsBloom(corpus, bench,
+      "doc_id", "text", n = 4, expectedGrams = 10000L)
+    val got = bloomed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"bloom path diverged: $got vs $exact")
+    // the prefilter is visible in the plan and sits before any join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom prefilter not in plan:\n$plan")
+    // EAGER hygiene: only the result's own cache is live
+    bloomed.unpersist(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "sharedNgramCountsBloom leaked its benchmark-gram barrier")
+  }
+
   test("repeatedNgramStats flags cross-document spans, not unique text") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // shares 4-gram run with 2
