@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval over the documents table — the lexical-search
+  * counterpart of the embedding ANN path (RAG pipelines use both: BM25 for
+  * exact-term recall, vectors for semantic recall).
+  *
+  * Scoring is the Robertson/Spärck Jones BM25 in the Lucene form with the
+  * +1-smoothed idf (always positive):
+  *
+  *   score(d, Q) = Σ_{t ∈ Q} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+  *                 · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * Determinism contract (DuckDB-oracle-checkable, same scheme as
+  * [[UnigramLm]]): the idf and each per-(doc, term) contribution are
+  * rounded to `logScale` decimals and the per-document sum runs EXACTLY in
+  * DECIMAL(28,`logScale`) — order-, partitioning- and engine-independent;
+  * ties in the final ranking break by doc id.
+  *
+  * Scale shape of [[bm25TopK]]: the corpus-statistics pass (N, avgdl) is
+  * one partial-aggregated scan; postings are restricted MAP-SIDE to the
+  * query terms (`token IN (…)` inside the explode projection), so only
+  * matching (doc, term) rows ever shuffle — the full inverted index is
+  * never materialized for a query. The per-term document frequencies
+  * (≤ |Q| rows) broadcast back onto the postings. Nothing in the plan
+  * grows with vocabulary size, and the only corpus-wide shuffle is the
+  * (doc, term) aggregation over matching postings — at 100 TB that is
+  * proportional to the query's posting lists, exactly what a dedicated
+  * search engine shuffles. For repeated query workloads, [[writeInvertedIndex]]
+  * persists postings clustered by token so future scans prune at the
+  * row-group level instead of re-tokenizing the corpus.
+  */
+object Retrieval {
+
+  /** The (token, doc_id, tf, dl) posting table of `df`'s whitespace tokens
+    * — one row per distinct (token, doc), carrying the term frequency and
+    * the document length needed by BM25's length normalization. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        Text.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** Persist the inverted index clustered by token: partitions are keyed by
+    * a bounded token-hash prefix (so directory listing stays cheap at any
+    * vocabulary size — the LSH-index layering argument) and rows inside
+    * each file are sorted by token, so a query's `token IN (…)` predicate
+    * skips row groups via min/max stats. */
+  def writeInvertedIndex(df: DataFrame, idCol: String, textCol: String,
+                         path: String, hashBuckets: Int = 64,
+                         rowGroupBytes: Long = 8L * 1024 * 1024): Unit =
+    invertedIndex(df, idCol, textCol)
+      .withColumn("tokbucket", pmod(xxhash64(col("token")), lit(hashBuckets.toLong)))
+      .repartition(col("tokbucket"))
+      .sortWithinPartitions(col("token"), col("doc_id"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .partitionBy("tokbucket").parquet(path)
+
+  /** BM25 top-k documents for a bag of query `terms`. See the object doc
+    * for the formula, determinism contract, and scale shape. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               logScale: Int = 6, outScale: Int = 4): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: empty query")
+    require(topK > 0, "bm25TopK: topK must be positive")
+
+    val lens = df.select(col(idCol).as("doc_id"),
+      Text.tokenCount(col(textCol)).cast("long").as("dl"))
+    val st = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val n = st.getLong(0)
+    require(n > 0, "bm25TopK: empty corpus")
+    // one double division — reproduced bit-identically by the oracle
+    val avgdl = st.getLong(1).toDouble / n
+
+    // postings restricted map-side: only query-term rows survive the scan
+    val postings = df.select(col(idCol).as("doc_id"),
+        Text.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(Text.tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+    // per-term document frequency (≤ |terms| rows) + rounded idf, broadcast
+    val dfT = postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("dfreq"))
+      .withColumn("idf",
+        round(log((lit(n.toDouble) - col("dfreq") + lit(0.5)) /
+          (col("dfreq") + lit(0.5)) + lit(1.0)), logScale))
+
+    // contribution association mirrors the oracle SQL exactly:
+    // (idf * (tf * (k1+1))) / (tf + k1 * ((1-b) + ((b * dl) / avgdl)))
+    val contrib = round(
+      col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + (lit(b) * col("dl")) / lit(avgdl))),
+      logScale).cast(s"decimal(28,$logScale)")
+
+    postings.join(broadcast(dfT), Seq("token"))
+      .select(col("doc_id"), contrib.as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__c")).as("__s"))
+      .select(col("doc_id"), col("n_terms"),
+        round(col("__s").cast("double"), outScale).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+}

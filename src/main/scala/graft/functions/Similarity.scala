@@ -217,18 +217,30 @@ object Similarity {
     *
     * Returns (assignments (id, cluster), final centroids, per-iteration
     * decimal-exact inertia). */
+  /** Per-centroid (partial dist², index) structs against literal centroids
+    * — dist² = |x|² − 2x·c + |c|² with the constant |x|² dropped (it does
+    * not affect the argmin). Shared by the Lloyd iterations and by
+    * consumers that need a final nearest-centroid pass without re-joining
+    * the assignment frame (e.g. [[semanticDedupRemoved]]). */
+  private def distStructs(embCol: String, cs: Array[Array[Double]]): Seq[Column] =
+    cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val cNormSq = c.map(x => x * x).sum
+      val d2 = dot(col(embCol), array(c.map(x => lit(x.toFloat)): _*)) * lit(-2.0) + lit(cNormSq)
+      struct(d2.as("d"), lit(i).as("c"))
+    }
+
+  /** Nearest-centroid index column (ties toward the lower cluster index —
+    * array_min on (d, c) structs orders lexicographically). */
+  private def nearestCentroid(embCol: String, cs: Array[Array[Double]]): Column =
+    array_min(array(distStructs(embCol, cs): _*)).getField("c")
+
   def kmeans(df: DataFrame, embCol: String, idCol: String,
              k: Int, dim: Int, iters: Int = 5,
              trackInertia: Boolean = true,
              init: String = "kmeans++"): (DataFrame, Array[Array[Double]], Seq[Double]) = {
     import org.apache.spark.sql.types.DecimalType
 
-    def distStructs(cs: Array[Array[Double]]): Seq[Column] =
-      cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        val cNormSq = c.map(x => x * x).sum
-        val d2 = dot(col(embCol), array(c.map(x => lit(x.toFloat)): _*)) * lit(-2.0) + lit(cNormSq)
-        struct(d2.as("d"), lit(i).as("c"))
-      }
+    def distStructsK(cs: Array[Array[Double]]): Seq[Column] = distStructs(embCol, cs)
 
     // ---- init: deterministic farthest-point k-means++ (or first-k by id)
     var centroids: Array[Array[Double]] = init match {
@@ -281,7 +293,7 @@ object Similarity {
     var converged = false
     var iter = 0
     while (iter < iters && !converged) {
-      val best = array_min(array(distStructs(centroids): _*))
+      val best = array_min(array(distStructsK(centroids): _*))
       val assigned = df.select(col(idCol), col(embCol),
         best.getField("c").as("cluster"),
         (best.getField("d") + dot(col(embCol), col(embCol))).as("dist2"))
@@ -311,7 +323,7 @@ object Similarity {
     }
     // final assignment pass against the RETURNED centroids — without it a
     // point may sit nearer a different returned centroid than its label
-    val bestFinal = array_min(array(distStructs(centroids): _*))
+    val bestFinal = array_min(array(distStructsK(centroids): _*))
     val finalAssign = df.select(col(idCol), bestFinal.getField("c").as("cluster"))
     (finalAssign, centroids, inertias.toSeq)
   }
@@ -437,5 +449,55 @@ object Similarity {
       .select(col("idA"), col("idB"), cosine(col("embA"), col("embB")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings with k-means and removing,
+    * WITHIN each cluster, every vector whose cosine to a lower-id cluster
+    * member reaches `threshold`. Keep-lowest-id is the deterministic form
+    * of the paper's keep-one-per-duplicate-group rule (the paper keeps the
+    * member farthest from the centroid; which member survives is a policy
+    * choice — the duplicate GROUPS are the algorithm's output, and min-id
+    * makes the result partitioning- and engine-independent).
+    *
+    * Returns the REMOVED rows as (removed_id, kept_id) where kept_id is
+    * the lowest-id near-duplicate witness — deterministic, so a planted
+    * oracle can enumerate both columns.
+    *
+    * Scale shape: the k-means pass shuffles k×dim decimal partial sums per
+    * partition (never vectors — see [[kmeans]]); cluster assignment for
+    * the pair stage is recomputed as a NARROW codegen pass against the
+    * literal centroids (no join of the assignment frame back to the
+    * vectors); the pair join is keyed by cluster id, so cluster size
+    * bounds the quadratic term. `k` must therefore scale with the corpus —
+    * SemDeDup at 100 TB uses n/k ≈ 1e4..1e5 — and a cheap pre-count
+    * REFUSES clusters above `maxClusterSize` loudly (the semantic analog
+    * of ngramJaccardPairs' band guard: raising k is the fix, silent
+    * quadratic blow-up is not acceptable). Within-cluster pairing can be
+    * composed with [[cosineNearDupPairs]]' LSH sub-bucketing when clusters
+    * must stay large. */
+  def semanticDedupRemoved(df: DataFrame, embCol: String, idCol: String,
+                           k: Int, dim: Int, threshold: Double,
+                           iters: Int = 5,
+                           maxClusterSize: Int = 20000): DataFrame = {
+    val (_, centroids, _) =
+      kmeans(df, embCol, idCol, k, dim, iters, trackInertia = false)
+    val clustered = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      nearestCentroid(embCol, centroids).as("cluster"))
+    val largest = clustered.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+    require(largest <= maxClusterSize,
+      s"semanticDedupRemoved: largest cluster holds $largest vectors " +
+        s"(> maxClusterSize=$maxClusterSize) — the within-cluster pair join " +
+        "would be quadratic in that cluster. Raise k (SemDeDup sizes k so " +
+        "clusters stay ~1e4-1e5) or pre-split with cosineNearDupPairs' " +
+        "LSH buckets.")
+    val a = clustered.select(col("cluster"), col("id").as("idA"), col("emb").as("embA"))
+    val b = clustered.select(col("cluster"), col("id").as("idB"), col("emb").as("embB"))
+    a.join(b, Seq("cluster"))
+      .filter(col("idA") < col("idB"))
+      .filter(cosine(col("embA"), col("embB")) >= threshold)
+      .groupBy(col("idB").as("removed_id"))
+      .agg(min(col("idA")).as("kept_id"))
   }
 }

@@ -75,4 +75,62 @@ object UnigramLm {
         round(-col("__sum").cast("double") / col("n_tokens"), outScale).as("xent"))
     Dedup.materializeAndFree(result, freq)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    * "Data Selection for Language Models via Importance Resampling",
+    * reduced to the unigram feature space): score every document of `df`
+    * by its mean per-token log-likelihood RATIO under a TARGET
+    * distribution (the domain you want more of — e.g. a curated or
+    * in-domain corpus) vs a RAW distribution (the corpus you're selecting
+    * from):
+    *
+    *   w(d) = (1/|d|) Σ_t [ log p_target(t) − log p_raw(t) ]
+    *
+    * Positive means the document looks more target-like than
+    * raw-average; selection keeps the top weights (deterministically —
+    * DSIR's Gumbel resampling step is a sampling refinement over the same
+    * weights). Returns (id, n_tokens, logratio).
+    *
+    * Determinism + scale contract identical to [[score]]: both frequency
+    * tables train in one shuffle each, per-token log-ratios are rounded to
+    * `logScale` decimals and summed exactly as DECIMAL(28,`logScale`),
+    * OOV tokens score as `oovCount` pseudo-occurrences over the FULL
+    * distribution totals, `maxVocab` caps + broadcasts both vocabularies
+    * (making the scoring pass shuffle-free on the frequency side), and the
+    * result is EAGER with internal barriers freed — the caller owns one
+    * `unpersist()`. */
+  def importanceWeights(df: DataFrame, target: DataFrame, raw: DataFrame,
+                        idCol: String, textCol: String,
+                        maxVocab: Int = 0, oovCount: Double = 0.5,
+                        logScale: Int = 6, outScale: Int = 4): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ft = tokenFrequencies(target, textCol).persist(lvl)
+    val fr = tokenFrequencies(raw, textCol).persist(lvl)
+    val totT = ft.agg(sum(col("cnt"))).head().getLong(0)
+    val totR = fr.agg(sum(col("cnt"))).head().getLong(0)
+    require(totT > 0, "importanceWeights: target corpus has no tokens")
+    require(totR > 0, "importanceWeights: raw corpus has no tokens")
+    def side(f: DataFrame, as: String): DataFrame = {
+      val capped =
+        if (maxVocab > 0)
+          broadcast(f.orderBy(col("cnt").desc, col("token").asc).limit(maxVocab))
+        else f
+      capped.withColumnRenamed("cnt", as)
+    }
+    val toks = df.select(col(idCol).as("id"),
+      explode(Text.tokens(col(textCol))).as("token"))
+    val ratio = round(
+      log(coalesce(col("cnt_t").cast("double"), lit(oovCount)) / lit(totT.toDouble)) -
+        log(coalesce(col("cnt_r").cast("double"), lit(oovCount)) / lit(totR.toDouble)),
+      logScale).cast(s"decimal(28,$logScale)")
+    val result = toks
+      .join(side(ft, "cnt_t"), Seq("token"), "left")
+      .join(side(fr, "cnt_r"), Seq("token"), "left")
+      .select(col("id"), ratio.as("__lr"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("__sum"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        round(col("__sum").cast("double") / col("n_tokens"), outScale).as("logratio"))
+    Dedup.materializeAndFree(result, ft, fr)
+  }
 }

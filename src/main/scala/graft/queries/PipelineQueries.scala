@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Decontamination, Dedup, Packing, Similarity, Text, UnigramLm}
+import graft.functions.{Decontamination, Dedup, Packing, Retrieval, Similarity, Text, UnigramLm}
 import Tables.star
 
 /** The LLM-training-data-pipeline operator coverage (BASELINE.json north
@@ -528,6 +528,41 @@ object PipelineQueries {
         .select(col("embedding")).head().getSeq[Float](0)
       Similarity.probeTrainedIvfIndex(s, path, probe, k = 13, nprobe = 1)
         .select(col("vec_id"))
+    }),
+
+    // SemDeDup (cluster-then-dedup) with the planted-cluster oracle: the 8
+    // planted families (corpus base vector g + its 10+g near-copies at
+    // +100000 ids) are each a ≤0.017-diameter ball, so every family lands
+    // in ONE k-means cluster whatever the corpus clustering does, every
+    // family member pairs with the others at cosine ≈ 1 ≥ 0.9, and the
+    // corpus's max cross-cosine (~0.48) keeps real vectors out — the
+    // removed set is exactly the planted ids with kept witness g, both
+    // columns engine-independent. k=32 keeps real clusters small (the
+    // within-cluster join is quadratic in cluster size — the guard
+    // refuses larger ones).
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = star(s, dir, "embeddings").df.select("vec_id", "embedding")
+      val planted = plantedClusters(s, dir)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.semanticDedupRemoved(emb.unionByName(planted),
+        "embedding", "vec_id", k = 32, dim = 64, threshold = 0.9, iters = 3)
+    }),
+
+    // BM25 lexical retrieval: top-20 documents for a 3-term query. The
+    // idf and per-(doc, term) contributions are rounded then decimal-
+    // summed (the UnigramLm determinism scheme), so the full ranking
+    // hash-matches the DuckDB oracle.
+    "q_bm25_search" -> ((s, dir) =>
+      Retrieval.bm25TopK(star(s, dir, "documents").df, "doc_id", "text",
+        terms = Seq("spark", "vector", "join"), topK = 20)),
+
+    // DSIR importance weights: every document scored by its mean per-token
+    // log-likelihood ratio under the English-documents distribution vs the
+    // whole corpus — the data-selection signal for importance resampling.
+    "q_doc_dsir" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      UnigramLm.importanceWeights(docs, docs.filter(col("lang") === "en"),
+        docs, "doc_id", "text")
     })
   )
 
@@ -935,6 +970,73 @@ object PipelineQueries {
         |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
         |        FROM documents)
         |  GROUP BY tok)
-        |ORDER BY min_count DESC, token ASC LIMIT 20""".stripMargin
+        |ORDER BY min_count DESC, token ASC LIMIT 20""".stripMargin,
+
+    // Planted SemDeDup families: removed = every planted copy
+    // (100000 + g*1000 + c for c in 0..g+9), kept witness = corpus base g.
+    "q_semantic_dedup" ->
+      """SELECT CAST(100000 + vec_id * 1000 + s AS BIGINT) AS removed_id,
+        |  CAST(vec_id AS BIGINT) AS kept_id
+        |FROM (SELECT vec_id, unnest(generate_series(0, vec_id + 9)) AS s
+        |      FROM embeddings WHERE vec_id < 8)""".stripMargin,
+
+    // BM25 mirror: identical expression association everywhere a double is
+    // produced (idf's ln argument, the k1+1 product, the length
+    // normalization), idf and contributions rounded to 6 decimals, decimal
+    // per-doc sums.
+    "q_bm25_search" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM lens),
+        |post AS (
+        |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, dl,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM (SELECT d.doc_id, d.text, l.dl
+        |              FROM documents d JOIN lens l USING (doc_id)))
+        |  WHERE token IN ('spark', 'vector', 'join')
+        |  GROUP BY doc_id, token),
+        |idf AS (
+        |  SELECT token,
+        |    round(ln((CAST(s.n AS DOUBLE) - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6) AS idf
+        |  FROM (SELECT token, count(*) AS dfreq FROM post GROUP BY token), stats s)
+        |SELECT p.doc_id,
+        |  count(*) AS n_terms,
+        |  round(CAST(sum(CAST(round(
+        |      i.idf * (p.tf * (1.2 + 1.0)) /
+        |        (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * p.dl) / s.avgdl)),
+        |      6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS score
+        |FROM post p JOIN idf i USING (token), stats s
+        |GROUP BY p.doc_id
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+
+    // DSIR mirror: two unigram frequency tables (target = lang 'en', raw =
+    // all), per-token log-ratio rounded then decimal-summed, OOV tokens as
+    // 0.5 pseudo-occurrences over the FULL totals.
+    "q_doc_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tt AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM documents WHERE lang = 'en')
+        |  GROUP BY token),
+        |tr AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+        |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM tt),
+        |sr AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM tr)
+        |SELECT t.doc_id,
+        |  count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(round(
+        |      ln(coalesce(CAST(tt.cnt AS DOUBLE), 0.5) / st.tot)
+        |        - ln(coalesce(CAST(tr.cnt AS DOUBLE), 0.5) / sr.tot),
+        |      6) AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS logratio
+        |FROM tok t LEFT JOIN tt USING (token) LEFT JOIN tr USING (token), st, sr
+        |GROUP BY t.doc_id""".stripMargin
   )
 }

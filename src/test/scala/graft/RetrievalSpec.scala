@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Retrieval, Similarity, UnigramLm}
+
+/** BM25 retrieval, DSIR importance weights, and SemDeDup semantic dedup. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- BM25 ----------------------------------------------------------------
+
+  test("bm25TopK matches a hand-computed score on a tiny corpus") {
+    // 3 docs, query = {cat}: df=2, N=3, dl = 4, 2, 3 → avgdl = 3.0
+    val docs = Seq(
+      (1L, "cat dog cat bird"), // tf(cat)=2, dl=4
+      (2L, "dog bird"),         // no match
+      (3L, "cat dog fish")      // tf(cat)=1, dl=3
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    val idf = BigDecimal(math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def contrib(tf: Long, dl: Long): Double =
+      BigDecimal(idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / 3.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = BigDecimal(contrib(2, 4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d3 = BigDecimal(contrib(1, 3)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    assert(got.length == 2)                      // doc 2 never matches
+    assert(got.map(_._1).toSet == Set(1L, 3L))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 1 && byId(3L)._2 == 1) // one matched term each
+    assert(math.abs(byId(1L)._3 - d1) < 1e-9, s"doc1: ${byId(1L)._3} vs $d1")
+    assert(math.abs(byId(3L)._3 - d3) < 1e-9, s"doc3: ${byId(3L)._3} vs $d3")
+    assert(byId(1L)._3 > byId(3L)._3, "higher tf must outrank at equal idf")
+  }
+
+  test("bm25TopK ranking is deterministic and tie-broken by doc_id") {
+    val docs = (0L until 40L).map(i => (i, if (i % 2 == 0) "cat dog" else "dog bird"))
+      .toDF("doc_id", "text").repartition(7)
+    val a = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = Retrieval.bm25TopK(docs.repartition(3), "doc_id", "text", Seq("cat"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b, "partitioning changed the ranking")
+    // all even docs tie exactly → the top-5 must be the 5 smallest even ids
+    assert(a.map(_._1) == Seq(0L, 2L, 4L, 6L, 8L))
+  }
+
+  test("bm25 postings are filtered map-side before the aggregation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), topK = 5)
+      .queryExecution.executedPlan.toString
+    // the IN filter must sit under the first aggregate, not after a shuffle
+    val filterIdx = plan.indexOf("token#")
+    assert(plan.contains("Filter") && filterIdx >= 0)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("inverted index carries (tf, dl) per distinct (token, doc)") {
+    val docs = Seq((1L, "a b a"), (2L, "b")).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(idx == Set(("a", 1L, 2L, 3L), ("b", 1L, 1L, 3L), ("b", 2L, 1L, 1L)))
+  }
+
+  // --- DSIR ----------------------------------------------------------------
+
+  test("importanceWeights matches a hand computation with OOV handling") {
+    // target corpus: {x x y}; raw corpus: {x y y z}
+    val target = Seq((10L, "x x y")).toDF("doc_id", "text")
+    val raw = Seq((20L, "x y y z")).toDF("doc_id", "text")
+    // scored docs: "x q" — q is OOV in BOTH distributions (0.5 pseudo-count)
+    val df = Seq((1L, "x q")).toDF("doc_id", "text")
+    val got = UnigramLm.importanceWeights(df, target, raw, "doc_id", "text")
+    val row = got.collect().head
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lrX = r6(math.log(2.0 / 3.0) - math.log(1.0 / 4.0))
+    val lrQ = r6(math.log(0.5 / 3.0) - math.log(0.5 / 4.0))
+    val expect = BigDecimal((lrX + lrQ).toDouble / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(1) == 2)
+    assert(math.abs(row.getDouble(2) - expect) < 1e-9,
+      s"logratio ${row.getDouble(2)} vs $expect")
+    got.unpersist()
+  }
+
+  test("importanceWeights ranks target-like docs above raw-like docs") {
+    val target = (0L until 30L).map(i => (i, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = ((0L until 30L).map(i => (i, "alpha beta gamma")) ++
+      (30L until 90L).map(i => (i, "delta epsilon zeta"))).toDF("doc_id", "text")
+    val df = Seq((100L, "alpha beta"), (101L, "delta epsilon")).toDF("doc_id", "text")
+    val got = UnigramLm.importanceWeights(df, target, raw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(100L) > 0, s"target-like doc scored ${got(100L)}")
+    assert(got(101L) < 0, s"raw-only doc scored ${got(101L)}")
+  }
+
+  test("importanceWeights leaves no cached barriers behind") {
+    spark.sharedState.cacheManager.clearCache()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val d = Seq((1L, "x y")).toDF("doc_id", "text")
+    val r = UnigramLm.importanceWeights(d, d, d, "doc_id", "text")
+    r.unpersist(blocking = true)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"importanceWeights leaked persisted RDDs $leaked")
+  }
+
+  // --- SemDeDup ------------------------------------------------------------
+
+  test("semanticDedupRemoved finds planted within-cluster duplicates only") {
+    // two far-apart clusters; cluster A holds a triple of near-copies
+    // (ids 0,1,2), cluster B holds a pair (ids 10,11) plus a loner (12)
+    def v(base: Array[Float], eps: Float) =
+      base.zipWithIndex.map { case (x, i) => if (i == 0) x + eps else x }.toSeq
+    val a = Array(10f, 0f, 0f, 0f); val b = Array(-10f, 5f, 0f, 0f)
+    val rows = Seq(
+      (0L, v(a, 0f)), (1L, v(a, 0.001f)), (2L, v(a, 0.002f)),
+      (10L, v(b, 0f)), (11L, v(b, 0.001f)),
+      (12L, Seq(0f, 0f, 7f, 0f))) // its own region, no near-dup
+    val df = rows.toDF("vec_id", "embedding").repartition(5)
+    val got = Similarity.semanticDedupRemoved(df, "embedding", "vec_id",
+        k = 3, dim = 4, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 11L -> 10L))
+  }
+
+  test("semanticDedupRemoved guard refuses oversized clusters loudly") {
+    val rows = (0L until 50L).map(i => (i, Seq(1f, 0f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupRemoved(df, "embedding", "vec_id",
+        k = 2, dim = 4, threshold = 0.9, maxClusterSize = 10)
+    }
+    assert(e.getMessage.contains("maxClusterSize"))
+    assert(e.getMessage.contains("Raise k"))
+  }
+
+  test("semanticDedupRemoved is partitioning-independent") {
+    def vv(i: Long): Seq[Float] = {
+      val base = (i % 4).toInt
+      Seq.tabulate(4)(j => (if (j == base) 10f else 0f) + (i / 4).toFloat * 0.001f)
+    }
+    val rows = (0L until 32L).map(i => (i, vv(i)))
+    def run(parts: Int) =
+      Similarity.semanticDedupRemoved(rows.toDF("vec_id", "embedding").repartition(parts),
+          "embedding", "vec_id", k = 4, dim = 4, threshold = 0.999)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(run(1) == run(13))
+  }
+}
