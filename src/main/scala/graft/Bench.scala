@@ -35,6 +35,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Bound AQE's per-update plan-string render: a deep iterative plan
+      // otherwise costs plan-sized DRIVER time per plan-change event
+      // (onUpdatePlan → explainString), single-threaded. 1 MB keeps any
+      // conceivable diagnostic value; the default is effectively unbounded.
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -332,9 +332,24 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+    // Flatten the EDGE plan before iterating, symmetric to the output
+    // flattening below: `pairs` usually arrives as a filter over a dedup
+    // operator's (cached but tree-shaped) candidate pipeline, and the
+    // iteration embeds the edge plan in every generation's plan — twice
+    // per round via the union legs. The driver then pays plan-sized costs
+    // PER ACTION (analysis, canonicalization, and AQE's onUpdatePlan
+    // explainString render, which fires per plan update event): measured
+    // 42 → 725 s on the SAME 8k-edge graph at rehearsal 10× depending
+    // only on the size of the upstream candidate tree. A flat LogicalRDD
+    // edge table makes iteration cost independent of how the edges were
+    // produced — on a 1000-executor cluster the alternative is minutes of
+    // single-threaded driver stall per action. Lineage contract: losing a
+    // cached partition re-executes the raw edge plan (uncached upstream),
+    // correct and merely slower — same as the output flattening.
+    val edgesRaw = pairs.select(col("idA").as("src"), col("idB").as("dst"))
       .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
       .distinct()
+    val edges = org.apache.spark.sql.graft.PlanBridge.flattenPlan(edgesRaw)
       .persist(MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id"))
       .distinct()

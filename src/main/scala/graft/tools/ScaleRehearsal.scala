@@ -23,6 +23,8 @@ object ScaleRehearsal {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: bound AQE's per-update plan-string render
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -138,6 +140,39 @@ object ScaleRehearsal {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"[scale] probeLshIndex median of 5 (mult=$mult)   ${probeTimes(2)}%8.3f s")
+      sweep()
+
+      // 4. round-5 operators: sequence packing, token-budget mixing,
+      //    bloom decontamination, unigram-LM scoring — all should be
+      //    floor-dominated at 1× and ~linear at 10×.
+      t(s"packedStats cap=2048 (mult=$mult)") {
+        graft.functions.Packing.packedStats(docs, "doc_id",
+          graft.functions.Text.tokenCount(col("text")), capacity = 2048,
+          bucketWidth = 100000L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+      t(s"rebalanceTokenBudget 5 sources (mult=$mult)") {
+        // budget ∝ corpus so the kept fraction stays ~constant across mults
+        graft.functions.Mixing.rebalanceTokenBudget(
+          docs.withColumn("src", pmod(col("doc_id"), lit(5L))), "doc_id", "src",
+          graft.functions.Text.tokenCount(col("text")),
+          tokenBudgetPerGroup = nDocs * 6)
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+      t(s"sharedNgramCountsBloom (mult=$mult)") {
+        val r = graft.functions.Decontamination.sharedNgramCountsBloom(
+          docs, benchmark, "doc_id", "text", n = 4, expectedGrams = 100000L)
+        println(s"[scale]   contaminated docs: ${r.count()}")
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      t(s"UnigramLm.score self-trained (mult=$mult)") {
+        val r = graft.functions.UnigramLm.score(docs, docs, "doc_id", "text")
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
       sweep()
     }
     spark.stop()
