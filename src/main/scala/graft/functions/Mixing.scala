@@ -93,6 +93,32 @@ object Mixing {
       .drop("__n", "__h", "__b", "__offset", "__start")
   }
 
+  /** Deterministic stratified sample with EXACT per-group quotas: the
+    * `nPerGroup` rows of each group that sort first by (48-bit md5 prefix
+    * of the id, id) — an unbiased, seedless sample that is reproducible
+    * across engines, partitionings and cluster sizes (the eval-set /
+    * holdout construction primitive; `df.sample()` is none of those, and
+    * per-group `row_number()` windows sort every row of every group).
+    *
+    * Scale shape: the TopKPairs bounded aggregate keeps O(k) state per
+    * group with map-side combine — each partition ships at most
+    * `nPerGroup` candidates per group through the shuffle, so a skewed
+    * 10 TB group costs the same shuffle volume as a tiny one. The 48-bit
+    * hash prefix is exact in the aggregate's double score (no precision
+    * ties beyond the md5 itself; residual ties break by id). */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       nPerGroup: Int): DataFrame = {
+    require(nPerGroup > 0, s"nPerGroup must be positive, got $nPerGroup")
+    val h48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double")
+    df.select(col(groupCol), col(idCol), (-h48).as("__score"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.expressions.TopKByKey
+        .topK(col("__score"), col(idCol), nPerGroup).as("__top"))
+      .select(col(groupCol), explode(col("__top")).as("__t"))
+      .select(col(groupCol), col("__t.id").as(idCol))
+  }
+
   /** Per-group kept/total report for a rebalanced frame — the mixture
     * audit a pipeline logs after resampling. */
   def mixReport(df: DataFrame, rebalanced: DataFrame,

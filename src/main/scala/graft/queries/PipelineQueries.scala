@@ -274,6 +274,14 @@ object PipelineQueries {
           sum(Text.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
     }),
 
+    // Deterministic stratified sample: 10 docs per language in md5-prefix
+    // order — exact quotas, seedless, partitioning-independent. Bounded
+    // O(k)-state TopKPairs aggregate (map-side combine), not a per-group
+    // row_number window; the oracle reproduces the order with one.
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.functions.Mixing.stratifiedSample(
+        star(s, dir, "documents").df, "lang", "doc_id", nPerGroup = 10)),
+
     // --- sequence preparation ----------------------------------------------
     // GPT-style concat-and-slice sequence packing: documents laid end-to-end
     // in doc_id order, the token stream cut every 2048 tokens; output is the
@@ -971,6 +979,17 @@ object PipelineQueries {
         |        FROM documents)
         |  GROUP BY tok)
         |ORDER BY min_count DESC, token ASC LIMIT 20""".stripMargin,
+
+    // Stratified sample mirror: per-lang row_number over the same 48-bit
+    // md5-prefix order (ascending hash = descending negated score).
+    "q_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |                 AS BIGINT) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
 
     // Planted SemDeDup families: removed = every planted copy
     // (100000 + g*1000 + c for c in 0..g+9), kept witness = corpus base g.

@@ -111,6 +111,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"importanceWeights leaked persisted RDDs $leaked")
   }
 
+  // --- stratified sampling -------------------------------------------------
+
+  test("stratifiedSample takes exact quotas in md5 order, small groups whole") {
+    val df = ((0L until 40L).map(i => ("big", i)) ++
+      (100L until 103L).map(i => ("small", i))).toDF("grp", "id").repartition(7)
+    val got = graft.functions.Mixing.stratifiedSample(df, "grp", "id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byGrp = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byGrp("big").size == 5)
+    assert(byGrp("small") == Set(100L, 101L, 102L), "small group must keep all")
+    // reference: sort by (48-bit md5 prefix, id)
+    def h(i: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString, 16)
+    val expectBig = (0L until 40L).sortBy(i => (h(i), i)).take(5).toSet
+    assert(byGrp("big") == expectBig)
+  }
+
+  test("stratifiedSample is partitioning-independent") {
+    val df = (0L until 200L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+    def run(parts: Int) =
+      graft.functions.Mixing.stratifiedSample(df.repartition(parts), "grp", "id", 7)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(run(1) == run(17))
+  }
+
   // --- SemDeDup ------------------------------------------------------------
 
   test("semanticDedupRemoved finds planted within-cluster duplicates only") {
