@@ -451,6 +451,124 @@ object Similarity {
       .distinct()
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the `dim`-dimensional
+    * space is split into `m` subspaces of dim/m, and each subspace gets
+    * its own `k`-centroid k-means codebook. A vector is then stored as m
+    * small codes instead of dim floats — at (dim=64, m=8, k=16) that is
+    * 8 half-byte codes vs 256 bytes, a 32-64× compression that turns a
+    * 100 TB float embedding store into a few TB of codes scannable at
+    * memory bandwidth.
+    *
+    * Training runs m independent [[kmeans]] passes over sliced subvectors
+    * — each pass shuffles only k×(dim/m) decimal partial sums, and all of
+    * kmeans' determinism guarantees (farthest-point init, decimal sums,
+    * tie-breaks) carry over, so codebooks are engine- and
+    * partitioning-independent. Returns codebooks(j)(c) = centroid c of
+    * subspace j. */
+  def trainPqCodebooks(df: DataFrame, embCol: String, idCol: String,
+                       dim: Int, m: Int = 8, k: Int = 16,
+                       iters: Int = 5): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).toArray.map { j =>
+      val sub = df.select(col(idCol),
+        slice(col(embCol), j * dsub + 1, dsub).as("__sub"))
+      val (_, centroids, _) =
+        kmeans(sub, "__sub", idCol, k, dsub, iters, trackInertia = false)
+      centroids
+    }
+  }
+
+  /** Encode vectors to PQ codes: per subspace, the index of the nearest
+    * codebook centroid — one narrow codegen'd pass, no shuffle, no joins.
+    * Returns (id, codes array<int> of length m). */
+  def pqEncode(df: DataFrame, embCol: String, idCol: String,
+               codebooks: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val m = codebooks.length
+    val dsub = dim / m
+    val codeCols = (0 until m).map { j =>
+      // nearestCentroid over the sliced subvector against subspace j's book
+      val subCol = s"__sub$j"
+      (subCol, slice(col(embCol), j * dsub + 1, dsub))
+    }
+    val withSubs = codeCols.foldLeft(df.select(col(idCol), col(embCol))) {
+      case (acc, (name, c)) => acc.withColumn(name, c)
+    }
+    withSubs.select(col(idCol),
+      array((0 until m).map(j =>
+        nearestCentroid(s"__sub$j", codebooks(j))): _*).as("codes"))
+  }
+
+  /** Persist a PQ index: the tiny codebook table plus the codes table
+    * (the scan target — m ints per vector instead of dim floats). */
+  def writePqIndex(df: DataFrame, embCol: String, idCol: String, path: String,
+                   dim: Int, m: Int = 8, k: Int = 16, iters: Int = 5): Unit = {
+    val books = trainPqCodebooks(df, embCol, idCol, dim, m, k, iters)
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val bookRows = (for {
+      j <- books.indices; c <- books(j).indices
+    } yield org.apache.spark.sql.Row(j, c, books(j)(c).toSeq)).asJava
+    spark.createDataFrame(bookRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncode(df, embCol, idCol, books, dim)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    // marker for memoized builds
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"), true).close()
+  }
+
+  /** Asymmetric-distance (ADC) probe over a [[writePqIndex]] index: the
+    * query stays a full float vector; per subspace a k-entry lookup table
+    * of inner products and centroid norms is computed DRIVER-side and
+    * shipped as literals, so scoring a stored vector is m array lookups +
+    * m−1 adds — no per-row vector math at all. The approximate cosine is
+    *   Σ_j <q_j, c_{j,code_j}>  /  (|q| · √(Σ_j |c_{j,code_j}|²))
+    * (the reconstruction x̂'s exact cosine to q). Ties break by id.
+    *
+    * Scale shape: one codegen'd scan of the codes table (m ints/row,
+    * 32-64× less I/O than the float vectors) + a TakeOrderedAndProject —
+    * the re-rank-on-full-vectors refinement composes downstream by
+    * joining the top candidates back to the float table by id. */
+  def probePqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   query: Seq[Float], topK: Int,
+                   idCol: String = "vec_id"): DataFrame = {
+    val books = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = books.keys.map(_._1).max + 1
+    val k = books.keys.map(_._2).max + 1
+    val dsub = books((0, 0)).length
+    val q = query.map(_.toDouble).toArray
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    val ipTab = Array.tabulate(m, k) { (j, c) =>
+      val cent = books((j, c))
+      (0 until dsub).map(t => q(j * dsub + t) * cent(t)).sum
+    }
+    val n2Tab = Array.tabulate(m, k) { (j, c) =>
+      books((j, c)).map(x => x * x).sum
+    }
+    def lut(tab: Array[Array[Double]]): Seq[Column] =
+      (0 until m).map(j =>
+        element_at(array(tab(j).map(lit(_)): _*),
+          element_at(col("codes"), j + 1) + 1))
+    val ip = lut(ipTab).reduce(_ + _)
+    val n2 = lut(n2Tab).reduce(_ + _)
+    val den = lit(qnorm) * sqrt(n2)
+    spark.read.parquet(s"$path/codes")
+      .select(col(idCol),
+        when(den > 0, ip / den).otherwise(lit(0.0)).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings with k-means and removing,
     * WITHIN each cluster, every vector whose cosine to a lower-id cluster

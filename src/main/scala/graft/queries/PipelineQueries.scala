@@ -538,6 +538,24 @@ object PipelineQueries {
         .select(col("vec_id"))
     }),
 
+    // Product-quantization ADC probe with the planted oracle: codebooks
+    // train per-subspace k-means on the 8 planted families, so each
+    // family's subvectors collapse to one centroid per subspace and all
+    // members of family 3 encode to IDENTICAL codes whose ADC cosine to
+    // base vector 3 strictly dominates every other family (between-base
+    // distance ≥ 1.19). Top-13 with id tie-break = exactly family 3 — an
+    // engine-independent answer pinning codebook training, encoding, the
+    // driver-side lookup tables, and ADC ranking end to end. The probe
+    // scans m ints per vector, never floats (the 32-64× compressed-ANN
+    // path); build is memoized and declared in indexedQueries.
+    "q_emb_pq_probe" -> ((s, dir) => {
+      val path = pqIndexFor(s, dir)
+      val probe = star(s, dir, "embeddings").df.filter(col("vec_id") === 3)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.probePqIndex(s, path, probe, topK = 13)
+        .select(col("vec_id"))
+    }),
+
     // SemDeDup (cluster-then-dedup) with the planted-cluster oracle: the 8
     // planted families (corpus base vector g + its 10+g near-copies at
     // +100000 ids) are each a ≤0.017-diameter ball, so every family lands
@@ -598,6 +616,19 @@ object PipelineQueries {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
       Similarity.writeTrainedIvfIndex(plantedClusters(s, dir),
         "embedding", "vec_id", path, nlist = 8, dim = 64)
+    path
+  }
+
+  /** Memoized PQ index over the planted clusters (same scheme as
+    * [[ivfIndexFor]]). */
+  private def pqIndexFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|pqplant8".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      Similarity.writePqIndex(plantedClusters(s, dir),
+        "embedding", "vec_id", path, dim = 64, m = 8, k = 16, iters = 3)
     path
   }
 
@@ -804,6 +835,10 @@ object PipelineQueries {
     // (vec_id 3000..3012) — see the query comment for why this is fully
     // determined
     "q_emb_ivf_probe" ->
+      "SELECT CAST(3000 + i AS BIGINT) AS vec_id FROM range(13) t(i)",
+
+    // PQ ADC probe recovers the same planted family (see the query note).
+    "q_emb_pq_probe" ->
       "SELECT CAST(3000 + i AS BIGINT) AS vec_id FROM range(13) t(i)",
 
     // Planted k-means recovery: the size multiset 10..17 (labels are

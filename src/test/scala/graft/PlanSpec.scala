@@ -190,4 +190,41 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc score aggregation not map-side combined:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("bm25 filters postings before aggregation and broadcasts the idf side") {
+    val plan = graft.queries.PipelineQueries.queries("q_bm25_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the query-term IN filter must cut postings in the scan stage, under
+    // the (doc, term) aggregate — never aggregate-then-filter
+    val filterIdx = plan.indexOf("token#")
+    assert(filterIdx >= 0 && plan.contains("Filter"),
+      s"query-term filter missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"per-term idf table not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not TakeOrdered (global sort would shuffle all scores):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("stratified sample partial-aggregates bounded top-k state per group") {
+    val plan = graft.queries.PipelineQueries.queries("q_stratified_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the TopKPairs TypedImperativeAggregate must combine map-side: the
+    // shuffle carries <= k candidates per (group, partition), never rows
+    assert(plan.contains("partial_topkpairs") || plan.contains("ObjectHashAggregate"),
+      s"top-k sample not map-side combined:\n$plan")
+    assert(!plan.contains("Window"),
+      s"sample fell back to a per-group window sort:\n$plan")
+  }
+
+  test("pq probe scans codes only: no join, no vector column, TakeOrdered top-k") {
+    val plan = graft.queries.PipelineQueries.queries("q_emb_pq_probe")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ADC top-k not TakeOrdered:\n$plan")
+    assert(!plan.contains("Join"), s"PQ probe must be joinless:\n$plan")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("embedding"),
+      s"probe reads float vectors instead of codes:\n$readSchema")
+  }
 }

@@ -138,6 +138,63 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(1) == run(17))
   }
 
+  // --- product quantization ------------------------------------------------
+
+  test("pq encode/probe reconstructs exactly when vectors sit on centroids") {
+    // two exact clusters per subspace: every vector IS a codebook centroid,
+    // so the ADC cosine equals the exact cosine
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 2f, 0f)), (1L, Seq(1f, 0f, 0f, 3f)),
+      (2L, Seq(0f, 5f, 2f, 0f)), (3L, Seq(0f, 5f, 0f, 3f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqspec").toString
+    Similarity.writePqIndex(df, "embedding", "vec_id", dir,
+      dim = 4, m = 2, k = 2, iters = 3)
+    val q = Seq(1f, 0f, 2f, 0f)
+    val got = Similarity.probePqIndex(spark, dir, q, topK = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ip = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      ip / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    rows.foreach { case (id, v) =>
+      assert(math.abs(got(id) - cos(q, v)) < 1e-9,
+        s"vec $id: adc=${got(id)} exact=${cos(q, v)}")
+    }
+  }
+
+  test("pq probe recovers a planted family with id tie-breaks") {
+    // 3 well-separated families of near-identical copies in 8-d
+    def fam(base: Array[Float], n: Int, idBase: Long) =
+      (0 until n).map(c => (idBase + c,
+        base.zipWithIndex.map { case (x, i) =>
+          if (i == 0) x + c * 0.0005f else x }.toSeq))
+    val rows = fam(Array(8f, 0f, 0f, 0f, 1f, 0f, 0f, 0f), 5, 0L) ++
+      fam(Array(0f, 8f, 0f, 0f, 0f, 1f, 0f, 0f), 4, 100L) ++
+      fam(Array(0f, 0f, 8f, 0f, 0f, 0f, 1f, 0f), 6, 200L)
+    val df = rows.toDF("vec_id", "embedding").repartition(5)
+    val dir = java.nio.file.Files.createTempDirectory("pqspec2").toString
+    Similarity.writePqIndex(df, "embedding", "vec_id", dir,
+      dim = 8, m = 4, k = 4, iters = 3)
+    val got = Similarity.probePqIndex(spark,
+        dir, Seq(0f, 8f, 0f, 0f, 0f, 1f, 0f, 0f), topK = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(100L, 101L, 102L, 103L),
+      s"expected family 100-103 in id order, got $got")
+  }
+
+  test("pq codebooks are partitioning-independent") {
+    val rows = (0L until 60L).map { i =>
+      (i, Seq.tabulate(4)(j => ((i % 5) + 1).toFloat * (j + 1) + (i / 5).toFloat * 0.001f))
+    }
+    def books(parts: Int) =
+      Similarity.trainPqCodebooks(rows.toDF("vec_id", "embedding").repartition(parts),
+        "embedding", "vec_id", dim = 4, m = 2, k = 5, iters = 3)
+        .map(_.map(_.toSeq).toSeq).toSeq
+    assert(books(1) == books(13))
+  }
+
   // --- SemDeDup ------------------------------------------------------------
 
   test("semanticDedupRemoved finds planted within-cluster duplicates only") {
