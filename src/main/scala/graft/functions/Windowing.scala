@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed per-group ranking — the scale-correct replacement for
+  * `row_number() OVER (PARTITION BY g ORDER BY o)`.
+  *
+  * Spark's window operator clusters each partition key onto ONE task: a
+  * 100 TB corpus with 30 languages becomes 30 giant sort tasks (and one
+  * straggler per skewed language). Here the data is RANGE-partitioned on
+  * (group, order) instead — a huge group spans as many partitions as its
+  * size requires, every task is bounded by `maxPartitionBytes`-scale slices
+  * — and the global per-group rank is reassembled from metadata:
+  *
+  *   1. `repartitionByRange` + `sortWithinPartitions` on (group ++ order)
+  *      — the ONE data shuffle;
+  *   2. `monotonically_increasing_id()` over the sorted partitions gives a
+  *      per-partition-contiguous id, so a row's LOCAL rank inside its
+  *      (group, partition) slice is `mid − min(mid of the slice) + 1` —
+  *      no window over the data at all;
+  *   3. per-(group, partition) `(min(mid), count)` is a metadata-sized
+  *      aggregate (groups × partitions rows); the exclusive prefix of the
+  *      counts in partition order (a window over that TINY table) is each
+  *      slice's global offset, broadcast back.
+  *
+  * Determinism: boundaries come from `RangePartitioner`'s seeded sampler
+  * and the within-partition sort uses the full (group ++ order) key, so
+  * when that key is a TOTAL order (append a unique id as the last order
+  * column) the assigned ranks equal the sequential `row_number` under the
+  * same ordering — engine-, partitioning- and cluster-size-independent.
+  *
+  * Reference semantics: pandas `groupby().rank()` / `ngroup`-style
+  * enumeration (pdtable delegates ranking to pandas; see
+  * pdtable/frame.py — single-process there, range-reassembled here).
+  */
+object Windowing {
+
+  /** Per-group `row_number` (1-based) under (orderCols) within each
+    * groupCols group, as a new `outCol` column appended to `df`'s columns.
+    * `orderCols` must include a tie-breaking unique key for a fully
+    * deterministic result. */
+  def globalRowNumber(df: DataFrame, groupCols: Seq[String],
+                      orderCols: Seq[String], outCol: String = "rn",
+                      numPartitions: Int = 0): DataFrame =
+    withRankAndCount(df, groupCols, orderCols, numPartitions)
+      .withColumnRenamed("__rn", outCol)
+      .drop("__gn")
+
+  /** Per-group ntile(k): bucket 1..k by rank order, first (n mod k)
+    * buckets one row larger — exactly SQL NTILE over
+    * (PARTITION BY groupCols ORDER BY orderCols), reassembled from the
+    * same one-shuffle rank. */
+  def globalNtile(df: DataFrame, groupCols: Seq[String],
+                  orderCols: Seq[String], k: Int, outCol: String = "bucket",
+                  numPartitions: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ranked = withRankAndCount(df, groupCols, orderCols, numPartitions)
+    val base = intDiv(col("__gn"), lit(k))
+    val rem = col("__gn") % k
+    val cut = rem * (base + 1)
+    // First `rem` buckets have base+1 rows; when n < k, base = 0 and every
+    // row lands in its own bucket (cut = n) — the `otherwise` branch, with
+    // its division by base = 0, is never taken.
+    val bucket = when(col("__rn") <= cut, intDiv(col("__rn") - 1, base + 1))
+      .otherwise(rem + intDiv(col("__rn") - cut - 1, base))
+    ranked.withColumn(outCol, (bucket + 1).cast("int")).drop("__rn", "__gn")
+  }
+
+  /** Integer division on non-negative longs — exact past 2^53, where
+    * Spark's `/` (double division) starts rounding. */
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ColumnBridge.expression(a.cast("long")),
+      ColumnBridge.expression(b.cast("long")))).cast("long")
+  }
+
+  /** Shared core: df + `__rn` (per-group rank) + `__gn` (group size). */
+  private def withRankAndCount(df: DataFrame, groupCols: Seq[String],
+                               orderCols: Seq[String],
+                               numPartitions: Int): DataFrame = {
+    require(groupCols.nonEmpty && orderCols.nonEmpty,
+      "groupCols and orderCols must be non-empty")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys: Seq[Column] = (groupCols ++ orderCols).map(col)
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    // Metadata-sized slice stats; the offset window runs over
+    // groups × partitions rows, never the data.
+    val gCols = groupCols.map(col)
+    val slices = ranged.groupBy(gCols :+ col("__pid"): _*)
+      .agg(min(col("__mid")).as("__mmin"), count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gCols: _*)
+    val offsets = slices
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__gn", sum(col("__c")).over(wTot))
+      .drop("__c")
+    ranged.join(broadcast(offsets), groupCols :+ "__pid")
+      .withColumn("__rn", col("__mid") - col("__mmin") + 1 + col("__off"))
+      .drop("__pid", "__mid", "__mmin", "__off")
+  }
+}

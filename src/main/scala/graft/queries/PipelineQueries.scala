@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Decontamination, Dedup, Packing, Retrieval, Similarity, Text, UnigramLm}
+import graft.functions.{Decontamination, Dedup, Packing, Retrieval, Similarity, Text, UnigramLm, Windowing}
 import Tables.star
 
 /** The LLM-training-data-pipeline operator coverage (BASELINE.json north
@@ -311,6 +311,20 @@ object PipelineQueries {
     "q_doc_perplexity" -> ((s, dir) => {
       val docs = star(s, dir, "documents").df
       UnigramLm.score(docs, docs, "doc_id", "text")
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    // split the corpus into head/middle/tail terciles of the unigram
+    // cross-entropy — the selection step that keeps "head" for training.
+    // The rank is the distributed one-shuffle globalNtile, never a
+    // per-language window task; (xent, doc_id) is a total order so the
+    // bucket assignment is engine-independent and NTILE-exact.
+    "q_doc_ppl_buckets" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val scored = UnigramLm.score(docs, docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Windowing.globalNtile(scored, Seq("lang"), Seq("xent", "doc_id"), 3)
+        .select(col("doc_id"), col("lang"), col("xent"), col("bucket"))
     }),
 
     // --- fingerprinting ----------------------------------------------------
@@ -967,6 +981,24 @@ object PipelineQueries {
         |    AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS xent
         |FROM tok t JOIN freq f USING (token), tot
         |GROUP BY t.doc_id""".stripMargin,
+
+    "q_doc_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |freq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    round(-CAST(sum(CAST(round(ln(CAST(f.cnt AS DOUBLE) / tot.total), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS xent
+        |  FROM tok t JOIN freq f USING (token), tot
+        |  GROUP BY t.doc_id)
+        |SELECT s.doc_id, d.lang, s.xent,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY s.xent, s.doc_id)
+        |    AS INTEGER) AS bucket
+        |FROM scored s JOIN documents d USING (doc_id)""".stripMargin,
 
     "q_doc_split" ->
       """SELECT CASE WHEN b < 90 THEN 'train'

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Windowing
+
+/** Distributed per-group ranking (globalRowNumber / globalNtile). */
+class WindowingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (group, value, id): skewed group sizes (g0 dominates), duplicate values
+  // within groups so the id tie-break matters, sparse ids.
+  private val rows: Seq[(String, Long, Long)] =
+    (0L until 400L).map(i => ("g" + (if (i % 10 < 7) 0 else i % 10),
+      (i * 13) % 23, i * 3 + 1))
+
+  private def reference: Map[Long, Long] =
+    rows.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._2, r._3)).zipWithIndex
+        .map { case (r, i) => r._3 -> (i + 1L) }
+    }.toMap
+
+  private def referenceNtile(k: Int): Map[Long, Int] =
+    rows.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+      val n = rs.length
+      val base = n / k; val rem = n % k
+      val sizes = (0 until k).map(b => if (b < rem) base + 1 else base)
+      val buckets = sizes.zipWithIndex.flatMap { case (sz, b) => Seq.fill(sz)(b + 1) }
+      rs.sortBy(r => (r._2, r._3)).map(_._3).zip(buckets)
+    }.toMap
+
+  test("globalRowNumber matches the sequential row_number reference") {
+    val df = rows.toDF("g", "v", "id").repartition(7)
+    val got = Windowing.globalRowNumber(df, Seq("g"), Seq("v", "id"))
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(got == reference)
+  }
+
+  test("globalRowNumber is partitioning- and numPartitions-independent") {
+    val expected = reference
+    for (parts <- Seq(1, 13); np <- Seq(2, 32)) {
+      val got = Windowing.globalRowNumber(
+          rows.toDF("g", "v", "id").repartition(parts),
+          Seq("g"), Seq("v", "id"), numPartitions = np)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      assert(got == expected, s"parts=$parts np=$np diverged")
+    }
+  }
+
+  test("globalNtile matches SQL NTILE semantics incl. uneven remainders") {
+    for (k <- Seq(1, 3, 7)) {
+      val got = Windowing.globalNtile(
+          rows.toDF("g", "v", "id").repartition(5),
+          Seq("g"), Seq("v", "id"), k)
+        .collect().map(r => r.getLong(2) -> r.getInt(3)).toMap
+      assert(got == referenceNtile(k), s"k=$k diverged")
+    }
+  }
+
+  test("globalNtile with more buckets than rows gives each row its own bucket") {
+    val tiny = Seq(("a", 1L, 10L), ("a", 2L, 11L), ("b", 5L, 12L))
+    val got = Windowing.globalNtile(tiny.toDF("g", "v", "id"),
+        Seq("g"), Seq("v", "id"), k = 5)
+      .collect().map(r => r.getLong(2) -> r.getInt(3)).toMap
+    assert(got == Map(10L -> 1, 11L -> 2, 12L -> 1))
+  }
+
+  test("plan: one range shuffle of the data, no data-side window, broadcast reassembly") {
+    val df = rows.toDF("g", "v", "id").repartition(7)
+    val plan = Windowing.globalRowNumber(df, Seq("g"), Seq("v", "id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+    // the only Window must run over the metadata-sized slice table (its
+    // child contains the partial aggregate), never over the ranged data
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("__c")),
+      s"window not confined to slice stats:\n$plan")
+  }
+}
