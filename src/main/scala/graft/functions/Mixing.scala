@@ -119,6 +119,54 @@ object Mixing {
       .select(col(groupCol), col("__t.id").as(idCol))
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007, "Priority sampling
+    * for estimation of arbitrary subset sums"): a weight-sensitive sample
+    * of exactly `k` rows with an UNBIASED per-row weight estimator — the
+    * principled way to downsample a corpus while keeping subset-sum
+    * statistics (token mass per source, bytes per language …) estimable
+    * from the sample alone.
+    *
+    * Each row draws u from its id's 48-bit md5 prefix (u = h+1, an exact
+    * integer in [1, 2^48]) and gets priority p = u / w; the sample is the
+    * k smallest priorities and the estimator is ŵ = max(w, τ) with
+    * τ = 1/p_{k+1} (rows heavier than τ are kept with their true weight,
+    * lighter ones inflate to τ — expectation-exact by the DLT theorem).
+    * Seedless and engine-independent: IEEE double division is correctly
+    * rounded everywhere, so priorities — and the sample — are identical
+    * in any engine computing the same formula (no libm involved).
+    *
+    * Scale shape: one bounded-state TopKPairs global aggregate (each
+    * partition ships ≤ k+1 candidates; a full ORDER BY would sort the
+    * corpus), then the k sampled ids broadcast back against `df` to
+    * recover the rows. Rows with non-positive weight are excluded (DLT
+    * requires w > 0). Returns (id, weight, w_hat). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, outScale: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val pri = (h48 + 1).cast("double") / col(weightCol).cast("double")
+    val top = df.filter(col(weightCol) > 0)
+      .select(col(idCol), pri.as("__pri"))
+      .groupBy()
+      .agg(graft.functions.expressions.TopKByKey
+        .topK(-col("__pri"), col(idCol), k + 1).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("__pos"), (-col("__t.score")).as("__pri"),
+        col("__t.id").as(idCol))
+    // τ = 1/p_{k+1}; absent when the population has ≤ k rows (then every
+    // row is sampled and ŵ = w exactly — greatest(w, 0) below).
+    val tau = top.filter(col("__pos") === k)
+      .select((lit(1.0) / col("__pri")).as("__tau"))
+    val sample = top.filter(col("__pos") < k).select(col(idCol))
+    df.join(broadcast(sample), Seq(idCol))
+      .crossJoin(broadcast(tau.groupBy()
+        .agg(coalesce(max(col("__tau")), lit(0.0)).as("__tau"))))
+      .select(col(idCol), col(weightCol).as("weight"),
+        round(greatest(col(weightCol).cast("double"), col("__tau")), outScale)
+          .as("w_hat"))
+  }
+
   /** Per-group kept/total report for a rebalanced frame — the mixture
     * audit a pipeline logs after resampling. */
   def mixReport(df: DataFrame, rebalanced: DataFrame,

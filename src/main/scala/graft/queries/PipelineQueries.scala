@@ -282,6 +282,15 @@ object PipelineQueries {
       graft.functions.Mixing.stratifiedSample(
         star(s, dir, "documents").df, "lang", "doc_id", nPerGroup = 10)),
 
+    // Priority sampling (Duffield-Lund-Thorup): 50 docs weighted by
+    // n_chars, with the unbiased max(w, tau) estimator. Priorities are
+    // exact-integer hashes over IEEE double division, so the sample AND
+    // the estimator are engine-independent; the oracle repeats the
+    // formula with a DuckDB window.
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.functions.Mixing.prioritySample(
+        star(s, dir, "documents").df, "doc_id", "n_chars", k = 50)),
+
     // --- sequence preparation ----------------------------------------------
     // GPT-style concat-and-slice sequence packing: documents laid end-to-end
     // in doc_id order, the token stream cut every 2048 tokens; output is the
@@ -1057,6 +1066,19 @@ object PipelineQueries {
         |                 AS BIGINT) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |       AS BIGINT) + 1) / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, row_number() OVER (ORDER BY pri, doc_id) AS rn FROM p),
+        |tau AS (SELECT coalesce(max(CASE WHEN rn = 51 THEN 1.0 / pri END), 0.0)
+        |          AS tau FROM r)
+        |SELECT r.doc_id, r.n_chars AS weight,
+        |  round(greatest(CAST(r.n_chars AS DOUBLE), tau.tau), 4) AS w_hat
+        |FROM r, tau WHERE r.rn <= 50""".stripMargin,
 
     // Planted SemDeDup families: removed = every planted copy
     // (100000 + g*1000 + c for c in 0..g+9), kept witness = corpus base g.

@@ -138,6 +138,47 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(1) == run(17))
   }
 
+  // --- priority sampling ---------------------------------------------------
+
+  private def pri48(i: Long, w: Long): Double = {
+    val h = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString, 16)
+    (h + 1).toDouble / w.toDouble
+  }
+
+  test("prioritySample matches the DLT reference incl. the max(w, tau) estimator") {
+    val rows = (0L until 60L).map(i => (i, (i % 9) * 100 + 1))
+    val df = rows.toDF("id", "w").repartition(7)
+    val got = graft.functions.Mixing.prioritySample(df, "id", "w", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sorted = rows.sortBy { case (i, w) => (pri48(i, w), i) }
+    val tau = 1.0 / pri48(sorted(8)._1, sorted(8)._2)
+    val expect = sorted.take(8).map { case (i, w) =>
+      (i, w, math.rint(math.max(w.toDouble, tau) * 1e4) / 1e4) }.toSet
+    assert(got == expect)
+  }
+
+  test("prioritySample keeps everything with true weights when population <= k") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("id", "w")
+    val got = graft.functions.Mixing.prioritySample(df, "id", "w", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 10L, 10.0), (2L, 20L, 20.0), (3L, 5L, 5.0)),
+      "no threshold exists; w_hat must equal w")
+  }
+
+  test("prioritySample excludes non-positive weights and is partitioning-independent") {
+    val rows = (0L until 80L).map(i => (i, if (i % 10 == 0) 0L else i % 7 + 1))
+    def run(parts: Int) =
+      graft.functions.Mixing.prioritySample(
+          rows.toDF("id", "w").repartition(parts), "id", "w", k = 12)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val r1 = run(1)
+    assert(r1 == run(19))
+    assert(r1.forall { case (id, _) => id % 10 != 0 }, "zero-weight rows leaked")
+  }
+
   // --- product quantization ------------------------------------------------
 
   test("pq encode/probe reconstructs exactly when vectors sit on centroids") {
