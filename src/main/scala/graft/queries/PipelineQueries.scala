@@ -282,6 +282,31 @@ object PipelineQueries {
       graft.functions.Mixing.stratifiedSample(
         star(s, dir, "documents").df, "lang", "doc_id", nPerGroup = 10)),
 
+    // SCD-1 corpus upsert: a deterministic change batch (re-crawled text
+    // for doc_id%100<10, fresh inserts for 50..52 under +10M ids,
+    // tombstones for 90..94) merged into the documents snapshot with ONE
+    // broadcast anti-join - the snapshot never shuffles. Oracle repeats
+    // the batch construction and merge in SQL.
+    "q_merge_upsert" -> ((s, dir) => {
+      val d = star(s, dir, "documents").df
+      val m = col("doc_id") % 100
+      val newText = concat(lit("new doc "), col("doc_id").cast("string"))
+      val updates = d.filter(m < 10).select(col("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"), col("lang"),
+        col("source"), (col("n_chars") + 3).as("n_chars"),
+        lit(false).as("del"))
+      val inserts = d.filter(m.between(50, 52)).select(
+        (col("doc_id") + 10000000L).as("doc_id"), newText.as("text"),
+        col("lang"), col("source"),
+        length(newText).cast("long").as("n_chars"), lit(false).as("del"))
+      val deletes = d.filter(m.between(90, 94)).withColumn("del", lit(true))
+      graft.operators.Merge.upsert(d,
+          updates.unionByName(inserts).unionByName(deletes),
+          Seq("doc_id"), deleteCol = Some("del"), requireUniqueKeys = true)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("fp"))
+    }),
+
     // Priority sampling (Duffield-Lund-Thorup): 50 docs weighted by
     // n_chars, with the unbiased max(w, tau) estimator. Priorities are
     // exact-integer hashes over IEEE double division, so the sample AND
@@ -1066,6 +1091,30 @@ object PipelineQueries {
         |                 AS BIGINT) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT doc_id, text || ' v2' AS text, lang, source,
+        |         n_chars + 3 AS n_chars, FALSE AS del
+        |  FROM documents WHERE doc_id % 100 < 10
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'new doc ' || CAST(doc_id AS VARCHAR),
+        |         lang, source,
+        |         CAST(length('new doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+        |         FALSE
+        |  FROM documents WHERE doc_id % 100 BETWEEN 50 AND 52
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, TRUE
+        |  FROM documents WHERE doc_id % 100 BETWEEN 90 AND 94),
+        |merged AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |  FROM documents d LEFT JOIN changes c ON d.doc_id = c.doc_id
+        |  WHERE c.doc_id IS NULL
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM changes
+        |  WHERE NOT del)
+        |SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+        |FROM merged""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH p AS (
