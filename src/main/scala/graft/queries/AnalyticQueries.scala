@@ -101,6 +101,20 @@ object AnalyticQueries {
     // The DuckDB oracle computes the exact columns and literal TRUE flags —
     // a violated bound now FAILS the hash check instead of hiding in a
     // rows-only row.
+    // --- link-graph analytics ---------------------------------------------
+    // PageRank over the (user -> props.k) edge list in integer micro-mass
+    // units: every step is integer addition + floor division, so the
+    // 8-iteration fixpoint is bit-exact against the unrolled DuckDB
+    // oracle. One shuffle per iteration; edge table flattened + cached.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+      // returned still cached (EAGER contract; the bench sweeps barriers)
+      graft.functions.Graph.pageRank(edges, "src", "dst", iterations = 8)
+    }),
+
     "q_approx_stats" -> ((s, dir) => {
       val li = star(s, dir, "lineitem").df
       // Two passes joined on the 3-row group key: mixing count(DISTINCT)
@@ -125,7 +139,44 @@ object AnalyticQueries {
     })
   )
 
+  /** Unrolled integer-exact PageRank: one CTE triple (inflow, sink mass,
+    * new ranks) per iteration, mirroring Graph.pageRank's arithmetic
+    * operation for operation (`//` is DuckDB floor division, matching
+    * Spark's `div` on non-negative longs). */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH edges AS (
+        |  SELECT DISTINCT user_id AS src,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |m AS (SELECT 1000000000000 // count(*) AS m0, count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, (SELECT m0 FROM m) AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.r // o.deg) AS s
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN outdeg o ON e.src = o.src
+         |  GROUP BY e.dst),
+         |d$i AS (
+         |  SELECT coalesce(sum(r.r), 0) AS dang
+         |  FROM r${i - 1} r LEFT JOIN outdeg o ON r.node = o.src
+         |  WHERE o.src IS NULL),
+         |r$i AS (
+         |  SELECT nd.node,
+         |    15 * m.m0 // 100 + 85 * (coalesce(c.s, 0) + d.dang // m.n) // 100 AS r
+         |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node
+         |    CROSS JOIN d$i d CROSS JOIN m)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, r FROM r$iters"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pageRankOracle(8),
+
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  ${sqlDsum("l_quantity")} AS sum_qty
