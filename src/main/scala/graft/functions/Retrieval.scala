@@ -108,4 +108,44 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  /** Turn a scored list into a ranked one: top `topK` rows by
+    * (`scoreCol` desc, `idCol` asc) with 1-based `rank`. The top-k is a
+    * TakeOrderedAndProject (no global sort); the row_number window then
+    * runs over k rows — metadata-sized by construction. */
+  def rankByScore(df: DataFrame, idCol: String, scoreCol: String,
+                  topK: Int): DataFrame = {
+    require(topK > 0, "rankByScore: topK must be positive")
+    val top = df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): fuse any
+    * number of ranked lists by score(d) = Σ_lists 1 / (k0 + rank_list(d)).
+    * The standard way to combine lexical (BM25) and dense (embedding)
+    * retrieval without score calibration — only ranks matter.
+    *
+    * Determinism: each 1/(k0+rank) term is one correctly-rounded IEEE
+    * division, rounded to 12 decimals and summed as DECIMAL — order- and
+    * engine-independent for any number of lists. Ties break by id. The
+    * inputs are ranked lists (k rows each), so everything here is
+    * metadata-sized; the heavy lifting happened in the rankers. Returns
+    * (id, rrf, n_lists) — `n_lists` = how many lists carried the doc. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, topK: Int,
+              k0: Int = 60, outScale: Int = 6): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(topK > 0 && k0 >= 0, s"rrfFuse: bad topK=$topK / k0=$k0")
+    val contribs = rankings.map(_.select(col(idCol),
+      round(lit(1.0) / (lit(k0.toLong) + col("rank")), 12)
+        .cast("decimal(28,12)").as("__c")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("n_lists"))
+      .orderBy(col("__s").desc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), round(col("__s").cast("double"), outScale).as("rrf"),
+        col("n_lists"))
+  }
 }

@@ -38,6 +38,47 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
+  /** Engine-exact cosine scores against a literal query vector: per-element
+    * double products (IEEE-exact everywhere) are rounded to `prodScale`
+    * decimals and summed as DECIMAL — order-independent, so the dot product
+    * and squared norms are IDENTICAL in any engine computing the same
+    * formula, and the final cosine (one division, one sqrt, one product —
+    * all correctly-rounded IEEE ops) is bit-identical too. This is the
+    * [[graft.functions.UnigramLm]] determinism scheme applied to vector
+    * math: use it when a REAL-corpus dense ranking must hash-match a SQL
+    * oracle (bruteForceTopK's codegen'd cosine is the fast path; its
+    * summation order is engine-internal).
+    *
+    * Scale shape: posexplode fans each row to `dim` product rows but the
+    * per-id aggregate partial-combines map-side, so the shuffle carries one
+    * row per document. The query norm is computed by the same decimal rule
+    * driver-side. Returns (id, cosine) for every row (no top-k). */
+  def exactCosineScores(df: DataFrame, embCol: String, idCol: String,
+                        query: Seq[Float], prodScale: Int = 9,
+                        outScale: Int = 4): DataFrame = {
+    require(query.nonEmpty, "empty query vector")
+    val dec = s"decimal(38,$prodScale)"
+    // driver-side query norm² under the identical rounding rule
+    val qn2 = query.map { x =>
+      java.math.BigDecimal.valueOf(x.toDouble * x.toDouble)
+        .setScale(prodScale, java.math.RoundingMode.HALF_UP)
+    }.reduce(_ add _)
+    val qnorm = math.sqrt(qn2.doubleValue)
+    val qArr = array(query.map(x => lit(x.toDouble)): _*)
+    val exploded = df.select(col(idCol), posexplode(col(embCol)).as(Seq("__p", "__v")))
+      .select(col(idCol),
+        round(col("__v").cast("double") *
+          element_at(qArr, col("__p") + 1), prodScale).cast(dec).as("__d"),
+        round(col("__v").cast("double") * col("__v").cast("double"), prodScale)
+          .cast(dec).as("__n2"))
+    val agg = exploded.groupBy(col(idCol))
+      .agg(sum(col("__d")).as("__dot"), sum(col("__n2")).as("__norm2"))
+    val den = lit(qnorm) * sqrt(col("__norm2").cast("double"))
+    agg.select(col(idCol),
+      when(den > 0, round(col("__dot").cast("double") / den, outScale))
+        .otherwise(lit(0.0)).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * derived from xxhash64(seed, p, j) mapped to [-1, 1]. Computed driver-side
     * once (tiny), shipped as literals. */

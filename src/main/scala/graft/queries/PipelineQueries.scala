@@ -282,6 +282,27 @@ object PipelineQueries {
       graft.functions.Mixing.stratifiedSample(
         star(s, dir, "documents").df, "lang", "doc_id", nPerGroup = 10)),
 
+    // Hybrid retrieval: BM25 (terms spark/vector/join) and dense cosine
+    // (query = doc 42's embedding) each rank their top-20, fused by
+    // reciprocal-rank fusion. The dense side uses the engine-exact
+    // decimal-sum cosine so BOTH rankings — and therefore the fused
+    // top-10 — hash-match the DuckDB oracle end to end.
+    "q_hybrid_search" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val emb = star(s, dir, "embeddings").df
+      val qv = emb.filter(col("vec_id") === 42)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val lex = Retrieval.rankByScore(
+        Retrieval.bm25TopK(docs, "doc_id", "text",
+          terms = Seq("spark", "vector", "join"), topK = 20),
+        "doc_id", "score", topK = 20)
+      val dense = Retrieval.rankByScore(
+        Similarity.exactCosineScores(emb, "embedding", "vec_id", qv)
+          .withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "cosine", topK = 20)
+      Retrieval.rrfFuse(Seq(lex, dense), "doc_id", topK = 10)
+    }),
+
     // SCD-1 corpus upsert: a deterministic change batch (re-crawled text
     // for doc_id%100<10, fresh inserts for 50..52 under +10M ids,
     // tombstones for 90..94) merged into the documents snapshot with ONE
@@ -1091,6 +1112,74 @@ object PipelineQueries {
         |                 AS BIGINT) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
+
+    "q_hybrid_search" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM lens),
+        |post AS (
+        |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, dl,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM (SELECT d.doc_id, d.text, l.dl
+        |              FROM documents d JOIN lens l USING (doc_id)))
+        |  WHERE token IN ('spark', 'vector', 'join')
+        |  GROUP BY doc_id, token),
+        |idf AS (
+        |  SELECT token,
+        |    round(ln((CAST(s.n AS DOUBLE) - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6) AS idf
+        |  FROM (SELECT token, count(*) AS dfreq FROM post GROUP BY token), stats s),
+        |bm AS (
+        |  SELECT p.doc_id,
+        |    round(CAST(sum(CAST(round(
+        |        i.idf * (p.tf * (1.2 + 1.0)) /
+        |          (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * p.dl) / s.avgdl)),
+        |        6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS score
+        |  FROM post p JOIN idf i USING (token), stats s
+        |  GROUP BY p.doc_id
+        |  ORDER BY score DESC, doc_id ASC
+        |  LIMIT 20),
+        |bmr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM bm),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |prod AS (
+        |  SELECT e.vec_id, unnest(e.embedding) AS v, unnest(q.qe) AS qv
+        |  FROM embeddings e, q),
+        |dot AS (
+        |  SELECT vec_id,
+        |    sum(CAST(round(CAST(v AS DOUBLE) * CAST(qv AS DOUBLE), 9)
+        |        AS DECIMAL(38,9))) AS d,
+        |    sum(CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 9)
+        |        AS DECIMAL(38,9))) AS n2
+        |  FROM prod GROUP BY vec_id),
+        |qn AS (
+        |  SELECT sqrt(CAST(sum(CAST(round(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE)) AS qnorm
+        |  FROM (SELECT unnest(qe) AS qv FROM q)),
+        |cosr AS (
+        |  SELECT vec_id AS doc_id,
+        |    CASE WHEN qn.qnorm * sqrt(CAST(n2 AS DOUBLE)) > 0
+        |         THEN round(CAST(d AS DOUBLE) / (qn.qnorm * sqrt(CAST(n2 AS DOUBLE))), 4)
+        |         ELSE 0.0 END AS cos
+        |  FROM dot, qn),
+        |dtop AS (SELECT doc_id, cos FROM cosr ORDER BY cos DESC, doc_id LIMIT 20),
+        |dr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+        |  FROM dtop),
+        |u AS (
+        |  SELECT doc_id, CAST(round(1.0 / (60 + r), 12) AS DECIMAL(28,12)) AS c
+        |  FROM bmr
+        |  UNION ALL
+        |  SELECT doc_id, CAST(round(1.0 / (60 + r), 12) AS DECIMAL(28,12)) AS c
+        |  FROM dr),
+        |f AS (SELECT doc_id, sum(c) AS s, count(*) AS n_lists FROM u GROUP BY doc_id)
+        |SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS rrf, n_lists
+        |FROM f ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH changes AS (

@@ -138,6 +138,55 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(1) == run(17))
   }
 
+  // --- hybrid retrieval ----------------------------------------------------
+
+  test("exactCosineScores matches exact rational cosines (Pythagorean vectors)") {
+    // vector j = a·e1 + b·e2 with (a,b,c) Pythagorean vs query e1: cos = a/c
+    val triples = Seq((3, 4, 5), (5, 12, 13), (8, 15, 17), (20, 21, 29))
+    val rows = triples.zipWithIndex.map { case ((a, b, _), i) =>
+      (i.toLong, Seq(a.toFloat, b.toFloat, 0f, 0f)) }
+    val got = Similarity.exactCosineScores(
+        rows.toDF("vec_id", "embedding").repartition(3),
+        "embedding", "vec_id", Seq(1f, 0f, 0f, 0f))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    triples.zipWithIndex.foreach { case ((a, _, c), i) =>
+      val expect = math.rint(a.toDouble / c * 1e4) / 1e4
+      assert(got(i.toLong) == expect, s"vec $i: ${got(i.toLong)} != $expect")
+    }
+  }
+
+  test("exactCosineScores is partitioning-independent on irregular floats") {
+    val rows = (0L until 50L).map { i =>
+      (i, Seq.tabulate(8)(j => ((i * 31 + j * 17) % 97).toFloat / 7.3f - 5f))
+    }
+    val q = Seq.tabulate(8)(j => (j + 1).toFloat / 3.1f)
+    def run(parts: Int) =
+      Similarity.exactCosineScores(rows.toDF("vec_id", "embedding").repartition(parts),
+          "embedding", "vec_id", q)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(1) == run(13))
+  }
+
+  test("rrfFuse matches the hand-computed RRF with id tie-breaks") {
+    val la = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val lb = Seq((11L, 1L), (10L, 2L), (13L, 3L)).toDF("id", "rank")
+    val got = Retrieval.rrfFuse(Seq(la, lb), "id", topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def c(r: Long) = BigDecimal(1.0 / (60 + r)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def s(rs: Long*) = (rs.map(c).sum.toDouble * 1e6).round / 1e6.toDouble
+    // 10 and 11 both carry ranks {1,2} — identical scores, id tie-break
+    assert(got.map(_._1).toSeq == Seq(10L, 11L, 12L, 13L))
+    assert(got(0) == ((10L, s(1, 2), 2L)) && got(1) == ((11L, s(2, 1), 2L)))
+    assert(got(2) == ((12L, s(3), 1L)) && got(3) == ((13L, s(3), 1L)))
+  }
+
+  test("rankByScore ranks the top-k by (score desc, id asc)") {
+    val df = Seq((1L, 5.0), (2L, 9.0), (3L, 5.0), (4L, 1.0)).toDF("id", "sc")
+    val got = Retrieval.rankByScore(df, "id", "sc", topK = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(2L -> 1L, 1L -> 2L, 3L -> 3L))
+  }
+
   // --- priority sampling ---------------------------------------------------
 
   private def pri48(i: Long, w: Long): Double = {
