@@ -217,6 +217,54 @@ class PlanSpec extends AnyFunSuite {
       s"sample fell back to a per-group window sort:\n$plan")
   }
 
+  test("ppl buckets: one range shuffle for ranking, no per-language data window") {
+    val plan = graft.queries.PipelineQueries.queries("q_doc_ppl_buckets")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    // every Window node must be confined to the slice-stats table
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(_.contains("__c")),
+      s"a window runs over document data, not slice stats:\n$plan")
+  }
+
+  test("weighted sample partial-aggregates bounded top-k state, broadcasts ids back") {
+    val plan = graft.queries.PipelineQueries.queries("q_weighted_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkpairs") || plan.contains("ObjectHashAggregate"),
+      s"priority top-k not map-side combined:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"sample ids not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("merge upsert touches the snapshot with a broadcast anti join only") {
+    val plan = graft.queries.PipelineQueries.queries("q_merge_upsert")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"change keys not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"snapshot shuffled for the merge:\n$plan")
+  }
+
+  test("pagerank returns a flat materialized plan (no residual iteration tree)") {
+    val df = graft.queries.AnalyticQueries.queries("q_pagerank")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    df.unpersist()
+    // the EAGER result must be a cached flat scan — iteration cost must not
+    // re-enter downstream plans (the connectedComponents driver-stall class)
+    assert(plan.contains("LogicalRDD") || plan.contains("InMemoryRelation"),
+      s"pagerank result not flattened/cached:\n$plan")
+    assert(!plan.contains("Join"), s"iteration tree leaked into the result plan:\n$plan")
+  }
+
+  test("hybrid search: no cartesian product, idf and fusion sides broadcast") {
+    val plan = graft.queries.PipelineQueries.queries("q_hybrid_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in hybrid plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"idf side not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not TakeOrdered:\n$plan")
+  }
+
   test("pq probe scans codes only: no join, no vector column, TakeOrdered top-k") {
     val plan = graft.queries.PipelineQueries.queries("q_emb_pq_probe")(spark, sfDir)
       .queryExecution.executedPlan.toString
