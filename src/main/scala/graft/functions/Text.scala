@@ -165,6 +165,17 @@ object Text {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
+  /** Adjacent token pairs as struct<w1,w2> — one narrow array transform,
+    * no shuffle, no per-position self-join. Empty for docs under 2 tokens. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) < 2,
+      array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+  }
+
   /** Character n-gram set (distinct), for n-gram Jaccard similarity. */
   def charNgrams(text: Column, n: Int): Column =
     when(length(text) < n, array(text)).otherwise(

@@ -133,4 +133,74 @@ object UnigramLm {
         round(col("__sum").cast("double") / col("n_tokens"), outScale).as("logratio"))
     Dedup.materializeAndFree(result, ft, fr)
   }
+
+  /** Bigram LM scoring with stupid backoff (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — one order up from [[score]]
+    * and a materially sharper fluency signal (word-salad documents look
+    * fine to a unigram model but have improbable transitions):
+    *
+    *   s(w_1)          = c(w_1) / total                      (first token)
+    *   s(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})        (bigram seen)
+    *                     = α · c(w_i) / total                 (backoff)
+    *
+    * xent2 = mean −log s over all n positions; α = 0.4 (the paper's
+    * constant — scores, not probabilities, by design). Bigrams come from
+    * [[Text.bigrams]] — a narrow array transform, never a per-position
+    * self-join of the token table.
+    *
+    * Determinism contract identical to [[score]]: per-position logs are
+    * rounded to `logScale` decimals and summed as DECIMAL, so the result
+    * is order/partitioning/engine-independent. Scale shape: bigram
+    * counting shuffles distinct (w1, w2) pairs once — that table grows
+    * with corpus diversity, not corpus size, and stays far below the
+    * token stream (the 2007 paper served 300 GB of n-grams; here it is a
+    * shuffle, there it was the whole serving system). Scoring is three
+    * equi-joins AQE is free to re-plan. EAGER with internal count
+    * barriers freed; the caller owns one `unpersist()`. */
+  def scoreBigram(df: DataFrame, reference: DataFrame,
+                  idCol: String, textCol: String, alpha: Double = 0.4,
+                  oovCount: Double = 0.5,
+                  logScale: Int = 6, outScale: Int = 4): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val uni = tokenFrequencies(reference, textCol).persist(lvl)
+    val total = uni.agg(sum(col("cnt"))).head().getLong(0)
+    require(total > 0, "bigram training corpus has no tokens")
+    val bc = reference
+      .select(explode(Text.bigrams(col(textCol))).as("__b"))
+      .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2")).persist(lvl)
+
+    // OOV tokens score as `oovCount` pseudo-occurrences over the full
+    // total, exactly like [[score]] — left joins, never dropped positions.
+    val firsts = df.select(col(idCol).as("id"),
+        element_at(Text.tokens(col(textCol)), 1).as("token"))
+      .join(uni, Seq("token"), "left")
+      .select(col("id"),
+        round(log(coalesce(col("cnt").cast("double"), lit(oovCount)) /
+          lit(total.toDouble)), logScale)
+          .cast(s"decimal(28,$logScale)").as("__lp"))
+    val pairs = df.select(col(idCol).as("id"),
+        explode(Text.bigrams(col(textCol))).as("__b"))
+      .select(col("id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(uni.select(col("token").as("w1"), col("cnt").as("c1")),
+        Seq("w1"), "left")
+      .join(uni.select(col("token").as("w2"), col("cnt").as("cw2")),
+        Seq("w2"), "left")
+      .select(col("id"),
+        round(log(when(col("c2").isNotNull,
+            col("c2").cast("double") / col("c1"))
+          .otherwise(lit(alpha) *
+            coalesce(col("cw2").cast("double"), lit(oovCount)) /
+            lit(total.toDouble))),
+          logScale).cast(s"decimal(28,$logScale)").as("__lp"))
+
+    val result = firsts.unionByName(pairs)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__sum"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        round(-col("__sum").cast("double") / col("n_tokens"), outScale)
+          .as("xent2"))
+    Dedup.materializeAndFree(result, uni, bc)
+  }
 }

@@ -368,6 +368,15 @@ object PipelineQueries {
       UnigramLm.score(docs, docs, "doc_id", "text")
     }),
 
+    // Bigram LM with stupid backoff (Brants et al. 2007): transition-level
+    // fluency scoring - word salad that fools the unigram model has
+    // improbable bigrams. Same decimal determinism scheme, so the score
+    // hash-matches the oracle.
+    "q_doc_bigram_ppl" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      UnigramLm.scoreBigram(docs, docs, "doc_id", "text")
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
     // split the corpus into head/middle/tail terciles of the unigram
     // cross-entropy — the selection step that keeps "head" for training.
@@ -1036,6 +1045,39 @@ object PipelineQueries {
         |    AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS xent
         |FROM tok t JOIN freq f USING (token), tot
         |GROUP BY t.doc_id""".stripMargin,
+
+    "q_doc_bigram_ppl" ->
+      """WITH tokc AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p
+        |  FROM tokc),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+        |bg AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |       FROM bg GROUP BY w1, w2),
+        |contrib AS (
+        |  SELECT p.doc_id,
+        |    round(ln(CAST(u.c AS DOUBLE) / t.total), 6) AS lp
+        |  FROM pos p JOIN uni u ON p.w = u.w, tot t
+        |  WHERE p.p = 1
+        |  UNION ALL
+        |  SELECT g.doc_id,
+        |    round(ln(CASE WHEN b.c2 IS NOT NULL
+        |                  THEN CAST(b.c2 AS DOUBLE) / u1.c
+        |                  ELSE 0.4 * u2.c / t.total END), 6) AS lp
+        |  FROM bg g
+        |    LEFT JOIN bc b ON g.w1 = b.w1 AND g.w2 = b.w2
+        |    JOIN uni u1 ON g.w1 = u1.w
+        |    JOIN uni u2 ON g.w2 = u2.w, tot t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(-CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
+        |    AS xent2
+        |FROM contrib GROUP BY doc_id""".stripMargin,
 
     "q_doc_ppl_buckets" ->
       """WITH tok AS (

@@ -80,6 +80,42 @@ class PackingSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, xent(Seq(lp(3), lp(1))))))
   }
 
+  test("bigram scoring matches hand-computed stupid backoff incl. OOV") {
+    // corpus: uni a:3 b:2 c:3, total 8; bigrams (a,b):2 (b,a):1 (b,c):1 (c,c):1
+    val ref = Seq((1L, "a b a"), (2L, "a b c"), (3L, "c c")).toDF("id", "text")
+    def lp(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def xent(lps: Seq[BigDecimal]): Double =
+      (-(lps.sum.toDouble) / lps.size * 10000).round / 10000.0
+
+    val self = UnigramLm.scoreBigram(ref, ref, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(self(1L) == ((3L, xent(Seq(lp(3.0 / 8), lp(2.0 / 3), lp(1.0 / 2))))))
+    assert(self(2L) == ((3L, xent(Seq(lp(3.0 / 8), lp(2.0 / 3), lp(1.0 / 2))))))
+    assert(self(3L) == ((2L, xent(Seq(lp(3.0 / 8), lp(1.0 / 3))))))
+
+    // "b q": first b = 2/8; (b,q) unseen and q OOV -> 0.4 * 0.5 / 8
+    val oov = UnigramLm.scoreBigram(Seq((9L, "b q")).toDF("id", "text"),
+        ref, "id", "text").head()
+    assert(oov.getLong(1) == 2L)
+    assert(oov.getDouble(2) == xent(Seq(lp(2.0 / 8), lp(0.4 * 0.5 / 8))))
+
+    // seen bigram whose score uses c2/c1, not the backoff: "c c"
+    val seen = UnigramLm.scoreBigram(Seq((8L, "c c")).toDF("id", "text"),
+        ref, "id", "text").head()
+    assert(seen.getDouble(2) == xent(Seq(lp(3.0 / 8), lp(1.0 / 3))))
+  }
+
+  test("bigram scoring is partitioning-independent") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"w${i % 5} w${(i * 3) % 7} w${i % 5} w${(i + 1) % 4}"))
+    def run(parts: Int) =
+      UnigramLm.scoreBigram(docs.toDF("id", "text").repartition(parts),
+          docs.toDF("id", "text"), "id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(run(1) == run(11))
+  }
+
   test("out-of-vocabulary tokens score with the smoothing pseudo-count") {
     val ref = Seq((1L, "a a b")).toDF("id", "text") // total 3
     val target = Seq((9L, "a zz")).toDF("id", "text") // zz unseen
