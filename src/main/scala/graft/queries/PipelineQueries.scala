@@ -634,6 +634,23 @@ object PipelineQueries {
         .select(col("vec_id"))
     }),
 
+    // int8-quantized similarity: vectors stored as 4x-smaller integer
+    // codes; dot products and norms are EXACT integers, so the whole
+    // ranking is engine-independent by construction (no float-luck).
+    // Query = doc 42's codes, computed driver-side with the identical
+    // floor(v/s*127+0.5) formula.
+    "q_emb_int8" -> ((s, dir) => {
+      val emb = star(s, dir, "embeddings").df
+      val qv = emb.filter(col("vec_id") === 42)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val sMax = qv.map(x => math.abs(x.toDouble)).max
+      val qCodes = qv.map(x =>
+        if (sMax > 0) math.floor(x.toDouble / sMax * 127 + 0.5).toInt else 0)
+      Similarity.int8CosineTopK(
+        Similarity.quantizeInt8(emb, "embedding", "vec_id"),
+        "vec_id", qCodes, topK = 10)
+    }),
+
     // SemDeDup (cluster-then-dedup) with the planted-cluster oracle: the 8
     // planted families (corpus base vector g + its 10+g near-copies at
     // +100000 ids) are each a ≤0.017-diameter ball, so every family lands
@@ -1154,6 +1171,33 @@ object PipelineQueries {
         |                 AS BIGINT) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
+
+    "q_emb_int8" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) AS p
+        |  FROM embeddings),
+        |mx AS (SELECT vec_id, max(abs(v)) AS s FROM ex GROUP BY vec_id),
+        |codes AS (
+        |  SELECT e.vec_id, e.p,
+        |    CASE WHEN m.s > 0
+        |         THEN CAST(floor(e.v / m.s * 127 + 0.5) AS BIGINT)
+        |         ELSE 0 END AS c
+        |  FROM ex e JOIN mx m USING (vec_id)),
+        |q AS (SELECT p, c FROM codes WHERE vec_id = 42),
+        |dots AS (
+        |  SELECT codes.vec_id, sum(codes.c * q.c) AS dot,
+        |         sum(codes.c * codes.c) AS n2
+        |  FROM codes JOIN q ON codes.p = q.p
+        |  GROUP BY codes.vec_id),
+        |qn AS (SELECT sum(c * c) AS qn2 FROM q)
+        |SELECT d.vec_id,
+        |  CASE WHEN d.n2 > 0 AND qn.qn2 > 0
+        |       THEN round(CAST(d.dot AS DOUBLE) /
+        |              (sqrt(CAST(d.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE))), 6)
+        |       ELSE 0.0 END AS cosine_q
+        |FROM dots d, qn
+        |ORDER BY cosine_q DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_hybrid_search" ->
       """WITH lens AS (

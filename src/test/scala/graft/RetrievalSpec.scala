@@ -138,6 +138,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(1) == run(17))
   }
 
+  // --- int8 quantization ---------------------------------------------------
+
+  test("quantizeInt8 computes floor(v/s*127+0.5) codes; zero vector all-zero") {
+    val rows = Seq((0L, Seq(3f, -4f)), (1L, Seq(0f, 0f)), (2L, Seq(1f, 1f)))
+    val got = Similarity.quantizeInt8(rows.toDF("vec_id", "embedding"),
+        "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Int](2).toSeq))).toMap
+    assert(got(0L) == ((4.0, Seq(95, -127)))) // floor(3/4*127+.5)=95
+    assert(got(1L) == ((0.0, Seq(0, 0))))
+    assert(got(2L) == ((1.0, Seq(127, 127))))
+  }
+
+  test("int8CosineTopK ranks by exact integer dot products, ties by id") {
+    val rows = Seq((0L, Seq(10f, 0f)), (1L, Seq(10f, 1f)),
+      (2L, Seq(0f, 10f)), (3L, Seq(10f, 0f)))
+    val codes = Similarity.quantizeInt8(rows.toDF("vec_id", "embedding"),
+      "embedding", "vec_id")
+    val got = Similarity.int8CosineTopK(codes, "vec_id", Seq(127, 0), topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(0L, 3L, 1L, 2L)) // ties 0,3 by id
+    assert(got(0)._2 == 1.0 && got(3)._2 == 0.0)
+    // int8 cosine approximates the float cosine to quantization error
+    val c1 = got(2)._2
+    val exact = 10.0 / math.sqrt(101.0)
+    assert(math.abs(c1 - exact) < 0.01, s"$c1 vs $exact")
+  }
+
   // --- hybrid retrieval ----------------------------------------------------
 
   test("exactCosineScores matches exact rational cosines (Pythagorean vectors)") {
