@@ -75,6 +75,34 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // Continuous SCD-1 maintenance: the documents stream is mapped to a
+    // deterministic change feed (updates / inserts / tombstones — the
+    // q_merge_upsert construction with an ' s2' marker and +20M insert
+    // ids) and folded into the static snapshot per micro-batch via
+    // foreachBatch + Merge.upsert. Each key appears once in the feed, so
+    // the final snapshot is independent of micro-batching and shares the
+    // batch-merge oracle shape.
+    "q_stream_upsert" -> ((s, dir) => {
+      val d = Tables.star(s, dir, "documents").df
+      val sm = col("doc_id") % 100
+      val newText = concat(lit("new doc "), col("doc_id").cast("string"))
+      val changes = EventStreams.readDocumentsStream(s, dir)
+        .filter(sm < 10 || sm.between(50, 52) || sm.between(90, 94))
+        .select(
+          when(sm.between(50, 52), col("doc_id") + 20000000L)
+            .otherwise(col("doc_id")).as("doc_id"),
+          when(sm < 10, concat(col("text"), lit(" s2")))
+            .when(sm.between(50, 52), newText)
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"),
+          when(sm < 10, col("n_chars") + 3)
+            .when(sm.between(50, 52), length(newText).cast(LongType))
+            .otherwise(col("n_chars")).as("n_chars"),
+          sm.between(90, 94).as("del"))
+      EventStreams.streamingUpsert(s, changes, d, Seq("doc_id"), Some("del"))
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("fp"))
+    }),
+
     // Watermarked streaming dedup (bounded state), run incrementally in
     // Append mode; survivors aggregated in batch for the parity oracle.
     "q_stream_dedup" -> ((s, dir) =>
@@ -126,6 +154,27 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_upsert" ->
+      """WITH changes AS (
+        |  SELECT doc_id, text || ' s2' AS text, n_chars + 3 AS n_chars,
+        |         FALSE AS del
+        |  FROM documents WHERE doc_id % 100 < 10
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, 'new doc ' || CAST(doc_id AS VARCHAR),
+        |         CAST(length('new doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+        |         FALSE
+        |  FROM documents WHERE doc_id % 100 BETWEEN 50 AND 52
+        |  UNION ALL
+        |  SELECT doc_id, text, n_chars, TRUE
+        |  FROM documents WHERE doc_id % 100 BETWEEN 90 AND 94),
+        |merged AS (
+        |  SELECT d.doc_id, d.text, d.n_chars
+        |  FROM documents d LEFT JOIN changes c ON d.doc_id = c.doc_id
+        |  WHERE c.doc_id IS NULL
+        |  UNION ALL
+        |  SELECT doc_id, text, n_chars FROM changes WHERE NOT del)
+        |SELECT doc_id, n_chars, md5(text) AS fp FROM merged""".stripMargin,
+
     "q_stream_hourly" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
          |  count(*) AS n, ${sqlDsum("value")} AS sum_value

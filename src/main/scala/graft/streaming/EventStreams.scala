@@ -180,6 +180,46 @@ object EventStreams {
     * Streaming practice; a 100 TB stream raises it to keep per-store state
     * inside executor memory. The session's shuffle setting is restored
     * after the stream finishes (the value is only read at query start). */
+  /** Continuous SCD-1 maintenance: run a change-feed stream to completion,
+    * folding every micro-batch into a snapshot via
+    * [[graft.operators.Merge.upsert]] (foreachBatch — the standard
+    * Structured Streaming pattern for maintaining an upsert-able
+    * materialized table on a sink without native merge). Within a batch,
+    * keys must be unique (the Merge contract); across batches, later
+    * micro-batches win — so when each key appears at most once in the
+    * whole feed, the final snapshot is INDEPENDENT of how the source was
+    * micro-batched. Each generation is plan-flattened and materialized
+    * before its predecessor is freed (constant plan size and live cache
+    * over an unbounded stream — the iterative-operator hygiene contract).
+    * Returns the final snapshot, cached; the caller owns one unpersist. */
+  def streamingUpsert(spark: SparkSession, changes: DataFrame,
+                      initial: DataFrame, keyCols: Seq[String],
+                      deleteCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var snapshot = org.apache.spark.sql.graft.PlanBridge
+      .flattenPlan(initial.select(initial.columns.map(col): _*))
+      .persist(MEMORY_AND_DISK)
+    snapshot.count()
+    val name = "graft_upsert_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir(name)
+    try {
+      val q = changes.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val merged = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+              graft.operators.Merge.upsert(snapshot, batch, keyCols, deleteCol))
+            .persist(MEMORY_AND_DISK)
+          merged.count()
+          snapshot.unpersist()
+          snapshot = merged
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally deleteRecursively(new java.io.File(ckpt))
+    snapshot
+  }
+
   def runToBatch(spark: SparkSession, streamed: DataFrame,
                  mode: OutputMode = OutputMode.Complete(),
                  statePartitions: Int = 8): DataFrame = {

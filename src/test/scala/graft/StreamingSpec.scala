@@ -103,6 +103,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastPerUser.exceptAll(batch).isEmpty)
   }
 
+  test("streamingUpsert folds change feeds into the snapshot, last feed wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val sc = spark.sparkContext
+    val cachedBefore = sc.getPersistentRDDs.keySet
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("del", BooleanType)))
+    def feedDir(rows: Seq[(Long, String, Boolean)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("upsertfeed").toString
+      rows.toDF("id", "v", "del").coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val initial = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+
+    val snap1 = EventStreams.streamingUpsert(spark,
+      spark.readStream.schema(schema).parquet(
+        feedDir(Seq((1L, "a2", false), (3L, "c", false)))),
+      initial, Seq("id"), Some("del"))
+    assert(snap1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+
+    // second feed updates 3, tombstones 2 — applied on top of snap1
+    val snap2 = EventStreams.streamingUpsert(spark,
+      spark.readStream.schema(schema).parquet(
+        feedDir(Seq((3L, "c2", false), (2L, "b", true)))),
+      snap1, Seq("id"), Some("del"))
+    assert(snap2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a2", 3L -> "c2"))
+
+    snap1.unpersist(); snap2.unpersist()
+    val leaked = sc.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("multimodal: payload bytes real, stub meta deterministic, batch shape") {
     val docs = Tables.df(spark, sfDir, "documents")
       .withColumn("payload", Multimodal.payloadFromText(col("text")))
