@@ -75,14 +75,16 @@ object Graph {
         .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
         .select(col("dst").as("node"), intDiv(col("r"), col("deg")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
-      val dang = sinks.join(ranks, Seq("node"))
-        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
-      val dangShare = dang / n
+      // dangling mass rides the generation's own plan as a broadcast 1-row
+      // aggregate — ONE action per iteration (the materializing count),
+      // not a separate driver collect per round
+      val dang = broadcast(sinks.join(ranks, Seq("node"))
+        .agg(intDiv(coalesce(sum(col("r")), lit(0L)), lit(n)).as("__dang")))
       val updated = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
-          nodes.join(inflow, Seq("node"), "left")
+          nodes.join(inflow, Seq("node"), "left").crossJoin(dang)
             .select(col("node"),
               (lit(baseShare) + intDiv(
-                lit(dampPct.toLong) * (coalesce(col("__s"), lit(0L)) + dangShare),
+                lit(dampPct.toLong) * (coalesce(col("__s"), lit(0L)) + col("__dang")),
                 lit(100L))).as("r")))
         .persist(MEMORY_AND_DISK)
       updated.count()

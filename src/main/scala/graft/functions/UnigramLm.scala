@@ -178,13 +178,20 @@ object UnigramLm {
       .select(col("id"),
         round(log(coalesce(col("cnt").cast("double"), lit(oovCount)) /
           lit(total.toDouble)), logScale)
-          .cast(s"decimal(28,$logScale)").as("__lp"))
+          .cast(s"decimal(28,$logScale)").as("__lp"),
+        lit(1L).as("__k"))
+    // Join-volume hygiene: collapse to DISTINCT per-doc bigrams first
+    // (repeated transitions multiply the rounded log by an exact integer
+    // — same decimal sum), and resolve the seen-branch denominator from
+    // a c1-annotated count table so the pair stream is joined twice, not
+    // three times; the unigram join only serves the backoff branch.
+    val bcAnn = bc.join(uni.select(col("token").as("w1"), col("cnt").as("c1")),
+      Seq("w1"))
     val pairs = df.select(col(idCol).as("id"),
         explode(Text.bigrams(col(textCol))).as("__b"))
-      .select(col("id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-      .join(bc, Seq("w1", "w2"), "left")
-      .join(uni.select(col("token").as("w1"), col("cnt").as("c1")),
-        Seq("w1"), "left")
+      .groupBy(col("id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("__k"))
+      .join(bcAnn, Seq("w1", "w2"), "left")
       .join(uni.select(col("token").as("w2"), col("cnt").as("cw2")),
         Seq("w2"), "left")
       .select(col("id"),
@@ -193,11 +200,13 @@ object UnigramLm {
           .otherwise(lit(alpha) *
             coalesce(col("cw2").cast("double"), lit(oovCount)) /
             lit(total.toDouble))),
-          logScale).cast(s"decimal(28,$logScale)").as("__lp"))
+          logScale).cast(s"decimal(28,$logScale)").as("__lp"),
+        col("__k"))
 
     val result = firsts.unionByName(pairs)
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__sum"))
+      .agg(sum(col("__k")).as("n_tokens"),
+        sum(col("__lp") * col("__k")).as("__sum"))
       .select(col("id").as(idCol), col("n_tokens"),
         round(-col("__sum").cast("double") / col("n_tokens"), outScale)
           .as("xent2"))
