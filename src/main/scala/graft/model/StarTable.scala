@@ -459,6 +459,53 @@ object StarTable {
       ListMap(cm.toIndexedSeq: _*))
   }
 
+  /** ORC variant of [[writeParquet]]: same distributed-native properties
+    * (N part files, predicate pushdown + column pruning on re-read via
+    * Spark's native ORC reader), but ORC does not persist Catalyst field
+    * metadata, so units travel in the sidecar JSON alongside the table
+    * metadata instead of the file schema. */
+  def writeOrc(t: StarTable, path: String): Unit = {
+    t.df.write.mode("overwrite").orc(path)
+    val metaJson = graft.io.JsonValue.write(
+      graft.io.JsonValue.JsonObject(scala.collection.immutable.ListMap(
+        "name" -> graft.io.JsonValue.JsonString(t.name),
+        "destinations" -> graft.io.JsonValue.JsonArray(
+          t.destinations.toVector.sorted.map(graft.io.JsonValue.JsonString(_))),
+        "transposed" -> graft.io.JsonValue.JsonBool(t.meta.transposed),
+        "units" -> graft.io.JsonValue.JsonObject(
+          ListMap(t.columnNames.map(c =>
+            c -> graft.io.JsonValue.JsonString(t.unit(c))): _*)))))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_startable_meta.json"), metaJson)
+  }
+
+  /** Read a StarTable written by [[writeOrc]]: units and table metadata
+    * from the sidecar (falling back to type-inferred units without one). */
+  def readOrc(spark: SparkSession, path: String): StarTable = {
+    val df = spark.read.orc(path)
+    val sidecar = java.nio.file.Paths.get(path, "_startable_meta.json")
+    if (java.nio.file.Files.exists(sidecar)) {
+      val o = graft.io.JsonValue.parse(java.nio.file.Files.readString(sidecar))
+        .asInstanceOf[graft.io.JsonValue.JsonObject]
+      val units = o.fields.get("units").map(_.asInstanceOf[graft.io.JsonValue.JsonObject]
+        .fields.map { case (k, v) =>
+          k -> v.asInstanceOf[graft.io.JsonValue.JsonString].value })
+        .getOrElse(Map.empty[String, String])
+      val cm = df.schema.fields.map { f =>
+        f.name -> ColumnMetadata(units.getOrElse(f.name,
+          UnitIndicator.unitFromType(f.dataType)))
+      }
+      StarTable(df,
+        TableMetadata(
+          o.fields("name").asInstanceOf[graft.io.JsonValue.JsonString].value,
+          o.fields("destinations").asInstanceOf[graft.io.JsonValue.JsonArray]
+            .values.map(_.asInstanceOf[graft.io.JsonValue.JsonString].value).toSet,
+          transposed = o.fields("transposed")
+            .asInstanceOf[graft.io.JsonValue.JsonBool].value),
+        ListMap(cm.toIndexedSeq: _*))
+    } else fromDataFrame(df, new java.io.File(path).getName)
+  }
+
   /** Wrap an existing DataFrame (e.g. a parquet read) as a StarTable;
     * units inferred from Spark types unless given. */
   def fromDataFrame(df: DataFrame, name: String,

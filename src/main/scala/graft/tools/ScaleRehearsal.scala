@@ -174,6 +174,50 @@ object ScaleRehearsal {
         r.unpersist(blocking = true)
       }
       sweep()
+
+      // 5. round-5 continuation operators: distributed ranking, bigram LM,
+      //    priority sampling, merge, PageRank — ranking and scoring should
+      //    be ~linear, the sample and merge floor-dominated, PageRank's
+      //    per-iteration floor constant with edge volume linear.
+      t(s"globalRowNumber 7 groups by score (mult=$mult)") {
+        graft.functions.Windowing.globalRowNumber(
+          docs.withColumn("g", pmod(col("doc_id"), lit(7L)))
+            .withColumn("s", length(col("text"))),
+          Seq("g"), Seq("s", "doc_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+      t(s"scoreBigram self-trained (mult=$mult)") {
+        val r = graft.functions.UnigramLm.scoreBigram(docs, docs, "doc_id", "text")
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      t(s"prioritySample k=1000 (mult=$mult)") {
+        graft.functions.Mixing.prioritySample(
+          docs.withColumn("w", graft.functions.Text.tokenCount(col("text"))
+            .cast("long")), "doc_id", "w", k = 1000)
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+      t(s"Merge.upsert 1% batch (mult=$mult)") {
+        val changes = docs.filter(col("doc_id") % 100 === 1)
+          .withColumn("del", col("doc_id") % 1000 === 1)
+        graft.operators.Merge.upsert(docs, changes, Seq("doc_id"), Some("del"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+      t(s"pageRank 8 iters on doc-token graph (mult=$mult)") {
+        // a text-derived bipartite-ish graph: doc -> hash-bucketed token
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+          .select(col("src"), pmod(xxhash64(col("tok")), lit(10000L)).as("dst"))
+        val r = graft.functions.Graph.pageRank(edges, "src", "dst", iterations = 8)
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
     }
     spark.stop()
   }
