@@ -368,6 +368,22 @@ object PipelineQueries {
       UnigramLm.score(docs, docs, "doc_id", "text")
     }),
 
+    // Exact per-group median without a per-group sort task: the lower
+    // median is just the row at rank (n+1) div 2 under the distributed
+    // globalRowNumber - exact order statistics at any group size (where
+    // percentile_approx trades accuracy and a naive window serializes
+    // each group).
+    "q_group_median" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val ranked = Windowing.globalRowNumber(
+        docs.select(col("lang"), col("n_chars"), col("doc_id")),
+        Seq("lang"), Seq("n_chars", "doc_id"), "rn")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      ranked.join(broadcast(counts), Seq("lang"))
+        .filter(expr("rn = (n_docs + 1) div 2"))
+        .select(col("lang"), col("n_docs"), col("n_chars").as("median_chars"))
+    }),
+
     // Bigram LM with stupid backoff (Brants et al. 2007): transition-level
     // fluency scoring - word salad that fools the unigram model has
     // improbable bigrams. Same decimal determinism scheme, so the score
@@ -1062,6 +1078,15 @@ object PipelineQueries {
         |    AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS xent
         |FROM tok t JOIN freq f USING (token), tot
         |GROUP BY t.doc_id""".stripMargin,
+
+    "q_group_median" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_docs
+        |  FROM documents)
+        |SELECT lang, n_docs, n_chars AS median_chars
+        |FROM r WHERE rn = (n_docs + 1) // 2""".stripMargin,
 
     "q_doc_bigram_ppl" ->
       """WITH tokc AS (
