@@ -484,6 +484,26 @@ object Similarity {
     centroids
   }
 
+  /** Incremental maintenance of a [[writeTrainedIvfIndex]] index: assign a
+    * NEW batch of vectors against the EXISTING centroids (read from the
+    * sidecar — no retraining, no touching the resident lists) and append
+    * its partitions. The daily-ingest shape: a 100 TB index absorbs a
+    * multi-GB batch by writing only the batch's own rows into the affected
+    * list partitions; probes see old + new immediately. Quantization
+    * quality decays as the corpus drifts from the training distribution —
+    * that's FAISS-standard too; retrain on schedule, append in between. */
+  def appendToTrainedIvfIndex(df: DataFrame, embCol: String, idCol: String,
+                              path: String): Unit = {
+    val centroids = graft.io.JsonValue.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_ivf_centroids.json")))
+      .asInstanceOf[graft.io.JsonValue.JsonArray].values
+      .map(_.asInstanceOf[graft.io.JsonValue.JsonArray].values
+        .map(_.asInstanceOf[graft.io.JsonValue.JsonNumber].value).toArray)
+      .toArray
+    ivfAssignCentroids(df, embCol, idCol, centroids)
+      .write.mode("append").partitionBy("ivf_list").parquet(path)
+  }
+
   /** Probe a trained IVF index: rank centroids driver-side (k×dim floats),
     * read only the nprobe best lists via partition pruning, cosine top-k. */
   def probeTrainedIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -54,4 +54,25 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(top.map(_.getLong(0)).toSet.intersect(exact).size >= 2)
   }
+
+  test("appendToTrainedIvfIndex makes a new batch probe-visible without retraining") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_a").toString + "/idx"
+    Similarity.writeTrainedIvfIndex(
+      emb, "embedding", "vec_id", dir, nlist = 8, dim = 64, iters = 3)
+    // new batch: near-copies of vector 123 under fresh ids — they must land
+    // in 123's list and dominate a probe for 123's direction
+    val base = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 123)
+      .select("embedding").head().getSeq[Float](0)
+    val batch = (0 until 3).map { j =>
+      (900000L + j, base.zipWithIndex.map { case (x, i) =>
+        if (i == 0) x + (j + 1) * 1e-4f else x }) }
+      .toDF("vec_id", "embedding")
+    Similarity.appendToTrainedIvfIndex(batch, "embedding", "vec_id", dir)
+    val got = Similarity.probeTrainedIvfIndex(spark, dir, base, k = 4, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(123L, 900000L, 900001L, 900002L),
+      s"appended batch not recalled: $got")
+  }
 }
