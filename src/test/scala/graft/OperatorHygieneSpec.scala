@@ -118,4 +118,36 @@ class OperatorHygieneSpec extends AnyFunSuite {
         shingleSize = 3, window = 3)
     }
   }
+
+  test("scoreBigram frees its unigram + bigram count barriers") {
+    assertHygienic("scoreBigram") {
+      graft.functions.UnigramLm.scoreBigram(docs, docs, "doc_id", "text")
+    }
+  }
+
+  test("pageRank frees edges, degree, node and generation barriers") {
+    assertHygienic("pageRank") {
+      graft.functions.Graph.pageRank(
+        docs.select(col("doc_id").as("src"), (col("doc_id") % 7).as("dst")),
+        "src", "dst", iterations = 3)
+    }
+  }
+
+  test("streamingUpsert frees every superseded snapshot generation") {
+    assertHygienic("streamingUpsert") {
+      val dir = java.nio.file.Files.createTempDirectory("hyg_upsert").toString
+      docs.limit(5).withColumn("del", lit(false))
+        .write.mode("overwrite").parquet(dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("del",
+          org.apache.spark.sql.types.BooleanType)))
+      graft.streaming.EventStreams.streamingUpsert(spark,
+        spark.readStream.schema(schema).parquet(dir),
+        docs, Seq("doc_id"), Some("del"))
+    }
+  }
 }
