@@ -265,6 +265,32 @@ class PlanSpec extends AnyFunSuite {
       s"top-k not TakeOrdered:\n$plan")
   }
 
+  test("group median: range-ranked, broadcast counts, no per-group sort task") {
+    val plan = graft.queries.PipelineQueries.queries("q_group_median")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"counts not broadcast:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(_.contains("__c")),
+      s"a window runs over document data:\n$plan")
+  }
+
+  test("int8 probe: map-side partial aggregation, TakeOrdered top-k, no join") {
+    val plan = graft.queries.PipelineQueries.queries("q_emb_int8")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"dot products not partial-aggregated:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+    assert(!plan.contains("Join"), s"int8 probe must be joinless:\n$plan")
+  }
+
+  test("bigram ppl: pair stream partial-aggregates before its joins") {
+    val plan = graft.queries.PipelineQueries.queries("q_doc_bigram_ppl")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // EAGER result: flat cached relation, no residual scoring tree
+    assert(plan.contains("InMemoryRelation") || plan.contains("LogicalRDD"),
+      s"bigram result not materialized:\n$plan")
+  }
+
   test("pq probe scans codes only: no join, no vector column, TakeOrdered top-k") {
     val plan = graft.queries.PipelineQueries.queries("q_emb_pq_probe")(spark, sfDir)
       .queryExecution.executedPlan.toString
