@@ -117,7 +117,28 @@ object Demo {
       .hashSplit(corpus, "doc_id", 0, 90).count()
     println(s"  deterministic 90% train split: $trainRows of 2")
 
-    println("\n=== 10. the physical plan Catalyst builds ===")
+    println("\n=== 10. selection & ranking (round-5 operators) ===")
+    val pool = (0L until 30L).map(i =>
+      (i, s"sample document number $i with shared words ${"w" * (i % 5).toInt}",
+        (i % 9) * 10 + 5)).toDF("doc_id", "text", "n_tokens")
+    val sampled = graft.functions.Mixing.prioritySample(
+      pool, "doc_id", "n_tokens", k = 5)
+    println(s"  priority sample (DLT, unbiased w_hat): " +
+      sampled.collect().map(r => s"${r.getLong(0)}->${r.getDouble(2)}").mkString(", "))
+    val ranked = graft.functions.Windowing.globalNtile(
+      pool.withColumn("g", col("doc_id") % 2), Seq("g"),
+      Seq("n_tokens", "doc_id"), 3)
+    println(s"  globalNtile buckets (no per-group sort task): " +
+      ranked.groupBy("bucket").count().orderBy("bucket").collect()
+        .map(r => s"b${r.getInt(0)}=${r.getLong(1)}").mkString(" "))
+    val pr = graft.functions.Graph.pageRank(
+      Seq((1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L)).toDF("src", "dst"),
+      "src", "dst", iterations = 4)
+    println(s"  integer-exact pageRank: " + pr.orderBy(col("rank").desc)
+      .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
+    pr.unpersist()
+
+    println("\n=== 11. the physical plan Catalyst builds ===")
     hot.df.explain("formatted")
 
     spark.stop()

@@ -67,25 +67,25 @@ object Graph {
     val sinks = nodes.join(outDeg.select(col("src").as("node")), Seq("node"),
       "left_anti").persist(MEMORY_AND_DISK)
 
-    var ranks = nodes.select(col("node"), lit(m0).as("r"))
+    var ranks = nodes.select(col("node"), lit(m0).as("rank"))
       .persist(MEMORY_AND_DISK)
     ranks.count()
     (1 to iterations).foreach { _ =>
       val inflow = edgesDeg
-        .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
-        .select(col("dst").as("node"), intDiv(col("r"), col("deg")).as("__c"))
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"), intDiv(col("rank"), col("deg")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
       // dangling mass rides the generation's own plan as a broadcast 1-row
       // aggregate — ONE action per iteration (the materializing count),
       // not a separate driver collect per round
       val dang = broadcast(sinks.join(ranks, Seq("node"))
-        .agg(intDiv(coalesce(sum(col("r")), lit(0L)), lit(n)).as("__dang")))
+        .agg(intDiv(coalesce(sum(col("rank")), lit(0L)), lit(n)).as("__dang")))
       val updated = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
           nodes.join(inflow, Seq("node"), "left").crossJoin(dang)
             .select(col("node"),
               (lit(baseShare) + intDiv(
                 lit(dampPct.toLong) * (coalesce(col("__s"), lit(0L)) + col("__dang")),
-                lit(100L))).as("r")))
+                lit(100L))).as("rank")))
         .persist(MEMORY_AND_DISK)
       updated.count()
       ranks.unpersist()

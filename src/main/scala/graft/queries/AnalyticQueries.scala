@@ -171,7 +171,7 @@ object AnalyticQueries {
          |    CROSS JOIN d$i d CROSS JOIN m)""".stripMargin
     }
     (head +: steps).mkString(",\n") +
-      s"\nSELECT node, r FROM r$iters"
+      s"\nSELECT node, r AS rank FROM r$iters"
   }
 
   val oracleSql: Map[String, String] = Map(
