@@ -46,11 +46,28 @@ object Graph {
     * the damping factor in integer percent (85 = the classic 0.85).
     * EAGER: the result is materialized and all internal caches are freed;
     * the caller owns one `unpersist()`. */
+  /** `iterPartitions`: shuffle-partition count for the iteration joins —
+    * the rank/edge tables are usually far smaller than the corpus the
+    * session is tuned for, and per-iteration latency is TASK overhead ×
+    * stages × iterations (the streaming state-store lesson: size the
+    * shuffle to the state, not to the batch default; at 100 TB of edges
+    * the same knob goes UP). 0 = inherit the session setting. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 8, massScale: Long = 1000000000000L,
-               dampPct: Int = 85): DataFrame = {
+               dampPct: Int = 85, iterPartitions: Int = 0): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be 0..100, got $dampPct")
+    val spark = edges.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (iterPartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
+    try pageRankImpl(edges, srcCol, dstCol, iterations, massScale, dampPct)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                           iterations: Int, massScale: Long,
+                           dampPct: Int): DataFrame = {
     val e = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
         edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
       .persist(MEMORY_AND_DISK)

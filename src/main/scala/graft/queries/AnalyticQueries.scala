@@ -111,8 +111,10 @@ object AnalyticQueries {
         .select(col("user_id").as("src"),
           get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
         .filter(col("dst").isNotNull)
-      // returned still cached (EAGER contract; the bench sweeps barriers)
-      graft.functions.Graph.pageRank(edges, "src", "dst", iterations = 8)
+      // returned still cached (EAGER contract; the bench sweeps barriers);
+      // iteration shuffles sized to the small rank table, not the session
+      graft.functions.Graph.pageRank(edges, "src", "dst", iterations = 8,
+        iterPartitions = 8)
     }),
 
     "q_approx_stats" -> ((s, dir) => {
