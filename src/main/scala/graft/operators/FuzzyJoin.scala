@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate string self-join: all pairs within Levenshtein distance 1,
+  * without the quadratic cross product — entity/near-key resolution over
+  * name-like columns (typo'd identifiers, OCR'd labels, URL slugs).
+  *
+  * Blocking is the FastSS / SymSpell deletion neighborhood: each string
+  * maps to {s} ∪ {s with one char deleted}. Two strings at distance ≤ 1
+  * ALWAYS share a key (substitution at i → both i-deletions equal;
+  * insertion/deletion → the shorter string is a deletion of the longer;
+  * equality → s itself), so the block join is COMPLETE — the final
+  * `levenshtein ≤ 1` filter only removes false candidates (distance-2
+  * strings can share a deletion), never misses a pair.
+  *
+  * Scale shape: len+1 keys per string — shuffle volume is O(total chars),
+  * vs O(n²) for the cross join the naive formulation needs; candidate
+  * verification is one codegen'd levenshtein per shared-key pair. Keys
+  * whose bucket exceeds `maxBucketSize` (mass-produced template names
+  * would quadratically explode a bucket) are REFUSED loudly rather than
+  * silently dropped or silently quadratic.
+  */
+object FuzzyJoin {
+
+  /** One-deletion neighborhood keys of `s` (including `s` itself). */
+  private[operators] def deletionKeys(s: Column): Column =
+    array_union(
+      array(s),
+      transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), i - 1), s.substr(i + 1, lit(Int.MaxValue)))))
+
+  /** All (idA, idB, distance) pairs with idA < idB and
+    * levenshtein(strA, strB) ≤ 1. */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String,
+                         maxBucketSize: Long = 10000L): DataFrame = {
+    val keyed = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col("__id"), col("__s"),
+        explode(deletionKeys(col("__s"))).as("__k"))
+    val hot = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .limit(1).collect()
+    require(hot.isEmpty,
+      s"editDistance1Pairs: deletion-key bucket '${hot.headOption.map(_.getString(0))
+        .getOrElse("")}' exceeds maxBucketSize=$maxBucketSize — " +
+        "template-generated strings would make the block join quadratic; " +
+        "pre-segment the input or raise the cap explicitly")
+    val a = keyed.select(col("__k"), col("__id").as("id_a"), col("__s").as("s_a"))
+    val b = keyed.select(col("__k"), col("__id").as("id_b"), col("__s").as("s_b"))
+    a.join(b, Seq("__k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
+      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
+  }
+}

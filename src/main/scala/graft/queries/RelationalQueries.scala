@@ -332,6 +332,16 @@ object RelationalQueries {
     }),
 
     // --- JSON extraction from the props payload ------------------------------------------------------
+    // Fuzzy self-join: customer names within Levenshtein distance 1
+    // (FastSS deletion-neighborhood blocking - complete for k=1, O(chars)
+    // shuffle instead of the n^2 cross join; exact verify). Restricted to
+    // 300 names so the DuckDB cross-join oracle stays cheap at any SF.
+    "q_fuzzy_join" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.editDistance1Pairs(
+        star(s, dir, "customer").df.filter(col("c_custkey") <= 300),
+        "c_custkey", "c_name")
+        .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))),
+
     "q_json_extract" -> ((s, dir) =>
       star(s, dir, "events").df
         .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
@@ -513,6 +523,14 @@ object RelationalQueries {
         |    FROM events
         |  )
         |) GROUP BY user_id""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey <= 300 AND b.c_custkey <= 300
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,
