@@ -101,6 +101,25 @@ object AnalyticQueries {
     // The DuckDB oracle computes the exact columns and literal TRUE flags —
     // a violated bound now FAILS the hash check instead of hiding in a
     // rows-only row.
+    // --- funnel analysis ----------------------------------------------------
+    // Ordered step-completion funnel: users who viewed; of those, users
+    // whose first click came after their first view; of those, users whose
+    // first purchase came after that click. One shuffle (the per-user
+    // min-timestamp aggregate with map-side combine); the step logic is a
+    // pure projection over the 3 firsts.
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+      val firsts = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      firsts.agg(
+        count(col("t_view")).as("n_view"),
+        count(when(col("t_click") > col("t_view"), lit(1))).as("n_view_click"),
+        count(when(col("t_click") > col("t_view") &&
+          col("t_buy") > col("t_click"), lit(1))).as("n_full"))
+    }),
+
     // --- link-graph analytics ---------------------------------------------
     // PageRank over the (user -> props.k) edge list in integer micro-mass
     // units: every step is integer addition + floor division, so the
@@ -178,6 +197,19 @@ object AnalyticQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(8),
+
+    "q_funnel" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT count(t_view) AS n_view,
+        |  count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 END)
+        |    AS n_full
+        |FROM firsts""".stripMargin,
 
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
