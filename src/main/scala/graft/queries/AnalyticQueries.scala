@@ -120,6 +120,25 @@ object AnalyticQueries {
           col("t_buy") > col("t_click"), lit(1))).as("n_full"))
     }),
 
+    // Cohort retention: users grouped by the hour of their first event;
+    // for each cohort, how many were active again 1 and 2 hours later.
+    // Two map-side-combined aggregates joined on the small (user, cohort)
+    // table — no window, no self-join of the event stream.
+    "q_retention" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("cohort"))
+      val active = ev.select(col("user_id"),
+        date_trunc("hour", col("ts")).as("h")).distinct()
+      cohorts.join(active, Seq("user_id"))
+        .groupBy(col("cohort"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(when(col("h") === col("cohort") + expr("INTERVAL 1 HOUR"),
+            lit(1))).as("n_h1"),
+          count(when(col("h") === col("cohort") + expr("INTERVAL 2 HOURS"),
+            lit(1))).as("n_h2"))
+    }),
+
     // --- link-graph analytics ---------------------------------------------
     // PageRank over the (user -> props.k) edge list in integer micro-mass
     // units: every step is integer addition + floor division, so the
@@ -197,6 +216,19 @@ object AnalyticQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(8),
+
+    "q_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events)
+        |SELECT CAST(c.cohort AS TIMESTAMP) AS cohort,
+        |  count(DISTINCT c.user_id) AS n_users,
+        |  count(CASE WHEN a.h = c.cohort + INTERVAL 1 HOUR THEN 1 END) AS n_h1,
+        |  count(CASE WHEN a.h = c.cohort + INTERVAL 2 HOUR THEN 1 END) AS n_h2
+        |FROM cohorts c JOIN active a USING (user_id)
+        |GROUP BY c.cohort""".stripMargin,
 
     "q_funnel" ->
       """WITH firsts AS (
