@@ -167,6 +167,40 @@ object Mixing {
           .as("w_hat"))
   }
 
+  /** Per-group [[prioritySample]]: an independent DLT sample of `k` rows
+    * per group with the group-wise unbiased ŵ = max(w, τ_g) estimator —
+    * per-source weighted eval sets in one pass. Same bounded-state
+    * TopKPairs shape, now grouped: each partition ships ≤ k+1 candidates
+    * PER GROUP, so a skewed 10 TB source costs the same shuffle volume as
+    * a tiny one. τ_g comes from each group's own (k+1)-th priority; a
+    * group with ≤ k rows keeps everything at its true weight. Weights are
+    * rebuilt by joining the sampled ids back (broadcast), so the heavy
+    * side never re-shuffles. Returns (group, id, weight, w_hat). */
+  def prioritySampleByGroup(df: DataFrame, groupCol: String, idCol: String,
+                            weightCol: String, k: Int,
+                            outScale: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val pri = (h48 + 1).cast("double") / col(weightCol).cast("double")
+    val top = df.filter(col(weightCol) > 0)
+      .select(col(groupCol), col(idCol), pri.as("__pri"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.expressions.TopKByKey
+        .topK(-col("__pri"), col(idCol), k + 1).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(groupCol), col("__pos"), (-col("__t.score")).as("__pri"),
+        col("__t.id").as(idCol))
+    val tau = top.filter(col("__pos") === k)
+      .select(col(groupCol), (lit(1.0) / col("__pri")).as("__tau"))
+    val sample = top.filter(col("__pos") < k).select(col(groupCol), col(idCol))
+    df.join(broadcast(sample), Seq(groupCol, idCol))
+      .join(broadcast(tau), Seq(groupCol), "left")
+      .select(col(groupCol), col(idCol), col(weightCol).as("weight"),
+        round(greatest(col(weightCol).cast("double"),
+          coalesce(col("__tau"), lit(0.0))), outScale).as("w_hat"))
+  }
+
   /** Per-group kept/total report for a rebalanced frame — the mixture
     * audit a pipeline logs after resampling. */
   def mixReport(df: DataFrame, rebalanced: DataFrame,

@@ -328,6 +328,14 @@ object PipelineQueries {
           md5(col("text")).as("fp"))
     }),
 
+    // Per-source priority sampling: an independent 10-doc DLT sample per
+    // lang with group-wise tau estimators - per-source weighted eval sets
+    // in one bounded-state pass (<= k+1 candidates per group per
+    // partition through the shuffle).
+    "q_weighted_sample_grouped" -> ((s, dir) =>
+      graft.functions.Mixing.prioritySampleByGroup(
+        star(s, dir, "documents").df, "lang", "doc_id", "n_chars", k = 10)),
+
     // Priority sampling (Duffield-Lund-Thorup): 50 docs weighted by
     // n_chars, with the unbiased max(w, tau) estimator. Priorities are
     // exact-integer hashes over IEEE double division, so the sample AND
@@ -1315,6 +1323,20 @@ object PipelineQueries {
         |  WHERE NOT del)
         |SELECT doc_id, lang, source, n_chars, md5(text) AS fp
         |FROM merged""".stripMargin,
+
+    "q_weighted_sample_grouped" ->
+      """WITH p AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |       AS BIGINT) + 1) / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY pri, doc_id) AS rn FROM p),
+        |tau AS (SELECT lang, coalesce(max(CASE WHEN rn = 11 THEN 1.0 / pri END),
+        |          0.0) AS tau FROM r GROUP BY lang)
+        |SELECT r.lang, r.doc_id, r.n_chars AS weight,
+        |  round(greatest(CAST(r.n_chars AS DOUBLE), t.tau), 4) AS w_hat
+        |FROM r JOIN tau t USING (lang) WHERE r.rn <= 10""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH p AS (

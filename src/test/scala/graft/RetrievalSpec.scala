@@ -138,6 +138,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(1) == run(17))
   }
 
+  test("prioritySampleByGroup takes independent per-group DLT samples") {
+    // group A: 30 rows, group B: 2 rows (under k) — B keeps all, w_hat = w
+    val rows = (0L until 30L).map(i => ("A", i, i % 6 + 1)) ++
+      Seq(("B", 100L, 5L), ("B", 101L, 9L))
+    val df = rows.map { case (g, i, w) => (g, i, w.toLong) }
+      .toDF("g", "id", "w").repartition(5)
+    val got = graft.functions.Mixing.prioritySampleByGroup(df, "g", "id", "w", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    val byG = got.groupBy(_._1)
+    assert(byG("A").length == 4 && byG("B").length == 2)
+    assert(byG("B").map(x => x._2 -> x._3).toMap == Map(100L -> 5.0, 101L -> 9.0),
+      "under-k group must keep all rows at true weights")
+    // group A reference: 4 smallest priorities + tau from the 5th
+    val aRows = rows.filter(_._1 == "A").map { case (_, i, w) => (i, w.toLong) }
+    val sorted = aRows.sortBy { case (i, w) => (pri48(i, w), i) }
+    val tau = 1.0 / pri48(sorted(4)._1, sorted(4)._2)
+    val expectA = sorted.take(4).map { case (i, w) =>
+      (i, math.rint(math.max(w.toDouble, tau) * 1e4) / 1e4) }.toSet
+    assert(byG("A").map(x => (x._2, x._3)).toSet == expectA)
+  }
+
   // --- int8 quantization ---------------------------------------------------
 
   test("quantizeInt8 computes floor(v/s*127+0.5) codes; zero vector all-zero") {
