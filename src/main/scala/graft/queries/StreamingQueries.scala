@@ -75,6 +75,26 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // Streaming per-group priority sample: O(k) state per language
+    // (min-k of priorities is associative, so the result is independent
+    // of micro-batching and equals the batch operator bit for bit,
+    // estimator included). Shares q_weighted_sample_grouped's oracle
+    // semantics - the streaming/batch parity proof for bounded-state
+    // sampling.
+    "q_stream_sample" -> ((s, dir) => {
+      val emitted = EventStreams.runToBatch(s,
+        EventStreams.streamingPrioritySample(s,
+          EventStreams.readDocumentsStream(s, dir), k = 10),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      // last emission per group via a window over the (metadata-sized)
+      // emitted table — a self-join of the memory sink would conflict on
+      // attribute ids
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      emitted.withColumn("__maxv", max(col("version")).over(w))
+        .filter(col("version") === col("__maxv"))
+        .select(col("lang"), col("doc_id"), col("weight"), col("w_hat"))
+    }),
+
     // Continuous SCD-1 maintenance: the documents stream is mapped to a
     // deterministic change feed (updates / inserts / tombstones — the
     // q_merge_upsert construction with an ' s2' marker and +20M insert
@@ -154,6 +174,20 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_sample" ->
+      """WITH p AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |       AS BIGINT) + 1) / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY pri, doc_id) AS rn FROM p),
+        |tau AS (SELECT lang, coalesce(max(CASE WHEN rn = 11 THEN 1.0 / pri END),
+        |          0.0) AS tau FROM r GROUP BY lang)
+        |SELECT r.lang, r.doc_id, r.n_chars AS weight,
+        |  round(greatest(CAST(r.n_chars AS DOUBLE), t.tau), 4) AS w_hat
+        |FROM r JOIN tau t USING (lang) WHERE r.rn <= 10""".stripMargin,
+
     "q_stream_upsert" ->
       """WITH changes AS (
         |  SELECT doc_id, text || ' s2' AS text, n_chars + 3 AS n_chars,

@@ -271,6 +271,56 @@ object EventStreams {
   case class UserRunningState(nEvents: Long, totalValue: Double, lastTs: Long)
   case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
 
+  case class PriDoc(doc_id: Long, lang: String, n_chars: Long)
+  case class PriItem(pri: Double, id: Long, w: Long)
+  case class PriState(items: List[PriItem], gen: Long)
+  case class PriEmit(lang: String, doc_id: Long, weight: Long, w_hat: Double,
+                     version: Long)
+
+  /** Streaming per-group priority sample (Duffield-Lund-Thorup over an
+    * unbounded stream): state per group is the k+1 SMALLEST priorities
+    * seen so far — min-k is associative and commutative, so the final
+    * state is a pure function of the set of rows, independent of
+    * micro-batching, arrival order, and restarts, and must equal
+    * [[graft.functions.Mixing.prioritySampleByGroup]] on the same rows
+    * BIT FOR BIT (estimator included: τ_g = 1/p_{k+1} from the same
+    * state). O(k) state per group — the streaming-native version of the
+    * bounded-state sampling contract. Emits the current sample each
+    * batch with a monotone `version`; the caller keeps each group's last
+    * version (one tiny aggregate). */
+  def streamingPrioritySample(spark: SparkSession, docs: DataFrame,
+                              k: Int): DataFrame = {
+    import spark.implicits._
+    val ds = docs.selectExpr("doc_id", "lang", "n_chars").as[PriDoc]
+    ds.groupByKey(_.lang)
+      .flatMapGroupsWithState[PriState, PriEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lang, rows, state: GroupState[PriState]) =>
+          var items = state.getOption.map(_.items).getOrElse(Nil)
+          rows.foreach { d =>
+            if (d.n_chars > 0) {
+              // identical arithmetic to the batch operator: 48-bit md5
+              // prefix + 1 over IEEE double division
+              val hex = java.security.MessageDigest.getInstance("MD5")
+                .digest(d.doc_id.toString.getBytes("UTF-8"))
+                .take(6).map("%02x".format(_)).mkString
+              val pri = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / d.n_chars
+              items = (PriItem(pri, d.doc_id, d.n_chars) :: items)
+                .sortBy(it => (it.pri, it.id)).take(k + 1)
+            }
+          }
+          val version = state.getOption.map(_.gen).getOrElse(0L) + 1L
+          state.update(PriState(items, version))
+          val tau = if (items.length > k) 1.0 / items(k).pri else 0.0
+          items.take(k).iterator.map { it =>
+            PriEmit(lang, it.id, it.w,
+              BigDecimal(math.max(it.w.toDouble, tau))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              version)
+          }
+      }.toDF()
+  }
+
   /** Custom per-user running state via flatMapGroupsWithState — the
     * KeyValueGroupedDataset stateful-processing extension point
     * (mapGroupsWithState family). Emits a snapshot per user per batch. */

@@ -103,6 +103,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastPerUser.exceptAll(batch).isEmpty)
   }
 
+  test("streaming priority sample equals the batch operator across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val rows = (0L until 80L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", (i % 11) * 7 + 3))
+    val df = rows.toDF("doc_id", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("prisample").toString
+    df.repartition(3).write.mode("overwrite").parquet(dir) // 3 files = 3 batches
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val emitted = EventStreams.runToBatch(spark,
+      EventStreams.streamingPrioritySample(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir),
+        k = 5),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val streamed = emitted.withColumn("__m", max(col("version")).over(w))
+      .filter(col("version") === col("__m"))
+      .select("lang", "doc_id", "weight", "w_hat")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.functions.Mixing
+      .prioritySampleByGroup(df, "lang", "doc_id", "n_chars", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(emitted.select("version").distinct().count() > 1,
+      "expected multiple micro-batches")
+    assert(streamed == batch, s"stream/batch divergence:\n$streamed\nvs\n$batch")
+  }
+
   test("streamingUpsert folds change feeds into the snapshot, last feed wins") {
     import spark.implicits._
     import org.apache.spark.sql.types._
