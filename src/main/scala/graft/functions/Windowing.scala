@@ -68,6 +68,27 @@ object Windowing {
     ranked.withColumn(outCol, (bucket + 1).cast("int")).drop("__rn", "__gn")
   }
 
+  /** Exact per-group quantiles by the nearest-rank definition: for each
+    * probability p (in percent, to stay integer-exact), the value at rank
+    * ⌈p·n/100⌉ under (orderCols) — exact order statistics at any group
+    * size over the same one-shuffle rank, where `percentile_approx`
+    * trades accuracy and a per-group window serializes the group. Returns
+    * one row per (group, pct): groupCols ++ (pct, rank, plus all of df's
+    * columns at that rank). */
+  def globalQuantiles(df: DataFrame, groupCols: Seq[String],
+                      orderCols: Seq[String], pcts: Seq[Int],
+                      numPartitions: Int = 0): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be 1..100, got $pcts")
+    val ranked = withRankAndCount(df, groupCols, orderCols, numPartitions)
+    // rank = ceil(p*n/100) = (p*n + 99) div 100, exact in integers
+    val pctCol = explode(array(pcts.map(p => lit(p)): _*)).as("pct")
+    ranked.select(col("*"), pctCol)
+      .filter(col("__rn") === intDiv(col("pct") * col("__gn") + 99, lit(100)))
+      .withColumnRenamed("__rn", "rank")
+      .drop("__gn")
+  }
+
   /** Integer division on non-negative longs — exact past 2^53, where
     * Spark's `/` (double division) starts rounding. */
   private def intDiv(a: Column, b: Column): Column = {

@@ -392,6 +392,16 @@ object PipelineQueries {
         .select(col("lang"), col("n_docs"), col("n_chars").as("median_chars"))
     }),
 
+    // Exact per-language quartiles (nearest-rank) of document length -
+    // the same one-shuffle distributed rank serving three probabilities
+    // at once; exact where percentile_approx is approximate.
+    "q_group_quantiles" -> ((s, dir) =>
+      Windowing.globalQuantiles(
+        star(s, dir, "documents").df.select(col("lang"), col("n_chars"),
+          col("doc_id")),
+        Seq("lang"), Seq("n_chars", "doc_id"), pcts = Seq(25, 50, 75))
+        .select(col("lang"), col("pct"), col("n_chars").as("value"))),
+
     // Bigram LM with stupid backoff (Brants et al. 2007): transition-level
     // fluency scoring - word salad that fools the unigram model has
     // improbable bigrams. Same decimal determinism scheme, so the score
@@ -1086,6 +1096,16 @@ object PipelineQueries {
         |    AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS xent
         |FROM tok t JOIN freq f USING (token), tot
         |GROUP BY t.doc_id""".stripMargin,
+
+    "q_group_quantiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |p AS (SELECT unnest([25, 50, 75]) AS pct)
+        |SELECT r.lang, CAST(p.pct AS INTEGER) AS pct, r.n_chars AS value
+        |FROM r, p WHERE r.rn = (p.pct * r.n + 99) // 100""".stripMargin,
 
     "q_group_median" ->
       """WITH r AS (

@@ -67,6 +67,20 @@ class WindowingSpec extends AnyFunSuite {
     assert(got == Map(10L -> 1, 11L -> 2, 12L -> 1))
   }
 
+  test("globalQuantiles picks nearest-rank order statistics per group") {
+    val data = (1L to 10L).map(i => ("a", i * 10, i)) ++
+      (1L to 4L).map(i => ("b", i * 100, 100 + i))
+    val got = graft.functions.Windowing.globalQuantiles(
+        data.toDF("g", "v", "id").repartition(5),
+        Seq("g"), Seq("v", "id"), pcts = Seq(25, 50, 75, 100))
+      .collect().map(r => (r.getString(0), r.getInt(4)) -> r.getLong(1)).toMap
+    // group a (n=10): ceil(2.5)=3 -> 30, ceil(5)=5 -> 50, ceil(7.5)=8 -> 80, 10 -> 100
+    assert(got == Map(
+      ("a", 25) -> 30L, ("a", 50) -> 50L, ("a", 75) -> 80L, ("a", 100) -> 100L,
+      // group b (n=4): ranks 1, 2, 3, 4
+      ("b", 25) -> 100L, ("b", 50) -> 200L, ("b", 75) -> 300L, ("b", 100) -> 400L))
+  }
+
   test("plan: one range shuffle of the data, no data-side window, broadcast reassembly") {
     val df = rows.toDF("g", "v", "id").repartition(7)
     val plan = Windowing.globalRowNumber(df, Seq("g"), Seq("v", "id"))
