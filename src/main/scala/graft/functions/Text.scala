@@ -176,6 +176,18 @@ object Text {
           element_at(toks, i + 1).as("w2"))))
   }
 
+  /** Adjacent token triples as struct<w1,w2,w3> — same narrow transform
+    * as [[bigrams]]. Empty for docs under 3 tokens. */
+  def trigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) < 3,
+      array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"),
+          element_at(toks, i + 2).as("w3"))))
+  }
+
   /** Character n-gram set (distinct), for n-gram Jaccard similarity. */
   def charNgrams(text: Column, n: Int): Column =
     when(length(text) < n, array(text)).otherwise(

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Unigram language-model scoring — the CCNet-style perplexity quality
@@ -211,5 +211,95 @@ object UnigramLm {
         round(-col("__sum").cast("double") / col("n_tokens"), outScale)
           .as("xent2"))
     Dedup.materializeAndFree(result, uni, bc)
+  }
+
+  /** Trigram LM with the FULL stupid-backoff chain (the shape Brants et
+    * al. served at 5-gram order):
+    *
+    *   s(w_i | w_{i-2} w_{i-1}) = c3/c2(ctx)                       (trigram seen)
+    *                             = α · c2(w_{i-1} w_i)/c1(w_{i-1})  (else, bigram seen)
+    *                             = α² · c(w_i)/total                (else)
+    *
+    * with the unigram first position and the bigram chain for position 2.
+    * Everything else — decimal determinism, OOV pseudo-counts,
+    * distinct-gram collapse, EAGER barrier hygiene — is [[scoreBigram]]'s
+    * contract one order up; the trigram count table again grows with
+    * corpus diversity, not size. (An annotate-the-count-tables join
+    * reduction was tried and REJECTED by measurement: the trigram count
+    * table is itself corpus-sized, so pre-joining it costs more than the
+    * extra stream joins it saves.) Returns (id, n_tokens, xent3). */
+  def scoreTrigram(df: DataFrame, reference: DataFrame,
+                   idCol: String, textCol: String, alpha: Double = 0.4,
+                   oovCount: Double = 0.5,
+                   logScale: Int = 6, outScale: Int = 4): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val uni = tokenFrequencies(reference, textCol).persist(lvl)
+    val total = uni.agg(sum(col("cnt"))).head().getLong(0)
+    require(total > 0, "trigram training corpus has no tokens")
+    val bc = reference
+      .select(explode(Text.bigrams(col(textCol))).as("__b"))
+      .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2")).persist(lvl)
+    val tc = reference
+      .select(explode(Text.trigrams(col(textCol))).as("__t"))
+      .groupBy(col("__t.w1").as("w1"), col("__t.w2").as("w2"),
+        col("__t.w3").as("w3"))
+      .agg(count(lit(1)).as("c3")).persist(lvl)
+
+    def uniP(cnt: Column): Column =
+      coalesce(cnt.cast("double"), lit(oovCount)) / lit(total.toDouble)
+    def dec(c: Column): Column =
+      round(log(c), logScale).cast(s"decimal(28,$logScale)")
+
+    val toks = Text.tokens(col(textCol))
+    val firsts = df.select(col(idCol).as("id"),
+        element_at(toks, 1).as("token"))
+      .join(uni, Seq("token"), "left")
+      .select(col("id"), dec(uniP(col("cnt"))).as("__lp"), lit(1L).as("__k"))
+    // position 2: the bigram chain over (tok1, tok2)
+    val seconds = df.filter(size(toks) >= 2)
+      .select(col(idCol).as("id"), element_at(toks, 1).as("w1"),
+        element_at(toks, 2).as("w2"))
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(uni.select(col("token").as("w1"), col("cnt").as("c1")),
+        Seq("w1"), "left")
+      .join(uni.select(col("token").as("w2"), col("cnt").as("cw2")),
+        Seq("w2"), "left")
+      .select(col("id"),
+        dec(when(col("c2").isNotNull, col("c2").cast("double") / col("c1"))
+          .otherwise(lit(alpha) * uniP(col("cw2")))).as("__lp"),
+        lit(1L).as("__k"))
+    // positions >= 3: the full chain, distinct-collapsed per doc
+    val triples = df.select(col(idCol).as("id"),
+        explode(Text.trigrams(col(textCol))).as("__t"))
+      .groupBy(col("id"), col("__t.w1").as("w1"), col("__t.w2").as("w2"),
+        col("__t.w3").as("w3"))
+      .agg(count(lit(1)).as("__k"))
+      .join(tc, Seq("w1", "w2", "w3"), "left")
+      .join(bc.select(col("w1"), col("w2"), col("c2").as("c2ctx")),
+        Seq("w1", "w2"), "left")
+      .join(bc.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2nxt")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("token").as("w2"), col("cnt").as("c1mid")),
+        Seq("w2"), "left")
+      .join(uni.select(col("token").as("w3"), col("cnt").as("cw3")),
+        Seq("w3"), "left")
+      .select(col("id"),
+        dec(when(col("c3").isNotNull,
+            col("c3").cast("double") / col("c2ctx"))
+          .otherwise(lit(alpha) *
+            when(col("c2nxt").isNotNull,
+              col("c2nxt").cast("double") / col("c1mid"))
+              .otherwise(lit(alpha) * uniP(col("cw3"))))).as("__lp"),
+        col("__k"))
+
+    val result = firsts.unionByName(seconds).unionByName(triples)
+      .groupBy(col("id"))
+      .agg(sum(col("__k")).as("n_tokens"),
+        sum(col("__lp") * col("__k")).as("__sum"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        round(-col("__sum").cast("double") / col("n_tokens"), outScale)
+          .as("xent3"))
+    Dedup.materializeAndFree(result, uni, bc, tc)
   }
 }

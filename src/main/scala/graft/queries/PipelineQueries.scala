@@ -411,6 +411,13 @@ object PipelineQueries {
       UnigramLm.scoreBigram(docs, docs, "doc_id", "text")
     }),
 
+    // Trigram LM with the full stupid-backoff chain (trigram -> bigram ->
+    // unigram) - one order above q_doc_bigram_ppl, same determinism.
+    "q_doc_trigram_ppl" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      UnigramLm.scoreTrigram(docs, docs, "doc_id", "text")
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
     // split the corpus into head/middle/tail terciles of the unigram
     // cross-entropy — the selection step that keeps "head" for training.
@@ -1147,6 +1154,61 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(-CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
         |    AS xent2
+        |FROM contrib GROUP BY doc_id""".stripMargin,
+
+    "q_doc_trigram_ppl" ->
+      """WITH tokc AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p
+        |  FROM tokc),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+        |bg AS (
+        |  SELECT a.doc_id, a.p, a.w AS w1, b.w AS w2
+        |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |       FROM bg GROUP BY w1, w2),
+        |tg AS (
+        |  SELECT a.doc_id, a.p, a.w AS w1, b.w AS w2, c.w AS w3
+        |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |    JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+        |tcnt AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+        |         FROM tg GROUP BY w1, w2, w3),
+        |contrib AS (
+        |  SELECT p.doc_id,
+        |    round(ln(coalesce(CAST(u.c AS DOUBLE), 0.5) / t.total), 6) AS lp
+        |  FROM pos p LEFT JOIN uni u ON p.w = u.w, tot t WHERE p.p = 1
+        |  UNION ALL
+        |  SELECT g.doc_id,
+        |    round(ln(CASE WHEN b.c2 IS NOT NULL
+        |                  THEN CAST(b.c2 AS DOUBLE) / u1.c
+        |                  ELSE 0.4 * (coalesce(CAST(u2.c AS DOUBLE), 0.5) / t.total)
+        |             END), 6) AS lp
+        |  FROM bg g
+        |    LEFT JOIN bc b ON g.w1 = b.w1 AND g.w2 = b.w2
+        |    LEFT JOIN uni u1 ON g.w1 = u1.w
+        |    LEFT JOIN uni u2 ON g.w2 = u2.w, tot t
+        |  WHERE g.p = 1
+        |  UNION ALL
+        |  SELECT s.doc_id,
+        |    round(ln(CASE WHEN tc.c3 IS NOT NULL
+        |                  THEN CAST(tc.c3 AS DOUBLE) / bctx.c2
+        |                  ELSE 0.4 * (CASE WHEN bn.c2 IS NOT NULL
+        |                                   THEN CAST(bn.c2 AS DOUBLE) / um.c
+        |                                   ELSE 0.4 * (coalesce(CAST(u3.c AS DOUBLE), 0.5)
+        |                                               / t.total) END)
+        |             END), 6) AS lp
+        |  FROM tg s
+        |    LEFT JOIN tcnt tc ON s.w1 = tc.w1 AND s.w2 = tc.w2 AND s.w3 = tc.w3
+        |    LEFT JOIN bc bctx ON s.w1 = bctx.w1 AND s.w2 = bctx.w2
+        |    LEFT JOIN bc bn ON s.w2 = bn.w1 AND s.w3 = bn.w2
+        |    LEFT JOIN uni um ON s.w2 = um.w
+        |    LEFT JOIN uni u3 ON s.w3 = u3.w, tot t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(-CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
+        |    AS xent3
         |FROM contrib GROUP BY doc_id""".stripMargin,
 
     "q_doc_ppl_buckets" ->

@@ -106,6 +106,34 @@ class PackingSpec extends AnyFunSuite {
     assert(seen.getDouble(2) == xent(Seq(lp(3.0 / 8), lp(1.0 / 3))))
   }
 
+  test("trigram scoring matches hand-computed chained backoff incl. double OOV") {
+    // uni a:3 b:2 c:3 tot 8; bi (a,b):2 (b,a):1 (b,c):1 (c,c):1;
+    // tri (a,b,a):1 (a,b,c):1
+    val ref = Seq((1L, "a b a"), (2L, "a b c"), (3L, "c c")).toDF("id", "text")
+    def lp(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def xent(lps: Seq[BigDecimal]): Double =
+      (-(lps.sum.toDouble) / lps.size * 10000).round / 10000.0
+
+    val self = UnigramLm.scoreTrigram(ref, ref, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(self(1L) == ((3L, xent(Seq(lp(3.0 / 8), lp(2.0 / 3), lp(1.0 / 2))))))
+    assert(self(3L) == ((2L, xent(Seq(lp(3.0 / 8), lp(1.0 / 3))))))
+
+    // "b a b": trigram unseen -> 0.4 * bigram(a,b) = 0.4*(2/3)
+    val one = UnigramLm.scoreTrigram(Seq((9L, "b a b")).toDF("id", "text"),
+      ref, "id", "text").head()
+    assert(one.getDouble(2) ==
+      xent(Seq(lp(2.0 / 8), lp(1.0 / 2), lp(0.4 * (2.0 / 3)))))
+
+    // "c a q": bigram (c,a) unseen -> 0.4*(3/8); trigram AND bigram (a,q)
+    // unseen, q OOV -> 0.4*(0.4*(0.5/8))
+    val two = UnigramLm.scoreTrigram(Seq((8L, "c a q")).toDF("id", "text"),
+      ref, "id", "text").head()
+    assert(two.getDouble(2) ==
+      xent(Seq(lp(3.0 / 8), lp(0.4 * (3.0 / 8)), lp(0.4 * (0.4 * (0.5 / 8))))))
+  }
+
   test("bigram scoring is partitioning-independent") {
     val docs = (0L until 40L).map(i =>
       (i, s"w${i % 5} w${(i * 3) % 7} w${i % 5} w${(i + 1) % 4}"))
