@@ -23,8 +23,8 @@ object Dedup {
     * operator-lifetime blocks. The returned DataFrame is persisted; the
     * caller owns exactly one `unpersist()` (correctness survives earlier
     * unpersist — lineage is intact — only recompute cost is at stake). */
-  private[functions] def materializeAndFree(result: DataFrame,
-                                            internals: DataFrame*): DataFrame = {
+  private[graft] def materializeAndFree(result: DataFrame,
+                                        internals: DataFrame*): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize: internals are no longer needed for `out`
     internals.foreach(_.unpersist(blocking = true))

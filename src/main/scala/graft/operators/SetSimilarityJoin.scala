@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Dedup
+
+/** Exact thresholded set-similarity self-join via prefix filtering
+  * (AllPairs: Bayardo, Ma, Srikant, WWW 2007; prefix+length filters of
+  * PPJoin: Xiao, Wang, Lin, Yu, WWW 2008): every pair of documents whose
+  * token-set Jaccard similarity is ≥ `threshold`, with the EXACT
+  * similarity — the precise counterpart to [[graft.functions.Dedup]]'s
+  * probabilistic MinHash candidates (no false negatives by construction,
+  * no signature tuning).
+  *
+  * Prefix principle: order every set by a global canonical token order
+  * (ascending document frequency, ties by token — rarest first). For
+  * Jaccard ≥ t, a pair must share ≥ ⌈t·|x|⌉ tokens, so by pigeonhole the
+  * two prefixes of length |x| − ⌈t·|x|⌉ + 1 must intersect. Only prefix
+  * tokens are exploded into the inverted index — the frequent tail of
+  * every document (the bulk of its mass, and exactly the tokens with the
+  * quadratic postings) never enters the join.
+  *
+  * Scale shape at 100 TB: document frequencies are one vocabulary-sized
+  * aggregate; canonical per-doc sort is one shuffle by id; the index join
+  * shuffles only prefix tokens (≈ (1−t)·total tokens, and those are the
+  * RAREST tokens, so postings are short by construction); verification
+  * joins are proportional to the pruned candidate set. No all-pairs stage
+  * exists anywhere. Prefix-token buckets above `maxBucketSize` (possible
+  * only when a corpus is dominated by near-identical template docs) are
+  * REFUSED loudly, mirroring [[FuzzyJoin]]'s guard, rather than going
+  * silently quadratic.
+  *
+  * Determinism: output (id_a < id_b, overlap, jac) where overlap and set
+  * sizes are exact integers and jac = overlap/union is ONE IEEE division —
+  * bit-identical cross-engine. Prefix length uses n − floor(t·n) + 1
+  * (≥ the canonical n − ⌈t·n⌉ + 1 under any FP rounding of t·n) and the
+  * length filter keeps a 1e-6 slack, so FP can only ADMIT spurious
+  * candidates (removed by exact verification), never drop a true pair.
+  *
+  * EAGER (guard + materialization actions); internal barriers freed, the
+  * caller owns one `unpersist()` of the result.
+  */
+object SetSimilarityJoin {
+
+  /** All (id_a, id_b, overlap, jac) with id_a < id_b and
+    * Jaccard(set(tokensA), set(tokensB)) ≥ threshold. `tokensCol` is an
+    * array column; duplicates within a document are collapsed. */
+  def jaccardPairs(df: DataFrame, idCol: String, tokensCol: String,
+                   threshold: Double,
+                   maxBucketSize: Long = 100000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardPairs: threshold must be in (0, 1], got $threshold")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val docs = df
+      .select(col(idCol).as("__id"), array_distinct(col(tokensCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .persist(lvl)
+
+    // Canonical order: (document frequency asc, token asc) — rarest first.
+    val tok = docs.select(col("__id"), explode(col("__toks")).as("__t"))
+    val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val ordered = tok.join(dfreq, "__t")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("__t")))).as("__st"))
+      .select(col("__id"),
+        transform(col("__st"), s => s.getField("__t")).as("__ord"),
+        size(col("__st")).as("__n"))
+
+    // Robust prefix length (see determinism note above), clamped to n.
+    val prefLen = least(
+      col("__n") - floor(lit(threshold) * col("__n")).cast("int") + 1,
+      col("__n"))
+    val pref = ordered
+      .select(col("__id"), col("__n"),
+        explode(slice(col("__ord"), lit(1), prefLen)).as("__t"))
+      .persist(lvl)
+
+    val hot = pref.groupBy("__t").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxBucketSize).limit(1).collect()
+    require(hot.isEmpty,
+      s"jaccardPairs: prefix-token posting list for '${hot.headOption
+        .map(_.getString(0)).getOrElse("")}' exceeds maxBucketSize=$maxBucketSize — " +
+        "the corpus is dominated by near-identical template documents and the " +
+        "index join would be quadratic; dedup exactly first or raise the cap " +
+        "explicitly")
+
+    val a = pref.select(col("__t"), col("__id").as("id_a"), col("__n").as("n_a"))
+    val b = pref.select(col("__t"), col("__id").as("id_b"), col("__n").as("n_b"))
+    val cands = a.join(b, Seq("__t"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("n_b") >= lit(threshold) * col("n_a") - lit(1e-6) &&
+              col("n_a") >= lit(threshold) * col("n_b") - lit(1e-6))
+      .select("id_a", "id_b").distinct()
+
+    val ta = docs.select(col("__id").as("id_a"), col("__toks").as("__ta"))
+    val tb = docs.select(col("__id").as("id_b"), col("__toks").as("__tb"))
+    val overlap = size(array_intersect(col("__ta"), col("__tb")))
+    val union = col("__na") + col("__nb") - col("overlap")
+    val result = cands
+      .join(ta.withColumn("__na", size(col("__ta"))), Seq("id_a"))
+      .join(tb.withColumn("__nb", size(col("__tb"))), Seq("id_b"))
+      .withColumn("overlap", overlap)
+      .withColumn("jac", col("overlap").cast("double") / union)
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("overlap"), col("jac"))
+    Dedup.materializeAndFree(result, docs, pref)
+  }
+}

@@ -558,6 +558,19 @@ object PipelineQueries {
           round(Text.jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
     }),
 
+    // Exact thresholded Jaccard self-join via AllPairs/PPJoin prefix
+    // filtering — the precise counterpart to the MinHash candidates: no
+    // false negatives, exact similarities, and the inverted index holds
+    // only each doc's ~(1−t)·n RAREST tokens. Oracle is the full
+    // quadratic DuckDB token self-join; the engine must reproduce its
+    // answer exactly while never materializing that quadratic join.
+    "q_setsim_join" -> ((s, dir) => {
+      val d = star(s, dir, "documents").df
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      graft.operators.SetSimilarityJoin
+        .jaccardPairs(d, "doc_id", "toks", threshold = 0.9)
+    }),
+
     // --- similarity search -------------------------------------------------
     // Brute-force cosine top-10 over the corpus plus ten PLANTED neighbors
     // at exactly-known Pythagorean cosines (see [[annTriples]]): the scan
@@ -913,6 +926,28 @@ object PipelineQueries {
         |    string_split_regex(trim(b.text), '\s+') AS tb
         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |)""".stripMargin,
+
+    // The quadratic reference formulation the prefix-filtered engine must
+    // match exactly: overlap from the full token self-join, jac as the
+    // same single IEEE division, same >= 0.9 double comparison.
+    "q_setsim_join" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        |), ov AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, overlap,
+        |  CAST(overlap AS DOUBLE) / (sa.n + sb.n - overlap) AS jac
+        |FROM ov
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(overlap AS DOUBLE) / (sa.n + sb.n - overlap) >= 0.9""".stripMargin,
 
     "q_dedup_embedding" ->
       """SELECT vec_id AS idA, CAST(vec_id + 100000 AS BIGINT) AS idB, CAST(1.0 AS DOUBLE) AS cosine
