@@ -55,4 +55,103 @@ object Merge {
     }
     kept.unionByName(live.select(dataCols.map(col): _*))
   }
+
+  /** SCD-2 (type-2 slowly-changing-dimension) upsert: apply a change batch
+    * to a VERSIONED history table, closing superseded versions instead of
+    * overwriting them — the corpus-lineage primitive ("what did this
+    * document say when the model was trained?") that [[upsert]]'s
+    * replace-in-place semantics cannot answer.
+    *
+    * `history` carries the data columns plus `validFromCol`/`validToCol`
+    * (any orderable type — timestamp, date, or a batch sequence number;
+    * `validToCol` NULL marks the current version). For each change row at
+    * `batchTime`, keyed by `keyCols`:
+    *   - matched current version, any tracked column differs (null-safely)
+    *     → the current version is CLOSED (`validTo := batchTime`) and the
+    *       change row inserts as the new current version;
+    *   - matched and all tracked columns identical → NO-OP (no empty
+    *     versions — re-crawling an unchanged page must not grow history);
+    *   - unmatched key → plain insert (first version);
+    *   - tombstone (`deleteCol` true) → current version closed, nothing
+    *     inserted; tombstones for unknown keys are ignored;
+    *   - already-closed rows pass through untouched, always.
+    *
+    * Scale shape: the history side is touched ONLY by broadcast hash joins
+    * against the (small) change batch — it is scanned, never shuffled.
+    * New-key detection reuses the same broadcast join: the matched-key set
+    * (≤ |changes| rows) is re-derived and broadcast back against the
+    * batch, instead of anti-joining the batch against a 100 TB key
+    * projection (which would shuffle the snapshot's key column). Pass
+    * `broadcastChanges = false` for snapshot-sized batches and AQE plans
+    * shuffle joins throughout.
+    *
+    * Deterministic by construction: `batchTime` is caller-supplied (never
+    * wall-clock) and change detection is an exact null-safe column
+    * comparison.
+    */
+  def scd2Upsert(history: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                 batchTime: org.apache.spark.sql.Column,
+                 validFromCol: String = "valid_from",
+                 validToCol: String = "valid_to",
+                 deleteCol: Option[String] = None,
+                 broadcastChanges: Boolean = true,
+                 requireUniqueKeys: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val histCols = history.columns.toSeq
+    require(histCols.contains(validFromCol) && histCols.contains(validToCol),
+      s"history must carry '$validFromCol' and '$validToCol' columns")
+    val dataCols = histCols.filterNot(c => c == validFromCol || c == validToCol)
+    require(keyCols.forall(dataCols.contains), s"keyCols must be history columns")
+    val tracked = dataCols.filterNot(keyCols.contains)
+    deleteCol.foreach { d =>
+      require(!histCols.contains(d), s"deleteCol '$d' must not be a history column")
+    }
+    if (requireUniqueKeys) {
+      val dups = changes.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+      require(dups == 0,
+        s"changes carry $dups duplicate key(s) — versioning would be ambiguous")
+    }
+
+    val del = deleteCol.map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
+    val ch = changes.select(
+      keyCols.map(col) ++ tracked.map(c => col(c).as(s"__ch_$c")) ++
+        Seq(del.as("__del"), lit(true).as("__m")): _*)
+    val chSide = if (broadcastChanges) broadcast(ch) else ch
+
+    val closed = history.filter(col(validToCol).isNotNull)
+    val current = history.filter(col(validToCol).isNull)
+    val j = current.join(chSide, keyCols, "left")
+    val differs = tracked.map(c => !(col(c) <=> col(s"__ch_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val closeNow = coalesce(col("__m"), lit(false)) && (col("__del") || differs)
+
+    val outCols = (dataCols :+ validFromCol :+ validToCol).map(col)
+    val kept = j.filter(!closeNow).select(outCols: _*)
+    val closedNow = j.filter(closeNow)
+      .select((dataCols.map(col) :+ col(validFromCol) :+
+        batchTime.cast(history.schema(validToCol).dataType).as(validToCol)): _*)
+    val newVersions = j.filter(closeNow && !col("__del"))
+      .select(keyCols.map(col) ++ tracked.map(c => col(s"__ch_$c").as(c)): _*)
+
+    // New-key inserts: matched keys re-derived through the SAME broadcast
+    // join (≤ |changes| rows survive the filter), then broadcast back —
+    // the history key column is never shuffled.
+    val matchedKeys = current.join(chSide, keyCols, "left_semi")
+      .select(keyCols.map(col): _*)
+    val firstVersions = ch.filter(!col("__del"))
+      .join(if (broadcastChanges) broadcast(matchedKeys) else matchedKeys,
+        keyCols, "left_anti")
+      .select(keyCols.map(col) ++ tracked.map(c => col(s"__ch_$c").as(c)): _*)
+
+    val inserts = newVersions.unionByName(firstVersions)
+      .withColumn(validFromCol,
+        batchTime.cast(history.schema(validFromCol).dataType))
+      .withColumn(validToCol,
+        lit(null).cast(history.schema(validToCol).dataType))
+      .select(outCols: _*)
+
+    closed.select(outCols: _*).unionByName(kept).unionByName(closedNow)
+      .unionByName(inserts)
+  }
 }

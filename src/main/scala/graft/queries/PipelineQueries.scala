@@ -328,6 +328,47 @@ object PipelineQueries {
           md5(col("text")).as("fp"))
     }),
 
+    // SCD-2 versioned corpus upsert: same change batch as q_merge_upsert
+    // plus NO-OP updates (%100 in 10-14, identical rows — must not grow
+    // history) against a history with pre-closed v0 versions for %100 in
+    // 95-99 (must pass through untouched). Superseded versions close at
+    // the batch time instead of vanishing; the history side is only ever
+    // touched by broadcast joins. Oracle repeats the versioning in SQL.
+    "q_merge_scd2" -> ((s, dir) => {
+      val d = star(s, dir, "documents").df
+      val m = col("doc_id") % 100
+      val t0 = lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      val hist = d
+        .withColumn("valid_from", t0)
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .unionByName(d.filter(m.between(95, 99))
+          .withColumn("text", concat(col("text"), lit(" v0")))
+          .withColumn("valid_from",
+            lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))
+          .withColumn("valid_to", t0))
+      val newText = concat(lit("new doc "), col("doc_id").cast("string"))
+      val updates = d.filter(m < 10).select(col("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"), col("lang"),
+        col("source"), (col("n_chars") + 3).as("n_chars"),
+        lit(false).as("del"))
+      val noops = d.filter(m.between(10, 14))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), lit(false).as("del"))
+      val inserts = d.filter(m.between(50, 52)).select(
+        (col("doc_id") + 10000000L).as("doc_id"), newText.as("text"),
+        col("lang"), col("source"),
+        length(newText).cast("long").as("n_chars"), lit(false).as("del"))
+      val deletes = d.filter(m.between(90, 94)).withColumn("del", lit(true))
+        .select("doc_id", "text", "lang", "source", "n_chars", "del")
+      graft.operators.Merge.scd2Upsert(hist,
+          updates.unionByName(noops).unionByName(inserts).unionByName(deletes),
+          Seq("doc_id"),
+          batchTime = lit(java.sql.Timestamp.valueOf("2026-06-01 00:00:00")),
+          deleteCol = Some("del"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("fp"), col("valid_from"), col("valid_to"))
+    }),
+
     // Per-source priority sampling: an independent 10-doc DLT sample per
     // lang with group-wise tau estimators - per-source weighted eval sets
     // in one bounded-state pass (<= k+1 candidates per group per
@@ -1439,6 +1480,69 @@ object PipelineQueries {
         |  SELECT doc_id, text, lang, source, n_chars FROM changes
         |  WHERE NOT del)
         |SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+        |FROM merged""".stripMargin,
+
+    "q_merge_scd2" ->
+      """WITH hist AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |         TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+        |         CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v0', lang, source, n_chars,
+        |         TIMESTAMP '2025-01-01 00:00:00',
+        |         TIMESTAMP '2026-01-01 00:00:00'
+        |  FROM documents WHERE doc_id % 100 BETWEEN 95 AND 99),
+        |changes AS (
+        |  SELECT doc_id, text || ' v2' AS text, lang, source,
+        |         n_chars + 3 AS n_chars, FALSE AS del
+        |  FROM documents WHERE doc_id % 100 < 10
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, FALSE
+        |  FROM documents WHERE doc_id % 100 BETWEEN 10 AND 14
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'new doc ' || CAST(doc_id AS VARCHAR),
+        |         lang, source,
+        |         CAST(length('new doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+        |         FALSE
+        |  FROM documents WHERE doc_id % 100 BETWEEN 50 AND 52
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, TRUE
+        |  FROM documents WHERE doc_id % 100 BETWEEN 90 AND 94),
+        |cur AS (SELECT * FROM hist WHERE valid_to IS NULL),
+        |j AS (
+        |  SELECT c.doc_id, c.text, c.lang, c.source, c.n_chars,
+        |         c.valid_from, c.valid_to,
+        |         ch.doc_id IS NOT NULL AS m, coalesce(ch.del, FALSE) AS del,
+        |         ch.text AS ch_text, ch.lang AS ch_lang,
+        |         ch.source AS ch_source, ch.n_chars AS ch_n,
+        |         (c.text IS DISTINCT FROM ch.text
+        |          OR c.lang IS DISTINCT FROM ch.lang
+        |          OR c.source IS DISTINCT FROM ch.source
+        |          OR c.n_chars IS DISTINCT FROM ch.n_chars) AS differs
+        |  FROM cur c LEFT JOIN changes ch ON c.doc_id = ch.doc_id),
+        |merged AS (
+        |  SELECT doc_id, text, lang, source, n_chars, valid_from, valid_to
+        |  FROM hist WHERE valid_to IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, valid_from, valid_to
+        |  FROM j WHERE NOT (m AND (del OR differs))
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, valid_from,
+        |         TIMESTAMP '2026-06-01 00:00:00'
+        |  FROM j WHERE m AND (del OR differs)
+        |  UNION ALL
+        |  SELECT doc_id, ch_text, ch_lang, ch_source, ch_n,
+        |         TIMESTAMP '2026-06-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        |  FROM j WHERE m AND NOT del AND differs
+        |  UNION ALL
+        |  SELECT ch.doc_id, ch.text, ch.lang, ch.source, ch.n_chars,
+        |         TIMESTAMP '2026-06-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        |  FROM changes ch
+        |  WHERE NOT ch.del
+        |    AND ch.doc_id NOT IN (SELECT doc_id FROM cur))
+        |SELECT doc_id, lang, source, n_chars, md5(text) AS fp,
+        |       valid_from, valid_to
         |FROM merged""".stripMargin,
 
     "q_weighted_sample_grouped" ->

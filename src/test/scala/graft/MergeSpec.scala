@@ -59,4 +59,80 @@ class MergeSpec extends AnyFunSuite {
       s"change keys not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"snapshot shuffled:\n$plan")
   }
+
+  // --- SCD-2 ---------------------------------------------------------------
+
+  private val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+  private val t1 = ts("2026-01-01 00:00:00")
+  private val t2 = ts("2026-06-01 00:00:00")
+
+  private def history = {
+    // key 1: one closed v0 + current v1; keys 2-4: current only
+    Seq(
+      (1L, "a0", 10, ts("2025-01-01 00:00:00"), t1),
+      (1L, "a", 10, t1, null.asInstanceOf[java.sql.Timestamp]),
+      (2L, "b", 20, t1, null.asInstanceOf[java.sql.Timestamp]),
+      (3L, "c", 30, t1, null.asInstanceOf[java.sql.Timestamp]),
+      (4L, "d", 40, t1, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "v", "n", "valid_from", "valid_to")
+  }
+
+  test("scd2: close+insert on change, no-op on identical, insert new, tombstone closes") {
+    val changes = Seq(
+      (1L, "a2", 11, false), // real change → close v1, insert v2
+      (2L, "b", 20, false),  // identical → NO version
+      (3L, "c", 30, true),   // tombstone → close, no insert
+      (5L, "e", 50, false))  // new key → first version
+      .toDF("id", "v", "n", "del")
+    val got = Merge.scd2Upsert(history, changes, Seq("id"), lit(t2),
+        deleteCol = Some("del"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    val expected = Set(
+      (1L, "a0", 10, ts("2025-01-01 00:00:00"), t1), // closed passes through
+      (1L, "a", 10, t1, t2),                          // superseded closes at t2
+      (1L, "a2", 11, t2, null),                       // new current version
+      (2L, "b", 20, t1, null),                        // identical: untouched
+      (3L, "c", 30, t1, t2),                          // tombstoned: closed
+      (4L, "d", 40, t1, null),                        // unmatched: untouched
+      (5L, "e", 50, t2, null))                        // first version
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("scd2: null-safe change detection (null -> value and value -> null both version)") {
+    val h = Seq((1L, null.asInstanceOf[String], 1, t1, null.asInstanceOf[java.sql.Timestamp]),
+                (2L, "x", 2, t1, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "v", "n", "valid_from", "valid_to")
+    val changes = Seq((1L, "now-set", 1), (2L, null.asInstanceOf[String], 2))
+      .toDF("id", "v", "n")
+    val got = Merge.scd2Upsert(h, changes, Seq("id"), lit(t2))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getTimestamp(4)))).toSet
+    assert(got == Set(
+      (1L, None, Some(t2)), (1L, Some("now-set"), None),
+      (2L, Some("x"), Some(t2)), (2L, None, None)))
+  }
+
+  test("scd2: tombstone for unknown key is ignored; duplicate keys refused") {
+    val changes = Seq((99L, "zz", 0, true)).toDF("id", "v", "n", "del")
+    val got = Merge.scd2Upsert(history, changes, Seq("id"), lit(t2),
+      deleteCol = Some("del"))
+    assert(got.count() == history.count())
+
+    val dup = Seq((2L, "x", 1, false), (2L, "y", 2, false))
+      .toDF("id", "v", "n", "del")
+    val e = intercept[IllegalArgumentException] {
+      Merge.scd2Upsert(history, dup, Seq("id"), lit(t2), deleteCol = Some("del"))
+    }
+    assert(e.getMessage.contains("duplicate key"))
+  }
+
+  test("scd2 plan: history only enters broadcast joins, never a shuffle join") {
+    val changes = Seq((1L, "a2", 11)).toDF("id", "v", "n")
+    val plan = Merge.scd2Upsert(history, changes, Seq("id"), lit(t2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"history shuffled:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
 }
