@@ -93,6 +93,70 @@ object Mixing {
       .drop("__n", "__h", "__b", "__offset", "__start")
   }
 
+  /** Exact integer square root (driver-side; group-count scale). */
+  private def isqrt(x: BigInt): BigInt = {
+    if (x < 2) x
+    else {
+      var a = BigInt(math.sqrt(x.doubleValue).toLong)
+      while (a * a > x) a -= 1
+      while ((a + 1) * (a + 1) <= x) a += 1
+      a
+    }
+  }
+
+  /** Temperature-smoothed source mixing (the multilingual pre-training
+    * standard: mBERT exponential smoothing, XLM-R / Conneau et al. 2020,
+    * Arivazhagan et al. 2019 temperature sampling): sample group g with
+    * probability q_g ∝ p_g^(1/τ) instead of its natural share p_g, so
+    * head sources shrink and tail sources survive. Keeps a deterministic
+    * hash slice of each group sized so the total is ~`totalBudget` rows
+    * split across groups ∝ n_g^(1/τ).
+    *
+    * Determinism: per-group keep thresholds are computed on the DRIVER in
+    * exact BigInt arithmetic — for the default τ = 2 the smoothing is an
+    * exact integer square root (scaled by 10^5), so the thresholds, and
+    * therefore the kept set, are bit-reproducible in any engine (the
+    * oracle recomputes them in SQL; floor(sqrt(n·10^10)) over doubles is
+    * exact for n ≤ ~10^5 — the gap to the next perfect square, ~1/(2√),
+    * dwarfs the double ulp there). Other temperatures go through libm pow
+    * on the driver: still deterministic for THIS engine (the thresholds
+    * are literals in the plan), but not guaranteed to match an
+    * independent engine's pow in the last ulp.
+    *
+    * Scale shape: group counts are one tiny aggregate; the keep decision
+    * is a broadcast threshold join + per-row hash compare — the corpus
+    * never shuffles. */
+  def temperatureRebalance(df: DataFrame, keyCol: String, groupCol: String,
+                           totalBudget: Long,
+                           temperature: Double = 2.0): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    require(temperature >= 1.0,
+      s"temperature must be >= 1 (1 = natural mix), got $temperature")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).collect()
+    val scaled = counts.toSeq.map { r =>
+      val n = r.getLong(1)
+      val s =
+        if (temperature == 2.0) isqrt(BigInt(n) * BigInt(10).pow(10))
+        else BigInt(math.round(math.pow(n.toDouble, 1.0 / temperature) * 1e5))
+      (r.get(0), n, s)
+    }
+    val sTot = scaled.map(_._3).sum
+    val rows = scaled.map { case (g, n, s) =>
+      val thr = (BigInt(totalBudget) * s * 10000 / (sTot * BigInt(n))).toLong
+      org.apache.spark.sql.Row(g, thr)
+    }
+    val spark = df.sparkSession
+    val thrDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(groupCol),
+        org.apache.spark.sql.types.StructField("__thr",
+          org.apache.spark.sql.types.LongType)))))
+    df.join(thrDf, Seq(groupCol))
+      .filter(hashBucket10k(col(keyCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic stratified sample with EXACT per-group quotas: the
     * `nPerGroup` rows of each group that sort first by (48-bit md5 prefix
     * of the id, id) — an unbiased, seedless sample that is reproducible

@@ -274,6 +274,18 @@ object PipelineQueries {
           sum(Text.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
     }),
 
+    // Temperature-smoothed language mixing (τ = 2): a ~250-doc corpus
+    // whose language shares go as sqrt(n_lang) — heads shrink, tails
+    // survive. Thresholds are exact integer sqrt arithmetic, so the kept
+    // set (and this audit) is engine-independent; the corpus never
+    // shuffles. Oracle recomputes the thresholds in SQL.
+    "q_temperature_mix" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      graft.functions.Mixing.temperatureRebalance(docs, "doc_id", "lang",
+          totalBudget = 250)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    }),
+
     // Deterministic stratified sample: 10 docs per language in md5-prefix
     // order — exact quotas, seedless, partitioning-independent. Bounded
     // O(k)-state TopKPairs aggregate (map-side combine), not a per-group
@@ -934,6 +946,22 @@ object PipelineQueries {
         |FROM counts c
         |LEFT JOIN (SELECT source, count(*) AS n_after FROM kept GROUP BY source) k
         |  USING (source)""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE) * 10000000000)) AS HUGEINT) AS sl
+        |      FROM c),
+        |t AS (SELECT lang, n, sl, sum(sl) OVER () AS stot FROM s),
+        |thr AS (SELECT lang,
+        |          CAST((CAST(250 AS HUGEINT) * sl * 10000)
+        |               // (stot * CAST(n AS HUGEINT)) AS BIGINT) AS thr
+        |        FROM t),
+        |kept AS (
+        |  SELECT d.lang FROM documents d JOIN thr USING (lang)
+        |  WHERE (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) AS BIGINT)
+        |         % 10000) < thr)
+        |SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang""".stripMargin,
 
     "q_doc_redact" ->
       """SELECT doc_id,

@@ -86,4 +86,53 @@ class QualityMixSpec extends AnyFunSuite {
     // kept rows are a sub-SET of input (no duplication, no mutation)
     assert(again.subsetOf(df.select("id").collect().map(_.getLong(0)).toSet))
   }
+
+  test("temperature mix: kept shares go as sqrt(n), sequential-reference exact") {
+    // groups 1600 : 400 : 100 → sqrt shares 4 : 2 : 1
+    val df = ((0 until 1600).map(i => (i.toLong, "head")) ++
+      (10000 until 10400).map(i => (i.toLong, "mid")) ++
+      (20000 until 20100).map(i => (i.toLong, "tail"))).toDF("id", "grp")
+    val kept = Mixing.temperatureRebalance(df, "id", "grp", totalBudget = 700)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected ∝ 4:2:1 of 700 → 400/200/100 (hash-slice noise ~±20%)
+    assert(byGrp("head") > 300 && byGrp("head") < 500, s"head=${byGrp("head")}")
+    assert(byGrp("mid") > 140 && byGrp("mid") < 260, s"mid=${byGrp("mid")}")
+    assert(byGrp("tail") > 60 && byGrp("tail") < 140, s"tail=${byGrp("tail")}")
+
+    // sequential reference: recompute thresholds with exact integer sqrt
+    def isqrt(x: BigInt): BigInt =
+      if (x < 2) x else {
+        var a = BigInt(math.sqrt(x.doubleValue).toLong)
+        while (a * a > x) a -= 1
+        while ((a + 1) * (a + 1) <= x) a += 1
+        a
+      }
+    val ns = Map("head" -> 1600L, "mid" -> 400L, "tail" -> 100L)
+    val ss = ns.map { case (g, n) => g -> isqrt(BigInt(n) * BigInt(10).pow(10)) }
+    val sTot = ss.values.sum
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(5)
+      java.lang.Long.parseLong(h, 16) % 10000
+    }
+    val expected = (ns.keys.flatMap { g =>
+      val thr = (BigInt(700) * ss(g) * 10000 / (sTot * BigInt(ns(g)))).toLong
+      val ids = g match {
+        case "head" => 0L until 1600L
+        case "mid" => 10000L until 10400L
+        case "tail" => 20000L until 20100L
+      }
+      ids.filter(bucket(_) < thr).map((g, _))
+    }).toSet
+    val got = kept.select("grp", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+
+    // partitioning independence
+    val again = Mixing.temperatureRebalance(df.repartition(13), "id", "grp", 700)
+      .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got)
+  }
 }
