@@ -255,6 +255,23 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("running_value"))
     }),
 
+    // Time-RANGE window: per-user rolling count + value sum over the
+    // PRECEDING HOUR of events — frames defined by time value, not row
+    // position (rows/rangeBetween distinction). Both engines order by
+    // floor-epoch-seconds (the ts column carries microseconds; a raw
+    // timestamp cast would truncate on one side only), and the sum is
+    // decimal-exact, so frames and results match bit for bit.
+    "q_window_range_time" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast(LongType))
+        .rangeBetween(-3600, 0)
+      star(s, dir, "events").df
+        .filter(col("user_id") < 5)
+        .withColumn("hr_events", count(lit(1)).over(w))
+        .withColumn("hr_value", sum(dec(col("value"))).over(w).cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("hr_events"), col("hr_value"))
+    }),
+
     // --- semi join (EXISTS) ---------------------------------------------------------------
     "q_semi_join" -> ((s, dir) => {
       val li = star(s, dir, "lineitem").df.filter(col("l_quantity") >= 49)
@@ -474,6 +491,15 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_value
         |FROM events WHERE user_id < 5""".stripMargin,
+
+    "q_window_range_time" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS hr_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hr_value
+        |FROM events WHERE user_id < 5
+        |WINDOW w AS (
+        |  PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_semi_join" ->
       """SELECT s_suppkey, s_name FROM supplier
