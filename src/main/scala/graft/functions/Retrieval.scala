@@ -109,6 +109,43 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Per-document characteristic terms: the `topK` tokens of each document
+    * ranked by TF-IDF (tf · ln(N/df)) — keyword extraction / topic
+    * labeling over a corpus.
+    *
+    * Determinism: idf is rounded after the log (the BM25 scheme) and cast
+    * DECIMAL, the score tf·idf is an exact DECIMAL product, and ranking
+    * breaks ties by (score desc, token asc) — a total order, so the
+    * selected terms are engine-independent.
+    *
+    * Scale shape: tf is one (doc, token) aggregate; document frequencies
+    * are a vocabulary-sized aggregate joined back on the token shuffle
+    * (NOT broadcast — a 100 TB corpus's vocabulary is not driver-sized);
+    * the per-doc ranking runs through [[Windowing.globalRowNumber]]'s
+    * range-partitioned two-level scheme, so no document and no skewed
+    * token group ever serializes onto a single window task. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int, logScale: Int = 6): DataFrame = {
+    require(topK > 0, "tfidfTopTerms: topK must be positive")
+    val n = df.count()
+    require(n > 0, "tfidfTopTerms: empty corpus")
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
+    val scored = tf.join(dfT, Seq("token"))
+      .withColumn("idf",
+        round(log(lit(n.toDouble) / col("dfreq")), logScale)
+          .cast(s"decimal(18,$logScale)"))
+      .withColumn("score", (col("tf") * col("idf")).cast(s"decimal(28,$logScale)"))
+      .withColumn("__neg", -col("score"))
+    graft.functions.Windowing
+      .globalRowNumber(scored, Seq("doc_id"), Seq("__neg", "token"), "rank")
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("token"),
+        col("score").cast("double").as("score"), col("rank"))
+  }
+
   /** Turn a scored list into a ranked one: top `topK` rows by
     * (`scoreCol` desc, `idCol` asc) with 1-based `rank`. The top-k is a
     * TakeOrderedAndProject (no global sort); the row_number window then

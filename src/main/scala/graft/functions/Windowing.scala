@@ -98,7 +98,18 @@ object Windowing {
       ColumnBridge.expression(b.cast("long")))).cast("long")
   }
 
-  /** Shared core: df + `__rn` (per-group rank) + `__gn` (group size). */
+  /** Shared core: df + `__rn` (per-group rank) + `__gn` (group size).
+    *
+    * The stamped frame (`__pid`/`__mid`) is PERSISTED before use: it is
+    * consumed twice (slice stats, rank assembly), and
+    * `monotonically_increasing_id`/`spark_partition_id` are
+    * execution-dependent — without the barrier the two consumers can
+    * re-execute the range exchange with DIFFERENT sampled boundaries
+    * (exchange reuse is not guaranteed, e.g. under an AQE-replanned
+    * upstream join) and the assembled ranks silently corrupt. The result
+    * is EAGER (materialized, internal barrier freed — the dedup-operator
+    * cache contract); at scale the cache is output-sized and spills via
+    * MEMORY_AND_DISK, the price of a deterministic distributed rank. */
   private def withRankAndCount(df: DataFrame, groupCols: Seq[String],
                                orderCols: Seq[String],
                                numPartitions: Int): DataFrame = {
@@ -113,6 +124,7 @@ object Windowing {
       .sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Metadata-sized slice stats; the offset window runs over
     // groups × partitions rows, never the data.
     val gCols = groupCols.map(col)
@@ -125,8 +137,9 @@ object Windowing {
       .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
       .withColumn("__gn", sum(col("__c")).over(wTot))
       .drop("__c")
-    ranged.join(broadcast(offsets), groupCols :+ "__pid")
+    val out = ranged.join(broadcast(offsets), groupCols :+ "__pid")
       .withColumn("__rn", col("__mid") - col("__mmin") + 1 + col("__off"))
       .drop("__pid", "__mid", "__mmin", "__off")
+    graft.functions.Dedup.materializeAndFree(out, ranged)
   }
 }

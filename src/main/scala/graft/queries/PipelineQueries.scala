@@ -274,6 +274,15 @@ object PipelineQueries {
           sum(Text.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
     }),
 
+    // TF-IDF keyword extraction: each document's top-3 characteristic
+    // terms — rounded-after-log idf (the BM25 scheme), exact DECIMAL
+    // scores, (score desc, token asc) total order, ranked through the
+    // distributed globalRowNumber (no per-doc sort task). Oracle mirrors
+    // the formula with a DuckDB window.
+    "q_tfidf_terms" -> ((s, dir) =>
+      graft.functions.Retrieval.tfidfTopTerms(
+        star(s, dir, "documents").df, "doc_id", "text", topK = 3)),
+
     // Temperature-smoothed language mixing (τ = 2): a ~250-doc corpus
     // whose language shares go as sqrt(n_lang) — heads shrink, tails
     // survive. Thresholds are exact integer sqrt arithmetic, so the kept
@@ -946,6 +955,26 @@ object PipelineQueries {
         |FROM counts c
         |LEFT JOIN (SELECT source, count(*) AS n_after FROM kept GROUP BY source) k
         |  USING (source)""".stripMargin,
+
+    "q_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT doc_id, token,
+        |    CAST(tf * CAST(round(ln(CAST((SELECT n FROM n) AS DOUBLE) / dfreq), 6)
+        |         AS DECIMAL(18,6)) AS DECIMAL(28,6)) AS score
+        |  FROM tf JOIN dfx USING (token)),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+        |  FROM sc)
+        |SELECT doc_id, token, CAST(score AS DOUBLE) AS score, rank
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

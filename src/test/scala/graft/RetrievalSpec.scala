@@ -376,4 +376,36 @@ class RetrievalSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(run(1) == run(13))
   }
+
+  test("tfidfTopTerms: hand-computed scores, ties by token, rank cut") {
+    // N=3 docs. "rare" appears in doc 1 only (idf=ln 3); "mid" in docs
+    // 1,2 (idf=ln 1.5); "common" in all (idf=0).
+    val docs = Seq(
+      (1L, "rare rare mid common"),
+      (2L, "mid common common"),
+      (3L, "common")).toDF("doc_id", "text")
+    val got = Retrieval.tfidfTopTerms(docs, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    def sc(tf: Int, nOverDf: Double): Double =
+      (BigDecimal(tf) * BigDecimal(math.round(math.log(nOverDf) * 1e6))
+        / BigDecimal(1000000)).toDouble
+    val expected = Set(
+      (1L, "rare", sc(2, 3.0), 1L),
+      (1L, "mid", sc(1, 1.5), 2L),
+      (2L, "mid", sc(1, 1.5), 1L),
+      (2L, "common", 0.0, 2L),
+      (3L, "common", 0.0, 1L))
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("tfidfTopTerms is partitioning-independent") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"w${i % 7} w${i % 7} w${i % 13} shared common${i % 3}"))
+    def run(parts: Int) =
+      Retrieval.tfidfTopTerms(docs.toDF("doc_id", "text").repartition(parts),
+          "doc_id", "text", topK = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(run(2) == run(11))
+  }
 }
