@@ -110,4 +110,101 @@ object Graph {
     }
     Dedup.materializeAndFree(ranks, e, outDeg, edgesDeg, nodes, sinks)
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment"): the complementary link prior to PageRank —
+    * directories/link-lists score as HUBS, heavily-referenced pages as
+    * AUTHORITIES (PageRank's single score conflates the two).
+    *
+    *   a'(v) = Σ_{u→v} h(u)      then L1-renormalize to massScale
+    *   h'(u) = Σ_{u→v} a(v)      then L1-renormalize to massScale
+    *
+    * Determinism: the classic L2 normalization needs a square root, so
+    * this uses L1 (sum) normalization instead — same fixpoint ranking,
+    * but every step stays integer addition + floor division:
+    * x → (x·massScale) // Σx. Exactly unrollable in SQL for the oracle.
+    * The default massScale 10^6 keeps every intermediate provably inside
+    * Long: Σ over edges ≤ massScale·maxdeg, then ×massScale — the
+    * operator REFUSES (loudly) graphs where massScale²·maxdeg could
+    * overflow rather than wrapping or erroring mid-job.
+    *
+    * Scale shape: identical to [[pageRank]] — two key-joins + map-side
+    * partial-sum aggregates per iteration over the flattened cached edge
+    * table, normalizers ride each generation as broadcast 1-row
+    * aggregates, each generation flattened + materialized before its
+    * predecessor is freed. EAGER; the caller owns one `unpersist()`.
+    * Returns (node, hub, auth) in massScale units. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 8, massScale: Long = 1000000L,
+           iterPartitions: Int = 0): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(massScale > 0, s"massScale must be positive, got $massScale")
+    val spark = edges.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (iterPartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
+    try hitsImpl(edges, srcCol, dstCol, iterations, massScale)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def hitsImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int, massScale: Long): DataFrame = {
+    val e = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+      .persist(MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "hits: empty graph")
+    require(massScale >= n,
+      s"hits: massScale=$massScale < $n nodes — every score would floor to 0")
+    val maxDeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .unionByName(e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+        .select(col("dst").as("src"), col("d")))
+      .agg(max(col("d"))).head().getLong(0)
+    require(maxDeg <= Long.MaxValue / massScale / massScale,
+      s"hits: massScale²·maxdeg ($massScale² × $maxDeg) would overflow Long — " +
+        "lower massScale or pre-aggregate the hottest nodes")
+
+    def renorm(raw: DataFrame, outCol: String): DataFrame = {
+      // x → (x · massScale) // max(Σx, 1); nodes without inflow score 0
+      val tot = broadcast(raw.agg(
+        greatest(coalesce(sum(col("__s")), lit(0L)), lit(1L)).as("__t")))
+      org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+          nodes.join(raw, Seq("node"), "left").crossJoin(tot)
+            .select(col("node"),
+              intDiv(coalesce(col("__s"), lit(0L)) * lit(massScale),
+                col("__t")).as(outCol)))
+        .persist(MEMORY_AND_DISK)
+    }
+
+    val h0 = massScale / n
+    var hubs = nodes.select(col("node"), lit(h0).as("hub"))
+      .persist(MEMORY_AND_DISK)
+    hubs.count()
+    var auths: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      val aRaw = e
+        .join(hubs.select(col("node").as("src"), col("hub")), Seq("src"))
+        .select(col("dst").as("node"), col("hub").as("__s"))
+        .groupBy(col("node")).agg(sum(col("__s")).as("__s"))
+      // no materializing action here: the hub half-step below consumes
+      // aNew (filling its cache), and the freed predecessor is not in
+      // aNew's lineage (aNew = f(hubs, e, nodes)) — one action per
+      // iteration instead of two
+      val aNew = renorm(aRaw, "auth")
+      if (auths != null) auths.unpersist()
+      auths = aNew
+      val hRaw = e
+        .join(auths.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .select(col("src").as("node"), col("auth").as("__s"))
+        .groupBy(col("node")).agg(sum(col("__s")).as("__s"))
+      val hNew = renorm(hRaw, "hub")
+      hNew.count()
+      hubs.unpersist()
+      hubs = hNew
+    }
+    Dedup.materializeAndFree(hubs.join(auths, Seq("node")), e, nodes, hubs, auths)
+  }
 }

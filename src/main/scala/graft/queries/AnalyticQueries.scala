@@ -155,6 +155,20 @@ object AnalyticQueries {
         iterPartitions = 8)
     }),
 
+    // HITS hubs/authorities over the same harvested link graph — the
+    // complementary link prior (directories vs referenced pages). L1
+    // integer renormalization each half-step keeps everything exact
+    // Long arithmetic; the oracle is the programmatically unrolled
+    // 6-iteration DuckDB mirror, bit for bit.
+    "q_hits" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+      graft.functions.Graph.hits(edges, "src", "dst", iterations = 6,
+        iterPartitions = 8)
+    }),
+
     "q_approx_stats" -> ((s, dir) => {
       val li = star(s, dir, "lineitem").df
       // Two passes joined on the 3-row group key: mixing count(DISTINCT)
@@ -185,12 +199,12 @@ object AnalyticQueries {
     * Spark's `div` on non-negative longs). */
   private def pageRankOracle(iters: Int): String = {
     val head =
-      """WITH edges AS (
+      """WITH edges AS MATERIALIZED (
         |  SELECT DISTINCT user_id AS src,
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
         |  FROM events
         |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
-        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
         |m AS (SELECT 1000000000000 // count(*) AS m0, count(*) AS n FROM nodes),
         |r0 AS (SELECT node, (SELECT m0 FROM m) AS r FROM nodes)""".stripMargin
@@ -204,7 +218,7 @@ object AnalyticQueries {
          |  SELECT coalesce(sum(r.r), 0) AS dang
          |  FROM r${i - 1} r LEFT JOIN outdeg o ON r.node = o.src
          |  WHERE o.src IS NULL),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT nd.node,
          |    15 * m.m0 // 100 + 85 * (coalesce(c.s, 0) + d.dang // m.n) // 100 AS r
          |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node
@@ -214,8 +228,40 @@ object AnalyticQueries {
       s"\nSELECT node, r AS rank FROM r$iters"
   }
 
+  private def hitsOracle(iters: Int): String = {
+    val head =
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS src,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |m AS (SELECT count(*) AS n FROM nodes),
+        |h0 AS (SELECT node, 1000000 // (SELECT n FROM m) AS h FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst AS node, sum(h.h) AS s
+         |  FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+         |sa$i AS (SELECT greatest(coalesce(sum(s), 0), 1) AS t FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT nd.node, coalesce(ar.s, 0) * 1000000 // (SELECT t FROM sa$i) AS a
+         |  FROM nodes nd LEFT JOIN ar$i ar ON nd.node = ar.node),
+         |hr$i AS (
+         |  SELECT e.src AS node, sum(a.a) AS s
+         |  FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+         |sh$i AS (SELECT greatest(coalesce(sum(s), 0), 1) AS t FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT nd.node, coalesce(hr.s, 0) * 1000000 // (SELECT t FROM sh$i) AS h
+         |  FROM nodes nd LEFT JOIN hr$i hr ON nd.node = hr.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT h.node, h.h AS hub, a.a AS auth" +
+      s"\nFROM h$iters h JOIN a$iters a ON h.node = a.node"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(8),
+    "q_hits" -> hitsOracle(6),
 
     "q_retention" ->
       """WITH cohorts AS (

@@ -71,4 +71,70 @@ class GraphSpec extends AnyFunSuite {
     val leaked = sc.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
+
+  // --- HITS ----------------------------------------------------------------
+
+  private val hScale = 1000000L
+
+  /** Sequential mirror of Graph.hits' integer L1-renormalized arithmetic. */
+  private def hitsRef(edges: Seq[(Long, Long)],
+                      iters: Int): Map[Long, (Long, Long)] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var h = nodes.map(_ -> hScale / nodes.size).toMap
+    var a = Map.empty[Long, Long]
+    def renorm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val t = math.max(raw.values.sum, 1L)
+      nodes.map(v => v -> raw.getOrElse(v, 0L) * hScale / t).toMap
+    }
+    (1 to iters).foreach { _ =>
+      val aRaw = es.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      a = renorm(aRaw)
+      val hRaw = es.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      h = renorm(hRaw)
+    }
+    nodes.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  test("hits matches the sequential reference; hubs and authorities separate") {
+    // 10 is a pure hub (links to 1,2,3); 1,2,3 are pure authorities;
+    // 20 links only to 1 (weaker hub); 3 -> 4 makes 3 a slight hub too.
+    val he: Seq[(Long, Long)] = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (3L, 4L))
+    val got = Graph.hits(he.toDF("src", "dst").repartition(4), "src", "dst",
+      iterations = 6)
+    val gotMap = got.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.unpersist()
+    assert(gotMap == hitsRef(he, 6),
+      s"got $gotMap\nexpected ${hitsRef(he, 6)}")
+    // the 3-link hub beats the 1-link hub; authorities beat it on auth
+    assert(gotMap(10L)._1 > gotMap(20L)._1)
+    assert(gotMap(1L)._2 > gotMap(3L)._2, "doubly-linked 1 out-ranks 3 on auth")
+    assert(gotMap(10L)._2 == 0L, "nothing links to 10: auth must be 0")
+  }
+
+  test("hits is partitioning- and duplicate-edge-independent; no leaks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val expected = hitsRef(edges, 4)
+    for (parts <- Seq(1, 7)) {
+      val got = Graph.hits(
+        (edges ++ edges.take(3)).toDF("src", "dst").repartition(parts),
+        "src", "dst", iterations = 4)
+      val m = got.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      got.unpersist(blocking = true)
+      assert(m == expected, s"parts=$parts")
+    }
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
+  test("hits refuses overflow-risk massScale loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Graph.hits(edges.toDF("src", "dst"), "src", "dst",
+        massScale = 4000000000L)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
 }
