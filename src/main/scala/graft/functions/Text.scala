@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -280,5 +280,41 @@ object Text {
       "[?&]+$", "")
     val noPort = regexp_replace(collapsed, "^([a-z]+://[^/?#:]*):(?:80|443)([/?]|$)", "$1$2")
     regexp_replace(noPort, "/$", "")
+  }
+
+  // ------------------------------------------------------- character entropy
+
+  /** Shannon entropy of each document's character distribution, in bits —
+    * the classic compressibility quality signal (keyboard mash and
+    * repeated boilerplate score low, natural prose ~4.0-4.5 bits for
+    * English; pairs with the Gopher rules and repetition ratios).
+    *
+    *   H(d) = Σ_c (n_c/n) · log2(n/n_c)
+    *
+    * Determinism: per-character log terms are rounded after the log and
+    * summed as exact DECIMAL (the UnigramLm scheme); the final /n is one
+    * IEEE division + round. Engine-independent to `outScale` digits.
+    *
+    * Scale shape: the per-character explode partial-aggregates in place —
+    * at most \|alphabet\| rows per document reach the (id, char) shuffle,
+    * and the second aggregate ships one decimal per (id, char). Empty
+    * documents are dropped (entropy undefined). Returns (idCol, entropy). */
+  def charEntropyScores(df: DataFrame, idCol: String, textCol: String,
+                        logScale: Int = 6, outScale: Int = 4): DataFrame = {
+    val counts = df
+      .select(col(idCol).as("id"), length(col(textCol)).as("__n"),
+        explode(split(col(textCol), "")).as("__ch"))
+      .filter(col("__n") > 0 && col("__ch") =!= "")
+      .groupBy(col("id"), col("__n"), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .select(col("id"), col("__n"),
+        (col("__c") * round(log2(col("__n").cast("double") / col("__c")), logScale)
+          .cast(s"decimal(18,$logScale)"))
+          .cast(s"decimal(28,$logScale)").as("__term"))
+      .groupBy(col("id"), col("__n"))
+      .agg(sum(col("__term")).as("__s"))
+      .select(col("id").as(idCol),
+        round(col("__s").cast("double") / col("__n"), outScale).as("entropy"))
   }
 }

@@ -87,6 +87,12 @@ object PipelineQueries {
           round(Text.stopwordRatio(col("text"), enStop), 6).as("stop_ratio"),
           round(Text.digitRatio(col("text")), 6).as("digit_ratio"))),
 
+    // Shannon character entropy per doc (bits) — the compressibility
+    // quality signal; rounded-after-log decimal-summed terms, one IEEE
+    // division at the end. ≤|alphabet| rows per doc reach the shuffle.
+    "q_doc_entropy" -> ((s, dir) =>
+      Text.charEntropyScores(star(s, dir, "documents").df, "doc_id", "text")),
+
     "q_doc_langdist" -> ((s, dir) =>
       star(s, dir, "documents")
         .groupByAgg(Seq("lang"), Seq(
@@ -955,6 +961,20 @@ object PipelineQueries {
         |FROM counts c
         |LEFT JOIN (SELECT source, count(*) AS n_after FROM kept GROUP BY source) k
         |  USING (source)""".stripMargin,
+
+    "q_doc_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE length(text) > 0),
+        |g AS (SELECT doc_id, n, ch, count(*) AS c FROM c GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT doc_id, n,
+        |    CAST(c * CAST(round(log2(CAST(n AS DOUBLE) / c), 6) AS DECIMAL(18,6))
+        |         AS DECIMAL(28,6)) AS term
+        |  FROM g)
+        |SELECT doc_id, round(CAST(sum(term) AS DOUBLE) / n, 4) AS entropy
+        |FROM t GROUP BY doc_id, n""".stripMargin,
 
     "q_tfidf_terms" ->
       """WITH tok AS (

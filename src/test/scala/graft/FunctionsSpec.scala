@@ -278,4 +278,26 @@ class FunctionsSpec extends AnyFunSuite {
     val fps = df.select(Text.fingerprint64(col("t"))).collect().map(_.getLong(0))
     assert(fps(0) == fps(2) && fps(0) != fps(1))
   }
+
+  test("charEntropyScores: hand-computed, degenerate and empty docs") {
+    val docs = Seq(
+      (1L, "aaaa"),   // one symbol → H = 0
+      (2L, "abab"),   // two equiprobable → H = 1 bit
+      (3L, "abcd"),   // four equiprobable → H = 2 bits
+      (4L, "aab"),    // 2/3·log2(3/2) + 1/3·log2(3) ≈ 0.9183
+      (5L, ""))       // empty → dropped
+      .toDF("doc_id", "text")
+    val got = Text.charEntropyScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == 0.0 && got(2L) == 1.0 && got(3L) == 2.0)
+    // sequential mirror of the rounded-decimal arithmetic
+    val terms = Seq(2L -> 1.5, 1L -> 3.0).map { case (c, r) =>
+      BigDecimal(c) * BigDecimal(math.round(
+        (math.log(r) / math.log(2)) * 1e6)) / BigDecimal(1000000)
+    }
+    val expected4 = (terms.sum / 3).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(4L) == expected4, s"got ${got(4L)} expected $expected4")
+  }
 }
