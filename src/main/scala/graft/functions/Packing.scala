@@ -121,4 +121,50 @@ object Packing {
         concat_ws(" ", slice(col("__t"), col("start_tok") + 1, lit(window)))
           .as("chunk_text"))
   }
+
+  /** Content-defined chunking: cut each document where the hash of the
+    * trailing `window`-char context lands in a 1/`divisor` bucket — so
+    * chunk boundaries move WITH the content (an insertion re-chunks only
+    * its neighborhood, where fixed-size chunking shifts every later
+    * boundary), the storage/transfer dedup primitive (LBFS, Muthitacharoen
+    * et al. 2001; FastCDC's min/max clamps are deliberately omitted — they
+    * make each cut depend on the previous one, breaking the pure per-row
+    * formulation and the SQL mirror).
+    *
+    * Expected chunk length ≈ `divisor` chars. A cut lands after position i
+    * (window ≤ i < n) iff md5(text[i−window+1 .. i])'s 20-bit prefix ≡ 0
+    * (mod divisor) — md5 over the window instead of a Gear/Rabin rolling
+    * hash trades O(n·window) CPU for bit-exact engine independence; the
+    * boundaries are a pure function of content.
+    *
+    * Pure per-row array arithmetic: no shuffle, nothing driver-side.
+    * Returns (idCol, chunk_idx, cstart, cend, fp) with chunks tiling
+    * [1, n] contiguously and fp = md5 of the chunk text. */
+  def chunkContentDefined(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 16, divisor: Long = 64): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val t = col("__t")
+    val n = length(t)
+    def cutAt(i: Column): Column =
+      conv(substring(md5(t.substr(i - (window - 1), lit(window))), 1, 5), 16, 10)
+        .cast("long") % divisor === 0
+    val cuts = when(n >= window,
+      filter(transform(sequence(lit(window), n),
+        i => when(i < n && cutAt(i), i)), x => x.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    val bounds = concat(array(lit(0)), cuts, array(n))
+    df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .withColumn("__b", bounds)
+      .select(col("__id"), col("__t"),
+        posexplode(transform(sequence(lit(1), size(col("__b")) - 1), j =>
+          struct(element_at(col("__b"), j).as("p"),
+            element_at(col("__b"), j + 1).as("q")))))
+      .select(col("__id").as(idCol),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        (col("col.p") + 1).cast("long").as("cstart"),
+        col("col.q").cast("long").as("cend"),
+        md5(col("__t").substr(col("col.p") + 1, col("col.q") - col("col.p")))
+          .as("fp"))
+  }
 }

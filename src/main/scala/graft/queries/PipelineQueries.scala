@@ -87,6 +87,15 @@ object PipelineQueries {
           round(Text.stopwordRatio(col("text"), enStop), 6).as("stop_ratio"),
           round(Text.digitRatio(col("text")), 6).as("digit_ratio"))),
 
+    // Content-defined chunking (LBFS-style): boundaries from the md5 of
+    // the trailing 16-char window (1/64 cut probability → ~64-char
+    // chunks), so edits re-chunk only their neighborhood — the storage
+    // dedup primitive. Pure per-row array math, zero shuffle; oracle
+    // repeats the windowed-hash cuts with DuckDB list comprehensions.
+    "q_doc_cdc" -> ((s, dir) =>
+      graft.functions.Packing.chunkContentDefined(
+        star(s, dir, "documents").df, "doc_id", "text")),
+
     // Shannon character entropy per doc (bits) — the compressibility
     // quality signal; rounded-after-log decimal-summed terms, one IEEE
     // division at the end. ≤|alphabet| rows per doc reach the shuffle.
@@ -961,6 +970,25 @@ object PipelineQueries {
         |FROM counts c
         |LEFT JOIN (SELECT source, count(*) AS n_after FROM kept GROUP BY source) k
         |  USING (source)""".stripMargin,
+
+    "q_doc_cdc" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents),
+        |cuts AS (
+        |  SELECT doc_id, text, n,
+        |    CASE WHEN n >= 16 THEN
+        |      [i FOR i IN range(16, n + 1)
+        |       IF i < n AND CAST('0x' || substring(md5(substring(text, i - 15, 16)), 1, 5)
+        |                    AS BIGINT) % 64 = 0]
+        |    ELSE [] END AS cs
+        |  FROM base),
+        |bounds AS (
+        |  SELECT doc_id, text, list_concat(list_concat([0], cs), [n]) AS b
+        |  FROM cuts)
+        |SELECT doc_id, j AS chunk_idx,
+        |  b[j] + 1 AS cstart, b[j + 1] AS cend,
+        |  md5(substring(text, b[j] + 1, b[j + 1] - b[j])) AS fp
+        |FROM bounds, unnest(range(1, len(b))) AS t(j)""".stripMargin,
 
     "q_doc_entropy" ->
       """WITH c AS (

@@ -212,4 +212,55 @@ class PackingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("content-defined chunking matches a sequential reference and tiles the text") {
+    val w = 4; val div = 8L
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def ref(text: String): Seq[(Long, Long, Long, String)] = {
+      val n = text.length
+      val cuts = (w to n - 1).filter { i =>
+        java.lang.Long.parseLong(md5hex(text.substring(i - w, i)).take(5), 16) % div == 0
+      }
+      val bounds = 0 +: cuts :+ n
+      bounds.zip(bounds.tail).zipWithIndex.map { case ((p, q), j) =>
+        ((j + 1).toLong, (p + 1).toLong, q.toLong, md5hex(text.substring(p, q)))
+      }
+    }
+    val rng = new scala.util.Random(3)
+    val docs = (0L until 40L).map(i =>
+      (i, (0 until 20 + rng.nextInt(180)).map(_ => ('a' + rng.nextInt(6)).toChar).mkString))
+    val got = Packing.chunkContentDefined(
+        docs.toDF("id", "text").repartition(7), "id", "text", window = w, divisor = div)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    docs.foreach { case (i, text) =>
+      assert(got(i) == ref(text), s"doc $i: got ${got(i)}\nexpected ${ref(text)}")
+      // invariants: tiles [1, n] contiguously
+      val ch = got(i)
+      assert(ch.head._2 == 1L && ch.last._3 == text.length.toLong)
+      ch.zip(ch.tail).foreach { case (a, b) => assert(b._2 == a._3 + 1) }
+    }
+    // a short doc (< window) is one whole chunk
+    val one = Packing.chunkContentDefined(
+        Seq((9L, "ab")).toDF("id", "text"), "id", "text", window = w, divisor = div)
+      .collect()
+    assert(one.length == 1 && one(0).getLong(2) == 1L && one(0).getLong(3) == 2L)
+  }
+
+  test("content-defined chunks are edit-local: an append only re-chunks the tail") {
+    val base = ('a' to 'z').mkString * 12  // 312 chars
+    val edited = base + "XYZQ"
+    val Seq(c1, c2) = Seq(base, edited).map { t =>
+      Packing.chunkContentDefined(Seq((1L, t)).toDF("id", "text"), "id", "text",
+          window = 8, divisor = 16)
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+        .sortBy(_._1)
+    }
+    // every chunk except possibly the last is identical
+    assert(c1.dropRight(1) == c2.dropRight(1) ||
+      c1.dropRight(1) == c2.dropRight(2).take(c1.length - 1),
+      s"prefix chunks changed:\n$c1\n$c2")
+  }
 }
