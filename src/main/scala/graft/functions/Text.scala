@@ -158,34 +158,49 @@ object Text {
 
   /** Word n-gram shingles, joined by spaces:
     * shingles("a b c", 2) = ["a b", "b c"]. */
+  // NOTE (hot-path rule): higher-order-function lambdas are evaluated per
+  // ELEMENT with no cross-element subexpression elimination — an outer
+  // expression like `element_at(split(text), i)` inside a lambda re-runs
+  // the regex split for every element (O(n²) splits per doc, measured 4-5 s
+  // per 250k grams at sf0.1). The n-gram builders below therefore use
+  // zip_with over pre-sliced arrays: every lambda touches ONLY its lambda
+  // variables, so the split runs a constant number of times per row.
+
+  /** Sliding token windows joined by spaces (MinHash shingling):
+    * shingles("a b c", 2) = ["a b", "b c"]. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) < n, array(array_join(toks, " "))).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    val m = size(toks)
+    val windows = (2 to n).foldLeft(slice(toks, lit(1), m - (n - 1))) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), m - (n - 1)),
+        (a, t) => concat(a, lit(" "), t))
+    }
+    when(m < n, array(array_join(toks, " "))).otherwise(windows)
   }
 
   /** Adjacent token pairs as struct<w1,w2> — one narrow array transform,
     * no shuffle, no per-position self-join. Empty for docs under 2 tokens. */
   def bigrams(text: Column): Column = {
     val toks = tokens(text)
-    when(size(toks) < 2,
+    val m = size(toks)
+    when(m < 2,
       array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
+      .otherwise(zip_with(slice(toks, lit(1), m - 1), slice(toks, lit(2), m - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
   }
 
   /** Adjacent token triples as struct<w1,w2,w3> — same narrow transform
     * as [[bigrams]]. Empty for docs under 3 tokens. */
   def trigrams(text: Column): Column = {
     val toks = tokens(text)
-    when(size(toks) < 3,
+    val m = size(toks)
+    val pairs = zip_with(slice(toks, lit(1), m - 2), slice(toks, lit(2), m - 2),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    when(m < 3,
       array().cast("array<struct<w1:string,w2:string,w3:string>>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 2),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"),
-          element_at(toks, i + 2).as("w3"))))
+      .otherwise(zip_with(pairs, slice(toks, lit(3), m - 2),
+        (p, c) => struct(p.getField("w1").as("w1"),
+          p.getField("w2").as("w2"), c.as("w3"))))
   }
 
   /** Character n-gram set (distinct), for n-gram Jaccard similarity. */

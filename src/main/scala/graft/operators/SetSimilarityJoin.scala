@@ -74,7 +74,9 @@ object SetSimilarityJoin {
       col("__n"))
     val pref = ordered
       .select(col("__id"), col("__n"),
-        explode(slice(col("__ord"), lit(1), prefLen)).as("__t"))
+        posexplode(slice(col("__ord"), lit(1), prefLen)))
+      .select(col("__id"), col("__n"), (col("pos") + 1).as("__p"),
+        col("col").as("__t"))
       .persist(lvl)
 
     val hot = pref.groupBy("__t").agg(count(lit(1)).as("__c"))
@@ -86,12 +88,23 @@ object SetSimilarityJoin {
         "index join would be quadratic; dedup exactly first or raise the cap " +
         "explicitly")
 
-    val a = pref.select(col("__t"), col("__id").as("id_a"), col("__n").as("n_a"))
-    val b = pref.select(col("__t"), col("__id").as("id_b"), col("__n").as("n_b"))
+    val a = pref.select(col("__t"), col("__id").as("id_a"),
+      col("__n").as("n_a"), col("__p").as("p_a"))
+    val b = pref.select(col("__t"), col("__id").as("id_b"),
+      col("__n").as("n_b"), col("__p").as("p_b"))
+    // PPJoin positional filter: for an occurrence at (p_a, p_b), total
+    // overlap ≤ min(p_a−1, p_b−1) + 1 + min(n_a−p_a, n_b−p_b) — prune
+    // occurrences that cannot reach the required overlap
+    // α = ⌈t/(1+t)·(n_a+n_b)⌉ (1e-6 slack: FP can only ADMIT, never drop).
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("n_a") + col("n_b")) - lit(1e-6))
+    val ubound = least(col("p_a") - 1, col("p_b") - 1) + 1 +
+      least(col("n_a") - col("p_a"), col("n_b") - col("p_b"))
     val cands = a.join(b, Seq("__t"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("n_b") >= lit(threshold) * col("n_a") - lit(1e-6) &&
               col("n_a") >= lit(threshold) * col("n_b") - lit(1e-6))
+      .filter(ubound >= alpha)
       .select("id_a", "id_b").distinct()
 
     val ta = docs.select(col("__id").as("id_a"), col("__toks").as("__ta"))

@@ -635,17 +635,17 @@ object PipelineQueries {
           round(Text.jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
     }),
 
-    // Exact thresholded Jaccard self-join via AllPairs/PPJoin prefix
-    // filtering — the precise counterpart to the MinHash candidates: no
-    // false negatives, exact similarities, and the inverted index holds
-    // only each doc's ~(1−t)·n RAREST tokens. Oracle is the full
-    // quadratic DuckDB token self-join; the engine must reproduce its
-    // answer exactly while never materializing that quadratic join.
+    // Exact thresholded Jaccard self-join via AllPairs/PPJoin prefix +
+    // positional filtering — the precise counterpart to the MinHash
+    // candidates: no false negatives, exact similarities, and the
+    // inverted index holds only each doc's ~(1−t)·n RAREST tokens.
+    // Oracle is the full quadratic DuckDB token self-join; the engine
+    // must reproduce its answer exactly while never materializing it.
     "q_setsim_join" -> ((s, dir) => {
       val d = star(s, dir, "documents").df
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       graft.operators.SetSimilarityJoin
-        .jaccardPairs(d, "doc_id", "toks", threshold = 0.9)
+        .jaccardPairs(d, "doc_id", "toks", threshold = 0.95)
     }),
 
     // --- similarity search -------------------------------------------------
@@ -1093,7 +1093,7 @@ object PipelineQueries {
         |FROM ov
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(overlap AS DOUBLE) / (sa.n + sb.n - overlap) >= 0.9""".stripMargin,
+        |WHERE CAST(overlap AS DOUBLE) / (sa.n + sb.n - overlap) >= 0.95""".stripMargin,
 
     "q_dedup_embedding" ->
       """SELECT vec_id AS idA, CAST(vec_id + 100000 AS BIGINT) AS idB, CAST(1.0 AS DOUBLE) AS cosine
