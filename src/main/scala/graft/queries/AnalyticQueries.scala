@@ -169,6 +169,31 @@ object AnalyticQueries {
         iterPartitions = 8)
     }),
 
+    // Closed-form per-group least squares (REGR_SLOPE/REGR_INTERCEPT):
+    // integer-cents inputs make every sufficient statistic (n, Σx, Σy,
+    // Σx², Σxy) EXACT decimal arithmetic with map-side partial
+    // aggregation — the shuffle carries 5 numbers per group, never rows —
+    // and slope/intercept are each ONE IEEE division of exact decimals,
+    // so the result is engine-independent at any scale.
+    "q_regr_slope" -> ((s, dir) => {
+      val cq = round(col("l_quantity") * 100).cast(LongType)
+      val cp = round(col("l_extendedprice") * 100).cast(LongType)
+      def dec(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(38, 0)))
+      star(s, dir, "lineitem").df
+        .select(col("l_returnflag"), cq.as("__x"), cp.as("__y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dec(col("__x")).as("sx"),
+          dec(col("__y")).as("sy"), dec(col("__x") * col("__x")).as("sxx"),
+          dec(col("__x") * col("__y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6)
+            .as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast(DoubleType) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) / 100, 6)
+            .as("intercept"))
+    }),
+
     "q_approx_stats" -> ((s, dir) => {
       val li = star(s, dir, "lineitem").df
       // Two passes joined on the 3-row group key: mixing count(DISTINCT)
@@ -342,6 +367,23 @@ object AnalyticQueries {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  TRUE AS hll_ok, TRUE AS med_ok
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_regr_slope" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM t GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE) / 100, 6) AS intercept
+        |FROM g""".stripMargin
   )
 }

@@ -102,6 +102,112 @@ object PipelineQueries {
     "q_doc_entropy" -> ((s, dir) =>
       Text.charEntropyScores(star(s, dir, "documents").df, "doc_id", "text")),
 
+    // Corpus-wide CDC chunk dedup: the storage/transfer-dedup headline
+    // metric (total vs unique chunk bytes). Rides q_doc_cdc's chunker;
+    // identical fp ⇒ identical content ⇒ identical length, so the
+    // per-fingerprint group carries (count, one length) — the shuffle is
+    // fingerprint-sized, never corpus-sized. Ratio is one IEEE division
+    // of exact Long sums.
+    "q_cdc_dedup" -> ((s, dir) => {
+      val perFp = graft.functions.Packing
+        .chunkContentDefined(star(s, dir, "documents").df, "doc_id", "text")
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("__n"),
+          max(col("cend") - col("cstart") + 1).as("__len"))
+      perFp.agg(
+        sum(col("__n")).cast(LongType).as("n_chunks"),
+        count(lit(1)).cast(LongType).as("n_unique"),
+        (sum(col("__n")) - count(lit(1))).cast(LongType).as("n_dup"),
+        sum(col("__n") * col("__len")).cast(LongType).as("bytes_total"),
+        sum(col("__len")).cast(LongType).as("bytes_unique"),
+        round(sum(col("__n") * col("__len")).cast(DoubleType) /
+          sum(col("__len")).cast(DoubleType), 4).as("dedup_ratio"))
+    }),
+
+    // Leakage-free split assignment: a near-dup CLUSTER crosses train/test
+    // only if splits are assigned per document — assigning by the cluster
+    // representative (the component minimum) keeps every near-dup family
+    // in one split (the Lee et al. 2021 contamination finding). Planted
+    // construction as q_dedup_minhash: verified identical-text edges make
+    // the components engine-independent (text groups), so the oracle can
+    // reproduce representative AND split exactly.
+    "q_cluster_split" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df.select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(planted)
+      val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
+          shingleSize = 2, numHashes = 32, bands = 8)
+        .filter(col("jaccard_est") === 1.0)
+        .join(corpus.select(col("doc_id").as("idA"), col("text").as("__ta")), "idA")
+        .join(corpus.select(col("doc_id").as("idB"), col("text").as("__tb")), "idB")
+        .filter(col("__ta") === col("__tb"))
+        .select("idA", "idB")
+      Dedup.connectedComponents(pairs)
+        .withColumn("__b", graft.functions.Decontamination.hashBucket(col("component")))
+        .select(col("id").as("doc_id"), col("component").as("cluster_rep"),
+          when(col("__b") < 90, "train")
+            .when(col("__b") < 95, "validation")
+            .otherwise("test").as("split"))
+    }),
+
+    // Domain/topic tagging by keyword lexicon scoring — the cheap,
+    // trainable-classifier-free corpus domain mix signal. Exact integer
+    // token-membership counts, arg-max with a fixed priority order on
+    // ties; zero shuffle (narrow per-row arithmetic).
+    "q_doc_topic" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      def score(lex: Seq[String]) =
+        size(filter(toks, t => t.isInCollection(lex))).cast(LongType)
+      val sPerf = score(Seq("fast", "slow", "big", "small"))
+      val sRel = score(Seq("query", "join", "filter", "group", "sort", "agg",
+        "window", "order"))
+      val sStor = score(Seq("table", "row", "column", "scan", "hash", "merge",
+        "batch", "key", "value", "data", "part"))
+      val sStream = score(Seq("stream", "spark", "line", "vector", "customer"))
+      star(s, dir, "documents").df
+        .select(col("doc_id"), sPerf.as("score_perf"), sRel.as("score_rel"),
+          sStor.as("score_storage"), sStream.as("score_stream"))
+        .withColumn("topic",
+          when(col("score_perf") >= col("score_rel") &&
+            col("score_perf") >= col("score_storage") &&
+            col("score_perf") >= col("score_stream"), "perf")
+            .when(col("score_rel") >= col("score_storage") &&
+              col("score_rel") >= col("score_stream"), "relational")
+            .when(col("score_storage") >= col("score_stream"), "storage")
+            .otherwise("streaming"))
+    }),
+
+    // Quantized-exact covariance of the leading embedding block: quantize
+    // q = floor(1000·e + 0.5) (IEEE-only, engine-independent), then every
+    // (i ≤ j) pair's (n, Σqᵢ, Σqⱼ, Σqᵢqⱼ) is exact integer arithmetic and
+    // cov = (n·Σqᵢqⱼ − ΣqᵢΣqⱼ)/(n²·10⁶) is ONE IEEE division. The explode
+    // collapses in the map-side partial aggregate: the shuffle carries
+    // #partitions·d² partial sums, never rows — the one-pass covariance/
+    // Gram building block for PCA at any corpus size.
+    "q_emb_covariance" -> ((s, dir) => {
+      val d = 16
+      val q = transform(slice(col("embedding"), 1, d),
+        e => floor(e.cast(DoubleType) * 1000 + lit(0.5)).cast(LongType))
+      val pairs = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+        transform(sequence(i, lit(d - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            element_at(col("__q"), i + 1).as("qi"),
+            element_at(col("__q"), j + 1).as("qj")))))
+      Tables.df(s, dir, "embeddings")
+        .select(q.as("__q"))
+        .select(explode(pairs).as("pr"))
+        .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pr.qi").cast(DecimalType(38, 0))).as("sqi"),
+          sum(col("pr.qj").cast(DecimalType(38, 0))).as("sqj"),
+          sum((col("pr.qi") * col("pr.qj")).cast(DecimalType(38, 0))).as("spp"))
+        .select(col("i"), col("j"),
+          round((col("n") * col("spp") - col("sqi") * col("sqj")).cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType) * lit(1e6)), 8)
+            .as("cov"))
+    }),
+
     "q_doc_langdist" -> ((s, dir) =>
       star(s, dir, "documents")
         .groupByAgg(Seq("lang"), Seq(
@@ -858,6 +964,29 @@ object PipelineQueries {
     path
   }
 
+  /** CDC chunk derivation shared by q_doc_cdc and q_cdc_dedup: cut where
+    * the trailing 16-char window's md5 20-bit prefix ≡ 0 (mod 64) —
+    * the exact mirror of Packing.chunkContentDefined. */
+  private val cdcChunkCtes: String =
+    """base AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents),
+      |cuts AS (
+      |  SELECT doc_id, text, n,
+      |    CASE WHEN n >= 16 THEN
+      |      [i FOR i IN range(16, n + 1)
+      |       IF i < n AND CAST('0x' || substring(md5(substring(text, i - 15, 16)), 1, 5)
+      |                    AS BIGINT) % 64 = 0]
+      |    ELSE [] END AS cs
+      |  FROM base),
+      |bounds AS (
+      |  SELECT doc_id, text, list_concat(list_concat([0], cs), [n]) AS b
+      |  FROM cuts),
+      |cdc_chunks AS (
+      |  SELECT doc_id, j AS chunk_idx,
+      |    b[j] + 1 AS cstart, b[j + 1] AS cend,
+      |    md5(substring(text, b[j] + 1, b[j + 1] - b[j])) AS fp
+      |  FROM bounds, unnest(range(1, len(b))) AS t(j))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_doc_tokens" ->
       """SELECT doc_id,
@@ -972,23 +1101,84 @@ object PipelineQueries {
         |  USING (source)""".stripMargin,
 
     "q_doc_cdc" ->
-      """WITH base AS (
-        |  SELECT doc_id, text, length(text) AS n FROM documents),
-        |cuts AS (
-        |  SELECT doc_id, text, n,
-        |    CASE WHEN n >= 16 THEN
-        |      [i FOR i IN range(16, n + 1)
-        |       IF i < n AND CAST('0x' || substring(md5(substring(text, i - 15, 16)), 1, 5)
-        |                    AS BIGINT) % 64 = 0]
-        |    ELSE [] END AS cs
-        |  FROM base),
-        |bounds AS (
-        |  SELECT doc_id, text, list_concat(list_concat([0], cs), [n]) AS b
-        |  FROM cuts)
-        |SELECT doc_id, j AS chunk_idx,
-        |  b[j] + 1 AS cstart, b[j + 1] AS cend,
-        |  md5(substring(text, b[j] + 1, b[j + 1] - b[j])) AS fp
-        |FROM bounds, unnest(range(1, len(b))) AS t(j)""".stripMargin,
+      s"""WITH $cdcChunkCtes
+        |SELECT doc_id, chunk_idx, cstart, cend, fp FROM cdc_chunks""".stripMargin,
+
+    "q_cdc_dedup" ->
+      s"""WITH $cdcChunkCtes,
+        |per AS (SELECT fp, count(*) AS cnt, max(cend - cstart + 1) AS len
+        |        FROM cdc_chunks GROUP BY fp)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup,
+        |  CAST(sum(cnt * len) AS BIGINT) AS bytes_total,
+        |  CAST(sum(len) AS BIGINT) AS bytes_unique,
+        |  round(CAST(sum(cnt * len) AS DOUBLE) / CAST(sum(len) AS DOUBLE), 4)
+        |    AS dedup_ratio
+        |FROM per""".stripMargin,
+
+    "q_cluster_split" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 5),
+        |grp AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY text) AS rep,
+        |    count(*) OVER (PARTITION BY text) AS sz
+        |  FROM all_docs)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rep AS BIGINT) AS cluster_rep,
+        |  CASE WHEN b < 90 THEN 'train'
+        |       WHEN b < 95 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, rep,
+        |        CAST('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 4) AS INTEGER)
+        |          % 100 AS b
+        |      FROM grp WHERE sz > 1)""".stripMargin,
+
+    "q_doc_topic" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t IN ('fast','slow','big','small')))
+        |      AS s_perf,
+        |    len(list_filter(toks, t -> t IN ('query','join','filter','group',
+        |      'sort','agg','window','order'))) AS s_rel,
+        |    len(list_filter(toks, t -> t IN ('table','row','column','scan',
+        |      'hash','merge','batch','key','value','data','part'))) AS s_stor,
+        |    len(list_filter(toks, t -> t IN ('stream','spark','line','vector',
+        |      'customer'))) AS s_stream
+        |  FROM tok)
+        |SELECT doc_id, CAST(s_perf AS BIGINT) AS score_perf,
+        |  CAST(s_rel AS BIGINT) AS score_rel,
+        |  CAST(s_stor AS BIGINT) AS score_storage,
+        |  CAST(s_stream AS BIGINT) AS score_stream,
+        |  CASE WHEN s_perf >= s_rel AND s_perf >= s_stor AND s_perf >= s_stream
+        |         THEN 'perf'
+        |       WHEN s_rel >= s_stor AND s_rel >= s_stream THEN 'relational'
+        |       WHEN s_stor >= s_stream THEN 'storage'
+        |       ELSE 'streaming' END AS topic
+        |FROM sc""".stripMargin,
+
+    "q_emb_covariance" ->
+      """WITH q AS (
+        |  SELECT [CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+        |          FOR e IN embedding[1:16]] AS qv
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT ti.i AS i, tj.j AS j, qv[ti.i + 1] AS qi, qv[tj.j + 1] AS qj
+        |  FROM q, range(0, 16) ti(i), range(0, 16) tj(j)
+        |  WHERE tj.j >= ti.i),
+        |g AS (
+        |  SELECT i, j, count(*) AS n, sum(qi) AS sqi, sum(qj) AS sqj,
+        |    sum(qi * qj) AS spp
+        |  FROM pr GROUP BY i, j)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  round(CAST(n * spp - sqi * sqj AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e6), 8) AS cov
+        |FROM g""".stripMargin,
 
     "q_doc_entropy" ->
       """WITH c AS (
