@@ -132,10 +132,15 @@ object Packing {
     * formulation and the SQL mirror).
     *
     * Expected chunk length ≈ `divisor` chars. A cut lands after position i
-    * (window ≤ i < n) iff md5(text[i−window+1 .. i])'s 20-bit prefix ≡ 0
-    * (mod divisor) — md5 over the window instead of a Gear/Rabin rolling
-    * hash trades O(n·window) CPU for bit-exact engine independence; the
-    * boundaries are a pure function of content.
+    * (window ≤ i < n) iff the polynomial hash of text[i−window+1 .. i] —
+    * a left fold (acc·257 + codepoint) mod 1048573 over the window's
+    * codepoints, Rabin–Karp style — is ≡ 0 (mod divisor). Every
+    * intermediate is exact int64 in ANY engine, so boundaries are an
+    * engine-independent pure function of content. The cut scan is the
+    * fused [[graft.functions.expressions.CdcCuts]] rolling-hash kernel:
+    * one O(n) pass per document inside whole-stage codegen (an earlier
+    * per-position md5 ran 4.2 s at sf0.1, an interpreted slice+aggregate
+    * HOF refold 50 s; the kernel is sub-second).
     *
     * Pure per-row array arithmetic: no shuffle, nothing driver-side.
     * Returns (idCol, chunk_idx, cstart, cend, fp) with chunks tiling
@@ -146,13 +151,7 @@ object Packing {
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     val t = col("__t")
     val n = length(t)
-    def cutAt(i: Column): Column =
-      conv(substring(md5(t.substr(i - (window - 1), lit(window))), 1, 5), 16, 10)
-        .cast("long") % divisor === 0
-    val cuts = when(n >= window,
-      filter(transform(sequence(lit(window), n),
-        i => when(i < n && cutAt(i), i)), x => x.isNotNull))
-      .otherwise(array().cast("array<int>"))
+    val cuts = expressions.TextExpressions.cdcCuts(t, window, divisor)
     val bounds = concat(array(lit(0)), cuts, array(n))
     df.select(col(idCol).as("__id"), col(textCol).as("__t"))
       .withColumn("__b", bounds)

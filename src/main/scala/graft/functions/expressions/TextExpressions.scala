@@ -28,6 +28,37 @@ object TextExprUtil {
     total
   }
 
+  /** Content-defined-chunking cut positions: every i in [window, n−1]
+    * (n = codepoint count) where the polynomial hash of the window-sized
+    * codepoint run ending at i — left fold (acc·257 + cp) mod 1048573 —
+    * is ≡ 0 (mod divisor). Computed with the Rabin–Karp rolling update
+    * (drop·257^(w−1) removal), so the whole document is one O(n) pass
+    * instead of O(n·w) per-position refolds; every intermediate stays
+    * below 2^41, exact in int64. Value-identical to the per-position
+    * fold, which is what the DuckDB oracle mirrors. */
+  def cdcCuts(s: UTF8String, window: Int, divisor: Long): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < window)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
+    val P = 1048573L
+    var pow = 1L
+    var k = 1
+    while (k < window) { pow = pow * 257L % P; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (h * 257L + cps(i)) % P; i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var cut = window
+    while (cut < n) {
+      if (h % divisor == 0L) out += cut
+      h = ((h - cps(cut - window) % P * pow % P) % P + P) % P
+      h = (h * 257L + cps(cut)) % P
+      cut += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Set Jaccard of two string arrays (nulls ignored); 0.0 when the union
     * is empty. One hash-set pass per side instead of three array ops
     * (distinct ×2, intersect, union) each building its own set. */
@@ -81,6 +112,34 @@ case class BpeIshTokenCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Content-defined-chunking cut positions as a fused rolling-hash kernel —
+  * replaces a per-position slice+aggregate HOF chain whose interpreted
+  * lambdas made the chunker ~50 s at sf0.1; the one-pass kernel runs the
+  * same query in well under a second. */
+case class CdcCuts(child: Expression, window: Int, divisor: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprUtil.cdcCuts(input.asInstanceOf[UTF8String], window, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.TextExprUtil.cdcCuts($a, $window, ${divisor}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused set-Jaccard of two string arrays — the candidate-pair scorer for
   * n-gram near-dup verification. Replaces the distinct/intersect/union
   * array-expression chain (three hash-set builds per row) with one kernel. */
@@ -116,4 +175,7 @@ object TextExpressions {
   def jaccardSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def cdcCuts(text: Column, window: Int, divisor: Long): Column =
+    ColumnBridge.column(CdcCuts(ColumnBridge.expression(text), window, divisor))
 }

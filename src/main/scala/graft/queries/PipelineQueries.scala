@@ -965,17 +965,20 @@ object PipelineQueries {
   }
 
   /** CDC chunk derivation shared by q_doc_cdc and q_cdc_dedup: cut where
-    * the trailing 16-char window's md5 20-bit prefix ≡ 0 (mod 64) —
-    * the exact mirror of Packing.chunkContentDefined. */
+    * the trailing 16-char window's polynomial hash (left fold
+    * (acc·257 + codepoint) mod 1048573) ≡ 0 (mod 64) — the exact mirror
+    * of Packing.chunkContentDefined. */
   private val cdcChunkCtes: String =
     """base AS (
-      |  SELECT doc_id, text, length(text) AS n FROM documents),
+      |  SELECT doc_id, text, length(text) AS n,
+      |    [ascii(c) FOR c IN string_split(text, '')] AS codes
+      |  FROM documents),
       |cuts AS (
       |  SELECT doc_id, text, n,
       |    CASE WHEN n >= 16 THEN
       |      [i FOR i IN range(16, n + 1)
-      |       IF i < n AND CAST('0x' || substring(md5(substring(text, i - 15, 16)), 1, 5)
-      |                    AS BIGINT) % 64 = 0]
+      |       IF i < n AND list_reduce(list_prepend(0, codes[i - 15 : i]),
+      |                      (acc, x) -> (acc * 257 + x) % 1048573) % 64 = 0]
       |    ELSE [] END AS cs
       |  FROM base),
       |bounds AS (

@@ -218,10 +218,12 @@ class PackingSpec extends AnyFunSuite {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+    def winHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 257 + c.toLong) % 1048573)
     def ref(text: String): Seq[(Long, Long, Long, String)] = {
       val n = text.length
       val cuts = (w to n - 1).filter { i =>
-        java.lang.Long.parseLong(md5hex(text.substring(i - w, i)).take(5), 16) % div == 0
+        winHash(text.substring(i - w, i)) % div == 0
       }
       val bounds = 0 +: cuts :+ n
       bounds.zip(bounds.tail).zipWithIndex.map { case ((p, q), j) =>
