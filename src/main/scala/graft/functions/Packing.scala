@@ -146,7 +146,14 @@ object Packing {
     * Returns (idCol, chunk_idx, cstart, cend, fp) with chunks tiling
     * [1, n] contiguously and fp = md5 of the chunk text. */
   def chunkContentDefined(df: DataFrame, idCol: String, textCol: String,
-                          window: Int = 16, divisor: Long = 64): DataFrame = {
+                          window: Int = 16, divisor: Long = 64): DataFrame =
+    cdcChunks(df, idCol, textCol, window, divisor).drop("__ctxt")
+
+  /** [[chunkContentDefined]] plus the chunk text itself (`__ctxt`) — the
+    * reassembly input for [[dedupCdcChunks]]; kept internal so the public
+    * chunk table stays fingerprint-sized. */
+  private def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                        window: Int, divisor: Long): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     val t = col("__t")
@@ -163,7 +170,49 @@ object Packing {
         (col("pos") + 1).cast("long").as("chunk_idx"),
         (col("col.p") + 1).cast("long").as("cstart"),
         col("col.q").cast("long").as("cend"),
-        md5(col("__t").substr(col("col.p") + 1, col("col.q") - col("col.p")))
-          .as("fp"))
+        col("__t").substr(col("col.p") + 1, col("col.q") - col("col.p"))
+          .as("__ctxt"))
+      .withColumn("fp", md5(col("__ctxt")))
+  }
+
+  /** Cross-document repeated-span removal at CDC-chunk granularity — the
+    * exact-substring-dedup shape of Lee et al. 2021 ("Deduplicating
+    * Training Data...") expressed over content-defined chunks: every
+    * occurrence of a chunk fingerprint other than its global FIRST
+    * occurrence (lowest (id, chunk_idx)) is deleted, and each document is
+    * reassembled from its surviving chunks in order. Because boundaries
+    * are content-defined, a span shared verbatim by many documents chunks
+    * identically in all of them and collapses to one copy corpus-wide —
+    * including intra-document repeats.
+    *
+    * Deterministic by construction: keep-first under the (id, chunk_idx)
+    * total order; reassembly sorts by chunk_idx before concatenation.
+    *
+    * Scale shape: one groupBy(fp) min (map-side combinable) + one
+    * fp-keyed join of occurrences to winners + one per-doc groupBy for
+    * reassembly — shuffles carry chunk rows keyed by 128-bit fp / doc id,
+    * never the corpus text twice; no self-join, no window over data rows.
+    * A corpus-wide boilerplate fp is ONE winner row joined to many
+    * occurrences (AQE skew-split territory), not a quadratic group.
+    *
+    * Returns (idCol, clean_text, n_kept, n_removed, chars_removed). */
+  def dedupCdcChunks(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 16, divisor: Long = 64): DataFrame = {
+    val ch = cdcChunks(df, idCol, textCol, window, divisor)
+    val winners = ch.groupBy(col("fp"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__w"))
+    ch.join(winners, Seq("fp"))
+      .withColumn("__keep",
+        struct(col(idCol), col("chunk_idx")) === col("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("chunk_idx"), col("__ctxt"))))),
+          x => x.getField("__ctxt"))).as("clean_text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+        sum(when(col("__keep"), 0L)
+          .otherwise(col("cend") - col("cstart") + 1)).as("chars_removed"))
   }
 }

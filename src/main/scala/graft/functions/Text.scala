@@ -332,4 +332,75 @@ object Text {
       .select(col("id").as(idCol),
         round(col("__s").cast("double") / col("__n"), outScale).as("entropy"))
   }
+
+  /** Corpus collocations by pointwise mutual information: the top-k
+    * adjacent token pairs whose co-occurrence beats chance,
+    * PMI = ln(p(w1w2) / (p(w1)·p(w2))) with p(w) = c(w)/N_tok and
+    * p(w1w2) = c(w1w2)/N_bi — the classic collocation-mining statistic
+    * (Church & Hanks 1990). `minCount` drops rare pairs (PMI's known
+    * low-count pathology) before any join.
+    *
+    * Determinism: counts and totals are exact integers; the PMI argument
+    * is one parenthesized chain of IEEE multiplications/divisions over
+    * those integers (bit-identical cross-engine), then a single ln
+    * rounded to 6 decimals; ranking is the (pmi desc, bigram asc) total
+    * order.
+    *
+    * Scale shape: unigram/bigram count tables are vocabulary-sized (they
+    * grow with diversity, not corpus size); both PMI joins are keyed by
+    * token — never broadcast, a 100 TB corpus's vocabulary is not
+    * driver-sized; corpus totals ride a broadcast 1-row aggregate; the
+    * final top-k is a TakeOrdered, no global sort. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 3, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val uni = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__c"))
+    val bi = df.select(explode(bigrams(col(textCol))).as("g"))
+      .select(col("g.w1").as("__w1"), col("g.w2").as("__w2"))
+      .groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("c12"))
+    val totals = broadcast(uni.agg(sum(col("__c")).as("__n1"))
+      .crossJoin(bi.agg(sum(col("c12")).as("__n2"))))
+    bi.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("__w1"), col("__c").as("__c1")), Seq("__w1"))
+      .join(uni.select(col("w").as("__w2"), col("__c").as("__c2")), Seq("__w2"))
+      .crossJoin(totals)
+      .select(
+        concat_ws(" ", col("__w1"), col("__w2")).as("bigram"),
+        col("c12"),
+        round(log(
+          col("c12").cast("double") * col("__n1").cast("double") *
+            col("__n1").cast("double") /
+            (col("__c1").cast("double") * col("__c2").cast("double") *
+              col("__n2").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topK)
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * bigrams whose first corpus appearance (minimum id) is this document —
+    * the memorization/novelty profile used to spot near-template documents
+    * (novelty → 0) and genuinely fresh content (novelty → 1) in id
+    * (crawl/arrival) order. Documents under 2 tokens carry no grams and
+    * are absent from the output.
+    *
+    * Deterministic: exact integer counts, min over ids, one IEEE division
+    * rounded to 6.
+    *
+    * Scale shape: groupBy(gram) min is map-side combinable; the
+    * attribution join is gram-keyed; per-doc distinct grams collapse
+    * inside the row (array_distinct) before any shuffle. */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        explode(array_distinct(bigrams(col(textCol)))).as("g"))
+      .select(col("id"), concat_ws(" ", col("g.w1"), col("g.w2")).as("__g"))
+    val firstSeen = grams.groupBy(col("__g")).agg(min(col("id")).as("__first"))
+    grams.join(firstSeen, Seq("__g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
 }

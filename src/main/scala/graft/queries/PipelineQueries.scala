@@ -124,6 +124,31 @@ object PipelineQueries {
           sum(col("__len")).cast(DoubleType), 4).as("dedup_ratio"))
     }),
 
+    // Cross-document repeated-span removal at CDC-chunk granularity (the
+    // Lee et al. 2021 exact-substring-dedup shape): every chunk occurrence
+    // after its global first (lowest (doc_id, chunk_idx)) is deleted and
+    // docs are reassembled from surviving chunks. Planted full copies
+    // guarantee shared spans; organic cross-doc chunk collisions dedup too.
+    "q_cdc_span_dedup" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df.select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      graft.functions.Packing.dedupCdcChunks(
+        docs.unionByName(planted), "doc_id", "text")
+    }),
+
+    // Top-50 collocations by PMI (Church & Hanks 1990) with min-count 3:
+    // exact integer counts, one parenthesized IEEE product/quotient chain,
+    // single rounded ln; (pmi desc, bigram asc) total order.
+    "q_collocations" -> ((s, dir) =>
+      Text.pmiCollocations(star(s, dir, "documents").df, "text",
+        minCount = 3, topK = 50)),
+
+    // Per-doc bigram novelty: fraction of the doc's distinct bigrams first
+    // seen (min doc_id) in this doc — the near-template detector.
+    "q_gram_novelty" -> ((s, dir) =>
+      Text.gramNovelty(star(s, dir, "documents").df, "doc_id", "text")),
+
     // Leakage-free split assignment: a near-dup CLUSTER crosses train/test
     // only if splits are assigned per document — assigning by the cluster
     // representative (the component minimum) keeps every near-dup family
@@ -968,11 +993,15 @@ object PipelineQueries {
     * the trailing 16-char window's polynomial hash (left fold
     * (acc·257 + codepoint) mod 1048573) ≡ 0 (mod 64) — the exact mirror
     * of Packing.chunkContentDefined. */
-  private val cdcChunkCtes: String =
-    """base AS (
+  private val cdcChunkCtes: String = cdcChunkCtesFrom("documents")
+
+  /** Same CTE chain over an arbitrary source relation (q_cdc_span_dedup
+    * runs it over a planted-copy corpus). */
+  private def cdcChunkCtesFrom(src: String): String =
+    s"""base AS (
       |  SELECT doc_id, text, length(text) AS n,
       |    [ascii(c) FOR c IN string_split(text, '')] AS codes
-      |  FROM documents),
+      |  FROM $src),
       |cuts AS (
       |  SELECT doc_id, text, n,
       |    CASE WHEN n >= 16 THEN
@@ -987,6 +1016,7 @@ object PipelineQueries {
       |cdc_chunks AS (
       |  SELECT doc_id, j AS chunk_idx,
       |    b[j] + 1 AS cstart, b[j + 1] AS cend,
+      |    substring(text, b[j] + 1, b[j + 1] - b[j]) AS ctxt,
       |    md5(substring(text, b[j] + 1, b[j + 1] - b[j])) AS fp
       |  FROM bounds, unnest(range(1, len(b))) AS t(j))""".stripMargin
 
@@ -1119,6 +1149,69 @@ object PipelineQueries {
         |  round(CAST(sum(cnt * len) AS DOUBLE) / CAST(sum(len) AS DOUBLE), 4)
         |    AS dedup_ratio
         |FROM per""".stripMargin,
+
+    "q_cdc_span_dedup" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 5),
+        |${cdcChunkCtesFrom("corpus")},
+        |marked AS (
+        |  SELECT doc_id, chunk_idx, cstart, cend, ctxt,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) = 1
+        |      AS keep
+        |  FROM cdc_chunks)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  coalesce(string_agg(ctxt, '' ORDER BY chunk_idx)
+        |    FILTER (WHERE keep), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
+        |  CAST(coalesce(sum(cend - cstart + 1) FILTER (WHERE NOT keep), 0)
+        |    AS BIGINT) AS chars_removed
+        |FROM marked GROUP BY doc_id""".stripMargin,
+
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |tot1 AS (SELECT sum(c) AS n1 FROM uni),
+        |bi AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents),
+        |       unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bic AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |tot2 AS (SELECT sum(c12) AS n2 FROM bic)
+        |SELECT w1 || ' ' || w2 AS bigram, CAST(c12 AS BIGINT) AS c12,
+        |  round(ln(CAST(c12 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |    / (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)
+        |       * CAST(n2 AS DOUBLE))), 6) AS pmi
+        |FROM bic
+        |JOIN uni c1 ON bic.w1 = c1.w
+        |JOIN uni c2 ON bic.w2 = c2.w
+        |CROSS JOIN tot1 CROSS JOIN tot2
+        |WHERE c12 >= 3
+        |ORDER BY pmi DESC, bigram ASC
+        |LIMIT 50""".stripMargin,
+
+    "q_gram_novelty" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([t[i] || ' ' || t[i + 1]
+        |                          FOR i IN range(1, len(t))])) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents)
+        |  WHERE len(t) >= 2),
+        |fs AS (SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE first_id = doc_id) AS BIGINT) AS n_novel,
+        |  round(CAST(count(*) FILTER (WHERE first_id = doc_id) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM grams JOIN fs USING (g)
+        |GROUP BY doc_id""".stripMargin,
 
     "q_cluster_split" ->
       """WITH all_docs AS (

@@ -119,4 +119,89 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
       assert(math.abs(got((i, j)) - cov(i, j)) < 1e-12,
         s"cov($i,$j): got ${got((i, j))}, want ${cov(i, j)}")
   }
+
+  test("CDC span dedup matches a sequential keep-first reference") {
+    val w = 4; val div = 8L
+    def winHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 257 + c.toLong) % 1048573)
+    def chunksOf(text: String): Seq[(Long, String)] = {
+      val n = text.length
+      val cuts = (w to n - 1).filter(i => winHash(text.substring(i - w, i)) % div == 0)
+      val bounds = 0 +: cuts :+ n
+      bounds.zip(bounds.tail).zipWithIndex.map { case ((p, q), j) =>
+        ((j + 1).toLong, text.substring(p, q))
+      }
+    }
+    val rng = new scala.util.Random(11)
+    val fresh = (0L until 20L).map(i =>
+      (i, (0 until 60 + rng.nextInt(120)).map(_ => ('a' + rng.nextInt(6)).toChar).mkString))
+    // planted exact copies (all chunks dup) + one partial overlap
+    val corpus = fresh ++ Seq((100L, fresh(3)._2), (101L, fresh(7)._2),
+      (102L, fresh(3)._2 + fresh(5)._2))
+    // sequential reference: global keep-first over (id, chunk_idx)
+    val all = corpus.flatMap { case (id, t) =>
+      chunksOf(t).map { case (idx, txt) => (id, idx, txt) } }
+    val first = all.groupBy(_._3).view.mapValues(_.minBy(c => (c._1, c._2))).toMap
+    val expected = corpus.map { case (id, t) =>
+      val ch = chunksOf(t)
+      val kept = ch.filter { case (idx, txt) => first(txt) == ((id, idx, txt)) }
+      (id, kept.map(_._2).mkString, kept.size.toLong, (ch.size - kept.size).toLong,
+        ch.filter { case (idx, txt) => first(txt) != ((id, idx, txt)) }
+          .map(_._2.length.toLong).sum)
+    }.map { case (id, c, k, r, b) => id -> ((c, k, r, b)) }.toMap
+    val got = Packing.dedupCdcChunks(
+        corpus.toDF("doc_id", "text").repartition(7), "doc_id", "text",
+        window = w, divisor = div)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    // the exact copies lost every chunk (all of them occur earlier); note
+    // ORIGINALS may legitimately lose short chunks too — organic cross-doc
+    // collisions are deduped exactly like planted ones (the map equality
+    // above pins both cases to the reference)
+    assert(got(100L)._1 == "" && got(101L)._1 == "")
+    assert(got(100L)._2 == 0L &&
+      got(100L)._3 == chunksOf(fresh(3)._2).size.toLong)
+  }
+
+  test("PMI collocations match the hand formula with min-count and ordering") {
+    val docs = Seq(
+      "new york new york new york",
+      "new york city hall",
+      "city hall city hall",
+      "york city").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.functions.Text.pmiCollocations(docs, "text",
+        minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // hand counts: tokens n1=16; bigrams n2=12
+    // "new york" c12=4 (3 in doc0 spans + 1 in doc1), c(new)=4, c(york)=5
+    // "york new" c12=2, "york city" c12=2 (doc1 + doc3),
+    // "city hall" c12=3 (1 + 2), c(city)=4, c(hall)=3
+    // "hall city" c12=1 < minCount — dropped
+    def pmi(c12: Long, c1: Long, c2: Long): Double =
+      BigDecimal(math.log(c12.toDouble * 16 * 16 / (c1.toDouble * c2 * 12)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(
+      ("city hall", 3L, pmi(3, 4, 3)),
+      ("new york", 4L, pmi(4, 4, 5)),
+      ("york city", 2L, pmi(2, 5, 4)),
+      ("york new", 2L, pmi(2, 5, 4))).sortBy(x => (-x._3, x._1))
+    assert(got.toSeq == expected)
+  }
+
+  test("gram novelty attributes first-seen grams by minimum doc id") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "c d a b"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = graft.functions.Text.gramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // d1 {a b, b c} both first; d2 {a b, b d} one first; d3 {c d, d a, a b} two first
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((3L, 2L, 0.666667))))
+    // single-token doc 4 has no grams and no row
+    assert(!got.contains(4L))
+  }
 }
