@@ -403,4 +403,100 @@ object Text {
       .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
         round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
   }
+
+  /** Per-group keyness: the top-k tokens most OVER-represented in each
+    * group vs the rest of the corpus by Dunning's log-likelihood G²
+    * (Dunning 1993) — the corpus-linguistics "what words characterize
+    * this source/language" statistic, robust at low counts where PMI
+    * explodes. G² = 2·(a·ln(a·N/(n1·c)) + b·ln(b·N/(n2·c))) for token
+    * count a in-group, b elsewhere, group sizes n1/n2, corpus total N,
+    * token total c = a + b; only enriched tokens (a·N > n1·c, an exact
+    * integer comparison) are ranked, and the b = 0 term is 0 by limit.
+    *
+    * Determinism: counts exact integers; each ln runs on one
+    * parenthesized IEEE product/quotient chain, is rounded to `logScale`
+    * decimals, multiplied by the exact integer count and summed as
+    * DECIMAL; ranking is the (keyness desc, token asc) total order.
+    *
+    * Scale shape: (group, token) and token count tables grow with
+    * vocabulary, not corpus; the count join is token-keyed (never
+    * broadcast); per-group totals are a group-cardinality-sized broadcast;
+    * ranking rides the distributed range-partitioned globalRowNumber —
+    * no per-group window task. */
+  def keynessTopTerms(df: DataFrame, groupCol: String, textCol: String,
+                      topK: Int = 10, minCount: Long = 5,
+                      logScale: Int = 6): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ag = df.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("cnt"))
+    val ct = ag.groupBy(col("token")).agg(sum(col("cnt")).as("__ct"))
+    val n1 = ag.groupBy(col("grp")).agg(sum(col("cnt")).as("__n1"))
+    val nn = broadcast(n1.agg(sum(col("__n1")).as("__nn")))
+    def lnTerm(x: Column, nx: Column): Column =
+      round(log(x.cast("double") * col("__nn").cast("double") /
+        (nx.cast("double") * col("__ct").cast("double"))), logScale)
+        .cast(s"decimal(18,$logScale)")
+    val scored = ag.join(ct, Seq("token"))
+      .join(broadcast(n1), Seq("grp"))
+      .crossJoin(nn)
+      .withColumn("__b", col("__ct") - col("cnt"))
+      .withColumn("__n2", col("__nn") - col("__n1"))
+      .filter(col("cnt") >= minCount)
+      .filter(col("cnt").cast("decimal(38,0)") * col("__nn") >
+        col("__n1").cast("decimal(38,0)") * col("__ct"))
+      .withColumn("keyness",
+        ((col("cnt") * lnTerm(col("cnt"), col("__n1")) +
+          when(col("__b") === 0, lit(0).cast(s"decimal(28,$logScale)"))
+            .otherwise(col("__b") * lnTerm(col("__b"), col("__n2"))))
+          * 2).cast(s"decimal(28,$logScale)"))
+      .withColumn("__neg", -col("keyness"))
+    Windowing.globalRowNumber(scored, Seq("grp"), Seq("__neg", "token"), "rank")
+      .filter(col("rank") <= topK)
+      .select(col("grp").as(groupCol), col("token"), col("cnt"),
+        col("keyness").cast("double").as("keyness"), col("rank"))
+  }
+
+  /** Zipf power-law fit over the token frequency spectrum: least-squares
+    * slope/intercept of ln(count) on ln(rank) for the top `topRanks`
+    * tokens — Zipf's law predicts slope ≈ −1; a corpus whose fit departs
+    * far from that (or whose residual spread is huge) is unnatural text
+    * (template/boilerplate or spam), which makes the exponent a cheap
+    * corpus-health signal.
+    *
+    * Determinism: ranks come from the exact (count desc, token asc)
+    * total order; ln(rank)/ln(count) are rounded to 6 decimals and
+    * summed as DECIMAL, so the four sufficient statistics are exact; the
+    * closed-form slope/intercept is then a short IEEE chain over their
+    * double conversions, rounded to 6.
+    *
+    * Scale shape: the count table is vocabulary-sized; ranking rides the
+    * range-partitioned globalRowNumber (constant group — the range
+    * exchange still spreads the sort); only `topRanks` rows reach the
+    * final single-row aggregate. */
+  def zipfFit(df: DataFrame, textCol: String, topRanks: Int = 100): DataFrame = {
+    require(topRanks >= 2, s"topRanks must be >= 2, got $topRanks")
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+      .withColumn("__g", lit(0))
+      .withColumn("__neg", -col("__c"))
+    val ranked = Windowing
+      .globalRowNumber(counts, Seq("__g"), Seq("__neg", "token"), "rank")
+      .filter(col("rank") <= topRanks)
+      .select(
+        round(log(col("rank").cast("double")), 6).cast("decimal(18,6)").as("__x"),
+        round(log(col("__c").cast("double")), 6).cast("decimal(18,6)").as("__y"))
+    val s = ranked.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).cast("decimal(38,6)").as("__sx"),
+      sum(col("__y")).cast("decimal(38,6)").as("__sy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,12)")).as("__sxx"),
+      sum((col("__x") * col("__y")).cast("decimal(38,12)")).as("__sxy"))
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+    val slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    s.select(col("__n").as("n_terms"), slope.as("slope"),
+        round((sy - slope * sx) / n, 6).as("intercept"))
+  }
 }

@@ -149,6 +149,19 @@ object PipelineQueries {
     "q_gram_novelty" -> ((s, dir) =>
       Text.gramNovelty(star(s, dir, "documents").df, "doc_id", "text")),
 
+    // Per-language keyness (Dunning G²): top-5 tokens over-represented in
+    // each language vs the rest — exact counts, rounded-ln decimal terms,
+    // distributed rank.
+    "q_keyness" -> ((s, dir) =>
+      Text.keynessTopTerms(star(s, dir, "documents").df, "lang", "text",
+        topK = 5, minCount = 5)),
+
+    // Zipf power-law fit over the top-100 token frequencies: ln-ln least
+    // squares from exact decimal sufficient statistics; slope ≈ −1 for
+    // natural text.
+    "q_zipf" -> ((s, dir) =>
+      Text.zipfFit(star(s, dir, "documents").df, "text", topRanks = 100)),
+
     // Leakage-free split assignment: a near-dup CLUSTER crosses train/test
     // only if splits are assigned per document — assigning by the cluster
     // representative (the component minimum) keeps every near-dup family
@@ -1212,6 +1225,69 @@ object PipelineQueries {
         |    / count(*), 6) AS novelty
         |FROM grams JOIN fs USING (g)
         |GROUP BY doc_id""".stripMargin,
+
+    "q_keyness" ->
+      """WITH tok AS (
+        |  SELECT lang AS grp,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |ag AS (SELECT grp, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |ctt AS (SELECT token, sum(cnt) AS ct FROM ag GROUP BY 1),
+        |g1 AS (SELECT grp, sum(cnt) AS n1 FROM ag GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS nn FROM ag),
+        |j AS (
+        |  SELECT grp, token, cnt, ct, n1, nn,
+        |    ct - cnt AS b, nn - n1 AS n2
+        |  FROM ag JOIN ctt USING (token) JOIN g1 USING (grp) CROSS JOIN tot
+        |  WHERE cnt >= 5
+        |    AND CAST(cnt AS HUGEINT) * nn > CAST(n1 AS HUGEINT) * ct),
+        |sc AS (
+        |  SELECT grp, token, cnt,
+        |    CAST((cnt * CAST(round(ln(CAST(cnt AS DOUBLE) * CAST(nn AS DOUBLE)
+        |            / (CAST(n1 AS DOUBLE) * CAST(ct AS DOUBLE))), 6)
+        |          AS DECIMAL(18,6))
+        |      + CASE WHEN b = 0 THEN CAST(0 AS DECIMAL(28,6))
+        |        ELSE b * CAST(round(ln(CAST(b AS DOUBLE) * CAST(nn AS DOUBLE)
+        |            / (CAST(n2 AS DOUBLE) * CAST(ct AS DOUBLE))), 6)
+        |          AS DECIMAL(18,6)) END) * 2 AS DECIMAL(28,6)) AS keyness
+        |  FROM j),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY grp ORDER BY keyness DESC, token ASC) AS rank
+        |  FROM sc)
+        |SELECT grp AS lang, token, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(keyness AS DOUBLE) AS keyness, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |r AS (SELECT token, c,
+        |        row_number() OVER (ORDER BY c DESC, token ASC) AS rank
+        |      FROM c),
+        |xy AS (
+        |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |         CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM r WHERE rank <= 100),
+        |s AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(x * y AS DECIMAL(38,12))) AS sxy
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |      - round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM s""".stripMargin,
 
     "q_cluster_split" ->
       """WITH all_docs AS (

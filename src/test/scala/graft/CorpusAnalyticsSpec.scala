@@ -204,4 +204,46 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     // single-token doc 4 has no grams and no row
     assert(!got.contains(4L))
   }
+
+  test("keyness G2 matches the hand-computed Dunning statistic") {
+    val docs = Seq((1L, "A", "cat cat cat cat cat dog"),
+      (2L, "B", "dog dog dog dog dog bird"))
+      .toDF("doc_id", "grp", "text").repartition(3)
+    val got = graft.functions.Text.keynessTopTerms(docs, "grp", "text",
+        topK = 5, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A: cat a=5 b=0 n1=6 N=12 ct=5 → 2·5·round(ln(2),6)
+    val kCat = BigDecimal(2) * (BigDecimal(5) * BigDecimal(r6(math.log(2.0))))
+    // B: dog a=5 b=1 n1=6 n2=6 ct=6
+    val kDog = BigDecimal(2) * (
+      BigDecimal(5) * BigDecimal(r6(math.log(5.0 * 12 / (6.0 * 6)))) +
+        BigDecimal(1) * BigDecimal(r6(math.log(1.0 * 12 / (6.0 * 6)))))
+    assert(got == Set(("A", "cat", 5L, kCat.toDouble, 1L),
+      ("B", "dog", 5L, kDog.toDouble, 1L)))
+  }
+
+  test("zipf fit recovers the closed-form least squares on known counts") {
+    val words = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = graft.functions.Text.zipfFit(docs, "text", topRanks = 100).head()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = Seq((1, 8), (2, 4), (3, 2), (4, 1))
+      .map { case (rk, c) => (BigDecimal(r6(math.log(rk))), BigDecimal(r6(math.log(c)))) }
+    val n = BigDecimal(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = r6(((n * sxy - sx * sy) / (n * sxx - sx * sx)).toDouble)
+    val slopeD = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val intercept = r6((sy.toDouble - r6(slopeD) * sx.toDouble) / n.toDouble)
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) - slope) < 2e-6, s"slope ${r.getDouble(1)} vs $slope")
+    assert(math.abs(r.getDouble(2) - intercept) < 2e-6)
+    // powers of two: slope must be exactly -ln(2)/mean-ish negative ≈ -1.5
+    assert(r.getDouble(1) < -1.0 && r.getDouble(1) > -2.0)
+  }
 }
