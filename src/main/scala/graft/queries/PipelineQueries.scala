@@ -162,6 +162,14 @@ object PipelineQueries {
     "q_zipf" -> ((s, dir) =>
       Text.zipfFit(star(s, dir, "documents").df, "text", topRanks = 100)),
 
+    // BPE tokenizer training (Sennrich et al. 2016): 8 merge rounds over
+    // the word-frequency table (one corpus pass, then vocabulary-sized
+    // iteration); winners by the exact (count desc, left asc, right asc)
+    // order. Oracle unrolls the same 8 rounds in MATERIALIZED SQL CTEs.
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.functions.Bpe.trainMerges(star(s, dir, "documents").df, "text",
+        numMerges = 8)),
+
     // Leakage-free split assignment: a near-dup CLUSTER crosses train/test
     // only if splits are assigned per document — assigning by the cluster
     // representative (the component minimum) keeps every near-dup family
@@ -1006,6 +1014,43 @@ object PipelineQueries {
     * the trailing 16-char window's polynomial hash (left fold
     * (acc·257 + codepoint) mod 1048573) ≡ 0 (mod 64) — the exact mirror
     * of Packing.chunkContentDefined. */
+  /** Programmatically unrolled BPE training mirror: k rounds of weighted
+    * pair counts + (cnt desc, l asc, r asc) argmax + literal-replace merge
+    * application over the word-frequency table — the exact image of
+    * Bpe.trainMerges. CTEs are MATERIALIZED (the HITS lesson: DuckDB's
+    * default inlining re-evaluates each generation per consumer, which is
+    * exponential in rounds). */
+  private def bpeMergesOracle(k: Int): String = {
+    val b = new StringBuilder
+    b ++= """WITH v0 AS MATERIALIZED (
+      |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' </w> '
+      |      AS seq, freq
+      |  FROM (SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |    FROM documents) GROUP BY w))""".stripMargin
+    for (r <- 1 to k) {
+      b ++= s""",
+      |p$r AS MATERIALIZED (
+      |  SELECT t[i] AS l, t[i + 1] AS r, sum(freq) AS cnt
+      |  FROM (SELECT string_split(trim(seq), ' ') AS t, freq FROM v${r - 1}),
+      |       unnest(range(1, len(t))) AS u(i)
+      |  GROUP BY 1, 2),
+      |b$r AS MATERIALIZED (
+      |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+      |v$r AS MATERIALIZED (
+      |  SELECT replace(seq,
+      |      ' ' || (SELECT l FROM b$r) || ' ' || (SELECT r FROM b$r) || ' ',
+      |      ' ' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || ' ') AS seq,
+      |    freq
+      |  FROM v${r - 1})""".stripMargin
+    }
+    b ++= (1 to k).map(r =>
+      s"SELECT $r AS step, l AS left_sym, r AS right_sym, l || r AS merged, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\n", "\nUNION ALL\n", "")
+    b.toString
+  }
+
   private val cdcChunkCtes: String = cdcChunkCtesFrom("documents")
 
   /** Same CTE chain over an arbitrary source relation (q_cdc_span_dedup
@@ -1225,6 +1270,8 @@ object PipelineQueries {
         |    / count(*), 6) AS novelty
         |FROM grams JOIN fs USING (g)
         |GROUP BY doc_id""".stripMargin,
+
+    "q_bpe_merges" -> bpeMergesOracle(8),
 
     "q_keyness" ->
       """WITH tok AS (
