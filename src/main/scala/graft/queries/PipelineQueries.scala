@@ -170,6 +170,22 @@ object PipelineQueries {
       graft.functions.Bpe.trainMerges(star(s, dir, "documents").df, "text",
         numMerges = 8)),
 
+    // Train-then-tokenize end to end: the 8 trained merges applied
+    // greedily to every document (chained literal replaces, zero
+    // shuffle); per-doc BPE token counts vs the whitespace baseline.
+    // The oracle re-derives the merges in SQL and applies the same
+    // replace chain.
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val merges = graft.functions.Bpe.trainMerges(docs, "text", numMerges = 8)
+        .orderBy(col("step"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(col("doc_id"),
+        size(graft.functions.Bpe.applyMerges(col("text"), merges))
+          .cast(LongType).as("n_bpe"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_words"))
+    }),
+
     // Leakage-free split assignment: a near-dup CLUSTER crosses train/test
     // only if splits are assigned per document — assigning by the cluster
     // representative (the component minimum) keeps every near-dup family
@@ -1020,7 +1036,7 @@ object PipelineQueries {
     * Bpe.trainMerges. CTEs are MATERIALIZED (the HITS lesson: DuckDB's
     * default inlining re-evaluates each generation per consumer, which is
     * exponential in rounds). */
-  private def bpeMergesOracle(k: Int): String = {
+  private def bpeTrainCtes(k: Int): String = {
     val b = new StringBuilder
     b ++= """WITH v0 AS MATERIALIZED (
       |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' </w> '
@@ -1044,11 +1060,34 @@ object PipelineQueries {
       |    freq
       |  FROM v${r - 1})""".stripMargin
     }
-    b ++= (1 to k).map(r =>
+    b.toString
+  }
+
+  private def bpeMergesOracle(k: Int): String =
+    bpeTrainCtes(k) + (1 to k).map(r =>
       s"SELECT $r AS step, l AS left_sym, r AS right_sym, l || r AS merged, " +
         s"CAST(cnt AS BIGINT) AS pair_count FROM b$r")
       .mkString("\n", "\nUNION ALL\n", "")
-    b.toString
+
+  /** Train (unrolled CTEs) then tokenize: the k trained merges applied to
+    * every document as the same nested literal-replace chain. */
+  private def bpeTokenizeOracle(k: Int): String = {
+    // NOTE: no stripMargin around interpolated fragments — embedded lines
+    // beginning with '||' would lose their operator to margin stripping.
+    val seq0 =
+      "' ' || array_to_string(list_transform(" +
+        "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''), " +
+        "w -> array_to_string(string_split(w, ''), ' ')), ' </w> ') || ' </w> '"
+    val applied = (1 to k).foldLeft(seq0) { (acc, r) =>
+      s"replace($acc,\n  " +
+        s"' ' || (SELECT l FROM b$r) || ' ' || (SELECT r FROM b$r) || ' ',\n  " +
+        s"' ' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || ' ')"
+    }
+    bpeTrainCtes(k) +
+      "\nSELECT doc_id,\n" +
+      s"  CAST(len(string_split(trim($applied), ' ')) AS BIGINT) AS n_bpe,\n" +
+      "  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words\n" +
+      "FROM documents"
   }
 
   private val cdcChunkCtes: String = cdcChunkCtesFrom("documents")
@@ -1272,6 +1311,8 @@ object PipelineQueries {
         |GROUP BY doc_id""".stripMargin,
 
     "q_bpe_merges" -> bpeMergesOracle(8),
+
+    "q_bpe_tokenize" -> bpeTokenizeOracle(8),
 
     "q_keyness" ->
       """WITH tok AS (
