@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multinomial Naive Bayes text classification — the classic lightweight
+  * document router (language/domain/quality tagging) that fastText-style
+  * linear classifiers descend from (McCallum & Nigam 1998, "A Comparison
+  * of Event Models for Naive Bayes Text Classification"). Training IS
+  * counting, so the whole fit is one shuffle of exact integers, and
+  * scoring is a log-linear scan — the rare classifier that is practical
+  * to train from scratch on a 100 TB corpus.
+  *
+  * Model (add-one / Laplace smoothing):
+  *
+  *   score(d, c) = ln P(c) + Σ_{t ∈ d} ln ((count(t, c) + 1) / (N_c + V))
+  *
+  * with N_c the token mass of class c and V the corpus vocabulary size.
+  * Prediction is argmax_c score(d, c), ties broken by label ascending.
+  *
+  * Determinism contract (the UnigramLm scheme): every ln is rounded to
+  * `logScale` decimals then summed exactly as DECIMAL(28,`logScale`), so
+  * the per-(doc, class) scores — and therefore the argmax under the
+  * (score desc, label asc) total order — are partitioning/order/engine
+  * independent. The argmax runs on [[Windowing.globalRowNumber]] (the
+  * distributed rank), never a per-doc data window.
+  *
+  * Scale shape: the count table is vocabulary × classes (grows with
+  * diversity, not corpus size) and stays token-keyed in every join — a
+  * 100 TB vocabulary is not driver-sized, so it is never broadcast. The
+  * tiny per-class stats (k rows) ARE broadcast. The scoring shuffle
+  * carries (doc, class) decimal partial sums (map-side combined), never
+  * token rows. Two corpus passes total: one to count, one to score.
+  */
+object NaiveBayes {
+
+  /** Train on `df`'s (`labelCol`, `textCol`) pairs and classify every row,
+    * returning (idCol, labelCol, pred, score, ok) — the true label, the
+    * predicted label, the winning rounded log-score, and the match flag.
+    * EAGER with internal barriers freed; the caller owns one
+    * `unpersist()` on the result. */
+  def trainAndPredict(df: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, logScale: Int = 6): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(labelCol).as("__true"),
+      col(textCol).as("__text"))
+    val toks = base.select(col("__id"), col("__true"),
+      explode(Text.tokens(col("__text"))).as("token"))
+
+    // Training: (class, token) occurrence counts — exact integers, one
+    // shuffle with map-side combine. Persisted because three consumers
+    // (class totals, vocabulary size, the scoring join) share it.
+    val cnt = toks.groupBy(col("__true").as("label"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = cnt.select(col("token")).distinct().count()
+    val totalDocs = base.count()
+    require(vocab > 0, "naive bayes training corpus has no tokens")
+
+    // Per-class stats: token mass + document count → k broadcastable rows.
+    val labelStats = base.groupBy(col("__true").as("label"))
+      .agg(count(lit(1)).as("__ndocs"))
+      .join(cnt.groupBy(col("label")).agg(sum(col("__c")).as("__nc")),
+        Seq("label"))
+
+    def dec(c: Column): Column = c.cast(DecimalType(28, logScale))
+
+    // Scoring: every token occurrence × every class (classes broadcast),
+    // token-keyed left join to the count table; add-one smoothing doubles
+    // as the out-of-vocabulary-in-class path.
+    val lp = round(
+      log((coalesce(col("__c"), lit(0L)) + lit(1L)).cast(DoubleType) /
+        (col("__nc") + lit(vocab)).cast(DoubleType)), logScale)
+    val prior = round(
+      log(col("__ndocs").cast(DoubleType) / totalDocs.toDouble), logScale)
+    val scored = toks
+      .crossJoin(broadcast(labelStats))
+      .join(cnt, Seq("token", "label"), "left")
+      .select(col("__id"), col("__true"), col("label"), col("__ndocs"),
+        dec(lp).as("__lp"))
+      .groupBy(col("__id"), col("__true"), col("label"), col("__ndocs"))
+      .agg(sum(col("__lp")).as("__s"))
+      .select(col("__id"), col("__true"), col("label"),
+        (col("__s") + dec(prior)).as("__score"))
+
+    // Argmax under the (score desc, label asc) total order via the
+    // distributed rank — decimal negation is exact. globalRowNumber is
+    // EAGER (its result is the live barrier the caller owns), so the
+    // count table can be freed as soon as it returns.
+    val ranked = Windowing.globalRowNumber(
+      scored.withColumn("__neg", -col("__score")),
+      groupCols = Seq("__id"), orderCols = Seq("__neg", "label"))
+    cnt.unpersist(blocking = true)
+    ranked.filter(col("rn") === 1)
+      .select(col("__id").as(idCol), col("__true").as(labelCol),
+        col("label").as("pred"),
+        round(col("__score").cast(DoubleType), 4).as("score"),
+        (col("label") === col("__true")).as("ok"))
+  }
+}

@@ -302,4 +302,70 @@ object UnigramLm {
           .as("xent3"))
     Dedup.materializeAndFree(result, uni, bc, tc)
   }
+
+  /** Interpolated Kneser-Ney bigram cross-entropy (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form) — the reference smoothing
+    * for count-based LMs, scoring how predictable each document's word
+    * TRANSITIONS are. Unlike stupid backoff this is a true probability
+    * model: absolute discounting redistributes mass to a CONTINUATION
+    * distribution (how many distinct contexts a word follows — why
+    * "Francisco" scores low despite high frequency):
+    *
+    *   P(w2|w1) = (max(c(w1w2) − D, 0) + D · N1+(w1·) · Pcont(w2)) / c(w1·)
+    *   Pcont(w2) = N1+(·w2) / |distinct bigram types|
+    *
+    * with D = 0.75 (exact in binary). Out-of-model fallbacks (cross-corpus
+    * scoring only — self-scoring always finds its counts): an unseen pair
+    * under a seen context keeps the discounted-interpolation form with
+    * c(w1w2) = 0; an unseen CONTEXT backs off to Pcont(w2) alone; a word
+    * never seen as a continuation takes `oovCount` pseudo-types.
+    *
+    * Only transitions are scored (n_bigrams = tokens − 1; sub-2-token
+    * docs are absent from the output). Determinism contract identical to
+    * [[score]]: one rounded ln per distinct (doc, pair), multiplied by the
+    * exact repeat count, DECIMAL-summed. Scale shape: all statistics
+    * (pair counts, context totals, fan-out, continuation fan-in, type
+    * count) derive from the ONE pair-count table, which grows with corpus
+    * diversity, not size; scoring joins are token/pair-keyed, never
+    * broadcast. EAGER with internal barriers freed; the caller owns one
+    * `unpersist()`. Returns (id, n_bigrams, kn_xent). */
+  def scoreKneserNey(df: DataFrame, reference: DataFrame,
+                     idCol: String, textCol: String, discount: Double = 0.75,
+                     oovCount: Double = 0.5,
+                     logScale: Int = 6, outScale: Int = 4): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bc = reference
+      .select(explode(Text.bigrams(col(textCol))).as("__b"))
+      .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2")).persist(lvl)
+    val tTypes = bc.count()
+    require(tTypes > 0, "kneser-ney training corpus has no bigrams")
+    val ctx = bc.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+
+    val pc = coalesce(col("ncont").cast("double"), lit(oovCount)) /
+      lit(tTypes.toDouble)
+    val pSeen = (greatest(
+        coalesce(col("c2"), lit(0L)).cast("double") - lit(discount), lit(0.0)) +
+      lit(discount) * col("n1f").cast("double") * pc) / col("c1").cast("double")
+    val lp = round(log(when(col("c1").isNotNull, pSeen).otherwise(pc)), logScale)
+      .cast(s"decimal(28,$logScale)")
+
+    val result = df.select(col(idCol).as("id"),
+        explode(Text.bigrams(col(textCol))).as("__b"))
+      .groupBy(col("id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("__k"))
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .select(col("id"), lp.as("__lp"), col("__k"))
+      .groupBy(col("id"))
+      .agg(sum(col("__k")).as("n_bigrams"),
+        sum(col("__lp") * col("__k")).as("__sum"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        round(-col("__sum").cast("double") / col("n_bigrams"), outScale)
+          .as("kn_xent"))
+    Dedup.materializeAndFree(result, bc)
+  }
 }

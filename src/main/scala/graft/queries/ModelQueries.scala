@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NaiveBayes, UnigramLm}
+import Tables.star
+
+/** Trained-model operators over the documents corpus: classifiers and
+  * language models fitted distributively (training is counting — exact
+  * integer sufficient statistics) and applied with the decimal-sum
+  * determinism scheme, so fit + predict are oracle-checkable end to end.
+  */
+object ModelQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multinomial Naive Bayes: self-trained language classifier — fit on
+    // (lang, text), predict lang for every document. Training is one
+    // exact-integer count shuffle; add-one smoothing; argmax under the
+    // (score desc, label asc) total order on the distributed rank. The
+    // oracle mirrors fit AND predict, so count tables, smoothing, prior,
+    // decimal scoring, and the argmax are all hash-checked.
+    "q_nb_classify" -> ((s, dir) =>
+      NaiveBayes.trainAndPredict(
+        star(s, dir, "documents").df,
+        idCol = "doc_id", textCol = "text", labelCol = "lang")),
+
+    // Interpolated Kneser-Ney bigram cross-entropy, self-trained — the
+    // reference count-based LM smoothing (absolute discounting + the
+    // continuation distribution), one rung above q_doc_bigram_ppl's
+    // stupid backoff. The oracle mirrors the pair/context/fan-out/fan-in
+    // count tables and the exact discount-interpolation chain.
+    "q_doc_kn_ppl" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      UnigramLm.scoreKneserNey(docs, docs, "doc_id", "text")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_nb_classify" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS MATERIALIZED (
+        |  SELECT lang AS label, token, count(*) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |nc AS (SELECT label, sum(c) AS nc FROM cnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM cnt),
+        |nd AS (SELECT lang AS label, count(*) AS nd FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS td FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang, n.label,
+        |    sum(CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) /
+        |          CAST(n.nc + (SELECT v FROM v) AS DOUBLE)), 6)
+        |        AS DECIMAL(28,6)))
+        |      + CAST(round(ln(CAST(d.nd AS DOUBLE) /
+        |          CAST((SELECT td FROM tot) AS DOUBLE)), 6) AS DECIMAL(28,6))
+        |      AS score
+        |  FROM tok t
+        |  CROSS JOIN nc n
+        |  JOIN nd d ON d.label = n.label
+        |  LEFT JOIN cnt c ON c.token = t.token AND c.label = n.label
+        |  GROUP BY t.doc_id, t.lang, n.label, d.nd),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, label ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, lang, label AS pred,
+        |  round(CAST(score AS DOUBLE), 4) AS score, lang = label AS ok
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "q_doc_kn_ppl" ->
+      """WITH tokc AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p
+        |  FROM tokc),
+        |bg AS MATERIALIZED (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+        |bc AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM bc GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS ncont FROM bc GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM bc),
+        |docbg AS (
+        |  SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+        |contrib AS (
+        |  SELECT d.doc_id, d.k,
+        |    round(ln((greatest(CAST(coalesce(b.c2, 0) AS DOUBLE) - 0.75, 0.0) +
+        |        0.75 * CAST(x.n1f AS DOUBLE) *
+        |          (coalesce(CAST(n.ncont AS DOUBLE), 0.5) / t.tt)) /
+        |      CAST(x.c1 AS DOUBLE)), 6) AS lp
+        |  FROM docbg d
+        |  LEFT JOIN bc b ON b.w1 = d.w1 AND b.w2 = d.w2
+        |  JOIN ctx x ON x.w1 = d.w1
+        |  LEFT JOIN cont n ON n.w2 = d.w2, t)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(sum(CAST(lp AS DECIMAL(28,6)) * k) AS DOUBLE) / sum(k), 4)
+        |    AS kn_xent
+        |FROM contrib GROUP BY doc_id""".stripMargin
+  )
+}

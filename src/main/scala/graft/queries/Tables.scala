@@ -12,18 +12,27 @@ import graft.model.StarTable
 object Tables {
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = {
-      // events.parquet carries TIMESTAMP(NANOS) which the Spark reader
-      // rejects by default; read the raw int64 nanos and convert to
-      // microsecond timestamps (lossless here: source values are µs-grained).
-      // Integer division — the values exceed double's 2^53 mantissa.
+      // Some testdata generations write events.ts as TIMESTAMP(NANOS),
+      // which the Spark reader rejects by default; the legacy conf reads
+      // those as raw int64 nanos (harmless for µs-typed generations).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
     }
-    if (name == "events")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      // Normalize ts to a session-TZ timestamp whatever the generation:
+      // int64 nanos → µs instants (integer division — nanos exceed
+      // double's 2^53 mantissa); TIMESTAMP_NTZ (µs, isAdjustedToUTC =
+      // false) → the same instants under the UTC session timezone.
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
+    } else raw
   }
 
   def star(spark: SparkSession, dir: String, name: String): StarTable =

@@ -17,22 +17,32 @@ import org.apache.spark.sql.types._
 object EventStreams {
 
   /** The events schema (nanos read as long, converted like the batch path). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType), // int64 nanos or TIMESTAMP_NTZ µs
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** Open the events parquet as a stream (file-source incremental read). */
+  /** Open the events parquet as a stream (file-source incremental read).
+    * File streams need a declared schema, and testdata generations differ
+    * on ts (int64 nanos vs TIMESTAMP_NTZ µs) — probe the batch reader's
+    * inferred type once, then normalize exactly like Tables.df. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .schema("ts").dataType
     // file-stream sources take a directory; select just the events file
-    spark.readStream.schema(rawSchema)
+    val s = spark.readStream.schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => s.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Hourly tumbling-window counts with a 1-hour watermark. In batch mode

@@ -1,0 +1,159 @@
+package graft
+
+import scala.math.BigDecimal.RoundingMode
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{NaiveBayes, UnigramLm}
+
+/** Naive Bayes classification and Kneser-Ney scoring vs sequential
+  * references implementing the same arithmetic. */
+class ModelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rnd(x: Double, s: Int): BigDecimal =
+    BigDecimal(x).setScale(s, RoundingMode.HALF_UP)
+
+  // ---------------------------------------------------------------- NB ---
+
+  /** Sequential multinomial NB with add-one smoothing, mirroring
+    * NaiveBayes.trainAndPredict's rounding scheme operation for
+    * operation. Returns id -> (pred, score rounded to 4). */
+  private def nbRef(docs: Seq[(Long, String, String)]): Map[Long, (String, Double)] = {
+    val toks = docs.map { case (id, lab, t) => (id, lab, t.trim.split("\\s+").toSeq) }
+    val cnt = toks.flatMap { case (_, lab, ts) => ts.map(lab -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nc = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val vocab = cnt.keys.map(_._2).toSet.size
+    val nd = docs.groupBy(_._2).view.mapValues(_.size).toMap
+    val labels = nd.keys.toSeq.sorted
+    val td = docs.size
+    toks.map { case (id, _, ts) =>
+      val scores = labels.map { lab =>
+        val prior = rnd(math.log(nd(lab).toDouble / td.toDouble), 6)
+        val s = ts.map { t =>
+          rnd(math.log((cnt.getOrElse((lab, t), 0L) + 1L).toDouble /
+            (nc(lab) + vocab).toDouble), 6)
+        }.sum + prior
+        (lab, s)
+      }
+      // argmax: score desc, label asc; final rounding happens in DOUBLE,
+      // as the operator's round(cast(double), 4) does
+      val best = scores.sortBy { case (lab, s) => (-s, lab) }.head
+      id -> (best._1, rnd(best._2.toDouble, 4).toDouble)
+    }.toMap
+  }
+
+  private val nbCorpus = Seq(
+    (1L, "en", "the cat sat on the mat"),
+    (2L, "en", "the dog sat on the log"),
+    (3L, "de", "die katze sass auf der matte"),
+    (4L, "de", "der hund sass auf dem baum"),
+    (5L, "en", "the cat and the dog"),
+    (6L, "de", "die katze und der hund"))
+
+  test("naive bayes matches the sequential reference (pred + score)") {
+    val df = nbCorpus.toDF("id", "lang", "text").repartition(5)
+    val out = NaiveBayes.trainAndPredict(df, "id", "text", "lang")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3))).toMap
+    out.unpersist()
+    assert(got == nbRef(nbCorpus))
+  }
+
+  test("naive bayes self-classification recovers every training label here") {
+    val df = nbCorpus.toDF("id", "lang", "text")
+    val out = NaiveBayes.trainAndPredict(df, "id", "text", "lang")
+    val ok = out.collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    out.unpersist()
+    assert(ok.values.forall(identity), s"misclassified: $ok")
+  }
+
+  test("naive bayes is partitioning-independent") {
+    val a = NaiveBayes.trainAndPredict(
+      nbCorpus.toDF("id", "lang", "text").repartition(1), "id", "text", "lang")
+    val b = NaiveBayes.trainAndPredict(
+      nbCorpus.toDF("id", "lang", "text").repartition(13), "id", "text", "lang")
+    val ra = a.collect().map(_.toSeq).toSet
+    val rb = b.collect().map(_.toSeq).toSet
+    a.unpersist(); b.unpersist()
+    assert(ra == rb)
+  }
+
+  // ---------------------------------------------------------------- KN ---
+
+  /** Sequential interpolated Kneser-Ney bigram scorer over a training
+    * corpus, same discount/rounding chain as UnigramLm.scoreKneserNey. */
+  private def knRef(score: Seq[(Long, String)], train: Seq[String],
+                    d: Double = 0.75, oov: Double = 0.5): Map[Long, (Long, Double)] = {
+    def bgs(t: String): Seq[(String, String)] = {
+      val ts = t.trim.split("\\s+").toSeq
+      if (ts.size < 2) Seq.empty else ts.zip(ts.tail)
+    }
+    val bc = train.flatMap(bgs).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = bc.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val ncont = bc.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val tt = bc.size.toDouble
+    score.flatMap { case (id, t) =>
+      val bs = bgs(t)
+      if (bs.isEmpty) None else {
+        val lps = bs.map { case (w1, w2) =>
+          val pc = ncont.get(w2).map(_.toDouble).getOrElse(oov) / tt
+          val p = c1.get(w1) match {
+            case Some(c) =>
+              (math.max(bc.getOrElse((w1, w2), 0L).toDouble - d, 0.0) +
+                d * n1f(w1).toDouble * pc) / c.toDouble
+            case None => pc
+          }
+          rnd(math.log(p), 6)
+        }
+        // final division + rounding in DOUBLE, as the operator does
+        Some(id -> (bs.size.toLong, rnd(-lps.sum.toDouble / bs.size, 4).toDouble))
+      }
+    }.toMap
+  }
+
+  private val knCorpus = Seq(
+    (1L, "a b a c a b"),
+    (2L, "b a c a"),
+    (3L, "c c a b a"),
+    (4L, "a"), // no bigrams — absent from output
+    (5L, "b a b a c"))
+
+  test("kneser-ney self-scoring matches the sequential reference") {
+    val df = knCorpus.toDF("id", "text").repartition(3)
+    val out = UnigramLm.scoreKneserNey(df, df, "id", "text")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out.unpersist()
+    val want = knRef(knCorpus, knCorpus.map(_._2))
+    assert(!got.contains(4L))
+    assert(got == want)
+  }
+
+  test("kneser-ney cross-corpus scoring covers every fallback branch") {
+    val train = Seq((10L, "a b a c"))
+    val probe = Seq((1L, "a b z q b")) // seen pair / unseen pair-seen ctx /
+                                       // unseen ctx / unseen continuation
+    val out = UnigramLm.scoreKneserNey(
+      probe.toDF("id", "text"), train.toDF("id", "text"), "id", "text")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out.unpersist()
+    assert(got == knRef(probe, train.map(_._2)))
+  }
+
+  test("kneser-ney is partitioning-independent") {
+    val df1 = knCorpus.toDF("id", "text").repartition(1)
+    val df2 = knCorpus.toDF("id", "text").repartition(11)
+    val a = UnigramLm.scoreKneserNey(df1, df1, "id", "text")
+    val b = UnigramLm.scoreKneserNey(df2, df2, "id", "text")
+    val ra = a.collect().map(_.toSeq).toSet
+    val rb = b.collect().map(_.toSeq).toSet
+    a.unpersist(); b.unpersist()
+    assert(ra == rb)
+  }
+}
