@@ -499,4 +499,49 @@ object Text {
     s.select(col("__n").as("n_terms"), slope.as("slope"),
         round((sy - slope * sx) / n, 6).as("intercept"))
   }
+
+  /** GloVe-style windowed co-occurrence accumulation (Pennington et al.
+    * 2014 §3: the X_ij matrix build, with the paper's 1/d distance
+    * weighting) — the preprocessing pass behind count-based word vectors
+    * and the standard corpus-level association table. Returns the top-k
+    * directed pairs (w1 precedes w2 within `window` tokens) by summed
+    * weight: (w1, w2, wsum, n, rank).
+    *
+    * Weights are INTEGER-exact: 1/d is scaled to `weightScale`/d with the
+    * division done in Long arithmetic at plan-build time (d is a plan
+    * constant), so sums are engine/order/partitioning-independent — no
+    * floating point anywhere.
+    *
+    * Scale shape: one narrow zip_with pass per distance (d ≤ window, no
+    * position self-join, no per-element HOF lambda re-evaluation — the
+    * pre-sliced-arrays rule documented at [[bigrams]]); the union feeds
+    * ONE pair-keyed aggregate with map-side combine, and the pair table
+    * grows with corpus diversity, not size. The final top-k is a
+    * TakeOrdered under the (wsum desc, w1 asc, w2 asc) total order; the
+    * row_number window runs over k rows only. */
+  def cooccurrenceTopK(df: DataFrame, textCol: String, window: Int,
+                       topK: Int, weightScale: Long = 1000000L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = tokens(col(textCol))
+    val m = size(toks)
+    val streams = (1 to window).map { d =>
+      val pairs = when(m < d + 1,
+        array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(zip_with(slice(toks, lit(1), m - d),
+          slice(toks, lit(1 + d), m - d),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+      df.select(explode(pairs).as("__p"))
+        .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"),
+          lit(weightScale / d).as("wt"))
+    }
+    val agg = streams.reduce(_ unionByName _)
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("wt")).as("wsum"), count(lit(1)).as("n"))
+    val top = agg.orderBy(col("wsum").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("wsum").desc, col("w1").asc, col("w2").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

@@ -194,6 +194,32 @@ object AnalyticQueries {
             .as("intercept"))
     }),
 
+    // --- hourly anomaly detection -------------------------------------------
+    // Per event type, hours whose event count deviates from that type's
+    // mean by more than 2 sample standard deviations. Sufficient
+    // statistics (hour count, Σn, Σn²) are exact integers aggregated with
+    // map-side combine over the tiny hourly table; the z-score is one
+    // parenthesized IEEE chain over their double conversions, ROUNDED
+    // BEFORE the threshold compare so the filter itself is
+    // engine-independent. Only observed hours enter the baseline (no
+    // zero-filling — the gap-fill variant is q_resample_locf's shape).
+    "q_event_anomaly" -> ((s, dir) => {
+      val hourly = Tables.df(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("hh"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      val z = round(
+        (col("n").cast(DoubleType) - col("s1").cast(DoubleType) / col("hh")) /
+          sqrt((col("s2").cast(DoubleType) -
+            col("s1").cast(DoubleType) * col("s1") / col("hh")) /
+            (col("hh") - 1)), 4)
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("h"), col("n"), z.as("z"))
+        .filter(abs(col("z")) > 2.0)
+    }),
+
     "q_approx_stats" -> ((s, dir) => {
       val li = star(s, dir, "lineitem").df
       // Two passes joined on the 3-row group key: mixing count(DISTINCT)
@@ -285,6 +311,22 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_event_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, count(*) AS hh, sum(n) AS s1, sum(n * n) AS s2
+        |  FROM hourly GROUP BY 1),
+        |scored AS (
+        |  SELECT h.event_type, CAST(h.h AS TIMESTAMP) AS h,
+        |    CAST(h.n AS BIGINT) AS n,
+        |    round((CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.hh) /
+        |      sqrt((CAST(s.s2 AS DOUBLE) -
+        |        CAST(s.s1 AS DOUBLE) * s.s1 / s.hh) / (s.hh - 1)), 4) AS z
+        |  FROM hourly h JOIN stats s USING (event_type))
+        |SELECT event_type, h, n, z FROM scored WHERE abs(z) > 2.0""".stripMargin,
+
     "q_pagerank" -> pageRankOracle(8),
     "q_hits" -> hitsOracle(6),
 

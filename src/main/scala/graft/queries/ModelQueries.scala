@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{NaiveBayes, UnigramLm}
+import graft.functions.{NaiveBayes, Text, UnigramLm}
 import Tables.star
 
 /** Trained-model operators over the documents corpus: classifiers and
@@ -34,7 +34,15 @@ object ModelQueries {
     "q_doc_kn_ppl" -> ((s, dir) => {
       val docs = star(s, dir, "documents").df
       UnigramLm.scoreKneserNey(docs, docs, "doc_id", "text")
-    })
+    }),
+
+    // GloVe-style windowed co-occurrence: top-40 directed token pairs
+    // within a 4-token window, 1/d distance weights in exact scaled-Long
+    // arithmetic. The oracle recomputes the X_ij accumulation via a
+    // position self-join (the naive quadratic form the operator avoids).
+    "q_cooccur" -> ((s, dir) =>
+      Text.cooccurrenceTopK(star(s, dir, "documents").df, "text",
+        window = 4, topK = 40))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -102,6 +110,26 @@ object ModelQueries {
         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
         |  round(-CAST(sum(CAST(lp AS DECIMAL(28,6)) * k) AS DOUBLE) / sum(k), 4)
         |    AS kn_xent
-        |FROM contrib GROUP BY doc_id""".stripMargin
+        |FROM contrib GROUP BY doc_id""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH tokc AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p
+        |  FROM tokc),
+        |pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2, 1000000 // (b.p - a.p) AS wt
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 4),
+        |agg AS (
+        |  SELECT w1, w2, CAST(sum(wt) AS BIGINT) AS wsum,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY wsum DESC, w1 ASC, w2 ASC)
+        |    AS rank FROM agg)
+        |SELECT w1, w2, wsum, n, rank FROM ranked WHERE rank <= 40""".stripMargin
   )
 }

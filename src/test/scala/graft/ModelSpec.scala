@@ -5,7 +5,7 @@ import scala.math.BigDecimal.RoundingMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{NaiveBayes, UnigramLm}
+import graft.functions.{NaiveBayes, Text, UnigramLm}
 
 /** Naive Bayes classification and Kneser-Ney scoring vs sequential
   * references implementing the same arithmetic. */
@@ -144,6 +144,44 @@ class ModelSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     out.unpersist()
     assert(got == knRef(probe, train.map(_._2)))
+  }
+
+  // ------------------------------------------------------- cooccurrence ---
+
+  /** Sequential reference: directed pairs within `w` tokens, weight
+    * 1000000/d in integer arithmetic. */
+  private def coocRef(texts: Seq[String], w: Int): Map[(String, String), (Long, Long)] = {
+    val acc = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    for (t <- texts) {
+      val ts = t.trim.split("\\s+")
+      for (i <- ts.indices; d <- 1 to w; if i + d < ts.length) {
+        val k = (ts(i), ts(i + d))
+        val (s, n) = acc.getOrElse(k, (0L, 0L))
+        acc(k) = (s + 1000000L / d, n + 1)
+      }
+    }
+    acc.toMap
+  }
+
+  test("cooccurrence matches the sequential reference incl. 1/d weights") {
+    val texts = Seq("a b c a b", "b a a b", "c", "a b c d e a")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").repartition(3)
+    val k = 1000 // everything
+    val got = Text.cooccurrenceTopK(df, "text", window = 3, topK = k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == coocRef(texts, 3))
+  }
+
+  test("cooccurrence ranking is a total order (wsum desc, w1, w2)") {
+    val df = Seq((1L, "x y x y x")).toDF("id", "text")
+    val rows = Text.cooccurrenceTopK(df, "text", window = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    val sorted = rows.sortBy { case (w1, w2, ws, _) => (-ws, w1, w2) }
+    assert(rows.toSeq == sorted.toSeq)
+    assert(rows.map(_._4).toSeq == (1L to rows.length).toSeq)
   }
 
   test("kneser-ney is partitioning-independent") {
