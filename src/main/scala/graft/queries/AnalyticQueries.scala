@@ -194,6 +194,30 @@ object AnalyticQueries {
             .as("intercept"))
     }),
 
+    // --- event-type Markov chain --------------------------------------------
+    // First-order transition matrix over each user's time-ordered event
+    // stream (the user-journey model): exact transition counts + one
+    // rounded IEEE division per matrix cell. Consecutive pairs come from
+    // the distributed rank under the (ts, event_id) total order, joined
+    // rank-to-rank+1 — no per-user data window, no event-stream self-join
+    // on time.
+    "q_event_markov" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val ranked = graft.functions.Windowing.globalRowNumber(
+        ev, Seq("user_id"), Seq("ts", "event_id"), "rn")
+      val a = ranked.select(col("user_id"), col("rn"),
+        col("event_type").as("from_type"))
+      val b = ranked.select(col("user_id"), (col("rn") - 1).as("rn"),
+        col("event_type").as("to_type"))
+      val trans = a.join(b, Seq("user_id", "rn"))
+        .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      trans.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast(DoubleType) / col("tot"), 6).as("p"))
+    }),
+
     // --- hourly anomaly detection -------------------------------------------
     // Per event type, hours whose event count deviates from that type's
     // mean by more than 2 sample standard deviations. Sufficient
@@ -311,6 +335,20 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_event_markov" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+        |  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS tot FROM t GROUP BY 1)
+        |SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+        |  round(CAST(t.n AS DOUBLE) / CAST(tot.tot AS BIGINT), 6) AS p
+        |FROM t JOIN tot USING (from_type)""".stripMargin,
+
     "q_event_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n

@@ -42,7 +42,35 @@ object ModelQueries {
     // position self-join (the naive quadratic form the operator avoids).
     "q_cooccur" -> ((s, dir) =>
       Text.cooccurrenceTopK(star(s, dir, "documents").df, "text",
-        window = 4, topK = 40))
+        window = 4, topK = 40)),
+
+    // Source vocabulary-overlap matrix: pairwise shared-distinct-token
+    // counts + vocabulary Jaccard between corpus sources — the cheap
+    // domain-similarity diagnostic before mixing decisions. The self-join
+    // is token-keyed with per-token group size bounded by the source
+    // count (never all-pairs of docs); per-source sizes broadcast back;
+    // one rounded IEEE division per pair.
+    "q_source_overlap" -> ((s, dir) => {
+      val vocab = star(s, dir, "documents").df
+        .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+        .distinct()
+      val sizes = vocab.groupBy(col("source"))
+        .agg(count(lit(1)).as("nv"))
+      val shared = vocab
+        .join(vocab.select(col("source").as("source_b"), col("token")),
+          Seq("token"))
+        .filter(col("source") < col("source_b"))
+        .groupBy(col("source"), col("source_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(broadcast(sizes), Seq("source"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("nv").as("nv_b"))), Seq("source_b"))
+        .select(col("source").as("source_a"), col("source_b"),
+          col("nv").as("nv_a"), col("nv_b"), col("shared"),
+          round(col("shared").cast("double") /
+            (col("nv") + col("nv_b") - col("shared")), 6).as("jaccard"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -130,6 +158,24 @@ object ModelQueries {
         |ranked AS (
         |  SELECT *, row_number() OVER (ORDER BY wsum DESC, w1 ASC, w2 ASC)
         |    AS rank FROM agg)
-        |SELECT w1, w2, wsum, n, rank FROM ranked WHERE rank <= 40""".stripMargin
+        |SELECT w1, w2, wsum, n, rank FROM ranked WHERE rank <= 40""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, token FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents)),
+        |sz AS (SELECT source, count(*) AS nv FROM v GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        |  FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sh.source_a, sh.source_b, x.nv AS nv_a, y.nv AS nv_b,
+        |  CAST(sh.shared AS BIGINT) AS shared,
+        |  round(CAST(sh.shared AS DOUBLE) / (x.nv + y.nv - sh.shared), 6)
+        |    AS jaccard
+        |FROM sh JOIN sz x ON x.source = sh.source_a
+        |  JOIN sz y ON y.source = sh.source_b""".stripMargin
   )
 }

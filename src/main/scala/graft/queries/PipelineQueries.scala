@@ -647,6 +647,27 @@ object PipelineQueries {
         Seq("lang"), Seq("n_chars", "doc_id"), pcts = Seq(25, 50, 75))
         .select(col("lang"), col("pct"), col("n_chars").as("value"))),
 
+    // Winsorization at exact nearest-rank percentiles: clip per-language
+    // document lengths into [p10, p90] — the outlier-robust normalization
+    // step before length-based quality scoring. The limits come from the
+    // same one-shuffle distributed rank as q_group_quantiles (exact at any
+    // group size, integer arithmetic only), broadcast back as k rows; the
+    // clip itself is a zero-shuffle projection.
+    "q_winsorize" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val qs = Windowing.globalQuantiles(
+        docs.select(col("lang"), col("n_chars"), col("doc_id")),
+        Seq("lang"), Seq("n_chars", "doc_id"), pcts = Seq(10, 90))
+      val lims = qs.groupBy(col("lang")).agg(
+        min(when(col("pct") === 10, col("n_chars"))).as("p10"),
+        min(when(col("pct") === 90, col("n_chars"))).as("p90"))
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(broadcast(lims), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("p10"),
+          col("p90"),
+          greatest(least(col("n_chars"), col("p90")), col("p10")).as("clipped"))
+    }),
+
     // Bigram LM with stupid backoff (Brants et al. 2007): transition-level
     // fluency scoring - word salad that fools the unigram model has
     // improbable bigrams. Same decimal determinism scheme, so the score
@@ -1744,6 +1765,21 @@ object PipelineQueries {
         |p AS (SELECT unnest([25, 50, 75]) AS pct)
         |SELECT r.lang, CAST(p.pct AS INTEGER) AS pct, r.n_chars AS value
         |FROM r, p WHERE r.rn = (p.pct * r.n + 99) // 100""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |lim AS (
+        |  SELECT lang,
+        |    min(CASE WHEN rn = (10 * n + 99) // 100 THEN n_chars END) AS p10,
+        |    min(CASE WHEN rn = (90 * n + 99) // 100 THEN n_chars END) AS p90
+        |  FROM r GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, l.p10, l.p90,
+        |  greatest(least(d.n_chars, l.p90), l.p10) AS clipped
+        |FROM documents d JOIN lim l USING (lang)""".stripMargin,
 
     "q_group_median" ->
       """WITH r AS (

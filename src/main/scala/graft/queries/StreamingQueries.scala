@@ -62,6 +62,35 @@ object StreamingQueries {
         EventStreams.streamingNearDup(stream, refBuckets))
     }),
 
+    // Streamed anomaly alerting: hourly counts aggregate INCREMENTALLY
+    // (watermarked tumbling windows — q_stream_hourly's stateful shape),
+    // then deviations beyond 2 sample standard deviations from the
+    // static per-type baseline are flagged batch-side. Shares
+    // q_event_anomaly's oracle: the streamed counts must reproduce the
+    // batch hourly table exactly for the z-scores to hash-match.
+    "q_stream_anomaly" -> ((s, dir) => {
+      val hourly = Tables.df(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("hh"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      val streamed = EventStreams.runToBatch(s,
+        EventStreams.readStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n")))
+        .select(col("event_type"), col("w.start").as("h"), col("n"))
+      val z = round(
+        (col("n").cast(DoubleType) - col("s1").cast(DoubleType) / col("hh")) /
+          sqrt((col("s2").cast(DoubleType) -
+            col("s1").cast(DoubleType) * col("s1") / col("hh")) /
+            (col("hh") - 1)), 4)
+      streamed.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("h"), col("n"), z.as("z"))
+        .filter(abs(col("z")) > 2.0)
+    }),
+
     // Stream-stream interval join run incrementally (purchases joined to
     // same-user errors within the prior 30 min; watermark-bounded state).
     "q_stream_join" -> ((s, dir) => {
@@ -174,6 +203,22 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, count(*) AS hh, sum(n) AS s1, sum(n * n) AS s2
+        |  FROM hourly GROUP BY 1),
+        |scored AS (
+        |  SELECT h.event_type, CAST(h.h AS TIMESTAMP) AS h,
+        |    CAST(h.n AS BIGINT) AS n,
+        |    round((CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.hh) /
+        |      sqrt((CAST(s.s2 AS DOUBLE) -
+        |        CAST(s.s1 AS DOUBLE) * s.s1 / s.hh) / (s.hh - 1)), 4) AS z
+        |  FROM hourly h JOIN stats s USING (event_type))
+        |SELECT event_type, h, n, z FROM scored WHERE abs(z) > 2.0""".stripMargin,
+
     "q_stream_sample" ->
       """WITH p AS (
         |  SELECT lang, doc_id, n_chars,
