@@ -301,22 +301,23 @@ object Similarity {
     *
     * Returns (assignments (id, cluster), final centroids, per-iteration
     * decimal-exact inertia). */
-  /** Per-centroid (partial dist², index) structs against literal centroids
-    * — dist² = |x|² − 2x·c + |c|² with the constant |x|² dropped (it does
-    * not affect the argmin). Shared by the Lloyd iterations and by
-    * consumers that need a final nearest-centroid pass without re-joining
-    * the assignment frame (e.g. [[semanticDedupRemoved]]). */
-  private def distStructs(embCol: String, cs: Array[Array[Double]]): Seq[Column] =
-    cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val cNormSq = c.map(x => x * x).sum
-      val d2 = dot(col(embCol), array(c.map(x => lit(x.toFloat)): _*)) * lit(-2.0) + lit(cNormSq)
-      struct(d2.as("d"), lit(i).as("c"))
-    }
+  /** Nearest-centroid (partial dist² d = −2x·c + |c|², index c) struct
+    * against a CONSTANT centroid matrix — the fused
+    * [[expressions.NearestCentroid]] codegen expression, whose plan and
+    * generated-source size are independent of k and dim (the previous
+    * k × dim literal-node formulation stalled the DRIVER for seconds per
+    * Lloyd iteration compiling the plan, a cost that grows with k — fatal
+    * at real IVF scale where k is in the thousands). Bit-identical
+    * arithmetic to the literal form; ties toward the lower index. Shared
+    * by the Lloyd iterations and by consumers that need a final
+    * nearest-centroid pass without re-joining the assignment frame
+    * (e.g. [[semanticDedupRemoved]]). */
+  private def distStruct(embCol: String, cs: Array[Array[Double]]): Column =
+    graft.functions.expressions.VectorExpressions.nearestCentroid(col(embCol), cs)
 
-  /** Nearest-centroid index column (ties toward the lower cluster index —
-    * array_min on (d, c) structs orders lexicographically). */
+  /** Nearest-centroid index column (ties toward the lower cluster index). */
   private def nearestCentroid(embCol: String, cs: Array[Array[Double]]): Column =
-    array_min(array(distStructs(embCol, cs): _*)).getField("c")
+    distStruct(embCol, cs).getField("c")
 
   def kmeans(df: DataFrame, embCol: String, idCol: String,
              k: Int, dim: Int, iters: Int = 5,
@@ -324,7 +325,7 @@ object Similarity {
              init: String = "kmeans++"): (DataFrame, Array[Array[Double]], Seq[Double]) = {
     import org.apache.spark.sql.types.DecimalType
 
-    def distStructsK(cs: Array[Array[Double]]): Seq[Column] = distStructs(embCol, cs)
+    def distStructK(cs: Array[Array[Double]]): Column = distStruct(embCol, cs)
 
     // ---- init: deterministic farthest-point k-means++ (or first-k by id)
     var centroids: Array[Array[Double]] = init match {
@@ -377,7 +378,7 @@ object Similarity {
     var converged = false
     var iter = 0
     while (iter < iters && !converged) {
-      val best = array_min(array(distStructsK(centroids): _*))
+      val best = distStructK(centroids)
       val assigned = df.select(col(idCol), col(embCol),
         best.getField("c").as("cluster"),
         (best.getField("d") + dot(col(embCol), col(embCol))).as("dist2"))
@@ -407,7 +408,7 @@ object Similarity {
     }
     // final assignment pass against the RETURNED centroids — without it a
     // point may sit nearer a different returned centroid than its label
-    val bestFinal = array_min(array(distStructsK(centroids): _*))
+    val bestFinal = distStructK(centroids)
     val finalAssign = df.select(col(idCol), bestFinal.getField("c").as("cluster"))
     (finalAssign, centroids, inertias.toSeq)
   }
@@ -458,15 +459,9 @@ object Similarity {
   /** Assign vectors to their nearest trained centroid (squared-euclidean,
     * codegen'd dot products, ties to the lower list id). */
   def ivfAssignCentroids(df: DataFrame, embCol: String, idCol: String,
-                         centroids: Array[Array[Double]]): DataFrame = {
-    val distStructs = centroids.zipWithIndex.map { case (c, i) =>
-      val cNormSq = c.map(x => x * x).sum
-      val d2 = dot(col(embCol), array(c.map(x => lit(x.toFloat)): _*)) * lit(-2.0) + lit(cNormSq)
-      struct(d2.as("d"), lit(i).as("list"))
-    }
+                         centroids: Array[Array[Double]]): DataFrame =
     df.select(col(idCol), col(embCol),
-      array_min(array(distStructs.toIndexedSeq: _*)).getField("list").as("ivf_list"))
-  }
+      nearestCentroid(embCol, centroids).as("ivf_list"))
 
   /** Persist a TRAINED IVF index (k-means coarse lists), partitioned by
     * list for partition-pruned probes; centroids ride along as a sidecar. */

@@ -119,6 +119,111 @@ case class FloatVecCosine(left: Expression, right: Expression) extends FloatVecB
     copy(left = l, right = r)
 }
 
+/** Nearest-centroid assignment against a CONSTANT centroid matrix —
+  * returns struct(d: double, c: int) where d = −2·x·c + |c|² (the
+  * squared-euclidean argmin with the row-constant |x|² dropped) and c is
+  * the winning centroid index, ties toward the lower index.
+  *
+  * Why not an array of k dot-product structs over literal arrays (the
+  * previous formulation): that plan carries k × dim literal NODES, so at
+  * real IVF scale (k in the thousands) plan construction, canonicalization
+  * and codegen COMPILATION dominate — a per-iteration driver stall that
+  * grows with k while the per-row work stays identical. Here the matrix
+  * rides along as a codegen reference object: generated source is
+  * constant-size in k and dim, and the per-row loop is the same fused
+  * dot-product arithmetic (bit-identical results: float-cast centroids,
+  * double accumulation in index order, d = dot·(−2) + |c|² with |c|²
+  * summed in double).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "NearestCentroid: empty centroid matrix")
+
+  @transient private lazy val floatsM: Array[Array[Float]] =
+    centroids.map(_.map(_.toFloat))
+  @transient private lazy val normsA: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("c", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<float|double> input, got $t")
+    }
+
+  private def prim: String =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "Float"
+      case _         => "Double"
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val p = prim
+    var bestD = Double.PositiveInfinity
+    var bestC = 0
+    var ci = 0
+    while (ci < floatsM.length) {
+      val cv = floatsM(ci)
+      val n = math.min(arr.numElements(), cv.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val va = if (arr.isNullAt(i)) 0.0
+          else if (p == "Float") arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += va * cv(i).toDouble
+        i += 1
+      }
+      val d = dot * -2.0 + normsA(ci)
+      if (d < bestD) { bestD = d; bestC = ci }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = prim
+      val mat = ctx.addReferenceObj("nearestCentroidMat", floatsM, "float[][]")
+      val norms = ctx.addReferenceObj("nearestCentroidNorms", normsA, "double[]")
+      val ci = ctx.freshName("ci"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d"); val bd = ctx.freshName("bestD")
+      val bc = ctx.freshName("bestC"); val cv = ctx.freshName("cv")
+      s"""
+         |double $bd = Double.POSITIVE_INFINITY;
+         |int $bc = 0;
+         |for (int $ci = 0; $ci < $mat.length; $ci++) {
+         |  float[] $cv = $mat[$ci];
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double va = $a.isNullAt($i) ? 0.0 : (double) $a.get$p($i);
+         |    $dot += va * (double) $cv[$i];
+         |  }
+         |  double $d = $dot * -2.0 + $norms[$ci];
+         |  if ($d < $bd) { $bd = $d; $bc = $ci; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |  .GenericInternalRow(new Object[] {$bd, $bc});
+       """.stripMargin
+    })
+
+  override def toString: String =
+    s"nearest_centroid($child, k=${centroids.length})"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(
@@ -127,4 +232,8 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecCosine(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** struct(d, c): partial squared distance + argmin centroid index. */
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), centroids))
 }
