@@ -81,6 +81,59 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Blocked k-nearest-neighbor graph over int8-quantized codes — the
+    * construction pass behind graph-based ANN (NSW/HNSW neighborhoods),
+    * kNN-classification, and neighborhood-based dedup. Every vector gets
+    * its `k` nearest same-block neighbors by quantized cosine.
+    *
+    * `groupCol` is the BLOCKING key: the pair join runs within blocks
+    * only, so block sizing is the scale contract (use k-means clusters,
+    * LSH buckets, or a domain key; the guard REFUSES blocks above
+    * `maxGroupSize` — the within-block join is quadratic in block size,
+    * the [[semanticDedupRemoved]] rule).
+    *
+    * Engine-independence: codes are int8 quantized ([[quantizeInt8]]'s
+    * arithmetic) carried as integer-valued DOUBLES, so the fused codegen
+    * dot products and norms are EXACT (every intermediate < 2^53) in any
+    * engine and any summation order; the cosine is one IEEE
+    * division/sqrt chain rounded to `outScale` BEFORE ranking, and ties
+    * break by neighbor id. Ranking rides the distributed rank — no
+    * per-vector data window. Returns (idCol, neighbor_id, cosine, rank). */
+  def knnWithinGroups(df: DataFrame, groupCol: String, embCol: String,
+                      idCol: String, k: Int, maxGroupSize: Int = 20000,
+                      outScale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = array_max(transform(col(embCol), x => abs(x.cast("double"))))
+    val codes = df.select(col(groupCol).as("__grp"), col(idCol).as("__id"),
+      transform(col(embCol), x =>
+        when(s > 0, floor(x.cast("double") / s * 127 + 0.5))
+          .otherwise(lit(0.0))).as("__codes"))
+      .withColumn("__n2", dot(col("__codes"), col("__codes")))
+    val largest = codes.groupBy(col("__grp")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    require(largest <= maxGroupSize,
+      s"knnWithinGroups: largest block holds $largest vectors (> " +
+        s"maxGroupSize=$maxGroupSize) — the within-block join is quadratic " +
+        "in that block. Use a finer blocking key (k-means clusters, LSH " +
+        "buckets) or raise maxGroupSize explicitly.")
+    val a = codes.select(col("__grp"), col("__id").as("__ida"),
+      col("__codes").as("__ca"), col("__n2").as("__n2a"))
+    val b = codes.select(col("__grp"), col("__id").as("__idb"),
+      col("__codes").as("__cb"), col("__n2").as("__n2b"))
+    val den = sqrt(col("__n2a")) * sqrt(col("__n2b"))
+    val cos = when(den > 0,
+      round(dot(col("__ca"), col("__cb")) / den, outScale)).otherwise(lit(0.0))
+    val scored = a.join(b, Seq("__grp"))
+      .filter(col("__ida") =!= col("__idb"))
+      .select(col("__ida"), col("__idb"), cos.as("cosine"))
+      .withColumn("__neg", -col("cosine"))
+    Windowing.globalRowNumber(scored, Seq("__ida"), Seq("__neg", "__idb"),
+        "rank")
+      .filter(col("rank") <= k)
+      .select(col("__ida").as(idCol), col("__idb").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Engine-exact cosine scores against a literal query vector: per-element
     * double products (IEEE-exact everywhere) are rounded to `prodScale`
     * decimals and summed as DECIMAL — order-independent, so the dot product

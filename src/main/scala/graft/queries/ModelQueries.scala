@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{NaiveBayes, Text, UnigramLm}
+import graft.functions.{NaiveBayes, Similarity, Text, UnigramLm}
 import Tables.star
 
 /** Trained-model operators over the documents corpus: classifiers and
@@ -43,6 +43,16 @@ object ModelQueries {
     "q_cooccur" -> ((s, dir) =>
       Text.cooccurrenceTopK(star(s, dir, "documents").df, "text",
         window = 4, topK = 40)),
+
+    // Blocked kNN graph: each embedding's top-3 same-label neighbors by
+    // int8-quantized cosine — the neighborhood-construction pass behind
+    // graph ANN and kNN classification. Codes/dots/norms are exact
+    // integer arithmetic in the double domain (every value < 2^53), the
+    // cosine is one IEEE chain rounded before ranking, so the full graph
+    // hash-matches the quadratic DuckDB mirror.
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnWithinGroups(star(s, dir, "embeddings").df,
+        groupCol = "label", embCol = "embedding", idCol = "vec_id", k = 3)),
 
     // Source vocabulary-overlap matrix: pairwise shared-distinct-token
     // counts + vocabulary Jaccard between corpus sources — the cheap
@@ -159,6 +169,37 @@ object ModelQueries {
         |  SELECT *, row_number() OVER (ORDER BY wsum DESC, w1 ASC, w2 ASC)
         |    AS rank FROM agg)
         |SELECT w1, w2, wsum, n, rank FROM ranked WHERE rank <= 40""".stripMargin,
+
+    "q_knn_graph" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CASE WHEN s > 0
+        |      THEN floor(CAST(x AS DOUBLE) / s * 127 + 0.5)
+        |      ELSE 0.0 END) AS codes
+        |  FROM base),
+        |withn AS MATERIALIZED (
+        |  SELECT vec_id, label, codes,
+        |    list_dot_product(codes, codes) AS n2
+        |  FROM codes),
+        |scored AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    CASE WHEN sqrt(a.n2) * sqrt(b.n2) > 0
+        |      THEN round(list_dot_product(a.codes, b.codes) /
+        |        (sqrt(a.n2) * sqrt(b.n2)), 6)
+        |      ELSE 0.0 END AS cosine
+        |  FROM withn a JOIN withn b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY ida
+        |    ORDER BY cosine DESC, idb ASC) AS rank
+        |  FROM scored)
+        |SELECT ida AS vec_id, idb AS neighbor_id, cosine, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q_source_overlap" ->
       """WITH v AS (

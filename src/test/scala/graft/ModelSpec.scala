@@ -5,7 +5,7 @@ import scala.math.BigDecimal.RoundingMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{NaiveBayes, Text, UnigramLm}
+import graft.functions.{NaiveBayes, Similarity, Text, UnigramLm}
 
 /** Naive Bayes classification and Kneser-Ney scoring vs sequential
   * references implementing the same arithmetic. */
@@ -182,6 +182,47 @@ class ModelSpec extends AnyFunSuite {
     val sorted = rows.sortBy { case (w1, w2, ws, _) => (-ws, w1, w2) }
     assert(rows.toSeq == sorted.toSeq)
     assert(rows.map(_._4).toSeq == (1L to rows.length).toSeq)
+  }
+
+  // --------------------------------------------------------------- kNN ---
+
+  test("knnWithinGroups matches the brute-force quantized reference") {
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 60L).map { i =>
+      (i, (i % 2).toString, Array.fill(8)(rng.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("vec_id", "grp", "embedding").repartition(5)
+    val got = Similarity.knnWithinGroups(df, "grp", "embedding", "vec_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+
+    def quant(v: Array[Float]): Array[Double] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => if (s > 0) math.floor(x.toDouble / s * 127 + 0.5) else 0.0)
+    }
+    val codes = rows.map { case (id, g, v) => (id, g, quant(v)) }
+    val want = codes.flatMap { case (id, g, c) =>
+      val n2 = c.map(x => x * x).sum
+      val nbrs = codes.filter(o => o._2 == g && o._1 != id).map { o =>
+        val dot = c.zip(o._3).map { case (x, y) => x * y }.sum
+        val den = math.sqrt(n2) * math.sqrt(o._3.map(x => x * x).sum)
+        val cos = if (den > 0)
+          BigDecimal(dot / den).setScale(6, RoundingMode.HALF_UP).toDouble
+        else 0.0
+        (o._1, cos)
+      }.sortBy { case (nid, cos) => (-cos, nid) }.take(2)
+      nbrs.zipWithIndex.map { case ((nid, _), r) => (id, r + 1L) -> nid }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("knnWithinGroups refuses oversized blocks loudly") {
+    val df = (0L until 30L).map(i => (i, "one", Array.fill(4)(1.0f)))
+      .toDF("vec_id", "grp", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnWithinGroups(df, "grp", "embedding", "vec_id", k = 1,
+        maxGroupSize = 10)
+    }
+    assert(e.getMessage.contains("maxGroupSize"))
   }
 
   test("kneser-ney is partitioning-independent") {
