@@ -54,6 +54,62 @@ object ModelQueries {
       Similarity.knnWithinGroups(star(s, dir, "embeddings").df,
         groupCol = "label", embCol = "embedding", idCol = "vec_id", k = 3)),
 
+    // Per-label embedding outliers: top-3 vectors farthest from their
+    // label's centroid — the mislabeled-candidate / cluster-purity
+    // detector. The trick making this hash-checkable on REAL vectors:
+    // over int8 codes, n²·d²(x, S/n) = n²·Σx² − 2n·(x·S) + Σ S² is an
+    // EXACT integer (every term < 2^53 in the double domain), so the
+    // ranking needs no floating-point tolerance at all. Per-label sum
+    // vectors are a (labels × dim)-sized broadcast; per-vector work is
+    // two fused codegen dot products; ranking on the distributed rank.
+    "q_emb_outliers" -> ((s, dir) => {
+      val emb = star(s, dir, "embeddings").df
+      val sc = array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))
+      val codes = emb.select(col("label"), col("vec_id"),
+        transform(col("embedding"), x =>
+          when(sc > 0, floor(x.cast("double") / sc * 127 + 0.5))
+            .otherwise(lit(0.0))).as("codes"))
+      val svecs = codes
+        .select(col("label"), posexplode(col("codes")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos")).agg(sum(col("v")).as("sv"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+          x => x.getField("sv")).as("svec"))
+      val counts = codes.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val score = (col("n") * col("n") *
+          Similarity.dot(col("codes"), col("codes"))
+        - lit(2.0) * col("n") * Similarity.dot(col("codes"), col("svec"))
+        + Similarity.dot(col("svec"), col("svec"))).as("d2n2")
+      val scored = codes
+        .join(broadcast(svecs), Seq("label"))
+        .join(broadcast(counts), Seq("label"))
+        .select(col("label"), col("vec_id"), score)
+        .withColumn("__neg", -col("d2n2"))
+      graft.functions.Windowing.globalRowNumber(scored, Seq("label"),
+          Seq("__neg", "vec_id"), "rank")
+        .filter(col("rank") <= 3)
+        .select(col("label"), col("vec_id"), col("d2n2"), col("rank"))
+    }),
+
+    // Rendezvous (highest-random-weight) sharding: every document's
+    // stable shard is argmax over shards of md5(doc_id:shard) — the
+    // distributed-writer primitive whose reshard-to-k+1 moves only ~1/(k+1)
+    // of keys (each key moves only if the NEW shard's hash wins). The
+    // moved flag makes that property part of the checked output. Pure
+    // per-row hashing, zero shuffle.
+    "q_doc_shards" -> ((s, dir) => {
+      def hrw(k: Int): org.apache.spark.sql.Column =
+        array_max(array((0 until k).map(sh =>
+          struct(conv(substring(md5(
+            concat(col("doc_id").cast("string"), lit(":"), lit(sh))), 1, 12),
+            16, 10).cast("long").as("h"), lit(sh).as("s"))): _*))
+          .getField("s")
+      star(s, dir, "documents").df
+        .select(col("doc_id"), hrw(8).as("shard"), hrw(9).as("shard9"))
+        .withColumn("moved", col("shard") =!= col("shard9"))
+    }),
+
     // Source vocabulary-overlap matrix: pairwise shared-distinct-token
     // counts + vocabulary Jaccard between corpus sources — the cheap
     // domain-similarity diagnostic before mixing decisions. The self-join
@@ -169,6 +225,59 @@ object ModelQueries {
         |  SELECT *, row_number() OVER (ORDER BY wsum DESC, w1 ASC, w2 ASC)
         |    AS rank FROM agg)
         |SELECT w1, w2, wsum, n, rank FROM ranked WHERE rank <= 40""".stripMargin,
+
+    "q_emb_outliers" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CASE WHEN s > 0
+        |      THEN floor(CAST(x AS DOUBLE) / s * 127 + 0.5)
+        |      ELSE 0.0 END) AS codes
+        |  FROM base),
+        |pos AS (
+        |  SELECT label, unnest(codes) AS v, generate_subscripts(codes, 1) AS p
+        |  FROM codes),
+        |sums AS (SELECT label, p, sum(v) AS sv FROM pos GROUP BY 1, 2),
+        |svecs AS (SELECT label, list(sv ORDER BY p) AS svec FROM sums GROUP BY 1),
+        |counts AS (SELECT label, count(*) AS n FROM codes GROUP BY 1),
+        |scored AS (
+        |  SELECT c.label, c.vec_id,
+        |    t.n * t.n * list_dot_product(c.codes, c.codes)
+        |      - 2.0 * t.n * list_dot_product(c.codes, s.svec)
+        |      + list_dot_product(s.svec, s.svec) AS d2n2
+        |  FROM codes c JOIN svecs s ON s.label = c.label
+        |    JOIN counts t ON t.label = c.label),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY d2n2 DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT label, vec_id, d2n2, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_doc_shards" ->
+      """WITH sh8 AS (SELECT unnest(range(8)) AS sh),
+        |sh9 AS (SELECT unnest(range(9)) AS sh),
+        |h8 AS (
+        |  SELECT d.doc_id, s.sh,
+        |    CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+        |      CAST(s.sh AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM documents d CROSS JOIN sh8 s),
+        |r8 AS (SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY h DESC, sh DESC) AS rn FROM h8),
+        |h9 AS (
+        |  SELECT d.doc_id, s.sh,
+        |    CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+        |      CAST(s.sh AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM documents d CROSS JOIN sh9 s),
+        |r9 AS (SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY h DESC, sh DESC) AS rn FROM h9)
+        |SELECT a.doc_id, CAST(a.sh AS INTEGER) AS shard,
+        |  CAST(b.sh AS INTEGER) AS shard9, a.sh <> b.sh AS moved
+        |FROM (SELECT doc_id, sh FROM r8 WHERE rn = 1) a
+        |JOIN (SELECT doc_id, sh FROM r9 WHERE rn = 1) b USING (doc_id)""".stripMargin,
 
     "q_knn_graph" ->
       """WITH base AS (

@@ -52,8 +52,13 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("trainMerges leaves no persisted RDDs behind") {
+    // Diff-based (the OperatorHygieneSpec pattern): suites share one
+    // session, so global emptiness would flake on another suite's
+    // leftover caches depending on execution order.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = words.map((0L, _)).toDF("doc_id", "text")
     Bpe.trainMerges(docs, "text", 2).collect()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"trainMerges leaked persisted RDDs $leaked")
   }
 }

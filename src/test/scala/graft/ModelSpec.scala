@@ -3,13 +3,23 @@ package graft
 import scala.math.BigDecimal.RoundingMode
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{NaiveBayes, Similarity, Text, UnigramLm}
 
 /** Naive Bayes classification and Kneser-Ney scoring vs sequential
   * references implementing the same arithmetic. */
-class ModelSpec extends AnyFunSuite {
+class ModelSpec extends AnyFunSuite with BeforeAndAfterAll {
+  // Suites share one session: sweep this suite's leftover operator caches
+  // (EAGER results some tests discard without unpersist) so later suites'
+  // hygiene assertions see a clean slate. Unpersist never affects
+  // correctness — lineage stays intact.
+  override def afterAll(): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
