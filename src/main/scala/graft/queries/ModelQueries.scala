@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.{NaiveBayes, Similarity, Text, UnigramLm}
 import Tables.star
@@ -108,6 +109,64 @@ object ModelQueries {
       star(s, dir, "documents").df
         .select(col("doc_id"), hrw(8).as("shard"), hrw(9).as("shard9"))
         .withColumn("moved", col("shard") =!= col("shard9"))
+    }),
+
+    // Train/val drift: smoothed unigram KL divergence between the
+    // deterministic hash splits — the distribution-shift / leakage
+    // diagnostic run after any split. Count tables are vocabulary-sized
+    // and full-outer-joined token-keyed; each token's contribution
+    // p·ln(p/q) is one IEEE chain rounded then DECIMAL-summed, so the
+    // single-number divergence hash-matches.
+    "q_split_drift" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val bucket = graft.functions.Decontamination.hashBucket(col("doc_id"))
+      def counts(lo: Int, hi: Int) = docs
+        .filter(bucket >= lo && bucket < hi)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val p = counts(0, 80).withColumnRenamed("c", "cp")
+      val q = counts(80, 100).withColumnRenamed("c", "cq")
+      val joined = p.join(q, Seq("token"), "full_outer")
+        .select(col("token"), coalesce(col("cp"), lit(0L)).as("cp"),
+          coalesce(col("cq"), lit(0L)).as("cq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = joined.agg(sum(col("cp")), sum(col("cq")), count(lit(1))).head()
+      val (np, nq, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+      val pProb = (col("cp").cast(DoubleType) + 0.5) / (np + 0.5 * v)
+      val qProb = (col("cq").cast(DoubleType) + 0.5) / (nq + 0.5 * v)
+      val term = round(pProb * log(pProb / qProb), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+      val out = joined
+        .agg(sum(term).as("__kl"), count(lit(1)).as("n_vocab"))
+        .select(lit(np).as("n_train_tokens"), lit(nq).as("n_val_tokens"),
+          col("n_vocab"), round(col("__kl").cast(DoubleType), 6).as("kl"))
+      graft.functions.Dedup.materializeAndFree(out, joined)
+    }),
+
+    // Token burstiness (Church & Gale 1995): variance-to-mean ratio of a
+    // token's per-document counts over the documents that CONTAIN it —
+    // content words are bursty (VMR ≫ 1), function words Poisson-like.
+    // Sufficient statistics (df, Σk, Σk²) are exact integers off the one
+    // (token, doc) count table; the VMR is one IEEE chain rounded before
+    // ranking; min-df floor first; distributed rank for the top-20.
+    "q_token_burstiness" -> ((s, dir) => {
+      val tf = star(s, dir, "documents").df
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("k"))
+      val mean = col("s1").cast(DoubleType) / col("df")
+      val vmr = round(
+        (col("s2").cast(DoubleType) / col("df") - mean * mean) / mean, 6)
+      val stats = tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("k")).as("s1"),
+          sum(col("k") * col("k")).as("s2"))
+        .filter(col("df") >= 20)
+        .select(col("token"), col("df"), col("s1"), vmr.as("vmr"))
+        .withColumn("__g", lit(0))
+        .withColumn("__neg", -col("vmr"))
+      graft.functions.Windowing.globalRowNumber(stats, Seq("__g"),
+          Seq("__neg", "token"), "rank")
+        .filter(col("rank") <= 20)
+        .select(col("token"), col("df"), col("s1"), col("vmr"), col("rank"))
     }),
 
     // Source vocabulary-overlap matrix: pairwise shared-distinct-token
@@ -225,6 +284,54 @@ object ModelQueries {
         |  SELECT *, row_number() OVER (ORDER BY wsum DESC, w1 ASC, w2 ASC)
         |    AS rank FROM agg)
         |SELECT w1, w2, wsum, n, rank FROM ranked WHERE rank <= 40""".stripMargin,
+
+    "q_split_drift" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 4) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |p AS (SELECT token, count(*) AS cp FROM tok JOIN b USING (doc_id)
+        |      WHERE bucket >= 0 AND bucket < 80 GROUP BY 1),
+        |q AS (SELECT token, count(*) AS cq FROM tok JOIN b USING (doc_id)
+        |      WHERE bucket >= 80 AND bucket < 100 GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(p.token, q.token) AS token,
+        |    coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+        |  FROM p FULL OUTER JOIN q ON p.token = q.token),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+        |  CAST(sum(cq) AS BIGINT) AS nq, count(*) AS v FROM j)
+        |SELECT np AS n_train_tokens, nq AS n_val_tokens, v AS n_vocab,
+        |  round(CAST(sum(CAST(round(
+        |    ((CAST(cp AS DOUBLE) + 0.5) / (np + 0.5 * v)) *
+        |      ln(((CAST(cp AS DOUBLE) + 0.5) / (np + 0.5 * v)) /
+        |         ((CAST(cq AS DOUBLE) + 0.5) / (nq + 0.5 * v))), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS kl
+        |FROM j, tot GROUP BY np, nq, v""".stripMargin,
+
+    "q_token_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS k FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(k) AS BIGINT) AS s1, CAST(sum(k * k) AS BIGINT) AS s2
+        |  FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT token, df, s1,
+        |    round((CAST(s2 AS DOUBLE) / df -
+        |      (CAST(s1 AS DOUBLE) / df) * (CAST(s1 AS DOUBLE) / df)) /
+        |      (CAST(s1 AS DOUBLE) / df), 6) AS vmr
+        |  FROM stats WHERE df >= 20),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY vmr DESC, token ASC) AS rank
+        |  FROM scored)
+        |SELECT token, df, s1, vmr, rank FROM ranked WHERE rank <= 20""".stripMargin,
 
     "q_emb_outliers" ->
       """WITH base AS (
