@@ -111,6 +111,83 @@ object Graph {
     Dedup.materializeAndFree(ranks, e, outDeg, edgesDeg, nodes, sinks)
   }
 
+  /** Personalized PageRank (the random surfer teleports to a SEED SET
+    * instead of uniformly — "influence relative to these nodes", the
+    * recommendation/expansion prior behind pixie-style systems and
+    * seed-based corpus expansion). Same integer-exact arithmetic contract
+    * as [[pageRank]]: all mass starts on the seeds (massScale // |S|
+    * each), the (100−dampPct)% teleport share and the dangling mass
+    * return ONLY to seeds, every step is Long addition + floor division,
+    * so the fixpoint is engine/partitioning/order independent and
+    * unrollable in SQL. Seeds absent from the graph simply contribute no
+    * mass (identically in any engine). Scale shape identical to
+    * [[pageRank]]. EAGER; caller owns one `unpersist()`. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iterations: Int = 8,
+                           massScale: Long = 1000000000000L,
+                           dampPct: Int = 85,
+                           iterPartitions: Int = 0): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(seeds.nonEmpty, "personalizedPageRank: empty seed set")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct must be 0..100, got $dampPct")
+    val spark = edges.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (iterPartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
+    try pprImpl(edges, srcCol, dstCol, seeds, iterations, massScale, dampPct)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def pprImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                      seeds: Seq[Long], iterations: Int, massScale: Long,
+                      dampPct: Int): DataFrame = {
+    val e = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+      .persist(MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(MEMORY_AND_DISK)
+    val edgesDeg = e.join(outDeg, Seq("src")).persist(MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .select(col("node"), col("node").isInCollection(seeds).as("__seed"))
+      .persist(MEMORY_AND_DISK)
+    require(nodes.limit(1).count() > 0, "personalizedPageRank: empty graph")
+    val nSeeds = seeds.length.toLong
+    val m0 = massScale / nSeeds
+    val seedShare = (100L - dampPct) * massScale / 100L / nSeeds
+    val sinks = nodes.select(col("node"))
+      .join(outDeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .persist(MEMORY_AND_DISK)
+
+    var ranks = nodes
+      .select(col("node"), when(col("__seed"), lit(m0)).otherwise(lit(0L)).as("rank"))
+      .persist(MEMORY_AND_DISK)
+    ranks.count()
+    (1 to iterations).foreach { _ =>
+      val inflow = edgesDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"), intDiv(col("rank"), col("deg")).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+      val dang = broadcast(sinks.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dangTot")))
+      val updated = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+          nodes.join(inflow, Seq("node"), "left").crossJoin(dang)
+            .select(col("node"),
+              (when(col("__seed"), lit(seedShare)).otherwise(lit(0L)) +
+                intDiv(lit(dampPct.toLong) *
+                  (coalesce(col("__s"), lit(0L)) +
+                    when(col("__seed"),
+                      intDiv(col("__dangTot"), lit(nSeeds)))
+                      .otherwise(lit(0L))),
+                  lit(100L))).as("rank")))
+        .persist(MEMORY_AND_DISK)
+      updated.count()
+      ranks.unpersist()
+      ranks = updated
+    }
+    Dedup.materializeAndFree(ranks, e, outDeg, edgesDeg, nodes, sinks)
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in a
     * hyperlinked environment"): the complementary link prior to PageRank —
     * directories/link-lists score as HUBS, heavily-referenced pages as

@@ -155,6 +155,20 @@ object AnalyticQueries {
         iterPartitions = 8)
     }),
 
+    // Personalized PageRank from a 3-node seed set over the same link
+    // graph — "influence relative to these seeds", the seed-expansion /
+    // recommendation prior. All mass starts on the seeds and teleport +
+    // dangling mass return only to them; integer arithmetic throughout,
+    // so the 6-iteration fixpoint is bit-exact vs the unrolled oracle.
+    "q_ppr" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+      graft.functions.Graph.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq(1L, 2L, 3L), iterations = 6, iterPartitions = 8)
+    }),
+
     // HITS hubs/authorities over the same harvested link graph — the
     // complementary link prior (directories vs referenced pages). L1
     // integer renormalization each half-step keeps everything exact
@@ -303,6 +317,46 @@ object AnalyticQueries {
       s"\nSELECT node, r AS rank FROM r$iters"
   }
 
+  /** Unrolled integer-exact personalized PageRank, mirroring
+    * Graph.personalizedPageRank operation for operation (teleport and
+    * dangling mass to seeds only). */
+  private def pprOracle(iters: Int, seeds: Seq[Long]): String = {
+    val nSeeds = seeds.length
+    val m0 = 1000000000000L / nSeeds
+    val seedShare = 15L * 1000000000000L / 100L / nSeeds
+    val sl = seeds.mkString(", ")
+    val head =
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT user_id AS src,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT node, CASE WHEN node IN ($sl) THEN $m0 ELSE 0 END AS r
+         |       FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.r // o.deg) AS s
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN outdeg o ON e.src = o.src
+         |  GROUP BY e.dst),
+         |d$i AS (
+         |  SELECT coalesce(sum(r.r), 0) AS dang
+         |  FROM r${i - 1} r LEFT JOIN outdeg o ON r.node = o.src
+         |  WHERE o.src IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    (CASE WHEN nd.node IN ($sl) THEN $seedShare ELSE 0 END) +
+         |    85 * (coalesce(c.s, 0) +
+         |      CASE WHEN nd.node IN ($sl) THEN d.dang // $nSeeds ELSE 0 END) // 100 AS r
+         |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node
+         |    CROSS JOIN d$i d)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, r AS rank FROM r$iters"
+  }
+
   private def hitsOracle(iters: Int): String = {
     val head =
       """WITH edges AS MATERIALIZED (
@@ -366,6 +420,7 @@ object AnalyticQueries {
         |SELECT event_type, h, n, z FROM scored WHERE abs(z) > 2.0""".stripMargin,
 
     "q_pagerank" -> pageRankOracle(8),
+    "q_ppr" -> pprOracle(6, Seq(1L, 2L, 3L)),
     "q_hits" -> hitsOracle(6),
 
     "q_retention" ->

@@ -96,6 +96,56 @@ class GraphSpec extends AnyFunSuite {
     nodes.map(v => v -> (h(v), a(v))).toMap
   }
 
+  /** Sequential mirror of Graph.personalizedPageRank's arithmetic. */
+  private def pprRef(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     iters: Int): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val seedSet = seeds.toSet
+    val k = seeds.size
+    val m0 = scale / k
+    val seedShare = 15L * scale / 100L / k
+    val out = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(v => v -> (if (seedSet(v)) m0 else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val inflow = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      es.foreach { case (s, d) => inflow(d) += r(s) / out(s) }
+      val dang = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map(v =>
+        v -> ((if (seedSet(v)) seedShare else 0L) +
+          85L * (inflow(v) + (if (seedSet(v)) dang / k else 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalized pageRank matches the sequential reference") {
+    val seeds = Seq(2L, 5L)
+    val got = Graph.personalizedPageRank(
+      edges.toDF("src", "dst").repartition(4), "src", "dst", seeds,
+      iterations = 6)
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.unpersist()
+    assert(gotMap == pprRef(edges, seeds, 6))
+    // seed-proximity prior: node 1 (linked from seed 2) out-ranks node 4,
+    // which only the seeds' far side reaches
+    assert(gotMap(1L) > gotMap(4L))
+  }
+
+  test("personalized pageRank: absent seeds lose mass identically, " +
+    "partitioning-independent") {
+    val seeds = Seq(2L, 999L) // 999 not in the graph
+    val expected = pprRef(edges, seeds, 4)
+    for (parts <- Seq(1, 7)) {
+      val got = Graph.personalizedPageRank(
+        (edges ++ edges.take(2)).toDF("src", "dst").repartition(parts),
+        "src", "dst", seeds, iterations = 4)
+      val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.unpersist()
+      assert(gotMap == expected, s"parts=$parts diverged")
+    }
+  }
+
   test("hits matches the sequential reference; hubs and authorities separate") {
     // 10 is a pure hub (links to 1,2,3); 1,2,3 are pure authorities;
     // 20 links only to 1 (weaker hub); 3 -> 4 makes 3 a slight hub too.
