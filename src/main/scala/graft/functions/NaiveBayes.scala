@@ -17,14 +17,16 @@ import org.apache.spark.sql.types._
   *   score(d, c) = ln P(c) + Σ_{t ∈ d} ln ((count(t, c) + 1) / (N_c + V))
   *
   * with N_c the token mass of class c and V the corpus vocabulary size.
-  * Prediction is argmax_c score(d, c), ties broken by label ascending.
+  * Prediction is argmax_c score(d, c), ties broken by label DESCENDING
+  * (the max-of-struct order, so the argmax is a plain aggregate).
   *
   * Determinism contract (the UnigramLm scheme): every ln is rounded to
   * `logScale` decimals then summed exactly as DECIMAL(28,`logScale`), so
   * the per-(doc, class) scores — and therefore the argmax under the
-  * (score desc, label asc) total order — are partitioning/order/engine
-  * independent. The argmax runs on [[Windowing.globalRowNumber]] (the
-  * distributed rank), never a per-doc data window.
+  * (score, label) lexicographic max — are partitioning/order/engine
+  * independent. The argmax is max(struct(score, label)) — one more
+  * hash-aggregate pass, no window, no rank, no re-execution of the
+  * scoring join.
   *
   * Scale shape: the count table is vocabulary × classes (grows with
   * diversity, not corpus size) and stays token-keyed in every join — a
@@ -83,18 +85,15 @@ object NaiveBayes {
       .select(col("__id"), col("__true"), col("label"),
         (col("__s") + dec(prior)).as("__score"))
 
-    // Argmax under the (score desc, label asc) total order via the
-    // distributed rank — decimal negation is exact. globalRowNumber is
-    // EAGER (its result is the live barrier the caller owns), so the
-    // count table can be freed as soon as it returns.
-    val ranked = Windowing.globalRowNumber(
-      scored.withColumn("__neg", -col("__score")),
-      groupCols = Seq("__id"), orderCols = Seq("__neg", "label"))
-    cnt.unpersist(blocking = true)
-    ranked.filter(col("rn") === 1)
+    // Argmax as max(struct(score, label)) — lexicographic max picks the
+    // best score, ties the highest label. Single aggregate pass.
+    val result = scored
+      .groupBy(col("__id"), col("__true"))
+      .agg(max(struct(col("__score"), col("label"))).as("__b"))
       .select(col("__id").as(idCol), col("__true").as(labelCol),
-        col("label").as("pred"),
-        round(col("__score").cast(DoubleType), 4).as("score"),
-        (col("label") === col("__true")).as("ok"))
+        col("__b.label").as("pred"),
+        round(col("__b.__score").cast(DoubleType), 4).as("score"),
+        (col("__b.label") === col("__true")).as("ok"))
+    Dedup.materializeAndFree(result, cnt)
   }
 }

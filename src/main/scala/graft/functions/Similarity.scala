@@ -97,8 +97,12 @@ object Similarity {
     * dot products and norms are EXACT (every intermediate < 2^53) in any
     * engine and any summation order; the cosine is one IEEE
     * division/sqrt chain rounded to `outScale` BEFORE ranking, and ties
-    * break by neighbor id. Ranking rides the distributed rank — no
-    * per-vector data window. Returns (idCol, neighbor_id, cosine, rank). */
+    * break by neighbor id. The per-vector top-k is the bounded-state
+    * TopKPairs aggregate — O(k) per vector with map-side combine, so the
+    * shuffle after the pair join carries ≤ k candidates per (vector,
+    * partition) instead of every scored pair (a rank formulation would
+    * also re-execute the pair join for range-boundary sampling).
+    * Returns (idCol, neighbor_id, cosine, rank). */
   def knnWithinGroups(df: DataFrame, groupCol: String, embCol: String,
                       idCol: String, k: Int, maxGroupSize: Int = 20000,
                       outScale: Int = 6): DataFrame = {
@@ -123,15 +127,15 @@ object Similarity {
     val den = sqrt(col("__n2a")) * sqrt(col("__n2b"))
     val cos = when(den > 0,
       round(dot(col("__ca"), col("__cb")) / den, outScale)).otherwise(lit(0.0))
-    val scored = a.join(b, Seq("__grp"))
+    a.join(b, Seq("__grp"))
       .filter(col("__ida") =!= col("__idb"))
       .select(col("__ida"), col("__idb"), cos.as("cosine"))
-      .withColumn("__neg", -col("cosine"))
-    Windowing.globalRowNumber(scored, Seq("__ida"), Seq("__neg", "__idb"),
-        "rank")
-      .filter(col("rank") <= k)
-      .select(col("__ida").as(idCol), col("__idb").as("neighbor_id"),
-        col("cosine"), col("rank"))
+      .groupBy(col("__ida"))
+      .agg(expressions.TopKByKey.topK(col("cosine"), col("__idb"), k)
+        .as("__top"))
+      .select(col("__ida"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("__ida").as(idCol), col("__e.id").as("neighbor_id"),
+        col("__e.score").as("cosine"), (col("__r") + 1).cast("long").as("rank"))
   }
 
   /** Engine-exact cosine scores against a literal query vector: per-element

@@ -18,10 +18,11 @@ object ModelQueries {
 
     // Multinomial Naive Bayes: self-trained language classifier — fit on
     // (lang, text), predict lang for every document. Training is one
-    // exact-integer count shuffle; add-one smoothing; argmax under the
-    // (score desc, label asc) total order on the distributed rank. The
-    // oracle mirrors fit AND predict, so count tables, smoothing, prior,
-    // decimal scoring, and the argmax are all hash-checked.
+    // exact-integer count shuffle; add-one smoothing; argmax as
+    // max(struct(score, label)) — a plain aggregate, ties to the higher
+    // label. The oracle mirrors fit AND predict, so count tables,
+    // smoothing, prior, decimal scoring, and the argmax are all
+    // hash-checked.
     "q_nb_classify" -> ((s, dir) =>
       NaiveBayes.trainAndPredict(
         star(s, dir, "documents").df,
@@ -82,15 +83,19 @@ object ModelQueries {
           Similarity.dot(col("codes"), col("codes"))
         - lit(2.0) * col("n") * Similarity.dot(col("codes"), col("svec"))
         + Similarity.dot(col("svec"), col("svec"))).as("d2n2")
-      val scored = codes
+      codes
         .join(broadcast(svecs), Seq("label"))
         .join(broadcast(counts), Seq("label"))
         .select(col("label"), col("vec_id"), score)
-        .withColumn("__neg", -col("d2n2"))
-      graft.functions.Windowing.globalRowNumber(scored, Seq("label"),
-          Seq("__neg", "vec_id"), "rank")
-        .filter(col("rank") <= 3)
-        .select(col("label"), col("vec_id"), col("d2n2"), col("rank"))
+        // bounded-state top-3 per label (score desc, id asc) — O(k)/group
+        // with map-side combine, no rank re-execution
+        .groupBy(col("label"))
+        .agg(graft.functions.expressions.TopKByKey
+          .topK(col("d2n2"), col("vec_id"), 3).as("__top"))
+        .select(col("label"), posexplode(col("__top")).as(Seq("__r", "__e")))
+        .select(col("label"), col("__e.id").as("vec_id"),
+          col("__e.score").as("d2n2"),
+          (col("__r") + 1).cast("long").as("rank"))
     }),
 
     // Rendezvous (highest-random-weight) sharding: every document's
@@ -227,7 +232,7 @@ object ModelQueries {
         |  GROUP BY t.doc_id, t.lang, n.label, d.nd),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY score DESC, label ASC) AS rn
+        |    ORDER BY score DESC, label DESC) AS rn
         |  FROM scored)
         |SELECT doc_id, lang, label AS pred,
         |  round(CAST(score AS DOUBLE), 4) AS score, lang = label AS ok

@@ -62,6 +62,20 @@ object StreamingQueries {
         EventStreams.streamingNearDup(stream, refBuckets))
     }),
 
+    // Streaming model serving: documents arrive on a stream and are
+    // classified against a Naive Bayes model trained batch-side on the
+    // static corpus (pivoted counts stream-static-joined, one stateful
+    // aggregate, argmax as projection). Decimal sums are order-independent
+    // so the streamed scores equal the batch classifier bit for bit —
+    // shares q_nb_classify's oracle verbatim.
+    "q_stream_classify" -> ((s, dir) => {
+      val static = Tables.star(s, dir, "documents").df
+      EventStreams.runToBatch(s,
+        EventStreams.streamingNaiveBayes(
+          EventStreams.readDocumentsStream(s, dir), static,
+          "doc_id", "text", "lang"))
+    }),
+
     // Streamed anomaly alerting: hourly counts aggregate INCREMENTALLY
     // (watermarked tumbling windows — q_stream_hourly's stateful shape),
     // then deviations beyond 2 sample standard deviations from the
@@ -203,6 +217,9 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // bit-for-bit batch parity with the batch classifier's oracle
+    "q_stream_classify" -> ModelQueries.oracleSql("q_nb_classify"),
+
     "q_stream_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n

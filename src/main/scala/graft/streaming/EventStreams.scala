@@ -127,6 +127,74 @@ object EventStreams {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
 
+  /** Streaming Naive Bayes classification — model SERVING over a stream:
+    * the model (per-(label, token) counts, class totals, priors) is
+    * trained batch-side on `staticDocs` once, pivoted to one row per
+    * token, and every arriving document is scored against it via a
+    * stream-static join. The per-class label sums fold into ONE stateful
+    * aggregate (k decimal sums per doc — the labels are plan constants),
+    * and the argmax is a pure projection, so the whole pipeline has a
+    * single stateful operator and no watermark requirement.
+    *
+    * Arithmetic is exactly [[graft.functions.NaiveBayes.trainAndPredict]]'s
+    * (add-one smoothing, rounded-ln DECIMAL sums, priors rounded under the
+    * same HALF_UP rule, ties toward the HIGHER label) — decimal sums are
+    * order-independent, so streaming micro-batching cannot change a score
+    * and the streamed result equals the batch classifier bit for bit. */
+  def streamingNaiveBayes(docs: DataFrame, staticDocs: DataFrame,
+                          idCol: String, textCol: String, labelCol: String,
+                          logScale: Int = 6): DataFrame = {
+    import graft.functions.Text
+    val base = staticDocs.select(col(idCol).as("__id"),
+      col(labelCol).as("__true"), col(textCol).as("__text"))
+    val cnt = base.select(col("__true").as("label"),
+        explode(Text.tokens(col("__text"))).as("token"))
+      .groupBy(col("label"), col("token")).agg(count(lit(1)).as("__c"))
+    val labels = base.select(col("__true")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val vocab = cnt.select(col("token")).distinct().count()
+    val totalDocs = base.count()
+    val ncM = cnt.groupBy(col("label")).agg(sum(col("__c")).as("nc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ndM = base.groupBy(col("__true")).agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def prior(l: String): java.math.BigDecimal =
+      BigDecimal(math.log(ndM(l).toDouble / totalDocs.toDouble))
+        .setScale(logScale, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .underlying()
+    // one static row per token: the per-label counts pivoted wide
+    val wide = cnt.groupBy(col("token")).pivot("label", labels)
+      .agg(first(col("__c")))
+      .toDF("token" +: labels.indices.map(i => s"__c$i"): _*)
+
+    val decT = s"decimal(28,$logScale)"
+    val lpCols = labels.indices.map { i =>
+      round(log((coalesce(col(s"__c$i"), lit(0L)) + lit(1L)).cast("double") /
+        lit((ncM(labels(i)) + vocab).toDouble)), logScale)
+        .cast(decT).as(s"__lp$i")
+    }
+    val sums = docs.select(col(idCol), col(labelCol),
+        explode(Text.tokens(col(textCol))).as("token"))
+      .join(wide, Seq("token"), "left") // stream-static
+      .select(Seq(col(idCol), col(labelCol)) ++ lpCols: _*)
+      .groupBy(col(idCol), col(labelCol)) // the single stateful operator
+      .agg(sum(col("__lp0")).as("__s0"),
+        labels.indices.drop(1).map(i => sum(col(s"__lp$i")).as(s"__s$i")): _*)
+    val scores = labels.indices.map(i =>
+      (col(s"__s$i") + lit(prior(labels(i))).cast(decT)).as(s"__sc$i"))
+    val scored = sums.select(Seq(col(idCol), col(labelCol)) ++ scores: _*)
+    // >= so a later (higher, labels are sorted asc) label wins ties —
+    // the batch classifier's max(struct(score, label)) semantics
+    val best = labels.indices.drop(1).foldLeft(
+      struct(col("__sc0").as("sc"), lit(labels(0)).as("lb"))) { (acc, i) =>
+      when(col(s"__sc$i") >= acc.getField("sc"),
+        struct(col(s"__sc$i").as("sc"), lit(labels(i)).as("lb"))).otherwise(acc)
+    }
+    scored.select(col(idCol), col(labelCol), best.getField("lb").as("pred"),
+        round(best.getField("sc").cast("double"), 4).as("score"))
+      .withColumn("ok", col("pred") === col(labelCol))
+  }
+
   /** Static reference side for streaming near-dedup: the corpus's minhash
     * LSH band buckets, carrying the reference id and text (the verify
     * payload; at 100 TB carry the signature and verify in a later stage

@@ -49,9 +49,10 @@ class ModelSpec extends AnyFunSuite with BeforeAndAfterAll {
         }.sum + prior
         (lab, s)
       }
-      // argmax: score desc, label asc; final rounding happens in DOUBLE,
-      // as the operator's round(cast(double), 4) does
-      val best = scores.sortBy { case (lab, s) => (-s, lab) }.head
+      // argmax: max(struct(score, label)) — best score, ties to the higher
+      // label; final rounding happens in DOUBLE, as the operator's
+      // round(cast(double), 4) does
+      val best = scores.maxBy { case (lab, s) => (s, lab) }
       id -> (best._1, rnd(best._2.toDouble, 4).toDouble)
     }.toMap
   }
