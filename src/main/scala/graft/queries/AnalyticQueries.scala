@@ -208,6 +208,47 @@ object AnalyticQueries {
             .as("intercept"))
     }),
 
+    // --- exponential-decay activity score -----------------------------------
+    // Recency-weighted per-user activity as of the corpus's last event:
+    // each event contributes 2^(-age_days). The decay factor is built by
+    // INTEGER shift (1.0 / (1 << age)) so every contribution is an exact
+    // dyadic double — no pow(), whose last-ulp behavior is not pinned
+    // across engines — then rounded and decimal-summed. Ages clamp at 62
+    // days (contributions below 2^-62 are 0 at the output scale anyway).
+    "q_event_decay" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+      val maxTs = broadcast(ev.agg(max(unix_timestamp(col("ts"))).as("__mx")))
+      val contrib = round(lit(1.0) / expr(
+          "shiftleft(1L, cast(least((__mx - unix_timestamp(ts)) div 86400, " +
+            "62) as int))"), 12)
+        .cast(DecimalType(28, 12))
+      ev.crossJoin(maxTs)
+        .select(col("user_id"), contrib.as("__c"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("__c")).cast(DoubleType), 6).as("decay_score"))
+    }),
+
+    // --- top user paths ------------------------------------------------------
+    // The 10 most common opening event-type sequences (first 5 events per
+    // user under the (ts, event_id) total order) — path analysis. The
+    // per-user ordering is an array_sort over a collect_list aggregate
+    // (bounded by per-user activity — no window over the event stream),
+    // the path histogram one tiny aggregate, the top-10 a TakeOrdered.
+    "q_event_paths" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+      val paths = ev.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("__evs"))
+        .select(array_join(transform(slice(col("__evs"), 1, 5),
+          e => e.getField("event_type")), ">").as("path"))
+      val counted = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      val top = counted.orderBy(col("n").desc, col("path").asc).limit(10)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("path").asc)
+      top.withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
     // --- event-type Markov chain --------------------------------------------
     // First-order transition matrix over each user's time-ordered event
     // stream (the user-journey model): exact transition counts + one
@@ -389,6 +430,32 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_event_decay" ->
+      """WITH mx AS (SELECT max(epoch_us(ts) // 1000000) AS mx FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |    CAST(round(1.0 / (1 << CAST(least(
+        |      (mx.mx - epoch_us(ts) // 1000000) // 86400, 62) AS INTEGER)),
+        |      12) AS DECIMAL(28,12)) AS c
+        |  FROM events, mx)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(c) AS DOUBLE), 6) AS decay_score
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH seqs AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS evs
+        |  FROM events GROUP BY user_id),
+        |paths AS (
+        |  SELECT array_to_string(list_slice(evs, 1, 5), '>') AS path
+        |  FROM seqs),
+        |counted AS (SELECT path, CAST(count(*) AS BIGINT) AS n
+        |            FROM paths GROUP BY 1),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY n DESC, path ASC) AS rank
+        |  FROM counted)
+        |SELECT path, n, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
     "q_event_markov" ->
       """WITH o AS (
         |  SELECT user_id, event_type,
