@@ -174,6 +174,21 @@ object ModelQueries {
         .select(col("token"), col("df"), col("s1"), col("vmr"), col("rank"))
     }),
 
+    // Language-ID confusion matrix: the n-gram/stopword classifier's
+    // predictions crossed with the labeled truth, plus per-truth row
+    // fractions — the eval harness for any cheap classifier in the
+    // pipeline. Composes the oracled q_doc_langid output; tiny k×k
+    // aggregate downstream.
+    "q_langid_confusion" -> ((s, dir) => {
+      val pred = PipelineQueries.queries("q_doc_langid")(s, dir)
+      val conf = pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val tot = conf.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+      conf.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          round(col("n").cast(DoubleType) / col("tot"), 6).as("frac"))
+    }),
+
     // Source vocabulary-overlap matrix: pairwise shared-distinct-token
     // counts + vocabulary Jaccard between corpus sources — the cheap
     // domain-similarity diagnostic before mixing decisions. The self-join
@@ -289,6 +304,19 @@ object ModelQueries {
         |  SELECT *, row_number() OVER (ORDER BY wsum DESC, w1 ASC, w2 ASC)
         |    AS rank FROM agg)
         |SELECT w1, w2, wsum, n, rank FROM ranked WHERE rank <= 40""".stripMargin,
+
+    "q_langid_confusion" -> {
+      s"""WITH pred AS (
+         |${PipelineQueries.oracleSql("q_doc_langid")}),
+         |conf AS (
+         |  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot
+         |        FROM conf GROUP BY 1)
+         |SELECT c.lang, c.lang_pred, c.n,
+         |  round(CAST(c.n AS DOUBLE) / t.tot, 6) AS frac
+         |FROM conf c JOIN tot t ON t.lang = c.lang""".stripMargin
+    },
 
     "q_split_drift" ->
       """WITH tok AS MATERIALIZED (

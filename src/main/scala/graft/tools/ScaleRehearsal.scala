@@ -207,6 +207,42 @@ object ScaleRehearsal {
           .write.format("noop").mode("overwrite").save()
       }
       sweep()
+      // 6. this session's operators: NB classification (training IS a
+      //    count shuffle; scoring joins token-keyed), blocked kNN (block
+      //    COUNT scales with the corpus so block SIZE stays constant —
+      //    the documented blocking contract makes pair volume linear),
+      //    windowed co-occurrence (pair table grows with diversity, not
+      //    corpus), Kneser-Ney (all statistics off one pair-count table).
+      t(s"NaiveBayes train+predict 5 labels (mult=$mult)") {
+        val labeled = docs.withColumn("lab",
+          pmod(col("doc_id"), lit(5L)).cast("string"))
+        val r = graft.functions.NaiveBayes.trainAndPredict(
+          labeled, "doc_id", "text", "lab")
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      t(s"knnWithinGroups k=3 |block|~250 (mult=$mult)") {
+        val blocked = emb.withColumn("b",
+          pmod(col("vec_id"), lit((8 * mult).toLong)))
+        graft.functions.Similarity.knnWithinGroups(
+          blocked, "b", "embedding", "vec_id", k = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+      t(s"cooccurrenceTopK w=4 k=40 (mult=$mult)") {
+        graft.functions.Text.cooccurrenceTopK(docs, "text", window = 4,
+          topK = 40)
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+      t(s"scoreKneserNey self-trained (mult=$mult)") {
+        val r = graft.functions.UnigramLm.scoreKneserNey(
+          docs, docs, "doc_id", "text")
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
       t(s"pageRank 8 iters on doc-token graph (mult=$mult)") {
         // a text-derived bipartite-ish graph: doc -> hash-bucketed token
         val edges = docs
