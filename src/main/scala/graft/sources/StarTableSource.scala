@@ -68,13 +68,19 @@ class StarTableSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class StarTableTable(schema: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = props.getOrElse("table", "<first>")
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StarTableScanBuilder(schema, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new StarTableWriteBuilder(info)
 }
 
 private[sources] class StarTableScanBuilder(fullSchema: StructType,
@@ -385,4 +391,197 @@ private[graft] object StarTableSource {
     case d: Double if d.isNaN   => null
     case other                  => other
   }
+}
+
+// ============================ write path ==============================
+
+/** DSv2 write support: `df.write.format("startable").mode(...)save(path)`.
+  *
+  * Semantics: the DataFrame becomes ONE table block in ONE StarTable CSV
+  * (path ending in .csv = the file itself; otherwise `<path>/<table>.csv`).
+  * `mode("overwrite")` replaces the target; without it an existing target
+  * REFUSES loudly (appending rows into an existing block-structured file
+  * has no well-defined layout). Options: `table` (block name, default
+  * `dataframe`), `sep`, `naRep`, `destinations` (space-separated).
+  *
+  * Scale shape: each task streams its partition to its own part file
+  * through the Hadoop FS API (any supported filesystem, constant memory);
+  * the driver's commit concatenates header + parts in partition order —
+  * the [[graft.io.CsvWriter.mergeDistributed]] shape at the connector
+  * layer. Value representation matches CsvWriter (`-` sealing, onoff 0/1,
+  * python-style float repr, µs-precision datetimes), so connector output
+  * round-trips through the reader and the driver-side writer's goldens.
+  */
+private[sources] class StarTableWriteBuilder(
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val opts = info.options
+    val path = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("startable write: no path given"))
+    new StarTableWrite(info.schema(), path,
+      Option(opts.get("table")).getOrElse("dataframe"),
+      Option(opts.get("sep")).getOrElse(";"),
+      Option(opts.get("naRep")).getOrElse("-"),
+      Option(opts.get("destinations")).getOrElse("all"),
+      doTruncate)
+  }
+}
+
+private[sources] class StarTableWrite(schema: StructType, path: String,
+                                      table: String, sep: String, naRep: String,
+                                      destinations: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val targetFile =
+    if (path.endsWith(".csv")) path else s"$path/$table.csv"
+  private val partsDir = s"$targetFile._parts"
+
+  private val units: Seq[String] = schema.fields.toSeq.map { f =>
+    f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType =>
+        throw new IllegalArgumentException(
+          s"startable write: column ${f.name} has non-scalar type " +
+            s"${f.dataType.simpleString} — StarTable cells are scalars")
+      case _ =>
+        if (f.metadata.contains(StarTable.UnitMetaKey))
+          f.metadata.getString(StarTable.UnitMetaKey)
+        else UnitIndicator.unitFromType(f.dataType)
+    }
+  }
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+    val fs = StarTableWriteUtil.fs(targetFile)
+    val tgt = new org.apache.hadoop.fs.Path(targetFile)
+    if (fs.exists(tgt) && !truncate)
+      throw new IllegalArgumentException(
+        s"startable write: $targetFile exists — appending rows to an " +
+          "existing StarTable file is not supported; use mode(\"overwrite\")")
+    fs.delete(new org.apache.hadoop.fs.Path(partsDir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(partsDir))
+    this
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new StarTableWriterFactory(schema, units, sep, naRep, partsDir)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = StarTableWriteUtil.fs(targetFile)
+    val out = fs.create(new org.apache.hadoop.fs.Path(targetFile), true)
+    try {
+      val header = new StringBuilder
+      header.append(s"**$table$sep\n").append(destinations).append('\n')
+        .append(schema.fieldNames.mkString(sep)).append('\n')
+        .append(units.mkString(sep)).append('\n')
+      out.write(header.toString.getBytes("UTF-8"))
+      messages.collect { case m: StarTablePartMessage => m }
+        .sortBy(_.partitionId)
+        .foreach { m =>
+          val p = new org.apache.hadoop.fs.Path(m.path)
+          if (fs.exists(p)) {
+            val in = fs.open(p)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+            finally in.close()
+          }
+        }
+      out.write("\n".getBytes("UTF-8"))
+    } finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(partsDir), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = StarTableWriteUtil.fs(targetFile)
+    fs.delete(new org.apache.hadoop.fs.Path(partsDir), true)
+  }
+}
+
+private[sources] case class StarTablePartMessage(partitionId: Int, path: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class StarTableWriterFactory(schema: StructType,
+                                              units: Seq[String], sep: String,
+                                              naRep: String, partsDir: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new StarTablePartWriter(schema, units, sep, naRep,
+      f"$partsDir/part-$partitionId%05d-$taskId", partitionId)
+}
+
+private[sources] class StarTablePartWriter(schema: StructType, units: Seq[String],
+                                           sep: String, naRep: String,
+                                           partPath: String, partitionId: Int)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val fs = StarTableWriteUtil.fs(partPath)
+  private val out = fs.create(new org.apache.hadoop.fs.Path(partPath), true)
+  private val tsNoFrac =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  private def cell(row: InternalRow, i: Int): String = {
+    val u = units(i)
+    if (row.isNullAt(i)) {
+      if (u == UnitIndicator.Text) { if (i == 0) naRep else "" } else naRep
+    } else u match {
+      case UnitIndicator.OnOff => if (row.getBoolean(i)) "1" else "0"
+      case UnitIndicator.Datetime =>
+        val us = row.getLong(i)
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        if (ldt.getNano == 0) ldt.format(tsNoFrac)
+        else ldt.format(tsNoFrac) + f".${ldt.getNano / 1000}%06d"
+      case UnitIndicator.Text =>
+        val s = row.getUTF8String(i).toString
+        if (s.isEmpty && i == 0) naRep else s
+      case _ => schema(i).dataType match {
+        case DoubleType =>
+          val d = row.getDouble(i)
+          if (d.isNaN) naRep
+          else if (d == d.floor && !d.isInfinite && math.abs(d) < 1e16) {
+            if (d == 0.0 && 1.0 / d < 0) "-0.0" else s"${d.toLong}.0"
+          } else d.toString
+        case FloatType    => row.getFloat(i).toString
+        case LongType     => row.getLong(i).toString
+        case IntegerType  => row.getInt(i).toString
+        case ShortType    => row.getShort(i).toString
+        case ByteType     => row.getByte(i).toString
+        case _: DecimalType =>
+          row.get(i, schema(i).dataType).toString
+        case DateType =>
+          DateTimeUtils.daysToLocalDate(row.getInt(i)).toString
+        case other => row.get(i, other).toString
+      }
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val line = schema.indices.map(cell(row, _)).mkString(sep) + "\n"
+    out.write(line.getBytes("UTF-8"))
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    StarTablePartMessage(partitionId, partPath)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    fs.delete(new org.apache.hadoop.fs.Path(partPath), false)
+  }
+
+  override def close(): Unit = ()
+}
+
+private[sources] object StarTableWriteUtil {
+  def fs(path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
 }

@@ -256,4 +256,61 @@ class StarTableSourceSpec extends AnyFunSuite {
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString("\uE000")) > 0)
     assert(truth.map(_.getString(0)).toSet == Set("😀"))
   }
+
+  // ---------------------------------------------------------- write path ---
+
+  test("write path round-trips through the connector reader") {
+    val src = writeDir()
+    val df = spark.read.format("startable").option("table", "places").load(src)
+    val out = Files.createTempDirectory("graft_dsv2_w").toString
+    df.repartition(3).write.format("startable")
+      .option("table", "places").mode("overwrite").save(out)
+    // one merged StarTable CSV appears
+    assert(new java.io.File(s"$out/places.csv").isFile)
+    val back = spark.read.format("startable").option("table", "places")
+      .load(s"$out/places.csv")
+    // values round-trip as a multiset (part order is partition order)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // units survive via StructField metadata
+    val units = back.schema.fields.map(f =>
+      f.metadata.getString(graft.model.StarTable.UnitMetaKey))
+    assert(units.toSeq == Seq("text", "km", "datetime", "onoff"))
+  }
+
+  test("write refuses an existing target without overwrite, and non-scalars") {
+    val src = writeDir()
+    val df = spark.read.format("startable").option("table", "places").load(src)
+    val out = Files.createTempDirectory("graft_dsv2_w2").toString
+    df.write.format("startable").option("table", "places")
+      .mode("overwrite").save(out)
+    val e = intercept[Exception] {
+      df.write.format("startable").option("table", "places")
+        .mode("append").save(out)
+    }
+    assert(e.getMessage != null)
+    val bad = df.withColumn("arr", array(lit(1.0), lit(2.0)))
+    val e2 = intercept[Exception] {
+      bad.write.format("startable").mode("overwrite")
+        .save(Files.createTempDirectory("graft_dsv2_w3").toString)
+    }
+    assert(e2.getMessage.contains("non-scalar") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("non-scalar")))
+  }
+
+  test("write output is byte-compatible with the driver-side writer's layout") {
+    val src = writeDir()
+    val df = spark.read.format("startable").option("table", "places").load(src)
+    val out = Files.createTempDirectory("graft_dsv2_w4").toString
+    df.coalesce(1).orderBy(col("place")).write.format("startable")
+      .option("table", "places").mode("overwrite").save(out)
+    val txt = Files.readString(java.nio.file.Paths.get(s"$out/places.csv"))
+    val lines = txt.split("\n", -1)
+    assert(lines(0) == "**places;")
+    assert(lines(1) == "all")
+    assert(lines(2) == "place;distance;ETA;is_hot")
+    assert(lines(3) == "text;km;datetime;onoff")
+    // na sealing + onoff 0/1 + python-style floats in the data lines
+    assert(lines.exists(_ == "dunes;-;-;0"), s"got:\n$txt")
+    assert(lines.exists(_.startsWith("home;0.0;2020-08-04 08:00")))
+  }
 }
