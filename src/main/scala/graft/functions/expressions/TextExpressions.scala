@@ -28,6 +28,36 @@ object TextExprUtil {
     total
   }
 
+  /** Perceptual-hash STUB over a text payload: the codepoint stream splits
+    * into `slices` even slices (slice of position p = p·slices/n — exact
+    * integer division), each contributing its codepoint-sum mod 16 as a
+    * 4-bit nibble of the hash. LOCALITY is the point: an in-place edit
+    * touches only the slices covering it, so near-identical payloads land
+    * within a small Hamming radius — a stand-in with a real pHash's
+    * blocking behavior (a production build computes DCT low frequencies
+    * here; the signature long is the contract). Empty payloads hash to 0.
+    * At slices = 15 the hash occupies bits 0..59 (overflow-free in the
+    * SQL mirror's shift arithmetic). */
+  def pHashStub(s: UTF8String, slices: Int): Long = {
+    val str = s.toString
+    val nChars = str.length
+    val n = str.codePointCount(0, nChars)
+    if (n == 0) return 0L
+    val sums = new Array[Long](slices)
+    var ci = 0
+    var p = 0L
+    while (ci < nChars) {
+      val cp = str.codePointAt(ci)
+      sums(((p * slices) / n).toInt) += cp
+      ci += Character.charCount(cp)
+      p += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < slices) { h |= (sums(j) % 16L) << (4 * j); j += 1 }
+    h
+  }
+
   /** Content-defined-chunking cut positions: every i in [window, n−1]
     * (n = codepoint count) where the polynomial hash of the window-sized
     * codepoint run ending at i — left fold (acc·257 + cp) mod 1048573 —
@@ -140,6 +170,32 @@ case class CdcCuts(child: Expression, window: Int, divisor: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Locality-preserving perceptual-hash stub (see TextExprUtil.pHashStub). */
+case class PHashStub(child: Expression, slices: Int) extends UnaryExpression {
+  require(slices >= 1 && slices <= 15,
+    s"slices must be 1..15 (4 bits each in a 64-bit hash), got $slices")
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprUtil.pHashStub(input.asInstanceOf[UTF8String], slices)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.TextExprUtil.pHashStub($a, $slices);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused set-Jaccard of two string arrays — the candidate-pair scorer for
   * n-gram near-dup verification. Replaces the distinct/intersect/union
   * array-expression chain (three hash-set builds per row) with one kernel. */
@@ -178,4 +234,7 @@ object TextExpressions {
 
   def cdcCuts(text: Column, window: Int, divisor: Long): Column =
     ColumnBridge.column(CdcCuts(ColumnBridge.expression(text), window, divisor))
+
+  def pHashStub(text: Column, slices: Int = 15): Column =
+    ColumnBridge.column(PHashStub(ColumnBridge.expression(text), slices))
 }

@@ -189,6 +189,30 @@ object ModelQueries {
           round(col("n").cast(DoubleType) / col("tot"), 6).as("frac"))
     }),
 
+    // Perceptual-hash near-dup detection for media payloads (stub): the
+    // locality-preserving pHash stub (slice codepoint-sums — in-place
+    // edits touch only their slices; a real deployment computes DCT lows
+    // with the same 64-bit contract) feeds the EXISTING multi-index
+    // Hamming blocking (simhashCandidatesFromSigs) at radius 8. Planted
+    // near-copies overwrite the last 10 chars in place (same length →
+    // same slice boundaries → ≤ 2 slices differ). The oracle is the full
+    // quadratic Hamming join the blocking must reproduce exactly.
+    "q_multimodal_phash" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) > 0)
+      val planted = docs
+        .filter(col("doc_id") < 40 && length(col("text")) >= 40)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 10)"),
+            lit("x" * 10)).as("text"))
+      val sigs = docs.unionByName(planted)
+        .select(col("doc_id").as("id"),
+          graft.functions.expressions.TextExpressions
+            .pHashStub(col("text"), 15).as("sig"))
+      graft.functions.Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 8)
+    }),
+
     // Source vocabulary-overlap matrix: pairwise shared-distinct-token
     // counts + vocabulary Jaccard between corpus sources — the cheap
     // domain-similarity diagnostic before mixing decisions. The self-join
@@ -449,6 +473,31 @@ object ModelQueries {
         |  FROM scored)
         |SELECT ida AS vec_id, idb AS neighbor_id, cosine, rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_multimodal_phash" ->
+      """WITH d2 AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE length(text) > 0
+        |  UNION ALL
+        |  SELECT doc_id + 700000,
+        |    substring(text, 1, length(text) - 10) || repeat('x', 10)
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 40),
+        |lens AS (SELECT doc_id, text, length(text) AS n FROM d2 WHERE length(text) > 0),
+        |pos AS (
+        |  SELECT doc_id, n, text, unnest(generate_series(1, n)) AS p
+        |  FROM lens),
+        |cps AS (
+        |  SELECT doc_id, CAST(((p - 1) * 15) // n AS INTEGER) AS sl,
+        |    unicode(substring(text, CAST(p AS INTEGER), 1)) AS cp
+        |  FROM pos),
+        |sums AS (SELECT doc_id, sl, sum(cp) AS s FROM cps GROUP BY 1, 2),
+        |hashes AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum((s % 16) *
+        |    (CAST(1 AS BIGINT) << CAST(4 * sl AS INTEGER))) AS BIGINT) AS h
+        |  FROM sums GROUP BY 1)
+        |SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 8""".stripMargin,
 
     "q_source_overlap" ->
       """WITH v AS (

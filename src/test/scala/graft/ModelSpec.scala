@@ -236,6 +236,25 @@ class ModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maxGroupSize"))
   }
 
+  // -------------------------------------------------------------- pHash ---
+
+  test("pHash stub is locality-preserving under in-place edits") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ph(t: String): Long = graft.functions.expressions.TextExprUtil
+      .pHashStub(UTF8String.fromString(t), 15)
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = "abcdefghij" * 30 // 300 chars
+    // same length, last 10 chars overwritten → only the covering slices
+    // (≤ 2 of 15) can change → ≤ 8 bits
+    val edited = base.substring(0, 290) + ("z" * 10)
+    assert(ham(ph(base), ph(edited)) > 0)
+    assert(ham(ph(base), ph(edited)) <= 8)
+    // a single mid-string in-place edit: ≤ 1 slice → ≤ 4 bits
+    val mid = base.substring(0, 150) + "Q" + base.substring(151)
+    assert(ham(ph(base), ph(mid)) <= 4)
+    assert(ph("") == 0L)
+  }
+
   test("kneser-ney is partitioning-independent") {
     val df1 = knCorpus.toDF("id", "text").repartition(1)
     val df2 = knCorpus.toDF("id", "text").repartition(11)
