@@ -111,6 +111,51 @@ object Graph {
     Dedup.materializeAndFree(ranks, e, outDeg, edgesDeg, nodes, sinks)
   }
 
+  /** Exact per-node triangle counts — the clustering-coefficient /
+    * community-density primitive. Uses DEGREE-ORDERED edge orientation
+    * (the standard scale trick: every edge points from its lower-(degree,
+    * id) endpoint to the higher, so each triangle is enumerated exactly
+    * once from its lowest vertex and wedge fan-out is bounded by
+    * ORIENTED out-degree ≈ O(√m) on skewed graphs — a hub's wedges are
+    * generated by its low-degree neighbors, never the hub itself).
+    *
+    * Input treated as UNDIRECTED (canonicalized + deduplicated,
+    * self-loops dropped). Exact integer counts — engine-independent by
+    * construction; the triangle SET is orientation-independent, so an
+    * oracle may enumerate naively. Shuffles: the wedge self-join on the
+    * oriented source + the closing edge join, both key-partitioned.
+    * Returns (node, n_tri) for nodes in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    // orient toward the higher (deg, id); carry the head's rank for the
+    // wedge ordering below
+    val o = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    val wedges = o.select(col("u"), col("v"), col("dv"))
+      .join(o.select(col("u"), col("v").as("w"), col("dv").as("dw")), Seq("u"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+    val tri = wedges
+      .join(o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val result = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    Dedup.materializeAndFree(result, und)
+  }
+
   /** Personalized PageRank (the random surfer teleports to a SEED SET
     * instead of uniformly — "influence relative to these nodes", the
     * recommendation/expansion prior behind pixie-style systems and

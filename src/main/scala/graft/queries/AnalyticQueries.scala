@@ -169,6 +169,20 @@ object AnalyticQueries {
         seeds = Seq(1L, 2L, 3L), iterations = 6, iterPartitions = 8)
     }),
 
+    // Exact per-node triangle counts over the link graph — the community
+    // density / clustering-coefficient primitive, via degree-ordered
+    // orientation (each triangle enumerated once from its lowest-rank
+    // vertex; hub wedges generated by their low-degree neighbors). The
+    // triangle SET is orientation-independent, so the oracle enumerates
+    // naively — the engine must agree exactly.
+    "q_triangles" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+      graft.functions.Graph.triangleCounts(edges, "src", "dst")
+    }),
+
     // HITS hubs/authorities over the same harvested link graph — the
     // complementary link prior (directories vs referenced pages). L1
     // integer renormalization each half-step keeps everything exact
@@ -488,6 +502,24 @@ object AnalyticQueries {
 
     "q_pagerank" -> pageRankOracle(8),
     "q_ppr" -> pprOracle(6, Seq(1L, 2L, 3L)),
+    "q_triangles" ->
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS src,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges WHERE src <> dst),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY 1""".stripMargin,
     "q_hits" -> hitsOracle(6),
 
     "q_retention" ->

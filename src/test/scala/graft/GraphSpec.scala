@@ -96,6 +96,35 @@ class GraphSpec extends AnyFunSuite {
     nodes.map(v => v -> (h(v), a(v))).toMap
   }
 
+  /** Brute-force per-node triangle counts on an undirected edge set. */
+  private def triRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  test("triangleCounts matches brute force; direction/dup-edge independent") {
+    val rng = new scala.util.Random(11)
+    val edges = (0 until 120).map(_ =>
+      (rng.nextInt(14).toLong, rng.nextInt(14).toLong))
+    val want = triRef(edges)
+    assert(want.nonEmpty, "test graph should contain triangles")
+    // scrambled directions + duplicates must not change the counts
+    val noisy = edges ++ edges.take(30).map(_.swap)
+    val got = Graph.triangleCounts(
+      noisy.toDF("src", "dst").repartition(5), "src", "dst")
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.unpersist()
+    assert(gotMap == want)
+  }
+
   /** Sequential mirror of Graph.personalizedPageRank's arithmetic. */
   private def pprRef(edges: Seq[(Long, Long)], seeds: Seq[Long],
                      iters: Int): Map[Long, Long] = {
