@@ -156,6 +156,72 @@ object Graph {
     Dedup.materializeAndFree(result, und)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection by iterated neighbor-majority voting: every node starts as
+    * its own label and each round adopts the most frequent label among
+    * its neighbors, ties toward the LOWER label.
+    *
+    * The classic formulation updates asynchronously in random order —
+    * unusable for a deterministic engine. This is the SYNCHRONOUS
+    * variant: all nodes update from the same previous generation, so with
+    * the deterministic tie-break the round-k labeling is a pure function
+    * of the graph — engine/partitioning/order independent and unrollable
+    * in SQL. (Synchronous LPA can oscillate on bipartite structure;
+    * bounded iterations make that a feature to inspect, not a hang.)
+    *
+    * Scale shape: one label-join + one (node, label) count aggregate +
+    * one argmax aggregate per round over the flattened cached
+    * both-direction edge list; each generation is flattened +
+    * materialized before its predecessor is freed (the pageRank driver
+    * hygiene). EAGER; caller owns one `unpersist()`.
+    * Returns (node, community). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 4,
+                       iterPartitions: Int = 0): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    val spark = edges.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (iterPartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
+    try lpImpl(edges, srcCol, dstCol, iterations)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def lpImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                     iterations: Int): DataFrame = {
+    val und = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+        edges.select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .filter(col("a") =!= col("b")).distinct())
+      .persist(MEMORY_AND_DISK)
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    val nodes = dir.select(col("src").as("node")).distinct()
+      .persist(MEMORY_AND_DISK)
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .persist(MEMORY_AND_DISK)
+    labels.count()
+    (1 to iterations).foreach { _ =>
+      val votes = dir
+        .join(labels.select(col("node").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+      // argmax by (count desc, label asc): max(struct(n, −label)) — Long
+      // negation is exact
+      val updated = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+          votes.groupBy(col("node"))
+            .agg(max(struct(col("n").as("n"), (-col("lbl")).as("nl"))).as("m"))
+            .select(col("node"), (-col("m.nl")).as("lbl")))
+        .persist(MEMORY_AND_DISK)
+      updated.count()
+      labels.unpersist()
+      labels = updated
+    }
+    val result = labels.select(col("node"), col("lbl").as("community"))
+    Dedup.materializeAndFree(result, und, dir, nodes, labels)
+  }
+
   /** Personalized PageRank (the random surfer teleports to a SEED SET
     * instead of uniformly — "influence relative to these nodes", the
     * recommendation/expansion prior behind pixie-style systems and

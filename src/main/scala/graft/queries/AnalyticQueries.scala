@@ -183,6 +183,18 @@ object AnalyticQueries {
       graft.functions.Graph.triangleCounts(edges, "src", "dst")
     }),
 
+    // Synchronous label-propagation communities over the link graph —
+    // neighbor-majority voting with deterministic (count desc, label asc)
+    // tie-breaks; 4 rounds unrolled bit-exactly in the oracle.
+    "q_label_prop" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+      graft.functions.Graph.labelPropagation(edges, "src", "dst",
+        iterations = 4, iterPartitions = 8)
+    }),
+
     // HITS hubs/authorities over the same harvested link graph — the
     // complementary link prior (directories vs referenced pages). L1
     // integer renormalization each half-step keeps everything exact
@@ -412,6 +424,39 @@ object AnalyticQueries {
       s"\nSELECT node, r AS rank FROM r$iters"
   }
 
+  /** Unrolled synchronous label propagation, mirroring
+    * Graph.labelPropagation round for round. */
+  private def lpOracle(iters: Int): String = {
+    val head =
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS src,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges WHERE src <> dst),
+        |dir AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT src AS node FROM dir),
+        |l0 AS (SELECT node, node AS lbl FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT d.dst AS node, l.lbl, count(*) AS n
+         |  FROM dir d JOIN l${i - 1} l ON d.src = l.node
+         |  GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |      ORDER BY n DESC, lbl ASC) AS rn
+         |    FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, lbl AS community FROM l$iters"
+  }
+
   private def hitsOracle(iters: Int): String = {
     val head =
       """WITH edges AS MATERIALIZED (
@@ -502,6 +547,7 @@ object AnalyticQueries {
 
     "q_pagerank" -> pageRankOracle(8),
     "q_ppr" -> pprOracle(6, Seq(1L, 2L, 3L)),
+    "q_label_prop" -> lpOracle(4),
     "q_triangles" ->
       """WITH edges AS MATERIALIZED (
         |  SELECT DISTINCT user_id AS src,

@@ -125,6 +125,41 @@ class GraphSpec extends AnyFunSuite {
     assert(gotMap == want)
   }
 
+  /** Sequential mirror of Graph.labelPropagation (synchronous, ties to
+    * the lower label). */
+  private def lpRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var lbl = adj.keys.map(v => v -> v).toMap
+    (1 to iters).foreach { _ =>
+      lbl = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(lbl).view.mapValues(_.size).toMap
+        v -> counts.toSeq.maxBy { case (l, n) => (n, -l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation matches the sequential synchronous reference " +
+    "and separates two cliques") {
+    // two 4-cliques bridged by one edge
+    val cl1 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val cl2 = for (i <- 10L to 13L; j <- i + 1 to 13L) yield (i, j)
+    val edges = cl1 ++ cl2 ++ Seq((3L, 10L))
+    val got = Graph.labelPropagation(
+      (edges ++ edges.take(4).map(_.swap)).toDF("src", "dst").repartition(3),
+      "src", "dst", iterations = 4)
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.unpersist()
+    assert(gotMap == lpRef(edges, 4))
+    // the cliques converge to distinct communities
+    assert((0L to 3L).map(gotMap).toSet.size == 1)
+    assert((11L to 13L).map(gotMap).toSet.size == 1)
+    assert(gotMap(0L) != gotMap(13L))
+  }
+
   /** Sequential mirror of Graph.personalizedPageRank's arithmetic. */
   private def pprRef(edges: Seq[(Long, Long)], seeds: Seq[Long],
                      iters: Int): Map[Long, Long] = {
