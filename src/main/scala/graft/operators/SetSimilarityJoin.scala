@@ -120,4 +120,91 @@ object SetSimilarityJoin {
       .select(col("id_a"), col("id_b"), col("overlap"), col("jac"))
     Dedup.materializeAndFree(result, docs, pref)
   }
+
+  /** Exact thresholded set-CONTAINMENT join: all DIRECTED pairs
+    * (id_a, id_b, overlap, containment) with
+    * |set(A) ∩ set(B)| / |set(A)| ≥ threshold — "A is (mostly) inside B",
+    * the quote/excerpt/subset detector that Jaccard misses (a 50-token
+    * quote inside a 5000-token page has Jaccard ≈ 0.01 but containment 1).
+    *
+    * Asymmetric prefix principle: containment ≥ t needs overlap ≥ ⌈t·|A|⌉,
+    * so A's prefix of |A| − ⌈t·|A|⌉ + 1 rarest tokens (canonical df-asc
+    * order) must hit B — but B has NO size bound, so the PROBE side
+    * explodes only prefixes while the BUILD side indexes every token.
+    * Scale shape: the build shuffle is the full token stream keyed by
+    * 8-byte-hashable tokens (the inverted index — what a containment join
+    * fundamentally requires); probe volume is (1−t)·|A| rarest tokens;
+    * hot build postings above `maxBucketSize` REFUSE loudly. The PPJoin
+    * positional bound and the |B| ≥ t·|A| size filter prune candidates
+    * before exact verification; FP slack can only ADMIT, never drop.
+    *
+    * Determinism: overlap and |A| are exact integers, containment one IEEE
+    * division — bit-identical cross-engine. EAGER; caller owns one
+    * `unpersist()`. */
+  def containmentPairs(df: DataFrame, idCol: String, tokensCol: String,
+                       threshold: Double,
+                       maxBucketSize: Long = 100000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentPairs: threshold must be in (0, 1], got $threshold")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val docs = df
+      .select(col(idCol).as("__id"), array_distinct(col(tokensCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .persist(lvl)
+    val tok = docs.select(col("__id"), explode(col("__toks")).as("__t"))
+    val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val ordered = tok.join(dfreq, "__t")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("__t")))).as("__st"))
+      .select(col("__id"),
+        transform(col("__st"), s => s.getField("__t")).as("__ord"),
+        size(col("__st")).as("__n"))
+
+    // build side: the full inverted index with canonical positions
+    val full = ordered
+      .select(col("__id"), col("__n"), posexplode(col("__ord")))
+      .select(col("__id"), col("__n"), (col("pos") + 1).as("__p"),
+        col("col").as("__t"))
+      .persist(lvl)
+    val hot = full.groupBy("__t").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxBucketSize).limit(1).collect()
+    require(hot.isEmpty,
+      s"containmentPairs: posting list for '${hot.headOption
+        .map(_.getString(0)).getOrElse("")}' exceeds maxBucketSize=$maxBucketSize — " +
+        "drop corpus-wide stopwords/boilerplate tokens first or raise the " +
+        "cap explicitly")
+
+    // probe side: A's prefix only (robust length, clamped)
+    val prefLen = least(
+      col("__n") - floor(lit(threshold) * col("__n")).cast("int") + 1,
+      col("__n"))
+    val pref = ordered
+      .select(col("__id"), col("__n"),
+        posexplode(slice(col("__ord"), lit(1), prefLen)))
+      .select(col("__id").as("id_a"), col("__n").as("n_a"),
+        (col("pos") + 1).as("p_a"), col("col").as("__t"))
+
+    val alpha = ceil(lit(threshold) * col("n_a") - lit(1e-6))
+    val ubound = least(col("p_a") - 1, col("p_b") - 1) + 1 +
+      least(col("n_a") - col("p_a"), col("n_b") - col("p_b"))
+    val cands = pref
+      .join(full.select(col("__t"), col("__id").as("id_b"),
+        col("__n").as("n_b"), col("__p").as("p_b")), Seq("__t"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("n_b") >= lit(threshold) * col("n_a") - lit(1e-6))
+      .filter(ubound >= alpha)
+      .select("id_a", "id_b").distinct()
+
+    val ta = docs.select(col("__id").as("id_a"), col("__toks").as("__ta"))
+    val tb = docs.select(col("__id").as("id_b"), col("__toks").as("__tb"))
+    val result = cands
+      .join(ta.withColumn("n_a", size(col("__ta"))), Seq("id_a"))
+      .join(tb, Seq("id_b"))
+      .withColumn("overlap", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("containment", col("overlap").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("overlap"), col("containment"))
+    Dedup.materializeAndFree(result, docs, full)
+  }
 }

@@ -837,6 +837,26 @@ object PipelineQueries {
         .jaccardPairs(d, "doc_id", "toks", threshold = 0.95)
     }),
 
+    // Exact set-CONTAINMENT join at t = 0.9 — the quote/excerpt detector
+    // Jaccard misses (a short quote inside a long page): directed pairs
+    // where ≥ 90% of A's distinct tokens appear in B. Planted excerpts =
+    // the first half of 20 docs' tokens as new docs (containment 1.0 in
+    // their sources). The probe side explodes only each doc's rarest
+    // prefix; the build side is the full inverted index; the oracle is
+    // the full quadratic directed token join.
+    "q_containment" -> ((s, dir) => {
+      val base = star(s, dir, "documents").df.select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          expr("array_join(slice(split(trim(text), '\\\\s+'), 1, " +
+            "greatest(size(split(trim(text), '\\\\s+')) div 2, 1)), ' ')")
+            .as("text"))
+      val d = base.unionByName(planted)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      graft.operators.SetSimilarityJoin
+        .containmentPairs(d, "doc_id", "toks", threshold = 0.9)
+    }),
+
     // --- similarity search -------------------------------------------------
     // Brute-force cosine top-10 over the corpus plus ten PLANTED neighbors
     // at exactly-known Pythagorean cosines (see [[annTriples]]): the scan
@@ -1547,6 +1567,30 @@ object PipelineQueries {
     // The quadratic reference formulation the prefix-filtered engine must
     // match exactly: overlap from the full token self-join, jac as the
     // same single IEEE division, same >= 0.9 double comparison.
+    "q_containment" ->
+      """WITH d2 AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 800000,
+        |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'),
+        |      1, greatest(len(string_split_regex(trim(text), '\s+')) // 2, 1)),
+        |      ' ')
+        |  FROM documents WHERE doc_id < 20),
+        |t AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM d2)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+        |ov AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+        |  FROM t a JOIN t b ON a.token = b.token AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ov.id_a, ov.id_b, CAST(ov.overlap AS INTEGER) AS overlap,
+        |  CAST(ov.overlap AS DOUBLE) / sa.n AS containment
+        |FROM ov JOIN sz sa ON sa.doc_id = ov.id_a
+        |WHERE CAST(ov.overlap AS DOUBLE) / sa.n >= 0.9""".stripMargin,
+
     "q_setsim_join" ->
       """WITH tok AS (
         |  SELECT doc_id,

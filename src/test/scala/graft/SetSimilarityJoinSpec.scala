@@ -47,6 +47,46 @@ class SetSimilarityJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)), s"got $got") // 1-3: 8/10, 2-3: 8/9 — both < 0.9
   }
 
+
+  // ------------------------------------------------------- containment ---
+
+  private def bruteContain(rows: Seq[(Long, Seq[String])],
+                           t: Double): Set[(Long, Long, Int)] =
+    (for {
+      (ia, sa) <- rows.map { case (i, s) => (i, s.toSet) }
+      (ib, sb) <- rows.map { case (i, s) => (i, s.toSet) }
+      if ia != ib && sa.nonEmpty
+      ov = (sa intersect sb).size
+      if ov.toDouble / sa.size >= t
+    } yield (ia, ib, ov)).toSet
+
+  test("containment prefix filtering is complete vs brute force") {
+    val rng = new scala.util.Random(23)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val rows = (0L until 90L).map { i =>
+      val n = 4 + rng.nextInt(12)
+      val start = rng.nextInt(vocab.size - n)
+      (i, vocab.slice(start, start + n))
+    } ++ Seq((900L, vocab.slice(3, 9)), (901L, vocab.slice(0, 30))) // subset
+    for (t <- Seq(0.6, 0.9, 1.0)) {
+      val got = SetSimilarityJoin.containmentPairs(
+          rows.toDF("id", "toks").repartition(7), "id", "toks", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == bruteContain(rows, t),
+        s"t=$t missing=${bruteContain(rows, t) -- got} " +
+          s"extra=${got -- bruteContain(rows, t)}")
+    }
+  }
+
+  test("containment is asymmetric: the quote finds its page, not vice versa") {
+    val page = (0 until 100).map(i => s"p$i")
+    val rows = Seq((1L, page), (2L, page.slice(10, 20)))
+    val got = SetSimilarityJoin.containmentPairs(
+        rows.toDF("id", "toks"), "id", "toks", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got == Set((2L, 1L, 1.0)), s"got $got")
+  }
+
   test("result is partitioning independent") {
     val rows = (0L until 80L).map { i =>
       (i, (0 until 10).map(j => s"w${(i / 4 + j) % 25}"))
