@@ -156,6 +156,58 @@ object Graph {
     Dedup.materializeAndFree(result, und)
   }
 
+  /** Bounded-round k-core peeling (Seidman 1983's k-core by synchronous
+    * iteration): each round removes every node whose degree in the
+    * SURVIVING graph is < k, together with its edges. At the fixpoint the
+    * remainder is the k-core — the dense engagement/community skeleton;
+    * `rounds` caps the iteration like pageRank's (peeling converges in
+    * few rounds on real graphs; a fixed cap keeps the computation
+    * unrollable and the cost predictable — survivors after R rounds are
+    * a SUPERSET of the true k-core, shrinking toward it).
+    *
+    * Deterministic by construction (synchronous rounds, exact integer
+    * degrees). Scale shape: one degree aggregate + two semi-joins per
+    * round over the flattened cached edge generation; generations are
+    * flattened + materialized before freeing predecessors. EAGER; caller
+    * owns one `unpersist()`. Returns (node, deg) of survivors. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int = 4, iterPartitions: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val spark = edges.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (iterPartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
+    try kCoreImpl(edges, srcCol, dstCol, k, rounds)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def kCoreImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                        k: Int, rounds: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var live = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+        edges.select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .filter(col("a") =!= col("b")).distinct())
+      .persist(MEMORY_AND_DISK)
+    live.count()
+    (1 to rounds).foreach { _ =>
+      val keep = degrees(live).filter(col("deg") >= k)
+        .select(col("node"))
+      val next = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+          live.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+            .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+            .select(col("a"), col("b")))
+        .persist(MEMORY_AND_DISK)
+      next.count()
+      live.unpersist()
+      live = next
+    }
+    Dedup.materializeAndFree(degrees(live), live)
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection by iterated neighbor-majority voting: every node starts as
     * its own label and each round adopts the most frequent label among

@@ -183,6 +183,18 @@ object AnalyticQueries {
       graft.functions.Graph.triangleCounts(edges, "src", "dst")
     }),
 
+    // k-core skeleton of the link graph: 4 synchronous peeling rounds at
+    // k = 10 — survivors + their in-core degrees, bit-exact vs the
+    // unrolled oracle.
+    "q_kcore" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+      graft.functions.Graph.kCore(edges, "src", "dst", k = 10, rounds = 4,
+        iterPartitions = 8)
+    }),
+
     // Synchronous label-propagation communities over the link graph —
     // neighbor-majority voting with deterministic (count desc, label asc)
     // tie-breaks; 4 rounds unrolled bit-exactly in the oracle.
@@ -424,6 +436,34 @@ object AnalyticQueries {
       s"\nSELECT node, r AS rank FROM r$iters"
   }
 
+  /** Unrolled k-core peeling, mirroring Graph.kCore round for round. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS src,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges WHERE src <> dst)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e${i - 1}
+         |    UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY 1),
+         |k$i AS (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |    JOIN k$i x ON x.node = e.a JOIN k$i y ON y.node = e.b)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""\nSELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         |GROUP BY 1""".stripMargin
+  }
+
   /** Unrolled synchronous label propagation, mirroring
     * Graph.labelPropagation round for round. */
   private def lpOracle(iters: Int): String = {
@@ -548,6 +588,7 @@ object AnalyticQueries {
     "q_pagerank" -> pageRankOracle(8),
     "q_ppr" -> pprOracle(6, Seq(1L, 2L, 3L)),
     "q_label_prop" -> lpOracle(4),
+    "q_kcore" -> kcoreOracle(10, 4),
     "q_triangles" ->
       """WITH edges AS MATERIALIZED (
         |  SELECT DISTINCT user_id AS src,

@@ -125,6 +125,36 @@ class GraphSpec extends AnyFunSuite {
     assert(gotMap == want)
   }
 
+  /** Sequential mirror of Graph.kCore's bounded peeling. */
+  private def kCoreRef(edges: Seq[(Long, Long)], k: Int,
+                       rounds: Int): Map[Long, Long] = {
+    var und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    (1 to rounds).foreach { _ =>
+      val deg = und.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      und = und.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("kCore peels to the sequential reference (clique survives, tail dies)") {
+    // a 5-clique (deg 4 inside) plus a pendant chain that must peel away
+    val clique = for (i <- 0L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val edges = clique ++ chain
+    val got = Graph.kCore(
+      (edges ++ edges.take(3).map(_.swap)).toDF("src", "dst").repartition(3),
+      "src", "dst", k = 3, rounds = 4)
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.unpersist()
+    assert(gotMap == kCoreRef(edges, 3, 4))
+    assert(gotMap.keySet == Set(0L, 1L, 2L, 3L, 4L), s"got $gotMap")
+    assert(gotMap.values.forall(_ == 4L))
+  }
+
   /** Sequential mirror of Graph.labelPropagation (synchronous, ties to
     * the lower label). */
   private def lpRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
