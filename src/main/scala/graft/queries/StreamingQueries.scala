@@ -62,6 +62,24 @@ object StreamingQueries {
         EventStreams.streamingNearDup(stream, refBuckets))
     }),
 
+    // Streaming heavy hitters: the Misra-Gries sketch aggregates
+    // INCREMENTALLY over arriving documents (bounded O(capacity) state in
+    // the store — the point of a mergeable sketch). At capacity ≥
+    // vocabulary the sketch is exact and merge-order-independent, so the
+    // streamed top-20 equals the batch q_token_topk bit for bit and
+    // shares its oracle.
+    "q_stream_topk" -> ((s, dir) => {
+      val streamed = EventStreams.runToBatch(s,
+        EventStreams.readDocumentsStream(s, dir)
+          .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+          .agg(graft.functions.expressions.HeavyHitters
+            .approxTopK(col("tok"), 64).as("hh")))
+      streamed
+        .select(explode(col("hh")).as(Seq("token", "min_count")))
+        .orderBy(col("min_count").desc, col("token").asc)
+        .limit(20)
+    }),
+
     // Streaming model serving: documents arrive on a stream and are
     // classified against a Naive Bayes model trained batch-side on the
     // static corpus (pivoted counts stream-static-joined, one stateful
@@ -219,6 +237,9 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     // bit-for-bit batch parity with the batch classifier's oracle
     "q_stream_classify" -> ModelQueries.oracleSql("q_nb_classify"),
+
+    // exact-regime sketch: batch parity with q_token_topk's oracle
+    "q_stream_topk" -> PipelineQueries.oracleSql("q_token_topk"),
 
     "q_stream_anomaly" ->
       """WITH hourly AS (
