@@ -143,7 +143,8 @@ object SetSimilarityJoin {
     * `unpersist()`. */
   def containmentPairs(df: DataFrame, idCol: String, tokensCol: String,
                        threshold: Double,
-                       maxBucketSize: Long = 100000L): DataFrame = {
+                       maxBucketSize: Long = 100000L,
+                       maxJoinRows: Long = 50000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containmentPairs: threshold must be in (0, 1], got $threshold")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -167,8 +168,9 @@ object SetSimilarityJoin {
       .select(col("__id"), col("__n"), (col("pos") + 1).as("__p"),
         col("col").as("__t"))
       .persist(lvl)
-    val hot = full.groupBy("__t").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > maxBucketSize).limit(1).collect()
+    val fullCounts = full.groupBy("__t").agg(count(lit(1)).as("__c"))
+      .persist(lvl)
+    val hot = fullCounts.filter(col("__c") > maxBucketSize).limit(1).collect()
     require(hot.isEmpty,
       s"containmentPairs: posting list for '${hot.headOption
         .map(_.getString(0)).getOrElse("")}' exceeds maxBucketSize=$maxBucketSize — " +
@@ -184,6 +186,24 @@ object SetSimilarityJoin {
         posexplode(slice(col("__ord"), lit(1), prefLen)))
       .select(col("__id").as("id_a"), col("__n").as("n_a"),
         (col("pos") + 1).as("p_a"), col("col").as("__t"))
+
+    // Join-volume guard, estimated WITHOUT executing the join: Σ over
+    // probe-prefix occurrences of the matching posting-list length. On a
+    // corpus whose vocabulary is tiny relative to document count (e.g.
+    // template/word-soup data) the TRUE containment output is itself
+    // quadratic — found by the 1×/10× scale rehearsal, where a 30-token
+    // vocabulary made 5k docs produce 12.7M genuinely-contained pairs —
+    // and no filtering can shrink genuine output; refuse loudly instead
+    // of grinding.
+    val est = pref.join(fullCounts, Seq("__t"))
+      .agg(coalesce(sum(col("__c")), lit(0L))).head().getLong(0)
+    require(est <= maxJoinRows,
+      s"containmentPairs: estimated candidate join volume $est exceeds " +
+        s"maxJoinRows=$maxJoinRows — the corpus's vocabulary is small " +
+        "relative to its document count, so the genuine containment output " +
+        "is near-quadratic. Raise the threshold, pre-block the corpus " +
+        "(e.g. by near-dup cluster), or raise maxJoinRows explicitly")
+    fullCounts.unpersist(blocking = true)
 
     val alpha = ceil(lit(threshold) * col("n_a") - lit(1e-6))
     val ubound = least(col("p_a") - 1, col("p_b") - 1) + 1 +

@@ -837,16 +837,22 @@ object PipelineQueries {
         .jaccardPairs(d, "doc_id", "toks", threshold = 0.95)
     }),
 
-    // Exact set-CONTAINMENT join at t = 0.9 — the quote/excerpt detector
+    // Exact set-CONTAINMENT join at t = 0.98 — the quote/excerpt detector
     // Jaccard misses (a short quote inside a long page): directed pairs
-    // where ≥ 90% of A's distinct tokens appear in B. Planted excerpts =
+    // where ≥ 98% of A's distinct tokens appear in B. Planted excerpts =
     // the first half of 20 docs' tokens as new docs (containment 1.0 in
     // their sources). The probe side explodes only each doc's rarest
     // prefix; the build side is the full inverted index; the oracle is
     // the full quadratic directed token join.
     "q_containment" -> ((s, dir) => {
-      val base = star(s, dir, "documents").df.select(col("doc_id"), col("text"))
-      val planted = base.filter(col("doc_id") < 20)
+      // one language slice = the blocking key (containment across
+      // languages is meaningless anyway); the synthetic corpus's
+      // vocabulary does not scale with doc count, so unblocked
+      // containment output grows quadratically — the operator's
+      // maxJoinRows guard would refuse the full corpus at sf0.1
+      val base = star(s, dir, "documents").df
+        .filter(col("lang") === "en").select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 100)
         .select((col("doc_id") + 800000L).as("doc_id"),
           expr("array_join(slice(split(trim(text), '\\\\s+'), 1, " +
             "greatest(size(split(trim(text), '\\\\s+')) div 2, 1)), ' ')")
@@ -854,7 +860,7 @@ object PipelineQueries {
       val d = base.unionByName(planted)
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       graft.operators.SetSimilarityJoin
-        .containmentPairs(d, "doc_id", "toks", threshold = 0.9)
+        .containmentPairs(d, "doc_id", "toks", threshold = 0.98)
     }),
 
     // --- similarity search -------------------------------------------------
@@ -1016,6 +1022,27 @@ object PipelineQueries {
     "q_bm25_search" -> ((s, dir) =>
       Retrieval.bm25TopK(star(s, dir, "documents").df, "doc_id", "text",
         terms = Seq("spark", "vector", "join"), topK = 20)),
+
+    // Pseudo-relevance-feedback retrieval (Rocchio-style query expansion):
+    // BM25 top-10 for the seed terms → the 3 highest-total-tf non-seed
+    // tokens of those docs join the query → BM25 top-20 re-ranking. The
+    // driver holds only the expansion terms (k strings — the PRF control
+    // flow); every stage is the decimal-exact BM25 machinery, so the
+    // FINAL ranking after expansion hash-matches the two-stage SQL
+    // mirror, expansion selection included.
+    "q_prf_search" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val seeds = Seq("spark", "vector", "join")
+      val top1 = Retrieval.bm25TopK(docs, "doc_id", "text", seeds, topK = 10)
+        .select("doc_id")
+      val expansion = docs.join(top1, Seq("doc_id"))
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .filter(!col("token").isInCollection(seeds))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token").asc).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      Retrieval.bm25TopK(docs, "doc_id", "text", seeds ++ expansion, topK = 20)
+    }),
 
     // DSIR importance weights: every document scored by its mean per-token
     // log-likelihood ratio under the English-documents distribution vs the
@@ -1568,14 +1595,15 @@ object PipelineQueries {
     // match exactly: overlap from the full token self-join, jac as the
     // same single IEEE division, same >= 0.9 double comparison.
     "q_containment" ->
-      """WITH d2 AS MATERIALIZED (
-        |  SELECT doc_id, text FROM documents
+      """WITH en AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        |d2 AS MATERIALIZED (
+        |  SELECT doc_id, text FROM en
         |  UNION ALL
         |  SELECT doc_id + 800000,
         |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'),
         |      1, greatest(len(string_split_regex(trim(text), '\s+')) // 2, 1)),
         |      ' ')
-        |  FROM documents WHERE doc_id < 20),
+        |  FROM en WHERE doc_id < 100),
         |t AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, token FROM (
         |    SELECT doc_id,
@@ -1589,7 +1617,7 @@ object PipelineQueries {
         |SELECT ov.id_a, ov.id_b, CAST(ov.overlap AS INTEGER) AS overlap,
         |  CAST(ov.overlap AS DOUBLE) / sa.n AS containment
         |FROM ov JOIN sz sa ON sa.doc_id = ov.id_a
-        |WHERE CAST(ov.overlap AS DOUBLE) / sa.n >= 0.9""".stripMargin,
+        |WHERE CAST(ov.overlap AS DOUBLE) / sa.n >= 0.98""".stripMargin,
 
     "q_setsim_join" ->
       """WITH tok AS (
@@ -2219,6 +2247,67 @@ object PipelineQueries {
     // produced (idf's ln argument, the k1+1 product, the length
     // normalization), idf and contributions rounded to 6 decimals, decimal
     // per-doc sums.
+    "q_prf_search" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM lens),
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id, dl,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM (SELECT d.doc_id, d.text, l.dl
+        |        FROM documents d JOIN lens l USING (doc_id))),
+        |post1 AS (
+        |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+        |  FROM toks WHERE token IN ('spark', 'vector', 'join')
+        |  GROUP BY doc_id, token),
+        |idf1 AS (
+        |  SELECT token,
+        |    round(ln((CAST(s.n AS DOUBLE) - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6) AS idf
+        |  FROM (SELECT token, count(*) AS dfreq FROM post1 GROUP BY token), stats s),
+        |top1 AS (
+        |  SELECT p.doc_id,
+        |    round(CAST(sum(CAST(round(
+        |        i.idf * (p.tf * (1.2 + 1.0)) /
+        |          (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * p.dl) / s.avgdl)),
+        |        6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS score
+        |  FROM post1 p JOIN idf1 i USING (token), stats s
+        |  GROUP BY p.doc_id
+        |  ORDER BY score DESC, doc_id ASC
+        |  LIMIT 10),
+        |exptok AS (
+        |  SELECT token FROM (
+        |    SELECT t.token, count(*) AS tf,
+        |      row_number() OVER (ORDER BY count(*) DESC, t.token ASC) AS rn
+        |    FROM toks t JOIN top1 USING (doc_id)
+        |    WHERE t.token NOT IN ('spark', 'vector', 'join')
+        |    GROUP BY t.token)
+        |  WHERE rn <= 3),
+        |terms AS (
+        |  SELECT unnest(['spark', 'vector', 'join']) AS token
+        |  UNION ALL SELECT token FROM exptok),
+        |post2 AS (
+        |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+        |  FROM toks WHERE token IN (SELECT token FROM terms)
+        |  GROUP BY doc_id, token),
+        |idf2 AS (
+        |  SELECT token,
+        |    round(ln((CAST(s.n AS DOUBLE) - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6) AS idf
+        |  FROM (SELECT token, count(*) AS dfreq FROM post2 GROUP BY token), stats s)
+        |SELECT p.doc_id,
+        |  count(*) AS n_terms,
+        |  round(CAST(sum(CAST(round(
+        |      i.idf * (p.tf * (1.2 + 1.0)) /
+        |        (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * p.dl) / s.avgdl)),
+        |      6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS score
+        |FROM post2 p JOIN idf2 i USING (token), stats s
+        |GROUP BY p.doc_id
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+
     "q_bm25_search" ->
       """WITH lens AS (
         |  SELECT doc_id,

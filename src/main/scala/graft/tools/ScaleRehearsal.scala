@@ -243,6 +243,36 @@ object ScaleRehearsal {
         r.unpersist(blocking = true)
       }
       sweep()
+      // 7. graph + containment operators: triangles (degree-oriented
+      //    wedges), label propagation and containment-join volumes grow
+      //    with the data; the doc-token graph edge count scales linearly.
+      t(s"triangleCounts doc-token graph (mult=$mult)") {
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+          .select(col("src"), pmod(xxhash64(col("tok")), lit(2000L)).as("dst"))
+        val r = graft.functions.Graph.triangleCounts(edges, "src", "dst")
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      t(s"labelPropagation 4 rounds (mult=$mult)") {
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+          .select(col("src"), pmod(xxhash64(col("tok")), lit(10000L)).as("dst"))
+        val r = graft.functions.Graph.labelPropagation(edges, "src", "dst",
+          iterations = 4)
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      // containmentPairs is deliberately NOT rehearsed on this corpus: its
+      // ~30-token vocabulary makes the TRUE containment output quadratic
+      // (measured: 12.7M genuine pairs from 5k docs at t=0.9 — 1.3B at
+      // 10×). That finding became the operator's maxJoinRows guard; the
+      // driver query runs it on the real corpus, whose vocabulary scales
+      // with the data.
       t(s"pageRank 8 iters on doc-token graph (mult=$mult)") {
         // a text-derived bipartite-ish graph: doc -> hash-bucketed token
         val edges = docs

@@ -87,6 +87,19 @@ class SetSimilarityJoinSpec extends AnyFunSuite {
     assert(got == Set((2L, 1L, 1.0)), s"got $got")
   }
 
+
+  test("containment refuses near-quadratic join volume loudly") {
+    // tiny vocabulary relative to doc count: genuine containment output
+    // is near-quadratic — the maxJoinRows guard must refuse, not grind
+    val vocab = (0 until 6).map(i => s"v$i")
+    val rows = (0L until 50L).map(i => (i, vocab.drop((i % 3).toInt)))
+    val e = intercept[IllegalArgumentException] {
+      SetSimilarityJoin.containmentPairs(
+        rows.toDF("id", "toks"), "id", "toks", 0.9, maxJoinRows = 50L)
+    }
+    assert(e.getMessage.contains("maxJoinRows"))
+  }
+
   test("result is partitioning independent") {
     val rows = (0L until 80L).map { i =>
       (i, (0 until 10).map(j => s"w${(i / 4 + j) % 25}"))
