@@ -213,6 +213,25 @@ object ModelQueries {
       graft.functions.Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 8)
     }),
 
+    // Per-source duplication report: exact-duplicate rate and byte
+    // overhead per source — the first diagnostic run on any new crawl
+    // slice. Shuffles carry (source, md5) hashes, never text; one rounded
+    // division per source.
+    "q_dedup_rate" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val perFp = docs
+        .groupBy(col("source"), md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("k"), min(length(col("text"))).as("len"))
+      perFp.groupBy(col("source"))
+        .agg(sum(col("k")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          sum((col("k") - 1) * col("len")).as("dup_chars"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs"),
+            6).as("dup_rate"),
+          col("dup_chars"))
+    }),
+
     // Source vocabulary-overlap matrix: pairwise shared-distinct-token
     // counts + vocabulary Jaccard between corpus sources — the cheap
     // domain-similarity diagnostic before mixing decisions. The self-join
@@ -498,6 +517,18 @@ object ModelQueries {
         |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
         |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 8""".stripMargin,
+
+    "q_dedup_rate" ->
+      """WITH perfp AS (
+        |  SELECT source, md5(text) AS fp, count(*) AS k,
+        |    min(length(text)) AS len
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(k) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(k) AS BIGINT), 6)
+        |    AS dup_rate,
+        |  CAST(sum((k - 1) * len) AS BIGINT) AS dup_chars
+        |FROM perfp GROUP BY source""".stripMargin,
 
     "q_source_overlap" ->
       """WITH v AS (
