@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.queries.{AnalyticQueries, ModelQueries, PipelineQueries, RelationalQueries, StreamingQueries}
+import graft.queries.{AnalyticQueries, ModelQueries, PipelineQueries, RelationalQueries, SketchQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries ++ StreamingQueries.queries ++ AnalyticQueries.queries ++ ModelQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++ StreamingQueries.queries ++ AnalyticQueries.queries ++ ModelQueries.queries ++ SketchQueries.queries
 
   /** Queries whose first invocation per dataset performs a one-time index
     * build (memoized on disk). The bench executes these once untimed at the
@@ -36,5 +36,5 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (engine-specific hash signatures, seeded LSH) → rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++ StreamingQueries.oracleSql ++ AnalyticQueries.oracleSql ++ ModelQueries.oracleSql
+    RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++ StreamingQueries.oracleSql ++ AnalyticQueries.oracleSql ++ ModelQueries.oracleSql ++ SketchQueries.oracleSql
 }
