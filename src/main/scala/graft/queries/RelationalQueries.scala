@@ -363,7 +363,28 @@ object RelationalQueries {
       star(s, dir, "events").df
         .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
         .groupBy(col("event_type"))
-        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n")))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))),
+
+    // Declarative data-quality validation (the Deequ shape): 5 row-level
+    // rules fold into ONE scan of lineitem (each a counter in the same
+    // map-side-combined aggregate); uniqueness is one key-only groupBy;
+    // referential integrity one broadcast anti-join against orders keys.
+    // The report (rule, col_name, n_rows, n_violations, passed) is exact
+    // integer counting, mirrored rule for rule.
+    "q_validate" -> ((s, dir) => {
+      import graft.functions.Validation._
+      val li = star(s, dir, "lineitem").df
+      val orders = star(s, dir, "orders").df
+      check(li, Seq(
+        NotNull("l_orderkey"),
+        InRange("l_discount", 0.0, 0.1),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        MatchesRegex("l_linestatus", "^[OF]$"),
+        Satisfies("l_extendedprice_pos", col("l_extendedprice") > 0),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_orderkey", orders, "o_orderkey")))
+        .withColumnRenamed("column", "col_name")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -562,6 +583,56 @@ object RelationalQueries {
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_validate" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+        |SELECT 'not_null' AS rule, 'l_orderkey' AS col_name, n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey IS NULL) AS n_violations,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) = 0 AS passed
+        |FROM n
+        |UNION ALL
+        |SELECT 'in_range', 'l_discount', n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE NOT
+        |    (l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.1)),
+        |  (SELECT count(*) FROM lineitem WHERE NOT
+        |    (l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.1)) = 0
+        |FROM n
+        |UNION ALL
+        |SELECT 'in_set', 'l_returnflag', n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE NOT
+        |    (l_returnflag IS NOT NULL AND l_returnflag IN ('A', 'N', 'R'))),
+        |  (SELECT count(*) FROM lineitem WHERE NOT
+        |    (l_returnflag IS NOT NULL AND l_returnflag IN ('A', 'N', 'R'))) = 0
+        |FROM n
+        |UNION ALL
+        |SELECT 'matches', 'l_linestatus', n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE NOT
+        |    (l_linestatus IS NOT NULL AND regexp_matches(l_linestatus, '^[OF]$'))),
+        |  (SELECT count(*) FROM lineitem WHERE NOT
+        |    (l_linestatus IS NOT NULL AND regexp_matches(l_linestatus, '^[OF]$'))) = 0
+        |FROM n
+        |UNION ALL
+        |SELECT 'satisfies', 'l_extendedprice_pos', n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE NOT
+        |    coalesce(l_extendedprice > 0, FALSE)),
+        |  (SELECT count(*) FROM lineitem WHERE NOT
+        |    coalesce(l_extendedprice > 0, FALSE)) = 0
+        |FROM n
+        |UNION ALL
+        |SELECT 'unique', 'l_orderkey,l_linenumber', n.n_rows,
+        |  n.n_rows - (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+        |  n.n_rows = (SELECT count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        |FROM n
+        |UNION ALL
+        |SELECT 'ref_integrity', 'l_orderkey', n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+        |FROM n""".stripMargin
   )
 }

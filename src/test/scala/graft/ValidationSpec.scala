@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Validation
+import graft.functions.Validation._
+
+class ValidationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some(5.0), "A", "ok"),
+    (2L, Some(50.0), "B", "ok"),   // in_range + in_set violations
+    (3L, None, "A", "bad!"),       // null range violation + regex violation
+    (3L, Some(1.0), "A", "ok")     // duplicate id
+  ).toDF("id", "x", "flag", "tag")
+
+  test("each rule counts its planted violations") {
+    val ref = Seq(1L, 2L).toDF("k")
+    val rep = Validation.check(df, Seq(
+      NotNull("x"),
+      InRange("x", 0.0, 10.0),
+      InSet("flag", Seq("A")),
+      MatchesRegex("tag", "^[a-z]+$"),
+      Satisfies("id_pos", col("id") > 0),
+      Unique(Seq("id")),
+      RefIntegrity("id", ref, "k")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val byRule = rep.map(r => r._1 -> r).toMap
+    assert(byRule("not_null") == (("not_null", "x", 4L, 1L, false)))
+    assert(byRule("in_range") == (("in_range", "x", 4L, 2L, false))) // 50.0 + null
+    assert(byRule("in_set") == (("in_set", "flag", 4L, 1L, false)))
+    assert(byRule("matches") == (("matches", "tag", 4L, 1L, false)))
+    assert(byRule("satisfies") == (("satisfies", "id_pos", 4L, 0L, true)))
+    assert(byRule("unique") == (("unique", "id", 4L, 1L, false))) // one extra 3
+    assert(byRule("ref_integrity") == (("ref_integrity", "id", 4L, 2L, false)))
+  }
+
+  test("all-green report on clean data") {
+    val rep = Validation.check(df.filter(col("id") === 1L), Seq(
+      NotNull("x"), InRange("x", 0.0, 10.0), Unique(Seq("id"))))
+      .collect()
+    assert(rep.length == 3 && rep.forall(_.getBoolean(4)))
+  }
+
+  test("row-level rules share ONE scan") {
+    val rep = Validation.check(df, Seq(
+      NotNull("x"), InRange("x", 0.0, 10.0), InSet("flag", Seq("A", "B")),
+      MatchesRegex("tag", "^[a-z]+$")))
+    val plan = rep.queryExecution.optimizedPlan.toString
+    // 4 row-level rules → 4 report rows exploded off ONE aggregate over
+    // ONE scan — no per-rule re-execution of the input
+    val scans = "LocalRelation|LogicalRDD".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one shared scan, got plan:\n$plan")
+    val aggs = "Aggregate".r.findAllIn(plan).length
+    assert(aggs == 1, s"expected one aggregate, got:\n$plan")
+  }
+
+  test("empty rule classes don't break the union") {
+    val rep = Validation.check(df, Seq(Unique(Seq("id"))))
+    assert(rep.collect().length == 1)
+  }
+}
