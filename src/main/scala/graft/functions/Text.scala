@@ -544,4 +544,51 @@ object Text {
       .orderBy(col("wsum").desc, col("w1").asc, col("w2").asc)
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  // -------------------------------------------------- C4 heuristic filters
+
+  /** C4-style document filters (Raffel et al. 2020 §2.2, public method):
+    * boilerplate/code markers (curly brace, "lorem ipsum", "javascript")
+    * and a minimum terminal-punctuation sentence count. Each flag is one
+    * codegen'd contains/regex; `passes` is their conjunction. Returns a
+    * struct (n_sentences, has_brace, has_lorem, has_js, passes). */
+  def c4Flags(text: Column, minSentences: Int = 3): Column = {
+    val nSent = size(regexp_extract_all(text, lit("[.!?]"), lit(0))).cast("long")
+    val brace = text.contains("{")
+    val lorem = lower(text).contains("lorem ipsum")
+    val js = lower(text).contains("javascript")
+    struct(nSent.as("n_sentences"), brace.as("has_brace"),
+      lorem.as("has_lorem"), js.as("has_js"),
+      (!brace && !lorem && !js && nSent >= minSentences).as("passes"))
+  }
+
+  // -------------------------------------------------- readability scoring
+
+  /** Flesch reading-ease + Flesch-Kincaid grade (Kincaid et al. 1975,
+    * public formulas) from three exact counts — words (whitespace tokens),
+    * sentences (terminal-punctuation runs, floored at 1), syllables (vowel
+    * groups, the standard cheap approximation). Each score is ONE rounded
+    * IEEE chain over the integer counts, so real-corpus readability
+    * rankings hash-match across engines. */
+  def fleschScores(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val sRaw = size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("double")
+    val s = greatest(sRaw, lit(1.0))
+    val syl = size(regexp_extract_all(text, lit("[AEIOUYaeiouy]+"), lit(0)))
+      .cast("double")
+    val wSafe = greatest(w, lit(1.0))
+    // 4-dp quantization via floor(x·10⁴ + 0.5)/10⁴ rather than round():
+    // readability chains land EXACTLY on .xxxx5 ties (small power-of-two
+    // denominators × short decimal constants), where Java's exact-decimal
+    // rounding and a scaled-double round() disagree — the floor chain is
+    // the same IEEE ops in any engine, so it is bit-identical by
+    // construction, tie or no tie.
+    def q4(x: Column): Column = floor(x * 10000.0 + 0.5).cast("double") / 10000.0
+    val fre = q4(lit(206.835) - lit(1.015) * (w / s) -
+      lit(84.6) * (syl / wSafe))
+    val fk = q4(lit(0.39) * (w / s) + lit(11.8) * (syl / wSafe) -
+      lit(15.59))
+    struct(w.cast("long").as("n_words"), sRaw.cast("long").as("n_sentences"),
+      syl.cast("long").as("n_syllables"), fre.as("fre"), fk.as("fk_grade"))
+  }
 }

@@ -358,6 +358,59 @@ object AnalyticQueries {
           (abs(col("apx") - col("n_parts")).cast(DoubleType) <=
             col("n_parts").cast(DoubleType) * 0.10).as("hll_ok"),
           (col("apx_med") >= col("p45") && col("apx_med") <= col("p55")).as("med_ok"))
+    }),
+
+    // Pearson correlation matrix over the 4 lineitem measures: ALL 15
+    // sufficient statistics (4 sums, 4 sums of squares, 6 cross-products,
+    // count) ride ONE map-side-combined aggregate pass as exact decimals
+    // of integer cents (the q_regr_slope scheme, matrix-sized); each of
+    // the 6 pair correlations is one rounded IEEE chain off the single
+    // stats row, exploded — a 100 TB correlation matrix is one scan,
+    // shuffling 15 numbers per partition.
+    "q_corr_matrix" -> ((s, dir) => {
+      val cents = (c: org.apache.spark.sql.Column) =>
+        round(c * 100).cast(DecimalType(38, 0))
+      val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+        "l_discount" -> "d", "l_tax" -> "x")
+      val t = star(s, dir, "lineitem").df
+        .select(cols.map { case (n, a) => cents(col(n)).as(a) }: _*)
+      val sums =
+        cols.map { case (_, a) => sum(col(a)).as(s"s_$a") } ++
+        cols.map { case (_, a) => sum(col(a) * col(a)).as(s"s_${a}${a}") } ++
+        cols.combinations(2).map { case Seq((_, a), (_, b)) =>
+          sum(col(a) * col(b)).as(s"s_$a$b") }.toSeq
+      val g = t.agg(count(lit(1)).as("n"), sums: _*)
+      def corrOf(a: String, b: String) = round(
+        (col("n") * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b")).cast(DoubleType) /
+          sqrt((col("n") * col(s"s_$a$a") - col(s"s_$a") * col(s"s_$a")).cast(DoubleType) *
+               (col("n") * col(s"s_$b$b") - col(s"s_$b") * col(s"s_$b")).cast(DoubleType)), 6)
+      val entries = array(cols.combinations(2).map { case Seq((na, a), (nb, b)) =>
+        struct(lit(na).as("col_x"), lit(nb).as("col_y"),
+          col("n").as("n"), corrOf(a, b).as("corr"))
+      }.toSeq: _*)
+      g.select(explode(entries).as("__e"))
+        .select(col("__e.col_x").as("col_x"), col("__e.col_y").as("col_y"),
+          col("__e.n").as("n"), col("__e.corr").as("corr"))
+    }),
+
+    // Equi-width histogram of l_extendedprice in 20 bins: min/max from one
+    // tiny aggregate broadcast back, bin assignment a pure projection, one
+    // count aggregate — two scans total, no sort, no window. Bin bounds
+    // are part of the checked output.
+    "q_histogram" -> ((s, dir) => {
+      val li = star(s, dir, "lineitem").df
+      val mm = li.agg(min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      li.crossJoin(broadcast(mm))
+        .select(least(floor((col("l_extendedprice") - col("mn")) * 20.0 /
+            (col("mx") - col("mn"))), lit(19.0)).cast(LongType).as("bin"),
+          col("mn"), col("mx"))
+        .groupBy(col("bin"), col("mn"), col("mx"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"),
+          round(col("mn") + col("bin") * (col("mx") - col("mn")) / 20.0, 4).as("lo"),
+          round(col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / 20.0, 4).as("hi"),
+          col("n"))
     })
   )
 
@@ -705,6 +758,65 @@ object AnalyticQueries {
         |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
         |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
         |        CAST(n * sxx - sx * sx AS DOUBLE) / 100, 6) AS intercept
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH t AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS x
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |    sum(q) AS s_q, sum(e) AS s_e, sum(d) AS s_d, sum(x) AS s_x,
+        |    sum(q*q) AS s_qq, sum(e*e) AS s_ee, sum(d*d) AS s_dd,
+        |    sum(x*x) AS s_xx, sum(q*e) AS s_qe, sum(q*d) AS s_qd,
+        |    sum(q*x) AS s_qx, sum(e*d) AS s_ed, sum(e*x) AS s_ex,
+        |    sum(d*x) AS s_dx
+        |  FROM t)
+        |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+        |  round(CAST(n*s_qe - s_q*s_e AS DOUBLE) /
+        |    sqrt(CAST(n*s_qq - s_q*s_q AS DOUBLE) *
+        |         CAST(n*s_ee - s_e*s_e AS DOUBLE)), 6) AS corr FROM g
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount', n,
+        |  round(CAST(n*s_qd - s_q*s_d AS DOUBLE) /
+        |    sqrt(CAST(n*s_qq - s_q*s_q AS DOUBLE) *
+        |         CAST(n*s_dd - s_d*s_d AS DOUBLE)), 6) FROM g
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_tax', n,
+        |  round(CAST(n*s_qx - s_q*s_x AS DOUBLE) /
+        |    sqrt(CAST(n*s_qq - s_q*s_q AS DOUBLE) *
+        |         CAST(n*s_xx - s_x*s_x AS DOUBLE)), 6) FROM g
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount', n,
+        |  round(CAST(n*s_ed - s_e*s_d AS DOUBLE) /
+        |    sqrt(CAST(n*s_ee - s_e*s_e AS DOUBLE) *
+        |         CAST(n*s_dd - s_d*s_d AS DOUBLE)), 6) FROM g
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_tax', n,
+        |  round(CAST(n*s_ex - s_e*s_x AS DOUBLE) /
+        |    sqrt(CAST(n*s_ee - s_e*s_e AS DOUBLE) *
+        |         CAST(n*s_xx - s_x*s_x AS DOUBLE)), 6) FROM g
+        |UNION ALL
+        |SELECT 'l_discount', 'l_tax', n,
+        |  round(CAST(n*s_dx - s_d*s_x AS DOUBLE) /
+        |    sqrt(CAST(n*s_dd - s_d*s_d AS DOUBLE) *
+        |         CAST(n*s_xx - s_x*s_x AS DOUBLE)), 6) FROM g""".stripMargin,
+
+    "q_histogram" ->
+      """WITH mm AS (
+        |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(least(floor((l_extendedprice - mn) * 20.0 / (mx - mn)),
+        |    19.0) AS BIGINT) AS bin, mn, mx
+        |  FROM lineitem, mm)
+        |SELECT bin,
+        |  round(mn + bin * (mx - mn) / 20.0, 4) AS lo,
+        |  round(mn + (bin + 1) * (mx - mn) / 20.0, 4) AS hi,
+        |  count(*) AS n
+        |FROM b GROUP BY bin, mn, mx""".stripMargin
   )
 }

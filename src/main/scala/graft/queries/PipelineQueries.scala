@@ -18,6 +18,33 @@ object PipelineQueries {
 
   val enStop: Seq[String] = Seq("the", "a")
 
+  /** Deterministic sentence-ified corpus view for the C4/readability
+    * queries: the raw corpus has no punctuation, so both engines build the
+    * same structured input — a '.' after every 12th token, plus
+    * brace/lorem/javascript markers planted by doc_id residue. */
+  private def sentenced: org.apache.spark.sql.Column = {
+    val s1 = regexp_replace(col("text"), "((?:\\S+\\s+){11}\\S+)\\s+", "$1. ")
+    val s2 = when(col("doc_id") % 13 === 0, concat(s1, lit(" { footer }")))
+      .otherwise(s1)
+    val s3 = when(col("doc_id") % 17 === 0, concat(s2, lit(" Lorem ipsum dolor")))
+      .otherwise(s2)
+    when(col("doc_id") % 19 === 0, concat(s3, lit(" enable javascript to continue")))
+      .otherwise(s3)
+  }
+
+  /** DuckDB mirror of [[sentenced]] as a CTE over `documents`. */
+  private val sentencedSql: String =
+    """sview AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 19 = 0 THEN s3 || ' enable javascript to continue' ELSE s3 END AS t
+      |  FROM (
+      |    SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN s2 || ' Lorem ipsum dolor' ELSE s2 END AS s3
+      |    FROM (
+      |      SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN s1 || ' { footer }' ELSE s1 END AS s2
+      |      FROM (
+      |        SELECT doc_id,
+      |          regexp_replace(text, '((?:\S+\s+){11}\S+)\s+', '\1. ', 'g') AS s1
+      |        FROM documents))))""".stripMargin
+
   /** Build-once-per-dataset LSH index under the JVM temp dir, keyed by the
     * source directory and a variant marker (testdata is immutable within a
     * run). The parquet `_SUCCESS` marker gates the rebuild, so Verify and
@@ -416,6 +443,38 @@ object PipelineQueries {
           round(col("g.alpha_frac"), 6).as("alpha_frac"),
           col("g.n_stop").as("n_stop"),
           col("g.passes").cast(IntegerType).as("passes"))),
+
+    // C4 heuristic filters (Raffel et al. 2020 §2.2). The corpus has no
+    // punctuation, so the checked input is a DETERMINISTIC sentence-ified
+    // construction both engines build identically (the planted-construction
+    // pattern): a '.' after every 12th token, plus brace / lorem-ipsum /
+    // javascript markers planted by doc_id residue — the filters then
+    // split the corpus meaningfully and every flag is hash-checked.
+    "q_doc_c4" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      docs.select(col("doc_id"), sentenced.as("t"))
+        .select(col("doc_id"), graft.functions.Text.c4Flags(col("t")).as("c"))
+        .select(col("doc_id"),
+          col("c.n_sentences").as("n_sentences"),
+          col("c.has_brace").cast(IntegerType).as("has_brace"),
+          col("c.has_lorem").cast(IntegerType).as("has_lorem"),
+          col("c.has_js").cast(IntegerType).as("has_js"),
+          col("c.passes").cast(IntegerType).as("passes"))
+    }),
+
+    // Flesch reading-ease / FK grade over the same sentence-ified
+    // construction: three exact counts (words, sentence-punctuation runs,
+    // vowel-group syllables) and one rounded IEEE chain per score — the
+    // cheap readability signal used in quality mixes.
+    "q_doc_readability" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      docs.select(col("doc_id"), sentenced.as("t"))
+        .select(col("doc_id"), graft.functions.Text.fleschScores(col("t")).as("f"))
+        .select(col("doc_id"), col("f.n_words").as("n_words"),
+          col("f.n_sentences").as("n_sentences"),
+          col("f.n_syllables").as("n_syllables"),
+          col("f.fre").as("fre"), col("f.fk_grade").as("fk_grade"))
+    }),
 
     // URL canonicalization for web-corpus dedup keys: synthetic URLs built
     // from doc attributes (the corpus has no URL column), normalized by the
@@ -1262,6 +1321,39 @@ object PipelineQueries {
         |    THEN 1 ELSE 0 END AS INT) AS passes
         |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
         |      FROM documents)""".stripMargin,
+
+    "q_doc_c4" -> {
+      s"""WITH $sentencedSql
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '[.!?]')) AS BIGINT) AS n_sentences,
+         |  CAST(CASE WHEN contains(t, '{') THEN 1 ELSE 0 END AS INT) AS has_brace,
+         |  CAST(CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END AS INT) AS has_lorem,
+         |  CAST(CASE WHEN contains(lower(t), 'javascript') THEN 1 ELSE 0 END AS INT) AS has_js,
+         |  CAST(CASE WHEN NOT contains(t, '{')
+         |    AND NOT contains(lower(t), 'lorem ipsum')
+         |    AND NOT contains(lower(t), 'javascript')
+         |    AND len(regexp_extract_all(t, '[.!?]')) >= 3
+         |    THEN 1 ELSE 0 END AS INT) AS passes
+         |FROM sview""".stripMargin
+    },
+
+    "q_doc_readability" -> {
+      s"""WITH $sentencedSql,
+         |cnt AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(t), '\\s+')) AS DOUBLE) AS w,
+         |    CAST(len(regexp_extract_all(t, '[.!?]+')) AS DOUBLE) AS sr,
+         |    CAST(len(regexp_extract_all(t, '[AEIOUYaeiouy]+')) AS DOUBLE) AS syl
+         |  FROM sview)
+         |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+         |  CAST(sr AS BIGINT) AS n_sentences, CAST(syl AS BIGINT) AS n_syllables,
+         |  CAST(floor((206.835 - 1.015 * (w / greatest(sr, 1.0))
+         |    - 84.6 * (syl / greatest(w, 1.0))) * 10000.0 + 0.5) AS DOUBLE)
+         |    / 10000.0 AS fre,
+         |  CAST(floor((0.39 * (w / greatest(sr, 1.0)) + 11.8 * (syl / greatest(w, 1.0))
+         |    - 15.59) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS fk_grade
+         |FROM cnt""".stripMargin
+    },
 
     "q_url_canonical" ->
       """WITH u0 AS (

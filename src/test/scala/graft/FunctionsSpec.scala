@@ -300,4 +300,37 @@ class FunctionsSpec extends AnyFunSuite {
       BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got(4L) == expected4, s"got ${got(4L)} expected $expected4")
   }
+
+  test("c4Flags: markers and sentence floor") {
+    val docs = Seq(
+      (1L, "Good text. It has three. Yes it does."),
+      (2L, "code here { x } more. Done. Third."),       // brace
+      (3L, "Lorem Ipsum dolor sit. Two more. Here."),   // lorem (case-insens)
+      (4L, "please enable JavaScript now. Ok. Fine."),  // js
+      (5L, "no punctuation at all"))                    // too few sentences
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), Text.c4Flags(col("text")).as("c"))
+      .select(col("doc_id"), col("c.passes"), col("c.n_sentences"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((true, 3L)))
+    assert(got(2L)._1 == false && got(3L)._1 == false && got(4L)._1 == false)
+    assert(got(5L) == ((false, 0L)))
+  }
+
+  test("fleschScores: hand-computed counts and chain") {
+    // 6 words, 2 sentences, syllable groups: "the(1) cat(1) sat(1) here(2:
+    // e..e? 'here' → e,e → 2 groups) on(1) it(1)" — compute via the same
+    // regex semantics: vowel GROUPS.
+    val df = Seq((1L, "the cat sat here. on it.")).toDF("doc_id", "text")
+    val r = df.select(Text.fleschScores(col("text")).as("f")).select(
+      col("f.n_words"), col("f.n_sentences"), col("f.n_syllables"),
+      col("f.fre")).head()
+    val (w, s, syl) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(w == 6 && s == 2)
+    // "the"→e(1), "cat"→a(1), "sat"→a(1), "here."→e,e(2), "on"→o(1), "it."→i(1)
+    assert(syl == 7, s"syllables $syl")
+    val raw = 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (syl.toDouble / w)
+    val expected = math.floor(raw * 10000.0 + 0.5) / 10000.0
+    assert(r.getDouble(3) == expected)
+  }
 }
