@@ -89,6 +89,38 @@ object Windowing {
       .drop("__gn")
   }
 
+  /** Full SQL rank family — RANK (ties share the first row number),
+    * DENSE_RANK, PERCENT_RANK = (rank−1)/(n−1), CUME_DIST = rows≤value/n —
+    * with the same no-data-window scale shape: row numbers from the
+    * one-shuffle range rank (tie-broken by `tieCols`), tie semantics
+    * reassembled from a per-(group, value) aggregate (min row number +
+    * count — vocabulary-sized, value-keyed, never broadcast), dense ranks
+    * by ranking that distinct-value table itself. The two dist columns are
+    * single IEEE divisions of exact integers — bit-identical in any
+    * engine, no rounding needed.
+    *
+    * Matches `rank()/dense_rank()/percent_rank()/cume_dist() OVER
+    * (PARTITION BY groupCols ORDER BY valueCols)` exactly (ties on the
+    * VALUE columns; `tieCols` only pins the underlying row order). */
+  def globalRankDist(df: DataFrame, groupCols: Seq[String],
+                     valueCols: Seq[String], tieCols: Seq[String],
+                     numPartitions: Int = 0): DataFrame = {
+    val ranked = withRankAndCount(df, groupCols, valueCols ++ tieCols,
+      numPartitions)
+    val vg = groupCols ++ valueCols
+    val vstats = ranked.groupBy(vg.map(col): _*)
+      .agg(min(col("__rn")).as("rank"), count(lit(1)).as("__vc"))
+    val dense = globalRowNumber(vstats, groupCols, valueCols, "dense_rank")
+    ranked.join(dense, vg)
+      .withColumn("percent_rank",
+        when(col("__gn") > 1,
+          (col("rank") - 1).cast("double") / (col("__gn") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("cume_dist",
+        (col("rank") + col("__vc") - 1).cast("double") / col("__gn").cast("double"))
+      .drop("__rn", "__gn", "__vc")
+  }
+
   /** Integer division on non-negative longs — exact past 2^53, where
     * Spark's `/` (double division) starts rounding. */
   private def intDiv(a: Column, b: Column): Column = {

@@ -706,6 +706,21 @@ object PipelineQueries {
         Seq("lang"), Seq("n_chars", "doc_id"), pcts = Seq(25, 50, 75))
         .select(col("lang"), col("pct"), col("n_chars").as("value"))),
 
+    // The full SQL rank family (RANK / DENSE_RANK / PERCENT_RANK /
+    // CUME_DIST) per market segment WITHOUT a data-side window: row
+    // numbers from the one-shuffle range rank, tie semantics reassembled
+    // from a per-(segment, value) aggregate, the dist columns single IEEE
+    // divisions of exact integers — a skewed segment spans many bounded
+    // tasks instead of one giant sort.
+    "q_percent_rank" -> ((s, dir) =>
+      Windowing.globalRankDist(
+        star(s, dir, "customer").df.select(col("c_mktsegment"),
+          col("c_acctbal"), col("c_custkey")),
+        Seq("c_mktsegment"), Seq("c_acctbal"), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("rank"), col("dense_rank"), col("percent_rank"),
+          col("cume_dist"))),
+
     // Winsorization at exact nearest-rank percentiles: clip per-language
     // document lengths into [p10, p90] — the outlier-robust normalization
     // step before length-based quality scoring. The limits come from the
@@ -1953,6 +1968,15 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT lang, n_docs, n_chars AS median_chars
         |FROM r WHERE rn = (n_docs + 1) // 2""".stripMargin,
+
+    "q_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(rank() OVER w AS BIGINT) AS rank,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS dense_rank,
+        |  percent_rank() OVER w AS percent_rank,
+        |  cume_dist() OVER w AS cume_dist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC)""".stripMargin,
 
     "q_doc_bigram_ppl" ->
       """WITH tokc AS (

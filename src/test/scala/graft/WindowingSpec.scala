@@ -93,4 +93,37 @@ class WindowingSpec extends AnyFunSuite {
     assert(windowLines.nonEmpty && windowLines.forall(_.contains("__c")),
       s"window not confined to slice stats:\n$plan")
   }
+
+  test("globalRankDist matches sequential rank/dense/percent/cume semantics") {
+    val df = rows.toDF("g", "v", "id").repartition(7)
+    val got = Windowing.globalRankDist(df, Seq("g"), Seq("v"), Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("dense_rank"),
+          r.getAs[Double]("percent_rank"), r.getAs[Double]("cume_dist"))))
+      .toMap
+    val ref = rows.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val n = sorted.length
+      val byVal = sorted.zipWithIndex.groupBy(_._1._2)
+      val distinctVals = sorted.map(_._2).distinct.sorted.zipWithIndex.toMap
+      sorted.zipWithIndex.map { case (r, _) =>
+        val grp = byVal(r._2)
+        val rank = grp.map(_._2).min + 1L
+        val cume = (grp.map(_._2).max + 1).toDouble / n
+        val pr = if (n > 1) (rank - 1).toDouble / (n - 1) else 0.0
+        r._3 -> ((rank, distinctVals(r._2) + 1L, pr, cume))
+      }
+    }.toMap
+    assert(got == ref)
+  }
+
+  test("globalRankDist is partitioning-independent") {
+    val df = rows.toDF("g", "v", "id")
+    val a = Windowing.globalRankDist(df.repartition(1), Seq("g"), Seq("v"), Seq("id"))
+      .orderBy("id").collect().toSeq
+    val b = Windowing.globalRankDist(df.repartition(13, col("id")), Seq("g"),
+        Seq("v"), Seq("id"), numPartitions = 5)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }
