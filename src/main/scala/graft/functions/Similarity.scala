@@ -640,7 +640,8 @@ object Similarity {
     * codebook centroid — one narrow codegen'd pass, no shuffle, no joins.
     * Returns (id, codes array<int> of length m). */
   def pqEncode(df: DataFrame, embCol: String, idCol: String,
-               codebooks: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+               codebooks: Array[Array[Array[Double]]], dim: Int,
+               keepCols: Seq[String] = Nil): DataFrame = {
     val m = codebooks.length
     val dsub = dim / m
     val codeCols = (0 until m).map { j =>
@@ -648,12 +649,14 @@ object Similarity {
       val subCol = s"__sub$j"
       (subCol, slice(col(embCol), j * dsub + 1, dsub))
     }
-    val withSubs = codeCols.foldLeft(df.select(col(idCol), col(embCol))) {
+    val base = df.select(col(idCol) +: col(embCol) +: keepCols.map(col): _*)
+    val withSubs = codeCols.foldLeft(base) {
       case (acc, (name, c)) => acc.withColumn(name, c)
     }
-    withSubs.select(col(idCol),
+    withSubs.select(col(idCol) +:
       array((0 until m).map(j =>
-        nearestCentroid(s"__sub$j", codebooks(j))): _*).as("codes"))
+        nearestCentroid(s"__sub$j", codebooks(j))): _*).as("codes") +:
+      keepCols.map(col): _*)
   }
 
   /** Persist a PQ index: the tiny codebook table plus the codes table
@@ -696,9 +699,24 @@ object Similarity {
   def probePqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    query: Seq[Float], topK: Int,
                    idCol: String = "vec_id"): DataFrame = {
-    val books = spark.read.parquet(s"$path/codebooks")
+    val adc = adcCosine(readCodebooks(spark, path), query)
+    spark.read.parquet(s"$path/codes")
+      .select(col(idCol), adc.as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Map[(Int, Int), Array[Double]] =
+    spark.read.parquet(s"$path/codebooks")
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       .toMap
+
+  /** The ADC scoring column over a `codes` column: driver-computed
+    * inner-product and norm lookup tables shipped as literals — m array
+    * lookups + adds per row, zero per-row vector math. */
+  private def adcCosine(books: Map[(Int, Int), Array[Double]],
+                        query: Seq[Float]): Column = {
     val m = books.keys.map(_._1).max + 1
     val k = books.keys.map(_._2).max + 1
     val dsub = books((0, 0)).length
@@ -718,9 +736,74 @@ object Similarity {
     val ip = lut(ipTab).reduce(_ + _)
     val n2 = lut(n2Tab).reduce(_ + _)
     val den = lit(qnorm) * sqrt(n2)
+    when(den > 0, ip / den).otherwise(lit(0.0))
+  }
+
+  /** Composed IVF-PQ index (the FAISS IVFPQ shape, non-residual variant):
+    * coarse k-means lists give PARTITION PRUNING, product-quantization
+    * codes give a 32-64× COMPRESSED scan — a probe touches nprobe/nlist of
+    * the corpus at m ints per vector, the two savings multiplying. Codes
+    * are partitioned by coarse list; both centroid sets ride as sidecars.
+    * All training determinism (farthest-point init, decimal sums,
+    * tie-breaks) is inherited from [[kmeans]]. */
+  def writeIvfPqIndex(df: DataFrame, embCol: String, idCol: String,
+                      path: String, nlist: Int, dim: Int, m: Int = 8,
+                      k: Int = 16, iters: Int = 5): Unit = {
+    val spark = df.sparkSession
+    val coarse = trainIvfCentroids(df, embCol, idCol, nlist, dim, iters)
+    val books = trainPqCodebooks(df, embCol, idCol, dim, m, k, iters)
+    import scala.jdk.CollectionConverters._
+    val bookRows = (for {
+      j <- books.indices; c <- books(j).indices
+    } yield org.apache.spark.sql.Row(j, c, books(j)(c).toSeq)).asJava
+    spark.createDataFrame(bookRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val assigned = ivfAssignCentroids(df, embCol, idCol, coarse)
+      .withColumnRenamed("ivf_list", "__ivf_list")
+    pqEncode(assigned, embCol, idCol, books, dim,
+        keepCols = Seq("__ivf_list"))
+      .withColumnRenamed("__ivf_list", "ivf_list")
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$path/codes")
+    val json = graft.io.JsonValue.JsonArray(coarse.toVector.map(c =>
+      graft.io.JsonValue.JsonArray(c.toVector.map(graft.io.JsonValue.JsonNumber(_)))))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_ivf_centroids.json"),
+      graft.io.JsonValue.write(json))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"), true).close()
+  }
+
+  /** Probe a [[writeIvfPqIndex]] index: rank coarse centroids driver-side,
+    * read ONLY the nprobe best list partitions (pruned scan), ADC-score
+    * the m-int codes, top-k. */
+  def probeIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      query: Seq[Float], topK: Int, nprobe: Int,
+                      idCol: String = "vec_id"): DataFrame = {
+    val coarse = graft.io.JsonValue.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_ivf_centroids.json")))
+      .asInstanceOf[graft.io.JsonValue.JsonArray].values
+      .map(_.asInstanceOf[graft.io.JsonValue.JsonArray].values
+        .map(_.asInstanceOf[graft.io.JsonValue.JsonNumber].value).toArray)
+    def d2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < query.size) {
+        val d = query(i) - c(i); s += d * d; i += 1
+      }
+      s
+    }
+    val probeLists = coarse.zipWithIndex
+      .sortBy { case (c, i) => (d2(c), i) }
+      .take(nprobe).map(_._2)
+    val adc = adcCosine(readCodebooks(spark, path), query)
     spark.read.parquet(s"$path/codes")
-      .select(col(idCol),
-        when(den > 0, ip / den).otherwise(lit(0.0)).as("adc_cosine"))
+      .filter(col("ivf_list").isInCollection(probeLists))
+      .select(col(idCol), adc.as("adc_cosine"))
       .orderBy(col("adc_cosine").desc, col(idCol).asc)
       .limit(topK)
   }

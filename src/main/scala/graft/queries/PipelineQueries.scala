@@ -1054,6 +1054,23 @@ object PipelineQueries {
         .select(col("vec_id"))
     }),
 
+    // Composed IVF-PQ probe (the FAISS IVFPQ shape): coarse lists prune
+    // the scan to nprobe partitions AND the pruned scan reads m-int PQ
+    // codes instead of float vectors — the two savings multiply; at 100 TB
+    // this is the difference between scanning the corpus and scanning a
+    // few GB of codes from a few lists. Planted oracle: lists recover the
+    // 8 planted families and family 3's identical codes dominate the ADC
+    // ranking, so nprobe=1/top-13 returns exactly family 3 — pinning
+    // coarse training, list assignment, partition pruning, encoding, LUT
+    // scoring, and ranking end to end.
+    "q_emb_ivfpq_probe" -> ((s, dir) => {
+      val path = ivfpqIndexFor(s, dir)
+      val probe = star(s, dir, "embeddings").df.filter(col("vec_id") === 3)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.probeIvfPqIndex(s, path, probe, topK = 13, nprobe = 1)
+        .select(col("vec_id"))
+    }),
+
     // int8-quantized similarity: vectors stored as 4x-smaller integer
     // codes; dot products and norms are EXACT integers, so the whole
     // ranking is engine-independent by construction (no float-luck).
@@ -1165,6 +1182,19 @@ object PipelineQueries {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
       Similarity.writePqIndex(plantedClusters(s, dir),
         "embedding", "vec_id", path, dim = 64, m = 8, k = 16, iters = 3)
+    path
+  }
+
+  /** Memoized composed IVF-PQ index over the planted clusters. */
+  private def ivfpqIndexFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|ivfpqplant8".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      Similarity.writeIvfPqIndex(plantedClusters(s, dir),
+        "embedding", "vec_id", path, nlist = 8, dim = 64, m = 8, k = 16,
+        iters = 3)
     path
   }
 
@@ -1806,6 +1836,10 @@ object PipelineQueries {
 
     // PQ ADC probe recovers the same planted family (see the query note).
     "q_emb_pq_probe" ->
+      "SELECT CAST(3000 + i AS BIGINT) AS vec_id FROM range(13) t(i)",
+
+    // IVF-PQ probe: same planted family through pruning + ADC composed.
+    "q_emb_ivfpq_probe" ->
       "SELECT CAST(3000 + i AS BIGINT) AS vec_id FROM range(13) t(i)",
 
     // Planted k-means recovery: the size multiset 10..17 (labels are

@@ -75,4 +75,29 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got == Set(123L, 900000L, 900001L, 900002L),
       s"appended batch not recalled: $got")
   }
+
+  test("IVF-PQ probe composes partition pruning with the ADC code scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb, "embedding", "vec_id", dir,
+      nlist = 8, dim = 64, m = 8, k = 16, iters = 3)
+    val query = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 123)
+      .select("embedding").head().getSeq[Float](0)
+    val probed = Similarity.probeIvfPqIndex(spark, dir, query, topK = 5, nprobe = 3)
+    val plan = probed.queryExecution.executedPlan.toString
+    // pruned scan of the CODES table, not the float vectors
+    assert(plan.contains("PartitionFilters: [") && plan.contains("ivf_list"),
+      s"no partition pruning:\n$plan")
+    assert(plan.contains("codes") && !plan.contains("embedding"),
+      s"probe must scan codes, not embeddings:\n$plan")
+    // the query's own vector must be recalled within the probed lists and
+    // its ADC cosine must be near 1 (quantization error only)
+    val top = probed.collect()
+    assert(top.map(_.getLong(0)).contains(123L), s"query vector not recalled")
+    // near-uniform random vectors are PQ's worst case (nothing clusters);
+    // the self-match ADC cosine still clearly dominates the ~0 cross-pair
+    // level even at m=8, k=16
+    val self = top.find(_.getLong(0) == 123L).get.getDouble(1)
+    assert(self > 0.4, s"ADC self-cosine too low: $self")
+  }
 }
