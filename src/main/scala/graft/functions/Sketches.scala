@@ -79,12 +79,18 @@ object Sketches {
     * Output: groupCols*, m, n_zero, harmonic_num (the exact integer Σ),
     * est_distinct. */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  b: Int = 9): DataFrame = {
-    require(b >= 4 && b <= 16, s"hllDistinct: b must be in [4,16], got $b")
-    val m = 1 << b
+                  b: Int = 9): DataFrame =
+    hllFinalize(hllRegisters(df, groupCols, valueCol, b), groupCols, b)
+
+  /** The HLL register table (groupCols*, __bucket, __reg): ONE exact
+    * max-aggregate — max is idempotent and mergeable, so the identical
+    * plan folds INCREMENTALLY under Structured Streaming (register state
+    * in the store is ≤ m rows per group) and the streamed registers equal
+    * the batch registers under any micro-batching. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   b: Int = 9): DataFrame = {
+    require(b >= 4 && b <= 16, s"hllRegisters: b must be in [4,16], got $b")
     val w = 48 - b
-    val bigK = w + 2
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val h = h48(col(valueCol))
     val bucket = shiftright(h, w) // top b bits; h < 2^48 so the shift is clean
     val rest = (h % lit(1L << w)).cast("long")
@@ -92,11 +98,19 @@ object Sketches {
     // zeros so length(bin(rest)) IS the MSB position — exact integer path.
     val rho = when(col("__rest") === 0, lit(w + 1))
       .otherwise(lit(w) - length(bin(col("__rest"))) + 1)
-    val regs = df
-      .select(groupCols.map(col) :+ bucket.as("__bucket") :+ rest.as("__rest"): _*)
+    df.select(groupCols.map(col) :+ bucket.as("__bucket") :+ rest.as("__rest"): _*)
       .withColumn("__rho", rho)
       .groupBy(groupCols.map(col) :+ col("__bucket"): _*)
       .agg(max(col("__rho")).as("__reg"))
+  }
+
+  /** Estimate from a [[hllRegisters]] table (same b). */
+  def hllFinalize(regs: DataFrame, groupCols: Seq[String],
+                  b: Int): DataFrame = {
+    val m = 1 << b
+    val w = 48 - b
+    val bigK = w + 2
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val stats = regs
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__present"),

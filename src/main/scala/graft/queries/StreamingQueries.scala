@@ -80,6 +80,32 @@ object StreamingQueries {
         .limit(20)
     }),
 
+    // Streaming HyperLogLog: the register table is ONE max-aggregate, and
+    // max is idempotent + mergeable, so the identical plan folds
+    // INCREMENTALLY in the state store (≤ m rows per group) and the
+    // streamed registers equal the batch sketch under any micro-batching.
+    // Finalization (exact harmonic sum + estimate chain) and the exact
+    // comparison run batch-side on the register table — shares
+    // q_hll_distinct's oracle verbatim.
+    "q_stream_hll" -> ((s, dir) => {
+      import graft.functions.{Sketches, Text}
+      val regs = EventStreams.runToBatch(s,
+        Sketches.hllRegisters(
+          EventStreams.readDocumentsStream(s, dir)
+            .select(col("lang"), explode(Text.tokens(col("text"))).as("token")),
+          Seq("lang"), "token", b = 9))
+      val hll = Sketches.hllFinalize(regs, Seq("lang"), b = 9)
+      val exact = Tables.star(s, dir, "documents").df
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("token")).as("exact_distinct"))
+      hll.join(exact, Seq("lang"))
+        .select(col("lang"), col("m"), col("n_zero"), col("harmonic_num"),
+          col("est_distinct"), col("exact_distinct"),
+          round(col("est_distinct") / col("exact_distinct").cast(DoubleType)
+            - 1.0, 4).as("rel_err"))
+    }),
+
     // Streaming model serving: documents arrive on a stream and are
     // classified against a Naive Bayes model trained batch-side on the
     // static corpus (pivoted counts stream-static-joined, one stateful
@@ -240,6 +266,9 @@ object StreamingQueries {
 
     // exact-regime sketch: batch parity with q_token_topk's oracle
     "q_stream_topk" -> PipelineQueries.oracleSql("q_token_topk"),
+
+    // streamed registers must equal the batch sketch bit for bit
+    "q_stream_hll" -> SketchQueries.oracleSql("q_hll_distinct"),
 
     "q_stream_anomaly" ->
       """WITH hourly AS (

@@ -131,6 +131,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream/batch divergence:\n$streamed\nvs\n$batch")
   }
 
+  test("streaming HLL registers equal the batch sketch across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val rows = (0L until 90L).map(i => (i, s"tok_${i % 37}"))
+    val df = rows.toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("hllstream").toString
+    df.repartition(3).write.mode("overwrite").parquet(dir) // 3 files = 3 batches
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val streamedRegs = EventStreams.runToBatch(spark,
+      graft.functions.Sketches.hllRegisters(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+          .withColumn("g", lit("all")),
+        Seq("g"), "v", b = 5))
+      .orderBy("__bucket").collect().toSeq
+    val batchRegs = graft.functions.Sketches.hllRegisters(
+        df.withColumn("g", lit("all")), Seq("g"), "v", b = 5)
+      .orderBy("__bucket").collect().toSeq
+    assert(streamedRegs == batchRegs)
+  }
+
   test("streamingUpsert folds change feeds into the snapshot, last feed wins") {
     import spark.implicits._
     import org.apache.spark.sql.types._
