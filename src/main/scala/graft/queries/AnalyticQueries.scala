@@ -31,6 +31,19 @@ object AnalyticQueries {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // status×priority detail, per-status, and grand total in ONE Expand +
+    // aggregate pass; grouping_id disambiguates real NULL groups from
+    // rolled-up ones.
+    "q_grouping_sets" -> ((s, dir) =>
+      star(s, dir, "orders").df
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))),
+
     // --- set operations ----------------------------------------------------
     // customers that bought in BOTH of two segments' part ranges
     "q_intersect" -> ((s, dir) => {
@@ -697,6 +710,13 @@ object AnalyticQueries {
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          |  ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |  count(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY GROUPING SETS (
+         |  (o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
 
     "q_intersect" ->
       """SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45
