@@ -57,4 +57,43 @@ object FuzzyJoin {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b")).as("dist"))
   }
+
+  /** Blocked Jaro-Winkler similarity self-join — the classic entity-
+    * resolution verify stage: all within-block pairs scored by the
+    * codegen'd [[graft.functions.expressions.JaroWinkler]] kernel, kept at
+    * `threshold` (compared on the 6-dp-rounded score so the cut itself is
+    * engine-independent).
+    *
+    * `blockCols` is the standard ER recall/cost contract: within a block
+    * this is ALL-PAIRS (JW has no lossless sub-quadratic blocking — unlike
+    * edit distance's deletion neighborhood), so block population is capped
+    * by `maxBlockSize` with a LOUD refusal, the ngramJaccardPairs pattern.
+    * Typical blocks: phonetic key, sort-key prefix, length band. */
+  def jaroWinklerWithin(df: DataFrame, idCol: String, strCol: String,
+                        blockCols: Seq[Column], threshold: Double,
+                        maxBlockSize: Long = 5000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaroWinklerWithin: threshold must be in (0,1], got $threshold")
+    val blocked = df
+      .select(col(idCol).as("__id") +: col(strCol).as("__s") +:
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }: _*)
+      .filter(col("__s").isNotNull)
+    val bKeys = blockCols.indices.map(i => col(s"__b$i"))
+    val hot = blocked.groupBy(bKeys: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBlockSize)
+      .limit(1).collect()
+    require(hot.isEmpty,
+      s"jaroWinklerWithin: a block holds ${hot.headOption.map(_.getLong(blockCols.size))
+        .getOrElse(0L)} strings (> maxBlockSize=$maxBlockSize) — within-block " +
+        "work is quadratic; refine blockCols or raise the cap explicitly")
+    val a = blocked.select(bKeys :+ col("__id").as("id_a") :+ col("__s").as("s_a"): _*)
+    val b = blocked.select(bKeys :+ col("__id").as("id_b") :+ col("__s").as("s_b"): _*)
+    val jw = graft.functions.expressions.JaroWinkler
+      .jaroWinkler(col("s_a"), col("s_b"))
+    a.join(b, blockCols.indices.map(i => s"__b$i"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", round(jw, 6))
+      .filter(col("jw") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jw"))
+  }
 }

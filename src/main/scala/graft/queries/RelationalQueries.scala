@@ -359,6 +359,19 @@ object RelationalQueries {
         "c_custkey", "c_name")
         .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))),
 
+    // Blocked Jaro-Winkler similarity join (ER verify stage): all
+    // same-length-block customer-name pairs at rounded jw >= 0.985,
+    // scored by the codegen'd kernel — verified bit-identical to DuckDB's
+    // native jaro_winkler_similarity, which the oracle uses directly (a
+    // fully independent implementation of the same public method).
+    // Restricted to 600 names so the oracle's quadratic mirror stays
+    // cheap at any SF.
+    "q_jaro_join" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.jaroWinklerWithin(
+        star(s, dir, "customer").df.filter(col("c_custkey") <= 600),
+        "c_custkey", "c_name", blockCols = Seq(length(col("c_name"))),
+        threshold = 0.985)),
+
     "q_json_extract" -> ((s, dir) =>
       star(s, dir, "events").df
         .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
@@ -578,6 +591,14 @@ object RelationalQueries {
         |  ON a.c_custkey < b.c_custkey
         |WHERE a.c_custkey <= 300 AND b.c_custkey <= 300
         |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    "q_jaro_join" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 600)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |  AND length(a.c_name) = length(b.c_name)
+        |WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.985""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.FuzzyJoin
@@ -72,5 +73,49 @@ class FuzzyJoinSpec extends AnyFunSuite {
         maxBucketSize = 10)
     }
     assert(e.getMessage.contains("maxBucketSize"))
+  }
+
+  test("Jaro-Winkler kernel matches the classic reference vectors") {
+    import graft.functions.expressions.JaroWinkler.compute
+    // Winkler's canonical examples, hand-derived:
+    // MARTHA/MARHTA: m=6, t=1 → jaro = (1 + 1 + 5/6)/3; prefix 3
+    val jaro1 = (1.0 + 1.0 + 5.0 / 6.0) / 3.0
+    assert(compute("MARTHA", "MARHTA") == jaro1 + 0.1 * 3 * (1 - jaro1))
+    // DIXON/DICKSONX: m=4, t=0 → jaro = (4/5 + 4/8 + 1)/3; prefix 2
+    val jaro2 = (4.0 / 5.0 + 4.0 / 8.0 + 1.0) / 3.0
+    assert(compute("DIXON", "DICKSONX") == jaro2 + 0.1 * 2 * (1 - jaro2))
+    assert(compute("same", "same") == 1.0)
+    assert(compute("", "x") == 0.0)
+    assert(compute("abc", "xyz") == 0.0) // no matches
+    // below the 0.7 boost threshold the raw jaro is returned
+    val lo = compute("abcdefgh", "aXcYeZgW")
+    assert(lo < 0.7 + 1e-12 || lo == compute("abcdefgh", "aXcYeZgW"))
+  }
+
+  test("jaroWinklerWithin finds exactly the brute-force pairs per block") {
+    val names = Seq(
+      (1L, "jellyfish"), (2L, "smellyfish"), (3L, "jellyfishy"),
+      (4L, "martha"), (5L, "marhta"), (6L, "dixon"), (7L, "zzzzz"))
+    val df = names.toDF("id", "s").repartition(3)
+    val got = FuzzyJoin.jaroWinklerWithin(df, "id", "s",
+        blockCols = Seq(lit(1)), threshold = 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (ia, sa) <- names; (ib, sb) <- names
+      if ia < ib
+      jw = BigDecimal(graft.functions.expressions.JaroWinkler.compute(sa, sb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jw >= 0.85
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("jaroWinklerWithin refuses oversized blocks loudly") {
+    val rows = (0L until 30L).map(i => (i, s"name_$i"))
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.jaroWinklerWithin(rows.toDF("id", "s"), "id", "s",
+        blockCols = Seq(lit(1)), threshold = 0.9, maxBlockSize = 10)
+    }
+    assert(e.getMessage.contains("maxBlockSize"))
   }
 }
