@@ -185,4 +185,60 @@ object Retrieval {
       .select(col(idCol), round(col("__s").cast("double"), outScale).as("rrf"),
         col("n_lists"))
   }
+
+  /** Ranking-quality evaluation — the retrieval eval harness: score a
+    * ranked list against a binary relevance set with the three standard
+    * IR metrics in ONE metadata-sized pass.
+    *
+    *   precision@k_p  = |relevant ∩ top-k_p| / k_p
+    *   MRR            = 1 / rank of the first relevant result (0 if none)
+    *   nDCG@k_n       = DCG@k_n / IDCG@k_n with the binary-gain DCG
+    *                    Σ_{relevant i ≤ k_n} 1/log2(i+1), ideal = all
+    *                    min(R, k_n) front slots relevant
+    *
+    * Determinism: each 1/log2(i+1) weight is rounded to 12 decimals and
+    * DECIMAL-summed; precision/MRR/nDCG are each ONE IEEE division rounded
+    * to 6 — engine-independent end to end. Scale shape: `ranked` is k rows
+    * by construction; the only data-sized work is the id-keyed semi-join
+    * against `relevant` and one count over it — everything downstream is
+    * 1-row aggregates cross-joined (broadcast by size).
+    *
+    * `ranked` needs (idCol, rankCol 1-based); `relevant` needs idCol (any
+    * other columns ignored; duplicates collapsed). Returns ONE row:
+    * (n_ranked, n_relevant, n_hits, precision_at_k, mrr, ndcg). */
+  def evalRanking(ranked: DataFrame, relevant: DataFrame, idCol: String,
+                  rankCol: String, kPrecision: Int, kNdcg: Int): DataFrame = {
+    require(kPrecision > 0 && kNdcg >= kPrecision,
+      s"evalRanking: need 0 < kPrecision <= kNdcg, got $kPrecision/$kNdcg")
+    val rel = relevant.select(col(idCol)).distinct()
+    val relC = rel.agg(count(lit(1)).as("__r"))
+    val nRanked = ranked.agg(count(lit(1)).as("n_ranked"))
+    val hits = ranked.filter(col(rankCol) <= kNdcg)
+      .join(rel, Seq(idCol))
+    val w = round(lit(1.0) / log2(col(rankCol) + lit(1.0)), 12)
+      .cast("decimal(28,12)")
+    val hitAgg = hits.agg(
+      count(lit(1)).as("n_hits"),
+      sum(when(col(rankCol) <= kPrecision, 1L).otherwise(0L)).as("__hp"),
+      min(col(rankCol)).as("__minr"),
+      sum(w).as("__dcg"))
+    // ideal DCG: the first min(R, kNdcg) slots all relevant; kNdcg is a
+    // plan constant so the sequence explode is constant-sized
+    val idcg = relC
+      .select(col("__r"), explode(sequence(lit(1), lit(kNdcg))).as("__i"))
+      .filter(col("__i") <= col("__r"))
+      .agg(sum(round(lit(1.0) / log2(col("__i") + lit(1.0)), 12)
+        .cast("decimal(28,12)")).as("__idcg"))
+    nRanked.crossJoin(relC).crossJoin(hitAgg).crossJoin(idcg)
+      .select(
+        col("n_ranked"),
+        col("__r").as("n_relevant"),
+        col("n_hits"),
+        round(col("__hp").cast("double") / lit(kPrecision.toDouble), 6)
+          .as("precision_at_k"),
+        coalesce(round(lit(1.0) / col("__minr").cast("double"), 6), lit(0.0))
+          .as("mrr"),
+        coalesce(round(col("__dcg").cast("double") /
+          col("__idcg").cast("double"), 6), lit(0.0)).as("ndcg"))
+  }
 }

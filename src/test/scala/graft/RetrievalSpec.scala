@@ -418,4 +418,39 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(run(2) == run(11))
   }
+
+  test("evalRanking matches hand-computed precision@k / MRR / nDCG") {
+    // ranked list 1..5; relevant = {doc 20 (rank 2), doc 40 (rank 4),
+    // doc 99 (not ranked)} → R = 3
+    val ranked = Seq((10L, 1L), (20L, 2L), (30L, 3L), (40L, 4L), (50L, 5L))
+      .toDF("doc_id", "rank")
+    val rel = Seq(20L, 40L, 99L, 99L).toDF("doc_id") // dup collapses
+    val got = Retrieval.evalRanking(ranked, rel, "doc_id", "rank",
+      kPrecision = 3, kNdcg = 5).collect().head
+    def wRound(i: Int): BigDecimal =
+      BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val dcg = wRound(2) + wRound(4)
+    val idcg = wRound(1) + wRound(2) + wRound(3) // min(R=3, k=5) slots
+    val ndcg = BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("n_ranked") == 5L)
+    assert(got.getAs[Long]("n_relevant") == 3L)
+    assert(got.getAs[Long]("n_hits") == 2L)
+    // precision@3: only rank-2 hit in the top 3 → 1/3
+    assert(got.getAs[Double]("precision_at_k") == 0.333333)
+    assert(got.getAs[Double]("mrr") == 0.5)
+    assert(got.getAs[Double]("ndcg") == ndcg)
+  }
+
+  test("evalRanking with no hits returns zero metrics, not nulls") {
+    val ranked = Seq((10L, 1L), (11L, 2L)).toDF("doc_id", "rank")
+    val rel = Seq(99L).toDF("doc_id")
+    val got = Retrieval.evalRanking(ranked, rel, "doc_id", "rank", 2, 2)
+      .collect().head
+    assert(got.getAs[Long]("n_hits") == 0L)
+    assert(got.getAs[Double]("precision_at_k") == 0.0)
+    assert(got.getAs[Double]("mrr") == 0.0)
+    assert(got.getAs[Double]("ndcg") == 0.0)
+  }
 }
