@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, ZOrder}
 import Tables.star
 
 /** The native analytic surface beyond the reference's pandas whitelist
@@ -232,6 +232,18 @@ object AnalyticQueries {
         .filter(col("dst").isNotNull)
       graft.functions.Graph.adamicAdar(edges, "src", "dst",
         k = 20, maxDegree = 10000)
+    }),
+
+    // Morton z-values over (l_partkey, l_suppkey) — the clustering key
+    // behind multi-dimensional data skipping (operators.ZOrder). Bucket
+    // widths and bit interleave are exact integer arithmetic against
+    // full-table min/max, mirrored bit for bit by the generated oracle.
+    "q_zorder" -> ((s, dir) => {
+      val li = star(s, dir, "lineitem").df
+      ZOrder.withZ(li, Seq("l_partkey", "l_suppkey"), bits = 8, zCol = "zval")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("zval"))
     }),
 
     // HITS hubs/authorities over the same harvested link graph — the
@@ -546,6 +558,31 @@ object AnalyticQueries {
 
   /** Unrolled synchronous label propagation, mirroring
     * Graph.labelPropagation round for round. */
+  /** DuckDB mirror of ZOrder.withZ over (l_partkey, l_suppkey): the same
+    * ceil-width bucketization and round-robin bit interleave, unrolled. */
+  private def zOracle(bits: Int): String = {
+    val k = 1L << bits
+    val terms = (0 until bits).flatMap(i => Seq(
+      s"(((b0 >> $i) & 1) << ${2 * i})",
+      s"(((b1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH st AS (
+       |  SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+       |         min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+       |  FROM lineitem),
+       |b AS (
+       |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |    l_partkey, l_suppkey,
+       |    least(greatest(l_partkey - mnp, 0)
+       |      // greatest((mxp - mnp + $k) // $k, 1), ${k - 1}) AS b0,
+       |    least(greatest(l_suppkey - mns, 0)
+       |      // greatest((mxs - mns + $k) // $k, 1), ${k - 1}) AS b1
+       |  FROM lineitem, st
+       |  WHERE l_orderkey <= 100)
+       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  CAST($terms AS BIGINT) AS zval
+       |FROM b""".stripMargin
+  }
+
   private def lpOracle(iters: Int): String = {
     val head =
       """WITH edges AS MATERIALIZED (
@@ -721,6 +758,7 @@ object AnalyticQueries {
         |SELECT a, b, aa_score, n_common, CAST(rk AS BIGINT) AS rank
         |FROM ranked WHERE rk <= 20""".stripMargin,
     "q_hits" -> hitsOracle(6),
+    "q_zorder" -> zOracle(8),
 
     "q_retention" ->
       """WITH cohorts AS (
