@@ -591,4 +591,27 @@ object Text {
     struct(w.cast("long").as("n_words"), sRaw.cast("long").as("n_sentences"),
       syl.cast("long").as("n_syllables"), fre.as("fre"), fk.as("fk_grade"))
   }
+
+  /** Blocklist screening — which of `terms` occur (as substrings) in each
+    * document, in ONE Aho–Corasick DFA pass per row regardless of term
+    * count (a contains() per term re-scans the text |terms| times — the
+    * naive form is quadratic in the wrong place at real blocklist sizes).
+    * Matched terms come back in list order (the automaton reports distinct
+    * indices ascending), so the output is engine-independent and a SQL
+    * mirror is a per-term contains() filter over the same fixed list.
+    *
+    * Returns (idCol, n_terms_hit, terms_hit csv, flagged). Zero shuffle —
+    * pure per-row projection. */
+  def blocklistScreen(df: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame = {
+    val termArr = array(terms.map(lit): _*)
+    df.withColumn("__hits",
+        expressions.MultiPattern.hits(col(textCol), terms))
+      .select(col(idCol),
+        size(col("__hits")).cast("long").as("n_terms_hit"),
+        concat_ws(",",
+          transform(col("__hits"), i => element_at(termArr, i + 1)))
+          .as("terms_hit"),
+        (size(col("__hits")) > 0).as("flagged"))
+  }
 }

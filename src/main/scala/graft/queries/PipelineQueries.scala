@@ -18,6 +18,10 @@ object PipelineQueries {
 
   val enStop: Seq[String] = Seq("the", "a")
 
+  /** q_doc_blocklist term list: overlapping patterns, a phrase, a miss. */
+  val blocklistTerms: Seq[String] =
+    Seq("spark", "park", "scan", "can", "fast merge", "order", "tablet", "low")
+
   /** Deterministic sentence-ified corpus view for the C4/readability
     * queries: the raw corpus has no punctuation, so both engines build the
     * same structured input — a '.' after every 12th token, plus
@@ -322,6 +326,15 @@ object PipelineQueries {
         .select(col("doc_id"),
           Text.redactPii(concat(col("text"),
             lit(" contact: a.b@example.com or 192.168.0.1"))).as("redacted"))),
+
+    // Blocklist screening — one Aho-Corasick DFA pass per document
+    // instead of |terms| contains() scans. The term list exercises
+    // overlapping patterns ("scan"/"can", "spark"/"park"), a phrase, and
+    // a never-matching term; the oracle is the per-term contains() filter
+    // over the same fixed list.
+    "q_doc_blocklist" -> ((s, dir) =>
+      Text.blocklistScreen(star(s, dir, "documents").df, "doc_id", "text",
+        PipelineQueries.blocklistTerms)),
 
     // Token heavy hitters via the Misra-Gries TypedImperativeAggregate.
     // Capacity 64 exceeds the corpus vocabulary (31 distinct tokens,
@@ -1723,6 +1736,19 @@ object PipelineQueries {
         |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
+
+    "q_doc_blocklist" -> {
+      val termsSql =
+        blocklistTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+      s"""SELECT doc_id,
+         |  CAST(len(hits) AS BIGINT) AS n_terms_hit,
+         |  coalesce(array_to_string(hits, ','), '') AS terms_hit,
+         |  len(hits) > 0 AS flagged
+         |FROM (
+         |  SELECT doc_id,
+         |    list_filter([$termsSql], t -> contains(text, t)) AS hits
+         |  FROM documents)""".stripMargin
+    },
 
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM (
