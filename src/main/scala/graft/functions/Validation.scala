@@ -98,4 +98,53 @@ object Validation {
     }
     (rowReport ++ keyReport).reduce(_.unionByName(_))
   }
+
+  /** One-sweep column profiler — the first query against an unfamiliar
+    * table: per column, row/null/EXACT-distinct counts, lexicographic
+    * min/max, and the modal value with a deterministic tie-break.
+    *
+    * Scale shape: the table is stacked to (col_name, value-as-string)
+    * rows — a d× map-side explode that partial-aggregates in place, so
+    * the shuffle carries one row per DISTINCT (column, value), i.e. the
+    * vocabulary, never the data. Exact distincts come from the two-level
+    * collapse (value-level groupBy, then column-level count) instead of d
+    * count(DISTINCT) aggregates, whose Expand would copy the fact table
+    * d times in one pass. The mode is argmax over the value-level counts
+    * with ties to the SMALLEST value string — a total order, so the whole
+    * profile is engine-independent.
+    *
+    * Values are compared as STRINGS (callers cast floats to a fixed-scale
+    * decimal first for canonical text); min/max/mode order is UTF-8
+    * binary in both Spark and DuckDB. Returns one row per profiled
+    * column: (col_name, n_rows, n_nulls, n_distinct, min_value,
+    * max_value, top_value, top_count). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: no columns")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*))
+        .as("cv"))
+      .select(col("cv.col_name").as("col_name"), col("cv.value").as("value"))
+    val rowStats = stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"))
+    val vc = stacked.filter(col("value").isNotNull)
+      .groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val colStats = vc.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_distinct"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"),
+      max(col("c")).as("top_count"))
+    val modes = vc
+      .join(colStats.select(col("col_name"), col("top_count")),
+        Seq("col_name"))
+      .filter(col("c") === col("top_count"))
+      .groupBy(col("col_name")).agg(min(col("value")).as("top_value"))
+    rowStats.join(colStats, Seq("col_name"), "left")
+      .join(modes, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"), col("top_value"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"))
+  }
 }

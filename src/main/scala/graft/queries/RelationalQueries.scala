@@ -397,6 +397,18 @@ object RelationalQueries {
         Unique(Seq("l_orderkey", "l_linenumber")),
         RefIntegrity("l_orderkey", orders, "o_orderkey")))
         .withColumnRenamed("column", "col_name")
+    }),
+
+    // One-sweep column profiler: per-column row/null/exact-distinct
+    // counts, min/max, and the deterministic mode — the shuffle carries
+    // one row per DISTINCT (column, value), never the table. Floats are
+    // pre-cast to DECIMAL(18,2) for canonical text in both engines.
+    "q_profile" -> ((s, dir) => {
+      val li = star(s, dir, "lineitem").df
+        .withColumn("l_quantity", col("l_quantity").cast(DecimalType(18, 2)))
+      graft.functions.Validation.profile(li,
+        Seq("l_returnflag", "l_linestatus", "l_orderkey", "l_suppkey",
+          "l_quantity"))
     })
   )
 
@@ -654,6 +666,35 @@ object RelationalQueries {
         |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
         |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
         |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
-        |FROM n""".stripMargin
+        |FROM n""".stripMargin,
+
+    "q_profile" ->
+      """WITH stacked AS (
+        |  SELECT 'l_returnflag' AS col_name, l_returnflag AS value FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+        |  UNION ALL SELECT 'l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity',
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) FROM lineitem),
+        |rs AS (
+        |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 END), 0) AS BIGINT)
+        |      AS n_nulls
+        |  FROM stacked GROUP BY 1),
+        |vc AS (
+        |  SELECT col_name, value, CAST(count(*) AS BIGINT) AS c
+        |  FROM stacked WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct,
+        |    min(value) AS min_value, max(value) AS max_value,
+        |    max(c) AS top_count
+        |  FROM vc GROUP BY 1),
+        |md AS (
+        |  SELECT vc.col_name, min(vc.value) AS top_value
+        |  FROM vc JOIN cs ON vc.col_name = cs.col_name AND vc.c = cs.top_count
+        |  GROUP BY 1)
+        |SELECT rs.col_name, rs.n_rows, rs.n_nulls, cs.n_distinct,
+        |  cs.min_value, cs.max_value, md.top_value, cs.top_count
+        |FROM rs JOIN cs USING (col_name) JOIN md USING (col_name)""".stripMargin
   )
 }

@@ -63,4 +63,33 @@ class ValidationSpec extends AnyFunSuite {
     val rep = Validation.check(df, Seq(Unique(Seq("id"))))
     assert(rep.collect().length == 1)
   }
+
+  test("profile: hand-computed counts, nulls, distincts, mode tie to the " +
+    "smallest value") {
+    val d = Seq(
+      ("a", java.lang.Long.valueOf(1L)), ("b", java.lang.Long.valueOf(2L)),
+      ("b", null.asInstanceOf[java.lang.Long]),
+      ("c", java.lang.Long.valueOf(2L)), ("c", java.lang.Long.valueOf(1L)))
+      .toDF("s", "v").repartition(3)
+    val got = Validation.profile(d, Seq("s", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s = got("s")
+    assert(s.getLong(1) == 5L && s.getLong(2) == 0L && s.getLong(3) == 3L)
+    assert(s.getString(4) == "a" && s.getString(5) == "c")
+    // b and c both occur twice → tie broken to the smaller string "b"
+    assert(s.getString(6) == "b" && s.getLong(7) == 2L)
+    val v = got("v")
+    assert(v.getLong(1) == 5L && v.getLong(2) == 1L && v.getLong(3) == 2L)
+    assert(v.getString(4) == "1" && v.getString(5) == "2")
+    assert(v.getString(6) == "1" && v.getLong(7) == 2L)
+  }
+
+  test("profile of an all-null column reports zero distincts, null extremes") {
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "x")
+    val row = Validation.profile(d, Seq("x")).collect().head
+    assert(row.getLong(1) == 2L && row.getLong(2) == 2L && row.getLong(3) == 0L)
+    assert(row.isNullAt(4) && row.isNullAt(5) && row.isNullAt(6))
+    assert(row.getLong(7) == 0L)
+  }
 }
