@@ -154,4 +154,71 @@ object Merge {
     closed.select(outCols: _*).unionByName(kept).unionByName(closedNow)
       .unionByName(inserts)
   }
+
+  /** Build the aggregate a change feed will maintain: one row per key
+    * group with an exact row count and exact DECIMAL(28,2) sums of
+    * `valueCols` (named `<v>_sum`). Count + sum form a SELF-MAINTAINABLE
+    * view: inserts AND deletes apply as signed deltas without touching
+    * the fact table (avg/ratio views derive from them at read time;
+    * min/max would need the facts back on delete and are out of scope). */
+  def buildAggregate(facts: DataFrame, keyCols: Seq[String],
+                     valueCols: Seq[String]): DataFrame =
+    facts.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      valueCols.map(v =>
+        sum(col(v).cast("decimal(28,2)")).as(s"${v}_sum")): _*)
+
+  /** Incremental view maintenance: apply a change batch to an aggregate
+    * built by [[buildAggregate]] WITHOUT rescanning the facts — the
+    * difference between re-aggregating 100 TB and one key-partitioned
+    * merge of a (groups × changes)-sized delta.
+    *
+    * `changes` carries the changed fact ROWS (keyCols + valueCols) plus
+    * `opCol`: "I" inserts, "D" deletes (a CDC delete carries the old
+    * row, so its values subtract exactly). The change batch aggregates
+    * to signed per-group deltas first (map-side combinable — the shuffle
+    * carries groups, not changes), then a full-outer join by key updates
+    * counts/sums; groups whose count reaches zero DROP (their decimal
+    * sums are exactly zero by construction — the reason the sums are
+    * decimal, not float).
+    *
+    * A delete of a row the aggregate never saw would drive a count
+    * negative — that is corrupt input, and it REFUSES loudly (one count
+    * action over the merged frame) rather than persisting a poisoned
+    * view. */
+  def maintainAggregate(agg: DataFrame, changes: DataFrame,
+                        keyCols: Seq[String], valueCols: Seq[String],
+                        opCol: String = "op"): DataFrame = {
+    val sgn = when(col(opCol) === "D", lit(-1L))
+      .when(col(opCol) === "I", lit(1L))
+    val delta = changes
+      .withColumn("__sgn", coalesce(sgn, raise_error(
+        concat(lit(s"maintainAggregate: $opCol must be 'I' or 'D', got '"),
+          col(opCol), lit("'")))))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__sgn")).as("__dn"),
+        valueCols.map(v => sum(col(v).cast("decimal(28,2)") * col("__sgn"))
+          .as(s"__d_${v}_sum")): _*)
+    val merged = agg.join(delta, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")) ++
+        valueCols.map { v =>
+          (coalesce(col(s"${v}_sum"), lit(0).cast("decimal(28,2)")) +
+            coalesce(col(s"__d_${v}_sum"), lit(0).cast("decimal(28,2)")))
+            .cast("decimal(28,2)").as(s"${v}_sum")
+        }: _*)
+    // EAGER with one internal barrier: the merge join runs ONCE for both
+    // the corruption check and the result; caller owns one unpersist().
+    val barrier = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val negatives = barrier.filter(col("n") < 0).count()
+    if (negatives > 0L) {
+      barrier.unpersist(blocking = true)
+      throw new IllegalArgumentException(
+        s"maintainAggregate: $negatives group(s) would reach a NEGATIVE row " +
+          "count — the change batch deletes rows the aggregate never saw. " +
+          "Refusing to produce a corrupt view.")
+    }
+    graft.functions.Dedup.materializeAndFree(
+      barrier.filter(col("n") > 0), barrier)
+  }
 }

@@ -234,6 +234,29 @@ object AnalyticQueries {
         k = 20, maxDegree = 10000)
     }),
 
+    // Incremental view maintenance: the (count, sum) aggregate over
+    // lineitem is maintained from a change batch (deletes of the
+    // orderkey%13 slice + planted inserts incl. a brand-new group)
+    // WITHOUT rescanning the facts; the oracle re-aggregates the
+    // post-change fact table from scratch, so a match proves the delta
+    // path reproduces full recomputation exactly.
+    "q_incr_agg" -> ((s, dir) => {
+      import s.implicits._
+      val li = star(s, dir, "lineitem").df
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val base = graft.operators.Merge.buildAggregate(li, keys, Seq("l_quantity"))
+      val deletes = li.filter(col("l_orderkey") % 13 === 0)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          lit("D").as("op"))
+      val inserts = Seq(("X", "X", 5.0, "I"), ("X", "X", 7.25, "I"),
+        ("A", "F", 1.5, "I"))
+        .toDF("l_returnflag", "l_linestatus", "l_quantity", "op")
+      val updated = graft.operators.Merge.maintainAggregate(
+        base, deletes.unionByName(inserts), keys, Seq("l_quantity"))
+      updated.select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        round(col("l_quantity_sum").cast(DoubleType), 2).as("qty_sum"))
+    }),
+
     // Morton z-values over (l_partkey, l_suppkey) — the clustering key
     // behind multi-dimensional data skipping (operators.ZOrder). Bucket
     // widths and bit interleave are exact integer arithmetic against
@@ -759,6 +782,18 @@ object AnalyticQueries {
         |FROM ranked WHERE rk <= 20""".stripMargin,
     "q_hits" -> hitsOracle(6),
     "q_zorder" -> zOracle(8),
+
+    "q_incr_agg" ->
+      """WITH survivors AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 13 <> 0
+        |  UNION ALL SELECT 'X', 'X', 5.0
+        |  UNION ALL SELECT 'X', 'X', 7.25
+        |  UNION ALL SELECT 'A', 'F', 1.5)
+        |SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 2)
+        |    AS qty_sum
+        |FROM survivors GROUP BY 1, 2""".stripMargin,
 
     "q_retention" ->
       """WITH cohorts AS (

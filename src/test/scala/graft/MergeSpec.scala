@@ -127,6 +127,64 @@ class MergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate key"))
   }
 
+  test("maintainAggregate equals full recomputation on a randomized " +
+    "fact/change pair") {
+    val rnd = new scala.util.Random(11)
+    val facts = (0 until 400).map(i =>
+      (i.toLong, s"g${rnd.nextInt(6)}", (rnd.nextInt(2000) - 500) / 100.0))
+    val factsDf = facts.toDF("id", "g", "x").repartition(5)
+    val base = Merge.buildAggregate(factsDf, Seq("g"), Seq("x"))
+    // delete a deterministic slice (carrying true row values), insert new
+    val delRows = facts.filter(_._1 % 7 == 0)
+    val insRows = Seq((9001L, "g1", 3.25), (9002L, "gNEW", 1.5),
+      (9003L, "gNEW", -0.25))
+    val changes =
+      delRows.map(r => (r._2, r._3, "D")).toDF("g", "x", "op")
+        .unionByName(insRows.map(r => (r._2, r._3, "I")).toDF("g", "x", "op"))
+    val got = Merge.maintainAggregate(base, changes, Seq("g"), Seq("x"))
+    val gotMap = got.collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        r.getDecimal(2).doubleValue)).toMap
+    got.unpersist()
+    val survivors = facts.filterNot(_._1 % 7 == 0) ++ insRows
+    val expected = survivors.groupBy(_._2).map { case (g, rs) =>
+      g -> (rs.size.toLong,
+        rs.map(r => BigDecimal(r._3).setScale(2)).sum.toDouble)
+    }
+    assert(gotMap == expected)
+  }
+
+  test("maintainAggregate drops groups whose count reaches zero") {
+    val base = Merge.buildAggregate(
+      Seq((1L, "only", 2.5), (2L, "keep", 1.0)).toDF("id", "g", "x"),
+      Seq("g"), Seq("x"))
+    val changes = Seq(("only", 2.5, "D")).toDF("g", "x", "op")
+    val got = Merge.maintainAggregate(base, changes, Seq("g"), Seq("x"))
+    val gs = got.collect().map(_.getString(0)).toSet
+    got.unpersist()
+    assert(gs == Set("keep"))
+  }
+
+  test("maintainAggregate refuses deletes of rows the view never saw") {
+    val base = Merge.buildAggregate(
+      Seq((1L, "g", 2.5)).toDF("id", "g", "x"), Seq("g"), Seq("x"))
+    val changes = Seq(("g", 2.5, "D"), ("g", 9.9, "D")).toDF("g", "x", "op")
+    val e = intercept[IllegalArgumentException] {
+      Merge.maintainAggregate(base, changes, Seq("g"), Seq("x"))
+    }
+    assert(e.getMessage.contains("NEGATIVE"))
+  }
+
+  test("maintainAggregate refuses unknown op codes loudly") {
+    val base = Merge.buildAggregate(
+      Seq((1L, "g", 2.5)).toDF("id", "g", "x"), Seq("g"), Seq("x"))
+    val changes = Seq(("g", 2.5, "UPSERT")).toDF("g", "x", "op")
+    val e = intercept[Exception] {
+      Merge.maintainAggregate(base, changes, Seq("g"), Seq("x")).collect()
+    }
+    assert(e.getMessage.contains("must be 'I' or 'D'"))
+  }
+
   test("scd2 plan: history only enters broadcast joins, never a shuffle join") {
     val changes = Seq((1L, "a2", 11)).toDF("id", "v", "n")
     val plan = Merge.scd2Upsert(history, changes, Seq("id"), lit(t2))
