@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Maintenance
+
+/** Small-file compaction (operators.Maintenance). */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+
+  test("compact bin-packs many small files to the planned count, content " +
+    "unchanged") {
+    val path = freshDir()
+    val rows = (0L until 5000L).map(i => (i, s"v$i", i % 17))
+    rows.toDF("id", "v", "k").repartition(64).write.parquet(path)
+    val bytes = new java.io.File(path).listFiles
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(bytes.length == 64)
+    val total = bytes.map(_.length).sum
+    // target ~ quarter of the data → 4 planned files
+    val rep = Maintenance.compact(spark, path, targetBytes = (total + 3) / 4)
+    assert(rep.filesBefore == 64L)
+    assert(rep.filesAfter == 4L)
+    val back = spark.read.parquet(path).as[(Long, String, Long)]
+      .collect().sorted.toSeq
+    assert(back == rows.sorted)
+  }
+
+  test("compact with sortCols re-establishes an intra-file sort") {
+    val path = freshDir()
+    (0L until 2000L).map(i => (i * 7919 % 2000, i)).toDF("key", "payload")
+      .repartition(16).write.parquet(path)
+    Maintenance.compact(spark, path, targetBytes = Long.MaxValue,
+      sortCols = Seq("key"))
+    // one output file, globally sorted by key
+    val back = spark.read.parquet(path).select("key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(back == back.sorted)
+    assert(back.toSet == (0L until 2000L).toSet)
+  }
+
+  test("compact leaves no staging or trash directories behind") {
+    val path = freshDir()
+    (0L until 100L).toDF("id").repartition(8).write.parquet(path)
+    Maintenance.compact(spark, path, targetBytes = Long.MaxValue)
+    val parent = new java.io.File(path).getParentFile
+    val leftovers = parent.listFiles.map(_.getName)
+      .filter(n => n.contains("__compacting") || n.contains("__old"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+}
