@@ -48,6 +48,17 @@ object Windowing {
       .withColumnRenamed("__rn", outCol)
       .drop("__gn")
 
+  /** Rank AND group size from the same single-shuffle pass — for
+    * position-from-the-end formulations (EWMA lags, tail slicing) that
+    * would otherwise pay a second count aggregate + join. */
+  def globalRowNumberAndCount(df: DataFrame, groupCols: Seq[String],
+                              orderCols: Seq[String], rnCol: String = "rn",
+                              cntCol: String = "gn",
+                              numPartitions: Int = 0): DataFrame =
+    withRankAndCount(df, groupCols, orderCols, numPartitions)
+      .withColumnRenamed("__rn", rnCol)
+      .withColumnRenamed("__gn", cntCol)
+
   /** Per-group ntile(k): bucket 1..k by rank order, first (n mod k)
     * buckets one row larger — exactly SQL NTILE over
     * (PARTITION BY groupCols ORDER BY orderCols), reassembled from the

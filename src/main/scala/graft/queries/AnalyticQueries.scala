@@ -329,6 +329,28 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("decay_score"))
     }),
 
+    // --- per-user EWMA -------------------------------------------------------
+    // Exponentially-weighted moving average (alpha = 1/2) of each user's
+    // event values at the stream end: s = sum(value_i / 2^(n-i+1)) under
+    // the (ts, event_id) total order. Every weight is a DYADIC factor
+    // built by integer shift — exact in IEEE, no pow() — then rounded and
+    // decimal-summed; rank and group size come from ONE distributed-rank
+    // pass (no per-user data window).
+    "q_event_ewma" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val ranked = graft.functions.Windowing.globalRowNumberAndCount(
+        ev, Seq("user_id"), Seq("ts", "event_id"),
+        rnCol = "__rn", cntCol = "__gn", numPartitions = 8)
+      val contrib = round(col("value") /
+          expr("shiftleft(1L, cast(least(__gn - __rn + 1, 62) as int))"), 12)
+        .cast(DecimalType(28, 12))
+      ranked.select(col("user_id"), contrib.as("__c"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
+    }),
+
     // --- top user paths ------------------------------------------------------
     // The 10 most common opening event-type sequences (first 5 events per
     // user under the (ts, event_id) total order) — path analysis. The
@@ -669,6 +691,18 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_event_ewma" ->
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS gn
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(round(
+        |      value / (CAST(1 AS BIGINT) << CAST(least(gn - rn + 1, 62) AS INTEGER)),
+        |      12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS ewma
+        |FROM o GROUP BY user_id""".stripMargin,
+
     "q_event_decay" ->
       """WITH mx AS (SELECT max(epoch_us(ts) // 1000000) AS mx FROM events),
         |c AS (

@@ -94,6 +94,20 @@ class WindowingSpec extends AnyFunSuite {
       s"window not confined to slice stats:\n$plan")
   }
 
+  test("globalRowNumberAndCount returns rank AND group size from one pass") {
+    val df = rows.toDF("g", "v", "id").repartition(7)
+    val got = Windowing.globalRowNumberAndCount(df, Seq("g"), Seq("v", "id"),
+      rnCol = "rn", cntCol = "gn")
+    val byId = got.collect().map(r =>
+      r.getAs[Long]("id") -> (r.getAs[Long]("rn"), r.getAs[Long]("gn"))).toMap
+    got.unpersist()
+    val sizes = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ref = reference
+    rows.foreach { case (g, _, id) =>
+      assert(byId(id) == (ref(id), sizes(g)), s"id=$id")
+    }
+  }
+
   test("globalRankDist matches sequential rank/dense/percent/cume semantics") {
     val df = rows.toDF("g", "v", "id").repartition(7)
     val got = Windowing.globalRankDist(df, Seq("g"), Seq("v"), Seq("id"))
