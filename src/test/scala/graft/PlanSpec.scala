@@ -291,6 +291,27 @@ class PlanSpec extends AnyFunSuite {
       s"bigram result not materialized:\n$plan")
   }
 
+  test("blocklist screening is a shuffle-free scan + projection (one DFA " +
+    "pass, no UDF)") {
+    val plan = graft.queries.PipelineQueries.queries("q_doc_blocklist")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist should not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"blocklist must not use a UDF:\n$plan")
+    assert(plan.contains("multi_pattern_hits"),
+      s"expected the Aho-Corasick kernel in the plan:\n$plan")
+  }
+
+  test("z-order values are a shuffle-free projection with the row filter " +
+    "pushed to the scan") {
+    val plan = graft.queries.AnalyticQueries.queries("q_zorder")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"z-values should not shuffle:\n$plan")
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_orderkey"),
+      s"orderkey filter not pushed to the parquet scan:\n$pushed")
+  }
+
   test("pq probe scans codes only: no join, no vector column, TakeOrdered top-k") {
     val plan = graft.queries.PipelineQueries.queries("q_emb_pq_probe")(spark, sfDir)
       .queryExecution.executedPlan.toString
