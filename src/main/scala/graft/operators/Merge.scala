@@ -221,4 +221,44 @@ object Merge {
     graft.functions.Dedup.materializeAndFree(
       barrier.filter(col("n") > 0), barrier)
   }
+
+  /** Snapshot diff — derive the change feed BETWEEN two table versions:
+    * the inverse of [[upsert]], and the producer side of
+    * [[maintainAggregate]]/[[scd2Upsert]] when no upstream CDC exists
+    * (nightly re-crawls, vendor drops, backfills).
+    *
+    * Emits one row per changed key with `op` ∈ {I, D, U}: inserts carry
+    * the after-image, deletes the before-image, updates the after-image
+    * (update detection is NULL-SAFE over `compareCols` — null→value and
+    * value→null both count as changes). Unchanged keys produce nothing.
+    *
+    * Scale shape: ONE key-partitioned full-outer join of the two
+    * snapshots — both sides are snapshot-sized by assumption, so neither
+    * broadcasts; write both versions bucketed by key
+    * ([[graft.operators.Bucketing]]) and the join plans with zero
+    * exchanges. Keys must be unique per snapshot (standard snapshot
+    * semantics; duplicate keys make "the" before/after image undefined). */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff: no key columns")
+    require(compareCols.nonEmpty, "snapshotDiff: no compare columns")
+    val b = before.select(
+      keyCols.map(col) ++ compareCols.map(c => col(c).as(s"__b_$c"))
+        :+ lit(1).as("__b_present"): _*)
+    val a = after.select(
+      keyCols.map(col) ++ compareCols.map(c => col(c).as(s"__a_$c"))
+        :+ lit(1).as("__a_present"): _*)
+    val joined = b.join(a, keyCols, "full_outer")
+    val changed = compareCols
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c"))).reduce(_ || _)
+    val op = when(col("__b_present").isNull, lit("I"))
+      .when(col("__a_present").isNull, lit("D"))
+      .when(changed, lit("U"))
+    val outVals = compareCols.map(c =>
+      when(col("__a_present").isNull, col(s"__b_$c"))
+        .otherwise(col(s"__a_$c")).as(c))
+    joined.withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(keyCols.map(col) ++ outVals :+ col("op"): _*)
+  }
 }

@@ -257,6 +257,27 @@ object AnalyticQueries {
         round(col("l_quantity_sum").cast(DoubleType), 2).as("qty_sum"))
     }),
 
+    // Snapshot diff: derive the CDC feed between two table versions with
+    // one key-partitioned full-outer join — deletes carry the before-
+    // image, inserts/updates the after-image, update detection null-safe.
+    // The after-version is a deterministic mutation of lineitem (drop the
+    // %19 slice, bump quantity on the %23 slice, plant one insert).
+    "q_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val before = star(s, dir, "lineitem").df
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_quantity"))
+      val after = before.filter(col("l_orderkey") % 19 =!= 0)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 23 === 0, col("l_quantity") + 1.0)
+            .otherwise(col("l_quantity")))
+        .unionByName(Seq((9000001L, 1L, 42.0))
+          .toDF("l_orderkey", "l_linenumber", "l_quantity"))
+      graft.operators.Merge.snapshotDiff(before, after,
+        Seq("l_orderkey", "l_linenumber"), Seq("l_quantity"))
+    }),
+
     // Morton z-values over (l_partkey, l_suppkey) — the clustering key
     // behind multi-dimensional data skipping (operators.ZOrder). Bucket
     // widths and bit interleave are exact integer arithmetic against
@@ -816,6 +837,29 @@ object AnalyticQueries {
         |FROM ranked WHERE rk <= 20""".stripMargin,
     "q_hits" -> hitsOracle(6),
     "q_zorder" -> zOracle(8),
+
+    "q_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_quantity
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 23 = 0 THEN l_quantity + 1.0
+        |         ELSE l_quantity END AS l_quantity
+        |  FROM b WHERE l_orderkey % 19 <> 0
+        |  UNION ALL SELECT 9000001, 1, 42.0),
+        |j AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    b.l_quantity AS bq, a.l_quantity AS aq
+        |  FROM b FULL JOIN a USING (l_orderkey, l_linenumber))
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN aq IS NULL THEN bq ELSE aq END AS l_quantity,
+        |  CASE WHEN bq IS NULL THEN 'I' WHEN aq IS NULL THEN 'D'
+        |       WHEN bq <> aq THEN 'U' END AS op
+        |FROM j
+        |WHERE (CASE WHEN bq IS NULL THEN 'I' WHEN aq IS NULL THEN 'D'
+        |            WHEN bq <> aq THEN 'U' END) IS NOT NULL""".stripMargin,
 
     "q_incr_agg" ->
       """WITH survivors AS (

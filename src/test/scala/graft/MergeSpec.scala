@@ -185,6 +185,39 @@ class MergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be 'I' or 'D'"))
   }
 
+  test("snapshotDiff classifies inserts/deletes/updates; null-safe both ways") {
+    val before = Seq(
+      (1L, "same"), (2L, "old"), (3L, "gone"),
+      (4L, null.asInstanceOf[String]), (5L, "tonull"))
+      .toDF("id", "v")
+    val after = Seq(
+      (1L, "same"), (2L, "new"),
+      (4L, "fromnull"), (5L, null.asInstanceOf[String]), (6L, "born"))
+      .toDF("id", "v")
+    val got = Merge.snapshotDiff(before, after, Seq("id"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(got == Map(
+      2L -> ("new", "U"), 3L -> ("gone", "D"),
+      4L -> ("fromnull", "U"), 5L -> (null, "U"), 6L -> ("born", "I")))
+  }
+
+  test("upsert of a snapshotDiff reconstructs the after-version exactly") {
+    val rnd = new scala.util.Random(23)
+    val before = (0L until 300L).map(i => (i, rnd.nextInt(50)))
+    // after: drop some keys, change some values, add new keys
+    val after = before.filter(_._1 % 11 != 0)
+      .map { case (k, v) => if (k % 5 == 0) (k, v + 1000) else (k, v) } ++
+      (400L until 420L).map(i => (i, rnd.nextInt(50)))
+    val beforeDf = before.toDF("id", "v").repartition(4)
+    val afterDf = after.toDF("id", "v").repartition(3)
+    val diff = Merge.snapshotDiff(beforeDf, afterDf, Seq("id"), Seq("v"))
+      .withColumn("__del", col("op") === "D").drop("op")
+    val rebuilt = Merge.upsert(beforeDf, diff, Seq("id"),
+      deleteCol = Some("__del"))
+    assert(rebuilt.as[(Long, Int)].collect().sorted.toSeq == after.sorted)
+  }
+
   test("scd2 plan: history only enters broadcast joins, never a shuffle join") {
     val changes = Seq((1L, "a2", 11)).toDF("id", "v", "n")
     val plan = Merge.scd2Upsert(history, changes, Seq("id"), lit(t2))
