@@ -210,6 +210,30 @@ object StreamingQueries {
         .select(col("doc_id"), col("n_chars"), md5(col("text")).as("fp"))
     }),
 
+    // Streaming incremental VIEW maintenance: a CDC feed (deletes of the
+    // doc_id%7==0 slice + planted 'xx'-language inserts) folds into the
+    // (count, sum) aggregate per micro-batch. Deltas are associative, so
+    // the final view is micro-batch independent and the oracle simply
+    // re-aggregates the post-change corpus from scratch.
+    "q_stream_incr_agg" -> ((s, dir) => {
+      val d = Tables.star(s, dir, "documents").df
+      val base = graft.operators.Merge.buildAggregate(
+        d, Seq("lang", "source"), Seq("n_chars"))
+      val sm = col("doc_id") % 7
+      val changes = EventStreams.readDocumentsStream(s, dir)
+        .filter(sm === 0 || sm === 3)
+        .select(
+          when(sm === 3, lit("xx")).otherwise(col("lang")).as("lang"),
+          col("source"),
+          when(sm === 3, col("n_chars") + 10).otherwise(col("n_chars"))
+            .as("n_chars"),
+          when(sm === 0, lit("D")).otherwise(lit("I")).as("op"))
+      EventStreams.streamingAggMaintain(s, changes, base,
+        Seq("lang", "source"), Seq("n_chars"))
+        .select(col("lang"), col("source"), col("n"),
+          round(col("n_chars_sum").cast(DoubleType), 2).as("chars_sum"))
+    }),
+
     // Watermarked streaming dedup (bounded state), run incrementally in
     // Append mode; survivors aggregated in batch for the parity oracle.
     "q_stream_dedup" -> ((s, dir) =>
@@ -299,6 +323,17 @@ object StreamingQueries {
         |SELECT r.lang, r.doc_id, r.n_chars AS weight,
         |  round(greatest(CAST(r.n_chars AS DOUBLE), t.tau), 4) AS w_hat
         |FROM r JOIN tau t USING (lang) WHERE r.rn <= 10""".stripMargin,
+
+    "q_stream_incr_agg" ->
+      """WITH survivors AS (
+        |  SELECT lang, source, n_chars FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'xx', source, n_chars + 10 FROM documents
+        |  WHERE doc_id % 7 = 3)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(n_chars AS DECIMAL(28,2))) AS DOUBLE), 2)
+        |    AS chars_sum
+        |FROM survivors GROUP BY 1, 2""".stripMargin,
 
     "q_stream_upsert" ->
       """WITH changes AS (

@@ -298,6 +298,51 @@ object EventStreams {
     snapshot
   }
 
+  /** Streaming incremental VIEW maintenance: fold a CDC change stream
+    * into a [[graft.operators.Merge.buildAggregate]] view, one signed
+    * delta merge per micro-batch — the always-fresh dashboard/feature
+    * aggregate over an unbounded feed, never rescanning the facts.
+    * Because count/decimal-sum deltas are associative and commutative,
+    * the final view is INDEPENDENT of how the feed was micro-batched and
+    * equals the batch [[graft.operators.Merge.maintainAggregate]] over
+    * the whole feed bit for bit. Generation hygiene as
+    * [[streamingUpsert]]: flatten + materialize, then free the
+    * predecessor. Returns the final view, cached; caller owns one
+    * unpersist. */
+  def streamingAggMaintain(spark: SparkSession, changes: DataFrame,
+                           initial: DataFrame, keyCols: Seq[String],
+                           valueCols: Seq[String],
+                           opCol: String = "op"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var view = org.apache.spark.sql.graft.PlanBridge
+      .flattenPlan(initial.select(initial.columns.map(col): _*))
+      .persist(MEMORY_AND_DISK)
+    view.count()
+    val name = "graft_aggmaint_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpointDir(name)
+    try {
+      val q = changes.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // maintainAggregate is EAGER (returns its own cached frame):
+          // flatten + materialize the generation, then free BOTH the
+          // inner eager frame and the predecessor generation
+          val inner = graft.operators.Merge.maintainAggregate(
+            view, batch, keyCols, valueCols, opCol)
+          val merged = org.apache.spark.sql.graft.PlanBridge
+            .flattenPlan(inner).persist(MEMORY_AND_DISK)
+          merged.count()
+          inner.unpersist()
+          view.unpersist()
+          view = merged
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally deleteRecursively(new java.io.File(ckpt))
+    view
+  }
+
   def runToBatch(spark: SparkSession, streamed: DataFrame,
                  mode: OutputMode = OutputMode.Complete(),
                  statePartitions: Int = 8): DataFrame = {

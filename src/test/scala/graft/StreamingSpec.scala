@@ -186,6 +186,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
+  test("streamingAggMaintain over chained feeds equals one batch " +
+    "maintainAggregate over the whole feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.operators.Merge
+    val sc = spark.sparkContext
+    val cachedBefore = sc.getPersistentRDDs.keySet
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("x", DoubleType), StructField("op", StringType)))
+    def feedDir(rows: Seq[(String, Double, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("aggfeed").toString
+      rows.toDF("g", "x", "op").coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val facts = Seq((1L, "a", 2.5), (2L, "a", 1.0), (3L, "b", 4.0))
+      .toDF("id", "g", "x")
+    val base = Merge.buildAggregate(facts, Seq("g"), Seq("x"))
+    val feed = Seq(("a", 2.5, "D"), ("b", 0.5, "I"), ("c", 9.0, "I"),
+      ("b", 4.0, "D"), ("b", 0.5, "D"))
+    // streamed in two chained generations (forces >1 foreachBatch call)
+    val v1 = EventStreams.streamingAggMaintain(spark,
+      spark.readStream.schema(schema).parquet(feedDir(feed.take(3))),
+      base, Seq("g"), Seq("x"))
+    val v2 = EventStreams.streamingAggMaintain(spark,
+      spark.readStream.schema(schema).parquet(feedDir(feed.drop(3))),
+      v1, Seq("g"), Seq("x"))
+    val batch = Merge.maintainAggregate(base,
+      feed.toDF("g", "x", "op"), Seq("g"), Seq("x"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros)).toSet
+    assert(snap(v2) == snap(batch))
+    // group b reached zero rows and dropped
+    assert(!snap(v2).exists(_._1 == "b"))
+    v1.unpersist(); v2.unpersist(); batch.unpersist(); base.unpersist()
+    val leaked = sc.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("multimodal: payload bytes real, stub meta deterministic, batch shape") {
     val docs = Tables.df(spark, sfDir, "documents")
       .withColumn("payload", Multimodal.payloadFromText(col("text")))
