@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.expressions.{BandHashes, BpeIshTokenCount, FloatVecCosine,
   FloatVecDot, JaccardSimilarity, MinHashArray, MinHashOfTokens,
-  NgramWindowHashes, SignatureAgreement, SimHashOfTokens, WinnowMinHashes,
-  WinnowMinPositions}
+  MultiPatternHits, NgramWindowHashes, SignatureAgreement, SimHashOfTokens,
+  WinnowMinHashes, WinnowMinPositions}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql(...)` users get them
@@ -28,6 +28,7 @@ import graft.functions.expressions.{BandHashes, BpeIshTokenCount, FloatVecCosine
   *   - graft_winnow(hashes, window) — winnowing fingerprint selection
   *   - graft_winnow_positions(hashes, window) — selected token offsets (span reconstruction)
   *   - graft_band_hashes(sig, bands, rowsPerBand) — LSH band bucket keys
+  *   - graft_pattern_hits(text, p1, p2, ...) — Aho–Corasick matched-pattern indices
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -44,6 +45,13 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
     case other =>
       throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+      v.toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a string literal, got $other")
   }
 
   val functions: Seq[(String, (ExpressionInfo, Seq[Expression] => Expression))] = Seq(
@@ -93,7 +101,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BandHashes].getName, "graft_band_hashes"),
       (args: Seq[Expression]) =>
         BandHashes(args(0), intLit(args(1), "bands"),
-          intLit(args(2), "rowsPerBand")))
+          intLit(args(2), "rowsPerBand"))),
+    "graft_pattern_hits" -> (
+      new ExpressionInfo(classOf[MultiPatternHits].getName, "graft_pattern_hits"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 2,
+          "graft_pattern_hits(text, pattern, ...) needs at least one pattern")
+        MultiPatternHits(args.head, args.tail.map(strLit(_, "pattern")))
+      })
   )
 
   /** Register on an already-built session. */

@@ -63,4 +63,16 @@ class ExtensionsSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("band_hashes")), ex.toString)
   }
+
+  test("graft_pattern_hits from SQL: matched indices, literal-only patterns") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_pattern_hits('the scanner sparked', " +
+        "'scan', 'can', 'spark', 'park', 'zzz')").collect().head
+    assert(r.getSeq[Int](0) == Seq(0, 1, 2, 3))
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_pattern_hits('a', length('x'))").collect()
+    }
+    assert(ex.getMessage.contains("string literal"), ex.toString)
+  }
 }
