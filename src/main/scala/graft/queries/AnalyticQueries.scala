@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -442,6 +443,33 @@ object AnalyticQueries {
         .filter(abs(col("z")) > 2.0)
     }),
 
+    // CUSUM change-point detection (Page 1954) over per-type hourly
+    // counts: S_t = cum_t − min(0, min_{j<t} cum_j) with drift k = the
+    // per-type integer-floor mean — the closed form of the sequential
+    // CUSUM recursion (running sum minus its running minimum), so the
+    // whole detector is two windows over the ALREADY-AGGREGATED hourly
+    // table (metadata-sized: types × hours — data rows never enter a
+    // window). Everything integer-exact; alarms at the classic 5k with a
+    // floor of 5 for sparse types.
+    "q_event_cusum" -> ((s, dir) => {
+      val hourly = Tables.df(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val drift = hourly.groupBy(col("event_type"))
+        .agg(expr("sum(n) div count(1)").cast(LongType).as("k"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val prefix = byType.rowsBetween(Window.unboundedPreceding, -1)
+      val withCum = hourly.join(broadcast(drift), Seq("event_type"))
+        .withColumn("__cum", sum(col("n") - col("k")).over(byType))
+        .withColumn("__mn",
+          least(coalesce(min(col("__cum")).over(prefix), lit(0L)), lit(0L)))
+      withCum
+        .select(col("event_type"), col("h"), col("n"),
+          (col("__cum") - col("__mn")).as("cusum"),
+          ((col("__cum") - col("__mn")) >= greatest(col("k") * 5, lit(5L)))
+            .as("alarm"))
+    }),
+
     "q_approx_stats" -> ((s, dir) => {
       val li = star(s, dir, "lineitem").df
       // Two passes joined on the 3-row group key: mixing count(DISTINCT)
@@ -763,6 +791,27 @@ object AnalyticQueries {
         |SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
         |  round(CAST(t.n AS DOUBLE) / CAST(tot.tot AS BIGINT), 6) AS p
         |FROM t JOIN tot USING (from_type)""".stripMargin,
+
+    "q_event_cusum" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |drift AS (
+        |  SELECT event_type, CAST(sum(n) // count(*) AS BIGINT) AS k
+        |  FROM hourly GROUP BY 1),
+        |c AS (
+        |  SELECT hourly.event_type, h, n, k,
+        |    sum(n - k) OVER (PARTITION BY hourly.event_type ORDER BY h) AS cum
+        |  FROM hourly JOIN drift USING (event_type)),
+        |m AS (
+        |  SELECT *, least(coalesce(min(cum) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS mn
+        |  FROM c)
+        |SELECT event_type, h, n, CAST(cum - mn AS BIGINT) AS cusum,
+        |  (cum - mn) >= greatest(k * 5, 5) AS alarm
+        |FROM m""".stripMargin,
 
     "q_event_anomaly" ->
       """WITH hourly AS (
