@@ -48,6 +48,29 @@ object Windowing {
       .withColumnRenamed("__rn", outCol)
       .drop("__gn")
 
+  /** Distributed LAG: `lag_<c>` columns carrying each row's `offset`-back
+    * predecessor values under (groupCols, orderCols) — SQL
+    * `LAG(c, offset) OVER (PARTITION BY g ORDER BY o)` without one task
+    * per group: the rank comes from the range-partitioned
+    * [[globalRowNumber]] pass and predecessors attach via ONE
+    * (group, rank−offset) equi-join, so a skewed group spans many bounded
+    * tasks instead of serializing through a single window task. First
+    * `offset` rows of each group get nulls, as in SQL. EAGER (inherits
+    * the rank barrier); caller owns one unpersist(). */
+  def globalLag(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                lagCols: Seq[String], offset: Int = 1,
+                numPartitions: Int = 0): DataFrame = {
+    require(offset >= 1, s"globalLag: offset must be >= 1, got $offset")
+    require(lagCols.nonEmpty, "globalLag: no lag columns")
+    val ranked = globalRowNumber(df, groupCols, orderCols, "__rn",
+      numPartitions)
+    val prev = ranked.select(
+      groupCols.map(col) ++ Seq((col("__rn") + offset).as("__rn")) ++
+        lagCols.map(c => col(c).as(s"lag_$c")): _*)
+    ranked.join(prev, groupCols :+ "__rn", "left")
+      .drop("__rn")
+  }
+
   /** Rank AND group size from the same single-shuffle pass — for
     * position-from-the-end formulations (EWMA lags, tail slicing) that
     * would otherwise pay a second count aggregate + join. */

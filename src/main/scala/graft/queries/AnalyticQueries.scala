@@ -373,6 +373,26 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // --- inter-event gaps ----------------------------------------------------
+    // Per-user inter-arrival statistics via the DISTRIBUTED lag
+    // (Windowing.globalLag: range-partitioned rank + one (user, rank-1)
+    // join — no per-user window task). Gaps are exact integer
+    // microseconds; the average is one rounded IEEE division.
+    "q_event_gap" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val lagged = graft.functions.Windowing.globalLag(ev,
+        Seq("user_id"), Seq("ts", "event_id"), Seq("ts"), numPartitions = 8)
+      lagged.filter(col("lag_ts").isNotNull)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(col("lag_ts"))).as("gap"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          max(col("gap")).as("max_gap_us"),
+          round(sum(col("gap")).cast(DoubleType) / count(lit(1)) / 1e6, 6)
+            .as("avg_gap_s"))
+    }),
+
     // --- top user paths ------------------------------------------------------
     // The 10 most common opening event-type sequences (first 5 events per
     // user under the (ts, event_id) total order) — path analysis. The
@@ -740,6 +760,18 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_event_gap" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS pus
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(max(us - pus) AS BIGINT) AS max_gap_us,
+        |  round(CAST(sum(us - pus) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |    AS avg_gap_s
+        |FROM o WHERE pus IS NOT NULL GROUP BY user_id""".stripMargin,
+
     "q_event_ewma" ->
       """WITH o AS (
         |  SELECT user_id, value,

@@ -108,6 +108,27 @@ class WindowingSpec extends AnyFunSuite {
     }
   }
 
+  test("globalLag matches SQL LAG semantics at offsets 1 and 2") {
+    val df = rows.toDF("g", "v", "id").repartition(6)
+    for (off <- Seq(1, 2)) {
+      val got = Windowing.globalLag(df, Seq("g"), Seq("v", "id"),
+        Seq("v", "id"), offset = off)
+      val byId = got.collect().map { r =>
+        val lv = if (r.isNullAt(r.fieldIndex("lag_v"))) None
+          else Some(r.getAs[Long]("lag_v"))
+        r.getAs[Long]("id") -> lv
+      }.toMap
+      got.unpersist()
+      val expected = rows.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        sorted.zipWithIndex.map { case (r, i) =>
+          r._3 -> (if (i >= off) Some(sorted(i - off)._2) else None)
+        }
+      }.toMap
+      assert(byId == expected, s"offset=$off")
+    }
+  }
+
   test("globalRankDist matches sequential rank/dense/percent/cume semantics") {
     val df = rows.toDF("g", "v", "id").repartition(7)
     val got = Windowing.globalRankDist(df, Seq("g"), Seq("v"), Seq("id"))
