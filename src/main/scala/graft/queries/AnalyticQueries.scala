@@ -373,6 +373,42 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // --- forensics / governance ---------------------------------------------
+    // Benford first-digit test on extended prices — the data-forensics
+    // screen for fabricated or re-scaled numeric columns. The digit comes
+    // from the integer CENTS string (leading significant digit is
+    // invariant under x100, and integer-to-string is identical in both
+    // engines — no log10 boundary hazards); shares and the Benford
+    // expectation are each one rounded IEEE chain.
+    "q_benford" -> ((s, dir) => {
+      val li = star(s, dir, "lineitem").df
+      val cents = round(col("l_extendedprice") * 100).cast(LongType)
+      val digit = substring(cents.cast(StringType), 0, 1)
+      val total = broadcast(li.agg(count(lit(1)).as("__t")))
+      li.select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(total)
+        .select(col("digit"), col("n"),
+          round(col("n").cast(DoubleType) / col("__t"), 6).as("share"),
+          round(log(10.0,
+            lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)), 6)
+            .as("benford"))
+    }),
+
+    // k-anonymity audit over the (event_type, hour-of-day) quasi-
+    // identifier: combinations backed by fewer than k distinct users
+    // re-identify — the governance gate before releasing event slices.
+    // ONE exact count(DISTINCT) per combo (a single distinct aggregate
+    // costs no Expand multiplication).
+    "q_k_anon" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+      ev.select(col("event_type"), hour(col("ts")).as("hod"), col("user_id"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("anonymous", col("n_users") >= 50)
+    }),
+
     // --- inter-event gaps ----------------------------------------------------
     // Per-user inter-arrival statistics via the DISTRIBUTED lag
     // (Windowing.globalLag: range-partitioned rank + one (user, rank-1)
@@ -760,6 +796,24 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS digit
+        |  FROM lineitem),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM d)
+        |SELECT digit, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / t.tt, 6) AS share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford
+        |FROM d, t GROUP BY digit, t.tt""".stripMargin,
+
+    "q_k_anon" ->
+      """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(DISTINCT user_id) >= 50 AS anonymous
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q_event_gap" ->
       """WITH o AS (
         |  SELECT user_id, epoch_us(ts) AS us,
