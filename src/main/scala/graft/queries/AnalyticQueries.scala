@@ -373,6 +373,40 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // Entity-resolution capstone: planted customer-record variants (one
+    // substitution, one deletion per selected md5 name) are re-clustered
+    // end to end — FastSS deletion-neighborhood blocking, codegen
+    // levenshtein verify, connected components, keep-min golden record.
+    // The oracle is the PLANTED ground truth: md5 bases are pairwise far
+    // apart, so the engine must recover exactly the planted clusters —
+    // any spurious cross-link or missed variant breaks the match.
+    "q_entity_resolution" -> ((s, dir) => {
+      val base = star(s, dir, "customer").df
+        .select(col("c_custkey"),
+          md5(col("c_custkey").cast(StringType)).as("name"))
+      val recs = base
+        .select((col("c_custkey") * 10).as("record_id"), col("name"))
+        .unionByName(base.filter(col("c_custkey") % 3 === 0)
+          .select((col("c_custkey") * 10 + 1).as("record_id"),
+            concat(lit("z"), substring(col("name"), 2, 64)).as("name")))
+        .unionByName(base.filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") * 10 + 2).as("record_id"),
+            substring(col("name"), 2, 64).as("name")))
+      val pairs = graft.operators.FuzzyJoin.editDistance1Pairs(
+        recs, "record_id", "name")
+      val comps = graft.functions.Dedup.connectedComponents(
+        pairs.select(col("id_a").as("idA"), col("id_b").as("idB")))
+      val resolved = recs
+        .join(comps.withColumnRenamed("id", "record_id"),
+          Seq("record_id"), "left")
+        .select(col("record_id"),
+          coalesce(col("component"), col("record_id")).as("canonical_id"))
+      val sizes = resolved.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      resolved.join(sizes, Seq("canonical_id"))
+        .select(col("record_id"), col("canonical_id"), col("cluster_size"))
+    }),
+
     // --- forensics / governance ---------------------------------------------
     // Benford first-digit test on extended prices — the data-forensics
     // screen for fabricated or re-scaled numeric columns. The digit comes
@@ -796,6 +830,21 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_entity_resolution" ->
+      """WITH recs AS (
+        |  SELECT c_custkey, c_custkey * 10 AS record_id FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_custkey * 10 + 1 FROM customer
+        |  WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_custkey * 10 + 2 FROM customer
+        |  WHERE c_custkey % 5 = 0),
+        |sz AS (
+        |  SELECT c_custkey, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM recs GROUP BY 1)
+        |SELECT record_id, c_custkey * 10 AS canonical_id, cluster_size
+        |FROM recs JOIN sz USING (c_custkey)""".stripMargin,
+
     "q_benford" ->
       """WITH d AS (
         |  SELECT substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
