@@ -62,13 +62,18 @@ object Windowing {
                 numPartitions: Int = 0): DataFrame = {
     require(offset >= 1, s"globalLag: offset must be >= 1, got $offset")
     require(lagCols.nonEmpty, "globalLag: no lag columns")
-    val ranked = globalRowNumber(df, groupCols, orderCols, "__rn",
-      numPartitions)
+    // hold the PERSISTED rank frame itself (a projection over it would not
+    // release the cache on unpersist — plans must match the cached entry)
+    val rankedP = withRankAndCount(df, groupCols, orderCols, numPartitions)
+    val ranked = rankedP.drop("__gn")
     val prev = ranked.select(
       groupCols.map(col) ++ Seq((col("__rn") + offset).as("__rn")) ++
         lagCols.map(c => col(c).as(s"lag_$c")): _*)
-    ranked.join(prev, groupCols :+ "__rn", "left")
+    val out = ranked.join(prev, groupCols :+ "__rn", "left")
       .drop("__rn")
+    // both join legs read the SAME persisted rank barrier; materialize the
+    // result before freeing it (EAGER contract — caller owns one unpersist)
+    graft.functions.Dedup.materializeAndFree(out, rankedP)
   }
 
   /** Rank AND group size from the same single-shuffle pass — for

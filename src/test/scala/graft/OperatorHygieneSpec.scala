@@ -150,4 +150,32 @@ class OperatorHygieneSpec extends AnyFunSuite {
         docs, Seq("doc_id"), Some("del"))
     }
   }
+
+  test("adamicAdar frees its edge and degree barriers") {
+    import spark.implicits._
+    val edges = (0 until 150)
+      .map(i => ((i % 20).toLong, (i * 7 % 20).toLong)).toDF("src", "dst")
+    assertHygienic("adamicAdar") {
+      graft.functions.Graph.adamicAdar(edges, "src", "dst", k = 10)
+    }
+  }
+
+  test("maintainAggregate frees its merge barrier") {
+    import spark.implicits._
+    val base = graft.operators.Merge.buildAggregate(
+      (0L until 100L).map(i => (i, s"g${i % 5}", i / 10.0)).toDF("id", "g", "x"),
+      Seq("g"), Seq("x"))
+    val changes = Seq(("g1", 0.1, "I"), ("g2", 0.2, "I")).toDF("g", "x", "op")
+    assertHygienic("maintainAggregate") {
+      graft.operators.Merge.maintainAggregate(base, changes, Seq("g"), Seq("x"))
+    }
+  }
+
+  test("globalLag inherits and frees the rank barrier") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (s"g${i % 3}", i % 17, i)).toDF("g", "v", "id")
+    assertHygienic("globalLag") {
+      graft.functions.Windowing.globalLag(df, Seq("g"), Seq("v", "id"), Seq("v"))
+    }
+  }
 }
