@@ -47,6 +47,49 @@ object Resample {
       .withColumn("value", last(col("__obs"), ignoreNulls = true).over(w))
       .select(col(keyCol), timestamp_seconds(col("__bin")).as("bin_ts"), col("value"))
   }
+
+  /** Resample with LINEAR interpolation across empty bins — the
+    * `resample().interpolate()` analog for quantities where carrying a
+    * stale reading forward biases (sensor drift, prices, rates). Same
+    * scale shape as [[resampleLocf]]: bin aggregation + per-key grid +
+    * two gap-fill windows, everything partitioned by key.
+    *
+    * Empty interior bins get pval + (nval − pval)·(bin − pbin)/(nbin −
+    * pbin) between the surrounding observed bins — one parenthesized
+    * IEEE chain rounded to 6 decimals, so the fill is engine-mirrorable;
+    * the grid spans each key's own observed range, so every gap has both
+    * neighbors. Output: (key, bin_ts, value, interpolated). */
+  def resampleInterp(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, binSeconds: Long,
+                     agg: Column => Column = last(_, ignoreNulls = true)): DataFrame = {
+    val bin = (unix_seconds(col(tsCol)) / binSeconds).cast("long") * binSeconds
+    val binned = df
+      .withColumn("__bin", bin)
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(agg(col(valueCol)).as("__obs"))
+    val grid = binned
+      .groupBy(col(keyCol))
+      .agg(min(col("__bin")).as("__lo"), max(col("__bin")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), lit(binSeconds))).as("__bin"))
+    val back = Window.partitionBy(col(keyCol)).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("__bin"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBin = when(col("__obs").isNotNull, col("__bin"))
+    val lerp = col("__pv") + (col("__nv") - col("__pv")) *
+      (col("__bin") - col("__pb")).cast("double") /
+      (col("__nb") - col("__pb")).cast("double")
+    grid.join(binned, Seq(keyCol, "__bin"), "left")
+      .withColumn("__pb", last(obsBin, ignoreNulls = true).over(back))
+      .withColumn("__pv", last(col("__obs"), ignoreNulls = true).over(back))
+      .withColumn("__nb", first(obsBin, ignoreNulls = true).over(fwd))
+      .withColumn("__nv", first(col("__obs"), ignoreNulls = true).over(fwd))
+      .select(col(keyCol), timestamp_seconds(col("__bin")).as("bin_ts"),
+        when(col("__obs").isNotNull, col("__obs"))
+          .otherwise(round(lerp, 6)).as("value"),
+        col("__obs").isNull.as("interpolated"))
+  }
 }
 
 /** Skew mitigation for joins whose hot keys overwhelm single tasks and

@@ -106,6 +106,15 @@ object AnalyticQueries {
         binSeconds = 21600L,
         agg = c => sum(c.cast(DecimalType(18, 2))).cast(DoubleType))),
 
+    // Linear-interpolation resampling — stale-reading-free gap fill for
+    // rates/prices: empty bins get the rounded lerp between surrounding
+    // observed bins.
+    "q_resample_interp" -> ((s, dir) =>
+      graft.operators.Resample.resampleInterp(
+        Tables.df(s, dir, "events"), "user_id", "ts", "value",
+        binSeconds = 21600L,
+        agg = c => sum(c.cast(DecimalType(18, 2))).cast(DoubleType))),
+
     // --- approximate aggregates, oracle-checked via their bounds -----------
     // The sketch estimates themselves are engine-specific, so the query
     // emits the EXACT columns plus in-Spark bound checks: hll_ok asserts
@@ -1120,6 +1129,38 @@ object AnalyticQueries {
         |SELECT g.user_id, make_timestamp(g.bin * 1000000) AS bin_ts, b.obs AS value
         |FROM grid g ASOF LEFT JOIN binned b
         |  ON g.user_id = b.user_id AND g.bin >= b.bin""".stripMargin,
+
+    "q_resample_interp" ->
+      """WITH binned AS (
+        |  SELECT user_id, ((epoch_us(ts) // 1000000) // 21600) * 21600 AS bin,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(bin) AS lo, max(bin) AS hi FROM binned GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 21600)) AS bin FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.bin, b.obs
+        |  FROM grid g LEFT JOIN binned b ON g.user_id = b.user_id AND g.bin = b.bin),
+        |f AS (
+        |  SELECT user_id, bin, obs,
+        |    last_value(CASE WHEN obs IS NOT NULL THEN bin END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |    last_value(obs IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(CASE WHEN obs IS NOT NULL THEN bin END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY bin
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+        |    first_value(obs IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY bin
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM j)
+        |SELECT user_id, make_timestamp(bin * 1000000) AS bin_ts,
+        |  CASE WHEN obs IS NOT NULL THEN obs
+        |       ELSE round(pv + (nv - pv) * CAST(bin - pb AS DOUBLE) /
+        |                  CAST(nb - pb AS DOUBLE), 6) END AS value,
+        |  obs IS NULL AS interpolated
+        |FROM f""".stripMargin,
 
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, e.err_id,

@@ -38,6 +38,26 @@ class ResampleSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("resampleInterp lerps interior gaps, keeps observed bins verbatim") {
+    // key a: observations at bins 0 and 3 (values 10 and 40) with a
+    // two-bin gap -> lerp 20, 30; key b: single observation, no gaps
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:10"), 10.0),
+      ("a", ts("2024-01-01 03:00:20"), 40.0),
+      ("b", ts("2024-01-01 05:00:00"), 7.0))
+      .toDF("k", "t", "v").repartition(3)
+    val got = Resample.resampleInterp(df, "k", "t", "v", binSeconds = 3600L)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getBoolean(3))).toSet
+    assert(got == Set(
+      ("a", "2024-01-01 00:00:00.0", 10.0, false),
+      ("a", "2024-01-01 01:00:00.0", 20.0, true),
+      ("a", "2024-01-01 02:00:00.0", 30.0, true),
+      ("a", "2024-01-01 03:00:00.0", 40.0, false),
+      ("b", "2024-01-01 05:00:00.0", 7.0, false)))
+  }
+
   test("binnedRangeJoin equals the naive range join and stays an equi-join") {
     import graft.operators.RangeJoin
     val rnd = new scala.util.Random(5)
