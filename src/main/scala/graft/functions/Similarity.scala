@@ -138,6 +138,29 @@ object Similarity {
         col("__e.score").as("cosine"), (col("__r") + 1).cast("long").as("rank"))
   }
 
+  /** Mutual nearest neighbors: pairs whose top-1 same-block neighbors are
+    * EACH OTHER — the high-precision matching rule behind bilingual
+    * lexicon induction (Artetxe et al. 2018), cross-corpus record
+    * matching, and dataset alignment (one-sided nearest neighbors are
+    * hub-polluted; mutuality filters the hubs out for free). Built on
+    * [[knnWithinGroups]]' int8-exact cosine ranking, so the pair set is
+    * engine-independent; the mutuality check is one (id, neighbor)-keyed
+    * self-join over top-1 rows — output-proportional, never quadratic.
+    * Returns (id_a, id_b, cosine) with id_a < id_b. */
+  def mutualNearestNeighbors(df: DataFrame, groupCol: String, embCol: String,
+                             idCol: String,
+                             maxGroupSize: Int = 20000): DataFrame = {
+    val top = knnWithinGroups(df, groupCol, embCol, idCol, k = 1,
+        maxGroupSize)
+      .filter(col("rank") === 1)
+      .select(col(idCol).as("__v"), col("neighbor_id").as("__n"),
+        col("cosine"))
+    val rev = top.select(col("__n").as("__v"), col("__v").as("__n"))
+    top.join(rev, Seq("__v", "__n"))
+      .filter(col("__v") < col("__n"))
+      .select(col("__v").as("id_a"), col("__n").as("id_b"), col("cosine"))
+  }
+
   /** Engine-exact cosine scores against a literal query vector: per-element
     * double products (IEEE-exact everywhere) are rounded to `prodScale`
     * decimals and summed as DECIMAL — order-independent, so the dot product

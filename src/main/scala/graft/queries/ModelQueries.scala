@@ -56,6 +56,15 @@ object ModelQueries {
       Similarity.knnWithinGroups(star(s, dir, "embeddings").df,
         groupCol = "label", embCol = "embedding", idCol = "vec_id", k = 3)),
 
+    // Mutual nearest neighbors within each label block: pairs whose top-1
+    // neighbors are each other — the hub-resistant high-precision
+    // matching rule. Exact int8 cosine ranking makes the pair set
+    // engine-independent; the oracle filters the quadratic mirror to
+    // rank-1 rows and keeps the symmetric ones.
+    "q_mutual_nn" -> ((s, dir) =>
+      Similarity.mutualNearestNeighbors(star(s, dir, "embeddings").df,
+        groupCol = "label", embCol = "embedding", idCol = "vec_id")),
+
     // Per-label embedding outliers: top-3 vectors farthest from their
     // label's centroid — the mislabeled-candidate / cluster-purity
     // detector. The trick making this hash-checkable on REAL vectors:
@@ -492,6 +501,39 @@ object ModelQueries {
         |  FROM scored)
         |SELECT ida AS vec_id, idb AS neighbor_id, cosine, rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_mutual_nn" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CASE WHEN s > 0
+        |      THEN floor(CAST(x AS DOUBLE) / s * 127 + 0.5)
+        |      ELSE 0.0 END) AS codes
+        |  FROM base),
+        |withn AS MATERIALIZED (
+        |  SELECT vec_id, label, codes,
+        |    list_dot_product(codes, codes) AS n2
+        |  FROM codes),
+        |scored AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    CASE WHEN sqrt(a.n2) * sqrt(b.n2) > 0
+        |      THEN round(list_dot_product(a.codes, b.codes) /
+        |        (sqrt(a.n2) * sqrt(b.n2)), 6)
+        |      ELSE 0.0 END AS cosine
+        |  FROM withn a JOIN withn b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |top1 AS (
+        |  SELECT ida, idb, cosine FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY ida
+        |      ORDER BY cosine DESC, idb ASC) AS rank
+        |    FROM scored) WHERE rank = 1)
+        |SELECT a.ida AS id_a, a.idb AS id_b, a.cosine
+        |FROM top1 a JOIN top1 b ON a.ida = b.idb AND a.idb = b.ida
+        |WHERE a.ida < a.idb""".stripMargin,
 
     "q_multimodal_phash" ->
       """WITH d2 AS MATERIALIZED (

@@ -226,6 +226,22 @@ class ModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("mutualNearestNeighbors keeps only symmetric top-1 pairs (hubs drop)") {
+    // 2D geometry: (0,1) tight pair; 2 is closest to 1 but 1's top-1 is 0
+    // -> (1,2) not mutual; (3,4) mutual pair on another axis
+    val rows = Seq(
+      (0L, Array(1.00f, 0.00f, 0f, 0f)),
+      (1L, Array(0.99f, 0.14f, 0f, 0f)),
+      (2L, Array(0.80f, 0.60f, 0f, 0f)),
+      (3L, Array(0.00f, 0.00f, 1.00f, 0.05f)),
+      (4L, Array(0.00f, 0.00f, 0.98f, 0.20f)))
+      .map { case (id, v) => (id, "g", v) }
+    val df = rows.toDF("vec_id", "grp", "embedding").repartition(3)
+    val got = Similarity.mutualNearestNeighbors(df, "grp", "embedding",
+      "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (3L, 4L)))
+  }
+
   test("knnWithinGroups refuses oversized blocks loudly") {
     val df = (0L until 30L).map(i => (i, "one", Array.fill(4)(1.0f)))
       .toDF("vec_id", "grp", "embedding")
