@@ -495,10 +495,14 @@ object Graph {
     val w = deg.filter(col("deg").between(2, maxDegree))
       .select(col("z"),
         round(lit(1.0) / log(col("deg")), 12).cast(DecimalType(28, 12)).as("w"))
-    val wedges = adj
-      .join(adj.select(col("z"), col("x").as("y")), Seq("z"))
+    // attach the weight (and thereby the keep-set) BEFORE the self-join —
+    // a dropped hub must never enter the wedge explosion — and PERSIST the
+    // filtered adjacency: both self-join legs read the one cached copy
+    // instead of re-running the degree aggregate + weight join per leg
+    val adjW = adj.join(w, Seq("z")).persist(MEMORY_AND_DISK)
+    val wedges = adjW
+      .join(adjW.select(col("z"), col("x").as("y")), Seq("z"))
       .filter(col("x") < col("y"))
-      .join(w, Seq("z"))
     val scored = wedges
       .groupBy(col("x").as("a"), col("y").as("b"))
       .agg(round(sum(col("w")).cast(DoubleType), 6).as("aa_score"),
@@ -509,6 +513,6 @@ object Graph {
     val win = org.apache.spark.sql.expressions.Window
       .orderBy(col("aa_score").desc, col("a").asc, col("b").asc)
     val result = top.withColumn("rank", row_number().over(win).cast(LongType))
-    Dedup.materializeAndFree(result, und, deg)
+    Dedup.materializeAndFree(result, und, deg, adjW)
   }
 }

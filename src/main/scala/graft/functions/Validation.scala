@@ -99,6 +99,45 @@ object Validation {
     (rowReport ++ keyReport).reduce(_.unionByName(_))
   }
 
+  /** Pre-join diagnostics — answer "what happens if I join these on k?"
+    * BEFORE burning a cluster-hour finding out: exact row/distinct-key
+    * counts per side, matched-key count, the EXACT output cardinality
+    * Σ cnt_a(k)·cnt_b(k), and the worst per-key fan-out (the row that
+    * becomes one task's skew partition). All from the two key-count
+    * tables — one aggregate per side plus a key-keyed join of
+    * vocabulary-sized frames; the fact rows are read once and never
+    * shuffled whole.
+    *
+    * Null keys are excluded (they never match in SQL). Returns ONE row:
+    * (n_left, n_right, keys_left, keys_right, keys_matched,
+    * est_output_rows, max_fanout_key, max_fanout). */
+  def joinDiagnostics(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String): DataFrame = {
+    val lc = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__ca"))
+    val rc = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cb"))
+    val joined = lc.join(rc, Seq("__k"))
+      .select(col("__k"), (col("__ca") * col("__cb")).as("__f"))
+    val lStats = lc.agg(sum(col("__ca")).as("n_left"),
+      count(lit(1)).as("keys_left"))
+    val rStats = rc.agg(sum(col("__cb")).as("n_right"),
+      count(lit(1)).as("keys_right"))
+    val jStats = joined.agg(
+      count(lit(1)).as("keys_matched"),
+      sum(col("__f")).as("est_output_rows"),
+      max(struct(col("__f"), col("__k").cast("string").as("__ks")))
+        .as("__worst"))
+    lStats.crossJoin(rStats).crossJoin(jStats)
+      .select(
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"),
+        col("keys_left"), col("keys_right"), col("keys_matched"),
+        coalesce(col("est_output_rows"), lit(0L)).as("est_output_rows"),
+        col("__worst.__ks").as("max_fanout_key"),
+        coalesce(col("__worst.__f"), lit(0L)).as("max_fanout"))
+  }
+
   /** One-sweep column profiler — the first query against an unfamiliar
     * table: per column, row/null/EXACT-distinct counts, lexicographic
     * min/max, and the modal value with a deterministic tie-break.

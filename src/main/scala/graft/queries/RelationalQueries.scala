@@ -399,6 +399,14 @@ object RelationalQueries {
         .withColumnRenamed("column", "col_name")
     }),
 
+    // Pre-join diagnostics: exact output cardinality and worst per-key
+    // fan-out of a proposed join, computed from the two vocabulary-sized
+    // key-count tables before any fact row shuffles.
+    "q_join_diag" -> ((s, dir) =>
+      graft.functions.Validation.joinDiagnostics(
+        star(s, dir, "lineitem").df, star(s, dir, "orders").df,
+        "l_orderkey", "o_orderkey")),
+
     // One-sweep column profiler: per-column row/null/exact-distinct
     // counts, min/max, and the deterministic mode — the shuffle carries
     // one row per DISTINCT (column, value), never the table. Floats are
@@ -667,6 +675,28 @@ object RelationalQueries {
         |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
         |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
         |FROM n""".stripMargin,
+
+    "q_join_diag" ->
+      """WITH lc AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |rc AS (
+        |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+        |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT lc.k, ca * cb AS f FROM lc JOIN rc USING (k)),
+        |w AS (
+        |  SELECT CAST(k AS VARCHAR) AS ks, f FROM j
+        |  ORDER BY f DESC, CAST(k AS VARCHAR) DESC LIMIT 1)
+        |SELECT ls.n_left, rs.n_right, ls.keys_left, rs.keys_right,
+        |  js.keys_matched, js.est_output_rows,
+        |  w.ks AS max_fanout_key, w.f AS max_fanout
+        |FROM
+        |  (SELECT CAST(sum(ca) AS BIGINT) AS n_left,
+        |     CAST(count(*) AS BIGINT) AS keys_left FROM lc) ls,
+        |  (SELECT CAST(sum(cb) AS BIGINT) AS n_right,
+        |     CAST(count(*) AS BIGINT) AS keys_right FROM rc) rs,
+        |  (SELECT CAST(count(*) AS BIGINT) AS keys_matched,
+        |     CAST(sum(f) AS BIGINT) AS est_output_rows FROM j) js, w""".stripMargin,
 
     "q_profile" ->
       """WITH stacked AS (

@@ -84,6 +84,30 @@ class ValidationSpec extends AnyFunSuite {
     assert(v.getString(6) == "1" && v.getLong(7) == 2L)
   }
 
+  test("joinDiagnostics: exact cardinality, matched keys, worst fan-out, " +
+    "nulls excluded") {
+    val left = Seq[java.lang.Long](1L, 1L, 1L, 2L, 3L, null).toDF("k")
+    val right = Seq[java.lang.Long](1L, 1L, 2L, 4L, null).toDF("k2")
+    val r = Validation.joinDiagnostics(left, right, "k", "k2").collect().head
+    assert(r.getAs[Long]("n_left") == 5L)
+    assert(r.getAs[Long]("n_right") == 4L)
+    assert(r.getAs[Long]("keys_left") == 3L)
+    assert(r.getAs[Long]("keys_right") == 3L)
+    assert(r.getAs[Long]("keys_matched") == 2L)
+    // 1: 3x2=6, 2: 1x1=1 -> 7 output rows, worst key 1 at fan-out 6
+    assert(r.getAs[Long]("est_output_rows") == 7L)
+    assert(r.getAs[String]("max_fanout_key") == "1")
+    assert(r.getAs[Long]("max_fanout") == 6L)
+  }
+
+  test("joinDiagnostics with zero matches reports empty-join shape") {
+    val r = Validation.joinDiagnostics(
+      Seq(1L).toDF("a"), Seq(2L).toDF("b"), "a", "b").collect().head
+    assert(r.getAs[Long]("keys_matched") == 0L)
+    assert(r.getAs[Long]("est_output_rows") == 0L)
+    assert(r.getAs[Long]("max_fanout") == 0L)
+  }
+
   test("profile of an all-null column reports zero distincts, null extremes") {
     val d = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
       .toDF("id", "x")
