@@ -58,6 +58,43 @@ object ScaleRehearsal {
         mini.select((col("doc_id") + 500000000L).as("doc_id"), col("text")),
         mini, "doc_id", "text", shingleSize = 2, numHashes = 32, bands = 8)
         .unpersist(blocking = true)
+      // session-5c operators: first-run codegen/JIT off the timed stages
+      val miniEdges = mini.select(col("doc_id").as("src"),
+        pmod(xxhash64(col("doc_id")), lit(400L)).as("dst"))
+      graft.functions.Graph.adamicAdar(miniEdges, "src", "dst", k = 5)
+        .unpersist(blocking = true)
+      val miniFacts = mini.select(
+        pmod(col("doc_id"), lit(5L)).cast("string").as("g"),
+        length(col("text")).cast("double").as("x"))
+      graft.operators.Merge.maintainAggregate(
+          graft.operators.Merge.buildAggregate(miniFacts, Seq("g"), Seq("x")),
+          miniFacts.limit(10).select(col("g"), col("x"), lit("D").as("op")),
+          Seq("g"), Seq("x"))
+        .unpersist(blocking = true)
+      graft.functions.Text.blocklistScreen(mini, "doc_id", "text",
+          Seq("spark", "scan"))
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Merge.snapshotDiff(
+          mini.select(col("doc_id"), length(col("text")).as("len")),
+          mini.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), length(col("text")).as("len")),
+          Seq("doc_id"), Seq("len"))
+        .write.format("noop").mode("overwrite").save()
+      val wzDir = java.nio.file.Files.createTempDirectory("zwarm").toString
+      graft.operators.ZOrder.writeZOrdered(
+        mini.select(col("doc_id"), length(col("text")).as("len")),
+        wzDir + "/t", Seq("doc_id", "len"), bits = 8, numFiles = 2)
+      graft.functions.Windowing.globalLag(
+          mini.select(pmod(col("doc_id"), lit(7L)).as("u"), col("doc_id"),
+            length(col("text")).as("len")),
+          Seq("u"), Seq("doc_id"), Seq("len"))
+        .unpersist(blocking = true)
+      graft.functions.Similarity.mutualNearestNeighbors(
+          baseEmb.filter(col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding"),
+              pmod(col("vec_id"), lit(4L)).as("blk")),
+          "blk", "embedding", "vec_id")
+        .write.format("noop").mode("overwrite").save()
       sweep()
     }
 
@@ -282,6 +319,85 @@ object ScaleRehearsal {
         val r = graft.functions.Graph.pageRank(edges, "src", "dst", iterations = 8)
         r.write.format("noop").mode("overwrite").save()
         r.unpersist(blocking = true)
+      }
+      sweep()
+      // 8. session-5c operators: link prediction, CDC maintenance, the
+      //    blocklist DFA, z-order write, distributed lag, mutual NN.
+      // sparse pseudo-random link graph (~6 links/doc, node count scales
+      // with the corpus): the realistic Adamic-Adar shape. The doc-token
+      // graph is deliberately NOT used here — this corpus's ~31-token
+      // vocabulary makes every token bucket adjacent to every doc, so the
+      // TRUE wedge output is quadratic by construction (the containment
+      // lesson); the hub cap exists exactly to refuse that shape.
+      t(s"adamicAdar top-100 sparse link graph (mult=$mult)") {
+        val edges = docs.select(col("doc_id").as("src"),
+            array((1 to 3).map(j =>
+              pmod(xxhash64(col("doc_id") + lit(j * 1000003L)),
+                lit(nDocs))): _*).as("ds"))
+          .select(col("src"), explode(col("ds")).as("dst"))
+        val r = graft.functions.Graph.adamicAdar(edges, "src", "dst",
+          k = 100, maxDegree = 4000)
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      t(s"maintainAggregate 1% CDC batch (mult=$mult)") {
+        val facts = docs.select(
+          pmod(col("doc_id"), lit(50L)).cast("string").as("g"),
+          length(col("text")).cast("double").as("x"), col("doc_id"))
+        val base = graft.operators.Merge.buildAggregate(facts, Seq("g"), Seq("x"))
+        val changes = facts.filter(col("doc_id") % 100 === 0)
+          .select(col("g"), col("x"), lit("D").as("op"))
+        val r = graft.operators.Merge.maintainAggregate(base, changes,
+          Seq("g"), Seq("x"))
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      t(s"blocklistScreen 64-term DFA (mult=$mult)") {
+        val terms = (0 until 60).map(i => s"tok$i word$i".take(6)) ++
+          Seq("spark", "scan", "fast merge", "order")
+        graft.functions.Text.blocklistScreen(docs, "doc_id", "text",
+            terms.distinct)
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+      t(s"snapshotDiff 2% mutation (mult=$mult)") {
+        val before = docs.select(col("doc_id"), length(col("text")).as("len"))
+        val after = before.filter(col("doc_id") % 100 =!= 0)
+          .withColumn("len",
+            when(col("doc_id") % 50 === 0, col("len") + 1).otherwise(col("len")))
+        graft.operators.Merge.snapshotDiff(before, after,
+            Seq("doc_id"), Seq("len"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+      t(s"writeZOrdered 16-bit 2-dim (mult=$mult)") {
+        val dir = java.nio.file.Files.createTempDirectory("zreh").toString
+        graft.operators.ZOrder.writeZOrdered(
+          docs.select(col("doc_id"),
+            pmod(xxhash64(col("text")), lit(100000L)).as("h"),
+            length(col("text")).as("len")),
+          dir + "/t", Seq("h", "len"), bits = 16, numFiles = 32)
+        graft.operators.Maintenance.compact(spark, dir + "/t",
+          targetBytes = 64L * 1024 * 1024, sortCols = Seq("h"))
+      }
+      sweep()
+      t(s"globalLag user stream (mult=$mult)") {
+        val seq = docs.select(pmod(col("doc_id"), lit(997L)).as("u"),
+          col("doc_id"), length(col("text")).as("len"))
+        val r = graft.functions.Windowing.globalLag(seq, Seq("u"),
+          Seq("doc_id"), Seq("len"))
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      t(s"mutualNearestNeighbors 64 blocks (mult=$mult)") {
+        val blocked = emb.select(col("vec_id"), col("embedding"),
+          pmod(col("vec_id"), lit(64L * mult)).as("blk"))
+        graft.functions.Similarity.mutualNearestNeighbors(blocked, "blk",
+            "embedding", "vec_id")
+          .write.format("noop").mode("overwrite").save()
       }
       sweep()
     }
