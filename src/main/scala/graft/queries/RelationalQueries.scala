@@ -399,6 +399,21 @@ object RelationalQueries {
         .withColumnRenamed("column", "col_name")
     }),
 
+    // Bloom-prefiltered semi join: orders with a max-quantity lineitem.
+    // The bloom over the build keys ships as a literal and kills
+    // non-matching orders MAP-SIDE; the exact semi join removes bloom
+    // false positives, so the result is bit-identical to the plain semi
+    // join the oracle runs.
+    "q_bloom_join" -> ((s, dir) => {
+      val orders = star(s, dir, "orders").df
+      val hot = star(s, dir, "lineitem").df
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey"))
+      graft.operators.BloomJoin.bloomSemiJoin(orders, hot,
+          "o_orderkey", "l_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     // Pre-join diagnostics: exact output cardinality and worst per-key
     // fan-out of a proposed join, computed from the two vocabulary-sized
     // key-count tables before any fact row shuffles.
@@ -675,6 +690,11 @@ object RelationalQueries {
         |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
         |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
         |FROM n""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)""".stripMargin,
 
     "q_join_diag" ->
       """WITH lc AS (
