@@ -126,6 +126,37 @@ object StreamingQueries {
     // static per-type baseline are flagged batch-side. Shares
     // q_event_anomaly's oracle: the streamed counts must reproduce the
     // batch hourly table exactly for the z-scores to hash-match.
+    // Streamed CUSUM: hourly counts aggregate INCREMENTALLY (watermarked
+    // tumbling windows); the closed-form CUSUM (running sum minus running
+    // min over the metadata-sized hourly table) applies batch-side, so
+    // the streamed detector must reproduce the batch q_event_cusum
+    // verbatim — they share the oracle.
+    "q_stream_cusum" -> ((s, dir) => {
+      // flattened: the memory-sink view cannot self-join its own aggregate
+      // (conflicting attribute resolution); a LogicalRDD can
+      val hourly = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+        EventStreams.runToBatch(s,
+          EventStreams.readStream(s, dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n")))
+          .select(col("event_type"), col("w.start").as("h"), col("n")))
+      val drift = hourly.groupBy(col("event_type"))
+        .agg(expr("sum(n) div count(1)").cast(LongType).as("k"))
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("h"))
+      val prefix = byType.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      hourly.join(broadcast(drift), Seq("event_type"))
+        .withColumn("__cum", sum(col("n") - col("k")).over(byType))
+        .withColumn("__mn",
+          least(coalesce(min(col("__cum")).over(prefix), lit(0L)), lit(0L)))
+        .select(col("event_type"), col("h"), col("n"),
+          (col("__cum") - col("__mn")).as("cusum"),
+          ((col("__cum") - col("__mn")) >= greatest(col("k") * 5, lit(5L)))
+            .as("alarm"))
+    }),
+
     "q_stream_anomaly" -> ((s, dir) => {
       val hourly = Tables.df(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -287,6 +318,9 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     // bit-for-bit batch parity with the batch classifier's oracle
     "q_stream_classify" -> ModelQueries.oracleSql("q_nb_classify"),
+
+    // streamed hourly counts + batch CUSUM ≡ the batch detector
+    "q_stream_cusum" -> AnalyticQueries.oracleSql("q_event_cusum"),
 
     // exact-regime sketch: batch parity with q_token_topk's oracle
     "q_stream_topk" -> PipelineQueries.oracleSql("q_token_topk"),
