@@ -76,6 +76,34 @@ object Windowing {
     graft.functions.Dedup.materializeAndFree(out, rankedP)
   }
 
+  /** 2-D Pareto frontier (skyline), both dimensions MAXIMIZED: rows not
+    * dominated by any other row (x' ≥ x ∧ y' ≥ y with one strict) — the
+    * quality-vs-quantity selection rule (e.g. keep documents on the
+    * quality/length frontier instead of a single weighted score).
+    *
+    * Exact, duplicate-friendly (identical (x, y) rows never dominate each
+    * other and all survive), integer/decimal inputs → engine-independent.
+    * Scale shape: collapse to the DISTINCT-x best-y table first (rows
+    * below their x's best y are dominated by it), run the suffix-max
+    * window over THAT vocabulary-sized table (the CUSUM/hourly-table
+    * class — data rows never enter a window), and join the surviving x
+    * values back. One x-keyed shuffle + one x-keyed join. */
+  def paretoFront2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val best = df.groupBy(col(xCol))
+      .agg(max(col(yCol)).as("__besty"))
+    // max best-y among strictly larger x: window over distinct x only
+    val suf = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierX = best
+      .withColumn("__suf", max(col("__besty")).over(suf))
+      // dominated iff some x' > x reaches y' >= besty
+      .filter(col("__suf").isNull || col("__suf") < col("__besty"))
+      .select(col(xCol), col("__besty"))
+    df.join(frontierX, Seq(xCol))
+      .filter(col(yCol) === col("__besty"))
+      .drop("__besty")
+  }
+
   /** Rank AND group size from the same single-shuffle pass — for
     * position-from-the-end formulations (EWMA lags, tail slicing) that
     * would otherwise pay a second count aggregate + join. */

@@ -382,6 +382,23 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // 2-D Pareto frontier over a lineitem slice: rows maximal in
+    // (quantity, price) — the skyline selection rule. The engine
+    // collapses to the distinct-x best-y table + a suffix-max window over
+    // it; the oracle is the genuinely independent quadratic NOT EXISTS
+    // domination test.
+    "q_pareto" -> ((s, dir) => {
+      val li = star(s, dir, "lineitem").df
+        .filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast(LongType).as("l_linenumber"),
+          round(col("l_quantity")).cast(LongType).as("qty"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("price_cents"))
+      graft.functions.Windowing.paretoFront2D(li, "qty", "price_cents")
+        .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+          col("price_cents"))
+    }),
+
     // Entity-resolution capstone: planted customer-record variants (one
     // substitution, one deletion per selected md5 name) are re-clustered
     // end to end — FastSS deletion-neighborhood blocking, codegen
@@ -839,6 +856,18 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_pareto" ->
+      """WITH s AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM lineitem WHERE l_orderkey <= 2000)
+        |SELECT a.* FROM s a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM s b
+        |  WHERE b.qty >= a.qty AND b.price_cents >= a.price_cents
+        |    AND (b.qty > a.qty OR b.price_cents > a.price_cents))""".stripMargin,
+
     "q_entity_resolution" ->
       """WITH recs AS (
         |  SELECT c_custkey, c_custkey * 10 AS record_id FROM customer

@@ -108,6 +108,24 @@ class WindowingSpec extends AnyFunSuite {
     }
   }
 
+  test("paretoFront2D equals brute-force domination incl. duplicates") {
+    val rnd = new scala.util.Random(31)
+    val pts = (0L until 300L).map(i =>
+      (i, (rnd.nextInt(40)).toLong, (rnd.nextInt(40)).toLong)) ++
+      Seq((900L, 39L, 39L), (901L, 39L, 39L)) // duplicate frontier points
+    val df = pts.toDF("id", "x", "y").repartition(6)
+    val got = Windowing.paretoFront2D(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+    // both duplicate maxima survive (mutual non-domination)
+    assert(got.contains(900L) && got.contains(901L))
+  }
+
   test("globalLag matches SQL LAG semantics at offsets 1 and 2") {
     val df = rows.toDF("g", "v", "id").repartition(6)
     for (off <- Seq(1, 2)) {
