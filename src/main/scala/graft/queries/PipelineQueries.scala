@@ -53,6 +53,18 @@ object PipelineQueries {
     * source directory and a variant marker (testdata is immutable within a
     * run). The parquet `_SUCCESS` marker gates the rebuild, so Verify and
     * Bench share one build per dataset per container. */
+  private def keyedStoreFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|keyed64".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_keyed_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      graft.operators.KeyedStore.write(
+        Tables.df(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        path, "doc_id", buckets = 64)
+    path
+  }
+
   private def lshIndexFor(s: SparkSession, dir: String,
                           emb: org.apache.spark.sql.DataFrame,
                           marker: String): String = {
@@ -981,6 +993,16 @@ object PipelineQueries {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    // Point lookups from the hash-bucketed keyed store: 5 ids read only
+    // their bucket partitions (PartitionFilters-pruned, key-sorted row
+    // groups). Build is memoized and declared in indexedQueries — the
+    // bench measures steady-state lookup latency.
+    "q_point_lookup" -> ((s, dir) => {
+      val path = keyedStoreFor(s, dir)
+      graft.operators.KeyedStore.lookup(s, path, "doc_id",
+        Seq(3L, 57L, 120L, 333L, 444L), buckets = 64)
+    }),
+
     // Embedding stats per label: deterministic min/max of a vector slot.
     "q_emb_stats" -> ((s, dir) =>
       star(s, dir, "embeddings").df
@@ -1891,6 +1913,10 @@ object PipelineQueries {
     // engine-specific; sizes are fully determined by the construction).
     "q_emb_kmeans" ->
       "SELECT CAST(range AS BIGINT) AS n FROM range(10, 18)",
+
+    "q_point_lookup" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (3, 57, 120, 333, 444)""".stripMargin,
 
     "q_emb_stats" ->
       """SELECT label, count(*) AS n,

@@ -44,6 +44,22 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(back.toSet == (0L until 2000L).toSet)
   }
 
+  test("KeyedStore lookup prunes to the probed buckets (PartitionFilters)") {
+    import graft.operators.KeyedStore
+    val path = freshDir()
+    val rows = (0L until 4000L).map(i => (i, s"v$i"))
+    KeyedStore.write(rows.toDF("k", "v"), path, "k", buckets = 32)
+    val keys = Seq(7L, 1234L, 3999L)
+    val got = KeyedStore.lookup(spark, path, "k", keys, buckets = 32)
+    val plan = got.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("__bucket"), s"no bucket partition pruning:\n$pf")
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      keys.map(k => (k, s"v$k")).toSet)
+    // a miss returns empty, not an error
+    assert(KeyedStore.lookup(spark, path, "k", Seq(999999L), 32).count() == 0)
+  }
+
   test("compact leaves no staging or trash directories behind") {
     val path = freshDir()
     (0L until 100L).toDF("id").repartition(8).write.parquet(path)
