@@ -382,6 +382,28 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // Market-basket pair mining: the top-20 part pairs co-purchased in
+    // the same order with their support counts — the association-rule
+    // primitive. The pair join is keyed on the order and bounded by
+    // basket size (~7 lines), so pair volume is Σ basket² — linear in
+    // orders at bounded basket width, never corpus-quadratic; support
+    // counting is one map-side-combined aggregate.
+    "q_basket_pairs" -> ((s, dir) => {
+      val li = star(s, dir, "lineitem").df
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+      val counted = pairs.groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("support"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("support").desc, col("pa").asc, col("pb").asc)
+      counted.orderBy(col("support").desc, col("pa").asc, col("pb").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(win).cast(LongType))
+    }),
+
     // 2-D Pareto frontier over a lineitem slice: rows maximal in
     // (quantity, price) — the skyline selection rule. The engine
     // collapses to the distinct-x best-y table + a suffix-max window over
@@ -856,6 +878,21 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_basket_pairs" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS pa, c.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM b a JOIN b c
+        |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY support DESC, pa, pb) AS rk
+        |  FROM p)
+        |SELECT pa, pb, support, CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 20""".stripMargin,
+
     "q_pareto" ->
       """WITH s AS (
         |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -126,6 +126,17 @@ object StreamingQueries {
     // static per-type baseline are flagged batch-side. Shares
     // q_event_anomaly's oracle: the streamed counts must reproduce the
     // batch hourly table exactly for the z-scores to hash-match.
+    // Streamed blocklist screening: the Aho-Corasick DFA is a pure
+    // projection, so it runs unchanged over the document stream in
+    // Append mode — per-row results must equal the batch screen verbatim
+    // (shares q_doc_blocklist's oracle).
+    "q_stream_blocklist" -> ((s, dir) =>
+      EventStreams.runToBatch(s,
+        graft.functions.Text.blocklistScreen(
+          EventStreams.readDocumentsStream(s, dir), "doc_id", "text",
+          PipelineQueries.blocklistTerms),
+        org.apache.spark.sql.streaming.OutputMode.Append())),
+
     // Streamed CUSUM: hourly counts aggregate INCREMENTALLY (watermarked
     // tumbling windows); the closed-form CUSUM (running sum minus running
     // min over the metadata-sized hourly table) applies batch-side, so
@@ -321,6 +332,9 @@ object StreamingQueries {
 
     // streamed hourly counts + batch CUSUM ≡ the batch detector
     "q_stream_cusum" -> AnalyticQueries.oracleSql("q_event_cusum"),
+
+    // pure projection ⇒ the stream must equal the batch screen verbatim
+    "q_stream_blocklist" -> PipelineQueries.oracleSql("q_doc_blocklist"),
 
     // exact-regime sketch: batch parity with q_token_topk's oracle
     "q_stream_topk" -> PipelineQueries.oracleSql("q_token_topk"),
