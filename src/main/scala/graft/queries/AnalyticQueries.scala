@@ -382,6 +382,35 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // Robust outlier detection per event type: the modified z-score
+    // 0.6745·|x − median| / MAD with the 3.5 cutoff (Iglewicz & Hoaglin
+    // 1993) — immune to the outliers it hunts, unlike mean/stddev. Both
+    // the median and the MAD are EXACT nearest-rank order statistics from
+    // the distributed rank (no percentile_approx), so the whole report is
+    // engine-independent; the z chain is one rounded IEEE product.
+    "q_mad_outliers" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val med = graft.functions.Windowing.globalQuantiles(ev,
+          Seq("event_type"), Seq("value", "event_id"), Seq(50),
+          numPartitions = 8)
+        .select(col("event_type"), col("value").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = graft.functions.Windowing.globalQuantiles(
+          dev.select(col("event_type"), col("event_id"), col("dev")),
+          Seq("event_type"), Seq("dev", "event_id"), Seq(50),
+          numPartitions = 8)
+        .select(col("event_type"), col("dev").as("mad"))
+      val z = round(lit(0.6745) * col("dev") / col("mad"), 4)
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("mad") > 0 && z > 3.5, 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
+
     // Market-basket pair mining: the top-20 part pairs co-purchased in
     // the same order with their support counts — the association-rule
     // primitive. The pair join is keyed on the order and bounded by
@@ -878,6 +907,35 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_mad_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (
+        |  SELECT event_type, value AS med FROM r1
+        |  WHERE rn = (50 * n + 99) // 100),
+        |d AS (
+        |  SELECT e.event_type, e.event_id, m.med,
+        |    abs(e.value - m.med) AS dev
+        |  FROM e JOIN med m USING (event_type)),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type, dev AS mad FROM r2
+        |  WHERE rn = (50 * n + 99) // 100)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(d.med) AS med, max(mad.mad) AS mad,
+        |  CAST(coalesce(sum(CASE WHEN mad.mad > 0
+        |      AND round(0.6745 * d.dev / mad.mad, 4) > 3.5
+        |    THEN 1 END), 0) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type) GROUP BY 1""".stripMargin,
+
     "q_basket_pairs" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
