@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Table-maintenance operators. The small-file problem is the silent
@@ -72,5 +72,42 @@ object Maintenance {
     val after = dataFiles(p)
     CompactionReport(before.size.toLong, bytesBefore,
       after.size.toLong, after.map(_.getLen).sum)
+  }
+
+  /** Write `df` hive-partitioned by `partitionCols` with DYNAMIC overwrite:
+    * only the partitions present in `df` are replaced; all others survive
+    * untouched. The incremental-backfill write shape — re-running one
+    * day/source never clobbers its siblings (static overwrite mode, the
+    * Spark default, would drop the whole table first). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned: no partition columns")
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** Drop whole partition directories by value — retention/TTL deletes
+    * and right-to-be-forgotten sweeps at METADATA cost: no file is read
+    * or rewritten, matching directories are removed. Returns the number
+    * of partitions dropped. Values are rendered exactly as the writer
+    * escapes them (Hive partition-path encoding). */
+  def dropPartitions(spark: SparkSession, path: String, partitionCol: String,
+                     values: Seq[String]): Long = {
+    require(values.nonEmpty, "dropPartitions: no values")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val escaped = values.map(v =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v))
+    var dropped = 0L
+    escaped.foreach { v =>
+      val dir = new Path(p, s"$partitionCol=$v")
+      if (fs.exists(dir)) { fs.delete(dir, true); dropped += 1 }
+    }
+    dropped
   }
 }

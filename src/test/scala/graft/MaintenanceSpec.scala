@@ -60,6 +60,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(KeyedStore.lookup(spark, path, "k", Seq(999999L), 32).count() == 0)
   }
 
+  test("writePartitioned overwrites only the partitions present in the " +
+    "batch") {
+    import graft.operators.Maintenance
+    val path = freshDir()
+    val day1 = Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+      .toDF("id", "v", "day")
+    Maintenance.writePartitioned(day1, path, Seq("day"))
+    // backfill re-writes ONLY d1; d2 must survive untouched
+    val redo = Seq((10L, "a2", "d1")).toDF("id", "v", "day")
+    Maintenance.writePartitioned(redo, path, Seq("day"))
+    val back = spark.read.parquet(path)
+      .select("id", "v", "day").as[(Long, String, String)].collect().toSet
+    assert(back == Set((10L, "a2", "d1"), (3L, "c", "d2")))
+  }
+
+  test("dropPartitions removes directories at metadata cost, incl. escaped " +
+    "values") {
+    import graft.operators.Maintenance
+    val path = freshDir()
+    val df = Seq((1L, "keep"), (2L, "dead"), (3L, "odd:val"))
+      .toDF("id", "src")
+    Maintenance.writePartitioned(df, path, Seq("src"))
+    val n = Maintenance.dropPartitions(spark, path, "src",
+      Seq("dead", "odd:val", "never-existed"))
+    assert(n == 2L)
+    val back = spark.read.parquet(path).select("src")
+      .collect().map(_.getString(0)).toSet
+    assert(back == Set("keep"))
+  }
+
   test("compact leaves no staging or trash directories behind") {
     val path = freshDir()
     (0L until 100L).toDF("id").repartition(8).write.parquet(path)
