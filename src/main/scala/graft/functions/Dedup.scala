@@ -330,7 +330,23 @@ object Dedup {
     * cluster, set `sc.setCheckpointDir(...)` first: the operator then uses
     * RELIABLE checkpoints (stable storage), which survive executor loss.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  /** `iterPartitions`: shuffle-partition count for the iteration joins —
+    * label/edge tables are usually far smaller than the corpus the
+    * session is tuned for, and per-round latency is task overhead ×
+    * stages × rounds (the pageRank/kCore lesson; at 100 TB of edges the
+    * same knob goes UP). 0 = session default, preserving every existing
+    * caller. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+                          iterPartitions: Int = 0): DataFrame = {
+    val spark = pairs.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (iterPartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
+    try connectedComponentsImpl(pairs, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def connectedComponentsImpl(pairs: DataFrame, maxIter: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Flatten the EDGE plan before iterating, symmetric to the output
     // flattening below: `pairs` usually arrives as a filter over a dedup

@@ -472,7 +472,8 @@ object AnalyticQueries {
       val pairs = graft.operators.FuzzyJoin.editDistance1Pairs(
         recs, "record_id", "name")
       val comps = graft.functions.Dedup.connectedComponents(
-        pairs.select(col("id_a").as("idA"), col("id_b").as("idB")))
+        pairs.select(col("id_a").as("idA"), col("id_b").as("idB")),
+        iterPartitions = 8)
       val resolved = recs
         .join(comps.withColumnRenamed("id", "record_id"),
           Seq("record_id"), "left")
