@@ -449,6 +449,62 @@ object Graph {
     Dedup.materializeAndFree(hubs.join(auths, Seq("node")), e, nodes, hubs, auths)
   }
 
+  /** Multi-source BFS distances, bounded rounds: the minimum hop count
+    * from any seed to each reachable node — crawl-depth limits, influence
+    * radii, "how far is this doc from a trusted source". Directed edges as
+    * given (symmetrize for undirected semantics). Nodes unreached within
+    * `rounds` are absent; seeds report distance 0 whether or not they
+    * appear in the edge list.
+    *
+    * Exact integer distances ⇒ engine/partitioning/order-independent and
+    * the oracle is the UNROLLED per-round minimum. Scale shape: one
+    * (join + min-aggregate) per round over the flattened cached edge
+    * table; generations flatten + materialize before freeing their
+    * predecessor (the pageRank hygiene); `iterPartitions` sizes the
+    * iteration shuffles to the frontier, not the session corpus. EAGER;
+    * caller owns one unpersist(). */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: Seq[Long], rounds: Int,
+                   iterPartitions: Int = 0): DataFrame = {
+    require(seeds.nonEmpty, "bfsDistances: no seeds")
+    require(rounds >= 0, s"bfsDistances: rounds must be >= 0, got $rounds")
+    val spark = edges.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (iterPartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
+    try bfsImpl(edges, srcCol, dstCol, seeds, rounds)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def bfsImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                      seeds: Seq[Long], rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+        edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst")).distinct())
+      .persist(MEMORY_AND_DISK)
+    e.count()
+    var dist = seeds.distinct.toDF("node")
+      .select(col("node"), lit(0L).as("dist"))
+      .persist(MEMORY_AND_DISK)
+    dist.count()
+    (1 to rounds).foreach { _ =>
+      val grown = dist
+        .join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val next = org.apache.spark.sql.graft.PlanBridge.flattenPlan(grown)
+        .persist(MEMORY_AND_DISK)
+      next.count()
+      dist.unpersist(blocking = true)
+      dist = next
+    }
+    // the final generation is already materialized + cached; free the edges
+    e.unpersist(blocking = true)
+    dist
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003): score each
     * NON-adjacent pair by Σ_z 1/ln(deg z) over common neighbors z — shared
     * rare neighbors count more than shared hubs. The neighborhood-overlap

@@ -230,6 +230,18 @@ object AnalyticQueries {
         iterations = 4, iterPartitions = 8)
     }),
 
+    // Multi-source BFS over the link graph: minimum hop distance from the
+    // seed users within 4 rounds — exact integers, bit-matched against
+    // the unrolled per-round-minimum oracle.
+    "q_bfs" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+      graft.functions.Graph.bfsDistances(edges, "src", "dst",
+        seeds = Seq(1L, 2L), rounds = 4, iterPartitions = 8)
+    }),
+
     // Adamic–Adar link prediction over the link graph: top-20 non-adjacent
     // pairs by Σ 1/ln(deg) over common neighbors. Contributions are
     // rounded-then-DECIMAL-summed (order-independent), hubs above the
@@ -820,6 +832,30 @@ object AnalyticQueries {
 
   /** Unrolled synchronous label propagation, mirroring
     * Graph.labelPropagation round for round. */
+  /** Unrolled multi-source BFS mirror: d_k = min(d_{k-1}, 1 + d_{k-1} of
+    * any in-neighbor), seeds at distance 0. */
+  private def bfsOracle(seeds: Seq[Long], rounds: Int): String = {
+    val seedSql = seeds.map(s =>
+      s"SELECT CAST($s AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist")
+      .mkString(" UNION ALL ")
+    val base =
+      "WITH raw AS MATERIALIZED (\n" +
+        "  SELECT DISTINCT user_id AS src,\n" +
+        "    CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst\n" +
+        "  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),\n" +
+        s"d0 AS MATERIALIZED ($seedSql)"
+    val iters = (1 to rounds).map { k =>
+      s""",
+         |d$k AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM d${k - 1} d JOIN raw e ON d.node = e.src
+         |    UNION ALL SELECT node, dist FROM d${k - 1})
+         |  GROUP BY node)""".stripMargin
+    }.mkString
+    base + iters + s"\nSELECT node, dist FROM d$rounds"
+  }
+
   /** DuckDB mirror of ZOrder.withZ over (l_partkey, l_suppkey): the same
     * ceil-width bucketization and round-robin bit interleave, unrolled. */
   private def zOracle(bits: Int): String = {
@@ -1154,6 +1190,7 @@ object AnalyticQueries {
         |SELECT a, b, aa_score, n_common, CAST(rk AS BIGINT) AS rank
         |FROM ranked WHERE rk <= 20""".stripMargin,
     "q_hits" -> hitsOracle(6),
+    "q_bfs" -> bfsOracle(Seq(1L, 2L), 4),
     "q_zorder" -> zOracle(8),
 
     "q_snapshot_diff" ->

@@ -282,6 +282,34 @@ class GraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("overflow"))
   }
 
+  test("bfsDistances matches sequential BFS; seeds at 0, unreached absent, " +
+    "no leaks") {
+    val es: Seq[(Long, Long)] = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (10L, 11L), (2L, 4L), (99L, 1L)) // 99→1 unreachable FROM seeds
+    val sc = spark.sparkContext
+    val cachedBefore = sc.getPersistentRDDs.keySet
+    val got = Graph.bfsDistances(es.toDF("src", "dst").repartition(4),
+      "src", "dst", seeds = Seq(1L, 555L), rounds = 3)
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.unpersist(blocking = true)
+    // sequential reference: 3 rounds of relaxation from {1, 555}
+    var ref = Map(1L -> 0L, 555L -> 0L)
+    (1 to 3).foreach { _ =>
+      val grown = es.flatMap { case (s, d) =>
+        ref.get(s).map(dv => d -> (dv + 1L))
+      }
+      ref = (ref.toSeq ++ grown).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    assert(gotMap == ref)
+    assert(gotMap(4L) == 2L) // via the 2->4 shortcut, not 1-2-3-4
+    assert(!gotMap.contains(10L) && !gotMap.contains(99L))
+    assert(gotMap(555L) == 0L) // seed absent from the graph still reports
+    val leaked = sc.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"leaked: $leaked")
+  }
+
   /** Sequential Adamic–Adar mirror: rounded 1/ln(deg) decimal-summed over
     * common neighbors with degree in [2, maxDeg], existing edges excluded,
     * (score desc, a, b) ranking. */
