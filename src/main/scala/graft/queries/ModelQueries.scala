@@ -28,6 +28,26 @@ object ModelQueries {
         star(s, dir, "documents").df,
         idCol = "doc_id", textCol = "text", labelCol = "lang")),
 
+    // Classifier calibration curve: the NB predictions bucketed into
+    // score quintiles with per-bucket accuracy — does confidence track
+    // correctness? Buckets come from the distributed NTILE over the
+    // (score, doc_id) total order (decimal-exact scores make the cut
+    // points engine-independent); accuracy is one rounded division.
+    "q_calibration" -> ((s, dir) => {
+      val pred = NaiveBayes.trainAndPredict(
+        star(s, dir, "documents").df,
+        idCol = "doc_id", textCol = "text", labelCol = "lang")
+        .withColumn("__g", lit("all"))
+      val bucketed = graft.functions.Windowing.globalNtile(pred,
+        Seq("__g"), Seq("score", "doc_id"), k = 5, numPartitions = 8)
+      bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("score")), 4).as("min_score"),
+          round(max(col("score")), 4).as("max_score"),
+          round(sum(when(col("ok"), 1L).otherwise(0L)).cast(DoubleType) /
+            count(lit(1)), 6).as("accuracy"))
+    }),
+
     // Interpolated Kneser-Ney bigram cross-entropy, self-trained — the
     // reference count-based LM smoothing (absolute discounting + the
     // continuation distribution), one rung above q_doc_bigram_ppl's
@@ -270,9 +290,9 @@ object ModelQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
-
-    "q_nb_classify" ->
+  /** NB fit+predict mirror — shared by q_nb_classify, q_stream_classify
+    * (via StreamingQueries) and the calibration oracle. */
+  private[queries] val nbOracle: String =
       """WITH tok AS MATERIALIZED (
         |  SELECT doc_id, lang,
         |    unnest(string_split_regex(trim(text), '\s+')) AS token
@@ -303,7 +323,23 @@ object ModelQueries {
         |  FROM scored)
         |SELECT doc_id, lang, label AS pred,
         |  round(CAST(score AS DOUBLE), 4) AS score, lang = label AS ok
-        |FROM ranked WHERE rn = 1""".stripMargin,
+        |FROM ranked WHERE rn = 1""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_nb_classify" -> nbOracle,
+
+    "q_calibration" ->
+      s"""WITH b AS (
+         |  SELECT *, CAST(ntile(5) OVER (ORDER BY score, doc_id) AS INTEGER)
+         |    AS bucket
+         |  FROM ($nbOracle) nb)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |  round(min(score), 4) AS min_score,
+         |  round(max(score), 4) AS max_score,
+         |  round(CAST(coalesce(sum(CASE WHEN ok THEN 1 END), 0) AS DOUBLE) /
+         |    count(*), 6) AS accuracy
+         |FROM b GROUP BY bucket""".stripMargin,
 
     "q_doc_kn_ppl" ->
       """WITH tokc AS (
