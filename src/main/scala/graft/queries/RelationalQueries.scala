@@ -399,6 +399,42 @@ object RelationalQueries {
         .withColumnRenamed("column", "col_name")
     }),
 
+    // TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    // items — the 4-way star join with a decimal-exact revenue aggregate
+    // and a TakeOrdered cut.
+    "q10_returned_items" -> ((s, dir) => {
+      val c = star(s, dir, "customer").df
+      val o = star(s, dir, "orders").df
+      val l = star(s, dir, "lineitem").df.filter(col("l_returnflag") === "R")
+      val n = star(s, dir, "nation").df
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(revenue).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // Fulfilment latency: average days from order to line shipment per
+    // order priority — exact integer day differences, one rounded
+    // division per group.
+    "q_ship_delay" -> ((s, dir) => {
+      val o = star(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      val l = star(s, dir, "lineitem").df
+        .select(col("l_orderkey"), col("l_shipdate"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast(LongType)
+            .as("d"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("d")).cast(DoubleType) / count(lit(1)), 4)
+            .as("avg_delay_days"),
+          max(col("d")).as("max_delay_days"))
+    }),
+
     // Bloom-prefiltered semi join: orders with a max-quantity lineitem.
     // The bloom over the build keys ships as a literal and kills
     // non-matching orders MAP-SIDE; the exact semi join removes bloom
@@ -690,6 +726,27 @@ object RelationalQueries {
         |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
         |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
         |FROM n""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(sum($sqlRevenue) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin,
+
+    "q_ship_delay" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE)
+        |    / count(*), 4) AS avg_delay_days,
+        |  CAST(max(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+        |    AS max_delay_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
