@@ -394,6 +394,25 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // Seasonal traffic profile: expected load per (event_type,
+    // day-of-week, hour-of-day) cell and each cell's lift over its
+    // type's overall hourly mean — the capacity-planning / staffing
+    // matrix. Exact integer sufficient statistics; the lift is one
+    // rounded IEEE division.
+    "q_event_seasonal" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+      val cells = ev.select(col("event_type"),
+          dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+        .groupBy(col("event_type"), col("dow"), col("hod"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("tn"), count(lit(1)).as("tc"))
+      cells.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("hod"), col("n"),
+          round(col("n").cast(DoubleType) /
+            (col("tn").cast(DoubleType) / col("tc")), 4).as("lift"))
+    }),
+
     // Robust outlier detection per event type: the modified z-score
     // 0.6745·|x − median| / MAD with the 3.5 cutoff (Iglewicz & Hoaglin
     // 1993) — immune to the outliers it hunts, unlike mean/stddev. Both
@@ -944,6 +963,21 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_event_seasonal" ->
+      """WITH cells AS (
+        |  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(count(*) AS BIGINT) AS tc
+        |  FROM cells GROUP BY 1)
+        |SELECT c.event_type, CAST(c.dow AS INTEGER) AS dow,
+        |  CAST(c.hod AS INTEGER) AS hod, c.n,
+        |  round(CAST(c.n AS DOUBLE) /
+        |    (CAST(t.tn AS DOUBLE) / t.tc), 4) AS lift
+        |FROM cells c JOIN tot t USING (event_type)""".stripMargin,
+
     "q_mad_outliers" ->
       """WITH e AS (SELECT event_type, event_id, value FROM events),
         |r1 AS (
