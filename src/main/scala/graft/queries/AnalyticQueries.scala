@@ -394,6 +394,35 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // Two-sample Kolmogorov-Smirnov drift test between two sources'
+    // document-length distributions: D = max |F1(x) − F2(x)| computed
+    // EXACTLY over the distinct-value table (per-value counts + two
+    // running sums — vocabulary-sized, data rows never enter a window);
+    // each CDF evaluation is one rounded division, the max is over
+    // rounded values, so D is engine-independent. The classic
+    // distribution-shift gate between ingest slices.
+    "q_ks_test" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars"))
+      val counts = docs.groupBy(col("n_chars"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2"))
+      val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val w = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d = round(abs(
+        sum(col("c1")).over(w).cast(DoubleType) / col("n1") -
+          sum(col("c2")).over(w).cast(DoubleType) / col("n2")), 6)
+      counts.crossJoin(broadcast(tot))
+        .select(col("n_chars"), d.as("d"))
+        .agg(max(col("d")).as("ks_d"),
+          max(struct(col("d"), col("n_chars"))).getField("n_chars")
+            .as("at_n_chars"))
+        .crossJoin(broadcast(tot))
+        .select(col("ks_d"), col("at_n_chars"), col("n1"), col("n2"))
+    }),
+
     // Seasonal traffic profile: expected load per (event_type,
     // day-of-week, hour-of-day) cell and each cell's lift over its
     // type's overall hourly mean — the capacity-planning / staffing
@@ -963,6 +992,30 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_ks_test" ->
+      """WITH d0 AS (
+        |  SELECT source, n_chars FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |c AS (
+        |  SELECT n_chars,
+        |    CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0)
+        |      AS BIGINT) AS c1,
+        |    CAST(coalesce(sum(CASE WHEN source = 'src1' THEN 1 END), 0)
+        |      AS BIGINT) AS c2
+        |  FROM d0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |r AS (
+        |  SELECT n_chars, round(abs(
+        |    CAST(sum(c1) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.n1
+        |    - CAST(sum(c2) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.n2
+        |    ), 6) AS d
+        |  FROM c, t)
+        |SELECT r.d AS ks_d, r.n_chars AS at_n_chars, t.n1, t.n2
+        |FROM r, t ORDER BY r.d DESC, r.n_chars DESC LIMIT 1""".stripMargin,
+
     "q_event_seasonal" ->
       """WITH cells AS (
         |  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
