@@ -339,6 +339,37 @@ object PipelineQueries {
           Text.redactPii(concat(col("text"),
             lit(" contact: a.b@example.com or 192.168.0.1"))).as("redacted"))),
 
+    // Dataset card: the one-row corpus summary a release ships with —
+    // size, token mass, language/source spread, duplication, quality
+    // floor share. Every number is an exact count or a rounded division;
+    // ONE pass over the corpus plus a hash-collapse for the dup rate.
+    "q_dataset_card" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val toks = size(split(trim(col("text")), "\\s+")).cast(LongType)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(toks).as("n_tokens"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"))
+      // count(DISTINCT) isolated from the other aggregates: mixing them
+      // makes Expand copy the corpus once per aggregate family
+      val langs = docs.select(col("lang")).distinct()
+        .agg(count(lit(1)).as("n_langs"))
+      val dups = docs.select(md5(col("text")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") - 1).as("n_dups"))
+      base.crossJoin(broadcast(langs)).crossJoin(broadcast(dups))
+        .select(col("n_docs"), col("n_chars"), col("n_tokens"),
+          col("n_langs"),
+          round(col("n_en").cast(DoubleType) / col("n_docs"), 6)
+            .as("pct_en"),
+          round(col("n_short").cast(DoubleType) / col("n_docs"), 6)
+            .as("pct_short"),
+          round(col("n_dups").cast(DoubleType) / col("n_docs"), 6)
+            .as("dup_rate"))
+    }),
+
     // Blocklist screening — one Aho-Corasick DFA pass per document
     // instead of |terms| contains() scans. The term list exercises
     // overlapping patterns ("scan"/"can", "spark"/"park"), a phrase, and
@@ -1758,6 +1789,27 @@ object PipelineQueries {
         |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT)
+        |      AS n_en,
+        |    CAST(coalesce(sum(CASE WHEN n_chars < 100 THEN 1 END), 0) AS BIGINT)
+        |      AS n_short
+        |  FROM documents),
+        |dups AS (
+        |  SELECT CAST(sum(c - 1) AS BIGINT) AS n_dups FROM (
+        |    SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1))
+        |SELECT n_docs, n_chars, n_tokens, n_langs,
+        |  round(CAST(n_en AS DOUBLE) / n_docs, 6) AS pct_en,
+        |  round(CAST(n_short AS DOUBLE) / n_docs, 6) AS pct_short,
+        |  round(CAST(n_dups AS DOUBLE) / n_docs, 6) AS dup_rate
+        |FROM base, dups""".stripMargin,
 
     "q_doc_blocklist" -> {
       val termsSql =
