@@ -394,6 +394,54 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // Mann-Whitney U rank-sum test (two-sided companion to the KS gate):
+    // U for src0 vs src1 document lengths with tie-corrected midranks.
+    // DOUBLED ranks keep midranks integer-exact ((first+last) per tied
+    // value), so U2 = 2U is an exact integer — no floating point anywhere
+    // until the final effect size, one rounded division.
+    "q_mann_whitney" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars"))
+      val counts = docs.groupBy(col("n_chars"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2"))
+        .withColumn("ct", col("c1") + col("c2"))
+      val w = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // doubled midrank of a tied block: (2·prev + 1) + (2·prev + ct)
+      // summed over the block = first+last doubled ranks
+      val withPrev = counts
+        .withColumn("__prev", coalesce(sum(col("ct")).over(w), lit(0L)))
+        .withColumn("__mid2", lit(2) * col("__prev") + col("ct") + 1)
+      val agg = withPrev.agg(
+        sum(col("c1") * col("__mid2")).as("r1x2"),
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      // doubled U stays an exact integer even with .5 midranks
+      agg.select(
+        (col("r1x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        col("n1"), col("n2"),
+        round((col("r1x2") - col("n1") * (col("n1") + 1)).cast(DoubleType) /
+          (lit(2.0) * col("n1") * col("n2")), 6).as("effect_cl"))
+    }),
+
+    // Gini concentration of the per-source document mass: 0 = sources
+    // evenly sized, →1 = one source dominates — the mixture-balance
+    // health metric. Exact integer rank arithmetic over the per-source
+    // counts (a handful of rows after aggregation).
+    "q_gini_sources" -> ((s, dir) => {
+      val sizes = star(s, dir, "documents").df
+        .groupBy(col("source")).agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("x"), col("source"))
+      val ranked = sizes.withColumn("i", row_number().over(w).cast(LongType))
+      ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("tot"),
+          sum(col("i") * col("x")).as("ix"))
+        .select(col("n"), col("tot"),
+          round(lit(2.0) * col("ix").cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("tot")) -
+            (col("n") + 1).cast(DoubleType) / col("n"), 6).as("gini"))
+    }),
+
     // Two-sample Kolmogorov-Smirnov drift test between two sources'
     // document-length distributions: D = max |F1(x) − F2(x)| computed
     // EXACTLY over the distinct-value table (per-value counts + two
@@ -992,6 +1040,45 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_mann_whitney" ->
+      """WITH d0 AS (
+        |  SELECT source, n_chars FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |c AS (
+        |  SELECT n_chars,
+        |    CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0)
+        |      AS BIGINT) AS c1,
+        |    CAST(coalesce(sum(CASE WHEN source = 'src1' THEN 1 END), 0)
+        |      AS BIGINT) AS c2
+        |  FROM d0 GROUP BY 1),
+        |p AS (
+        |  SELECT *, c1 + c2 AS ct,
+        |    CAST(coalesce(sum(c1 + c2) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prev
+        |  FROM c),
+        |a AS (
+        |  SELECT CAST(sum(c1 * (2 * prev + ct + 1)) AS BIGINT) AS r1x2,
+        |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM p)
+        |SELECT r1x2 - n1 * (n1 + 1) AS u1_x2, n1, n2,
+        |  round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * n2), 6)
+        |    AS effect_cl
+        |FROM a""".stripMargin,
+
+    "q_gini_sources" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i
+        |  FROM s)
+        |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS tot,
+        |  round(2.0 * CAST(sum(i * x) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * sum(x)) -
+        |    CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
+
     "q_ks_test" ->
       """WITH d0 AS (
         |  SELECT source, n_chars FROM documents
