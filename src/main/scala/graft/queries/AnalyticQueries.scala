@@ -541,6 +541,37 @@ object AnalyticQueries {
         .withColumn("rank", row_number().over(win).cast(LongType))
     }),
 
+    // Item-item collaborative-filtering similarity: top-20 part pairs by
+    // co-occurrence cosine c(a,b)/√(f(a)·f(b)) — the "customers also
+    // bought" primitive, normalizing q_basket_pairs' raw support so
+    // popular parts don't drown the ranking. Exact integer counts, one
+    // rounded IEEE chain per surviving pair, basket-bounded pair volume.
+    "q_item_cf" -> ((s, dir) => {
+      val li = star(s, dir, "lineitem").df
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val freq = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2) // noise floor before any scoring
+      val scored = pairs
+        .join(freq.select(col("l_partkey").as("pa"), col("f").as("fa")),
+          Seq("pa"))
+        .join(freq.select(col("l_partkey").as("pb"), col("f").as("fb")),
+          Seq("pb"))
+        .select(col("pa"), col("pb"), col("c"),
+          round(col("c").cast(DoubleType) /
+            (sqrt(col("fa").cast(DoubleType)) *
+              sqrt(col("fb").cast(DoubleType))), 6).as("cosine"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cosine").desc, col("pa").asc, col("pb").asc)
+      scored.orderBy(col("cosine").desc, col("pa").asc, col("pb").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(win).cast(LongType))
+    }),
+
     // 2-D Pareto frontier over a lineitem slice: rows maximal in
     // (quantity, price) — the skyline selection rule. The engine
     // collapses to the distinct-x best-y table + a suffix-max window over
@@ -647,6 +678,30 @@ object AnalyticQueries {
           max(col("gap")).as("max_gap_us"),
           round(sum(col("gap")).cast(DoubleType) / count(lit(1)) / 1e6, 6)
             .as("avg_gap_s"))
+    }),
+
+    // Time-weighted average value per user (TWAP): each observation holds
+    // until the next one, so the mean weights values by their holding
+    // time — the standard for irregular samples (prices, sensors), where
+    // a plain mean over-counts bursts. Holding times are exact integer
+    // microseconds from the distributed lag; each contribution is rounded
+    // then decimal-summed; the final division is one rounded IEEE op.
+    "q_event_twap" -> ((s, dir) => {
+      val ev = Tables.df(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val lagged = graft.functions.Windowing.globalLag(ev,
+        Seq("user_id"), Seq("ts", "event_id"), Seq("ts", "value"),
+        numPartitions = 8)
+      val dtSec = (unix_micros(col("ts")) - unix_micros(col("lag_ts")))
+        .cast(DoubleType) / 1e6
+      val contrib = round(col("lag_value") * dtSec, 6)
+        .cast(DecimalType(28, 6))
+      lagged.filter(col("lag_ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          round(sum(contrib).cast(DoubleType) /
+            ((max(unix_micros(col("ts"))) - min(unix_micros(col("lag_ts"))))
+              .cast(DoubleType) / 1e6), 6).as("twap"))
     }),
 
     // --- top user paths ------------------------------------------------------
@@ -1147,6 +1202,30 @@ object AnalyticQueries {
         |    THEN 1 END), 0) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type) GROUP BY 1""".stripMargin,
 
+    "q_item_cf" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS f FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT a.l_partkey AS pa, c.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM b a JOIN b c
+        |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (
+        |  SELECT pa, pb, c,
+        |    round(CAST(c AS DOUBLE) /
+        |      (sqrt(CAST(fa.f AS DOUBLE)) * sqrt(CAST(fb.f AS DOUBLE))), 6)
+        |      AS cosine
+        |  FROM p JOIN f fa ON p.pa = fa.l_partkey
+        |         JOIN f fb ON p.pb = fb.l_partkey),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY cosine DESC, pa, pb) AS rk
+        |  FROM s)
+        |SELECT pa, pb, c, cosine, CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 20""".stripMargin,
+
     "q_basket_pairs" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1206,6 +1285,21 @@ object AnalyticQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  count(DISTINCT user_id) >= 50 AS anonymous
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_event_twap" ->
+      """WITH o AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS pus,
+        |    lag(value) OVER (PARTITION BY user_id
+        |                     ORDER BY ts, event_id) AS pval
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  round(CAST(sum(CAST(round(
+        |      pval * (CAST(us - pus AS DOUBLE) / 1000000.0), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) /
+        |    (CAST(max(us) - min(pus) AS DOUBLE) / 1000000.0), 6) AS twap
+        |FROM o WHERE pus IS NOT NULL GROUP BY user_id""".stripMargin,
 
     "q_event_gap" ->
       """WITH o AS (
