@@ -312,6 +312,47 @@ object AnalyticQueries {
           col("l_partkey"), col("l_suppkey"), col("zval"))
     }),
 
+    // Newman modularity of the label-propagation communities: Q =
+    // Σ_c (e_c/m − (d_c/2m)²) — the standard partition-quality score
+    // that tells you whether the detected communities beat random
+    // expectation. Exact integer edge/degree sufficient statistics; each
+    // community's contribution is one rounded IEEE chain decimal-summed,
+    // and the oracle RE-DERIVES the communities via the unrolled LP
+    // mirror rather than trusting them.
+    "q_modularity" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+      val comm = graft.functions.Graph.labelPropagation(edges, "src", "dst",
+        iterations = 4, iterPartitions = 8)
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val lbl = und
+        .join(comm.select(col("node").as("a"), col("community").as("ca")),
+          Seq("a"))
+        .join(comm.select(col("node").as("b"), col("community").as("cb")),
+          Seq("b"))
+      val mAgg = und.agg(count(lit(1)).as("m"))
+      val intra = lbl.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
+      val dc = lbl.select(explode(array(col("ca"), col("cb"))).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("dc"))
+      val contrib = round(
+        coalesce(col("ec"), lit(0L)).cast(DoubleType) / col("m") -
+          (col("dc").cast(DoubleType) / (lit(2.0) * col("m"))) *
+            (col("dc").cast(DoubleType) / (lit(2.0) * col("m"))), 9)
+        .cast(DecimalType(28, 9))
+      dc.join(intra, Seq("c"), "left").crossJoin(broadcast(mAgg))
+        .select(contrib.as("__q"))
+        .agg(count(lit(1)).as("n_communities"),
+          round(sum(col("__q")).cast(DoubleType), 6).as("modularity"))
+        .crossJoin(broadcast(mAgg))
+        .select(col("n_communities"), col("m"), col("modularity"))
+    }),
+
     // HITS hubs/authorities over the same harvested link graph — the
     // complementary link prior (directories vs referenced pages). L1
     // integer renormalization each half-step keeps everything exact
@@ -1459,6 +1500,42 @@ object AnalyticQueries {
         |FROM ranked WHERE rk <= 20""".stripMargin,
     "q_hits" -> hitsOracle(6),
     "q_bfs" -> bfsOracle(Seq(1L, 2L), 4),
+
+    "q_modularity" ->
+      s"""WITH comm AS MATERIALIZED (
+         |  SELECT * FROM (
+         |${lpOracle(4).linesIterator.map("    " + _).mkString("\n")}
+         |  ) lp),
+         |raw AS (
+         |  SELECT DISTINCT user_id AS src,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |lbl AS (
+         |  SELECT e.a, e.b, ca.community AS ca, cb.community AS cb
+         |  FROM e JOIN comm ca ON e.a = ca.node
+         |         JOIN comm cb ON e.b = cb.node),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |intra AS (
+         |  SELECT ca AS c, CAST(count(*) AS BIGINT) AS ec
+         |  FROM lbl WHERE ca = cb GROUP BY 1),
+         |dcs AS (
+         |  SELECT c, CAST(count(*) AS BIGINT) AS dc FROM (
+         |    SELECT ca AS c FROM lbl UNION ALL SELECT cb FROM lbl)
+         |  GROUP BY 1),
+         |q AS (
+         |  SELECT CAST(round(
+         |      CAST(coalesce(intra.ec, 0) AS DOUBLE) / mm.m -
+         |      (CAST(dcs.dc AS DOUBLE) / (2.0 * mm.m)) *
+         |      (CAST(dcs.dc AS DOUBLE) / (2.0 * mm.m)), 9) AS DECIMAL(28,9))
+         |    AS qc
+         |  FROM dcs LEFT JOIN intra ON dcs.c = intra.c, mm)
+         |SELECT CAST(count(*) AS BIGINT) AS n_communities, mm.m,
+         |  round(CAST(sum(qc) AS DOUBLE), 6) AS modularity
+         |FROM q, mm GROUP BY mm.m""".stripMargin,
     "q_zorder" -> zOracle(8),
 
     "q_snapshot_diff" ->
