@@ -399,6 +399,43 @@ object RelationalQueries {
         .withColumnRenamed("column", "col_name")
     }),
 
+    // Peak concurrency: the maximum number of simultaneously-open user
+    // sessions and the first instant it is reached — the capacity metric
+    // behind connection pools and rate limits. Sessions come from the
+    // 30-minute gap rule; the sweep is +1/−1 deltas under a TOTAL order
+    // (ends before starts at the same microsecond — half-open intervals)
+    // with a running sum over the session-boundary table (2 rows per
+    // session — the aggregated-table window class, never raw events).
+    "q_concurrency" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.df(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_session")).over(run))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val deltas = sess.select(col("s_us").as("us"), lit(1L).as("d"),
+          col("user_id"), col("sid"))
+        .unionByName(sess.select(col("e_us").as("us"), lit(-1L).as("d"),
+          col("user_id"), col("sid")))
+      val sweep = Window
+        .orderBy(col("us"), col("d"), col("user_id"), col("sid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val swept = deltas.withColumn("conc", sum(col("d")).over(sweep))
+      val nSess = sess.agg(count(lit(1)).as("n_sessions"))
+      val mx = swept.agg(max(col("conc")).as("max_concurrent"))
+      val at = swept.crossJoin(broadcast(mx))
+        .filter(col("conc") === col("max_concurrent"))
+        .agg(min(col("us")).as("peak_us"))
+      nSess.crossJoin(broadcast(mx)).crossJoin(broadcast(at))
+    }),
+
     // TPC-H Q10 shape: top-20 customers by lost revenue from returned
     // items — the 4-way star join with a decimal-exact revenue aggregate
     // and a TakeOrdered cut.
@@ -726,6 +763,41 @@ object RelationalQueries {
         |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
         |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
         |FROM n""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM o),
+        |sid AS (
+        |  SELECT user_id, us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, sid, CAST(min(us) AS BIGINT) AS s_us,
+        |    CAST(max(us) AS BIGINT) AS e_us
+        |  FROM sid GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT s_us AS us, CAST(1 AS BIGINT) AS d, user_id, sid FROM sess
+        |  UNION ALL
+        |  SELECT e_us, CAST(-1 AS BIGINT), user_id, sid FROM sess),
+        |swept AS (
+        |  SELECT *, sum(d) OVER (ORDER BY us, d, user_id, sid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM deltas),
+        |mx AS (SELECT CAST(max(conc) AS BIGINT) AS max_concurrent FROM swept),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess),
+        |pk AS (
+        |  SELECT CAST(min(us) AS BIGINT) AS peak_us
+        |  FROM swept, mx WHERE conc = max_concurrent)
+        |SELECT ns.n_sessions, mx.max_concurrent, pk.peak_us
+        |FROM ns, mx, pk""".stripMargin,
 
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, n_name,
