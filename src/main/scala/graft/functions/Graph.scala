@@ -449,6 +449,87 @@ object Graph {
     Dedup.materializeAndFree(hubs.join(auths, Seq("node")), e, nodes, hubs, auths)
   }
 
+  /** Edge-WEIGHTED PageRank: rank flows in proportion to edge weight
+    * (link frequency, click counts, citation multiplicity) instead of
+    * splitting evenly — the form real link graphs need. Duplicate
+    * (src, dst) edges merge by summing weights; weights must be positive
+    * integers. Same integer micro-mass contract as [[pageRank]]: each
+    * flow is rank·w div ΣW(src), all Long arithmetic, engine/partition/
+    * order-independent with the oracle unrollable. A loud overflow guard
+    * refuses massScale·maxWeight near Long range. Iteration hygiene and
+    * `iterPartitions` as [[pageRank]]. */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iterations: Int = 8,
+                       massScale: Long = 1000000000000L, dampPct: Int = 85,
+                       iterPartitions: Int = 0): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct must be 0..100, got $dampPct")
+    val spark = edges.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (iterPartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
+    try weightedPrImpl(edges, srcCol, dstCol, weightCol, iterations,
+      massScale, dampPct)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def weightedPrImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                             weightCol: String, iterations: Int,
+                             massScale: Long, dampPct: Int): DataFrame = {
+    val e = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(weightCol).cast("long").as("w"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+      .persist(MEMORY_AND_DISK)
+    // guard failures must release the edge barrier (refusal is not a leak)
+    try {
+      val badW = e.filter(col("w") <= 0).count()
+      require(badW == 0, s"weightedPageRank: $badW edge(s) with weight <= 0")
+      val maxW = e.agg(max(col("w"))).head().getLong(0)
+      require(maxW < Long.MaxValue / (2 * massScale),
+        s"weightedPageRank: massScale * maxWeight ($massScale * $maxW) risks " +
+          "Long overflow in the per-edge flow product; lower massScale")
+    } catch {
+      case t: Throwable => e.unpersist(blocking = true); throw t
+    }
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .persist(MEMORY_AND_DISK)
+    val edgesW = e.join(outW, Seq("src")).persist(MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "weightedPageRank: empty graph")
+    val m0 = massScale / n
+    val baseShare = (100L - dampPct) * m0 / 100L
+    val sinks = nodes.join(outW.select(col("src").as("node")), Seq("node"),
+      "left_anti").persist(MEMORY_AND_DISK)
+
+    var ranks = nodes.select(col("node"), lit(m0).as("rank"))
+      .persist(MEMORY_AND_DISK)
+    ranks.count()
+    (1 to iterations).foreach { _ =>
+      val inflow = edgesW
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"),
+          intDiv(col("rank") * col("w"), col("ow")).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+      val dang = broadcast(sinks.join(ranks, Seq("node"))
+        .agg(intDiv(coalesce(sum(col("rank")), lit(0L)), lit(n)).as("__dang")))
+      val updated = org.apache.spark.sql.graft.PlanBridge.flattenPlan(
+          nodes.join(inflow, Seq("node"), "left").crossJoin(dang)
+            .select(col("node"),
+              (lit(baseShare) + intDiv(
+                lit(dampPct.toLong) * (coalesce(col("__s"), lit(0L)) + col("__dang")),
+                lit(100L))).as("rank")))
+        .persist(MEMORY_AND_DISK)
+      updated.count()
+      ranks.unpersist()
+      ranks = updated
+    }
+    Dedup.materializeAndFree(ranks, e, outW, edgesW, nodes, sinks)
+  }
+
   /** Multi-source BFS distances, bounded rounds: the minimum hop count
     * from any seed to each reachable node — crawl-depth limits, influence
     * radii, "how far is this doc from a trusted source". Directed edges as

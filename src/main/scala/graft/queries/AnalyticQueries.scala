@@ -312,6 +312,20 @@ object AnalyticQueries {
           col("l_partkey"), col("l_suppkey"), col("zval"))
     }),
 
+    // Edge-weighted PageRank: link REPETITION is signal — each (user, k)
+    // pair's occurrence count weights its edge, so rank flows toward
+    // frequently-referenced targets instead of splitting evenly. Same
+    // integer micro-mass contract as q_pagerank, oracle unrolled.
+    "q_weighted_pagerank" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.functions.Graph.weightedPageRank(edges, "src", "dst", "w",
+        iterations = 6, iterPartitions = 8)
+    }),
+
     // Newman modularity of the label-propagation communities: Q =
     // Σ_c (e_c/m − (d_c/2m)²) — the standard partition-quality score
     // that tells you whether the detected communities beat random
@@ -1024,6 +1038,40 @@ object AnalyticQueries {
 
   /** Unrolled synchronous label propagation, mirroring
     * Graph.labelPropagation round for round. */
+  /** Unrolled edge-weighted PageRank mirror: flow = r·w // ΣW(src). */
+  private def wprOracle(iters: Int): String = {
+    val head =
+      """WITH edges AS MATERIALIZED (
+        |  SELECT user_id AS src,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+        |m AS (SELECT 1000000000000 // count(*) AS m0, count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, (SELECT m0 FROM m) AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.r * e.w // o.ow) AS s
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN outw o ON e.src = o.src
+         |  GROUP BY e.dst),
+         |d$i AS (
+         |  SELECT coalesce(sum(r.r), 0) AS dang
+         |  FROM r${i - 1} r LEFT JOIN outw o ON r.node = o.src
+         |  WHERE o.src IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    15 * m.m0 // 100 + 85 * (coalesce(c.s, 0) + d.dang // m.n) // 100 AS r
+         |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node
+         |    CROSS JOIN d$i d CROSS JOIN m)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, r AS rank FROM r$iters"
+  }
+
   /** Unrolled multi-source BFS mirror: d_k = min(d_{k-1}, 1 + d_{k-1} of
     * any in-neighbor), seeds at distance 0. */
   private def bfsOracle(seeds: Seq[Long], rounds: Int): String = {
@@ -1500,6 +1548,7 @@ object AnalyticQueries {
         |FROM ranked WHERE rk <= 20""".stripMargin,
     "q_hits" -> hitsOracle(6),
     "q_bfs" -> bfsOracle(Seq(1L, 2L), 4),
+    "q_weighted_pagerank" -> wprOracle(6),
 
     "q_modularity" ->
       s"""WITH comm AS MATERIALIZED (

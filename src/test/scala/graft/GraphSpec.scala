@@ -282,6 +282,39 @@ class GraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("overflow"))
   }
 
+  test("weightedPageRank at uniform weights equals plain pageRank; skewed " +
+    "weights steer mass; guards fire; no leaks") {
+    val sc = spark.sparkContext
+    val cachedBefore = sc.getPersistentRDDs.keySet
+    val wEdges = edges.map { case (s, d) => (s, d, 1L) }
+    val uni = Graph.weightedPageRank(wEdges.toDF("src", "dst", "w"),
+      "src", "dst", "w", iterations = 5)
+    val uniMap = uni.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    uni.unpersist(blocking = true)
+    assert(uniMap == ref(edges, 5))
+    // node 2 sends weight 9 to node 1 vs 1 to node 3: rank(1) must rise
+    // vs the uniform split
+    val skew = edges.map { case (s, d) =>
+      (s, d, if (s == 2L && d == 1L) 9L else 1L) }
+    val sk = Graph.weightedPageRank(skew.toDF("src", "dst", "w"),
+      "src", "dst", "w", iterations = 5)
+    val skMap = sk.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sk.unpersist(blocking = true)
+    assert(skMap(1L) > uniMap(1L))
+    assert(skMap(3L) < uniMap(3L))
+    intercept[IllegalArgumentException] {
+      Graph.weightedPageRank(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
+        "src", "dst", "w")
+    }
+    intercept[IllegalArgumentException] {
+      Graph.weightedPageRank(
+        Seq((1L, 2L, Long.MaxValue / 100L)).toDF("src", "dst", "w"),
+        "src", "dst", "w")
+    }
+    val leaked = sc.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"leaked: $leaked")
+  }
+
   test("bfsDistances matches sequential BFS; seeds at 0, unreached absent, " +
     "no leaks") {
     val es: Seq[(Long, Long)] = Seq(
