@@ -449,6 +449,30 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // Audience overlap: distinct-user intersection and Jaccard between
+    // every pair of event types — which behaviors share users? The pair
+    // join runs on the DISTINCT (user, type) table keyed by user, so
+    // per-user fan-out is bounded by the type count (≤ k²/2 pairs per
+    // user), never corpus-quadratic; one rounded division per pair.
+    "q_audience_overlap" -> ((s, dir) => {
+      val ut = Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+      val pairs = ut.select(col("user_id"), col("event_type").as("ta"))
+        .join(ut.select(col("user_id"), col("event_type").as("tb")),
+          Seq("user_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(broadcast(sizes.select(col("event_type").as("ta"),
+          col("nu").as("na"))), Seq("ta"))
+        .join(broadcast(sizes.select(col("event_type").as("tb"),
+          col("nu").as("nb"))), Seq("tb"))
+        .select(col("ta"), col("tb"), col("n_shared"), col("na"), col("nb"),
+          round(col("n_shared").cast(DoubleType) /
+            (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+    }),
+
     // Mann-Whitney U rank-sum test (two-sided companion to the KS gate):
     // U for src0 vs src1 document lengths with tie-corrected midranks.
     // DOUBLED ranks keep midranks integer-exact ((first+last) per tied
@@ -1184,6 +1208,24 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_audience_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+        |  FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, n_shared, sa.nu AS na, sb.nu AS nb,
+        |  round(CAST(n_shared AS DOUBLE) / (sa.nu + sb.nu - n_shared), 6)
+        |    AS jaccard
+        |FROM p JOIN sz sa ON p.ta = sa.event_type
+        |       JOIN sz sb ON p.tb = sb.event_type""".stripMargin,
+
     "q_mann_whitney" ->
       """WITH d0 AS (
         |  SELECT source, n_chars FROM documents
