@@ -367,6 +367,32 @@ object AnalyticQueries {
         .select(col("n_communities"), col("m"), col("modularity"))
     }),
 
+    // Degree distribution of the link graph, log2-bucketed: the first
+    // diagnostic on any new graph (is it power-law? where do the hubs
+    // start?) and the input to choosing every hub cap in this library.
+    // Integer bucket = number of doublings (bit length − 1), exact in
+    // both engines.
+    "q_degree_dist" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // floor(log2(deg)) as a shift-comparison ladder — integer-exact and
+      // trivially mirrorable (deg is bounded by the node count; 2^20 caps
+      // the ladder far above this graph's max degree)
+      val b2 = (0 to 20).foldLeft(lit(0)) { (acc, k) =>
+        when(col("deg") >= (1L << k), lit(k)).otherwise(acc)
+      }
+      deg.select(col("node"), b2.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_nodes"))
+    }),
+
     // HITS hubs/authorities over the same harvested link graph — the
     // complementary link prior (directories vs referenced pages). L1
     // integer renormalization each half-step keeps everything exact
@@ -1591,6 +1617,26 @@ object AnalyticQueries {
     "q_hits" -> hitsOracle(6),
     "q_bfs" -> bfsOracle(Seq(1L, 2L), 4),
     "q_weighted_pagerank" -> wprOracle(6),
+
+    "q_degree_dist" -> {
+      val ladder = (0 to 20).map(k =>
+        s"WHEN deg >= ${1L << k} THEN $k").reverse.mkString(" ")
+      s"""WITH raw AS (
+         |  SELECT DISTINCT user_id AS src,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |e AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |d AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY 1)
+         |SELECT CAST(CASE $ladder ELSE 0 END AS INTEGER) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM d GROUP BY 1""".stripMargin
+    },
 
     "q_modularity" ->
       s"""WITH comm AS MATERIALIZED (
