@@ -367,6 +367,53 @@ object AnalyticQueries {
         .select(col("n_communities"), col("m"), col("modularity"))
     }),
 
+    // Per-community conductance phi = cut / min(vol, 2m - vol) for the
+    // ten largest label-propagation communities — the boundary-quality
+    // view modularity's single number hides (a partition can score well
+    // globally while one community leaks). Exact integer cut/volume
+    // statistics; one rounded division each; the oracle re-derives the
+    // communities through the unrolled LP mirror.
+    "q_conductance" -> ((s, dir) => {
+      val edges = star(s, dir, "events").df
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+        .filter(col("dst").isNotNull)
+      val comm = graft.functions.Graph.labelPropagation(edges, "src", "dst",
+        iterations = 4, iterPartitions = 8)
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val lbl = und
+        .join(comm.select(col("node").as("a"), col("community").as("ca")),
+          Seq("a"))
+        .join(comm.select(col("node").as("b"), col("community").as("cb")),
+          Seq("b"))
+      val mAgg = und.agg(count(lit(1)).as("m"))
+      val cut = lbl.filter(col("ca") =!= col("cb"))
+        .select(explode(array(col("ca"), col("cb"))).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("cut"))
+      val vol = lbl.select(explode(array(col("ca"), col("cb"))).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("vol"))
+      val sizes = comm.groupBy(col("community").as("c"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_nodes").desc, col("community").asc)
+      sizes.join(vol, Seq("c")).join(cut, Seq("c"), "left")
+        .crossJoin(broadcast(mAgg))
+        .select(col("c").as("community"), col("n_nodes"), col("vol"),
+          coalesce(col("cut"), lit(0L)).as("cut"),
+          // a community holding the WHOLE graph has denominator 0 and, by
+          // construction, cut 0 — its boundary quality is perfect
+          when(least(col("vol"), lit(2) * col("m") - col("vol")) > 0,
+            round(coalesce(col("cut"), lit(0L)).cast(DoubleType) /
+              least(col("vol"), lit(2) * col("m") - col("vol"))
+                .cast(DoubleType), 6)).otherwise(lit(0.0))
+            .as("conductance"))
+        .orderBy(col("n_nodes").desc, col("community").asc).limit(10)
+        .withColumn("rank", row_number().over(win).cast(LongType))
+    }),
+
     // Degree distribution of the link graph, log2-bucketed: the first
     // diagnostic on any new graph (is it power-law? where do the hubs
     // start?) and the input to choosing every hub cap in this library.
@@ -1617,6 +1664,53 @@ object AnalyticQueries {
     "q_hits" -> hitsOracle(6),
     "q_bfs" -> bfsOracle(Seq(1L, 2L), 4),
     "q_weighted_pagerank" -> wprOracle(6),
+
+    "q_conductance" ->
+      s"""WITH comm AS MATERIALIZED (
+         |  SELECT * FROM (
+         |${lpOracle(4).linesIterator.map("    " + _).mkString("\n")}
+         |  ) lp),
+         |raw AS (
+         |  SELECT DISTINCT user_id AS src,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |lbl AS MATERIALIZED (
+         |  SELECT e.a, e.b, ca.community AS ca, cb.community AS cb
+         |  FROM e JOIN comm ca ON e.a = ca.node
+         |         JOIN comm cb ON e.b = cb.node),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |cut AS (
+         |  SELECT c, CAST(count(*) AS BIGINT) AS cut FROM (
+         |    SELECT ca AS c FROM lbl WHERE ca <> cb
+         |    UNION ALL SELECT cb FROM lbl WHERE ca <> cb)
+         |  GROUP BY 1),
+         |vol AS (
+         |  SELECT c, CAST(count(*) AS BIGINT) AS vol FROM (
+         |    SELECT ca AS c FROM lbl UNION ALL SELECT cb FROM lbl)
+         |  GROUP BY 1),
+         |sz AS (
+         |  SELECT community AS c, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM comm GROUP BY 1),
+         |j AS (
+         |  SELECT sz.c AS community, sz.n_nodes, vol.vol,
+         |    coalesce(cut.cut, 0) AS cut,
+         |    CASE WHEN least(vol.vol, 2 * mm.m - vol.vol) > 0
+         |      THEN round(CAST(coalesce(cut.cut, 0) AS DOUBLE) /
+         |        CAST(least(vol.vol, 2 * mm.m - vol.vol) AS DOUBLE), 6)
+         |      ELSE 0.0 END AS conductance
+         |  FROM sz JOIN vol ON sz.c = vol.c
+         |       LEFT JOIN cut ON sz.c = cut.c, mm),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY n_nodes DESC, community)
+         |    AS rk
+         |  FROM j)
+         |SELECT community, n_nodes, vol, cut, conductance,
+         |  CAST(rk AS BIGINT) AS rank
+         |FROM r WHERE rk <= 10""".stripMargin,
 
     "q_degree_dist" -> {
       val ladder = (0 to 20).map(k =>
