@@ -522,6 +522,34 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // Chi-square independence test between document language and source:
+    // is the language mix uniform across sources, or does some source
+    // skew? Observed counts are exact integers; each cell's (o−e)²/e is
+    // one parenthesized IEEE chain rounded then decimal-summed, so the
+    // statistic (and dof) is engine-independent. The contingency table is
+    // langs × sources — metadata-sized after one aggregate.
+    "q_chi2_independence" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val cells = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+      val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+      val tot = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("lang")).as("nr"),
+        countDistinct(col("source")).as("nc"))
+      val e = col("rt").cast(DoubleType) * col("ct") / col("n")
+      val term = round((col("o").cast(DoubleType) - e) *
+        (col("o").cast(DoubleType) - e) / e, 9).cast(DecimalType(28, 9))
+      cells.join(broadcast(rowT), Seq("lang"))
+        .join(broadcast(colT), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .select(term.as("__t"), col("nr"), col("nc"))
+        .groupBy(col("nr"), col("nc"))
+        .agg(round(sum(col("__t")).cast(DoubleType), 6).as("chi2"))
+        .select(round(col("chi2"), 6).as("chi2"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"))
+    }),
+
     // Audience overlap: distinct-user intersection and Jaccard between
     // every pair of event types — which behaviors share users? The pair
     // join runs on the DISTINCT (user, type) table keyed by user, so
@@ -1281,6 +1309,29 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS nc
+        |  FROM cells),
+        |q AS (
+        |  SELECT CAST(round(
+        |      (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * ct.ct / t.n) *
+        |      (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * ct.ct / t.n) /
+        |      (CAST(rt.rt AS DOUBLE) * ct.ct / t.n), 9) AS DECIMAL(28,9))
+        |      AS tm,
+        |    t.nr, t.nc
+        |  FROM cells JOIN rt USING (lang) JOIN ct USING (source), t)
+        |SELECT round(CAST(sum(tm) AS DOUBLE), 6) AS chi2,
+        |  (nr - 1) * (nc - 1) AS dof
+        |FROM q GROUP BY nr, nc""".stripMargin,
+
     "q_audience_overlap" ->
       """WITH ut AS (
         |  SELECT DISTINCT user_id, event_type FROM events),
