@@ -522,6 +522,34 @@ object AnalyticQueries {
           round(sum(col("__c")).cast(DoubleType), 6).as("ewma"))
     }),
 
+    // Lag-1 autocorrelation of per-type hourly counts: is traffic
+    // persistent (bursts cluster) or memoryless? Pearson r over the
+    // (n_t, n_{t-1}) pairs with EXACT integer sufficient statistics from
+    // the metadata-sized hourly table; r is one parenthesized IEEE chain
+    // rounded to 6.
+    "q_autocorr" -> ((s, dir) => {
+      val hourly = Tables.df(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val pairs = hourly
+        .withColumn("prev", lag(col("n"), 1).over(byType))
+        .filter(col("prev").isNotNull)
+      val r = round(
+        (col("k") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (sqrt((col("k") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType)) *
+           sqrt((col("k") * col("syy") - col("sy") * col("sy"))
+            .cast(DoubleType))), 6)
+      pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("n")).as("sx"), sum(col("prev")).as("sy"),
+          sum(col("n") * col("n")).as("sxx"),
+          sum(col("prev") * col("prev")).as("syy"),
+          sum(col("n") * col("prev")).as("sxy"))
+        .select(col("event_type"), col("k"), r.as("autocorr_lag1"))
+    }),
+
     // Chi-square independence test between document language and source:
     // is the language mix uniform across sources, or does some source
     // skew? Observed counts are exact integers; each cell's (o−e)²/e is
@@ -1309,6 +1337,28 @@ object AnalyticQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_autocorr" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY h) AS prev
+        |  FROM hourly),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS sx, CAST(sum(prev) AS BIGINT) AS sy,
+        |    CAST(sum(n * n) AS BIGINT) AS sxx,
+        |    CAST(sum(prev * prev) AS BIGINT) AS syy,
+        |    CAST(sum(n * prev) AS BIGINT) AS sxy
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1)
+        |SELECT event_type, k,
+        |  round(CAST(k * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(k * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(k * syy - sy * sy AS DOUBLE))), 6) AS autocorr_lag1
+        |FROM a""".stripMargin,
+
     "q_chi2_independence" ->
       """WITH cells AS (
         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
