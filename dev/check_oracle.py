@@ -10,6 +10,29 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem','ev
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
+
+# Pre-flight: type every oracle with LIMIT 0 and refuse surprise output
+# types. DuckDB widens sum(BIGINT) and `//` chains to HUGEINT (int128);
+# pandas/the driver's hasher coerce HUGEINT to float64 while Spark writes
+# int64 — identical values, different hashed representation, silent
+# driver-gate hash_match failures (r05: q_pagerank/q_ppr/q_weighted_pagerank/
+# q_hits). Fail HERE, locally, instead.
+BAD_TYPES = ('HUGEINT', 'UHUGEINT', 'UINT')
+preflight_bad = {}
+for name, sql in sorted(oracle.items()):
+    try:
+        rel = con.sql(f'SELECT * FROM ({sql}) __pf LIMIT 0')
+        bad = [f'{c}:{t}' for c, t in zip(rel.columns, map(str, rel.types))
+               if any(str(t).upper().startswith(b) for b in BAD_TYPES)]
+        if bad: preflight_bad[name] = bad
+    except Exception:
+        pass  # SQL errors surface in the main loop with full context
+if preflight_bad:
+    print('PREFLIGHT TYPE FAILURES (HUGEINT/unsigned output columns — the')
+    print('driver hasher coerces these to float64 and hash_match fails):')
+    for k, v in sorted(preflight_bad.items()):
+        print(f'  {k}: {v}')
+
 results = {}
 for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
@@ -37,6 +60,14 @@ for name in sorted(os.listdir(out)):
     if len(s) != len(dck):
         results[name] = f'ROWCOUNT MISMATCH: spark={len(s)} duck={len(dck)}'
         continue
+    # Dtype parity: the driver hashes the pandas representation, so an
+    # int64-vs-float64 (HUGEINT-widened) column hash-fails even when every
+    # value is equal. Compare dtypes after the datetime normalization.
+    dt_bad = [f'{c}: spark={s[c].dtype} duck={dck[c].dtype}'
+              for c in s.columns if str(s[c].dtype) != str(dck[c].dtype)]
+    if dt_bad:
+        results[name] = f'DTYPE MISMATCH: {dt_bad}'
+        continue
     mismatch = []
     for c in s.columns:
         a, b = s[c].values, dck[c].values
@@ -49,6 +80,8 @@ for name in sorted(os.listdir(out)):
             eq = np.all((a == b) | (pd.isna(a) & pd.isna(b)))
             if not eq: mismatch.append(c)
     results[name] = 'MATCH' if not mismatch else f'VALUE MISMATCH: {mismatch}'
+    if name in preflight_bad and results[name] == 'MATCH':
+        results[name] = f'TYPE FAIL (values match, hashed repr differs): {preflight_bad[name]}'
 
 nmatch = sum(1 for v in results.values() if v == 'MATCH')
 for k, v in results.items(): print(f'{k:26s} {v}')

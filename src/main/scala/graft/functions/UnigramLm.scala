@@ -93,7 +93,11 @@ object UnigramLm {
     *
     * Determinism + scale contract identical to [[score]]: both frequency
     * tables train in one shuffle each, per-token log-ratios are rounded to
-    * `logScale` decimals and summed exactly as DECIMAL(28,`logScale`),
+    * `logScale` decimals and summed exactly as DECIMAL(28,`logScale`)
+    * (`logScale` defaults to 12, not 6: a 1-ulp `ln` drift between libm
+    * implementations can flip a 6-decimal rounding outright, while at 12
+    * decimals a one-step disagreement perturbs the decimal sum by ~1e-12
+    * per occurrence — far below the final `outScale` rounding grain),
     * OOV tokens score as `oovCount` pseudo-occurrences over the FULL
     * distribution totals, `maxVocab` caps + broadcasts both vocabularies
     * (making the scoring pass shuffle-free on the frequency side), and the
@@ -102,7 +106,7 @@ object UnigramLm {
   def importanceWeights(df: DataFrame, target: DataFrame, raw: DataFrame,
                         idCol: String, textCol: String,
                         maxVocab: Int = 0, oovCount: Double = 0.5,
-                        logScale: Int = 6, outScale: Int = 4): DataFrame = {
+                        logScale: Int = 12, outScale: Int = 4): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ft = tokenFrequencies(target, textCol).persist(lvl)
     val fr = tokenFrequencies(raw, textCol).persist(lvl)

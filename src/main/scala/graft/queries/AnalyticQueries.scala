@@ -1118,7 +1118,10 @@ object AnalyticQueries {
          |    CROSS JOIN d$i d CROSS JOIN m)""".stripMargin
     }
     (head +: steps).mkString(",\n") +
-      s"\nSELECT node, r AS rank FROM r$iters"
+      // CAST: sum()/`//` chains widen to HUGEINT in DuckDB; the driver's
+      // hasher coerces HUGEINT→float64 while Spark writes int64, failing
+      // hash_match on identical values. Ranks are ≤1e12, well inside int64.
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank FROM r$iters"
   }
 
   /** Unrolled integer-exact personalized PageRank, mirroring
@@ -1158,7 +1161,7 @@ object AnalyticQueries {
          |    CROSS JOIN d$i d)""".stripMargin
     }
     (head +: steps).mkString(",\n") +
-      s"\nSELECT node, r AS rank FROM r$iters"
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank FROM r$iters"
   }
 
   /** Unrolled k-core peeling, mirroring Graph.kCore round for round. */
@@ -1222,7 +1225,7 @@ object AnalyticQueries {
          |    CROSS JOIN d$i d CROSS JOIN m)""".stripMargin
     }
     (head +: steps).mkString(",\n") +
-      s"\nSELECT node, r AS rank FROM r$iters"
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank FROM r$iters"
   }
 
   /** Unrolled multi-source BFS mirror: d_k = min(d_{k-1}, 1 + d_{k-1} of
@@ -1332,7 +1335,7 @@ object AnalyticQueries {
          |  FROM nodes nd LEFT JOIN hr$i hr ON nd.node = hr.node)""".stripMargin
     }
     (head +: steps).mkString(",\n") +
-      s"\nSELECT h.node, h.h AS hub, a.a AS auth" +
+      s"\nSELECT h.node, CAST(h.h AS BIGINT) AS hub, CAST(a.a AS BIGINT) AS auth" +
       s"\nFROM h$iters h JOIN a$iters a ON h.node = a.node"
   }
 

@@ -2677,7 +2677,11 @@ object PipelineQueries {
 
     // DSIR mirror: two unigram frequency tables (target = lang 'en', raw =
     // all), per-token log-ratio rounded then decimal-summed, OOV tokens as
-    // 0.5 pseudo-occurrences over the FULL totals.
+    // 0.5 pseudo-occurrences over the FULL totals. Rounds per-token at 12
+    // decimals (not 6): a 1-ulp ln() drift between the driver's libm and
+    // the JVM flips a 6-decimal rounding, while at 12 decimals a one-step
+    // disagreement moves the decimal sum by ~1e-12/occurrence — invisible
+    // to the final 4-decimal round.
     "q_doc_dsir" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
@@ -2695,7 +2699,7 @@ object PipelineQueries {
         |  round(CAST(sum(CAST(round(
         |      ln(coalesce(CAST(tt.cnt AS DOUBLE), 0.5) / st.tot)
         |        - ln(coalesce(CAST(tr.cnt AS DOUBLE), 0.5) / sr.tot),
-        |      6) AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS logratio
+        |      12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS logratio
         |FROM tok t LEFT JOIN tt USING (token) LEFT JOIN tr USING (token), st, sr
         |GROUP BY t.doc_id""".stripMargin
   )
