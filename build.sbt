@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked program's stdout verbatim instead of routing it
+// through sbt's logger: the bench harness parses the final compact JSON
+// line from stdout, and the default log routing prefixes every line with
+// "[info] ", which breaks `json.loads` on it. Unscoped so runMain's
+// forkOptions pick it up as well.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop the trailing "[success] Total time: …" epilogue: with it gone the
+// bench's compact JSON is the LAST stdout line, so a last-line parser
+// works too. Pass/fail signaling stays on the exit code (the harness
+// records rc already).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
