@@ -191,7 +191,10 @@ object Retrieval {
     * IR metrics in ONE metadata-sized pass.
     *
     *   precision@k_p  = |relevant ∩ top-k_p| / k_p
-    *   MRR            = 1 / rank of the first relevant result (0 if none)
+    *   MRR@k_n        = 1 / rank of the first relevant result WITHIN the
+    *                    top k_n (0 if none lands there) — cutoff-bounded,
+    *                    like every metric here: a first hit beyond k_n
+    *                    scores 0 and is excluded from n_hits
     *   nDCG@k_n       = DCG@k_n / IDCG@k_n with the binary-gain DCG
     *                    Σ_{relevant i ≤ k_n} 1/log2(i+1), ideal = all
     *                    min(R, k_n) front slots relevant

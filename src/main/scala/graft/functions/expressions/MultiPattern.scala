@@ -23,51 +23,104 @@ import org.apache.spark.unsafe.types.UTF8String
   * Byte-level matching over UTF-8 is exact for Unicode: UTF-8 is
   * self-synchronizing, so a pattern's byte sequence occurs in the text's
   * bytes iff the pattern's characters occur in the text. The automaton
-  * (goto table resolved through fail links into a dense DFA + flattened
-  * inherited output lists) is built once on the driver and ships as a
-  * codegen REFERENCE OBJECT — the NearestCentroid lesson: generated
-  * source stays constant-size no matter how many patterns. */
-final class AcAutomaton(val trans: Array[Int], val outOff: Array[Int],
-                        val outIdx: Array[Int], val nPatterns: Int)
-    extends Serializable
+  * (dense resolved DFA up to [[AcAutomaton.DenseMaxStates]] states, CSR
+  * goto + fail links above — memory ∝ pattern bytes, not states×256 —
+  * plus flattened inherited output lists) is built once on the driver
+  * and ships as a codegen REFERENCE OBJECT — the NearestCentroid lesson:
+  * generated source stays constant-size no matter how many patterns. */
+/** Either a fully-resolved dense DFA (`dense` non-null: one array load
+  * per input byte) or, above [[AcAutomaton.DenseMaxStates]], a CSR goto
+  * table + fail links (memory ∝ trie EDGES — ~one int per pattern byte —
+  * instead of states×256; the classic Aho–Corasick walk is amortized
+  * O(1) per byte through the fail chain). Both modes share [[step]], so
+  * interpreted eval and codegen run the identical automaton. */
+final class AcAutomaton(val dense: Array[Int],
+                        val sOff: Array[Int], val sKey: Array[Int],
+                        val sNext: Array[Int], val fail: Array[Int],
+                        val outOff: Array[Int], val outIdx: Array[Int],
+                        val nPatterns: Int)
+    extends Serializable {
+
+  /** DFA transition: next state after reading byte value `c` (0..255) in
+    * state `s`. Hot path — called once per input byte from both the
+    * interpreted eval and the generated code (JIT inlines the
+    * monomorphic call; the dense branch is one predictable check). */
+  def step(s: Int, c: Int): Int = {
+    if (dense != null) return dense((s << 8) | c)
+    var st = s
+    while (true) {
+      var lo = sOff(st); var hi = sOff(st + 1) - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val k = sKey(mid)
+        if (k == c) return sNext(mid)
+        else if (k < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (st == 0) return 0
+      st = fail(st)
+    }
+    0 // unreachable
+  }
+}
 
 object AcAutomaton {
-  def build(patterns: Seq[String]): AcAutomaton = {
+  /** Dense-DFA cutoff: 2^16 states × 256 × 4 B = 64 MB table — the most
+    * we'll materialize on the driver and ship to each executor as a
+    * codegen reference object. Real blocklists share prefixes heavily,
+    * so this covers a few thousand terms; beyond it the CSR encoding
+    * keeps memory proportional to pattern bytes. */
+  val DenseMaxStates: Int = 1 << 16
+
+  def build(patterns: Seq[String]): AcAutomaton =
+    build(patterns, DenseMaxStates)
+
+  /** `denseMaxStates` is injectable so the spec can force the CSR mode on
+    * small pattern sets and cross-check it against the dense DFA. */
+  def build(patterns: Seq[String], denseMaxStates: Int): AcAutomaton = {
     require(patterns.nonEmpty, "AcAutomaton: empty pattern list")
     require(patterns.forall(_.nonEmpty), "AcAutomaton: empty pattern")
     val pats = patterns.map(_.getBytes("UTF-8"))
-    val maxStates = pats.map(_.length).sum + 1
-    val goto = Array.fill(maxStates * 256)(-1)
-    val ends = Array.fill(maxStates)(List.empty[Int])
-    var nStates = 1
+
+    // Pass 1 — sparse trie with the EXACT state count. (The previous
+    // version allocated sum-of-lengths×256 ints up front — ~1 KB per
+    // pattern byte, gigabytes at a 50k-term blocklist — before trimming
+    // to the real, prefix-shared state count.)
+    val kids = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.HashMap.empty[Int, Int])
+    val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
     pats.zipWithIndex.foreach { case (p, pi) =>
       var s = 0
       p.foreach { b =>
         val c = b & 0xFF
-        if (goto(s * 256 + c) == -1) { goto(s * 256 + c) = nStates; nStates += 1 }
-        s = goto(s * 256 + c)
+        s = kids(s).getOrElseUpdate(c, {
+          kids += scala.collection.mutable.HashMap.empty[Int, Int]
+          ends += Nil
+          kids.size - 1
+        })
       }
       ends(s) ::= pi
     }
+    val nStates = kids.size
+
+    // Pass 2 — BFS: fail links + inherited suffix-pattern outputs.
     val fail = new Array[Int](nStates)
+    val bfs = scala.collection.mutable.ArrayBuffer.empty[Int]
     val queue = scala.collection.mutable.Queue.empty[Int]
-    var c = 0
-    while (c < 256) {
-      val s = goto(c)
-      if (s == -1) goto(c) = 0 else { fail(s) = 0; queue += s }
-      c += 1
-    }
+    kids(0).valuesIterator.foreach { u => fail(u) = 0; queue += u }
     while (queue.nonEmpty) {
       val r = queue.dequeue()
-      ends(r) = ends(r) ++ ends(fail(r)) // inherit suffix-pattern outputs
-      var c2 = 0
-      while (c2 < 256) {
-        val u = goto(r * 256 + c2)
-        if (u != -1) { fail(u) = goto(fail(r) * 256 + c2); queue += u }
-        else goto(r * 256 + c2) = goto(fail(r) * 256 + c2)
-        c2 += 1
+      bfs += r
+      ends(r) = ends(r) ++ ends(fail(r))
+      kids(r).foreach { case (c, u) =>
+        var f = fail(r)
+        while (f != 0 && !kids(f).contains(c)) f = fail(f)
+        fail(u) = kids(f).getOrElse(c, 0)
+        queue += u
       }
     }
+
+    // Flattened output lists (identical in both modes).
     val outOff = new Array[Int](nStates + 1)
     var total = 0
     var s = 0
@@ -80,8 +133,43 @@ object AcAutomaton {
       ends(s).sorted.foreach { pi => outIdx(j) = pi; j += 1 }
       s += 1
     }
-    new AcAutomaton(java.util.Arrays.copyOf(goto, nStates * 256),
-      outOff, outIdx, patterns.size)
+
+    if (nStates <= denseMaxStates) {
+      // Resolve fail links into a dense DFA, in BFS order so every
+      // fallback row is already complete when referenced.
+      val dense = new Array[Int](nStates * 256)
+      var c = 0
+      while (c < 256) { dense(c) = kids(0).getOrElse(c, 0); c += 1 }
+      bfs.foreach { r =>
+        var c2 = 0
+        while (c2 < 256) {
+          dense(r * 256 + c2) =
+            kids(r).getOrElse(c2, dense(fail(r) * 256 + c2))
+          c2 += 1
+        }
+      }
+      new AcAutomaton(dense, null, null, null, null, outOff, outIdx,
+        patterns.size)
+    } else {
+      // CSR goto rows (byte keys sorted for binary search) + fail links.
+      val sOff = new Array[Int](nStates + 1)
+      var t = 0
+      var i = 0
+      while (i < nStates) { sOff(i) = t; t += kids(i).size; i += 1 }
+      sOff(nStates) = t
+      val sKey = new Array[Int](t)
+      val sNext = new Array[Int](t)
+      i = 0
+      while (i < nStates) {
+        var j = sOff(i)
+        kids(i).toSeq.sortBy(_._1).foreach { case (c, u) =>
+          sKey(j) = c; sNext(j) = u; j += 1
+        }
+        i += 1
+      }
+      new AcAutomaton(null, sOff, sKey, sNext, fail, outOff, outIdx,
+        patterns.size)
+    }
   }
 }
 
@@ -106,7 +194,7 @@ case class MultiPatternHits(child: Expression, patterns: Seq[String])
     var st = 0
     var i = 0
     while (i < bytes.length) {
-      st = ac.trans((st << 8) | (bytes(i) & 0xFF))
+      st = ac.step(st, bytes(i) & 0xFF)
       var j = ac.outOff(st)
       val end = ac.outOff(st + 1)
       while (j < end) {
@@ -124,7 +212,11 @@ case class MultiPatternHits(child: Expression, patterns: Seq[String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in => {
-      val trans = ctx.addReferenceObj("acTrans", ac.trans, "int[]")
+      // The automaton ships as ONE reference object; the generated code
+      // calls its step() (monomorphic, JIT-inlined) so dense and CSR
+      // modes share a single code path with the interpreted eval.
+      val acRef = ctx.addReferenceObj("ac", ac,
+        classOf[AcAutomaton].getName)
       val outOff = ctx.addReferenceObj("acOutOff", ac.outOff, "int[]")
       val outIdx = ctx.addReferenceObj("acOutIdx", ac.outIdx, "int[]")
       val nP = ac.nPatterns
@@ -139,7 +231,7 @@ case class MultiPatternHits(child: Expression, patterns: Seq[String])
          |int $nSeen = 0;
          |int $st = 0;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $st = $trans[($st << 8) | ($bytes[$i] & 0xFF)];
+         |  $st = $acRef.step($st, $bytes[$i] & 0xFF);
          |  int $end = $outOff[$st + 1];
          |  for (int $j = $outOff[$st]; $j < $end; $j++) {
          |    int $p = $outIdx[$j];

@@ -24,7 +24,18 @@ object KeyedStore {
   def write(df: DataFrame, path: String, keyCol: String,
             buckets: Int = 256): Unit = {
     require(buckets > 0, s"KeyedStore.write: buckets must be positive")
-    df.withColumn("__bucket", pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+    // Hash a CANONICAL type (long) on both sides: xxhash64 is
+    // type-sensitive (hashInt/hashLong/string bytes all differ), and
+    // lookup() hashes its probe keys as Seq[Long] — hashing an
+    // IntegerType key column natively here would silently put every row
+    // in a bucket the lookup never probes. Integral key types only;
+    // anything else must refuse loudly rather than return empty lookups.
+    val dt = df.schema(keyCol).dataType
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(dt.simpleString),
+      s"KeyedStore.write: key column '$keyCol' must be an integral type " +
+        s"(lookup probes are Seq[Long]); got ${dt.simpleString}")
+    df.withColumn("__bucket",
+        pmod(xxhash64(col(keyCol).cast("long")), lit(buckets.toLong)))
       .repartition(col("__bucket"))
       .sortWithinPartitions(col(keyCol))
       .write.partitionBy("__bucket").mode("overwrite").parquet(path)

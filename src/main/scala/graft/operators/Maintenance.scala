@@ -33,6 +33,11 @@ object Maintenance {
     * concurrent with the swap will fail-and-retry, as with any
     * non-transactional table format.
     *
+    * Hive-partitioned directories (the [[writePartitioned]] layout) are
+    * compacted leaf-by-leaf, preserving the partition structure;
+    * `sortCols` must name columns stored IN the files (a partition
+    * column lives in the directory name and fails loudly per leaf).
+    *
     * Scale shape: one distributed read + one shuffle (range-partition
     * when sorting, round-robin otherwise) + one write — no driver-side
     * data movement; the file LISTING is the only driver work. */
@@ -40,38 +45,63 @@ object Maintenance {
               targetBytes: Long = 128L * 1024 * 1024,
               sortCols: Seq[String] = Nil): CompactionReport = {
     require(targetBytes > 0, s"compact: targetBytes must be positive")
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(d: Path) = fs.listStatus(d).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
-        && !st.getPath.getName.startsWith("."))
-    val before = dataFiles(p)
-    val bytesBefore = before.map(_.getLen).sum
-    val nOut = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visible(d: Path) = fs.listStatus(d).toSeq
+      .filterNot(st => st.getPath.getName.startsWith("_")
+        || st.getPath.getName.startsWith("."))
+    def dataFiles(d: Path) = visible(d).filter(_.isFile)
 
-    val staging = new Path(p.getParent, p.getName + "__compacting")
-    if (fs.exists(staging)) fs.delete(staging, true)
-    val df = spark.read.parquet(path)
-    val shaped =
-      if (sortCols.nonEmpty)
-        df.repartitionByRange(nOut, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
-      else df.repartition(nOut)
-    shaped.write.parquet(staging.toString)
-
-    val trash = new Path(p.getParent, p.getName + "__old")
-    if (fs.exists(trash)) fs.delete(trash, true)
-    if (!fs.rename(p, trash))
-      throw new java.io.IOException(s"compact: could not move $p aside")
-    if (!fs.rename(staging, p)) {
-      fs.rename(trash, p) // restore
-      throw new java.io.IOException(s"compact: could not install $staging")
+    // Hive-partitioned layouts (the shape writePartitioned produces) keep
+    // data in nested `col=value` directories: a non-recursive listing sees
+    // zero files, and a root-level rewrite would FLATTEN the partition
+    // structure while reporting 0 bytes before. Compact each LEAF
+    // directory in place instead — the partition layout (and the fact
+    // that partition values live in dir names, not in the files) is
+    // preserved by construction, and each leaf keeps the same
+    // staging-and-swap crash-safety as the flat case.
+    def leaves(d: Path): Seq[Path] = {
+      val dirs = visible(d).filter(_.isDirectory)
+      if (dirs.isEmpty) Seq(d) else dirs.flatMap(st => leaves(st.getPath))
     }
-    fs.delete(trash, true)
 
-    val after = dataFiles(p)
-    CompactionReport(before.size.toLong, bytesBefore,
-      after.size.toLong, after.map(_.getLen).sum)
+    def compactDir(p: Path): CompactionReport = {
+      val before = dataFiles(p)
+      val bytesBefore = before.map(_.getLen).sum
+      if (before.isEmpty)
+        return CompactionReport(0L, 0L, 0L, 0L)
+      val nOut = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
+
+      val staging = new Path(p.getParent, p.getName + "__compacting")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      val df = spark.read.parquet(p.toString)
+      val shaped =
+        if (sortCols.nonEmpty)
+          df.repartitionByRange(nOut, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+        else df.repartition(nOut)
+      shaped.write.parquet(staging.toString)
+
+      val trash = new Path(p.getParent, p.getName + "__old")
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (!fs.rename(p, trash))
+        throw new java.io.IOException(s"compact: could not move $p aside")
+      if (!fs.rename(staging, p)) {
+        fs.rename(trash, p) // restore
+        throw new java.io.IOException(s"compact: could not install $staging")
+      }
+      fs.delete(trash, true)
+
+      val after = dataFiles(p)
+      CompactionReport(before.size.toLong, bytesBefore,
+        after.size.toLong, after.map(_.getLen).sum)
+    }
+
+    leaves(root).map(compactDir).foldLeft(CompactionReport(0, 0, 0, 0)) {
+      (a, b) => CompactionReport(a.filesBefore + b.filesBefore,
+        a.bytesBefore + b.bytesBefore, a.filesAfter + b.filesAfter,
+        a.bytesAfter + b.bytesAfter)
+    }
   }
 
   /** Write `df` hive-partitioned by `partitionCols` with DYNAMIC overwrite:

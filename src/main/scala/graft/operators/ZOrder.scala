@@ -52,11 +52,13 @@ object ZOrder {
     require(bits >= 1 && bits <= 31, s"bucket: bits must be in [1,31], got $bits")
     require(maxV >= minV, s"bucket: max $maxV < min $minV")
     val k = 1L << bits
-    // ceil-width via (range + k − 1) div k computed on the DRIVER in Long
-    // arithmetic (range = max − min + 1 can overflow only if the column
-    // spans the full Long domain — guard below)
+    // ceil-width computed on the DRIVER in Long arithmetic. Algebraic
+    // identity: ceil((r+1)/k) = r/k + 1 for r ≥ 0 — used instead of
+    // (r + k)/k, whose addition overflows Long when the column range is
+    // within 2^bits of Long.MaxValue (w would silently become 1 and every
+    // row clamp into the top bucket, collapsing the clustering).
     require(maxV - minV >= 0, "bucket: column range overflows Long")
-    val w = math.max(1L, (maxV - minV + k) / k) // ceil((max-min+1)/k), ≥ 1
+    val w = (maxV - minV) / k + 1L // = ceil((max-min+1)/k), ≥ 1
     val raw = intDiv(greatest(x.cast("long") - lit(minV), lit(0L)), lit(w))
     least(raw, lit(k - 1L))
   }
@@ -82,7 +84,14 @@ object ZOrder {
       Seq(min(col(c)).cast("long").as(s"__mn_$c"),
         max(col(c)).cast("long").as(s"__mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
-    cols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
+    cols.indices.map { i =>
+      // min/max aggregate to NULL for an empty table or an all-null
+      // column; getLong on those would throw an unhelpful NPE.
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"ZOrder.stats: column '${cols(i)}' has no non-null values " +
+          "(empty table or all-null column) — nothing to cluster on")
+      (row.getLong(2 * i), row.getLong(2 * i + 1))
+    }
   }
 
   /** `df` plus a z-value column over `cols` (integer-typed), bucketized to

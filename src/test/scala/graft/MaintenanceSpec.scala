@@ -90,6 +90,43 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(back == Set("keep"))
   }
 
+  test("compact preserves a hive-partitioned layout, compacting each " +
+    "leaf in place") {
+    val path = freshDir()
+    val rows = (0L until 3000L).map(i => (i, s"v$i", if (i % 2 == 0) "a" else "b"))
+    rows.toDF("id", "v", "day").repartition(16)
+      .write.partitionBy("day").parquet(path)
+    val before = spark.read.parquet(path)
+    assert(before.count() == 3000)
+    val rep = Maintenance.compact(spark, path, targetBytes = Long.MaxValue)
+    // partition dirs survive; each leaf compacted to one file
+    val dirs = new java.io.File(path).listFiles.filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("day=a", "day=b"), s"partition layout lost: $dirs")
+    assert(rep.filesBefore == 32L && rep.filesAfter == 2L)
+    assert(rep.bytesBefore > 0L, "partitioned listing saw 0 bytes")
+    val back = spark.read.parquet(path).select("id", "v", "day")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(back == rows.sorted)
+  }
+
+  test("KeyedStore canonicalizes the key hash: int32 key columns land in " +
+    "the buckets Seq[Long] lookups probe") {
+    import graft.operators.KeyedStore
+    val path = freshDir()
+    // IntegerType key column — pre-fix, xxhash64(int) != xxhash64(long)
+    // made every lookup silently empty
+    val rows = (0 until 2000).map(i => (i, s"v$i"))
+    KeyedStore.write(rows.toDF("k", "v"), path, "k", buckets = 16)
+    val got = KeyedStore.lookup(spark, path, "k", Seq(7L, 1999L), buckets = 16)
+    assert(got.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((7, "v7"), (1999, "v1999")))
+    // non-integral key types refuse loudly instead of returning empties
+    intercept[IllegalArgumentException] {
+      KeyedStore.write(Seq(("a", 1L)).toDF("k", "v"), freshDir(), "k")
+    }
+  }
+
   test("compact leaves no staging or trash directories behind") {
     val path = freshDir()
     (0L until 100L).toDF("id").repartition(8).write.parquet(path)

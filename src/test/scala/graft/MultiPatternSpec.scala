@@ -76,6 +76,36 @@ class MultiPatternSpec extends AnyFunSuite {
     assert(!got(1).getBoolean(3))
   }
 
+  test("CSR mode (forced via denseMaxStates=1) agrees with the dense DFA " +
+    "on a randomized corpus") {
+    val terms = Seq("ab", "bab", "abab", "bb", "a", "cabd", "dd", "héllo", "本")
+    val dense = graft.functions.expressions.AcAutomaton.build(terms)
+    val sparse = graft.functions.expressions.AcAutomaton.build(terms, 1)
+    assert(dense.dense != null && sparse.dense == null)
+    val rnd = new scala.util.Random(13)
+    val texts = (0 until 300).map(_ =>
+      (0 until rnd.nextInt(60)).map(_ => "abcdé本".charAt(rnd.nextInt(6))).mkString)
+    texts.foreach { t =>
+      val bytes = t.getBytes("UTF-8")
+      var sd = 0; var ss = 0
+      bytes.foreach { b =>
+        sd = dense.step(sd, b & 0xFF)
+        ss = sparse.step(ss, b & 0xFF)
+        // states are built in the same trie order, so they must agree
+        // exactly, not just on outputs
+        assert(sd == ss, s"state divergence on '$t'")
+      }
+    }
+  }
+
+  test("exact state count: shared prefixes dedupe (no sum-of-lengths " +
+    "over-allocation)") {
+    // "abcde","abcdf","abcdg": 15 pattern bytes but only 8 trie states
+    val ac = graft.functions.expressions.AcAutomaton.build(
+      Seq("abcde", "abcdf", "abcdg"))
+    assert(ac.dense.length == 8 * 256)
+  }
+
   test("automaton refuses empty pattern lists and empty patterns") {
     intercept[IllegalArgumentException] {
       graft.functions.expressions.AcAutomaton.build(Nil)

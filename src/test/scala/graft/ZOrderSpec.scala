@@ -40,6 +40,32 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket width survives near-Long-max ranges (no additive overflow) " +
+    "and stats refuses empty/all-null columns loudly") {
+    // Pre-fix, (max - min + 2^bits) overflowed Long for ranges within
+    // 2^bits of Long.MaxValue, silently collapsing w to 1 (every row in
+    // the top bucket). The ceil identity r/k + 1 cannot overflow.
+    // range = Long.MaxValue - 1: fits Long, but old (range + 2^bits)
+    // addition overflowed; full-domain ranges still refuse via the
+    // separate range guard
+    val rows = Seq(0L, Long.MaxValue / 2, Long.MaxValue - 1).toDF("x")
+    val b = ZOrder.bucket(col("x"), 0L, Long.MaxValue - 1, 8)
+    val got = rows.select(b.as("b")).collect().map(_.getLong(0)).toSeq
+    assert(got.distinct.size > 1, s"clustering collapsed: $got")
+    assert(got.forall(v => v >= 0 && v < 256))
+    // min/max/extremes map to edge buckets monotonically
+    assert(got.head == 0L && got.last == 255L)
+
+    val e1 = intercept[IllegalArgumentException] {
+      ZOrder.stats(Seq.empty[Long].toDF("x"), Seq("x"))
+    }
+    assert(e1.getMessage.contains("no non-null values"))
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.stats(Seq[Option[Long]](None, None).toDF("x"), Seq("x"))
+    }
+    assert(e2.getMessage.contains("'x'"))
+  }
+
   test("interleave is a bijection on the bucket grid (4 bits, 2 dims)") {
     val pts = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
     val df = pts.toDF("a", "b")
