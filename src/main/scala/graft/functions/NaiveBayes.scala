@@ -31,9 +31,14 @@ import org.apache.spark.sql.types._
   * Scale shape: the count table is vocabulary × classes (grows with
   * diversity, not corpus size) and stays token-keyed in every join — a
   * 100 TB vocabulary is not driver-sized, so it is never broadcast. The
-  * tiny per-class stats (k rows) ARE broadcast. The scoring shuffle
-  * carries (doc, class) decimal partial sums (map-side combined), never
-  * token rows. Two corpus passes total: one to count, one to score.
+  * tiny per-class stats (k rows) ARE broadcast. The corpus is tokenized
+  * ONCE into per-document token counts (one shuffle with map-side
+  * combine); the class count table derives from that, and scoring runs
+  * at distinct-(doc, token) grain — each rounded per-token log is
+  * multiplied by its exact occurrence count (Σ over occurrences of a
+  * rounded constant ≡ count × constant, so the decimal sum is
+  * bit-identical to per-occurrence iteration). The scoring shuffle
+  * carries (doc, class) decimal partial sums, never token rows.
   */
 object NaiveBayes {
 
@@ -44,17 +49,25 @@ object NaiveBayes {
     * `unpersist()` on the result. */
   def trainAndPredict(df: DataFrame, idCol: String, textCol: String,
                       labelCol: String, logScale: Int = 6): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val base = df.select(col(idCol).as("__id"), col(labelCol).as("__true"),
       col(textCol).as("__text"))
-    val toks = base.select(col("__id"), col("__true"),
-      explode(Text.tokens(col("__text"))).as("token"))
 
-    // Training: (class, token) occurrence counts — exact integers, one
-    // shuffle with map-side combine. Persisted because three consumers
-    // (class totals, vocabulary size, the scoring join) share it.
-    val cnt = toks.groupBy(col("__true").as("label"), col("token"))
-      .agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE tokenize pass → per-document token counts. Persisted because
+    // both training (class count table) and scoring consume it; the old
+    // shape tokenized the corpus twice and scored one row per token
+    // OCCURRENCE instead of per distinct (doc, token).
+    val dtf = base.select(col("__id"), col("__true"),
+        explode(Text.tokens(col("__text"))).as("token"))
+      .groupBy(col("__id"), col("__true"), col("token"))
+      .agg(count(lit(1)).as("__n"))
+      .persist(lvl)
+
+    // Training: (class, token) occurrence counts — exact integers,
+    // derived from the doc-level counts with map-side combine.
+    val cnt = dtf.groupBy(col("__true").as("label"), col("token"))
+      .agg(sum(col("__n")).as("__c"))
+      .persist(lvl)
     val vocab = cnt.select(col("token")).distinct().count()
     val totalDocs = base.count()
     require(vocab > 0, "naive bayes training corpus has no tokens")
@@ -67,19 +80,21 @@ object NaiveBayes {
 
     def dec(c: Column): Column = c.cast(DecimalType(28, logScale))
 
-    // Scoring: every token occurrence × every class (classes broadcast),
-    // token-keyed left join to the count table; add-one smoothing doubles
-    // as the out-of-vocabulary-in-class path.
+    // Scoring: every distinct (doc, token) × every class (classes
+    // broadcast), token-keyed left join to the count table; add-one
+    // smoothing doubles as the out-of-vocabulary-in-class path. The
+    // rounded per-token log is multiplied by the exact occurrence count
+    // in DECIMAL — bit-identical to summing it once per occurrence.
     val lp = round(
       log((coalesce(col("__c"), lit(0L)) + lit(1L)).cast(DoubleType) /
         (col("__nc") + lit(vocab)).cast(DoubleType)), logScale)
     val prior = round(
       log(col("__ndocs").cast(DoubleType) / totalDocs.toDouble), logScale)
-    val scored = toks
+    val scored = dtf
       .crossJoin(broadcast(labelStats))
       .join(cnt, Seq("token", "label"), "left")
       .select(col("__id"), col("__true"), col("label"), col("__ndocs"),
-        dec(lp).as("__lp"))
+        (dec(lp) * col("__n").cast(DecimalType(20, 0))).as("__lp"))
       .groupBy(col("__id"), col("__true"), col("label"), col("__ndocs"))
       .agg(sum(col("__lp")).as("__s"))
       .select(col("__id"), col("__true"), col("label"),
@@ -94,6 +109,6 @@ object NaiveBayes {
         col("__b.label").as("pred"),
         round(col("__b.__score").cast(DoubleType), 4).as("score"),
         (col("__b.label") === col("__true")).as("ok"))
-    Dedup.materializeAndFree(result, cnt)
+    Dedup.materializeAndFree(result, cnt, dtf)
   }
 }
