@@ -10,6 +10,10 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem','ev
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
+try:
+    rows_only = json.load(open(f'{out}/rows_only.json'))
+except FileNotFoundError:
+    rows_only = {}
 
 # Pre-flight: type every oracle with LIMIT 0 and refuse surprise output
 # types. DuckDB widens sum(BIGINT) and `//` chains to HUGEINT (int128);
@@ -39,7 +43,9 @@ for name in sorted(os.listdir(out)):
     if not os.path.isdir(d): continue
     spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f'{d}/*.parquet')], ignore_index=True)
     if name not in oracle:
-        results[name] = f'rows-only: {len(spark_df)} rows ' + ('OK' if len(spark_df)>0 else 'EMPTY!')
+        tag = 'by design' if name in rows_only else 'UNEXPLAINED'
+        results[name] = (f'rows-only ({tag}): {len(spark_df)} rows '
+                         + ('OK' if len(spark_df)>0 else 'EMPTY!'))
         continue
     try:
         duck_df = con.sql(oracle[name]).df()

@@ -37,4 +37,34 @@ object SparkEntry {
     * (engine-specific hash signatures, seeded LSH) → rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++ StreamingQueries.oracleSql ++ AnalyticQueries.oracleSql ++ ModelQueries.oracleSql ++ SketchQueries.oracleSql
+
+  /** Queries that are PERMANENTLY rows-only — no DuckDB oracle can exist,
+    * and the gap is by design, not an omission. Every entry here names the
+    * reason and where its correctness IS pinned instead (a planted-oracle
+    * sibling plus a ScalaTest exactness spec). Verify dumps this map as
+    * `rows_only.json` next to `oracle_sql.json` so the correctness gate's
+    * `no_oracle` rows are machine-readably explained. */
+  val rowsOnlyReasons: Map[String, String] = Map(
+    "q_dedup_minhash_cands" ->
+      ("raw MinHash-LSH candidate surface on the real corpus: the pair set " +
+        "depends on this engine's xxhash64 signature seeds, which no " +
+        "engine-independent SQL can reproduce. Exactness is pinned by the " +
+        "planted-duplicate sibling q_dedup_minhash (hash-matched oracle) " +
+        "and FunctionsSpec signature tests."),
+    "q_dedup_simhash_cands" ->
+      ("raw SimHash multi-index candidate surface: signatures hash " +
+        "engine-specific token projections, so the radius-8 pair set is " +
+        "seed-dependent. Exactness is pinned by the planted sibling " +
+        "q_dedup_simhash (hash-matched) and FunctionsSpec."),
+    "q_emb_ivf" ->
+      ("IVF coarse assignment over seeded anchor vectors: list ids depend " +
+        "on this engine's deterministic seed choice. The trained-IVF path " +
+        "is fully oracle-checked by q_emb_ivf_probe (planted clusters make " +
+        "the lists engine-independent)."),
+    "q_emb_kmeans_corpus" ->
+      ("full-corpus Lloyd's k-means: iterative float centroid updates on " +
+        "real vectors have no closed-form SQL mirror. The identical " +
+        "machinery is hash-match oracle-checked on planted clusters by " +
+        "q_emb_kmeans; determinism and convergence are pinned in " +
+        "KmeansSpec. Kept as the bench's clustering workload."))
 }

@@ -43,6 +43,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // By-design rows-only queries, with reasons — so the gate's no_oracle
+    // rows are explained rather than unexplained gaps.
+    val rj = SparkEntry.rowsOnlyReasons
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), rj)
     spark.stop()
   }
 }

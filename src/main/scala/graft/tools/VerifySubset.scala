@@ -40,6 +40,10 @@ object VerifySubset {
       .filterKeys(names.contains)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val rj = graft.SparkEntry.rowsOnlyReasons.view
+      .filterKeys(names.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), rj)
     spark.stop()
   }
 }
