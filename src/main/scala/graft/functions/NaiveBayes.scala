@@ -94,7 +94,10 @@ object NaiveBayes {
       .crossJoin(broadcast(labelStats))
       .join(cnt, Seq("token", "label"), "left")
       .select(col("__id"), col("__true"), col("label"), col("__ndocs"),
-        (dec(lp) * col("__n").cast(DecimalType(20, 0))).as("__lp"))
+        // DECIMAL(9,0): product precision 28+9+1 = 38 fits Spark's budget
+        // exactly; a wider cast would trip adjustPrecisionScale and
+        // truncate the product scale toward 6 at logScale > 6.
+        (dec(lp) * col("__n").cast(DecimalType(9, 0))).as("__lp"))
       .groupBy(col("__id"), col("__true"), col("label"), col("__ndocs"))
       .agg(sum(col("__lp")).as("__s"))
       .select(col("__id"), col("__true"), col("label"),

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * ~9 orders of magnitude below the rounding grid).
   *
   * Scale shape: counting shuffles each distinct (token) once — inherent to
-  * frequency training; scoring joins the exploded corpus to the frequency
-  * table on the token string. With `maxVocab` set, the vocabulary is capped
+  * frequency training; scoring first collapses the exploded corpus to
+  * distinct (doc, token) counts (map-side combinable), then joins THAT to
+  * the frequency table on the token string — the rounded per-token log is
+  * a constant per token, so count × constant in exact DECIMAL is
+  * bit-identical to per-occurrence summing. With `maxVocab` set, the vocabulary is capped
   * to the most frequent tokens (count desc, token asc — deterministic) and
   * BROADCAST, making the scoring pass shuffle-free; uncapped, the join is a
   * plain equi-join AQE is free to re-plan. Out-of-vocabulary tokens score
@@ -62,15 +65,25 @@ object UnigramLm {
         broadcast(freq.orderBy(col("cnt").desc, col("token").asc).limit(maxVocab))
       else freq
 
+    // Distinct-(doc, token) grain: the rounded per-token log is a constant
+    // per token, so sum-over-occurrences ≡ occurrence-count × constant in
+    // exact DECIMAL — bit-identical scores from far fewer join rows.
     val toks = df.select(col(idCol).as("id"),
-      explode(Text.tokens(col(textCol))).as("token"))
+        explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("__n"))
     val logp = round(
       log(coalesce(col("cnt").cast("double"), lit(oovCount)) / lit(total.toDouble)),
       logScale).cast(s"decimal(28,$logScale)")
+    // __n is cast DECIMAL(9,0) so the product precision is 28+9+1 = 38 —
+    // exactly Spark's decimal budget. Anything wider (e.g. (20,0)) trips
+    // adjustPrecisionScale, which TRUNCATES the product's scale toward 6
+    // and silently breaks the rounding contract at logScale > 6. 1e9
+    // occurrences of one token in one document is far beyond any real doc.
     val result = toks.join(freqSide, Seq("token"), "left")
-      .select(col("id"), logp.as("__lp"))
+      .select(col("id"), col("__n"),
+        (logp * col("__n").cast("decimal(9,0)")).as("__lp"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__sum"))
+      .agg(sum(col("__n")).as("n_tokens"), sum(col("__lp")).as("__sum"))
       .select(col("id").as(idCol), col("n_tokens"),
         round(-col("__sum").cast("double") / col("n_tokens"), outScale).as("xent"))
     Dedup.materializeAndFree(result, freq)
@@ -121,8 +134,11 @@ object UnigramLm {
         else f
       capped.withColumnRenamed("cnt", as)
     }
+    // Distinct-(doc, token) grain, as in [[score]]: rounded ratio × exact
+    // occurrence count in DECIMAL ≡ per-occurrence summing, bit-identical.
     val toks = df.select(col(idCol).as("id"),
-      explode(Text.tokens(col(textCol))).as("token"))
+        explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("__n"))
     val ratio = round(
       log(coalesce(col("cnt_t").cast("double"), lit(oovCount)) / lit(totT.toDouble)) -
         log(coalesce(col("cnt_r").cast("double"), lit(oovCount)) / lit(totR.toDouble)),
@@ -130,9 +146,12 @@ object UnigramLm {
     val result = toks
       .join(side(ft, "cnt_t"), Seq("token"), "left")
       .join(side(fr, "cnt_r"), Seq("token"), "left")
-      .select(col("id"), ratio.as("__lr"))
+      // DECIMAL(9,0): keeps product precision at 38 — see [[score]]; at
+      // the 12-decimal default a (20,0) cast would truncate scale to 6.
+      .select(col("id"), col("__n"),
+        (ratio * col("__n").cast("decimal(9,0)")).as("__lr"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("__sum"))
+      .agg(sum(col("__n")).as("n_tokens"), sum(col("__lr")).as("__sum"))
       .select(col("id").as(idCol), col("n_tokens"),
         round(col("__sum").cast("double") / col("n_tokens"), outScale).as("logratio"))
     Dedup.materializeAndFree(result, ft, fr)

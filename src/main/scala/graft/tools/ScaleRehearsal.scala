@@ -28,7 +28,15 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Optional stage filter (builder-side): SPARK_GRAFT_REHEARSE_ONLY is a
+    // comma-separated list of case-insensitive label substrings — lets a
+    // 100× rerun target one operator family without paying for the rest.
+    val only: Option[Seq[String]] = sys.env.get("SPARK_GRAFT_REHEARSE_ONLY")
+      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
+    def selected(label: String): Boolean =
+      only.forall(_.exists(label.toLowerCase.contains))
     def t[A](label: String)(f: => A): A = {
+      if (!selected(label)) return null.asInstanceOf[A]
       val t0 = System.nanoTime()
       val r = f
       println(f"[scale] $label%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -160,24 +168,26 @@ object ScaleRehearsal {
       sweep()
 
       // 3. ANN index build (once) + steady-state probes
-      val idxPath = s"$root/lsh_index"
-      t(s"writeLshIndex (mult=$mult)") {
-        graft.functions.Similarity.writeLshIndex(emb, "embedding", "vec_id",
-          idxPath, dim = 64, numPlanes = 8, tables = 2)
-      }
-      val q = baseEmb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      // one warm-up probe (reader/codegen init), then 5 timed probes
-      graft.functions.Similarity.probeLshIndex(spark, idxPath, q, 10,
-        dim = 64, numPlanes = 8, tables = 2, nprobe = 24).collect()
-      val probeTimes = (1 to 5).map { _ =>
-        val t0 = System.nanoTime()
+      if (selected("probeLshIndex")) {
+        val idxPath = s"$root/lsh_index"
+        t(s"writeLshIndex (mult=$mult)") {
+          graft.functions.Similarity.writeLshIndex(emb, "embedding", "vec_id",
+            idxPath, dim = 64, numPlanes = 8, tables = 2)
+        }
+        val q = baseEmb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        // one warm-up probe (reader/codegen init), then 5 timed probes
         graft.functions.Similarity.probeLshIndex(spark, idxPath, q, 10,
           dim = 64, numPlanes = 8, tables = 2, nprobe = 24).collect()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[scale] probeLshIndex median of 5 (mult=$mult)   ${probeTimes(2)}%8.3f s")
-      sweep()
+        val probeTimes = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          graft.functions.Similarity.probeLshIndex(spark, idxPath, q, 10,
+            dim = 64, numPlanes = 8, tables = 2, nprobe = 24).collect()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[scale] probeLshIndex median of 5 (mult=$mult)   ${probeTimes(2)}%8.3f s")
+        sweep()
+      }
 
       // 4. round-5 operators: sequence packing, token-budget mixing,
       //    bloom decontamination, unigram-LM scoring — all should be
@@ -321,6 +331,36 @@ object ScaleRehearsal {
         r.unpersist(blocking = true)
       }
       sweep()
+      // 7b. the remaining fixpoint family on the same doc-token graph
+      // (round-6: verdict asked for hits/ppr/weighted at 100×, which the
+      // earlier rehearsals only covered to 10×). Shared shape with
+      // pageRank: per-iteration action floor, shuffle ∝ edges.
+      def dtEdges() = docs
+        .select(col("doc_id").as("src"),
+          explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+        .select(col("src"), pmod(xxhash64(col("tok")), lit(10000L)).as("dst"))
+      t(s"weightedPageRank 6 iters (mult=$mult)") {
+        val we = dtEdges().groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val r = graft.functions.Graph.weightedPageRank(we, "src", "dst", "w",
+          iterations = 6)
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      t(s"personalizedPageRank 6 iters 3 seeds (mult=$mult)") {
+        val r = graft.functions.Graph.personalizedPageRank(dtEdges(),
+          "src", "dst", seeds = Seq(1L, 2L, 3L), iterations = 6)
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      t(s"hits 6 iters (mult=$mult)") {
+        val r = graft.functions.Graph.hits(dtEdges(), "src", "dst",
+          iterations = 6)
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
       // 8. session-5c operators: link prediction, CDC maintenance, the
       //    blocklist DFA, z-order write, distributed lag, mutual NN.
       // sparse pseudo-random link graph (~6 links/doc, node count scales
@@ -388,6 +428,20 @@ object ScaleRehearsal {
           col("doc_id"), length(col("text")).as("len"))
         val r = graft.functions.Windowing.globalLag(seq, Seq("u"),
           Seq("doc_id"), Seq("len"))
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      // round-6 additions (verdict item 8): CDC chunk dedup and winnow
+      // span matching at the full mult ladder.
+      t(s"dedupCdcChunks w=16 (mult=$mult)") {
+        graft.functions.Packing.dedupCdcChunks(docs, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+      t(s"winnowMatchedSpans (mult=$mult)") {
+        val r = graft.functions.Dedup.winnowMatchedSpans(docs, "doc_id",
+          "text")
         r.write.format("noop").mode("overwrite").save()
         r.unpersist(blocking = true)
       }

@@ -257,6 +257,48 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(truth.map(_.getString(0)).toSet == Set("😀"))
   }
 
+  test("randomized pushdown property: pushed </>/= verdicts agree with " +
+    "Spark residual evaluation over supplementary-plane strings") {
+    // Fuzz the UTF-8-vs-UTF-16 ordering fix: random strings drawn from a
+    // pool straddling the disagreement region (ASCII, U+E000..U+FFFF
+    // private-use/BMP-top, and supplementary plane), random comparison
+    // pivots from the same pool, each operator checked pushed-vs-residual.
+    val rnd = new scala.util.Random(20260814)
+    val pool: Seq[String] = Seq("a", "zz", "é", "", "x",
+      "�", "￿", "😀", "😀a", "🚀", "𐀀", "k",
+      "k😀", "")
+    def randStr(): String =
+      (0 until (1 + rnd.nextInt(3))).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString
+    val values = (0 until 40).map(_ => randStr()).distinct
+      .filter(_.nonEmpty)
+    val dir = Files.createTempDirectory("graft_dsv2_fuzz")
+    Files.writeString(dir.resolve("a.csv"),
+      "**places\nall\nplace;distance\ntext;km\n" +
+        values.zipWithIndex.map { case (v, i) => s"$v;$i" }.mkString("\n") +
+        "\n")
+    val base = spark.read.format("startable").option("table", "places")
+      .load(dir.toString)
+    def utf8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+    (0 until 12).foreach { _ =>
+      val pivot = randStr()
+      val preds = Seq[(org.apache.spark.sql.Column, Int => Boolean)](
+        (col("place") > pivot, _ > 0),
+        (col("place") < pivot, _ < 0),
+        (col("place") >= pivot, _ >= 0),
+        (col("place") <= pivot, _ <= 0),
+        (col("place") === pivot, _ == 0))
+      preds.foreach { case (pred, verdict) =>
+        val got = base.filter(pred).collect().map(_.getString(0)).toSet
+        val want = values.filter(v =>
+          verdict(utf8(v).compareTo(utf8(pivot)))).toSet
+        assert(got == want,
+          s"pivot=${pivot.codePoints().toArray.mkString("[", ",", "]")} " +
+            s"pred=$pred: pushed=$got spark-order=$want")
+      }
+    }
+  }
+
   // ---------------------------------------------------------- write path ---
 
   test("write path round-trips through the connector reader") {
