@@ -265,6 +265,39 @@ object Mixing {
           coalesce(col("__tau"), lit(0.0))), outScale).as("w_hat"))
   }
 
+  /** DSIR-style Gumbel top-k importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169 §3; Vieira 2014 "Gumbel-max trick"): draw `k`
+    * documents WITHOUT replacement with probability ∝ exp(weight /
+    * `temperature`) by ranking on  key = weight/T + g(id)  and keeping
+    * the top k, where g = −ln(−ln(u)) is standard Gumbel noise. The
+    * uniform u is DETERMINISTIC — (md5₄₈(id) + 0.5) / 2⁴⁸ — so the
+    * sample is a pure function of content: reproducible across runs,
+    * partitioning, cluster size, and engines (the md5-uniform is the
+    * same trick as [[prioritySample]]'s DLT priorities; DSIR's paper
+    * uses fresh Gumbel draws — a seeded-hash Gumbel is the
+    * deterministic-pipeline equivalent).
+    *
+    * The key is one short IEEE chain rounded to `keyScale` decimals
+    * (ties broken by id ascending), so the selected set is
+    * engine-independent and DuckDB-mirrorable. Scale shape: one
+    * TakeOrdered top-k — O(k) state per partition, no global sort, no
+    * shuffle of the data. Returns (idCol, weight, gumbel_key). */
+  def gumbelTopK(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                 temperature: Double = 1.0, keyScale: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val h48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double")
+    val u = (h48 + lit(0.5)) / lit(281474976710656.0) // 2^48 — u ∈ (0,1)
+    val g = -log(-log(u))
+    val key = round(col(weightCol).cast("double") / lit(temperature) + g,
+      keyScale)
+    df.select(col(idCol), col(weightCol).cast("double").as("weight"),
+        key.as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-group kept/total report for a rebalanced frame — the mixture
     * audit a pipeline logs after resampling. */
   def mixReport(df: DataFrame, rebalanced: DataFrame,

@@ -614,4 +614,30 @@ object Text {
           .as("terms_hit"),
         (size(col("__hits")) > 0).as("flagged"))
   }
+
+  /** PII / pattern redaction — the scrub step every shared training
+    * corpus runs before release: for each named `(name, pattern,
+    * replacement)` rule, count matches in the ORIGINAL text and replace
+    * all occurrences; rules apply in order to the running text. Returns
+    * (idCol, n_<name>… one count per rule, text_scrubbed).
+    *
+    * Patterns must stay in the regex dialect intersection that Java's
+    * engine and RE2-family engines (DuckDB, Go, Rust) evaluate
+    * identically — character classes, bounded repetition, alternation,
+    * `\b` on ASCII; no backreferences or lookaround — which keeps the
+    * scrub engine-mirrorable and the scrubbed TEXT itself
+    * oracle-hashable. Counts are per original text, so overlapping rules
+    * report independently of application order. Zero shuffle — pure
+    * per-row codegen projection; at 100 TB this is a map-only pass. */
+  def regexRedact(df: DataFrame, idCol: String, textCol: String,
+                  rules: Seq[(String, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "regexRedact: no rules")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "regexRedact: duplicate rule names")
+    val counts = rules.map { case (n, p, _) =>
+      regexp_count(col(textCol), lit(p)).cast("long").as(s"n_$n") }
+    val scrubbed = rules.foldLeft(col(textCol)) { case (c, (_, p, r)) =>
+      regexp_replace(c, p, r) }
+    df.select(col(idCol) +: counts :+ scrubbed.as("text_scrubbed"): _*)
+  }
 }

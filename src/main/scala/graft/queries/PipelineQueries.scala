@@ -1227,6 +1227,38 @@ object PipelineQueries {
       val docs = star(s, dir, "documents").df
       UnigramLm.importanceWeights(docs, docs.filter(col("lang") === "en"),
         docs, "doc_id", "text")
+    }),
+
+    // DSIR end-to-end: the importance weights fed through deterministic
+    // Gumbel top-k resampling (sample ∝ exp(weight/T) without
+    // replacement, md5-seeded noise) — the full data-selection loop from
+    // Xie et al. 2023, engine-mirrorable because the Gumbel uniform is a
+    // pure function of doc_id.
+    "q_dsir_resample" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val w = UnigramLm.importanceWeights(docs,
+        docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+      graft.functions.Mixing.gumbelTopK(w, "doc_id", "logratio",
+        k = 100, temperature = 0.5)
+    }),
+
+    // PII redaction with PLANTED addresses: docs 0-19 get a synthetic
+    // email + IPv4 appended (same construction in the oracle), then the
+    // corpus is scrubbed with RE2-∩-Java-safe patterns. Counts AND the
+    // full scrubbed text are hash-checked — a missed match, an
+    // over-greedy class, or a dialect divergence breaks the row hash.
+    "q_pii_scrub" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val planted = docs.withColumn("text",
+        when(col("doc_id") < 20,
+          concat(col("text"), lit(" reach user"),
+            col("doc_id").cast("string"), lit("@example.com or 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") % 100).cast("string"), lit(" now")))
+          .otherwise(col("text")))
+      Text.regexRedact(planted, "doc_id", "text", Seq(
+        ("email", "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}", "[EMAIL]"),
+        ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]")))
     })
   )
 
@@ -2683,24 +2715,68 @@ object PipelineQueries {
     // disagreement moves the decimal sum by ~1e-12/occurrence — invisible
     // to the final 4-decimal round.
     "q_doc_dsir" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |tt AS (
-        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-        |        FROM documents WHERE lang = 'en')
-        |  GROUP BY token),
-        |tr AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
-        |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM tt),
-        |sr AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM tr)
-        |SELECT t.doc_id,
-        |  count(*) AS n_tokens,
-        |  round(CAST(sum(CAST(round(
-        |      ln(coalesce(CAST(tt.cnt AS DOUBLE), 0.5) / st.tot)
-        |        - ln(coalesce(CAST(tr.cnt AS DOUBLE), 0.5) / sr.tot),
-        |      12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS logratio
-        |FROM tok t LEFT JOIN tt USING (token) LEFT JOIN tr USING (token), st, sr
-        |GROUP BY t.doc_id""".stripMargin
+      (dsirScoredCte + "\nSELECT doc_id, n_tokens, logratio FROM scored"),
+
+    // End-to-end DSIR: the same scored CTE fed through the deterministic
+    // Gumbel top-k — u = (md5_48(doc_id)+0.5)/2^48, g = -ln(-ln(u)),
+    // key = weight/T + g rounded to 6, top-100 by (key DESC, doc_id ASC).
+    "q_dsir_resample" ->
+      (dsirScoredCte + """,
+        |keyed AS (
+        |  SELECT doc_id, CAST(logratio AS DOUBLE) AS weight,
+        |    round(CAST(logratio AS DOUBLE) / 0.5 + (- ln(- ln(
+        |      (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |         AS BIGINT) + 0.5) / 281474976710656.0))), 6) AS gumbel_key
+        |  FROM scored),
+        |rk AS (
+        |  SELECT doc_id, weight, gumbel_key,
+        |    row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC) AS rn
+        |  FROM keyed)
+        |SELECT doc_id, weight, gumbel_key FROM rk WHERE rn <= 100""".stripMargin),
+
+    "q_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 20 THEN text || ' reach user'
+        |      || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST(doc_id % 100 AS VARCHAR) || ' now'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+        |    AS text_scrubbed
+        |FROM planted""".stripMargin
   )
+
+  /** Shared DSIR scoring CTE chain (ends in `scored(doc_id, n_tokens,
+    * logratio)`), used by both the weights oracle and the resampling
+    * oracle. */
+  private def dsirScoredCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tt AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |        FROM documents WHERE lang = 'en')
+      |  GROUP BY token),
+      |tr AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+      |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM tt),
+      |sr AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM tr),
+      |scored AS MATERIALIZED (
+      |  SELECT t.doc_id,
+      |    count(*) AS n_tokens,
+      |    round(CAST(sum(CAST(round(
+      |        ln(coalesce(CAST(tt.cnt AS DOUBLE), 0.5) / st.tot)
+      |          - ln(coalesce(CAST(tr.cnt AS DOUBLE), 0.5) / sr.tot),
+      |        12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS logratio
+      |  FROM tok t LEFT JOIN tt USING (token) LEFT JOIN tr USING (token), st, sr
+      |  GROUP BY t.doc_id)""".stripMargin
 }

@@ -99,4 +99,34 @@ class CurationSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cpDir))
     }
   }
+
+  test("regexRedact: counts per original text, ordered scrub, no-match " +
+    "rows unchanged, replacements not re-matched") {
+    import org.apache.spark.sql.functions.col
+    val rules = Seq(
+      ("email", "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}", "[EMAIL]"),
+      ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+    val docs = Seq(
+      (1L, "mail a.b@x.org and c@y.co from 10.0.0.1 and 192.168.1.255"),
+      (2L, "no pii here at all"),
+      (3L, "edge 999.999.999.999 still matches the class pattern"),
+      (4L, "a@b.com a@b.com")).toDF("doc_id", "text")
+    val got = graft.functions.Text.regexRedact(docs, "doc_id", "text", rules)
+      .orderBy(col("doc_id")).collect()
+    assert(got(0).getLong(1) == 2 && got(0).getLong(2) == 2)
+    assert(got(0).getString(3) ==
+      "mail [EMAIL] and [EMAIL] from [IP] and [IP]")
+    assert(got(1).getLong(1) == 0 && got(1).getLong(2) == 0)
+    assert(got(1).getString(3) == "no pii here at all")
+    assert(got(2).getLong(2) == 1, "class pattern is syntactic, not semantic")
+    assert(got(3).getLong(1) == 2)
+    assert(got(3).getString(3) == "[EMAIL] [EMAIL]")
+    intercept[IllegalArgumentException] {
+      graft.functions.Text.regexRedact(docs, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Text.regexRedact(docs, "doc_id", "text",
+        Seq(("a", "x", "y"), ("a", "z", "w")))
+    }
+  }
 }

@@ -135,4 +135,37 @@ class QualityMixSpec extends AnyFunSuite {
       .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(again == got)
   }
+
+  test("gumbelTopK: sequential reference exact, partitioning-independent, " +
+    "weight-monotone in expectation") {
+    val rows = (0L until 500L).map(i => (i, (i % 50).toDouble / 10.0))
+    val df = rows.toDF("id", "w")
+    val got = Mixing.gumbelTopK(df, "id", "w", k = 40, temperature = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+
+    // sequential mirror of the exact chain
+    def key(id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+      val g = -math.log(-math.log(u))
+      BigDecimal(w / 0.5 + g).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val want = rows.map { case (i, w) => (i, w, key(i, w)) }
+      .sortBy { case (i, _, k2) => (-k2, i) }.take(40)
+    assert(got.sortBy(t => (-t._3, t._1)).toSeq == want)
+
+    // partitioning independence
+    val again = Mixing.gumbelTopK(df.repartition(17), "id", "w", 40, 0.5)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == got.map(_._1).toSet)
+
+    // higher weights should dominate the sample: mean sampled weight well
+    // above the population mean (Gumbel noise perturbs, weight/T drives)
+    val meanSampled = got.map(_._2).sum / got.length
+    val meanAll = rows.map(_._2).sum / rows.length
+    assert(meanSampled > meanAll + 0.5, s"$meanSampled vs $meanAll")
+  }
 }
