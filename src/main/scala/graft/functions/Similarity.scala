@@ -161,6 +161,67 @@ object Similarity {
       .select(col("__v").as("id_a"), col("__n").as("id_b"), col("cosine"))
   }
 
+  /** Contrastive hard-pair mining (Schroff et al. 2015 FaceNet §3.2;
+    * Robinson et al. 2021 hard negatives): per anchor, the HARDEST
+    * NEGATIVE (highest-cosine row with a DIFFERENT label — the
+    * most-confusable impostor) and the HARDEST POSITIVE (lowest-cosine
+    * row with the SAME label — the most-spread true match) among its
+    * block. The pair-mining pass behind training embedding models with
+    * triplet/InfoNCE losses on corpus-scale data.
+    *
+    * Blocking contract identical to [[knnWithinGroups]]: candidate pairs
+    * come from `blockCol` blocks (an LSH bucket / coarse-quantizer list /
+    * shard key), so pair volume is Σ block², never corpus² — the
+    * `maxBlockSize` guard refuses quadratic blocks loudly. Cosines use
+    * the same int8-exact integer arithmetic (every term < 2^53), so both
+    * extremes are engine-independent; ties break deterministically
+    * (negatives: higher id; positives: lower id) via lexicographic
+    * struct extremes — ONE aggregate pass over the pair stream, no
+    * window, no rank re-execution. Anchors whose block lacks a same- or
+    * different-label row are dropped (no pair to mine). Returns
+    * (idCol, labelCol, neg_id, neg_cos, pos_id, pos_cos). */
+  def hardPairs(df: DataFrame, blockCol: String, labelCol: String,
+                embCol: String, idCol: String,
+                maxBlockSize: Int = 20000, outScale: Int = 6): DataFrame = {
+    val s = array_max(transform(col(embCol), x => abs(x.cast("double"))))
+    val codes = df.select(col(blockCol).as("__blk"), col(labelCol).as("__lab"),
+      col(idCol).as("__id"),
+      transform(col(embCol), x =>
+        when(s > 0, floor(x.cast("double") / s * 127 + 0.5))
+          .otherwise(lit(0.0))).as("__codes"))
+      .withColumn("__n2", dot(col("__codes"), col("__codes")))
+    val largest = codes.groupBy(col("__blk")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    require(largest <= maxBlockSize,
+      s"hardPairs: largest block holds $largest vectors (> " +
+        s"maxBlockSize=$maxBlockSize) — the within-block join is quadratic " +
+        "in that block. Use a finer blocking key or raise maxBlockSize " +
+        "explicitly.")
+    val a = codes.select(col("__blk"), col("__id").as("__ida"),
+      col("__lab").as("__laba"), col("__codes").as("__ca"),
+      col("__n2").as("__n2a"))
+    val b = codes.select(col("__blk"), col("__id").as("__idb"),
+      col("__lab").as("__labb"), col("__codes").as("__cb"),
+      col("__n2").as("__n2b"))
+    val den = sqrt(col("__n2a")) * sqrt(col("__n2b"))
+    val cos = when(den > 0,
+      round(dot(col("__ca"), col("__cb")) / den, outScale)).otherwise(lit(0.0))
+    a.join(b, Seq("__blk"))
+      .filter(col("__ida") =!= col("__idb"))
+      .select(col("__ida"), col("__laba"), col("__labb"), col("__idb"),
+        cos.as("__cos"))
+      .groupBy(col("__ida"), col("__laba"))
+      .agg(
+        max(when(col("__laba") =!= col("__labb"),
+          struct(col("__cos"), col("__idb")))).as("__neg"),
+        min(when(col("__laba") === col("__labb"),
+          struct(col("__cos"), col("__idb")))).as("__pos"))
+      .filter(col("__neg").isNotNull && col("__pos").isNotNull)
+      .select(col("__ida").as(idCol), col("__laba").as(labelCol),
+        col("__neg.__idb").as("neg_id"), col("__neg.__cos").as("neg_cos"),
+        col("__pos.__idb").as("pos_id"), col("__pos.__cos").as("pos_cos"))
+  }
+
   /** Engine-exact cosine scores against a literal query vector: per-element
     * double products (IEEE-exact everywhere) are rounded to `prodScale`
     * decimals and summed as DECIMAL — order-independent, so the dot product

@@ -85,6 +85,18 @@ object ModelQueries {
       Similarity.mutualNearestNeighbors(star(s, dir, "embeddings").df,
         groupCol = "label", embCol = "embedding", idCol = "vec_id")),
 
+    // Contrastive hard-pair mining: per anchor, the most-confusable
+    // different-label vector (hardest negative) and most-spread
+    // same-label vector (hardest positive) within its hash block — the
+    // triplet/InfoNCE pair-construction pass. Int8-exact cosines +
+    // lexicographic struct extremes make both picks engine-independent;
+    // the oracle is the quadratic within-block mirror.
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardPairs(star(s, dir, "embeddings").df
+          .withColumn("blk", pmod(col("vec_id"), lit(16L))),
+        blockCol = "blk", labelCol = "label", embCol = "embedding",
+        idCol = "vec_id")),
+
     // Per-label embedding outliers: top-3 vectors farthest from their
     // label's centroid — the mislabeled-candidate / cluster-purity
     // detector. The trick making this hash-checkable on REAL vectors:
@@ -537,6 +549,44 @@ object ModelQueries {
         |  FROM scored)
         |SELECT ida AS vec_id, idb AS neighbor_id, cosine, rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, label, vec_id % 16 AS blk,
+        |    list_transform(embedding, x -> CASE WHEN s > 0
+        |      THEN floor(CAST(x AS DOUBLE) / s * 127 + 0.5)
+        |      ELSE 0.0 END) AS codes
+        |  FROM base),
+        |withn AS MATERIALIZED (
+        |  SELECT vec_id, label, blk, codes,
+        |    list_dot_product(codes, codes) AS n2
+        |  FROM codes),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS ida, a.label AS laba, b.label AS labb,
+        |    b.vec_id AS idb,
+        |    CASE WHEN sqrt(a.n2) * sqrt(b.n2) > 0
+        |      THEN round(list_dot_product(a.codes, b.codes) /
+        |        (sqrt(a.n2) * sqrt(b.n2)), 6)
+        |      ELSE 0.0 END AS cos
+        |  FROM withn a JOIN withn b
+        |    ON a.blk = b.blk AND a.vec_id <> b.vec_id),
+        |neg AS (
+        |  SELECT ida, laba, idb, cos, row_number() OVER (PARTITION BY ida
+        |    ORDER BY cos DESC, idb DESC) AS rn
+        |  FROM pairs WHERE laba <> labb),
+        |pos AS (
+        |  SELECT ida, idb, cos, row_number() OVER (PARTITION BY ida
+        |    ORDER BY cos ASC, idb ASC) AS rn
+        |  FROM pairs WHERE laba = labb)
+        |SELECT n.ida AS vec_id, n.laba AS label, n.idb AS neg_id,
+        |  n.cos AS neg_cos, p.idb AS pos_id, p.cos AS pos_cos
+        |FROM (SELECT * FROM neg WHERE rn = 1) n
+        |JOIN (SELECT * FROM pos WHERE rn = 1) p ON n.ida = p.ida""".stripMargin,
 
     "q_mutual_nn" ->
       """WITH base AS (

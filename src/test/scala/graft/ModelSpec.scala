@@ -242,6 +242,55 @@ class ModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((0L, 1L), (3L, 4L)))
   }
 
+  test("hardPairs mines the brute-force hardest negative and positive, " +
+    "drops anchors without both, partitioning-independent") {
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 60L).map { i =>
+      (i, i % 3, (i % 2).toString, Array.fill(8)(rng.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("vec_id", "blk", "lab", "embedding").repartition(5)
+    val got = Similarity.hardPairs(df, "blk", "lab", "embedding", "vec_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toMap
+
+    def quant(v: Array[Float]): Array[Double] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => if (s > 0) math.floor(x.toDouble / s * 127 + 0.5) else 0.0)
+    }
+    val codes = rows.map { case (id, b, l, v) => (id, b, l, quant(v)) }
+    def cosOf(c: Array[Double], o: Array[Double]): Double = {
+      val den = math.sqrt(c.map(x => x * x).sum) *
+        math.sqrt(o.map(x => x * x).sum)
+      if (den > 0)
+        BigDecimal(c.zip(o).map { case (x, y) => x * y }.sum / den)
+          .setScale(6, RoundingMode.HALF_UP).toDouble
+      else 0.0
+    }
+    val want = codes.flatMap { case (id, b, l, c) =>
+      val others = codes.filter(o => o._2 == b && o._1 != id)
+      val negs = others.filter(_._3 != l)
+        .map(o => (cosOf(c, o._4), o._1)).sorted.reverse // max cos, max id
+      val poss = others.filter(_._3 == l)
+        .map(o => (cosOf(c, o._4), o._1)).sorted // min cos, min id
+      if (negs.isEmpty || poss.isEmpty) None
+      else Some(id -> (negs.head._2, negs.head._1, poss.head._2, poss.head._1))
+    }.toMap
+    assert(got == want)
+
+    val again = Similarity.hardPairs(
+      rows.toDF("vec_id", "blk", "lab", "embedding").repartition(13),
+      "blk", "lab", "embedding", "vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == got.keySet)
+
+    // single-label population: every anchor lacks a negative -> empty
+    val mono = rows.map { case (id, b, _, v) => (id, b, "same", v) }
+      .toDF("vec_id", "blk", "lab", "embedding")
+    assert(Similarity.hardPairs(mono, "blk", "lab", "embedding",
+      "vec_id").count() == 0)
+  }
+
   test("knnWithinGroups refuses oversized blocks loudly") {
     val df = (0L until 30L).map(i => (i, "one", Array.fill(4)(1.0f)))
       .toDF("vec_id", "grp", "embedding")
