@@ -117,7 +117,10 @@ object SetSimilarityJoin {
       .withColumn("overlap", overlap)
       .withColumn("jac", col("overlap").cast("double") / union)
       .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("overlap"), col("jac"))
+      // long overlap: size() is int32, but every other count column in the
+      // oracle contract is BIGINT — keep the hashed representation uniform
+      .select(col("id_a"), col("id_b"),
+        col("overlap").cast("long").as("overlap"), col("jac"))
     Dedup.materializeAndFree(result, docs, pref)
   }
 
