@@ -32,7 +32,7 @@ class SetSimilarityJoinSpec extends AnyFunSuite {
     for (t <- Seq(0.5, 0.7, 0.9)) {
       val got = SetSimilarityJoin.jaccardPairs(
           rows.toDF("id", "toks").repartition(7), "id", "toks", t)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
       assert(got == brute(rows, t),
         s"t=$t missing=${brute(rows, t) -- got} extra=${got -- brute(rows, t)}")
     }
@@ -106,7 +106,7 @@ class SetSimilarityJoinSpec extends AnyFunSuite {
     }
     def run(parts: Int) = SetSimilarityJoin.jaccardPairs(
         rows.toDF("id", "toks").repartition(parts), "id", "toks", 0.6)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt, r.getDouble(3)))
       .toSet
     assert(run(2) == run(13))
   }
