@@ -322,4 +322,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("embedding"),
       s"probe reads float vectors instead of codes:\n$readSchema")
   }
+
+  test("PII scrub is a shuffle-free scan + project") {
+    val plan = graft.queries.PipelineQueries.queries("q_pii_scrub")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"redaction must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"redaction must not join:\n$plan")
+  }
+
+  test("Gumbel resampling ends in TakeOrdered, not a global sort") {
+    val plan = graft.queries.PipelineQueries.queries("q_dsir_resample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not TakeOrdered:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort shuffle in the top-k path:\n$plan")
+  }
+
+  test("hard-pair mining joins on the block key and aggregates in one pass") {
+    val plan = graft.queries.ModelQueries.queries("q_hard_negatives")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__blk"), s"self-join not keyed on the block:\n$plan")
+    assert(!plan.contains("Window"), s"extremes must be aggregates, not windows:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      s"no map-side combine on the pair stream:\n$plan")
+  }
 }
