@@ -99,6 +99,64 @@ object Decontamination {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** SPAN-LEVEL decontamination surgery: instead of dropping every
+    * contaminated document ([[decontaminate]] — which at a 13-gram match
+    * rate of a few percent throws away whole documents for one quoted
+    * sentence), cut ONLY the tokens covered by some benchmark-matching
+    * n-gram window and reassemble the rest in order. The "minimal
+    * removal" variant of benchmark decontamination: training mass is
+    * preserved, the verbatim leak is not.
+    *
+    * Mechanics (all exact integer/string ops — engine-mirrorable):
+    * positional corpus windows (start = 0-based token index) join the
+    * distinct benchmark gram hashes gram-keyed; each matched start
+    * covers token positions [start, start+n); kept = token positions
+    * anti-joined against the covered set; the document is rebuilt by
+    * sorting kept (position, token) pairs per doc. Documents shorter
+    * than `n` tokens form ONE whole-doc window (the [[ngramHashes]]
+    * short-doc rule), so a fully-quoted short doc scrubs to empty.
+    *
+    * Scale shape: both joins are keyed (gram hash; then (id, position))
+    * — never broadcast (a benchmark's gram table can be huge), never
+    * quadratic; the covered set is contamination-volume × n, not
+    * corpus-sized; reassembly is one per-doc aggregate, the
+    * dedupCdcChunks pattern. Returns (idCol, n_tokens, n_removed,
+    * text_clean) for EVERY corpus document (clean docs pass through with
+    * n_removed = 0). */
+  def scrubContaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchGrams = benchmark
+      .select(explode(ngramHashes(col(textCol), n)).as("g"))
+      .distinct()
+    val posGrams = corpus
+      .select(col(idCol), posexplode(ngramHashes(col(textCol), n))
+        .as(Seq("start", "g")))
+    val starts = posGrams.join(benchGrams, "g")
+      .select(col(idCol), col("start"))
+    val covered = starts
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("p"))
+      .distinct()
+    val toks = corpus
+      .select(col(idCol), posexplode(Text.tokens(col(textCol)))
+        .as(Seq("p", "tok")))
+    val rebuilt = toks.join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("__clean"))
+    corpus
+      .select(col(idCol),
+        size(Text.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("text_clean"))
+  }
+
   /** Intra-document repetition: 1 − distinct/total tokens (0 for empty
     * docs) — high values mark degenerate "aaaa…" spam. */
   def dupTokenRatio(text: Column): Column = {

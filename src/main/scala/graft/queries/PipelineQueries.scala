@@ -441,6 +441,18 @@ object PipelineQueries {
         "doc_id", "text", n = 4, expectedGrams = 100000L)
     }),
 
+    // Span-level decontamination surgery: cut ONLY the benchmark-matching
+    // 4-gram windows out of each training doc and reassemble the rest —
+    // minimal removal instead of whole-doc drops. Every corpus doc comes
+    // back with before/removed counts and the rebuilt text, all exact
+    // string/integer ops the oracle mirrors with positional list slicing.
+    "q_decontaminate_scrub" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      Decontamination.scrubContaminatedSpans(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 4)
+    }),
+
     // Deterministic content-hash train/validation/test split (90/5/5):
     // a pure function of doc_id, identical across engines and runs.
     "q_doc_split" -> ((s, dir) =>
@@ -2048,6 +2060,40 @@ object PipelineQueries {
         |SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id >= 10 GROUP BY g.doc_id""".stripMargin,
+
+    "q_decontaminate_scrub" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |              FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+3], ' ') AS g
+        |  FROM docs, unnest(range(1, greatest(len(toks) - 4, 0) + 2)) AS t(i)
+        |  WHERE doc_id < 10),
+        |cpos AS (
+        |  SELECT doc_id, i - 1 AS start, array_to_string(toks[i:i+3], ' ') AS g
+        |  FROM docs, unnest(range(1, greatest(len(toks) - 4, 0) + 2)) AS t(i)
+        |  WHERE doc_id >= 10),
+        |starts AS (
+        |  SELECT DISTINCT c.doc_id, c.start FROM cpos c JOIN bench b ON c.g = b.g),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, start + o AS p
+        |  FROM starts, unnest(range(4)) AS t(o)),
+        |tpos AS (
+        |  SELECT doc_id, i - 1 AS p, toks[i] AS tok
+        |  FROM docs, unnest(range(1, len(toks) + 1)) AS t(i)
+        |  WHERE doc_id >= 10),
+        |kept AS (
+        |  SELECT t.doc_id, t.p, t.tok FROM tpos t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_n,
+        |    string_agg(tok, ' ' ORDER BY p) AS clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.toks) - coalesce(a.kept_n, 0) AS BIGINT) AS n_removed,
+        |  coalesce(a.clean, '') AS text_clean
+        |FROM docs d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id >= 10""".stripMargin,
 
     "q_top_docs_per_lang" ->
       """SELECT lang, doc_id, score FROM (

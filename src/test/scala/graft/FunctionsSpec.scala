@@ -216,6 +216,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(clean == Set(2L))
   }
 
+  test("scrubContaminatedSpans cuts exactly the matched windows, passes " +
+    "clean docs through, scrubs fully-quoted short docs to empty") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "tiny doc")).toDF("doc_id", "text") // 2 tokens < n=4: whole-doc window
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox appears here"),
+      (2L, "completely unrelated content about databases and shuffles"),
+      (3L, "prefix the quick brown fox jumps over suffix words"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val got = Decontamination.scrubContaminatedSpans(corpus, bench,
+        "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1: one matched window "the quick brown fox" at positions 3-6
+    assert(got(1L) == (9L, 4L, "intro text then appears here"))
+    // doc 2: clean — untouched
+    assert(got(2L) ==
+      (7L, 0L, "completely unrelated content about databases and shuffles"))
+    // doc 3: windows starting at 1,2,3 all match (the 6-token quoted run
+    // "the quick brown fox jumps over" = 3 overlapping benchmark windows)
+    // covering positions 1..6 -> prefix + the last two tokens survive
+    assert(got(3L) == (9L, 6L, "prefix suffix words"))
+    // doc 4: the whole 2-token doc IS a benchmark short-window — empty
+    assert(got(4L) == (2L, 2L, ""))
+
+    // partitioning independence
+    val again = Decontamination.scrubContaminatedSpans(
+        corpus.repartition(7), bench.repartition(3), "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again == got.map { case (k, v) => k -> v._3 })
+  }
+
   test("bloom-prefiltered decontamination is bit-identical to the exact path") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = (1L to 200L).map { i =>
