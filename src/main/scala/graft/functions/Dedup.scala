@@ -525,6 +525,106 @@ object Dedup {
     materializeAndFree(result, sigN, sigR)
   }
 
+  /** Persist a REUSABLE MinHash-LSH index of `df` at `path` — the
+    * operational form of [[minhashCandidatesAgainst]]: a 100 TB corpus is
+    * shingled and signed ONCE, and every daily batch thereafter probes
+    * the stored index instead of re-reading the corpus. Layout:
+    *
+    *   <path>/sigs/    (id, sig)             — one row per document
+    *   <path>/bands/   (band, bucket, sig)   — DISTINCT signatures only
+    *                   (boilerplate skew control), hive-partitioned by
+    *                   band and bucket-sorted within files
+    *   <path>/_params.json                   — lsh parameters
+    *
+    * The params file makes a mismatched probe REFUSE loudly instead of
+    * silently returning near-zero recall (a different seed/shingle size
+    * produces disjoint signatures). Index size ≈ (bands+1) · 8·numHashes
+    * bytes per doc — ~0.5% of corpus size at the defaults. */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        path: String, shingleSize: Int = 3,
+                        numHashes: Int = 64, bands: Int = 16,
+                        seed: Int = 42): Unit = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      graft.functions.expressions.MinHashExpression
+        .minhashTokens(Text.tokens(col(textCol)), shingleSize, numHashes,
+          seed.toLong).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.write.mode("overwrite").parquet(s"$path/sigs")
+    sig.select(col("sig")).distinct()
+      .select(col("sig"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+      .repartition(col("band"))
+      .sortWithinPartitions(col("bucket"))
+      .write.partitionBy("band").mode("overwrite").parquet(s"$path/bands")
+    sig.unpersist(blocking = true)
+    val p = new org.apache.hadoop.fs.Path(path, "_params.json")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(
+      s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"bands":$bands,"seed":$seed}"""
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Near-dup candidates of a NEW batch against a [[writeMinhashIndex]]
+    * index: the batch is signed with the INDEX's stored parameters
+    * (mismatch is impossible by construction), batch signatures band-join
+    * the stored distinct-signature band table, and only candidate
+    * signature pairs expand to (idNew, idRef, jaccard_est). The corpus
+    * itself is never read — index probes cost batch-side work plus a
+    * band-keyed join against the (distinct-signature × bands) table.
+    * EAGER; the caller owns one unpersist(). */
+  def minhashCandidatesAgainstIndex(newDf: DataFrame, path: String,
+                                    idCol: String, textCol: String): DataFrame = {
+    val spark = newDf.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, "_params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"minhashCandidatesAgainstIndex: no _params.json under $path — not a " +
+        "writeMinhashIndex layout")
+    val txt = {
+      val in = fs.open(p)
+      val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close(); s
+    }
+    def param(name: String): Int =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"minhashCandidatesAgainstIndex: _params.json lacks $name"))
+        .group(1).toInt
+    val (shingleSize, numHashes, bands, seed) =
+      (param("shingleSize"), param("numHashes"), param("bands"), param("seed"))
+    val rowsPerBand = numHashes / bands
+    val sigN = newDf.select(col(idCol).as("id"),
+      graft.functions.expressions.MinHashExpression
+        .minhashTokens(Text.tokens(col(textCol)), shingleSize, numHashes,
+          seed.toLong).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedN = sigN.select(col("sig")).distinct()
+      .select(col("sig").as("sigN"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    val bandedR = spark.read.parquet(s"$path/bands")
+      .select(col("band"), col("bucket"), col("sig").as("sigR"))
+    val sigPairs = bandedN.join(bandedR, Seq("band", "bucket"))
+      .select(col("sigN"), col("sigR"))
+      .distinct()
+      .withColumn("jaccard_est",
+        graft.functions.expressions.MinHashExpression
+          .signatureAgreement(col("sigN"), col("sigR"))
+          .cast("double") / lit(numHashes))
+    val in2 = sigN.select(col("id").as("idNew"), col("sig").as("sigN"))
+    val ir = spark.read.parquet(s"$path/sigs")
+      .select(col("id").as("idRef"), col("sig").as("sigR"))
+    val result = sigPairs.join(in2, "sigN").join(ir, "sigR")
+      .select(col("idNew"), col("idRef"), col("jaccard_est"))
+    materializeAndFree(result, sigN)
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme): the
     * distinct selected k-gram hashes of each document — ~2/(window+1) of
     * all gram hashes, with the guarantee that any cross-document substring

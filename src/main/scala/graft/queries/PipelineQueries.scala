@@ -925,6 +925,28 @@ object PipelineQueries {
         .select(col("idNew"), col("idRef"))
     }),
 
+    // Incremental dedup against a PERSISTED MinHash index: the reference
+    // corpus is signed and banded once on disk (writeMinhashIndex,
+    // memoized); the daily batch probes the stored band table — the
+    // corpus itself is never re-read. Same planted construction and
+    // text-verified output as q_dedup_incremental, so a stale index, a
+    // params mismatch, or a broken band probe breaks the hash.
+    "q_dedup_index" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df.select(col("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") >= 10)
+      val newBatch = docs.filter(col("doc_id") < 10).unionByName(
+        docs.filter(col("doc_id").between(10, 14))
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val cands = Dedup.minhashCandidatesAgainstIndex(newBatch,
+        minhashIndexFor(s, dir), "doc_id", "text")
+        .filter(col("jaccard_est") === 1.0)
+      cands
+        .join(newBatch.select(col("doc_id").as("idNew"), col("text").as("__tn")), "idNew")
+        .join(ref.select(col("doc_id").as("idRef"), col("text").as("__tr")), "idRef")
+        .filter(col("__tn") === col("__tr"))
+        .select(col("idNew"), col("idRef"))
+    }),
+
     // Winnowing fingerprint dedup (MOSS scheme) with PLANTED exact copies:
     // identical documents have identical fingerprint sets, so every planted
     // pair (and natural exact duplicate) is guaranteed to pair; the output
@@ -1287,6 +1309,23 @@ object PipelineQueries {
         transform(col("embedding"), (x, i) =>
           when(i === 0, x + col("copy").cast(FloatType) * lit(0.001f))
             .otherwise(x)).as("embedding"))
+
+  /** Build-once-per-dataset MinHash-LSH index over the reference corpus
+    * (docs >= 10), memoized on disk; `_params.json` is written LAST by
+    * writeMinhashIndex, so it doubles as the success marker. */
+  private def minhashIndexFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|mhidx".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_$key"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_params.json")))
+      Dedup.writeMinhashIndex(
+        star(s, dir, "documents").df.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", path, shingleSize = 2, numHashes = 32, bands = 8)
+    path
+  }
 
   /** Build-once-per-dataset trained IVF index over the planted clusters
     * (memoized like the LSH index; `_SUCCESS` gates the rebuild). */
@@ -1957,6 +1996,18 @@ object PipelineQueries {
         |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
+      """WITH newd AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  WHERE doc_id BETWEEN 10 AND 14),
+        |refd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10)
+        |SELECT CAST(n.doc_id AS BIGINT) AS idNew, CAST(r.doc_id AS BIGINT) AS idRef
+        |FROM newd n JOIN refd r ON n.text = r.text""".stripMargin,
+
+    // identical enumeration: the index path must give the same verified
+    // pairs as the direct bipartite join
+    "q_dedup_index" ->
       """WITH newd AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 10
         |  UNION ALL

@@ -221,4 +221,40 @@ class DedupGraphSpec extends AnyFunSuite {
     // bipartite: no new-new or ref-ref pairs by construction
     assert(out.forall { case (n, r) => n < 100 && r >= 100 })
   }
+
+  test("persisted minhash index probes bit-identically to the direct " +
+    "bipartite join; non-index paths refuse") {
+    val base = "spark catalyst tungsten shuffle partition broadcast join agg filter scan"
+    val ref = Seq(
+      (100L, base),
+      (101L, "reference doc about cooking pasta tomatoes basil herbs and olive oil"),
+      (102L, "sailing boats wind sea waves harbor anchor deck sail mast")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, "entirely new content about mountain hiking trails and snow")
+    ).toDF("doc_id", "text")
+    val direct = Dedup.minhashCandidatesAgainst(newBatch, ref, "doc_id",
+        "text", shingleSize = 2, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    Dedup.writeMinhashIndex(ref, "doc_id", "text", path,
+      shingleSize = 2, numHashes = 64, bands = 16)
+    val probed = Dedup.minhashCandidatesAgainstIndex(newBatch, path,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed == direct, s"index path diverged: $probed vs $direct")
+    // index layout on disk: sigs + band-partitioned bands + params marker
+    assert(new java.io.File(s"$path/sigs").isDirectory)
+    assert(new java.io.File(s"$path/bands").listFiles
+      .exists(_.getName.startsWith("band=")))
+    // probing something that is not an index refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatesAgainstIndex(newBatch,
+        s"$path/sigs", "doc_id", "text")
+    }
+    assert(e.getMessage.contains("_params.json"))
+  }
 }
