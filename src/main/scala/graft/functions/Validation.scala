@@ -186,4 +186,69 @@ object Validation {
         col("min_value"), col("max_value"), col("top_value"),
         coalesce(col("top_count"), lit(0L)).as("top_count"))
   }
+
+  /** Cumulative Poisson(1) thresholds for the inverse-CDF bootstrap
+    * weight: w = #{k : threshold_k ≤ u}, capped at 6 events (P > 6 is
+    * 8×10⁻⁵ — the truncation bias is far below bootstrap noise). Decimal
+    * literals parse to identical doubles in every engine. */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /** Deterministic Poisson-bootstrap confidence interval for the mean of
+    * `valueCol` (Chamandy et al. 2012, "Estimating Uncertainty for
+    * Massive Data Streams" — the bootstrap that works in one distributed
+    * pass: each (row, resample) draws an independent Poisson(1) weight
+    * instead of multinomial resampling, which would need global
+    * coordination). The weight is a PURE FUNCTION of (id, resample) —
+    * u = (md5₄₈(id:b)+0.5)/2⁴⁸ through the inverse CDF — so the interval
+    * is reproducible across runs, partitioning, and engines; values are
+    * rounded to 6 decimals and DECIMAL-summed per resample (the
+    * determinism scheme), making every resample mean exact.
+    *
+    * Scale shape: the corpus × `resamples` expansion collapses in
+    * map-side partial aggregation — the shuffle carries `resamples` ×
+    * partitions partial rows, never data; the percentile window runs
+    * over `resamples` rows only. Returns ONE row: (n_rows, resamples,
+    * mean, ci_lo, ci_hi) with nearest-rank percentiles. */
+  def bootstrapCI(df: DataFrame, idCol: String, value: Column,
+                  resamples: Int = 100, loPct: Int = 5, hiPct: Int = 95,
+                  outScale: Int = 6): DataFrame = {
+    require(resamples > 1, s"resamples must be > 1, got $resamples")
+    require(loPct >= 1 && hiPct <= 100 && loPct < hiPct,
+      s"need 1 <= loPct < hiPct <= 100, got $loPct/$hiPct")
+    val dec = round(value.cast("double"), 6).cast("decimal(28,6)")
+    val base = df.select(col(idCol).as("__id"), dec.as("__x"))
+    val expanded = base
+      .select(col("__id"), col("__x"),
+        explode(sequence(lit(0), lit(resamples - 1))).as("__b"))
+    val u = (conv(substring(md5(
+        concat(col("__id").cast("string"), lit(":"), col("__b"))), 1, 12),
+      16, 10).cast("double") + lit(0.5)) / lit(281474976710656.0)
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size): Column) {
+      case ((c, i), rest) => when(u < lit(c), i).otherwise(rest)
+    }
+    val means = expanded
+      .select(col("__b"), col("__x"), w.cast("decimal(9,0)").as("__w"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__x") * col("__w")).as("__swx"), sum(col("__w")).as("__sw"))
+      .select(col("__b"),
+        round(col("__swx").cast("double") / col("__sw").cast("double"),
+          outScale).as("__m"))
+    val ranked = means.withColumn("__rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__m"), col("__b")))) // resamples rows only
+    def pick(p: Int) = ranked
+      .filter(col("__rn") === lit((p * resamples + 99) / 100))
+      .select(col("__m"))
+    val overall = base.agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("__x")).cast("double") / count(lit(1)), outScale)
+        .as("mean"))
+    overall
+      .crossJoin(broadcast(pick(loPct).select(col("__m").as("ci_lo"))))
+      .crossJoin(broadcast(pick(hiPct).select(col("__m").as("ci_hi"))))
+      .select(col("n_rows"), lit(resamples).cast("long").as("resamples"),
+        col("mean"), col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -1009,6 +1009,15 @@ object AnalyticQueries {
             .as("alarm"))
     }),
 
+    // Deterministic Poisson-bootstrap CI for the mean tokens/doc: every
+    // (doc, resample) weight is a pure md5 function through the inverse
+    // Poisson(1) CDF, resample means are decimal-exact, percentiles
+    // nearest-rank — the whole interval hash-matches the SQL mirror.
+    "q_bootstrap_ci" -> ((s, dir) =>
+      graft.functions.Validation.bootstrapCI(
+        star(s, dir, "documents").df, "doc_id",
+        graft.functions.Text.tokenCount(col("text")), resamples = 100)),
+
     "q_approx_stats" -> ((s, dir) => {
       val li = star(s, dir, "lineitem").df
       // Two passes joined on the 3-row group key: mixing count(DISTINCT)
@@ -2021,6 +2030,42 @@ object AnalyticQueries {
         | AND e.e_ts >= p.ts - INTERVAL 30 MINUTE
         | AND e.e_ts <= p.ts
         |GROUP BY p.user_id""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(round(CAST(len(string_split_regex(trim(text),
+        |    '\s+')) AS DOUBLE), 6) AS DECIMAL(28,6)) AS x
+        |  FROM documents),
+        |e AS (SELECT doc_id, x, unnest(range(100)) AS b FROM d),
+        |uu AS (
+        |  SELECT x, b,
+        |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(b AS VARCHAR)), 1, 12) AS BIGINT) + 0.5)
+        |      / 281474976710656.0 AS u
+        |  FROM e),
+        |w AS (
+        |  SELECT x, b, CAST(CASE
+        |    WHEN u < 0.36787944117144233 THEN 0
+        |    WHEN u < 0.7357588823428847 THEN 1
+        |    WHEN u < 0.9196986029286058 THEN 2
+        |    WHEN u < 0.9810118431238462 THEN 3
+        |    WHEN u < 0.9963401531726563 THEN 4
+        |    WHEN u < 0.9994058151824183 THEN 5
+        |    ELSE 6 END AS DECIMAL(9,0)) AS w
+        |  FROM uu),
+        |m AS (
+        |  SELECT b, round(CAST(sum(x * w) AS DOUBLE) /
+        |    CAST(sum(w) AS DOUBLE), 6) AS m
+        |  FROM w GROUP BY b),
+        |r AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rn FROM m),
+        |o AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean
+        |  FROM d)
+        |SELECT o.n_rows, CAST(100 AS BIGINT) AS resamples, o.mean,
+        |  (SELECT m FROM r WHERE rn = 5) AS ci_lo,
+        |  (SELECT m FROM r WHERE rn = 95) AS ci_hi
+        |FROM o""".stripMargin,
 
     "q_approx_stats" ->
       """SELECT l_returnflag, count(*) AS n,

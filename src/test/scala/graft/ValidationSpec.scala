@@ -116,4 +116,43 @@ class ValidationSpec extends AnyFunSuite {
     assert(row.isNullAt(4) && row.isNullAt(5) && row.isNullAt(6))
     assert(row.getLong(7) == 0L)
   }
+
+  test("bootstrapCI matches the sequential Poisson-bootstrap mirror and " +
+    "is partitioning-independent") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 80L).map(i => (i, (i % 13).toDouble + 1.0))
+    val df = rows.toDF("id", "v")
+    def run(parts: Int) = graft.functions.Validation.bootstrapCI(
+        df.repartition(parts), "id", col("v"), resamples = 20,
+        loPct = 10, hiPct = 90)
+      .collect().head
+    val got = run(3)
+
+    // sequential mirror of the exact chain
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183)
+    def weight(id: Long, b: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+      cdf.count(_ <= u)
+    }
+    val means = (0 until 20).map { b =>
+      val ws = rows.map { case (id, v) => (weight(id, b), v) }
+      val swx = ws.map { case (w, v) => BigDecimal(v).setScale(6) * w }.sum
+      val sw = ws.map(_._1).sum
+      (BigDecimal(swx.toDouble / sw).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, b)
+    }.sorted
+    val (lo, hi) = (means((10 * 20 + 99) / 100 - 1)._1,
+      means((90 * 20 + 99) / 100 - 1)._1)
+    assert(got.getLong(0) == 80L && got.getLong(1) == 20L)
+    assert(got.getDouble(3) == lo, s"ci_lo ${got.getDouble(3)} != $lo")
+    assert(got.getDouble(4) == hi, s"ci_hi ${got.getDouble(4)} != $hi")
+    assert(got.getDouble(3) <= got.getDouble(2) &&
+      got.getDouble(2) <= got.getDouble(4), "CI must bracket the mean here")
+    assert(run(13) == got, "partitioning changed the interval")
+  }
 }
