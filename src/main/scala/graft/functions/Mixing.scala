@@ -265,6 +265,41 @@ object Mixing {
           coalesce(col("__tau"), lit(0.0))), outScale).as("w_hat"))
   }
 
+  /** Deterministic weighted source interleave — the EPOCH SCHEDULE for a
+    * mixed training corpus: produce a single global reading order in
+    * which source `s` appears with frequency ∝ its weight, smoothly
+    * (round-robin-with-weights, not blocks: the w=3 source appears ~3×
+    * between consecutive appearances of a w=1 source). The low-discrepancy
+    * interleave key is the classic  (2p − 1) / (2w)  sequence (p = the
+    * row's 1-based position within its source, ordered by md5(id) — a
+    * deterministic shuffle): merging all sources by that key yields the
+    * schedule. Every step is a pure function of content — reproducible
+    * across runs, partitioning, engines.
+    *
+    * Scale shape: two [[Windowing.globalRowNumber]] passes (range
+    * partition + metadata offsets — no single-partition window anywhere),
+    * one narrow projection between them. The interleave key is ONE IEEE
+    * division compared identically in any engine, ties broken by
+    * (source, id). `weight` must be a strictly-positive integer column
+    * derived from the source (plan-stable). Returns df's columns plus
+    * (src_pos, epoch_pos). EAGER (inherits the rank barriers); caller
+    * owns one unpersist(). */
+  def interleaveSources(df: DataFrame, idCol: String, srcCol: String,
+                        weight: Column): DataFrame = {
+    val withPos = graft.functions.Windowing.globalRowNumber(
+      df.withColumn("__w", weight.cast("long"))
+        .withColumn("__h", md5(col(idCol).cast("string"))),
+      Seq(srcCol), Seq("__h", idCol), outCol = "src_pos")
+    val keyed = withPos
+      .withColumn("__key",
+        (lit(2.0) * col("src_pos") - lit(1.0)) / (lit(2.0) * col("__w")))
+      .withColumn("__g", lit("all"))
+    val out = graft.functions.Windowing.globalRowNumber(keyed,
+        Seq("__g"), Seq("__key", srcCol, idCol), outCol = "epoch_pos")
+      .drop("__w", "__h", "__key", "__g")
+    out
+  }
+
   /** DSIR-style Gumbel top-k importance resampling (Xie et al. 2023,
     * arXiv:2302.03169 §3; Vieira 2014 "Gumbel-max trick"): draw `k`
     * documents WITHOUT replacement with probability ∝ exp(weight /

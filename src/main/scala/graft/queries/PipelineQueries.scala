@@ -441,6 +441,18 @@ object PipelineQueries {
         "doc_id", "text", n = 4, expectedGrams = 100000L)
     }),
 
+    // Deterministic weighted epoch schedule: merge all sources by the
+    // low-discrepancy (2p-1)/(2w) interleave key so each source appears
+    // with frequency ∝ weight, smoothly — every position a pure function
+    // of content, distributed via two global-rank passes (no
+    // single-partition window).
+    "q_source_interleave" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df.select(col("doc_id"), col("source"))
+      graft.functions.Mixing.interleaveSources(docs, "doc_id", "source",
+        length(col("source")) % 3 + 1)
+        .select(col("doc_id"), col("source"), col("src_pos"), col("epoch_pos"))
+    }),
+
     // Span-level decontamination surgery: cut ONLY the benchmark-matching
     // 4-gram windows out of each training doc and reassemble the rest —
     // minimal removal instead of whole-doc drops. Every corpus doc comes
@@ -2004,6 +2016,22 @@ object PipelineQueries {
         |refd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10)
         |SELECT CAST(n.doc_id AS BIGINT) AS idNew, CAST(r.doc_id AS BIGINT) AS idRef
         |FROM newd n JOIN refd r ON n.text = r.text""".stripMargin,
+
+    "q_source_interleave" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, length(source) % 3 + 1 AS w,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, w,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS src_pos
+        |  FROM d)
+        |SELECT doc_id, source, CAST(src_pos AS BIGINT) AS src_pos,
+        |  CAST(row_number() OVER (ORDER BY
+        |    (2.0 * src_pos - 1.0) / (2.0 * w), source, doc_id) AS BIGINT)
+        |    AS epoch_pos
+        |FROM p""".stripMargin,
 
     // identical enumeration: the index path must give the same verified
     // pairs as the direct bipartite join

@@ -136,6 +136,44 @@ class QualityMixSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("interleaveSources: smooth weighted merge matches the sequential " +
+    "low-discrepancy reference; shares track weights") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // sources a (w=1), b (w=2), c (w=3); 60/120/180 rows so every source
+    // runs the full epoch
+    val rows = (0L until 360L).map { i =>
+      val src = if (i < 60) "a" else if (i < 180) "b" else "c"
+      (i, src)
+    }
+    val df = rows.toDF("id", "src")
+    val w = when(col("src") === "a", 1).when(col("src") === "b", 2)
+      .otherwise(3)
+    val got = Mixing.interleaveSources(df.repartition(7), "id", "src", w)
+    val order = got.select("src", "src_pos", "epoch_pos")
+      .orderBy("epoch_pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // sequential mirror
+    def h(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wm = Map("a" -> 1, "b" -> 2, "c" -> 3)
+    val pos = rows.groupBy(_._2).flatMap { case (s, rs) =>
+      rs.sortBy(r => (h(r._1), r._1)).zipWithIndex
+        .map { case ((id, _), p) => (id, s, p + 1L) }
+    }.toSeq
+    val want = pos
+      .sortBy { case (id, s, p) => ((2.0 * p - 1) / (2.0 * wm(s)), s, id) }
+      .zipWithIndex.map { case ((_, s, p), i) => (s, p, i + 1L) }
+    assert(order.toSeq == want)
+
+    // share property: in any prefix, source counts track weights
+    val prefix = order.take(120).map(_._1)
+    val counts = prefix.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("b") - 2 * counts("a")) <= 2, counts.toString)
+    assert(math.abs(counts("c") - 3 * counts("a")) <= 3, counts.toString)
+    got.unpersist(blocking = true)
+  }
+
   test("gumbelTopK: sequential reference exact, partitioning-independent, " +
     "weight-monotone in expectation") {
     val rows = (0L until 500L).map(i => (i, (i % 50).toDouble / 10.0))
