@@ -265,6 +265,36 @@ object Mixing {
           coalesce(col("__tau"), lit(0.0))), outScale).as("w_hat"))
   }
 
+  /** Deterministic distribution matching: subsample each bucket so the
+    * OUTPUT follows the target share ratios EXACTLY, keeping the maximum
+    * total the data allows. With share s_b and bucket size n_b, the
+    * per-unit-share scale is M = min_b ⌊n_b / s_b⌋ and bucket b keeps its
+    * first s_b·M rows in md5 order — so kept counts are exactly
+    * proportional to shares (the length/domain/language histogram
+    * matching step when a corpus must mirror a reference mix). Rows whose
+    * share is ≤ 0 are dropped (not in the target).
+    *
+    * All integer arithmetic; the kept set is a pure function of content.
+    * Scale shape: bucket sizes are one tiny aggregate; M is a broadcast
+    * 1-row frame (never collected); ranking is the distributed
+    * global-rank pass. Returns the kept rows plus (bucket_rank). EAGER
+    * (inherits the rank barrier); caller owns one unpersist(). */
+  def matchDistribution(df: DataFrame, idCol: String, bucketCol: String,
+                        share: Column): DataFrame = {
+    val d = df.withColumn("__s", share.cast("long"))
+      .filter(col("__s") > 0)
+      .withColumn("__h", md5(col(idCol).cast("string")))
+    val m = d.groupBy(col(bucketCol), col("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(min(graft.functions.Windowing.intDivPublic(col("__n"), col("__s")))
+        .as("__m"))
+    val ranked = graft.functions.Windowing.globalRowNumber(d,
+      Seq(bucketCol), Seq("__h", idCol), outCol = "bucket_rank")
+    ranked.crossJoin(broadcast(m))
+      .filter(col("bucket_rank") <= col("__s") * col("__m"))
+      .drop("__s", "__h", "__m")
+  }
+
   /** Deterministic weighted source interleave — the EPOCH SCHEDULE for a
     * mixed training corpus: produce a single global reading order in
     * which source `s` appears with frequency ∝ its weight, smoothly

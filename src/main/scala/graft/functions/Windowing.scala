@@ -189,7 +189,11 @@ object Windowing {
   }
 
   /** Integer division on non-negative longs — exact past 2^53, where
-    * Spark's `/` (double division) starts rounding. */
+    * Spark's `/` (double division) starts rounding. Exposed for sibling
+    * operators ([[Mixing.matchDistribution]]). */
+  private[functions] def intDivPublic(a: Column, b: Column): Column =
+    intDiv(a, b)
+
   private def intDiv(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(

@@ -441,6 +441,16 @@ object PipelineQueries {
         "doc_id", "text", n = 4, expectedGrams = 100000L)
     }),
 
+    // Deterministic distribution matching: subsample per-language buckets
+    // so the kept corpus follows the target share ratio exactly (en:3,
+    // others:1), maximally — exact integer quotas, md5-order survivors.
+    "q_match_distribution" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      graft.functions.Mixing.matchDistribution(docs, "doc_id", "lang",
+        when(col("lang") === "en", 3).otherwise(1))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    }),
+
     // Deterministic weighted epoch schedule: merge all sources by the
     // low-discrepancy (2p-1)/(2w) interleave key so each source appears
     // with frequency ∝ weight, smoothly — every position a pure function
@@ -2016,6 +2026,22 @@ object PipelineQueries {
         |refd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10)
         |SELECT CAST(n.doc_id AS BIGINT) AS idNew, CAST(r.doc_id AS BIGINT) AS idRef
         |FROM newd n JOIN refd r ON n.text = r.text""".stripMargin,
+
+    "q_match_distribution" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' THEN 3 ELSE 1 END AS s,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT lang, s, count(*) AS n FROM d GROUP BY 1, 2),
+        |m AS (SELECT min(n // s) AS m FROM c),
+        |r AS (
+        |  SELECT doc_id, lang, s,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM r, m WHERE rn <= s * m
+        |GROUP BY lang""".stripMargin,
 
     "q_source_interleave" ->
       """WITH d AS (

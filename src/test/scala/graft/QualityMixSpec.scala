@@ -136,6 +136,30 @@ class QualityMixSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("matchDistribution: kept counts exactly proportional to shares, " +
+    "maximal, deterministic; zero-share buckets dropped") {
+    import org.apache.spark.sql.functions.{col, when}
+    // buckets: a=50, b=35, c=90, d=10 rows; target a:2 b:1 c:5, d excluded
+    val rows = (0L until 185L).map { i =>
+      val b = if (i < 50) "a" else if (i < 85) "b" else if (i < 175) "c" else "d"
+      (i, b)
+    }
+    val df = rows.toDF("id", "bkt")
+    val share = when(col("bkt") === "a", 2).when(col("bkt") === "b", 1)
+      .when(col("bkt") === "c", 5).otherwise(0)
+    val kept = Mixing.matchDistribution(df.repartition(7), "id", "bkt", share)
+    val counts = kept.groupBy("bkt").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // M = min(50/2, 35/1, 90/5) = 18 -> quotas a:36 b:18 c:90
+    assert(counts == Map("a" -> 36L, "b" -> 18L, "c" -> 90L), counts.toString)
+    // deterministic survivor SET, independent of partitioning
+    val ids1 = kept.select("id").collect().map(_.getLong(0)).toSet
+    kept.unpersist(blocking = true)
+    val again = Mixing.matchDistribution(df.repartition(13), "id", "bkt", share)
+    assert(again.select("id").collect().map(_.getLong(0)).toSet == ids1)
+    again.unpersist(blocking = true)
+  }
+
   test("interleaveSources: smooth weighted merge matches the sequential " +
     "low-discrepancy reference; shares track weights") {
     import org.apache.spark.sql.functions.{col, lit, when}
