@@ -615,6 +615,39 @@ object Text {
         (size(col("__hits")) > 0).as("flagged"))
   }
 
+  /** Per-group boilerplate TEMPLATE detection: the longest common token
+    * PREFIX of every document in a group (source/domain/crawl-host) — the
+    * shared header a scraper stamps on every page. Exactness trick: the
+    * LCP of a whole set equals the LCP of its lexicographic MIN and MAX
+    * elements, so one (min, max) aggregate per group (arrays are
+    * orderable in both engines) replaces any pairwise comparison — the
+    * group never ships its documents anywhere. The prefix-run length is
+    * one bounded fold over the two arrays. Returns (groupCol, n_docs,
+    * lcp_len, template_prefix). */
+  def templatePrefix(df: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    val agg = df.select(col(groupCol), tokens(col(textCol)).as("__t"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__t")).as("__mn"), max(col("__t")).as("__mx"))
+    val m = least(size(col("__mn")), size(col("__mx")))
+    // guard: Spark's sequence(0, -1) DESCENDS instead of being empty
+    val idx = when(m > 0, sequence(lit(0), m - 1))
+      .otherwise(array().cast("array<int>"))
+    val run = aggregate(idx,
+      struct(lit(true).as("going"), lit(0L).as("len")),
+      (acc, i) => {
+        val going = acc.getField("going") &&
+          element_at(col("__mn"), i + 1) === element_at(col("__mx"), i + 1)
+        struct(going.as("going"),
+          (acc.getField("len") + when(going, 1L).otherwise(0L)).as("len"))
+      })
+    agg.withColumn("lcp_len", run.getField("len"))
+      .select(col(groupCol), col("n_docs"), col("lcp_len"),
+        array_join(slice(col("__mn"), lit(1), col("lcp_len").cast("int")), " ")
+          .as("template_prefix"))
+  }
+
   /** PII / pattern redaction — the scrub step every shared training
     * corpus runs before release: for each named `(name, pattern,
     * replacement)` rule, count matches in the ORIGINAL text and replace

@@ -441,6 +441,19 @@ object PipelineQueries {
         "doc_id", "text", n = 4, expectedGrams = 100000L)
     }),
 
+    // Per-source boilerplate template detection with PLANTED headers:
+    // three sources get a scraper-style stamped prefix; the LCP-of-group
+    // = LCP(min, max) trick must recover exactly those headers (and
+    // length-0 prefixes everywhere else).
+    "q_template_prefix" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      val planted = docs.withColumn("text",
+        when(col("source").isin("src0", "src1", "src2"),
+          concat(lit("hdr "), col("source"), lit(" begin "), col("text")))
+          .otherwise(col("text")))
+      Text.templatePrefix(planted, "source", "text")
+    }),
+
     // Deterministic distribution matching: subsample per-language buckets
     // so the kept corpus follows the target share ratio exactly (en:3,
     // others:1), maximally — exact integer quotas, md5-order survivors.
@@ -2026,6 +2039,29 @@ object PipelineQueries {
         |refd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10)
         |SELECT CAST(n.doc_id AS BIGINT) AS idNew, CAST(r.doc_id AS BIGINT) AS idRef
         |FROM newd n JOIN refd r ON n.text = r.text""".stripMargin,
+
+    "q_template_prefix" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2')
+        |      THEN 'hdr ' || source || ' begin ' || text ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT source, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM planted),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    min(toks) AS mn, max(toks) AS mx
+        |  FROM t GROUP BY source),
+        |l AS (
+        |  SELECT source, n_docs, mn,
+        |    coalesce((SELECT min(i)
+        |              FROM unnest(range(1, least(len(mn), len(mx)) + 1)) AS u(i)
+        |              WHERE mn[i] IS DISTINCT FROM mx[i]),
+        |             least(len(mn), len(mx)) + 1) - 1 AS lcp
+        |  FROM a)
+        |SELECT source, n_docs, CAST(lcp AS BIGINT) AS lcp_len,
+        |  coalesce(array_to_string(mn[1:lcp], ' '), '') AS template_prefix
+        |FROM l""".stripMargin,
 
     "q_match_distribution" ->
       """WITH d AS (

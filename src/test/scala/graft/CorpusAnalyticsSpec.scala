@@ -246,4 +246,33 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     // powers of two: slope must be exactly -ln(2)/mean-ish negative ≈ -1.5
     assert(r.getDouble(1) < -1.0 && r.getDouble(1) > -2.0)
   }
+
+  test("templatePrefix: LCP(min,max) equals the brute-force group LCP on a " +
+    "randomized corpus; planted headers recovered exactly") {
+    val rnd = new scala.util.Random(23)
+    val words = (0 until 12).map(i => s"w$i")
+    val rows = (0L until 120L).flatMap { i =>
+      val g = s"g${i % 4}"
+      val hdr = if (i % 4 <= 1) s"hdr $g begin " else ""
+      val body = (0 until 3 + rnd.nextInt(6))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+      Seq((i, g, hdr + body))
+    } :+ ((999L, "solo", "only one document here"))
+    val df = rows.toDF("id", "grp", "text")
+    val got = graft.functions.Text.templatePrefix(df.repartition(7), "grp", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+    def lcp(a: Seq[String], b: Seq[String]): Seq[String] =
+      a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
+    val want = rows.groupBy(_._2).map { case (g, rs) =>
+      val toks = rs.map(_._3.split("\\s+").toSeq)
+      val p = toks.reduce(lcp)
+      g -> (rs.size.toLong, p.size.toLong, p.mkString(" "))
+    }
+    assert(got == want, s"got=$got\nwant=$want")
+    // planted groups recovered their stamped 3-token headers
+    assert(got("g0")._3.startsWith("hdr g0 begin") || got("g0")._2 >= 3L)
+    // the solo group's template is its whole document
+    assert(got("solo") == (1L, 4L, "only one document here"))
+  }
 }
