@@ -525,6 +525,49 @@ object Dedup {
     materializeAndFree(result, sigN, sigR)
   }
 
+  /** Quality-aware near-dedup: like [[dedupNearDuplicates]], but each
+    * near-dup cluster keeps its BEST member by `scoreCol` (ties to the
+    * smaller id) instead of the minimum id — the production rule when
+    * documents carry a quality signal: survivors should be the cleanest
+    * copy, not the first-crawled one. Same candidate → component
+    * machinery; the winner is one argmax aggregate over cluster members
+    * (max(struct(score, -id)) — no window), and non-winners anti-join
+    * away. Returns the kept rows of `df` unchanged. */
+  def dedupNearDuplicatesBy(df: DataFrame, idCol: String, textCol: String,
+                            scoreCol: String, threshold: Double = 0.8,
+                            shingleSize: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16, seed: Int = 42): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes,
+      bands, seed)
+    val kept = keepBestByComponent(df, idCol, scoreCol,
+      cands.filter(col("jaccard_est") >= threshold)
+        .select(col("idA"), col("idB")))
+    cands.unpersist(blocking = true)
+    kept
+  }
+
+  /** The keep-best core of [[dedupNearDuplicatesBy]], reusable with ANY
+    * duplicate-pair frame (idA, idB) — LSH candidates, text-verified
+    * pairs, fuzzy-join output: cluster the pairs, keep each cluster's
+    * argmax by `scoreCol` (ties to the smaller id; one struct-max
+    * aggregate, no window), anti-join the rest away. Docs in no pair
+    * pass through untouched. */
+  def keepBestByComponent(df: DataFrame, idCol: String, scoreCol: String,
+                          pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val scored = comps.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__sc")), Seq("id"))
+    val winners = scored.groupBy(col("component"))
+      .agg(max(struct(col("__sc"), (-col("id")).as("__nid"))).as("__w"))
+      .select((-col("__w.__nid")).as("id"))
+    val losers = materializeAndFree(
+      comps.join(winners.withColumn("__win", lit(true)), Seq("id"), "left")
+        .filter(col("__win").isNull)
+        .select(col("id").as(idCol)),
+      comps)
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Persist a REUSABLE MinHash-LSH index of `df` at `path` — the
     * operational form of [[minhashCandidatesAgainst]]: a 100 TB corpus is
     * shingled and signed ONCE, and every daily batch thereafter probes

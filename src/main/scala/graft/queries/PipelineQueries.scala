@@ -256,6 +256,28 @@ object PipelineQueries {
             .otherwise("test").as("split"))
     }),
 
+    // Quality-aware near-dedup: each near-dup cluster keeps its BEST
+    // member by a quality score (ties to the smaller id) instead of the
+    // minimum id — survivors are the cleanest copy, not the
+    // first-crawled. Planted copies + text-verified edges make the
+    // clusters engine-independent, so winner selection is hash-checked.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df.select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(planted)
+        .withColumn("quality", col("doc_id") % 7)
+      val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
+          shingleSize = 2, numHashes = 32, bands = 8)
+        .filter(col("jaccard_est") === 1.0)
+        .join(corpus.select(col("doc_id").as("idA"), col("text").as("__ta")), "idA")
+        .join(corpus.select(col("doc_id").as("idB"), col("text").as("__tb")), "idB")
+        .filter(col("__ta") === col("__tb"))
+        .select("idA", "idB")
+      Dedup.keepBestByComponent(corpus, "doc_id", "quality", pairs)
+        .select(col("doc_id"), col("quality"))
+    }),
+
     // Domain/topic tagging by keyword lexicon scoring — the cheap,
     // trainable-classifier-free corpus domain mix signal. Exact integer
     // token-membership counts, arg-max with a fixed priority order on
@@ -2039,6 +2061,23 @@ object PipelineQueries {
         |refd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10)
         |SELECT CAST(n.doc_id AS BIGINT) AS idNew, CAST(r.doc_id AS BIGINT) AS idRef
         |FROM newd n JOIN refd r ON n.text = r.text""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 5),
+        |q AS (SELECT doc_id, text, doc_id % 7 AS quality FROM all_docs),
+        |g AS (
+        |  SELECT doc_id, quality,
+        |    row_number() OVER (PARTITION BY text
+        |      ORDER BY quality DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY text) AS n
+        |  FROM q)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(quality AS BIGINT) AS quality
+        |FROM g WHERE n = 1 OR rn = 1""".stripMargin,
 
     "q_template_prefix" ->
       """WITH planted AS (

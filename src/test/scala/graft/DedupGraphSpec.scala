@@ -222,6 +222,25 @@ class DedupGraphSpec extends AnyFunSuite {
     assert(out.forall { case (n, r) => n < 100 && r >= 100 })
   }
 
+  test("dedupNearDuplicatesBy keeps the highest-quality cluster member, " +
+    "ties to the smaller id, singletons untouched") {
+    val fluent = "the cat sat on the mat and the dog slept near the door"
+    val docs = Seq(
+      (1L, fluent, 2.0),                    // cluster A
+      (2L, fluent + " today", 5.0),         // cluster A — best quality
+      (3L, fluent + " now", 5.0),           // cluster A — tie, larger id
+      (10L, "completely different text about spark shuffles and joins", 0.0),
+      (20L, "sailing boats wind sea waves harbor anchor deck sail", 1.0),
+      (21L, "sailing boats wind sea waves harbor anchor deck sail", 1.0)
+    ).toDF("doc_id", "text", "quality")
+    val kept = graft.functions.Dedup.dedupNearDuplicatesBy(docs, "doc_id",
+        "text", "quality", threshold = 0.5, shingleSize = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster A keeps 2 (quality 5, smaller id than tied 3); exact-dup
+    // cluster keeps 20 (tie on quality -> smaller id); singleton 10 stays
+    assert(kept == Set(2L, 10L, 20L), kept.toString)
+  }
+
   test("persisted minhash index probes bit-identically to the direct " +
     "bipartite join; non-index paths refuse") {
     val base = "spark catalyst tungsten shuffle partition broadcast join agg filter scan"
