@@ -290,9 +290,14 @@ object Mixing {
         .as("__m"))
     val ranked = graft.functions.Windowing.globalRowNumber(d,
       Seq(bucketCol), Seq("__h", idCol), outCol = "bucket_rank")
-    ranked.crossJoin(broadcast(m))
-      .filter(col("bucket_rank") <= col("__s") * col("__m"))
-      .drop("__s", "__h", "__m")
+    // EAGER + barrier-free: unpersisting a PROJECTION over the cached rank
+    // frame is a silent no-op (the cache manager matches plans), so the
+    // result must be materialized and the rank barrier freed here.
+    graft.functions.Dedup.materializeAndFree(
+      ranked.crossJoin(broadcast(m))
+        .filter(col("bucket_rank") <= col("__s") * col("__m"))
+        .drop("__s", "__h", "__m"),
+      ranked)
   }
 
   /** Deterministic weighted source interleave — the EPOCH SCHEDULE for a
@@ -324,10 +329,13 @@ object Mixing {
       .withColumn("__key",
         (lit(2.0) * col("src_pos") - lit(1.0)) / (lit(2.0) * col("__w")))
       .withColumn("__g", lit("all"))
-    val out = graft.functions.Windowing.globalRowNumber(keyed,
-        Seq("__g"), Seq("__key", srcCol, idCol), outCol = "epoch_pos")
-      .drop("__w", "__h", "__key", "__g")
-    out
+    val ranked = graft.functions.Windowing.globalRowNumber(keyed,
+      Seq("__g"), Seq("__key", srcCol, idCol), outCol = "epoch_pos")
+    // EAGER + barrier-free: the returned frame is itself the cached one
+    // (unpersisting a PROJECTION over a cached frame is a cache-manager
+    // no-op), and both internal rank barriers are freed here.
+    graft.functions.Dedup.materializeAndFree(
+      ranked.drop("__w", "__h", "__key", "__g"), ranked, withPos)
   }
 
   /** DSIR-style Gumbel top-k importance resampling (Xie et al. 2023,

@@ -44,9 +44,12 @@ object Windowing {
   def globalRowNumber(df: DataFrame, groupCols: Seq[String],
                       orderCols: Seq[String], outCol: String = "rn",
                       numPartitions: Int = 0): DataFrame =
-    withRankAndCount(df, groupCols, orderCols, numPartitions)
-      .withColumnRenamed("__rn", outCol)
-      .drop("__gn")
+    // the rename/drop happens INSIDE the rank pass so the returned frame
+    // IS the persisted one — an unpersist() on a projection over a cached
+    // frame is a cache-manager no-op (plans must match), and the EAGER
+    // caller-owns-one-unpersist contract would silently leak
+    withRankAndCount(df, groupCols, orderCols, numPartitions,
+      _.withColumnRenamed("__rn", outCol).drop("__gn"))
 
   /** Distributed LAG: `lag_<c>` columns carrying each row's `offset`-back
     * predecessor values under (groupCols, orderCols) — SQL
@@ -111,9 +114,8 @@ object Windowing {
                               orderCols: Seq[String], rnCol: String = "rn",
                               cntCol: String = "gn",
                               numPartitions: Int = 0): DataFrame =
-    withRankAndCount(df, groupCols, orderCols, numPartitions)
-      .withColumnRenamed("__rn", rnCol)
-      .withColumnRenamed("__gn", cntCol)
+    withRankAndCount(df, groupCols, orderCols, numPartitions,
+      _.withColumnRenamed("__rn", rnCol).withColumnRenamed("__gn", cntCol))
 
   /** Per-group ntile(k): bucket 1..k by rank order, first (n mod k)
     * buckets one row larger — exactly SQL NTILE over
@@ -123,7 +125,6 @@ object Windowing {
                   orderCols: Seq[String], k: Int, outCol: String = "bucket",
                   numPartitions: Int = 0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val ranked = withRankAndCount(df, groupCols, orderCols, numPartitions)
     val base = intDiv(col("__gn"), lit(k))
     val rem = col("__gn") % k
     val cut = rem * (base + 1)
@@ -132,7 +133,8 @@ object Windowing {
     // its division by base = 0, is never taken.
     val bucket = when(col("__rn") <= cut, intDiv(col("__rn") - 1, base + 1))
       .otherwise(rem + intDiv(col("__rn") - cut - 1, base))
-    ranked.withColumn(outCol, (bucket + 1).cast("int")).drop("__rn", "__gn")
+    withRankAndCount(df, groupCols, orderCols, numPartitions,
+      _.withColumn(outCol, (bucket + 1).cast("int")).drop("__rn", "__gn"))
   }
 
   /** Exact per-group quantiles by the nearest-rank definition: for each
@@ -147,13 +149,13 @@ object Windowing {
                       numPartitions: Int = 0): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be 1..100, got $pcts")
-    val ranked = withRankAndCount(df, groupCols, orderCols, numPartitions)
     // rank = ceil(p*n/100) = (p*n + 99) div 100, exact in integers
     val pctCol = explode(array(pcts.map(p => lit(p)): _*)).as("pct")
-    ranked.select(col("*"), pctCol)
-      .filter(col("__rn") === intDiv(col("pct") * col("__gn") + 99, lit(100)))
-      .withColumnRenamed("__rn", "rank")
-      .drop("__gn")
+    withRankAndCount(df, groupCols, orderCols, numPartitions,
+      _.select(col("*"), pctCol)
+        .filter(col("__rn") === intDiv(col("pct") * col("__gn") + 99, lit(100)))
+        .withColumnRenamed("__rn", "rank")
+        .drop("__gn"))
   }
 
   /** Full SQL rank family — RANK (ties share the first row number),
@@ -172,13 +174,15 @@ object Windowing {
   def globalRankDist(df: DataFrame, groupCols: Seq[String],
                      valueCols: Seq[String], tieCols: Seq[String],
                      numPartitions: Int = 0): DataFrame = {
+    // the rank frame is consumed TWICE (value stats + final join), so hold
+    // the persisted frame itself and free it after the result materializes
     val ranked = withRankAndCount(df, groupCols, valueCols ++ tieCols,
       numPartitions)
     val vg = groupCols ++ valueCols
     val vstats = ranked.groupBy(vg.map(col): _*)
       .agg(min(col("__rn")).as("rank"), count(lit(1)).as("__vc"))
     val dense = globalRowNumber(vstats, groupCols, valueCols, "dense_rank")
-    ranked.join(dense, vg)
+    val out = ranked.join(dense, vg)
       .withColumn("percent_rank",
         when(col("__gn") > 1,
           (col("rank") - 1).cast("double") / (col("__gn") - 1).cast("double"))
@@ -186,6 +190,7 @@ object Windowing {
       .withColumn("cume_dist",
         (col("rank") + col("__vc") - 1).cast("double") / col("__gn").cast("double"))
       .drop("__rn", "__gn", "__vc")
+    graft.functions.Dedup.materializeAndFree(out, ranked, dense)
   }
 
   /** Integer division on non-negative longs — exact past 2^53, where
@@ -213,9 +218,14 @@ object Windowing {
     * is EAGER (materialized, internal barrier freed — the dedup-operator
     * cache contract); at scale the cache is output-sized and spills via
     * MEMORY_AND_DISK, the price of a deterministic distributed rank. */
+  /** `finish` shapes the frame BEFORE it is persisted, so every public
+    * rank operator returns the cached frame ITSELF (not a projection over
+    * it — which unpersist() would silently fail to release). */
   private def withRankAndCount(df: DataFrame, groupCols: Seq[String],
                                orderCols: Seq[String],
-                               numPartitions: Int): DataFrame = {
+                               numPartitions: Int,
+                               finish: DataFrame => DataFrame = identity)
+      : DataFrame = {
     require(groupCols.nonEmpty && orderCols.nonEmpty,
       "groupCols and orderCols must be non-empty")
     val spark = df.sparkSession
@@ -243,6 +253,6 @@ object Windowing {
     val out = ranged.join(broadcast(offsets), groupCols :+ "__pid")
       .withColumn("__rn", col("__mid") - col("__mmin") + 1 + col("__off"))
       .drop("__pid", "__mid", "__mmin", "__off")
-    graft.functions.Dedup.materializeAndFree(out, ranged)
+    graft.functions.Dedup.materializeAndFree(finish(out), ranged)
   }
 }

@@ -178,4 +178,19 @@ class OperatorHygieneSpec extends AnyFunSuite {
       graft.functions.Windowing.globalLag(df, Seq("g"), Seq("v", "id"), Seq("v"))
     }
   }
+
+  test("interleaveSources frees both rank barriers") {
+    val df = (0L until 200L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    assertHygienic("interleaveSources") {
+      graft.functions.Mixing.interleaveSources(df, "id", "src",
+        length(col("src")))
+    }
+  }
+
+  test("matchDistribution frees its rank barrier") {
+    val df = (0L until 200L).map(i => (i, s"b${i % 3}")).toDF("id", "bkt")
+    assertHygienic("matchDistribution") {
+      graft.functions.Mixing.matchDistribution(df, "id", "bkt", lit(1))
+    }
+  }
 }
