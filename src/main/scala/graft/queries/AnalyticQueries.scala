@@ -1009,6 +1009,25 @@ object AnalyticQueries {
             .as("alarm"))
     }),
 
+    // Ordered conversion funnel signup → view → click → purchase:
+    // earliest-chain milestones per user (min qualifying ts strictly
+    // after the previous step), per-step user counts + conversion.
+    "q_funnel" -> ((s, dir) =>
+      graft.functions.Events.funnel(star(s, dir, "events").df,
+        "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))),
+
+    // Day-granularity cohort retention over the first week of offsets:
+    // users cohorted by first-event day, active-day counts per offset.
+    // The cohort day is projected as an ISO string so both engines hash
+    // the same representation (DATE physical types differ across the
+    // parquet/pandas/DuckDB hop).
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.functions.Events.cohortRetention(star(s, dir, "events").df,
+        "user_id", "ts", maxOffsetDays = 7)
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"), col("retention"))),
+
     // Deterministic Poisson-bootstrap CI for the mean tokens/doc: every
     // (doc, resample) weight is a pure md5 function through the inverse
     // Poisson(1) CDF, resample means are decimal-exact, percentiles
@@ -2030,6 +2049,50 @@ object AnalyticQueries {
         | AND e.e_ts >= p.ts - INTERVAL 30 MINUTE
         | AND e.e_ts <= p.ts
         |GROUP BY p.user_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s3 ON e.user_id = s3.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+        |n AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s4) AS n4)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |  n1 AS n_users, round(CAST(n1 AS DOUBLE) / n1, 6) AS conversion
+        |FROM n
+        |UNION ALL SELECT 2, 'view', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+        |UNION ALL SELECT 3, 'click', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM n
+        |UNION ALL SELECT 4, 'purchase', n4, round(CAST(n4 AS DOUBLE) / n1, 6) FROM n""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        |first AS (SELECT u, min(d) AS c FROM days GROUP BY 1),
+        |act AS (
+        |  SELECT f.c, datediff('day', f.c, d.d) AS day_offset,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM days d JOIN first f ON d.u = f.u
+        |  WHERE datediff('day', f.c, d.d) <= 7
+        |  GROUP BY 1, 2),
+        |base AS (SELECT c, n_users AS n0 FROM act WHERE day_offset = 0)
+        |SELECT strftime(a.c, '%Y-%m-%d') AS cohort_day,
+        |  CAST(a.day_offset AS BIGINT) AS day_offset, a.n_users,
+        |  round(CAST(a.n_users AS DOUBLE) / b.n0, 6) AS retention
+        |FROM act a JOIN base b ON a.c = b.c""".stripMargin,
 
     "q_bootstrap_ci" ->
       """WITH d AS (
