@@ -1009,6 +1009,31 @@ object AnalyticQueries {
             .as("alarm"))
     }),
 
+    // RFM segmentation: per-user recency/frequency/monetary quintiles
+    // over purchase events (decimal-exact spend so the quintile order is
+    // engine-independent), distributed NTILE per dimension, segment =
+    // concatenated digits. Quintile 5 = most recent / frequent / valuable.
+    "q_rfm" -> ((s, dir) => {
+      val ev = star(s, dir, "events").df.filter(col("event_type") === "purchase")
+      val per = ev.groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("value"), 6).cast(DecimalType(28, 6))).as("__m"))
+        .withColumn("monetary", round(col("__m").cast(DoubleType), 2))
+        .drop("__m")
+        .withColumn("__g", lit("all"))
+      def q(in: DataFrame, orderCol: String, out: String) =
+        graft.functions.Windowing.globalNtile(in, Seq("__g"),
+          Seq(orderCol, "user_id"), k = 5, outCol = out, numPartitions = 8)
+      val scored = q(q(q(per, "last_ts", "r_q"), "frequency", "f_q"),
+        "monetary", "m_q")
+      scored.select(col("user_id"), col("frequency"), col("monetary"),
+        col("r_q").cast(LongType).as("r_q"),
+        col("f_q").cast(LongType).as("f_q"),
+        col("m_q").cast(LongType).as("m_q"),
+        concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+    }),
+
     // Ordered conversion funnel signup → view → click → purchase:
     // earliest-chain milestones per user (min qualifying ts strictly
     // after the previous step), per-step user counts + conversion.
@@ -2049,6 +2074,26 @@ object AnalyticQueries {
         | AND e.e_ts >= p.ts - INTERVAL 30 MINUTE
         | AND e.e_ts <= p.ts
         |GROUP BY p.user_id""".stripMargin,
+
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(ts) AS last_ts,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6)))
+        |      AS DOUBLE), 2) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |sc AS (
+        |  SELECT user_id, frequency, monetary,
+        |    ntile(5) OVER (ORDER BY last_ts, user_id) AS r_q,
+        |    ntile(5) OVER (ORDER BY frequency, user_id) AS f_q,
+        |    ntile(5) OVER (ORDER BY monetary, user_id) AS m_q
+        |  FROM per)
+        |SELECT user_id, frequency, monetary,
+        |  CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q,
+        |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) ||
+        |    CAST(m_q AS VARCHAR) AS segment
+        |FROM sc""".stripMargin,
 
     "q_funnel" ->
       """WITH s1 AS (
