@@ -1037,7 +1037,7 @@ object AnalyticQueries {
     // Ordered conversion funnel signup → view → click → purchase:
     // earliest-chain milestones per user (min qualifying ts strictly
     // after the previous step), per-step user counts + conversion.
-    "q_funnel" -> ((s, dir) =>
+    "q_funnel_steps" -> ((s, dir) =>
       graft.functions.Events.funnel(star(s, dir, "events").df,
         "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"))),
@@ -2095,7 +2095,7 @@ object AnalyticQueries {
         |    CAST(m_q AS VARCHAR) AS segment
         |FROM sc""".stripMargin,
 
-    "q_funnel" ->
+    "q_funnel_steps" ->
       """WITH s1 AS (
         |  SELECT user_id AS u, min(ts) AS t FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),
