@@ -157,6 +157,32 @@ object Decontamination {
         coalesce(col("__clean"), lit("")).as("text_clean"))
   }
 
+  /** Cross-corpus n-gram NOVELTY: for each document of `df`, the
+    * fraction of its distinct n-grams NEVER seen in `reference` — the
+    * inverse of contamination, used to sample for novel content (or to
+    * price a crawl delta against the standing corpus). Exact integers:
+    * novelty = 1 − seen/total over distinct gram hashes, one gram-keyed
+    * join, counts map-side combined. Returns (idCol, n_grams, n_novel,
+    * novelty rounded to 6). */
+  def crossGramNovelty(df: DataFrame, reference: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 8): DataFrame = {
+    val docGrams = df
+      .select(col(idCol),
+        explode(array_distinct(ngramHashes(col(textCol), n))).as("g"))
+    val refGrams = reference
+      .select(explode(ngramHashes(col(textCol), n)).as("g"))
+      .distinct()
+    val seen = docGrams.join(refGrams, "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__seen"))
+    docGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(seen, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        (col("n_grams") - coalesce(col("__seen"), lit(0L))).as("n_novel"),
+        round((col("n_grams") - coalesce(col("__seen"), lit(0L)))
+          .cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Intra-document repetition: 1 − distinct/total tokens (0 for empty
     * docs) — high values mark degenerate "aaaa…" spam. */
   def dupTokenRatio(text: Column): Column = {

@@ -615,6 +615,27 @@ object Text {
         (size(col("__hits")) > 0).as("flagged"))
   }
 
+  /** KWIC concordance (keyword in context): every occurrence of `term`
+    * with its ±`window`-token context — the inspection surface behind
+    * "show me how this word is used" corpus debugging and blocklist
+    * triage. Zero shuffle: tokenize → posexplode → filter → two clamped
+    * slices, all codegen projections; output volume ∝ term frequency.
+    * Returns (idCol, pos 0-based, left_ctx, right_ctx). */
+  def concordance(df: DataFrame, idCol: String, textCol: String,
+                  term: String, window: Int = 3): DataFrame = {
+    require(window >= 1, s"concordance: window must be >= 1, got $window")
+    val start = greatest(col("pos") - window, lit(0))
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        posexplode(col("__t")).as(Seq("pos", "__tok")))
+      .filter(col("__tok") === term)
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        array_join(slice(col("__t"), start + 1,
+          (col("pos") - start).cast("int")), " ").as("left_ctx"),
+        array_join(slice(col("__t"), col("pos") + 2, lit(window)), " ")
+          .as("right_ctx"))
+  }
+
   /** Per-group boilerplate TEMPLATE detection: the longest common token
     * PREFIX of every document in a group (source/domain/crawl-host) — the
     * shared header a scraper stamps on every page. Exactness trick: the

@@ -463,6 +463,24 @@ object PipelineQueries {
         "doc_id", "text", n = 4, expectedGrams = 100000L)
     }),
 
+    // KWIC concordance for the corpus token 'table': every occurrence
+    // with ±3-token context — zero-shuffle projection, output ∝ term
+    // frequency, both context slices hash-checked.
+    "q_concordance" -> ((s, dir) =>
+      Text.concordance(star(s, dir, "documents").df
+          .filter(col("doc_id") < 100),
+        "doc_id", "text", term = "table", window = 3)),
+
+    // Cross-corpus gram novelty: fraction of each new-batch doc's
+    // distinct 4-grams never seen in the standing corpus (docs >= 10) —
+    // the inverse-contamination sampling signal.
+    "q_gram_novelty_cross" -> ((s, dir) => {
+      val docs = star(s, dir, "documents").df
+      Decontamination.crossGramNovelty(
+        docs.filter(col("doc_id") < 10), docs.filter(col("doc_id") >= 10),
+        "doc_id", "text", n = 4)
+    }),
+
     // Per-source boilerplate template detection with PLANTED headers:
     // three sources get a scraper-style stamped prefix; the LCP-of-group
     // = LCP(min, max) trick must recover exactly those headers (and
@@ -2078,6 +2096,39 @@ object PipelineQueries {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(quality AS BIGINT) AS quality
         |FROM g WHERE n = 1 OR rn = 1""".stripMargin,
+
+    "q_concordance" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |p AS (
+        |  SELECT doc_id, toks, i - 1 AS pos
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE toks[i] = 'table')
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  coalesce(array_to_string(toks[greatest(pos - 3, 0) + 1 : pos],
+        |    ' '), '') AS left_ctx,
+        |  coalesce(array_to_string(toks[pos + 2 : pos + 4], ' '), '')
+        |    AS right_ctx
+        |FROM p""".stripMargin,
+
+    "q_gram_novelty_cross" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |              FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+        |  FROM docs, unnest(range(1, greatest(len(toks) - 4, 0) + 2)) AS t(i)),
+        |newg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id < 10),
+        |refg AS (SELECT DISTINCT g FROM grams WHERE doc_id >= 10),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |        FROM newg GROUP BY 1),
+        |sn AS (SELECT n.doc_id, CAST(count(*) AS BIGINT) AS seen
+        |       FROM newg n JOIN refg r ON n.g = r.g GROUP BY 1)
+        |SELECT t.doc_id, t.n_grams,
+        |  CAST(t.n_grams - coalesce(s.seen, 0) AS BIGINT) AS n_novel,
+        |  round(CAST(t.n_grams - coalesce(s.seen, 0) AS DOUBLE) / t.n_grams,
+        |    6) AS novelty
+        |FROM tot t LEFT JOIN sn s ON t.doc_id = s.doc_id""".stripMargin,
 
     "q_template_prefix" ->
       """WITH planted AS (

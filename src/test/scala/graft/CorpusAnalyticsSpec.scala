@@ -275,4 +275,36 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     // the solo group's template is its whole document
     assert(got("solo") == (1L, 4L, "only one document here"))
   }
+
+  test("concordance: clamped contexts at doc edges, one row per " +
+    "occurrence, absent terms produce nothing") {
+    val df = Seq(
+      (1L, "table at the start and table near the very end table"),
+      (2L, "no hits here at all")).toDF("doc_id", "text")
+    val got = graft.functions.Text.concordance(df, "doc_id", "text",
+        "table", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 0L, "", "at the start"),
+      (1L, 5L, "the start and", "near the very"),
+      (1L, 10L, "the very end", "")),
+      got.toString)
+  }
+
+  test("crossGramNovelty: hand-computed seen/novel fractions, " +
+    "all-novel and all-seen docs") {
+    val refd = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val newd = Seq(
+      (1L, "a b c d e f"),          // every 3-gram seen -> novelty 0
+      (2L, "x y z w v u"),          // nothing seen -> novelty 1
+      (3L, "a b c d q r s")).toDF("doc_id", "text") // 2 of 5 seen
+    val got = graft.functions.Decontamination.crossGramNovelty(
+        newd, refd, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (4L, 0L, 0.0))
+    assert(got(2L) == (4L, 4L, 1.0))
+    assert(got(3L) == (5L, 3L, 0.6))
+  }
 }
