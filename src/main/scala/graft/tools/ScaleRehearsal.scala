@@ -432,6 +432,46 @@ object ScaleRehearsal {
         r.unpersist(blocking = true)
       }
       sweep()
+      // round-6 new-operator ladder: span scrubbing, persisted-index
+      // probe (1% batch vs the indexed corpus), epoch interleave,
+      // distribution matching.
+      t(s"scrubContaminatedSpans n=4 (mult=$mult)") {
+        val bench = baseDocs.filter(col("doc_id") < 10)
+        graft.functions.Decontamination.scrubContaminatedSpans(
+            docs, bench, "doc_id", "text", n = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep()
+      t(s"minhashIndex build+1% probe (mult=$mult)") {
+        val idx = s"$root/mh_index"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(idx, "_params.json")))
+          graft.functions.Dedup.writeMinhashIndex(docs, "doc_id", "text",
+            idx, shingleSize = 2, numHashes = 32, bands = 8)
+        val batch = docs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 700000000L).as("doc_id"), col("text"))
+        val r = graft.functions.Dedup.minhashCandidatesAgainstIndex(
+          batch, idx, "doc_id", "text")
+        println(s"[scale]   index candidates: ${r.count()}")
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      t(s"interleaveSources 5 sources (mult=$mult)") {
+        val r = graft.functions.Mixing.interleaveSources(
+          docs.withColumn("src", pmod(col("doc_id"), lit(5L)).cast("string")),
+          "doc_id", "src", length(col("src")) + pmod(col("doc_id"), lit(1L)) + 1)
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
+      t(s"matchDistribution 5 buckets (mult=$mult)") {
+        val r = graft.functions.Mixing.matchDistribution(
+          docs.withColumn("b", pmod(col("doc_id"), lit(5L))),
+          "doc_id", "b", col("b") + 1)
+        r.write.format("noop").mode("overwrite").save()
+        r.unpersist(blocking = true)
+      }
+      sweep()
       // round-6 additions (verdict item 8): CDC chunk dedup and winnow
       // span matching at the full mult ladder.
       t(s"dedupCdcChunks w=16 (mult=$mult)") {
