@@ -21,7 +21,8 @@ except FileNotFoundError:
 # int64 — identical values, different hashed representation, silent
 # driver-gate hash_match failures (r05: q_pagerank/q_ppr/q_weighted_pagerank/
 # q_hits). Fail HERE, locally, instead.
-BAD_TYPES = ('HUGEINT', 'UHUGEINT', 'UINT')
+BAD_TYPES = ('HUGEINT', 'UHUGEINT', 'UBIGINT', 'UINTEGER', 'USMALLINT',
+             'UTINYINT')
 preflight_bad = {}
 for name, sql in sorted(oracle.items()):
     try:

@@ -551,7 +551,8 @@ object Dedup {
     * pairs, fuzzy-join output: cluster the pairs, keep each cluster's
     * argmax by `scoreCol` (ties to the smaller id; one struct-max
     * aggregate, no window), anti-join the rest away. Docs in no pair
-    * pass through untouched. */
+    * pass through untouched. EAGER with internal barriers freed; the
+    * caller owns ONE `unpersist()` on the returned frame. */
   def keepBestByComponent(df: DataFrame, idCol: String, scoreCol: String,
                           pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
@@ -565,7 +566,10 @@ object Dedup {
         .filter(col("__win").isNull)
         .select(col("id").as(idCol)),
       comps)
-    df.join(losers, Seq(idCol), "left_anti")
+    // materialize the RESULT and free the losers barrier here: the
+    // anti-join is a projection over it, so a caller's unpersist could
+    // never release it (the cache-plan-matching no-op)
+    materializeAndFree(df.join(losers, Seq(idCol), "left_anti"), losers)
   }
 
   /** Persist a REUSABLE MinHash-LSH index of `df` at `path` — the
@@ -635,7 +639,7 @@ object Dedup {
       in.close(); s
     }
     def param(name: String): Int =
-      s""""$name":(\\d+)""".r.findFirstMatchIn(txt)
+      s""""$name":(-?\\d+)""".r.findFirstMatchIn(txt)
         .getOrElse(throw new IllegalArgumentException(
           s"minhashCandidatesAgainstIndex: _params.json lacks $name"))
         .group(1).toInt

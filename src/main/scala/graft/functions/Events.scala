@@ -55,8 +55,12 @@ object Events {
       .select(explode(array(rows: _*)).as("r"), col("__n1"))
       .select(col("r.step").cast("long").as("step"), col("r.event_type"),
         col("r.n_users"),
-        round(col("r.n_users").cast("double") /
-          col("__n1").cast("double"), 6).as("conversion"))
+        // an empty first step yields 0/0 = NaN — report 0, not a
+        // silently poisoned conversion column
+        when(col("__n1") > 0,
+          round(col("r.n_users").cast("double") /
+            col("__n1").cast("double"), 6)).otherwise(lit(0.0))
+          .as("conversion"))
   }
 
   /** Day-granularity cohort retention: users are cohorted by their FIRST

@@ -321,9 +321,19 @@ object Mixing {
     * owns one unpersist(). */
   def interleaveSources(df: DataFrame, idCol: String, srcCol: String,
                         weight: Column): DataFrame = {
+    val d = df.withColumn("__w", weight.cast("long"))
+    // refuse non-positive weights loudly: w = 0 would send a source's
+    // whole stream to the epoch tail ((2p−1)/0 = ∞) and w < 0 would
+    // reverse it — both silently. Probe the distinct sources (bounded),
+    // not the corpus.
+    val bad = d.select(col(srcCol), col("__w")).distinct()
+      .filter(col("__w").isNull || col("__w") <= 0).limit(1).collect()
+    require(bad.isEmpty,
+      s"interleaveSources: weight must be a strictly-positive integer; " +
+        s"source '${if (bad.nonEmpty) bad.head.get(0) else ""}' has " +
+        s"weight ${if (bad.nonEmpty) bad.head.get(1) else ""}")
     val withPos = graft.functions.Windowing.globalRowNumber(
-      df.withColumn("__w", weight.cast("long"))
-        .withColumn("__h", md5(col(idCol).cast("string"))),
+      d.withColumn("__h", md5(col(idCol).cast("string"))),
       Seq(srcCol), Seq("__h", idCol), outCol = "src_pos")
     val keyed = withPos
       .withColumn("__key",

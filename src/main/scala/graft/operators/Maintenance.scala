@@ -72,7 +72,14 @@ object Maintenance {
         return CompactionReport(0L, 0L, 0L, 0L)
       val nOut = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
 
-      val staging = new Path(p.getParent, p.getName + "__compacting")
+      // DOT-prefixed staging/trash: for a partition leaf these siblings
+      // live INSIDE the table root, where a bare name would be parsed as
+      // a partition value by Spark's discovery (day=a__compacting →
+      // partition 'a__compacting' — silent row duplication after a crash
+      // mid-swap). Hidden names are ignored by Spark/Hadoop listings AND
+      // by this method's own visible() filter, so a crash leftover is
+      // inert rather than data-corrupting.
+      val staging = new Path(p.getParent, "." + p.getName + "__compacting")
       if (fs.exists(staging)) fs.delete(staging, true)
       val df = spark.read.parquet(p.toString)
       val shaped =
@@ -82,7 +89,7 @@ object Maintenance {
         else df.repartition(nOut)
       shaped.write.parquet(staging.toString)
 
-      val trash = new Path(p.getParent, p.getName + "__old")
+      val trash = new Path(p.getParent, "." + p.getName + "__old")
       if (fs.exists(trash)) fs.delete(trash, true)
       if (!fs.rename(p, trash))
         throw new java.io.IOException(s"compact: could not move $p aside")

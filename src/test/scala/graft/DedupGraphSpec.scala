@@ -275,5 +275,13 @@ class DedupGraphSpec extends AnyFunSuite {
         s"$path/sigs", "doc_id", "text")
     }
     assert(e.getMessage.contains("_params.json"))
+
+    // negative seeds round-trip through _params.json (the param regex
+    // must accept a sign — a valid index must never be unprobeable)
+    val path2 = java.nio.file.Files.createTempDirectory("mhidx").toString + "/i2"
+    Dedup.writeMinhashIndex(ref, "doc_id", "text", path2,
+      shingleSize = 2, numHashes = 16, bands = 4, seed = -7)
+    assert(Dedup.minhashCandidatesAgainstIndex(newBatch, path2,
+      "doc_id", "text").count() >= 0)
   }
 }

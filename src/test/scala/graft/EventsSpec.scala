@@ -52,6 +52,15 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("funnel with an absent first step reports zero conversions, " +
+    "not NaN") {
+    val events = Seq((1L, "view", ts(1, 1))).toDF("user_id", "event_type", "ts")
+    val got = Events.funnel(events, "user_id", "event_type", "ts",
+        Seq("signup", "view"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.forall { case (_, n, c) => n == 0L && c == 0.0 }, got.toSeq)
+  }
+
   test("cohortRetention: hand-computed cohorts, offsets capped, " +
     "retention vs day-0 size") {
     val events = Seq(

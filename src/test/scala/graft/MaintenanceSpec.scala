@@ -127,6 +127,26 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("a crash-leftover staging dir inside a partitioned table is " +
+    "invisible to readers and inert for the next compact") {
+    val path = freshDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "day")
+      .write.partitionBy("day").parquet(path)
+    // simulate a crash mid-swap: a stale hidden staging dir with data
+    val leftover = new java.io.File(path, ".day=a__compacting")
+    Seq((99L, "junk")).toDF("id", "txt")
+      .write.parquet(leftover.toString)
+    // partition discovery must NOT parse it as a partition value
+    val seen = spark.read.parquet(path).select("id", "day")
+      .as[(Long, String)].collect().toSet
+    assert(seen == Set((1L, "a"), (2L, "b")), seen.toString)
+    // and compact treats it as hidden: no flattening, content unchanged
+    Maintenance.compact(spark, path, targetBytes = Long.MaxValue)
+    val after = spark.read.parquet(path).select("id", "day")
+      .as[(Long, String)].collect().toSet
+    assert(after == Set((1L, "a"), (2L, "b")), after.toString)
+  }
+
   test("compact leaves no staging or trash directories behind") {
     val path = freshDir()
     (0L until 100L).toDF("id").repartition(8).write.parquet(path)

@@ -187,6 +187,14 @@ class OperatorHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupNearDuplicatesBy frees candidates, components and losers") {
+    assertHygienic("dedupNearDuplicatesBy") {
+      Dedup.dedupNearDuplicatesBy(
+        docs.withColumn("q", col("doc_id") % 3), "doc_id", "text", "q",
+        threshold = 0.5, shingleSize = 2, numHashes = 16, bands = 4)
+    }
+  }
+
   test("matchDistribution frees its rank barrier") {
     val df = (0L until 200L).map(i => (i, s"b${i % 3}")).toDF("id", "bkt")
     assertHygienic("matchDistribution") {

@@ -196,6 +196,14 @@ class QualityMixSpec extends AnyFunSuite {
     assert(math.abs(counts("b") - 2 * counts("a")) <= 2, counts.toString)
     assert(math.abs(counts("c") - 3 * counts("a")) <= 3, counts.toString)
     got.unpersist(blocking = true)
+
+    // zero/negative weights refuse loudly instead of silently tailing
+    // or reversing a source's stream
+    val e = intercept[IllegalArgumentException] {
+      Mixing.interleaveSources(df, "id", "src",
+        when(col("src") === "a", 0).otherwise(1))
+    }
+    assert(e.getMessage.contains("strictly-positive"))
   }
 
   test("gumbelTopK: sequential reference exact, partitioning-independent, " +
