@@ -183,6 +183,38 @@ object Decontamination {
           .cast("double") / col("n_grams"), 6).as("novelty"))
   }
 
+  /** Cross-SOURCE contamination matrix: for every pair of groups
+    * (crawl sources, domains, datasets), the number of distinct n-grams
+    * they share and the overlap coefficient shared/min(|A|, |B|) — the
+    * corpus-governance view of who syndicates whom (a high-overlap pair
+    * double-counts content and distorts mixture weights). One
+    * gram-keyed self-join of the distinct (group, gram) table: a gram
+    * held by k groups emits k² pairs — bounded by groups², never by
+    * corpus size. Returns (src_a < src_b, n_shared, overlap). */
+  def sourceOverlapMatrix(df: DataFrame, groupCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    val sg = df.select(col(groupCol).as("__s"),
+        explode(ngramHashes(col(textCol), n)).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sg.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val a = sg.select(col("__s").as("src_a"), col("g"))
+    val b = sg.select(col("__s").as("src_b"), col("g"))
+    val shared = a.join(b, "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = shared
+      .join(broadcast(sizes.select(col("__s").as("src_a"),
+        col("__n").as("__na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("__s").as("src_b"),
+        col("__n").as("__nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("__na"), col("__nb")).cast("double"), 6).as("overlap"))
+    Dedup.materializeAndFree(out, sg)
+  }
+
   /** Intra-document repetition: 1 − distinct/total tokens (0 for empty
     * docs) — high values mark degenerate "aaaa…" spam. */
   def dupTokenRatio(text: Column): Column = {

@@ -463,6 +463,15 @@ object PipelineQueries {
         "doc_id", "text", n = 4, expectedGrams = 100000L)
     }),
 
+    // Cross-source contamination matrix: distinct shared 4-grams and
+    // overlap coefficient for every source pair — the who-syndicates-
+    // whom governance view; one gram-keyed self-join, bounded by
+    // sources², never corpus².
+    "q_source_overlap" -> ((s, dir) =>
+      Decontamination.sourceOverlapMatrix(star(s, dir, "documents").df,
+        "source", "text", n = 4)
+        .filter(col("n_shared") >= 5)),
+
     // KWIC concordance for the corpus token 'table': every occurrence
     // with ±3-token context — zero-shuffle projection, output ∝ term
     // frequency, both context slices hash-checked.
@@ -2096,6 +2105,26 @@ object PipelineQueries {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(quality AS BIGINT) AS quality
         |FROM g WHERE n = 1 OR rn = 1""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH docs AS (SELECT source, string_split_regex(trim(text), '\s+') AS toks
+        |              FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT source, array_to_string(toks[i:i+3], ' ') AS g
+        |  FROM docs, unnest(range(1, greatest(len(toks) - 4, 0) + 2)) AS t(i)),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |          FROM grams GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sh.src_a, sh.src_b, sh.n_shared,
+        |  round(CAST(sh.n_shared AS DOUBLE) /
+        |    least(sa.n, sb.n), 6) AS overlap
+        |FROM sh JOIN sizes sa ON sh.src_a = sa.source
+        |JOIN sizes sb ON sh.src_b = sb.source
+        |WHERE sh.n_shared >= 5""".stripMargin,
 
     "q_concordance" ->
       """WITH t AS (

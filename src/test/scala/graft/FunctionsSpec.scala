@@ -249,6 +249,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(again == got.map { case (k, v) => k -> v._3 })
   }
 
+  test("sourceOverlapMatrix: hand-computed shared grams and overlap " +
+    "coefficient; disjoint sources absent; hygiene") {
+    val df = Seq(
+      (1L, "sA", "the quick brown fox jumps over the lazy dog"),
+      (2L, "sB", "the quick brown fox sat still all day long"),
+      (3L, "sC", "totally different words without any reuse here")
+    ).toDF("doc_id", "src", "text")
+    spark.sharedState.cacheManager.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Decontamination.sourceOverlapMatrix(df, "src", "text", n = 4)
+    val byName = out.collect().map(r => (
+      r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+      r.getAs[Long]("n_shared"), r.getAs[Double]("overlap"))).toSet
+    // sA: 6 distinct 4-grams, sB: 6; shared = only "the quick brown fox"
+    assert(byName == Set(("sA", "sB", 1L, BigDecimal(1.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)), byName)
+    out.unpersist(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "sourceOverlapMatrix leaked its gram barrier")
+  }
+
   test("bloom-prefiltered decontamination is bit-identical to the exact path") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = (1L to 200L).map { i =>
