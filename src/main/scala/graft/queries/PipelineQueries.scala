@@ -467,7 +467,7 @@ object PipelineQueries {
     // overlap coefficient for every source pair — the who-syndicates-
     // whom governance view; one gram-keyed self-join, bounded by
     // sources², never corpus².
-    "q_source_overlap" -> ((s, dir) =>
+    "q_source_gram_overlap" -> ((s, dir) =>
       Decontamination.sourceOverlapMatrix(star(s, dir, "documents").df,
         "source", "text", n = 4)
         .filter(col("n_shared") >= 5)),
@@ -2106,7 +2106,7 @@ object PipelineQueries {
         |  CAST(quality AS BIGINT) AS quality
         |FROM g WHERE n = 1 OR rn = 1""".stripMargin,
 
-    "q_source_overlap" ->
+    "q_source_gram_overlap" ->
       """WITH docs AS (SELECT source, string_split_regex(trim(text), '\s+') AS toks
         |              FROM documents),
         |grams AS (
