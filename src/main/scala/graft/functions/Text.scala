@@ -330,7 +330,7 @@ object Text {
       .groupBy(col("id"), col("__n"))
       .agg(sum(col("__term")).as("__s"))
       .select(col("id").as(idCol),
-        round(col("__s").cast("double") / col("__n"), outScale).as("entropy"))
+        UnigramLm.pinnedMean("__s", "__n", logScale, outScale).as("entropy"))
   }
 
   /** Corpus collocations by pointwise mutual information: the top-k

@@ -32,6 +32,47 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLm {
 
+  /** Engine-pinned rounded mean of an exact DECIMAL sum — the boundary-free
+    * replacement for `round(sum.cast(double) / n, outScale)`. The IEEE
+    * shape is NOT cross-engine deterministic: the decimal→double cast plus
+    * division can land exactly on an `outScale`-decimal boundary, and
+    * Spark (BigDecimal HALF_UP on the shortest decimal rendering) and
+    * DuckDB/libm (scaled `nearbyint`) then round the SAME double to
+    * DIFFERENT values — the q_doc_dsir round-5/6 driver-gate failure.
+    *
+    * This helper never forms the IEEE quotient. The decimal sum (scale
+    * `sumScale`) is converted to its exact scaled BIGINT — cast to
+    * DECIMAL(24,S) (|sum| < 10^(24−S), far above any per-doc log sum),
+    * multiplied by 10^S as DECIMAL(S+1,0) so the product precision
+    * 24+(S+1)+1 ≤ 38 never trips adjustPrecisionScale, cast to BIGINT
+    * (integer-valued, exact) — then the mean is one INTEGRAL division,
+    * rounded half-away-from-zero (matching BigDecimal HALF_UP):
+    *
+    *   mean·10^out = (|num| + n·10^(S−out)/2) div (n·10^(S−out)), signed
+    *
+    * Both `div` (Spark) and `//` (DuckDB) truncate toward zero, and both
+    * branches keep the operands non-negative, so floor≡truncate and the
+    * engines agree bit-for-bit. The final `/10^out` maps a small integer
+    * through one exact IEEE double division — deterministic everywhere.
+    * Mirror: the DuckDB oracle side is `Tables.pinnedMeanSql`. */
+  private[graft] def pinnedMean(sumName: String, nName: String,
+                                sumScale: Int, outScale: Int,
+                                negate: Boolean = false): Column = {
+    require(sumScale - outScale >= 1,
+      s"pinnedMean: sumScale $sumScale must exceed outScale $outScale")
+    val tenS    = "1" + "0" * sumScale
+    val denMul  = "1" + "0" * (sumScale - outScale)
+    val halfMul = "5" + "0" * (sumScale - outScale - 1)
+    val sgn = if (negate) "-" else ""
+    val num = s"CAST(CAST($sgn`$sumName` AS DECIMAL(24,$sumScale)) * " +
+      s"CAST($tenS AS DECIMAL(${sumScale + 1},0)) AS BIGINT)"
+    val den  = s"(`$nName` * CAST($denMul AS BIGINT))"
+    val half = s"(`$nName` * CAST($halfMul AS BIGINT))"
+    expr(s"CASE WHEN $num >= 0 THEN ($num + $half) div $den " +
+         s"ELSE -((-($num) + $half) div $den) END") /
+      lit(math.pow(10.0, outScale))
+  }
+
   /** Token frequency table (token, cnt) of `df`'s whitespace tokens,
     * capped to `maxVocab` most-frequent when positive. */
   def tokenFrequencies(df: DataFrame, textCol: String,
@@ -85,7 +126,8 @@ object UnigramLm {
       .groupBy("id")
       .agg(sum(col("__n")).as("n_tokens"), sum(col("__lp")).as("__sum"))
       .select(col("id").as(idCol), col("n_tokens"),
-        round(-col("__sum").cast("double") / col("n_tokens"), outScale).as("xent"))
+        pinnedMean("__sum", "n_tokens", logScale, outScale, negate = true)
+          .as("xent"))
     Dedup.materializeAndFree(result, freq)
   }
 
@@ -153,7 +195,7 @@ object UnigramLm {
       .groupBy("id")
       .agg(sum(col("__n")).as("n_tokens"), sum(col("__lr")).as("__sum"))
       .select(col("id").as(idCol), col("n_tokens"),
-        round(col("__sum").cast("double") / col("n_tokens"), outScale).as("logratio"))
+        pinnedMean("__sum", "n_tokens", logScale, outScale).as("logratio"))
     Dedup.materializeAndFree(result, ft, fr)
   }
 
@@ -231,7 +273,7 @@ object UnigramLm {
       .agg(sum(col("__k")).as("n_tokens"),
         sum(col("__lp") * col("__k")).as("__sum"))
       .select(col("id").as(idCol), col("n_tokens"),
-        round(-col("__sum").cast("double") / col("n_tokens"), outScale)
+        pinnedMean("__sum", "n_tokens", logScale, outScale, negate = true)
           .as("xent2"))
     Dedup.materializeAndFree(result, uni, bc)
   }
@@ -321,7 +363,7 @@ object UnigramLm {
       .agg(sum(col("__k")).as("n_tokens"),
         sum(col("__lp") * col("__k")).as("__sum"))
       .select(col("id").as(idCol), col("n_tokens"),
-        round(-col("__sum").cast("double") / col("n_tokens"), outScale)
+        pinnedMean("__sum", "n_tokens", logScale, outScale, negate = true)
           .as("xent3"))
     Dedup.materializeAndFree(result, uni, bc, tc)
   }
@@ -387,7 +429,7 @@ object UnigramLm {
       .agg(sum(col("__k")).as("n_bigrams"),
         sum(col("__lp") * col("__k")).as("__sum"))
       .select(col("id").as(idCol), col("n_bigrams"),
-        round(-col("__sum").cast("double") / col("n_bigrams"), outScale)
+        pinnedMean("__sum", "n_bigrams", logScale, outScale, negate = true)
           .as("kn_xent"))
     Dedup.materializeAndFree(result, bc)
   }

@@ -381,9 +381,11 @@ object ModelQueries {
         |  JOIN ctx x ON x.w1 = d.w1
         |  LEFT JOIN cont n ON n.w2 = d.w2, t)
         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-        |  round(-CAST(sum(CAST(lp AS DECIMAL(28,6)) * k) AS DOUBLE) / sum(k), 4)
-        |    AS kn_xent
-        |FROM contrib GROUP BY doc_id""".stripMargin,
+        |  PINNED_MEAN_KN AS kn_xent
+        |FROM contrib GROUP BY doc_id""".stripMargin
+        .replace("PINNED_MEAN_KN", Tables.pinnedMeanSql(
+          "sum(CAST(lp AS DECIMAL(28,6)) * k)", "CAST(sum(k) AS BIGINT)",
+          6, 4, negate = true)),
 
     "q_cooccur" ->
       """WITH tokc AS (

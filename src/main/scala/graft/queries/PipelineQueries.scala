@@ -1908,8 +1908,10 @@ object PipelineQueries {
         |    CAST(c * CAST(round(log2(CAST(n AS DOUBLE) / c), 6) AS DECIMAL(18,6))
         |         AS DECIMAL(28,6)) AS term
         |  FROM g)
-        |SELECT doc_id, round(CAST(sum(term) AS DOUBLE) / n, 4) AS entropy
-        |FROM t GROUP BY doc_id, n""".stripMargin,
+        |SELECT doc_id, PINNED_MEAN_ENTROPY AS entropy
+        |FROM t GROUP BY doc_id, n""".stripMargin
+        .replace("PINNED_MEAN_ENTROPY",
+          Tables.pinnedMeanSql("sum(term)", "n", 6, 4)),
 
     "q_tfidf_terms" ->
       """WITH tok AS (
@@ -2417,16 +2419,17 @@ object PipelineQueries {
         |FROM c""".stripMargin,
 
     "q_doc_perplexity" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
         |  FROM documents),
         |freq AS (
         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
         |SELECT t.doc_id,
         |  count(*) AS n_tokens,
-        |  round(-CAST(sum(CAST(round(ln(CAST(f.cnt AS DOUBLE) / tot.total), 6)
-        |    AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS xent
+        |  ${Tables.pinnedMeanSql(
+             "sum(CAST(round(ln(CAST(f.cnt AS DOUBLE) / tot.total), 6) AS DECIMAL(28,6)))",
+             "count(*)", 6, 4, negate = true)} AS xent
         |FROM tok t JOIN freq f USING (token), tot
         |GROUP BY t.doc_id""".stripMargin,
 
@@ -2502,9 +2505,10 @@ object PipelineQueries {
         |    JOIN uni u1 ON g.w1 = u1.w
         |    JOIN uni u2 ON g.w2 = u2.w, tot t)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(-CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
-        |    AS xent2
-        |FROM contrib GROUP BY doc_id""".stripMargin,
+        |  PINNED_MEAN_XENT2 AS xent2
+        |FROM contrib GROUP BY doc_id""".stripMargin
+        .replace("PINNED_MEAN_XENT2", Tables.pinnedMeanSql(
+          "sum(CAST(lp AS DECIMAL(28,6)))", "count(*)", 6, 4, negate = true)),
 
     "q_doc_trigram_ppl" ->
       """WITH tokc AS (
@@ -2557,9 +2561,10 @@ object PipelineQueries {
         |    LEFT JOIN uni um ON s.w2 = um.w
         |    LEFT JOIN uni u3 ON s.w3 = u3.w, tot t)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(-CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
-        |    AS xent3
-        |FROM contrib GROUP BY doc_id""".stripMargin,
+        |  PINNED_MEAN_XENT3 AS xent3
+        |FROM contrib GROUP BY doc_id""".stripMargin
+        .replace("PINNED_MEAN_XENT3", Tables.pinnedMeanSql(
+          "sum(CAST(lp AS DECIMAL(28,6)))", "count(*)", 6, 4, negate = true)),
 
     "q_doc_ppl_buckets" ->
       """WITH tok AS (
@@ -2570,14 +2575,16 @@ object PipelineQueries {
         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
         |scored AS (
         |  SELECT t.doc_id,
-        |    round(-CAST(sum(CAST(round(ln(CAST(f.cnt AS DOUBLE) / tot.total), 6)
-        |      AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS xent
+        |    PINNED_MEAN_XENT AS xent
         |  FROM tok t JOIN freq f USING (token), tot
         |  GROUP BY t.doc_id)
         |SELECT s.doc_id, d.lang, s.xent,
         |  CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY s.xent, s.doc_id)
         |    AS INTEGER) AS bucket
-        |FROM scored s JOIN documents d USING (doc_id)""".stripMargin,
+        |FROM scored s JOIN documents d USING (doc_id)""".stripMargin
+        .replace("PINNED_MEAN_XENT", Tables.pinnedMeanSql(
+          "sum(CAST(round(ln(CAST(f.cnt AS DOUBLE) / tot.total), 6) AS DECIMAL(28,6)))",
+          "count(*)", 6, 4, negate = true)),
 
     "q_doc_split" ->
       """SELECT CASE WHEN b < 90 THEN 'train'
@@ -3079,10 +3086,12 @@ object PipelineQueries {
       |scored AS MATERIALIZED (
       |  SELECT t.doc_id,
       |    count(*) AS n_tokens,
-      |    round(CAST(sum(CAST(round(
-      |        ln(coalesce(CAST(tt.cnt AS DOUBLE), 0.5) / st.tot)
-      |          - ln(coalesce(CAST(tr.cnt AS DOUBLE), 0.5) / sr.tot),
-      |        12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS logratio
+      |    PINNED_MEAN_LOGRATIO AS logratio
       |  FROM tok t LEFT JOIN tt USING (token) LEFT JOIN tr USING (token), st, sr
       |  GROUP BY t.doc_id)""".stripMargin
+      .replace("PINNED_MEAN_LOGRATIO", Tables.pinnedMeanSql(
+        "sum(CAST(round(ln(coalesce(CAST(tt.cnt AS DOUBLE), 0.5) / st.tot) " +
+          "- ln(coalesce(CAST(tr.cnt AS DOUBLE), 0.5) / sr.tot), 12) " +
+          "AS DECIMAL(28,12)))",
+        "count(*)", 12, 4))
 }

@@ -37,4 +37,29 @@ object Tables {
 
   def star(spark: SparkSession, dir: String, name: String): StarTable =
     StarTable.fromDataFrame(df(spark, dir, name), name)
+
+  /** DuckDB mirror of `UnigramLm.pinnedMean` — the boundary-free rounded
+    * mean of an exact DECIMAL sum, as one SQL scalar expression. Identical
+    * integer arithmetic to the engine side: exact scaled-BIGINT numerator
+    * (DECIMAL(24,S) × 10^S — DuckDB multiply precision 24+(S+1) ≤ 38,
+    * exact), half-away-from-zero integral division (`//` truncates toward
+    * zero like Spark's `div`; both CASE branches keep operands
+    * non-negative so floor ≡ truncate), then one exact small-int/10^out
+    * double division. Never forms the IEEE quotient whose `round()` the
+    * two engines disagree on at `outScale`-decimal boundaries. */
+  def pinnedMeanSql(sumSql: String, nSql: String,
+                    sumScale: Int, outScale: Int,
+                    negate: Boolean = false): String = {
+    require(sumScale - outScale >= 1, "pinnedMeanSql: sumScale <= outScale")
+    val tenS    = "1" + "0" * sumScale
+    val denMul  = "1" + "0" * (sumScale - outScale)
+    val halfMul = "5" + "0" * (sumScale - outScale - 1)
+    val sgn = if (negate) "-" else ""
+    val num = s"CAST(CAST($sgn($sumSql) AS DECIMAL(24,$sumScale)) * " +
+      s"CAST($tenS AS DECIMAL(${sumScale + 1},0)) AS BIGINT)"
+    val den  = s"(($nSql) * CAST($denMul AS BIGINT))"
+    val half = s"(($nSql) * CAST($halfMul AS BIGINT))"
+    s"(CASE WHEN $num >= 0 THEN ($num + $half) // $den " +
+      s"ELSE -((-($num) + $half) // $den) END / ${"1" + "0" * outScale}.0)"
+  }
 }

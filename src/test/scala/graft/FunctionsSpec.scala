@@ -10,6 +10,31 @@ class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("pinnedMean: half-away-from-zero at exact boundaries, both signs") {
+    // Sums chosen so sum/n lands EXACTLY on a 4-decimal half boundary —
+    // the case where round(sum.cast(double)/n, 4) diverges across engines
+    // (the q_doc_dsir r5/r6 driver failure). The integer scheme must give
+    // BigDecimal-HALF_UP answers regardless of the doubles involved.
+    val rows = Seq(
+      (BigDecimal("7.000050000000"), 1L, 7.0001),          // +boundary → up
+      (BigDecimal("-7.000050000000"), 1L, -7.0001),        // −boundary → away
+      (BigDecimal("2.254850000000"), 1L, 2.2549),          // shortest-repr trap
+      (BigDecimal("4.509700000000"), 2L, 2.2549),          // n > 1 boundary
+      (BigDecimal("1.234567890123"), 3L, 0.4115),          // generic value
+      (BigDecimal("0.000000000000"), 5L, 0.0))
+    val df = rows.map { case (s, n, _) => (s, n) }.toDF("__sum", "n_tokens")
+      .select(col("__sum").cast("decimal(28,12)").as("__sum"), col("n_tokens"))
+    val got = df.select(graft.functions.UnigramLm
+        .pinnedMean("__sum", "n_tokens", 12, 4).as("m"))
+      .collect().map(_.getDouble(0))
+    rows.map(_._3).zip(got).foreach { case (want, g) => assert(g == want) }
+    // negate flag mirrors the -sum/n shape of the xent scorers
+    val neg = df.limit(1).select(graft.functions.UnigramLm
+      .pinnedMean("__sum", "n_tokens", 12, 4, negate = true).as("m"))
+      .collect()(0).getDouble(0)
+    assert(neg == -7.0001)
+  }
+
   test("tokenCount / charCount / avgWordLength") {
     val df = Seq("the cat sat", "", "a  b").toDF("t")
     val r = df.select(
