@@ -594,6 +594,14 @@ object Dedup {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numHashes / bands
+    // REBUILD safety: retract the success marker BEFORE touching sigs/ or
+    // bands/ — a crash mid-rebuild must leave the index refusing probes,
+    // not a stale _params.json presiding over mixed old/new data (the
+    // silent-low-recall failure the marker exists to prevent).
+    val paramsPath = new org.apache.hadoop.fs.Path(path, "_params.json")
+    val pfs = paramsPath
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (pfs.exists(paramsPath)) pfs.delete(paramsPath, false)
     val sig = df.select(col(idCol).as("id"),
       graft.functions.expressions.MinHashExpression
         .minhashTokens(Text.tokens(col(textCol)), shingleSize, numHashes,

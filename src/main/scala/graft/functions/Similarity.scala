@@ -190,8 +190,11 @@ object Similarity {
         when(s > 0, floor(x.cast("double") / s * 127 + 0.5))
           .otherwise(lit(0.0))).as("__codes"))
       .withColumn("__n2", dot(col("__codes"), col("__codes")))
-    val largest = codes.groupBy(col("__blk")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head().getLong(0)
+    // max(n) over an EMPTY input is NULL — getLong would NPE (the
+    // ZOrder.stats failure class); an empty corpus has no blocks to bound.
+    val largestRow = codes.groupBy(col("__blk")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    val largest = if (largestRow.isNullAt(0)) 0L else largestRow.getLong(0)
     require(largest <= maxBlockSize,
       s"hardPairs: largest block holds $largest vectors (> " +
         s"maxBlockSize=$maxBlockSize) — the within-block join is quadratic " +

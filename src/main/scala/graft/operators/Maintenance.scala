@@ -62,7 +62,20 @@ object Maintenance {
     // staging-and-swap crash-safety as the flat case.
     def leaves(d: Path): Seq[Path] = {
       val dirs = visible(d).filter(_.isDirectory)
-      if (dirs.isEmpty) Seq(d) else dirs.flatMap(st => leaves(st.getPath))
+      if (dirs.isEmpty) Seq(d)
+      else {
+        // MIXED layouts (data files alongside partition dirs) must refuse
+        // loudly: treating the dir as pure-hive would silently skip the
+        // root-level files forever, and compacting it with the
+        // directory-swap would destroy (or absorb — partition discovery
+        // recurses) the nested partition dirs. Such a layout is a writer
+        // bug; surface it instead of guessing.
+        require(dataFiles(d).isEmpty,
+          s"compact: $d holds data files AND subdirectories — a mixed " +
+            "flat/partitioned layout. Repair the table (move the stray " +
+            "files into a partition or remove the dirs) before compacting.")
+        dirs.flatMap(st => leaves(st.getPath))
+      }
     }
 
     def compactDir(p: Path): CompactionReport = {

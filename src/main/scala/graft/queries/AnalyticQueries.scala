@@ -2116,12 +2116,19 @@ object AnalyticQueries {
         |         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
         |         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3,
         |         (SELECT CAST(count(*) AS BIGINT) FROM s4) AS n4)
-        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
-        |  n1 AS n_users, round(CAST(n1 AS DOUBLE) / n1, 6) AS conversion
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, n1 AS n_users,
+        |  CASE WHEN n1 > 0 THEN round(CAST(n1 AS DOUBLE) / n1, 6)
+        |       ELSE 0.0 END AS conversion
         |FROM n
-        |UNION ALL SELECT 2, 'view', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM n
-        |UNION ALL SELECT 3, 'click', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM n
-        |UNION ALL SELECT 4, 'purchase', n4, round(CAST(n4 AS DOUBLE) / n1, 6) FROM n""".stripMargin,
+        |UNION ALL SELECT 2, 'view', n2,
+        |  CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) ELSE 0.0 END
+        |FROM n
+        |UNION ALL SELECT 3, 'click', n3,
+        |  CASE WHEN n1 > 0 THEN round(CAST(n3 AS DOUBLE) / n1, 6) ELSE 0.0 END
+        |FROM n
+        |UNION ALL SELECT 4, 'purchase', n4,
+        |  CASE WHEN n1 > 0 THEN round(CAST(n4 AS DOUBLE) / n1, 6) ELSE 0.0 END
+        |FROM n""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH days AS (

@@ -283,5 +283,19 @@ class DedupGraphSpec extends AnyFunSuite {
       shingleSize = 2, numHashes = 16, bands = 4, seed = -7)
     assert(Dedup.minhashCandidatesAgainstIndex(newBatch, path2,
       "doc_id", "text").count() >= 0)
+
+    // REBUILD over an existing index: the old success marker must not
+    // survive into the new build (a crash mid-rebuild would leave it
+    // presiding over mixed data); after a completed rebuild the marker
+    // carries the NEW parameters and probes reflect them.
+    Dedup.writeMinhashIndex(ref, "doc_id", "text", path2,
+      shingleSize = 2, numHashes = 64, bands = 16, seed = 42)
+    val marker = scala.io.Source.fromFile(s"$path2/_params.json").mkString
+    assert(marker.contains("\"numHashes\":64") && marker.contains("\"seed\":42"),
+      s"stale marker after rebuild: $marker")
+    val reprobed = Dedup.minhashCandidatesAgainstIndex(newBatch, path2,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(reprobed == direct, "rebuilt index diverged from direct path")
   }
 }

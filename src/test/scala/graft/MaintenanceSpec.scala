@@ -110,6 +110,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(back == rows.sorted)
   }
 
+  test("compact REFUSES a mixed layout (root data files alongside " +
+    "partition dirs) instead of silently skipping the root files") {
+    val path = freshDir()
+    (0L until 500L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8)
+      .write.parquet(path)
+    (500L until 1000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8)
+      .write.parquet(s"$path/day=a")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compact(spark, path, targetBytes = Long.MaxValue)
+    }
+    assert(e.getMessage.contains("mixed"), e.getMessage)
+    // nothing was touched: both layers keep all their files and rows
+    def files(d: java.io.File) = d.listFiles.filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files(new java.io.File(path)).length == 8)
+    assert(files(new java.io.File(s"$path/day=a")).length == 8)
+  }
+
   test("KeyedStore canonicalizes the key hash: int32 key columns land in " +
     "the buckets Seq[Long] lookups probe") {
     import graft.operators.KeyedStore

@@ -242,6 +242,14 @@ class ModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((0L, 1L), (3L, 4L)))
   }
 
+  test("hardPairs on an EMPTY corpus returns empty (guard must not NPE " +
+    "on max(n) = NULL)") {
+    val empty = Seq.empty[(Long, Long, String, Array[Float])]
+      .toDF("vec_id", "blk", "lab", "embedding")
+    assert(Similarity.hardPairs(empty, "blk", "lab", "embedding", "vec_id")
+      .count() == 0L)
+  }
+
   test("hardPairs mines the brute-force hardest negative and positive, " +
     "drops anchors without both, partitioning-independent") {
     val rng = new scala.util.Random(11)

@@ -160,6 +160,19 @@ class QualityMixSpec extends AnyFunSuite {
     again.unpersist(blocking = true)
   }
 
+  test("matchDistribution refuses a share that varies within a bucket") {
+    import org.apache.spark.sql.functions.{col, when}
+    val df = (0L until 20L).map(i => (i, if (i < 10) "a" else "b"))
+      .toDF("id", "bkt")
+    // bucket 'a' carries two distinct shares (2 for even ids, 3 for odd)
+    val bad = when(col("bkt") === "a",
+      when(col("id") % 2 === 0, 2).otherwise(3)).otherwise(1)
+    val e = intercept[IllegalArgumentException] {
+      Mixing.matchDistribution(df, "id", "bkt", bad)
+    }
+    assert(e.getMessage.contains("constant per bucket"), e.getMessage)
+  }
+
   test("interleaveSources: smooth weighted merge matches the sequential " +
     "low-discrepancy reference; shares track weights") {
     import org.apache.spark.sql.functions.{col, lit, when}
