@@ -66,5 +66,12 @@ object SparkEntry {
         "real vectors have no closed-form SQL mirror. The identical " +
         "machinery is hash-match oracle-checked on planted clusters by " +
         "q_emb_kmeans; determinism and convergence are pinned in " +
-        "KmeansSpec. Kept as the bench's clustering workload."))
+        "KmeansSpec. Kept as the bench's clustering workload."),
+    "q_multimodal_phash_real" ->
+      ("REAL 32×32-DCT perceptual hash over genuine BMP bytes decoded by " +
+        "javax.imageio: the float DCT + median threshold has no SQL " +
+        "mirror. Decode correctness over the IDENTICAL payloads is " +
+        "hash-match oracle-checked by q_multimodal_decode; pHash " +
+        "semantics (dup ≡ equal, near-dup ≈ close, unrelated ≈ far, " +
+        "partitioning independence) are pinned in MultimodalSpec."))
 }

@@ -323,6 +323,32 @@ object StreamingQueries {
         col("doc_id") +:
           (0 until 8).map(i =>
             element_at(col("features"), i + 1).cast(DoubleType).as(s"f$i")): _*)
+    }),
+
+    // REAL image bytes end-to-end: every document becomes a genuine 24-bit
+    // BMP of a deterministic test pattern (hand-rolled encoder — valid
+    // header, bottom-up padded BGR rows), which javax.imageio then decodes
+    // back to pixels. The checked columns — sniffed format, decoded
+    // dimensions, and the per-pixel BT.601 luma sum — can only be produced
+    // by an actual decode, while the deterministic pattern lets the DuckDB
+    // oracle predict them arithmetically. This is the production decode
+    // path (the MD5 stub remains only where no codec exists: audio/video).
+    "q_multimodal_decode" -> ((s, dir) => {
+      val docs = Tables.star(s, dir, "documents").df.select(col("doc_id"))
+      Multimodal.decodeImages(
+        Multimodal.synthesizeBmp(docs, "doc_id"), "doc_id", "payload")
+    }),
+
+    // REAL perceptual hash over the same genuine BMPs: javax.imageio
+    // decode → BT.601 luma → 32×32 nearest-neighbor → separable 2-D
+    // DCT-II → median-thresholded low-frequency block → 64-bit pHash.
+    // Rows-only at the gate (a SQL engine cannot mirror the float DCT);
+    // exactness/invariance pinned in MultimodalSpec, decode correctness by
+    // the oracle-matched q_multimodal_decode over identical payloads.
+    "q_multimodal_phash_real" -> ((s, dir) => {
+      val docs = Tables.star(s, dir, "documents").df.select(col("doc_id"))
+      Multimodal.phash64(
+        Multimodal.synthesizeBmp(docs, "doc_id"), "doc_id", "payload")
     })
   )
 
@@ -450,6 +476,26 @@ object StreamingQueries {
       """SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
         |  CAST(4 * (octet_length(encode(text)) // 4) AS BIGINT) AS frame_bytes
         |FROM documents""".stripMargin,
+
+    // Mirrors the REAL decode arithmetically: the engine draws gray value
+    // (id·31 + x·7 + y·13) mod 256 at pixel (x,y) of a w×h BMP
+    // (w = 8 + id%9 ≤ 16, h = 8 + id%7 ≤ 14), and BT.601 luma of an equal
+    //-RGB gray IS that gray, so the decoded luma sum is a pure integer
+    // formula. A wrong header, row order, padding, or channel mapping on
+    // the engine side breaks the hash.
+    "q_multimodal_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |xs AS (SELECT unnest(generate_series(0, 15)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 13)) AS y)
+        |SELECT d.doc_id, 'bmp' AS format,
+        |  CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(sum((d.doc_id * 31 + xs.x * 7 + ys.y * 13) % 256) AS BIGINT)
+        |    AS gray_sum
+        |FROM d, xs, ys
+        |WHERE xs.x < d.w AND ys.y < d.h
+        |GROUP BY d.doc_id, d.w, d.h""".stripMargin,
 
     // Mirrors the MD5-derived stub arithmetic exactly: h = first 16 bits of
     // md5(utf8 bytes); f_i = float32 of ((h*(i+1)) % 65536)/65535 - 0.5,
