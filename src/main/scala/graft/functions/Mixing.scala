@@ -281,20 +281,25 @@ object Mixing {
     * (inherits the rank barrier); caller owns one unpersist(). */
   def matchDistribution(df: DataFrame, idCol: String, bucketCol: String,
                         share: Column): DataFrame = {
-    val d = df.withColumn("__s", share.cast("long"))
-      .filter(col("__s") > 0)
-      .withColumn("__h", md5(col(idCol).cast("string")))
     // share must be CONSTANT per bucket: a within-bucket disagreement
     // splits the (bucket, __s) group, corrupting the global scale M and
     // every per-bucket quota SILENTLY. Probe the distinct pairs (bounded
-    // by the bucket count), the interleaveSources validation pattern.
-    val multi = d.select(col(bucketCol), col("__s")).distinct()
+    // by the bucket count), the interleaveSources validation pattern —
+    // on the RAW share expression, BEFORE the long cast and the __s > 0
+    // filter: a bucket mixing share=2 with share=0 rows, or fractional
+    // shares 2.4 vs 2.9 that both cast to 2, is a genuine disagreement
+    // the post-cast probe would wave through.
+    val multi = df.select(share.as("__sraw"), col(bucketCol))
+      .distinct()
       .groupBy(col(bucketCol)).agg(count(lit(1)).as("__k"))
       .filter(col("__k") > 1).limit(1).collect()
     require(multi.isEmpty,
       s"matchDistribution: share must be constant per bucket; bucket " +
         s"'${if (multi.nonEmpty) multi.head.get(0) else ""}' carries " +
         "multiple distinct share values")
+    val d = df.withColumn("__s", share.cast("long"))
+      .filter(col("__s") > 0)
+      .withColumn("__h", md5(col(idCol).cast("string")))
     val m = d.groupBy(col(bucketCol), col("__s"))
       .agg(count(lit(1)).as("__n"))
       .agg(min(graft.functions.Windowing.intDivPublic(col("__n"), col("__s")))

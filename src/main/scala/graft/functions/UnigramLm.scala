@@ -40,34 +40,48 @@ object UnigramLm {
     * DuckDB/libm (scaled `nearbyint`) then round the SAME double to
     * DIFFERENT values — the q_doc_dsir round-5/6 driver-gate failure.
     *
-    * This helper never forms the IEEE quotient. The decimal sum (scale
-    * `sumScale`) is converted to its exact scaled BIGINT — cast to
-    * DECIMAL(24,S) (|sum| < 10^(24−S), far above any per-doc log sum),
-    * multiplied by 10^S as DECIMAL(S+1,0) so the product precision
-    * 24+(S+1)+1 ≤ 38 never trips adjustPrecisionScale, cast to BIGINT
-    * (integer-valued, exact) — then the mean is one INTEGRAL division,
-    * rounded half-away-from-zero (matching BigDecimal HALF_UP):
+    * This helper never forms the IEEE quotient, and it never leaves exact
+    * DECIMAL until the answer is a small integer. The mean is ONE integral
+    * division rounded half-away-from-zero (matching BigDecimal HALF_UP):
     *
-    *   mean·10^out = (|num| + n·10^(S−out)/2) div (n·10^(S−out)), signed
+    *   mean·10^out = (|sum·10^S| + n·10^(S−out)/2) div (n·10^(S−out)), signed
     *
-    * Both `div` (Spark) and `//` (DuckDB) truncate toward zero, and both
-    * branches keep the operands non-negative, so floor≡truncate and the
-    * engines agree bit-for-bit. The final `/10^out` maps a small integer
-    * through one exact IEEE double division — deterministic everywhere.
-    * Mirror: the DuckDB oracle side is `Tables.pinnedMeanSql`. */
+    * computed without ever materializing sum·10^S as a machine integer:
+    * Spark's `div` on DECIMAL operands is BigDecimal
+    * `divideToIntegralValue` (exact, truncating toward zero — verified:
+    * 0.999999999999 div 1 = 0, no intermediate rounding), so the identity
+    * (NUM + H) div D = (NUM·10^−S + H·10^−S) div (D·10^−S) lets the sum
+    * stay a DECIMAL(30,S) and the half/denominator be n × small exact
+    * decimal literals (5·10^−(out+1) and 10^−out). Addition precision is
+    * max(30−S, 20) + S + 1 ≤ 38, so adjustPrecisionScale never fires.
+    *
+    * Overflow bound: exact while |sum| < 10^(30−S) — at S=12 that is
+    * 10^18, i.e. a single document would need ~2·10^16 tokens (a ~100 PB
+    * document) to reach it. The previous formulation cast sum·10^S to
+    * BIGINT, a ~9.2·10^(18−S) cliff (≈9.2e6 at S=12 — reachable by a very
+    * long document) where Spark's non-ANSI cast silently NULLed while
+    * DuckDB errored. Both engines now share the 10^(30−S) bound, and the
+    * DuckDB mirror (`Tables.pinnedMeanSql`, HUGEINT arithmetic) errors
+    * loudly rather than silently diverging if it is ever exceeded.
+    *
+    * Both `div` (Spark DECIMAL) and `//` (DuckDB HUGEINT) truncate toward
+    * zero, and both CASE branches keep the operands non-negative, so
+    * floor ≡ truncate and the engines agree bit-for-bit. The final
+    * `/10^out` maps a small integer through one exact IEEE double
+    * division — deterministic everywhere. */
   private[graft] def pinnedMean(sumName: String, nName: String,
                                 sumScale: Int, outScale: Int,
                                 negate: Boolean = false): Column = {
     require(sumScale - outScale >= 1,
       s"pinnedMean: sumScale $sumScale must exceed outScale $outScale")
-    val tenS    = "1" + "0" * sumScale
-    val denMul  = "1" + "0" * (sumScale - outScale)
-    val halfMul = "5" + "0" * (sumScale - outScale - 1)
+    val halfLit = "0." + "0" * outScale + "5"       // 5·10^-(out+1)
+    val denLit  = "0." + "0" * (outScale - 1) + "1" // 10^-out
     val sgn = if (negate) "-" else ""
-    val num = s"CAST(CAST($sgn`$sumName` AS DECIMAL(24,$sumScale)) * " +
-      s"CAST($tenS AS DECIMAL(${sumScale + 1},0)) AS BIGINT)"
-    val den  = s"(`$nName` * CAST($denMul AS BIGINT))"
-    val half = s"(`$nName` * CAST($halfMul AS BIGINT))"
+    val num  = s"CAST($sgn`$sumName` AS DECIMAL(30,$sumScale))"
+    val half = s"(CAST(`$nName` AS DECIMAL(19,0)) * " +
+      s"CAST($halfLit AS DECIMAL(${outScale + 1},${outScale + 1})))"
+    val den  = s"(CAST(`$nName` AS DECIMAL(19,0)) * " +
+      s"CAST($denLit AS DECIMAL($outScale,$outScale)))"
     expr(s"CASE WHEN $num >= 0 THEN ($num + $half) div $den " +
          s"ELSE -((-($num) + $half) div $den) END") /
       lit(math.pow(10.0, outScale))

@@ -482,7 +482,10 @@ object StreamingQueries {
     // (w = 8 + id%9 ≤ 16, h = 8 + id%7 ≤ 14), and BT.601 luma of an equal
     //-RGB gray IS that gray, so the decoded luma sum is a pure integer
     // formula. A wrong header, row order, padding, or channel mapping on
-    // the engine side breaks the hash.
+    // the engine side breaks the hash. The mod mirrors the engine's
+    // NON-NEGATIVE normalization (((e % 256) + 256) % 256): DuckDB's bare
+    // `%` takes the dividend's sign, so a negative doc_id would otherwise
+    // diverge silently from patternGray's +256 wrap.
     "q_multimodal_decode" ->
       """WITH d AS (
         |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
@@ -491,8 +494,8 @@ object StreamingQueries {
         |ys AS (SELECT unnest(generate_series(0, 13)) AS y)
         |SELECT d.doc_id, 'bmp' AS format,
         |  CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
-        |  CAST(sum((d.doc_id * 31 + xs.x * 7 + ys.y * 13) % 256) AS BIGINT)
-        |    AS gray_sum
+        |  CAST(sum((((d.doc_id * 31 + xs.x * 7 + ys.y * 13) % 256) + 256) % 256)
+        |    AS BIGINT) AS gray_sum
         |FROM d, xs, ys
         |WHERE xs.x < d.w AND ys.y < d.h
         |GROUP BY d.doc_id, d.w, d.h""".stripMargin,

@@ -39,14 +39,21 @@ object Tables {
     StarTable.fromDataFrame(df(spark, dir, name), name)
 
   /** DuckDB mirror of `UnigramLm.pinnedMean` — the boundary-free rounded
-    * mean of an exact DECIMAL sum, as one SQL scalar expression. Identical
-    * integer arithmetic to the engine side: exact scaled-BIGINT numerator
-    * (DECIMAL(24,S) × 10^S — DuckDB multiply precision 24+(S+1) ≤ 38,
-    * exact), half-away-from-zero integral division (`//` truncates toward
-    * zero like Spark's `div`; both CASE branches keep operands
-    * non-negative so floor ≡ truncate), then one exact small-int/10^out
-    * double division. Never forms the IEEE quotient whose `round()` the
-    * two engines disagree on at `outScale`-decimal boundaries. */
+    * mean of an exact DECIMAL sum, as one SQL scalar expression. The
+    * scaled numerator sum·10^S is built in HUGEINT (int128) via the exact
+    * decomposition  TRUNC(s)·10^S + (s − TRUNC(s))·10^S  — DuckDB's
+    * TRUNC keeps DECIMAL(38,0) and the fractional product's value is
+    * < 10^S, so both casts to HUGEINT are exact and the old BIGINT
+    * formulation's ~9.2·10^(18−S) overflow cliff is gone (an out-of-range
+    * value now errors loudly in DuckDB instead of silently diverging from
+    * a NULLing Spark cast; the engine side is exact to |sum| < 10^(30−S)).
+    * Half-away-from-zero integral division (`//` on HUGEINT truncates
+    * toward zero like Spark's decimal `div`; both CASE branches keep
+    * operands non-negative so floor ≡ truncate), result cast to BIGINT
+    * (small by construction — no HUGEINT reaches the output schema), then
+    * one exact small-int/10^out double division. Never forms the IEEE
+    * quotient whose `round()` the two engines disagree on at
+    * `outScale`-decimal boundaries. */
   def pinnedMeanSql(sumSql: String, nSql: String,
                     sumScale: Int, outScale: Int,
                     negate: Boolean = false): String = {
@@ -55,11 +62,12 @@ object Tables {
     val denMul  = "1" + "0" * (sumScale - outScale)
     val halfMul = "5" + "0" * (sumScale - outScale - 1)
     val sgn = if (negate) "-" else ""
-    val num = s"CAST(CAST($sgn($sumSql) AS DECIMAL(24,$sumScale)) * " +
-      s"CAST($tenS AS DECIMAL(${sumScale + 1},0)) AS BIGINT)"
-    val den  = s"(($nSql) * CAST($denMul AS BIGINT))"
-    val half = s"(($nSql) * CAST($halfMul AS BIGINT))"
-    s"(CASE WHEN $num >= 0 THEN ($num + $half) // $den " +
-      s"ELSE -((-($num) + $half) // $den) END / ${"1" + "0" * outScale}.0)"
+    val s0  = s"($sgn($sumSql))"
+    val num = s"(CAST(TRUNC($s0) AS HUGEINT) * CAST($tenS AS HUGEINT) + " +
+      s"CAST(($s0 - TRUNC($s0)) * $tenS AS HUGEINT))"
+    val den  = s"(CAST($nSql AS HUGEINT) * CAST($denMul AS HUGEINT))"
+    val half = s"(CAST($nSql AS HUGEINT) * CAST($halfMul AS HUGEINT))"
+    s"(CAST(CASE WHEN $num >= 0 THEN ($num + $half) // $den " +
+      s"ELSE -((-($num) + $half) // $den) END AS BIGINT) / ${"1" + "0" * outScale}.0)"
   }
 }

@@ -35,6 +35,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(neg == -7.0001)
   }
 
+  test("pinnedMean survives sums past the old scaled-BIGINT cliff") {
+    // The r7 formulation cast sum·10^12 to BIGINT, overflowing (silent
+    // NULL under Spark's non-ANSI cast) at |sum| > ~9.2e6 — reachable by
+    // a very long document. The decimal-div formulation is exact to
+    // |sum| < 10^18; values just past the old cliff must come back exact,
+    // boundary rounding included, not NULL.
+    val rows = Seq(
+      (BigDecimal("9300000.000050000000"), 1L, 9300000.0001),
+      (BigDecimal("-9300000.000050000000"), 1L, -9300000.0001),
+      (BigDecimal("123456789012.345650000000"), 1L, 123456789012.3457),
+      (BigDecimal("18600000.000100000000"), 2L, 9300000.0001))
+    val df = rows.map { case (s, n, _) => (s, n) }.toDF("__sum", "n_tokens")
+      .select(col("__sum").cast("decimal(28,12)").as("__sum"), col("n_tokens"))
+    val got = df.select(graft.functions.UnigramLm
+        .pinnedMean("__sum", "n_tokens", 12, 4).as("m"))
+      .collect()
+    got.foreach(r => assert(!r.isNullAt(0), "overflow NULL leaked"))
+    rows.map(_._3).zip(got.map(_.getDouble(0))).foreach {
+      case (want, g) => assert(g == want, s"want $want got $g")
+    }
+  }
+
   test("tokenCount / charCount / avgWordLength") {
     val df = Seq("the cat sat", "", "a  b").toDF("t")
     val r = df.select(

@@ -173,6 +173,28 @@ class QualityMixSpec extends AnyFunSuite {
     assert(e.getMessage.contains("constant per bucket"), e.getMessage)
   }
 
+  test("matchDistribution probes the RAW share — pre-cast, pre-filter") {
+    import org.apache.spark.sql.functions.{col, when}
+    val df = (0L until 20L).map(i => (i, if (i < 10) "a" else "b"))
+      .toDF("id", "bkt")
+    // fractional disagreement 2.4 vs 2.9 — both cast to long 2, so a
+    // post-cast probe would wave it through
+    val frac = when(col("bkt") === "a",
+      when(col("id") % 2 === 0, 2.4).otherwise(2.9)).otherwise(1.0)
+    val e1 = intercept[IllegalArgumentException] {
+      Mixing.matchDistribution(df, "id", "bkt", frac)
+    }
+    assert(e1.getMessage.contains("constant per bucket"), e1.getMessage)
+    // share 2 mixed with share 0 in one bucket — the 0 rows vanish under
+    // the __s > 0 filter, so a post-filter probe would wave it through
+    val zeroMix = when(col("bkt") === "a",
+      when(col("id") % 2 === 0, 2).otherwise(0)).otherwise(1)
+    val e2 = intercept[IllegalArgumentException] {
+      Mixing.matchDistribution(df, "id", "bkt", zeroMix)
+    }
+    assert(e2.getMessage.contains("constant per bucket"), e2.getMessage)
+  }
+
   test("interleaveSources: smooth weighted merge matches the sequential " +
     "low-discrepancy reference; shares track weights") {
     import org.apache.spark.sql.functions.{col, lit, when}
