@@ -4,7 +4,7 @@ import java.io.Writer
 import java.nio.file.{Files, Path, Paths}
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -287,7 +287,15 @@ object CsvWriter {
     */
   def writeDistributed(t: StarTable, outDir: String, sep: String = DefaultSep,
                        naRep: String = DefaultNaRep): Unit = {
-    val cols = t.columnNames.zipWithIndex.map { case (c, ci) =>
+    val lines = rowLines(t, sep, naRep)
+    lines.write.mode("overwrite").text(outDir)
+    val header = s"**${t.name}$sep\n" + t.destinations.mkString(" ") + "\n" +
+      t.columnNames.mkString(sep) + "\n" + t.units.mkString(sep) + "\n"
+    Files.writeString(Paths.get(outDir, "_header.txt"), header)
+  }
+
+  private def distributedCells(t: StarTable, naRep: String): Seq[Column] = {
+    t.columnNames.zipWithIndex.map { case (c, ci) =>
       val u = t.unit(c)
       u match {
         case "onoff" =>
@@ -322,11 +330,37 @@ object CsvWriter {
           coalesce(base.cast(StringType), lit(naRep))
       }
     }
-    val lines = t.df.select(concat_ws(sep, cols: _*).as("value"))
-    lines.write.mode("overwrite").text(outDir)
-    val header = s"**${t.name}$sep\n" + t.destinations.mkString(" ") + "\n" +
-      t.columnNames.mkString(sep) + "\n" + t.units.mkString(sep) + "\n"
-    Files.writeString(Paths.get(outDir, "_header.txt"), header)
+  }
+
+  /** Scale path #2 — a StarTable DATASET directory: every partition writes
+    * one COMPLETE StarTable CSV (its own 4-line header + its rows), so the
+    * output is a directory of self-describing files the `startable` DSv2
+    * connector scans with one input partition per file — the parquet-style
+    * parallel layout, written and read with zero driver-side data IO (the
+    * header is 4 constant strings each task prepends). An empty partition
+    * yields a valid header-only file (0 rows). `numFiles > 0` repartitions
+    * first (one shuffle, when output file count must be controlled);
+    * `numFiles = 0` keeps the upstream partitioning — narrow, no shuffle. */
+  def writeDataset(t: StarTable, outDir: String, sep: String = DefaultSep,
+                   naRep: String = DefaultNaRep, numFiles: Int = 0): Unit = {
+    val spark = t.df.sparkSession
+    import spark.implicits._
+    val header = Seq(
+      s"**${t.name}$sep", t.destinations.mkString(" "),
+      t.columnNames.mkString(sep), t.units.mkString(sep))
+    val rows = rowLines(t, sep, naRep)
+    val parts = if (numFiles > 0) rows.repartition(numFiles) else rows
+    parts.as[String]
+      .mapPartitions(it => header.iterator ++ it)
+      .write.mode("overwrite").text(outDir)
+  }
+
+  /** The codegen'd data-row rendering shared by [[writeDistributed]] and
+    * [[writeDataset]]: one string column per output line, bit-faithful to
+    * the driver-side writer's representation rules. */
+  private def rowLines(t: StarTable, sep: String, naRep: String): DataFrame = {
+    val cols = distributedCells(t, naRep)
+    t.df.select(concat_ws(sep, cols: _*).as("value"))
   }
 
   /** Merge a [[writeDistributed]] output directory into one StarTable CSV

@@ -24,7 +24,7 @@ import graft.parse.{BlockType, Blocks, ParsedTable}
   *   spark.read.format("startable")
   *     .option("table", "places_to_go")   // block name; default: first table
   *     .option("sep", ";")
-  *     .load("/data/inputs")              // a file or a directory of .csv
+  *     .load("/data/inputs")              // a file, or a directory of StarTable files
   * }}}
   *
   * Spark-native integration points, mirroring what the built-in file
@@ -317,8 +317,15 @@ private[graft] object StarTableSource {
       val p = new org.apache.hadoop.fs.Path(r)
       val fs = p.getFileSystem(conf)
       if (fs.getFileStatus(p).isDirectory)
+        // Spark file-source listing convention: every visible file counts;
+        // `_*` (markers like _SUCCESS/_header.txt) and `.*` (hidden/staging)
+        // are skipped. This is what lets a Csv.writeDataset output directory
+        // (self-describing part-*.txt files) be read back directly.
         fs.listStatus(p).toSeq
-          .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".csv"))
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
           .map(_.getPath.toString)
           .sorted
       else Seq(r)

@@ -218,4 +218,30 @@ class CsvRoundTripSpec extends AnyFunSuite {
     val back = CsvReader.readBundleFromString(spark, full).unique("foo")
     assert(t.equalsTable(back))
   }
+
+  test("writeDataset: every part is a complete StarTable CSV; the connector " +
+    "reads the directory back losslessly (empty partitions included)") {
+    val t = places
+    val dir = java.nio.file.Files.createTempDirectory("graft_ds_csv").toString
+    // more output files than rows forces at least one EMPTY partition —
+    // its part must still be a valid header-only StarTable file
+    CsvWriter.writeDataset(t, s"$dir/ds", numFiles = 8)
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/ds"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq
+    assert(parts.size == 8, s"expected 8 part files, got $parts")
+    parts.foreach { p =>
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$dir/ds/$p")).asScala
+      assert(lines.take(1).exists(_.startsWith("**foo")),
+        s"part $p is not self-describing: ${lines.take(1)}")
+      assert(lines.size >= 4, s"part $p lacks the 4-line header")
+    }
+    val back = StarTable.fromDataFrame(
+      spark.read.format("startable").load(s"$dir/ds"), "foo",
+      units = t.columnNames.map(c => c -> t.unit(c)).toMap)
+    assert(t.equalsTable(back),
+      "dataset-layout round trip lost rows, types, or values")
+  }
 }

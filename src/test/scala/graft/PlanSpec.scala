@@ -35,6 +35,36 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.contains(s"($c"), s"$c filter not pushed:\n$plan"))
   }
 
+  test("connector-gate Q6 pushes every predicate INTO the StarTable parse " +
+    "and prunes the read schema") {
+    // The driver-gate query q_startable_connector must scan through the
+    // DSv2 connector with all four q6 predicates pushed (the engine analog
+    // of the reference's early-filter headline) and pushdown must actually
+    // FIRE row skips during execution.
+    val df = RelationalQueries.queries("q_startable_connector")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("startable table=lineitem_slim"),
+      s"scan is not the startable connector:\n$plan")
+    assert(plan.contains("PushedFilters: ["), s"no pushdown section:\n$plan")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity").foreach(f =>
+      assert(plan.contains(f), s"$f not pushed into the parse:\n$plan"))
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val row = df.collect()(0)
+    assert(row.getLong(1) > 0, "connector scan returned an empty q6 slice")
+    assert(graft.sources.StarTableSource.rowsFiltered.sum() > 0,
+      "pushdown never fired at the parse level")
+    // the dataset variant scans a directory of self-describing files:
+    // one input partition per file, same pushdown
+    val ds = RelationalQueries.queries("q_startable_dataset")(spark, sfDir)
+    val dsPlan = ds.queryExecution.executedPlan.toString
+    assert(dsPlan.contains("PushedFilters: [") &&
+      dsPlan.contains("GreaterThanOrEqual(l_shipdate"), dsPlan)
+    assert(ds.collect()(0) == row,
+      "dataset-layout connector result differs from single-file result")
+  }
+
   test("Q1 aggregates partially before the shuffle (map-side combine)") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.contains("partial_sum") || plan.contains("partial_"),
