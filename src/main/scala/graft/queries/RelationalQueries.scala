@@ -535,8 +535,43 @@ object RelationalQueries {
       val (_, dsDir) = startableCsvFor(s, dir)
       q6Revenue(s.read.format("startable")
         .option("table", "lineitem_slim").load(dsDir))
+    }),
+
+    // --- Unit-preserving parquet persistence under the gate: lineitem
+    // quantities are written ONCE as StarTable parquet with unit "km"
+    // (units in the parquet field metadata, table metadata in the sidecar
+    // JSON), read back, and converted to meters — the ×1000 factor comes
+    // from the unit READ BACK from the file, and the checked table_name
+    // column comes from the sidecar. A unit or sidecar lost anywhere in
+    // the round trip changes the values or the name and breaks the hash.
+    "q_parquet_units" -> ((s, dir) => {
+      val back = StarTable.readParquet(s, unitParquetFor(s, dir))
+      val conv = back.convertUnits(
+        graft.model.UnitTargets.ByName(Map("l_quantity" -> "m")))
+      conv.df.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_m"),
+          count(lit(1)).as("n"))
+        .withColumn("table_name", lit(back.name))
     })
   )
+
+  /** Build-once-per-dataset unit-carrying StarTable parquet (memoized; the
+    * sidecar is written LAST by writeParquet, so its existence is the
+    * success marker — a crash mid-write leaves no readable half-table). */
+  private def unitParquetFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|upq1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_upq_$key"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_startable_meta.json")))
+      StarTable.writeParquet(StarTable.fromDataFrame(
+        Tables.df(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity")),
+        "lineitem_units", units = Map("l_quantity" -> "km")), path)
+    path
+  }
 
   /** TPC-H Q6 over a connector-provided lineitem slice — identical
     * predicate + exact-decimal aggregation to q6_forecast_revenue. */
@@ -975,6 +1010,16 @@ object RelationalQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
-        |  AND l_quantity < 24""".stripMargin
+        |  AND l_quantity < 24""".stripMargin,
+
+    // km→m is ×1000 on the engine side only if the unit survived the
+    // parquet schema metadata; 'lineitem_units' only if the sidecar did.
+    "q_parquet_units" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity * 1000.0 AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_m,
+        |  count(*) AS n,
+        |  'lineitem_units' AS table_name
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }
