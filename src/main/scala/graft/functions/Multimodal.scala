@@ -311,4 +311,116 @@ object Multimodal {
     }(encoder)
     out.toDF()
   }
+
+  // ------------------------------------------------------------------ audio
+  // REAL audio path — javax.sound.sampled ships with the JDK, so like the
+  // BMP/imageio pair above this is a genuine encode → container parse →
+  // sample decode chain, not a stub: the synthesizer writes valid RIFF/WAVE
+  // PCM bytes any player opens, AudioSystem parses them back, and the
+  // window features are integer arithmetic a SQL oracle predicts exactly.
+  // (Video remains a documented stub: the container has no video codecs.)
+
+  /** 20 ms at 8 kHz — the standard speech analysis frame. */
+  val AudioWindow = 160
+  val AudioRate = 8000
+
+  /** Deterministic 16-bit PCM test sample i of clip `id` — shared by the
+    * WAV synthesizer, the decode oracle SQL, and the specs. Non-negative
+    * mod, like [[patternGray]]. */
+  @inline private[graft] def patternSample(id: Long, i: Int): Int =
+    ((((id * 31 + i.toLong * 7) % 65536L) + 65536L) % 65536L).toInt - 32768
+
+  /** 5–7 whole windows (800–1120 samples, 0.10–0.14 s). */
+  private[graft] def patternSampleCount(id: Long): Int =
+    AudioWindow * (5 + (((id % 3L) + 3L) % 3L).toInt)
+
+  /** Encode one REAL mono 16-bit PCM WAV (44-byte RIFF header + LE
+    * samples) of the deterministic pattern. */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val n = patternSampleCount(id)
+    val dataBytes = n * 2
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(ascii)).putInt(36 + dataBytes)
+      .put("WAVE".getBytes(ascii)).put("fmt ".getBytes(ascii))
+      .putInt(16).putShort(1).putShort(1) // PCM, mono
+      .putInt(AudioRate).putInt(AudioRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes(ascii)).putInt(dataBytes)
+    var i = 0
+    while (i < n) { b.putShort(patternSample(id, i).toShort); i += 1 }
+    b.array()
+  }
+
+  /** (id, payload): one REAL WAV clip per input row. Narrow (no shuffle);
+    * payloads never leave their partition before [[decodeAudioWindows]]. */
+  def synthesizeWav(df: DataFrame, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row(r.get(idIdx), encodeWav(r.getLong(idIdx))))
+    }(encoder).toDF()
+  }
+
+  /** REAL audio decode via javax.sound.sampled over bounded batches: the
+    * RIFF container is parsed by AudioSystem (sample_rate and n_samples
+    * come from the DECODED format/stream, not from our own header math),
+    * the signed little-endian 16-bit samples are re-materialized, and each
+    * 160-sample window emits integer features — (id, sample_rate,
+    * n_samples, window_idx, energy = Σ s², peak_abs = max |s|). Energy
+    * bounds: 160 · 32768² ≈ 1.7e11 per window — far inside Long. A wrong
+    * header offset, byte order, or signedness changes every value. Peak
+    * memory is batchSize × payload, independent of partition size. */
+  def decodeAudioWindows(df: DataFrame, idCol: String, payloadCol: String,
+                         batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("window_idx", IntegerType),
+      StructField("energy", LongType),
+      StructField("peak_abs", IntegerType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](payIdx)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"decodeAudioWindows: expected mono 16-bit signed LE PCM, got $fmt")
+          val nSamples = ais.getFrameLength.toInt
+          val bytes = new Array[Byte](nSamples * 2)
+          var off = 0
+          while (off < bytes.length) {
+            val k = ais.read(bytes, off, bytes.length - off)
+            require(k > 0, "decodeAudioWindows: truncated PCM stream")
+            off += k
+          }
+          val rate = fmt.getSampleRate.toInt
+          val id = r.get(idIdx)
+          (0 until nSamples / AudioWindow).iterator.map { w =>
+            var energy = 0L; var peak = 0; var i = w * AudioWindow
+            val end = i + AudioWindow
+            while (i < end) {
+              val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt
+              energy += s.toLong * s
+              val a = math.abs(s); if (a > peak) peak = a
+              i += 1
+            }
+            Row(id, rate, nSamples.toLong, w, energy, peak)
+          }
+        }
+      }
+    }(encoder).toDF()
+  }
 }

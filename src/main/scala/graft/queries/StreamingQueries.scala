@@ -349,6 +349,21 @@ object StreamingQueries {
       val docs = Tables.star(s, dir, "documents").df.select(col("doc_id"))
       Multimodal.phash64(
         Multimodal.synthesizeBmp(docs, "doc_id"), "doc_id", "payload")
+    }),
+
+    // REAL audio bytes end-to-end — the second real modality, mirroring
+    // q_multimodal_decode's pattern: every document becomes a genuine
+    // RIFF/WAVE 16-bit PCM clip of a deterministic sample pattern,
+    // javax.sound.sampled parses the container and decodes the samples,
+    // and each 20 ms window emits integer energy/peak features. The
+    // checked sample_rate/n_samples come from the DECODED format, and the
+    // window features only match if the header offset, byte order, and
+    // signedness are all right — while the pattern lets DuckDB predict
+    // every value arithmetically.
+    "q_multimodal_audio" -> ((s, dir) => {
+      val docs = Tables.star(s, dir, "documents").df.select(col("doc_id"))
+      Multimodal.decodeAudioWindows(
+        Multimodal.synthesizeWav(docs, "doc_id"), "doc_id", "payload")
     })
   )
 
@@ -499,6 +514,29 @@ object StreamingQueries {
         |FROM d, xs, ys
         |WHERE xs.x < d.w AND ys.y < d.h
         |GROUP BY d.doc_id, d.w, d.h""".stripMargin,
+
+    // Mirrors the REAL audio decode arithmetically: the engine synthesizes
+    // sample s(id,i) = ((id·31 + i·7) mod 65536) − 32768 (non-negative
+    // mod), n = 160·(5 + id mod 3) samples at 8 kHz, and decodes them back
+    // through javax.sound.sampled; window w's energy is Σ s² and peak is
+    // max |s| over samples [160w, 160w+160). DuckDB reproduces the exact
+    // integers from the formula.
+    "q_multimodal_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id, 160 * (5 + (((doc_id % 3) + 3) % 3)) AS n
+        |  FROM documents),
+        |i AS (SELECT unnest(generate_series(0, 1119)) AS i),
+        |s AS (
+        |  SELECT d.doc_id, d.n, i.i,
+        |    ((((d.doc_id * 31 + i.i * 7) % 65536) + 65536) % 65536) - 32768
+        |      AS v
+        |  FROM d, i WHERE i.i < d.n)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(i // 160 AS INT) AS window_idx,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(max(abs(v)) AS INT) AS peak_abs
+        |FROM s GROUP BY doc_id, n, i // 160""".stripMargin,
 
     // Mirrors the MD5-derived stub arithmetic exactly: h = first 16 bits of
     // md5(utf8 bytes); f_i = float32 of ((h*(i+1)) % 65536)/65535 - 0.5,

@@ -106,4 +106,44 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("synthesizeWav emits VALID WAVs javax.sound decodes back to the " +
+    "exact pattern; window features match a sequential reference") {
+    val ids = Seq(0L, 1L, 2L, 7L, 41L)
+    val df = ids.map(i => Tuple1(i)).toDF("id")
+    val rows = Multimodal.decodeAudioWindows(
+      Multimodal.synthesizeWav(df.repartition(3), "id"), "id", "payload")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) ->
+        (r.getInt(1), r.getLong(2), r.getLong(4), r.getInt(5))).toMap
+    ids.foreach { id =>
+      val n = Multimodal.patternSampleCount(id)
+      (0 until n / Multimodal.AudioWindow).foreach { w =>
+        val samples = (w * 160 until w * 160 + 160)
+          .map(i => Multimodal.patternSample(id, i))
+        val want = (Multimodal.AudioRate, n.toLong,
+          samples.map(s => s.toLong * s).sum, samples.map(math.abs).max)
+        assert(rows((id, w)) == want, s"id=$id window=$w")
+      }
+      assert(!rows.contains((id, n / Multimodal.AudioWindow)),
+        "emitted a window past the clip length")
+    }
+    // partitioning and batch size change nothing
+    val again = Multimodal.decodeAudioWindows(
+      Multimodal.synthesizeWav(df.repartition(1), "id"), "id", "payload",
+      batchSize = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) ->
+        (r.getInt(1), r.getLong(2), r.getLong(4), r.getInt(5))).toMap
+    assert(again == rows)
+  }
+
+  test("decodeAudioWindows refuses non-PCM/undecodable payloads loudly") {
+    val junk = Seq((1L, Array[Byte](82, 73, 70, 70, 0, 0, 0, 0)))
+      .toDF("id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.decodeAudioWindows(junk, "id", "payload").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
