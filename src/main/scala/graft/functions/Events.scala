@@ -55,11 +55,14 @@ object Events {
       .select(explode(array(rows: _*)).as("r"), col("__n1"))
       .select(col("r.step").cast("long").as("step"), col("r.event_type"),
         col("r.n_users"),
-        // an empty first step yields 0/0 = NaN — report 0, not a
-        // silently poisoned conversion column
+        // an empty first step yields 0/0 — report 0, not a silently
+        // poisoned conversion column. The ratio itself is the pinned
+        // integer form: n_users/n1 is a count ratio that can land exactly
+        // on a 6-decimal half boundary, where the engines' round()
+        // disagree (see PinnedMath).
         when(col("__n1") > 0,
-          round(col("r.n_users").cast("double") /
-            col("__n1").cast("double"), 6)).otherwise(lit(0.0))
+          graft.functions.PinnedMath.pinnedRatio(
+            col("r.n_users"), col("__n1"), 6)).otherwise(lit(0.0))
           .as("conversion"))
   }
 
@@ -85,7 +88,7 @@ object Events {
     activity.join(base, Seq("__c"))
       .select(col("__c").as("cohort_day"),
         col("day_offset").cast("long").as("day_offset"), col("n_users"),
-        round(col("n_users").cast("double") / col("__n0").cast("double"), 6)
-          .as("retention"))
+        graft.functions.PinnedMath.pinnedRatio(
+          col("n_users"), col("__n0"), 6).as("retention"))
   }
 }

@@ -354,10 +354,12 @@ object AnalyticQueries {
         .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
       val dc = lbl.select(explode(array(col("ca"), col("cb"))).as("c"))
         .groupBy(col("c")).agg(count(lit(1)).as("dc"))
-      val contrib = round(
-        coalesce(col("ec"), lit(0L)).cast(DoubleType) / col("m") -
-          (col("dc").cast(DoubleType) / (lit(2.0) * col("m"))) *
-            (col("dc").cast(DoubleType) / (lit(2.0) * col("m"))), 9)
+      // ec/m − (dc/2m)² = (4·m·ec − dc²)/(4·m²): ONE pinned integer
+      // ratio instead of a three-division IEEE chain
+      val contrib = graft.functions.PinnedMath.pinnedRatio(
+        lit(4) * col("m") * coalesce(col("ec"), lit(0L)) -
+          col("dc") * col("dc"),
+        lit(4) * col("m") * col("m"), 9)
         .cast(DecimalType(28, 9))
       dc.join(intra, Seq("c"), "left").crossJoin(broadcast(mAgg))
         .select(contrib.as("__q"))
@@ -406,9 +408,9 @@ object AnalyticQueries {
           // a community holding the WHOLE graph has denominator 0 and, by
           // construction, cut 0 — its boundary quality is perfect
           when(least(col("vol"), lit(2) * col("m") - col("vol")) > 0,
-            round(coalesce(col("cut"), lit(0L)).cast(DoubleType) /
-              least(col("vol"), lit(2) * col("m") - col("vol"))
-                .cast(DoubleType), 6)).otherwise(lit(0.0))
+            graft.functions.PinnedMath.pinnedRatio(coalesce(col("cut"), lit(0L)),
+              least(col("vol"), lit(2) * col("m") - col("vol")), 6))
+            .otherwise(lit(0.0))
             .as("conductance"))
         .orderBy(col("n_nodes").desc, col("community").asc).limit(10)
         .withColumn("rank", row_number().over(win).cast(LongType))
@@ -598,8 +600,8 @@ object AnalyticQueries {
         .join(broadcast(sizes.select(col("event_type").as("tb"),
           col("nu").as("nb"))), Seq("tb"))
         .select(col("ta"), col("tb"), col("n_shared"), col("na"), col("nb"),
-          round(col("n_shared").cast(DoubleType) /
-            (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+          graft.functions.PinnedMath.pinnedRatio(col("n_shared"),
+            col("na") + col("nb") - col("n_shared"), 6).as("jaccard"))
     }),
 
     // Mann-Whitney U rank-sum test (two-sided companion to the KS gate):
@@ -629,8 +631,8 @@ object AnalyticQueries {
       agg.select(
         (col("r1x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
         col("n1"), col("n2"),
-        round((col("r1x2") - col("n1") * (col("n1") + 1)).cast(DoubleType) /
-          (lit(2.0) * col("n1") * col("n2")), 6).as("effect_cl"))
+        graft.functions.PinnedMath.pinnedRatio(col("r1x2") - col("n1") * (col("n1") + 1),
+          lit(2) * col("n1") * col("n2"), 6).as("effect_cl"))
     }),
 
     // Gini concentration of the per-source document mass: 0 = sources
@@ -645,9 +647,10 @@ object AnalyticQueries {
       ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("tot"),
           sum(col("i") * col("x")).as("ix"))
         .select(col("n"), col("tot"),
-          round(lit(2.0) * col("ix").cast(DoubleType) /
-            (col("n").cast(DoubleType) * col("tot")) -
-            (col("n") + 1).cast(DoubleType) / col("n"), 6).as("gini"))
+          // 2·ix/(n·tot) − (n+1)/n = (2·ix − (n+1)·tot)/(n·tot): ONE
+          // pinned integer ratio instead of two IEEE quotients
+          graft.functions.PinnedMath.pinnedRatio(lit(2) * col("ix") - (col("n") + 1) * col("tot"),
+            col("n") * col("tot"), 6).as("gini"))
     }),
 
     // Two-sample Kolmogorov-Smirnov drift test between two sources'
@@ -667,9 +670,10 @@ object AnalyticQueries {
       val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       val w = Window.orderBy(col("n_chars"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val d = round(abs(
-        sum(col("c1")).over(w).cast(DoubleType) / col("n1") -
-          sum(col("c2")).over(w).cast(DoubleType) / col("n2")), 6)
+      // |F1 − F2| = |c1cum·n2 − c2cum·n1| / (n1·n2): pinned integer ratio
+      val d = graft.functions.PinnedMath.pinnedRatio(abs(
+        sum(col("c1")).over(w) * col("n2") -
+          sum(col("c2")).over(w) * col("n1")), col("n1") * col("n2"), 6)
       counts.crossJoin(broadcast(tot))
         .select(col("n_chars"), d.as("d"))
         .agg(max(col("d")).as("ks_d"),
@@ -694,8 +698,7 @@ object AnalyticQueries {
         .agg(sum(col("n")).as("tn"), count(lit(1)).as("tc"))
       cells.join(broadcast(tot), Seq("event_type"))
         .select(col("event_type"), col("dow"), col("hod"), col("n"),
-          round(col("n").cast(DoubleType) /
-            (col("tn").cast(DoubleType) / col("tc")), 4).as("lift"))
+          graft.functions.PinnedMath.pinnedRatio(col("n") * col("tc"), col("tn"), 4).as("lift"))
     }),
 
     // Robust outlier detection per event type: the modified z-score
@@ -718,12 +721,15 @@ object AnalyticQueries {
           Seq("event_type"), Seq("dev", "event_id"), Seq(50),
           numPartitions = 8)
         .select(col("event_type"), col("dev").as("mad"))
-      val z = round(lit(0.6745) * col("dev") / col("mad"), 4)
+      // exact cutoff: 0.6745·dev/mad > 3.5 ⟺ 1349·dev > 7000·mad
+      // (×2000 both sides — two exact-small-integer IEEE products, no
+      // quotient, no round, identical in any engine)
+      val isOut = lit(1349.0) * col("dev") > lit(7000.0) * col("mad")
       dev.join(broadcast(mad), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
           max(col("mad")).as("mad"),
-          sum(when(col("mad") > 0 && z > 3.5, 1L).otherwise(0L))
+          sum(when(col("mad") > 0 && isOut, 1L).otherwise(0L))
             .as("n_outliers"))
     }),
 
@@ -848,7 +854,7 @@ object AnalyticQueries {
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
         .crossJoin(total)
         .select(col("digit"), col("n"),
-          round(col("n").cast(DoubleType) / col("__t"), 6).as("share"),
+          graft.functions.PinnedMath.pinnedRatio(col("n"), col("__t"), 6).as("share"),
           round(log(10.0,
             lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)), 6)
             .as("benford"))
@@ -884,8 +890,8 @@ object AnalyticQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_gaps"),
           max(col("gap")).as("max_gap_us"),
-          round(sum(col("gap")).cast(DoubleType) / count(lit(1)) / 1e6, 6)
-            .as("avg_gap_s"))
+          graft.functions.PinnedMath.pinnedRatio(sum(col("gap")),
+            count(lit(1)) * lit(1000000L), 6).as("avg_gap_s"))
     }),
 
     // Time-weighted average value per user (TWAP): each observation holds
@@ -907,9 +913,11 @@ object AnalyticQueries {
       lagged.filter(col("lag_ts").isNotNull)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_intervals"),
-          round(sum(contrib).cast(DoubleType) /
-            ((max(unix_micros(col("ts"))) - min(unix_micros(col("lag_ts"))))
-              .cast(DoubleType) / 1e6), 6).as("twap"))
+          // Σcontrib / (span_us/1e6) = Σcontrib·10^6 / span_us with an
+          // integral numerator (contrib has scale 6) — pinned ratio
+          graft.functions.PinnedMath.pinnedRatio(sum(contrib) * lit(1000000L),
+            max(unix_micros(col("ts"))) - min(unix_micros(col("lag_ts"))),
+            6).as("twap"))
     }),
 
     // --- top user paths ------------------------------------------------------
@@ -953,7 +961,7 @@ object AnalyticQueries {
       val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
       trans.join(broadcast(totals), Seq("from_type"))
         .select(col("from_type"), col("to_type"), col("n"),
-          round(col("n").cast(DoubleType) / col("tot"), 6).as("p"))
+          graft.functions.PinnedMath.pinnedRatio(col("n"), col("tot"), 6).as("p"))
     }),
 
     // --- hourly anomaly detection -------------------------------------------
@@ -1451,10 +1459,11 @@ object AnalyticQueries {
         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
         |SELECT ta, tb, n_shared, sa.nu AS na, sb.nu AS nb,
-        |  round(CAST(n_shared AS DOUBLE) / (sa.nu + sb.nu - n_shared), 6)
-        |    AS jaccard
+        |  PINNED_JACCARD AS jaccard
         |FROM p JOIN sz sa ON p.ta = sa.event_type
-        |       JOIN sz sb ON p.tb = sb.event_type""".stripMargin,
+        |       JOIN sz sb ON p.tb = sb.event_type""".stripMargin
+        .replace("PINNED_JACCARD", Tables.pinnedRatioSql(
+          "n_shared", "sa.nu + sb.nu - n_shared", 6)),
 
     "q_mann_whitney" ->
       """WITH d0 AS (
@@ -1478,9 +1487,10 @@ object AnalyticQueries {
         |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
         |  FROM p)
         |SELECT r1x2 - n1 * (n1 + 1) AS u1_x2, n1, n2,
-        |  round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * n2), 6)
-        |    AS effect_cl
-        |FROM a""".stripMargin,
+        |  PINNED_EFFECT AS effect_cl
+        |FROM a""".stripMargin
+        .replace("PINNED_EFFECT", Tables.pinnedRatioSql(
+          "r1x2 - n1 * (n1 + 1)", "2 * n1 * n2", 6)),
 
     "q_gini_sources" ->
       """WITH s AS (
@@ -1490,10 +1500,11 @@ object AnalyticQueries {
         |  SELECT *, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i
         |  FROM s)
         |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS tot,
-        |  round(2.0 * CAST(sum(i * x) AS DOUBLE) /
-        |    (CAST(count(*) AS DOUBLE) * sum(x)) -
-        |    CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
-        |FROM r""".stripMargin,
+        |  PINNED_GINI AS gini
+        |FROM r""".stripMargin
+        .replace("PINNED_GINI", Tables.pinnedRatioSql(
+          "2 * sum(i * x) - (count(*) + 1) * sum(x)",
+          "count(*) * sum(x)", 6)),
 
     "q_ks_test" ->
       """WITH d0 AS (
@@ -1509,15 +1520,16 @@ object AnalyticQueries {
         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
         |             CAST(sum(c2) AS BIGINT) AS n2 FROM c),
         |r AS (
-        |  SELECT n_chars, round(abs(
-        |    CAST(sum(c1) OVER (ORDER BY n_chars
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.n1
-        |    - CAST(sum(c2) OVER (ORDER BY n_chars
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.n2
-        |    ), 6) AS d
+        |  SELECT n_chars, PINNED_KS_D AS d
         |  FROM c, t)
         |SELECT r.d AS ks_d, r.n_chars AS at_n_chars, t.n1, t.n2
-        |FROM r, t ORDER BY r.d DESC, r.n_chars DESC LIMIT 1""".stripMargin,
+        |FROM r, t ORDER BY r.d DESC, r.n_chars DESC LIMIT 1""".stripMargin
+        .replace("PINNED_KS_D", Tables.pinnedRatioSql(
+          "abs(sum(c1) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED " +
+            "PRECEDING AND CURRENT ROW) * t.n2 - sum(c2) OVER (ORDER BY " +
+            "n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+            "* t.n1)",
+          "t.n1 * t.n2", 6)),
 
     "q_event_seasonal" ->
       """WITH cells AS (
@@ -1530,9 +1542,10 @@ object AnalyticQueries {
         |  FROM cells GROUP BY 1)
         |SELECT c.event_type, CAST(c.dow AS INTEGER) AS dow,
         |  CAST(c.hod AS INTEGER) AS hod, c.n,
-        |  round(CAST(c.n AS DOUBLE) /
-        |    (CAST(t.tn AS DOUBLE) / t.tc), 4) AS lift
-        |FROM cells c JOIN tot t USING (event_type)""".stripMargin,
+        |  PINNED_LIFT AS lift
+        |FROM cells c JOIN tot t USING (event_type)""".stripMargin
+        .replace("PINNED_LIFT",
+          Tables.pinnedRatioSql("c.n * t.tc", "t.tn", 4)),
 
     "q_mad_outliers" ->
       """WITH e AS (SELECT event_type, event_id, value FROM events),
@@ -1559,7 +1572,7 @@ object AnalyticQueries {
         |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
         |  max(d.med) AS med, max(mad.mad) AS mad,
         |  CAST(coalesce(sum(CASE WHEN mad.mad > 0
-        |      AND round(0.6745 * d.dev / mad.mad, 4) > 3.5
+        |      AND 1349 * d.dev > 7000 * mad.mad
         |    THEN 1 END), 0) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type) GROUP BY 1""".stripMargin,
 
@@ -1636,9 +1649,11 @@ object AnalyticQueries {
         |  FROM lineitem),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM d)
         |SELECT digit, CAST(count(*) AS BIGINT) AS n,
-        |  round(CAST(count(*) AS DOUBLE) / t.tt, 6) AS share,
+        |  PINNED_SHARE AS share,
         |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford
-        |FROM d, t GROUP BY digit, t.tt""".stripMargin,
+        |FROM d, t GROUP BY digit, t.tt""".stripMargin
+        .replace("PINNED_SHARE",
+          Tables.pinnedRatioSql("count(*)", "t.tt", 6)),
 
     "q_k_anon" ->
       """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
@@ -1656,11 +1671,12 @@ object AnalyticQueries {
         |                     ORDER BY ts, event_id) AS pval
         |  FROM events)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
-        |  round(CAST(sum(CAST(round(
-        |      pval * (CAST(us - pus AS DOUBLE) / 1000000.0), 6)
-        |      AS DECIMAL(28,6))) AS DOUBLE) /
-        |    (CAST(max(us) - min(pus) AS DOUBLE) / 1000000.0), 6) AS twap
-        |FROM o WHERE pus IS NOT NULL GROUP BY user_id""".stripMargin,
+        |  PINNED_TWAP AS twap
+        |FROM o WHERE pus IS NOT NULL GROUP BY user_id""".stripMargin
+        .replace("PINNED_TWAP", Tables.pinnedRatioSql(
+          "sum(CAST(round(pval * (CAST(us - pus AS DOUBLE) / 1000000.0)," +
+            " 6) AS DECIMAL(28,6))) * 1000000",
+          "max(us) - min(pus)", 6)),
 
     "q_event_gap" ->
       """WITH o AS (
@@ -1670,9 +1686,10 @@ object AnalyticQueries {
         |  FROM events)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
         |  CAST(max(us - pus) AS BIGINT) AS max_gap_us,
-        |  round(CAST(sum(us - pus) AS DOUBLE) / count(*) / 1000000.0, 6)
-        |    AS avg_gap_s
-        |FROM o WHERE pus IS NOT NULL GROUP BY user_id""".stripMargin,
+        |  PINNED_AVG_GAP AS avg_gap_s
+        |FROM o WHERE pus IS NOT NULL GROUP BY user_id""".stripMargin
+        .replace("PINNED_AVG_GAP", Tables.pinnedRatioSql(
+          "sum(us - pus)", "count(*) * 1000000", 6)),
 
     "q_event_ewma" ->
       """WITH o AS (
@@ -1723,8 +1740,9 @@ object AnalyticQueries {
         |  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
         |tot AS (SELECT from_type, sum(n) AS tot FROM t GROUP BY 1)
         |SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
-        |  round(CAST(t.n AS DOUBLE) / CAST(tot.tot AS BIGINT), 6) AS p
-        |FROM t JOIN tot USING (from_type)""".stripMargin,
+        |  PINNED_P AS p
+        |FROM t JOIN tot USING (from_type)""".stripMargin
+        .replace("PINNED_P", Tables.pinnedRatioSql("t.n", "tot.tot", 6)),
 
     "q_event_cusum" ->
       """WITH hourly AS (
@@ -1856,8 +1874,8 @@ object AnalyticQueries {
          |  SELECT sz.c AS community, sz.n_nodes, vol.vol,
          |    coalesce(cut.cut, 0) AS cut,
          |    CASE WHEN least(vol.vol, 2 * mm.m - vol.vol) > 0
-         |      THEN round(CAST(coalesce(cut.cut, 0) AS DOUBLE) /
-         |        CAST(least(vol.vol, 2 * mm.m - vol.vol) AS DOUBLE), 6)
+         |      THEN ${Tables.pinnedRatioSql("coalesce(cut.cut, 0)",
+                    "least(vol.vol, 2 * mm.m - vol.vol)", 6)}
          |      ELSE 0.0 END AS conductance
          |  FROM sz JOIN vol ON sz.c = vol.c
          |       LEFT JOIN cut ON sz.c = cut.c, mm),
@@ -1915,10 +1933,9 @@ object AnalyticQueries {
          |    SELECT ca AS c FROM lbl UNION ALL SELECT cb FROM lbl)
          |  GROUP BY 1),
          |q AS (
-         |  SELECT CAST(round(
-         |      CAST(coalesce(intra.ec, 0) AS DOUBLE) / mm.m -
-         |      (CAST(dcs.dc AS DOUBLE) / (2.0 * mm.m)) *
-         |      (CAST(dcs.dc AS DOUBLE) / (2.0 * mm.m)), 9) AS DECIMAL(28,9))
+         |  SELECT CAST(${Tables.pinnedRatioSql(
+                  "4 * mm.m * coalesce(intra.ec, 0) - dcs.dc * dcs.dc",
+                  "4 * mm.m * mm.m", 9)} AS DECIMAL(28,9))
          |    AS qc
          |  FROM dcs LEFT JOIN intra ON dcs.c = intra.c, mm)
          |SELECT CAST(count(*) AS BIGINT) AS n_communities, mm.m,
@@ -2117,18 +2134,21 @@ object AnalyticQueries {
         |         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3,
         |         (SELECT CAST(count(*) AS BIGINT) FROM s4) AS n4)
         |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, n1 AS n_users,
-        |  CASE WHEN n1 > 0 THEN round(CAST(n1 AS DOUBLE) / n1, 6)
-        |       ELSE 0.0 END AS conversion
+        |  CASE WHEN n1 > 0 THEN PR1 ELSE 0.0 END AS conversion
         |FROM n
         |UNION ALL SELECT 2, 'view', n2,
-        |  CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) ELSE 0.0 END
+        |  CASE WHEN n1 > 0 THEN PR2 ELSE 0.0 END
         |FROM n
         |UNION ALL SELECT 3, 'click', n3,
-        |  CASE WHEN n1 > 0 THEN round(CAST(n3 AS DOUBLE) / n1, 6) ELSE 0.0 END
+        |  CASE WHEN n1 > 0 THEN PR3 ELSE 0.0 END
         |FROM n
         |UNION ALL SELECT 4, 'purchase', n4,
-        |  CASE WHEN n1 > 0 THEN round(CAST(n4 AS DOUBLE) / n1, 6) ELSE 0.0 END
-        |FROM n""".stripMargin,
+        |  CASE WHEN n1 > 0 THEN PR4 ELSE 0.0 END
+        |FROM n""".stripMargin
+        .replace("PR1", Tables.pinnedRatioSql("n1", "n1", 6))
+        .replace("PR2", Tables.pinnedRatioSql("n2", "n1", 6))
+        .replace("PR3", Tables.pinnedRatioSql("n3", "n1", 6))
+        .replace("PR4", Tables.pinnedRatioSql("n4", "n1", 6)),
 
     "q_cohort_retention" ->
       """WITH days AS (
@@ -2143,8 +2163,10 @@ object AnalyticQueries {
         |base AS (SELECT c, n_users AS n0 FROM act WHERE day_offset = 0)
         |SELECT strftime(a.c, '%Y-%m-%d') AS cohort_day,
         |  CAST(a.day_offset AS BIGINT) AS day_offset, a.n_users,
-        |  round(CAST(a.n_users AS DOUBLE) / b.n0, 6) AS retention
-        |FROM act a JOIN base b ON a.c = b.c""".stripMargin,
+        |  PINNED_RETENTION AS retention
+        |FROM act a JOIN base b ON a.c = b.c""".stripMargin
+        .replace("PINNED_RETENTION",
+          Tables.pinnedRatioSql("a.n_users", "b.n0", 6)),
 
     "q_bootstrap_ci" ->
       """WITH d AS (

@@ -54,6 +54,23 @@ object Tables {
     * one exact small-int/10^out double division. Never forms the IEEE
     * quotient whose `round()` the two engines disagree on at
     * `outScale`-decimal boundaries. */
+  /** DuckDB mirror of `PinnedMath.pinnedRatio` — the boundary-free rounded
+    * ratio of two integer expressions (HUGEINT arithmetic, `//` truncates
+    * toward zero like Spark's decimal `div`; both CASE branches keep
+    * operands non-negative so floor ≡ truncate; result cast to BIGINT so
+    * no HUGEINT reaches the output schema). A count ratio is often EXACTLY
+    * representable in binary and can land exactly on a k-decimal half
+    * boundary where the two engines' round() disagree — this never forms
+    * the IEEE quotient at all. */
+  def pinnedRatioSql(numSql: String, denSql: String, outScale: Int): String = {
+    val twoTenK = "2" + "0" * outScale
+    val n = s"CAST(($numSql) AS HUGEINT)"
+    val d = s"CAST(($denSql) AS HUGEINT)"
+    s"(CAST(CASE WHEN $n >= 0 THEN ($n * $twoTenK + $d) // (2 * $d) " +
+      s"ELSE -((-($n) * $twoTenK + $d) // (2 * $d)) END AS BIGINT) / " +
+      s"${"1" + "0" * outScale}.0)"
+  }
+
   def pinnedMeanSql(sumSql: String, nSql: String,
                     sumScale: Int, outScale: Int,
                     negate: Boolean = false): String = {
