@@ -179,8 +179,9 @@ object Decontamination {
       .join(seen, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         (col("n_grams") - coalesce(col("__seen"), lit(0L))).as("n_novel"),
-        round((col("n_grams") - coalesce(col("__seen"), lit(0L)))
-          .cast("double") / col("n_grams"), 6).as("novelty"))
+        PinnedMath.pinnedRatio(
+          col("n_grams") - coalesce(col("__seen"), lit(0L)),
+          col("n_grams"), 6).as("novelty"))
   }
 
   /** Cross-SOURCE contamination matrix: for every pair of groups
@@ -210,8 +211,8 @@ object Decontamination {
       .join(broadcast(sizes.select(col("__s").as("src_b"),
         col("__n").as("__nb"))), Seq("src_b"))
       .select(col("src_a"), col("src_b"), col("n_shared"),
-        round(col("n_shared").cast("double") /
-          least(col("__na"), col("__nb")).cast("double"), 6).as("overlap"))
+        PinnedMath.pinnedRatio(col("n_shared"),
+          least(col("__na"), col("__nb")), 6).as("overlap"))
     Dedup.materializeAndFree(out, sg)
   }
 
@@ -258,8 +259,9 @@ object Decontamination {
       .agg(count(when(col("g").isNotNull && col("__df") >= minDocs, lit(1)))
         .as("n_repeated"))
       .select(col(idCol), col("n_windows"), col("n_repeated"),
-        round(col("n_repeated").cast("double") /
-          col("n_windows").cast("double"), 6).as("rep_ratio"))
+        when(col("n_windows") === 0, lit(0.0)).otherwise(
+          PinnedMath.pinnedRatio(col("n_repeated"), col("n_windows"), 6))
+          .as("rep_ratio"))
   }
 
   /** Deterministic content-hash split assignment: bucket 0..99 derived from

@@ -401,7 +401,8 @@ object Text {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
       .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        PinnedMath.pinnedRatio(col("n_novel"), col("n_grams"), 6)
+          .as("novelty"))
   }
 
   /** Per-group keyness: the top-k tokens most OVER-represented in each

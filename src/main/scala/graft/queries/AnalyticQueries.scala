@@ -567,9 +567,13 @@ object AnalyticQueries {
       val tot = cells.agg(sum(col("o")).as("n"),
         countDistinct(col("lang")).as("nr"),
         countDistinct(col("source")).as("nc"))
-      val e = col("rt").cast(DoubleType) * col("ct") / col("n")
-      val term = round((col("o").cast(DoubleType) - e) *
-        (col("o").cast(DoubleType) - e) / e, 9).cast(DecimalType(28, 9))
+      // (o − rt·ct/n)²/(rt·ct/n) = (o·n − rt·ct)²/(n·rt·ct): ONE pinned
+      // integer ratio (diff squared in DECIMAL so the square never
+      // overflows a Long) instead of a five-op IEEE chain
+      val diff = (col("o") * col("n") - col("rt") * col("ct"))
+        .cast(DecimalType(19, 0))
+      val term = graft.functions.PinnedMath.pinnedRatio(diff * diff,
+        col("n") * col("rt") * col("ct"), 9).cast(DecimalType(28, 9))
       cells.join(broadcast(rowT), Seq("lang"))
         .join(broadcast(colT), Seq("source"))
         .crossJoin(broadcast(tot))
@@ -1435,16 +1439,17 @@ object AnalyticQueries {
         |    CAST(count(DISTINCT source) AS BIGINT) AS nc
         |  FROM cells),
         |q AS (
-        |  SELECT CAST(round(
-        |      (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * ct.ct / t.n) *
-        |      (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * ct.ct / t.n) /
-        |      (CAST(rt.rt AS DOUBLE) * ct.ct / t.n), 9) AS DECIMAL(28,9))
+        |  SELECT CAST(PINNED_CHI2_TERM AS DECIMAL(28,9))
         |      AS tm,
         |    t.nr, t.nc
         |  FROM cells JOIN rt USING (lang) JOIN ct USING (source), t)
         |SELECT round(CAST(sum(tm) AS DOUBLE), 6) AS chi2,
         |  (nr - 1) * (nc - 1) AS dof
-        |FROM q GROUP BY nr, nc""".stripMargin,
+        |FROM q GROUP BY nr, nc""".stripMargin
+        .replace("PINNED_CHI2_TERM", Tables.pinnedRatioSql(
+          "CAST(o * t.n - rt.rt * ct.ct AS HUGEINT) * " +
+            "CAST(o * t.n - rt.rt * ct.ct AS HUGEINT)",
+          "t.n * rt.rt * ct.ct", 9)),
 
     "q_audience_overlap" ->
       """WITH ut AS (

@@ -44,7 +44,7 @@ object ModelQueries {
         .agg(count(lit(1)).as("n"),
           round(min(col("score")), 4).as("min_score"),
           round(max(col("score")), 4).as("max_score"),
-          round(sum(when(col("ok"), 1L).otherwise(0L)).cast(DoubleType) /
+          graft.functions.PinnedMath.pinnedRatio(sum(when(col("ok"), 1L).otherwise(0L)),
             count(lit(1)), 6).as("accuracy"))
     }),
 
@@ -199,9 +199,11 @@ object ModelQueries {
       val tf = star(s, dir, "documents").df
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("k"))
-      val mean = col("s1").cast(DoubleType) / col("df")
-      val vmr = round(
-        (col("s2").cast(DoubleType) / col("df") - mean * mean) / mean, 6)
+      // (s2/df − (s1/df)²)/(s1/df) = (s2·df − s1²)/(df·s1): ONE pinned
+      // integer ratio instead of a four-division IEEE chain
+      val vmr = graft.functions.PinnedMath.pinnedRatio(
+        col("s2") * col("df") - col("s1") * col("s1"),
+        col("df") * col("s1"), 6)
       val stats = tf.groupBy(col("token"))
         .agg(count(lit(1)).as("df"), sum(col("k")).as("s1"),
           sum(col("k") * col("k")).as("s2"))
@@ -227,7 +229,7 @@ object ModelQueries {
       val tot = conf.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
       conf.join(broadcast(tot), Seq("lang"))
         .select(col("lang"), col("lang_pred"), col("n"),
-          round(col("n").cast(DoubleType) / col("tot"), 6).as("frac"))
+          graft.functions.PinnedMath.pinnedRatio(col("n"), col("tot"), 6).as("frac"))
     }),
 
     // Perceptual-hash near-dup detection for media payloads (stub): the
@@ -268,8 +270,8 @@ object ModelQueries {
           count(lit(1)).as("n_distinct"),
           sum((col("k") - 1) * col("len")).as("dup_chars"))
         .select(col("source"), col("n_docs"), col("n_distinct"),
-          round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs"),
-            6).as("dup_rate"),
+          graft.functions.PinnedMath.pinnedRatio(col("n_docs") - col("n_distinct"),
+            col("n_docs"), 6).as("dup_rate"),
           col("dup_chars"))
     }),
 
@@ -297,8 +299,8 @@ object ModelQueries {
           col("nv").as("nv_b"))), Seq("source_b"))
         .select(col("source").as("source_a"), col("source_b"),
           col("nv").as("nv_a"), col("nv_b"), col("shared"),
-          round(col("shared").cast("double") /
-            (col("nv") + col("nv_b") - col("shared")), 6).as("jaccard"))
+          graft.functions.PinnedMath.pinnedRatio(col("shared"),
+            col("nv") + col("nv_b") - col("shared"), 6).as("jaccard"))
     })
   )
 
@@ -349,8 +351,9 @@ object ModelQueries {
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
          |  round(min(score), 4) AS min_score,
          |  round(max(score), 4) AS max_score,
-         |  round(CAST(coalesce(sum(CASE WHEN ok THEN 1 END), 0) AS DOUBLE) /
-         |    count(*), 6) AS accuracy
+         |  ${Tables.pinnedRatioSql(
+              "coalesce(sum(CASE WHEN ok THEN 1 END), 0)", "count(*)", 6)}
+         |    AS accuracy
          |FROM b GROUP BY bucket""".stripMargin,
 
     "q_doc_kn_ppl" ->
@@ -416,7 +419,7 @@ object ModelQueries {
          |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot
          |        FROM conf GROUP BY 1)
          |SELECT c.lang, c.lang_pred, c.n,
-         |  round(CAST(c.n AS DOUBLE) / t.tot, 6) AS frac
+         |  ${Tables.pinnedRatioSql("c.n", "t.tot", 6)} AS frac
          |FROM conf c JOIN tot t ON t.lang = c.lang""".stripMargin
     },
 
@@ -459,14 +462,14 @@ object ModelQueries {
         |  FROM tf GROUP BY 1),
         |scored AS (
         |  SELECT token, df, s1,
-        |    round((CAST(s2 AS DOUBLE) / df -
-        |      (CAST(s1 AS DOUBLE) / df) * (CAST(s1 AS DOUBLE) / df)) /
-        |      (CAST(s1 AS DOUBLE) / df), 6) AS vmr
+        |    PINNED_VMR AS vmr
         |  FROM stats WHERE df >= 20),
         |ranked AS (
         |  SELECT *, row_number() OVER (ORDER BY vmr DESC, token ASC) AS rank
         |  FROM scored)
-        |SELECT token, df, s1, vmr, rank FROM ranked WHERE rank <= 20""".stripMargin,
+        |SELECT token, df, s1, vmr, rank FROM ranked WHERE rank <= 20""".stripMargin
+        .replace("PINNED_VMR", Tables.pinnedRatioSql(
+          "s2 * df - s1 * s1", "df * s1", 6)),
 
     "q_emb_outliers" ->
       """WITH base AS (
@@ -655,10 +658,11 @@ object ModelQueries {
         |  FROM documents GROUP BY 1, 2)
         |SELECT source, CAST(sum(k) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_distinct,
-        |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(k) AS BIGINT), 6)
-        |    AS dup_rate,
+        |  PINNED_DUP_RATE AS dup_rate,
         |  CAST(sum((k - 1) * len) AS BIGINT) AS dup_chars
-        |FROM perfp GROUP BY source""".stripMargin,
+        |FROM perfp GROUP BY source""".stripMargin
+        .replace("PINNED_DUP_RATE", Tables.pinnedRatioSql(
+          "sum(k) - count(*)", "sum(k)", 6)),
 
     "q_source_overlap" ->
       """WITH v AS (
@@ -673,9 +677,10 @@ object ModelQueries {
         |  GROUP BY 1, 2)
         |SELECT sh.source_a, sh.source_b, x.nv AS nv_a, y.nv AS nv_b,
         |  CAST(sh.shared AS BIGINT) AS shared,
-        |  round(CAST(sh.shared AS DOUBLE) / (x.nv + y.nv - sh.shared), 6)
-        |    AS jaccard
+        |  PINNED_SO_JACCARD AS jaccard
         |FROM sh JOIN sz x ON x.source = sh.source_a
         |  JOIN sz y ON y.source = sh.source_b""".stripMargin
+        .replace("PINNED_SO_JACCARD", Tables.pinnedRatioSql(
+          "sh.shared", "x.nv + y.nv - sh.shared", 6))
   )
 }

@@ -163,8 +163,8 @@ object PipelineQueries {
         (sum(col("__n")) - count(lit(1))).cast(LongType).as("n_dup"),
         sum(col("__n") * col("__len")).cast(LongType).as("bytes_total"),
         sum(col("__len")).cast(LongType).as("bytes_unique"),
-        round(sum(col("__n") * col("__len")).cast(DoubleType) /
-          sum(col("__len")).cast(DoubleType), 4).as("dedup_ratio"))
+        graft.functions.PinnedMath.pinnedRatio(sum(col("__n") * col("__len")),
+          sum(col("__len")), 4).as("dedup_ratio"))
     }),
 
     // Cross-document repeated-span removal at CDC-chunk granularity (the
@@ -384,12 +384,9 @@ object PipelineQueries {
       base.crossJoin(broadcast(langs)).crossJoin(broadcast(dups))
         .select(col("n_docs"), col("n_chars"), col("n_tokens"),
           col("n_langs"),
-          round(col("n_en").cast(DoubleType) / col("n_docs"), 6)
-            .as("pct_en"),
-          round(col("n_short").cast(DoubleType) / col("n_docs"), 6)
-            .as("pct_short"),
-          round(col("n_dups").cast(DoubleType) / col("n_docs"), 6)
-            .as("dup_rate"))
+          graft.functions.PinnedMath.pinnedRatio(col("n_en"), col("n_docs"), 6).as("pct_en"),
+          graft.functions.PinnedMath.pinnedRatio(col("n_short"), col("n_docs"), 6).as("pct_short"),
+          graft.functions.PinnedMath.pinnedRatio(col("n_dups"), col("n_docs"), 6).as("dup_rate"))
     }),
 
     // Blocklist screening — one Aho-Corasick DFA pass per document
@@ -557,12 +554,16 @@ object PipelineQueries {
         star(s, dir, "documents").df, "doc_id", "text", n = 4, minDocs = 2)),
 
     // Intra-document repetition: duplicate-token mass per doc.
-    "q_doc_repetition" -> ((s, dir) =>
+    "q_doc_repetition" -> ((s, dir) => {
+      val nTok = Text.tokenCount(col("text")).cast(LongType)
+      val nDis = size(array_distinct(Text.tokens(col("text")))).cast(LongType)
       star(s, dir, "documents").df.select(
         col("doc_id"),
-        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
-        size(array_distinct(Text.tokens(col("text")))).cast(LongType).as("n_distinct"),
-        round(Decontamination.dupTokenRatio(col("text")), 6).as("dup_ratio"))),
+        nTok.as("n_tokens"),
+        nDis.as("n_distinct"),
+        when(nTok === 0, lit(0.0)).otherwise(
+          graft.functions.PinnedMath.pinnedRatio(nTok - nDis, nTok, 6)).as("dup_ratio"))
+    }),
 
     // Grouped top-k via the bounded-heap aggregate (map-side combine, O(k)
     // state per group) — the scale-correct form of "top N docs per language
@@ -1067,9 +1068,15 @@ object PipelineQueries {
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       val a = d.select((col("doc_id")).as("id_a"), col("toks").as("toks_a"))
       val b = d.select((col("doc_id")).as("id_b"), col("toks").as("toks_b"))
+      // |A∩B| / |A∪B| as ONE pinned integer ratio (a small-int ratio can
+      // land exactly on a 6-decimal half boundary; see PinnedMath)
+      val inter = size(array_intersect(array_distinct(col("toks_a")),
+        array_distinct(col("toks_b"))))
+      val uni = size(array_distinct(concat(col("toks_a"), col("toks_b"))))
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
-          round(Text.jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
+          when(uni === 0, lit(0.0)).otherwise(
+            graft.functions.PinnedMath.pinnedRatio(inter, uni, 6)).as("jaccard"))
     }),
 
     // Exact thresholded Jaccard self-join via AllPairs/PPJoin prefix +
@@ -1700,7 +1707,7 @@ object PipelineQueries {
         |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup,
         |  CAST(sum(cnt * len) AS BIGINT) AS bytes_total,
         |  CAST(sum(len) AS BIGINT) AS bytes_unique,
-        |  round(CAST(sum(cnt * len) AS DOUBLE) / CAST(sum(len) AS DOUBLE), 4)
+        |  ${Tables.pinnedRatioSql("sum(cnt * len)", "sum(len)", 4)}
         |    AS dedup_ratio
         |FROM per""".stripMargin,
 
@@ -1975,10 +1982,13 @@ object PipelineQueries {
         |  SELECT CAST(sum(c - 1) AS BIGINT) AS n_dups FROM (
         |    SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1))
         |SELECT n_docs, n_chars, n_tokens, n_langs,
-        |  round(CAST(n_en AS DOUBLE) / n_docs, 6) AS pct_en,
-        |  round(CAST(n_short AS DOUBLE) / n_docs, 6) AS pct_short,
-        |  round(CAST(n_dups AS DOUBLE) / n_docs, 6) AS dup_rate
-        |FROM base, dups""".stripMargin,
+        |  PCT_EN AS pct_en,
+        |  PCT_SHORT AS pct_short,
+        |  DUP_RATE AS dup_rate
+        |FROM base, dups""".stripMargin
+        .replace("PCT_EN", Tables.pinnedRatioSql("n_en", "n_docs", 6))
+        .replace("PCT_SHORT", Tables.pinnedRatioSql("n_short", "n_docs", 6))
+        .replace("DUP_RATE", Tables.pinnedRatioSql("n_dups", "n_docs", 6)),
 
     "q_doc_blocklist" -> {
       val termsSql =
@@ -2006,15 +2016,17 @@ object PipelineQueries {
 
     "q_ngram_jaccard" ->
       """SELECT id_a, id_b,
-        |  round(CASE WHEN len(list_distinct(list_concat(ta, tb))) = 0 THEN 0.0
-        |    ELSE CAST(len(list_intersect(list_distinct(ta), list_distinct(tb))) AS DOUBLE)
-        |      / len(list_distinct(list_concat(ta, tb))) END, 6) AS jaccard
+        |  CASE WHEN len(list_distinct(list_concat(ta, tb))) = 0 THEN 0.0
+        |    ELSE PINNED_NJ END AS jaccard
         |FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    string_split_regex(trim(a.text), '\s+') AS ta,
         |    string_split_regex(trim(b.text), '\s+') AS tb
         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        |)""".stripMargin,
+        |)""".stripMargin
+        .replace("PINNED_NJ", Tables.pinnedRatioSql(
+          "len(list_intersect(list_distinct(ta), list_distinct(tb)))",
+          "len(list_distinct(list_concat(ta, tb)))", 6)),
 
     // The quadratic reference formulation the prefix-filtered engine must
     // match exactly: overlap from the full token self-join, jac as the
@@ -2611,19 +2623,23 @@ object PipelineQueries {
         |SELECT d.doc_id,
         |  CAST(greatest(len(d.toks) - 4, 0) + 1 AS BIGINT) AS n_windows,
         |  CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
-        |  round(CAST(coalesce(p.n_repeated, 0) AS DOUBLE)
-        |    / (greatest(len(d.toks) - 4, 0) + 1), 6) AS rep_ratio
-        |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
+        |  PINNED_REPR AS rep_ratio
+        |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+        .replace("PINNED_REPR", Tables.pinnedRatioSql(
+          "coalesce(p.n_repeated, 0)",
+          "greatest(len(d.toks) - 4, 0) + 1", 6)),
 
     "q_doc_repetition" ->
       """SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-        |  round(CASE WHEN len(toks) = 0 THEN 0.0
-        |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-        |    END, 6) AS dup_ratio
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE PINNED_DUPR
+        |    END AS dup_ratio
         |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |      FROM documents)""".stripMargin,
+        |      FROM documents)""".stripMargin
+        .replace("PINNED_DUPR", Tables.pinnedRatioSql(
+          "len(toks) - len(list_distinct(toks))", "len(toks)", 6)),
 
     "q_token_topk" ->
       """SELECT tok AS token, CAST(cnt AS BIGINT) AS min_count FROM (

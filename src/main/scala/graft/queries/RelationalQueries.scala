@@ -467,7 +467,7 @@ object RelationalQueries {
             .as("d"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("d")).cast(DoubleType) / count(lit(1)), 4)
+          graft.functions.PinnedMath.pinnedRatio(sum(col("d")), count(lit(1)), 4)
             .as("avg_delay_days"),
           max(col("d")).as("max_delay_days"))
     }),
@@ -925,12 +925,13 @@ object RelationalQueries {
 
     "q_ship_delay" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |  round(CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE)
-        |    / count(*), 4) AS avg_delay_days,
+        |  PINNED_DELAY AS avg_delay_days,
         |  CAST(max(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
         |    AS max_delay_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin
+        .replace("PINNED_DELAY", Tables.pinnedRatioSql(
+          "sum(datediff('day', o_orderdate, l_shipdate))", "count(*)", 4)),
 
     "q_bloom_join" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
