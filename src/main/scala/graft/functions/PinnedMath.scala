@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   * The final `/10^k` maps a small integer through one exact IEEE double
   * division. Mirror: `Tables.pinnedRatioSql` (HUGEINT arithmetic).
   *
-  * `num` may be negative; `den` must be strictly positive (a zero den
-  * yields NULL, like the IEEE form's NULL/NaN — callers guard or filter).
-  * Both must be integer-valued expressions (counts, ranks, integer sums).
+  * `num` may be negative; `den` must be strictly positive (a zero den is
+  * a LOUD error under ANSI mode, exactly like DuckDB's `// 0` — callers
+  * with a legitimate empty-denominator case guard with `when()`). Both
+  * must be integer-valued expressions (counts, ranks, integer sums).
   */
 object PinnedMath {
 

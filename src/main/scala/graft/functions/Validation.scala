@@ -233,8 +233,10 @@ object Validation {
       .groupBy(col("__b"))
       .agg(sum(col("__x") * col("__w")).as("__swx"), sum(col("__w")).as("__sw"))
       .select(col("__b"),
-        round(col("__swx").cast("double") / col("__sw").cast("double"),
-          outScale).as("__m"))
+        // Σxw/Σw with Σxw integral·10^-6: scale both by 10^6 and take the
+        // pinned integer ratio (a boundary-free rounded mean)
+        PinnedMath.pinnedRatio(col("__swx") * lit(1000000L),
+          col("__sw") * lit(1000000L), outScale).as("__m"))
     val ranked = means.withColumn("__rn",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("__m"), col("__b")))) // resamples rows only
@@ -243,8 +245,8 @@ object Validation {
       .select(col("__m"))
     val overall = base.agg(
       count(lit(1)).as("n_rows"),
-      round(sum(col("__x")).cast("double") / count(lit(1)), outScale)
-        .as("mean"))
+      PinnedMath.pinnedRatio(sum(col("__x")) * lit(1000000L),
+        count(lit(1)) * lit(1000000L), outScale).as("mean"))
     overall
       .crossJoin(broadcast(pick(loPct).select(col("__m").as("ci_lo"))))
       .crossJoin(broadcast(pick(hiPct).select(col("__m").as("ci_hi"))))

@@ -473,11 +473,10 @@ object AnalyticQueries {
           dec(col("__y")).as("sy"), dec(col("__x") * col("__x")).as("sxx"),
           dec(col("__x") * col("__y")).as("sxy"))
         .select(col("l_returnflag"), col("n"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6)
-            .as("slope"),
-          round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast(DoubleType) /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) / 100, 6)
+          graft.functions.PinnedMath.pinnedRatio(col("n") * col("sxy") - col("sx") * col("sy"),
+            col("n") * col("sxx") - col("sx") * col("sx"), 6).as("slope"),
+          graft.functions.PinnedMath.pinnedRatio(col("sy") * col("sxx") - col("sx") * col("sxy"),
+            (col("n") * col("sxx") - col("sx") * col("sx")) * lit(100), 6)
             .as("intercept"))
     }),
 
@@ -1138,6 +1137,12 @@ object AnalyticQueries {
       val li = star(s, dir, "lineitem").df
       val mm = li.agg(min(col("l_extendedprice")).as("mn"),
         max(col("l_extendedprice")).as("mx"))
+      // bin edges via integer cents: mn + bin·(mx−mn)/20 =
+      // (20·MN + bin·(MX−MN)) / 2000 with MN/MX the exact cent values —
+      // the 2-decimal inputs make the edge an exact ≤4-decimal value that
+      // can sit exactly on the 4-decimal round boundary (see PinnedMath)
+      val mnC = round(col("mn") * 100).cast(LongType)
+      val mxC = round(col("mx") * 100).cast(LongType)
       li.crossJoin(broadcast(mm))
         .select(least(floor((col("l_extendedprice") - col("mn")) * 20.0 /
             (col("mx") - col("mn"))), lit(19.0)).cast(LongType).as("bin"),
@@ -1145,8 +1150,9 @@ object AnalyticQueries {
         .groupBy(col("bin"), col("mn"), col("mx"))
         .agg(count(lit(1)).as("n"))
         .select(col("bin"),
-          round(col("mn") + col("bin") * (col("mx") - col("mn")) / 20.0, 4).as("lo"),
-          round(col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / 20.0, 4).as("hi"),
+          graft.functions.PinnedMath.pinnedRatio(mnC * 20 + col("bin") * (mxC - mnC), lit(2000L), 4).as("lo"),
+          graft.functions.PinnedMath.pinnedRatio(mnC * 20 + (col("bin") + 1) * (mxC - mnC), lit(2000L), 4)
+            .as("hi"),
           col("n"))
     })
   )
@@ -2196,18 +2202,21 @@ object AnalyticQueries {
         |    ELSE 6 END AS DECIMAL(9,0)) AS w
         |  FROM uu),
         |m AS (
-        |  SELECT b, round(CAST(sum(x * w) AS DOUBLE) /
-        |    CAST(sum(w) AS DOUBLE), 6) AS m
+        |  SELECT b, PINNED_BOOT1 AS m
         |  FROM w GROUP BY b),
         |r AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rn FROM m),
         |o AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |    round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean
+        |    PINNED_BOOT2 AS mean
         |  FROM d)
         |SELECT o.n_rows, CAST(100 AS BIGINT) AS resamples, o.mean,
         |  (SELECT m FROM r WHERE rn = 5) AS ci_lo,
         |  (SELECT m FROM r WHERE rn = 95) AS ci_hi
-        |FROM o""".stripMargin,
+        |FROM o""".stripMargin
+        .replace("PINNED_BOOT1", Tables.pinnedRatioSql(
+          "sum(x * w) * 1000000", "sum(w) * 1000000", 6))
+        .replace("PINNED_BOOT2", Tables.pinnedRatioSql(
+          "sum(x) * 1000000", "count(*) * 1000000", 6)),
 
     "q_approx_stats" ->
       """SELECT l_returnflag, count(*) AS n,
@@ -2226,11 +2235,13 @@ object AnalyticQueries {
         |    sum(x * x) AS sxx, sum(x * y) AS sxy
         |  FROM t GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-        |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
-        |        CAST(n * sxx - sx * sx AS DOUBLE) / 100, 6) AS intercept
-        |FROM g""".stripMargin,
+        |  PINNED_SLOPE AS slope,
+        |  PINNED_ICEPT AS intercept
+        |FROM g""".stripMargin
+        .replace("PINNED_SLOPE", Tables.pinnedRatioSql(
+          "n * sxy - sx * sy", "n * sxx - sx * sx", 6))
+        .replace("PINNED_ICEPT", Tables.pinnedRatioSql(
+          "sy * sxx - sx * sxy", "(n * sxx - sx * sx) * 100", 6)),
 
     "q_corr_matrix" ->
       """WITH t AS (
@@ -2286,9 +2297,17 @@ object AnalyticQueries {
         |    19.0) AS BIGINT) AS bin, mn, mx
         |  FROM lineitem, mm)
         |SELECT bin,
-        |  round(mn + bin * (mx - mn) / 20.0, 4) AS lo,
-        |  round(mn + (bin + 1) * (mx - mn) / 20.0, 4) AS hi,
+        |  PINNED_LO AS lo,
+        |  PINNED_HI AS hi,
         |  count(*) AS n
         |FROM b GROUP BY bin, mn, mx""".stripMargin
+        .replace("PINNED_LO", Tables.pinnedRatioSql(
+          "CAST(round(mn * 100, 0) AS BIGINT) * 20 + " +
+            "bin * (CAST(round(mx * 100, 0) AS BIGINT) - " +
+            "CAST(round(mn * 100, 0) AS BIGINT))", "2000", 4))
+        .replace("PINNED_HI", Tables.pinnedRatioSql(
+          "CAST(round(mn * 100, 0) AS BIGINT) * 20 + " +
+            "(bin + 1) * (CAST(round(mx * 100, 0) AS BIGINT) - " +
+            "CAST(round(mn * 100, 0) AS BIGINT))", "2000", 4))
   )
 }

@@ -123,12 +123,25 @@ object PipelineQueries {
           Text.charCount(col("text")).cast(LongType).as("n_chars_m"),
           Text.stopwordCount(col("text"), enStop).as("n_stop"))),
 
-    "q_doc_quality" -> ((s, dir) =>
+    "q_doc_quality" -> ((s, dir) => {
+      // checked columns as pinned integer ratios over the same integral
+      // ingredients the Text helpers use (the unrounded helper quotients
+      // still drive threshold compares elsewhere — identical IEEE ops in
+      // both engines — but a ROUNDED small-int ratio needs PinnedMath)
+      val nTok = Text.tokenCount(col("text"))
+      val nonWs = length(regexp_replace(col("text"), "\\s+", ""))
+      val nChars = length(col("text"))
+      val nDigits = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
       star(s, dir, "documents").df
         .select(col("doc_id"),
-          round(Text.avgWordLength(col("text")), 6).as("avg_word_len"),
-          round(Text.stopwordRatio(col("text"), enStop), 6).as("stop_ratio"),
-          round(Text.digitRatio(col("text")), 6).as("digit_ratio"))),
+          when(nTok === 0, lit(0.0)).otherwise(
+            graft.functions.PinnedMath.pinnedRatio(nonWs, nTok, 6)).as("avg_word_len"),
+          when(nTok === 0, lit(0.0)).otherwise(
+            graft.functions.PinnedMath.pinnedRatio(Text.stopwordCount(col("text"), enStop), nTok, 6))
+            .as("stop_ratio"),
+          when(nChars === 0, lit(0.0)).otherwise(
+            graft.functions.PinnedMath.pinnedRatio(nDigits, nChars, 6)).as("digit_ratio"))
+    }),
 
     // Content-defined chunking (LBFS-style): boundaries from the md5 of
     // the trailing 16-char window (1/64 cut probability → ~64-char
@@ -330,9 +343,8 @@ object PipelineQueries {
           sum(col("pr.qj").cast(DecimalType(38, 0))).as("sqj"),
           sum((col("pr.qi") * col("pr.qj")).cast(DecimalType(38, 0))).as("spp"))
         .select(col("i"), col("j"),
-          round((col("n") * col("spp") - col("sqi") * col("sqj")).cast(DoubleType) /
-            (col("n").cast(DoubleType) * col("n").cast(DoubleType) * lit(1e6)), 8)
-            .as("cov"))
+          graft.functions.PinnedMath.pinnedRatio(col("n") * col("spp") - col("sqi") * col("sqj"),
+            col("n") * col("n") * lit(1000000L), 8).as("cov"))
     }),
 
     "q_doc_langdist" -> ((s, dir) =>
@@ -586,16 +598,23 @@ object PipelineQueries {
     // codegen'd regex/arithmetic expression, thresholds chosen so the
     // corpus splits (median 56 words vs minWords=50). passes as INT for
     // engine-neutral hashing.
-    "q_doc_gopher" -> ((s, dir) =>
+    "q_doc_gopher" -> ((s, dir) => {
+      val nTok = Text.tokenCount(col("text"))
+      val nonWs = length(regexp_replace(col("text"), "\\s+", ""))
       star(s, dir, "documents").df
-        .select(col("doc_id"), Text.gopherRules(col("text"), enStop).as("g"))
+        .select(col("doc_id"), col("text"),
+          Text.gopherRules(col("text"), enStop).as("g"))
         .select(col("doc_id"),
           col("g.n_words").as("n_words"),
-          round(col("g.mean_word_len"), 6).as("mean_word_len"),
-          round(col("g.symbol_ratio"), 6).as("symbol_ratio"),
-          round(col("g.alpha_frac"), 6).as("alpha_frac"),
+          when(nTok === 0, lit(0.0)).otherwise(
+            graft.functions.PinnedMath.pinnedRatio(nonWs, nTok, 6)).as("mean_word_len"),
+          when(nTok === 0, lit(1.0)).otherwise(
+            graft.functions.PinnedMath.pinnedRatio(Text.symbolCount(col("text")), nTok, 6)).as("symbol_ratio"),
+          when(nTok === 0, lit(0.0)).otherwise(
+            graft.functions.PinnedMath.pinnedRatio(Text.alphaWordCount(col("text")), nTok, 6)).as("alpha_frac"),
           col("g.n_stop").as("n_stop"),
-          col("g.passes").cast(IntegerType).as("passes"))),
+          col("g.passes").cast(IntegerType).as("passes"))
+    }),
 
     // C4 heuristic filters (Raffel et al. 2020 §2.2). The corpus has no
     // punctuation, so the checked input is a DETERMINISTIC sentence-ified
@@ -1574,17 +1593,23 @@ object PipelineQueries {
 
     "q_doc_quality" ->
       """SELECT doc_id,
-        |  round(CASE WHEN len(toks) = 0 THEN 0.0
-        |    ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
-        |    END, 6) AS avg_word_len,
-        |  round(CASE WHEN len(toks) = 0 THEN 0.0
-        |    ELSE CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks)
-        |    END, 6) AS stop_ratio,
-        |  round(CASE WHEN length(text) = 0 THEN 0.0
-        |    ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-        |      / length(text) END, 6) AS digit_ratio
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE PINNED_AWL
+        |    END AS avg_word_len,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE PINNED_STOPR
+        |    END AS stop_ratio,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE PINNED_DIGR END AS digit_ratio
         |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
-        |      FROM documents)""".stripMargin,
+        |      FROM documents)""".stripMargin
+        .replace("PINNED_AWL", Tables.pinnedRatioSql(
+          "list_sum(list_transform(toks, t -> length(t)))", "len(toks)", 6))
+        .replace("PINNED_STOPR", Tables.pinnedRatioSql(
+          "len(list_filter(toks, t -> t IN ('the', 'a')))", "len(toks)", 6))
+        .replace("PINNED_DIGR", Tables.pinnedRatioSql(
+          "length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))",
+          "length(text)", 6)),
 
     "q_doc_langdist" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -1597,15 +1622,15 @@ object PipelineQueries {
     "q_doc_gopher" ->
       """SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_words,
-        |  round(CASE WHEN len(toks) = 0 THEN 0.0
-        |    ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
-        |    END, 6) AS mean_word_len,
-        |  round(CASE WHEN len(toks) = 0 THEN 1.0
-        |    ELSE CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(toks)
-        |    END, 6) AS symbol_ratio,
-        |  round(CASE WHEN len(toks) = 0 THEN 0.0
-        |    ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks)
-        |    END, 6) AS alpha_frac,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE PINNED_GMWL
+        |    END AS mean_word_len,
+        |  CASE WHEN len(toks) = 0 THEN 1.0
+        |    ELSE PINNED_GSYM
+        |    END AS symbol_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE PINNED_GALP
+        |    END AS alpha_frac,
         |  CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
         |  CAST(CASE WHEN len(toks) BETWEEN 50 AND 100000
         |    AND (CASE WHEN len(toks) = 0 THEN 0.0
@@ -1624,7 +1649,14 @@ object PipelineQueries {
         |    AND len(list_filter(toks, t -> t IN ('the', 'a'))) >= 2
         |    THEN 1 ELSE 0 END AS INT) AS passes
         |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
-        |      FROM documents)""".stripMargin,
+        |      FROM documents)""".stripMargin
+        .replace("PINNED_GMWL", Tables.pinnedRatioSql(
+          "list_sum(list_transform(toks, t -> length(t)))", "len(toks)", 6))
+        .replace("PINNED_GSYM", Tables.pinnedRatioSql(
+          "len(regexp_extract_all(text, '#|\\.\\.\\.|…'))", "len(toks)", 6))
+        .replace("PINNED_GALP", Tables.pinnedRatioSql(
+          "len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))",
+          "len(toks)", 6)),
 
     "q_doc_c4" -> {
       s"""WITH $sentencedSql
@@ -1769,10 +1801,11 @@ object PipelineQueries {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(count(*) AS BIGINT) AS n_grams,
         |  CAST(count(*) FILTER (WHERE first_id = doc_id) AS BIGINT) AS n_novel,
-        |  round(CAST(count(*) FILTER (WHERE first_id = doc_id) AS DOUBLE)
-        |    / count(*), 6) AS novelty
+        |  PINNED_NOVELTY AS novelty
         |FROM grams JOIN fs USING (g)
-        |GROUP BY doc_id""".stripMargin,
+        |GROUP BY doc_id""".stripMargin
+        .replace("PINNED_NOVELTY", Tables.pinnedRatioSql(
+          "count(*) FILTER (WHERE first_id = doc_id)", "count(*)", 6)),
 
     "q_bpe_merges" -> bpeMergesOracle(8),
 
@@ -1900,9 +1933,10 @@ object PipelineQueries {
         |    sum(qi * qj) AS spp
         |  FROM pr GROUP BY i, j)
         |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-        |  round(CAST(n * spp - sqi * sqj AS DOUBLE) /
-        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e6), 8) AS cov
-        |FROM g""".stripMargin,
+        |  PINNED_COV AS cov
+        |FROM g""".stripMargin
+        .replace("PINNED_COV", Tables.pinnedRatioSql(
+          "n * spp - sqi * sqj", "n * n * 1000000", 8)),
 
     "q_doc_entropy" ->
       """WITH c AS (
@@ -2134,11 +2168,12 @@ object PipelineQueries {
         |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
         |  GROUP BY 1, 2)
         |SELECT sh.src_a, sh.src_b, sh.n_shared,
-        |  round(CAST(sh.n_shared AS DOUBLE) /
-        |    least(sa.n, sb.n), 6) AS overlap
+        |  PINNED_OVL AS overlap
         |FROM sh JOIN sizes sa ON sh.src_a = sa.source
         |JOIN sizes sb ON sh.src_b = sb.source
-        |WHERE sh.n_shared >= 5""".stripMargin,
+        |WHERE sh.n_shared >= 5""".stripMargin
+        .replace("PINNED_OVL", Tables.pinnedRatioSql(
+          "sh.n_shared", "least(sa.n, sb.n)", 6)),
 
     "q_concordance" ->
       """WITH t AS (
@@ -2169,9 +2204,10 @@ object PipelineQueries {
         |       FROM newg n JOIN refg r ON n.g = r.g GROUP BY 1)
         |SELECT t.doc_id, t.n_grams,
         |  CAST(t.n_grams - coalesce(s.seen, 0) AS BIGINT) AS n_novel,
-        |  round(CAST(t.n_grams - coalesce(s.seen, 0) AS DOUBLE) / t.n_grams,
-        |    6) AS novelty
-        |FROM tot t LEFT JOIN sn s ON t.doc_id = s.doc_id""".stripMargin,
+        |  PINNED_XNOV AS novelty
+        |FROM tot t LEFT JOIN sn s ON t.doc_id = s.doc_id""".stripMargin
+        .replace("PINNED_XNOV", Tables.pinnedRatioSql(
+          "t.n_grams - coalesce(s.seen, 0)", "t.n_grams", 6)),
 
     "q_template_prefix" ->
       """WITH planted AS (

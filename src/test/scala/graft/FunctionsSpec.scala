@@ -57,6 +57,38 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pinnedRatio: exact HALF_UP at binary-representable boundaries") {
+    import graft.functions.PinnedMath
+    // 1/128 = 0.0078125 EXACTLY — on the 6-decimal half boundary, where
+    // round(cast(1 as double)/128, 6) differs across engines (HALF_UP
+    // 0.007813 vs ties-to-even 0.007812). pinnedRatio must give HALF_UP
+    // deterministically, plus signed half-away and exact non-boundary
+    // values.
+    val rows = Seq(
+      (1L, 128L, 0.007813),
+      (-1L, 128L, -0.007813),
+      (3L, 8L, 0.375),
+      (1L, 3L, 0.333333),
+      (2L, 3L, 0.666667),
+      (7L, 7L, 1.0))
+    val df = rows.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        PinnedMath.pinnedRatio(col("a"), col("b"), 6).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    rows.foreach { case (a, b, want) =>
+      assert(got((a, b)) == want, s"$a/$b: want $want got ${got((a, b))}")
+    }
+    // den = 0 is LOUD under the session's ANSI mode (DuckDB's `// 0`
+    // errors identically — no silent engine/oracle divergence); callers
+    // with a legitimate zero denominator guard with when().
+    val e = intercept[Exception] {
+      Seq((5L, 0L)).toDF("a", "b")
+        .select(PinnedMath.pinnedRatio(col("a"), col("b"), 6)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("tokenCount / charCount / avgWordLength") {
     val df = Seq("the cat sat", "", "a  b").toDF("t")
     val r = df.select(
