@@ -783,7 +783,19 @@ object Dedup {
     * Scale shape: the fp join is the same output-proportional shape as
     * [[winnowCandidates]] (including the `maxDocFreq` boilerplate cap);
     * span merging is a per-(pair, offset) window function — no driver
-    * logic, no all-pairs work. */
+    * logic, no all-pairs work.
+    *
+    * Cost contract (measured, WinnowProbe over the 1×/10×/100× rehearsal
+    * replicas of sf0.1): wall time tracks the OUTPUT span count, not the
+    * corpus size — 16.5k spans in 3.6 s (per-action floor), 1.46M in
+    * 4.1 s, 41.3M in 33.9 s (0.8 µs/span; per-span cost FALLS with
+    * scale). The rehearsal's steep 100× point is the corpus construction,
+    * not an operator pathology: every replica shares each base document's
+    * body, so matched spans grow ∝ replicas² — a corpus whose duplication
+    * structure is quadratic demands quadratic output from ANY correct
+    * span reporter. On corpora with bounded duplication the output (and
+    * so the cost) is linear; `maxDocFreq` keeps boilerplate fingerprints
+    * from manufacturing a quadratic blowup silently. */
   def winnowMatchedSpans(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 6, window: Int = 8,
                          minShared: Int = 1, seed: Int = 42,
