@@ -629,9 +629,16 @@ object Graph {
         s"degree > $maxDegree before the wedge join (their per-score " +
         "contribution 1/ln(deg) is negligible; keeping them makes the wedge " +
         "volume quadratic in hub degree). Raise maxDegree to keep them.")
+    // the weight rides the wedge join as its exact scale-12 INTEGER
+    // (w·10^12 ≤ 1.45e12): the per-pair aggregate is then a codegen'd
+    // LONG add instead of a BigDecimal-buffered DECIMAL(28,12) sum (the
+    // q1 cents lesson — a >18-digit decimal buffer allocates per row).
+    // Overflow is impossible (n_common ≤ maxDegree = 1e4 → Σ ≤ 1.45e16)
+    // and ANSI mode would make any breach loud, never a wrong number.
     val w = deg.filter(col("deg").between(2, maxDegree))
       .select(col("z"),
-        round(lit(1.0) / log(col("deg")), 12).cast(DecimalType(28, 12)).as("w"))
+        (round(lit(1.0) / log(col("deg")), 12).cast(DecimalType(28, 12)) *
+          lit(1000000000000L)).cast(LongType).as("w12"))
     // attach the weight (and thereby the keep-set) BEFORE the self-join —
     // a dropped hub must never enter the wedge explosion — and PERSIST the
     // filtered adjacency: both self-join legs read the one cached copy
@@ -640,10 +647,16 @@ object Graph {
     val wedges = adjW
       .join(adjW.select(col("z"), col("x").as("y")), Seq("z"))
       .filter(col("x") < col("y"))
+    // Σw12 → exact DECIMAL(30,12) via ×10^-12 (precision 17+12+1 = 30,
+    // no adjustPrecisionScale) — bit-identical to the old decimal sum
     val scored = wedges
       .groupBy(col("x").as("a"), col("y").as("b"))
-      .agg(round(sum(col("w")).cast(DoubleType), 6).as("aa_score"),
-        count(lit(1)).as("n_common"))
+      .agg(sum(col("w12")).as("__sw"), count(lit(1)).as("n_common"))
+      .select(col("a"), col("b"),
+        round((col("__sw").cast(DecimalType(17, 0)) *
+          lit(BigDecimal("0.000000000001")).cast(DecimalType(12, 12)))
+          .cast(DoubleType), 6).as("aa_score"),
+        col("n_common"))
     val cand = scored.join(und, Seq("a", "b"), "left_anti")
     val top = cand.orderBy(col("aa_score").desc, col("a").asc, col("b").asc)
       .limit(k)
