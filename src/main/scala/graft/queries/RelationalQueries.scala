@@ -523,8 +523,15 @@ object RelationalQueries {
     // indexedQueries-amortized like the ANN indexes.
     "q_startable_connector" -> ((s, dir) => {
       val (file, _) = startableCsvFor(s, dir)
+      // assumeSingleTable + 1 MiB ranges: the merged file reads as MANY
+      // byte-range partitions (the Hadoop line-split convention applied
+      // to the single-table layout) — a huge merged StarTable file scans
+      // across the cluster instead of serializing onto one task
       q6Revenue(s.read.format("startable")
-        .option("table", "lineitem_slim").load(file))
+        .option("table", "lineitem_slim")
+        .option("assumeSingleTable", "true")
+        .option("maxSplitBytes", (1024 * 1024).toString)
+        .load(file))
     }),
 
     // Same gate, parallel layout: Csv.writeDataset writes one COMPLETE
@@ -590,7 +597,7 @@ object RelationalQueries {
     * ATOMIC_MOVE so a crash mid-merge can never leave a readable partial
     * the memoization would then serve (the _params.json discipline). The
     * dataset directory is gated on the text sink's _SUCCESS marker. */
-  private def startableCsvFor(s: SparkSession, dir: String): (String, String) = {
+  private[graft] def startableCsvFor(s: SparkSession, dir: String): (String, String) = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|stcsv1".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)

@@ -113,18 +113,37 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
     Option(options.get("table")),
     Option(options.get("sep")).getOrElse(";"),
     Option(options.get("failFast")).exists(_.toBoolean),
+    Option(options.get("assumeSingleTable")).exists(_.toBoolean),
+    Option(options.get("maxSplitBytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024),
     fullSchema, required, pushed)
 }
 
 private[sources] class StarTableScan(files: Seq[String], tableName: Option[String],
                                      sep: String, failFast: Boolean,
+                                     assumeSingleTable: Boolean,
+                                     maxSplitBytes: Long,
                                      fullSchema: StructType, required: StructType,
                                      pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** One partition per file — except that with `assumeSingleTable=true`
+    * (the caller's explicit contract that each file holds exactly ONE
+    * row-major table whose header opens the file — the mergeDistributed /
+    * DSv2-write output shape) a file whose data region exceeds
+    * `maxSplitBytes` is planned as MULTIPLE byte-range partitions, the
+    * Hadoop line-split convention: a 100 GB merged StarTable file parses
+    * across the cluster instead of serializing onto one task. Files whose
+    * head can't be split safely (transposed marker, wrong table name,
+    * oversized header) fall back to the whole-file reader. */
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => StarFilePartition(f): InputPartition).toArray
+    files.flatMap { f =>
+      if (!assumeSingleTable) Seq(StarFilePartition(f): InputPartition)
+      else StarTableSource.planSplits(f, tableName, sep, maxSplitBytes)
+        .getOrElse(Seq(StarFilePartition(f)))
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new StarTableReaderFactory(tableName, sep, failFast, fullSchema, required, pushed)
   // surface the pushdown in explain() so plans are auditable, mirroring the
@@ -137,13 +156,30 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
 
 private[sources] case class StarFilePartition(path: String) extends InputPartition
 
+/** One byte range of a single-table file's data region. The header's
+  * column names/units ride along so every reader types its cells without
+  * re-reading the head. Ownership follows the Hadoop line-split
+  * convention: a reader with start > dataStart discards its first
+  * (possibly partial) line, then emits lines whose start offset is ≤ end;
+  * the next reader's discard picks up exactly where this one stopped —
+  * every line parsed exactly once regardless of where boundaries fall. */
+private[sources] case class StarFileSplitPartition(
+    path: String, start: Long, end: Long, dataStart: Long,
+    columnNames: Seq[String], units: Seq[String]) extends InputPartition
+
 private[sources] class StarTableReaderFactory(tableName: Option[String], sep: String,
                                               failFast: Boolean,
                                               fullSchema: StructType, required: StructType,
                                               pushed: Array[Filter])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[StarFilePartition].path
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case sp: StarFileSplitPartition =>
+        new StarSplitReader(sp, sep, failFast, fullSchema, required, pushed)
+      case fp: StarFilePartition => createWholeFileReader(fp.path)
+    }
+
+  private def createWholeFileReader(path: String): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val rows: Iterator[InternalRow] =
         StarTableSource.parseNamedTable(path, tableName, sep, failFast) match {
@@ -206,6 +242,129 @@ private[sources] class StarTableReaderFactory(tableName: Option[String], sep: St
       override def close(): Unit = ()
     }
   }
+}
+
+/** Byte-range reader over one split of a single-table file's data region:
+  * seek, align to a line start (Hadoop convention — discard the first
+  * line unless this split begins the data region), then stream lines,
+  * coercing only the REQUIRED columns through the same per-unit parsers
+  * the block parser uses and evaluating pushed filters on the parsed
+  * cells before materialization. Stops at the range end, EOF, a blank
+  * line, or a `**` marker (content past the first block is not table
+  * data under the assumeSingleTable contract). Constant memory: one
+  * buffered byte stream, one line at a time. */
+private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
+                                       failFast: Boolean,
+                                       fullSchema: StructType,
+                                       required: StructType,
+                                       pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val sepQuoted = java.util.regex.Pattern.quote(sep)
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val hp = new org.apache.hadoop.fs.Path(sp.path)
+  private val in = hp.getFileSystem(conf).open(hp)
+  private val fixer = new graft.parse.ParseFixer()
+  if (failFast) { fixer.stopOnErrors = true; fixer.verbose = false }
+
+  // per-required-column index into the file's columns, and per-filter-ref
+  // index — the same by-name pruning/pushdown contract as the whole-file
+  // reader (missing columns null-pad; extras never parsed)
+  private val idx: Array[Int] =
+    required.fields.map(f => sp.columnNames.indexOf(f.name))
+  private val fRefs: Array[(String, Int)] =
+    pushed.flatMap(_.references).distinct
+      .map(c => c -> sp.columnNames.indexOf(c))
+  private val contradicted =
+    StarTableSource.blockContradicted(pushed, sp.columnNames)
+
+  private val buf = new Array[Byte](65536)
+  private var bufLen = 0
+  private var bufPos = 0
+
+  private var pos: Long = {
+    val s = math.max(sp.start, sp.dataStart)
+    in.seek(s); s
+  }
+  if (contradicted && sp.start == sp.dataStart)
+    StarTableSource.blocksSkipped.increment()
+  private var done = contradicted
+  // a split that does not begin the data region discards its first
+  // (possibly partial) line — the previous split owns it
+  if (!done && sp.start > sp.dataStart) skipLine()
+  private var current: InternalRow = _
+
+  private def fill(): Boolean = {
+    if (bufPos < bufLen) return true
+    bufLen = in.read(buf); bufPos = 0
+    bufLen > 0
+  }
+
+  /** Read one line's bytes (excluding the newline); null at EOF. */
+  private def readLine(): String = {
+    if (!fill()) return null
+    val out = new java.io.ByteArrayOutputStream(128)
+    var nl = false
+    while (!nl && fill()) {
+      val limit = bufLen
+      val start = bufPos
+      var i = start
+      while (i < limit && buf(i) != '\n') i += 1
+      out.write(buf, start, i - start)
+      pos += i - start
+      if (i < limit) { nl = true; bufPos = i + 1; pos += 1 }
+      else bufPos = limit
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def skipLine(): Unit = {
+    var consumed = false
+    while (!consumed && fill()) {
+      val limit = bufLen
+      val start = bufPos
+      var i = start
+      while (i < limit && buf(i) != '\n') i += 1
+      pos += i - start
+      if (i < limit) { consumed = true; bufPos = i + 1; pos += 1 }
+      else bufPos = limit
+    }
+    if (!consumed) done = true // EOF inside the partial line
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    while (true) {
+      val lineStart = pos
+      if (lineStart > sp.end) { done = true; return false }
+      val line = readLine()
+      if (line == null) { done = true; return false }
+      // block terminators: under assumeSingleTable anything past them is
+      // not table data
+      if (line.trim.isEmpty || line.startsWith("**")) { done = true; return false }
+      val cells = line.split(sepQuoted, -1)
+      def cellAt(i: Int): Any =
+        if (i < 0 || i >= cells.length) null
+        else StarTableSource.parseCell(sp.units(i), cells(i), fixer)
+      val passes = !pushed.exists { f =>
+        val vals: Map[String, Any] =
+          fRefs.iterator.map { case (c, i) => c -> cellAt(i) }.toMap
+        !StarTableSource.evalFilter(f, vals.getOrElse(_, null))
+      }
+      if (passes) {
+        val out = new Array[Any](idx.length)
+        var c = 0
+        while (c < idx.length) {
+          out(c) = StarTableSource.toCatalyst(cellAt(idx(c)))
+          c += 1
+        }
+        current = new GenericInternalRow(out)
+        if (passes) return true
+      } else StarTableSource.rowsFiltered.increment()
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
 }
 
 private[graft] object StarTableSource {
@@ -308,6 +467,70 @@ private[graft] object StarTableSource {
     }.getOrElse(Nil)
     val single = Option(options.get("path")).toSeq
     (multi ++ single).distinct
+  }
+
+  /** One cell through the SAME per-unit coercion the block parser applies
+    * (ColumnParsers column functions over a single-element Seq), so split
+    * reads are value-identical to whole-file reads. */
+  def parseCell(unit: String, raw: String, fixer: graft.parse.ParseFixer): Any =
+    graft.parse.ColumnParsers.parseColumn(unit, Seq(raw), fixer).head
+
+  /** Plan byte-range splits for one single-table file: parse the 4-line
+    * header from the file head driver-side (column names, units, data
+    * start offset), refuse anything un-splittable (transposed layout,
+    * wrong table name, header not newline-complete within 64 KB), and cut
+    * the data region into `maxSplitBytes` ranges. Returns None for
+    * fallback to the whole-file reader; a file small enough for one range
+    * also falls back (the proven path, with issue tracking). */
+  def planSplits(path: String, tableName: Option[String], sep: String,
+                 maxSplitBytes: Long): Option[Seq[InputPartition]] = {
+    require(maxSplitBytes > 0,
+      s"startable source: maxSplitBytes must be positive, got $maxSplitBytes")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf)
+    val size = fs.getFileStatus(hp).getLen
+    if (size - 0 <= maxSplitBytes) return None
+    val headLen = math.min(size, 65536L).toInt
+    val head = new Array[Byte](headLen)
+    val in = fs.open(hp)
+    try in.readFully(0, head, 0, headLen) finally in.close()
+    // locate the first 4 newline-terminated lines IN BYTES (UTF-8 safe:
+    // no multi-byte sequence contains 0x0A)
+    val nls = new Array[Int](4)
+    var found = 0; var i = 0
+    while (found < 4 && i < headLen) {
+      if (head(i) == '\n') { nls(found) = i; found += 1 }
+      i += 1
+    }
+    if (found < 4) return None
+    val lines = (0 until 4).map { k =>
+      val s = if (k == 0) 0 else nls(k - 1) + 1
+      new String(head, s, nls(k) - s,
+        java.nio.charset.StandardCharsets.UTF_8).stripSuffix("\r")
+    }
+    val sepQuoted = java.util.regex.Pattern.quote(sep)
+    val marker = lines(0)
+    if (!marker.startsWith("**")) return None
+    val name = marker.split(sepQuoted, -1).head.drop(2)
+    if (name.endsWith("*")) return None // transposed: not row-splittable
+    if (tableName.exists(_ != name)) return None
+    val cols = graft.parse.Blocks.parseColumnNames(
+      lines(2).split(sepQuoted, -1).toSeq)
+    val units = lines(3).split(sepQuoted, -1).toSeq.map(_.trim).take(cols.size)
+    if (cols.isEmpty || units.size != cols.size) return None
+    val dataStart = nls(3) + 1L
+    // cap the per-file task count: a pathological maxSplitBytes must not
+    // plan a million partitions (Spark's openCostInBytes spirit)
+    val eff = math.max(maxSplitBytes,
+      math.ceil((size - dataStart).toDouble / 10000).toLong)
+    val n = math.ceil((size - dataStart).toDouble / eff).toInt
+    Some((0 until n).map { k =>
+      StarFileSplitPartition(path,
+        dataStart + k * eff,
+        math.min(dataStart + (k + 1L) * eff, size),
+        dataStart, cols, units): InputPartition
+    })
   }
 
   /** Expand directories into their .csv members via the Hadoop FS API. */

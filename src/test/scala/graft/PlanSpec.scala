@@ -50,6 +50,18 @@ class PlanSpec extends AnyFunSuite {
         "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
         "LessThan(l_quantity").foreach(f =>
       assert(plan.contains(f), s"$f not pushed into the parse:\n$plan"))
+    // the merged single file must scan as MULTIPLE byte-range partitions
+    // (assumeSingleTable split planning), not one serialized task — count
+    // them on a raw read of the same memoized file with the gate query's
+    // options (the aggregate output frame would always be 1 partition)
+    val (file, _) = RelationalQueries.startableCsvFor(spark, sfDir)
+    val raw = spark.read.format("startable")
+      .option("table", "lineitem_slim")
+      .option("assumeSingleTable", "true")
+      .option("maxSplitBytes", (1024 * 1024).toString)
+      .load(file)
+    assert(raw.rdd.getNumPartitions > 1,
+      s"expected byte-range splits, got ${raw.rdd.getNumPartitions} partition(s)")
     graft.sources.StarTableSource.resetPushdownCounters()
     val row = df.collect()(0)
     assert(row.getLong(1) > 0, "connector scan returned an empty q6 slice")

@@ -54,6 +54,68 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(df.filter(col("distance").isNull).count() == 1)
   }
 
+  test("byte-range splits: a huge single-table file parses across many " +
+    "partitions, value-identical to the whole-file read") {
+    // 5000 rows (~200 KB) with 4 KB splits → ~50 byte ranges whose
+    // boundaries fall mid-line; the Hadoop discard-first-line convention
+    // must hand every row to exactly one reader.
+    val dir = Files.createTempDirectory("graft_split")
+    val sb = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
+      "text;km;datetime;onoff\n")
+    (0 until 5000).foreach { i =>
+      sb.append(s"p$i;${i % 97}.5;2020-08-04 ${8 + i % 12}:00;${i % 2}\n")
+    }
+    Files.writeString(dir.resolve("big.csv"), sb.toString)
+    val whole = spark.read.format("startable").load(s"$dir/big.csv")
+    val split = spark.read.format("startable")
+      .option("assumeSingleTable", "true").option("maxSplitBytes", "4096")
+      .load(s"$dir/big.csv")
+    assert(split.rdd.getNumPartitions > 10,
+      s"expected many byte-range partitions, got ${split.rdd.getNumPartitions}")
+    assert(whole.rdd.getNumPartitions == 1)
+    val a = whole.collect().map(_.toSeq).toSet
+    val b = split.collect().map(_.toSeq).toSet
+    assert(a.size == 5000 && b == a,
+      s"split read diverged: whole=${a.size} split=${b.size}")
+    // pushdown still fires at the parse level inside split readers
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val filtered = split.filter(col("distance") > 50.0)
+    assert(filtered.count() == whole.filter(col("distance") > 50.0).count())
+    assert(graft.sources.StarTableSource.rowsFiltered.sum() > 0,
+      "split readers never evaluated the pushed filter")
+  }
+
+  test("byte-range splits stop at a block boundary; unsplittable layouts " +
+    "fall back to the whole-file reader") {
+    val dir = Files.createTempDirectory("graft_split2")
+    // a second block after the blank line: under assumeSingleTable the
+    // split readers must never parse its rows as data
+    val sb = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
+      "text;km;datetime;onoff\n")
+    (0 until 2000).foreach { i =>
+      sb.append(s"p$i;$i;2020-08-04 09:00;1\n")
+    }
+    sb.append("\n**other;\nall\nx\ntext\nrogue1\nrogue2\n")
+    Files.writeString(dir.resolve("two.csv"), sb.toString)
+    val split = spark.read.format("startable").option("table", "big")
+      .option("assumeSingleTable", "true").option("maxSplitBytes", "2048")
+      .load(s"$dir/two.csv")
+    assert(split.rdd.getNumPartitions > 5)
+    assert(split.count() == 2000, "rows from the second block leaked in")
+    assert(!split.select("place").collect().map(_.getString(0))
+      .exists(_.startsWith("rogue")))
+    // transposed marker → no safe row split → single whole-file partition
+    val names = (0 until 300).map(i => s"pl$i").mkString(";")
+    val vals = (0 until 300).map(_.toString).mkString(";")
+    Files.writeString(dir.resolve("t.csv"),
+      s"**tr*;\nall\nplace;text;$names\ndistance;km;$vals\n")
+    val t = spark.read.format("startable")
+      .option("assumeSingleTable", "true").option("maxSplitBytes", "1024")
+      .load(s"$dir/t.csv")
+    assert(t.rdd.getNumPartitions == 1)
+    assert(t.count() == 300)
+  }
+
   test("column pruning reaches the scan (pushed into the parse)") {
     val dir = writeDir()
     val df = spark.read.format("startable").option("table", "places").load(dir)
