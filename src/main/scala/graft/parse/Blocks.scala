@@ -52,10 +52,16 @@ final case class ParsedTable(
     strictTypes: Boolean = true
 ) extends Block {
   def numRows: Int = if (columns.isEmpty) 0 else columns.head.size
-  /** Row-major view (for writers / createDataFrame). */
+  /** Row-major view (for writers / createDataFrame). Columns are copied to
+    * arrays first so the per-row indexing is O(1) even if a caller built
+    * this with linked-list columns — without the copy a 100k-row table
+    * costs O(rows²) here. */
   def rows: Seq[Seq[Any]] =
     if (columns.isEmpty) Nil
-    else (0 until numRows).map(i => columns.map(_(i)))
+    else {
+      val arrs = columns.map(_.toArray)
+      (0 until numRows).map(i => arrs.map(_(i)))
+    }
 }
 
 object Blocks {
@@ -135,8 +141,12 @@ object Blocks {
           val hasNonBlank = dataLines.exists(l => l.size >= i + 1 && !isCellBlank(l(i)))
           if (hasNonBlank) { nRow = i + 1; i += 1 } else stop = true
         }
+        // arrays: each line is indexed nRow times below — linked-list rows
+        // would make the transpose O(nRow²)
         val padded = dataLines.map { l =>
-          if (l.size >= nRow) l.take(nRow) else l ++ Seq.fill(nRow - l.size)(null)
+          val a = new Array[Any](nRow)
+          l.iterator.take(nRow).copyToArray(a)
+          a
         }
         if (padded.isEmpty) Nil else (0 until nRow).map(r => padded.map(_(r)))
       } else if (!tableIsEmpty) {
@@ -151,13 +161,18 @@ object Blocks {
       else row
     }
 
-    // Column-wise coercion (blocks.py:195-204)
+    // Column-wise coercion (blocks.py:195-204). Parsed columns are pinned
+    // to immutable ArraySeq: downstream consumers (the DSv2 whole-file
+    // reader, `ParsedTable.rows`) index cells by row number, which on the
+    // List this pipeline otherwise yields is O(row) per access — a 75k-row
+    // block then costs O(rows²), ~300 µs/row measured at sf0.1.
     val colsData: Seq[Seq[Any]] = columnNames.indices.map { ci =>
       val name = columnNames(ci)
       val unit = units(ci)
       val values = dataRows.map(r => r(ci))
       fixer.columnName = name
-      try ColumnParsers.parseColumn(unit, values, fixer)
+      try scala.collection.immutable.ArraySeq.untagged.from(
+        ColumnParsers.parseColumn(unit, values, fixer))
       catch {
         case e: IllegalArgumentException =>
           throw new IllegalArgumentException(

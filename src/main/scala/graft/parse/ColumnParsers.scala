@@ -92,61 +92,80 @@ object ColumnParsers {
   def parseTextColumn(values: Seq[Any]): Seq[Any] =
     values.map(v => if (v == null) "" else v.toString)
 
+  /** One onoff cell at `row` — the per-element kernel of parseOnOffColumn. */
+  def onoffCell(v: Any, row: Int, fixer: ParseFixer): Any =
+    onoffMap.get(normalizeIfStr(v)) match {
+      case Some(b) => java.lang.Boolean.valueOf(b)
+      case None =>
+        nanToNull(fixOrThrow(fixer, row, "onoff", v, s"Illegal value in onoff column: $v"))
+    }
+
   def parseOnOffColumn(values: Seq[Any], fixer: ParseFixer): Seq[Any] =
-    values.zipWithIndex.map { case (v, row) =>
-      onoffMap.get(normalizeIfStr(v)) match {
-        case Some(b) => java.lang.Boolean.valueOf(b)
-        case None =>
-          nanToNull(fixOrThrow(fixer, row, "onoff", v, s"Illegal value in onoff column: $v"))
-      }
+    values.zipWithIndex.map { case (v, row) => onoffCell(v, row, fixer) }
+
+  /** One numeric cell at `row` — the per-element kernel of parseFloatColumn. */
+  def floatCell(v: Any, row: Int, fixer: ParseFixer): Any =
+    v match {
+      case null                 => null
+      case d: Double            => java.lang.Double.valueOf(d)
+      case f: Float             => java.lang.Double.valueOf(f.toDouble)
+      case n: java.lang.Number  => java.lang.Double.valueOf(n.doubleValue())
+      case b: Boolean           =>
+        nanToNull(fixOrThrow(fixer, row, "float", b, s"Illegal value in numerical column: $b"))
+      case s: String =>
+        val t = s.trim.toLowerCase
+        if (t == "nan" || t == "-") null
+        else
+          try java.lang.Double.valueOf(t.toDouble)
+          catch {
+            case _: NumberFormatException =>
+              nanToNull(fixOrThrow(fixer, row, "float", t, s"Illegal value in numerical column: $s"))
+          }
+      case other =>
+        nanToNull(fixOrThrow(fixer, row, "float", other, s"Illegal value in numerical column: $other"))
     }
 
   def parseFloatColumn(values: Seq[Any], fixer: ParseFixer): Seq[Any] =
-    values.zipWithIndex.map { case (v, row) =>
-      v match {
-        case null                 => null
-        case d: Double            => java.lang.Double.valueOf(d)
-        case f: Float             => java.lang.Double.valueOf(f.toDouble)
-        case n: java.lang.Number  => java.lang.Double.valueOf(n.doubleValue())
-        case b: Boolean           =>
-          nanToNull(fixOrThrow(fixer, row, "float", b, s"Illegal value in numerical column: $b"))
-        case s: String =>
-          val t = s.trim.toLowerCase
-          if (t == "nan" || t == "-") null
+    values.zipWithIndex.map { case (v, row) => floatCell(v, row, fixer) }
+
+  /** One datetime cell at `row` — the per-element kernel of parseDatetimeColumn. */
+  def datetimeCell(v: Any, row: Int, fixer: ParseFixer): Any =
+    v match {
+      case t: Timestamp            => t
+      case d: java.util.Date       => new Timestamp(d.getTime)
+      case l: LocalDateTime        => Timestamp.valueOf(l)
+      case null =>
+        nanToNull(fixOrThrow(fixer, row, "datetime", null, "Illegal value in datetime column: null"))
+      case s: String =>
+        val t = s.trim
+        if (t.nonEmpty && (t(0).isDigit || t == "-" || t.toLowerCase == "nan")) {
+          if (t == "-" || t.toLowerCase == "nan") null
           else
-            try java.lang.Double.valueOf(t.toDouble)
+            try parseTimestamp(t)
             catch {
-              case _: NumberFormatException =>
-                nanToNull(fixOrThrow(fixer, row, "float", t, s"Illegal value in numerical column: $s"))
+              case _: IllegalArgumentException =>
+                nanToNull(fixOrThrow(fixer, row, "datetime", t, s"Illegal value in datetime column: $t"))
             }
-        case other =>
-          nanToNull(fixOrThrow(fixer, row, "float", other, s"Illegal value in numerical column: $other"))
-      }
+        } else
+          nanToNull(fixOrThrow(fixer, row, "datetime", t, s"Illegal value in datetime column: $t"))
+      case other =>
+        throw new IllegalArgumentException(s"Illegal value in datetime column: $other")
     }
 
   def parseDatetimeColumn(values: Seq[Any], fixer: ParseFixer): Seq[Any] =
-    values.zipWithIndex.map { case (v, row) =>
-      v match {
-        case t: Timestamp            => t
-        case d: java.util.Date       => new Timestamp(d.getTime)
-        case l: LocalDateTime        => Timestamp.valueOf(l)
-        case null =>
-          nanToNull(fixOrThrow(fixer, row, "datetime", null, "Illegal value in datetime column: null"))
-        case s: String =>
-          val t = s.trim
-          if (t.nonEmpty && (t(0).isDigit || t == "-" || t.toLowerCase == "nan")) {
-            if (t == "-" || t.toLowerCase == "nan") null
-            else
-              try parseTimestamp(t)
-              catch {
-                case _: IllegalArgumentException =>
-                  nanToNull(fixOrThrow(fixer, row, "datetime", t, s"Illegal value in datetime column: $t"))
-              }
-          } else
-            nanToNull(fixOrThrow(fixer, row, "datetime", t, s"Illegal value in datetime column: $t"))
-        case other =>
-          throw new IllegalArgumentException(s"Illegal value in datetime column: $other")
-      }
+    values.zipWithIndex.map { case (v, row) => datetimeCell(v, row, fixer) }
+
+  /** Single-cell parser for one unit indicator, dispatched ONCE per column
+    * (split readers call the returned closure per cell — no per-cell Seq
+    * allocation or unit-string match). Value-identical to
+    * `parseColumn(unit, Seq(raw), fixer).head`, which indexes every cell
+    * as row 0. */
+  def cellParser(unitIndicator: String, fixer: ParseFixer): Any => Any =
+    unitIndicator match {
+      case "text"     => v => if (v == null) "" else v.toString
+      case "onoff"    => v => onoffCell(v, 0, fixer)
+      case "datetime" => v => datetimeCell(v, 0, fixer)
+      case _          => v => floatCell(v, 0, fixer)
     }
 
   /** Dispatch on unit indicator (reference: columns.py:167-194). */

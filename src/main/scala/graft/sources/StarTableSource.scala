@@ -201,11 +201,17 @@ private[sources] class StarTableReaderFactory(tableName: Option[String], sep: St
               Iterator.empty
             } else {
               // column pruning pushed into the parse: look up only required
-              // columns; everything else skipped entirely
+              // columns; everything else skipped entirely. Needed columns
+              // are copied to arrays ONCE — cell access in the row loop
+              // must be O(1), not O(row) (a linked-list column would make
+              // this loop quadratic in the file's row count).
               val idx = required.fields.map(f => p.columnNames.indexOf(f.name))
               val fIdx: Map[String, Int] =
                 pushed.flatMap(_.references).distinct
                   .map(c => c -> p.columnNames.indexOf(c)).toMap
+              val colArr = new Array[Array[Any]](p.columnNames.size)
+              (idx ++ fIdx.values).filter(_ >= 0).distinct
+                .foreach(i => colArr(i) = p.columns(i).toArray)
               (0 until p.numRows).iterator.flatMap { r =>
                 // missing column or NaN cell reads as null — the same view
                 // toCatalyst gives Spark, so the parse-level verdict can
@@ -213,7 +219,7 @@ private[sources] class StarTableReaderFactory(tableName: Option[String], sep: St
                 // re-checked by the residual filters)
                 def getv(n: String): Any = fIdx(n) match {
                   case -1 => null
-                  case i => p.columns(i)(r) match {
+                  case i => colArr(i)(r) match {
                     case d: java.lang.Double if d.isNaN => null
                     case v => v
                   }
@@ -226,7 +232,7 @@ private[sources] class StarTableReaderFactory(tableName: Option[String], sep: St
                   var c = 0
                   while (c < idx.length) {
                     out(c) = if (idx(c) < 0) null
-                    else StarTableSource.toCatalyst(p.columns(idx(c))(r))
+                    else StarTableSource.toCatalyst(colArr(idx(c))(r))
                     c += 1
                   }
                   Some(new GenericInternalRow(out))
@@ -277,6 +283,22 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
   private val contradicted =
     StarTableSource.blockContradicted(pushed, sp.columnNames)
 
+  // Hot-loop precomputation: the union of file columns this reader must
+  // parse (projection + filter refs), each with its unit parser resolved
+  // ONCE — per row the loop does one split, one parse per needed cell
+  // into a slot array shared by filter evaluation and projection (no
+  // per-cell Seq, no per-cell unit dispatch, no per-row Map, no
+  // double-parse of filtered+projected columns).
+  private val neededIdx: Array[Int] =
+    (idx ++ fRefs.map(_._2)).filter(_ >= 0).distinct.sorted
+  private val slotOf: Map[Int, Int] = neededIdx.zipWithIndex.toMap
+  private val parsers: Array[Any => Any] =
+    neededIdx.map(i => graft.parse.ColumnParsers.cellParser(sp.units(i), fixer))
+  private val refSlot: Array[(String, Int)] =
+    fRefs.map { case (c, i) => c -> (if (i < 0) -1 else slotOf(i)) }
+  private val projSlot: Array[Int] =
+    idx.map(i => if (i < 0) -1 else slotOf(i))
+
   private val buf = new Array[Byte](65536)
   private var bufLen = 0
   private var bufPos = 0
@@ -314,7 +336,12 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
       if (i < limit) { nl = true; bufPos = i + 1; pos += 1 }
       else bufPos = limit
     }
-    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    // CRLF: the whole-file path (linesIterator) strips the \r; mirror it
+    // so split reads stay value-identical on CRLF files
+    val n = out.size()
+    val bytes = out.toByteArray
+    val len = if (n > 0 && bytes(n - 1) == '\r') n - 1 else n
+    new String(bytes, 0, len, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   private def skipLine(): Unit = {
@@ -342,23 +369,36 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
       // not table data
       if (line.trim.isEmpty || line.startsWith("**")) { done = true; return false }
       val cells = line.split(sepQuoted, -1)
-      def cellAt(i: Int): Any =
-        if (i < 0 || i >= cells.length) null
-        else StarTableSource.parseCell(sp.units(i), cells(i), fixer)
-      val passes = !pushed.exists { f =>
-        val vals: Map[String, Any] =
-          fRefs.iterator.map { case (c, i) => c -> cellAt(i) }.toMap
-        !StarTableSource.evalFilter(f, vals.getOrElse(_, null))
+      val parsed = new Array[Any](neededIdx.length)
+      var s = 0
+      while (s < neededIdx.length) {
+        val i = neededIdx(s)
+        parsed(s) = if (i >= cells.length) null else parsers(s)(cells(i))
+        s += 1
+      }
+      val passes = pushed.isEmpty || {
+        def ref(c: String): Any = {
+          var k = 0
+          while (k < refSlot.length) {
+            if (refSlot(k)._1 == c)
+              return if (refSlot(k)._2 < 0) null else parsed(refSlot(k)._2)
+            k += 1
+          }
+          null
+        }
+        !pushed.exists(f => !StarTableSource.evalFilter(f, ref))
       }
       if (passes) {
-        val out = new Array[Any](idx.length)
+        val out = new Array[Any](projSlot.length)
         var c = 0
-        while (c < idx.length) {
-          out(c) = StarTableSource.toCatalyst(cellAt(idx(c)))
+        while (c < projSlot.length) {
+          out(c) =
+            if (projSlot(c) < 0) null
+            else StarTableSource.toCatalyst(parsed(projSlot(c)))
           c += 1
         }
         current = new GenericInternalRow(out)
-        if (passes) return true
+        return true
       } else StarTableSource.rowsFiltered.increment()
     }
     false
@@ -468,12 +508,6 @@ private[graft] object StarTableSource {
     val single = Option(options.get("path")).toSeq
     (multi ++ single).distinct
   }
-
-  /** One cell through the SAME per-unit coercion the block parser applies
-    * (ColumnParsers column functions over a single-element Seq), so split
-    * reads are value-identical to whole-file reads. */
-  def parseCell(unit: String, raw: String, fixer: graft.parse.ParseFixer): Any =
-    graft.parse.ColumnParsers.parseColumn(unit, Seq(raw), fixer).head
 
   /** Plan byte-range splits for one single-table file: parse the 4-line
     * header from the file head driver-side (column names, units, data

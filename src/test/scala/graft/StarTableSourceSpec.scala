@@ -85,6 +85,29 @@ class StarTableSourceSpec extends AnyFunSuite {
       "split readers never evaluated the pushed filter")
   }
 
+  test("byte-range splits over a CRLF file are value-identical to the " +
+    "whole-file read (no trailing \\r in the last cell)") {
+    val dir = Files.createTempDirectory("graft_split_crlf")
+    val sb = new StringBuilder("**big;\r\nall\r\nplace;distance;ETA;is_hot\r\n" +
+      "text;km;datetime;onoff\r\n")
+    (0 until 1000).foreach { i =>
+      sb.append(s"p$i;${i % 97}.5;2020-08-04 ${8 + i % 12}:00;${i % 2}\r\n")
+    }
+    Files.writeString(dir.resolve("crlf.csv"), sb.toString)
+    val whole = spark.read.format("startable").load(s"$dir/crlf.csv")
+    val split = spark.read.format("startable")
+      .option("assumeSingleTable", "true").option("maxSplitBytes", "2048")
+      .load(s"$dir/crlf.csv")
+    assert(split.rdd.getNumPartitions > 5)
+    val a = whole.collect().map(_.toSeq).toSet
+    val b = split.collect().map(_.toSeq).toSet
+    assert(a.size == 1000 && b == a,
+      s"CRLF split read diverged: whole=${a.size} split=${b.size}")
+    // the onoff column rode at line end before \r\n — a kept \r would have
+    // broken the boolean parse
+    assert(split.filter(col("is_hot")).count() == 500)
+  }
+
   test("byte-range splits stop at a block boundary; unsplittable layouts " +
     "fall back to the whole-file reader") {
     val dir = Files.createTempDirectory("graft_split2")
