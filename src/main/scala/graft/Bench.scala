@@ -60,7 +60,14 @@ object Bench {
       System.gc()
     }
 
+    // Optional comma-separated query filter for targeted timing sessions
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q_link_predict,q_hits). A filtered run
+    // never overwrites BENCH_FULL.json — partial totals are not a record.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Fixed-work calibration probe: a constant 2e8-row codegen aggregate
     // whose cost is INDEPENDENT of the benchmarked SF. Its time is recorded
@@ -97,7 +104,7 @@ object Bench {
     // amortized over the query stream in any real deployment (standard ANN
     // benchmark methodology; the build itself is declared and memoized in
     // the query, not hidden).
-    SparkEntry.indexedQueries.foreach { n =>
+    SparkEntry.indexedQueries.filter(n => only.forall(_.contains(n))).foreach { n =>
       try run(SparkEntry.queries(n), sfDir) catch { case _: Throwable => () }
     }
     sweep()
@@ -153,10 +160,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"reruns":$rerunsJson,"queries":$fullQs,"sf":"$sfDir","reps":$reps}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      fullLine.getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        fullLine.getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
 
     // The harness records only the LAST 2000 chars of output; the
     // full-precision line above is ~3 kB at 100+ queries, so a single

@@ -32,26 +32,47 @@ object FuzzyJoin {
         concat(s.substr(lit(1), i - 1), s.substr(i + 1, lit(Int.MaxValue)))))
 
   /** All (idA, idB, distance) pairs with idA < idB and
-    * levenshtein(strA, strB) ≤ 1. */
+    * levenshtein(strA, strB) ≤ 1.
+    *
+    * Shuffle shape: deletion keys are HASHED to 8 bytes (xxhash64) before
+    * the shuffle, so blocking moves longs, not near-full-length substrings
+    * (a 64-char name otherwise ships 65 × 63-char keys). A hash collision
+    * can only ADD a candidate pair — the exact levenshtein verify removes
+    * it — never drop one: two distance-≤1 strings share a real deletion
+    * key, which hashes equal. Candidates are generated bucket-locally
+    * (one groupBy into per-key arrays, pairs enumerated narrow) instead of
+    * a two-sided self-join, so each input string crosses the wire once. */
   def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String,
                          maxBucketSize: Long = 10000L): DataFrame = {
     val keyed = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
       .select(col("__id"), col("__s"),
-        explode(deletionKeys(col("__s"))).as("__k"))
+        explode(deletionKeys(col("__s"))).as("__kraw"))
+      .select(col("__id"), col("__s"), xxhash64(col("__kraw")).as("__k"))
     val hot = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
       .limit(1).collect()
     require(hot.isEmpty,
-      s"editDistance1Pairs: deletion-key bucket '${hot.headOption.map(_.getString(0))
-        .getOrElse("")}' exceeds maxBucketSize=$maxBucketSize — " +
-        "template-generated strings would make the block join quadratic; " +
-        "pre-segment the input or raise the cap explicitly")
-    val a = keyed.select(col("__k"), col("__id").as("id_a"), col("__s").as("s_a"))
-    val b = keyed.select(col("__k"), col("__id").as("id_b"), col("__s").as("s_b"))
-    a.join(b, Seq("__k"))
+      s"editDistance1Pairs: a deletion-key bucket holds ${hot.headOption
+        .map(_.getLong(1)).getOrElse(0L)} strings, exceeding " +
+        s"maxBucketSize=$maxBucketSize — template-generated strings would " +
+        "make the block join quadratic; pre-segment the input or raise " +
+        "the cap explicitly")
+    val buckets = keyed.groupBy(col("__k"))
+      .agg(collect_list(struct(col("__id"), col("__s"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+    buckets
+      .select(posexplode(col("xs")).as(Seq("__i", "ra")), col("xs"))
+      .select(col("ra"),
+        explode(expr("slice(xs, __i + 2, size(xs))")).as("rb"))
+      .select(
+        least(col("ra.__id"), col("rb.__id")).as("id_a"),
+        greatest(col("ra.__id"), col("rb.__id")).as("id_b"),
+        when(col("ra.__id") <= col("rb.__id"), col("ra.__s"))
+          .otherwise(col("rb.__s")).as("s_a"),
+        when(col("ra.__id") <= col("rb.__id"), col("rb.__s"))
+          .otherwise(col("ra.__s")).as("s_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
       .distinct()
       .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
       .select(col("id_a"), col("id_b"),
