@@ -25,7 +25,14 @@ object Dedup {
     * unpersist — lineage is intact — only recompute cost is at stake). */
   private[graft] def materializeAndFree(result: DataFrame,
                                         internals: DataFrame*): DataFrame = {
-    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Skip the persist when `result` is already cached (an iterative
+    // operator returning its last persisted generation, or a plan that
+    // cache-matches an existing entry): persist would be a WARN-logging
+    // no-op either way, and the caller's single unpersist() contract is
+    // unchanged.
+    val out =
+      if (result.storageLevel != org.apache.spark.storage.StorageLevel.NONE) result
+      else result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize: internals are no longer needed for `out`
     internals.foreach(_.unpersist(blocking = true))
     out
