@@ -86,12 +86,25 @@ private[sources] class StarTableTable(schema: StructType, props: Map[String, Str
 private[sources] class StarTableScanBuilder(fullSchema: StructType,
                                             options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Limit pushdown INTO the parse: each reader stops consuming its input
+    * after `limit` rows, so `.limit(n)` over a huge StarTable file parses
+    * ~n rows per partition instead of the whole file. Spark only offers
+    * the limit when no residual filter sits between it and the scan (our
+    * pushed filters always remain residual, so filtered plans never push a
+    * limit here), and `isPartiallyPushed` stays true (the default): Spark
+    * re-applies the global limit, the scan cap is purely a work bound. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
 
   /** Predicate pushdown INTO the parse — the connector-layer analog of the
     * reference's early block filter. Supported predicates (comparisons on
@@ -116,7 +129,7 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
     Option(options.get("assumeSingleTable")).exists(_.toBoolean),
     Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024),
-    fullSchema, required, pushed)
+    fullSchema, required, pushed, limit)
 }
 
 private[sources] class StarTableScan(files: Seq[String], tableName: Option[String],
@@ -124,10 +137,31 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
                                      assumeSingleTable: Boolean,
                                      maxSplitBytes: Long,
                                      fullSchema: StructType, required: StructType,
-                                     pushed: Array[Filter])
-    extends Scan with Batch {
+                                     pushed: Array[Filter], limit: Option[Int])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size statistics from file lengths (the same proxy the built-in text
+    * sources use). Without this a DSv2 scan reports defaultSizeInBytes
+    * (effectively infinite), so a small StarTable dimension table could
+    * NEVER be auto-broadcast — every join against it would shuffle the
+    * fact side. Text bytes upper-bound the projected row width, so a
+    * too-big estimate can only suppress a broadcast, never OOM one. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(bytes, 1L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   /** One partition per file — except that with `assumeSingleTable=true`
     * (the caller's explicit contract that each file holds exactly ONE
@@ -145,13 +179,15 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
         .getOrElse(Seq(StarFilePartition(f)))
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new StarTableReaderFactory(tableName, sep, failFast, fullSchema, required, pushed)
+    new StarTableReaderFactory(tableName, sep, failFast, fullSchema, required,
+      pushed, limit)
   // surface the pushdown in explain() so plans are auditable, mirroring the
   // built-in file sources' "PushedFilters: [...]" line
   override def description(): String =
     s"startable table=${tableName.getOrElse("<first>")} " +
       s"ReadSchema: ${required.catalogString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.map(l => s", PushedLimit: $l").getOrElse("")
 }
 
 private[sources] case class StarFilePartition(path: String) extends InputPartition
@@ -170,13 +206,16 @@ private[sources] case class StarFileSplitPartition(
 private[sources] class StarTableReaderFactory(tableName: Option[String], sep: String,
                                               failFast: Boolean,
                                               fullSchema: StructType, required: StructType,
-                                              pushed: Array[Filter])
+                                              pushed: Array[Filter],
+                                              limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case sp: StarFileSplitPartition =>
-        new StarSplitReader(sp, sep, failFast, fullSchema, required, pushed)
-      case fp: StarFilePartition => createWholeFileReader(fp.path)
+        StarTableSource.capped(limit,
+          new StarSplitReader(sp, sep, failFast, fullSchema, required, pushed))
+      case fp: StarFilePartition =>
+        StarTableSource.capped(limit, createWholeFileReader(fp.path))
     }
 
   private def createWholeFileReader(path: String): PartitionReader[InternalRow] = {
@@ -365,6 +404,7 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
       if (lineStart > sp.end) { done = true; return false }
       val line = readLine()
       if (line == null) { done = true; return false }
+      StarTableSource.linesParsed.increment()
       // block terminators: under assumeSingleTable anything past them is
       // not table data
       if (line.trim.isEmpty || line.startsWith("**")) { done = true; return false }
@@ -415,7 +455,10 @@ private[graft] object StarTableSource {
     * counts on a cluster (visible in executor logs/metrics). */
   val blocksSkipped = new java.util.concurrent.atomic.LongAdder
   val rowsFiltered = new java.util.concurrent.atomic.LongAdder
-  def resetPushdownCounters(): Unit = { blocksSkipped.reset(); rowsFiltered.reset() }
+  val linesParsed = new java.util.concurrent.atomic.LongAdder
+  def resetPushdownCounters(): Unit = {
+    blocksSkipped.reset(); rowsFiltered.reset(); linesParsed.reset()
+  }
 
   /** Filters the parse can evaluate: comparisons/IN/null-tests on columns
     * parsed as String, Double, Boolean or Timestamp, plus their And/Or/Not
@@ -508,6 +551,25 @@ private[graft] object StarTableSource {
     val single = Option(options.get("path")).toSeq
     (multi ++ single).distinct
   }
+
+  /** Wrap a reader with a pushed-limit row cap. For the streaming split
+    * reader the cap stops INPUT consumption (a .limit(n) over a huge
+    * single-table file reads ~n lines per split); the whole-file reader
+    * parses its block eagerly, so there the cap bounds only the rows
+    * handed to Spark. Spark re-applies the global limit either way
+    * (isPartiallyPushed). */
+  def capped(limit: Option[Int],
+             inner: PartitionReader[InternalRow]): PartitionReader[InternalRow] =
+    limit match {
+      case None => inner
+      case Some(l) => new PartitionReader[InternalRow] {
+        private var emitted = 0
+        override def next(): Boolean =
+          emitted < l && inner.next() && { emitted += 1; true }
+        override def get(): InternalRow = inner.get()
+        override def close(): Unit = inner.close()
+      }
+    }
 
   /** Plan byte-range splits for one single-table file: parse the 4-line
     * header from the file head driver-side (column names, units, data

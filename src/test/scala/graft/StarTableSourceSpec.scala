@@ -440,4 +440,54 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(lines.exists(_ == "dunes;-;-;0"), s"got:\n$txt")
     assert(lines.exists(_.startsWith("home;0.0;2020-08-04 08:00")))
   }
+
+  test("limit pushdown bounds split-reader input consumption") {
+    val dir = Files.createTempDirectory("graft_limit")
+    val sb = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
+      "text;km;datetime;onoff\n")
+    (0 until 5000).foreach { i =>
+      sb.append(s"p$i;${i % 97}.5;2020-08-04 ${8 + i % 12}:00;${i % 2}\n")
+    }
+    Files.writeString(dir.resolve("big.csv"), sb.toString)
+    val df = spark.read.format("startable")
+      .option("assumeSingleTable", "true").option("maxSplitBytes", "4096")
+      .load(s"$dir/big.csv")
+    val limited = df.limit(7)
+    // the pushed limit is visible in the scan description
+    assert(limited.queryExecution.executedPlan.toString.contains("PushedLimit: 7"),
+      limited.queryExecution.executedPlan.toString)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val rows = limited.collect()
+    assert(rows.length == 7)
+    // a capped split reader stops CONSUMING lines at the limit: collecting
+    // 7 of 5000 rows must touch a small fraction of the file (CollectLimit
+    // starts with one partition; each launched reader reads ≤ limit lines
+    // + its boundary-discard line)
+    val lines = graft.sources.StarTableSource.linesParsed.sum()
+    assert(lines < 500, s"limit(7) consumed $lines of 5000 lines")
+    // a filtered plan keeps the limit ABOVE the residual filter — never
+    // pushed into the scan, so filtering semantics are untouched
+    val filtered = df.filter(col("distance") > 50.0).limit(3)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedLimit"),
+      "limit must not push through a residual filter")
+    assert(filtered.collect().length == 3)
+  }
+
+  test("scan reports file-size statistics, so a small dimension " +
+    "auto-broadcasts in a join (no explicit broadcast hint)") {
+    val src = writeDir()
+    val dim = spark.read.format("startable").option("table", "places").load(src)
+    val sizeEst = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    // file-length proxy: well under the 10 MB autoBroadcast threshold and
+    // nowhere near the no-statistics default (Long.MaxValue)
+    assert(sizeEst > 0 && sizeEst < 100000,
+      s"expected a file-sized estimate, got $sizeEst")
+    val fact = spark.range(0, 10000)
+      .selectExpr("CAST(id % 4 AS BOOLEAN) AS is_hot", "id AS v")
+    val joined = fact.join(dim, Seq("is_hot"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small startable dim should auto-broadcast:\n$plan")
+    assert(joined.count() > 0)
+  }
 }
