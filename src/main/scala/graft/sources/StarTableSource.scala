@@ -49,9 +49,17 @@ class StarTableSource extends TableProvider with DataSourceRegister {
     require(files.nonEmpty, "startable source: no input files found")
     val tableName = Option(options.get("table"))
     val sep = Option(options.get("sep")).getOrElse(";")
-    StarTableSource.parseNamedTable(files.head, tableName, sep) match {
-      case Some(p) =>
-        StructType(p.columnNames.zip(p.units).map { case (n, u) =>
+    // Header-only streaming scan first: inference reads O(header) bytes of
+    // the file — it must never pull a 100 GB table into the driver (the
+    // old whole-file read also hard-failed past 2 GB on the array limit).
+    // Layouts it can't settle (transposed, truncated) fall back to the
+    // full block parse, itself streaming.
+    val header = StarTableSource.parseTableHeader(files.head, tableName, sep)
+      .orElse(StarTableSource.parseNamedTable(files.head, tableName, sep)
+        .map(p => (p.columnNames, p.units)))
+    header match {
+      case Some((cols, units)) =>
+        StructType(cols.zip(units).map { case (n, u) =>
           StructField(n, UnitIndicator.sparkType(u), nullable = true,
             metadata = new MetadataBuilder()
               .putString(StarTable.UnitMetaKey, u).build())
@@ -661,21 +669,79 @@ private[graft] object StarTableSource {
     val conf = new org.apache.hadoop.conf.Configuration()
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(conf)
-    val in = fs.open(hp)
-    val content =
-      try new String(in.readAllBytes(), "UTF-8")
-      finally in.close()
-    val filter: Option[Blocks.BlockFilter] = tableName.map(n =>
-      (bt: BlockType, name: String) => bt != BlockType.Table || name == n)
-    val fixer = new graft.parse.ParseFixer()
-    if (failFast) { fixer.stopOnErrors = true; fixer.verbose = false }
-    val tracker: graft.origin.InputIssueTracker =
-      if (failFast) new graft.origin.NullInputIssueTracker()
-      else new graft.origin.AccumulatingInputIssueTracker()
-    val it = graft.io.CsvReader.readString(content, sep, origin = path,
-      filter = filter, fixer = fixer, issueTracker = tracker)
-      .collectFirst { case (BlockType.Table, p: ParsedTable) => p }
-    it
+    // STREAM lines into the (lazy) block state machine — never readAllBytes:
+    // a single byte array hard-fails past 2 GB, and collectFirst means a
+    // file whose matching table ends early never reads its tail at all.
+    // Peak memory is one parsed block's cells, not the file.
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(hp),
+        java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+    try {
+      val lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      // the early block filter sees the RAW marker name — for a transposed
+      // table that includes the trailing `*` (reference parity,
+      // blocks.py:310) — but the connector's `table` option names the
+      // LOGICAL table, so accept both spellings
+      val filter: Option[Blocks.BlockFilter] = tableName.map(n =>
+        (bt: BlockType, name: String) =>
+          bt != BlockType.Table || name == n || name == n + "*")
+      val fixer = new graft.parse.ParseFixer()
+      if (failFast) { fixer.stopOnErrors = true; fixer.verbose = false }
+      val tracker: graft.origin.InputIssueTracker =
+        if (failFast) new graft.origin.NullInputIssueTracker()
+        else new graft.origin.AccumulatingInputIssueTracker()
+      graft.io.CsvReader.parseLines(lines, sep,
+        graft.origin.NullLocationFile(path).makeLocationSheet(),
+        filter = filter, fixer = fixer, issueTracker = tracker)
+        .collectFirst { case (BlockType.Table, p: ParsedTable) => p }
+    } finally reader.close()
+  }
+
+  /** Stream ONLY the 4-line header of the named (or first) table: column
+    * names + units from O(header) bytes, for schema inference over files
+    * of ANY size. Handles the row-major layout (marker, destinations,
+    * names, units); anything else — transposed marker, truncated block,
+    * unit/name count mismatch — returns None and the caller falls back to
+    * the full (streaming) block parse. Marker recognition mirrors the
+    * block state machine: `**name` starts a table, `***` is a directive,
+    * `****` is not a marker. */
+  def parseTableHeader(path: String, tableName: Option[String],
+                       sep: String): Option[(Seq[String], Seq[String])] = {
+    val sepQ = java.util.regex.Pattern.quote(sep)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(hp.getFileSystem(conf).open(hp),
+        java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        val first = line.split(sepQ, -1).head
+        if (first.startsWith("**") && !first.startsWith("***")) {
+          val name = first.drop(2)
+          if (name.endsWith("*")) return None // transposed: full parse
+          if (tableName.forall(_ == name)) {
+            if (reader.readLine() == null) return None // no destinations
+            val colsLine = reader.readLine()
+            val unitLine = reader.readLine()
+            if (colsLine == null || unitLine == null) return None
+            // same duplicate-name fixup the full parse applies, so the
+            // inferred schema is identical on either path
+            val cols = graft.parse.Blocks.fixDuplicateColumnNames(
+              graft.parse.Blocks.parseColumnNames(
+                colsLine.split(sepQ, -1).toSeq),
+              new graft.parse.ParseFixer())
+            val units = unitLine.split(sepQ, -1).toSeq
+              .map(_.trim).take(cols.size)
+            return if (cols.nonEmpty && units.size == cols.size)
+              Some((cols, units))
+            else None
+          }
+        }
+        line = reader.readLine()
+      }
+      None
+    } finally reader.close()
   }
 
   /** Compare a parsed file's declared block schema (column names + units)

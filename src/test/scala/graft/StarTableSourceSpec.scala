@@ -441,6 +441,63 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(lines.exists(_.startsWith("home;0.0;2020-08-04 08:00")))
   }
 
+  test("schema inference streams the header: a 3 GB sparse file infers " +
+    "instantly (a whole-file read would hard-fail past the 2 GB array cap)") {
+    val dir = Files.createTempDirectory("graft_huge_infer")
+    val f = dir.resolve("huge.csv").toFile
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    raf.write(("**big;\nall\nplace;distance;ETA;is_hot\n" +
+      "text;km;datetime;onoff\n").getBytes("UTF-8"))
+    // sparse tail: zero disk cost, but any full-file read path would
+    // allocate >2 GB (hard JVM failure) or chase a newline-less 3 GB line
+    raf.setLength(3L * 1024 * 1024 * 1024)
+    raf.close()
+    val t0 = System.nanoTime()
+    val schema = spark.read.format("startable").load(f.toString).schema
+    assert((System.nanoTime() - t0) / 1e9 < 30)
+    assert(schema.fieldNames.toSeq == Seq("place", "distance", "ETA", "is_hot"))
+    assert(schema("distance").metadata.getString("startable.unit") == "km")
+    f.delete()
+  }
+
+  test("header-only inference skips non-matching blocks; transposed " +
+    "layouts fall back to the full parse") {
+    val dir = Files.createTempDirectory("graft_hdr")
+    Files.writeString(dir.resolve("mixed.csv"),
+      """author: tester;
+        |***include;
+        |other.csv
+        |
+        |**first
+        |all
+        |a;b
+        |-;-
+        |1;2
+        |
+        |**wanted
+        |all
+        |x;y;z
+        |text;km;onoff
+        |p;1.5;1
+        |""".stripMargin)
+    val df = spark.read.format("startable").option("table", "wanted")
+      .load(s"$dir/mixed.csv")
+    assert(df.schema.fieldNames.toSeq == Seq("x", "y", "z"))
+    assert(df.count() == 1)
+    // transposed: the streaming header scan refuses (None) and the full
+    // block parse supplies the schema
+    Files.writeString(dir.resolve("trans.csv"),
+      """**tt*;
+        |all
+        |place;text;home;work
+        |distance;km;0.0;1.0
+        |""".stripMargin)
+    val tdf = spark.read.format("startable").option("table", "tt")
+      .load(s"$dir/trans.csv")
+    assert(tdf.schema.fieldNames.toSeq == Seq("place", "distance"))
+    assert(tdf.count() == 2)
+  }
+
   test("limit pushdown bounds split-reader input consumption") {
     val dir = Files.createTempDirectory("graft_limit")
     val sb = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
