@@ -355,6 +355,78 @@ object CsvWriter {
       .write.mode("overwrite").text(outDir)
   }
 
+  /** Scale path #3 — a HIVE-PARTITIONED StarTable dataset: rows land in
+    * `col=value/part-*.txt` subdirectories via Spark's dynamic-partitioned
+    * text sink (one distributed write, zero driver data IO), so the
+    * `startable` connector can PRUNE whole directories from pushed filters
+    * on the partition columns — the classic 100 TB scan optimization
+    * (only the selected slices are ever opened, let alone parsed).
+    *
+    * Layout follows the parquet-dataset convention: data files are
+    * header-less rows of the NON-partition columns (the partition value
+    * lives in the path, exactly once), and the dataset is self-describing
+    * at the DIRECTORY level through `_startable_dataset.json` (table name,
+    * destinations, column names/units, partition columns/units) — written
+    * LAST, after the sink's `_SUCCESS`, so its presence marks a complete
+    * dataset (the `_params.json` crash-consistency discipline).
+    *
+    * `numFiles > 0` bounds the task count with a shuffle ON the partition
+    * columns, so each task writes few distinct slices (Spark opens one
+    * file per slice per task — an unshuffled skewed upstream would
+    * otherwise fan out files quadratically). */
+  def writePartitionedDataset(t: StarTable, outDir: String,
+                              partitionBy: Seq[String],
+                              sep: String = DefaultSep,
+                              naRep: String = DefaultNaRep,
+                              numFiles: Int = 0): Unit = {
+    require(partitionBy.nonEmpty,
+      "writePartitionedDataset: partitionBy must be non-empty (use writeDataset)")
+    val missing = partitionBy.filterNot(t.columnNames.contains)
+    require(missing.isEmpty,
+      s"writePartitionedDataset: partition column(s) ${missing.mkString(", ")} " +
+        s"not in table '${t.name}' (${t.columnNames.mkString(", ")})")
+    val dataCols = t.columnNames.filterNot(partitionBy.contains)
+    require(dataCols.nonEmpty,
+      "writePartitionedDataset: at least one non-partition column required")
+    // the partition columns ride as STRING path values, rendered with the
+    // same representation rules as data cells so a read-back parses them
+    // identically (floats shortest-repr, onoff 0/1); nulls fall to the
+    // sink's default-partition convention and read back as null
+    val reprByName: Map[String, Column] =
+      t.columnNames.zip(distributedCells(t, naRep)).toMap
+    // nulls stay null (NOT naRep) so the sink routes them to the default
+    // partition and a read-back restores null rather than a literal "-"
+    val pathCols = partitionBy.map(n =>
+      when(col(n).isNotNull, reprByName(n)).as(n))
+    val valueCol = org.apache.spark.sql.functions.concat_ws(sep,
+      distributedCells(t.select(dataCols: _*), naRep): _*).as("value")
+    val out = t.df.select(pathCols :+ valueCol: _*)
+    val shaped = if (numFiles > 0) out.repartition(numFiles,
+      partitionBy.map(org.apache.spark.sql.functions.col): _*) else out
+    shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(outDir)
+    // sidecar LAST: readers refuse a dataset without it
+    val meta = graft.io.JsonValue.JsonObject(scala.collection.immutable.ListMap(
+      "name" -> graft.io.JsonValue.JsonString(t.name),
+      "destinations" -> graft.io.JsonValue.JsonArray(
+        t.destinations.toVector.sorted.map(graft.io.JsonValue.JsonString(_))),
+      "columns" -> graft.io.JsonValue.JsonArray(
+        dataCols.toVector.map(graft.io.JsonValue.JsonString(_))),
+      "units" -> graft.io.JsonValue.JsonArray(
+        dataCols.toVector.map(c => graft.io.JsonValue.JsonString(t.unit(c)))),
+      "partitionBy" -> graft.io.JsonValue.JsonArray(
+        partitionBy.toVector.map(graft.io.JsonValue.JsonString(_))),
+      "partitionUnits" -> graft.io.JsonValue.JsonArray(
+        partitionBy.toVector.map(c => graft.io.JsonValue.JsonString(t.unit(c))))))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val metaPath = new org.apache.hadoop.fs.Path(outDir, DatasetMetaFile)
+    val fs = metaPath.getFileSystem(conf)
+    val os = fs.create(metaPath, true)
+    try os.write(graft.io.JsonValue.write(meta).getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  val DatasetMetaFile = "_startable_dataset.json"
+
   /** The codegen'd data-row rendering shared by [[writeDistributed]] and
     * [[writeDataset]]: one string column per output line, bit-faithful to
     * the driver-side writer's representation rules. */

@@ -544,6 +544,29 @@ object RelationalQueries {
         .option("table", "lineitem_slim").load(dsDir))
     }),
 
+    // Hive-partitioned StarTable dataset under the gate: lineitem is
+    // written ONCE per dataset as l_returnflag=<v>/part-*.txt slices
+    // (writePartitionedDataset — one dynamic-partitioned distributed
+    // write, schema in the directory sidecar), and the query reads ONE
+    // slice back through the connector: the pushed l_returnflag filter
+    // prunes the other slices' directories at PLANNING time (they are
+    // never opened), the partition value rides back as a path constant,
+    // and the revenue aggregate runs per l_linestatus. The oracle is the
+    // same aggregate over the ORIGINAL parquet — a value lost or bent
+    // anywhere in render → partition-path → prune → parse → constant
+    // restore breaks the hash.
+    "q_startable_partitioned" -> ((s, dir) => {
+      val ds = partitionedDatasetFor(s, dir)
+      s.read.format("startable").load(ds)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n"),
+          max(col("l_returnflag")).as("flag"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // --- Unit-preserving parquet persistence under the gate: lineitem
     // quantities are written ONCE as StarTable parquet with unit "km"
     // (units in the parquet field metadata, table metadata in the sidecar
@@ -562,6 +585,25 @@ object RelationalQueries {
         .withColumn("table_name", lit(back.name))
     })
   )
+
+  /** Build-once-per-dataset hive-partitioned StarTable dataset (memoized:
+    * the sidecar is written LAST by writePartitionedDataset, so its
+    * existence marks a complete dataset — the _params.json discipline). */
+  private def partitionedDatasetFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|stpds1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_stpds_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path,
+        graft.io.CsvWriter.DatasetMetaFile)))
+      graft.io.CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(
+          Tables.df(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_linestatus"), col("l_extendedprice"), col("l_discount")),
+          "lineitem_part"),
+        path, partitionBy = Seq("l_returnflag"), numFiles = 8)
+    path
+  }
 
   /** Build-once-per-dataset unit-carrying StarTable parquet (memoized; the
     * sidecar is written LAST by writeParquet, so its existence is the
@@ -1019,6 +1061,17 @@ object RelationalQueries {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q_startable_partitioned" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n,
+        |  max(l_returnflag) AS flag
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
 
     // km→m is ×1000 on the engine side only if the unit survived the
     // parquet schema metadata; 'lineitem_units' only if the sidecar did.

@@ -45,10 +45,25 @@ class StarTableSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = StarTableSource.resolveFiles(StarTableSource.paths(options))
-    require(files.nonEmpty, "startable source: no input files found")
     val tableName = Option(options.get("table"))
     val sep = Option(options.get("sep")).getOrElse(";")
+    // Hive-partitioned dataset root? Schema comes from the directory-level
+    // sidecar: data columns first, partition columns last (Spark file-source
+    // convention).
+    StarTableSource.readDatasetMeta(StarTableSource.paths(options)) match {
+      case Some(m) =>
+        tableName.foreach(n => require(n == m.name,
+          s"startable source: partitioned dataset holds table '${m.name}', not '$n'"))
+        return StructType(
+          (m.cols ++ m.partCols).zip(m.units ++ m.partUnits).map { case (n, u) =>
+            StructField(n, UnitIndicator.sparkType(u), nullable = true,
+              metadata = new MetadataBuilder()
+                .putString(StarTable.UnitMetaKey, u).build())
+          })
+      case None => ()
+    }
+    val files = StarTableSource.resolveFiles(StarTableSource.paths(options))
+    require(files.nonEmpty, "startable source: no input files found")
     // Header-only streaming scan first: inference reads O(header) bytes of
     // the file — it must never pull a 100 GB table into the driver (the
     // old whole-file read also hard-failed past 2 GB on the array limit).
@@ -129,15 +144,20 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new StarTableScan(
-    StarTableSource.resolveFiles(StarTableSource.paths(options)),
-    Option(options.get("table")),
-    Option(options.get("sep")).getOrElse(";"),
-    Option(options.get("failFast")).exists(_.toBoolean),
-    Option(options.get("assumeSingleTable")).exists(_.toBoolean),
-    Option(options.get("maxSplitBytes")).map(_.toLong)
-      .getOrElse(128L * 1024 * 1024),
-    fullSchema, required, pushed, limit)
+  override def build(): Scan = {
+    val roots = StarTableSource.paths(options)
+    val dataset = StarTableSource.readDatasetMeta(roots)
+    new StarTableScan(
+      if (dataset.isDefined) roots
+      else StarTableSource.resolveFiles(roots),
+      Option(options.get("table")),
+      Option(options.get("sep")).getOrElse(";"),
+      Option(options.get("failFast")).exists(_.toBoolean),
+      Option(options.get("assumeSingleTable")).exists(_.toBoolean),
+      Option(options.get("maxSplitBytes")).map(_.toLong)
+        .getOrElse(128L * 1024 * 1024),
+      fullSchema, required, pushed, limit, dataset)
+  }
 }
 
 private[sources] class StarTableScan(files: Seq[String], tableName: Option[String],
@@ -145,26 +165,57 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
                                      assumeSingleTable: Boolean,
                                      maxSplitBytes: Long,
                                      fullSchema: StructType, required: StructType,
-                                     pushed: Array[Filter], limit: Option[Int])
+                                     pushed: Array[Filter], limit: Option[Int],
+                                     dataset: Option[StarTableSource.DatasetMeta] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Partitioned-dataset file inventory: (path, length, raw partition
+    * values aligned with meta.partCols), AFTER partition pruning — pushed
+    * filters whose references are all partition columns are evaluated
+    * against the path-parsed values and non-matching files are never
+    * opened (the hive-partition analog of parquet partition pruning). */
+  private lazy val prunedDatasetFiles: Seq[(String, Long, Seq[String])] =
+    dataset match {
+      case None => Nil
+      case Some(m) =>
+        val all = StarTableSource.listPartitionedFiles(files, m.partCols)
+        val partFilters = pushed.filter(_.references.forall(m.partCols.contains))
+        if (partFilters.isEmpty) all
+        else {
+          val parsers = m.partCols.zip(m.partUnits).map { case (_, u) =>
+            graft.parse.ColumnParsers.cellParser(u, new graft.parse.ParseFixer())
+          }
+          val kept = all.filter { case (_, _, raw) =>
+            val vals: Map[String, Any] = m.partCols.lazyZip(raw).lazyZip(parsers)
+              .map((c, r, p) => c -> (if (r == null) null else p(r))).toMap
+            partFilters.forall(f => StarTableSource.evalFilter(f, vals.getOrElse(_, null)))
+          }
+          StarTableSource.filesPruned.add(all.size - kept.size)
+          kept
+        }
+    }
 
   /** Size statistics from file lengths (the same proxy the built-in text
     * sources use). Without this a DSv2 scan reports defaultSizeInBytes
     * (effectively infinite), so a small StarTable dimension table could
     * NEVER be auto-broadcast — every join against it would shuffle the
     * fact side. Text bytes upper-bound the projected row width, so a
-    * too-big estimate can only suppress a broadcast, never OOM one. */
+    * too-big estimate can only suppress a broadcast, never OOM one. For a
+    * partitioned dataset the estimate reflects the PRUNED file set, so a
+    * slice-selecting join sees the slice's size, not the dataset's. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes: Long = {
-      val conf = new org.apache.hadoop.conf.Configuration()
-      files.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        try p.getFileSystem(conf).getFileStatus(p).getLen
-        catch { case _: java.io.IOException => 0L }
-      }.sum
-    }
+    private val bytes: Long =
+      if (dataset.isDefined) prunedDatasetFiles.map(_._2).sum
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(conf).getFileStatus(p).getLen
+          catch { case _: java.io.IOException => 0L }
+        }.sum
+      }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): java.util.OptionalLong =
@@ -180,22 +231,41 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
     * across the cluster instead of serializing onto one task. Files whose
     * head can't be split safely (transposed marker, wrong table name,
     * oversized header) fall back to the whole-file reader. */
-  override def planInputPartitions(): Array[InputPartition] =
-    files.flatMap { f =>
-      if (!assumeSingleTable) Seq(StarFilePartition(f): InputPartition)
-      else StarTableSource.planSplits(f, tableName, sep, maxSplitBytes)
-        .getOrElse(Seq(StarFilePartition(f)))
-    }.toArray
+  override def planInputPartitions(): Array[InputPartition] = dataset match {
+    case Some(m) =>
+      // header-less data files under k=v directories: every file is
+      // line-splittable from byte 0, so large slices also byte-range
+      // split; partition values ride the partition spec and are appended
+      // as constants by the reader
+      prunedDatasetFiles.flatMap { case (path, len, raw) =>
+        val spec = m.partCols.lazyZip(m.partUnits).lazyZip(raw)
+          .map((c, u, r) => (c, u, r))
+        val n = math.max(1, math.ceil(len.toDouble / maxSplitBytes).toInt)
+        val eff = math.max(1L, math.ceil(len.toDouble / n).toLong)
+        (0 until n).map(k => StarFileSplitPartition(path,
+          k * eff, math.min((k + 1L) * eff, len), 0L,
+          m.cols, m.units, spec): InputPartition)
+      }.toArray
+    case None =>
+      files.flatMap { f =>
+        if (!assumeSingleTable) Seq(StarFilePartition(f): InputPartition)
+        else StarTableSource.planSplits(f, tableName, sep, maxSplitBytes)
+          .getOrElse(Seq(StarFilePartition(f)))
+      }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new StarTableReaderFactory(tableName, sep, failFast, fullSchema, required,
       pushed, limit)
   // surface the pushdown in explain() so plans are auditable, mirroring the
   // built-in file sources' "PushedFilters: [...]" line
   override def description(): String =
-    s"startable table=${tableName.getOrElse("<first>")} " +
+    s"startable table=${tableName.orElse(dataset.map(_.name)).getOrElse("<first>")} " +
       s"ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      limit.map(l => s", PushedLimit: $l").getOrElse("")
+      limit.map(l => s", PushedLimit: $l").getOrElse("") +
+      dataset.map(m => s", PartitionFilters: [${pushed
+        .filter(_.references.forall(m.partCols.contains)).mkString(", ")}]")
+        .getOrElse("")
 }
 
 private[sources] case class StarFilePartition(path: String) extends InputPartition
@@ -207,9 +277,13 @@ private[sources] case class StarFilePartition(path: String) extends InputPartiti
   * (possibly partial) line, then emits lines whose start offset is ≤ end;
   * the next reader's discard picks up exactly where this one stopped —
   * every line parsed exactly once regardless of where boundaries fall. */
+/** `partitionSpec`: hive-partition constants riding the split — (column,
+  * unit, raw path value or null) per partition column; empty for plain
+  * single-table splits. */
 private[sources] case class StarFileSplitPartition(
     path: String, start: Long, end: Long, dataStart: Long,
-    columnNames: Seq[String], units: Seq[String]) extends InputPartition
+    columnNames: Seq[String], units: Seq[String],
+    partitionSpec: Seq[(String, String, String)] = Nil) extends InputPartition
 
 private[sources] class StarTableReaderFactory(tableName: Option[String], sep: String,
                                               failFast: Boolean,
@@ -328,7 +402,24 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
     pushed.flatMap(_.references).distinct
       .map(c => c -> sp.columnNames.indexOf(c))
   private val contradicted =
-    StarTableSource.blockContradicted(pushed, sp.columnNames)
+    StarTableSource.blockContradicted(pushed,
+      sp.columnNames ++ sp.partitionSpec.map(_._1))
+
+  // Hive-partition constants: parsed from the path value ONCE per split
+  // (same per-unit coercion as data cells), held both as JVM values (for
+  // pushed-filter evaluation) and as Catalyst values (for projection).
+  private val partVal: Map[String, Any] =
+    sp.partitionSpec.map { case (c, u, raw) =>
+      c -> (if (raw == null) null
+            else graft.parse.ColumnParsers.cellParser(u, fixer)(raw))
+    }.toMap
+  // per-required-field partition constant (Catalyst), or a "not a
+  // partition column" sentinel
+  private val NotPart = new Object
+  private val partConst: Array[Any] = required.fields.map { f =>
+    if (partVal.contains(f.name)) StarTableSource.toCatalyst(partVal(f.name))
+    else NotPart
+  }
 
   // Hot-loop precomputation: the union of file columns this reader must
   // parse (projection + filter refs), each with its unit parser resolved
@@ -429,7 +520,8 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
           var k = 0
           while (k < refSlot.length) {
             if (refSlot(k)._1 == c)
-              return if (refSlot(k)._2 < 0) null else parsed(refSlot(k)._2)
+              return if (refSlot(k)._2 >= 0) parsed(refSlot(k)._2)
+              else partVal.getOrElse(c, null)
             k += 1
           }
           null
@@ -441,8 +533,9 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
         var c = 0
         while (c < projSlot.length) {
           out(c) =
-            if (projSlot(c) < 0) null
-            else StarTableSource.toCatalyst(parsed(projSlot(c)))
+            if (projSlot(c) >= 0) StarTableSource.toCatalyst(parsed(projSlot(c)))
+            else if (partConst(c).asInstanceOf[AnyRef] ne NotPart) partConst(c)
+            else null
           c += 1
         }
         current = new GenericInternalRow(out)
@@ -464,8 +557,101 @@ private[graft] object StarTableSource {
   val blocksSkipped = new java.util.concurrent.atomic.LongAdder
   val rowsFiltered = new java.util.concurrent.atomic.LongAdder
   val linesParsed = new java.util.concurrent.atomic.LongAdder
+  val filesPruned = new java.util.concurrent.atomic.LongAdder
   def resetPushdownCounters(): Unit = {
     blocksSkipped.reset(); rowsFiltered.reset(); linesParsed.reset()
+    filesPruned.reset()
+  }
+
+  /** Directory-level schema of a hive-partitioned StarTable dataset
+    * (written by [[graft.io.CsvWriter.writePartitionedDataset]]). */
+  final case class DatasetMeta(name: String, destinations: Set[String],
+                               cols: Seq[String], units: Seq[String],
+                               partCols: Seq[String], partUnits: Seq[String])
+
+  /** The sidecar, if the (single) root is a partitioned-dataset directory.
+    * The sidecar is written LAST by the writer, so its presence marks a
+    * COMPLETE dataset; a crash mid-write leaves a directory this reader
+    * refuses to treat as a dataset (and the plain-directory path then
+    * rejects the header-less part files loudly). */
+  def readDatasetMeta(roots: Seq[String]): Option[DatasetMeta] = {
+    if (roots.size != 1) return None
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = new org.apache.hadoop.fs.Path(roots.head)
+    val fs = root.getFileSystem(conf)
+    val metaPath = new org.apache.hadoop.fs.Path(root, graft.io.CsvWriter.DatasetMetaFile)
+    try {
+      if (!fs.getFileStatus(root).isDirectory || !fs.exists(metaPath)) return None
+    } catch { case _: java.io.FileNotFoundException => return None }
+    val in = fs.open(metaPath)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    import graft.io.JsonValue._
+    val o = graft.io.JsonValue.parse(txt).asInstanceOf[JsonObject]
+    def strs(k: String): Seq[String] = o.fields(k).asInstanceOf[JsonArray]
+      .values.map(_.asInstanceOf[JsonString].value)
+    Some(DatasetMeta(
+      o.fields("name").asInstanceOf[JsonString].value,
+      strs("destinations").toSet,
+      strs("columns"), strs("units"),
+      strs("partitionBy"), strs("partitionUnits")))
+  }
+
+  /** Recursively list a partitioned dataset's data files as
+    * (path, length, raw partition values aligned with `partCols`).
+    * Directory names follow the hive `col=value` convention with Spark's
+    * %XX path escaping; the default-partition marker reads back as null.
+    * Files under directories that don't supply ALL partition columns are
+    * refused loudly (a silently null-padded slice would corrupt joins). */
+  def listPartitionedFiles(roots: Seq[String],
+                           partCols: Seq[String]): Seq[(String, Long, Seq[String])] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    roots.flatMap { r =>
+      val root = new org.apache.hadoop.fs.Path(r)
+      val fs = root.getFileSystem(conf)
+      def walk(p: org.apache.hadoop.fs.Path,
+               spec: Map[String, String]): Seq[(String, Long, Seq[String])] =
+        fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { s =>
+          val n = s.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (s.isDirectory) {
+            val eq = n.indexOf('=')
+            if (eq <= 0) Nil // not a partition dir: ignore (staging etc.)
+            else {
+              val k = unescapePathName(n.substring(0, eq))
+              val v0 = unescapePathName(n.substring(eq + 1))
+              val v = if (v0 == "__HIVE_DEFAULT_PARTITION__") null else v0
+              walk(s.getPath, spec + (k -> v))
+            }
+          } else {
+            val missing = partCols.filterNot(spec.contains)
+            require(missing.isEmpty,
+              s"startable source: data file ${s.getPath} lacks partition " +
+                s"value(s) for ${missing.mkString(", ")} in its path")
+            Seq((s.getPath.toString, s.getLen, partCols.map(spec(_))))
+          }
+        }
+      walk(root, Map.empty)
+    }
+  }
+
+  /** Inverse of Spark's file-sink path escaping (%XX for characters that
+    * are unsafe in directory names). */
+  def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // %XX with two hex digits; anything else passes through verbatim
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) |
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Filters the parse can evaluate: comparisons/IN/null-tests on columns

@@ -498,6 +498,44 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(tdf.count() == 2)
   }
 
+  test("hive-partitioned dataset: lossless round trip, directory pruning " +
+    "from pushed partition filters, null and escaped partition values") {
+    import spark.implicits._
+    val df = Seq(("A", 1.0, true), ("A", 2.0, false), ("B:x", 3.0, true),
+      (null.asInstanceOf[String], 4.0, false))
+      .toDF("grp", "x", "ok")
+    val t = graft.model.StarTable.fromDataFrame(df, "parts",
+      units = Map("grp" -> "text"))
+    val out = Files.createTempDirectory("graft_pds").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, partitionBy = Seq("grp"))
+    assert(Files.exists(java.nio.file.Paths.get(out, "_startable_dataset.json")))
+    val back = spark.read.format("startable").load(out)
+    // data columns first, partition columns last; units survive
+    assert(back.schema.fieldNames.toSeq == Seq("x", "ok", "grp"))
+    assert(back.schema("grp").metadata.getString("startable.unit") == "text")
+    assert(back.schema("ok").dataType == org.apache.spark.sql.types.BooleanType)
+    val got = back.select("grp", "x", "ok").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(got == Set(("A", 1.0, true), ("A", 2.0, false), ("B:x", 3.0, true),
+      (null, 4.0, false)), s"got $got")
+    // partition pruning: a filter on grp never opens the other slices
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val a = back.filter(col("grp") === "A")
+    assert(a.count() == 2)
+    assert(graft.sources.StarTableSource.filesPruned.sum() > 0,
+      "partition filter pruned no files")
+    assert(a.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      a.queryExecution.executedPlan.toString)
+    // null partition value restores as null (default-partition marker)
+    assert(back.filter(col("grp").isNull).select("x")
+      .collect().map(_.getDouble(0)).toSeq == Seq(4.0))
+    // mixed partition + data filter stays correct (data part is residual)
+    assert(back.filter(col("grp") === "A" && col("x") > 1.5).count() == 1)
+    // the pruned slice is broadcast-sized in statistics
+    val est = a.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > 0 && est < 100000, s"pruned-slice estimate: $est")
+  }
+
   test("limit pushdown bounds split-reader input consumption") {
     val dir = Files.createTempDirectory("graft_limit")
     val sb = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
