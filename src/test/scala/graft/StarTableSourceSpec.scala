@@ -536,6 +536,32 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(est > 0 && est < 100000, s"pruned-slice estimate: $est")
   }
 
+  test("multi-column partitioning: nested col=value directories, pruning " +
+    "on any level, numeric partition values typed by their unit") {
+    import spark.implicits._
+    val df = (0 until 40).map(i =>
+      (s"s${i % 2}", (i % 4).toDouble, i.toDouble)).toDF("src", "shard", "x")
+    val t = graft.model.StarTable.fromDataFrame(df, "nested",
+      units = Map("src" -> "text"))
+    val out = Files.createTempDirectory("graft_pds2").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out,
+      partitionBy = Seq("src", "shard"), numFiles = 4)
+    val back = spark.read.format("startable").load(out)
+    assert(back.schema.fieldNames.toSeq == Seq("x", "src", "shard"))
+    // shard carries the default number unit → DoubleType after the path trip
+    assert(back.schema("shard").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(back.count() == 40)
+    // pruning on the INNER level alone
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val one = back.filter(col("shard") === 3.0)
+    assert(one.count() == 10)
+    assert(graft.sources.StarTableSource.filesPruned.sum() > 0)
+    // pruning on both levels composes; values come back right
+    val both = back.filter(col("src") === "s1" && col("shard") === 1.0)
+    assert(both.select(sum(col("x"))).head.getDouble(0) ==
+      (0 until 40).filter(i => i % 2 == 1 && i % 4 == 1).map(_.toDouble).sum)
+  }
+
   test("limit pushdown bounds split-reader input consumption") {
     val dir = Files.createTempDirectory("graft_limit")
     val sb = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
