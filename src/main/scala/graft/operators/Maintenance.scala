@@ -43,8 +43,13 @@ object Maintenance {
     * data movement; the file LISTING is the only driver work. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
-              sortCols: Seq[String] = Nil): CompactionReport = {
+              sortCols: Seq[String] = Nil,
+              format: String = "parquet"): CompactionReport = {
     require(targetBytes > 0, s"compact: targetBytes must be positive")
+    require(format == "parquet" || format == "text",
+      s"compact: unsupported format '$format' (parquet or text)")
+    require(format == "parquet" || sortCols.isEmpty,
+      "compact: sortCols requires the parquet format (text rows are opaque)")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def visible(d: Path) = fs.listStatus(d).toSeq
@@ -94,13 +99,13 @@ object Maintenance {
       // inert rather than data-corrupting.
       val staging = new Path(p.getParent, "." + p.getName + "__compacting")
       if (fs.exists(staging)) fs.delete(staging, true)
-      val df = spark.read.parquet(p.toString)
+      val df = spark.read.format(format).load(p.toString)
       val shaped =
         if (sortCols.nonEmpty)
           df.repartitionByRange(nOut, sortCols.map(col): _*)
             .sortWithinPartitions(sortCols.map(col): _*)
         else df.repartition(nOut)
-      shaped.write.parquet(staging.toString)
+      shaped.write.format(format).save(staging.toString)
 
       val trash = new Path(p.getParent, "." + p.getName + "__old")
       if (fs.exists(trash)) fs.delete(trash, true)
@@ -122,6 +127,26 @@ object Maintenance {
         a.bytesBefore + b.bytesBefore, a.filesAfter + b.filesAfter,
         a.bytesAfter + b.bytesAfter)
     }
+  }
+
+  /** Compact a hive-partitioned StarTable dataset (the
+    * [[graft.io.CsvWriter.writePartitionedDataset]] layout) in place:
+    * each `col=value` leaf's small text part files are rewritten as
+    * ~`targetBytes`-sized files with the same staging-and-swap crash
+    * safety as the parquet path. Rows are opaque rendered lines — no
+    * parse, no re-render, bit-identical content — and the directory
+    * sidecar (schema, partition columns) is untouched, so connector
+    * reads before and after return the same table. Streaming appends and
+    * per-slice incremental writes leave many small files; this is the
+    * maintenance pass that keeps a long-lived dataset scan-efficient. */
+  def compactStarDataset(spark: SparkSession, path: String,
+                         targetBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, graft.io.CsvWriter.DatasetMetaFile)),
+      s"compactStarDataset: $path has no ${graft.io.CsvWriter.DatasetMetaFile} " +
+        "sidecar — not a StarTable dataset (for parquet tables use compact)")
+    compact(spark, path, targetBytes, Nil, "text")
   }
 
   /** Write `df` hive-partitioned by `partitionCols` with DYNAMIC overwrite:

@@ -174,4 +174,35 @@ class MaintenanceSpec extends AnyFunSuite {
       .filter(n => n.contains("__compacting") || n.contains("__old"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
+
+  test("compactStarDataset merges each slice's small text files " +
+    "bit-identically; connector reads the same table before and after") {
+    val path = freshDir()
+    val df = (0 until 100).map(i => (s"g${i % 2}", i.toDouble))
+      .toDF("g", "x").repartition(16)
+    val t = graft.model.StarTable.fromDataFrame(df, "cds",
+      units = Map("g" -> "text"))
+    graft.io.CsvWriter.writePartitionedDataset(t, path, Seq("g"))
+    def readBack() = spark.read.format("startable").load(path)
+      .select("g", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val before = readBack()
+    val rep = Maintenance.compactStarDataset(spark, path,
+      targetBytes = Long.MaxValue)
+    assert(rep.filesBefore > 2 && rep.filesAfter == 2,
+      s"expected one file per slice, got $rep")
+    // text rows are opaque lines — the rewrite is bit-identical in total
+    assert(rep.bytesBefore == rep.bytesAfter, rep.toString)
+    assert(readBack() == before)
+    // partition pruning still works on the compacted layout
+    assert(spark.read.format("startable").load(path)
+      .filter(col("g") === "g1").count() == 50)
+    // refuses a directory that is not a StarTable dataset
+    val plain = freshDir()
+    (0L until 10L).toDF("id").write.parquet(plain)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactStarDataset(spark, plain)
+    }
+    assert(e.getMessage.contains("_startable_dataset.json"))
+  }
 }
