@@ -374,11 +374,19 @@ object CsvWriter {
     * columns, so each task writes few distinct slices (Spark opens one
     * file per slice per task — an unshuffled skewed upstream would
     * otherwise fan out files quadratically). */
+  /** `overwriteSlices = true` is the INCREMENTAL-BACKFILL mode: only the
+    * partition slices present in `t` are replaced (dynamic partition
+    * overwrite); every other slice survives untouched — re-running one
+    * day/source never clobbers its siblings, where the default static
+    * overwrite drops the whole dataset first. Backfill requires an
+    * EXISTING dataset whose sidecar schema matches `t` exactly (a drifted
+    * backfill would silently fork the dataset's schema — refused). */
   def writePartitionedDataset(t: StarTable, outDir: String,
                               partitionBy: Seq[String],
                               sep: String = DefaultSep,
                               naRep: String = DefaultNaRep,
-                              numFiles: Int = 0): Unit = {
+                              numFiles: Int = 0,
+                              overwriteSlices: Boolean = false): Unit = {
     require(partitionBy.nonEmpty,
       "writePartitionedDataset: partitionBy must be non-empty (use writeDataset)")
     val missing = partitionBy.filterNot(t.columnNames.contains)
@@ -388,6 +396,19 @@ object CsvWriter {
     val dataCols = t.columnNames.filterNot(partitionBy.contains)
     require(dataCols.nonEmpty,
       "writePartitionedDataset: at least one non-partition column required")
+    if (overwriteSlices) {
+      val existing = graft.sources.StarTableSource.readDatasetMeta(Seq(outDir))
+        .getOrElse(throw new IllegalArgumentException(
+          s"writePartitionedDataset: overwriteSlices requires an existing " +
+            s"dataset at $outDir (no $DatasetMetaFile sidecar found)"))
+      val incoming = (t.name, dataCols, dataCols.map(t.unit),
+        partitionBy, partitionBy.map(t.unit))
+      val current = (existing.name, existing.cols, existing.units,
+        existing.partCols, existing.partUnits)
+      require(incoming == current,
+        s"writePartitionedDataset: backfill schema drift — dataset at " +
+          s"$outDir holds $current, incoming table is $incoming")
+    }
     // the partition columns ride as STRING path values, rendered with the
     // same representation rules as data cells so a read-back parses them
     // identically (floats shortest-repr, onoff 0/1); nulls fall to the
@@ -403,7 +424,16 @@ object CsvWriter {
     val out = t.df.select(pathCols :+ valueCol: _*)
     val shaped = if (numFiles > 0) out.repartition(numFiles,
       partitionBy.map(org.apache.spark.sql.functions.col): _*) else out
-    shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(outDir)
+    if (overwriteSlices) {
+      val spark = t.df.sparkSession
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(outDir)
+      } finally
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    } else
+      shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(outDir)
     // sidecar LAST: readers refuse a dataset without it
     val meta = graft.io.JsonValue.JsonObject(scala.collection.immutable.ListMap(
       "name" -> graft.io.JsonValue.JsonString(t.name),

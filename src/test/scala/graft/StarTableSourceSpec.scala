@@ -562,6 +562,38 @@ class StarTableSourceSpec extends AnyFunSuite {
       (0 until 40).filter(i => i % 2 == 1 && i % 4 == 1).map(_.toDouble).sum)
   }
 
+  test("overwriteSlices backfill replaces only the incoming slices and " +
+    "refuses schema drift") {
+    import spark.implicits._
+    val full = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("grp", "x")
+    val out = Files.createTempDirectory("graft_bf").toString
+    def table(df: org.apache.spark.sql.DataFrame) =
+      graft.model.StarTable.fromDataFrame(df, "bf", units = Map("grp" -> "text"))
+    graft.io.CsvWriter.writePartitionedDataset(table(full), out, Seq("grp"))
+    // backfill slice "a" with different rows; slice "b" must survive
+    val patch = Seq(("a", 9.0)).toDF("grp", "x")
+    graft.io.CsvWriter.writePartitionedDataset(table(patch), out, Seq("grp"),
+      overwriteSlices = true)
+    val got = spark.read.format("startable").load(out)
+      .select("grp", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set(("a", 9.0), ("b", 3.0)), s"got $got")
+    // drifted schema (extra column) refuses before touching anything
+    val drifted = Seq(("a", 1.0, 5L)).toDF("grp", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.io.CsvWriter.writePartitionedDataset(table(drifted), out,
+        Seq("grp"), overwriteSlices = true)
+    }
+    assert(e.getMessage.contains("schema drift"))
+    // backfill into a non-dataset directory refuses
+    val e2 = intercept[IllegalArgumentException] {
+      graft.io.CsvWriter.writePartitionedDataset(table(patch),
+        Files.createTempDirectory("graft_bf2").toString, Seq("grp"),
+        overwriteSlices = true)
+    }
+    assert(e2.getMessage.contains("existing"))
+  }
+
   test("limit pushdown bounds split-reader input consumption") {
     val dir = Files.createTempDirectory("graft_limit")
     val sb = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
