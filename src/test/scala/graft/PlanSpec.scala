@@ -389,4 +389,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max") || plan.contains("partial_"),
       s"no map-side combine on the pair stream:\n$plan")
   }
+
+  test("partitioned-dataset gate query prunes the other slices at planning " +
+    "time and shows the partition filter in the plan") {
+    val df = RelationalQueries.queries("q_startable_partitioned")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("l_returnflag,R"),
+      s"partition filter not surfaced:\n$plan")
+    graft.sources.StarTableSource.resetPushdownCounters()
+    df.write.format("noop").mode("overwrite").save()
+    assert(graft.sources.StarTableSource.filesPruned.sum() > 0,
+      "the l_returnflag=R slice query pruned no files — the other slices " +
+        "were opened")
+  }
 }
