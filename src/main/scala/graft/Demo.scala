@@ -138,7 +138,30 @@ object Demo {
       .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
     pr.unpersist()
 
-    println("\n=== 11. the physical plan Catalyst builds ===")
+    println("\n=== 11. partitioned dataset lifecycle: write -> prune -> " +
+      "backfill -> compact ===")
+    val dsDir = java.nio.file.Files.createTempDirectory("demo_pds").toString
+    val docsT = graft.model.StarTable.fromDataFrame(
+      Seq(("en", 1.0), ("en", 2.0), ("de", 3.0)).toDF("lang", "score"),
+      "docs", units = Map("lang" -> "text"))
+    graft.io.CsvWriter.writePartitionedDataset(docsT, dsDir, Seq("lang"))
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val en = spark.read.format("startable").load(dsDir)
+      .filter(col("lang") === "en")
+    println(s"  lang=en rows: ${en.count()} (pruned " +
+      s"${graft.sources.StarTableSource.filesPruned.sum()} other-slice files)")
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(
+        Seq(("en", 9.0)).toDF("lang", "score"), "docs",
+        units = Map("lang" -> "text")),
+      dsDir, Seq("lang"), overwriteSlices = true)
+    val rep = graft.operators.Maintenance.compactStarDataset(spark, dsDir)
+    println(s"  after en-slice backfill + compaction: " +
+      spark.read.format("startable").load(dsDir).orderBy("lang")
+        .collect().map(r => s"${r.getString(1)}:${r.getDouble(0)}").mkString(" ") +
+      s"  (files ${rep.filesBefore} -> ${rep.filesAfter})")
+
+    println("\n=== 12. the physical plan Catalyst builds ===")
     hot.df.explain("formatted")
 
     spark.stop()
