@@ -435,6 +435,12 @@ object CsvWriter {
     } else
       shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(outDir)
     // sidecar LAST: readers refuse a dataset without it
+    writeDatasetSidecar(t, outDir, dataCols, partitionBy)
+  }
+
+  private def writeDatasetSidecar(t: StarTable, outDir: String,
+                                  dataCols: Seq[String],
+                                  partitionBy: Seq[String]): Unit = {
     val meta = graft.io.JsonValue.JsonObject(scala.collection.immutable.ListMap(
       "name" -> graft.io.JsonValue.JsonString(t.name),
       "destinations" -> graft.io.JsonValue.JsonArray(
@@ -456,6 +462,53 @@ object CsvWriter {
   }
 
   val DatasetMetaFile = "_startable_dataset.json"
+
+  /** Streaming ingestion into a hive-partitioned StarTable dataset — the
+    * micro-batch analog of [[writePartitionedDataset]]. `t` wraps a
+    * STREAMING DataFrame; rows render through the same (pure, codegen'd)
+    * representation expressions and land in `col=value` slices via
+    * Spark's exactly-once file sink (checkpoint + `_spark_metadata`
+    * commit log — a restart resumes without duplicates or loss; both
+    * hidden names are ignored by the connector's listing).
+    *
+    * Unlike the batch path, an append-forever dataset has no single
+    * "complete" moment, so the sidecar is written BEFORE the query
+    * starts: its job here is only to carry the schema; per-batch
+    * visibility is the sink's commit log. Micro-batches leave small
+    * files — run [[graft.operators.Maintenance.compactStarDataset]]
+    * periodically (the sink tolerates compaction because the connector,
+    * not the sink's log, is the read path). Returns the started query;
+    * the caller owns its lifecycle. */
+  def streamPartitionedDataset(t: StarTable, outDir: String,
+                               partitionBy: Seq[String], checkpoint: String,
+                               sep: String = DefaultSep,
+                               naRep: String = DefaultNaRep)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(t.df.isStreaming,
+      "streamPartitionedDataset: t must wrap a streaming DataFrame " +
+        "(use writePartitionedDataset for batch)")
+    require(partitionBy.nonEmpty, "streamPartitionedDataset: no partition columns")
+    val missing = partitionBy.filterNot(t.columnNames.contains)
+    require(missing.isEmpty,
+      s"streamPartitionedDataset: partition column(s) ${missing.mkString(", ")} " +
+        s"not in table '${t.name}'")
+    val dataCols = t.columnNames.filterNot(partitionBy.contains)
+    require(dataCols.nonEmpty,
+      "streamPartitionedDataset: at least one non-partition column required")
+    writeDatasetSidecar(t, outDir, dataCols, partitionBy)
+    val reprByName: Map[String, Column] =
+      t.columnNames.zip(distributedCells(t, naRep)).toMap
+    val pathCols = partitionBy.map(n =>
+      when(col(n).isNotNull, reprByName(n)).as(n))
+    val valueCol = concat_ws(sep,
+      distributedCells(t.select(dataCols: _*), naRep): _*).as("value")
+    t.df.select(pathCols :+ valueCol: _*)
+      .writeStream.format("text")
+      .partitionBy(partitionBy: _*)
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
 
   /** The codegen'd data-row rendering shared by [[writeDistributed]] and
     * [[writeDataset]]: one string column per output line, bit-faithful to

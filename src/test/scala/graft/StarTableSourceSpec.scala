@@ -594,6 +594,50 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("existing"))
   }
 
+  test("streamPartitionedDataset: checkpointed micro-batches land " +
+    "exactly-once in slices across a restart; the connector reads and " +
+    "prunes them") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_spds")
+    val srcDir = base.resolve("src"); Files.createDirectory(srcDir)
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    def writeBatch(name: String, rows: Seq[(String, Double)]): Unit =
+      rows.toDF("lang", "score").coalesce(1)
+        .write.mode("overwrite").parquet(srcDir.resolve(name).toString)
+    def startQuery() = graft.io.CsvWriter.streamPartitionedDataset(
+      graft.model.StarTable.fromDataFrame(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString + "/*"),
+        "sdocs", units = Map("lang" -> "text")),
+      outDir, Seq("lang"), ckpt)
+
+    writeBatch("b1", Seq(("en", 1.0), ("de", 2.0)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    writeBatch("b2", Seq(("en", 3.0), ("fr", 4.0)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val back = spark.read.format("startable").load(outDir)
+    val got = back.select("lang", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set(("en", 1.0), ("de", 2.0), ("en", 3.0), ("fr", 4.0)),
+      s"exactly-once across restart violated: $got")
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(back.filter(col("lang") === "en").count() == 2)
+    assert(graft.sources.StarTableSource.filesPruned.sum() > 0)
+    // compaction after streaming: small per-batch files merge per slice
+    val rep = graft.operators.Maintenance.compactStarDataset(spark, outDir)
+    assert(rep.filesAfter == 3 && rep.bytesBefore == rep.bytesAfter, rep.toString)
+    assert(spark.read.format("startable").load(outDir)
+      .select("lang", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet == got)
+  }
+
   test("limit pushdown bounds split-reader input consumption") {
     val dir = Files.createTempDirectory("graft_limit")
     val sb = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
