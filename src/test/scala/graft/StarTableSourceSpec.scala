@@ -638,6 +638,28 @@ class StarTableSourceSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1))).toSet == got)
   }
 
+  test("datetime partition values survive the escaped path round trip " +
+    "and prune as timestamps") {
+    import spark.implicits._
+    val df = Seq(("2020-08-04 08:00:00", 1.0), ("2020-08-04 09:00:00", 2.0))
+      .toDF("t", "x")
+      .select(col("t").cast(org.apache.spark.sql.types.TimestampType).as("t"),
+        col("x"))
+    val t = graft.model.StarTable.fromDataFrame(df, "byhour",
+      units = Map("t" -> "datetime"))
+    val out = Files.createTempDirectory("graft_pds_ts").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("t"))
+    val back = spark.read.format("startable").load(out)
+    assert(back.schema("t").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val one = back.filter(col("t") ===
+      lit("2020-08-04 08:00:00").cast(org.apache.spark.sql.types.TimestampType))
+    assert(one.select("x").collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+    assert(graft.sources.StarTableSource.filesPruned.sum() > 0,
+      "timestamp partition filter pruned nothing")
+  }
+
   test("limit pushdown bounds split-reader input consumption") {
     val dir = Files.createTempDirectory("graft_limit")
     val sb = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
