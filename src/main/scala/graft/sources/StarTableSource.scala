@@ -586,14 +586,25 @@ private[graft] object StarTableSource {
     val in = fs.open(metaPath)
     val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     import graft.io.JsonValue._
-    val o = graft.io.JsonValue.parse(txt).asInstanceOf[JsonObject]
-    def strs(k: String): Seq[String] = o.fields(k).asInstanceOf[JsonArray]
-      .values.map(_.asInstanceOf[JsonString].value)
-    Some(DatasetMeta(
-      o.fields("name").asInstanceOf[JsonString].value,
-      strs("destinations").toSet,
-      strs("columns"), strs("units"),
-      strs("partitionBy"), strs("partitionUnits")))
+    try {
+      val o = graft.io.JsonValue.parse(txt).asInstanceOf[JsonObject]
+      def strs(k: String): Seq[String] = o.fields(k).asInstanceOf[JsonArray]
+        .values.map(_.asInstanceOf[JsonString].value)
+      Some(DatasetMeta(
+        o.fields("name").asInstanceOf[JsonString].value,
+        strs("destinations").toSet,
+        strs("columns"), strs("units"),
+        strs("partitionBy"), strs("partitionUnits")))
+    } catch {
+      case e: Exception =>
+        // a corrupt sidecar must fail LOUDLY with the file named — falling
+        // back to the plain-directory path would misread header-less data
+        // files (or list nothing) and look like silent data loss
+        throw new IllegalArgumentException(
+          s"startable source: unreadable dataset sidecar $metaPath " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); repair or " +
+            "remove it", e)
+    }
   }
 
   /** Recursively list a partitioned dataset's data files as
