@@ -294,8 +294,12 @@ object CsvWriter {
     Files.writeString(Paths.get(outDir, "_header.txt"), header)
   }
 
-  private def distributedCells(t: StarTable, naRep: String): Seq[Column] = {
-    t.columnNames.zipWithIndex.map { case (c, ci) =>
+  private def distributedCells(t: StarTable, naRep: String): Seq[Column] =
+    t.columnNames.zipWithIndex.map { case (c, ci) => renderCell(t, c, ci, naRep) }
+
+  /** One column's codegen'd cell rendering; `ci == 0` applies the
+    * first-column empty-string sealing. */
+  private def renderCell(t: StarTable, c: String, ci: Int, naRep: String): Column = {
       val u = t.unit(c)
       u match {
         case "onoff" =>
@@ -329,7 +333,6 @@ object CsvWriter {
           }
           coalesce(base.cast(StringType), lit(naRep))
       }
-    }
   }
 
   /** Scale path #2 — a StarTable DATASET directory: every partition writes
@@ -386,39 +389,35 @@ object CsvWriter {
                               sep: String = DefaultSep,
                               naRep: String = DefaultNaRep,
                               numFiles: Int = 0,
-                              overwriteSlices: Boolean = false): Unit = {
+                              overwriteSlices: Boolean = false,
+                              collectStats: Boolean = true): Unit = {
     require(partitionBy.nonEmpty,
       "writePartitionedDataset: partitionBy must be non-empty (use writeDataset)")
     val missing = partitionBy.filterNot(t.columnNames.contains)
     require(missing.isEmpty,
       s"writePartitionedDataset: partition column(s) ${missing.mkString(", ")} " +
         s"not in table '${t.name}' (${t.columnNames.mkString(", ")})")
+    validatePartitionNames("writePartitionedDataset", partitionBy)
     val dataCols = t.columnNames.filterNot(partitionBy.contains)
     require(dataCols.nonEmpty,
       "writePartitionedDataset: at least one non-partition column required")
-    if (overwriteSlices) {
-      val existing = graft.sources.StarTableSource.readDatasetMeta(Seq(outDir))
-        .getOrElse(throw new IllegalArgumentException(
-          s"writePartitionedDataset: overwriteSlices requires an existing " +
-            s"dataset at $outDir (no $DatasetMetaFile sidecar found)"))
-      val incoming = (t.name, dataCols, dataCols.map(t.unit),
-        partitionBy, partitionBy.map(t.unit))
-      val current = (existing.name, existing.cols, existing.units,
-        existing.partCols, existing.partUnits)
-      require(incoming == current,
-        s"writePartitionedDataset: backfill schema drift — dataset at " +
-          s"$outDir holds $current, incoming table is $incoming")
-    }
-    // the partition columns ride as STRING path values, rendered with the
-    // same representation rules as data cells so a read-back parses them
-    // identically (floats shortest-repr, onoff 0/1); nulls fall to the
-    // sink's default-partition convention and read back as null
-    val reprByName: Map[String, Column] =
-      t.columnNames.zip(distributedCells(t, naRep)).toMap
-    // nulls stay null (NOT naRep) so the sink routes them to the default
-    // partition and a read-back restores null rather than a literal "-"
-    val pathCols = partitionBy.map(n =>
-      when(col(n).isNotNull, reprByName(n)).as(n))
+    val existingMeta =
+      if (overwriteSlices) {
+        val existing = graft.sources.StarTableSource.readDatasetMeta(Seq(outDir))
+          .getOrElse(throw new IllegalArgumentException(
+            s"writePartitionedDataset: overwriteSlices requires an existing " +
+              s"dataset at $outDir (no $DatasetMetaFile sidecar found)"))
+        val incoming = (t.name, dataCols, dataCols.map(t.unit),
+          partitionBy, partitionBy.map(t.unit))
+        val current = (existing.name, existing.cols, existing.units,
+          existing.partCols, existing.partUnits)
+        require(incoming == current,
+          s"writePartitionedDataset: backfill schema drift — dataset at " +
+            s"$outDir holds $current, incoming table is $incoming")
+        Some(existing)
+      } else None
+    val pathCols = partitionPathCols(t, partitionBy, naRep,
+      "writePartitionedDataset")
     val valueCol = org.apache.spark.sql.functions.concat_ws(sep,
       distributedCells(t.select(dataCols: _*), naRep): _*).as("value")
     val out = t.df.select(pathCols :+ valueCol: _*)
@@ -434,26 +433,151 @@ object CsvWriter {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     } else
       shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(outDir)
+    // Per-slice column min/max/null statistics — the parquet-footer analog
+    // the connector consults to skip whole slices whose value range
+    // contradicts a pushed NON-partition predicate. One extra distributed
+    // aggregate over the input (map-side partial combine; the shuffled
+    // volume is slices × columns partials, not data). On incremental
+    // backfill the rewritten slices' entries replace their predecessors;
+    // untouched slices keep theirs.
+    val stats: Seq[graft.sources.StarTableSource.SliceStats] =
+      if (!collectStats) existingMeta.map(_.sliceStats).getOrElse(Nil)
+      else {
+        val fresh = computeSliceStats(t, dataCols, partitionBy, naRep)
+        existingMeta match {
+          case Some(m) if overwriteSlices =>
+            val rewritten = fresh.map(_.partition).toSet
+            m.sliceStats.filterNot(s => rewritten.contains(s.partition)) ++ fresh
+          case _ => fresh
+        }
+      }
     // sidecar LAST: readers refuse a dataset without it
-    writeDatasetSidecar(t, outDir, dataCols, partitionBy)
+    writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats)
+  }
+
+  /** Reject partition column names the hive-layout listing cannot round
+    * trip: `_`/`.`-prefixed directories are invisible to the connector's
+    * (and Spark's) listing convention. */
+  private def validatePartitionNames(op: String, partitionBy: Seq[String]): Unit = {
+    val hidden = partitionBy.filter(n =>
+      n.startsWith("_") || n.startsWith("."))
+    require(hidden.isEmpty,
+      s"$op: partition column(s) ${hidden.mkString(", ")} start with '_' " +
+        "or '.' — their directories would be skipped by hidden-file " +
+        "listing conventions; rename the column")
+  }
+
+  /** Partition columns as STRING path values, rendered with the same
+    * representation rules as data cells so a read-back parses them
+    * identically (floats shortest-repr, onoff 0/1). Nulls stay null (NOT
+    * naRep) so the sink routes them to the default partition and a
+    * read-back restores null. Empty-string values are REJECTED at render
+    * time (codegen'd guard, no extra pass): Spark's file sink routes ""
+    * to the default partition too, which would silently read back as
+    * null — an asymmetric lossy round trip. */
+  private def partitionPathCols(t: StarTable, partitionBy: Seq[String],
+                                naRep: String, op: String): Seq[Column] = {
+    partitionBy.map { n =>
+      // ci = 1: path values are not first-column cells — NO empty-string
+      // sealing (an empty text partition value is rejected below instead)
+      val r = renderCell(t, n, 1, naRep)
+      when(col(n).isNotNull,
+        when(r === "", raise_error(lit(
+          s"$op: empty-string partition value in column '$n' — the file " +
+            "sink would route it to the default partition and it would " +
+            "read back as null; filter or replace empty values first"))
+          .cast(StringType))
+          .otherwise(r)).as(n)
+    }
+  }
+
+  /** Per-slice column statistics for the sidecar: group by the RENDERED
+    * partition values (exactly the strings that become path values, so the
+    * reader's path-listing keys match), then typed min/max/null-count per
+    * data column with the reader's null semantics (NaN counts as null and
+    * is excluded from min/max; text is aggregated on its RENDERED string —
+    * the text parser is identity, so sealed/empty-string rewrites are
+    * reflected). min/max are stored RENDERED and re-parsed by the reader
+    * through the same unit parsers as data cells. */
+  private def computeSliceStats(t: StarTable, dataCols: Seq[String],
+                                partitionBy: Seq[String], naRep: String)
+      : Seq[graft.sources.StarTableSource.SliceStats] = {
+    val keyCols = partitionPathCols(t, partitionBy, naRep, "sliceStats")
+    // rendered cells in DATASET column order — first-column sealing applies
+    // to dataCols.head exactly as the written value column does
+    val renderedByCol: Map[String, Column] =
+      dataCols.zip(distributedCells(t.select(dataCols: _*), naRep)).toMap
+    val aggs: Seq[Column] = dataCols.flatMap { c =>
+      val u = t.unit(c)
+      val v: Column =
+        if (u == "text") renderedByCol(c)
+        else if (t.df.schema(c).dataType == DoubleType ||
+                 t.df.schema(c).dataType == FloatType)
+          when(!isnan(col(c)), col(c))
+        else col(c)
+      Seq(min(v).as(s"__min_$c"), max(v).as(s"__max_$c"),
+        count(when(v.isNull, 1)).as(s"__nulls_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val rows = t.df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*).collect()
+    rows.toSeq.map { r =>
+      val part = partitionBy.indices.map(i =>
+        if (r.isNullAt(i)) null else r.getString(i))
+      val base = partitionBy.size
+      val stats = dataCols.zipWithIndex.map { case (c, ci) =>
+        val mn = r.get(base + ci * 3)
+        val mx = r.get(base + ci * 3 + 1)
+        val nulls = r.getLong(base + ci * 3 + 2)
+        c -> graft.sources.StarTableSource.ColStats(
+          renderStat(mn, t.unit(c), naRep), renderStat(mx, t.unit(c), naRep),
+          nulls)
+      }.toMap
+      graft.sources.StarTableSource.SliceStats(part,
+        r.getLong(base + dataCols.size * 3), stats)
+    }
+  }
+
+  /** Render one collected stat value exactly as a data cell of its unit
+    * would be (so the reader's re-parse yields the cell's value). */
+  private def renderStat(v: Any, unit: String, naRep: String): String = v match {
+    case null                  => null
+    case s: String             => s // text stats are already rendered
+    case b: Boolean            => if (b) "1" else "0"
+    case ts: Timestamp         => formatTimestamp(ts)
+    case l: java.time.LocalDateTime => formatTimestamp(Timestamp.valueOf(l))
+    case other                 => stringify(other, None)
   }
 
   private def writeDatasetSidecar(t: StarTable, outDir: String,
                                   dataCols: Seq[String],
-                                  partitionBy: Seq[String]): Unit = {
-    val meta = graft.io.JsonValue.JsonObject(scala.collection.immutable.ListMap(
-      "name" -> graft.io.JsonValue.JsonString(t.name),
-      "destinations" -> graft.io.JsonValue.JsonArray(
-        t.destinations.toVector.sorted.map(graft.io.JsonValue.JsonString(_))),
-      "columns" -> graft.io.JsonValue.JsonArray(
-        dataCols.toVector.map(graft.io.JsonValue.JsonString(_))),
-      "units" -> graft.io.JsonValue.JsonArray(
-        dataCols.toVector.map(c => graft.io.JsonValue.JsonString(t.unit(c)))),
-      "partitionBy" -> graft.io.JsonValue.JsonArray(
-        partitionBy.toVector.map(graft.io.JsonValue.JsonString(_))),
-      "partitionUnits" -> graft.io.JsonValue.JsonArray(
-        partitionBy.toVector.map(c => graft.io.JsonValue.JsonString(t.unit(c))))))
-    val conf = new org.apache.hadoop.conf.Configuration()
+                                  partitionBy: Seq[String],
+                                  sep: String = DefaultSep,
+                                  sliceStats: Seq[graft.sources.StarTableSource.SliceStats] = Nil): Unit = {
+    import graft.io.JsonValue._
+    def optStr(s: String): JsonValue = if (s == null) JsonNull else JsonString(s)
+    val statsJson = JsonArray(sliceStats.toVector.map { s =>
+      JsonObject(scala.collection.immutable.ListMap(
+        "partition" -> JsonArray(s.partition.toVector.map(optStr)),
+        "rows" -> JsonNumber(s.rows.toDouble),
+        "stats" -> JsonObject(scala.collection.immutable.ListMap(
+          s.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+            c -> (JsonObject(scala.collection.immutable.ListMap(
+              "min" -> optStr(cs.min), "max" -> optStr(cs.max),
+              "nulls" -> JsonNumber(cs.nulls.toDouble))): JsonValue)
+          }: _*))))
+    })
+    val meta = JsonObject(scala.collection.immutable.ListMap(
+      "name" -> JsonString(t.name),
+      "destinations" -> JsonArray(
+        t.destinations.toVector.sorted.map(JsonString(_))),
+      "columns" -> JsonArray(dataCols.toVector.map(JsonString(_))),
+      "units" -> JsonArray(
+        dataCols.toVector.map(c => JsonString(t.unit(c)))),
+      "partitionBy" -> JsonArray(partitionBy.toVector.map(JsonString(_))),
+      "partitionUnits" -> JsonArray(
+        partitionBy.toVector.map(c => JsonString(t.unit(c)))),
+      "sep" -> JsonString(sep)) ++
+      (if (sliceStats.isEmpty) Nil else Seq("sliceStats" -> statsJson)))
+    val conf = graft.sources.StarTableSource.activeHadoopConf()
     val metaPath = new org.apache.hadoop.fs.Path(outDir, DatasetMetaFile)
     val fs = metaPath.getFileSystem(conf)
     val os = fs.create(metaPath, true)
@@ -492,14 +616,15 @@ object CsvWriter {
     require(missing.isEmpty,
       s"streamPartitionedDataset: partition column(s) ${missing.mkString(", ")} " +
         s"not in table '${t.name}'")
+    validatePartitionNames("streamPartitionedDataset", partitionBy)
     val dataCols = t.columnNames.filterNot(partitionBy.contains)
     require(dataCols.nonEmpty,
       "streamPartitionedDataset: at least one non-partition column required")
-    writeDatasetSidecar(t, outDir, dataCols, partitionBy)
-    val reprByName: Map[String, Column] =
-      t.columnNames.zip(distributedCells(t, naRep)).toMap
-    val pathCols = partitionBy.map(n =>
-      when(col(n).isNotNull, reprByName(n)).as(n))
+    // no sliceStats: an append-forever stream has no final value ranges —
+    // readers fall back to partition-level pruning only
+    writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep)
+    val pathCols = partitionPathCols(t, partitionBy, naRep,
+      "streamPartitionedDataset")
     val valueCol = concat_ws(sep,
       distributedCells(t.select(dataCols: _*), naRep): _*).as("value")
     t.df.select(pathCols :+ valueCol: _*)
@@ -524,7 +649,7 @@ object CsvWriter {
     * it merges outputs far larger than the driver heap; uses the Hadoop FS
     * API so the directory can live on any supported filesystem. */
   def mergeDistributed(outDir: String, targetFile: String): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = graft.sources.StarTableSource.activeHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(outDir)
     val fs = dir.getFileSystem(conf)
     val target = new org.apache.hadoop.fs.Path(targetFile)

@@ -145,18 +145,27 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
+    // the session's Hadoop configuration, serialized once at planning time
+    // so executor-side readers see the same credentials/FS settings
+    val confS = new org.apache.spark.util.SerializableConfiguration(
+      StarTableSource.activeHadoopConf())
     val roots = StarTableSource.paths(options)
-    val dataset = StarTableSource.readDatasetMeta(roots)
+    val dataset = StarTableSource.readDatasetMeta(roots, confS.value)
+    val maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    require(maxSplitBytes > 0,
+      s"startable source: maxSplitBytes must be positive, got $maxSplitBytes")
     new StarTableScan(
       if (dataset.isDefined) roots
-      else StarTableSource.resolveFiles(roots),
+      else StarTableSource.resolveFiles(roots, confS.value),
       Option(options.get("table")),
-      Option(options.get("sep")).getOrElse(";"),
+      // a dataset is self-describing: its sidecar records the separator it
+      // was written with; an explicit reader option still wins
+      Option(options.get("sep")).orElse(dataset.map(_.sep)).getOrElse(";"),
       Option(options.get("failFast")).exists(_.toBoolean),
       Option(options.get("assumeSingleTable")).exists(_.toBoolean),
-      Option(options.get("maxSplitBytes")).map(_.toLong)
-        .getOrElse(128L * 1024 * 1024),
-      fullSchema, required, pushed, limit, dataset)
+      maxSplitBytes,
+      fullSchema, required, pushed, limit, dataset, confS)
   }
 }
 
@@ -166,7 +175,10 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
                                      maxSplitBytes: Long,
                                      fullSchema: StructType, required: StructType,
                                      pushed: Array[Filter], limit: Option[Int],
-                                     dataset: Option[StarTableSource.DatasetMeta] = None)
+                                     dataset: Option[StarTableSource.DatasetMeta] = None,
+                                     confS: org.apache.spark.util.SerializableConfiguration =
+                                       new org.apache.spark.util.SerializableConfiguration(
+                                         new org.apache.hadoop.conf.Configuration()))
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -180,9 +192,10 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
     dataset match {
       case None => Nil
       case Some(m) =>
-        val all = StarTableSource.listPartitionedFiles(files, m.partCols)
+        val all = StarTableSource.listPartitionedFiles(files, m.partCols,
+          confS.value)
         val partFilters = pushed.filter(_.references.forall(m.partCols.contains))
-        if (partFilters.isEmpty) all
+        val afterPart = if (partFilters.isEmpty) all
         else {
           val parsers = m.partCols.zip(m.partUnits).map { case (_, u) =>
             graft.parse.ColumnParsers.cellParser(u, new graft.parse.ParseFixer())
@@ -193,6 +206,35 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
             partFilters.forall(f => StarTableSource.evalFilter(f, vals.getOrElse(_, null)))
           }
           StarTableSource.filesPruned.add(all.size - kept.size)
+          kept
+        }
+        // Slice-level DATA skipping from sidecar statistics — the
+        // parquet-footer analog: a pushed predicate on a NON-partition
+        // column whose per-slice min/max range it contradicts skips every
+        // file of that slice unopened. Conservative by construction: a
+        // slice without a stats entry (e.g. streaming-appended) is read,
+        // a type-mismatched comparison is read, and Spark re-applies all
+        // pushed filters as residuals either way.
+        val contentFilters =
+          pushed.filterNot(_.references.forall(m.partCols.contains))
+        if (contentFilters.isEmpty || m.sliceStats.isEmpty) afterPart
+        else {
+          val statsByPart: Map[Seq[String], StarTableSource.SliceStats] =
+            m.sliceStats.map(s => s.partition.toList -> s).toMap
+          val fixer = new graft.parse.ParseFixer()
+          val parseByCol: Map[String, Any => Any] =
+            m.cols.zip(m.units).map { case (c, u) =>
+              c -> graft.parse.ColumnParsers.cellParser(u, fixer)
+            }.toMap
+          val kept = afterPart.filter { case (_, _, raw) =>
+            statsByPart.get(raw.toList) match {
+              case Some(st) => !contentFilters.exists(f =>
+                StarTableSource.sliceContradicts(f, st, parseByCol))
+              case None => true
+            }
+          }
+          StarTableSource.filesPruned.add(afterPart.size - kept.size)
+          StarTableSource.filesSkippedByStats.add(afterPart.size - kept.size)
           kept
         }
     }
@@ -209,7 +251,7 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
     private val bytes: Long =
       if (dataset.isDefined) prunedDatasetFiles.map(_._2).sum
       else {
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confS.value
         files.map { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           try p.getFileSystem(conf).getFileStatus(p).getLen
@@ -240,8 +282,11 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
       prunedDatasetFiles.flatMap { case (path, len, raw) =>
         val spec = m.partCols.lazyZip(m.partUnits).lazyZip(raw)
           .map((c, u, r) => (c, u, r))
-        val n = math.max(1, math.ceil(len.toDouble / maxSplitBytes).toInt)
-        val eff = math.max(1L, math.ceil(len.toDouble / n).toLong)
+        // same per-file split-count cap as planSplits: a tiny
+        // maxSplitBytes must not plan millions of partitions per slice
+        val eff = math.max(maxSplitBytes,
+          math.ceil(len.toDouble / 10000).toLong)
+        val n = math.max(1, math.ceil(len.toDouble / eff).toInt)
         (0 until n).map(k => StarFileSplitPartition(path,
           k * eff, math.min((k + 1L) * eff, len), 0L,
           m.cols, m.units, spec): InputPartition)
@@ -249,13 +294,14 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
     case None =>
       files.flatMap { f =>
         if (!assumeSingleTable) Seq(StarFilePartition(f): InputPartition)
-        else StarTableSource.planSplits(f, tableName, sep, maxSplitBytes)
+        else StarTableSource.planSplits(f, tableName, sep, maxSplitBytes,
+            confS.value)
           .getOrElse(Seq(StarFilePartition(f)))
       }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new StarTableReaderFactory(tableName, sep, failFast, fullSchema, required,
-      pushed, limit)
+      pushed, limit, confS)
   // surface the pushdown in explain() so plans are auditable, mirroring the
   // built-in file sources' "PushedFilters: [...]" line
   override def description(): String =
@@ -289,13 +335,17 @@ private[sources] class StarTableReaderFactory(tableName: Option[String], sep: St
                                               failFast: Boolean,
                                               fullSchema: StructType, required: StructType,
                                               pushed: Array[Filter],
-                                              limit: Option[Int] = None)
+                                              limit: Option[Int] = None,
+                                              confS: org.apache.spark.util.SerializableConfiguration =
+                                                new org.apache.spark.util.SerializableConfiguration(
+                                                  new org.apache.hadoop.conf.Configuration()))
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case sp: StarFileSplitPartition =>
         StarTableSource.capped(limit,
-          new StarSplitReader(sp, sep, failFast, fullSchema, required, pushed))
+          new StarSplitReader(sp, sep, failFast, fullSchema, required, pushed,
+            confS.value))
       case fp: StarFilePartition =>
         StarTableSource.capped(limit, createWholeFileReader(fp.path))
     }
@@ -303,7 +353,8 @@ private[sources] class StarTableReaderFactory(tableName: Option[String], sep: St
   private def createWholeFileReader(path: String): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val rows: Iterator[InternalRow] =
-        StarTableSource.parseNamedTable(path, tableName, sep, failFast) match {
+        StarTableSource.parseNamedTable(path, tableName, sep, failFast,
+            confS.value) match {
           case None => Iterator.empty
           case Some(p) =>
             // Per-file schema-drift validation against the inferred (or
@@ -384,10 +435,11 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
                                        failFast: Boolean,
                                        fullSchema: StructType,
                                        required: StructType,
-                                       pushed: Array[Filter])
+                                       pushed: Array[Filter],
+                                       conf: org.apache.hadoop.conf.Configuration =
+                                         new org.apache.hadoop.conf.Configuration())
     extends PartitionReader[InternalRow] {
   private val sepQuoted = java.util.regex.Pattern.quote(sep)
-  private val conf = new org.apache.hadoop.conf.Configuration()
   private val hp = new org.apache.hadoop.fs.Path(sp.path)
   private val in = hp.getFileSystem(conf).open(hp)
   private val fixer = new graft.parse.ParseFixer()
@@ -550,6 +602,17 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
 
 private[graft] object StarTableSource {
 
+  /** The active session's Hadoop configuration (driver side), else a fresh
+    * default (plain library use without a session). Threading this instead
+    * of `new Configuration()` makes object-store credentials and custom
+    * filesystem settings configured on the SparkSession visible to every
+    * connector path; executor-side readers receive the same configuration
+    * serialized through their factory. */
+  def activeHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Pushdown observability (and spec hooks): blocks skipped whole by a
     * contradicted header, and rows dropped by parse-level predicate
     * evaluation. Per-JVM LongAdders — exact in local mode; per-executor
@@ -558,25 +621,45 @@ private[graft] object StarTableSource {
   val rowsFiltered = new java.util.concurrent.atomic.LongAdder
   val linesParsed = new java.util.concurrent.atomic.LongAdder
   val filesPruned = new java.util.concurrent.atomic.LongAdder
+  /** Subset of [[filesPruned]] skipped by per-slice min/max statistics (a
+    * non-partition-column predicate), as opposed to partition pruning. */
+  val filesSkippedByStats = new java.util.concurrent.atomic.LongAdder
   def resetPushdownCounters(): Unit = {
     blocksSkipped.reset(); rowsFiltered.reset(); linesParsed.reset()
-    filesPruned.reset()
+    filesPruned.reset(); filesSkippedByStats.reset()
   }
 
   /** Directory-level schema of a hive-partitioned StarTable dataset
-    * (written by [[graft.io.CsvWriter.writePartitionedDataset]]). */
+    * (written by [[graft.io.CsvWriter.writePartitionedDataset]]). `sep` is
+    * the separator the dataset was WRITTEN with — the reader's default, so
+    * a non-default-sep dataset is still self-describing (a reader option
+    * still wins). `sliceStats`: optional per-slice column min/max/null
+    * statistics for data skipping (see [[SliceStats]]); empty when the
+    * writer didn't record them (e.g. streaming ingestion). */
   final case class DatasetMeta(name: String, destinations: Set[String],
                                cols: Seq[String], units: Seq[String],
-                               partCols: Seq[String], partUnits: Seq[String])
+                               partCols: Seq[String], partUnits: Seq[String],
+                               sep: String = ";",
+                               sliceStats: Seq[SliceStats] = Nil)
+
+  /** Per-slice column statistics: `partition` aligns with
+    * [[DatasetMeta.partCols]] (raw rendered values, null for the default
+    * partition); `rows` is the slice's row count; per column: rendered
+    * min/max (null when every value is null/NaN) and the null count
+    * (NaN counts as null — that is how the reader surfaces NaN cells). */
+  final case class SliceStats(partition: Seq[String], rows: Long,
+                              stats: Map[String, ColStats])
+  final case class ColStats(min: String, max: String, nulls: Long)
 
   /** The sidecar, if the (single) root is a partitioned-dataset directory.
     * The sidecar is written LAST by the writer, so its presence marks a
     * COMPLETE dataset; a crash mid-write leaves a directory this reader
     * refuses to treat as a dataset (and the plain-directory path then
     * rejects the header-less part files loudly). */
-  def readDatasetMeta(roots: Seq[String]): Option[DatasetMeta] = {
+  def readDatasetMeta(roots: Seq[String],
+                      conf: org.apache.hadoop.conf.Configuration = activeHadoopConf())
+      : Option[DatasetMeta] = {
     if (roots.size != 1) return None
-    val conf = new org.apache.hadoop.conf.Configuration()
     val root = new org.apache.hadoop.fs.Path(roots.head)
     val fs = root.getFileSystem(conf)
     val metaPath = new org.apache.hadoop.fs.Path(root, graft.io.CsvWriter.DatasetMetaFile)
@@ -590,11 +673,34 @@ private[graft] object StarTableSource {
       val o = graft.io.JsonValue.parse(txt).asInstanceOf[JsonObject]
       def strs(k: String): Seq[String] = o.fields(k).asInstanceOf[JsonArray]
         .values.map(_.asInstanceOf[JsonString].value)
+      def optStr(v: graft.io.JsonValue): String = v match {
+        case JsonString(s) => s
+        case _             => null
+      }
+      // optional fields: a pre-r9 sidecar has neither — default sep, no stats
+      val sep = o.fields.get("sep").collect { case JsonString(s) => s }
+        .getOrElse(";")
+      val sliceStats = o.fields.get("sliceStats").toSeq.flatMap {
+        case JsonArray(slices) => slices.map { sv =>
+          val so = sv.asInstanceOf[JsonObject]
+          SliceStats(
+            so.fields("partition").asInstanceOf[JsonArray].values.map(optStr),
+            so.fields("rows").asInstanceOf[JsonNumber].value.toLong,
+            so.fields("stats").asInstanceOf[JsonObject].fields.map {
+              case (c, cs: JsonObject) =>
+                c -> ColStats(optStr(cs.fields("min")), optStr(cs.fields("max")),
+                  cs.fields("nulls").asInstanceOf[JsonNumber].value.toLong)
+              case (c, other) => throw new IllegalArgumentException(
+                s"column stats for '$c' is not an object: $other")
+            }.toMap)
+        }
+        case _ => Nil
+      }
       Some(DatasetMeta(
         o.fields("name").asInstanceOf[JsonString].value,
         strs("destinations").toSet,
         strs("columns"), strs("units"),
-        strs("partitionBy"), strs("partitionUnits")))
+        strs("partitionBy"), strs("partitionUnits"), sep, sliceStats))
     } catch {
       case e: Exception =>
         // a corrupt sidecar must fail LOUDLY with the file named — falling
@@ -613,9 +719,9 @@ private[graft] object StarTableSource {
     * %XX path escaping; the default-partition marker reads back as null.
     * Files under directories that don't supply ALL partition columns are
     * refused loudly (a silently null-padded slice would corrupt joins). */
-  def listPartitionedFiles(roots: Seq[String],
-                           partCols: Seq[String]): Seq[(String, Long, Seq[String])] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+  def listPartitionedFiles(roots: Seq[String], partCols: Seq[String],
+                           conf: org.apache.hadoop.conf.Configuration = activeHadoopConf())
+      : Seq[(String, Long, Seq[String])] = {
     roots.flatMap { r =>
       val root = new org.apache.hadoop.fs.Path(r)
       val fs = root.getFileSystem(conf)
@@ -727,6 +833,57 @@ private[graft] object StarTableSource {
     case _                        => true // unsupported: defer to Spark
   }
 
+  /** True when `f` PROVABLY holds for no row of a slice, judged from its
+    * per-column min/max/null statistics — the row-group-skipping predicate
+    * of parquet readers, at slice granularity. Conservative three-valued
+    * logic: any missing statistic, unparsable bound, or type mismatch
+    * yields false (read the slice); Not is never used to skip (its operand
+    * holding somewhere in [min,max] says nothing about every row). min/max
+    * arrive RENDERED (cell representation) and are re-parsed through the
+    * same unit parsers as data cells, so the comparison sees exactly the
+    * values the reader would produce. */
+  def sliceContradicts(f: Filter, st: SliceStats,
+                       parse: Map[String, Any => Any]): Boolean = {
+    def bounds(a: String): Option[(Any, Any)] =
+      for {
+        cs <- st.stats.get(a)
+        p <- parse.get(a)
+        if cs.min != null && cs.max != null
+        mn <- scala.util.Try(p(cs.min)).toOption
+        mx <- scala.util.Try(p(cs.max)).toOption
+        if mn != null && mx != null
+      } yield (mn, mx)
+    // every value in the slice is null/NaN → no comparison can hold
+    def allNull(a: String): Boolean =
+      st.stats.get(a).exists(cs => cs.min == null && cs.max == null &&
+        cs.nulls == st.rows)
+    def outOfRange(a: String, v: Any): Boolean =
+      bounds(a).exists { case (mn, mx) =>
+        cmp(mn, v).exists(_ > 0) || cmp(mx, v).exists(_ < 0)
+      }
+    f match {
+      case EqualTo(a, v)            => allNull(a) || outOfRange(a, v)
+      case GreaterThan(a, v)        =>
+        allNull(a) || bounds(a).exists { case (_, mx) => cmp(mx, v).exists(_ <= 0) }
+      case GreaterThanOrEqual(a, v) =>
+        allNull(a) || bounds(a).exists { case (_, mx) => cmp(mx, v).exists(_ < 0) }
+      case LessThan(a, v)           =>
+        allNull(a) || bounds(a).exists { case (mn, _) => cmp(mn, v).exists(_ >= 0) }
+      case LessThanOrEqual(a, v)    =>
+        allNull(a) || bounds(a).exists { case (mn, _) => cmp(mn, v).exists(_ > 0) }
+      case In(a, vs)                =>
+        allNull(a) || (vs.nonEmpty && vs.forall(v => outOfRange(a, v)))
+      case IsNotNull(a)             =>
+        st.stats.get(a).exists(_.nulls == st.rows)
+      case IsNull(a)                => st.stats.get(a).exists(_.nulls == 0L)
+      case And(l, r)                =>
+        sliceContradicts(l, st, parse) || sliceContradicts(r, st, parse)
+      case Or(l, r)                 =>
+        sliceContradicts(l, st, parse) && sliceContradicts(r, st, parse)
+      case _                        => false
+    }
+  }
+
   /** Columns that must be non-null for `f` to possibly hold (Or keeps only
     * refs required on BOTH branches; Not/IsNull reject nothing). */
   private def nullRejectingRefs(f: Filter): Set[String] = f match {
@@ -784,10 +941,11 @@ private[graft] object StarTableSource {
     * fallback to the whole-file reader; a file small enough for one range
     * also falls back (the proven path, with issue tracking). */
   def planSplits(path: String, tableName: Option[String], sep: String,
-                 maxSplitBytes: Long): Option[Seq[InputPartition]] = {
+                 maxSplitBytes: Long,
+                 conf: org.apache.hadoop.conf.Configuration = activeHadoopConf())
+      : Option[Seq[InputPartition]] = {
     require(maxSplitBytes > 0,
       s"startable source: maxSplitBytes must be positive, got $maxSplitBytes")
-    val conf = new org.apache.hadoop.conf.Configuration()
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(conf)
     val size = fs.getFileStatus(hp).getLen
@@ -821,6 +979,29 @@ private[graft] object StarTableSource {
     val units = lines(3).split(sepQuoted, -1).toSeq.map(_.trim).take(cols.size)
     if (cols.isEmpty || units.size != cols.size) return None
     val dataStart = nls(3) + 1L
+    // assumeSingleTable guard: only the split reader that SEES a block
+    // terminator stops — a later split whose range begins past it would
+    // parse trailing non-table content as data rows. Best-effort
+    // detection: scan the 64 KB head past the header and the 64 KB tail
+    // for a second block marker or a blank line followed by more content,
+    // and fall back to the (block-accurate) whole-file reader when found.
+    // A multi-block file whose extra blocks hide entirely in the middle
+    // region of a large file violates the caller's assumeSingleTable
+    // contract and yields undefined rows — pass the real layout (no
+    // option) to get the block parser.
+    if (regionViolatesSingleTable(head, dataStart.toInt, headLen,
+        skipPartialFirst = false))
+      return None
+    if (size > headLen) {
+      val tailStart = math.max(dataStart, size - 65536L)
+      val tailLen = (size - tailStart).toInt
+      val tail = new Array[Byte](tailLen)
+      val in2 = fs.open(hp)
+      try in2.readFully(tailStart, tail, 0, tailLen) finally in2.close()
+      if (regionViolatesSingleTable(tail, 0, tailLen,
+          skipPartialFirst = tailStart > dataStart))
+        return None
+    }
     // cap the per-file task count: a pathological maxSplitBytes must not
     // plan a million partitions (Spark's openCostInBytes spirit)
     val eff = math.max(maxSplitBytes,
@@ -834,9 +1015,37 @@ private[graft] object StarTableSource {
     })
   }
 
+  /** Best-effort single-table violation scan over a byte region: true when
+    * the region holds a second block marker (a line starting `**`) or a
+    * blank line followed by a non-blank line (content past the block
+    * terminator). Newline-delimited; a trailing CR is tolerated; with
+    * `skipPartialFirst` the (possibly cut) first line is not judged. */
+  private def regionViolatesSingleTable(bytes: Array[Byte], from: Int, until: Int,
+                                        skipPartialFirst: Boolean): Boolean = {
+    var i = from
+    if (skipPartialFirst) {
+      while (i < until && bytes(i) != '\n') i += 1
+      i += 1
+    }
+    var blankSeen = false
+    while (i < until) {
+      var j = i
+      while (j < until && bytes(j) != '\n') j += 1
+      var len = j - i
+      if (len > 0 && bytes(i + len - 1) == '\r') len -= 1
+      val blank = len == 0
+      if (!blank && blankSeen) return true
+      if (len >= 2 && bytes(i) == '*' && bytes(i + 1) == '*') return true
+      if (blank) blankSeen = true
+      i = j + 1
+    }
+    false
+  }
+
   /** Expand directories into their .csv members via the Hadoop FS API. */
-  def resolveFiles(roots: Seq[String]): Seq[String] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+  def resolveFiles(roots: Seq[String],
+                   conf: org.apache.hadoop.conf.Configuration = activeHadoopConf())
+      : Seq[String] = {
     roots.flatMap { r =>
       val p = new org.apache.hadoop.fs.Path(r)
       val fs = p.getFileSystem(conf)
@@ -862,8 +1071,9 @@ private[graft] object StarTableSource {
     * the EXECUTOR (visible as a task failure) instead of being auto-fixed —
     * the permissive/failfast split of Spark's built-in file sources. */
   def parseNamedTable(path: String, tableName: Option[String], sep: String,
-                      failFast: Boolean = false): Option[ParsedTable] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+                      failFast: Boolean = false,
+                      conf: org.apache.hadoop.conf.Configuration = activeHadoopConf())
+      : Option[ParsedTable] = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(conf)
     // STREAM lines into the (lazy) block state machine — never readAllBytes:
@@ -902,10 +1112,10 @@ private[graft] object StarTableSource {
     * the full (streaming) block parse. Marker recognition mirrors the
     * block state machine: `**name` starts a table, `***` is a directive,
     * `****` is not a marker. */
-  def parseTableHeader(path: String, tableName: Option[String],
-                       sep: String): Option[(Seq[String], Seq[String])] = {
+  def parseTableHeader(path: String, tableName: Option[String], sep: String,
+                       conf: org.apache.hadoop.conf.Configuration = activeHadoopConf())
+      : Option[(Seq[String], Seq[String])] = {
     val sepQ = java.util.regex.Pattern.quote(sep)
-    val conf = new org.apache.hadoop.conf.Configuration()
     val hp = new org.apache.hadoop.fs.Path(path)
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(hp.getFileSystem(conf).open(hp),
@@ -1059,7 +1269,9 @@ private[sources] class StarTableWrite(schema: StructType, path: String,
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new StarTableWriterFactory(schema, units, sep, naRep, partsDir)
+    new StarTableWriterFactory(schema, units, sep, naRep, partsDir,
+      new org.apache.spark.util.SerializableConfiguration(
+        StarTableSource.activeHadoopConf()))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = StarTableWriteUtil.fs(targetFile)
@@ -1096,19 +1308,21 @@ private[sources] case class StarTablePartMessage(partitionId: Int, path: String)
 
 private[sources] class StarTableWriterFactory(schema: StructType,
                                               units: Seq[String], sep: String,
-                                              naRep: String, partsDir: String)
+                                              naRep: String, partsDir: String,
+                                              confS: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new StarTablePartWriter(schema, units, sep, naRep,
-      f"$partsDir/part-$partitionId%05d-$taskId", partitionId)
+      f"$partsDir/part-$partitionId%05d-$taskId", partitionId, confS.value)
 }
 
 private[sources] class StarTablePartWriter(schema: StructType, units: Seq[String],
                                            sep: String, naRep: String,
-                                           partPath: String, partitionId: Int)
+                                           partPath: String, partitionId: Int,
+                                           conf: org.apache.hadoop.conf.Configuration)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val fs = StarTableWriteUtil.fs(partPath)
+  private val fs = StarTableWriteUtil.fs(partPath, conf)
   private val out = fs.create(new org.apache.hadoop.fs.Path(partPath), true)
   private val tsNoFrac =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
@@ -1170,7 +1384,8 @@ private[sources] class StarTablePartWriter(schema: StructType, units: Seq[String
 }
 
 private[sources] object StarTableWriteUtil {
-  def fs(path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  def fs(path: String,
+         conf: org.apache.hadoop.conf.Configuration =
+           StarTableSource.activeHadoopConf()): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
 }

@@ -111,8 +111,9 @@ class StarTableSourceSpec extends AnyFunSuite {
   test("byte-range splits stop at a block boundary; unsplittable layouts " +
     "fall back to the whole-file reader") {
     val dir = Files.createTempDirectory("graft_split2")
-    // a second block after the blank line: under assumeSingleTable the
-    // split readers must never parse its rows as data
+    // a second block after the blank line: assumeSingleTable's planner
+    // DETECTS the violation (head scan) and falls back to the
+    // block-accurate whole-file reader — one partition, no leaked rows
     val sb = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
       "text;km;datetime;onoff\n")
     (0 until 2000).foreach { i =>
@@ -123,10 +124,39 @@ class StarTableSourceSpec extends AnyFunSuite {
     val split = spark.read.format("startable").option("table", "big")
       .option("assumeSingleTable", "true").option("maxSplitBytes", "2048")
       .load(s"$dir/two.csv")
-    assert(split.rdd.getNumPartitions > 5)
+    assert(split.rdd.getNumPartitions == 1,
+      "detected multi-block file must fall back to the whole-file reader")
     assert(split.count() == 2000, "rows from the second block leaked in")
     assert(!split.select("place").collect().map(_.getString(0))
       .exists(_.startsWith("rogue")))
+    // same violation hiding past the 64 KB head: the TAIL scan catches it
+    val sb2 = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
+      "text;km;datetime;onoff\n")
+    (0 until 6000).foreach { i =>
+      sb2.append(s"p$i;$i;2020-08-04 09:00;1\n")
+    }
+    assert(sb2.length > 100000) // second block is beyond the head scan
+    sb2.append("\n**other;\nall\nx\ntext\nrogue1\nrogue2\n")
+    Files.writeString(dir.resolve("two_tail.csv"), sb2.toString)
+    val split2 = spark.read.format("startable").option("table", "big")
+      .option("assumeSingleTable", "true").option("maxSplitBytes", "2048")
+      .load(s"$dir/two_tail.csv")
+    assert(split2.rdd.getNumPartitions == 1,
+      "tail-scan must detect a trailing second block")
+    assert(split2.count() == 6000)
+    // a CLEAN single-table file of the same size still splits
+    val sb3 = new StringBuilder("**big;\nall\nplace;distance;ETA;is_hot\n" +
+      "text;km;datetime;onoff\n")
+    (0 until 6000).foreach { i =>
+      sb3.append(s"p$i;$i;2020-08-04 09:00;1\n")
+    }
+    Files.writeString(dir.resolve("clean.csv"), sb3.toString)
+    val split3 = spark.read.format("startable").option("table", "big")
+      .option("assumeSingleTable", "true").option("maxSplitBytes", "2048")
+      .load(s"$dir/clean.csv")
+    assert(split3.rdd.getNumPartitions > 5,
+      "clean single-table file must still byte-range split")
+    assert(split3.count() == 6000)
     // transposed marker → no safe row split → single whole-file partition
     val names = (0 until 300).map(i => s"pl$i").mkString(";")
     val vals = (0 until 300).map(_.toString).mkString(";")
@@ -690,6 +720,114 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(!filtered.queryExecution.executedPlan.toString.contains("PushedLimit"),
       "limit must not push through a residual filter")
     assert(filtered.collect().length == 3)
+  }
+
+  test("dataset sidecar records the separator: a non-default-sep dataset " +
+    "reads back without options (reader option still wins)") {
+    import spark.implicits._
+    val df = Seq(("a", "x;y", 1.0), ("b", "u,v", 2.0)).toDF("grp", "txt", "x")
+    val t = graft.model.StarTable.fromDataFrame(df, "seps",
+      units = Map("grp" -> "text", "txt" -> "text"))
+    val out = Files.createTempDirectory("graft_pds_sep").toString
+    // ',' would collide with the txt cells' commas if sep were guessed ';'
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"), sep = "|")
+    val back = spark.read.format("startable").load(out) // NO sep option
+    val got = back.select("grp", "txt", "x").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", "x;y", 1.0), ("b", "u,v", 2.0)), s"got $got")
+    // an explicit (wrong) option overrides the sidecar — caller's choice
+    val forced = spark.read.format("startable").option("sep", ";").load(out)
+    assert(forced.select("x").collect().forall(_.isNullAt(0)),
+      "explicit sep option must win over the sidecar default")
+  }
+
+  test("maxSplitBytes must be positive; a tiny value cannot plan " +
+    "unbounded partitions per slice") {
+    import spark.implicits._
+    val t = graft.model.StarTable.fromDataFrame(
+      Seq(("a", 1.0), ("a", 2.0)).toDF("grp", "x"), "caps",
+      units = Map("grp" -> "text"))
+    val out = Files.createTempDirectory("graft_pds_cap").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("startable").option("maxSplitBytes", "0").load(out)
+        .count()
+    }
+    assert(e.getMessage.contains("maxSplitBytes"))
+    // a 1-byte maxSplitBytes plans a CAPPED number of splits per file
+    val tiny = spark.read.format("startable").option("maxSplitBytes", "1")
+      .load(out)
+    assert(tiny.rdd.getNumPartitions <= 20000, // ≤ 10000 per file × 2 slices
+      s"per-file split cap missing: ${tiny.rdd.getNumPartitions}")
+    assert(tiny.count() == 2)
+  }
+
+  test("partition hygiene: empty-string values and hidden-prefix " +
+    "partition names are rejected loudly") {
+    import spark.implicits._
+    val bad = graft.model.StarTable.fromDataFrame(
+      Seq(("", 1.0), ("b", 2.0)).toDF("grp", "x"), "badvals",
+      units = Map("grp" -> "text"))
+    val out = Files.createTempDirectory("graft_pds_empty").toString
+    val e = intercept[Exception] {
+      graft.io.CsvWriter.writePartitionedDataset(bad, out, Seq("grp"))
+    }
+    assert(e.getMessage != null && (e.getMessage.contains("empty-string")
+        || e.getMessage.contains("GRAFT")
+        || Option(e.getCause).exists(_.getMessage.contains("empty-string"))),
+      s"expected an empty-string rejection, got: $e")
+    val hidden = graft.model.StarTable.fromDataFrame(
+      Seq(("a", 1.0)).toDF("_grp", "x"), "badname",
+      units = Map("_grp" -> "text"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.io.CsvWriter.writePartitionedDataset(hidden,
+        Files.createTempDirectory("graft_pds_hidden").toString, Seq("_grp"))
+    }
+    assert(e2.getMessage.contains("_grp"))
+  }
+
+  test("slice-level data skipping: per-slice min/max stats in the sidecar " +
+    "skip whole files on NON-partition predicates; backfill refreshes them") {
+    import spark.implicits._
+    // day=d0 holds x in [0,9], d1 in [100,109], d2 in [200,209]
+    val df = (0 until 30).map(i => (s"d${i / 10}", (i / 10) * 100 + i % 10.0,
+      s"v$i")).toDF("day", "x", "tag")
+    val t = graft.model.StarTable.fromDataFrame(df, "skipping",
+      units = Map("day" -> "text", "tag" -> "text"))
+    val out = Files.createTempDirectory("graft_pds_stats").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("day"), numFiles = 2)
+    val back = spark.read.format("startable").load(out)
+    // x > 150 can only hold in d2 — d0/d1 files skip UNOPENED
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val hi = back.filter(col("x") > 150.0)
+    assert(hi.count() === 10)
+    assert(graft.sources.StarTableSource.filesSkippedByStats.sum() > 0,
+      "no files were skipped by slice statistics")
+    assert(graft.sources.StarTableSource.linesParsed.sum() <= 10 + 4,
+      s"skipped slices were still parsed: " +
+        s"${graft.sources.StarTableSource.linesParsed.sum()} lines")
+    // string predicates skip too (UTF8String ordering)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(back.filter(col("tag") === "zzz").count() === 0)
+    assert(graft.sources.StarTableSource.filesSkippedByStats.sum() > 0)
+    // equality inside the range does NOT skip the holding slice
+    assert(back.filter(col("x") === 205.0).count() === 1)
+    // backfill rewrites d1 with shifted values; its stats entry refreshes,
+    // d0/d2 keep theirs — the new range must be honored, not the stale one
+    val patch = Seq(("d1", 500.0, "vnew")).toDF("day", "x", "tag")
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(patch, "skipping",
+        units = Map("day" -> "text", "tag" -> "text")),
+      out, Seq("day"), overwriteSlices = true)
+    val back2 = spark.read.format("startable").load(out)
+    assert(back2.filter(col("x") > 300.0).select("tag")
+      .collect().map(_.getString(0)).toSeq == Seq("vnew"))
+    assert(back2.count() === 21)
+    // a filter that contradicts EVERY slice reads nothing at all
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(back2.filter(col("x") > 10000.0).count() === 0)
+    assert(graft.sources.StarTableSource.linesParsed.sum() === 0,
+      "all-slice contradiction still opened files")
   }
 
   test("scan reports file-size statistics, so a small dimension " +
