@@ -364,8 +364,82 @@ object StreamingQueries {
       val docs = Tables.star(s, dir, "documents").df.select(col("doc_id"))
       Multimodal.decodeAudioWindows(
         Multimodal.synthesizeWav(docs, "doc_id"), "doc_id", "payload")
+    }),
+
+    // The STREAMING leg of the StarTable dataset lifecycle under the gate:
+    // events stream through streamPartitionedDataset in ≥ 2 REAL
+    // micro-batches (4 staged source files, maxFilesPerTrigger = 1; the
+    // builder REQUIRES ≥ 2 data-carrying batches), land exactly-once in
+    // event_type=<v>/ slices via the file sink's commit log, and are read
+    // back through format("startable") with a partition-PRUNING predicate
+    // (only the purchase slice's files are opened). The oracle is the same
+    // aggregate over the ORIGINAL parquet: a row lost or duplicated by the
+    // micro-batching, a value bent by the render→path→parse round trip, or
+    // a slice mis-pruned all break the hash.
+    "q_stream_startable" -> ((s, dir) => {
+      val ds = streamedStartableDatasetFor(s, dir)
+      s.read.format("startable").load(ds)
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id").cast(LongType) % 7).as("bucket"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_value"),
+          count(lit(1)).as("n"),
+          max(col("ts")).as("last_ts"))
     })
   )
+
+  /** Build-once-per-dataset streaming-ingested StarTable dataset: the
+    * events table staged as 4 parquet files, streamed file-by-file
+    * (maxFilesPerTrigger = 1 → 4 micro-batches) through
+    * [[graft.io.CsvWriter.streamPartitionedDataset]] into
+    * event_type-partitioned slices. The `_`-prefixed completion marker is
+    * written AFTER the stream drains (the sidecar itself is written
+    * upfront by design, so it cannot be the success marker here), and is
+    * ignored by the connector's listing. */
+  private def streamedStartableDatasetFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|qss1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_qss_$key")
+    val out = base.resolve("ds").toString
+    val marker = base.resolve("ds").resolve("_graft_stream_done")
+    if (java.nio.file.Files.exists(marker)) return out
+    // (re)build from scratch — a marker-less directory is an aborted build
+    deleteTree(base.toFile)
+    val staging = base.resolve("staging").toString
+    val ckpt = base.resolve("ckpt").toString
+    Tables.df(s, dir, "events")
+      .select(col("event_type"), col("user_id"), col("value"), col("ts"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(staging)
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType),
+        StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staging)
+    val t = graft.model.StarTable.fromDataFrame(stream, "events_stream",
+      units = Map("event_type" -> "text", "ts" -> "datetime"))
+    val q = graft.io.CsvWriter.streamPartitionedDataset(
+      t, out, Seq("event_type"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 2,
+      s"q_stream_startable: expected >= 2 data-carrying micro-batches, " +
+        s"got $dataBatches — the staging layout no longer forces real " +
+        "incremental ingestion")
+    java.nio.file.Files.createFile(marker)
+    out
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteTree)
+    f.delete(): Unit
+  }
 
   val oracleSql: Map[String, String] = Map(
     // bit-for-bit batch parity with the batch classifier's oracle
@@ -449,6 +523,16 @@ object StreamingQueries {
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
          |  count(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // batch-parity over the streaming-ingested StarTable dataset: the
+    // original parquet is the truth the micro-batched render→slice→parse
+    // round trip must reproduce exactly
+    "q_stream_startable" ->
+      s"""SELECT CAST(user_id AS BIGINT) % 7 AS bucket,
+         |  ${sqlDsum("value")} AS sum_value, count(*) AS n,
+         |  CAST(max(ts) AS TIMESTAMP) AS last_ts
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY 1""".stripMargin,
 
     // session_window semantics: a new session starts when the gap is >= 30min
     "q_stream_sessions" ->
