@@ -414,8 +414,50 @@ object CsvWriter {
         require(incoming == current,
           s"writePartitionedDataset: backfill schema drift — dataset at " +
             s"$outDir holds $current, incoming table is $incoming")
+        // a backfill with a different separator would mix two line formats
+        // in one dataset — every old slice would misparse under the new
+        // sidecar sep (or vice versa); refuse before touching anything
+        require(sep == existing.sep,
+          s"writePartitionedDataset: backfill separator drift — dataset at " +
+            s"$outDir was written with sep '${existing.sep}', got '$sep'")
         Some(existing)
       } else None
+    // Per-slice column min/max/null statistics — the parquet-footer analog
+    // the connector consults to skip whole slices whose value range
+    // contradicts a pushed NON-partition predicate. One extra distributed
+    // aggregate over the input (map-side partial combine; the shuffled
+    // volume is slices × columns partials, not data). Computed BEFORE the
+    // data write so the backfill crash-window protocol below can strip the
+    // rewritten slices' entries first.
+    val fresh: Option[Seq[graft.sources.StarTableSource.SliceStats]] =
+      if (collectStats) Some(computeSliceStats(t, dataCols, partitionBy, naRep))
+      else None
+    // which slice entries the incoming data replaces (for stat stripping)
+    val rewrittenParts: Set[Seq[String]] = fresh match {
+      case Some(f) => f.map(_.partition).toSet
+      case None if existingMeta.exists(_.sliceStats.nonEmpty) =>
+        // stats disabled but stale entries exist: identify the rewritten
+        // slices with a distinct over the rendered partition values
+        val keys = partitionPathCols(t, partitionBy, naRep,
+          "writePartitionedDataset")
+        t.df.select(keys: _*).distinct().collect().map(r =>
+          partitionBy.indices.map(i =>
+            if (r.isNullAt(i)) null else r.getString(i)): Seq[String]).toSet
+      case None => Set.empty
+    }
+    // Backfill crash-window discipline: strip the rewritten slices' stats
+    // from the sidecar BEFORE the data overwrite. A crash at any point then
+    // leaves a sidecar that is at worst CONSERVATIVE (no stats → slice is
+    // read, never skipped) — stale ranges never describe new bytes. The
+    // full (non-incremental) overwrite needs none of this: the sink drops
+    // the directory including the sidecar, and a crash mid-write leaves a
+    // sidecar-less directory the reader refuses loudly.
+    existingMeta.foreach { m =>
+      val stripped = m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition))
+      if (stripped.size != m.sliceStats.size)
+        writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stripped)
+    }
+    faultHook("backfill:pre-data")
     val pathCols = partitionPathCols(t, partitionBy, naRep,
       "writePartitionedDataset")
     val valueCol = org.apache.spark.sql.functions.concat_ws(sep,
@@ -433,27 +475,25 @@ object CsvWriter {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     } else
       shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(outDir)
-    // Per-slice column min/max/null statistics — the parquet-footer analog
-    // the connector consults to skip whole slices whose value range
-    // contradicts a pushed NON-partition predicate. One extra distributed
-    // aggregate over the input (map-side partial combine; the shuffled
-    // volume is slices × columns partials, not data). On incremental
-    // backfill the rewritten slices' entries replace their predecessors;
-    // untouched slices keep theirs.
-    val stats: Seq[graft.sources.StarTableSource.SliceStats] =
-      if (!collectStats) existingMeta.map(_.sliceStats).getOrElse(Nil)
-      else {
-        val fresh = computeSliceStats(t, dataCols, partitionBy, naRep)
-        existingMeta match {
-          case Some(m) if overwriteSlices =>
-            val rewritten = fresh.map(_.partition).toSet
-            m.sliceStats.filterNot(s => rewritten.contains(s.partition)) ++ fresh
-          case _ => fresh
-        }
+    faultHook("backfill:pre-sidecar")
+    val stats: Seq[graft.sources.StarTableSource.SliceStats] = fresh match {
+      case Some(f) => existingMeta match {
+        case Some(m) if overwriteSlices =>
+          m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition)) ++ f
+        case _ => f
       }
+      case None => existingMeta.map(
+        _.sliceStats.filterNot(s => rewrittenParts.contains(s.partition)))
+        .getOrElse(Nil)
+    }
     // sidecar LAST: readers refuse a dataset without it
     writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats)
   }
+
+  /** Test-only fault injection for crash-consistency drills: called at
+    * named points of multi-step write protocols; a drill installs a
+    * throwing hook to simulate a process kill between steps. */
+  private[graft] var faultHook: String => Unit = _ => ()
 
   /** Reject partition column names the hive-layout listing cannot round
     * trip: `_`/`.`-prefixed directories are invisible to the connector's
@@ -620,8 +660,19 @@ object CsvWriter {
     val dataCols = t.columnNames.filterNot(partitionBy.contains)
     require(dataCols.nonEmpty,
       "streamPartitionedDataset: at least one non-partition column required")
-    // no sliceStats: an append-forever stream has no final value ranges —
-    // readers fall back to partition-level pruning only
+    // streaming into an existing dataset must not silently fork its schema
+    // or line format
+    graft.sources.StarTableSource.readDatasetMeta(Seq(outDir)).foreach { m =>
+      val incoming = (t.name, dataCols, dataCols.map(t.unit),
+        partitionBy, partitionBy.map(t.unit), sep)
+      val current = (m.name, m.cols, m.units, m.partCols, m.partUnits, m.sep)
+      require(incoming == current,
+        s"streamPartitionedDataset: dataset at $outDir holds $current, " +
+          s"incoming stream is $incoming")
+    }
+    // no sliceStats: an append-forever stream has no final value ranges,
+    // and any PRE-EXISTING entries are dropped — appended rows would fall
+    // outside stale ranges; readers fall back to partition-level pruning
     writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep)
     val pathCols = partitionPathCols(t, partitionBy, naRep,
       "streamPartitionedDataset")

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions.col
   */
 object Maintenance {
 
+  /** Test-only fault injection for crash-consistency drills: called after
+    * a leaf's staging write, before the directory swap; a drill installs a
+    * throwing hook to simulate a process kill at that point. */
+  private[graft] var faultHook: String => Unit = _ => ()
+
   /** (files, bytes) before → after. */
   final case class CompactionReport(filesBefore: Long, bytesBefore: Long,
                                     filesAfter: Long, bytesAfter: Long)
@@ -106,6 +111,7 @@ object Maintenance {
             .sortWithinPartitions(sortCols.map(col): _*)
         else df.repartition(nOut)
       shaped.write.format(format).save(staging.toString)
+      faultHook(s"compact:staged")
 
       val trash = new Path(p.getParent, "." + p.getName + "__old")
       if (fs.exists(trash)) fs.delete(trash, true)
