@@ -383,8 +383,21 @@ object Xlsx {
   }
 
   /** Parse one worksheet XML into a cell grid (typed values: Double for
-    * numeric cells, Boolean for b-cells, String otherwise; null gaps). */
-  private def parseSheet(in: InputStream, shared: IndexedSeq[String]): Seq[Seq[Any]] = {
+    * numeric cells, Boolean for b-cells, Timestamp for date-styled
+    * numerics, String otherwise; null gaps).
+    *
+    * Foreign-workbook fidelity (files written by Excel/openpyxl, not this
+    * library): rows ABSENT from sheetData are blank rows — they are
+    * synthesized from the `r` row indices, because a blank row is a block
+    * terminator and dropping it would merge adjacent blocks; formula
+    * cells contribute their CACHED `<v>` value (`<f>` text is ignored);
+    * numeric cells whose style is a date number format are converted from
+    * the Excel day serial (1899-12-30 epoch, or 1904-01-01 under
+    * date1904) to a Timestamp, rounded to the millisecond — Excel's own
+    * effective resolution, which also absorbs writer µs noise. */
+  private def parseSheet(in: InputStream, shared: IndexedSeq[String],
+                         dateStyle: Int => Boolean = _ => false,
+                         date1904: Boolean = false): Seq[Seq[Any]] = {
     val f = javax.xml.stream.XMLInputFactory.newInstance()
     f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
@@ -392,27 +405,40 @@ object Xlsx {
     val rows = mutable.ArrayBuffer.empty[Seq[Any]]
     var row: mutable.ArrayBuffer[Any] = null
     var cellType = ""
+    var cellStyle = -1
     var cellCol = 0
-    var inV = false; var inT = false
+    var inV = false; var inT = false; var inF = false
     val text = new StringBuilder
+    val serialEpoch =
+      if (date1904) java.time.LocalDateTime.of(1904, 1, 1, 0, 0)
+      else java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
     while (r.hasNext) {
       r.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "row" => row = mutable.ArrayBuffer.empty[Any]
+            case "row" =>
+              // synthesize skipped (blank) rows from the 1-based index
+              Option(r.getAttributeValue(null, "r")).map(_.toInt).foreach { ri =>
+                while (rows.size < ri - 1) rows += Seq.empty[Any]
+              }
+              row = mutable.ArrayBuffer.empty[Any]
             case "c" =>
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              cellStyle = Option(r.getAttributeValue(null, "s"))
+                .map(_.toInt).getOrElse(-1)
               cellCol = Option(r.getAttributeValue(null, "r")).map(parseRef)
                 .getOrElse(row.size)
               text.clear()
+            case "f" => inF = true
             case "v" => inV = true; text.clear()
             case "t" => inT = true; text.clear()
             case _ => ()
           }
         case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
-          if (inV || inT) text.append(r.getText)
+          if ((inV || inT) && !inF) text.append(r.getText)
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
+            case "f" => inF = false
             case "v" | "t" =>
               val raw = text.toString
               val value: Any = cellType match {
@@ -421,8 +447,14 @@ object Xlsx {
                 case "inlineStr" => raw
                 case "str"       => raw
                 case _ =>
-                  try java.lang.Double.valueOf(raw.trim)
-                  catch { case _: NumberFormatException => raw }
+                  try {
+                    val d = java.lang.Double.valueOf(raw.trim)
+                    if (cellStyle >= 0 && dateStyle(cellStyle))
+                      java.sql.Timestamp.valueOf(serialEpoch.plus(
+                        Math.round(d * 86400000.0),
+                        java.time.temporal.ChronoUnit.MILLIS))
+                    else d
+                  } catch { case _: NumberFormatException => raw }
               }
               if (r.getLocalName == "v" || cellType == "inlineStr") {
                 while (row.size < cellCol) row += null
@@ -437,6 +469,67 @@ object Xlsx {
     }
     r.close()
     rows.toSeq
+  }
+
+  /** Builtin date/time numFmtIds (ECMA-376 §18.8.30). */
+  private val builtinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** A custom format code denotes a date/time when it contains y/m/d/h/s
+    * tokens outside quoted literals and color/condition brackets. */
+  private[io] def isDateFormatCode(code: String): Boolean = {
+    val sb = new StringBuilder
+    var inQuote = false; var inBracket = false; var i = 0
+    while (i < code.length) {
+      val ch = code.charAt(i)
+      if (ch == '"') inQuote = !inQuote
+      else if (!inQuote && ch == '[') inBracket = true
+      else if (!inQuote && ch == ']') inBracket = false
+      else if (!inQuote && !inBracket) {
+        if (ch == '\\') i += 1 // escaped literal
+        else sb.append(Character.toLowerCase(ch))
+      }
+      i += 1
+    }
+    val s = sb.toString
+    s.exists(c => c == 'y' || c == 'd' || c == 'h') ||
+      (s.contains('m') && !s.contains('#') && !s.contains('0')) ||
+      s.contains("ss")
+  }
+
+  /** cellXf index → "is a date style", from styles.xml (numFmts custom
+    * codes + cellXfs numFmtIds). Absent/unparsable styles → never a date. */
+  private def parseDateStyles(bytes: Array[Byte]): Int => Boolean = {
+    try {
+      val f = javax.xml.stream.XMLInputFactory.newInstance()
+      val r = f.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+      val customDate = mutable.Set.empty[Int]
+      val xfFmt = mutable.ArrayBuffer.empty[Int]
+      var inCellXfs = false
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "numFmt" =>
+                val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt)
+                val code = Option(r.getAttributeValue(null, "formatCode"))
+                for (i <- id; c <- code; if isDateFormatCode(c)) customDate += i
+              case "cellXfs" => inCellXfs = true
+              case "xf" if inCellXfs =>
+                xfFmt += Option(r.getAttributeValue(null, "numFmtId"))
+                  .map(_.toInt).getOrElse(0)
+              case _ => ()
+            }
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            if (r.getLocalName == "cellXfs") inCellXfs = false
+          case _ => ()
+        }
+      }
+      r.close()
+      val fmts = xfFmt.toIndexedSeq
+      (s: Int) => s >= 0 && s < fmts.size &&
+        (builtinDateFmts.contains(fmts(s)) || customDate.contains(fmts(s)))
+    } catch { case _: Exception => _ => false }
   }
 
   /** Read an xlsx file as a block stream: each matching sheet's cell grid is
@@ -454,6 +547,7 @@ object Xlsx {
     var sharedRaw: Option[Array[Byte]] = None
     var workbookRaw: Option[Array[Byte]] = None
     var wbRelsRaw: Option[Array[Byte]] = None
+    var stylesRaw: Option[Array[Byte]] = None
     val zin = new ZipInputStream(Files.newInputStream(path))
     try {
       var e = zin.getNextEntry
@@ -466,6 +560,8 @@ object Xlsx {
           workbookRaw = Some(zin.readAllBytes())
         else if (e.getName == "xl/_rels/workbook.xml.rels")
           wbRelsRaw = Some(zin.readAllBytes())
+        else if (e.getName == "xl/styles.xml")
+          stylesRaw = Some(zin.readAllBytes())
         e = zin.getNextEntry
       }
     } finally zin.close()
@@ -524,13 +620,22 @@ object Xlsx {
       out.toIndexedSeq
     }.getOrElse(IndexedSeq.empty)
 
+    val dateStyle: Int => Boolean =
+      stylesRaw.map(parseDateStyles).getOrElse(_ => false)
+    val date1904: Boolean = workbookRaw.exists { bytes =>
+      // <workbookPr date1904="1"/> switches the serial epoch (Mac legacy)
+      val s = new String(bytes, "UTF-8")
+      """date1904\s*=\s*"(1|true)"""".r.findFirstIn(s).isDefined
+    }
+
     val item = loadItem.getOrElse(LoadItem(path.toString, None))
     sheets.iterator.flatMap { case (name, bytes) =>
       val sheetName = sheetNameByPath.getOrElse(name,
         name.stripPrefix("xl/worksheets/").stripSuffix(".xml"))
       if (sheetNamePattern.exists(p => !p.matches(sheetName))) Iterator.empty
       else {
-        val grid = parseSheet(new java.io.ByteArrayInputStream(bytes), shared)
+        val grid = parseSheet(new java.io.ByteArrayInputStream(bytes), shared,
+          dateStyle, date1904)
         val sheet = LocationSheet(FilesystemLocationFile(path, item), Some(sheetName))
         Blocks.parseBlocks(grid.iterator, sheet, Blocks.handlersFor(to), None,
           fixer, issueTracker)
