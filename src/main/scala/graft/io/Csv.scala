@@ -34,8 +34,21 @@ object CsvReader {
       issueTracker: InputIssueTracker = new NullInputIssueTracker(),
       to: String = "pdtable"
   ): Iterator[(BlockType, Block)] = {
-    val cellRows: Iterator[Seq[Any]] =
-      lines.map(l => l.stripLineEnd.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+    // manual separator scan: String.split with a Pattern.quote'd separator
+    // never takes Java's single-char fast path, so a regex Matcher would
+    // run per LINE on the hottest ingest loop; ArraySeq keeps the block
+    // parser's by-index cell access O(1)
+    val cellRows: Iterator[Seq[Any]] = {
+      val scanner = new graft.sources.CellScanner(sep)
+      lines.map { l0 =>
+        val l = l0.stripLineEnd
+        scanner.scan(l)
+        val arr = new Array[Any](scanner.cellCount)
+        var i = 0
+        while (i < arr.length) { arr(i) = scanner.cell(l, i); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+      }
+    }
     Blocks.parseBlocks(cellRows, locationSheet, Blocks.handlersFor(to), filter,
       fixer, issueTracker)
   }

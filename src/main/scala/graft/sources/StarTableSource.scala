@@ -165,7 +165,9 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
       Option(options.get("failFast")).exists(_.toBoolean),
       Option(options.get("assumeSingleTable")).exists(_.toBoolean),
       maxSplitBytes,
-      fullSchema, required, pushed, limit, dataset, confS)
+      fullSchema, required, pushed, limit, dataset, confS,
+      columnarEnabled =
+        Option(options.get("columnar")).forall(_.toBoolean))
   }
 }
 
@@ -178,7 +180,8 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
                                      dataset: Option[StarTableSource.DatasetMeta] = None,
                                      confS: org.apache.spark.util.SerializableConfiguration =
                                        new org.apache.spark.util.SerializableConfiguration(
-                                         new org.apache.hadoop.conf.Configuration()))
+                                         new org.apache.hadoop.conf.Configuration()),
+                                     columnarEnabled: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -301,7 +304,14 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new StarTableReaderFactory(tableName, sep, failFast, fullSchema, required,
-      pushed, limit, confS)
+      pushed, limit, confS,
+      // Columnar (vectorized) reads only when EVERY partition is a split
+      // partition — a partitioned dataset (Spark requires scan-wide
+      // uniformity). Plain directories may mix whole-file and split
+      // partitions; pushed limits use the row-reader cap.
+      columnar = dataset.isDefined && limit.isEmpty &&
+        columnarEnabled && required.fields.forall(f =>
+          StarColumnarSplitReader.supportedType(f.dataType)))
   // surface the pushdown in explain() so plans are auditable, mirroring the
   // built-in file sources' "PushedFilters: [...]" line
   override def description(): String =
@@ -338,8 +348,22 @@ private[sources] class StarTableReaderFactory(tableName: Option[String], sep: St
                                               limit: Option[Int] = None,
                                               confS: org.apache.spark.util.SerializableConfiguration =
                                                 new org.apache.spark.util.SerializableConfiguration(
-                                                  new org.apache.hadoop.conf.Configuration()))
+                                                  new org.apache.hadoop.conf.Configuration()),
+                                              columnar: Boolean = false)
     extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && partition.isInstanceOf[StarFileSplitPartition]
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case sp: StarFileSplitPartition =>
+        new StarColumnarSplitReader(sp, sep, failFast, required, pushed,
+          confS.value)
+      case other => throw new IllegalStateException(
+        s"columnar read requested for non-split partition $other")
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case sp: StarFileSplitPartition =>
@@ -439,7 +463,7 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
                                        conf: org.apache.hadoop.conf.Configuration =
                                          new org.apache.hadoop.conf.Configuration())
     extends PartitionReader[InternalRow] {
-  private val sepQuoted = java.util.regex.Pattern.quote(sep)
+  private val scanner = new CellScanner(sep)
   private val hp = new org.apache.hadoop.fs.Path(sp.path)
   private val in = hp.getFileSystem(conf).open(hp)
   private val fixer = new graft.parse.ParseFixer()
@@ -559,12 +583,12 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
       // block terminators: under assumeSingleTable anything past them is
       // not table data
       if (line.trim.isEmpty || line.startsWith("**")) { done = true; return false }
-      val cells = line.split(sepQuoted, -1)
+      scanner.scan(line)
       val parsed = new Array[Any](neededIdx.length)
       var s = 0
       while (s < neededIdx.length) {
-        val i = neededIdx(s)
-        parsed(s) = if (i >= cells.length) null else parsers(s)(cells(i))
+        val cell = scanner.cell(line, neededIdx(s))
+        parsed(s) = if (cell == null) null else parsers(s)(cell)
         s += 1
       }
       val passes = pushed.isEmpty || {
@@ -600,6 +624,234 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
   override def close(): Unit = in.close()
 }
 
+/** Vectorized sibling of [[StarSplitReader]] for partitioned-dataset
+  * splits: the same byte-range line scan and per-unit cell parse, but rows
+  * land directly in on-heap column vectors emitted as [[ColumnarBatch]]es
+  * of up to 4096 rows — no per-row `GenericInternalRow`, no per-cell
+  * boxing into an `Array[Any]`, and the downstream plan starts from
+  * Spark's vectorized `ColumnarToRow` (the parquet reader's shape).
+  * Pushed filters still evaluate per row during the parse; partition
+  * constants are materialized into their vectors once per batch via the
+  * constant fast path. */
+private[sources] class StarColumnarSplitReader(sp: StarFileSplitPartition,
+                                               sep: String, failFast: Boolean,
+                                               required: StructType,
+                                               pushed: Array[Filter],
+                                               conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val Capacity = 4096
+  private val scanner = new CellScanner(sep)
+  private val hp = new org.apache.hadoop.fs.Path(sp.path)
+  private val in = hp.getFileSystem(conf).open(hp)
+  private val fixer = new graft.parse.ParseFixer()
+  if (failFast) { fixer.stopOnErrors = true; fixer.verbose = false }
+
+  private val idx: Array[Int] =
+    required.fields.map(f => sp.columnNames.indexOf(f.name))
+  private val fRefs: Array[(String, Int)] =
+    pushed.flatMap(_.references).distinct
+      .map(c => c -> sp.columnNames.indexOf(c))
+  private val contradicted =
+    StarTableSource.blockContradicted(pushed,
+      sp.columnNames ++ sp.partitionSpec.map(_._1))
+
+  private val partVal: Map[String, Any] =
+    sp.partitionSpec.map { case (c, u, raw) =>
+      c -> (if (raw == null) null
+            else graft.parse.ColumnParsers.cellParser(u, fixer)(raw))
+    }.toMap
+
+  private val neededIdx: Array[Int] =
+    (idx ++ fRefs.map(_._2)).filter(_ >= 0).distinct.sorted
+  private val slotOf: Map[Int, Int] = neededIdx.zipWithIndex.toMap
+  private val parsers: Array[Any => Any] =
+    neededIdx.map(i => graft.parse.ColumnParsers.cellParser(sp.units(i), fixer))
+  private val refSlot: Array[(String, Int)] =
+    fRefs.map { case (c, i) => c -> (if (i < 0) -1 else slotOf(i)) }
+  private val projSlot: Array[Int] =
+    idx.map(i => if (i < 0) -1 else slotOf(i))
+  // true where the projected field is a partition-path constant
+  private val isPart: Array[Boolean] =
+    required.fields.map(f => partVal.contains(f.name))
+
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(Capacity, required)
+  private val batch =
+    new org.apache.spark.sql.vectorized.ColumnarBatch(
+      vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+
+  private val buf = new Array[Byte](65536)
+  private var bufLen = 0
+  private var bufPos = 0
+  private var pos: Long = {
+    val s = math.max(sp.start, sp.dataStart)
+    in.seek(s); s
+  }
+  if (contradicted && sp.start == sp.dataStart)
+    StarTableSource.blocksSkipped.increment()
+  private var done = contradicted
+  if (!done && sp.start > sp.dataStart) skipLine()
+
+  private def fill(): Boolean = {
+    if (bufPos < bufLen) return true
+    bufLen = in.read(buf); bufPos = 0
+    bufLen > 0
+  }
+
+  private def readLine(): String = {
+    if (!fill()) return null
+    val out = new java.io.ByteArrayOutputStream(128)
+    var nl = false
+    while (!nl && fill()) {
+      val limit = bufLen
+      val start = bufPos
+      var i = start
+      while (i < limit && buf(i) != '\n') i += 1
+      out.write(buf, start, i - start)
+      pos += i - start
+      if (i < limit) { nl = true; bufPos = i + 1; pos += 1 }
+      else bufPos = limit
+    }
+    val n = out.size()
+    val bytes = out.toByteArray
+    val len = if (n > 0 && bytes(n - 1) == '\r') n - 1 else n
+    new String(bytes, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def skipLine(): Unit = {
+    var consumed = false
+    while (!consumed && fill()) {
+      val limit = bufLen
+      val start = bufPos
+      var i = start
+      while (i < limit && buf(i) != '\n') i += 1
+      pos += i - start
+      if (i < limit) { consumed = true; bufPos = i + 1; pos += 1 }
+      else bufPos = limit
+    }
+    if (!consumed) done = true
+  }
+
+  private def putValue(c: Int, rowId: Int, v: Any): Unit = v match {
+    case null => vectors(c).putNull(rowId)
+    case s: String =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      vectors(c).putByteArray(rowId, b, 0, b.length): Unit
+    case d: java.lang.Double =>
+      if (d.isNaN) vectors(c).putNull(rowId) else vectors(c).putDouble(rowId, d)
+    case b: java.lang.Boolean => vectors(c).putBoolean(rowId, b)
+    case t: java.sql.Timestamp =>
+      vectors(c).putLong(rowId, DateTimeUtils.fromJavaTimestamp(t))
+    case other => throw new IllegalStateException(
+      s"unsupported columnar cell value: $other (${other.getClass})")
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    var n = 0
+    var c = 0
+    while (c < vectors.length) { vectors(c).reset(); c += 1 }
+    val parsed = new Array[Any](neededIdx.length)
+    while (n < Capacity && !done) {
+      val lineStart = pos
+      if (lineStart > sp.end) done = true
+      else {
+        val line = readLine()
+        if (line == null) done = true
+        else {
+          StarTableSource.linesParsed.increment()
+          if (line.trim.isEmpty || line.startsWith("**")) done = true
+          else {
+            scanner.scan(line)
+            var s = 0
+            while (s < neededIdx.length) {
+              val cell = scanner.cell(line, neededIdx(s))
+              parsed(s) = if (cell == null) null else parsers(s)(cell)
+              s += 1
+            }
+            val passes = pushed.isEmpty || {
+              def ref(col: String): Any = {
+                var k = 0
+                while (k < refSlot.length) {
+                  if (refSlot(k)._1 == col)
+                    return if (refSlot(k)._2 >= 0) parsed(refSlot(k)._2)
+                    else partVal.getOrElse(col, null)
+                  k += 1
+                }
+                null
+              }
+              !pushed.exists(f => !StarTableSource.evalFilter(f, ref))
+            }
+            if (passes) {
+              var p = 0
+              while (p < projSlot.length) {
+                if (projSlot(p) >= 0) putValue(p, n, parsed(projSlot(p)))
+                else if (isPart(p)) putValue(p, n, partVal(required.fields(p).name))
+                else vectors(p).putNull(n)
+                p += 1
+              }
+              n += 1
+            } else StarTableSource.rowsFiltered.increment()
+          }
+        }
+      }
+    }
+    if (n > 0) StarTableSource.batchesProduced.increment()
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = {
+    batch.close()
+    in.close()
+  }
+}
+
+private[sources] object StarColumnarSplitReader {
+  /** Cell types the vectorized path writes (every type a dataset unit can
+    * produce; anything else falls back to the row reader scan-wide). */
+  def supportedType(dt: DataType): Boolean = dt match {
+    case StringType | DoubleType | BooleanType | TimestampType => true
+    case _ => false
+  }
+}
+
+/** Shared hot-loop cell scanner for the split readers: records cell
+  * [start, end) offsets with a plain `indexOf` walk — `String.split` with
+  * a `Pattern.quote`d separator never takes Java's single-char fast path,
+  * so every line would otherwise pay a full regex `Matcher` plus one
+  * String per UNUSED cell. Callers substring only the projected/filtered
+  * cells. Buffers grow geometrically and are reused across lines. */
+private[graft] final class CellScanner(sep: String) {
+  private var starts = new Array[Int](64)
+  private var ends = new Array[Int](64)
+  private var n = 0
+  def cellCount: Int = n
+  /** Cell `i`'s text of `line`, or null when the line has fewer cells. */
+  def cell(line: String, i: Int): String =
+    if (i >= n) null else line.substring(starts(i), ends(i))
+  def scan(line: String): Unit = {
+    n = 0
+    var from = 0
+    val sl = sep.length
+    var more = true
+    while (more) {
+      if (n == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, n * 2)
+        ends = java.util.Arrays.copyOf(ends, n * 2)
+      }
+      val i = line.indexOf(sep, from)
+      starts(n) = from
+      ends(n) = if (i < 0) line.length else i
+      n += 1
+      if (i < 0) more = false else from = i + sl
+    }
+  }
+}
+
 private[graft] object StarTableSource {
 
   /** The active session's Hadoop configuration (driver side), else a fresh
@@ -624,9 +876,11 @@ private[graft] object StarTableSource {
   /** Subset of [[filesPruned]] skipped by per-slice min/max statistics (a
     * non-partition-column predicate), as opposed to partition pruning. */
   val filesSkippedByStats = new java.util.concurrent.atomic.LongAdder
+  /** Vectorized batches emitted by [[StarColumnarSplitReader]]. */
+  val batchesProduced = new java.util.concurrent.atomic.LongAdder
   def resetPushdownCounters(): Unit = {
     blocksSkipped.reset(); rowsFiltered.reset(); linesParsed.reset()
-    filesPruned.reset(); filesSkippedByStats.reset()
+    filesPruned.reset(); filesSkippedByStats.reset(); batchesProduced.reset()
   }
 
   /** Directory-level schema of a hive-partitioned StarTable dataset

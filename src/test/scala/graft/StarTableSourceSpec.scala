@@ -830,6 +830,44 @@ class StarTableSourceSpec extends AnyFunSuite {
       "all-slice contradiction still opened files")
   }
 
+  test("partitioned datasets read VECTORIZED: ColumnarBatch output, " +
+    "ColumnarToRow plan, value-identical to the row reader") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (s"g${i % 3}", i.toDouble,
+      s"t$i", i % 2 == 0)).toDF("grp", "x", "tag", "ok")
+    val t = graft.model.StarTable.fromDataFrame(df, "vec",
+      units = Map("grp" -> "text", "tag" -> "text"))
+    val out = Files.createTempDirectory("graft_pds_vec").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"), numFiles = 2)
+    val colr = spark.read.format("startable").load(out)
+    // the physical plan consumes batches through Spark's vectorized bridge
+    val plan = colr.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"vectorized read not planned:\n$plan")
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val a = colr.orderBy("grp", "x").collect().map(_.toSeq)
+    assert(graft.sources.StarTableSource.batchesProduced.sum() > 0,
+      "no ColumnarBatch was produced")
+    // row-reader reference: identical values, including nulls/partition
+    // constants, under option(\"columnar\", \"false\")
+    val rowr = spark.read.format("startable").option("columnar", "false")
+      .load(out)
+    assert(!rowr.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val b = rowr.orderBy("grp", "x").collect().map(_.toSeq)
+    assert(graft.sources.StarTableSource.batchesProduced.sum() == 0)
+    assert(a.length == 5000 && b.sameElements(a),
+      "columnar and row reads diverged")
+    // pushed filters still evaluate during the vectorized parse
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(colr.filter(col("x") < 10.0 && col("ok")).count() == 5)
+    assert(graft.sources.StarTableSource.rowsFiltered.sum() > 0)
+    // a >4096-row slice spans multiple batches
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(colr.filter(col("grp") === "g0").count() == 1667)
+    assert(graft.sources.StarTableSource.batchesProduced.sum() >= 1)
+  }
+
   test("scan reports file-size statistics, so a small dimension " +
     "auto-broadcasts in a join (no explicit broadcast hint)") {
     val src = writeDir()
