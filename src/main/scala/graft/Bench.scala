@@ -142,8 +142,14 @@ object Bench {
     // numbers instead of silently smoothing.
     val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = firstPass.map { case (name, first) =>
+      // Streaming queries rerun from 1.5×: their micro-batch floor is the
+      // dominant known jitter source (checkpoint/state-store fsyncs on a
+      // contended volume), and the round-8 q_stream_anomaly drift (1.99×)
+      // slipped exactly under the uniform 2× trigger and could never be
+      // adjudicated. Everything else keeps the 2× trigger.
+      val trigger = if (name.startsWith("q_stream_")) 1.5 else 2.0
       prior.get(name) match {
-        case Some(p) if p > 0.05 && first >= 2.0 * p =>
+        case Some(p) if p > 0.05 && first >= trigger * p =>
           val again = timeQuery(name, SparkEntry.queries(name), reps)
           reruns(name) = (first, again)
           name -> math.min(first, again)

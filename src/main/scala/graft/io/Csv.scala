@@ -397,13 +397,22 @@ object CsvWriter {
     * overwrite drops the whole dataset first. Backfill requires an
     * EXISTING dataset whose sidecar schema matches `t` exactly (a drifted
     * backfill would silently fork the dataset's schema — refused). */
+  /** `filesPerSlice > 1` SALTS the `numFiles` shuffle within each slice:
+    * plain repartition-on-partition-columns routes ALL of a slice's rows
+    * to one task, so a 90%-one-slice skew serializes the write; a salt of
+    * k spreads each slice over up to k tasks (k× write parallelism for
+    * the hot slice) at the cost of at most k files per slice — bounded,
+    * unlike an unshuffled write's task-count × slice-count fan-out. */
   def writePartitionedDataset(t: StarTable, outDir: String,
                               partitionBy: Seq[String],
                               sep: String = DefaultSep,
                               naRep: String = DefaultNaRep,
                               numFiles: Int = 0,
                               overwriteSlices: Boolean = false,
-                              collectStats: Boolean = true): Unit = {
+                              collectStats: Boolean = true,
+                              filesPerSlice: Int = 1): Unit = {
+    require(filesPerSlice >= 1,
+      s"writePartitionedDataset: filesPerSlice must be >= 1, got $filesPerSlice")
     require(partitionBy.nonEmpty,
       "writePartitionedDataset: partitionBy must be non-empty (use writeDataset)")
     val missing = partitionBy.filterNot(t.columnNames.contains)
@@ -476,8 +485,19 @@ object CsvWriter {
     val valueCol = org.apache.spark.sql.functions.concat_ws(sep,
       distributedCells(t.select(dataCols: _*), naRep): _*).as("value")
     val out = t.df.select(pathCols :+ valueCol: _*)
-    val shaped = if (numFiles > 0) out.repartition(numFiles,
-      partitionBy.map(org.apache.spark.sql.functions.col): _*) else out
+    val shaped =
+      if (numFiles <= 0) out
+      else if (filesPerSlice <= 1) out.repartition(numFiles,
+        partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else {
+        // deterministic row salt: rows of one slice spread over up to
+        // filesPerSlice shuffle targets (hot-slice skew no longer
+        // serializes onto one task), each target writing one file per
+        // slice it holds
+        val salt = pmod(xxhash64(col("value")), lit(filesPerSlice))
+        out.repartition(numFiles,
+          partitionBy.map(org.apache.spark.sql.functions.col) :+ salt: _*)
+      }
     if (overwriteSlices) {
       val spark = t.df.sparkSession
       val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")

@@ -868,6 +868,45 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(graft.sources.StarTableSource.batchesProduced.sum() >= 1)
   }
 
+  test("skewed partitioned writes: filesPerSlice salts the shuffle so a " +
+    "90%-one-slice distribution spreads over many tasks, files stay " +
+    "bounded, reads and stats unchanged") {
+    import spark.implicits._
+    // 90% of rows in slice "hot"
+    val df = (0 until 10000).map(i =>
+      (if (i % 10 == 0) s"cold${i % 3}" else "hot", i.toDouble))
+      .toDF("grp", "x")
+    val t = graft.model.StarTable.fromDataFrame(df, "skewed",
+      units = Map("grp" -> "text"))
+    val out = Files.createTempDirectory("graft_pds_skew").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"),
+      numFiles = 8, filesPerSlice = 4)
+    def filesIn(slice: String): Int =
+      java.nio.file.Files.list(java.nio.file.Paths.get(out, s"grp=$slice"))
+        .filter(p => !p.getFileName.toString.startsWith("_")
+          && !p.getFileName.toString.startsWith("."))
+        .count().toInt
+    val hotFiles = filesIn("hot")
+    assert(hotFiles >= 2 && hotFiles <= 4,
+      s"hot slice should spread over 2..4 salted files, got $hotFiles")
+    val back = spark.read.format("startable").load(out)
+    assert(back.count() == 10000)
+    assert(back.filter(col("grp") === "hot").count() == 9000)
+    // slice stats are salt-independent: contradicted scans still skip
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(back.filter(col("x") > 1e6).count() == 0)
+    assert(graft.sources.StarTableSource.linesParsed.sum() == 0,
+      "stats skipping broke under salted writes")
+    // the unsalted default keeps one file per slice per task group
+    val out1 = Files.createTempDirectory("graft_pds_skew1").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out1, Seq("grp"),
+      numFiles = 8)
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(out1, "grp=hot")).filter(p =>
+        !p.getFileName.toString.startsWith("_")
+          && !p.getFileName.toString.startsWith(".")).count() == 1)
+  }
+
   test("scan reports file-size statistics, so a small dimension " +
     "auto-broadcasts in a join (no explicit broadcast hint)") {
     val src = writeDir()
