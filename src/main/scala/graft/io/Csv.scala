@@ -451,13 +451,19 @@ object CsvWriter {
     // volume is slices × columns partials, not data). Computed BEFORE the
     // data write so the backfill crash-window protocol below can strip the
     // rewritten slices' entries first.
-    val fresh: Option[Seq[graft.sources.StarTableSource.SliceStats]] =
-      if (collectStats) Some(computeSliceStats(t, dataCols, partitionBy, naRep))
-      else None
+    // capped = true when the slice cardinality exceeded MaxStatSlices:
+    // statistics degrade to "none" (conservative) for the whole dataset
+    val (fresh: Seq[graft.sources.StarTableSource.SliceStats], capped: Boolean) =
+      if (!collectStats) (Nil, false)
+      else computeSliceStats(t, dataCols, partitionBy, naRep) match {
+        case Some(s) => (s, false)
+        case None    => (Nil, true)
+      }
     // which slice entries the incoming data replaces (for stat stripping)
-    val rewrittenParts: Set[Seq[String]] = fresh match {
-      case Some(f) => f.map(_.partition).toSet
-      case None if existingMeta.exists(_.sliceStats.nonEmpty) =>
+    val rewrittenParts: Set[Seq[String]] = {
+      if (capped) Set.empty
+      else if (collectStats) fresh.map(_.partition).toSet
+      else if (existingMeta.exists(_.sliceStats.nonEmpty)) {
         // stats disabled but stale entries exist: identify the rewritten
         // slices with a distinct over the rendered partition values
         val keys = partitionPathCols(t, partitionBy, naRep,
@@ -465,17 +471,21 @@ object CsvWriter {
         t.df.select(keys: _*).distinct().collect().map(r =>
           partitionBy.indices.map(i =>
             if (r.isNullAt(i)) null else r.getString(i)): Seq[String]).toSet
-      case None => Set.empty
+      } else Set.empty
     }
     // Backfill crash-window discipline: strip the rewritten slices' stats
-    // from the sidecar BEFORE the data overwrite. A crash at any point then
-    // leaves a sidecar that is at worst CONSERVATIVE (no stats → slice is
-    // read, never skipped) — stale ranges never describe new bytes. The
-    // full (non-incremental) overwrite needs none of this: the sink drops
-    // the directory including the sidecar, and a crash mid-write leaves a
-    // sidecar-less directory the reader refuses loudly.
+    // from the sidecar BEFORE the data overwrite (ALL of them when the
+    // incoming slice count is capped — unknown rewrite set must not leave
+    // stale ranges). A crash at any point then leaves a sidecar that is at
+    // worst CONSERVATIVE (no stats → slice is read, never skipped) — stale
+    // ranges never describe new bytes. The full (non-incremental)
+    // overwrite needs none of this: the sink drops the directory including
+    // the sidecar, and a crash mid-write leaves a sidecar-less directory
+    // the reader refuses loudly.
     existingMeta.foreach { m =>
-      val stripped = m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition))
+      val stripped =
+        if (capped) Nil
+        else m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition))
       if (stripped.size != m.sliceStats.size)
         writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stripped)
     }
@@ -509,16 +519,13 @@ object CsvWriter {
     } else
       shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(outDir)
     faultHook("backfill:pre-sidecar")
-    val stats: Seq[graft.sources.StarTableSource.SliceStats] = fresh match {
-      case Some(f) => existingMeta match {
+    val stats: Seq[graft.sources.StarTableSource.SliceStats] =
+      if (capped) Nil
+      else existingMeta match {
         case Some(m) if overwriteSlices =>
-          m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition)) ++ f
-        case _ => f
+          m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition)) ++ fresh
+        case _ => fresh
       }
-      case None => existingMeta.map(
-        _.sliceStats.filterNot(s => rewrittenParts.contains(s.partition)))
-        .getOrElse(Nil)
-    }
     // sidecar LAST: readers refuse a dataset without it
     writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats)
   }
@@ -574,7 +581,7 @@ object CsvWriter {
     * through the same unit parsers as data cells. */
   private def computeSliceStats(t: StarTable, dataCols: Seq[String],
                                 partitionBy: Seq[String], naRep: String)
-      : Seq[graft.sources.StarTableSource.SliceStats] = {
+      : Option[Seq[graft.sources.StarTableSource.SliceStats]] = {
     val keyCols = partitionPathCols(t, partitionBy, naRep, "sliceStats")
     // rendered cells in DATASET column order — first-column sealing applies
     // to dataCols.head exactly as the written value column does
@@ -591,8 +598,21 @@ object CsvWriter {
       Seq(min(v).as(s"__min_$c"), max(v).as(s"__max_$c"),
         count(when(v.isNull, 1)).as(s"__nulls_$c"))
     } :+ count(lit(1)).as("__rows")
-    val rows = t.df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*).collect()
-    rows.toSeq.map { r =>
+    // Cap the sidecar's stats cardinality: the collected aggregate and the
+    // JSON sidecar are slices × columns — fine for any sane layout, but a
+    // pathological partitioning (millions of slices) must degrade to
+    // "no stats" (conservative reads), not a driver OOM. The limit is
+    // pushed into the aggregate, so the capped case never collects more
+    // than MaxStatSlices + 1 rows.
+    val rows = t.df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      .limit(MaxStatSlices + 1).collect()
+    if (rows.length > MaxStatSlices) {
+      System.err.println(s"[graft] WARN writePartitionedDataset: more than " +
+        s"$MaxStatSlices slices — skipping slice statistics (reads stay " +
+        "correct, data skipping disabled for this dataset)")
+      return None
+    }
+    Some(rows.toSeq.map { r =>
       val part = partitionBy.indices.map(i =>
         if (r.isNullAt(i)) null else r.getString(i))
       val base = partitionBy.size
@@ -606,7 +626,7 @@ object CsvWriter {
       }.toMap
       graft.sources.StarTableSource.SliceStats(part,
         r.getLong(base + dataCols.size * 3), stats)
-    }
+    })
   }
 
   /** Render one collected stat value exactly as a data cell of its unit
@@ -659,6 +679,9 @@ object CsvWriter {
   }
 
   val DatasetMetaFile = "_startable_dataset.json"
+
+  /** Slice-statistics cardinality cap (see [[computeSliceStats]]). */
+  val MaxStatSlices = 100000
 
   /** Streaming ingestion into a hive-partitioned StarTable dataset — the
     * micro-batch analog of [[writePartitionedDataset]]. `t` wraps a

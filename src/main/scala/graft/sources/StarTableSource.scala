@@ -276,7 +276,9 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
     * across the cluster instead of serializing onto one task. Files whose
     * head can't be split safely (transposed marker, wrong table name,
     * oversized header) fall back to the whole-file reader. */
-  override def planInputPartitions(): Array[InputPartition] = dataset match {
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  private lazy val planned: Array[InputPartition] = dataset match {
     case Some(m) =>
       // header-less data files under k=v directories: every file is
       // line-splittable from byte 0, so large slices also byte-range
@@ -305,13 +307,17 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
   override def createReaderFactory(): PartitionReaderFactory =
     new StarTableReaderFactory(tableName, sep, failFast, fullSchema, required,
       pushed, limit, confS,
-      // Columnar (vectorized) reads only when EVERY partition is a split
-      // partition — a partitioned dataset (Spark requires scan-wide
-      // uniformity). Plain directories may mix whole-file and split
-      // partitions; pushed limits use the row-reader cap.
-      columnar = dataset.isDefined && limit.isEmpty &&
-        columnarEnabled && required.fields.forall(f =>
-          StarColumnarSplitReader.supportedType(f.dataType)))
+      // Columnar (vectorized) reads only when EVERY planned partition is a
+      // split partition (Spark requires scan-wide uniformity): always true
+      // for partitioned datasets, and true for assumeSingleTable files
+      // whose every member byte-range split (a plain directory mixing
+      // whole-file readers falls back). Pushed limits use the row-reader
+      // cap.
+      columnar = limit.isEmpty && columnarEnabled &&
+        required.fields.forall(f =>
+          StarColumnarSplitReader.supportedType(f.dataType)) &&
+        planned.nonEmpty &&
+        planned.forall(_.isInstanceOf[StarFileSplitPartition]))
   // surface the pushdown in explain() so plans are auditable, mirroring the
   // built-in file sources' "PushedFilters: [...]" line
   override def description(): String =
