@@ -678,9 +678,11 @@ private[sources] class StarColumnarSplitReader(sp: StarFileSplitPartition,
     fRefs.map { case (c, i) => c -> (if (i < 0) -1 else slotOf(i)) }
   private val projSlot: Array[Int] =
     idx.map(i => if (i < 0) -1 else slotOf(i))
-  // true where the projected field is a partition-path constant
-  private val isPart: Array[Boolean] =
-    required.fields.map(f => partVal.contains(f.name))
+  // per-projected-field partition constant (JVM value), or NotPart
+  private val NotPart = new Object
+  private val partConst: Array[Any] = required.fields.map { f =>
+    if (partVal.contains(f.name)) partVal(f.name) else NotPart
+  }
 
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(Capacity, required)
@@ -794,7 +796,8 @@ private[sources] class StarColumnarSplitReader(sp: StarFileSplitPartition,
               var p = 0
               while (p < projSlot.length) {
                 if (projSlot(p) >= 0) putValue(p, n, parsed(projSlot(p)))
-                else if (isPart(p)) putValue(p, n, partVal(required.fields(p).name))
+                else if (partConst(p).asInstanceOf[AnyRef] ne NotPart)
+                  putValue(p, n, partConst(p))
                 else vectors(p).putNull(n)
                 p += 1
               }
@@ -832,6 +835,8 @@ private[sources] object StarColumnarSplitReader {
   * String per UNUSED cell. Callers substring only the projected/filtered
   * cells. Buffers grow geometrically and are reused across lines. */
 private[graft] final class CellScanner(sep: String) {
+  require(sep.nonEmpty,
+    "startable: separator must be non-empty (indexOf(\"\") would never advance)")
   private var starts = new Array[Int](64)
   private var ends = new Array[Int](64)
   private var n = 0
