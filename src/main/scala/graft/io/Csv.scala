@@ -591,6 +591,24 @@ object CsvWriter {
       val u = t.unit(c)
       val v: Column =
         if (u == "text") renderedByCol(c)
+        else if (u == "datetime")
+          // aggregate the RENDERED string, not the typed value: cells
+          // render through date_format under the SESSION timezone while a
+          // driver-side Timestamp render uses the JVM zone — when the two
+          // differ, typed bounds would be shifted against reader-parsed
+          // cells and slices wrongly skipped. The fixed-width zero-padded
+          // format makes string min/max chronological, and the stored
+          // bound is byte-identical to the cell the reader parses. Nulls
+          // stay null (the rendered expression would coalesce to naRep).
+          when(col(c).isNotNull, renderedByCol(c))
+        else if (u == "onoff") col(c)
+        else if (t.colMeta(c).displayFormat.isDefined)
+          // a display format ROUNDS the written cell ("%.0f": 8.6 → "9"),
+          // so bounds must cover the reader-parsed values (9.0), not the
+          // raw ones (8.6) — otherwise a filter between the two silently
+          // skips matching rows. Round-trip through the rendered string;
+          // naRep ("-") casts to null, covering null and NaN.
+          renderedByCol(c).cast(DoubleType)
         else if (t.df.schema(c).dataType == DoubleType ||
                  t.df.schema(c).dataType == FloatType)
           when(!isnan(col(c)), col(c))
@@ -673,9 +691,30 @@ object CsvWriter {
     val conf = graft.sources.StarTableSource.activeHadoopConf()
     val metaPath = new org.apache.hadoop.fs.Path(outDir, DatasetMetaFile)
     val fs = metaPath.getFileSystem(conf)
-    val os = fs.create(metaPath, true)
+    // stage-and-rename: an in-place create(overwrite) killed mid-stream
+    // would leave a TRUNCATED sidecar the reader refuses loudly, bricking
+    // an intact dataset. Write the JSON fully to a hidden temp name, then
+    // rename over the target (FileContext rename-OVERWRITE — the
+    // checkpointing primitive — with a delete+rename fallback whose worst
+    // crash state is "no sidecar": a loud, rerun-repairable refusal, never
+    // a half-file).
+    val tmpPath = new org.apache.hadoop.fs.Path(outDir,
+      "." + DatasetMetaFile + ".tmp")
+    val os = fs.create(tmpPath, true)
     try os.write(graft.io.JsonValue.write(meta).getBytes("UTF-8"))
     finally os.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        metaPath.toUri, conf)
+      fc.rename(tmpPath, metaPath,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        if (fs.exists(metaPath)) fs.delete(metaPath, false)
+        if (!fs.rename(tmpPath, metaPath))
+          throw new java.io.IOException(
+            s"writeDatasetSidecar: could not install $metaPath")
+    }
   }
 
   val DatasetMetaFile = "_startable_dataset.json"

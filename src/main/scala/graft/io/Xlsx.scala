@@ -476,16 +476,26 @@ object Xlsx {
     ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
 
   /** A custom format code denotes a date/time when it contains y/m/d/h/s
-    * tokens outside quoted literals and color/condition brackets. */
-  private[io] def isDateFormatCode(code: String): Boolean = {
+    * tokens outside quoted literals and color/condition brackets. A
+    * bracketed h/m/s token (`[h]`, `[mm]`, `[ss]`) is Excel's ELAPSED
+    * DURATION marker — such cells are numbers of days, not dates, and
+    * must NOT be converted to epoch timestamps. */
+  private[graft] def isDateFormatCode(code: String): Boolean = {
     val sb = new StringBuilder
+    val bracket = new StringBuilder
     var inQuote = false; var inBracket = false; var i = 0
     while (i < code.length) {
       val ch = code.charAt(i)
       if (ch == '"') inQuote = !inQuote
-      else if (!inQuote && ch == '[') inBracket = true
-      else if (!inQuote && ch == ']') inBracket = false
-      else if (!inQuote && !inBracket) {
+      else if (!inQuote && ch == '[') { inBracket = true; bracket.clear() }
+      else if (!inQuote && ch == ']') {
+        inBracket = false
+        if (bracket.nonEmpty &&
+            bracket.forall(c => "hmsHMS".indexOf(c) >= 0))
+          return false // elapsed-duration format: numeric, not a date
+      }
+      else if (!inQuote && inBracket) bracket.append(ch)
+      else if (!inQuote) {
         if (ch == '\\') i += 1 // escaped literal
         else sb.append(Character.toLowerCase(ch))
       }

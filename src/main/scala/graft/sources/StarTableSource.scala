@@ -461,18 +461,28 @@ private[sources] class StarTableReaderFactory(tableName: Option[String], sep: St
   * line, or a `**` marker (content past the first block is not table
   * data under the assumeSingleTable contract). Constant memory: one
   * buffered byte stream, one line at a time. */
-private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
-                                       failFast: Boolean,
-                                       fullSchema: StructType,
-                                       required: StructType,
-                                       pushed: Array[Filter],
-                                       conf: org.apache.hadoop.conf.Configuration =
-                                         new org.apache.hadoop.conf.Configuration())
-    extends PartitionReader[InternalRow] {
+/** The shared byte-range scan kernel of the row and columnar split
+  * readers: seek + first-line-discard (Hadoop line-split ownership),
+  * buffered line reads with CRLF normalization, per-unit cell parsers
+  * resolved once, hive-partition constants, pushed-filter evaluation on
+  * the parsed slots, and terminator handling. Subclasses only decide how
+  * a passing row MATERIALIZES (InternalRow vs column vectors), so the two
+  * paths cannot drift.
+  *
+  * Hot-loop contract: [[nextRow]] advances to the next row that passes
+  * every pushed filter, leaving its cells in [[parsed]] (slot order =
+  * [[projSlot]] indices); per row it does one separator scan, one parse
+  * per NEEDED cell (projection ∪ filter refs — no per-cell Seq, no
+  * per-cell unit dispatch, no double-parse), and nothing else. */
+private[sources] abstract class StarSplitScanBase(sp: StarFileSplitPartition,
+                                                  sep: String, failFast: Boolean,
+                                                  required: StructType,
+                                                  pushed: Array[Filter],
+                                                  conf: org.apache.hadoop.conf.Configuration) {
   private val scanner = new CellScanner(sep)
   private val hp = new org.apache.hadoop.fs.Path(sp.path)
-  private val in = hp.getFileSystem(conf).open(hp)
-  private val fixer = new graft.parse.ParseFixer()
+  protected val in = hp.getFileSystem(conf).open(hp)
+  protected val fixer = new graft.parse.ParseFixer()
   if (failFast) { fixer.stopOnErrors = true; fixer.verbose = false }
 
   // per-required-column index into the file's columns, and per-filter-ref
@@ -488,27 +498,14 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
       sp.columnNames ++ sp.partitionSpec.map(_._1))
 
   // Hive-partition constants: parsed from the path value ONCE per split
-  // (same per-unit coercion as data cells), held both as JVM values (for
-  // pushed-filter evaluation) and as Catalyst values (for projection).
-  private val partVal: Map[String, Any] =
+  // (same per-unit coercion as data cells), as JVM values; subclasses
+  // convert for their materialization.
+  protected val partVal: Map[String, Any] =
     sp.partitionSpec.map { case (c, u, raw) =>
       c -> (if (raw == null) null
             else graft.parse.ColumnParsers.cellParser(u, fixer)(raw))
     }.toMap
-  // per-required-field partition constant (Catalyst), or a "not a
-  // partition column" sentinel
-  private val NotPart = new Object
-  private val partConst: Array[Any] = required.fields.map { f =>
-    if (partVal.contains(f.name)) StarTableSource.toCatalyst(partVal(f.name))
-    else NotPart
-  }
 
-  // Hot-loop precomputation: the union of file columns this reader must
-  // parse (projection + filter refs), each with its unit parser resolved
-  // ONCE — per row the loop does one split, one parse per needed cell
-  // into a slot array shared by filter evaluation and projection (no
-  // per-cell Seq, no per-cell unit dispatch, no per-row Map, no
-  // double-parse of filtered+projected columns).
   private val neededIdx: Array[Int] =
     (idx ++ fRefs.map(_._2)).filter(_ >= 0).distinct.sorted
   private val slotOf: Map[Int, Int] = neededIdx.zipWithIndex.toMap
@@ -516,8 +513,12 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
     neededIdx.map(i => graft.parse.ColumnParsers.cellParser(sp.units(i), fixer))
   private val refSlot: Array[(String, Int)] =
     fRefs.map { case (c, i) => c -> (if (i < 0) -1 else slotOf(i)) }
-  private val projSlot: Array[Int] =
+  /** Per required field: slot in [[parsed]], or -1 (null-pad / partition
+    * constant). */
+  protected val projSlot: Array[Int] =
     idx.map(i => if (i < 0) -1 else slotOf(i))
+  /** Cells of the current passing row, slot-indexed (see [[projSlot]]). */
+  protected val parsed = new Array[Any](neededIdx.length)
 
   private val buf = new Array[Byte](65536)
   private var bufLen = 0
@@ -529,11 +530,10 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
   }
   if (contradicted && sp.start == sp.dataStart)
     StarTableSource.blocksSkipped.increment()
-  private var done = contradicted
+  protected var done = contradicted
   // a split that does not begin the data region discards its first
   // (possibly partial) line — the previous split owns it
   if (!done && sp.start > sp.dataStart) skipLine()
-  private var current: InternalRow = _
 
   private def fill(): Boolean = {
     if (bufPos < bufLen) return true
@@ -578,7 +578,11 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
     if (!consumed) done = true // EOF inside the partial line
   }
 
-  override def next(): Boolean = {
+  /** Advance to the next row that passes every pushed filter; its cells
+    * are left in [[parsed]]. False at the range end, EOF, or a block
+    * terminator (blank line / `**` marker — under assumeSingleTable
+    * anything past them is not table data). */
+  protected final def nextRow(): Boolean = {
     if (done) return false
     while (true) {
       val lineStart = pos
@@ -586,11 +590,8 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
       val line = readLine()
       if (line == null) { done = true; return false }
       StarTableSource.linesParsed.increment()
-      // block terminators: under assumeSingleTable anything past them is
-      // not table data
       if (line.trim.isEmpty || line.startsWith("**")) { done = true; return false }
       scanner.scan(line)
-      val parsed = new Array[Any](neededIdx.length)
       var s = 0
       while (s < neededIdx.length) {
         val cell = scanner.cell(line, neededIdx(s))
@@ -610,21 +611,44 @@ private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
         }
         !pushed.exists(f => !StarTableSource.evalFilter(f, ref))
       }
-      if (passes) {
-        val out = new Array[Any](projSlot.length)
-        var c = 0
-        while (c < projSlot.length) {
-          out(c) =
-            if (projSlot(c) >= 0) StarTableSource.toCatalyst(parsed(projSlot(c)))
-            else if (partConst(c).asInstanceOf[AnyRef] ne NotPart) partConst(c)
-            else null
-          c += 1
-        }
-        current = new GenericInternalRow(out)
-        return true
-      } else StarTableSource.rowsFiltered.increment()
+      if (passes) return true
+      else StarTableSource.rowsFiltered.increment()
     }
     false
+  }
+}
+
+private[sources] class StarSplitReader(sp: StarFileSplitPartition, sep: String,
+                                       failFast: Boolean,
+                                       fullSchema: StructType,
+                                       required: StructType,
+                                       pushed: Array[Filter],
+                                       conf: org.apache.hadoop.conf.Configuration =
+                                         new org.apache.hadoop.conf.Configuration())
+    extends StarSplitScanBase(sp, sep, failFast, required, pushed, conf)
+    with PartitionReader[InternalRow] {
+  // per-required-field partition constant (Catalyst), or a "not a
+  // partition column" sentinel
+  private val NotPart = new Object
+  private val partConst: Array[Any] = required.fields.map { f =>
+    if (partVal.contains(f.name)) StarTableSource.toCatalyst(partVal(f.name))
+    else NotPart
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!nextRow()) return false
+    val out = new Array[Any](projSlot.length)
+    var c = 0
+    while (c < projSlot.length) {
+      out(c) =
+        if (projSlot(c) >= 0) StarTableSource.toCatalyst(parsed(projSlot(c)))
+        else if (partConst(c).asInstanceOf[AnyRef] ne NotPart) partConst(c)
+        else null
+      c += 1
+    }
+    current = new GenericInternalRow(out)
+    true
   }
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
@@ -644,40 +668,11 @@ private[sources] class StarColumnarSplitReader(sp: StarFileSplitPartition,
                                                required: StructType,
                                                pushed: Array[Filter],
                                                conf: org.apache.hadoop.conf.Configuration)
-    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+    extends StarSplitScanBase(sp, sep, failFast, required, pushed, conf)
+    with PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 
   private val Capacity = 4096
-  private val scanner = new CellScanner(sep)
-  private val hp = new org.apache.hadoop.fs.Path(sp.path)
-  private val in = hp.getFileSystem(conf).open(hp)
-  private val fixer = new graft.parse.ParseFixer()
-  if (failFast) { fixer.stopOnErrors = true; fixer.verbose = false }
-
-  private val idx: Array[Int] =
-    required.fields.map(f => sp.columnNames.indexOf(f.name))
-  private val fRefs: Array[(String, Int)] =
-    pushed.flatMap(_.references).distinct
-      .map(c => c -> sp.columnNames.indexOf(c))
-  private val contradicted =
-    StarTableSource.blockContradicted(pushed,
-      sp.columnNames ++ sp.partitionSpec.map(_._1))
-
-  private val partVal: Map[String, Any] =
-    sp.partitionSpec.map { case (c, u, raw) =>
-      c -> (if (raw == null) null
-            else graft.parse.ColumnParsers.cellParser(u, fixer)(raw))
-    }.toMap
-
-  private val neededIdx: Array[Int] =
-    (idx ++ fRefs.map(_._2)).filter(_ >= 0).distinct.sorted
-  private val slotOf: Map[Int, Int] = neededIdx.zipWithIndex.toMap
-  private val parsers: Array[Any => Any] =
-    neededIdx.map(i => graft.parse.ColumnParsers.cellParser(sp.units(i), fixer))
-  private val refSlot: Array[(String, Int)] =
-    fRefs.map { case (c, i) => c -> (if (i < 0) -1 else slotOf(i)) }
-  private val projSlot: Array[Int] =
-    idx.map(i => if (i < 0) -1 else slotOf(i))
   // per-projected-field partition constant (JVM value), or NotPart
   private val NotPart = new Object
   private val partConst: Array[Any] = required.fields.map { f =>
@@ -689,58 +684,6 @@ private[sources] class StarColumnarSplitReader(sp: StarFileSplitPartition,
   private val batch =
     new org.apache.spark.sql.vectorized.ColumnarBatch(
       vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
-
-  private val buf = new Array[Byte](65536)
-  private var bufLen = 0
-  private var bufPos = 0
-  private var pos: Long = {
-    val s = math.max(sp.start, sp.dataStart)
-    in.seek(s); s
-  }
-  if (contradicted && sp.start == sp.dataStart)
-    StarTableSource.blocksSkipped.increment()
-  private var done = contradicted
-  if (!done && sp.start > sp.dataStart) skipLine()
-
-  private def fill(): Boolean = {
-    if (bufPos < bufLen) return true
-    bufLen = in.read(buf); bufPos = 0
-    bufLen > 0
-  }
-
-  private def readLine(): String = {
-    if (!fill()) return null
-    val out = new java.io.ByteArrayOutputStream(128)
-    var nl = false
-    while (!nl && fill()) {
-      val limit = bufLen
-      val start = bufPos
-      var i = start
-      while (i < limit && buf(i) != '\n') i += 1
-      out.write(buf, start, i - start)
-      pos += i - start
-      if (i < limit) { nl = true; bufPos = i + 1; pos += 1 }
-      else bufPos = limit
-    }
-    val n = out.size()
-    val bytes = out.toByteArray
-    val len = if (n > 0 && bytes(n - 1) == '\r') n - 1 else n
-    new String(bytes, 0, len, java.nio.charset.StandardCharsets.UTF_8)
-  }
-
-  private def skipLine(): Unit = {
-    var consumed = false
-    while (!consumed && fill()) {
-      val limit = bufLen
-      val start = bufPos
-      var i = start
-      while (i < limit && buf(i) != '\n') i += 1
-      pos += i - start
-      if (i < limit) { consumed = true; bufPos = i + 1; pos += 1 }
-      else bufPos = limit
-    }
-    if (!consumed) done = true
-  }
 
   private def putValue(c: Int, rowId: Int, v: Any): Unit = v match {
     case null => vectors(c).putNull(rowId)
@@ -761,51 +704,16 @@ private[sources] class StarColumnarSplitReader(sp: StarFileSplitPartition,
     var n = 0
     var c = 0
     while (c < vectors.length) { vectors(c).reset(); c += 1 }
-    val parsed = new Array[Any](neededIdx.length)
-    while (n < Capacity && !done) {
-      val lineStart = pos
-      if (lineStart > sp.end) done = true
-      else {
-        val line = readLine()
-        if (line == null) done = true
-        else {
-          StarTableSource.linesParsed.increment()
-          if (line.trim.isEmpty || line.startsWith("**")) done = true
-          else {
-            scanner.scan(line)
-            var s = 0
-            while (s < neededIdx.length) {
-              val cell = scanner.cell(line, neededIdx(s))
-              parsed(s) = if (cell == null) null else parsers(s)(cell)
-              s += 1
-            }
-            val passes = pushed.isEmpty || {
-              def ref(col: String): Any = {
-                var k = 0
-                while (k < refSlot.length) {
-                  if (refSlot(k)._1 == col)
-                    return if (refSlot(k)._2 >= 0) parsed(refSlot(k)._2)
-                    else partVal.getOrElse(col, null)
-                  k += 1
-                }
-                null
-              }
-              !pushed.exists(f => !StarTableSource.evalFilter(f, ref))
-            }
-            if (passes) {
-              var p = 0
-              while (p < projSlot.length) {
-                if (projSlot(p) >= 0) putValue(p, n, parsed(projSlot(p)))
-                else if (partConst(p).asInstanceOf[AnyRef] ne NotPart)
-                  putValue(p, n, partConst(p))
-                else vectors(p).putNull(n)
-                p += 1
-              }
-              n += 1
-            } else StarTableSource.rowsFiltered.increment()
-          }
-        }
+    while (n < Capacity && nextRow()) {
+      var p = 0
+      while (p < projSlot.length) {
+        if (projSlot(p) >= 0) putValue(p, n, parsed(projSlot(p)))
+        else if (partConst(p).asInstanceOf[AnyRef] ne NotPart)
+          putValue(p, n, partConst(p))
+        else vectors(p).putNull(n)
+        p += 1
       }
+      n += 1
     }
     if (n > 0) StarTableSource.batchesProduced.increment()
     batch.setNumRows(n)
@@ -921,6 +829,14 @@ private[graft] object StarTableSource {
     * COMPLETE dataset; a crash mid-write leaves a directory this reader
     * refuses to treat as a dataset (and the plain-directory path then
     * rejects the header-less part files loudly). */
+  /** Parsed-sidecar memo keyed by (path, length, modTime): inference and
+    * every scan build re-read the sidecar, and a stats-bearing sidecar
+    * near the cardinality cap is tens of MB of JSON — parse it once per
+    * VERSION of the file, not once per planning step. Invalidation is the
+    * file's (len, mtime); bounded by eviction at 64 entries. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), DatasetMeta]()
+
   def readDatasetMeta(roots: Seq[String],
                       conf: org.apache.hadoop.conf.Configuration = activeHadoopConf())
       : Option[DatasetMeta] = {
@@ -928,9 +844,13 @@ private[graft] object StarTableSource {
     val root = new org.apache.hadoop.fs.Path(roots.head)
     val fs = root.getFileSystem(conf)
     val metaPath = new org.apache.hadoop.fs.Path(root, graft.io.CsvWriter.DatasetMetaFile)
-    try {
-      if (!fs.getFileStatus(root).isDirectory || !fs.exists(metaPath)) return None
+    val st = try {
+      if (!fs.getFileStatus(root).isDirectory) return None
+      fs.getFileStatus(metaPath)
     } catch { case _: java.io.FileNotFoundException => return None }
+    val key = (metaPath.toString, st.getLen, st.getModificationTime)
+    val hit = metaCache.get(key)
+    if (hit != null) return Some(hit)
     val in = fs.open(metaPath)
     val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     import graft.io.JsonValue._
@@ -961,11 +881,14 @@ private[graft] object StarTableSource {
         }
         case _ => Nil
       }
-      Some(DatasetMeta(
+      val meta = DatasetMeta(
         o.fields("name").asInstanceOf[JsonString].value,
         strs("destinations").toSet,
         strs("columns"), strs("units"),
-        strs("partitionBy"), strs("partitionUnits"), sep, sliceStats))
+        strs("partitionBy"), strs("partitionUnits"), sep, sliceStats)
+      if (metaCache.size > 64) metaCache.clear()
+      metaCache.put(key, meta)
+      Some(meta)
     } catch {
       case e: Exception =>
         // a corrupt sidecar must fail LOUDLY with the file named — falling

@@ -121,6 +121,56 @@ class FaultDrillSpec extends AnyFunSuite {
       "restored stats did not skip a contradicted scan")
   }
 
+  test("slice stats cover READER-PARSED values, not raw ones: a display " +
+    "format that rounds cells cannot cause stat-based skips of matching " +
+    "rows") {
+    import org.apache.spark.sql.functions.col
+    // raw max 8.6, but "%.0f" writes "9" → the reader parses 9.0; a stats
+    // bound of 8.6 would wrongly skip the slice for x >= 8.8
+    val df = Seq(("a", 8.6), ("b", 1.2)).toDF("grp", "x")
+    val t = graft.model.StarTable.fromDataFrame(df, "fmt",
+      units = Map("grp" -> "text"))
+      .withFormat("x", graft.model.ColumnFormat(0))
+    val out = Files.createTempDirectory("graft_drill_fmt").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"))
+    val back = spark.read.format("startable").load(out)
+    assert(back.filter(col("x") >= 8.8).select("x")
+      .collect().map(_.getDouble(0)).toSeq == Seq(9.0),
+      "display-format rounding broke stat bounds (silent row loss)")
+  }
+
+  test("datetime slice stats honor the SESSION timezone rendering: a " +
+    "non-UTC session cannot shift bounds against reader-parsed cells") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampType
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // JVM zone is UTC; a -5h session zone makes typed driver-side
+      // rendering diverge from the cells' date_format rendering
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = Seq(("a", "2020-08-04 10:00:00"), ("b", "2020-08-04 01:00:00"))
+        .toDF("grp", "ts")
+        .select(col("grp"), col("ts").cast(TimestampType).as("ts"))
+      val t = graft.model.StarTable.fromDataFrame(df, "tz",
+        units = Map("grp" -> "text", "ts" -> "datetime"))
+      val out = Files.createTempDirectory("graft_drill_tz").toString
+      graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"))
+      val back = spark.read.format("startable").load(out)
+      // every row the plain read returns must also survive each ts filter
+      val all = back.select("ts").collect().map(_.getTimestamp(0)).sorted
+      assert(all.length == 2)
+      val hits = back.filter(col("ts") >= all(1)).count()
+      assert(hits == 1,
+        s"session-TZ stats shifted datetime bounds (got $hits rows)")
+      assert(back.filter(col("ts") >= all(0)).count() == 2)
+      // the <= direction is where a +4h-shifted stats MIN would skip the
+      // slice holding the matching row
+      val lo = back.filter(col("ts") <= all(0)).count()
+      assert(lo == 1,
+        s"session-TZ stats min skipped a matching slice (got $lo rows)")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("backfill and streaming refuse a separator drift against the " +
     "existing dataset") {
     val (out, _) = mkDataset()

@@ -196,6 +196,21 @@ class XlsxForeignSpec extends AnyFunSuite {
     assert(truth.unique("places_to_go").equalsTable(back.unique("places_to_go")))
   }
 
+  test("elapsed-duration formats ([h]:mm:ss) stay numeric; date codes " +
+    "with quoted literals and colors classify correctly") {
+    import graft.io.Xlsx
+    assert(!Xlsx.isDateFormatCode("[h]:mm:ss"))
+    assert(!Xlsx.isDateFormatCode("[mm]:ss"))
+    assert(!Xlsx.isDateFormatCode("[ss].00"))
+    assert(Xlsx.isDateFormatCode("yyyy-mm-dd"))
+    assert(Xlsx.isDateFormatCode("[RED]yyyy-mm-dd"))
+    assert(Xlsx.isDateFormatCode("hh:mm"))
+    assert(!Xlsx.isDateFormatCode("0.00"))
+    assert(!Xlsx.isDateFormatCode("#,##0"))
+    assert(!Xlsx.isDateFormatCode("\"yd\"0.0")) // quoted literals ignored
+    assert(Xlsx.isDateFormatCode("d-mmm-yy"))
+  }
+
   test("sheet-name pattern filters foreign multi-sheet workbooks " +
     "(multipage shape)") {
     val p = Files.createTempDirectory("graft_foreign").resolve("multi.xlsx")
