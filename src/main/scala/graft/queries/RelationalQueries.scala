@@ -567,6 +567,32 @@ object RelationalQueries {
         .orderBy(col("l_linestatus"))
     }),
 
+    // The sidecar slice statistics THEMSELVES under the gate: read the
+    // per-slice rows/min/max/null-count entries writePartitionedDataset
+    // recorded (the data-skipping metadata) and hash them against DuckDB
+    // recomputing the same statistics from the ORIGINAL parquet. A bound
+    // bent anywhere — rendered vs parsed divergence, NaN/null accounting,
+    // partition-key mismatch — breaks the hash; this is the end-to-end
+    // proof that stat-based skipping judges exactly the reader's values.
+    "q_dataset_stats" -> ((s, dir) => {
+      val ds = partitionedDatasetFor(s, dir)
+      val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(ds))
+        .getOrElse(throw new IllegalStateException(
+          s"q_dataset_stats: no dataset sidecar at $ds"))
+      require(meta.sliceStats.nonEmpty,
+        s"q_dataset_stats: sidecar at $ds carries no slice statistics")
+      val rows = meta.sliceStats.map { st =>
+        val price = st.stats("l_extendedprice")
+        val status = st.stats("l_linestatus")
+        (st.partition.head, st.rows,
+          price.min.toDouble, price.max.toDouble, price.nulls,
+          status.min, status.max)
+      }
+      import s.implicits._
+      rows.toDF("l_returnflag", "n", "min_price", "max_price",
+        "null_price", "min_status", "max_status")
+    }),
+
     // --- Unit-preserving parquet persistence under the gate: lineitem
     // quantities are written ONCE as StarTable parquet with unit "km"
     // (units in the parquet field metadata, table metadata in the sidecar
@@ -1072,6 +1098,17 @@ object RelationalQueries {
         |WHERE l_returnflag = 'R'
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+
+    // the sidecar's data-skipping statistics must equal DuckDB recomputing
+    // them from the original parquet (render→reparse is value-lossless)
+    "q_dataset_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_price,
+        |  min(l_linestatus) AS min_status, max(l_linestatus) AS max_status
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // km→m is ×1000 on the engine side only if the unit survived the
     // parquet schema metadata; 'lineitem_units' only if the sidecar did.
