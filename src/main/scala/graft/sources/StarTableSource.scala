@@ -98,12 +98,20 @@ private[sources] class StarTableTable(schema: StructType, props: Map[String, Str
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StarTableScanBuilder(schema, options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // catalog-registered tables (CREATE TABLE ... USING startable) deliver
+    // path/sep/table through the TABLE properties, not the per-scan
+    // options — merge them (scan options win) so the SQL DDL surface scans
+    // exactly like the reader API
+    val merged = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => merged.put(k, v) }
+    merged.putAll(options.asCaseSensitiveMap())
+    new StarTableScanBuilder(schema, new CaseInsensitiveStringMap(merged))
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new StarTableWriteBuilder(info)
+    new StarTableWriteBuilder(info, props)
 }
 
 private[sources] class StarTableScanBuilder(fullSchema: StructType,
@@ -1400,7 +1408,8 @@ private[graft] object StarTableSource {
   * round-trips through the reader and the driver-side writer's goldens.
   */
 private[sources] class StarTableWriteBuilder(
-    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    props: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -1408,14 +1417,17 @@ private[sources] class StarTableWriteBuilder(
     doTruncate = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write = {
-    val opts = info.options
-    val path = Option(opts.get("path")).getOrElse(
+    // catalog tables deliver path/table/sep via TABLE properties; write
+    // options win (same merge as the read side)
+    def opt(k: String): Option[String] =
+      Option(info.options.get(k)).orElse(props.get(k))
+    val path = opt("path").getOrElse(
       throw new IllegalArgumentException("startable write: no path given"))
     new StarTableWrite(info.schema(), path,
-      Option(opts.get("table")).getOrElse("dataframe"),
-      Option(opts.get("sep")).getOrElse(";"),
-      Option(opts.get("naRep")).getOrElse("-"),
-      Option(opts.get("destinations")).getOrElse("all"),
+      opt("table").getOrElse("dataframe"),
+      opt("sep").getOrElse(";"),
+      opt("naRep").getOrElse("-"),
+      opt("destinations").getOrElse("all"),
       doTruncate)
   }
 }

@@ -907,6 +907,44 @@ class StarTableSourceSpec extends AnyFunSuite {
           && !p.getFileName.toString.startsWith(".")).count() == 1)
   }
 
+  test("SQL DDL surface: CREATE TABLE ... USING startable registers the " +
+    "source in the catalog; queries push filters and prune like the " +
+    "reader API") {
+    val dir = writeDir()
+    spark.sql("DROP TABLE IF EXISTS st_places")
+    spark.sql(
+      s"""CREATE TABLE st_places USING startable
+         |OPTIONS (path '$dir', table 'places')""".stripMargin)
+    try {
+      val df = spark.sql(
+        "SELECT place FROM st_places WHERE distance > 0.5")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("GreaterThan(distance,0.5)"),
+        "SQL-surface predicate did not push into the scan")
+      assert(df.collect().map(_.getString(0)).toSet == Set("work", "beach"))
+      // unit metadata survives the catalog round trip
+      assert(spark.table("st_places").schema("distance")
+        .metadata.getString("startable.unit") == "km")
+    } finally spark.sql("DROP TABLE st_places")
+    // partitioned dataset through SQL, with slice pruning
+    import spark.implicits._
+    val pds = Files.createTempDirectory("graft_sql_pds").toString
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(
+        Seq(("a", 1.0), ("b", 2.0)).toDF("grp", "x"), "sqlds",
+        units = Map("grp" -> "text")),
+      pds, Seq("grp"))
+    spark.sql("DROP TABLE IF EXISTS st_ds")
+    spark.sql(s"CREATE TABLE st_ds USING startable OPTIONS (path '$pds')")
+    try {
+      graft.sources.StarTableSource.resetPushdownCounters()
+      assert(spark.sql("SELECT x FROM st_ds WHERE grp = 'a'")
+        .collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+      assert(graft.sources.StarTableSource.filesPruned.sum() > 0,
+        "SQL-surface partition filter pruned nothing")
+    } finally spark.sql("DROP TABLE st_ds")
+  }
+
   test("scan reports file-size statistics, so a small dimension " +
     "auto-broadcasts in a join (no explicit broadcast hint)") {
     val src = writeDir()
