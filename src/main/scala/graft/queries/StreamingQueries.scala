@@ -376,6 +376,26 @@ object StreamingQueries {
     // aggregate over the ORIGINAL parquet: a row lost or duplicated by the
     // micro-batching, a value bent by the render→path→parse round trip, or
     // a slice mis-pruned all break the hash.
+    // The streaming READ leg of the dataset lifecycle under the gate: the
+    // SAME stream-ingested dataset is consumed back through
+    // spark.readStream.format("startable") — incremental file discovery in
+    // ≥ 2 admission-controlled micro-batches (maxFilesPerTrigger) feeding
+    // a streaming aggregation (order-independent decimal sums). The oracle
+    // recomputes the aggregate from the ORIGINAL parquet: parquet →
+    // stream-write → slices → stream-read → aggregate must be lossless
+    // end to end.
+    "q_stream_dataset_read" -> ((s, dir) => {
+      val ds = streamedStartableDatasetFor(s, dir)
+      EventStreams.runToBatch(s,
+        s.readStream.format("startable")
+          .option("maxFilesPerTrigger", "4").load(ds)
+          .groupBy(col("event_type"))
+          .agg(sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_value"),
+            count(lit(1)).as("n"),
+            max(col("ts")).as("last_ts")))
+    }),
+
     "q_stream_startable" -> ((s, dir) => {
       val ds = streamedStartableDatasetFor(s, dir)
       s.read.format("startable").load(ds)
@@ -527,6 +547,13 @@ object StreamingQueries {
     // batch-parity over the streaming-ingested StarTable dataset: the
     // original parquet is the truth the micro-batched render→slice→parse
     // round trip must reproduce exactly
+    // parquet → stream-write → slices → stream-READ → aggregate, against
+    // DuckDB recomputing from the original parquet
+    "q_stream_dataset_read" ->
+      s"""SELECT event_type, ${sqlDsum("value")} AS sum_value,
+         |  count(*) AS n, CAST(max(ts) AS TIMESTAMP) AS last_ts
+         |FROM events GROUP BY 1""".stripMargin,
+
     "q_stream_startable" ->
       s"""SELECT CAST(user_id AS BIGINT) % 7 AS bucket,
          |  ${sqlDsum("value")} AS sum_value, count(*) AS n,

@@ -97,7 +97,7 @@ private[sources] class StarTableTable(schema: StructType, props: Map[String, Str
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // catalog-registered tables (CREATE TABLE ... USING startable) deliver
     // path/sep/table through the TABLE properties, not the per-scan
@@ -175,7 +175,9 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
       maxSplitBytes,
       fullSchema, required, pushed, limit, dataset, confS,
       columnarEnabled =
-        Option(options.get("columnar")).forall(_.toBoolean))
+        Option(options.get("columnar")).forall(_.toBoolean),
+      maxFilesPerTrigger =
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
@@ -189,10 +191,25 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
                                      confS: org.apache.spark.util.SerializableConfiguration =
                                        new org.apache.spark.util.SerializableConfiguration(
                                          new org.apache.hadoop.conf.Configuration()),
-                                     columnarEnabled: Boolean = true)
+                                     columnarEnabled: Boolean = true,
+                                     maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming read (micro-batch file discovery) — partitioned datasets
+    * only: the sidecar supplies the schema upfront and the streaming sink
+    * commits immutable files, the two properties incremental discovery
+    * needs. Plain files/directories refuse loudly. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val m = dataset.getOrElse(throw new UnsupportedOperationException(
+      "startable source: streaming reads require a partitioned dataset " +
+        "directory (the _startable_dataset.json layout); plain StarTable " +
+        "files have no incremental-discovery contract"))
+    new StarTableMicroBatchStream(files, m, checkpointLocation, sep, failFast,
+      fullSchema, required, pushed, maxSplitBytes, maxFilesPerTrigger, confS)
+  }
 
   /** Partitioned-dataset file inventory: (path, length, raw partition
     * values aligned with meta.partCols), AFTER partition pruning — pushed

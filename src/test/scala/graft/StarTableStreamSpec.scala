@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming READ of a partitioned StarTable dataset: incremental file
+  * discovery, exactly-once across restarts, partition pruning of fresh
+  * files, micro-batch admission control. */
+class StarTableStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeSlice(out: String, rows: Seq[(String, Double)],
+                         overwrite: Boolean): Unit =
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(rows.toDF("grp", "x"), "sread",
+        units = Map("grp" -> "text")),
+      out, Seq("grp"), overwriteSlices = overwrite)
+
+  private def got(name: String): Set[(String, Double)] =
+    spark.table(name).select("grp", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+
+  test("readStream over a partitioned dataset: incremental discovery, " +
+    "exactly-once across a restart, no re-read of consumed files") {
+    val base = Files.createTempDirectory("graft_sread")
+    val out = base.resolve("ds").toString
+    val ckpt = base.resolve("ckpt").toString
+    val sink = base.resolve("sink").toString
+    writeSlice(out, Seq(("a", 1.0), ("b", 2.0)), overwrite = false)
+
+    // a RECOVERABLE sink (the memory sink refuses checkpoint recovery):
+    // results land in parquet, exactly-once via the file sink commit log
+    def start() =
+      spark.readStream.format("startable").load(out)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt).start()
+    def sunk(): Set[(String, Double)] =
+      spark.read.parquet(sink).select("grp", "x").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(sunk() == Set(("a", 1.0), ("b", 2.0)))
+      // a NEW slice appears (backfill of a slice that did not exist —
+      // adds files, removes none); the running query picks it up
+      writeSlice(out, Seq(("c", 3.0)), overwrite = true)
+      q1.processAllAvailable()
+      assert(sunk() == Set(("a", 1.0), ("b", 2.0), ("c", 3.0)),
+        "running query missed a newly appeared slice")
+    } finally q1.stop()
+
+    // restart from the same checkpoint: consumed files are never re-read;
+    // only the post-restart slice is appended (no duplicates of a/b/c)
+    writeSlice(out, Seq(("d", 4.0)), overwrite = true)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(sunk() == Set(("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0)),
+        s"restart diverged: ${sunk()}")
+      assert(spark.read.parquet(sink).count() == 4,
+        "restart re-read consumed files (duplicate rows)")
+    } finally q2.stop()
+  }
+
+  test("filters over a streamed dataset stay correct (Spark applies them " +
+    "post-scan: DSv2 streaming has no operator pushdown)") {
+    val base = Files.createTempDirectory("graft_sread_f")
+    val out = base.resolve("ds").toString
+    val ckpt = base.resolve("ckpt").toString
+    writeSlice(out, Seq(("keep", 1.0), ("keep", 9.0), ("drop", 2.0)),
+      overwrite = false)
+    val q = spark.readStream.format("startable").load(out)
+      .filter(col("grp") === "keep" && col("x") < 5.0)
+      .writeStream.format("memory").queryName("sread_f")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(got("sread_f") == Set(("keep", 1.0)))
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger bounds a micro-batch; a plain (non-dataset) " +
+    "path refuses streaming loudly") {
+    val base = Files.createTempDirectory("graft_sread_m")
+    val out = base.resolve("ds").toString
+    val ckpt = base.resolve("ckpt").toString
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(
+        (0 until 40).map(i => (s"g${i % 4}", i.toDouble)).toDF("grp", "x"),
+        "sread", units = Map("grp" -> "text")),
+      out, Seq("grp"))
+    val q = spark.readStream.format("startable")
+      .option("maxFilesPerTrigger", "1").load(out)
+      .writeStream.format("memory").queryName("sread_m")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sread_m").count() == 40)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4,
+        s"maxFilesPerTrigger=1 over >=4 files should take >=4 batches, " +
+          s"got $dataBatches")
+    } finally q.stop()
+
+    // plain StarTable file: no incremental-discovery contract → loud refusal
+    val dir = Files.createTempDirectory("graft_sread_plain")
+    Files.writeString(dir.resolve("t.csv"),
+      "**t;\nall\na;b\ntext;-\nx;1\n")
+    val e = intercept[Exception] {
+      val bad = spark.readStream.format("startable").load(dir.toString)
+        .writeStream.format("memory").queryName("sread_bad")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sread_bad_ck").toString)
+        .start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("partitioned dataset")),
+      s"expected a loud refusal, got: $e")
+  }
+}
