@@ -366,24 +366,14 @@ object StreamingQueries {
         Multimodal.synthesizeWav(docs, "doc_id"), "doc_id", "payload")
     }),
 
-    // The STREAMING leg of the StarTable dataset lifecycle under the gate:
-    // events stream through streamPartitionedDataset in ≥ 2 REAL
-    // micro-batches (4 staged source files, maxFilesPerTrigger = 1; the
-    // builder REQUIRES ≥ 2 data-carrying batches), land exactly-once in
-    // event_type=<v>/ slices via the file sink's commit log, and are read
-    // back through format("startable") with a partition-PRUNING predicate
-    // (only the purchase slice's files are opened). The oracle is the same
-    // aggregate over the ORIGINAL parquet: a row lost or duplicated by the
-    // micro-batching, a value bent by the render→path→parse round trip, or
-    // a slice mis-pruned all break the hash.
     // The streaming READ leg of the dataset lifecycle under the gate: the
-    // SAME stream-ingested dataset is consumed back through
-    // spark.readStream.format("startable") — incremental file discovery in
-    // ≥ 2 admission-controlled micro-batches (maxFilesPerTrigger) feeding
-    // a streaming aggregation (order-independent decimal sums). The oracle
-    // recomputes the aggregate from the ORIGINAL parquet: parquet →
-    // stream-write → slices → stream-read → aggregate must be lossless
-    // end to end.
+    // stream-ingested dataset (see q_stream_startable) is consumed back
+    // through spark.readStream.format("startable") — incremental file
+    // discovery in admission-controlled micro-batches (maxFilesPerTrigger)
+    // feeding a streaming aggregation (order-independent decimal sums).
+    // The oracle recomputes the aggregate from the ORIGINAL parquet:
+    // parquet → stream-write → slices → stream-read → aggregate must be
+    // lossless end to end.
     "q_stream_dataset_read" -> ((s, dir) => {
       val ds = streamedStartableDatasetFor(s, dir)
       EventStreams.runToBatch(s,
@@ -396,6 +386,16 @@ object StreamingQueries {
             max(col("ts")).as("last_ts")))
     }),
 
+    // The streaming WRITE leg of the dataset lifecycle under the gate:
+    // events stream through streamPartitionedDataset in ≥ 2 REAL
+    // micro-batches (4 staged source files, maxFilesPerTrigger = 1; the
+    // builder REQUIRES ≥ 2 data-carrying batches), land exactly-once in
+    // event_type=<v>/ slices via the file sink's commit log, and are read
+    // back through format("startable") with a partition-PRUNING predicate
+    // (only the purchase slice's files are opened). The oracle is the same
+    // aggregate over the ORIGINAL parquet: a row lost or duplicated by the
+    // micro-batching, a value bent by the render→path→parse round trip, or
+    // a slice mis-pruned all break the hash.
     "q_stream_startable" -> ((s, dir) => {
       val ds = streamedStartableDatasetFor(s, dir)
       s.read.format("startable").load(ds)

@@ -102,10 +102,15 @@ private[sources] class StarTableTable(schema: StructType, props: Map[String, Str
     // catalog-registered tables (CREATE TABLE ... USING startable) deliver
     // path/sep/table through the TABLE properties, not the per-scan
     // options — merge them (scan options win) so the SQL DDL surface scans
-    // exactly like the reader API
+    // exactly like the reader API. Keys normalize to lower case on BOTH
+    // sides: the catalog preserves the user's option-key case, and a raw
+    // mixed-case merge would leave two survivors for one logical key.
     val merged = new java.util.HashMap[String, String]()
-    props.foreach { case (k, v) => merged.put(k, v) }
-    merged.putAll(options.asCaseSensitiveMap())
+    props.foreach { case (k, v) =>
+      merged.put(k.toLowerCase(java.util.Locale.ROOT), v)
+    }
+    options.entrySet().forEach(e =>
+      merged.put(e.getKey.toLowerCase(java.util.Locale.ROOT), e.getValue))
     new StarTableScanBuilder(schema, new CaseInsensitiveStringMap(merged))
   }
   override def newWriteBuilder(
@@ -177,7 +182,13 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
       columnarEnabled =
         Option(options.get("columnar")).forall(_.toBoolean),
       maxFilesPerTrigger =
-        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+        Option(options.get("maxFilesPerTrigger")).map { s =>
+          val n = s.toInt
+          require(n > 0,
+            s"startable source: maxFilesPerTrigger must be positive, got $n" +
+              " (0 would stall the stream forever)")
+          n
+        })
   }
 }
 
@@ -1435,9 +1446,11 @@ private[sources] class StarTableWriteBuilder(
   }
   override def build(): org.apache.spark.sql.connector.write.Write = {
     // catalog tables deliver path/table/sep via TABLE properties; write
-    // options win (same merge as the read side)
+    // options win (same merge as the read side, case-insensitive on both)
+    val propsCI: Map[String, String] =
+      props.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     def opt(k: String): Option[String] =
-      Option(info.options.get(k)).orElse(props.get(k))
+      Option(info.options.get(k)).orElse(propsCI.get(k))
     val path = opt("path").getOrElse(
       throw new IllegalArgumentException("startable write: no path given"))
     new StarTableWrite(info.schema(), path,

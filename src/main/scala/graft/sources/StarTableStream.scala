@@ -1,30 +1,38 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
 /** Streaming READ of a hive-partitioned StarTable dataset — the source
   * leg completing [[graft.io.CsvWriter.streamPartitionedDataset]]'s sink
   * leg: `spark.readStream.format("startable").load(dir)` discovers files
-  * as they appear (the streaming sink commits part files atomically) and
-  * emits each exactly once across restarts.
+  * as they appear and emits each exactly once across restarts.
+  *
+  * Discovery: when the directory carries a `_spark_metadata` sink
+  * manifest (it was written by Spark's streaming file sink), ONLY
+  * manifest-committed files are discovered — the sink writes part files
+  * IN PLACE at their final path, so a raw listing could freeze a
+  * mid-write file at partial length (permanent silent row loss) or admit
+  * an orphan from a failed task (duplicates). This is exactly the
+  * contract of Spark's own FileStreamSource over sink output; files a
+  * BATCH writer adds beside the manifest are invisible to streaming
+  * readers, as with the built-in source. Without a manifest (the
+  * batch-written layout, whose files become visible by atomic rename),
+  * discovery is the recursive listing.
   *
   * Progress is a monotone batch counter over a DURABLE per-batch file log
   * under the query checkpoint (`<ckpt>/graft-files/<batchId>`, staged and
-  * renamed): `latestOffset` lists the dataset, diffs against every file
-  * already logged, and logs the new ones as the next batch — the same
-  * seen-files discipline as Spark's built-in file stream source, so a
-  * restart replays exactly the logged batches and never re-reads a file.
-  * Pushed partition filters prune fresh files BEFORE they are logged
-  * (never opened, never owed); row-level pushed filters evaluate in the
-  * split readers as in batch.
-  *
-  * Caveats (documented contract): files must be immutable once visible —
-  * compaction REWRITES files and must not run while a continuous reader
-  * is attached (its outputs would be discovered as new files = duplicate
-  * rows); `maxFilesPerTrigger` caps a micro-batch's file count. */
+  * renamed): each trigger diffs discovery against every file already
+  * logged and logs the new ones as the next batch, so a restart replays
+  * exactly the logged batches and never re-reads a file. A missing or
+  * unreadable log entry fails LOUDLY (re-emitting would be silent
+  * duplication). Spark applies query filters post-scan (DSv2 streaming
+  * has no operator pushdown). `maxFilesPerTrigger` caps a micro-batch;
+  * `Trigger.AvailableNow` snapshots the available set at start and drains
+  * it in capped batches. Compaction must not run while a continuous
+  * reader is attached (rewritten files would rediscover as new rows). */
 private[sources] class StarTableMicroBatchStream(
     roots: Seq[String], meta: StarTableSource.DatasetMeta,
     checkpointLocation: String,
@@ -33,7 +41,8 @@ private[sources] class StarTableMicroBatchStream(
     pushed: Array[Filter], maxSplitBytes: Long,
     maxFilesPerTrigger: Option[Int],
     confS: org.apache.spark.util.SerializableConfiguration)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private case class BatchOffset(batch: Long) extends Offset {
     override def json(): String = batch.toString
@@ -67,8 +76,18 @@ private[sources] class StarTableMicroBatchStream(
   private def readLog(batch: Long): Seq[Entry] = {
     import graft.io.JsonValue._
     val p = new org.apache.hadoop.fs.Path(logDir, batch.toString)
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val txt = try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } catch {
+      case e: java.io.IOException =>
+        // a gap in the log means the checkpoint is damaged: re-emitting
+        // the files it covered would be SILENT duplication — refuse
+        throw new IllegalStateException(
+          s"startable stream: missing/unreadable file-log entry $p — " +
+            "the checkpoint is damaged; restore it or start a fresh " +
+            "checkpoint", e)
+    }
     graft.io.JsonValue.parse(txt).asInstanceOf[JsonArray].values.map { v =>
       val o = v.asInstanceOf[JsonObject]
       (o.fields("path").asInstanceOf[JsonString].value,
@@ -80,57 +99,74 @@ private[sources] class StarTableMicroBatchStream(
     }
   }
 
-  /** Recover (lastBatch, seen paths) from an existing log — restart path. */
+  /** Recover (lastBatch, seen paths) from an existing log — restart path.
+    * Every entry in [1, lastBatch] must be readable (gaps fail loudly in
+    * [[readLog]]); only a wholly absent log dir means a fresh query. */
   private def recover(): (Long, scala.collection.mutable.Set[String]) = {
     val seen = scala.collection.mutable.Set.empty[String]
     var last = 0L
-    try {
-      if (fs.exists(logDir)) {
-        val ids = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-          .filter(n => !n.startsWith(".") && n.forall(_.isDigit)).map(_.toLong)
-        ids.sorted.foreach { b =>
-          readLog(b).foreach(e => seen += e._1)
-          last = math.max(last, b)
-        }
-      }
-    } catch { case _: java.io.FileNotFoundException => () }
+    val ids: Seq[Long] =
+      try fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+        .filter(n => !n.startsWith(".") && n.forall(_.isDigit)).map(_.toLong)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    if (ids.nonEmpty) {
+      last = ids.max
+      (1L to last).foreach(b => readLog(b).foreach(e => seen += e._1))
+    }
     (last, seen)
   }
 
   private var (lastBatch, seenPaths) = recover()
 
-  // the pushed filters whose references are ALL partition columns prune
-  // fresh files before they are ever logged
-  private val partFilters = pushed.filter(_.references.forall(meta.partCols.contains))
-  private val partParsers = meta.partCols.zip(meta.partUnits).map { case (_, u) =>
-    graft.parse.ColumnParsers.cellParser(u, new graft.parse.ParseFixer())
-  }
-  private def slicePasses(raw: Seq[String]): Boolean =
-    partFilters.isEmpty || {
-      val vals: Map[String, Any] = meta.partCols.lazyZip(raw).lazyZip(partParsers)
-        .map((c, r, p) => c -> (if (r == null) null else p(r))).toMap
-      partFilters.forall(f =>
-        StarTableSource.evalFilter(f, vals.getOrElse(_, null)))
+  // ----------------------------------------------------------- discovery
+  /** Current file inventory: manifest-committed files when the directory
+    * is streaming-sink output, else the recursive listing. */
+  private def discover(): Seq[Entry] =
+    StarTableStreamUtil.sinkManifestFiles(roots.head, confS.value) match {
+      case Some(files) =>
+        files.map { case (p, len) =>
+          (p, len, StarTableStreamUtil.partitionValuesFromPath(p, meta.partCols))
+        }
+      case None =>
+        StarTableSource.listPartitionedFiles(roots, meta.partCols, confS.value)
     }
+
+  /** Files discovered but not yet logged. */
+  private def freshFiles(): Seq[Entry] =
+    discover().filter(f => !seenPaths.contains(f._1))
+
+  // Trigger.AvailableNow: the available set is SNAPSHOTTED at run start
+  // and drained in capped batches; files appearing later wait for the
+  // next run (the process-everything-then-stop contract).
+  private var availableNowQueue: scala.collection.mutable.Queue[Entry] = null
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowQueue = scala.collection.mutable.Queue(freshFiles(): _*)
+  }
 
   // --------------------------------------------------------- offset calls
   override def initialOffset(): Offset = BatchOffset(0L)
 
-  override def latestOffset(): Offset = {
-    val current = StarTableSource.listPartitionedFiles(roots, meta.partCols,
-      confS.value)
-    val fresh0 = current.filter(f => !seenPaths.contains(f._1))
-    val pruned = fresh0.filter(f => slicePasses(f._3))
-    StarTableSource.filesPruned.add(fresh0.size - pruned.size)
-    // pruned-away files are still SEEN (logged as consumed with no rows?
-    // no — they are simply never logged; they can never match later, the
-    // predicate is fixed for the query's lifetime, so remember them
-    // in-memory to keep the diff cheap)
-    fresh0.filterNot(f => slicePasses(f._3)).foreach(f => seenPaths += f._1)
-    val fresh = maxFilesPerTrigger match {
-      case Some(n) => pruned.take(n)
-      case None    => pruned
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
+
+  override def reportLatestOffset(): Offset = BatchOffset(lastBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap: Int = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        m.maxFiles()
+      case _ => Int.MaxValue
     }
+    val fresh: Seq[Entry] =
+      if (availableNowQueue != null) {
+        val take = math.min(cap, availableNowQueue.size)
+        (0 until take).map(_ => availableNowQueue.dequeue())
+      } else freshFiles().take(cap)
     if (fresh.nonEmpty) {
       lastBatch += 1
       writeLog(lastBatch, fresh)
@@ -162,4 +198,79 @@ private[sources] class StarTableMicroBatchStream(
 
   override def commit(end: Offset): Unit = () // the log is the durable state
   override def stop(): Unit = ()
+}
+
+private[sources] object StarTableStreamUtil {
+
+  /** Committed (path, size) entries from a streaming file sink's
+    * `_spark_metadata` manifest, or None when the directory carries no
+    * manifest. Reads the latest `.compact` file plus every later delta —
+    * the FileStreamSinkLog layout: a `v1` header line, then one JSON
+    * `SinkFileStatus` per line; only `action = "add"` entries count. */
+  def sinkManifestFiles(root: String,
+                        conf: org.apache.hadoop.conf.Configuration)
+      : Option[Seq[(String, Long)]] = {
+    val dir = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+    val fs = dir.getFileSystem(conf)
+    val entries = try {
+      fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(n => !n.startsWith(".") && !n.endsWith(".crc"))
+    } catch { case _: java.io.FileNotFoundException => return None }
+    if (entries.isEmpty) return Some(Nil)
+    def batchOf(n: String): Long = n.stripSuffix(".compact").toLong
+    val compacts = entries.filter(_.endsWith(".compact"))
+    val base: Option[String] =
+      if (compacts.isEmpty) None else Some(compacts.maxBy(batchOf))
+    val baseBatch = base.map(batchOf).getOrElse(-1L)
+    val toRead = base.toSeq ++
+      entries.filterNot(_.endsWith(".compact"))
+        .filter(n => n.forall(_.isDigit) && n.toLong > baseBatch)
+        .sortBy(_.toLong)
+    import graft.io.JsonValue._
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    toRead.foreach { name =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, name))
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      txt.split('\n').iterator.map(_.trim).filter(_.startsWith("{")).foreach { line =>
+        val o = graft.io.JsonValue.parse(line).asInstanceOf[JsonObject]
+        val p = o.fields("path").asInstanceOf[JsonString].value
+        val size = o.fields.get("size")
+          .collect { case JsonNumber(v) => v.toLong }.getOrElse(0L)
+        val action = o.fields.get("action")
+          .collect { case JsonString(s) => s }.getOrElse("add")
+        if (action == "add") files(p) = size else files.remove(p)
+      }
+    }
+    // manifest paths are absolute URIs (file:/...); normalize to plain
+    // paths consistent with the listing convention
+    Some(files.toSeq.map { case (p, s) =>
+      (new org.apache.hadoop.fs.Path(new java.net.URI(p)).toString, s)
+    })
+  }
+
+  /** Raw partition values for `partCols`, parsed from a file path's
+    * `col=value` segments below `root` (unescaped; default-partition
+    * marker → null). Missing columns fail loudly — a silently null-padded
+    * slice would corrupt joins (same contract as the listing). */
+  def partitionValuesFromPath(path: String,
+                              partCols: Seq[String]): Seq[String] = {
+    val rel = new org.apache.hadoop.fs.Path(path)
+    var spec = Map.empty[String, String]
+    var p = rel.getParent
+    // partition segments are exactly the `col=value` dirs under the root;
+    // the climb stops at the first '='-less ancestor (the root itself)
+    while (p != null && p.getName.indexOf('=') > 0) {
+      val n = p.getName
+      val eq = n.indexOf('=')
+      val k = StarTableSource.unescapePathName(n.substring(0, eq))
+      val v0 = StarTableSource.unescapePathName(n.substring(eq + 1))
+      spec += k -> (if (v0 == "__HIVE_DEFAULT_PARTITION__") null else v0)
+      p = p.getParent
+    }
+    val missing = partCols.filterNot(spec.contains)
+    require(missing.isEmpty,
+      s"startable stream: file $path lacks partition value(s) for " +
+        s"${missing.mkString(", ")} in its path")
+    partCols.map(spec(_))
+  }
 }

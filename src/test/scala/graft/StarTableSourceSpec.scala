@@ -943,6 +943,19 @@ class StarTableSourceSpec extends AnyFunSuite {
       assert(graft.sources.StarTableSource.filesPruned.sum() > 0,
         "SQL-surface partition filter pruned nothing")
     } finally spark.sql("DROP TABLE st_ds")
+    // catalog WRITE path, with a case-differing option key (the catalog
+    // preserves key case; lookups must not)
+    val wdir = Files.createTempDirectory("graft_sql_w").toString
+    spark.sql("DROP TABLE IF EXISTS st_w")
+    spark.sql(s"""CREATE TABLE st_w (a STRING, b DOUBLE) USING startable
+                 |OPTIONS (PATH '$wdir/t.csv', `table` 't')""".stripMargin)
+    try {
+      spark.sql("INSERT OVERWRITE st_w VALUES ('x', 1.5), ('y', 2.5)")
+      val back = spark.sql("SELECT a, b FROM st_w").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(back == Set(("x", 1.5), ("y", 2.5)),
+        s"catalog INSERT/SELECT round trip diverged: $back")
+    } finally spark.sql("DROP TABLE st_w")
   }
 
   test("scan reports file-size statistics, so a small dimension " +

@@ -84,6 +84,43 @@ class StarTableStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sink-manifest discovery: streaming over streamPartitionedDataset " +
+    "output reads ONLY manifest-committed files (an orphan from a failed " +
+    "task is never emitted)") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft_sread_manifest")
+    val srcDir = base.resolve("src"); Files.createDirectory(srcDir)
+    val out = base.resolve("ds").toString
+    val sinkCkpt = base.resolve("sink_ckpt").toString
+    Seq(("en", 1.0), ("de", 2.0)).toDF("lang", "score").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.resolve("b1").toString)
+    val q = graft.io.CsvWriter.streamPartitionedDataset(
+      graft.model.StarTable.fromDataFrame(
+        spark.readStream.schema(StructType(Seq(
+          StructField("lang", StringType), StructField("score", DoubleType))))
+          .parquet(srcDir.toString + "/*"),
+        "mdocs", units = Map("lang" -> "text")),
+      out, Seq("lang"), sinkCkpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(Files.exists(java.nio.file.Paths.get(out, "_spark_metadata")))
+    // an orphan part file a failed/zombie sink task left behind: present
+    // in the listing, absent from the manifest
+    val orphanDir = java.nio.file.Paths.get(out, "lang=zz")
+    Files.createDirectories(orphanDir)
+    Files.writeString(orphanDir.resolve("part-99999-orphan.txt"), "666.0\n")
+    val ckpt = base.resolve("read_ckpt").toString
+    val r = spark.readStream.format("startable").load(out)
+      .writeStream.format("memory").queryName("sread_manifest")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      r.processAllAvailable()
+      val rows = spark.table("sread_manifest").select("lang", "score")
+        .collect().map(x => (x.getString(0), x.getDouble(1))).toSet
+      assert(rows == Set(("en", 1.0), ("de", 2.0)),
+        s"orphan/non-manifest file leaked into the stream: $rows")
+    } finally r.stop()
+  }
+
   test("maxFilesPerTrigger bounds a micro-batch; a plain (non-dataset) " +
     "path refuses streaming loudly") {
     val base = Files.createTempDirectory("graft_sread_m")
