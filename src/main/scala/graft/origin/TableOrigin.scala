@@ -31,6 +31,31 @@ trait LoadLocation {
   def localFolderPath: Option[java.nio.file.Path]
 }
 
+/** Cross-platform interactive launch of a URI through the OS's opener
+  * (reference: pdtable/table_origin.py:67-75 interactive_open_uri).
+  * The platform argv is a pure function (testable headless) and the
+  * process spawn goes through an INJECTABLE launcher: specs and headless
+  * deployments capture the command instead of executing it, while the
+  * default launcher hands the URI to the desktop environment. */
+object InteractiveOpen {
+  /** Platform opener argv: Windows `cmd /c start` (the os.startfile
+    * analog), macOS `open`, elsewhere `xdg-open`. */
+  def openCommand(uri: String,
+                  osName: String = sys.props.getOrElse("os.name", ""))
+      : Seq[String] = {
+    val os = osName.toLowerCase(java.util.Locale.ROOT)
+    if (os.contains("win")) Seq("cmd", "/c", "start", "", uri)
+    else if (os.contains("mac")) Seq("open", uri)
+    else Seq("xdg-open", uri)
+  }
+
+  /** The process launcher; replaceable for capture in specs/headless. */
+  @volatile var launcher: Seq[String] => Unit =
+    argv => { new ProcessBuilder(argv: _*).start(); () }
+
+  def openUri(uri: String): Unit = launcher(openCommand(uri))
+}
+
 /** Shared interactive-identifier defaults for file-like locations —
   * reference: pdtable/table_origin.py:150-160. */
 trait InteractiveLocation {
@@ -45,9 +70,20 @@ trait InteractiveLocation {
   }
 
   /** URI that would open the location in an interactive tool; None for
-    * non-addressable inputs (streams). Headless here — the URI is rendered,
-    * never opened (interactive_open is the documented permanent omission). */
+    * non-addressable inputs (streams). */
   def interactiveUri(sheet: Option[String], row: Option[Int]): Option[String] = None
+
+  /** Launch the location in the OS's associated tool (reference:
+    * table_origin.py:146-148 interactive_open): resolve the URI, hand it
+    * to [[InteractiveOpen]]. Non-addressable inputs refuse loudly. */
+  def interactiveOpen(sheet: Option[String] = None,
+                      row: Option[Int] = None): Unit =
+    interactiveUri(sheet, row) match {
+      case Some(uri) => InteractiveOpen.openUri(uri)
+      case None => throw new UnsupportedOperationException(
+        s"interactiveOpen: '$loadIdentifier' has no interactive URI " +
+          "(stream / in-memory input)")
+    }
 }
 
 /** A folder input location (reference: pdtable/io/load/_loaders.py:81-123). */
@@ -122,6 +158,8 @@ final case class LocationBlock(sheet: LocationSheet, row: Int) {
     sheet.file.getInteractiveIdentifier(sheet.sheetName, Some(row))
   def interactiveUri: Option[String] =
     sheet.file.interactiveUri(sheet.sheetName, Some(row))
+  def interactiveOpen(): Unit =
+    sheet.file.interactiveOpen(sheet.sheetName, Some(row))
   override def toString: String = {
     val sh = sheet.sheetName.map(s => s" sheet '$s'").getOrElse("")
     s"Row $row$sh of '${sheet.file}'"

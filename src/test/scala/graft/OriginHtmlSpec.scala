@@ -62,4 +62,36 @@ class OriginHtmlSpec extends AnyFunSuite {
     val tree = TableOrigin.branch("concat", Seq(fileLeaf("/a.csv", None, 1)))
     assert(tree.render() == "concat\n  Row 1 of '/a.csv'")
   }
+
+  test("interactiveOpen launches the OS opener with the location's URI " +
+    "(captured through the injectable launcher; per-platform argv)") {
+    // per-platform command construction is a pure function
+    assert(InteractiveOpen.openCommand("file:///x.csv", "Linux") ==
+      Seq("xdg-open", "file:///x.csv"))
+    assert(InteractiveOpen.openCommand("file:///x.csv", "Mac OS X") ==
+      Seq("open", "file:///x.csv"))
+    assert(InteractiveOpen.openCommand("file:///x.csv", "Windows 11") ==
+      Seq("cmd", "/c", "start", "", "file:///x.csv"))
+    // the block open resolves sheet+row into the Excel-style fragment and
+    // hands it to the launcher — captured, not executed
+    val captured = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val prev = InteractiveOpen.launcher
+    InteractiveOpen.launcher = argv => captured += argv
+    try {
+      val p = java.nio.file.Files.createTempFile("graft_open", ".xlsx")
+      val f = FilesystemLocationFile(p, LoadItem(p.toString, None))
+      f.makeLocationSheet(Some("Sheet2")).makeLocationBlock(7).interactiveOpen()
+      assert(captured.size == 1)
+      val expected = f.interactiveUri(Some("Sheet2"), Some(7)).get
+      assert(captured.head == InteractiveOpen.openCommand(expected),
+        s"launched ${captured.head}, expected opener for $expected")
+      assert(expected.endsWith("#'Sheet2'!A7"))
+      // a stream input has no URI → loud refusal, nothing launched
+      val e = intercept[UnsupportedOperationException] {
+        NullLocationFile("<stream>").interactiveOpen()
+      }
+      assert(e.getMessage.contains("<stream>"))
+      assert(captured.size == 1)
+    } finally InteractiveOpen.launcher = prev
+  }
 }
