@@ -486,8 +486,13 @@ object CsvWriter {
       val stripped =
         if (capped) Nil
         else m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition))
-      if (stripped.size != m.sliceStats.size)
-        writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stripped)
+      val strippedFiles =
+        if (capped) Nil
+        else m.fileStats.filterNot(s => rewrittenParts.contains(s.partition))
+      if (stripped.size != m.sliceStats.size ||
+          strippedFiles.size != m.fileStats.size)
+        writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stripped,
+          strippedFiles)
     }
     faultHook("backfill:pre-data")
     val pathCols = partitionPathCols(t, partitionBy, naRep,
@@ -526,8 +531,16 @@ object CsvWriter {
           m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition)) ++ fresh
         case _ => fresh
       }
+    // per-FILE stats (clustering output) survive for untouched slices only;
+    // a rewritten slice's files have fresh names, so stale entries would be
+    // inert anyway — stripping is hygiene, not correctness
+    val files: Seq[graft.sources.StarTableSource.FileStats] =
+      if (capped) Nil
+      else existingMeta.map(
+        _.fileStats.filterNot(s => rewrittenParts.contains(s.partition)))
+        .getOrElse(Nil)
     // sidecar LAST: readers refuse a dataset without it
-    writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats)
+    writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats, files)
   }
 
   /** Test-only fault injection for crash-consistency drills: called at
@@ -649,7 +662,7 @@ object CsvWriter {
 
   /** Render one collected stat value exactly as a data cell of its unit
     * would be (so the reader's re-parse yields the cell's value). */
-  private def renderStat(v: Any, unit: String, naRep: String): String = v match {
+  private[graft] def renderStat(v: Any, unit: String, naRep: String): String = v match {
     case null                  => null
     case s: String             => s // text stats are already rendered
     case b: Boolean            => if (b) "1" else "0"
@@ -658,36 +671,67 @@ object CsvWriter {
     case other                 => stringify(other, None)
   }
 
-  private def writeDatasetSidecar(t: StarTable, outDir: String,
+  private[graft] def writeDatasetSidecar(t: StarTable, outDir: String,
                                   dataCols: Seq[String],
                                   partitionBy: Seq[String],
                                   sep: String = DefaultSep,
-                                  sliceStats: Seq[graft.sources.StarTableSource.SliceStats] = Nil): Unit = {
+                                  sliceStats: Seq[graft.sources.StarTableSource.SliceStats] = Nil,
+                                  fileStats: Seq[graft.sources.StarTableSource.FileStats] = Nil): Unit =
+    writeSidecarFields(outDir, t.name, t.destinations, dataCols,
+      dataCols.map(t.unit), partitionBy, partitionBy.map(t.unit), sep,
+      sliceStats, fileStats)
+
+  /** Rewrite an existing dataset's sidecar with fresh FILE statistics,
+    * everything else (schema, sep, slice stats) verbatim — the
+    * maintenance-pass entry point, which holds a DatasetMeta rather than
+    * a StarTable. */
+  private[graft] def writeSidecarRaw(outDir: String,
+      meta: graft.sources.StarTableSource.DatasetMeta,
+      fileStats: Seq[graft.sources.StarTableSource.FileStats]): Unit =
+    writeSidecarFields(outDir, meta.name, meta.destinations, meta.cols,
+      meta.units, meta.partCols, meta.partUnits, meta.sep, meta.sliceStats,
+      fileStats)
+
+  private def writeSidecarFields(outDir: String, name: String,
+                                 destinations: Set[String],
+                                 dataCols: Seq[String], units: Seq[String],
+                                 partitionBy: Seq[String], partUnits: Seq[String],
+                                 sep: String,
+                                 sliceStats: Seq[graft.sources.StarTableSource.SliceStats],
+                                 fileStats: Seq[graft.sources.StarTableSource.FileStats]): Unit = {
     import graft.io.JsonValue._
     def optStr(s: String): JsonValue = if (s == null) JsonNull else JsonString(s)
+    def colStatsJson(stats: Map[String, graft.sources.StarTableSource.ColStats]): JsonValue =
+      JsonObject(scala.collection.immutable.ListMap(
+        stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+          c -> (JsonObject(scala.collection.immutable.ListMap(
+            "min" -> optStr(cs.min), "max" -> optStr(cs.max),
+            "nulls" -> JsonNumber(cs.nulls.toDouble))): JsonValue)
+        }: _*))
     val statsJson = JsonArray(sliceStats.toVector.map { s =>
       JsonObject(scala.collection.immutable.ListMap(
         "partition" -> JsonArray(s.partition.toVector.map(optStr)),
         "rows" -> JsonNumber(s.rows.toDouble),
-        "stats" -> JsonObject(scala.collection.immutable.ListMap(
-          s.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
-            c -> (JsonObject(scala.collection.immutable.ListMap(
-              "min" -> optStr(cs.min), "max" -> optStr(cs.max),
-              "nulls" -> JsonNumber(cs.nulls.toDouble))): JsonValue)
-          }: _*))))
+        "stats" -> colStatsJson(s.stats)))
+    })
+    val fileStatsJson = JsonArray(fileStats.toVector.map { s =>
+      JsonObject(scala.collection.immutable.ListMap(
+        "partition" -> JsonArray(s.partition.toVector.map(optStr)),
+        "file" -> JsonString(s.file),
+        "rows" -> JsonNumber(s.rows.toDouble),
+        "stats" -> colStatsJson(s.stats)))
     })
     val meta = JsonObject(scala.collection.immutable.ListMap(
-      "name" -> JsonString(t.name),
+      "name" -> JsonString(name),
       "destinations" -> JsonArray(
-        t.destinations.toVector.sorted.map(JsonString(_))),
+        destinations.toVector.sorted.map(JsonString(_))),
       "columns" -> JsonArray(dataCols.toVector.map(JsonString(_))),
-      "units" -> JsonArray(
-        dataCols.toVector.map(c => JsonString(t.unit(c)))),
+      "units" -> JsonArray(units.toVector.map(JsonString(_))),
       "partitionBy" -> JsonArray(partitionBy.toVector.map(JsonString(_))),
-      "partitionUnits" -> JsonArray(
-        partitionBy.toVector.map(c => JsonString(t.unit(c)))),
+      "partitionUnits" -> JsonArray(partUnits.toVector.map(JsonString(_))),
       "sep" -> JsonString(sep)) ++
-      (if (sliceStats.isEmpty) Nil else Seq("sliceStats" -> statsJson)))
+      (if (sliceStats.isEmpty) Nil else Seq("sliceStats" -> statsJson)) ++
+      (if (fileStats.isEmpty) Nil else Seq("fileStats" -> fileStatsJson)))
     val conf = graft.sources.StarTableSource.activeHadoopConf()
     val metaPath = new org.apache.hadoop.fs.Path(outDir, DatasetMetaFile)
     val fs = metaPath.getFileSystem(conf)

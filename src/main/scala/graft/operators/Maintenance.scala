@@ -155,6 +155,155 @@ object Maintenance {
     compact(spark, path, targetBytes, Nil, "text")
   }
 
+  final case class ClusterReport(slices: Long, filesBefore: Long,
+                                 filesAfter: Long, bytesBefore: Long,
+                                 bytesAfter: Long, fileStatsWritten: Long)
+
+  /** Cluster a hive-partitioned StarTable dataset WITHIN each slice by
+    * `sortCols` and record PER-FILE column statistics — the full parquet
+    * analog: partition pruning (directories) → slice statistics (sidecar)
+    * → file statistics (this pass) all skip unopened IO, so a range query
+    * on a clustered column reads ~1/files of even the matching slice.
+    *
+    * Mechanics per slice: lines are re-sorted as OPAQUE strings keyed by
+    * the PARSED sort cells (split + per-unit typing — no re-render, every
+    * byte of every line survives verbatim), range-partitioned into
+    * ~`targetBytes` files, written to a hidden staging sibling, profiled
+    * per file (min/max/null per column with the reader's parse semantics:
+    * stats are computed FROM the rendered cells, so display-format
+    * rounding and NaN/naRep conventions are automatically honored), and
+    * swapped in with the compact staging-and-swap discipline. The sidecar
+    * is rewritten LAST: slice statistics are value-invariant under
+    * reordering and survive as-is; old per-file entries are keyed by
+    * basenames that no longer exist after the swap, so every crash window
+    * leaves metadata that is at worst conservative.
+    *
+    * Scale shape: per slice one distributed read + one range shuffle +
+    * one write + one stats aggregate; driver work is listings and the
+    * (capped) stats collect. */
+  def clusterStarDataset(spark: SparkSession, path: String,
+                         sortCols: Seq[String],
+                         targetBytes: Long = 128L * 1024 * 1024): ClusterReport = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    require(targetBytes > 0, "clusterStarDataset: targetBytes must be positive")
+    val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(path))
+      .getOrElse(throw new IllegalArgumentException(
+        s"clusterStarDataset: $path has no " +
+          s"${graft.io.CsvWriter.DatasetMetaFile} sidecar — not a StarTable " +
+          "dataset"))
+    val missing = sortCols.filterNot(meta.cols.contains)
+    require(sortCols.nonEmpty && missing.isEmpty,
+      s"clusterStarDataset: sort column(s) ${missing.mkString(", ")} not " +
+        s"among the dataset's data columns (${meta.cols.mkString(", ")}); " +
+        "partition columns are already directory-clustered")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val qsep = java.util.regex.Pattern.quote(meta.sep)
+
+    /** Parse-faithful typed expression for data column `i` of the cells
+      * array — mirrors the reader's unit parsers (null where the reader
+      * yields null; datetime stays a string, whose fixed-width rendering
+      * orders chronologically). */
+    def cellExpr(cells: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
+      val e = element_at(cells, i + 1)
+      meta.units(i) match {
+        case "text"     => e
+        case "datetime" => when(e.rlike("^[0-9]"), e)
+        case "onoff"    =>
+          when(lower(e).isin("1", "true"), 1).when(lower(e).isin("0", "false"), 0)
+        case _          =>
+          val d = e.cast(DoubleType)
+          when(!isnan(d), d)
+      }
+    }
+
+    // slice inventory: files grouped by leaf directory
+    val files = graft.sources.StarTableSource.listPartitionedFiles(
+      Seq(path), meta.partCols, conf)
+    val byLeaf: Seq[((String, Seq[String]), Seq[(String, Long)])] =
+      files.groupBy(f => (new Path(f._1).getParent.toString, f._3))
+        .map { case ((dir, raw), fsOfDir) =>
+          ((dir, raw), fsOfDir.map(x => (x._1, x._2)))
+        }.toSeq.sortBy(_._1._1)
+
+    var filesBefore = 0L; var filesAfter = 0L
+    var bytesBefore = 0L; var bytesAfter = 0L
+    val allFileStats =
+      scala.collection.mutable.ArrayBuffer.empty[graft.sources.StarTableSource.FileStats]
+
+    byLeaf.foreach { case ((dir, raw), slice) =>
+      val leaf = new Path(dir)
+      val bytes = slice.map(_._2).sum
+      filesBefore += slice.size; bytesBefore += bytes
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val staging = new Path(leaf.getParent, "." + leaf.getName + "__clustering")
+      if (fs.exists(staging)) fs.delete(staging, true)
+
+      val lines = spark.read.text(dir)
+      val cells = split(col("value"), qsep, -1)
+      val keys = sortCols.map(c => cellExpr(cells, meta.cols.indexOf(c)))
+      lines
+        .repartitionByRange(nOut, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .select(col("value"))
+        .write.text(staging.toString)
+
+      // per-file statistics over the staged output (reader-faithful cell
+      // semantics; one distributed aggregate per slice)
+      val statCells = split(col("value"), qsep, -1).as("__cs")
+      val aggs = meta.cols.indices.flatMap { i =>
+        val v = cellExpr(col("__cs"), i)
+        Seq(min(v).as(s"__min_$i"), max(v).as(s"__max_$i"),
+          count(when(v.isNull, 1)).as(s"__nulls_$i"))
+      } :+ count(lit(1)).as("__rows")
+      val statRows = spark.read.text(staging.toString)
+        .select(input_file_name().as("__f"), statCells)
+        .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*).collect()
+
+      // swap: the compactDir staging-and-swap discipline
+      faultHook("cluster:staged")
+      val trash = new Path(leaf.getParent, "." + leaf.getName + "__old")
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (!fs.rename(leaf, trash))
+        throw new java.io.IOException(s"clusterStarDataset: could not move $leaf aside")
+      if (!fs.rename(staging, leaf)) {
+        fs.rename(trash, leaf)
+        throw new java.io.IOException(s"clusterStarDataset: could not install $staging")
+      }
+      fs.delete(trash, true)
+
+      statRows.foreach { r =>
+        val base = new Path(r.getString(0)).getName
+        val stats = meta.cols.zipWithIndex.map { case (c, i) =>
+          c -> graft.sources.StarTableSource.ColStats(
+            graft.io.CsvWriter.renderStat(r.get(1 + i * 3), meta.units(i), "-"),
+            graft.io.CsvWriter.renderStat(r.get(1 + i * 3 + 1), meta.units(i), "-"),
+            r.getLong(1 + i * 3 + 2))
+        }.toMap
+        allFileStats += graft.sources.StarTableSource.FileStats(
+          raw, base, r.getLong(1 + meta.cols.size * 3), stats)
+      }
+      val after = fs.listStatus(leaf).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      filesAfter += after.length; bytesAfter += after.map(_.getLen).sum
+    }
+
+    // sidecar LAST: slice stats are reorder-invariant (kept verbatim);
+    // file entries replace wholesale (every slice was rewritten); above
+    // the cardinality cap they degrade to none (conservative reads)
+    val keptFileStats: Seq[graft.sources.StarTableSource.FileStats] =
+      if (allFileStats.size > graft.io.CsvWriter.MaxStatSlices) {
+        System.err.println("[graft] WARN clusterStarDataset: more than " +
+          s"${graft.io.CsvWriter.MaxStatSlices} files — skipping per-file " +
+          "statistics (reads stay correct, file skipping disabled)")
+        Nil
+      } else allFileStats.toSeq
+    graft.io.CsvWriter.writeSidecarRaw(path, meta, keptFileStats)
+    ClusterReport(byLeaf.size.toLong, filesBefore, filesAfter, bytesBefore,
+      bytesAfter, keptFileStats.size.toLong)
+  }
+
   /** Write `df` hive-partitioned by `partitionCols` with DYNAMIC overwrite:
     * only the partitions present in `df` are replaced; all others survive
     * untouched. The incremental-backfill write shape — re-running one

@@ -567,6 +567,24 @@ object RelationalQueries {
         .orderBy(col("l_linestatus"))
     }),
 
+    // Within-slice clustering + per-FILE statistics under the gate: the
+    // dataset is range-clustered by l_orderkey inside each l_returnflag
+    // slice (Maintenance.clusterStarDataset — opaque-line sort, per-file
+    // min/max recorded in the sidecar), and the query's l_orderkey range
+    // opens only the files whose sorted range intersects. The oracle is
+    // the same aggregate over the ORIGINAL parquet: a line bent by the
+    // rewrite, a row lost to a wrong file bound, or a mis-skip anywhere
+    // breaks the hash.
+    "q_dataset_cluster" -> ((s, dir) => {
+      val ds = clusteredDatasetFor(s, dir)
+      s.read.format("startable").load(ds)
+        .filter(col("l_orderkey") >= 1000.0 && col("l_orderkey") < 5000.0)
+        .groupBy(col("l_linestatus"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+          count(lit(1)).as("n"),
+          max(col("l_orderkey")).cast(LongType).as("max_ok"))
+    }),
+
     // The sidecar slice statistics THEMSELVES under the gate: read the
     // per-slice rows/min/max/null-count entries writePartitionedDataset
     // recorded (the data-skipping metadata) and hash them against DuckDB
@@ -628,6 +646,37 @@ object RelationalQueries {
             col("l_linestatus"), col("l_extendedprice"), col("l_discount")),
           "lineitem_part"),
         path, partitionBy = Seq("l_returnflag"), numFiles = 8)
+    path
+  }
+
+  /** Build-once-per-dataset CLUSTERED partitioned dataset: partitioned by
+    * l_returnflag, range-clustered within slices by l_orderkey with
+    * per-file statistics (the `_graft_clustered` marker is written after
+    * the cluster pass completes — the sidecar alone exists from the
+    * moment the base write finishes). */
+  private def clusteredDatasetFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|clds1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_clds_$key"
+    val marker = java.nio.file.Paths.get(path, "_graft_clustered")
+    if (!java.nio.file.Files.exists(marker)) {
+      def deleteTree(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
+        f.delete(): Unit
+      }
+      deleteTree(new java.io.File(path))
+      graft.io.CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(
+          Tables.df(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_linestatus"), col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+          "lineitem_clustered"),
+        path, partitionBy = Seq("l_returnflag"), numFiles = 8)
+      graft.operators.Maintenance.clusterStarDataset(s, path,
+        Seq("l_orderkey"), targetBytes = 128 * 1024)
+      java.nio.file.Files.createFile(marker)
+    }
     path
   }
 
@@ -1098,6 +1147,18 @@ object RelationalQueries {
         |WHERE l_returnflag = 'R'
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+
+    // clustered-dataset range query vs the original parquet: per-file
+    // skipping must be value-invisible
+    "q_dataset_cluster" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  count(*) AS n,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        |FROM lineitem
+        |WHERE l_orderkey >= 1000 AND l_orderkey < 5000
+        |GROUP BY 1""".stripMargin,
 
     // the sidecar's data-skipping statistics must equal DuckDB recomputing
     // them from the original parquet (render→reparse is value-lossless)

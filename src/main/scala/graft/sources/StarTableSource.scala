@@ -256,20 +256,35 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
         // pushed filters as residuals either way.
         val contentFilters =
           pushed.filterNot(_.references.forall(m.partCols.contains))
-        if (contentFilters.isEmpty || m.sliceStats.isEmpty) afterPart
+        if (contentFilters.isEmpty ||
+            (m.sliceStats.isEmpty && m.fileStats.isEmpty)) afterPart
         else {
           val statsByPart: Map[Seq[String], StarTableSource.SliceStats] =
             m.sliceStats.map(s => s.partition.toList -> s).toMap
+          // per-FILE stats (clusterStarDataset output): finer than the
+          // slice — within a clustered slice, a range predicate keeps
+          // only the files whose sorted key range intersects it
+          val statsByFile: Map[(Seq[String], String), StarTableSource.FileStats] =
+            m.fileStats.map(s => (s.partition.toList, s.file) -> s).toMap
           val fixer = new graft.parse.ParseFixer()
           val parseByCol: Map[String, Any => Any] =
             m.cols.zip(m.units).map { case (c, u) =>
               c -> graft.parse.ColumnParsers.cellParser(u, fixer)
             }.toMap
-          val kept = afterPart.filter { case (_, _, raw) =>
-            statsByPart.get(raw.toList) match {
+          val kept = afterPart.filter { case (path, _, raw) =>
+            val sliceOk = statsByPart.get(raw.toList) match {
               case Some(st) => !contentFilters.exists(f =>
                 StarTableSource.sliceContradicts(f, st, parseByCol))
               case None => true
+            }
+            sliceOk && {
+              val base = new org.apache.hadoop.fs.Path(path).getName
+              statsByFile.get((raw.toList, base)) match {
+                case Some(fst) => !contentFilters.exists(f =>
+                  StarTableSource.statsContradict(f, fst.rows, fst.stats,
+                    parseByCol))
+                case None => true
+              }
             }
           }
           StarTableSource.filesPruned.add(afterPart.size - kept.size)
@@ -849,7 +864,8 @@ private[graft] object StarTableSource {
                                cols: Seq[String], units: Seq[String],
                                partCols: Seq[String], partUnits: Seq[String],
                                sep: String = ";",
-                               sliceStats: Seq[SliceStats] = Nil)
+                               sliceStats: Seq[SliceStats] = Nil,
+                               fileStats: Seq[FileStats] = Nil)
 
   /** Per-slice column statistics: `partition` aligns with
     * [[DatasetMeta.partCols]] (raw rendered values, null for the default
@@ -859,6 +875,15 @@ private[graft] object StarTableSource {
   final case class SliceStats(partition: Seq[String], rows: Long,
                               stats: Map[String, ColStats])
   final case class ColStats(min: String, max: String, nulls: Long)
+
+  /** Per-FILE column statistics (written by
+    * [[graft.operators.Maintenance.clusterStarDataset]], which controls
+    * file assignment): keyed by (partition values, file BASENAME) — path
+    * roots/schemes don't enter the key, and a rewritten slice's fresh
+    * basenames make stale entries inert (conservative) rather than wrong.
+    * Same value semantics as [[SliceStats]]. */
+  final case class FileStats(partition: Seq[String], file: String, rows: Long,
+                             stats: Map[String, ColStats])
 
   /** The sidecar, if the (single) root is a partitioned-dataset directory.
     * The sidecar is written LAST by the writer, so its presence marks a
@@ -898,22 +923,35 @@ private[graft] object StarTableSource {
         case JsonString(s) => s
         case _             => null
       }
-      // optional fields: a pre-r9 sidecar has neither — default sep, no stats
+      // optional fields: a pre-r9 sidecar has none — default sep, no stats
       val sep = o.fields.get("sep").collect { case JsonString(s) => s }
         .getOrElse(";")
+      def colStatsOf(so: JsonObject): Map[String, ColStats] =
+        so.fields.map {
+          case (c, cs: JsonObject) =>
+            c -> ColStats(optStr(cs.fields("min")), optStr(cs.fields("max")),
+              cs.fields("nulls").asInstanceOf[JsonNumber].value.toLong)
+          case (c, other) => throw new IllegalArgumentException(
+            s"column stats for '$c' is not an object: $other")
+        }.toMap
       val sliceStats = o.fields.get("sliceStats").toSeq.flatMap {
         case JsonArray(slices) => slices.map { sv =>
           val so = sv.asInstanceOf[JsonObject]
           SliceStats(
             so.fields("partition").asInstanceOf[JsonArray].values.map(optStr),
             so.fields("rows").asInstanceOf[JsonNumber].value.toLong,
-            so.fields("stats").asInstanceOf[JsonObject].fields.map {
-              case (c, cs: JsonObject) =>
-                c -> ColStats(optStr(cs.fields("min")), optStr(cs.fields("max")),
-                  cs.fields("nulls").asInstanceOf[JsonNumber].value.toLong)
-              case (c, other) => throw new IllegalArgumentException(
-                s"column stats for '$c' is not an object: $other")
-            }.toMap)
+            colStatsOf(so.fields("stats").asInstanceOf[JsonObject]))
+        }
+        case _ => Nil
+      }
+      val fileStats = o.fields.get("fileStats").toSeq.flatMap {
+        case JsonArray(fsv) => fsv.map { fv =>
+          val fo = fv.asInstanceOf[JsonObject]
+          FileStats(
+            fo.fields("partition").asInstanceOf[JsonArray].values.map(optStr),
+            fo.fields("file").asInstanceOf[JsonString].value,
+            fo.fields("rows").asInstanceOf[JsonNumber].value.toLong,
+            colStatsOf(fo.fields("stats").asInstanceOf[JsonObject]))
         }
         case _ => Nil
       }
@@ -921,7 +959,8 @@ private[graft] object StarTableSource {
         o.fields("name").asInstanceOf[JsonString].value,
         strs("destinations").toSet,
         strs("columns"), strs("units"),
-        strs("partitionBy"), strs("partitionUnits"), sep, sliceStats)
+        strs("partitionBy"), strs("partitionUnits"), sep, sliceStats,
+        fileStats)
       if (metaCache.size > 64) metaCache.clear()
       metaCache.put(key, meta)
       Some(meta)
@@ -1067,20 +1106,25 @@ private[graft] object StarTableSource {
     * same unit parsers as data cells, so the comparison sees exactly the
     * values the reader would produce. */
   def sliceContradicts(f: Filter, st: SliceStats,
-                       parse: Map[String, Any => Any]): Boolean = {
+                       parse: Map[String, Any => Any]): Boolean =
+    statsContradict(f, st.rows, st.stats, parse)
+
+  /** Core of [[sliceContradicts]], shared with per-FILE statistics. */
+  def statsContradict(f: Filter, rows: Long, stats: Map[String, ColStats],
+                      parse: Map[String, Any => Any]): Boolean = {
     def bounds(a: String): Option[(Any, Any)] =
       for {
-        cs <- st.stats.get(a)
+        cs <- stats.get(a)
         p <- parse.get(a)
         if cs.min != null && cs.max != null
         mn <- scala.util.Try(p(cs.min)).toOption
         mx <- scala.util.Try(p(cs.max)).toOption
         if mn != null && mx != null
       } yield (mn, mx)
-    // every value in the slice is null/NaN → no comparison can hold
+    // every value in the slice/file is null/NaN → no comparison can hold
     def allNull(a: String): Boolean =
-      st.stats.get(a).exists(cs => cs.min == null && cs.max == null &&
-        cs.nulls == st.rows)
+      stats.get(a).exists(cs => cs.min == null && cs.max == null &&
+        cs.nulls == rows)
     def outOfRange(a: String, v: Any): Boolean =
       bounds(a).exists { case (mn, mx) =>
         cmp(mn, v).exists(_ > 0) || cmp(mx, v).exists(_ < 0)
@@ -1098,12 +1142,14 @@ private[graft] object StarTableSource {
       case In(a, vs)                =>
         allNull(a) || (vs.nonEmpty && vs.forall(v => outOfRange(a, v)))
       case IsNotNull(a)             =>
-        st.stats.get(a).exists(_.nulls == st.rows)
-      case IsNull(a)                => st.stats.get(a).exists(_.nulls == 0L)
+        stats.get(a).exists(_.nulls == rows)
+      case IsNull(a)                => stats.get(a).exists(_.nulls == 0L)
       case And(l, r)                =>
-        sliceContradicts(l, st, parse) || sliceContradicts(r, st, parse)
+        statsContradict(l, rows, stats, parse) ||
+          statsContradict(r, rows, stats, parse)
       case Or(l, r)                 =>
-        sliceContradicts(l, st, parse) && sliceContradicts(r, st, parse)
+        statsContradict(l, rows, stats, parse) &&
+          statsContradict(r, rows, stats, parse)
       case _                        => false
     }
   }

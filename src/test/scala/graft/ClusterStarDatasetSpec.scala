@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Within-slice clustering + per-FILE statistics — the third (finest)
+  * skipping tier after partition directories and slice statistics. */
+class ClusterStarDatasetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 2 slices × 3000 shuffled rows each, written as several files. */
+  private def mkDataset(): String = {
+    val rows = scala.util.Random.shuffle(
+      (0 until 6000).map(i => (s"g${i % 2}", i.toDouble, s"tag$i")).toList)
+    val t = graft.model.StarTable.fromDataFrame(
+      rows.toDF("grp", "x", "tag"), "clustered",
+      units = Map("grp" -> "text", "tag" -> "text"))
+    val out = Files.createTempDirectory("graft_cluster").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"),
+      numFiles = 4)
+    out
+  }
+
+  private def allLines(out: String): Seq[String] = {
+    val paths = graft.sources.StarTableSource.listPartitionedFiles(
+      Seq(out), Seq("grp")).map(_._1)
+    spark.read.text(paths: _*).collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  test("clusterStarDataset: lines survive byte-identically, files are " +
+    "range-clustered, per-file stats skip within the matching slice") {
+    val out = mkDataset()
+    val before = allLines(out)
+    val rep = graft.operators.Maintenance.clusterStarDataset(
+      spark, out, Seq("x"), targetBytes = 20000)
+    assert(rep.slices == 2 && rep.filesAfter > rep.slices,
+      s"expected multiple clustered files per slice: $rep")
+    assert(rep.fileStatsWritten == rep.filesAfter, rep.toString)
+    assert(rep.bytesBefore == rep.bytesAfter, rep.toString)
+    // every line byte-identical (sorting moved lines between files only)
+    assert(allLines(out) == before, "clustering altered line bytes")
+    val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(out)).get
+    assert(meta.fileStats.nonEmpty && meta.sliceStats.nonEmpty)
+    // a narrow range on the clustered column: the partition filter keeps
+    // both slices (x spans both), but per-FILE stats open only the files
+    // whose sorted range intersects — most files skip unopened
+    val back = spark.read.format("startable").load(out)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val got = back.filter(col("x") >= 100.0 && col("x") < 120.0)
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(got == (100 until 120).map(i => s"tag$i").toSet)
+    assert(graft.sources.StarTableSource.filesSkippedByStats.sum() > 0,
+      "per-file stats skipped nothing inside the matching slices")
+    assert(graft.sources.StarTableSource.linesParsed.sum() < 6000 / 2,
+      s"clustered range scan parsed " +
+        s"${graft.sources.StarTableSource.linesParsed.sum()} of 6000 lines")
+    // equality inside a kept file's range still returns its row
+    assert(back.filter(col("x") === 117.0).count() == 1)
+  }
+
+  test("a crash after staging, before the slice swap, leaves reads and " +
+    "stats exactly as before; a rerun completes") {
+    val out = mkDataset()
+    val before = allLines(out)
+    final class Kill extends RuntimeException("cluster kill")
+    graft.operators.Maintenance.faultHook =
+      p => if (p == "cluster:staged") throw new Kill
+    try {
+      intercept[Kill] {
+        graft.operators.Maintenance.clusterStarDataset(spark, out, Seq("x"))
+      }
+    } finally graft.operators.Maintenance.faultHook = _ => ()
+    assert(allLines(out) == before, "mid-cluster crash altered reads")
+    val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(out)).get
+    assert(meta.fileStats.isEmpty, "crash window leaked file stats")
+    // slice stats remain valid and skipping still works
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(spark.read.format("startable").load(out)
+      .filter(col("x") > 1e7).count() == 0)
+    assert(graft.sources.StarTableSource.linesParsed.sum() == 0)
+    // rerun completes and installs file stats
+    val rep = graft.operators.Maintenance.clusterStarDataset(spark, out, Seq("x"))
+    assert(rep.fileStatsWritten > 0)
+    assert(allLines(out) == before)
+  }
+
+  test("backfill after clustering strips only the rewritten slice's file " +
+    "stats; the untouched slice keeps skipping at file granularity") {
+    val out = mkDataset()
+    graft.operators.Maintenance.clusterStarDataset(spark, out, Seq("x"),
+      targetBytes = 20000)
+    val patch = graft.model.StarTable.fromDataFrame(
+      Seq(("g1", 9.9, "fresh")).toDF("grp", "x", "tag"), "clustered",
+      units = Map("grp" -> "text", "tag" -> "text"))
+    graft.io.CsvWriter.writePartitionedDataset(patch, out, Seq("grp"),
+      overwriteSlices = true)
+    val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(out)).get
+    assert(!meta.fileStats.exists(_.partition == Seq("g1")),
+      "rewritten slice kept stale file stats")
+    assert(meta.fileStats.exists(_.partition == Seq("g0")),
+      "untouched slice lost its file stats")
+    val back = spark.read.format("startable").load(out)
+    assert(back.filter(col("tag") === "fresh").count() == 1)
+    // g0 rows all survive; file skipping still fires for a g0-range query
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(back.filter(col("grp") === "g0" && col("x") < 50.0).count() == 25)
+    assert(graft.sources.StarTableSource.filesSkippedByStats.sum() > 0)
+  }
+
+  test("refusals: non-dataset path, unknown sort column, partition column") {
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.clusterStarDataset(spark,
+        Files.createTempDirectory("graft_cl_no").toString, Seq("x"))
+    }
+    assert(e1.getMessage.contains("sidecar"))
+    val out = mkDataset()
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.clusterStarDataset(spark, out, Seq("nope"))
+    }
+    assert(e2.getMessage.contains("nope"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.clusterStarDataset(spark, out, Seq("grp"))
+    }
+    assert(e3.getMessage.contains("grp"))
+  }
+}
