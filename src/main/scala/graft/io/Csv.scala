@@ -339,8 +339,13 @@ object CsvWriter {
           val base = t.colMeta(c).displayFormat match {
             case Some(f) => format_string(toJavaFormat(f.specifier), col(c))
             case None    =>
-              // match Python float repr for integral doubles: "1.0" not "1"
-              when(col(c) === col(c).cast(LongType).cast(DoubleType),
+              // match Python float repr for integral doubles: "1.0" not
+              // "1". The |x| < 1e16 guard mirrors the driver-side
+              // stringify AND keeps the Long cast inside the short-circuit
+              // — under ANSI, casting Infinity or >Long.MaxValue doubles
+              // would otherwise throw CAST_OVERFLOW at write time
+              when(abs(col(c)) < 1e16 &&
+                col(c) === col(c).cast(LongType).cast(DoubleType),
                 concat(col(c).cast(LongType).cast(StringType), lit(".0")))
                 .otherwise(col(c).cast(StringType))
           }
@@ -614,7 +619,12 @@ object CsvWriter {
           // bound is byte-identical to the cell the reader parses. Nulls
           // stay null (the rendered expression would coalesce to naRep).
           when(col(c).isNotNull, renderedByCol(c))
-        else if (u == "onoff") col(c)
+        else if (u == "onoff")
+          // the reader's onoff parse NEVER yields null: a null/naRep cell
+          // goes through the fixer to FALSE — bounds must cover that, and
+          // nulls must be 0, or IsNotNull/EqualTo(false) would skip slices
+          // whose rows all match
+          coalesce(col(c), lit(false))
         else if (t.colMeta(c).displayFormat.isDefined)
           // a display format ROUNDS the written cell ("%.0f": 8.6 → "9"),
           // so bounds must cover the reader-parsed values (9.0), not the
@@ -624,7 +634,12 @@ object CsvWriter {
           renderedByCol(c).cast(DoubleType)
         else if (t.df.schema(c).dataType == DoubleType ||
                  t.df.schema(c).dataType == FloatType)
-          when(!isnan(col(c)), col(c))
+          // NaN AND infinities count as null: both render to cells the
+          // reader nulls ("-" via naRep; "Infinity" fails the lowercased
+          // parse and fixes to null)
+          when(!isnan(col(c)) &&
+            !col(c).isin(Double.PositiveInfinity, Double.NegativeInfinity),
+            col(c))
         else col(c)
       Seq(min(v).as(s"__min_$c"), max(v).as(s"__max_$c"),
         count(when(v.isNull, 1)).as(s"__nulls_$c"))

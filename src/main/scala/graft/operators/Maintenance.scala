@@ -112,16 +112,7 @@ object Maintenance {
         else df.repartition(nOut)
       shaped.write.format(format).save(staging.toString)
       faultHook(s"compact:staged")
-
-      val trash = new Path(p.getParent, "." + p.getName + "__old")
-      if (fs.exists(trash)) fs.delete(trash, true)
-      if (!fs.rename(p, trash))
-        throw new java.io.IOException(s"compact: could not move $p aside")
-      if (!fs.rename(staging, p)) {
-        fs.rename(trash, p) // restore
-        throw new java.io.IOException(s"compact: could not install $staging")
-      }
-      fs.delete(trash, true)
+      swapLeaf(fs, "compact", p, staging)
 
       val after = dataFiles(p)
       CompactionReport(before.size.toLong, bytesBefore,
@@ -153,6 +144,24 @@ object Maintenance {
       s"compactStarDataset: $path has no ${graft.io.CsvWriter.DatasetMetaFile} " +
         "sidecar — not a StarTable dataset (for parquet tables use compact)")
     compact(spark, path, targetBytes, Nil, "text")
+  }
+
+  /** Install `staging` over `leaf` with the two-rename swap discipline
+    * shared by compaction and clustering: move the live leaf to a hidden
+    * trash sibling, rename staging in, restore on a failed install —
+    * crash-safe up to the window between the two renames (a leftover
+    * hidden trash/staging dir is inert to all listings). */
+  private def swapLeaf(fs: org.apache.hadoop.fs.FileSystem, op: String,
+                       leaf: Path, staging: Path): Unit = {
+    val trash = new Path(leaf.getParent, "." + leaf.getName + "__old")
+    if (fs.exists(trash)) fs.delete(trash, true)
+    if (!fs.rename(leaf, trash))
+      throw new java.io.IOException(s"$op: could not move $leaf aside")
+    if (!fs.rename(staging, leaf)) {
+      fs.rename(trash, leaf) // restore
+      throw new java.io.IOException(s"$op: could not install $staging")
+    }
+    fs.delete(trash, true)
   }
 
   final case class ClusterReport(slices: Long, filesBefore: Long,
@@ -211,10 +220,18 @@ object Maintenance {
         case "text"     => e
         case "datetime" => when(e.rlike("^[0-9]"), e)
         case "onoff"    =>
-          when(lower(e).isin("1", "true"), 1).when(lower(e).isin("0", "false"), 0)
+          // the reader's onoff parse NEVER yields null — any non-true cell
+          // (naRep, junk) goes through the fixer to FALSE; stats must
+          // mirror that or IsNotNull/EqualTo(false) would skip files whose
+          // rows all match
+          when(lower(e).isin("1", "true"), 1).otherwise(0)
         case _          =>
+          // Spark's cast accepts "Infinity" but the reader's lowercased
+          // parse does not (fixes to null) — treat NaN and infinities as
+          // null, like the slice-tier stats
           val d = e.cast(DoubleType)
-          when(!isnan(d), d)
+          when(!isnan(d) &&
+            !d.isin(Double.PositiveInfinity, Double.NegativeInfinity), d)
       }
     }
 
@@ -229,6 +246,7 @@ object Maintenance {
 
     var filesBefore = 0L; var filesAfter = 0L
     var bytesBefore = 0L; var bytesAfter = 0L
+    var statsCapped = false
     val allFileStats =
       scala.collection.mutable.ArrayBuffer.empty[graft.sources.StarTableSource.FileStats]
 
@@ -250,28 +268,25 @@ object Maintenance {
         .write.text(staging.toString)
 
       // per-file statistics over the staged output (reader-faithful cell
-      // semantics; one distributed aggregate per slice)
-      val statCells = split(col("value"), qsep, -1).as("__cs")
-      val aggs = meta.cols.indices.flatMap { i =>
-        val v = cellExpr(col("__cs"), i)
-        Seq(min(v).as(s"__min_$i"), max(v).as(s"__max_$i"),
-          count(when(v.isNull, 1)).as(s"__nulls_$i"))
-      } :+ count(lit(1)).as("__rows")
-      val statRows = spark.read.text(staging.toString)
-        .select(input_file_name().as("__f"), statCells)
-        .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*).collect()
+      // semantics; one distributed aggregate per slice) — skipped entirely
+      // once the cardinality cap is blown (the files still cluster; only
+      // the metadata degrades)
+      val statRows: Array[org.apache.spark.sql.Row] =
+        if (statsCapped) Array.empty
+        else {
+          val statCells = split(col("value"), qsep, -1).as("__cs")
+          val aggs = meta.cols.indices.flatMap { i =>
+            val v = cellExpr(col("__cs"), i)
+            Seq(min(v).as(s"__min_$i"), max(v).as(s"__max_$i"),
+              count(when(v.isNull, 1)).as(s"__nulls_$i"))
+          } :+ count(lit(1)).as("__rows")
+          spark.read.text(staging.toString)
+            .select(input_file_name().as("__f"), statCells)
+            .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*).collect()
+        }
 
-      // swap: the compactDir staging-and-swap discipline
       faultHook("cluster:staged")
-      val trash = new Path(leaf.getParent, "." + leaf.getName + "__old")
-      if (fs.exists(trash)) fs.delete(trash, true)
-      if (!fs.rename(leaf, trash))
-        throw new java.io.IOException(s"clusterStarDataset: could not move $leaf aside")
-      if (!fs.rename(staging, leaf)) {
-        fs.rename(trash, leaf)
-        throw new java.io.IOException(s"clusterStarDataset: could not install $staging")
-      }
-      fs.delete(trash, true)
+      swapLeaf(fs, "clusterStarDataset", leaf, staging)
 
       statRows.foreach { r =>
         val base = new Path(r.getString(0)).getName
@@ -284,6 +299,12 @@ object Maintenance {
         allFileStats += graft.sources.StarTableSource.FileStats(
           raw, base, r.getLong(1 + meta.cols.size * 3), stats)
       }
+      if (!statsCapped && allFileStats.size > graft.io.CsvWriter.MaxStatSlices) {
+        // blow the cap ONCE: drop what accumulated and stop aggregating —
+        // later slices still cluster, the driver never holds > cap entries
+        statsCapped = true
+        allFileStats.clear()
+      }
       val after = fs.listStatus(leaf).filter(s => s.isFile &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
       filesAfter += after.length; bytesAfter += after.map(_.getLen).sum
@@ -293,7 +314,7 @@ object Maintenance {
     // file entries replace wholesale (every slice was rewritten); above
     // the cardinality cap they degrade to none (conservative reads)
     val keptFileStats: Seq[graft.sources.StarTableSource.FileStats] =
-      if (allFileStats.size > graft.io.CsvWriter.MaxStatSlices) {
+      if (statsCapped) {
         System.err.println("[graft] WARN clusterStarDataset: more than " +
           s"${graft.io.CsvWriter.MaxStatSlices} files — skipping per-file " +
           "statistics (reads stay correct, file skipping disabled)")

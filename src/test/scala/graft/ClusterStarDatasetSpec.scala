@@ -110,6 +110,35 @@ class ClusterStarDatasetSpec extends AnyFunSuite {
     assert(graft.sources.StarTableSource.filesSkippedByStats.sum() > 0)
   }
 
+  test("stats mirror READER null semantics at both tiers: onoff naRep " +
+    "parses FALSE (never null) and Infinity parses null — neither may " +
+    "skip matching rows") {
+    // slice s1: onoff all null (cells '-') → reader yields FALSE;
+    // x holds an Infinity → reader yields null
+    val df = Seq(
+      ("s1", null.asInstanceOf[java.lang.Boolean], Double.PositiveInfinity),
+      ("s1", null.asInstanceOf[java.lang.Boolean], 5.0),
+      ("s2", java.lang.Boolean.TRUE, 7.0))
+      .toDF("grp", "flag", "x")
+    val t = graft.model.StarTable.fromDataFrame(df, "sem",
+      units = Map("grp" -> "text"))
+    val out = Files.createTempDirectory("graft_cl_sem").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"))
+    graft.operators.Maintenance.clusterStarDataset(spark, out, Seq("x"))
+    val back = spark.read.format("startable").load(out)
+    // both tiers now carry stats; the reader's values are the truth:
+    // flag: s1 rows are FALSE (fixer), not null
+    assert(back.filter(col("flag") === false).count() == 2,
+      "onoff naRep rows (reader FALSE) were skipped by stats")
+    assert(back.filter(col("flag").isNotNull).count() == 3,
+      "IsNotNull skipped a slice whose onoff rows all parse FALSE")
+    // x: the Infinity cell parses null for the reader
+    assert(back.filter(col("x").isNull).count() == 1,
+      "IsNull skipped the file holding a reader-null Infinity cell")
+    assert(back.filter(col("x") > 6.0).select("grp")
+      .collect().map(_.getString(0)).toSeq == Seq("s2"))
+  }
+
   test("refusals: non-dataset path, unknown sort column, partition column") {
     val e1 = intercept[IllegalArgumentException] {
       graft.operators.Maintenance.clusterStarDataset(spark,
