@@ -24,6 +24,22 @@ import org.apache.spark.sql.SparkSession
   *    so one query's garbage isn't collected on a neighbor's clock.
   */
 object Bench {
+
+  /** Newest committed official record among candidate file names — the
+    * immutable rerun prior (BenchPriorSpec). Numeric sort on the round,
+    * not lexicographic: r10 must beat r9. */
+  def pickOfficial(names: Seq[String]): Option[String] = {
+    val Pat = "BENCH_OFFICIAL_r(\\d+)\\.json".r
+    names.collect { case n @ Pat(r) => (r.toInt, n) }.sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Per-query seconds out of a bench record, Map.empty unless the record's
+    * sf matches (a prior at a different SF would mistrigger every rerun). */
+  def parsePriorText(txt: String, sfDir: String): Map[String, Double] =
+    if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+    else "\"(q[^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -69,29 +85,73 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // Fixed-work calibration probe: a constant 2e8-row codegen aggregate
-    // whose cost is INDEPENDENT of the benchmarked SF. Its time is recorded
-    // as calibration_s so a reader can mechanically distinguish "the code
-    // got slower" from "the machine was contended during this window" —
-    // the round-7 record carried a phantom 3× regression that a clean
-    // rerun refuted, with nothing in the JSON to flag it.
+    // Fixed-work calibration probes: constant work whose cost is
+    // INDEPENDENT of the benchmarked SF, recorded so a reader can
+    // mechanically distinguish "the code got slower" from "the machine was
+    // contended during this window" — the round-7 record carried a phantom
+    // 3× regression that a clean rerun refuted, with nothing in the JSON to
+    // flag it. Three probes because contention is not one axis (the round-9
+    // record showed a clean 0.097 CPU probe beside 3-4×-elevated
+    // CPU-saturating queries):
+    //  - calibration_s: a 2e8-row single-pipeline codegen aggregate — light,
+    //    detects gross CPU contention only.
+    //  - calibration_shuffle_s: a fixed 2e7-row repartition+aggregate that
+    //    writes+reads ~32 shuffle partitions through local disk — detects
+    //    IO/disk-path contention the CPU probe is blind to.
+    //  - calibration_saturate_s: 32 concurrent partitions each burning a
+    //    fixed CPU loop — detects partial-core contention (a noisy
+    //    neighbor stealing 30% of the cores barely moves a 1-pipeline
+    //    probe but directly inflates every 32-thread-saturating stage,
+    //    which is exactly the profile of the suite's heaviest queries).
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(200000000L).selectExpr("sum(id * 3 + 7) AS s")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def calibrateShuffle(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L)
+        .selectExpr("id", "id % 1000000 AS k")
+        .repartition(org.apache.spark.sql.functions.col("k"))
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id").as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibrateSaturate(): Double = {
+      val sc = spark.sparkContext
+      val t0 = System.nanoTime()
+      sc.parallelize(1 to cpus.toInt, cpus.toInt).map { p =>
+        var acc = p.toLong
+        var i = 0L
+        while (i < 150000000L) { acc = acc * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        acc
+      }.count()
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // Prior per-query record (for the ≥2× regression rerun below). The
-    // full-precision file from the previous bench run is the only durable
-    // per-query history the bench can see; absent or unparsable → empty.
-    val prior: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")), "UTF-8")
-      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
-      else "\"(q[^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // prior must be IMMUTABLE within a round: round 9's official record
+    // carried an unadjudicated 4.4× regression because the trigger compared
+    // against BENCH_FULL.json, which the builder's own pre-official local
+    // run had already overwritten with an elevated number — the discipline
+    // disarmed itself. The prior is therefore the newest committed
+    // BENCH_OFFICIAL_r*.json (written once per round at driver-gate time,
+    // never touched by local runs); BENCH_FULL.json is only a fallback when
+    // no official record exists yet.
+    def parsePrior(path: java.nio.file.Path): Map[String, Double] = try {
+      parsePriorText(new String(java.nio.file.Files.readAllBytes(path), "UTF-8"), sfDir)
     } catch { case _: Throwable => Map.empty }
+    val prior: Map[String, Double] = {
+      val repo = java.nio.file.Paths.get("/root/repo")
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(repo).iterator().asScala
+          .map(_.getFileName.toString).toSeq
+      } catch { case _: Throwable => Seq.empty[String] }
+      pickOfficial(names).map(n => parsePrior(repo.resolve(n))).filter(_.nonEmpty)
+        .getOrElse(parsePrior(repo.resolve("BENCH_FULL.json")))
+    }
 
     // Warm-up: JIT + whole-stage-codegen compile at the smallest SF.
     ordered.foreach { case (_, fn) =>
@@ -109,9 +169,13 @@ object Bench {
     }
     sweep()
 
-    calibrate() // warm the probe's codegen off its own clock
+    calibrate(); calibrateShuffle(); calibrateSaturate() // warm codegen off the probes' clocks
     sweep()
     val calibration = calibrate()
+    sweep()
+    val calibrationShuffle = calibrateShuffle()
+    sweep()
+    val calibrationSaturate = calibrateSaturate()
     sweep()
 
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -165,7 +229,7 @@ object Bench {
       "\"" + k + "\":{\"first\":" + f + ",\"rerun\":" + a + "}"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"reruns":$rerunsJson,"queries":$fullQs,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"calibration_shuffle_s":$calibrationShuffle,"calibration_saturate_s":$calibrationSaturate,"reruns":$rerunsJson,"queries":$fullQs,"sf":"$sfDir","reps":$reps}"""
     if (only.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
@@ -195,7 +259,7 @@ object Bench {
     }
     val omitted = results.size - kept
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","calibration_s":${fmt2(calibration)},"reruns":${reruns.size},"queries":{${sb.toString}},"n_queries":${results.size},"omitted_fastest":$omitted,"full":"BENCH_FULL.json","sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","calibration_s":${fmt2(calibration)},"cal_shuffle_s":${fmt2(calibrationShuffle)},"cal_saturate_s":${fmt2(calibrationSaturate)},"reruns":${reruns.size},"queries":{${sb.toString}},"n_queries":${results.size},"omitted_fastest":$omitted,"full":"BENCH_FULL.json","sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's regression-rerun prior must be the IMMUTABLE official record
+  * of the latest driver-gated round — round 9's 4.4× q_setsim_join drift
+  * went unadjudicated because the trigger compared against the overwritable
+  * BENCH_FULL.json, which a pre-official local run had already elevated. */
+class BenchPriorSpec extends AnyFunSuite {
+
+  test("pickOfficial selects the newest round numerically, not lexically") {
+    assert(Bench.pickOfficial(Seq(
+      "BENCH_OFFICIAL_r09.json", "BENCH_OFFICIAL_r10.json", "BENCH_FULL.json",
+      "BENCH_r09.json", "SURVEY.md")) === Some("BENCH_OFFICIAL_r10.json"))
+    // r10 vs r9 without zero padding: numeric sort required
+    assert(Bench.pickOfficial(Seq(
+      "BENCH_OFFICIAL_r9.json", "BENCH_OFFICIAL_r10.json")) ===
+      Some("BENCH_OFFICIAL_r10.json"))
+    assert(Bench.pickOfficial(Seq("BENCH_FULL.json")) === None)
+    assert(Bench.pickOfficial(Nil) === None)
+  }
+
+  test("parsePriorText reads per-query seconds only for the matching sf") {
+    val rec = """{"metric":"total","value":9.9,"unit":"sec","calibration_s":0.1,""" +
+      """"queries":{"q_a":1.5,"q_b":0.25},"sf":"/root/testdata/sf0.1","reps":3}"""
+    val m = Bench.parsePriorText(rec, "/root/testdata/sf0.1")
+    assert(m === Map("q_a" -> 1.5, "q_b" -> 0.25))
+    // a prior recorded at a different SF must be ignored wholesale — it
+    // would mistrigger (or mis-suppress) every rerun
+    assert(Bench.parsePriorText(rec, "/root/testdata/sf0.01") === Map.empty)
+  }
+
+  test("the committed r9 official record parses and holds the drifted pair") {
+    val p = java.nio.file.Paths.get("/root/repo/BENCH_OFFICIAL_r09.json")
+    assume(java.nio.file.Files.exists(p))
+    val m = Bench.parsePriorText(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+      "/root/testdata/sf0.1")
+    assert(m.size > 200)
+    // the round-9 elevated numbers are ON RECORD as the prior — a clean
+    // r10 run will undercut them (never triggering), a still-contended run
+    // ≥2× above even these gets one adjudicating rerun
+    assert(m("q_setsim_join") > 10.0 && m("q_containment") > 7.0)
+  }
+
+  test("a first-pass median >=2x the official prior triggers a rerun (synthetic)") {
+    // the trigger predicate, verbatim from Bench.main's rerun loop
+    def triggers(name: String, first: Double, prior: Map[String, Double]): Boolean = {
+      val trigger = if (name.startsWith("q_stream_")) 1.5 else 2.0
+      prior.get(name).exists(p => p > 0.05 && first >= trigger * p)
+    }
+    val prior = Map("q_x" -> 1.0, "q_stream_y" -> 1.0, "q_tiny" -> 0.01)
+    assert(triggers("q_x", 2.0, prior))
+    assert(!triggers("q_x", 1.9, prior))
+    assert(triggers("q_stream_y", 1.5, prior))
+    assert(!triggers("q_tiny", 10.0, prior), "sub-50ms priors are noise, never trigger")
+    assert(!triggers("q_new", 99.0, prior), "no prior -> no trigger")
+  }
+}
