@@ -53,8 +53,14 @@ object SetSimilarityJoin {
       s"jaccardPairs: threshold must be in (0, 1], got $threshold")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+    // Token arrays are kept LEXICOGRAPHICALLY SORTED so the verification
+    // step can count overlap with a zero-allocation two-pointer merge
+    // ([[graft.functions.expressions.SortedOverlap]]) instead of
+    // size(array_intersect(...)), which allocates a hash set + an
+    // intersection array per candidate pair — at bench shape ~1.9 M pairs.
     val docs = df
-      .select(col(idCol).as("__id"), array_distinct(col(tokensCol)).as("__toks"))
+      .select(col(idCol).as("__id"),
+        array_sort(array_distinct(col(tokensCol))).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .persist(lvl)
 
@@ -109,7 +115,8 @@ object SetSimilarityJoin {
 
     val ta = docs.select(col("__id").as("id_a"), col("__toks").as("__ta"))
     val tb = docs.select(col("__id").as("id_b"), col("__toks").as("__tb"))
-    val overlap = size(array_intersect(col("__ta"), col("__tb")))
+    val overlap = graft.functions.expressions.SortedOverlap
+      .sortedOverlapCount(col("__ta"), col("__tb"))
     val union = col("__na") + col("__nb") - col("overlap")
     val result = cands
       .join(ta.withColumn("__na", size(col("__ta"))), Seq("id_a"))
@@ -152,8 +159,10 @@ object SetSimilarityJoin {
       s"containmentPairs: threshold must be in (0, 1], got $threshold")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+    // sorted for the merge-count verification (see jaccardPairs)
     val docs = df
-      .select(col(idCol).as("__id"), array_distinct(col(tokensCol)).as("__toks"))
+      .select(col(idCol).as("__id"),
+        array_sort(array_distinct(col(tokensCol))).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .persist(lvl)
     val tok = docs.select(col("__id"), explode(col("__toks")).as("__t"))
@@ -224,7 +233,8 @@ object SetSimilarityJoin {
     val result = cands
       .join(ta.withColumn("n_a", size(col("__ta"))), Seq("id_a"))
       .join(tb, Seq("id_b"))
-      .withColumn("overlap", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("overlap", graft.functions.expressions.SortedOverlap
+        .sortedOverlapCount(col("__ta"), col("__tb")))
       .withColumn("containment", col("overlap").cast("double") / col("n_a"))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("overlap"), col("containment"))
