@@ -188,7 +188,14 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
             s"startable source: maxFilesPerTrigger must be positive, got $n" +
               " (0 would stall the stream forever)")
           n
-        })
+        },
+      logCompactInterval =
+        Option(options.get("logCompactInterval")).map { s =>
+          val n = s.toInt
+          require(n > 0,
+            s"startable source: logCompactInterval must be positive, got $n")
+          n
+        }.getOrElse(10))
   }
 }
 
@@ -203,7 +210,8 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
                                        new org.apache.spark.util.SerializableConfiguration(
                                          new org.apache.hadoop.conf.Configuration()),
                                      columnarEnabled: Boolean = true,
-                                     maxFilesPerTrigger: Option[Int] = None)
+                                     maxFilesPerTrigger: Option[Int] = None,
+                                     logCompactInterval: Int = 10)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -219,7 +227,8 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
         "directory (the _startable_dataset.json layout); plain StarTable " +
         "files have no incremental-discovery contract"))
     new StarTableMicroBatchStream(files, m, checkpointLocation, sep, failFast,
-      fullSchema, required, pushed, maxSplitBytes, maxFilesPerTrigger, confS)
+      fullSchema, required, pushed, maxSplitBytes, maxFilesPerTrigger, confS,
+      logCompactInterval)
   }
 
   /** Partitioned-dataset file inventory: (path, length, raw partition

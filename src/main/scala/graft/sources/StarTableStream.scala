@@ -31,8 +31,26 @@ import org.apache.spark.sql.types.StructType
   * duplication). Spark applies query filters post-scan (DSv2 streaming
   * has no operator pushdown). `maxFilesPerTrigger` caps a micro-batch;
   * `Trigger.AvailableNow` snapshots the available set at start and drains
-  * it in capped batches. Compaction must not run while a continuous
-  * reader is attached (rewritten files would rediscover as new rows). */
+  * it in capped batches.
+  *
+  * Log compaction (the FileStreamSource discipline): every
+  * `logCompactInterval` batches (default 10) the per-batch deltas are
+  * folded into one `<batch>.compact` snapshot whose entries keep their
+  * original batch id, and covered deltas + older compacts are deleted.
+  * Restart recovery reads ONE compact plus the delta tail — O(interval)
+  * log files no matter how many batches the query has lived — where the
+  * round-9 layout re-read every per-batch file ever written. A gap in the
+  * tail still fails loudly (re-emitting logged files would be silent
+  * duplication).
+  *
+  * Dataset MUTATION under a live reader is forbidden — not just
+  * `compactStarDataset`: `writePartitionedDataset(overwriteSlices = true)`
+  * on an already-logged slice and `clusterStarDataset` carry the same
+  * hazard (a logged-but-unread file vanishes → task failure; its
+  * replacement files rediscover as brand-new rows → duplicates). A logged
+  * file that has vanished at read time names this likely cause in the
+  * task error. Stream into NEW slices (or stop the reader, maintain,
+  * restart) instead. */
 private[sources] class StarTableMicroBatchStream(
     roots: Seq[String], meta: StarTableSource.DatasetMeta,
     checkpointLocation: String,
@@ -40,7 +58,8 @@ private[sources] class StarTableMicroBatchStream(
     fullSchema: StructType, required: StructType,
     pushed: Array[Filter], maxSplitBytes: Long,
     maxFilesPerTrigger: Option[Int],
-    confS: org.apache.spark.util.SerializableConfiguration)
+    confS: org.apache.spark.util.SerializableConfiguration,
+    logCompactInterval: Int = 10)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -55,64 +74,126 @@ private[sources] class StarTableMicroBatchStream(
   /** One logged file: path, length, raw partition values. */
   private type Entry = (String, Long, Seq[String])
 
-  private def writeLog(batch: Long, entries: Seq[Entry]): Unit = {
+  /** Per-batch entries, held in memory once read/written so every
+    * planInputPartitions replay and the compaction fold are O(1) log-file
+    * IO. Memory is one record per discovered file — the same order as
+    * `seenPaths`, which any file-discovery source fundamentally carries. */
+  private val perBatch = scala.collection.mutable.LongMap.empty[Vector[Entry]]
+
+  private def entryJson(e: Entry, batch: Option[Long]): graft.io.JsonValue.JsonObject = {
     import graft.io.JsonValue._
-    val arr = JsonArray(entries.toVector.map { case (p, len, raw) =>
-      JsonObject(scala.collection.immutable.ListMap(
-        "path" -> JsonString(p), "len" -> JsonNumber(len.toDouble),
-        "part" -> JsonArray(raw.toVector.map(v =>
-          if (v == null) JsonNull else JsonString(v)))))
-    })
+    JsonObject(scala.collection.immutable.ListMap(
+      "path" -> JsonString(e._1), "len" -> JsonNumber(e._2.toDouble),
+      "part" -> JsonArray(e._3.toVector.map(v =>
+        if (v == null) JsonNull else JsonString(v)))) ++
+      batch.map(b => "batch" -> (JsonNumber(b.toDouble): graft.io.JsonValue)))
+  }
+
+  private def parseEntry(v: graft.io.JsonValue): (Entry, Option[Long]) = {
+    import graft.io.JsonValue._
+    val o = v.asInstanceOf[JsonObject]
+    ((o.fields("path").asInstanceOf[JsonString].value,
+      o.fields("len").asInstanceOf[JsonNumber].value.toLong,
+      o.fields("part").asInstanceOf[JsonArray].values.map {
+        case JsonString(s) => s
+        case _             => null
+      }),
+      o.fields.get("batch").collect { case JsonNumber(b) => b.toLong })
+  }
+
+  private def commitFile(name: String, body: String): Unit = {
     fs.mkdirs(logDir)
-    val tmp = new org.apache.hadoop.fs.Path(logDir, s".$batch.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(logDir, s".$name.tmp")
     val os = fs.create(tmp, true)
-    try os.write(graft.io.JsonValue.write(arr).getBytes("UTF-8"))
-    finally os.close()
-    val dst = new org.apache.hadoop.fs.Path(logDir, batch.toString)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    val dst = new org.apache.hadoop.fs.Path(logDir, name)
     if (!fs.rename(tmp, dst) && !fs.exists(dst))
       throw new java.io.IOException(s"startable stream: could not commit $dst")
   }
 
-  private def readLog(batch: Long): Seq[Entry] = {
+  private def writeLog(batch: Long, entries: Seq[Entry]): Unit = {
     import graft.io.JsonValue._
-    val p = new org.apache.hadoop.fs.Path(logDir, batch.toString)
-    val txt = try {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    } catch {
-      case e: java.io.IOException =>
-        // a gap in the log means the checkpoint is damaged: re-emitting
-        // the files it covered would be SILENT duplication — refuse
-        throw new IllegalStateException(
-          s"startable stream: missing/unreadable file-log entry $p — " +
-            "the checkpoint is damaged; restore it or start a fresh " +
-            "checkpoint", e)
-    }
-    graft.io.JsonValue.parse(txt).asInstanceOf[JsonArray].values.map { v =>
-      val o = v.asInstanceOf[JsonObject]
-      (o.fields("path").asInstanceOf[JsonString].value,
-        o.fields("len").asInstanceOf[JsonNumber].value.toLong,
-        o.fields("part").asInstanceOf[JsonArray].values.map {
-          case JsonString(s) => s
-          case _             => null
-        })
-    }
+    commitFile(batch.toString,
+      graft.io.JsonValue.write(JsonArray(entries.toVector.map(entryJson(_, None)))))
+    perBatch(batch) = entries.toVector
+    if (logCompactInterval > 0 && batch % logCompactInterval == 0)
+      compactLog(batch)
   }
 
+  /** Fold every batch ≤ `upTo` into `<upTo>.compact` (entries keep their
+    * batch id so any offset range replans exactly), then delete the covered
+    * deltas and older compacts — best-effort: a crash between commit and
+    * cleanup only leaves extra files, which recovery ignores in favor of
+    * the newest compact. */
+  private def compactLog(upTo: Long): Unit = {
+    import graft.io.JsonValue._
+    val all = perBatch.toSeq.filter(_._1 <= upTo).sortBy(_._1)
+    commitFile(s"$upTo.compact", graft.io.JsonValue.write(JsonArray(
+      all.flatMap { case (b, es) => es.map(entryJson(_, Some(b))) }.toVector)))
+    val stale = try {
+      fs.listStatus(logDir).toSeq.map(_.getPath.getName).filter { n =>
+        (n.forall(_.isDigit) && n.toLong <= upTo) ||
+          (n.endsWith(".compact") && n.stripSuffix(".compact").forall(_.isDigit) &&
+            n.stripSuffix(".compact").toLong < upTo)
+      }
+    } catch { case _: java.io.IOException => Nil }
+    stale.foreach(n =>
+      try fs.delete(new org.apache.hadoop.fs.Path(logDir, n), false)
+      catch { case _: java.io.IOException => () })
+  }
+
+  private def readLog(batch: Long): Seq[Entry] =
+    perBatch.getOrElse(batch, {
+      import graft.io.JsonValue._
+      val p = new org.apache.hadoop.fs.Path(logDir, batch.toString)
+      val txt = try {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch {
+        case e: java.io.IOException =>
+          // a gap in the log means the checkpoint is damaged: re-emitting
+          // the files it covered would be SILENT duplication — refuse
+          throw new IllegalStateException(
+            s"startable stream: missing/unreadable file-log entry $p — " +
+              "the checkpoint is damaged; restore it or start a fresh " +
+              "checkpoint", e)
+      }
+      val es = graft.io.JsonValue.parse(txt).asInstanceOf[JsonArray]
+        .values.map(parseEntry(_)._1).toVector
+      perBatch(batch) = es
+      es
+    })
+
   /** Recover (lastBatch, seen paths) from an existing log — restart path.
-    * Every entry in [1, lastBatch] must be readable (gaps fail loudly in
+    * Reads the newest `.compact` snapshot plus the delta tail above it:
+    * O(logCompactInterval) files regardless of stream age. Every delta in
+    * (compactBatch, lastBatch] must be readable (gaps fail loudly in
     * [[readLog]]); only a wholly absent log dir means a fresh query. */
   private def recover(): (Long, scala.collection.mutable.Set[String]) = {
+    import graft.io.JsonValue._
     val seen = scala.collection.mutable.Set.empty[String]
-    var last = 0L
-    val ids: Seq[Long] =
+    val names: Seq[String] =
       try fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-        .filter(n => !n.startsWith(".") && n.forall(_.isDigit)).map(_.toLong)
+        .filter(!_.startsWith("."))
       catch { case _: java.io.FileNotFoundException => Nil }
-    if (ids.nonEmpty) {
-      last = ids.max
-      (1L to last).foreach(b => readLog(b).foreach(e => seen += e._1))
+    val compactIds = names.filter(_.endsWith(".compact"))
+      .map(_.stripSuffix(".compact")).filter(_.forall(_.isDigit)).map(_.toLong)
+    val deltaIds = names.filter(n => n.forall(_.isDigit) && n.nonEmpty).map(_.toLong)
+    val compactBase = compactIds.maxOption.getOrElse(0L)
+    val last = (compactIds ++ deltaIds).maxOption.getOrElse(0L)
+    if (compactBase > 0) {
+      val p = new org.apache.hadoop.fs.Path(logDir, s"$compactBase.compact")
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val grouped = graft.io.JsonValue.parse(txt).asInstanceOf[JsonArray].values
+        .map(parseEntry).map { case (e, b) =>
+          (b.getOrElse(throw new IllegalStateException(
+            s"startable stream: compact entry without batch id in $p")), e)
+        }.groupBy(_._1)
+      grouped.foreach { case (b, es) => perBatch(b) = es.map(_._2).toVector }
     }
+    ((compactBase + 1) to last).foreach(b => readLog(b))
+    perBatch.values.foreach(_.foreach(e => seen += e._1))
     (last, seen)
   }
 
@@ -125,7 +206,8 @@ private[sources] class StarTableMicroBatchStream(
     StarTableStreamUtil.sinkManifestFiles(roots.head, confS.value) match {
       case Some(files) =>
         files.map { case (p, len) =>
-          (p, len, StarTableStreamUtil.partitionValuesFromPath(p, meta.partCols))
+          (p, len, StarTableStreamUtil.partitionValuesFromPath(
+            p, meta.partCols, roots.head))
         }
       case None =>
         StarTableSource.listPartitionedFiles(roots, meta.partCols, confS.value)
@@ -200,7 +282,7 @@ private[sources] class StarTableMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-private[sources] object StarTableStreamUtil {
+private[graft] object StarTableStreamUtil {
 
   /** Committed (path, size) entries from a streaming file sink's
     * `_spark_metadata` manifest, or None when the directory carries no
@@ -251,15 +333,29 @@ private[sources] object StarTableStreamUtil {
   /** Raw partition values for `partCols`, parsed from a file path's
     * `col=value` segments below `root` (unescaped; default-partition
     * marker → null). Missing columns fail loudly — a silently null-padded
-    * slice would corrupt joins (same contract as the listing). */
+    * slice would corrupt joins (same contract as the listing).
+    *
+    * The climb stops at `root` itself, not merely at the first '='-less
+    * ancestor: a dataset ROOTED under a directory whose own name contains
+    * '=' (e.g. `/runs/run=5/dataset`... or the root being `.../run=5`)
+    * must not contribute a bogus `run -> 5` pair that could shadow a
+    * same-named partition column. */
   def partitionValuesFromPath(path: String,
-                              partCols: Seq[String]): Seq[String] = {
+                              partCols: Seq[String],
+                              root: String = null): Seq[String] = {
     val rel = new org.apache.hadoop.fs.Path(path)
+    // scheme-insensitive root comparison: manifest paths arrive as
+    // qualified URIs (file:/x/y) while the root option is often a bare
+    // path — compare the URI path component
+    val rootPath = Option(root)
+      .map(r => new org.apache.hadoop.fs.Path(r).toUri.getPath)
+    def isRoot(p: org.apache.hadoop.fs.Path): Boolean =
+      rootPath.contains(p.toUri.getPath)
     var spec = Map.empty[String, String]
     var p = rel.getParent
     // partition segments are exactly the `col=value` dirs under the root;
-    // the climb stops at the first '='-less ancestor (the root itself)
-    while (p != null && p.getName.indexOf('=') > 0) {
+    // the climb stops at the root (or, rootless, the first '='-less dir)
+    while (p != null && !isRoot(p) && p.getName.indexOf('=') > 0) {
       val n = p.getName
       val eq = n.indexOf('=')
       val k = StarTableSource.unescapePathName(n.substring(0, eq))

@@ -121,6 +121,68 @@ class StarTableStreamSpec extends AnyFunSuite {
     } finally r.stop()
   }
 
+  test("log compaction: 100+ micro-batches leave O(interval) log files, " +
+    "restart recovers from the newest compact + tail with no duplicates") {
+    val base = Files.createTempDirectory("graft_sread_c")
+    val out = base.resolve("ds").toString
+    val ckpt = base.resolve("ckpt").toString
+    val sink = base.resolve("sink").toString
+    writeSlice(out, (0 until 120).map(i => (s"g$i", i.toDouble)),
+      overwrite = false)
+
+    def start() =
+      spark.readStream.format("startable")
+        .option("maxFilesPerTrigger", "1") // 1 file per micro-batch → 120 batches
+        .option("logCompactInterval", "10")
+        .load(out)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+
+    // DSv2 hands each source <ckpt>/sources/<i> as its checkpoint root
+    val logDir = java.nio.file.Paths.get(ckpt, "sources", "0", "graft-files")
+    import scala.jdk.CollectionConverters._
+    val fileNames = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filterNot(n => n.startsWith(".") || n.endsWith(".crc")).toSeq
+    val compacts = fileNames.filter(_.endsWith(".compact"))
+    val deltas = fileNames.filterNot(_.endsWith(".compact"))
+    assert(compacts.size == 1,
+      s"expected exactly the newest compact to survive, got $compacts")
+    assert(deltas.size < 10,
+      s"deltas beyond the compact interval survived compaction: $deltas")
+    assert(fileNames.size < 12,
+      s"log did not stay O(interval) after 120 batches: ${fileNames.size} files")
+
+    // restart: recovery reads compact + tail; a fresh slice appends exactly once
+    writeSlice(out, Seq(("extra", 777.0)), overwrite = true)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(sink).select("grp", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.length == 121, s"expected 121 rows exactly once, got ${rows.length}")
+    assert(rows.toSet.contains(("extra", 777.0)))
+    assert(rows.distinct.length == rows.length, "restart duplicated rows")
+  }
+
+  test("a dataset rooted under an '='-named directory does not leak a bogus " +
+    "partition value (manifest-discovery path-parse stops at the root)") {
+    val vals = graft.sources.StarTableStreamUtil.partitionValuesFromPath(
+      "/runs/run=5/grp=a/part-0.csv", Seq("grp"), root = "/runs/run=5")
+    assert(vals == Seq("a"))
+    // the bogus ancestor pair must not shadow a REAL partition column
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.StarTableStreamUtil.partitionValuesFromPath(
+        "/runs/run=5/grp=a/part-0.csv", Seq("run"), root = "/runs/run=5")
+    }
+    assert(e.getMessage.contains("run"))
+    // scheme-insensitive: qualified manifest URI vs bare root path
+    assert(graft.sources.StarTableStreamUtil.partitionValuesFromPath(
+      "file:/runs/run=5/grp=b/part-0.csv", Seq("grp"), root = "/runs/run=5")
+      == Seq("b"))
+  }
+
   test("maxFilesPerTrigger bounds a micro-batch; a plain (non-dataset) " +
     "path refuses streaming loudly") {
     val base = Files.createTempDirectory("graft_sread_m")
