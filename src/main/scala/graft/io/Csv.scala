@@ -536,16 +536,24 @@ object CsvWriter {
           m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition)) ++ fresh
         case _ => fresh
       }
-    // per-FILE stats (clustering output) survive for untouched slices only;
-    // a rewritten slice's files have fresh names, so stale entries would be
-    // inert anyway — stripping is hygiene, not correctness
-    val files: Seq[graft.sources.StarTableSource.FileStats] =
+    // per-FILE stats: survivors from untouched slices (a rewritten slice's
+    // files have fresh names, so stale entries would be inert anyway —
+    // stripping is hygiene) PLUS fresh entries for just-written MULTI-file
+    // slices (filesPerSlice salting / unshuffled writes), so file-tier
+    // skipping works from write time, not only after clusterStarDataset
+    val survivors: Seq[graft.sources.StarTableSource.FileStats] =
       if (capped) Nil
       else existingMeta.map(
         _.fileStats.filterNot(s => rewrittenParts.contains(s.partition)))
         .getOrElse(Nil)
+    val written: Seq[graft.sources.StarTableSource.FileStats] =
+      if (capped || !collectStats) Nil
+      else computeWrittenFileStats(t.df.sparkSession, outDir, dataCols,
+        dataCols.map(t.unit), partitionBy, sep, naRep,
+        onlySlices = if (overwriteSlices) Some(rewrittenParts) else None)
     // sidecar LAST: readers refuse a dataset without it
-    writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats, files)
+    writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats,
+      survivors ++ written)
   }
 
   /** Test-only fault injection for crash-consistency drills: called at
@@ -675,6 +683,83 @@ object CsvWriter {
     })
   }
 
+  /** Reader-faithful typed expression over data column `i` of a
+    * rendered-cells array — mirrors the reader's unit parsers (null where
+    * the reader yields null; datetime stays a string, whose fixed-width
+    * rendering orders chronologically; the onoff parse never yields null —
+    * any non-true cell goes through the fixer to FALSE; Spark's cast
+    * accepts "Infinity" but the reader's lowercased parse does not, so
+    * NaN/infinities are null like the slice-tier stats). Shared by the
+    * clustering pass and the write-time per-file statistics. */
+  private[graft] def parsedCellExpr(cells: Column, i: Int, unit: String): Column = {
+    val e = element_at(cells, i + 1)
+    unit match {
+      case "text"     => e
+      case "datetime" => when(e.rlike("^[0-9]"), e)
+      case "onoff"    => when(lower(e).isin("1", "true"), 1).otherwise(0)
+      case _          =>
+        val d = e.cast(DoubleType)
+        when(!isnan(d) &&
+          !d.isin(Double.PositiveInfinity, Double.NegativeInfinity), d)
+    }
+  }
+
+  /** Per-FILE statistics computed by reading back the MULTI-file slices of
+    * a just-written dataset (single-file slices are fully described by
+    * their slice entry — only files that could be individually skipped are
+    * profiled). One distributed aggregate grouped by input file; the
+    * read-back volume is exactly the multi-file slices, which under the
+    * default `filesPerSlice = 1` shuffled write is zero. Returns entries
+    * sorted by (partition, basename) for a deterministic sidecar. */
+  private def computeWrittenFileStats(spark: SparkSession, outDir: String,
+                                      dataCols: Seq[String], units: Seq[String],
+                                      partitionBy: Seq[String], sep: String,
+                                      naRep: String,
+                                      onlySlices: Option[Set[Seq[String]]])
+      : Seq[graft.sources.StarTableSource.FileStats] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val listing = graft.sources.StarTableSource.listPartitionedFiles(
+      Seq(outDir), partitionBy, conf)
+    val targets = listing.groupBy(_._3)
+      .filter { case (raw, fsOf) =>
+        fsOf.sizeIs > 1 && onlySlices.forall(_.contains(raw))
+      }
+    val targetFiles = targets.values.flatten.map(_._1).toSeq.sorted
+    if (targetFiles.isEmpty) return Nil
+    if (targetFiles.size > MaxStatSlices) {
+      System.err.println(s"[graft] WARN writePartitionedDataset: more than " +
+        s"$MaxStatSlices multi-file-slice files — skipping per-file " +
+        "statistics (reads stay correct, file skipping disabled)")
+      return Nil
+    }
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val cells = split(col("value"), qsep, -1).as("__cs")
+    val aggs = dataCols.indices.flatMap { i =>
+      val v = parsedCellExpr(col("__cs"), i, units(i))
+      Seq(min(v).as(s"__min_$i"), max(v).as(s"__max_$i"),
+        count(when(v.isNull, 1)).as(s"__nulls_$i"))
+    } :+ count(lit(1)).as("__rows")
+    val rows = spark.read.text(targetFiles: _*)
+      .select(input_file_name().as("__f"), cells)
+      .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*).collect()
+    rows.toSeq.map { r =>
+      // input_file_name yields a qualified URI; normalize like the listing
+      val p = try new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+      catch { case _: Exception => new org.apache.hadoop.fs.Path(r.getString(0)) }
+      val raw = graft.sources.StarTableStreamUtil.partitionValuesFromPath(
+        p.toString, partitionBy, outDir)
+      val stats = dataCols.zipWithIndex.map { case (c, i) =>
+        c -> graft.sources.StarTableSource.ColStats(
+          renderStat(r.get(1 + i * 3), units(i), naRep),
+          renderStat(r.get(1 + i * 3 + 1), units(i), naRep),
+          r.getLong(1 + i * 3 + 2))
+      }.toMap
+      graft.sources.StarTableSource.FileStats(
+        raw, p.getName, r.getLong(1 + dataCols.size * 3), stats)
+    }.sortBy(s => (s.partition.map(v => if (v == null) "" else v).mkString(" "),
+      s.file))
+  }
+
   /** Render one collected stat value exactly as a data cell of its unit
     * would be (so the reader's re-parse yields the cell's value). */
   private[graft] def renderStat(v: Any, unit: String, naRep: String): String = v match {
@@ -774,6 +859,10 @@ object CsvWriter {
           throw new java.io.IOException(
             s"writeDatasetSidecar: could not install $metaPath")
     }
+    // the reader memoizes parsed sidecars by (path, len, mtime) — a
+    // same-length rewrite inside the FS's mtime resolution would otherwise
+    // serve the OLD stats from cache and could wrongly skip files
+    graft.sources.StarTableSource.invalidateMetaCache(outDir)
   }
 
   val DatasetMetaFile = "_startable_dataset.json"

@@ -23,6 +23,41 @@ object Maintenance {
   final case class CompactionReport(filesBefore: Long, bytesBefore: Long,
                                     filesAfter: Long, bytesAfter: Long)
 
+  /** Bounded-concurrency map preserving input order — the per-slice job
+    * runner for compact/cluster. A 10k-slice dataset maintained strictly
+    * serially pays 10k × (job schedule + listing + two renames) of pure
+    * driver/FS floor on an otherwise idle cluster; running `parallelism`
+    * leaf jobs concurrently overlaps that floor with executor work while
+    * each leaf keeps its own staging-and-swap crash discipline (leaves are
+    * independent directories — no shared mutable files). Spark job
+    * submission is thread-safe by design (the scheduler interleaves
+    * concurrent jobs' tasks). The first failure is rethrown AS-IS (cause
+    * unwrapped from the pool's ExecutionException) after the in-flight
+    * leaves drain, so refusal/crash semantics match the serial loop. */
+  private def parMapLeaves[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+    if (items.sizeIs <= 1 || parallelism <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      try {
+        val futs = items.map { a =>
+          pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) })
+        }
+        futs.map { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdownNow()
+    }
+
+  /** Concurrent leaf jobs for dataset maintenance (compact/cluster).
+    * Override via spark.graft.maintenance.parallelism; the default 8 keeps
+    * the driver's concurrent-job bookkeeping small while hiding the
+    * per-leaf scheduling floor. */
+  private def maintenanceParallelism(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.maintenance.parallelism")
+      .map(_.toInt).getOrElse(8)
+
   /** Rewrite the parquet directory at `path` as ~`targetBytes`-sized
     * files: the file count becomes ceil(input bytes / targetBytes)
     * (parquet re-encoding changes exact sizes — the PLANNED sizes use the
@@ -119,11 +154,12 @@ object Maintenance {
         after.size.toLong, after.map(_.getLen).sum)
     }
 
-    leaves(root).map(compactDir).foldLeft(CompactionReport(0, 0, 0, 0)) {
-      (a, b) => CompactionReport(a.filesBefore + b.filesBefore,
-        a.bytesBefore + b.bytesBefore, a.filesAfter + b.filesAfter,
-        a.bytesAfter + b.bytesAfter)
-    }
+    parMapLeaves(leaves(root), maintenanceParallelism(spark))(compactDir)
+      .foldLeft(CompactionReport(0, 0, 0, 0)) {
+        (a, b) => CompactionReport(a.filesBefore + b.filesBefore,
+          a.bytesBefore + b.bytesBefore, a.filesAfter + b.filesAfter,
+          a.bytesAfter + b.bytesAfter)
+      }
   }
 
   /** Compact a hive-partitioned StarTable dataset (the
@@ -210,30 +246,10 @@ object Maintenance {
     val fs = new Path(path).getFileSystem(conf)
     val qsep = java.util.regex.Pattern.quote(meta.sep)
 
-    /** Parse-faithful typed expression for data column `i` of the cells
-      * array — mirrors the reader's unit parsers (null where the reader
-      * yields null; datetime stays a string, whose fixed-width rendering
-      * orders chronologically). */
-    def cellExpr(cells: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
-      val e = element_at(cells, i + 1)
-      meta.units(i) match {
-        case "text"     => e
-        case "datetime" => when(e.rlike("^[0-9]"), e)
-        case "onoff"    =>
-          // the reader's onoff parse NEVER yields null — any non-true cell
-          // (naRep, junk) goes through the fixer to FALSE; stats must
-          // mirror that or IsNotNull/EqualTo(false) would skip files whose
-          // rows all match
-          when(lower(e).isin("1", "true"), 1).otherwise(0)
-        case _          =>
-          // Spark's cast accepts "Infinity" but the reader's lowercased
-          // parse does not (fixes to null) — treat NaN and infinities as
-          // null, like the slice-tier stats
-          val d = e.cast(DoubleType)
-          when(!isnan(d) &&
-            !d.isin(Double.PositiveInfinity, Double.NegativeInfinity), d)
-      }
-    }
+    // parse-faithful typed cell expression, shared with the write-time
+    // file-stats pass (single source of the reader-null semantics)
+    def cellExpr(cells: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+      graft.io.CsvWriter.parsedCellExpr(cells, i, meta.units(i))
 
     // slice inventory: files grouped by leaf directory
     val files = graft.sources.StarTableSource.listPartitionedFiles(
@@ -244,16 +260,21 @@ object Maintenance {
           ((dir, raw), fsOfDir.map(x => (x._1, x._2)))
         }.toSeq.sortBy(_._1._1)
 
-    var filesBefore = 0L; var filesAfter = 0L
-    var bytesBefore = 0L; var bytesAfter = 0L
-    var statsCapped = false
-    val allFileStats =
-      scala.collection.mutable.ArrayBuffer.empty[graft.sources.StarTableSource.FileStats]
+    // cap coordination across concurrent leaf jobs: a running entry count
+    // flips `capped` the moment the total crosses MaxStatSlices, so leaves
+    // STARTING after that skip their stats aggregate entirely and the
+    // driver never accumulates more than cap + in-flight entries
+    val statCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    val capped = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-    byLeaf.foreach { case ((dir, raw), slice) =>
+    final case class LeafResult(filesBefore: Long, bytesBefore: Long,
+                                filesAfter: Long, bytesAfter: Long,
+                                stats: Seq[graft.sources.StarTableSource.FileStats])
+
+    def clusterLeaf(dir: String, raw: Seq[String],
+                    slice: Seq[(String, Long)]): LeafResult = {
       val leaf = new Path(dir)
       val bytes = slice.map(_._2).sum
-      filesBefore += slice.size; bytesBefore += bytes
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val staging = new Path(leaf.getParent, "." + leaf.getName + "__clustering")
       if (fs.exists(staging)) fs.delete(staging, true)
@@ -272,7 +293,7 @@ object Maintenance {
       // once the cardinality cap is blown (the files still cluster; only
       // the metadata degrades)
       val statRows: Array[org.apache.spark.sql.Row] =
-        if (statsCapped) Array.empty
+        if (capped.get()) Array.empty
         else {
           val statCells = split(col("value"), qsep, -1).as("__cs")
           val aggs = meta.cols.indices.flatMap { i =>
@@ -288,7 +309,7 @@ object Maintenance {
       faultHook("cluster:staged")
       swapLeaf(fs, "clusterStarDataset", leaf, staging)
 
-      statRows.foreach { r =>
+      val leafStats = statRows.toSeq.map { r =>
         val base = new Path(r.getString(0)).getName
         val stats = meta.cols.zipWithIndex.map { case (c, i) =>
           c -> graft.sources.StarTableSource.ColStats(
@@ -296,19 +317,26 @@ object Maintenance {
             graft.io.CsvWriter.renderStat(r.get(1 + i * 3 + 1), meta.units(i), "-"),
             r.getLong(1 + i * 3 + 2))
         }.toMap
-        allFileStats += graft.sources.StarTableSource.FileStats(
+        graft.sources.StarTableSource.FileStats(
           raw, base, r.getLong(1 + meta.cols.size * 3), stats)
       }
-      if (!statsCapped && allFileStats.size > graft.io.CsvWriter.MaxStatSlices) {
-        // blow the cap ONCE: drop what accumulated and stop aggregating —
-        // later slices still cluster, the driver never holds > cap entries
-        statsCapped = true
-        allFileStats.clear()
-      }
+      if (statCount.addAndGet(leafStats.size.toLong) > graft.io.CsvWriter.MaxStatSlices)
+        capped.set(true)
       val after = fs.listStatus(leaf).filter(s => s.isFile &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      filesAfter += after.length; bytesAfter += after.map(_.getLen).sum
+      LeafResult(slice.size.toLong, bytes, after.length.toLong,
+        after.map(_.getLen).sum, leafStats)
     }
+
+    val results = parMapLeaves(byLeaf, maintenanceParallelism(spark)) {
+      case ((dir, raw), slice) => clusterLeaf(dir, raw, slice)
+    }
+    val filesBefore = results.map(_.filesBefore).sum
+    val bytesBefore = results.map(_.bytesBefore).sum
+    val filesAfter = results.map(_.filesAfter).sum
+    val bytesAfter = results.map(_.bytesAfter).sum
+    val statsCapped = capped.get()
+    val allFileStats = if (statsCapped) Nil else results.flatMap(_.stats)
 
     // sidecar LAST: slice stats are reorder-invariant (kept verbatim);
     // file entries replace wholesale (every slice was rewritten); above
@@ -319,7 +347,7 @@ object Maintenance {
           s"${graft.io.CsvWriter.MaxStatSlices} files — skipping per-file " +
           "statistics (reads stay correct, file skipping disabled)")
         Nil
-      } else allFileStats.toSeq
+      } else allFileStats
     graft.io.CsvWriter.writeSidecarRaw(path, meta, keptFileStats)
     ClusterReport(byLeaf.size.toLong, filesBefore, filesAfter, bytesBefore,
       bytesAfter, keptFileStats.size.toLong)

@@ -907,6 +907,20 @@ private[graft] object StarTableSource {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), DatasetMeta]()
 
+  /** Drop every cached parse of `outDir`'s sidecar. The (len, mtime) key
+    * cannot distinguish a same-length rewrite within the filesystem's
+    * mtime resolution (coarse on some stores), so the WRITER invalidates
+    * explicitly after each sidecar install — the in-JVM analog of the
+    * crash-window stats stripping: a stale cached entry could serve old
+    * min/max ranges and wrongly skip files that hold matching new rows. */
+  private[graft] def invalidateMetaCache(outDir: String): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(outDir),
+      graft.io.CsvWriter.DatasetMetaFile).toString
+    val it = metaCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == metaPath) it.remove()
+  }
+
   def readDatasetMeta(roots: Seq[String],
                       conf: org.apache.hadoop.conf.Configuration = activeHadoopConf())
       : Option[DatasetMeta] = {
@@ -990,36 +1004,79 @@ private[graft] object StarTableSource {
     * Directory names follow the hive `col=value` convention with Spark's
     * %XX path escaping; the default-partition marker reads back as null.
     * Files under directories that don't supply ALL partition columns are
-    * refused loudly (a silently null-padded slice would corrupt joins). */
+    * refused loudly (a silently null-padded slice would corrupt joins).
+    *
+    * The walk proceeds breadth-first in WAVES, and any wave holding
+    * `parallelListingThreshold`+ directories is listed on a bounded thread
+    * pool (Spark's InMemoryFileIndex discipline): a strictly serial
+    * `listStatus`-per-directory walk over a 100k-slice dataset on an
+    * object store is minutes of pure round-trip latency the pool hides.
+    * One task per directory, no nested blocking (the next wave is built
+    * AFTER the pool drains), so a fixed pool cannot deadlock. Output
+    * order is the DFS name-sorted order of the serial walk (path-component
+    * sort below) — callers pin plans and batch composition to it. */
   def listPartitionedFiles(roots: Seq[String], partCols: Seq[String],
-                           conf: org.apache.hadoop.conf.Configuration = activeHadoopConf())
+                           conf: org.apache.hadoop.conf.Configuration = activeHadoopConf(),
+                           listingParallelism: Int = 16,
+                           parallelListingThreshold: Int = 8)
       : Seq[(String, Long, Seq[String])] = {
     roots.flatMap { r =>
       val root = new org.apache.hadoop.fs.Path(r)
       val fs = root.getFileSystem(conf)
-      def walk(p: org.apache.hadoop.fs.Path,
-               spec: Map[String, String]): Seq[(String, Long, Seq[String])] =
-        fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { s =>
-          val n = s.getPath.getName
-          if (n.startsWith("_") || n.startsWith(".")) Nil
-          else if (s.isDirectory) {
-            val eq = n.indexOf('=')
-            if (eq <= 0) Nil // not a partition dir: ignore (staging etc.)
-            else {
-              val k = unescapePathName(n.substring(0, eq))
-              val v0 = unescapePathName(n.substring(eq + 1))
-              val v = if (v0 == "__HIVE_DEFAULT_PARTITION__") null else v0
-              walk(s.getPath, spec + (k -> v))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Seq[String])]
+      var wave: Seq[(org.apache.hadoop.fs.Path, Map[String, String])] =
+        Seq((root, Map.empty))
+      while (wave.nonEmpty) {
+        val listed: Seq[((org.apache.hadoop.fs.Path, Map[String, String]),
+          Seq[org.apache.hadoop.fs.FileStatus])] =
+          if (wave.sizeIs >= parallelListingThreshold && listingParallelism > 1) {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(listingParallelism, wave.size))
+            try {
+              val futs = wave.map { w =>
+                w -> pool.submit(new java.util.concurrent.Callable[
+                  Seq[org.apache.hadoop.fs.FileStatus]] {
+                  def call() = fs.listStatus(w._1).toSeq
+                })
+              }
+              futs.map { case (w, f) =>
+                try w -> f.get()
+                catch {
+                  case e: java.util.concurrent.ExecutionException => throw e.getCause
+                }
+              }
+            } finally pool.shutdownNow()
+          } else wave.map(w => w -> fs.listStatus(w._1).toSeq)
+
+        val next = Seq.newBuilder[(org.apache.hadoop.fs.Path, Map[String, String])]
+        listed.foreach { case ((_, spec), entries) =>
+          entries.foreach { s =>
+            val n = s.getPath.getName
+            if (n.startsWith("_") || n.startsWith(".")) ()
+            else if (s.isDirectory) {
+              val eq = n.indexOf('=')
+              if (eq <= 0) () // not a partition dir: ignore (staging etc.)
+              else {
+                val k = unescapePathName(n.substring(0, eq))
+                val v0 = unescapePathName(n.substring(eq + 1))
+                val v = if (v0 == "__HIVE_DEFAULT_PARTITION__") null else v0
+                next += ((s.getPath, spec + (k -> v)))
+              }
+            } else {
+              val missing = partCols.filterNot(spec.contains)
+              require(missing.isEmpty,
+                s"startable source: data file ${s.getPath} lacks partition " +
+                  s"value(s) for ${missing.mkString(", ")} in its path")
+              out += ((s.getPath.toString, s.getLen, partCols.map(spec(_))))
             }
-          } else {
-            val missing = partCols.filterNot(spec.contains)
-            require(missing.isEmpty,
-              s"startable source: data file ${s.getPath} lacks partition " +
-                s"value(s) for ${missing.mkString(", ")} in its path")
-            Seq((s.getPath.toString, s.getLen, partCols.map(spec(_))))
           }
         }
-      walk(root, Map.empty)
+        wave = next.result()
+      }
+      // DFS name-sorted order, reconstructed: lexicographic over path
+      // COMPONENTS (a flat string sort would order "a-b/x" before "a/z")
+      out.sortBy(f => f._1.split('/').toSeq)(
+        scala.math.Ordering.Implicits.seqOrdering[Seq, String]).toSeq
     }
   }
 

@@ -61,6 +61,43 @@ class ClusterStarDatasetSpec extends AnyFunSuite {
     assert(back.filter(col("x") === 117.0).count() == 1)
   }
 
+  test("write-time per-file stats: an UN-clustered multi-file slice skips " +
+    "files on a range predicate when the ingest order correlates with x") {
+    // time-ordered ingest shape: upstream range-partitioned by x, written
+    // UNSHUFFLED (numFiles = 0) — each task writes its own file per slice,
+    // so a slice's files carry disjoint x ranges straight from the writer
+    val rows = (0 until 6000).map(i => (s"g${i % 2}", i.toDouble, s"tag$i"))
+    val df = rows.toDF("grp", "x", "tag").repartitionByRange(6, col("x"))
+    val t = graft.model.StarTable.fromDataFrame(df, "clustered",
+      units = Map("grp" -> "text", "tag" -> "text"))
+    val out = Files.createTempDirectory("graft_wstats").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"))
+    val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(out)).get
+    assert(meta.fileStats.size > 2,
+      s"write-time file stats missing for multi-file slices: ${meta.fileStats.size}")
+    // NO clusterStarDataset ran — skipping must come from the write itself
+    val back = spark.read.format("startable").load(out)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val got = back.filter(col("x") >= 100.0 && col("x") < 120.0)
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(got == (100 until 120).map(i => s"tag$i").toSet)
+    assert(graft.sources.StarTableSource.filesSkippedByStats.sum() > 0,
+      "write-time per-file stats skipped nothing")
+    assert(graft.sources.StarTableSource.linesParsed.sum() < 6000 / 2,
+      s"range scan parsed ${graft.sources.StarTableSource.linesParsed.sum()} " +
+        "of 6000 lines despite write-time file stats")
+    // single-file slices (the default shuffled write) stay stat-free at
+    // file tier: nothing beyond their slice entry to record
+    val single = Files.createTempDirectory("graft_wstats1").toString
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(rows.toDF("grp", "x", "tag"),
+        "clustered", units = Map("grp" -> "text", "tag" -> "text")),
+      single, Seq("grp"), numFiles = 4)
+    val metaS = graft.sources.StarTableSource.readDatasetMeta(Seq(single)).get
+    assert(metaS.fileStats.isEmpty,
+      "single-file slices must not pay a read-back for file stats")
+  }
+
   test("a crash after staging, before the slice swap, leaves reads and " +
     "stats exactly as before; a rerun completes") {
     val out = mkDataset()

@@ -975,4 +975,32 @@ class StarTableSourceSpec extends AnyFunSuite {
       s"small startable dim should auto-broadcast:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("parallel file listing over a many-slice layout returns exactly the " +
+    "serial walk's files in the serial walk's order") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_parlist")
+    val out = base.resolve("ds").toString
+    // 60 slices across two partition levels — well over the parallel
+    // threshold — including names a FLAT string sort would misorder
+    // relative to the DFS component sort ("a-b" vs "a")
+    val rows = (0 until 60).map(i => (s"s${i % 12}", s"d${i % 5}", i.toDouble)) ++
+      Seq(("a", "x", 100.0), ("a-b", "x", 101.0))
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(rows.toDF("src", "day", "v"), "t",
+        units = Map("src" -> "text", "day" -> "text")),
+      out, Seq("src", "day"))
+    val conf = spark.sessionState.newHadoopConf()
+    val serial = graft.sources.StarTableSource.listPartitionedFiles(
+      Seq(out), Seq("src", "day"), conf, listingParallelism = 1)
+    val parallel = graft.sources.StarTableSource.listPartitionedFiles(
+      Seq(out), Seq("src", "day"), conf,
+      listingParallelism = 16, parallelListingThreshold = 2)
+    assert(serial.nonEmpty && serial.size >= 60)
+    assert(parallel === serial,
+      "parallel listing diverged from the serial walk (set or order)")
+    // reads over the layout stay correct
+    val df = spark.read.format("startable").load(out)
+    assert(df.count() === rows.size)
+  }
 }
