@@ -633,9 +633,25 @@ object Xlsx {
     val dateStyle: Int => Boolean =
       stylesRaw.map(parseDateStyles).getOrElse(_ => false)
     val date1904: Boolean = workbookRaw.exists { bytes =>
-      // <workbookPr date1904="1"/> switches the serial epoch (Mac legacy)
-      val s = new String(bytes, "UTF-8")
-      """date1904\s*=\s*"(1|true)"""".r.findFirstIn(s).isDefined
+      // <workbookPr date1904="1"/> switches the serial epoch (Mac legacy).
+      // Read the ATTRIBUTE off the workbookPr element via StAX — a regex
+      // over the whole workbook.xml would false-positive on the token
+      // appearing in any attribute or text (e.g. a sheet NAMED
+      // 'date1904="1"') and silently shift every date cell ~4 years.
+      val f = javax.xml.stream.XMLInputFactory.newInstance()
+      f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+      val r = f.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+      var found = false
+      try {
+        while (!found && r.hasNext) {
+          if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == "workbookPr") {
+            val v = Option(r.getAttributeValue(null, "date1904"))
+            found = v.contains("1") || v.contains("true")
+          }
+        }
+      } finally r.close()
+      found
     }
 
     val item = loadItem.getOrElse(LoadItem(path.toString, None))

@@ -196,6 +196,29 @@ class XlsxForeignSpec extends AnyFunSuite {
     assert(truth.unique("places_to_go").equalsTable(back.unique("places_to_go")))
   }
 
+  test("the date1904 token in an XML comment or single-quoted attribute " +
+    "does not shift dates — detection reads the workbookPr attribute") {
+    val p = Files.createTempDirectory("graft_foreign").resolve("trap.xlsx")
+    // comments and single-quoted attributes may legally contain the raw
+    // token date1904=\"1\" — a whole-file regex matched both and shifted
+    // every date ~4 years; the StAX attribute read must not
+    zip(p, Seq(
+      "xl/workbook.xml" ->
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<!-- migrated from a mac workbook; date1904="1" was dropped -->
+           |<workbook $ns xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships" xmlns:g='x date1904="1" y'><sheets><sheet name="input_main" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId90" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/><Relationship Id="rId91" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/></Relationships>""".stripMargin,
+      "xl/sharedStrings.xml" -> sstXml,
+      "xl/styles.xml" -> stylesXml,
+      "xl/worksheets/sheet1.xml" -> mainSheetXml(date1904 = false)))
+    val truth = CsvReader.readBundleFromString(spark, bundleCsv)
+    val back = Xlsx.readBundle(spark, p)
+    assert(truth.unique("places_to_go").equalsTable(back.unique("places_to_go")),
+      "a date1904-looking comment/attribute shifted the 1900-epoch serials")
+  }
+
   test("elapsed-duration formats ([h]:mm:ss) stay numeric; date codes " +
     "with quoted literals and colors classify correctly") {
     import graft.io.Xlsx
