@@ -58,7 +58,12 @@ object SortedOverlap {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Two-pointer merge count over UnsafeArrayData; called from generated
-    * code — keep the signature (ArrayData, ArrayData) => int. */
+    * code — keep the signature (ArrayData, ArrayData) => int.
+    *
+    * Null ELEMENTS order last (array_sort's ascending-nulls-last), and
+    * null matches null — the array_intersect semantics this replaced
+    * (array_distinct keeps at most one null per side, so a null-tail pair
+    * contributes exactly one match, like the hash-set intersection did). */
   def count(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -66,10 +71,17 @@ object SortedOverlap {
     var j = 0
     var c = 0
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      val ua = a.getUTF8String(i)
+      val ub = b.getUTF8String(j)
+      if (ua == null && ub == null) { c += 1; i += 1; j += 1 }
+      else if (ua == null) j += 1      // null sorts last: b is smaller
+      else if (ub == null) i += 1
+      else {
+        val cmp = ua.compareTo(ub)
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }

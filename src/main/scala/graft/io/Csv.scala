@@ -402,6 +402,10 @@ object CsvWriter {
     * overwrite drops the whole dataset first. Backfill requires an
     * EXISTING dataset whose sidecar schema matches `t` exactly (a drifted
     * backfill would silently fork the dataset's schema — refused). */
+  /** `collectFileStats = false` skips the per-FILE statistics read-back
+    * over multi-file slices (see [[computeWrittenFileStats]] for the cost
+    * shape) while keeping slice-level statistics; file-tier skipping then
+    * arrives with the next clusterStarDataset pass instead. */
   /** `filesPerSlice > 1` SALTS the `numFiles` shuffle within each slice:
     * plain repartition-on-partition-columns routes ALL of a slice's rows
     * to one task, so a 90%-one-slice skew serializes the write; a salt of
@@ -415,7 +419,8 @@ object CsvWriter {
                               numFiles: Int = 0,
                               overwriteSlices: Boolean = false,
                               collectStats: Boolean = true,
-                              filesPerSlice: Int = 1): Unit = {
+                              filesPerSlice: Int = 1,
+                              collectFileStats: Boolean = true): Unit = {
     require(filesPerSlice >= 1,
       s"writePartitionedDataset: filesPerSlice must be >= 1, got $filesPerSlice")
     require(partitionBy.nonEmpty,
@@ -547,7 +552,7 @@ object CsvWriter {
         _.fileStats.filterNot(s => rewrittenParts.contains(s.partition)))
         .getOrElse(Nil)
     val written: Seq[graft.sources.StarTableSource.FileStats] =
-      if (capped || !collectStats) Nil
+      if (capped || !collectStats || !collectFileStats) Nil
       else computeWrittenFileStats(t.df.sparkSession, outDir, dataCols,
         dataCols.map(t.unit), partitionBy, sep, naRep,
         onlySlices = if (overwriteSlices) Some(rewrittenParts) else None)
@@ -708,9 +713,14 @@ object CsvWriter {
     * a just-written dataset (single-file slices are fully described by
     * their slice entry — only files that could be individually skipped are
     * profiled). One distributed aggregate grouped by input file; the
-    * read-back volume is exactly the multi-file slices, which under the
-    * default `filesPerSlice = 1` shuffled write is zero. Returns entries
-    * sorted by (partition, basename) for a deterministic sidecar. */
+    * read-back volume is exactly the multi-file slices: ZERO under a
+    * shuffled write with `filesPerSlice = 1` (numFiles > 0), at most
+    * (k−1)/k extra under salting, but close to the WHOLE dataset under the
+    * unshuffled default (numFiles = 0), where every upstream task writes a
+    * file per slice it holds — pass `collectFileStats = false` on ingest
+    * paths where a later clusterStarDataset pass will produce better
+    * (range-clustered) file stats anyway. Returns entries sorted by
+    * (partition, basename) for a deterministic sidecar. */
   private def computeWrittenFileStats(spark: SparkSession, outDir: String,
                                       dataCols: Seq[String], units: Seq[String],
                                       partitionBy: Seq[String], sep: String,

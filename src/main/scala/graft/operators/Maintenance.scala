@@ -31,9 +31,15 @@ object Maintenance {
     * each leaf keeps its own staging-and-swap crash discipline (leaves are
     * independent directories — no shared mutable files). Spark job
     * submission is thread-safe by design (the scheduler interleaves
-    * concurrent jobs' tasks). The first failure is rethrown AS-IS (cause
-    * unwrapped from the pool's ExecutionException) after the in-flight
-    * leaves drain, so refusal/crash semantics match the serial loop. */
+    * concurrent jobs' tasks).
+    *
+    * Failure discipline: EVERY future is awaited before the first failure
+    * is rethrown (cause unwrapped) — never `shutdownNow()`, whose
+    * interrupts could abort a SIBLING leaf between swapLeaf's two renames
+    * and leave its data only in the hidden trash sibling (invisible to
+    * listings: silent slice loss). A leaf that fails leaves only ITS OWN
+    * staging/trash leftovers, which are inert and rerun-repairable — the
+    * same crash states as the serial loop. */
   private def parMapLeaves[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
     if (items.sizeIs <= 1 || parallelism <= 1) items.map(f)
     else {
@@ -43,11 +49,17 @@ object Maintenance {
         val futs = items.map { a =>
           pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) })
         }
-        futs.map { fut =>
-          try fut.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        // drain ALL leaves first; only then surface the first failure
+        val results = futs.map { fut =>
+          try Right(fut.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException => Left(e.getCause)
+            case e: InterruptedException                     => Left(e)
+          }
         }
-      } finally pool.shutdownNow()
+        results.collectFirst { case Left(t) => t }.foreach(throw _)
+        results.collect { case Right(b) => b }
+      } finally pool.shutdown() // graceful: no interrupts mid-swap
     }
 
   /** Concurrent leaf jobs for dataset maintenance (compact/cluster).

@@ -913,12 +913,19 @@ private[graft] object StarTableSource {
     * explicitly after each sidecar install — the in-JVM analog of the
     * crash-window stats stripping: a stale cached entry could serve old
     * min/max ranges and wrongly skip files that hold matching new rows. */
-  private[graft] def invalidateMetaCache(outDir: String): Unit = {
-    val metaPath = new org.apache.hadoop.fs.Path(
+  private[graft] def invalidateMetaCache(
+      outDir: String,
+      conf: org.apache.hadoop.conf.Configuration = activeHadoopConf()): Unit = {
+    // keys are FS-QUALIFIED (see readDatasetMeta): a reader that loaded
+    // the dataset under a different spelling (qualified URI, relative
+    // path, trailing slash) must hit the same key, or the invalidation
+    // misses exactly the stale entry it exists to remove
+    val p = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(outDir),
-      graft.io.CsvWriter.DatasetMetaFile).toString
+      graft.io.CsvWriter.DatasetMetaFile)
+    val qualified = p.getFileSystem(conf).makeQualified(p).toString
     val it = metaCache.keySet().iterator()
-    while (it.hasNext) if (it.next()._1 == metaPath) it.remove()
+    while (it.hasNext) if (it.next()._1 == qualified) it.remove()
   }
 
   def readDatasetMeta(roots: Seq[String],
@@ -932,7 +939,11 @@ private[graft] object StarTableSource {
       if (!fs.getFileStatus(root).isDirectory) return None
       fs.getFileStatus(metaPath)
     } catch { case _: java.io.FileNotFoundException => return None }
-    val key = (metaPath.toString, st.getLen, st.getModificationTime)
+    // FS-qualified key so every spelling of the same dataset root (bare
+    // path, file: URI, relative, trailing slash) shares one cache entry —
+    // and so the writer's explicit invalidation can find it
+    val key = (fs.makeQualified(metaPath).toString, st.getLen,
+      st.getModificationTime)
     val hit = metaCache.get(key)
     if (hit != null) return Some(hit)
     val in = fs.open(metaPath)

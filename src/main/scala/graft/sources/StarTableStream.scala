@@ -346,11 +346,18 @@ private[graft] object StarTableStreamUtil {
     val rel = new org.apache.hadoop.fs.Path(path)
     // scheme-insensitive root comparison: manifest paths arrive as
     // qualified URIs (file:/x/y) while the root option is often a bare
-    // path — compare the URI path component
+    // path — compare the URI path component. A RELATIVE root spelling
+    // can't equal the absolute ancestor paths, so it matches by component
+    // suffix instead ("data/run=5" stops the climb at ".../data/run=5");
+    // safe because the climb only ever visits '='-bearing ancestors, and
+    // a spurious deeper suffix match would still sit above every real
+    // partition segment of a file listed UNDER that root.
     val rootPath = Option(root)
       .map(r => new org.apache.hadoop.fs.Path(r).toUri.getPath)
-    def isRoot(p: org.apache.hadoop.fs.Path): Boolean =
-      rootPath.contains(p.toUri.getPath)
+    def isRoot(p: org.apache.hadoop.fs.Path): Boolean = rootPath.exists { r =>
+      val pp = p.toUri.getPath
+      pp == r || (!r.startsWith("/") && pp.endsWith("/" + r))
+    }
     var spec = Map.empty[String, String]
     var p = rel.getParent
     // partition segments are exactly the `col=value` dirs under the root;

@@ -124,6 +124,36 @@ class ClusterStarDatasetSpec extends AnyFunSuite {
     assert(allLines(out) == before)
   }
 
+  test("one leaf failing under PARALLEL maintenance never corrupts its " +
+    "siblings: all leaves drain (no interrupts mid-swap), data intact, rerun " +
+    "completes") {
+    val out = mkDataset()
+    val before = allLines(out)
+    final class Kill extends RuntimeException("one-leaf kill")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // exactly ONE leaf dies after staging, before its swap; siblings must
+    // complete their swaps uninterrupted (a shutdownNow() here could abort
+    // a sibling between its two renames — silent slice loss)
+    graft.operators.Maintenance.faultHook =
+      p => if (p == "cluster:staged" && fired.compareAndSet(false, true))
+        throw new Kill
+    spark.conf.set("spark.graft.maintenance.parallelism", "4")
+    try {
+      intercept[Kill] {
+        graft.operators.Maintenance.clusterStarDataset(spark, out, Seq("x"))
+      }
+    } finally {
+      graft.operators.Maintenance.faultHook = _ => ()
+      spark.conf.unset("spark.graft.maintenance.parallelism")
+    }
+    assert(allLines(out) == before,
+      "a sibling leaf lost rows when one parallel leaf failed")
+    // rerun completes and installs file stats everywhere
+    val rep = graft.operators.Maintenance.clusterStarDataset(spark, out, Seq("x"))
+    assert(rep.fileStatsWritten > 0)
+    assert(allLines(out) == before)
+  }
+
   test("backfill after clustering strips only the rewritten slice's file " +
     "stats; the untouched slice keeps skipping at file granularity") {
     val out = mkDataset()

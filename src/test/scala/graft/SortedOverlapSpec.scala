@@ -49,6 +49,24 @@ class SortedOverlapSpec extends AnyFunSuite {
     assert(SortedOverlap.count(ad(), ad("a")) === 0)
   }
 
+  test("null ELEMENTS match array_intersect semantics (nulls-last order, " +
+    "null matches null) — no NPE") {
+    val df = Seq(
+      (Seq("x", null), Seq("x", "y")),          // trailing null vs longer side
+      (Seq("x", null), Seq("x", "y", null)),    // null on both -> one match
+      (Seq[String](null), Seq("a", "b")),       // null-only vs values
+      (Seq[String](null), Seq[String](null))    // null-only both
+    ).toDF("a", "b")
+      .withColumn("a", array_sort(array_distinct(col("a"))))
+      .withColumn("b", array_sort(array_distinct(col("b"))))
+      .withColumn("fast", SortedOverlap.sortedOverlapCount(col("a"), col("b")))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+    val r = df.select("fast", "ref").collect()
+    assert(r.forall(x => x.getInt(0) == x.getInt(1)),
+      s"null-element divergence: ${r.map(x => (x.getInt(0), x.getInt(1))).toSeq}")
+    assert(r.map(_.getInt(0)).toSeq === Seq(1, 2, 0, 1))
+  }
+
   test("null input arrays yield null, not a crash") {
     val df = Seq((Some(Seq("a")), Option.empty[Seq[String]])).toDF("a", "b")
       .withColumn("fast", SortedOverlap.sortedOverlapCount(col("a"), col("b")))

@@ -181,6 +181,10 @@ class StarTableStreamSpec extends AnyFunSuite {
     assert(graft.sources.StarTableStreamUtil.partitionValuesFromPath(
       "file:/runs/run=5/grp=b/part-0.csv", Seq("grp"), root = "/runs/run=5")
       == Seq("b"))
+    // RELATIVE root spelling still stops the climb (component-suffix match)
+    assert(graft.sources.StarTableStreamUtil.partitionValuesFromPath(
+      "file:/work/runs/run=5/grp=c/part-0.csv", Seq("grp"),
+      root = "runs/run=5") == Seq("c"))
   }
 
   test("maxFilesPerTrigger bounds a micro-batch; a plain (non-dataset) " +
