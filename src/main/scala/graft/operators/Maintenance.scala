@@ -365,6 +365,65 @@ object Maintenance {
       bytesAfter, keptFileStats.size.toLong)
   }
 
+  final case class VacuumReport(restoredLeaves: Long, removedDirs: Long,
+                                removedBytes: Long, removedTmpFiles: Long)
+
+  /** Clean the crash leftovers of the staging-and-swap protocols (hidden
+    * `.<leaf>__old` / `__compacting` / `__clustering` siblings and stale
+    * `.*.tmp` sidecar files) from a dataset or partitioned-table tree.
+    * Leftovers are INERT (every listing skips dot-names), so vacuuming is
+    * about storage, not correctness — with one crucial exception this
+    * method repairs rather than deletes: a crash BETWEEN swapLeaf's two
+    * renames leaves the trash sibling holding the ONLY copy of a leaf
+    * (live dir absent). Such a trash dir is RESTORED (renamed back), never
+    * deleted; staging siblings are always deletable (data never moves out
+    * of a leaf except through the trash rename). Ordering per leaf:
+    * restore-if-orphaned first, then delete what remains. Safe to run any
+    * time no compact/cluster job is in flight on the same tree. */
+  def vacuumStarDataset(spark: SparkSession, path: String): VacuumReport = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"vacuumStarDataset: $path does not exist")
+    val Suffixes = Seq("__old", "__compacting", "__clustering")
+    var restored = 0L; var removedDirs = 0L; var removedBytes = 0L
+    var removedTmp = 0L
+
+    def sizeOf(p: Path): Long =
+      try fs.getContentSummary(p).getLength catch { case _: java.io.IOException => 0L }
+
+    def visit(dir: Path): Unit = {
+      val entries = try fs.listStatus(dir).toSeq
+      catch { case _: java.io.FileNotFoundException => return }
+      entries.foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith(".") &&
+            Suffixes.exists(n.endsWith)) {
+          val suffix = Suffixes.find(n.endsWith).get
+          val live = new Path(dir, n.stripPrefix(".").stripSuffix(suffix))
+          if (suffix == "__old" && !fs.exists(live)) {
+            // the trash holds the only copy: the crash hit between the two
+            // renames — restore, don't delete
+            if (!fs.rename(st.getPath, live))
+              throw new java.io.IOException(
+                s"vacuumStarDataset: could not restore $live from ${st.getPath}")
+            restored += 1
+          } else {
+            removedBytes += sizeOf(st.getPath)
+            fs.delete(st.getPath, true)
+            removedDirs += 1
+          }
+        } else if (st.isFile && n.startsWith(".") && n.endsWith(".tmp")) {
+          fs.delete(st.getPath, false)
+          removedTmp += 1
+        } else if (st.isDirectory && !n.startsWith(".") && !n.startsWith("_")) {
+          visit(st.getPath)
+        }
+      }
+    }
+    visit(root)
+    VacuumReport(restored, removedDirs, removedBytes, removedTmp)
+  }
+
   /** Write `df` hive-partitioned by `partitionCols` with DYNAMIC overwrite:
     * only the partitions present in `df` are replaced; all others survive
     * untouched. The incremental-backfill write shape — re-running one

@@ -74,11 +74,17 @@ private[sources] class StarTableMicroBatchStream(
   /** One logged file: path, length, raw partition values. */
   private type Entry = (String, Long, Seq[String])
 
-  /** Per-batch entries, held in memory once read/written so every
-    * planInputPartitions replay and the compaction fold are O(1) log-file
-    * IO. Memory is one record per discovered file — the same order as
-    * `seenPaths`, which any file-discovery source fundamentally carries. */
+  /** Per-batch entries for batches at or above the last COMMITTED offset:
+    * planInputPartitions only ever replans ranges above the engine's last
+    * commit, so [[commit]] evicts older entries — the map stays bounded by
+    * the uncommitted tail, not the stream's age. (Compaction folds re-read
+    * evicted batches from the previous compact + on-disk deltas.)
+    * `seenPaths` still holds every discovered path — the discovery-dedup
+    * floor any file source fundamentally carries. */
   private val perBatch = scala.collection.mutable.LongMap.empty[Vector[Entry]]
+
+  /** Batch id of the newest committed compact snapshot (0 = none). */
+  private var compactBase = 0L
 
   private def entryJson(e: Entry, batch: Option[Long]): graft.io.JsonValue.JsonObject = {
     import graft.io.JsonValue._
@@ -120,16 +126,34 @@ private[sources] class StarTableMicroBatchStream(
       compactLog(batch)
   }
 
+  /** Entries of an on-disk compact snapshot, grouped by their batch id. */
+  private def readCompactGrouped(base: Long): Seq[(Long, Vector[Entry])] = {
+    import graft.io.JsonValue._
+    val p = new org.apache.hadoop.fs.Path(logDir, s"$base.compact")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    graft.io.JsonValue.parse(txt).asInstanceOf[JsonArray].values
+      .map(parseEntry).map { case (e, b) =>
+        (b.getOrElse(throw new IllegalStateException(
+          s"startable stream: compact entry without batch id in $p")), e)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toVector)
+      .toSeq.sortBy(_._1)
+  }
+
   /** Fold every batch ≤ `upTo` into `<upTo>.compact` (entries keep their
     * batch id so any offset range replans exactly), then delete the covered
     * deltas and older compacts — best-effort: a crash between commit and
     * cleanup only leaves extra files, which recovery ignores in favor of
-    * the newest compact. */
+    * the newest compact. Sources batches ≤ the previous compact from THAT
+    * compact on disk (they may be evicted from memory), the tail from
+    * perBatch/deltas. */
   private def compactLog(upTo: Long): Unit = {
     import graft.io.JsonValue._
-    val all = perBatch.toSeq.filter(_._1 <= upTo).sortBy(_._1)
+    val folded = (if (compactBase > 0) readCompactGrouped(compactBase) else Nil) ++
+      ((compactBase + 1) to upTo).map(b => b -> readLog(b).toVector)
     commitFile(s"$upTo.compact", graft.io.JsonValue.write(JsonArray(
-      all.flatMap { case (b, es) => es.map(entryJson(_, Some(b))) }.toVector)))
+      folded.flatMap { case (b, es) => es.map(entryJson(_, Some(b))) }.toVector)))
+    compactBase = upTo
     val stale = try {
       fs.listStatus(logDir).toSeq.map(_.getPath.getName).filter { n =>
         (n.forall(_.isDigit) && n.toLong <= upTo) ||
@@ -179,19 +203,10 @@ private[sources] class StarTableMicroBatchStream(
     val compactIds = names.filter(_.endsWith(".compact"))
       .map(_.stripSuffix(".compact")).filter(_.forall(_.isDigit)).map(_.toLong)
     val deltaIds = names.filter(n => n.forall(_.isDigit) && n.nonEmpty).map(_.toLong)
-    val compactBase = compactIds.maxOption.getOrElse(0L)
+    compactBase = compactIds.maxOption.getOrElse(0L)
     val last = (compactIds ++ deltaIds).maxOption.getOrElse(0L)
-    if (compactBase > 0) {
-      val p = new org.apache.hadoop.fs.Path(logDir, s"$compactBase.compact")
-      val in = fs.open(p)
-      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val grouped = graft.io.JsonValue.parse(txt).asInstanceOf[JsonArray].values
-        .map(parseEntry).map { case (e, b) =>
-          (b.getOrElse(throw new IllegalStateException(
-            s"startable stream: compact entry without batch id in $p")), e)
-        }.groupBy(_._1)
-      grouped.foreach { case (b, es) => perBatch(b) = es.map(_._2).toVector }
-    }
+    if (compactBase > 0)
+      readCompactGrouped(compactBase).foreach { case (b, es) => perBatch(b) = es }
     ((compactBase + 1) to last).foreach(b => readLog(b))
     perBatch.values.foreach(_.foreach(e => seen += e._1))
     (last, seen)
@@ -278,7 +293,15 @@ private[sources] class StarTableMicroBatchStream(
     new StarTableReaderFactory(None, sep, failFast, fullSchema, required,
       pushed, limit = None, confS = confS)
 
-  override def commit(end: Offset): Unit = () // the log is the durable state
+  /** The log is the durable state; committed batches are never replanned,
+    * so their in-memory entries evict here — the map stays sized to the
+    * uncommitted tail for a months-lived stream. (A post-restart replay of
+    * the last uncommitted batch reads the compact/delta from disk via
+    * recover/readLog.) */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[BatchOffset].batch
+    perBatch.keys.filter(_ <= e).toList.foreach(perBatch.remove)
+  }
   override def stop(): Unit = ()
 }
 

@@ -205,4 +205,44 @@ class MaintenanceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("_startable_dataset.json"))
   }
+
+  test("vacuumStarDataset deletes inert crash leftovers but RESTORES a " +
+    "leaf whose only copy sits in the trash sibling") {
+    val path = freshDir()
+    val df = (0 until 100).map(i => (s"g${i % 3}", i.toDouble))
+      .toDF("g", "x").repartition(8)
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(df, "vds", units = Map("g" -> "text")),
+      path, Seq("g"))
+    def readBack() = spark.read.format("startable").load(path)
+      .select("g", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val before = readBack()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.Path
+
+    // crash state 1 (inert): staging + trash beside a LIVE leaf, stale tmp
+    fs.mkdirs(new Path(path, ".g=g0__compacting"))
+    val os = fs.create(new Path(path, ".g=g0__compacting/part-junk.txt"), true)
+    os.write("junk\n".getBytes("UTF-8")); os.close()
+    fs.mkdirs(new Path(path, ".g=g0__old"))
+    val os2 = fs.create(new Path(path, "._startable_dataset.json.tmp"), true)
+    os2.write("{".getBytes("UTF-8")); os2.close()
+    // crash state 2 (between swapLeaf's renames): live leaf GONE, trash
+    // holds the only copy, plus an incomplete staging sibling
+    assert(fs.rename(new Path(path, "g=g1"), new Path(path, ".g=g1__old")))
+    fs.mkdirs(new Path(path, ".g=g1__clustering"))
+
+    // the damaged state hides g1 from readers — vacuum must bring it back
+    assert(readBack() == before.filterNot(_._1 == "g1"))
+    val rep = Maintenance.vacuumStarDataset(spark, path)
+    assert(rep.restoredLeaves == 1, rep.toString)
+    assert(rep.removedDirs == 3, rep.toString)   // g0 staging+trash, g1 staging
+    assert(rep.removedTmpFiles == 1, rep.toString)
+    assert(readBack() == before, "vacuum lost or failed to restore rows")
+    // idempotent: a second pass finds nothing
+    val rep2 = Maintenance.vacuumStarDataset(spark, path)
+    assert(rep2 == Maintenance.VacuumReport(0, 0, 0, 0), rep2.toString)
+  }
 }
