@@ -592,6 +592,22 @@ object RelationalQueries {
     // bent anywhere — rendered vs parsed divergence, NaN/null accounting,
     // partition-key mismatch — breaks the hash; this is the end-to-end
     // proof that stat-based skipping judges exactly the reader's values.
+    // Metadata-only COUNT(*): the aggregate pushes into the connector and
+    // answers from the sidecar's per-slice row counts — the scan in the
+    // plan is StarCountScan (asserted: a silent fallback to a data scan
+    // would still count correctly and hide the regression) and the oracle
+    // counts the ORIGINAL parquet, so a stale/wrong slice entry anywhere
+    // breaks the hash.
+    "q_dataset_count" -> ((s, dir) => {
+      val ds = partitionedDatasetFor(s, dir)
+      val counted = s.read.format("startable").load(ds)
+        .agg(count(lit(1)).as("n"))
+      require(counted.queryExecution.executedPlan.toString
+          .contains("StarCountScan"),
+        "q_dataset_count: the metadata count scan did not engage")
+      counted
+    }),
+
     "q_dataset_stats" -> ((s, dir) => {
       val ds = partitionedDatasetFor(s, dir)
       val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(ds))
@@ -1159,6 +1175,10 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_orderkey >= 1000 AND l_orderkey < 5000
         |GROUP BY 1""".stripMargin,
+
+    // the metadata-only count must equal DuckDB counting the original rows
+    "q_dataset_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
 
     // the sidecar's data-skipping statistics must equal DuckDB recomputing
     // them from the original parquet (render→reparse is value-lossless)

@@ -122,10 +122,49 @@ private[sources] class StarTableTable(schema: StructType, props: Map[String, Str
 private[sources] class StarTableScanBuilder(fullSchema: StructType,
                                             options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var pushedCount: Option[Long] = None
+
+  /** COUNT(*) served from sidecar slice statistics — metadata-only: a
+    * count over a 100 TB dataset answers from the listing + sidecar
+    * without opening a data file (the parquet footer-count analog).
+    * Conditions, all load-bearing:
+    *  - exactly one CountStar, no grouping (Spark only offers aggregate
+    *    pushdown when every filter was fully pushed; ours are always
+    *    residual, so any filtered query never reaches here);
+    *  - the roots are ONE partitioned dataset whose sidecar carries slice
+    *    statistics, and EVERY LISTED slice has a stats entry — a stripped
+    *    entry (crash-window protocol, stats-less backfill) or a stats-less
+    *    dataset (streamed, capped, collectStats=false) falls back to the
+    *    scanning count. Entries for UNLISTED slices (dropPartitions) are
+    *    ignored: the listing is the authority on what exists.
+    * Partial pushdown (supportCompletePushDown stays false): the scan
+    * emits one partial-count row and Spark's final aggregate sums it —
+    * the engine, not the connector, owns the aggregate contract. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (pushed.nonEmpty || limit.isDefined) return false
+    if (agg.groupByExpressions.nonEmpty) return false
+    if (agg.aggregateExpressions.length != 1 ||
+        !agg.aggregateExpressions.head.isInstanceOf[CountStar]) return false
+    val conf = StarTableSource.activeHadoopConf()
+    val roots = StarTableSource.paths(options)
+    pushedCount = StarTableSource.readDatasetMeta(roots, conf)
+      .filter(_.sliceStats.nonEmpty)
+      .flatMap { m =>
+        val listed = StarTableSource.listPartitionedFiles(roots, m.partCols, conf)
+        val parts = listed.map(_._3).distinct
+        val byPart = m.sliceStats.map(s => s.partition -> s.rows).toMap
+        if (parts.forall(byPart.contains)) Some(parts.map(byPart).sum)
+        else None
+      }
+    pushedCount.isDefined
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -158,16 +197,20 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
+    // option validation stays AHEAD of the metadata-count fast path: a bad
+    // reader option must refuse identically whether or not the aggregate
+    // pushed (the user asked for something malformed either way)
+    val maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    require(maxSplitBytes > 0,
+      s"startable source: maxSplitBytes must be positive, got $maxSplitBytes")
+    pushedCount.foreach(n => return new StarCountScan(n))
     // the session's Hadoop configuration, serialized once at planning time
     // so executor-side readers see the same credentials/FS settings
     val confS = new org.apache.spark.util.SerializableConfiguration(
       StarTableSource.activeHadoopConf())
     val roots = StarTableSource.paths(options)
     val dataset = StarTableSource.readDatasetMeta(roots, confS.value)
-    val maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
-      .getOrElse(128L * 1024 * 1024)
-    require(maxSplitBytes > 0,
-      s"startable source: maxSplitBytes must be positive, got $maxSplitBytes")
     new StarTableScan(
       if (dataset.isDefined) roots
       else StarTableSource.resolveFiles(roots, confS.value),
@@ -198,6 +241,34 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
         }.getOrElse(10))
   }
 }
+
+/** Metadata-only COUNT(*) scan: one partition, one partial-count row
+  * summed by Spark's final aggregate (see
+  * [[StarTableScanBuilder.pushAggregation]]). */
+private[sources] class StarCountScan(total: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count_star", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"StarCountScan(rows=$total, from slice statistics)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(StarCountPartition(total))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val n = p.asInstanceOf[StarCountPartition].total
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(Array[Any](n))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[sources] case class StarCountPartition(total: Long) extends InputPartition
 
 private[sources] class StarTableScan(files: Seq[String], tableName: Option[String],
                                      sep: String, failFast: Boolean,

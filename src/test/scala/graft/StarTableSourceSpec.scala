@@ -976,6 +976,63 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("COUNT(*) over a stats-bearing dataset answers from metadata: zero " +
+    "lines parsed; stripped/absent stats and filters fall back to scanning") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cnt")
+    val out = base.resolve("ds").toString
+    val rows = (0 until 900).map(i => (s"g${i % 3}", i.toDouble))
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(rows.toDF("grp", "x"), "t",
+        units = Map("grp" -> "text")),
+      out, Seq("grp"), numFiles = 4)
+    def ds() = spark.read.format("startable").load(out)
+
+    // metadata-only: correct count, NO data file opened
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val counted = ds().count()
+    assert(counted === 900L)
+    assert(graft.sources.StarTableSource.linesParsed.sum() === 0L,
+      "count(*) parsed data despite slice statistics")
+    val plan = ds().groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("StarCountScan"),
+      s"expected the metadata count scan in the plan:\n$plan")
+
+    // a FILTERED count scans (filters are always residual -> no agg push)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(ds().filter(col("x") < 300.0).count() === 300L)
+    assert(graft.sources.StarTableSource.linesParsed.sum() > 0L)
+
+    // dropPartitions leaves a stale sidecar entry for the dropped slice:
+    // the LISTING is the authority, the entry is ignored
+    graft.operators.Maintenance.dropPartitions(spark, out, "grp", Seq("g2"))
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(ds().count() === 600L,
+      "count served a dropped partition's stale stats entry")
+    assert(graft.sources.StarTableSource.linesParsed.sum() === 0L)
+
+    // a stats-less backfill strips the rewritten slice's entry: the count
+    // must fall back to scanning, not serve the stale/partial metadata
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(
+        Seq(("g1", 9999.0)).toDF("grp", "x"), "t", units = Map("grp" -> "text")),
+      out, Seq("grp"), overwriteSlices = true, collectStats = false)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(ds().count() === 301L) // g0's 300 + the 1-row backfilled g1
+    assert(graft.sources.StarTableSource.linesParsed.sum() > 0L,
+      "count answered from metadata although a listed slice has no entry")
+
+    // a dataset written with collectStats=false never pushes the count
+    val out2 = base.resolve("ds2").toString
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(rows.toDF("grp", "x"), "t",
+        units = Map("grp" -> "text")),
+      out2, Seq("grp"), numFiles = 4, collectStats = false)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(spark.read.format("startable").load(out2).count() === 900L)
+    assert(graft.sources.StarTableSource.linesParsed.sum() > 0L)
+  }
+
   test("parallel file listing over a many-slice layout returns exactly the " +
     "serial walk's files in the serial walk's order") {
     import spark.implicits._
