@@ -594,7 +594,7 @@ object RelationalQueries {
     // proof that stat-based skipping judges exactly the reader's values.
     // Metadata-only COUNT(*): the aggregate pushes into the connector and
     // answers from the sidecar's per-slice row counts — the scan in the
-    // plan is StarCountScan (asserted: a silent fallback to a data scan
+    // plan is StarMetaAggScan (asserted: a silent fallback to a data scan
     // would still count correctly and hide the regression) and the oracle
     // counts the ORIGINAL parquet, so a stale/wrong slice entry anywhere
     // breaks the hash.
@@ -603,9 +603,30 @@ object RelationalQueries {
       val counted = s.read.format("startable").load(ds)
         .agg(count(lit(1)).as("n"))
       require(counted.queryExecution.executedPlan.toString
-          .contains("StarCountScan"),
+          .contains("StarMetaAggScan"),
         "q_dataset_count: the metadata count scan did not engage")
       counted
+    }),
+
+    // Metadata-only MIN/MAX beside the count: bounds fold from the sidecar
+    // slice statistics (data columns) and the listed partition values
+    // (partition column), re-parsed through the reader's unit parsers; the
+    // oracle recomputes them from the original parquet, so a bound bent
+    // anywhere in render->store->reparse->fold breaks the hash.
+    "q_dataset_minmax" -> ((s, dir) => {
+      val ds = partitionedDatasetFor(s, dir)
+      val agged = s.read.format("startable").load(ds)
+        .agg(min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_linestatus")).as("min_status"),
+          max(col("l_linestatus")).as("max_status"),
+          min(col("l_returnflag")).as("min_flag"),
+          max(col("l_returnflag")).as("max_flag"),
+          count(lit(1)).as("n"))
+      require(agged.queryExecution.executedPlan.toString
+          .contains("StarMetaAggScan"),
+        "q_dataset_minmax: the metadata aggregate scan did not engage")
+      agged
     }),
 
     "q_dataset_stats" -> ((s, dir) => {
@@ -1179,6 +1200,15 @@ object RelationalQueries {
     // the metadata-only count must equal DuckDB counting the original rows
     "q_dataset_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+
+    // metadata-only min/max must equal DuckDB recomputing from the rows
+    "q_dataset_minmax" ->
+      """SELECT CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+        |  min(l_linestatus) AS min_status, max(l_linestatus) AS max_status,
+        |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem""".stripMargin,
 
     // the sidecar's data-skipping statistics must equal DuckDB recomputing
     // them from the original parquet (render→reparse is value-lossless)

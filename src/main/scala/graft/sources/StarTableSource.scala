@@ -127,43 +127,112 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
-  private var pushedCount: Option[Long] = None
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
 
-  /** COUNT(*) served from sidecar slice statistics — metadata-only: a
-    * count over a 100 TB dataset answers from the listing + sidecar
-    * without opening a data file (the parquet footer-count analog).
-    * Conditions, all load-bearing:
-    *  - exactly one CountStar, no grouping (Spark only offers aggregate
+  /** COUNT(*) / MIN(col) / MAX(col) served from sidecar slice statistics —
+    * metadata-only: these aggregates over a 100 TB dataset answer from the
+    * listing + sidecar without opening a data file (the parquet
+    * footer-aggregate analog). Conditions, all load-bearing:
+    *  - no grouping, and every aggregate expression is a CountStar or a
+    *    Min/Max over a single DATA column (Spark only offers aggregate
     *    pushdown when every filter was fully pushed; ours are always
     *    residual, so any filtered query never reaches here);
     *  - the roots are ONE partitioned dataset whose sidecar carries slice
-    *    statistics, and EVERY LISTED slice has a stats entry — a stripped
-    *    entry (crash-window protocol, stats-less backfill) or a stats-less
-    *    dataset (streamed, capped, collectStats=false) falls back to the
-    *    scanning count. Entries for UNLISTED slices (dropPartitions) are
-    *    ignored: the listing is the authority on what exists.
-    * Partial pushdown (supportCompletePushDown stays false): the scan
-    * emits one partial-count row and Spark's final aggregate sums it —
-    * the engine, not the connector, owns the aggregate contract. */
+    *    statistics, EVERY LISTED slice has a stats entry, and every
+    *    Min/Max bound re-parses cleanly — a stripped entry (crash-window
+    *    protocol, stats-less backfill), a stats-less dataset (streamed,
+    *    capped, collectStats=false), or an unparsable bound falls back to
+    *    the scanning plan. Entries for UNLISTED slices (dropPartitions)
+    *    are ignored: the listing is the authority on what exists.
+    * Bound semantics are reader-faithful by construction: slice min/max
+    * were computed with the reader's null rules (NaN/Infinity/naRep →
+    * null, excluded — exactly SQL MIN/MAX's null treatment) and re-parse
+    * through the same unit parsers as data cells, so the metadata answer
+    * equals the scanning answer cell for cell. An all-null column yields
+    * null, like the scan. Partial pushdown (supportCompletePushDown stays
+    * false): the scan emits one partial row and Spark's final aggregate
+    * folds it — the engine, not the connector, owns the contract. */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (pushed.nonEmpty || limit.isDefined) return false
     if (agg.groupByExpressions.nonEmpty) return false
-    if (agg.aggregateExpressions.length != 1 ||
-        !agg.aggregateExpressions.head.isInstanceOf[CountStar]) return false
+    if (agg.aggregateExpressions.isEmpty) return false
     val conf = StarTableSource.activeHadoopConf()
     val roots = StarTableSource.paths(options)
-    pushedCount = StarTableSource.readDatasetMeta(roots, conf)
+    pushedAgg = StarTableSource.readDatasetMeta(roots, conf)
       .filter(_.sliceStats.nonEmpty)
       .flatMap { m =>
         val listed = StarTableSource.listPartitionedFiles(roots, m.partCols, conf)
         val parts = listed.map(_._3).distinct
-        val byPart = m.sliceStats.map(s => s.partition -> s.rows).toMap
-        if (parts.forall(byPart.contains)) Some(parts.map(byPart).sum)
-        else None
+        val byPart = m.sliceStats.map(s => s.partition -> s).toMap
+        if (!parts.forall(byPart.contains)) None
+        else {
+          val entries = parts.map(byPart)
+          val fixer = new graft.parse.ParseFixer()
+          def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+              : Option[String] = e match {
+            case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+            case _ => None
+          }
+          /** Fold one bound over all slices: null bounds (all-null slices,
+            * default-partition values) are skipped like SQL MIN/MAX skips
+            * nulls; any unparsable bound aborts the pushdown. A PARTITION
+            * column's bounds come from the listed partition values
+            * themselves — every listed slice holds ≥1 row of its value.
+            * Some(None) = servable, value null. */
+          def bound(c: String, isMin: Boolean): Option[Option[Any]] = {
+            val i = m.cols.indexOf(c)
+            val pi = m.partCols.indexOf(c)
+            if (i < 0 && pi < 0) return None // unknown column: fall back
+            val unit = if (i >= 0) m.units(i) else m.partUnits(pi)
+            val p = graft.parse.ColumnParsers.cellParser(unit, fixer)
+            val raw: Seq[String] =
+              if (pi >= 0) parts.map(_(pi)).distinct
+              else {
+                val perSlice = entries.map(_.stats.get(c).map(cs =>
+                  if (isMin) cs.min else cs.max))
+                if (perSlice.exists(_.isEmpty)) return None // slice missing the stat
+                perSlice.flatten
+              }
+            val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+            raw.foreach { s =>
+              if (s != null) {
+                val v = try p(s) catch { case _: Exception => return None }
+                if (v == null) return None // bound didn't survive re-parse
+                vals += v
+              }
+            }
+            if (vals.isEmpty) Some(None)
+            else Some(Some(vals.reduce { (a, b) =>
+              StarTableSource.cmp(a, b) match {
+                case Some(x) => if ((x <= 0) == isMin) a else b
+                case None    => return None // mixed/unorderable: fall back
+              }
+            }))
+          }
+          val served: Seq[Option[(StructField, Any)]] =
+            agg.aggregateExpressions.toSeq.map {
+              case _: CountStar =>
+                Some((StructField("count_star", LongType, nullable = false),
+                  entries.map(_.rows).sum: Any))
+              case mn: Min => colOf(mn.column).flatMap(c =>
+                bound(c, isMin = true).map(v =>
+                  (StructField(s"min_$c", fullSchema(c).dataType),
+                    StarTableSource.toCatalyst(v.orNull))))
+              case mx: Max => colOf(mx.column).flatMap(c =>
+                bound(c, isMin = false).map(v =>
+                  (StructField(s"max_$c", fullSchema(c).dataType),
+                    StarTableSource.toCatalyst(v.orNull))))
+              case _ => None
+            }
+          if (served.exists(_.isEmpty)) None
+          else Some((StructType(served.flatten.map(_._1)),
+            served.flatten.map(_._2).toArray))
+        }
       }
-    pushedCount.isDefined
+    pushedAgg.isDefined
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -204,7 +273,9 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
       .getOrElse(128L * 1024 * 1024)
     require(maxSplitBytes > 0,
       s"startable source: maxSplitBytes must be positive, got $maxSplitBytes")
-    pushedCount.foreach(n => return new StarCountScan(n))
+    pushedAgg.foreach { case (schema, row) =>
+      return new StarMetaAggScan(schema, row)
+    }
     // the session's Hadoop configuration, serialized once at planning time
     // so executor-side readers see the same credentials/FS settings
     val confS = new org.apache.spark.util.SerializableConfiguration(
@@ -242,33 +313,33 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
   }
 }
 
-/** Metadata-only COUNT(*) scan: one partition, one partial-count row
-  * summed by Spark's final aggregate (see
-  * [[StarTableScanBuilder.pushAggregation]]). */
-private[sources] class StarCountScan(total: Long) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count_star", LongType, nullable = false)))
+/** Metadata-only aggregate scan (COUNT(*)/MIN/MAX from slice statistics):
+  * one partition, one partial row folded by Spark's final aggregate (see
+  * [[StarTableScanBuilder.pushAggregation]]). Values arrive already in
+  * Catalyst internal form. */
+private[sources] class StarMetaAggScan(schema: StructType, row: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"StarCountScan(rows=$total, from slice statistics)"
+    s"StarMetaAggScan(${schema.fieldNames.mkString(", ")} from slice statistics)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(StarCountPartition(total))
+    Array(StarMetaAggPartition(row))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val n = p.asInstanceOf[StarCountPartition].total
+          private val vals = p.asInstanceOf[StarMetaAggPartition].row
           private var emitted = false
           override def next(): Boolean =
             if (emitted) false else { emitted = true; true }
-          override def get(): InternalRow =
-            new GenericInternalRow(Array[Any](n))
+          override def get(): InternalRow = new GenericInternalRow(vals)
           override def close(): Unit = ()
         }
     }
 }
 
-private[sources] case class StarCountPartition(total: Long) extends InputPartition
+private[sources] case class StarMetaAggPartition(row: Array[Any]) extends InputPartition
 
 private[sources] class StarTableScan(files: Seq[String], tableName: Option[String],
                                      sep: String, failFast: Boolean,
@@ -1209,7 +1280,7 @@ private[graft] object StarTableSource {
     }
   }
 
-  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+  private[sources] def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
     case (null, _) | (_, null)    => None
     case (a: Number, b: Number)   => Some(java.lang.Double.compare(a.doubleValue, b.doubleValue))
     // Spark orders strings by UTF-8 BYTES (UTF8String), not UTF-16 code

@@ -995,8 +995,23 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(graft.sources.StarTableSource.linesParsed.sum() === 0L,
       "count(*) parsed data despite slice statistics")
     val plan = ds().groupBy().count().queryExecution.executedPlan.toString
-    assert(plan.contains("StarCountScan"),
+    assert(plan.contains("StarMetaAggScan"),
       s"expected the metadata count scan in the plan:\n$plan")
+
+    // MIN/MAX (numeric + text) also answer from metadata, mixed with count
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val mm = ds().agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      min(col("grp")).as("gn"), max(col("grp")).as("gx"),
+      count(lit(1)).as("n")).collect()(0)
+    assert((mm.getDouble(0), mm.getDouble(1), mm.getString(2),
+      mm.getString(3), mm.getLong(4)) === (0.0, 899.0, "g0", "g2", 900L))
+    assert(graft.sources.StarTableSource.linesParsed.sum() === 0L,
+      "min/max parsed data despite slice statistics")
+
+    // an aggregate the stats CANNOT serve (sum) falls back to scanning
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(ds().agg(sum(col("x"))).collect()(0).getDouble(0) === 404550.0)
+    assert(graft.sources.StarTableSource.linesParsed.sum() > 0L)
 
     // a FILTERED count scans (filters are always residual -> no agg push)
     graft.sources.StarTableSource.resetPushdownCounters()
