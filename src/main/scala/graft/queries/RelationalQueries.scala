@@ -629,6 +629,22 @@ object RelationalQueries {
       agged
     }),
 
+    // GROUP BY a partition column stays metadata-only: each group is a
+    // union of whole slices, so per-group count/min/max fold from the
+    // sidecar entries — one row per slice, no data file opened.
+    "q_dataset_group_agg" -> ((s, dir) => {
+      val ds = partitionedDatasetFor(s, dir)
+      val agged = s.read.format("startable").load(ds)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+      require(agged.queryExecution.executedPlan.toString
+          .contains("StarMetaAggScan"),
+        "q_dataset_group_agg: the metadata aggregate scan did not engage")
+      agged
+    }),
+
     "q_dataset_stats" -> ((s, dir) => {
       val ds = partitionedDatasetFor(s, dir)
       val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(ds))
@@ -1200,6 +1216,13 @@ object RelationalQueries {
     // the metadata-only count must equal DuckDB counting the original rows
     "q_dataset_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+
+    // per-partition metadata aggregates must equal DuckDB grouping the rows
+    "q_dataset_group_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // metadata-only min/max must equal DuckDB recomputing from the rows
     "q_dataset_minmax" ->

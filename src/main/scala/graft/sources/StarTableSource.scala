@@ -127,16 +127,19 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
-  private var pushedAgg: Option[(StructType, Array[Any])] = None
+  private var pushedAgg: Option[(StructType, Seq[Array[Any]])] = None
 
   /** COUNT(*) / MIN(col) / MAX(col) served from sidecar slice statistics —
     * metadata-only: these aggregates over a 100 TB dataset answer from the
     * listing + sidecar without opening a data file (the parquet
     * footer-aggregate analog). Conditions, all load-bearing:
-    *  - no grouping, and every aggregate expression is a CountStar or a
-    *    Min/Max over a single DATA column (Spark only offers aggregate
-    *    pushdown when every filter was fully pushed; ours are always
-    *    residual, so any filtered query never reaches here);
+    *  - grouping, if any, is over PARTITION columns only (each group is
+    *    then a union of whole slices — SELECT lang, count(*) ... GROUP BY
+    *    lang over 100 TB is a listing + sidecar read), and every aggregate
+    *    expression is a CountStar or a Min/Max over a single column (Spark
+    *    only offers aggregate pushdown when every filter was fully pushed;
+    *    ours are always residual, so any filtered query never reaches
+    *    here);
     *  - the roots are ONE partitioned dataset whose sidecar carries slice
     *    statistics, EVERY LISTED slice has a stats entry, and every
     *    Min/Max bound re-parses cleanly — a stripped entry (crash-window
@@ -156,42 +159,50 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (pushed.nonEmpty || limit.isDefined) return false
-    if (agg.groupByExpressions.nonEmpty) return false
     if (agg.aggregateExpressions.isEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+        if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
     val conf = StarTableSource.activeHadoopConf()
     val roots = StarTableSource.paths(options)
     pushedAgg = StarTableSource.readDatasetMeta(roots, conf)
       .filter(_.sliceStats.nonEmpty)
       .flatMap { m =>
+        // GROUP BY is servable only over PARTITION columns: each group is
+        // then a union of whole slices and every aggregate below folds
+        // within its group's slice entries (SELECT lang, count(*) ... GROUP
+        // BY lang over 100 TB = a listing + sidecar read)
+        val groupCols: Seq[String] =
+          agg.groupByExpressions.toSeq.map(colOf).map {
+            case Some(c) if m.partCols.contains(c) => c
+            case _ => return false
+          }
         val listed = StarTableSource.listPartitionedFiles(roots, m.partCols, conf)
         val parts = listed.map(_._3).distinct
         val byPart = m.sliceStats.map(s => s.partition -> s).toMap
         if (!parts.forall(byPart.contains)) None
         else {
-          val entries = parts.map(byPart)
           val fixer = new graft.parse.ParseFixer()
-          def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
-              : Option[String] = e match {
-            case r: org.apache.spark.sql.connector.expressions.NamedReference
-              if r.fieldNames.length == 1 => Some(r.fieldNames.head)
-            case _ => None
-          }
-          /** Fold one bound over all slices: null bounds (all-null slices,
-            * default-partition values) are skipped like SQL MIN/MAX skips
-            * nulls; any unparsable bound aborts the pushdown. A PARTITION
-            * column's bounds come from the listed partition values
-            * themselves — every listed slice holds ≥1 row of its value.
-            * Some(None) = servable, value null. */
-          def bound(c: String, isMin: Boolean): Option[Option[Any]] = {
+          /** Fold one bound over one GROUP's slices: null bounds (all-null
+            * slices, default-partition values) are skipped like SQL MIN/MAX
+            * skips nulls; any unparsable bound aborts the pushdown. A
+            * PARTITION column's bounds come from the group's listed
+            * partition values themselves — every listed slice holds ≥1 row
+            * of its value. Some(None) = servable, value null. */
+          def bound(c: String, isMin: Boolean,
+                    gParts: Seq[Seq[String]]): Option[Option[Any]] = {
             val i = m.cols.indexOf(c)
             val pi = m.partCols.indexOf(c)
             if (i < 0 && pi < 0) return None // unknown column: fall back
             val unit = if (i >= 0) m.units(i) else m.partUnits(pi)
             val p = graft.parse.ColumnParsers.cellParser(unit, fixer)
             val raw: Seq[String] =
-              if (pi >= 0) parts.map(_(pi)).distinct
+              if (pi >= 0) gParts.map(_(pi)).distinct
               else {
-                val perSlice = entries.map(_.stats.get(c).map(cs =>
+                val perSlice = gParts.map(byPart).map(_.stats.get(c).map(cs =>
                   if (isMin) cs.min else cs.max))
                 if (perSlice.exists(_.isEmpty)) return None // slice missing the stat
                 perSlice.flatten
@@ -212,24 +223,60 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
               }
             }))
           }
-          val served: Seq[Option[(StructField, Any)]] =
+          // output schema: group columns first (Spark's pushed-aggregate
+          // contract), then one field per aggregate expression
+          val groupIdx = groupCols.map(m.partCols.indexOf)
+          val groupFields = groupCols.map(c =>
+            StructField(s"grp_$c", fullSchema(c).dataType))
+          val aggFields: Seq[Option[StructField]] =
             agg.aggregateExpressions.toSeq.map {
               case _: CountStar =>
-                Some((StructField("count_star", LongType, nullable = false),
-                  entries.map(_.rows).sum: Any))
-              case mn: Min => colOf(mn.column).flatMap(c =>
-                bound(c, isMin = true).map(v =>
-                  (StructField(s"min_$c", fullSchema(c).dataType),
-                    StarTableSource.toCatalyst(v.orNull))))
-              case mx: Max => colOf(mx.column).flatMap(c =>
-                bound(c, isMin = false).map(v =>
-                  (StructField(s"max_$c", fullSchema(c).dataType),
-                    StarTableSource.toCatalyst(v.orNull))))
+                Some(StructField("count_star", LongType, nullable = false))
+              case mn: Min => colOf(mn.column).map(c =>
+                StructField(s"min_$c", fullSchema(c).dataType))
+              case mx: Max => colOf(mx.column).map(c =>
+                StructField(s"max_$c", fullSchema(c).dataType))
               case _ => None
             }
-          if (served.exists(_.isEmpty)) None
-          else Some((StructType(served.flatten.map(_._1)),
-            served.flatten.map(_._2).toArray))
+          if (aggFields.exists(_.isEmpty)) None
+          else {
+            // one output row per group (the whole dataset = one group when
+            // no GROUP BY was pushed); deterministic group order
+            val groups: Seq[(Seq[String], Seq[Seq[String]])] =
+              parts.groupBy(p => groupIdx.map(p(_))).toSeq
+                .sortBy(_._1.map(v => if (v == null) " " else v)
+                  .mkString(""))
+            val rows: Seq[Option[Array[Any]]] = groups.map { case (key, gp) =>
+              val keyVals: Seq[Option[Any]] =
+                key.zip(groupIdx).map { case (rawV, gi) =>
+                  if (rawV == null) Some(null)
+                  else {
+                    val p = graft.parse.ColumnParsers.cellParser(
+                      m.partUnits(gi), fixer)
+                    val v = try p(rawV) catch { case _: Exception => null }
+                    if (v == null) None // unparsable key: fall back
+                    else Some(StarTableSource.toCatalyst(v))
+                  }
+                }
+              val aggVals: Seq[Option[Any]] =
+                agg.aggregateExpressions.toSeq.map {
+                  case _: CountStar =>
+                    Some(gp.map(byPart).map(_.rows).sum: Any)
+                  case mn: Min => colOf(mn.column).flatMap(c =>
+                    bound(c, isMin = true, gp).map(v =>
+                      StarTableSource.toCatalyst(v.orNull)))
+                  case mx: Max => colOf(mx.column).flatMap(c =>
+                    bound(c, isMin = false, gp).map(v =>
+                      StarTableSource.toCatalyst(v.orNull)))
+                  case _ => None
+                }
+              if ((keyVals ++ aggVals).exists(_.isEmpty)) None
+              else Some((keyVals ++ aggVals).map(_.get).toArray)
+            }
+            if (rows.exists(_.isEmpty)) None
+            else Some((StructType(groupFields ++ aggFields.flatten),
+              rows.flatten))
+          }
         }
       }
     pushedAgg.isDefined
@@ -273,8 +320,8 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
       .getOrElse(128L * 1024 * 1024)
     require(maxSplitBytes > 0,
       s"startable source: maxSplitBytes must be positive, got $maxSplitBytes")
-    pushedAgg.foreach { case (schema, row) =>
-      return new StarMetaAggScan(schema, row)
+    pushedAgg.foreach { case (schema, rows) =>
+      return new StarMetaAggScan(schema, rows)
     }
     // the session's Hadoop configuration, serialized once at planning time
     // so executor-side readers see the same credentials/FS settings
@@ -313,33 +360,35 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
   }
 }
 
-/** Metadata-only aggregate scan (COUNT(*)/MIN/MAX from slice statistics):
-  * one partition, one partial row folded by Spark's final aggregate (see
+/** Metadata-only aggregate scan (COUNT(*)/MIN/MAX, optionally grouped by
+  * partition columns, from slice statistics): one partition emitting one
+  * partial row per group, folded by Spark's final aggregate (see
   * [[StarTableScanBuilder.pushAggregation]]). Values arrive already in
   * Catalyst internal form. */
-private[sources] class StarMetaAggScan(schema: StructType, row: Array[Any])
+private[sources] class StarMetaAggScan(schema: StructType, rows: Seq[Array[Any]])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"StarMetaAggScan(${schema.fieldNames.mkString(", ")} from slice statistics)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(StarMetaAggPartition(row))
+    Array(StarMetaAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val vals = p.asInstanceOf[StarMetaAggPartition].row
-          private var emitted = false
+          private val it = p.asInstanceOf[StarMetaAggPartition].rows.iterator
+          private var cur: Array[Any] = _
           override def next(): Boolean =
-            if (emitted) false else { emitted = true; true }
-          override def get(): InternalRow = new GenericInternalRow(vals)
+            if (it.hasNext) { cur = it.next(); true } else false
+          override def get(): InternalRow = new GenericInternalRow(cur)
           override def close(): Unit = ()
         }
     }
 }
 
-private[sources] case class StarMetaAggPartition(row: Array[Any]) extends InputPartition
+private[sources] case class StarMetaAggPartition(rows: Seq[Array[Any]])
+    extends InputPartition
 
 private[sources] class StarTableScan(files: Seq[String], tableName: Option[String],
                                      sep: String, failFast: Boolean,

@@ -1008,6 +1008,22 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(graft.sources.StarTableSource.linesParsed.sum() === 0L,
       "min/max parsed data despite slice statistics")
 
+    // GROUP BY a partition column: per-slice counts/bounds are also pure
+    // metadata (one row per listed slice, folded by Spark's final agg)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    val grouped = ds().groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(grouped === Set(("g0", 300L, 0.0, 897.0), ("g1", 300L, 1.0, 898.0),
+      ("g2", 300L, 2.0, 899.0)))
+    assert(graft.sources.StarTableSource.linesParsed.sum() === 0L,
+      "grouped count/min/max parsed data despite slice statistics")
+    // GROUP BY a DATA column cannot be served: slices mix its values
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(ds().groupBy(col("x")).count().count() === 900L)
+    assert(graft.sources.StarTableSource.linesParsed.sum() > 0L)
+
     // an aggregate the stats CANNOT serve (sum) falls back to scanning
     graft.sources.StarTableSource.resetPushdownCounters()
     assert(ds().agg(sum(col("x"))).collect()(0).getDouble(0) === 404550.0)
