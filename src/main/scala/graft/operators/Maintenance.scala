@@ -378,15 +378,46 @@ object Maintenance {
     * (live dir absent). Such a trash dir is RESTORED (renamed back), never
     * deleted; staging siblings are always deletable (data never moves out
     * of a leaf except through the trash rename). Ordering per leaf:
-    * restore-if-orphaned first, then delete what remains. Safe to run any
-    * time no compact/cluster job is in flight on the same tree. */
-  def vacuumStarDataset(spark: SparkSession, path: String): VacuumReport = {
+    * restore-if-orphaned first, then delete what remains. The FLAT
+    * (non-partitioned) layout's swap stages its siblings beside the ROOT
+    * itself — handled before the inner walk, including restoring an
+    * orphaned root. Tmp FILES are deleted only when older than
+    * `tmpMinAgeMs` (default 1 h): a younger `.tmp` may be a CONCURRENT
+    * writer's in-flight stage-and-rename, whose commit rename would fail.
+    * Do not run while a compact/cluster/backfill job is in flight on the
+    * same tree. */
+  def vacuumStarDataset(spark: SparkSession, path: String,
+                        tmpMinAgeMs: Long = 3600000L): VacuumReport = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(root), s"vacuumStarDataset: $path does not exist")
     val Suffixes = Seq("__old", "__compacting", "__clustering")
     var restored = 0L; var removedDirs = 0L; var removedBytes = 0L
     var removedTmp = 0L
+    val now = System.currentTimeMillis()
+
+    // The FLAT (non-partitioned) layout's swap stages its siblings beside
+    // the ROOT itself (outside the walk below): restore an orphaned root
+    // from its trash sibling first, then clean the root's own leftovers.
+    Suffixes.foreach { suffix =>
+      val sib = new Path(root.getParent, "." + root.getName + suffix)
+      if (fs.exists(sib)) {
+        if (suffix == "__old" && !fs.exists(root)) {
+          if (!fs.rename(sib, root))
+            throw new java.io.IOException(
+              s"vacuumStarDataset: could not restore $root from $sib")
+          restored += 1
+        } else {
+          removedBytes +=
+            (try fs.getContentSummary(sib).getLength
+             catch { case _: java.io.IOException => 0L })
+          fs.delete(sib, true)
+          removedDirs += 1
+        }
+      }
+    }
+    require(fs.exists(root),
+      s"vacuumStarDataset: $path does not exist (and no restorable " +
+        s".${root.getName}__old sibling was found)")
 
     def sizeOf(p: Path): Long =
       try fs.getContentSummary(p).getLength catch { case _: java.io.IOException => 0L }
@@ -412,7 +443,10 @@ object Maintenance {
             fs.delete(st.getPath, true)
             removedDirs += 1
           }
-        } else if (st.isFile && n.startsWith(".") && n.endsWith(".tmp")) {
+        } else if (st.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
+                   now - st.getModificationTime >= tmpMinAgeMs) {
+          // age-gated: a YOUNG .tmp may be a concurrent writer's in-flight
+          // stage-and-rename — deleting it would fail that writer mid-commit
           fs.delete(st.getPath, false)
           removedTmp += 1
         } else if (st.isDirectory && !n.startsWith(".") && !n.startsWith("_")) {

@@ -166,6 +166,20 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
         if r.fieldNames.length == 1 => Some(r.fieldNames.head)
       case _ => None
     }
+    // SHAPE checks first — they are pure and the listing below is not
+    // (minutes on a 100k-slice object store): an unservable aggregate
+    // (sum/avg, expression-valued min) must refuse before any IO, or the
+    // fallback scan pays the listing TWICE
+    {
+      import org.apache.spark.sql.connector.expressions.aggregate.{CountStar => CS, Max => Mx, Min => Mn}
+      val shapesOk = agg.aggregateExpressions.forall {
+        case _: CS => true
+        case m: Mn => colOf(m.column).isDefined
+        case m: Mx => colOf(m.column).isDefined
+        case _     => false
+      } && agg.groupByExpressions.forall(colOf(_).isDefined)
+      if (!shapesOk) return false
+    }
     val conf = StarTableSource.activeHadoopConf()
     val roots = StarTableSource.paths(options)
     pushedAgg = StarTableSource.readDatasetMeta(roots, conf)
@@ -183,7 +197,11 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
         val listed = StarTableSource.listPartitionedFiles(roots, m.partCols, conf)
         val parts = listed.map(_._3).distinct
         val byPart = m.sliceStats.map(s => s.partition -> s).toMap
-        if (!parts.forall(byPart.contains)) None
+        // empty listing → fall back: with partial pushdown Spark rewrites
+        // the final COUNT to a SUM over the scan's partial rows, and a SUM
+        // over ZERO rows is null where a real count of an empty table is 0
+        // — the ordinary scan over zero files gets that right
+        if (parts.isEmpty || !parts.forall(byPart.contains)) None
         else {
           val fixer = new graft.parse.ParseFixer()
           /** Fold one bound over one GROUP's slices: null bounds (all-null

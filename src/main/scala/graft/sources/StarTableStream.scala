@@ -150,7 +150,7 @@ private[sources] class StarTableMicroBatchStream(
   private def compactLog(upTo: Long): Unit = {
     import graft.io.JsonValue._
     val folded = (if (compactBase > 0) readCompactGrouped(compactBase) else Nil) ++
-      ((compactBase + 1) to upTo).map(b => b -> readLog(b).toVector)
+      ((compactBase + 1) to upTo).map(b => b -> readLog(b, cache = false).toVector)
     commitFile(s"$upTo.compact", graft.io.JsonValue.write(JsonArray(
       folded.flatMap { case (b, es) => es.map(entryJson(_, Some(b))) }.toVector)))
     compactBase = upTo
@@ -166,25 +166,36 @@ private[sources] class StarTableMicroBatchStream(
       catch { case _: java.io.IOException => () })
   }
 
-  private def readLog(batch: Long): Seq[Entry] =
+  /** Entries of one batch: memory, then the on-disk delta, then (for a
+    * batch already folded away) the compact snapshot. `cache = false`
+    * keeps bulk readers (the compaction fold) from re-growing the map
+    * with committed batches that nothing will replan. */
+  private def readLog(batch: Long, cache: Boolean = true): Seq[Entry] =
     perBatch.getOrElse(batch, {
       import graft.io.JsonValue._
       val p = new org.apache.hadoop.fs.Path(logDir, batch.toString)
-      val txt = try {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      } catch {
-        case e: java.io.IOException =>
-          // a gap in the log means the checkpoint is damaged: re-emitting
-          // the files it covered would be SILENT duplication — refuse
-          throw new IllegalStateException(
-            s"startable stream: missing/unreadable file-log entry $p — " +
-              "the checkpoint is damaged; restore it or start a fresh " +
-              "checkpoint", e)
-      }
-      val es = graft.io.JsonValue.parse(txt).asInstanceOf[JsonArray]
-        .values.map(parseEntry(_)._1).toVector
-      perBatch(batch) = es
+      val es: Vector[Entry] =
+        try {
+          val in = fs.open(p)
+          val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          graft.io.JsonValue.parse(txt).asInstanceOf[JsonArray]
+            .values.map(parseEntry(_)._1).toVector
+        } catch {
+          case e: java.io.IOException =>
+            // the delta may have been folded into a compact (post-restart
+            // replay of an old batch); only a batch in NEITHER place means
+            // a damaged checkpoint: re-emitting its files would be SILENT
+            // duplication — refuse
+            if (batch <= compactBase)
+              readCompactGrouped(compactBase).collectFirst {
+                case (b, bs) if b == batch => bs
+              }.getOrElse(Vector.empty)
+            else throw new IllegalStateException(
+              s"startable stream: missing/unreadable file-log entry $p — " +
+                "the checkpoint is damaged; restore it or start a fresh " +
+                "checkpoint", e)
+        }
+      if (cache) perBatch(batch) = es
       es
     })
 
@@ -205,10 +216,18 @@ private[sources] class StarTableMicroBatchStream(
     val deltaIds = names.filter(n => n.forall(_.isDigit) && n.nonEmpty).map(_.toLong)
     compactBase = compactIds.maxOption.getOrElse(0L)
     val last = (compactIds ++ deltaIds).maxOption.getOrElse(0L)
+    // seen-paths come from the full history, but perBatch retains ONLY the
+    // delta tail: batches in the compact are committed (compaction runs at
+    // write time, deltas are deleted only once folded), so nothing replans
+    // them from memory — readLog falls back to the compact on disk if the
+    // engine ever does. An idle restarted stream thus holds O(interval)
+    // batch entries, not O(stream age) (the round-10 bounded-memory claim,
+    // which the first cut broke by materializing the whole compact here).
     if (compactBase > 0)
-      readCompactGrouped(compactBase).foreach { case (b, es) => perBatch(b) = es }
-    ((compactBase + 1) to last).foreach(b => readLog(b))
-    perBatch.values.foreach(_.foreach(e => seen += e._1))
+      readCompactGrouped(compactBase)
+        .foreach { case (_, es) => es.foreach(e => seen += e._1) }
+    ((compactBase + 1) to last).foreach(b =>
+      readLog(b).foreach(e => seen += e._1))
     (last, seen)
   }
 
@@ -278,7 +297,7 @@ private[sources] class StarTableMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BatchOffset].batch
     val e = end.asInstanceOf[BatchOffset].batch
-    ((s + 1) to e).flatMap(readLog).flatMap { case (path, len, raw) =>
+    ((s + 1) to e).flatMap(b => readLog(b)).flatMap { case (path, len, raw) =>
       val spec = meta.partCols.lazyZip(meta.partUnits).lazyZip(raw)
         .map((c, u, r) => (c, u, r))
       val eff = math.max(maxSplitBytes, math.ceil(len.toDouble / 10000).toLong)

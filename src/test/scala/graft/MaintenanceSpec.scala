@@ -236,13 +236,42 @@ class MaintenanceSpec extends AnyFunSuite {
 
     // the damaged state hides g1 from readers — vacuum must bring it back
     assert(readBack() == before.filterNot(_._1 == "g1"))
-    val rep = Maintenance.vacuumStarDataset(spark, path)
-    assert(rep.restoredLeaves == 1, rep.toString)
-    assert(rep.removedDirs == 3, rep.toString)   // g0 staging+trash, g1 staging
-    assert(rep.removedTmpFiles == 1, rep.toString)
+    // a YOUNG .tmp (a possible in-flight concurrent writer) must survive
+    val repAged = Maintenance.vacuumStarDataset(spark, path)
+    assert(repAged.removedTmpFiles == 0,
+      "vacuum deleted a young .tmp a concurrent writer could be committing")
+    assert(repAged.restoredLeaves == 1, repAged.toString)
+    assert(repAged.removedDirs == 3, repAged.toString) // g0 staging+trash, g1 staging
     assert(readBack() == before, "vacuum lost or failed to restore rows")
-    // idempotent: a second pass finds nothing
-    val rep2 = Maintenance.vacuumStarDataset(spark, path)
+    // with the age gate off, the stale tmp goes too; then idempotent
+    val rep = Maintenance.vacuumStarDataset(spark, path, tmpMinAgeMs = 0L)
+    assert(rep.removedTmpFiles == 1, rep.toString)
+    val rep2 = Maintenance.vacuumStarDataset(spark, path, tmpMinAgeMs = 0L)
     assert(rep2 == Maintenance.VacuumReport(0, 0, 0, 0), rep2.toString)
+  }
+
+  test("vacuum repairs the FLAT layout's root-level swap crash: an orphaned " +
+    "root restores from its trash sibling; root-side staging is cleaned") {
+    val parent = java.nio.file.Files.createTempDirectory("graft_vflat")
+    val path = parent.resolve("table").toString
+    val df = (0 until 50).map(i => (s"g${i % 2}", i.toDouble)).toDF("g", "x")
+    graft.io.CsvWriter.writeDataset(
+      graft.model.StarTable.fromDataFrame(df, "flat", units = Map("g" -> "text")),
+      path, numFiles = 4)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.Path
+    // simulate compact's between-two-renames crash on the ROOT itself
+    assert(fs.rename(new Path(path), new Path(parent.toString, ".table__old")))
+    fs.mkdirs(new Path(parent.toString, ".table__compacting"))
+    assert(!fs.exists(new Path(path)))
+    val rep = Maintenance.vacuumStarDataset(spark, path)
+    assert(rep.restoredLeaves == 1 && rep.removedDirs == 1, rep.toString)
+    assert(spark.read.format("startable").load(path).count() == 50)
+    // a truly-missing path (no trash either) still refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.vacuumStarDataset(spark, parent.resolve("nope").toString)
+    }
+    assert(e.getMessage.contains("does not exist"))
   }
 }

@@ -1053,6 +1053,16 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(graft.sources.StarTableSource.linesParsed.sum() > 0L,
       "count answered from metadata although a listed slice has no entry")
 
+    // ALL partitions dropped (empty listing, stale sidecar entries): the
+    // pushdown must refuse — a zero-row partial scan would make Spark's
+    // COUNT-as-SUM rewrite return null where a real count of an empty
+    // table is 0
+    graft.operators.Maintenance.dropPartitions(spark, out, "grp",
+      Seq("g0", "g1"))
+    assert(ds().count() === 0L,
+      "count over a fully-dropped dataset must be 0, not null/garbage")
+    assert(ds().agg(count(lit(1))).collect()(0).getLong(0) === 0L)
+
     // a dataset written with collectStats=false never pushes the count
     val out2 = base.resolve("ds2").toString
     graft.io.CsvWriter.writePartitionedDataset(
