@@ -402,10 +402,19 @@ object CsvWriter {
     * overwrite drops the whole dataset first. Backfill requires an
     * EXISTING dataset whose sidecar schema matches `t` exactly (a drifted
     * backfill would silently fork the dataset's schema — refused). */
-  /** `collectFileStats = false` skips the per-FILE statistics read-back
-    * over multi-file slices (see [[computeWrittenFileStats]] for the cost
-    * shape) while keeping slice-level statistics; file-tier skipping then
-    * arrives with the next clusterStarDataset pass instead. */
+  /** `collectFileStats` controls the per-FILE statistics read-back over
+    * multi-file slices (see [[computeWrittenFileStats]] for the cost
+    * shape). Default (None): collected only under a SHUFFLED write
+    * (numFiles > 0), where multi-file slices exist only by explicit
+    * salting and the read-back is bounded to those slices — under the
+    * unshuffled default (numFiles = 0) every upstream task writes a file
+    * per slice it holds, so the read-back would silently re-scan close to
+    * the WHOLE just-written dataset on every ingest. `Some(true)` forces
+    * the read-back regardless of write shape (an ingest whose upstream is
+    * already range-ordered gets file-tier skipping straight from the
+    * write); `Some(false)` always skips it. Slice-level statistics are
+    * unaffected; file-tier skipping otherwise arrives with the next
+    * clusterStarDataset pass. */
   /** `filesPerSlice > 1` SALTS the `numFiles` shuffle within each slice:
     * plain repartition-on-partition-columns routes ALL of a slice's rows
     * to one task, so a 90%-one-slice skew serializes the write; a salt of
@@ -420,7 +429,7 @@ object CsvWriter {
                               overwriteSlices: Boolean = false,
                               collectStats: Boolean = true,
                               filesPerSlice: Int = 1,
-                              collectFileStats: Boolean = true): Unit = {
+                              collectFileStats: Option[Boolean] = None): Unit = {
     require(filesPerSlice >= 1,
       s"writePartitionedDataset: filesPerSlice must be >= 1, got $filesPerSlice")
     require(partitionBy.nonEmpty,
@@ -552,7 +561,7 @@ object CsvWriter {
         _.fileStats.filterNot(s => rewrittenParts.contains(s.partition)))
         .getOrElse(Nil)
     val written: Seq[graft.sources.StarTableSource.FileStats] =
-      if (capped || !collectStats || !collectFileStats) Nil
+      if (capped || !collectStats || !collectFileStats.getOrElse(numFiles > 0)) Nil
       else computeWrittenFileStats(t.df.sparkSession, outDir, dataCols,
         dataCols.map(t.unit), partitionBy, sep, naRep,
         onlySlices = if (overwriteSlices) Some(rewrittenParts) else None)

@@ -59,7 +59,21 @@ object Maintenance {
         }
         results.collectFirst { case Left(t) => t }.foreach(throw _)
         results.collect { case Right(b) => b }
-      } finally pool.shutdown() // graceful: no interrupts mid-swap
+      } finally {
+        pool.shutdown() // graceful: no interrupts mid-swap
+        // and WAIT for it: if the awaiting thread itself was interrupted
+        // (fut.get -> InterruptedException above), that leaf's task is
+        // still RUNNING — returning now would let the caller immediately
+        // rerun compact/cluster and race a mid-flight staging-and-swap on
+        // the same leaf. Await uninterruptibly, re-asserting the flag.
+        var interrupted = false
+        var terminated = false
+        while (!terminated)
+          try terminated = pool.awaitTermination(
+            1, java.util.concurrent.TimeUnit.DAYS)
+          catch { case _: InterruptedException => interrupted = true }
+        if (interrupted) Thread.currentThread().interrupt()
+      }
     }
 
   /** Concurrent leaf jobs for dataset maintenance (compact/cluster).

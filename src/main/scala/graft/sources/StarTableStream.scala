@@ -126,6 +126,28 @@ private[sources] class StarTableMicroBatchStream(
       compactLog(batch)
   }
 
+  /** Memo of the newest parsed compact, keyed by its base batch id and held
+    * softly: a post-restart replan spanning several folded batches would
+    * otherwise re-open and re-parse the WHOLE compact once per batch —
+    * O(interval) full-compact reads that grow with logCompactInterval on
+    * object stores. A SoftReference keeps the bounded-memory contract
+    * honest (the compact holds every entry ever logged): the GC reclaims
+    * it under pressure and the next hit re-reads from disk. */
+  private var compactMemo
+      : (Long, java.lang.ref.SoftReference[Seq[(Long, Vector[Entry])]]) = null
+
+  private def compactGrouped(base: Long): Seq[(Long, Vector[Entry])] = {
+    val hit =
+      if (compactMemo != null && compactMemo._1 == base) compactMemo._2.get()
+      else null
+    if (hit != null) hit
+    else {
+      val parsed = readCompactGrouped(base)
+      compactMemo = (base, new java.lang.ref.SoftReference(parsed))
+      parsed
+    }
+  }
+
   /** Entries of an on-disk compact snapshot, grouped by their batch id. */
   private def readCompactGrouped(base: Long): Seq[(Long, Vector[Entry])] = {
     import graft.io.JsonValue._
@@ -149,11 +171,13 @@ private[sources] class StarTableMicroBatchStream(
     * perBatch/deltas. */
   private def compactLog(upTo: Long): Unit = {
     import graft.io.JsonValue._
-    val folded = (if (compactBase > 0) readCompactGrouped(compactBase) else Nil) ++
+    val folded = (if (compactBase > 0) compactGrouped(compactBase) else Nil) ++
       ((compactBase + 1) to upTo).map(b => b -> readLog(b, cache = false).toVector)
     commitFile(s"$upTo.compact", graft.io.JsonValue.write(JsonArray(
       folded.flatMap { case (b, es) => es.map(entryJson(_, Some(b))) }.toVector)))
     compactBase = upTo
+    // the fold IS the new compact's grouped content — seed the memo
+    compactMemo = (upTo, new java.lang.ref.SoftReference(folded))
     val stale = try {
       fs.listStatus(logDir).toSeq.map(_.getPath.getName).filter { n =>
         (n.forall(_.isDigit) && n.toLong <= upTo) ||
@@ -187,9 +211,17 @@ private[sources] class StarTableMicroBatchStream(
             // a damaged checkpoint: re-emitting its files would be SILENT
             // duplication — refuse
             if (batch <= compactBase)
-              readCompactGrouped(compactBase).collectFirst {
+              compactGrouped(compactBase).collectFirst {
                 case (b, bs) if b == batch => bs
-              }.getOrElse(Vector.empty)
+              }.getOrElse(
+                // every logged batch holds >= 1 entry (writeLog fires only
+                // when fresh.nonEmpty), so a folded batch ABSENT from the
+                // compact can only be a damaged/truncated compact — emitting
+                // zero rows for it would be SILENT data loss on replay
+                throw new IllegalStateException(
+                  s"startable stream: batch $batch is missing from compact " +
+                    s"snapshot $compactBase.compact — the checkpoint is " +
+                    "damaged; restore it or start a fresh checkpoint", e))
             else throw new IllegalStateException(
               s"startable stream: missing/unreadable file-log entry $p — " +
                 "the checkpoint is damaged; restore it or start a fresh " +
@@ -224,7 +256,7 @@ private[sources] class StarTableMicroBatchStream(
     // batch entries, not O(stream age) (the round-10 bounded-memory claim,
     // which the first cut broke by materializing the whole compact here).
     if (compactBase > 0)
-      readCompactGrouped(compactBase)
+      compactGrouped(compactBase)
         .foreach { case (_, es) => es.foreach(e => seen += e._1) }
     ((compactBase + 1) to last).foreach(b =>
       readLog(b).foreach(e => seen += e._1))

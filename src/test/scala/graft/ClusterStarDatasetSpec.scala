@@ -71,10 +71,20 @@ class ClusterStarDatasetSpec extends AnyFunSuite {
     val t = graft.model.StarTable.fromDataFrame(df, "clustered",
       units = Map("grp" -> "text", "tag" -> "text"))
     val out = Files.createTempDirectory("graft_wstats").toString
-    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"))
+    // the unshuffled write's read-back is near-total, so file stats there
+    // are OPT-IN (collectFileStats = Some(true)); the default skips them
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"),
+      collectFileStats = Some(true))
     val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(out)).get
     assert(meta.fileStats.size > 2,
       s"write-time file stats missing for multi-file slices: ${meta.fileStats.size}")
+    // the DEFAULT unshuffled write pays no read-back: no file stats
+    val deflt = Files.createTempDirectory("graft_wstats0").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, deflt, Seq("grp"))
+    assert(graft.sources.StarTableSource.readDatasetMeta(Seq(deflt))
+      .get.fileStats.isEmpty,
+      "default unshuffled write must not pay the near-total file-stats " +
+        "read-back (collectFileStats defaults off when numFiles <= 0)")
     // NO clusterStarDataset ran — skipping must come from the write itself
     val back = spark.read.format("startable").load(out)
     graft.sources.StarTableSource.resetPushdownCounters()
