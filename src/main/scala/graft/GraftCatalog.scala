@@ -1,0 +1,163 @@
+package graft
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL-callable dataset maintenance — the Spark 4 `ProcedureCatalog`
+  * surface, so compact/cluster/vacuum/drop-partitions are not Scala-only:
+  *
+  * {{{
+  *   spark.sql.catalog.graft = graft.GraftCatalog   // session config
+  *   CALL graft.system.compact_dataset(path => '/data/ds')
+  *   CALL graft.system.cluster_dataset(path => '/data/ds', sort_cols => 'x')
+  *   CALL graft.system.vacuum_dataset(path => '/data/ds')
+  *   CALL graft.system.drop_partitions(path => '/data/ds',
+  *                                     column => 'day', values => '2026-01-01')
+  * }}}
+  *
+  * Each procedure delegates verbatim to its
+  * [[graft.operators.Maintenance]] entry point (same refusals, same crash
+  * discipline, same reports) and returns the report as a one-row result.
+  * Procedures are side-effecting, so `isDeterministic` is false and Spark
+  * executes each CALL exactly once, eagerly. */
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+  private var catalogName = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val ok = ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))
+    if (!ok)
+      throw new IllegalArgumentException(
+        s"graft catalog: unknown namespace ${ident.namespace.mkString(".")} " +
+          "(procedures live in `system`)")
+    GraftCatalog.procedures.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
+      throw new IllegalArgumentException(
+        s"graft catalog: unknown procedure '${ident.name}' — available: " +
+          GraftCatalog.procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftCatalog.procedures.keys.toSeq.sorted
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+}
+
+object GraftCatalog {
+
+  /** One maintenance procedure: fixed parameters, a one-row report. The
+    * unbound and bound forms coincide (parameters are static — `bind` has
+    * nothing to specialize; Spark casts arguments to the declared types). */
+  private final class MaintenanceProcedure(
+      pname: String, desc: String,
+      params: Seq[ProcedureParameter],
+      resultSchema: StructType,
+      run: (SparkSession, InternalRow) => Seq[Any])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = pname
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val values = run(SparkSession.active, input)
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow.fromSeq(values))
+        override def readSchema(): StructType = resultSchema
+      }
+      util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  private def in(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+  private def inDefault(n: String, t: DataType, d: String): ProcedureParameter =
+    ProcedureParameter.in(n, t).defaultValue(d).build()
+  private def str(r: InternalRow, i: Int): String = {
+    require(!r.isNullAt(i), s"procedure argument #${i + 1} must not be null")
+    r.getUTF8String(i).toString
+  }
+  /** Comma-separated list argument (column names, partition values). */
+  private def strs(r: InternalRow, i: Int): Seq[String] =
+    str(r, i).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
+  private[graft] val procedures: Map[String, UnboundProcedure] = Seq[UnboundProcedure](
+    new MaintenanceProcedure(
+      "compact_dataset",
+      "Rewrite a StarTable dataset's slices as ~target_bytes files " +
+        "(graft.operators.Maintenance.compactStarDataset)",
+      Seq(in("path", StringType),
+        inDefault("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+      StructType(Seq(
+        StructField("files_before", LongType, nullable = false),
+        StructField("bytes_before", LongType, nullable = false),
+        StructField("files_after", LongType, nullable = false),
+        StructField("bytes_after", LongType, nullable = false))),
+      (spark, r) => {
+        val rep = graft.operators.Maintenance.compactStarDataset(
+          spark, str(r, 0), r.getLong(1))
+        Seq(rep.filesBefore, rep.bytesBefore, rep.filesAfter, rep.bytesAfter)
+      }),
+
+    new MaintenanceProcedure(
+      "cluster_dataset",
+      "Range-cluster each slice of a StarTable dataset by sort_cols " +
+        "(comma-separated) and record per-file statistics " +
+        "(graft.operators.Maintenance.clusterStarDataset)",
+      Seq(in("path", StringType), in("sort_cols", StringType),
+        inDefault("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+      StructType(Seq(
+        StructField("slices", LongType, nullable = false),
+        StructField("files_before", LongType, nullable = false),
+        StructField("files_after", LongType, nullable = false),
+        StructField("bytes_before", LongType, nullable = false),
+        StructField("bytes_after", LongType, nullable = false),
+        StructField("file_stats_written", LongType, nullable = false))),
+      (spark, r) => {
+        val rep = graft.operators.Maintenance.clusterStarDataset(
+          spark, str(r, 0), strs(r, 1), r.getLong(2))
+        Seq(rep.slices, rep.filesBefore, rep.filesAfter,
+          rep.bytesBefore, rep.bytesAfter, rep.fileStatsWritten)
+      }),
+
+    new MaintenanceProcedure(
+      "vacuum_dataset",
+      "Restore-then-remove the staging-and-swap protocols' crash leftovers " +
+        "(graft.operators.Maintenance.vacuumStarDataset)",
+      Seq(in("path", StringType),
+        inDefault("tmp_min_age_ms", LongType, 3600000L.toString)),
+      StructType(Seq(
+        StructField("restored_leaves", LongType, nullable = false),
+        StructField("removed_dirs", LongType, nullable = false),
+        StructField("removed_bytes", LongType, nullable = false),
+        StructField("removed_tmp_files", LongType, nullable = false))),
+      (spark, r) => {
+        val rep = graft.operators.Maintenance.vacuumStarDataset(
+          spark, str(r, 0), r.getLong(1))
+        Seq(rep.restoredLeaves, rep.removedDirs, rep.removedBytes,
+          rep.removedTmpFiles)
+      }),
+
+    new MaintenanceProcedure(
+      "drop_partitions",
+      "Drop whole partition slices by value (comma-separated) " +
+        "(graft.operators.Maintenance.dropPartitions)",
+      Seq(in("path", StringType), in("column", StringType),
+        in("values", StringType)),
+      StructType(Seq(StructField("dropped", LongType, nullable = false))),
+      (spark, r) => Seq(graft.operators.Maintenance.dropPartitions(
+        spark, str(r, 0), str(r, 1), strs(r, 2)))),
+  ).map(p => p.name -> p).toMap
+}

@@ -645,6 +645,36 @@ object RelationalQueries {
       agged
     }),
 
+    // Partition-FILTERED metadata aggregates: the single most common probe
+    // on a partitioned dataset ("how many rows landed today?"). The
+    // partition filter is consumed by the scan (partition pruning is
+    // slice-exact), Spark therefore still offers the aggregate, and the
+    // count/min/max fold over the PRUNED listing + sidecar — a metadata
+    // read. The plan is asserted (a silent fallback would still be
+    // correct and hide the regression); a DATA-column filter must keep
+    // scanning (asserted inverted), and the oracle recomputes from the
+    // original parquet so a pruning or fold error breaks the hash.
+    "q_dataset_count_filtered" -> ((s, dir) => {
+      val ds = partitionedDatasetFor(s, dir)
+      val agged = s.read.format("startable").load(ds)
+        .filter(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_linestatus")).as("min_status"),
+          max(col("l_linestatus")).as("max_status"))
+      require(agged.queryExecution.executedPlan.toString
+          .contains("StarMetaAggScan"),
+        "q_dataset_count_filtered: the metadata aggregate scan did not " +
+          "engage under a partition-only filter")
+      require(!s.read.format("startable").load(ds)
+          .filter(col("l_extendedprice") > 0.0).agg(count(lit(1)))
+          .queryExecution.executedPlan.toString.contains("StarMetaAggScan"),
+        "q_dataset_count_filtered: a DATA-column filter must fall back " +
+          "to the scanning plan")
+      agged
+    }),
+
     "q_dataset_stats" -> ((s, dir) => {
       val ds = partitionedDatasetFor(s, dir)
       val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(ds))
@@ -1216,6 +1246,15 @@ object RelationalQueries {
     // the metadata-only count must equal DuckDB counting the original rows
     "q_dataset_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+
+    // the partition-filtered metadata aggregate must equal DuckDB
+    // filtering + aggregating the original rows
+    "q_dataset_count_filtered" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+        |  min(l_linestatus) AS min_status, max(l_linestatus) AS max_status
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
 
     // per-partition metadata aggregates must equal DuckDB grouping the rows
     "q_dataset_group_agg" ->

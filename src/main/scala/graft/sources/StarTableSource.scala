@@ -137,9 +137,11 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
     *    then a union of whole slices — SELECT lang, count(*) ... GROUP BY
     *    lang over 100 TB is a listing + sidecar read), and every aggregate
     *    expression is a CountStar or a Min/Max over a single column (Spark
-    *    only offers aggregate pushdown when every filter was fully pushed;
-    *    ours are always residual, so any filtered query never reaches
-    *    here);
+    *    only offers aggregate pushdown when every filter was fully
+    *    consumed; data-column filters always stay residual, so their
+    *    plans never reach here — PARTITION-only exact filters are
+    *    consumed by pushFilters and prune the listing this aggregate
+    *    folds over, so "COUNT(*) WHERE day = X" is also metadata-only);
     *  - the roots are ONE partitioned dataset whose sidecar carries slice
     *    statistics, EVERY LISTED slice has a stats entry, and every
     *    Min/Max bound re-parses cleanly — a stripped entry (crash-window
@@ -158,7 +160,13 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (pushed.nonEmpty || limit.isDefined) return false
+    // pushed PARTITION filters do not block the metadata path: pushFilters
+    // consumed them completely (no residual), so Spark still offers the
+    // aggregate, and the listing below is pruned by exactly the filters
+    // the scanning plan would prune by — "COUNT(*) WHERE day = X" answers
+    // from the pruned listing + sidecar. Data-column filters always stay
+    // residual, so their plans never reach here.
+    if (limit.isDefined) return false
     if (agg.aggregateExpressions.isEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -194,7 +202,16 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
             case Some(c) if m.partCols.contains(c) => c
             case _ => return false
           }
-        val listed = StarTableSource.listPartitionedFiles(roots, m.partCols, conf)
+        // defensive: only filters pushFilters could have CONSUMED may be
+        // honored here (partition-exact); anything else falls back — a
+        // residual filter reaching this point would otherwise be applied
+        // twice or, worse, not at all
+        if (!pushed.forall(f => f.references.forall(m.partCols.contains) &&
+            StarTableSource.exactFilter(f))) return false
+        val listed0 = StarTableSource.listPartitionedFiles(roots, m.partCols, conf)
+        val listed = StarTableSource.prunePartitionListing(
+          listed0, m.partCols, m.partUnits, pushed.toSeq)
+        StarTableSource.filesPruned.add(listed0.size - listed.size)
         val parts = listed.map(_._3).distinct
         val byPart = m.sliceStats.map(s => s.partition -> s).toMap
         // empty listing → fall back: with partial pushdown Spark rewrites
@@ -306,9 +323,12 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
   /** Limit pushdown INTO the parse: each reader stops consuming its input
     * after `limit` rows, so `.limit(n)` over a huge StarTable file parses
     * ~n rows per partition instead of the whole file. Spark only offers
-    * the limit when no residual filter sits between it and the scan (our
-    * pushed filters always remain residual, so filtered plans never push a
-    * limit here), and `isPartiallyPushed` stays true (the default): Spark
+    * the limit when no residual filter sits between it and the scan
+    * (data-column filters always remain residual, so their plans never
+    * push a limit here; consumed partition filters are slice-exact —
+    * every row a kept file yields satisfies them — so a limit above them
+    * caps only satisfying rows), and `isPartiallyPushed` stays true (the
+    * default): Spark
     * re-applies the global limit, the scan cap is purely a work bound. */
   override def pushLimit(l: Int): Boolean = {
     limit = Some(l)
@@ -326,7 +346,25 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
     * authority (same contract as parquet row-group skipping). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(StarTableSource.supportedFilter(fullSchema))
-    filters
+    // Partition-only filters on a DATASET read are consumed COMPLETELY
+    // (not returned as residual): partition pruning evaluates them on the
+    // slice's parsed partition value — constant for every row of the slice
+    // — so a kept slice satisfies the filter row-for-row and a dropped
+    // slice holds no satisfying row. Only [[StarTableSource.exactFilter]]
+    // shapes qualify (evalFilter verdict == Spark's verdict, exactly).
+    // The payoff is plan-shaped: with no residual Filter between the
+    // Aggregate and the scan, Spark OFFERS aggregate pushdown, so
+    // "COUNT(*) WHERE day = '2026-08-15'" — the most common probe on a
+    // partitioned dataset — becomes a metadata read (pushAggregation
+    // below). Everything else stays residual (stats-based skipping is
+    // best-effort, Spark re-checks).
+    val partCols = StarTableSource.readDatasetMeta(
+        StarTableSource.paths(options), StarTableSource.activeHadoopConf())
+      .map(_.partCols.toSet).getOrElse(Set.empty[String])
+    val consumed = pushed.filter(f => partCols.nonEmpty &&
+      f.references.forall(partCols.contains) &&
+      StarTableSource.exactFilter(f)).toSet
+    filters.filterNot(consumed.contains)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -374,7 +412,14 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
           require(n > 0,
             s"startable source: logCompactInterval must be positive, got $n")
           n
-        }.getOrElse(10))
+        }.getOrElse(10),
+      maxFileAgeMs =
+        Option(options.get("maxFileAgeMs")).map { s =>
+          val n = s.toLong
+          require(n > 0,
+            s"startable source: maxFileAgeMs must be positive, got $n")
+          n
+        })
   }
 }
 
@@ -420,7 +465,8 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
                                          new org.apache.hadoop.conf.Configuration()),
                                      columnarEnabled: Boolean = true,
                                      maxFilesPerTrigger: Option[Int] = None,
-                                     logCompactInterval: Int = 10)
+                                     logCompactInterval: Int = 10,
+                                     maxFileAgeMs: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -437,7 +483,7 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
         "files have no incremental-discovery contract"))
     new StarTableMicroBatchStream(files, m, checkpointLocation, sep, failFast,
       fullSchema, required, pushed, maxSplitBytes, maxFilesPerTrigger, confS,
-      logCompactInterval)
+      logCompactInterval, maxFileAgeMs)
   }
 
   /** Partitioned-dataset file inventory: (path, length, raw partition
@@ -454,14 +500,8 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
         val partFilters = pushed.filter(_.references.forall(m.partCols.contains))
         val afterPart = if (partFilters.isEmpty) all
         else {
-          val parsers = m.partCols.zip(m.partUnits).map { case (_, u) =>
-            graft.parse.ColumnParsers.cellParser(u, new graft.parse.ParseFixer())
-          }
-          val kept = all.filter { case (_, _, raw) =>
-            val vals: Map[String, Any] = m.partCols.lazyZip(raw).lazyZip(parsers)
-              .map((c, r, p) => c -> (if (r == null) null else p(r))).toMap
-            partFilters.forall(f => StarTableSource.evalFilter(f, vals.getOrElse(_, null)))
-          }
+          val kept = StarTableSource.prunePartitionListing(
+            all, m.partCols, m.partUnits, partFilters.toSeq)
           StarTableSource.filesPruned.add(all.size - kept.size)
           kept
         }
@@ -1239,11 +1279,23 @@ private[graft] object StarTableSource {
                            conf: org.apache.hadoop.conf.Configuration = activeHadoopConf(),
                            listingParallelism: Int = 16,
                            parallelListingThreshold: Int = 8)
-      : Seq[(String, Long, Seq[String])] = {
+      : Seq[(String, Long, Seq[String])] =
+    listPartitionedFilesWithTimes(roots, partCols, conf, listingParallelism,
+      parallelListingThreshold).map(f => (f._1, f._2, f._3))
+
+  /** [[listPartitionedFiles]] plus each file's modification time (last
+    * element) — the streaming source's `maxFileAge` aging needs it, and the
+    * walk already holds the FileStatus, so it is free. Same walk, same
+    * pinned order. */
+  def listPartitionedFilesWithTimes(roots: Seq[String], partCols: Seq[String],
+                           conf: org.apache.hadoop.conf.Configuration = activeHadoopConf(),
+                           listingParallelism: Int = 16,
+                           parallelListingThreshold: Int = 8)
+      : Seq[(String, Long, Seq[String], Long)] = {
     roots.flatMap { r =>
       val root = new org.apache.hadoop.fs.Path(r)
       val fs = root.getFileSystem(conf)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Seq[String])]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Seq[String], Long)]
       var wave: Seq[(org.apache.hadoop.fs.Path, Map[String, String])] =
         Seq((root, Map.empty))
       while (wave.nonEmpty) {
@@ -1287,7 +1339,8 @@ private[graft] object StarTableSource {
               require(missing.isEmpty,
                 s"startable source: data file ${s.getPath} lacks partition " +
                   s"value(s) for ${missing.mkString(", ")} in its path")
-              out += ((s.getPath.toString, s.getLen, partCols.map(spec(_))))
+              out += ((s.getPath.toString, s.getLen, partCols.map(spec(_)),
+                s.getModificationTime))
             }
           }
         }
@@ -1346,6 +1399,44 @@ private[graft] object StarTableSource {
       case _                        => false
     }
   }
+
+  /** Filters whose [[evalFilter]] verdict EXACTLY matches Spark's own
+    * evaluation (not merely conservatively): positive atoms and their
+    * And/Or compositions. For these, false and SQL null collapse to the
+    * same "row not emitted" outcome, so a partition-level verdict can be
+    * the correctness AUTHORITY (the filter consumed completely, no Spark
+    * residual). `Not` is excluded — boolean evalFilter turns NOT(null)
+    * into true where Spark's three-valued logic drops the row — as is any
+    * atom evalFilter would wave through as "unsupported: defer to Spark"
+    * (there is no Spark to defer to once the filter is consumed). */
+  def exactFilter(f: Filter): Boolean = f match {
+    case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+         LessThan(_, _) | LessThanOrEqual(_, _) | In(_, _) |
+         IsNull(_) | IsNotNull(_) => true
+    case And(l, r)                => exactFilter(l) && exactFilter(r)
+    case Or(l, r)                 => exactFilter(l) && exactFilter(r)
+    case _                        => false
+  }
+
+  /** Partition-prune a dataset listing: keep the files whose path-parsed
+    * partition values satisfy every filter, judged on the same unit-parsed
+    * values the reader would inject into rows (one shared evaluator for
+    * the scan, the streaming source, and the metadata-aggregate path —
+    * their prune verdicts must never diverge). */
+  def prunePartitionListing(listing: Seq[(String, Long, Seq[String])],
+                            partCols: Seq[String], partUnits: Seq[String],
+                            filters: Seq[Filter])
+      : Seq[(String, Long, Seq[String])] =
+    if (filters.isEmpty) listing
+    else {
+      val parsers = partUnits.map(u =>
+        graft.parse.ColumnParsers.cellParser(u, new graft.parse.ParseFixer()))
+      listing.filter { case (_, _, raw) =>
+        val vals: Map[String, Any] = partCols.lazyZip(raw).lazyZip(parsers)
+          .map((c, r, p) => c -> (if (r == null) null else p(r))).toMap
+        filters.forall(f => evalFilter(f, vals.getOrElse(_, null)))
+      }
+    }
 
   private[sources] def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
     case (null, _) | (_, null)    => None

@@ -43,6 +43,17 @@ import org.apache.spark.sql.types.StructType
   * tail still fails loudly (re-emitting logged files would be silent
   * duplication).
   *
+  * `maxFileAgeMs` (reader option, off by default) bounds the fundamental
+  * seen-files set the way Spark's FileStreamSource does: files age
+  * relative to the NEWEST admitted file's modification time, a discovered
+  * file older than `newest - maxFileAgeMs` is treated as already seen
+  * (never ingested), and seen entries below that threshold are purged —
+  * a years-lived stream over a high-churn dataset then holds only one
+  * age-window of paths in memory instead of every path ever. Exactly-once
+  * is unaffected for files inside the window; files arriving OLDER than
+  * the window are skipped by design (same contract and caveat as Spark's
+  * `maxFileAge`). The durable log still records every ingested file.
+  *
   * Dataset MUTATION under a live reader is forbidden — not just
   * `compactStarDataset`: `writePartitionedDataset(overwriteSlices = true)`
   * on an already-logged slice and `clusterStarDataset` carry the same
@@ -59,7 +70,8 @@ private[sources] class StarTableMicroBatchStream(
     pushed: Array[Filter], maxSplitBytes: Long,
     maxFilesPerTrigger: Option[Int],
     confS: org.apache.spark.util.SerializableConfiguration,
-    logCompactInterval: Int = 10)
+    logCompactInterval: Int = 10,
+    maxFileAgeMs: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -71,8 +83,12 @@ private[sources] class StarTableMicroBatchStream(
   private def fs = logDir.getFileSystem(confS.value)
 
   // ------------------------------------------------------------- file log
-  /** One logged file: path, length, raw partition values. */
-  private type Entry = (String, Long, Seq[String])
+  /** One logged file: path, length, raw partition values, modification
+    * time (ms; 0 for pre-round-11 log entries, which therefore age out
+    * immediately once `maxFileAge` is enabled — safe: an aged-out path
+    * rediscovered on disk still carries its old mtime and is skipped by
+    * the age check, never re-emitted). */
+  private type Entry = (String, Long, Seq[String], Long)
 
   /** Per-batch entries for batches at or above the last COMMITTED offset:
     * planInputPartitions only ever replans ranges above the engine's last
@@ -91,7 +107,8 @@ private[sources] class StarTableMicroBatchStream(
     JsonObject(scala.collection.immutable.ListMap(
       "path" -> JsonString(e._1), "len" -> JsonNumber(e._2.toDouble),
       "part" -> JsonArray(e._3.toVector.map(v =>
-        if (v == null) JsonNull else JsonString(v)))) ++
+        if (v == null) JsonNull else JsonString(v))),
+      "ts" -> JsonNumber(e._4.toDouble)) ++
       batch.map(b => "batch" -> (JsonNumber(b.toDouble): graft.io.JsonValue)))
   }
 
@@ -103,7 +120,10 @@ private[sources] class StarTableMicroBatchStream(
       o.fields("part").asInstanceOf[JsonArray].values.map {
         case JsonString(s) => s
         case _             => null
-      }),
+      },
+      // optional: a pre-round-11 log has no ts (see the Entry scaladoc)
+      o.fields.get("ts").collect { case JsonNumber(t) => t.toLong }
+        .getOrElse(0L)),
       o.fields.get("batch").collect { case JsonNumber(b) => b.toLong })
   }
 
@@ -236,9 +256,9 @@ private[sources] class StarTableMicroBatchStream(
     * O(logCompactInterval) files regardless of stream age. Every delta in
     * (compactBatch, lastBatch] must be readable (gaps fail loudly in
     * [[readLog]]); only a wholly absent log dir means a fresh query. */
-  private def recover(): (Long, scala.collection.mutable.Set[String]) = {
+  private def recover(): (Long, scala.collection.mutable.HashMap[String, Long]) = {
     import graft.io.JsonValue._
-    val seen = scala.collection.mutable.Set.empty[String]
+    val seen = scala.collection.mutable.HashMap.empty[String, Long]
     val names: Seq[String] =
       try fs.listStatus(logDir).toSeq.map(_.getPath.getName)
         .filter(!_.startsWith("."))
@@ -257,13 +277,38 @@ private[sources] class StarTableMicroBatchStream(
     // which the first cut broke by materializing the whole compact here).
     if (compactBase > 0)
       compactGrouped(compactBase)
-        .foreach { case (_, es) => es.foreach(e => seen += e._1) }
+        .foreach { case (_, es) => es.foreach(e => seen(e._1) = e._4) }
     ((compactBase + 1) to last).foreach(b =>
-      readLog(b).foreach(e => seen += e._1))
+      readLog(b).foreach(e => seen(e._1) = e._4))
     (last, seen)
   }
 
   private var (lastBatch, seenPaths) = recover()
+
+  /** Newest file modification time ever admitted — the `maxFileAge` aging
+    * reference (files age relative to the NEWEST data, not the wall clock,
+    * exactly Spark's FileStreamSource discipline). */
+  private var latestFileTs: Long =
+    if (seenPaths.isEmpty) 0L else seenPaths.values.max
+
+  /** Oldest admissible modification time: a discovered file strictly below
+    * it is treated as seen (skipped) whether or not it is in the map — the
+    * invariant that makes purging the map SAFE (a purged path rediscovered
+    * on disk still carries its old mtime and lands below the threshold, so
+    * it is never re-emitted). Long.MinValue (admit everything, purge
+    * nothing) when `maxFileAge` is off. */
+  private def ageThreshold: Long =
+    maxFileAgeMs.map(latestFileTs - _).getOrElse(Long.MinValue)
+
+  /** Drop seen entries older than the age threshold; the seen map then
+    * stays bounded by the files that appeared within one `maxFileAge`
+    * window instead of growing with every file the stream ever saw. */
+  private def purgeSeen(): Unit =
+    maxFileAgeMs.foreach { _ =>
+      val th = ageThreshold
+      seenPaths.filterInPlace((_, ts) => ts >= th)
+    }
+  purgeSeen() // a restart re-bounds immediately, not at the first trigger
 
   // ----------------------------------------------------------- discovery
   /** Current file inventory: manifest-committed files when the directory
@@ -271,17 +316,22 @@ private[sources] class StarTableMicroBatchStream(
   private def discover(): Seq[Entry] =
     StarTableStreamUtil.sinkManifestFiles(roots.head, confS.value) match {
       case Some(files) =>
-        files.map { case (p, len) =>
+        files.map { case (p, len, ts) =>
           (p, len, StarTableStreamUtil.partitionValuesFromPath(
-            p, meta.partCols, roots.head))
+            p, meta.partCols, roots.head), ts)
         }
       case None =>
-        StarTableSource.listPartitionedFiles(roots, meta.partCols, confS.value)
+        StarTableSource.listPartitionedFilesWithTimes(
+          roots, meta.partCols, confS.value)
     }
 
-  /** Files discovered but not yet logged. */
-  private def freshFiles(): Seq[Entry] =
-    discover().filter(f => !seenPaths.contains(f._1))
+  /** Files discovered but not yet logged; under `maxFileAge`, a file older
+    * than the threshold is treated as seen (never ingested) — the contract
+    * that keeps the purged seen map sound. */
+  private def freshFiles(): Seq[Entry] = {
+    val th = ageThreshold
+    discover().filter(f => !seenPaths.contains(f._1) && f._4 >= th)
+  }
 
   // Trigger.AvailableNow: the available set is SNAPSHOTTED at run start
   // and drained in capped batches; files appearing later wait for the
@@ -318,7 +368,11 @@ private[sources] class StarTableMicroBatchStream(
     if (fresh.nonEmpty) {
       lastBatch += 1
       writeLog(lastBatch, fresh)
-      fresh.foreach(f => seenPaths += f._1)
+      fresh.foreach { f =>
+        seenPaths(f._1) = f._4
+        if (f._4 > latestFileTs) latestFileTs = f._4
+      }
+      purgeSeen()
     }
     BatchOffset(lastBatch)
   }
@@ -329,7 +383,7 @@ private[sources] class StarTableMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BatchOffset].batch
     val e = end.asInstanceOf[BatchOffset].batch
-    ((s + 1) to e).flatMap(b => readLog(b)).flatMap { case (path, len, raw) =>
+    ((s + 1) to e).flatMap(b => readLog(b)).flatMap { case (path, len, raw, _) =>
       val spec = meta.partCols.lazyZip(meta.partUnits).lazyZip(raw)
         .map((c, u, r) => (c, u, r))
       val eff = math.max(maxSplitBytes, math.ceil(len.toDouble / 10000).toLong)
@@ -343,6 +397,10 @@ private[sources] class StarTableMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new StarTableReaderFactory(None, sep, failFast, fullSchema, required,
       pushed, limit = None, confS = confS)
+
+  /** Test-only: current seen-map size (the maxFileAge bounded-memory
+    * claim is asserted against it). */
+  private[sources] def seenCountForTest: Int = seenPaths.size
 
   /** The log is the durable state; committed batches are never replanned,
     * so their in-memory entries evict here — the map stays sized to the
@@ -358,14 +416,16 @@ private[sources] class StarTableMicroBatchStream(
 
 private[graft] object StarTableStreamUtil {
 
-  /** Committed (path, size) entries from a streaming file sink's
-    * `_spark_metadata` manifest, or None when the directory carries no
-    * manifest. Reads the latest `.compact` file plus every later delta —
-    * the FileStreamSinkLog layout: a `v1` header line, then one JSON
-    * `SinkFileStatus` per line; only `action = "add"` entries count. */
+  /** Committed (path, size, modificationTime) entries from a streaming
+    * file sink's `_spark_metadata` manifest, or None when the directory
+    * carries no manifest. Reads the latest `.compact` file plus every
+    * later delta — the FileStreamSinkLog layout: a `v1` header line, then
+    * one JSON `SinkFileStatus` per line; only `action = "add"` entries
+    * count. SinkFileStatus carries the writer-recorded modificationTime
+    * (0 if absent), so maxFileAge works without re-statting files. */
   def sinkManifestFiles(root: String,
                         conf: org.apache.hadoop.conf.Configuration)
-      : Option[Seq[(String, Long)]] = {
+      : Option[Seq[(String, Long, Long)]] = {
     val dir = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
     val fs = dir.getFileSystem(conf)
     val entries = try {
@@ -383,7 +443,7 @@ private[graft] object StarTableStreamUtil {
         .filter(n => n.forall(_.isDigit) && n.toLong > baseBatch)
         .sortBy(_.toLong)
     import graft.io.JsonValue._
-    val files = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     toRead.foreach { name =>
       val in = fs.open(new org.apache.hadoop.fs.Path(dir, name))
       val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
@@ -392,15 +452,17 @@ private[graft] object StarTableStreamUtil {
         val p = o.fields("path").asInstanceOf[JsonString].value
         val size = o.fields.get("size")
           .collect { case JsonNumber(v) => v.toLong }.getOrElse(0L)
+        val mtime = o.fields.get("modificationTime")
+          .collect { case JsonNumber(v) => v.toLong }.getOrElse(0L)
         val action = o.fields.get("action")
           .collect { case JsonString(s) => s }.getOrElse("add")
-        if (action == "add") files(p) = size else files.remove(p)
+        if (action == "add") files(p) = (size, mtime) else files.remove(p)
       }
     }
     // manifest paths are absolute URIs (file:/...); normalize to plain
     // paths consistent with the listing convention
-    Some(files.toSeq.map { case (p, s) =>
-      (new org.apache.hadoop.fs.Path(new java.net.URI(p)).toString, s)
+    Some(files.toSeq.map { case (p, (s, t)) =>
+      (new org.apache.hadoop.fs.Path(new java.net.URI(p)).toString, s, t)
     })
   }
 

@@ -43,17 +43,38 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(m("q_setsim_join") > 10.0 && m("q_containment") > 7.0)
   }
 
-  test("a first-pass median >=2x the official prior triggers a rerun (synthetic)") {
-    // the trigger predicate, verbatim from Bench.main's rerun loop
-    def triggers(name: String, first: Double, prior: Map[String, Double]): Boolean = {
-      val trigger = if (name.startsWith("q_stream_")) 1.5 else 2.0
-      prior.get(name).exists(p => p > 0.05 && first >= trigger * p)
-    }
-    val prior = Map("q_x" -> 1.0, "q_stream_y" -> 1.0, "q_tiny" -> 0.01)
-    assert(triggers("q_x", 2.0, prior))
-    assert(!triggers("q_x", 1.9, prior))
+  test("rerun trigger: >=1.5x for streaming and >=1 s queries, >=2x below " +
+    "1 s, never for sub-50ms priors (Bench.shouldRerun)") {
+    def triggers(name: String, first: Double, prior: Map[String, Double]): Boolean =
+      prior.get(name).exists(p => Bench.shouldRerun(name, first, p))
+    val prior = Map("q_x" -> 1.2, "q_sub" -> 0.4, "q_stream_y" -> 1.0,
+      "q_stream_fast" -> 0.3, "q_tiny" -> 0.01)
+    // >=1 s prior: 1.5x triggers — the round-10 blind band (q_dedup_simhash
+    // drifted 1.74x on a 1.19 s prior with reruns: 0) is closed
+    assert(triggers("q_x", 1.2 * 1.7, prior),
+      "a 1.7x drift on a 1.2 s query must re-time")
+    assert(triggers("q_x", 1.8, prior))
+    assert(!triggers("q_x", 1.7, prior), "1.42x on a >=1 s query: no trigger")
+    // sub-second non-streaming queries keep 2x (scheduling-floor noise)
+    assert(!triggers("q_sub", 0.7, prior))
+    assert(triggers("q_sub", 0.8, prior))
+    // streaming triggers at 1.5x regardless of magnitude
     assert(triggers("q_stream_y", 1.5, prior))
+    assert(triggers("q_stream_fast", 0.45, prior))
     assert(!triggers("q_tiny", 10.0, prior), "sub-50ms priors are noise, never trigger")
     assert(!triggers("q_new", 99.0, prior), "no prior -> no trigger")
+  }
+
+  test("the committed r10 official record parses as the current prior") {
+    val p = java.nio.file.Paths.get("/root/repo/BENCH_OFFICIAL_r10.json")
+    assume(java.nio.file.Files.exists(p))
+    val m = Bench.parsePriorText(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+      "/root/testdata/sf0.1")
+    assert(m.size > 200)
+    // the r10 watch item is on record: a 1.5x-of-2.07 s q_dedup_simhash
+    // first pass will now mechanically re-time
+    assert(m("q_dedup_simhash") > 1.5,
+      s"expected the r10 elevated q_dedup_simhash on record, got ${m.get("q_dedup_simhash")}")
   }
 }

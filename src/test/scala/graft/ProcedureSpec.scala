@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL CALL surface for dataset maintenance (Spark 4 ProcedureCatalog):
+  * each procedure delegates to its Maintenance entry point — semantics
+  * unchanged, reports returned as one-row results, refusals surface. */
+class ProcedureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkDataset(): String = {
+    val out = Files.createTempDirectory("graft_proc").resolve("ds").toString
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(
+        (0 until 600).map(i => (s"g${i % 3}", i.toDouble)).toDF("grp", "x"),
+        "proc", units = Map("grp" -> "text")),
+      out, Seq("grp"))
+    out
+  }
+
+  private def withCatalog[A](f: => A): A = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.GraftCatalog")
+    f
+  }
+
+  test("CALL graft.system.compact_dataset compacts and reports") {
+    withCatalog {
+      val ds = mkDataset()
+      val before = spark.read.format("startable").load(ds).count()
+      val r = spark.sql(
+        s"CALL graft.system.compact_dataset(path => '$ds')").head()
+      assert(r.getLong(0) > r.getLong(2), // files_before > files_after
+        s"compaction did not reduce files: $r")
+      assert(spark.read.format("startable").load(ds).count() === before)
+    }
+  }
+
+  test("CALL graft.system.cluster_dataset clusters, writes file stats, " +
+    "and positional args + default target_bytes work") {
+    withCatalog {
+      val ds = mkDataset()
+      val r = spark.sql(
+        s"CALL graft.system.cluster_dataset('$ds', 'x')").head()
+      assert(r.getLong(0) === 3L, s"expected 3 slices, got $r") // slices
+      val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(ds)).get
+      assert(spark.read.format("startable").load(ds).count() === 600)
+      assert(meta.sliceStats.nonEmpty)
+    }
+  }
+
+  test("CALL graft.system.drop_partitions drops slices; vacuum_dataset " +
+    "cleans leftovers; unknown procedure refuses with the available list") {
+    withCatalog {
+      val ds = mkDataset()
+      val r = spark.sql(
+        s"""CALL graft.system.drop_partitions(
+           |  path => '$ds', column => 'grp', values => 'g1,g2')""".stripMargin)
+        .head()
+      assert(r.getLong(0) === 2L, s"expected 2 dropped slices, got $r")
+      assert(spark.read.format("startable").load(ds).count() === 200)
+      // vacuum on a clean dataset: nothing restored/removed, and callable
+      val v = spark.sql(
+        s"CALL graft.system.vacuum_dataset(path => '$ds', tmp_min_age_ms => 0)")
+        .head()
+      assert((0 to 3).forall(i => v.getLong(i) === 0L), s"vacuum on clean: $v")
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.system.nope(path => '$ds')").collect()
+      }
+      // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE; the
+      // catalog's available-procedures list must survive in the cause chain
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("compact_dataset"),
+        s"unknown-procedure error must list what exists: $msgs")
+      // the Maintenance refusals surface through SQL unchanged
+      val e2 = intercept[Exception] {
+        spark.sql("CALL graft.system.compact_dataset(path => '/nonexistent_graft')")
+          .collect()
+      }
+      assert(e2.getMessage != null)
+    }
+  }
+}

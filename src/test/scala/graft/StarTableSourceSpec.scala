@@ -862,9 +862,10 @@ class StarTableSourceSpec extends AnyFunSuite {
     graft.sources.StarTableSource.resetPushdownCounters()
     assert(colr.filter(col("x") < 10.0 && col("ok")).count() == 5)
     assert(graft.sources.StarTableSource.rowsFiltered.sum() > 0)
-    // a >4096-row slice spans multiple batches
+    // a >4096-row slice spans multiple batches (collect, not count: a
+    // partition-filtered COUNT is metadata-served and opens no batch)
     graft.sources.StarTableSource.resetPushdownCounters()
-    assert(colr.filter(col("grp") === "g0").count() == 1667)
+    assert(colr.filter(col("grp") === "g0").collect().length == 1667)
     assert(graft.sources.StarTableSource.batchesProduced.sum() >= 1)
   }
 
@@ -1029,10 +1030,42 @@ class StarTableSourceSpec extends AnyFunSuite {
     assert(ds().agg(sum(col("x"))).collect()(0).getDouble(0) === 404550.0)
     assert(graft.sources.StarTableSource.linesParsed.sum() > 0L)
 
-    // a FILTERED count scans (filters are always residual -> no agg push)
+    // a DATA-column-filtered count scans (those filters stay residual ->
+    // no aggregate offer)
     graft.sources.StarTableSource.resetPushdownCounters()
     assert(ds().filter(col("x") < 300.0).count() === 300L)
     assert(graft.sources.StarTableSource.linesParsed.sum() > 0L)
+
+    // a PARTITION-only-filtered count/min/max stays metadata-only: the
+    // filter is consumed by the scan (partition pruning is slice-exact)
+    // and the aggregate folds over the PRUNED listing + sidecar
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(ds().filter(col("grp") === "g1").count() === 300L)
+    assert(ds().filter(col("grp").isin("g0", "g2")).count() === 600L)
+    val fmm = ds().filter(col("grp") > "g0") // GreaterThan: exact, consumed
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx")).collect()(0)
+    assert((fmm.getDouble(0), fmm.getDouble(1)) === (1.0, 899.0))
+    assert(graft.sources.StarTableSource.linesParsed.sum() === 0L,
+      "partition-filtered count/min/max parsed data despite slice stats")
+    val fplan = ds().filter(col("grp") === "g1").groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert(fplan.contains("StarMetaAggScan"),
+      s"partition-filtered count should use the metadata scan:\n$fplan")
+    // grouped + filtered composes; groups outside the filter vanish
+    assert(ds().filter(col("grp").isin("g0", "g2")).groupBy(col("grp")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("g0", 300L), ("g2", 300L)))
+    assert(graft.sources.StarTableSource.linesParsed.sum() === 0L,
+      "filtered+grouped count parsed data despite slice stats")
+    // a filter pruning EVERYTHING falls back (zero-slice partial rows
+    // would null out Spark's COUNT-as-SUM rewrite); the scan gets 0 right
+    assert(ds().filter(col("grp") === "nope").count() === 0L)
+    // NOT over a partition filter is NOT consumed (three-valued logic):
+    // it must stay residual and scan — and still count correctly
+    graft.sources.StarTableSource.resetPushdownCounters()
+    assert(ds().filter(!(col("grp") === "g1")).count() === 600L)
+    assert(graft.sources.StarTableSource.linesParsed.sum() > 0L,
+      "NOT(partition filter) must not be consumed/metadata-served")
 
     // dropPartitions leaves a stale sidecar entry for the dropped slice:
     // the LISTING is the authority, the entry is ignored
