@@ -675,6 +675,24 @@ object RelationalQueries {
       agged
     }),
 
+    // Vacuum under the gate: the dataset this query reads was CRASHED
+    // mid-compaction (fault hook at the staged point), then put in the
+    // riskiest crash shape — a leaf moved aside with its replacement not
+    // yet installed, the trash sibling holding the ONLY copy — plus a
+    // stale sidecar tmp, then repaired by vacuumStarDataset (orphan
+    // restored, leftovers deleted) and compacted cleanly. The oracle
+    // recomputes from the ORIGINAL parquet: a row lost by the restore, a
+    // wrongly-deleted trash dir, or any byte bent by the drill breaks the
+    // hash.
+    "q_dataset_vacuum" -> ((s, dir) => {
+      val ds = vacuumedDatasetFor(s, dir)
+      s.read.format("startable").load(ds)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+          max(col("l_linestatus")).as("max_status"))
+    }),
+
     "q_dataset_stats" -> ((s, dir) => {
       val ds = partitionedDatasetFor(s, dir)
       val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(ds))
@@ -729,6 +747,72 @@ object RelationalQueries {
             col("l_linestatus"), col("l_extendedprice"), col("l_discount")),
           "lineitem_part"),
         path, partitionBy = Seq("l_returnflag"), numFiles = 8)
+    path
+  }
+
+  /** Build-once crashed-then-vacuumed dataset (q_dataset_vacuum): a
+    * compaction is killed at its staged fault point (hidden staging
+    * leftovers in every leaf), the between-two-renames crash window is
+    * then fabricated exactly — the R leaf renamed to its `.__old` trash
+    * sibling, live leaf absent, the staged replacement never installed —
+    * plus a stale sidecar `.tmp`. vacuumStarDataset must RESTORE the
+    * orphaned leaf (the only copy), delete the staging leftovers and the
+    * tmp, and leave a dataset a clean compaction then maintains. The
+    * `_graft_vacuumed` marker is written only after the whole drill
+    * passes, so an interrupted build reruns from scratch. */
+  private def vacuumedDatasetFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|vacds1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_vacds_$key"
+    val marker = java.nio.file.Paths.get(path, "_graft_vacuumed")
+    if (!java.nio.file.Files.exists(marker)) {
+      def deleteTree(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
+        f.delete(): Unit
+      }
+      deleteTree(new java.io.File(path))
+      graft.io.CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(
+          Tables.df(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_linestatus"), col("l_extendedprice")),
+          "lineitem_vac"),
+        path, partitionBy = Seq("l_returnflag"), numFiles = 4)
+      // 1. kill a compaction after staging: every leaf keeps its original
+      //    data beside a hidden .__compacting leftover
+      final class Kill extends RuntimeException("vacuum drill kill")
+      graft.operators.Maintenance.faultHook =
+        p => if (p == "compact:staged") throw new Kill
+      val killed =
+        try {
+          graft.operators.Maintenance.compactStarDataset(s, path,
+            targetBytes = 64 * 1024)
+          false
+        } catch { case _: Kill => true }
+        finally graft.operators.Maintenance.faultHook = _ => ()
+      require(killed, "q_dataset_vacuum drill: the compaction fault hook " +
+        "did not fire — the drill exercised nothing")
+      // 2. fabricate the mid-swap orphan on the R leaf + a stale tmp
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val leaf = new org.apache.hadoop.fs.Path(root, "l_returnflag=R")
+      require(fs.rename(leaf,
+        new org.apache.hadoop.fs.Path(root, ".l_returnflag=R__old")),
+        "q_dataset_vacuum drill: could not orphan the R leaf")
+      fs.create(new org.apache.hadoop.fs.Path(root,
+        "._startable_dataset.json.tmp"), true).close()
+      // 3. repair: restore the orphan, delete staging leftovers + tmp
+      val rep = graft.operators.Maintenance.vacuumStarDataset(s, path,
+        tmpMinAgeMs = 0)
+      require(rep.restoredLeaves == 1,
+        s"q_dataset_vacuum drill: expected 1 restored leaf, got $rep")
+      require(rep.removedDirs >= 1 && rep.removedTmpFiles >= 1,
+        s"q_dataset_vacuum drill: leftovers survived the vacuum: $rep")
+      // 4. the repaired dataset is maintainable: a clean compaction runs
+      graft.operators.Maintenance.compactStarDataset(s, path,
+        targetBytes = 64 * 1024)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
     path
   }
 
@@ -1261,6 +1345,15 @@ object RelationalQueries {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
         |  CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // the crashed-vacuumed-compacted dataset must hold exactly the
+    // original rows (restore lost nothing, cleanup deleted nothing live)
+    "q_dataset_vacuum" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  max(l_linestatus) AS max_status
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     // metadata-only min/max must equal DuckDB recomputing from the rows
