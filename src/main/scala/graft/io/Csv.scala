@@ -421,6 +421,22 @@ object CsvWriter {
     * k spreads each slice over up to k tasks (k× write parallelism for
     * the hot slice) at the cost of at most k files per slice — bounded,
     * unlike an unshuffled write's task-count × slice-count fan-out. */
+  /** `shardStats` picks the statistics LAYOUT: `Some(false)`/default keeps
+    * every slice's stats inline in the root sidecar (one parse serves the
+    * whole dataset — right for datasets whose slice count a single JSON
+    * comfortably holds); `Some(true)` writes one `_startable_slice.json`
+    * SHARD inside each leaf directory instead — planning then loads only
+    * the shards of slices that survive partition pruning (cost scales
+    * with slices TOUCHED, not dataset size), shards are written
+    * DISTRIBUTED (no driver collect — no cardinality cap), and dynamic
+    * partition overwrite / dropPartitions delete a slice's stats with its
+    * bytes, so the backfill crash window needs no stats-strip protocol at
+    * all (a crash between data and shard writes leaves shardless slices:
+    * read, never skipped). `None` (default) = inline, EXCEPT: a backfill
+    * always follows the existing dataset's layout (a layout fork is
+    * refused when forced), and a fresh write whose slice count exceeds
+    * [[MaxStatSlices]] auto-upgrades to sharded instead of degrading to
+    * no stats at all. */
   def writePartitionedDataset(t: StarTable, outDir: String,
                               partitionBy: Seq[String],
                               sep: String = DefaultSep,
@@ -429,7 +445,8 @@ object CsvWriter {
                               overwriteSlices: Boolean = false,
                               collectStats: Boolean = true,
                               filesPerSlice: Int = 1,
-                              collectFileStats: Option[Boolean] = None): Unit = {
+                              collectFileStats: Option[Boolean] = None,
+                              shardStats: Option[Boolean] = None): Unit = {
     require(filesPerSlice >= 1,
       s"writePartitionedDataset: filesPerSlice must be >= 1, got $filesPerSlice")
     require(partitionBy.nonEmpty,
@@ -470,17 +487,46 @@ object CsvWriter {
     // volume is slices × columns partials, not data). Computed BEFORE the
     // data write so the backfill crash-window protocol below can strip the
     // rewritten slices' entries first.
+    // Stats-layout resolution: a backfill FOLLOWS the existing dataset's
+    // layout (mixing inline root entries with per-leaf shards would leave
+    // two authorities for one slice's stats — refused when forced apart);
+    // a fresh write honors shardStats, defaulting to inline.
+    existingMeta.foreach { m =>
+      require(shardStats.forall(_ == m.statsSharded),
+        s"writePartitionedDataset: stats-layout drift — dataset at $outDir " +
+          s"is ${if (m.statsSharded) "sharded" else "inline"}, " +
+          s"shardStats=${shardStats.get} would fork it; omit shardStats " +
+          "on backfills (the layout is inherited)")
+    }
+    val shardedPre: Boolean =
+      existingMeta.map(_.statsSharded).orElse(shardStats).getOrElse(false)
     // capped = true when the slice cardinality exceeded MaxStatSlices:
-    // statistics degrade to "none" (conservative) for the whole dataset
+    // inline statistics would degrade to "none" — a FRESH default-layout
+    // write auto-upgrades to the sharded layout instead (shards have no
+    // cardinality cap: they are written distributed, one per leaf)
     val (fresh: Seq[graft.sources.StarTableSource.SliceStats], capped: Boolean) =
-      if (!collectStats) (Nil, false)
-      else computeSliceStats(t, dataCols, partitionBy, naRep) match {
+      if (!collectStats || shardedPre) (Nil, false)
+      else computeSliceStats(t, dataCols, partitionBy, naRep,
+        warnOnCap = !(existingMeta.isEmpty && shardStats.isEmpty)) match {
         case Some(s) => (s, false)
         case None    => (Nil, true)
       }
-    // which slice entries the incoming data replaces (for stat stripping)
+    val sharded: Boolean = shardedPre ||
+      (capped && existingMeta.isEmpty && shardStats.isEmpty)
+    // which slice entries the incoming data replaces (for stat stripping
+    // inline; for the shard read-back restriction sharded)
     val rewrittenParts: Set[Seq[String]] = {
-      if (capped) Set.empty
+      if (sharded) {
+        if (!overwriteSlices) Set.empty
+        else {
+          val keys = partitionPathCols(t, partitionBy, naRep,
+            "writePartitionedDataset")
+          t.df.select(keys: _*).distinct().collect().map(r =>
+            partitionBy.indices.map(i =>
+              if (r.isNullAt(i)) null else r.getString(i)): Seq[String]).toSet
+        }
+      }
+      else if (capped) Set.empty
       else if (collectStats) fresh.map(_.partition).toSet
       else if (existingMeta.exists(_.sliceStats.nonEmpty)) {
         // stats disabled but stale entries exist: identify the rewritten
@@ -543,31 +589,129 @@ object CsvWriter {
     } else
       shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(outDir)
     faultHook("backfill:pre-sidecar")
-    val stats: Seq[graft.sources.StarTableSource.SliceStats] =
-      if (capped) Nil
-      else existingMeta match {
-        case Some(m) if overwriteSlices =>
-          m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition)) ++ fresh
-        case _ => fresh
+    if (sharded) {
+      // Sharded layout: one distributed read-back pass computes per-FILE
+      // stats for the just-written slices (the backfill restricts to the
+      // rewritten set — untouched slices keep their shards verbatim), the
+      // shards are written from EXECUTORS (no driver collect, no
+      // cardinality cap), and the root sidecar — carrying only the schema
+      // and the statsSharded marker — is installed LAST, so a fresh
+      // dataset is never visible half-built. Crash between data and
+      // shards: shardless slices are read, never skipped (conservative).
+      if (collectStats)
+        writeSliceShards(t.df.sparkSession, outDir, dataCols,
+          dataCols.map(t.unit), partitionBy, sep, naRep,
+          onlySlices = if (overwriteSlices) Some(rewrittenParts) else None)
+      writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, Nil, Nil,
+        statsSharded = true)
+      graft.sources.StarTableSource.invalidateShardCache(outDir)
+    } else {
+      val stats: Seq[graft.sources.StarTableSource.SliceStats] =
+        if (capped) Nil
+        else existingMeta match {
+          case Some(m) if overwriteSlices =>
+            m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition)) ++ fresh
+          case _ => fresh
+        }
+      // per-FILE stats: survivors from untouched slices (a rewritten slice's
+      // files have fresh names, so stale entries would be inert anyway —
+      // stripping is hygiene) PLUS fresh entries for just-written MULTI-file
+      // slices (filesPerSlice salting / unshuffled writes), so file-tier
+      // skipping works from write time, not only after clusterStarDataset
+      val survivors: Seq[graft.sources.StarTableSource.FileStats] =
+        if (capped) Nil
+        else existingMeta.map(
+          _.fileStats.filterNot(s => rewrittenParts.contains(s.partition)))
+          .getOrElse(Nil)
+      val written: Seq[graft.sources.StarTableSource.FileStats] =
+        if (capped || !collectStats || !collectFileStats.getOrElse(numFiles > 0)) Nil
+        else computeWrittenFileStats(t.df.sparkSession, outDir, dataCols,
+          dataCols.map(t.unit), partitionBy, sep, naRep,
+          onlySlices = if (overwriteSlices) Some(rewrittenParts) else None)
+      // sidecar LAST: readers refuse a dataset without it
+      writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats,
+        survivors ++ written)
+    }
+  }
+
+  /** Distributed shard write for the sharded-stats layout: ONE read-back
+    * aggregate over the target slices' just-written files (grouped by
+    * file — reader-faithful cell semantics via [[parsedCellExpr]], the
+    * same kernel the clustering pass profiles with), grouped per LEAF on
+    * the executors, folded file→slice there (min of mins / max of maxs /
+    * null-count and row sums — exact for every unit's ordering: numbers
+    * are typed Doubles, datetimes fixed-width rendered strings, text the
+    * rendered strings themselves), and installed as one
+    * [[SliceShardFile]] per leaf with the stage-and-rename discipline.
+    * Nothing is collected to the driver; per-FILE entries are recorded
+    * only for multi-file slices (a single-file slice is fully described
+    * by its slice entry). */
+  private def writeSliceShards(spark: SparkSession, outDir: String,
+                               dataCols: Seq[String], units: Seq[String],
+                               partitionBy: Seq[String], sep: String,
+                               naRep: String,
+                               onlySlices: Option[Set[Seq[String]]]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val listing = graft.sources.StarTableSource.listPartitionedFiles(
+      Seq(outDir), partitionBy, conf)
+    val files = listing.filter(f => onlySlices.forall(_.contains(f._3)))
+      .map(_._1)
+    if (files.isEmpty) return
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val cells = split(col("value"), qsep, -1).as("__cs")
+    val aggs = dataCols.indices.flatMap { i =>
+      val v = parsedCellExpr(col("__cs"), i, units(i))
+      Seq(min(v).as(s"__min_$i"), max(v).as(s"__max_$i"),
+        count(when(v.isNull, 1)).as(s"__nulls_$i"))
+    } :+ count(lit(1)).as("__rows")
+    val perFile = spark.read.text(files: _*)
+      .select(input_file_name().as("__f"), cells)
+      .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
+    val confS = new org.apache.spark.util.SerializableConfiguration(conf)
+    val colsL = dataCols.toList
+    val unitsL = units.toList
+    val partsL = partitionBy.toList
+    val rootL = outDir
+    val naRepL = naRep
+    perFile.rdd
+      .map { r =>
+        // input_file_name yields a qualified URI; normalize like the
+        // listing so the leaf key and the shard path agree
+        val p = try new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+        catch { case _: Exception => new org.apache.hadoop.fs.Path(r.getString(0)) }
+        (p.getParent.toString, (p.getName, r))
       }
-    // per-FILE stats: survivors from untouched slices (a rewritten slice's
-    // files have fresh names, so stale entries would be inert anyway —
-    // stripping is hygiene) PLUS fresh entries for just-written MULTI-file
-    // slices (filesPerSlice salting / unshuffled writes), so file-tier
-    // skipping works from write time, not only after clusterStarDataset
-    val survivors: Seq[graft.sources.StarTableSource.FileStats] =
-      if (capped) Nil
-      else existingMeta.map(
-        _.fileStats.filterNot(s => rewrittenParts.contains(s.partition)))
-        .getOrElse(Nil)
-    val written: Seq[graft.sources.StarTableSource.FileStats] =
-      if (capped || !collectStats || !collectFileStats.getOrElse(numFiles > 0)) Nil
-      else computeWrittenFileStats(t.df.sparkSession, outDir, dataCols,
-        dataCols.map(t.unit), partitionBy, sep, naRep,
-        onlySlices = if (overwriteSlices) Some(rewrittenParts) else None)
-    // sidecar LAST: readers refuse a dataset without it
-    writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats,
-      survivors ++ written)
+      .groupByKey() // one group per leaf: slices ≪ rows, groups are file counts
+      .foreachPartition { it: Iterator[(String, Iterable[(String, org.apache.spark.sql.Row)])] =>
+        val hconf = confS.value
+        it.foreach { case (leafDir, fileRows) =>
+          val leaf = new org.apache.hadoop.fs.Path(leafDir)
+          val raw = graft.sources.StarTableStreamUtil.partitionValuesFromPath(
+            new org.apache.hadoop.fs.Path(leaf, "x").toString, partsL, rootL)
+          val entries = fileRows.toSeq.sortBy(_._1)
+          val fileEntries = entries.map { case (base, r) =>
+            val stats = colsL.zipWithIndex.map { case (c, i) =>
+              c -> graft.sources.StarTableSource.ColStats(
+                renderStat(r.get(1 + i * 3), unitsL(i), naRepL),
+                renderStat(r.get(1 + i * 3 + 1), unitsL(i), naRepL),
+                r.getLong(1 + i * 3 + 2))
+            }.toMap
+            graft.sources.StarTableSource.FileStats(
+              raw, base, r.getLong(1 + colsL.size * 3), stats)
+          }
+          // fold file→slice: the file entries are already RENDERED —
+          // re-fold on the rendered values through the same ordering the
+          // reader uses (parse + cmp), so the slice bound equals the
+          // bound over all rows exactly
+          val slice = graft.sources.StarTableSource.foldFileEntries(
+            raw, fileEntries, colsL, unitsL)
+          val json = renderSliceShardJson(slice,
+            if (fileEntries.size > 1) fileEntries else Nil)
+          graft.io.CsvWriter.atomicInstallJson(
+            leaf.getFileSystem(hconf), hconf,
+            new org.apache.hadoop.fs.Path(leaf, SliceShardFile), json)
+        }
+      }
   }
 
   /** Test-only fault injection for crash-consistency drills: called at
@@ -620,7 +764,8 @@ object CsvWriter {
     * reflected). min/max are stored RENDERED and re-parsed by the reader
     * through the same unit parsers as data cells. */
   private def computeSliceStats(t: StarTable, dataCols: Seq[String],
-                                partitionBy: Seq[String], naRep: String)
+                                partitionBy: Seq[String], naRep: String,
+                                warnOnCap: Boolean = true)
       : Option[Seq[graft.sources.StarTableSource.SliceStats]] = {
     val keyCols = partitionPathCols(t, partitionBy, naRep, "sliceStats")
     // rendered cells in DATASET column order — first-column sealing applies
@@ -675,9 +820,10 @@ object CsvWriter {
     val rows = t.df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
       .limit(MaxStatSlices + 1).collect()
     if (rows.length > MaxStatSlices) {
-      System.err.println(s"[graft] WARN writePartitionedDataset: more than " +
-        s"$MaxStatSlices slices — skipping slice statistics (reads stay " +
-        "correct, data skipping disabled for this dataset)")
+      if (warnOnCap)
+        System.err.println(s"[graft] WARN writePartitionedDataset: more than " +
+          s"$MaxStatSlices slices — skipping slice statistics (reads stay " +
+          "correct, data skipping disabled for this dataset)")
       return None
     }
     Some(rows.toSeq.map { r =>
@@ -795,10 +941,11 @@ object CsvWriter {
                                   partitionBy: Seq[String],
                                   sep: String = DefaultSep,
                                   sliceStats: Seq[graft.sources.StarTableSource.SliceStats] = Nil,
-                                  fileStats: Seq[graft.sources.StarTableSource.FileStats] = Nil): Unit =
+                                  fileStats: Seq[graft.sources.StarTableSource.FileStats] = Nil,
+                                  statsSharded: Boolean = false): Unit =
     writeSidecarFields(outDir, t.name, t.destinations, dataCols,
       dataCols.map(t.unit), partitionBy, partitionBy.map(t.unit), sep,
-      sliceStats, fileStats)
+      sliceStats, fileStats, statsSharded)
 
   /** Rewrite an existing dataset's sidecar with fresh FILE statistics,
     * everything else (schema, sep, slice stats) verbatim — the
@@ -809,7 +956,7 @@ object CsvWriter {
       fileStats: Seq[graft.sources.StarTableSource.FileStats]): Unit =
     writeSidecarFields(outDir, meta.name, meta.destinations, meta.cols,
       meta.units, meta.partCols, meta.partUnits, meta.sep, meta.sliceStats,
-      fileStats)
+      fileStats, meta.statsSharded)
 
   private def writeSidecarFields(outDir: String, name: String,
                                  destinations: Set[String],
@@ -817,16 +964,10 @@ object CsvWriter {
                                  partitionBy: Seq[String], partUnits: Seq[String],
                                  sep: String,
                                  sliceStats: Seq[graft.sources.StarTableSource.SliceStats],
-                                 fileStats: Seq[graft.sources.StarTableSource.FileStats]): Unit = {
+                                 fileStats: Seq[graft.sources.StarTableSource.FileStats],
+                                 statsSharded: Boolean = false): Unit = {
     import graft.io.JsonValue._
     def optStr(s: String): JsonValue = if (s == null) JsonNull else JsonString(s)
-    def colStatsJson(stats: Map[String, graft.sources.StarTableSource.ColStats]): JsonValue =
-      JsonObject(scala.collection.immutable.ListMap(
-        stats.toSeq.sortBy(_._1).map { case (c, cs) =>
-          c -> (JsonObject(scala.collection.immutable.ListMap(
-            "min" -> optStr(cs.min), "max" -> optStr(cs.max),
-            "nulls" -> JsonNumber(cs.nulls.toDouble))): JsonValue)
-        }: _*))
     val statsJson = JsonArray(sliceStats.toVector.map { s =>
       JsonObject(scala.collection.immutable.ListMap(
         "partition" -> JsonArray(s.partition.toVector.map(optStr)),
@@ -849,45 +990,100 @@ object CsvWriter {
       "partitionBy" -> JsonArray(partitionBy.toVector.map(JsonString(_))),
       "partitionUnits" -> JsonArray(partUnits.toVector.map(JsonString(_))),
       "sep" -> JsonString(sep)) ++
+      (if (!statsSharded) Nil else Seq("statsSharded" -> JsonBool(true))) ++
       (if (sliceStats.isEmpty) Nil else Seq("sliceStats" -> statsJson)) ++
       (if (fileStats.isEmpty) Nil else Seq("fileStats" -> fileStatsJson)))
     val conf = graft.sources.StarTableSource.activeHadoopConf()
     val metaPath = new org.apache.hadoop.fs.Path(outDir, DatasetMetaFile)
     val fs = metaPath.getFileSystem(conf)
-    // stage-and-rename: an in-place create(overwrite) killed mid-stream
-    // would leave a TRUNCATED sidecar the reader refuses loudly, bricking
-    // an intact dataset. Write the JSON fully to a hidden temp name, then
-    // rename over the target (FileContext rename-OVERWRITE — the
-    // checkpointing primitive — with a delete+rename fallback whose worst
-    // crash state is "no sidecar": a loud, rerun-repairable refusal, never
-    // a half-file).
-    val tmpPath = new org.apache.hadoop.fs.Path(outDir,
-      "." + DatasetMetaFile + ".tmp")
-    val os = fs.create(tmpPath, true)
-    try os.write(graft.io.JsonValue.write(meta).getBytes("UTF-8"))
-    finally os.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        metaPath.toUri, conf)
-      fc.rename(tmpPath, metaPath,
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException | _: java.io.IOException =>
-        if (fs.exists(metaPath)) fs.delete(metaPath, false)
-        if (!fs.rename(tmpPath, metaPath))
-          throw new java.io.IOException(
-            s"writeDatasetSidecar: could not install $metaPath")
-    }
+    atomicInstallJson(fs, conf, metaPath, graft.io.JsonValue.write(meta))
     // the reader memoizes parsed sidecars by (path, len, mtime) — a
     // same-length rewrite inside the FS's mtime resolution would otherwise
     // serve the OLD stats from cache and could wrongly skip files
     graft.sources.StarTableSource.invalidateMetaCache(outDir)
   }
 
+  private[graft] def colStatsJson(
+      stats: Map[String, graft.sources.StarTableSource.ColStats]): JsonValue = {
+    import graft.io.JsonValue._
+    def optStr(s: String): JsonValue = if (s == null) JsonNull else JsonString(s)
+    JsonObject(scala.collection.immutable.ListMap(
+      stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+        c -> (JsonObject(scala.collection.immutable.ListMap(
+          "min" -> optStr(cs.min), "max" -> optStr(cs.max),
+          "nulls" -> JsonNumber(cs.nulls.toDouble))): JsonValue)
+      }: _*))
+  }
+
+  /** Stage-and-rename install of a small JSON metadata file: an in-place
+    * create(overwrite) killed mid-stream would leave a TRUNCATED file the
+    * reader refuses loudly, bricking an intact dataset. Write the JSON
+    * fully to a hidden `.name.tmp` sibling, then rename over the target
+    * (FileContext rename-OVERWRITE — the checkpointing primitive — with a
+    * delete+rename fallback whose worst crash state is "file absent": a
+    * conservative/loud, rerun-repairable state, never a half-file).
+    * Shared by the root sidecar and the per-leaf stat shards; safe to call
+    * from executors (pure Hadoop FS API). */
+  private[graft] def atomicInstallJson(fs: org.apache.hadoop.fs.FileSystem,
+                                       conf: org.apache.hadoop.conf.Configuration,
+                                       target: org.apache.hadoop.fs.Path,
+                                       json: String): Unit = {
+    val tmpPath = new org.apache.hadoop.fs.Path(target.getParent,
+      "." + target.getName + ".tmp")
+    val os = fs.create(tmpPath, true)
+    try os.write(json.getBytes("UTF-8"))
+    finally os.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, conf)
+      fc.rename(tmpPath, target,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        if (fs.exists(target)) fs.delete(target, false)
+        if (!fs.rename(tmpPath, target))
+          throw new java.io.IOException(
+            s"atomicInstallJson: could not install $target")
+    }
+  }
+
+  /** Render one slice's stat shard (the per-leaf analog of the root
+    * sidecar's sliceStats/fileStats entries): the slice's own partition
+    * values (integrity-checked against the directory path by the reader),
+    * row count, per-column bounds, and — for multi-file slices — per-FILE
+    * entries keyed by basename. */
+  private[graft] def renderSliceShardJson(
+      slice: graft.sources.StarTableSource.SliceStats,
+      files: Seq[graft.sources.StarTableSource.FileStats]): String = {
+    import graft.io.JsonValue._
+    def optStr(s: String): JsonValue = if (s == null) JsonNull else JsonString(s)
+    val filesJson = JsonArray(files.toVector.map { f =>
+      JsonObject(scala.collection.immutable.ListMap(
+        "file" -> JsonString(f.file),
+        "rows" -> JsonNumber(f.rows.toDouble),
+        "stats" -> colStatsJson(f.stats)))
+    })
+    graft.io.JsonValue.write(JsonObject(scala.collection.immutable.ListMap(
+      "partition" -> JsonArray(slice.partition.toVector.map(optStr)),
+      "rows" -> JsonNumber(slice.rows.toDouble),
+      "stats" -> colStatsJson(slice.stats)) ++
+      (if (files.isEmpty) Nil else Seq("files" -> filesJson))))
+  }
+
   val DatasetMetaFile = "_startable_dataset.json"
 
-  /** Slice-statistics cardinality cap (see [[computeSliceStats]]). */
-  val MaxStatSlices = 100000
+  /** Per-leaf statistics shard (sharded-stats layout): lives INSIDE each
+    * `col=value` leaf directory, so it is (a) invisible to every data
+    * listing (`_` prefix), (b) lazily loadable — planning reads only the
+    * shards of slices that SURVIVED partition pruning, and (c) deleted
+    * together with its slice by dynamic partition overwrite and
+    * dropPartitions — stale stats cannot outlive the bytes they describe. */
+  val SliceShardFile = "_startable_slice.json"
+
+  /** INLINE slice-statistics cardinality cap (see [[computeSliceStats]];
+    * the sharded layout has none — shards are written distributed).
+    * A `var` only so specs can drill the auto-upgrade path cheaply. */
+  private[graft] var MaxStatSlices = 100000
 
   /** Streaming ingestion into a hive-partitioned StarTable dataset — the
     * micro-batch analog of [[writePartitionedDataset]]. `t` wraps a

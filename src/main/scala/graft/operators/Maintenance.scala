@@ -172,6 +172,25 @@ object Maintenance {
             .sortWithinPartitions(sortCols.map(col): _*)
         else df.repartition(nOut)
       shaped.write.format(format).save(staging.toString)
+      // sharded-stats layout: the leaf's stat shard must SURVIVE the swap
+      // (slice-level bounds are invariant under a bit-identical rewrite)
+      // or compaction would silently strip a huge dataset's entire
+      // statistics tier. Per-FILE entries are dropped — the compacted
+      // basenames are new (stale entries would merely be inert, stripping
+      // is hygiene). Installed into STAGING before the swap, so stats and
+      // data change owners atomically-as-one.
+      val shardSrc = new Path(p, graft.io.CsvWriter.SliceShardFile)
+      if (fs.exists(shardSrc)) {
+        val in = fs.open(shardSrc)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val o = graft.io.JsonValue.parse(txt)
+          .asInstanceOf[graft.io.JsonValue.JsonObject]
+        graft.io.CsvWriter.atomicInstallJson(fs,
+          spark.sparkContext.hadoopConfiguration,
+          new Path(staging, graft.io.CsvWriter.SliceShardFile),
+          graft.io.JsonValue.write(
+            graft.io.JsonValue.JsonObject(o.fields - "files")))
+      }
       faultHook(s"compact:staged")
       swapLeaf(fs, "compact", p, staging)
 
@@ -205,7 +224,11 @@ object Maintenance {
     require(fs.exists(new Path(root, graft.io.CsvWriter.DatasetMetaFile)),
       s"compactStarDataset: $path has no ${graft.io.CsvWriter.DatasetMetaFile} " +
         "sidecar — not a StarTable dataset (for parquet tables use compact)")
-    compact(spark, path, targetBytes, Nil, "text")
+    val report = compact(spark, path, targetBytes, Nil, "text")
+    // sharded layout: compaction re-installed each leaf's shard (files
+    // stripped) — drop any cached parses of the OLD shards
+    graft.sources.StarTableSource.invalidateShardCache(path)
+    report
   }
 
   /** Install `staging` over `leaf` with the two-rename swap discipline
@@ -317,9 +340,10 @@ object Maintenance {
       // per-file statistics over the staged output (reader-faithful cell
       // semantics; one distributed aggregate per slice) — skipped entirely
       // once the cardinality cap is blown (the files still cluster; only
-      // the metadata degrades)
+      // the metadata degrades). The SHARDED layout has no cap: each
+      // leaf's entries land in its own shard, nothing accumulates.
       val statRows: Array[org.apache.spark.sql.Row] =
-        if (capped.get()) Array.empty
+        if (!meta.statsSharded && capped.get()) Array.empty
         else {
           val statCells = split(col("value"), qsep, -1).as("__cs")
           val aggs = meta.cols.indices.flatMap { i =>
@@ -332,9 +356,6 @@ object Maintenance {
             .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*).collect()
         }
 
-      faultHook("cluster:staged")
-      swapLeaf(fs, "clusterStarDataset", leaf, staging)
-
       val leafStats = statRows.toSeq.map { r =>
         val base = new Path(r.getString(0)).getName
         val stats = meta.cols.zipWithIndex.map { case (c, i) =>
@@ -346,7 +367,23 @@ object Maintenance {
         graft.sources.StarTableSource.FileStats(
           raw, base, r.getLong(1 + meta.cols.size * 3), stats)
       }
-      if (statCount.addAndGet(leafStats.size.toLong) > graft.io.CsvWriter.MaxStatSlices)
+      // sharded layout: the leaf's shard is REGENERATED from the fresh
+      // per-file profile (slice entry = fold of the file entries — the
+      // rows are the same rows, reordered) and installed into STAGING
+      // before the swap, so data and stats change owners as one; a crash
+      // before the swap leaves the live leaf (and its live shard) intact
+      if (meta.statsSharded && leafStats.nonEmpty)
+        graft.io.CsvWriter.atomicInstallJson(fs, conf,
+          new Path(staging, graft.io.CsvWriter.SliceShardFile),
+          graft.io.CsvWriter.renderSliceShardJson(
+            graft.sources.StarTableSource.foldFileEntries(
+              raw, leafStats, meta.cols, meta.units),
+            if (leafStats.size > 1) leafStats else Nil))
+      faultHook("cluster:staged")
+      swapLeaf(fs, "clusterStarDataset", leaf, staging)
+
+      if (!meta.statsSharded &&
+          statCount.addAndGet(leafStats.size.toLong) > graft.io.CsvWriter.MaxStatSlices)
         capped.set(true)
       val after = fs.listStatus(leaf).filter(s => s.isFile &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
@@ -361,22 +398,76 @@ object Maintenance {
     val bytesBefore = results.map(_.bytesBefore).sum
     val filesAfter = results.map(_.filesAfter).sum
     val bytesAfter = results.map(_.bytesAfter).sum
-    val statsCapped = capped.get()
-    val allFileStats = if (statsCapped) Nil else results.flatMap(_.stats)
+    if (meta.statsSharded) {
+      // sharded layout: every leaf's shard was regenerated in place; the
+      // root sidecar (schema + statsSharded marker) is already correct
+      graft.sources.StarTableSource.invalidateShardCache(path)
+      ClusterReport(byLeaf.size.toLong, filesBefore, filesAfter, bytesBefore,
+        bytesAfter, results.map(_.stats.size.toLong).sum)
+    } else {
+      val statsCapped = capped.get()
+      val allFileStats = if (statsCapped) Nil else results.flatMap(_.stats)
 
-    // sidecar LAST: slice stats are reorder-invariant (kept verbatim);
-    // file entries replace wholesale (every slice was rewritten); above
-    // the cardinality cap they degrade to none (conservative reads)
-    val keptFileStats: Seq[graft.sources.StarTableSource.FileStats] =
-      if (statsCapped) {
-        System.err.println("[graft] WARN clusterStarDataset: more than " +
-          s"${graft.io.CsvWriter.MaxStatSlices} files — skipping per-file " +
-          "statistics (reads stay correct, file skipping disabled)")
-        Nil
-      } else allFileStats
-    graft.io.CsvWriter.writeSidecarRaw(path, meta, keptFileStats)
-    ClusterReport(byLeaf.size.toLong, filesBefore, filesAfter, bytesBefore,
-      bytesAfter, keptFileStats.size.toLong)
+      // sidecar LAST: slice stats are reorder-invariant (kept verbatim);
+      // file entries replace wholesale (every slice was rewritten); above
+      // the cardinality cap they degrade to none (conservative reads)
+      val keptFileStats: Seq[graft.sources.StarTableSource.FileStats] =
+        if (statsCapped) {
+          System.err.println("[graft] WARN clusterStarDataset: more than " +
+            s"${graft.io.CsvWriter.MaxStatSlices} files — skipping per-file " +
+            "statistics (reads stay correct, file skipping disabled)")
+          Nil
+        } else allFileStats
+      graft.io.CsvWriter.writeSidecarRaw(path, meta, keptFileStats)
+      ClusterReport(byLeaf.size.toLong, filesBefore, filesAfter, bytesBefore,
+        bytesAfter, keptFileStats.size.toLong)
+    }
+  }
+
+  /** Migrate an INLINE-stats StarTable dataset to the SHARDED layout:
+    * every root-sidecar slice entry (plus its per-file entries) moves into
+    * a [[graft.io.CsvWriter.SliceShardFile]] shard inside its leaf
+    * directory, then the root sidecar is rewritten with `statsSharded` and
+    * no inline entries. Run this when a dataset's slice count has grown
+    * past what one sidecar parse should cost — planning afterwards loads
+    * only the shards of slices a query actually touches.
+    *
+    * Crash discipline: shards are installed FIRST (ignored while the root
+    * still says inline — inert), the root flip is the single atomic
+    * commit point (stage-and-rename), and entries for unlisted slices
+    * (dropPartitions leftovers) are dropped, matching the reader's
+    * listing-is-authority rule. Returns the number of shards written. */
+  def shardDatasetStats(spark: SparkSession, path: String): Long = {
+    val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(path))
+      .getOrElse(throw new IllegalArgumentException(
+        s"shardDatasetStats: $path has no " +
+          s"${graft.io.CsvWriter.DatasetMetaFile} sidecar — not a StarTable " +
+          "dataset"))
+    require(!meta.statsSharded,
+      s"shardDatasetStats: dataset at $path is already sharded")
+    val conf = spark.sessionState.newHadoopConf()
+    val listing = graft.sources.StarTableSource.listPartitionedFiles(
+      Seq(path), meta.partCols, conf)
+    val leafByRaw: Map[Seq[String], String] = listing
+      .groupBy(_._3).map { case (raw, fsOf) =>
+        (raw: Seq[String]) ->
+          new Path(fsOf.head._1).getParent.toString
+      }
+    val filesByRaw: Map[Seq[String], Seq[graft.sources.StarTableSource.FileStats]] =
+      meta.fileStats.groupBy(s => s.partition: Seq[String])
+    val targets = meta.sliceStats.flatMap(s =>
+      leafByRaw.get(s.partition).map(dir => (dir, s)))
+    val fs = new Path(path).getFileSystem(conf)
+    parMapLeaves(targets, maintenanceParallelism(spark)) { case (dir, s) =>
+      graft.io.CsvWriter.atomicInstallJson(fs, conf,
+        new Path(dir, graft.io.CsvWriter.SliceShardFile),
+        graft.io.CsvWriter.renderSliceShardJson(s,
+          filesByRaw.getOrElse(s.partition, Nil)))
+    }
+    graft.io.CsvWriter.writeSidecarRaw(path,
+      meta.copy(sliceStats = Nil, fileStats = Nil, statsSharded = true), Nil)
+    graft.sources.StarTableSource.invalidateShardCache(path)
+    targets.size.toLong
   }
 
   final case class VacuumReport(restoredLeaves: Long, removedDirs: Long,

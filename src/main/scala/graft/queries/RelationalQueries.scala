@@ -675,6 +675,32 @@ object RelationalQueries {
       agged
     }),
 
+    // SHARDED-stats layout under the gate: the dataset's statistics live
+    // in per-leaf shards (one _startable_slice.json per slice) instead of
+    // the root sidecar — the 100k-slice layout where planning loads only
+    // the shards a query touches. The grouped aggregate must still be a
+    // METADATA read (StarMetaAggScan asserted — each group folds from its
+    // slices' shards), and the oracle recomputes from the ORIGINAL
+    // parquet, so a shard bound bent anywhere in the distributed
+    // write→fold→install→lazy-load path breaks the hash.
+    "q_dataset_sharded" -> ((s, dir) => {
+      val ds = shardedDatasetFor(s, dir)
+      require(graft.sources.StarTableSource.readDatasetMeta(Seq(ds))
+          .exists(m => m.statsSharded && m.sliceStats.isEmpty),
+        "q_dataset_sharded: the dataset is not in the sharded layout")
+      val agged = s.read.format("startable").load(ds)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          max(col("l_linestatus")).as("max_status"))
+      require(agged.queryExecution.executedPlan.toString
+          .contains("StarMetaAggScan"),
+        "q_dataset_sharded: the metadata aggregate did not engage on the " +
+          "sharded layout")
+      agged
+    }),
+
     // Vacuum under the gate: the dataset this query reads was CRASHED
     // mid-compaction (fault hook at the staged point), then put in the
     // riskiest crash shape — a leaf moved aside with its replacement not
@@ -747,6 +773,26 @@ object RelationalQueries {
             col("l_linestatus"), col("l_extendedprice"), col("l_discount")),
           "lineitem_part"),
         path, partitionBy = Seq("l_returnflag"), numFiles = 8)
+    path
+  }
+
+  /** Build-once SHARDED-layout partitioned dataset (q_dataset_sharded):
+    * same shape as [[partitionedDatasetFor]] but with per-leaf stat
+    * shards (shardStats = Some(true)). */
+  private def shardedDatasetFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|shds1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_shds_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path,
+        graft.io.CsvWriter.DatasetMetaFile)))
+      graft.io.CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(
+          Tables.df(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_linestatus"), col("l_extendedprice"), col("l_discount")),
+          "lineitem_shard"),
+        path, partitionBy = Seq("l_returnflag"), numFiles = 8,
+        shardStats = Some(true))
     path
   }
 
@@ -1339,6 +1385,16 @@ object RelationalQueries {
         |  CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
         |  min(l_linestatus) AS min_status, max(l_linestatus) AS max_status
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    // the sharded layout's grouped metadata aggregate must equal DuckDB
+    // grouping + aggregating the original rows
+    "q_dataset_sharded" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+        |  max(l_linestatus) AS max_status
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // per-partition metadata aggregates must equal DuckDB grouping the rows
     "q_dataset_group_agg" ->

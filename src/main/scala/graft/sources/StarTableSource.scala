@@ -191,7 +191,7 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
     val conf = StarTableSource.activeHadoopConf()
     val roots = StarTableSource.paths(options)
     pushedAgg = StarTableSource.readDatasetMeta(roots, conf)
-      .filter(_.sliceStats.nonEmpty)
+      .filter(m => m.sliceStats.nonEmpty || m.statsSharded)
       .flatMap { m =>
         // GROUP BY is servable only over PARTITION columns: each group is
         // then a union of whole slices and every aggregate below folds
@@ -208,12 +208,25 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
         // twice or, worse, not at all
         if (!pushed.forall(f => f.references.forall(m.partCols.contains) &&
             StarTableSource.exactFilter(f))) return false
-        val listed0 = StarTableSource.listPartitionedFiles(roots, m.partCols, conf)
+        val listed0 = StarTableSource.listPartitionedFiles(roots, m.partCols,
+          conf,
+          partPrune =
+            if (pushed.isEmpty) None else Some((m.partUnits, pushed.toSeq)))
         val listed = StarTableSource.prunePartitionListing(
           listed0, m.partCols, m.partUnits, pushed.toSeq)
         StarTableSource.filesPruned.add(listed0.size - listed.size)
         val parts = listed.map(_._3).distinct
-        val byPart = m.sliceStats.map(s => s.partition -> s).toMap
+        // sharded layout: the byPart map loads from exactly the PRUNED
+        // listing's shards — "COUNT(*) WHERE day = X" over a 100k-slice
+        // dataset reads the shards of day X only
+        val byPart: Map[Seq[String], StarTableSource.SliceStats] =
+          if (m.statsSharded)
+            StarTableSource.readSliceShards(
+              listed.map(f =>
+                (new org.apache.hadoop.fs.Path(f._1).getParent.toString,
+                  f._3)).distinct,
+              conf).map { case (raw, sh) => raw -> sh.slice }
+          else m.sliceStats.map(s => s.partition -> s).toMap
         // empty listing → fall back: with partial pushdown Spark rewrites
         // the final COUNT to a SUM over the scan's partial rows, and a SUM
         // over ZERO rows is null where a real count of an empty table is 0
@@ -495,9 +508,16 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
     dataset match {
       case None => Nil
       case Some(m) =>
-        val all = StarTableSource.listPartitionedFiles(files, m.partCols,
-          confS.value)
         val partFilters = pushed.filter(_.references.forall(m.partCols.contains))
+        // partition filters prune at TWO tiers: inside the walk itself
+        // (contradicted directories are never listed — a filtered probe's
+        // listing cost is the matching subtree) and, as the authority,
+        // over the listed files below
+        val all = StarTableSource.listPartitionedFiles(files, m.partCols,
+          confS.value,
+          partPrune =
+            if (partFilters.isEmpty) None
+            else Some((m.partUnits, partFilters.toSeq)))
         val afterPart = if (partFilters.isEmpty) all
         else {
           val kept = StarTableSource.prunePartitionListing(
@@ -515,15 +535,33 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
         val contentFilters =
           pushed.filterNot(_.references.forall(m.partCols.contains))
         if (contentFilters.isEmpty ||
-            (m.sliceStats.isEmpty && m.fileStats.isEmpty)) afterPart
+            (m.sliceStats.isEmpty && m.fileStats.isEmpty && !m.statsSharded))
+          afterPart
         else {
+          // sharded layout: load only the shards of slices that SURVIVED
+          // partition pruning — skipping metadata IO scales with slices
+          // touched, not dataset size (a missing shard means "no stats":
+          // the slice is read, never skipped)
+          val shards: Map[Seq[String], StarTableSource.SliceShard] =
+            if (!m.statsSharded) Map.empty
+            else StarTableSource.readSliceShards(
+              afterPart.map(f =>
+                (new org.apache.hadoop.fs.Path(f._1).getParent.toString,
+                  f._3)).distinct,
+              confS.value)
           val statsByPart: Map[Seq[String], StarTableSource.SliceStats] =
-            m.sliceStats.map(s => s.partition.toList -> s).toMap
+            if (m.statsSharded)
+              shards.map { case (raw, sh) => raw.toList -> sh.slice }
+            else m.sliceStats.map(s => s.partition.toList -> s).toMap
           // per-FILE stats (clusterStarDataset output): finer than the
           // slice — within a clustered slice, a range predicate keeps
           // only the files whose sorted key range intersects it
           val statsByFile: Map[(Seq[String], String), StarTableSource.FileStats] =
-            m.fileStats.map(s => (s.partition.toList, s.file) -> s).toMap
+            if (m.statsSharded)
+              shards.flatMap { case (raw, sh) =>
+                sh.files.map(fe => (raw.toList: Seq[String], fe.file) -> fe)
+              }
+            else m.fileStats.map(s => (s.partition.toList, s.file) -> s).toMap
           val fixer = new graft.parse.ParseFixer()
           val parseByCol: Map[String, Any => Any] =
             m.cols.zip(m.units).map { case (c, u) =>
@@ -1109,6 +1147,7 @@ private[graft] object StarTableSource {
   def resetPushdownCounters(): Unit = {
     blocksSkipped.reset(); rowsFiltered.reset(); linesParsed.reset()
     filesPruned.reset(); filesSkippedByStats.reset(); batchesProduced.reset()
+    shardsRead.reset(); dirsPruned.reset()
   }
 
   /** Directory-level schema of a hive-partitioned StarTable dataset
@@ -1118,12 +1157,17 @@ private[graft] object StarTableSource {
     * still wins). `sliceStats`: optional per-slice column min/max/null
     * statistics for data skipping (see [[SliceStats]]); empty when the
     * writer didn't record them (e.g. streaming ingestion). */
+  /** `statsSharded`: the dataset's statistics live in per-leaf
+    * [[graft.io.CsvWriter.SliceShardFile]] shards instead of inline here —
+    * `sliceStats`/`fileStats` stay empty and readers load only the shards
+    * of slices that survive partition pruning (see [[readSliceShards]]). */
   final case class DatasetMeta(name: String, destinations: Set[String],
                                cols: Seq[String], units: Seq[String],
                                partCols: Seq[String], partUnits: Seq[String],
                                sep: String = ";",
                                sliceStats: Seq[SliceStats] = Nil,
-                               fileStats: Seq[FileStats] = Nil)
+                               fileStats: Seq[FileStats] = Nil,
+                               statsSharded: Boolean = false)
 
   /** Per-slice column statistics: `partition` aligns with
     * [[DatasetMeta.partCols]] (raw rendered values, null for the default
@@ -1238,12 +1282,14 @@ private[graft] object StarTableSource {
         }
         case _ => Nil
       }
+      val statsSharded = o.fields.get("statsSharded")
+        .collect { case JsonBool(b) => b }.getOrElse(false)
       val meta = DatasetMeta(
         o.fields("name").asInstanceOf[JsonString].value,
         strs("destinations").toSet,
         strs("columns"), strs("units"),
         strs("partitionBy"), strs("partitionUnits"), sep, sliceStats,
-        fileStats)
+        fileStats, statsSharded)
       if (metaCache.size > 64) metaCache.clear()
       metaCache.put(key, meta)
       Some(meta)
@@ -1257,6 +1303,167 @@ private[graft] object StarTableSource {
             s"(${e.getClass.getSimpleName}: ${e.getMessage}); repair or " +
             "remove it", e)
     }
+  }
+
+  /** One leaf's statistics, loaded from its [[graft.io.CsvWriter.SliceShardFile]]
+    * shard (sharded-stats layout): the slice entry plus per-file entries
+    * (empty for single-file slices — the slice entry fully describes them). */
+  final case class SliceShard(slice: SliceStats, files: Seq[FileStats])
+
+  /** Parsed-shard memo keyed by (qualified path, length, modTime) — the
+    * same discipline as [[metaCache]], bounded by wholesale eviction.
+    * Shards are ~1 KB each; the bound keeps a hot working set of pruned
+    * probes cached without letting a full-dataset sweep pin 100k entries. */
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), SliceShard]()
+  private val ShardCacheMax = 16384
+
+  /** Shard files opened+parsed (cache misses) — observability for specs
+    * and the scale rehearsal: a partition-pruned probe must read only the
+    * TOUCHED slices' shards, never the dataset's. */
+  val shardsRead = new java.util.concurrent.atomic.LongAdder
+
+  /** Partition directories skipped mid-walk by listing-level pruning
+    * (their subtrees were never listed) — observability for specs and the
+    * scale rehearsal. */
+  val dirsPruned = new java.util.concurrent.atomic.LongAdder
+
+  /** Drop every cached shard parse under `outDir` — the writer-side
+    * invalidation after a sharded write, mirroring [[invalidateMetaCache]]
+    * (the (len, mtime) key cannot distinguish a same-length rewrite inside
+    * the filesystem's mtime resolution). */
+  private[graft] def invalidateShardCache(
+      outDir: String,
+      conf: org.apache.hadoop.conf.Configuration = activeHadoopConf()): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val prefix = p.getFileSystem(conf).makeQualified(p).toString
+    val it = shardCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()._1
+      if (k == prefix || k.startsWith(prefix + "/")) it.remove()
+    }
+  }
+
+  /** Load the stat shards of `leaves` — (leaf directory, raw partition
+    * values) pairs, typically the slices that SURVIVED partition pruning —
+    * returning raw-values → shard for every leaf whose shard exists.
+    * A missing shard is simply absent (conservative: the caller reads the
+    * slice / refuses a metadata answer); a CORRUPT shard, or one whose
+    * recorded partition values disagree with its directory path, fails
+    * loudly (silently ignoring damaged statistics would hide a real
+    * writer/escaping bug behind slightly slower reads). Waves of
+    * `parallelism`+ shards are fetched on a bounded pool — the same
+    * object-store round-trip hiding as the parallel listing. */
+  def readSliceShards(leaves: Seq[(String, Seq[String])],
+                      conf: org.apache.hadoop.conf.Configuration = activeHadoopConf(),
+                      parallelism: Int = 16)
+      : Map[Seq[String], SliceShard] = {
+    if (leaves.isEmpty) return Map.empty
+    def loadOne(leafDir: String, raw: Seq[String]): Option[(Seq[String], SliceShard)] = {
+      val shardPath = new org.apache.hadoop.fs.Path(leafDir,
+        graft.io.CsvWriter.SliceShardFile)
+      val fs = shardPath.getFileSystem(conf)
+      val st = try fs.getFileStatus(shardPath)
+      catch { case _: java.io.FileNotFoundException => return None }
+      val key = (fs.makeQualified(shardPath).toString, st.getLen,
+        st.getModificationTime)
+      val hit = shardCache.get(key)
+      if (hit != null) return Some(raw -> hit)
+      shardsRead.increment()
+      val in = fs.open(shardPath)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      import graft.io.JsonValue._
+      val shard = try {
+        val o = graft.io.JsonValue.parse(txt).asInstanceOf[JsonObject]
+        def optStr(v: graft.io.JsonValue): String = v match {
+          case JsonString(s) => s
+          case _             => null
+        }
+        def colStatsOf(so: JsonObject): Map[String, ColStats] =
+          so.fields.map {
+            case (c, cs: JsonObject) =>
+              c -> ColStats(optStr(cs.fields("min")), optStr(cs.fields("max")),
+                cs.fields("nulls").asInstanceOf[JsonNumber].value.toLong)
+            case (c, other) => throw new IllegalArgumentException(
+              s"column stats for '$c' is not an object: $other")
+          }.toMap
+        val part = o.fields("partition").asInstanceOf[JsonArray].values.map(optStr)
+        require(part == raw,
+          s"shard records partition ${part.mkString("[", ",", "]")} but its " +
+            s"directory path parses to ${raw.mkString("[", ",", "]")} — " +
+            "path-escaping drift or a misplaced shard")
+        val slice = SliceStats(part,
+          o.fields("rows").asInstanceOf[JsonNumber].value.toLong,
+          colStatsOf(o.fields("stats").asInstanceOf[JsonObject]))
+        val files = o.fields.get("files").toSeq.flatMap {
+          case JsonArray(fsv) => fsv.map { fv =>
+            val fo = fv.asInstanceOf[JsonObject]
+            FileStats(part,
+              fo.fields("file").asInstanceOf[JsonString].value,
+              fo.fields("rows").asInstanceOf[JsonNumber].value.toLong,
+              colStatsOf(fo.fields("stats").asInstanceOf[JsonObject]))
+          }
+          case _ => Nil
+        }
+        SliceShard(slice, files)
+      } catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"startable source: unreadable stat shard $shardPath " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); repair or " +
+              "remove it", e)
+      }
+      if (shardCache.size > ShardCacheMax) shardCache.clear()
+      shardCache.put(key, shard)
+      Some(raw -> shard)
+    }
+    val loaded: Seq[Option[(Seq[String], SliceShard)]] =
+      if (leaves.sizeIs >= parallelism && parallelism > 1) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+        try {
+          val futs = leaves.map { case (dir, raw) =>
+            pool.submit(new java.util.concurrent.Callable[
+              Option[(Seq[String], SliceShard)]] {
+              def call() = loadOne(dir, raw)
+            })
+          }
+          futs.map { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
+            }
+          }
+        } finally pool.shutdownNow()
+      } else leaves.map { case (dir, raw) => loadOne(dir, raw) }
+    loaded.flatten.toMap
+  }
+
+  /** Fold per-FILE stat entries into their slice's entry: min of mins /
+    * max of maxs compared through the reader's parse (exact for every
+    * unit's ordering — numbers numeric, datetimes fixed-width strings,
+    * text UTF-8 byte order), null counts and row counts summed. A file
+    * whose bound is null (all-null column) is skipped, like SQL MIN/MAX
+    * skips nulls. Pure and executor-safe — the sharded write's per-leaf
+    * fold and the clustering pass's shard regeneration share it. */
+  private[graft] def foldFileEntries(raw: Seq[String], files: Seq[FileStats],
+                                     cols: Seq[String], units: Seq[String])
+      : SliceStats = {
+    val fixer = new graft.parse.ParseFixer()
+    val stats = cols.zipWithIndex.map { case (c, i) =>
+      val p = graft.parse.ColumnParsers.cellParser(units(i), fixer)
+      def fold(isMin: Boolean): String = {
+        val rendered = files.flatMap(fe =>
+          Option(if (isMin) fe.stats(c).min else fe.stats(c).max))
+        if (rendered.isEmpty) null
+        else rendered.reduce { (a, b) =>
+          val r = cmp(p(a), p(b)).getOrElse(a.compareTo(b))
+          if ((r <= 0) == isMin) a else b
+        }
+      }
+      c -> ColStats(fold(isMin = true), fold(isMin = false),
+        files.map(_.stats(c).nulls).sum)
+    }.toMap
+    SliceStats(raw, files.map(_.rows).sum, stats)
   }
 
   /** Recursively list a partitioned dataset's data files as
@@ -1278,20 +1485,68 @@ private[graft] object StarTableSource {
   def listPartitionedFiles(roots: Seq[String], partCols: Seq[String],
                            conf: org.apache.hadoop.conf.Configuration = activeHadoopConf(),
                            listingParallelism: Int = 16,
-                           parallelListingThreshold: Int = 8)
+                           parallelListingThreshold: Int = 8,
+                           partPrune: Option[(Seq[String], Seq[Filter])] = None)
       : Seq[(String, Long, Seq[String])] =
     listPartitionedFilesWithTimes(roots, partCols, conf, listingParallelism,
-      parallelListingThreshold).map(f => (f._1, f._2, f._3))
+      parallelListingThreshold, partPrune).map(f => (f._1, f._2, f._3))
+
+  /** Directory-level pruning verdict during the listing walk: `false` only
+    * when some filter is DEFINITELY unsatisfiable given the partition
+    * values known so far (the walk may not have descended to every
+    * partition column yet). Atoms referencing only known columns evaluate
+    * exactly ([[evalFilter]] — the same verdict the post-listing prune
+    * would reach); anything touching an unknown column stays `true`, so a
+    * kept subtree is never wrong, only a skipped one matters — and a
+    * skipped one provably holds no matching slice. `Not` stays
+    * conservative (kept): three-valued logic makes NOT(unknown-ish) wrong
+    * to conclude from a boolean evaluator. */
+  private def dirMayMatch(f: Filter, known: Map[String, Any],
+                          knownCols: Set[String]): Boolean = f match {
+    case And(l, r) => dirMayMatch(l, known, knownCols) &&
+      dirMayMatch(r, known, knownCols)
+    case Or(l, r)  => dirMayMatch(l, known, knownCols) ||
+      dirMayMatch(r, known, knownCols)
+    case Not(_)    => true
+    case atom      =>
+      if (!atom.references.forall(knownCols.contains)) true
+      else evalFilter(atom, known.getOrElse(_, null))
+  }
 
   /** [[listPartitionedFiles]] plus each file's modification time (last
     * element) — the streaming source's `maxFileAge` aging needs it, and the
     * walk already holds the FileStatus, so it is free. Same walk, same
     * pinned order. */
+  /** `partPrune = Some((partUnits, filters))`: prune partition DIRECTORIES
+    * during the walk itself — a subtree whose already-known partition
+    * values definitely contradict a filter is never descended into, so a
+    * filtered probe's listing cost is the MATCHING subtree, not the
+    * dataset ("COUNT(*) WHERE day = X" over a 100k-slice store lists one
+    * day's directories). Conservative by construction (see
+    * [[dirMayMatch]]); callers still apply [[prunePartitionListing]] as
+    * the authority. Streaming discovery passes None: it must see every
+    * file. */
   def listPartitionedFilesWithTimes(roots: Seq[String], partCols: Seq[String],
                            conf: org.apache.hadoop.conf.Configuration = activeHadoopConf(),
                            listingParallelism: Int = 16,
-                           parallelListingThreshold: Int = 8)
+                           parallelListingThreshold: Int = 8,
+                           partPrune: Option[(Seq[String], Seq[Filter])] = None)
       : Seq[(String, Long, Seq[String], Long)] = {
+    val pruner: Option[Map[String, String] => Boolean] = partPrune.collect {
+      case (partUnits, filters) if filters.nonEmpty =>
+        val parsers: Map[String, Any => Any] =
+          partCols.zip(partUnits).map { case (c, u) =>
+            c -> graft.parse.ColumnParsers.cellParser(
+              u, new graft.parse.ParseFixer())
+          }.toMap
+        (spec: Map[String, String]) => {
+          val known: Map[String, Any] = spec.map { case (c, raw) =>
+            c -> (if (raw == null) null
+                  else parsers.get(c).map(_(raw)).getOrElse(raw: Any))
+          }
+          filters.forall(f => dirMayMatch(f, known, known.keySet))
+        }
+    }
     roots.flatMap { r =>
       val root = new org.apache.hadoop.fs.Path(r)
       val fs = root.getFileSystem(conf)
@@ -1332,7 +1587,12 @@ private[graft] object StarTableSource {
                 val k = unescapePathName(n.substring(0, eq))
                 val v0 = unescapePathName(n.substring(eq + 1))
                 val v = if (v0 == "__HIVE_DEFAULT_PARTITION__") null else v0
-                next += ((s.getPath, spec + (k -> v)))
+                val sub = spec + (k -> v)
+                // directory-level pruning: a subtree whose known values
+                // definitely contradict a pushed partition filter is
+                // never listed (see pruner above)
+                if (pruner.forall(_(sub))) next += ((s.getPath, sub))
+                else dirsPruned.increment()
               }
             } else {
               val missing = partCols.filterNot(spec.contains)
@@ -1438,7 +1698,7 @@ private[graft] object StarTableSource {
       }
     }
 
-  private[sources] def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+  private[graft] def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
     case (null, _) | (_, null)    => None
     case (a: Number, b: Number)   => Some(java.lang.Double.compare(a.doubleValue, b.doubleValue))
     // Spark orders strings by UTF-8 BYTES (UTF8String), not UTF-16 code

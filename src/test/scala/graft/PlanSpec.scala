@@ -398,7 +398,8 @@ class PlanSpec extends AnyFunSuite {
       s"partition filter not surfaced:\n$plan")
     graft.sources.StarTableSource.resetPushdownCounters()
     df.write.format("noop").mode("overwrite").save()
-    assert(graft.sources.StarTableSource.filesPruned.sum() > 0,
+    assert(graft.sources.StarTableSource.filesPruned.sum() +
+      graft.sources.StarTableSource.dirsPruned.sum() > 0,
       "the l_returnflag=R slice query pruned no files — the other slices " +
         "were opened")
   }

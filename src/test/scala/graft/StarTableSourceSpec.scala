@@ -552,7 +552,8 @@ class StarTableSourceSpec extends AnyFunSuite {
     graft.sources.StarTableSource.resetPushdownCounters()
     val a = back.filter(col("grp") === "A")
     assert(a.count() == 2)
-    assert(graft.sources.StarTableSource.filesPruned.sum() > 0,
+    assert(graft.sources.StarTableSource.filesPruned.sum() +
+      graft.sources.StarTableSource.dirsPruned.sum() > 0,
       "partition filter pruned no files")
     assert(a.queryExecution.executedPlan.toString.contains("PartitionFilters"),
       a.queryExecution.executedPlan.toString)
@@ -585,7 +586,8 @@ class StarTableSourceSpec extends AnyFunSuite {
     graft.sources.StarTableSource.resetPushdownCounters()
     val one = back.filter(col("shard") === 3.0)
     assert(one.count() == 10)
-    assert(graft.sources.StarTableSource.filesPruned.sum() > 0)
+    assert(graft.sources.StarTableSource.filesPruned.sum() +
+      graft.sources.StarTableSource.dirsPruned.sum() > 0)
     // pruning on both levels composes; values come back right
     val both = back.filter(col("src") === "s1" && col("shard") === 1.0)
     assert(both.select(sum(col("x"))).head.getDouble(0) ==
@@ -659,7 +661,8 @@ class StarTableSourceSpec extends AnyFunSuite {
       s"exactly-once across restart violated: $got")
     graft.sources.StarTableSource.resetPushdownCounters()
     assert(back.filter(col("lang") === "en").count() == 2)
-    assert(graft.sources.StarTableSource.filesPruned.sum() > 0)
+    assert(graft.sources.StarTableSource.filesPruned.sum() +
+      graft.sources.StarTableSource.dirsPruned.sum() > 0)
     // compaction after streaming: small per-batch files merge per slice
     val rep = graft.operators.Maintenance.compactStarDataset(spark, outDir)
     assert(rep.filesAfter == 3 && rep.bytesBefore == rep.bytesAfter, rep.toString)
@@ -686,7 +689,8 @@ class StarTableSourceSpec extends AnyFunSuite {
     val one = back.filter(col("t") ===
       lit("2020-08-04 08:00:00").cast(org.apache.spark.sql.types.TimestampType))
     assert(one.select("x").collect().map(_.getDouble(0)).toSeq == Seq(1.0))
-    assert(graft.sources.StarTableSource.filesPruned.sum() > 0,
+    assert(graft.sources.StarTableSource.filesPruned.sum() +
+      graft.sources.StarTableSource.dirsPruned.sum() > 0,
       "timestamp partition filter pruned nothing")
   }
 
@@ -941,7 +945,8 @@ class StarTableSourceSpec extends AnyFunSuite {
       graft.sources.StarTableSource.resetPushdownCounters()
       assert(spark.sql("SELECT x FROM st_ds WHERE grp = 'a'")
         .collect().map(_.getDouble(0)).toSeq == Seq(1.0))
-      assert(graft.sources.StarTableSource.filesPruned.sum() > 0,
+      assert(graft.sources.StarTableSource.filesPruned.sum() +
+      graft.sources.StarTableSource.dirsPruned.sum() > 0,
         "SQL-surface partition filter pruned nothing")
     } finally spark.sql("DROP TABLE st_ds")
     // catalog WRITE path, with a case-differing option key (the catalog
