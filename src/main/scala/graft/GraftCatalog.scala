@@ -151,6 +151,15 @@ object GraftCatalog {
       }),
 
     new MaintenanceProcedure(
+      "shard_dataset_stats",
+      "Migrate an inline-stats StarTable dataset to per-leaf stat shards " +
+        "(graft.operators.Maintenance.shardDatasetStats)",
+      Seq(in("path", StringType)),
+      StructType(Seq(StructField("shards_written", LongType, nullable = false))),
+      (spark, r) => Seq(graft.operators.Maintenance.shardDatasetStats(
+        spark, str(r, 0)))),
+
+    new MaintenanceProcedure(
       "drop_partitions",
       "Drop whole partition slices by value (comma-separated) " +
         "(graft.operators.Maintenance.dropPartitions)",

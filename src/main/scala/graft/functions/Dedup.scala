@@ -121,14 +121,49 @@ object Dedup {
           .minhashTokens(Text.tokens(col(textCol)), shingleSize, numHashes, seed.toLong)
           .as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Collapse to DISTINCT signatures before the LSH self-join: on a
+    // Everything downstream moves 128-BIT SURROGATE KEYS, not the
+    // 8·numHashes-byte signature arrays: at 500k docs the band explosion
+    // is bands × distinct-sigs rows, and carrying ~520-byte signatures
+    // through the self-join + pair-distinct made that one stage sort and
+    // spill GBs (measured 8.5 → 200 s for 10× the docs — the only
+    // superlinear stage in the curation capstone). A 64-bit surrogate
+    // would birthday-collide at billions of signatures; 128 bits never
+    // will, and even a collision here is BENIGN by construction: the
+    // jaccard estimate below is recomputed from the REAL signature
+    // arrays, and same-key id pairs are emitted by the dedicated
+    // same-key path — so a collision can only surface an extra
+    // correctly-scored candidate, never lose a pair or forge a score.
+    // salt FIRST: xxhash64 folds arguments left-to-right from the fixed
+    // seed, so xxhash64(sig, salt) would be a pure function of
+    // xxhash64(sig) (same 64 bits twice); xxhash64(salt, sig) perturbs
+    // the chain BEFORE the array and yields an independent second hash
+    def key128(sigCol: Column): Column = struct(
+      xxhash64(sigCol).as("h1"),
+      xxhash64(lit(0x517CC1B727220A95L), sigCol).as("h2"))
+    val sigK = sig.select(col("id"), key128(col("sig")).as("k"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (1) SAME-key pairs — identical signatures (the boilerplate mass):
+    // output-proportional id pairs within each key group, est computed
+    // from the true signatures (identical arrays → exactly 1.0). This
+    // replaces the old band-diagonal (s,s) trick, which pushed bands ×
+    // distinct-sigs self-rows through the pair-distinct for nothing.
+    val pp = sigK.select(col("k"), col("id").as("__ia"), col("sig").as("sigA"))
+    val qq = sigK.select(col("k"), col("id").as("__ib"), col("sig").as("sigB"))
+    val samePairs = pp.join(qq, Seq("k"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia").as("idA"), col("__ib").as("idB"),
+        (graft.functions.expressions.MinHashExpression
+          .signatureAgreement(col("sigA"), col("sigB"))
+          .cast("double") / lit(numHashes)).as("jaccard_est"))
+    // (2) CROSS-key pairs via banded LSH over DISTINCT signatures: on a
     // boilerplate-heavy corpus (10% identical docs) the largest (band,
     // bucket) group would otherwise scale with corpus size — after the
     // collapse it scales with *distinct* signatures, and the identical-doc
     // pairs come back from the output-proportional expansion joins below.
     val distinctSig = sig.select(col("sig")).distinct()
+      .select(key128(col("sig")).as("k"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bucketed0 = distinctSig.select(col("sig"),
+    val bucketed0 = distinctSig.select(col("k"),
         posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     // Optional hard cap on residual oversized buckets (true hash-degenerate
     // groups of distinct signatures). Dropping a bucket only loses a pair
@@ -139,33 +174,33 @@ object Dedup {
       bucketed0.join(sizes.filter(col("__n") <= maxBucketSize), Seq("band", "bucket"))
         .drop("__n")
     } else bucketed0
-    val a = bucketed.select(col("band"), col("bucket"), col("sig").as("sigA"))
-    val b = bucketed.select(col("band"), col("bucket"), col("sig").as("sigB"))
-    // Self-join on distinct signatures; <= keeps the (s,s) pair that later
-    // expands into the identical-signature doc pairs. Ordering, dedup and
-    // the expansion joins all use the FULL signature array — a 64-bit
-    // surrogate (xxhash64(sig)) would silently merge distinct signatures on
-    // a birthday collision, which at billions of distinct signatures is an
-    // expected event, emitting false jaccard_est=1.0 pairs.
-    val sigPairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("sigA") <= col("sigB"))
-      .select(col("sigA"), col("sigB"))
+    val a = bucketed.select(col("band"), col("bucket"), col("k").as("kA"))
+    val b = bucketed.select(col("band"), col("bucket"), col("k").as("kB"))
+    // strict < (struct ordering is field-wise, deterministic): same-key
+    // pairs already came from path (1), so the diagonal never exists
+    val keyPairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("kA") < col("kB"))
+      .select(col("kA"), col("kB"))
       .distinct()
+    // recover the true signatures (distinctSig: one narrow row per
+    // distinct signature) to compute the REAL agreement, then expand
+    // key pair → doc pairs over the 16-byte keys
+    val sa = distinctSig.select(col("k").as("kA"), col("sig").as("sigA"))
+    val sb = distinctSig.select(col("k").as("kB"), col("sig").as("sigB"))
+    val sigPairs = keyPairs.join(sa, "kA").join(sb, "kB")
       .withColumn("jaccard_est",
         graft.functions.expressions.MinHashExpression
           .signatureAgreement(col("sigA"), col("sigB"))
           .cast("double") / lit(numHashes))
-    // Expansion: sig-pair → doc pairs. Cross-signature pairs appear under
-    // exactly one (sigA < sigB) ordering and are normalized by least/
-    // greatest; identical-signature pairs take the idA < idB branch.
-    val ia = sig.select(col("id").as("__ia"), col("sig").as("sigA"))
-    val ib = sig.select(col("id").as("__ib"), col("sig").as("sigB"))
-    val result = sigPairs.join(ia, "sigA").join(ib, "sigB")
-      .filter(col("sigA") =!= col("sigB") || col("__ia") < col("__ib"))
+      .select(col("kA"), col("kB"), col("jaccard_est"))
+    val ia = sigK.select(col("id").as("__ia"), col("k").as("kA"))
+    val ib = sigK.select(col("id").as("__ib"), col("k").as("kB"))
+    val crossPairs = sigPairs.join(ia, "kA").join(ib, "kB")
       .select(least(col("__ia"), col("__ib")).as("idA"),
         greatest(col("__ia"), col("__ib")).as("idB"),
         col("jaccard_est"))
-    materializeAndFree(result, sig, distinctSig)
+    val result = crossPairs.unionAll(samePairs)
+    materializeAndFree(result, sig, sigK, distinctSig)
   }
 
   /** SimHash-64 of a token array: bit i of the result is the sign of the sum

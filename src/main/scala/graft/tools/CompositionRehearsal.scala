@@ -19,14 +19,23 @@ import org.apache.spark.sql.functions._
   *              prunes (split=) and stat-skips (doc_id range), with parsed
   *              volume counters
   *
-  *   sbt "runMain graft.tools.CompositionRehearsal [mults…]" (default 10 100)
+  *   sbt "runMain graft.tools.CompositionRehearsal [real] [mults…]"
+  *   (default 10 100)
   *
   * Corpus replicas follow ScaleRehearsal's replica-shared-tail scheme
   * (memoized at /tmp/graft_scale_v3_<mult>) so dup/contamination RATES stay
-  * those of the base corpus. Results land in SURVEY.md perf notes. */
+  * those of the base corpus — but every base doc then has `mult` near-dup
+  * twins, a near-dup graph QUADRATIC in the multiplier by construction.
+  * Pass `real` to use [[RealCorpus]] instead: bounded dup families
+  * (size ≤ 5 at every scale) and vocabulary growing with corpus size, so
+  * the 100× capstone measures the ENGINE's scaling, not the corpus's.
+  * Results land in SURVEY.md perf notes. */
 object CompositionRehearsal {
   def main(args: Array[String]): Unit = {
-    val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(10, 100)
+    val realistic = args.headOption.contains("real")
+    val multArgs = if (realistic) args.drop(1) else args
+    val mults = if (multArgs.nonEmpty) multArgs.toSeq.map(_.toInt)
+      else Seq(10, 100)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
@@ -73,27 +82,34 @@ object CompositionRehearsal {
       sweep()
     }
 
+    lazy val benchTexts: Array[String] = benchmark.orderBy(col("doc_id"))
+      .select("text").collect().map(_.getString(0))
+
     mults.foreach { mult =>
-      println(s"--- ${mult}x (${mult * 5000} docs) ---")
-      val root = s"/tmp/graft_scale_v3_$mult"
-      val docPath = s"$root/documents.parquet"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(docPath, "_SUCCESS"))) {
-        val tail = concat((1 to 15).map(j =>
-          concat(lit(s" zq"), col("rep"), lit(s"w$j"))): _*)
-        baseDocs.crossJoin(spark.range(mult).toDF("rep"))
-          .select((col("rep") * 1000000L + col("doc_id")).as("doc_id"),
-            concat(col("text"), tail).as("text"), col("lang"))
-          .repartition(32).write.mode("overwrite").parquet(docPath)
-      }
-      // older memoized replicas (ScaleRehearsal) carry no lang column —
-      // restore it from the base doc id (replica ids are base + rep·1e6)
-      val raw = spark.read.parquet(docPath)
-      val corpus =
+      println(s"--- ${mult}x (${mult * 5000} docs" +
+        s"${if (realistic) ", realistic corpus" else ""}) ---")
+      val corpus = if (realistic) {
+        spark.read.parquet(RealCorpus.generate(spark, mult, benchTexts))
+      } else {
+        val root = s"/tmp/graft_scale_v3_$mult"
+        val docPath = s"$root/documents.parquet"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(docPath, "_SUCCESS"))) {
+          val tail = concat((1 to 15).map(j =>
+            concat(lit(s" zq"), col("rep"), lit(s"w$j"))): _*)
+          baseDocs.crossJoin(spark.range(mult).toDF("rep"))
+            .select((col("rep") * 1000000L + col("doc_id")).as("doc_id"),
+              concat(col("text"), tail).as("text"), col("lang"))
+            .repartition(32).write.mode("overwrite").parquet(docPath)
+        }
+        // older memoized replicas (ScaleRehearsal) carry no lang column —
+        // restore it from the base doc id (replica ids are base + rep·1e6)
+        val raw = spark.read.parquet(docPath)
         if (raw.columns.contains("lang")) raw
         else raw.join(
           broadcast(baseDocs.select(col("doc_id").as("__base"), col("lang"))),
           pmod(raw("doc_id"), lit(1000000L)) === col("__base"))
           .select(raw("doc_id"), raw("text"), col("lang"))
+      }
       val dsDir = java.nio.file.Files.createTempDirectory(s"graft_comp_$mult")
         .toString
 
@@ -106,16 +122,22 @@ object CompositionRehearsal {
       }
       sweep()
 
-      // leg B — full connector scan (parse every line once)
+      // leg B — full connector scan (parse every line once). A bare
+      // count() would answer from the METADATA aggregate since round 10
+      // (StarMetaAggScan — no file opened); the residual length() filter
+      // keeps the pushdown off so this leg measures the real parse.
       val back = spark.read.format("startable").load(dsDir + "/ds")
-      val n = t(s"scan ${mult}x (full connector read)")(back.count())
+      val n = t(s"scan ${mult}x (full connector read)") {
+        back.where(length(col("text")) >= 0).count()
+      }
       require(n == mult * 5000L, s"connector read $n of ${mult * 5000}")
 
       // leg C — curate over the CONNECTOR-read frame
       val docsIn = back.select(col("doc_id").cast("long").as("doc_id"),
         col("text"))
       val (curated, report) = t(s"curate ${mult}x (over connector read)") {
-        graft.functions.Curation.curate(docsIn, benchmark, "doc_id", "text")
+        graft.functions.Curation.curate(docsIn, benchmark, "doc_id", "text",
+          verbose = sys.env.contains("GRAFT_CURATE_VERBOSE"))
       }
       println(s"[compose]   report: $report")
 

@@ -51,6 +51,19 @@ class ProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL graft.system.shard_dataset_stats migrates inline stats to " +
+    "per-leaf shards through SQL") {
+    withCatalog {
+      val ds = mkDataset()
+      val r = spark.sql(
+        s"CALL graft.system.shard_dataset_stats(path => '$ds')").head()
+      assert(r.getLong(0) === 3L, s"expected 3 shards written, got $r")
+      val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(ds)).get
+      assert(meta.statsSharded && meta.sliceStats.isEmpty)
+      assert(spark.read.format("startable").load(ds).count() === 600)
+    }
+  }
+
   test("CALL graft.system.drop_partitions drops slices; vacuum_dataset " +
     "cleans leftovers; unknown procedure refuses with the available list") {
     withCatalog {
