@@ -41,11 +41,23 @@ object Bench {
     * exonerated it, but the record itself couldn't); sub-second queries
     * keep 2× (they live near the scheduling floor, where 1.5× is routine
     * multi-job session noise). Priors at/below 0.05 s never trigger. */
-  def shouldRerun(name: String, first: Double, p: Double): Boolean =
+  /** Window-contention factor from the session's fixed-work SHUFFLE probe
+    * (clean floor ~0.66-0.91 s on this machine): a contended window
+    * inflates every query by roughly the same machine-wide factor, so the
+    * rerun threshold scales with it. Without this, a 2× machine-wide
+    * window re-times most of the suite against the clean prior (round 11
+    * measured 62 reruns, doubling bench wall) while adjudicating nothing
+    * — each rerun lands in the same contended window. The probes stay in
+    * the record either way, so a contended record remains self-labeled. */
+  def contentionFactor(shuffleProbe: Double, cleanFloor: Double = 0.9): Double =
+    math.max(1.0, shuffleProbe / cleanFloor)
+
+  def shouldRerun(name: String, first: Double, p: Double,
+                  contention: Double = 1.0): Boolean =
     p > 0.05 && {
       val trigger =
         if (name.startsWith("q_stream_") || p >= 1.0) 1.5 else 2.0
-      first >= trigger * p
+      first >= trigger * contention * p
     }
 
   /** Per-query seconds out of a bench record, Map.empty unless the record's
@@ -222,7 +234,8 @@ object Bench {
     val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = firstPass.map { case (name, first) =>
       prior.get(name) match {
-        case Some(p) if shouldRerun(name, first, p) =>
+        case Some(p) if shouldRerun(name, first, p,
+            contentionFactor(calibrationShuffle)) =>
           val again = timeQuery(name, SparkEntry.queries(name), reps)
           reruns(name) = (first, again)
           name -> math.min(first, again)

@@ -58,6 +58,16 @@ class BenchPriorSpec extends AnyFunSuite {
     // sub-second non-streaming queries keep 2x (scheduling-floor noise)
     assert(!triggers("q_sub", 0.7, prior))
     assert(triggers("q_sub", 0.8, prior))
+    // contended window: the shuffle probe at ~3.3 s vs the 0.9 s floor
+    // raises every threshold ~3.7x — a machine-wide 2x inflation no
+    // longer mass-retimes the suite, a genuine 6x regression still does
+    val f = Bench.contentionFactor(3.3)
+    assert(f > 3.5 && f < 3.8, f.toString)
+    assert(!Bench.shouldRerun("q_x", 1.2 * 2.0, 1.2, f),
+      "a machine-wide 2x window must not re-time a >=1 s query")
+    assert(Bench.shouldRerun("q_x", 1.2 * 6.0, 1.2, f))
+    // clean window: factor clamps to 1, thresholds unchanged
+    assert(Bench.contentionFactor(0.7) === 1.0)
     // streaming triggers at 1.5x regardless of magnitude
     assert(triggers("q_stream_y", 1.5, prior))
     assert(triggers("q_stream_fast", 0.45, prior))
