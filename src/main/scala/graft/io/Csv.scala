@@ -511,6 +511,12 @@ object CsvWriter {
         case Some(s) => (s, false)
         case None    => (Nil, true)
       }
+    // NOTE the cap-blown auto-upgrade pays the inline stats aggregate and
+    // discards it before the shard pass re-aggregates from the written
+    // files — a double full pass on exactly the largest fresh writes.
+    // Accepted: a cardinality pre-probe would tax EVERY inline write with
+    // an extra pass to spare the rare capped one; a write KNOWN to be
+    // huge should pass shardStats = Some(true) and skip both.
     val sharded: Boolean = shardedPre ||
       (capped && existingMeta.isEmpty && shardStats.isEmpty)
     // which slice entries the incoming data replaces (for stat stripping
@@ -652,10 +658,31 @@ object CsvWriter {
                                naRep: String,
                                onlySlices: Option[Set[Seq[String]]]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val listing = graft.sources.StarTableSource.listPartitionedFiles(
-      Seq(outDir), partitionBy, conf)
-    val files = listing.filter(f => onlySlices.forall(_.contains(f._3)))
-      .map(_._1)
+    val files: Seq[String] = onlySlices match {
+      case Some(parts) =>
+        // backfill: construct the rewritten leaves DIRECTLY — a 1-slice
+        // backfill must not pay an O(dataset) walk on the layout built
+        // for touched-proportional cost. Path escaping matches the file
+        // sink's (ExternalCatalogUtils; null → the default-partition
+        // marker), the same parity dropPartitions relies on.
+        val root = new org.apache.hadoop.fs.Path(outDir)
+        val fs = root.getFileSystem(conf)
+        parts.toSeq.flatMap { raw =>
+          val leaf = partitionBy.zip(raw).foldLeft(root) { case (p, (c, v)) =>
+            new org.apache.hadoop.fs.Path(p, c + "=" +
+              (if (v == null) "__HIVE_DEFAULT_PARTITION__"
+               else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                 .escapePathName(v)))
+          }
+          try fs.listStatus(leaf).toSeq
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            .map(_.getPath.toString)
+          catch { case _: java.io.FileNotFoundException => Nil }
+        }
+      case None => graft.sources.StarTableSource.listPartitionedFiles(
+        Seq(outDir), partitionBy, conf).map(_._1)
+    }
     if (files.isEmpty) return
     val qsep = java.util.regex.Pattern.quote(sep)
     val cells = split(col("value"), qsep, -1).as("__cs")
@@ -1127,6 +1154,26 @@ object CsvWriter {
       require(incoming == current,
         s"streamPartitionedDataset: dataset at $outDir holds $current, " +
           s"incoming stream is $incoming")
+      // Appended rows invalidate every slice's recorded bounds. The INLINE
+      // layout's entries are dropped by the sidecar rewrite below; a
+      // SHARDED dataset's entries live in per-leaf shard FILES, which must
+      // be deleted too — the rewrite flips statsSharded off (stale shards
+      // become inert), but a later shardDatasetStats migration would
+      // re-activate them with bounds that exclude the streamed rows
+      // (undercounted metadata aggregates, wrongly skipped slices).
+      if (m.statsSharded) {
+        val conf = graft.sources.StarTableSource.activeHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(conf)
+        graft.sources.StarTableSource
+          .listPartitionedFiles(Seq(outDir), m.partCols, conf)
+          .map(f => new org.apache.hadoop.fs.Path(f._1).getParent)
+          .distinct
+          .foreach { leaf =>
+            val sp = new org.apache.hadoop.fs.Path(leaf, SliceShardFile)
+            if (fs.exists(sp)) fs.delete(sp, false)
+          }
+        graft.sources.StarTableSource.invalidateShardCache(outDir)
+      }
     }
     // no sliceStats: an append-forever stream has no final value ranges,
     // and any PRE-EXISTING entries are dropped — appended rows would fall

@@ -464,6 +464,17 @@ object Maintenance {
         graft.io.CsvWriter.renderSliceShardJson(s,
           filesByRaw.getOrElse(s.partition, Nil)))
     }
+    // leaves this migration writes NO shard for (no inline entry — e.g. a
+    // stats-less backfill) must not keep a LEFTOVER shard from an earlier
+    // sharded life of the tree: the root flip below would re-activate it
+    // with bounds that describe bytes long gone. Delete before the flip —
+    // every pre-flip crash state stays inline-rooted and inert.
+    val written = targets.map(_._1).toSet
+    parMapLeaves(leafByRaw.values.filterNot(written).toSeq,
+        maintenanceParallelism(spark)) { dir =>
+      val sp = new Path(dir, graft.io.CsvWriter.SliceShardFile)
+      if (fs.exists(sp)) fs.delete(sp, false)
+    }
     graft.io.CsvWriter.writeSidecarRaw(path,
       meta.copy(sliceStats = Nil, fileStats = Nil, statsSharded = true), Nil)
     graft.sources.StarTableSource.invalidateShardCache(path)

@@ -273,6 +273,113 @@ class ShardedStatsSpec extends AnyFunSuite {
       s"grp-tier pruning under Or missed (pruned ${src.dirsPruned.sum()})")
   }
 
+  test("sharded backfill constructs the rewritten leaf paths directly: " +
+    "escaped and null partition values round-trip") {
+    val rows = Seq(("a b%c", 1.0, "x"), (null, 2.0, "y"), ("plain", 3.0, "z"))
+    val t = graft.model.StarTable.fromDataFrame(
+      rows.toDF("grp", "x", "tag"), "sharded",
+      units = Map("grp" -> "text", "tag" -> "text"))
+    val out = Files.createTempDirectory("graft_shard_esc").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"),
+      shardStats = Some(true))
+    val patch = graft.model.StarTable.fromDataFrame(
+      Seq(("a b%c", 10.0, "x2"), (null, 20.0, "y2")).toDF("grp", "x", "tag"),
+      "sharded", units = Map("grp" -> "text", "tag" -> "text"))
+    graft.io.CsvWriter.writePartitionedDataset(patch, out, Seq("grp"),
+      overwriteSlices = true)
+    // both rewritten slices' shards must be fresh (the targeted leaf-path
+    // construction found them despite %-escaping / the default partition)
+    val listing = src.listPartitionedFiles(Seq(out), Seq("grp"))
+    val leaves = listing.map(f =>
+      (new org.apache.hadoop.fs.Path(f._1).getParent.toString, f._3)).distinct
+    val shards = src.readSliceShards(leaves)
+    assert(shards.size == 3, s"expected 3 shards, got ${shards.keySet}")
+    assert(shards(Seq("a b%c")).slice.rows == 1 &&
+      shards(Seq("a b%c")).slice.stats("x").min == "10.0")
+    assert(shards(Seq[String](null)).slice.rows == 1 &&
+      shards(Seq[String](null)).slice.stats("x").min == "20.0")
+    val agged = spark.read.format("startable").load(out)
+      .agg(count(lit(1)).as("n"), max(col("x")).as("mx"))
+    assert(agged.queryExecution.executedPlan.toString
+      .contains("StarMetaAggScan"))
+    val r = agged.collect().head
+    assert(r.getLong(0) == 3 && r.getDouble(1) == 20.0)
+  }
+
+  test("streaming into a sharded dataset deletes the stale shards, and a " +
+    "later migration cannot re-activate them") {
+    val t = mkTable(n = 300, slices = 3)
+    val out = Files.createTempDirectory("graft_shard_stream").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"),
+      shardStats = Some(true))
+    assert(shardPath(out, "grp=g0").isFile)
+
+    val base = Files.createTempDirectory("graft_shard_stream_src")
+    val ckpt = base.resolve("ckpt").toString
+    val srcDir = base.resolve("src"); Files.createDirectory(srcDir)
+    Seq(("g0", 9999.0, "streamed")).toDF("grp", "x", "tag").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.resolve("b1").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    val st = graft.model.StarTable.fromDataFrame(
+      spark.readStream.schema(schema).parquet(srcDir.toString + "/*"),
+      "sharded", units = Map("grp" -> "text", "tag" -> "text"))
+    val q = graft.io.CsvWriter.streamPartitionedDataset(
+      st, out, Seq("grp"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    // the appended row falls outside every recorded bound: the shards are
+    // gone and the root says inline (stale stats cannot serve)
+    (0 until 3).foreach(i => assert(!shardPath(out, s"grp=g$i").exists(),
+      s"stale shard survived the stream for grp=g$i"))
+    val meta = src.readDatasetMeta(Seq(out)).get
+    assert(!meta.statsSharded && meta.sliceStats.isEmpty)
+    // a migration now has nothing to shard — and must NOT resurrect
+    // anything: the metadata aggregate stays off and the scan counts the
+    // streamed row
+    graft.operators.Maintenance.shardDatasetStats(spark, out)
+    val agged = spark.read.format("startable").load(out)
+      .agg(count(lit(1)).as("n"))
+    assert(!agged.queryExecution.executedPlan.toString
+      .contains("StarMetaAggScan"))
+    assert(agged.collect().head.getLong(0) == 301)
+  }
+
+  test("shardDatasetStats deletes a leftover shard on a leaf it writes " +
+    "no entry for") {
+    val t = mkTable()
+    val out = Files.createTempDirectory("graft_shard_stale").toString
+    graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"))
+    // strip g0's inline entry via a stats-less backfill, then plant a
+    // bogus leftover shard there (an earlier sharded life of the tree)
+    val patch = graft.model.StarTable.fromDataFrame(
+      Seq(("g0", 7.0, "p")).toDF("grp", "x", "tag"), "sharded",
+      units = Map("grp" -> "text", "tag" -> "text"))
+    graft.io.CsvWriter.writePartitionedDataset(patch, out, Seq("grp"),
+      overwriteSlices = true, collectStats = false)
+    val bogus = graft.io.CsvWriter.renderSliceShardJson(
+      src.SliceStats(Seq("g0"), 99999L,
+        Map("x" -> src.ColStats("0.0", "1.0", 0L),
+          "tag" -> src.ColStats("a", "b", 0L))), Nil)
+    Files.write(shardPath(out, "grp=g0").toPath, bogus.getBytes("UTF-8"))
+    graft.operators.Maintenance.shardDatasetStats(spark, out)
+    assert(!shardPath(out, "grp=g0").exists(),
+      "migration kept a shard for a leaf it wrote no entry for")
+    // g0 has no stats (conservative): the metadata aggregate refuses and
+    // the scan count is right
+    val agged = spark.read.format("startable").load(out)
+      .agg(count(lit(1)).as("n"))
+    assert(!agged.queryExecution.executedPlan.toString
+      .contains("StarMetaAggScan"))
+    assert(agged.collect().head.getLong(0) ==
+      2000 + 1) // g1/g2 slices + the backfilled single row
+  }
+
   test("a corrupt shard fails loudly; a partition-mismatched shard fails " +
     "loudly; vacuum removes stale shard tmp files") {
     val t = mkTable()
