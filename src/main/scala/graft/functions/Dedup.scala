@@ -550,21 +550,41 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigN = sigOf(newDf)
     val sigR = sigOf(refDf)
-    def bucketed(sig: DataFrame, as: String) = sig.select(col("sig")).distinct()
-      .select(col("sig").as(as),
+    // Same 128-bit surrogate-key discipline as [[minhashCandidates]]: the
+    // REFERENCE side's band explosion is bands × its distinct signatures
+    // — at corpus scale, moving ~520-byte signature arrays through the
+    // bipartite join and pair-distinct is the dominant shuffle weight.
+    // Collision-benign for the same reason: the agreement is recomputed
+    // from the real signatures after the join-back, and a key collision
+    // (2⁻¹²⁸) can only add a correctly-scored candidate pair.
+    def key128(sigCol: Column): Column = struct(
+      xxhash64(sigCol).as("h1"),
+      xxhash64(lit(0x517CC1B727220A95L), sigCol).as("h2"))
+    def distinctK(sig: DataFrame) = sig.select(col("sig")).distinct()
+      .select(key128(col("sig")).as("k"), col("sig"))
+    def bucketed(dk: DataFrame, as: String) = dk
+      .select(col("k").as(as),
         posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
-    val sigPairs = bucketed(sigN, "sigN").join(bucketed(sigR, "sigR"), Seq("band", "bucket"))
-      .select(col("sigN"), col("sigR"))
+    val dkN = distinctK(sigN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dkR = distinctK(sigR)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyPairs = bucketed(dkN, "kN").join(bucketed(dkR, "kR"), Seq("band", "bucket"))
+      .select(col("kN"), col("kR"))
       .distinct()
+    val sigPairs = keyPairs
+      .join(dkN.select(col("k").as("kN"), col("sig").as("sigN")), "kN")
+      .join(dkR.select(col("k").as("kR"), col("sig").as("sigR")), "kR")
       .withColumn("jaccard_est",
         graft.functions.expressions.MinHashExpression
           .signatureAgreement(col("sigN"), col("sigR"))
           .cast("double") / lit(numHashes))
-    val in = sigN.select(col("id").as("idNew"), col("sig").as("sigN"))
-    val ir = sigR.select(col("id").as("idRef"), col("sig").as("sigR"))
-    val result = sigPairs.join(in, "sigN").join(ir, "sigR")
+      .select(col("kN"), col("kR"), col("jaccard_est"))
+    val in = sigN.select(col("id").as("idNew"), key128(col("sig")).as("kN"))
+    val ir = sigR.select(col("id").as("idRef"), key128(col("sig")).as("kR"))
+    val result = sigPairs.join(in, "kN").join(ir, "kR")
       .select(col("idNew"), col("idRef"), col("jaccard_est"))
-    materializeAndFree(result, sigN, sigR)
+    materializeAndFree(result, sigN, sigR, dkN, dkR)
   }
 
   /** Quality-aware near-dedup: like [[dedupNearDuplicates]], but each
