@@ -90,6 +90,20 @@ object Dedup {
     graft.functions.expressions.MinHashExpression
       .bandHashes(signature, bands, rowsPerBand)
 
+  /** 128-bit surrogate key of a minhash signature — two INDEPENDENTLY
+    * seeded xxhash64 passes (the salt folds BEFORE the array: xxhash64
+    * chains arguments left-to-right from a fixed seed, so hashing the
+    * salt second would make h2 a pure function of h1). Joins and
+    * band-bucket shuffles move these 16 bytes instead of the
+    * 8·numHashes-byte signature arrays; every consumer recomputes the
+    * jaccard estimate from the REAL arrays after joining them back, so a
+    * 2⁻¹²⁸ collision can only add a correctly-scored candidate pair.
+    * xxhash64 is a fixed algorithm (Spark's bucketing contract), so keys
+    * persisted in the on-disk minhash index stay stable across versions. */
+  private[graft] def sigKey128(sigCol: Column): Column = struct(
+    xxhash64(sigCol).as("h1"),
+    xxhash64(lit(0x517CC1B727220A95L), sigCol).as("h2"))
+
   /** MinHash+LSH candidate pairs: documents sharing ≥1 LSH band bucket.
     * Returns (idA, idB, jaccardEstimate) with idA < idB, where
     * jaccardEstimate is the fraction of matching minhash slots.
@@ -137,9 +151,7 @@ object Dedup {
     // seed, so xxhash64(sig, salt) would be a pure function of
     // xxhash64(sig) (same 64 bits twice); xxhash64(salt, sig) perturbs
     // the chain BEFORE the array and yields an independent second hash
-    def key128(sigCol: Column): Column = struct(
-      xxhash64(sigCol).as("h1"),
-      xxhash64(lit(0x517CC1B727220A95L), sigCol).as("h2"))
+    def key128(sigCol: Column): Column = sigKey128(sigCol)
     val sigK = sig.select(col("id"), key128(col("sig")).as("k"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (1) SAME-key pairs — identical signatures (the boilerplate mass):
@@ -557,9 +569,7 @@ object Dedup {
     // Collision-benign for the same reason: the agreement is recomputed
     // from the real signatures after the join-back, and a key collision
     // (2⁻¹²⁸) can only add a correctly-scored candidate pair.
-    def key128(sigCol: Column): Column = struct(
-      xxhash64(sigCol).as("h1"),
-      xxhash64(lit(0x517CC1B727220A95L), sigCol).as("h2"))
+    def key128(sigCol: Column): Column = sigKey128(sigCol)
     def distinctK(sig: DataFrame) = sig.select(col("sig")).distinct()
       .select(key128(col("sig")).as("k"), col("sig"))
     def bucketed(dk: DataFrame, as: String) = dk
@@ -640,11 +650,16 @@ object Dedup {
     * the stored index instead of re-reading the corpus. Layout:
     *
     *   <path>/sigs/    (id, sig)             — one row per document
-    *   <path>/bands/   (band, bucket, sig)   — DISTINCT signatures only
-    *                   (boilerplate skew control), hive-partitioned by
-    *                   band and bucket-sorted within files
-    *   <path>/_params.json                   — lsh parameters
+    *   <path>/bands/   (band, bucket, k)     — DISTINCT signatures only
+    *                   (boilerplate skew control) keyed by their 128-bit
+    *                   [[sigKey128]] surrogate (layout 2 — a probe's band
+    *                   join reads ~24 B per row instead of 8·numHashes),
+    *                   hive-partitioned by band, bucket-sorted within files
+    *   <path>/_params.json                   — lsh parameters + layout
     *
+    * Pre-layout-2 indexes (bands/ carrying the `sig` array) stay
+    * probe-compatible through the legacy branch of
+    * [[minhashCandidatesAgainstIndex]].
     * The params file makes a mismatched probe REFUSE loudly instead of
     * silently returning near-zero recall (a different seed/shingle size
     * produces disjoint signatures). Index size ≈ (bands+1) · 8·numHashes
@@ -670,8 +685,13 @@ object Dedup {
           seed.toLong).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.write.mode("overwrite").parquet(s"$path/sigs")
+    // bands carry the 128-bit surrogate KEY, not the signature array
+    // (layout 2): a probe's band join reads ~24 bytes per (band, sig)
+    // instead of ~8·numHashes — at corpus scale the bands table was the
+    // dominant probe IO. The true arrays stay in sigs/ (read once per
+    // probe for the candidate agreement + id expansion).
     sig.select(col("sig")).distinct()
-      .select(col("sig"),
+      .select(sigKey128(col("sig")).as("k"),
         posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bucket")))
       .repartition(col("band"))
@@ -682,7 +702,7 @@ object Dedup {
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     out.write(
-      s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"bands":$bands,"seed":$seed}"""
+      s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"bands":$bands,"seed":$seed,"layout":2}"""
         .getBytes("UTF-8"))
     out.close()
   }
@@ -715,31 +735,66 @@ object Dedup {
         .group(1).toInt
     val (shingleSize, numHashes, bands, seed) =
       (param("shingleSize"), param("numHashes"), param("bands"), param("seed"))
+    // layout 2 (current writer): bands/ holds 128-bit signature keys, not
+    // the arrays — a probe's band join moves 16-byte keys and the true
+    // arrays are joined back from sigs/ only for the candidate pairs'
+    // agreement. A pre-layout-2 index (bands/ carries `sig`) probes
+    // through the legacy path unchanged.
+    val layout = """"layout":(-?\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(1)
     val rowsPerBand = numHashes / bands
     val sigN = newDf.select(col(idCol).as("id"),
       graft.functions.expressions.MinHashExpression
         .minhashTokens(Text.tokens(col(textCol)), shingleSize, numHashes,
           seed.toLong).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandedN = sigN.select(col("sig")).distinct()
-      .select(col("sig").as("sigN"),
-        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+    val result = if (layout >= 2) {
+      val dkN = sigN.select(col("sig")).distinct()
+        .select(sigKey128(col("sig")).as("kN"), col("sig").as("sigN"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bandedN = dkN.select(col("kN"),
+        posexplode(lshBandKeys(col("sigN"), bands, rowsPerBand))
           .as(Seq("band", "bucket")))
-    val bandedR = spark.read.parquet(s"$path/bands")
-      .select(col("band"), col("bucket"), col("sig").as("sigR"))
-    val sigPairs = bandedN.join(bandedR, Seq("band", "bucket"))
-      .select(col("sigN"), col("sigR"))
-      .distinct()
-      .withColumn("jaccard_est",
-        graft.functions.expressions.MinHashExpression
-          .signatureAgreement(col("sigN"), col("sigR"))
-          .cast("double") / lit(numHashes))
-    val in2 = sigN.select(col("id").as("idNew"), col("sig").as("sigN"))
-    val ir = spark.read.parquet(s"$path/sigs")
-      .select(col("id").as("idRef"), col("sig").as("sigR"))
-    val result = sigPairs.join(in2, "sigN").join(ir, "sigR")
-      .select(col("idNew"), col("idRef"), col("jaccard_est"))
-    materializeAndFree(result, sigN)
+      val bandedR = spark.read.parquet(s"$path/bands")
+        .select(col("band"), col("bucket"), col("k").as("kR"))
+      val keyPairs = bandedN.join(bandedR, Seq("band", "bucket"))
+        .select(col("kN"), col("kR"))
+        .distinct()
+      val refSigs = spark.read.parquet(s"$path/sigs")
+        .select(col("id").as("idRef"), sigKey128(col("sig")).as("kR"),
+          col("sig").as("sigR"))
+      val in2 = sigN.select(col("id").as("idNew"), sigKey128(col("sig")).as("kN"))
+      val out = keyPairs
+        .join(dkN.select(col("kN"), col("sigN")), "kN")
+        .join(refSigs, "kR")
+        .withColumn("jaccard_est",
+          graft.functions.expressions.MinHashExpression
+            .signatureAgreement(col("sigN"), col("sigR"))
+            .cast("double") / lit(numHashes))
+        .join(in2, "kN")
+        .select(col("idNew"), col("idRef"), col("jaccard_est"))
+      materializeAndFree(out, sigN, dkN)
+    } else {
+      val bandedN = sigN.select(col("sig")).distinct()
+        .select(col("sig").as("sigN"),
+          posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+            .as(Seq("band", "bucket")))
+      val bandedR = spark.read.parquet(s"$path/bands")
+        .select(col("band"), col("bucket"), col("sig").as("sigR"))
+      val sigPairs = bandedN.join(bandedR, Seq("band", "bucket"))
+        .select(col("sigN"), col("sigR"))
+        .distinct()
+        .withColumn("jaccard_est",
+          graft.functions.expressions.MinHashExpression
+            .signatureAgreement(col("sigN"), col("sigR"))
+            .cast("double") / lit(numHashes))
+      val in2 = sigN.select(col("id").as("idNew"), col("sig").as("sigN"))
+      val ir = spark.read.parquet(s"$path/sigs")
+        .select(col("id").as("idRef"), col("sig").as("sigR"))
+      materializeAndFree(sigPairs.join(in2, "sigN").join(ir, "sigR")
+        .select(col("idNew"), col("idRef"), col("jaccard_est")), sigN)
+    }
+    result
   }
 
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme): the

@@ -297,5 +297,32 @@ class DedupGraphSpec extends AnyFunSuite {
         "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(reprobed == direct, "rebuilt index diverged from direct path")
+
+    // layout 2 on disk: the bands table carries 16-byte keys, not arrays
+    val bandsSchema = spark.read.parquet(s"$path/bands").schema
+    assert(bandsSchema.fieldNames.contains("k") &&
+      !bandsSchema.fieldNames.contains("sig"),
+      s"expected keyed bands layout, got ${bandsSchema.treeString}")
+
+    // a PRE-layout-2 index (bands/ carrying the sig array, params without
+    // "layout") keeps probing bit-identically through the legacy branch
+    val legacy = java.nio.file.Files.createTempDirectory("mhidx").toString + "/old"
+    val sigCol = graft.functions.expressions.MinHashExpression
+      .minhashTokens(graft.functions.Text.tokens(col("text")), 2, 64, 42L)
+    val legacySig = ref.select(col("doc_id").as("id"), sigCol.as("sig"))
+    legacySig.write.parquet(s"$legacy/sigs")
+    legacySig.select(col("sig")).distinct()
+      .select(col("sig"),
+        posexplode(Dedup.lshBandKeys(col("sig"), 16, 4))
+          .as(Seq("band", "bucket")))
+      .write.partitionBy("band").parquet(s"$legacy/bands")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(legacy, "_params.json"),
+      """{"shingleSize":2,"numHashes":64,"bands":16,"seed":42}"""
+        .getBytes("UTF-8"))
+    val legacyProbed = Dedup.minhashCandidatesAgainstIndex(newBatch, legacy,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(legacyProbed == direct, "legacy index layout diverged")
   }
 }
