@@ -41,16 +41,59 @@ object Bench {
     * exonerated it, but the record itself couldn't); sub-second queries
     * keep 2× (they live near the scheduling floor, where 1.5× is routine
     * multi-job session noise). Priors at/below 0.05 s never trigger. */
-  /** Window-contention factor from the session's fixed-work SHUFFLE probe
-    * (clean floor ~0.66-0.91 s on this machine): a contended window
-    * inflates every query by roughly the same machine-wide factor, so the
-    * rerun threshold scales with it. Without this, a 2× machine-wide
-    * window re-times most of the suite against the clean prior (round 11
-    * measured 62 reruns, doubling bench wall) while adjudicating nothing
-    * — each rerun lands in the same contended window. The probes stay in
-    * the record either way, so a contended record remains self-labeled. */
+  /** Window-contention factor from the session's fixed-work SHUFFLE probe:
+    * a contended window inflates every query by roughly the same
+    * machine-wide factor, so the rerun threshold scales with it. Without
+    * this, a 2× machine-wide window re-times most of the suite against the
+    * clean prior (round 11 measured 62 reruns, doubling bench wall) while
+    * adjudicating nothing — each rerun lands in the same contended window.
+    * The probes stay in the record either way, so a contended record
+    * remains self-labeled.
+    *
+    * `cleanFloor` should be the PRIOR record's own shuffle probe (see
+    * [[parsePriorShuffle]]) so the factor tracks the machine/window the
+    * prior was taken on, not a hardcoded constant: with a hardcoded 0.9 a
+    * contended calibration (probe ~3.3 s → factor ~3.7×) would stop
+    * re-timing a genuine ~3× regression entirely. The floor is clamped to
+    * [0.3, 2.0]: below, division noise; above, the PRIOR itself was taken
+    * in a heavily contended window and its per-query numbers are already
+    * inflated — scaling the trigger by a contended-prior floor would
+    * suppress reruns in CLEAN windows exactly when they adjudicate best. */
   def contentionFactor(shuffleProbe: Double, cleanFloor: Double = 0.9): Double =
-    math.max(1.0, shuffleProbe / cleanFloor)
+    math.max(1.0, shuffleProbe / math.min(2.0, math.max(0.3, cleanFloor)))
+
+  /** The prior record's own shuffle calibration probe, if recorded — the
+    * machine floor [[contentionFactor]] scales against. */
+  def parsePriorShuffle(txt: String): Option[Double] =
+    "\"calibration_shuffle_s\":([0-9.Ee+-]+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble)
+
+  /** Pinned stable CONTROL queries: cheap, code-stable rows timed in every
+    * run whose ratio against the immutable prior record labels the run's
+    * window (the round-11 record was 1.46× raw and needed a judge session
+    * to prove the elevation environmental — the control ratio makes the
+    * record prove it itself). Chosen for plan stability across rounds and
+    * non-trivial priors (≥ ~0.2 s at sf0.1: scheduling-floor queries would
+    * measure noise, heavy queries would measure their own code). */
+  val ControlQueries: Seq[String] =
+    Seq("q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation")
+
+  /** Median over the control queries of first-pass / prior seconds — the
+    * run's window-contention label. 1.0 when no prior (or no control has a
+    * usable prior > 0.05 s: a floor-level prior would make the ratio pure
+    * scheduling noise). Uses FIRST-pass medians, never rerun-smoothed
+    * values — the controls measure the window, not the best case. */
+  def controlRatio(firstPass: Map[String, Double],
+                   prior: Map[String, Double],
+                   controls: Seq[String] = ControlQueries): Double = {
+    val ratios = controls.flatMap { c =>
+      for { t <- firstPass.get(c); p <- prior.get(c) if p > 0.05 && t > 0 }
+        yield t / p
+    }.sorted
+    if (ratios.isEmpty) 1.0
+    else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+    else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
+  }
 
   def shouldRerun(name: String, first: Double, p: Double,
                   contention: Double = 1.0): Boolean =
@@ -166,18 +209,24 @@ object Bench {
     // BENCH_OFFICIAL_r*.json (written once per round at driver-gate time,
     // never touched by local runs); BENCH_FULL.json is only a fallback when
     // no official record exists yet.
-    def parsePrior(path: java.nio.file.Path): Map[String, Double] = try {
-      parsePriorText(new String(java.nio.file.Files.readAllBytes(path), "UTF-8"), sfDir)
-    } catch { case _: Throwable => Map.empty }
-    val prior: Map[String, Double] = {
+    def priorText(path: java.nio.file.Path): String = try {
+      new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    } catch { case _: Throwable => "" }
+    // (per-query prior seconds, the prior's own shuffle probe): the probe
+    // is the machine floor contentionFactor scales against, taken from the
+    // SAME immutable record as the per-query priors so both describe one
+    // window.
+    val (prior: Map[String, Double], priorShuffle: Option[Double]) = {
       val repo = java.nio.file.Paths.get("/root/repo")
       val names = try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.list(repo).iterator().asScala
           .map(_.getFileName.toString).toSeq
       } catch { case _: Throwable => Seq.empty[String] }
-      pickOfficial(names).map(n => parsePrior(repo.resolve(n))).filter(_.nonEmpty)
-        .getOrElse(parsePrior(repo.resolve("BENCH_FULL.json")))
+      val txt = pickOfficial(names).map(n => priorText(repo.resolve(n)))
+        .filter(t => parsePriorText(t, sfDir).nonEmpty)
+        .getOrElse(priorText(repo.resolve("BENCH_FULL.json")))
+      (parsePriorText(txt, sfDir), parsePriorShuffle(txt))
     }
 
     // Warm-up: JIT + whole-stage-codegen compile at the smallest SF.
@@ -224,6 +273,12 @@ object Bench {
 
     val firstPass = ordered.map { case (name, fn) => name -> timeQuery(name, fn, reps) }
 
+    // Self-adjudication: the pinned control queries' first-pass medians
+    // against the immutable prior label THIS run's window, so a uniformly
+    // elevated record reads as "contended window" from the JSON alone
+    // (the round-11 record needed a judge re-time session to prove that).
+    val ctrlRatio = controlRatio(firstPass.toMap, prior)
+
     // Regression-rerun discipline: any query whose median regressed ≥2× vs
     // the prior record gets one clean serialized re-timing at the END of
     // the run (after every other query's work is done — maximum distance
@@ -235,7 +290,8 @@ object Bench {
     val results = firstPass.map { case (name, first) =>
       prior.get(name) match {
         case Some(p) if shouldRerun(name, first, p,
-            contentionFactor(calibrationShuffle)) =>
+            contentionFactor(calibrationShuffle,
+              priorShuffle.getOrElse(0.9))) =>
           val again = timeQuery(name, SparkEntry.queries(name), reps)
           reruns(name) = (first, again)
           name -> math.min(first, again)
@@ -244,14 +300,21 @@ object Bench {
     }
     val total = results.map(_._2).sum
 
+    // Contention-normalized view: raw seconds divided by the control ratio
+    // — the number comparable across differently-contended windows. The
+    // raw values stay the record; normalized values are the adjudication.
+    val totalNormalized = total / ctrlRatio
+
     // Full-precision record → repo file (survives any stdout truncation).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullQsNorm = results.map { case (k, v) => "\"" + k + "\":" + v / ctrlRatio }
       .mkString("{", ",", "}")
     val rerunsJson = reruns.map { case (k, (f, a)) =>
       "\"" + k + "\":{\"first\":" + f + ",\"rerun\":" + a + "}"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"calibration_shuffle_s":$calibrationShuffle,"calibration_saturate_s":$calibrationSaturate,"reruns":$rerunsJson,"queries":$fullQs,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","control_ratio":$ctrlRatio,"value_normalized":$totalNormalized,"calibration_s":$calibration,"calibration_shuffle_s":$calibrationShuffle,"calibration_saturate_s":$calibrationSaturate,"prior_shuffle_s":${priorShuffle.getOrElse(-1.0)},"reruns":$rerunsJson,"queries":$fullQs,"queries_normalized":$fullQsNorm,"sf":"$sfDir","reps":$reps}"""
     if (only.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
@@ -268,7 +331,7 @@ object Bench {
     // entries leaves ~200 for the envelope + the build tool's epilogue.
     def fmt2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val budget = 1700
+    val budget = 1640 // envelope grew by the control_ratio fields
     val bySlow = results.sortBy(-_._2)
     val sb = new StringBuilder
     var kept = 0
@@ -281,7 +344,7 @@ object Bench {
     }
     val omitted = results.size - kept
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","calibration_s":${fmt2(calibration)},"cal_shuffle_s":${fmt2(calibrationShuffle)},"cal_saturate_s":${fmt2(calibrationSaturate)},"reruns":${reruns.size},"queries":{${sb.toString}},"n_queries":${results.size},"omitted_fastest":$omitted,"full":"BENCH_FULL.json","sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","control_ratio":${fmt2(ctrlRatio)},"value_normalized":${fmt2(totalNormalized)},"calibration_s":${fmt2(calibration)},"cal_shuffle_s":${fmt2(calibrationShuffle)},"cal_saturate_s":${fmt2(calibrationSaturate)},"reruns":${reruns.size},"queries":{${sb.toString}},"n_queries":${results.size},"omitted_fastest":$omitted,"full":"BENCH_FULL.json","sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

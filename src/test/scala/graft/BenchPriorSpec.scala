@@ -75,6 +75,72 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(!triggers("q_new", 99.0, prior), "no prior -> no trigger")
   }
 
+  test("controlRatio: median first-pass/prior over the pinned controls; " +
+    "1.0 without usable priors; never rerun-smoothed") {
+    val prior = Map("q1_pricing_summary" -> 0.8, "q3_shipping_priority" -> 1.0,
+      "q5_revenue_by_nation" -> 1.2)
+    // a uniformly 1.5x-elevated window labels itself 1.5
+    val first = Map("q1_pricing_summary" -> 1.2, "q3_shipping_priority" -> 1.5,
+      "q5_revenue_by_nation" -> 1.8)
+    assert(math.abs(Bench.controlRatio(first, prior) - 1.5) < 1e-9)
+    // median, not mean: one control hitting a transient stall doesn't
+    // relabel the window (2-of-3 clean -> ratio ~1)
+    val oneStall = first.updated("q3_shipping_priority", 1.0)
+      .updated("q5_revenue_by_nation", 1.2).updated("q1_pricing_summary", 8.0)
+    assert(math.abs(Bench.controlRatio(oneStall, prior) - 1.0) < 1e-9)
+    // no prior record -> 1.0 (first round, or prior at a different SF)
+    assert(Bench.controlRatio(first, Map.empty) === 1.0)
+    // floor-level priors are excluded (pure scheduling noise)
+    assert(Bench.controlRatio(Map("q1_pricing_summary" -> 0.4),
+      Map("q1_pricing_summary" -> 0.01)) === 1.0)
+    // two usable controls -> mean of the two ratios
+    val two = Map("q1_pricing_summary" -> 1.6, "q3_shipping_priority" -> 1.0)
+    assert(math.abs(Bench.controlRatio(two, prior) - 1.5) < 1e-9)
+  }
+
+  test("contentionFactor floor comes from the prior record's own shuffle " +
+    "probe, clamped to [0.3, 2.0]") {
+    // prior taken on a slower/noisier machine (probe 1.37): a 3.3 s probe
+    // this run is only ~2.4x elevated relative to THAT machine
+    val f = Bench.contentionFactor(3.3, cleanFloor = 1.37)
+    assert(f > 2.3 && f < 2.5, f.toString)
+    // a heavily contended PRIOR must not suppress clean-window reruns:
+    // floor clamps at 2.0
+    assert(Bench.contentionFactor(3.3, cleanFloor = 3.4) === 3.3 / 2.0)
+    // degenerate floors clamp up to 0.3
+    assert(Bench.contentionFactor(0.9, cleanFloor = 0.01) === 0.9 / 0.3)
+    // clean window: factor still clamps to 1 regardless of floor
+    assert(Bench.contentionFactor(0.7, cleanFloor = 1.37) === 1.0)
+  }
+
+  test("parsePriorShuffle reads the prior's calibration probe") {
+    val rec = """{"metric":"total","value":9.9,"calibration_s":0.1,""" +
+      """"calibration_shuffle_s":1.374,"queries":{"q_a":1.5},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parsePriorShuffle(rec) === Some(1.374))
+    assert(Bench.parsePriorShuffle("""{"metric":"total"}""") === None)
+    val p = java.nio.file.Paths.get("/root/repo/BENCH_OFFICIAL_r10.json")
+    assume(java.nio.file.Files.exists(p))
+    val onRecord = Bench.parsePriorShuffle(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    assert(onRecord.exists(v => v > 0.3 && v < 2.5),
+      s"r10 official shuffle probe unexpectedly $onRecord")
+  }
+
+  test("the pinned control queries exist in the query inventory with " +
+    "usable priors on the official record") {
+    Bench.ControlQueries.foreach(c =>
+      assert(SparkEntry.queries.contains(c), s"control $c not in queries"))
+    val p = java.nio.file.Paths.get("/root/repo/BENCH_OFFICIAL_r10.json")
+    assume(java.nio.file.Files.exists(p))
+    val m = Bench.parsePriorText(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+      "/root/testdata/sf0.1")
+    Bench.ControlQueries.foreach(c =>
+      assert(m.get(c).exists(_ > 0.05),
+        s"control $c has no usable prior (${m.get(c)})"))
+  }
+
   test("the committed r10 official record parses as the current prior") {
     val p = java.nio.file.Paths.get("/root/repo/BENCH_OFFICIAL_r10.json")
     assume(java.nio.file.Files.exists(p))
