@@ -160,6 +160,16 @@ object GraftCatalog {
         spark, str(r, 0)))),
 
     new MaintenanceProcedure(
+      "break_dataset_lock",
+      "Forcibly clear a dataset's writer lease after a CRASHED writer " +
+        "(graft.operators.Maintenance.breakDatasetLock) — never call " +
+        "while the holder might still be alive",
+      Seq(in("path", StringType)),
+      StructType(Seq(StructField("removed", BooleanType, nullable = false))),
+      (spark, r) => Seq(graft.operators.Maintenance.breakDatasetLock(
+        spark, str(r, 0)))),
+
+    new MaintenanceProcedure(
       "drop_partitions",
       "Drop whole partition slices by value (comma-separated) " +
         "(graft.operators.Maintenance.dropPartitions)",

@@ -447,6 +447,35 @@ object CsvWriter {
                               filesPerSlice: Int = 1,
                               collectFileStats: Option[Boolean] = None,
                               shardStats: Option[Boolean] = None): Unit = {
+    // Writer lease (round 12): any write over an EXISTING dataset —
+    // backfill or full overwrite — takes the root's DatasetLock so it
+    // cannot interleave with a concurrent compaction/clustering/vacuum/
+    // stream ingest (silent lost-commit windows otherwise). A write to a
+    // fresh root has no sibling to race; it starts the lease discipline
+    // with its first sidecar.
+    if (graft.sources.StarTableSource.readDatasetMeta(Seq(outDir)).isDefined)
+      DatasetLock.withLock(outDir,
+        if (overwriteSlices) "backfill" else "overwrite") {
+        writePartitionedDatasetImpl(t, outDir, partitionBy, sep, naRep,
+          numFiles, overwriteSlices, collectStats, filesPerSlice,
+          collectFileStats, shardStats)
+      }
+    else
+      writePartitionedDatasetImpl(t, outDir, partitionBy, sep, naRep,
+        numFiles, overwriteSlices, collectStats, filesPerSlice,
+        collectFileStats, shardStats)
+  }
+
+  private def writePartitionedDatasetImpl(t: StarTable, outDir: String,
+                              partitionBy: Seq[String],
+                              sep: String,
+                              naRep: String,
+                              numFiles: Int,
+                              overwriteSlices: Boolean,
+                              collectStats: Boolean,
+                              filesPerSlice: Int,
+                              collectFileStats: Option[Boolean],
+                              shardStats: Option[Boolean]): Unit = {
     require(filesPerSlice >= 1,
       s"writePartitionedDataset: filesPerSlice must be >= 1, got $filesPerSlice")
     require(partitionBy.nonEmpty,
@@ -553,6 +582,11 @@ object CsvWriter {
     // overwrite needs none of this: the sink drops the directory including
     // the sidecar, and a crash mid-write leaves a sidecar-less directory
     // the reader refuses loudly.
+    // CAS bookkeeping: the commit this writer last observed (or wrote);
+    // every install below expects exactly it, so a lock-bypassing sibling
+    // that commits mid-protocol turns this writer's next flip into a loud
+    // ConcurrentWriteException instead of a silent revert.
+    var lastCommit: Option[Long] = existingMeta.map(_.commit)
     existingMeta.foreach { m =>
       val stripped =
         if (capped) Nil
@@ -561,9 +595,11 @@ object CsvWriter {
         if (capped) Nil
         else m.fileStats.filterNot(s => rewrittenParts.contains(s.partition))
       if (stripped.size != m.sliceStats.size ||
-          strippedFiles.size != m.fileStats.size)
+          strippedFiles.size != m.fileStats.size) {
         writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stripped,
-          strippedFiles)
+          strippedFiles, expectCommit = Some(lastCommit))
+        lastCommit = Some(lastCommit.getOrElse(0L) + 1L)
+      }
     }
     faultHook("backfill:pre-data")
     val pathCols = partitionPathCols(t, partitionBy, naRep,
@@ -607,9 +643,13 @@ object CsvWriter {
       if (collectStats)
         writeSliceShards(t.df.sparkSession, outDir, dataCols,
           dataCols.map(t.unit), partitionBy, sep, naRep,
-          onlySlices = if (overwriteSlices) Some(rewrittenParts) else None)
+          onlySlices = if (overwriteSlices) Some(rewrittenParts) else None,
+          recordFileEntries = collectFileStats.getOrElse(true))
       writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, Nil, Nil,
-        statsSharded = true)
+        statsSharded = true,
+        // the full (static) overwrite deleted the old sidecar with the
+        // directory; a backfill's sidecar survives at the observed commit
+        expectCommit = Some(if (overwriteSlices) lastCommit else None))
       graft.sources.StarTableSource.invalidateShardCache(outDir)
     } else {
       val stats: Seq[graft.sources.StarTableSource.SliceStats] =
@@ -636,7 +676,8 @@ object CsvWriter {
           onlySlices = if (overwriteSlices) Some(rewrittenParts) else None)
       // sidecar LAST: readers refuse a dataset without it
       writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats,
-        survivors ++ written)
+        survivors ++ written,
+        expectCommit = Some(if (overwriteSlices) lastCommit else None))
     }
   }
 
@@ -651,12 +692,16 @@ object CsvWriter {
     * [[SliceShardFile]] per leaf with the stage-and-rename discipline.
     * Nothing is collected to the driver; per-FILE entries are recorded
     * only for multi-file slices (a single-file slice is fully described
-    * by its slice entry). */
+    * by its slice entry), and only when `recordFileEntries` — callers
+    * passing collectFileStats = Some(false) get slice-tier entries only,
+    * the same contract as the inline branch (the read-back aggregate
+    * still runs either way: the SLICE entry is folded from it). */
   private def writeSliceShards(spark: SparkSession, outDir: String,
                                dataCols: Seq[String], units: Seq[String],
                                partitionBy: Seq[String], sep: String,
                                naRep: String,
-                               onlySlices: Option[Set[Seq[String]]]): Unit = {
+                               onlySlices: Option[Set[Seq[String]]],
+                               recordFileEntries: Boolean = true): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val files: Seq[String] = onlySlices match {
       case Some(parts) =>
@@ -700,6 +745,7 @@ object CsvWriter {
     val partsL = partitionBy.toList
     val rootL = outDir
     val naRepL = naRep
+    val recordFileEntriesL = recordFileEntries
     perFile.rdd
       .map { r =>
         // input_file_name yields a qualified URI; normalize like the
@@ -733,7 +779,8 @@ object CsvWriter {
           val slice = graft.sources.StarTableSource.foldFileEntries(
             raw, fileEntries, colsL, unitsL)
           val json = renderSliceShardJson(slice,
-            if (fileEntries.size > 1) fileEntries else Nil)
+            if (recordFileEntriesL && fileEntries.size > 1) fileEntries
+            else Nil)
           graft.io.CsvWriter.atomicInstallJson(
             leaf.getFileSystem(hconf), hconf,
             new org.apache.hadoop.fs.Path(leaf, SliceShardFile), json)
@@ -963,27 +1010,35 @@ object CsvWriter {
     case other                 => stringify(other, None)
   }
 
+  /** `expectCommit` is the sidecar flip's compare-and-swap token:
+    * None = legacy/unguarded install (counter still bumps);
+    * Some(None) = the caller expects NO sidecar on disk (fresh dataset);
+    * Some(Some(c)) = the caller read commit `c` when its multi-step
+    * protocol began and refuses to flip if another writer moved it. */
   private[graft] def writeDatasetSidecar(t: StarTable, outDir: String,
                                   dataCols: Seq[String],
                                   partitionBy: Seq[String],
                                   sep: String = DefaultSep,
                                   sliceStats: Seq[graft.sources.StarTableSource.SliceStats] = Nil,
                                   fileStats: Seq[graft.sources.StarTableSource.FileStats] = Nil,
-                                  statsSharded: Boolean = false): Unit =
+                                  statsSharded: Boolean = false,
+                                  expectCommit: Option[Option[Long]] = None): Unit =
     writeSidecarFields(outDir, t.name, t.destinations, dataCols,
       dataCols.map(t.unit), partitionBy, partitionBy.map(t.unit), sep,
-      sliceStats, fileStats, statsSharded)
+      sliceStats, fileStats, statsSharded, expectCommit)
 
   /** Rewrite an existing dataset's sidecar with fresh FILE statistics,
     * everything else (schema, sep, slice stats) verbatim — the
     * maintenance-pass entry point, which holds a DatasetMeta rather than
-    * a StarTable. */
+    * a StarTable. CAS-guarded against the commit the caller's meta was
+    * read at: a concurrent writer that committed since makes this flip
+    * refuse instead of silently reverting its sidecar. */
   private[graft] def writeSidecarRaw(outDir: String,
       meta: graft.sources.StarTableSource.DatasetMeta,
       fileStats: Seq[graft.sources.StarTableSource.FileStats]): Unit =
     writeSidecarFields(outDir, meta.name, meta.destinations, meta.cols,
       meta.units, meta.partCols, meta.partUnits, meta.sep, meta.sliceStats,
-      fileStats, meta.statsSharded)
+      fileStats, meta.statsSharded, expectCommit = Some(Some(meta.commit)))
 
   private def writeSidecarFields(outDir: String, name: String,
                                  destinations: Set[String],
@@ -992,7 +1047,23 @@ object CsvWriter {
                                  sep: String,
                                  sliceStats: Seq[graft.sources.StarTableSource.SliceStats],
                                  fileStats: Seq[graft.sources.StarTableSource.FileStats],
-                                 statsSharded: Boolean = false): Unit = {
+                                 statsSharded: Boolean = false,
+                                 expectCommit: Option[Option[Long]] = None): Unit = {
+    // CAS at the flip: the second defense behind the DatasetLock lease —
+    // a writer that bypassed the lease (legacy code, a force-broken lock)
+    // is caught here, before its install can revert a sibling's commit.
+    val current: Option[Long] =
+      graft.sources.StarTableSource.readDatasetMeta(Seq(outDir)).map(_.commit)
+    expectCommit.foreach { e =>
+      if (e != current) throw new ConcurrentWriteException(
+        s"dataset at $outDir: sidecar commit moved — this writer began at " +
+          s"commit ${e.map(_.toString).getOrElse("<none>")} but the root " +
+          s"now holds ${current.map(_.toString).getOrElse("<none>")}: a " +
+          "concurrent writer committed in between; rerun this operation " +
+          "against the current state")
+    }
+    val newCommit: Long =
+      expectCommit.flatten.orElse(current).getOrElse(0L) + 1L
     import graft.io.JsonValue._
     def optStr(s: String): JsonValue = if (s == null) JsonNull else JsonString(s)
     val statsJson = JsonArray(sliceStats.toVector.map { s =>
@@ -1016,7 +1087,8 @@ object CsvWriter {
       "units" -> JsonArray(units.toVector.map(JsonString(_))),
       "partitionBy" -> JsonArray(partitionBy.toVector.map(JsonString(_))),
       "partitionUnits" -> JsonArray(partUnits.toVector.map(JsonString(_))),
-      "sep" -> JsonString(sep)) ++
+      "sep" -> JsonString(sep),
+      "commit" -> JsonNumber(newCommit.toDouble)) ++
       (if (!statsSharded) Nil else Seq("statsSharded" -> JsonBool(true))) ++
       (if (sliceStats.isEmpty) Nil else Seq("sliceStats" -> statsJson)) ++
       (if (fileStats.isEmpty) Nil else Seq("fileStats" -> fileStatsJson)))
@@ -1109,8 +1181,19 @@ object CsvWriter {
 
   /** INLINE slice-statistics cardinality cap (see [[computeSliceStats]];
     * the sharded layout has none — shards are written distributed).
-    * A `var` only so specs can drill the auto-upgrade path cheaply. */
-  private[graft] var MaxStatSlices = 100000
+    * Mutable only through [[withMaxStatSlices]] (test seam). */
+  @volatile private[this] var maxStatSlicesVar = 100000
+  private[graft] def MaxStatSlices: Int = maxStatSlicesVar
+
+  /** Test-scoped cap override, restored under `finally` — specs drill the
+    * auto-upgrade path without leaving a global altered when an assertion
+    * throws mid-test (suites run serially in the forked JVM, so the
+    * temporary global is visible only to the overriding test). */
+  private[graft] def withMaxStatSlices[A](n: Int)(f: => A): A = {
+    val prev = maxStatSlicesVar
+    maxStatSlicesVar = n
+    try f finally maxStatSlicesVar = prev
+  }
 
   /** Streaming ingestion into a hive-partitioned StarTable dataset — the
     * micro-batch analog of [[writePartitionedDataset]]. `t` wraps a
@@ -1145,9 +1228,19 @@ object CsvWriter {
     val dataCols = t.columnNames.filterNot(partitionBy.contains)
     require(dataCols.nonEmpty,
       "streamPartitionedDataset: at least one non-partition column required")
+    // Writer lease for the STREAM's whole lifetime: a compaction racing a
+    // live ingest would swap leaves out from under the sink's in-flight
+    // batch (rows committed into the old leaf between the compactor's
+    // listing and its swap are silently lost) — the single worst
+    // concurrent-writer window on a dataset. Held until the query
+    // terminates: released synchronously by the returned handle's stop(),
+    // and by a listener backstop when the query dies on its own.
+    val lock = DatasetLock.acquire(outDir, "stream-ingest")
+    try {
+    val existing = graft.sources.StarTableSource.readDatasetMeta(Seq(outDir))
     // streaming into an existing dataset must not silently fork its schema
     // or line format
-    graft.sources.StarTableSource.readDatasetMeta(Seq(outDir)).foreach { m =>
+    existing.foreach { m =>
       val incoming = (t.name, dataCols, dataCols.map(t.unit),
         partitionBy, partitionBy.map(t.unit), sep)
       val current = (m.name, m.cols, m.units, m.partCols, m.partUnits, m.sep)
@@ -1178,17 +1271,77 @@ object CsvWriter {
     // no sliceStats: an append-forever stream has no final value ranges,
     // and any PRE-EXISTING entries are dropped — appended rows would fall
     // outside stale ranges; readers fall back to partition-level pruning
-    writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep)
+    writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep,
+      expectCommit = Some(existing.map(_.commit)))
     val pathCols = partitionPathCols(t, partitionBy, naRep,
       "streamPartitionedDataset")
     val valueCol = concat_ws(sep,
       distributedCells(t.select(dataCols: _*), naRep): _*).as("value")
-    t.df.select(pathCols :+ valueCol: _*)
+    val q = t.df.select(pathCols :+ valueCol: _*)
       .writeStream.format("text")
       .partitionBy(partitionBy: _*)
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)
       .start()
+    // backstop: a query that terminates WITHOUT stop() (source failure,
+    // session shutdown) still frees the lease; release is idempotent and
+    // token-checked, so double-release with the wrapper below is benign
+    val spark = t.df.sparkSession
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          lock.release()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    new LockReleasingQuery(q, () => lock.release())
+    } catch {
+      case e: Throwable => lock.release(); throw e
+    }
+  }
+
+  /** [[streamPartitionedDataset]]'s returned handle: delegates everything
+    * to the real query but releases the dataset's writer lease
+    * SYNCHRONOUSLY when the caller stops it — the terminated-listener
+    * backstop fires asynchronously, and a maintenance pass started right
+    * after stop() must not be refused by a lease that is logically free. */
+  private final class LockReleasingQuery(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      releaseLock: () => Unit)
+      extends org.apache.spark.sql.streaming.StreamingQuery {
+    override def name: String = q.name
+    override def id: java.util.UUID = q.id
+    override def runId: java.util.UUID = q.runId
+    override def sparkSession: SparkSession = q.sparkSession
+    override def isActive: Boolean = q.isActive
+    override def exception: Option[org.apache.spark.sql.streaming.StreamingQueryException] =
+      q.exception
+    override def status: org.apache.spark.sql.streaming.StreamingQueryStatus =
+      q.status
+    override def recentProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+      q.recentProgress
+    override def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress =
+      q.lastProgress
+    override def awaitTermination(): Unit = {
+      q.awaitTermination(); releaseLock()
+    }
+    override def awaitTermination(timeoutMs: Long): Boolean = {
+      val done = q.awaitTermination(timeoutMs)
+      if (done) releaseLock()
+      done
+    }
+    override def processAllAvailable(): Unit = q.processAllAvailable()
+    override def stop(): Unit = {
+      try q.stop() finally releaseLock()
+    }
+    override def explain(): Unit = q.explain()
+    override def explain(extended: Boolean): Unit = q.explain(extended)
   }
 
   /** The codegen'd data-row rendering shared by [[writeDistributed]] and

@@ -183,8 +183,17 @@ object Maintenance {
       if (fs.exists(shardSrc)) {
         val in = fs.open(shardSrc)
         val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        val o = graft.io.JsonValue.parse(txt)
+        // same loud refusal as the read path's shard parse: a corrupt or
+        // truncated shard must name the file and the repair, not surface
+        // as an opaque ClassCastException from a bare cast
+        val o = try graft.io.JsonValue.parse(txt)
           .asInstanceOf[graft.io.JsonValue.JsonObject]
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"compact: unreadable stat shard $shardSrc " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); repair or " +
+              "remove it", e)
+        }
         graft.io.CsvWriter.atomicInstallJson(fs,
           spark.sparkContext.hadoopConfiguration,
           new Path(staging, graft.io.CsvWriter.SliceShardFile),
@@ -224,11 +233,18 @@ object Maintenance {
     require(fs.exists(new Path(root, graft.io.CsvWriter.DatasetMetaFile)),
       s"compactStarDataset: $path has no ${graft.io.CsvWriter.DatasetMetaFile} " +
         "sidecar — not a StarTable dataset (for parquet tables use compact)")
-    val report = compact(spark, path, targetBytes, Nil, "text")
-    // sharded layout: compaction re-installed each leaf's shard (files
-    // stripped) — drop any cached parses of the OLD shards
-    graft.sources.StarTableSource.invalidateShardCache(path)
-    report
+    // writer lease: a live stream ingest / backfill / vacuum on this root
+    // refuses us (and vice versa) instead of interleaving leaf swaps with
+    // its commits — rows committed into a leaf between our listing and
+    // our swap would otherwise be silently dropped
+    graft.io.DatasetLock.withLock(path, "compact",
+      spark.sparkContext.hadoopConfiguration) {
+      val report = compact(spark, path, targetBytes, Nil, "text")
+      // sharded layout: compaction re-installed each leaf's shard (files
+      // stripped) — drop any cached parses of the OLD shards
+      graft.sources.StarTableSource.invalidateShardCache(path)
+      report
+    }
   }
 
   /** Install `staging` over `leaf` with the two-rename swap discipline
@@ -278,9 +294,24 @@ object Maintenance {
   def clusterStarDataset(spark: SparkSession, path: String,
                          sortCols: Seq[String],
                          targetBytes: Long = 128L * 1024 * 1024): ClusterReport = {
+    require(targetBytes > 0, "clusterStarDataset: targetBytes must be positive")
+    require(graft.sources.StarTableSource.readDatasetMeta(Seq(path)).isDefined,
+      s"clusterStarDataset: $path has no " +
+        s"${graft.io.CsvWriter.DatasetMetaFile} sidecar — not a StarTable " +
+        "dataset")
+    // writer lease (see compactStarDataset); the meta is re-read UNDER the
+    // lock so the commit this pass CAS-flips against is the locked state
+    graft.io.DatasetLock.withLock(path, "cluster",
+      spark.sparkContext.hadoopConfiguration) {
+      clusterStarDatasetLocked(spark, path, sortCols, targetBytes)
+    }
+  }
+
+  private def clusterStarDatasetLocked(spark: SparkSession, path: String,
+                                       sortCols: Seq[String],
+                                       targetBytes: Long): ClusterReport = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DoubleType
-    require(targetBytes > 0, "clusterStarDataset: targetBytes must be positive")
     val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(path))
       .getOrElse(throw new IllegalArgumentException(
         s"clusterStarDataset: $path has no " +
@@ -438,6 +469,17 @@ object Maintenance {
     * (dropPartitions leftovers) are dropped, matching the reader's
     * listing-is-authority rule. Returns the number of shards written. */
   def shardDatasetStats(spark: SparkSession, path: String): Long = {
+    require(graft.sources.StarTableSource.readDatasetMeta(Seq(path)).isDefined,
+      s"shardDatasetStats: $path has no " +
+        s"${graft.io.CsvWriter.DatasetMetaFile} sidecar — not a StarTable " +
+        "dataset")
+    graft.io.DatasetLock.withLock(path, "shard-stats",
+      spark.sparkContext.hadoopConfiguration) {
+      shardDatasetStatsLocked(spark, path)
+    }
+  }
+
+  private def shardDatasetStatsLocked(spark: SparkSession, path: String): Long = {
     val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(path))
       .getOrElse(throw new IllegalArgumentException(
         s"shardDatasetStats: $path has no " +
@@ -535,6 +577,16 @@ object Maintenance {
       s"vacuumStarDataset: $path does not exist (and no restorable " +
         s".${root.getName}__old sibling was found)")
 
+    // Writer lease for the walk: vacuum racing a live compaction/
+    // clustering would delete the staging directory the sibling is about
+    // to install (the doc's "do not run while a job is in flight" now
+    // REFUSES mechanically instead of relying on the operator). The
+    // root-orphan restore above runs pre-lease by necessity — a missing
+    // root cannot hold a lock file — and is itself a repair of a crashed
+    // (therefore lease-less) writer.
+    graft.io.DatasetLock.withLock(path, "vacuum",
+      spark.sparkContext.hadoopConfiguration) {
+
     def sizeOf(p: Path): Long =
       try fs.getContentSummary(p).getLength catch { case _: java.io.IOException => 0L }
 
@@ -572,7 +624,17 @@ object Maintenance {
     }
     visit(root)
     VacuumReport(restored, removedDirs, removedBytes, removedTmp)
+    }
   }
+
+  /** Forcibly clear a dataset's writer lease — operator intervention after
+    * a CRASHED writer (a process kill leaves `_startable_lock.json`
+    * behind; exceptions release it). Returns true when a lock was removed.
+    * Never call while the holder might still be alive: the lease is the
+    * only thing stopping two writers from interleaving. */
+  def breakDatasetLock(spark: SparkSession, path: String): Boolean =
+    graft.io.DatasetLock.breakLock(path,
+      spark.sparkContext.hadoopConfiguration)
 
   /** Write `df` hive-partitioned by `partitionCols` with DYNAMIC overwrite:
     * only the partitions present in `df` are replaced; all others survive
@@ -598,16 +660,25 @@ object Maintenance {
   def dropPartitions(spark: SparkSession, path: String, partitionCol: String,
                      values: Seq[String]): Long = {
     require(values.nonEmpty, "dropPartitions: no values")
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val escaped = values.map(v =>
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(v))
-    var dropped = 0L
-    escaped.foreach { v =>
-      val dir = new Path(p, s"$partitionCol=$v")
-      if (fs.exists(dir)) { fs.delete(dir, true); dropped += 1 }
+    def drop(): Long = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val escaped = values.map(v =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v))
+      var dropped = 0L
+      escaped.foreach { v =>
+        val dir = new Path(p, s"$partitionCol=$v")
+        if (fs.exists(dir)) { fs.delete(dir, true); dropped += 1 }
+      }
+      dropped
     }
-    dropped
+    // StarTable datasets take the writer lease (a retention sweep deleting
+    // a leaf a live compaction is mid-swap on would strand its staging as
+    // the only copy); plain parquet trees have no lease discipline
+    if (graft.sources.StarTableSource.readDatasetMeta(Seq(path)).isDefined)
+      graft.io.DatasetLock.withLock(path, "drop-partitions",
+        spark.sparkContext.hadoopConfiguration)(drop())
+    else drop()
   }
 }

@@ -1161,13 +1161,19 @@ private[graft] object StarTableSource {
     * [[graft.io.CsvWriter.SliceShardFile]] shards instead of inline here —
     * `sliceStats`/`fileStats` stay empty and readers load only the shards
     * of slices that survive partition pruning (see [[readSliceShards]]). */
+  /** `commit`: monotone counter bumped by every sidecar install — the
+    * compare-and-swap token of the root flip (a mutating operation that
+    * began at commit C refuses its own flip when the on-disk counter has
+    * moved past C: another writer committed in between). 0 on pre-round-12
+    * sidecars. */
   final case class DatasetMeta(name: String, destinations: Set[String],
                                cols: Seq[String], units: Seq[String],
                                partCols: Seq[String], partUnits: Seq[String],
                                sep: String = ";",
                                sliceStats: Seq[SliceStats] = Nil,
                                fileStats: Seq[FileStats] = Nil,
-                               statsSharded: Boolean = false)
+                               statsSharded: Boolean = false,
+                               commit: Long = 0L)
 
   /** Per-slice column statistics: `partition` aligns with
     * [[DatasetMeta.partCols]] (raw rendered values, null for the default
@@ -1284,12 +1290,14 @@ private[graft] object StarTableSource {
       }
       val statsSharded = o.fields.get("statsSharded")
         .collect { case JsonBool(b) => b }.getOrElse(false)
+      val commit = o.fields.get("commit")
+        .collect { case JsonNumber(n) => n.toLong }.getOrElse(0L)
       val meta = DatasetMeta(
         o.fields("name").asInstanceOf[JsonString].value,
         strs("destinations").toSet,
         strs("columns"), strs("units"),
         strs("partitionBy"), strs("partitionUnits"), sep, sliceStats,
-        fileStats, statsSharded)
+        fileStats, statsSharded, commit)
       if (metaCache.size > 64) metaCache.clear()
       metaCache.put(key, meta)
       Some(meta)
@@ -1368,7 +1376,17 @@ private[graft] object StarTableSource {
       val key = (fs.makeQualified(shardPath).toString, st.getLen,
         st.getModificationTime)
       val hit = shardCache.get(key)
-      if (hit != null) return Some(raw -> hit)
+      if (hit != null) {
+        // cache hits keep the cold path's shard-vs-directory integrity
+        // check (cheap Seq equality): a misplaced-but-cached shard must
+        // refuse exactly like a cold read of it would
+        require(hit.slice.partition == raw,
+          s"shard records partition " +
+            s"${hit.slice.partition.mkString("[", ",", "]")} but its " +
+            s"directory path parses to ${raw.mkString("[", ",", "]")} — " +
+            "path-escaping drift or a misplaced shard")
+        return Some(raw -> hit)
+      }
       shardsRead.increment()
       val in = fs.open(shardPath)
       val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()

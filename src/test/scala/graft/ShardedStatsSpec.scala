@@ -164,9 +164,7 @@ class ShardedStatsSpec extends AnyFunSuite {
 
   test("a fresh default-layout write past MaxStatSlices auto-upgrades to " +
     "sharded instead of degrading to no stats") {
-    val prev = graft.io.CsvWriter.MaxStatSlices
-    graft.io.CsvWriter.MaxStatSlices = 4
-    try {
+    graft.io.CsvWriter.withMaxStatSlices(4) {
       val t = mkTable(n = 600, slices = 6)
       val out = Files.createTempDirectory("graft_shard_auto").toString
       graft.io.CsvWriter.writePartitionedDataset(t, out, Seq("grp"))
@@ -178,7 +176,7 @@ class ShardedStatsSpec extends AnyFunSuite {
       assert(agged.queryExecution.executedPlan.toString
         .contains("StarMetaAggScan"))
       assert(agged.collect().head.getLong(0) == 600)
-    } finally graft.io.CsvWriter.MaxStatSlices = prev
+    }
   }
 
   test("compaction carries slice stats across the swap and drops stale " +
