@@ -437,6 +437,20 @@ object CsvWriter {
     * refused when forced), and a fresh write whose slice count exceeds
     * [[MaxStatSlices]] auto-upgrades to sharded instead of degrading to
     * no stats at all. */
+  /** `evolveSchema = true` (requires `overwriteSlices`) APPENDS data
+    * columns to an existing dataset's schema: the incoming table must
+    * carry the dataset's current data columns as a PREFIX (same names,
+    * units, order — reorder with select) plus the new columns after them,
+    * and identical partition columns. The sidecar's schema union is the
+    * single commit point: data lands first (old readers parse the old
+    * prefix of the longer rows and ignore the extra cells), then the root
+    * flip publishes the union schema — from which point pre-evolution
+    * slices' SHORT rows read null-padded on the new columns. The new
+    * columns are recorded as `lateColumns`, so statistics pruning and
+    * metadata aggregates keep working across the evolution (a slice entry
+    * that predates the column provably means all-null — see
+    * [[graft.sources.StarTableSource.DatasetMeta.lateCols]]). Stats for
+    * the new columns start at this append. */
   def writePartitionedDataset(t: StarTable, outDir: String,
                               partitionBy: Seq[String],
                               sep: String = DefaultSep,
@@ -446,7 +460,12 @@ object CsvWriter {
                               collectStats: Boolean = true,
                               filesPerSlice: Int = 1,
                               collectFileStats: Option[Boolean] = None,
-                              shardStats: Option[Boolean] = None): Unit = {
+                              shardStats: Option[Boolean] = None,
+                              evolveSchema: Boolean = false): Unit = {
+    require(!evolveSchema || overwriteSlices,
+      "writePartitionedDataset: evolveSchema is a backfill mode — pass " +
+        "overwriteSlices = true (a full overwrite needs no evolution: it " +
+        "replaces the schema wholesale)")
     // Writer lease (round 12): any write over an EXISTING dataset —
     // backfill or full overwrite — takes the root's DatasetLock so it
     // cannot interleave with a concurrent compaction/clustering/vacuum/
@@ -458,12 +477,12 @@ object CsvWriter {
         if (overwriteSlices) "backfill" else "overwrite") {
         writePartitionedDatasetImpl(t, outDir, partitionBy, sep, naRep,
           numFiles, overwriteSlices, collectStats, filesPerSlice,
-          collectFileStats, shardStats)
+          collectFileStats, shardStats, evolveSchema)
       }
     else
       writePartitionedDatasetImpl(t, outDir, partitionBy, sep, naRep,
         numFiles, overwriteSlices, collectStats, filesPerSlice,
-        collectFileStats, shardStats)
+        collectFileStats, shardStats, evolveSchema)
   }
 
   private def writePartitionedDatasetImpl(t: StarTable, outDir: String,
@@ -475,7 +494,8 @@ object CsvWriter {
                               collectStats: Boolean,
                               filesPerSlice: Int,
                               collectFileStats: Option[Boolean],
-                              shardStats: Option[Boolean]): Unit = {
+                              shardStats: Option[Boolean],
+                              evolveSchema: Boolean = false): Unit = {
     require(filesPerSlice >= 1,
       s"writePartitionedDataset: filesPerSlice must be >= 1, got $filesPerSlice")
     require(partitionBy.nonEmpty,
@@ -494,13 +514,41 @@ object CsvWriter {
           .getOrElse(throw new IllegalArgumentException(
             s"writePartitionedDataset: overwriteSlices requires an existing " +
               s"dataset at $outDir (no $DatasetMetaFile sidecar found)"))
-        val incoming = (t.name, dataCols, dataCols.map(t.unit),
-          partitionBy, partitionBy.map(t.unit))
-        val current = (existing.name, existing.cols, existing.units,
-          existing.partCols, existing.partUnits)
-        require(incoming == current,
-          s"writePartitionedDataset: backfill schema drift — dataset at " +
-            s"$outDir holds $current, incoming table is $incoming")
+        if (evolveSchema) {
+          // evolution contract: current data columns as an exact PREFIX
+          // (old files' short rows null-pad the appended tail on read —
+          // any other shape would mis-align cells), ≥1 genuinely new
+          // column, identical partitioning
+          val n = existing.cols.size
+          require(dataCols.size > n,
+            s"writePartitionedDataset: evolveSchema with no new columns — " +
+              s"dataset at $outDir already holds ${existing.cols.mkString(", ")}")
+          require(dataCols.take(n) == existing.cols &&
+              dataCols.take(n).map(t.unit) == existing.units,
+            s"writePartitionedDataset: evolveSchema requires the existing " +
+              s"data columns (${existing.cols.zip(existing.units).mkString(", ")}) " +
+              s"as an exact prefix of the incoming ones " +
+              s"(${dataCols.zip(dataCols.map(t.unit)).mkString(", ")}); " +
+              "reorder with select")
+          require(t.name == existing.name &&
+              partitionBy == existing.partCols &&
+              partitionBy.map(t.unit) == existing.partUnits,
+            s"writePartitionedDataset: evolveSchema cannot change the " +
+              s"table name or partitioning — dataset at $outDir holds " +
+              s"(${existing.name}, ${existing.partCols.mkString(", ")})")
+        } else {
+          val incoming = (t.name, dataCols, dataCols.map(t.unit),
+            partitionBy, partitionBy.map(t.unit))
+          val current = (existing.name, existing.cols, existing.units,
+            existing.partCols, existing.partUnits)
+          require(incoming == current,
+            s"writePartitionedDataset: backfill schema drift — dataset at " +
+              s"$outDir holds $current, incoming table is $incoming" +
+              (if (dataCols.size > existing.cols.size &&
+                   dataCols.take(existing.cols.size) == existing.cols)
+                 " (appending new columns requires evolveSchema = true)"
+               else ""))
+        }
         // a backfill with a different separator would mix two line formats
         // in one dataset — every old slice would misparse under the new
         // sidecar sep (or vice versa); refuse before touching anything
@@ -529,6 +577,14 @@ object CsvWriter {
     }
     val shardedPre: Boolean =
       existingMeta.map(_.statsSharded).orElse(shardStats).getOrElse(false)
+    // evolution-appended columns, carried through every later sidecar
+    // rewrite (the read path's missing-stat-means-all-null license)
+    val lateCols: Seq[String] = existingMeta match {
+      case Some(m) if evolveSchema =>
+        (m.lateCols ++ dataCols.drop(m.cols.size)).distinct
+      case Some(m) => m.lateCols
+      case None    => Nil
+    }
     // capped = true when the slice cardinality exceeded MaxStatSlices:
     // inline statistics would degrade to "none" — a FRESH default-layout
     // write auto-upgrades to the sharded layout instead (shards have no
@@ -597,7 +653,8 @@ object CsvWriter {
       if (stripped.size != m.sliceStats.size ||
           strippedFiles.size != m.fileStats.size) {
         writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stripped,
-          strippedFiles, expectCommit = Some(lastCommit))
+          strippedFiles, expectCommit = Some(lastCommit),
+          lateCols = lateCols)
         lastCommit = Some(lastCommit.getOrElse(0L) + 1L)
       }
     }
@@ -649,7 +706,8 @@ object CsvWriter {
         statsSharded = true,
         // the full (static) overwrite deleted the old sidecar with the
         // directory; a backfill's sidecar survives at the observed commit
-        expectCommit = Some(if (overwriteSlices) lastCommit else None))
+        expectCommit = Some(if (overwriteSlices) lastCommit else None),
+        lateCols = lateCols)
       graft.sources.StarTableSource.invalidateShardCache(outDir)
     } else {
       val stats: Seq[graft.sources.StarTableSource.SliceStats] =
@@ -677,7 +735,8 @@ object CsvWriter {
       // sidecar LAST: readers refuse a dataset without it
       writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats,
         survivors ++ written,
-        expectCommit = Some(if (overwriteSlices) lastCommit else None))
+        expectCommit = Some(if (overwriteSlices) lastCommit else None),
+        lateCols = lateCols)
     }
   }
 
@@ -926,11 +985,21 @@ object CsvWriter {
     * NaN/infinities are null like the slice-tier stats). Shared by the
     * clustering pass and the write-time per-file statistics. */
   private[graft] def parsedCellExpr(cells: Column, i: Int, unit: String): Column = {
-    val e = element_at(cells, i + 1)
+    // try_element_at, not element_at: a SHORT row (pre-evolution slice of
+    // an evolved dataset) must null-pad the appended columns exactly like
+    // the reader does — ANSI element_at would throw INVALID_ARRAY_INDEX
+    // the moment a stats/clustering pass touches such a slice
+    val e = try_element_at(cells, lit(i + 1))
     unit match {
       case "text"     => e
       case "datetime" => when(e.rlike("^[0-9]"), e)
-      case "onoff"    => when(lower(e).isin("1", "true"), 1).otherwise(0)
+      case "onoff"    =>
+        // a PRESENT onoff cell never parses to null (the fixer yields
+        // FALSE), but an ABSENT cell (short row) reads as null — keep
+        // that null or IsNull pruning on a late onoff column would
+        // wrongly skip pre-evolution slices
+        when(e.isNull, lit(null))
+          .otherwise(when(lower(e).isin("1", "true"), 1).otherwise(0))
       case _          =>
         val d = e.cast(DoubleType)
         when(!isnan(d) &&
@@ -1022,10 +1091,11 @@ object CsvWriter {
                                   sliceStats: Seq[graft.sources.StarTableSource.SliceStats] = Nil,
                                   fileStats: Seq[graft.sources.StarTableSource.FileStats] = Nil,
                                   statsSharded: Boolean = false,
-                                  expectCommit: Option[Option[Long]] = None): Unit =
+                                  expectCommit: Option[Option[Long]] = None,
+                                  lateCols: Seq[String] = Nil): Unit =
     writeSidecarFields(outDir, t.name, t.destinations, dataCols,
       dataCols.map(t.unit), partitionBy, partitionBy.map(t.unit), sep,
-      sliceStats, fileStats, statsSharded, expectCommit)
+      sliceStats, fileStats, statsSharded, expectCommit, lateCols)
 
   /** Rewrite an existing dataset's sidecar with fresh FILE statistics,
     * everything else (schema, sep, slice stats) verbatim — the
@@ -1038,7 +1108,8 @@ object CsvWriter {
       fileStats: Seq[graft.sources.StarTableSource.FileStats]): Unit =
     writeSidecarFields(outDir, meta.name, meta.destinations, meta.cols,
       meta.units, meta.partCols, meta.partUnits, meta.sep, meta.sliceStats,
-      fileStats, meta.statsSharded, expectCommit = Some(Some(meta.commit)))
+      fileStats, meta.statsSharded, expectCommit = Some(Some(meta.commit)),
+      lateCols = meta.lateCols)
 
   private def writeSidecarFields(outDir: String, name: String,
                                  destinations: Set[String],
@@ -1048,7 +1119,8 @@ object CsvWriter {
                                  sliceStats: Seq[graft.sources.StarTableSource.SliceStats],
                                  fileStats: Seq[graft.sources.StarTableSource.FileStats],
                                  statsSharded: Boolean = false,
-                                 expectCommit: Option[Option[Long]] = None): Unit = {
+                                 expectCommit: Option[Option[Long]] = None,
+                                 lateCols: Seq[String] = Nil): Unit = {
     // CAS at the flip: the second defense behind the DatasetLock lease —
     // a writer that bypassed the lease (legacy code, a force-broken lock)
     // is caught here, before its install can revert a sibling's commit.
@@ -1090,6 +1162,9 @@ object CsvWriter {
       "sep" -> JsonString(sep),
       "commit" -> JsonNumber(newCommit.toDouble)) ++
       (if (!statsSharded) Nil else Seq("statsSharded" -> JsonBool(true))) ++
+      (if (lateCols.isEmpty) Nil
+       else Seq("lateColumns" -> JsonArray(
+         lateCols.toVector.map(JsonString(_))))) ++
       (if (sliceStats.isEmpty) Nil else Seq("sliceStats" -> statsJson)) ++
       (if (fileStats.isEmpty) Nil else Seq("fileStats" -> fileStatsJson)))
     val conf = graft.sources.StarTableSource.activeHadoopConf()
@@ -1272,7 +1347,8 @@ object CsvWriter {
     // and any PRE-EXISTING entries are dropped — appended rows would fall
     // outside stale ranges; readers fall back to partition-level pruning
     writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep,
-      expectCommit = Some(existing.map(_.commit)))
+      expectCommit = Some(existing.map(_.commit)),
+      lateCols = existing.map(_.lateCols).getOrElse(Nil))
     val pathCols = partitionPathCols(t, partitionBy, naRep,
       "streamPartitionedDataset")
     val valueCol = concat_ws(sep,

@@ -719,6 +719,47 @@ object RelationalQueries {
           max(col("l_linestatus")).as("max_status"))
     }),
 
+    // SCHEMA EVOLUTION under the gate: the dataset is created WITHOUT
+    // l_discount, then one slice (l_returnflag=R) is backfilled with the
+    // column appended (writePartitionedDataset evolveSchema=true — the
+    // sidecar's schema union is the commit point). Reading the whole
+    // dataset must null-pad the pre-evolution slices' short rows on the
+    // new column: the oracle computes the same aggregates over the
+    // ORIGINAL parquet with discount nulled outside R, so a cell
+    // mis-aligned by the evolution, a row lost by the backfill, or a
+    // non-null leaking into an old slice all break the hash.
+    "q_dataset_evolve" -> ((s, dir) => {
+      val ds = evolvedDatasetFor(s, dir)
+      s.read.format("startable").load(ds)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+          count(col("l_discount")).as("n_disc"),
+          sum(dec(col("l_discount"))).cast(DoubleType).as("sum_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Metadata aggregates over the EVOLVED column: pre-evolution slices'
+    // stats entries lack l_discount, which for a lateColumn provably means
+    // all-null — the min/max fold treats them like recorded all-null
+    // slices instead of degrading every metadata query to a scan forever
+    // after an evolution. The plan is asserted StarMetaAggScan and the
+    // oracle recomputes from the original parquet (discount exists only
+    // in R), so a bound leaking from a null-padded slice breaks the hash.
+    "q_dataset_evolve_minmax" -> ((s, dir) => {
+      val ds = evolvedDatasetFor(s, dir)
+      val agged = s.read.format("startable").load(ds)
+        .agg(min(col("l_discount")).as("min_disc"),
+          max(col("l_discount")).as("max_disc"),
+          min(col("l_extendedprice")).as("min_price"),
+          count(lit(1)).as("n"))
+      require(agged.queryExecution.executedPlan.toString
+          .contains("StarMetaAggScan"),
+        "q_dataset_evolve_minmax: the metadata aggregate did not engage " +
+          "over the evolved column")
+      agged
+    }),
+
     "q_dataset_stats" -> ((s, dir) => {
       val ds = partitionedDatasetFor(s, dir)
       val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(ds))
@@ -773,6 +814,42 @@ object RelationalQueries {
             col("l_linestatus"), col("l_extendedprice"), col("l_discount")),
           "lineitem_part"),
         path, partitionBy = Seq("l_returnflag"), numFiles = 8)
+    path
+  }
+
+  /** Build-once EVOLVED dataset (q_dataset_evolve*): created without
+    * l_discount, then the R slice backfilled with the column appended via
+    * evolveSchema. The `_graft_evolved` marker is written only after the
+    * evolution commits, so an interrupted build reruns from scratch. */
+  private def evolvedDatasetFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|evds1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_evds_$key"
+    val marker = java.nio.file.Paths.get(path, "_graft_evolved")
+    if (!java.nio.file.Files.exists(marker)) {
+      def deleteTree(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
+        f.delete(): Unit
+      }
+      deleteTree(new java.io.File(path))
+      val li = Tables.df(s, dir, "lineitem")
+      graft.io.CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(
+          li.select(col("l_returnflag"), col("l_linestatus"),
+            col("l_extendedprice")),
+          "lineitem_evolve"),
+        path, partitionBy = Seq("l_returnflag"), numFiles = 4)
+      graft.io.CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(
+          li.filter(col("l_returnflag") === "R")
+            .select(col("l_returnflag"), col("l_linestatus"),
+              col("l_extendedprice"), col("l_discount")),
+          "lineitem_evolve"),
+        path, partitionBy = Seq("l_returnflag"), numFiles = 4,
+        overwriteSlices = true, evolveSchema = true)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
     path
   }
 
@@ -1411,6 +1488,31 @@ object RelationalQueries {
         |    AS sum_price,
         |  max(l_linestatus) AS max_status
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // null-padded evolution read: discount is non-null only where the
+    // evolved backfill wrote it (the R slice)
+    "q_dataset_evolve" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(count(CASE WHEN l_returnflag = 'R' THEN l_discount END)
+        |    AS BIGINT) AS n_disc,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS sum_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the metadata min/max over the evolved column must equal DuckDB's
+    // over the rows that actually carry it
+    "q_dataset_evolve_minmax" ->
+      """SELECT
+        |  CAST(min(CASE WHEN l_returnflag = 'R' THEN l_discount END)
+        |    AS DOUBLE) AS min_disc,
+        |  CAST(max(CASE WHEN l_returnflag = 'R' THEN l_discount END)
+        |    AS DOUBLE) AS max_disc,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem""".stripMargin,
 
     // metadata-only min/max must equal DuckDB recomputing from the rows
     "q_dataset_minmax" ->

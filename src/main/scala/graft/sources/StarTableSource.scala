@@ -252,7 +252,12 @@ private[sources] class StarTableScanBuilder(fullSchema: StructType,
               else {
                 val perSlice = gParts.map(byPart).map(_.stats.get(c).map(cs =>
                   if (isMin) cs.min else cs.max))
-                if (perSlice.exists(_.isEmpty)) return None // slice missing the stat
+                // a slice entry missing the stat: for a LATE column
+                // (schema evolution) that provably means all-null in the
+                // slice — it contributes no bound, exactly like a recorded
+                // all-null slice; any other missing stat falls back
+                if (perSlice.exists(_.isEmpty) && !m.lateCols.contains(c))
+                  return None
                 perSlice.flatten
               }
             val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -567,10 +572,11 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
             m.cols.zip(m.units).map { case (c, u) =>
               c -> graft.parse.ColumnParsers.cellParser(u, fixer)
             }.toMap
+          val late = m.lateCols.toSet
           val kept = afterPart.filter { case (path, _, raw) =>
             val sliceOk = statsByPart.get(raw.toList) match {
               case Some(st) => !contentFilters.exists(f =>
-                StarTableSource.sliceContradicts(f, st, parseByCol))
+                StarTableSource.sliceContradicts(f, st, parseByCol, late))
               case None => true
             }
             sliceOk && {
@@ -578,7 +584,7 @@ private[sources] class StarTableScan(files: Seq[String], tableName: Option[Strin
               statsByFile.get((raw.toList, base)) match {
                 case Some(fst) => !contentFilters.exists(f =>
                   StarTableSource.statsContradict(f, fst.rows, fst.stats,
-                    parseByCol))
+                    parseByCol, late))
                 case None => true
               }
             }
@@ -1165,7 +1171,18 @@ private[graft] object StarTableSource {
     * compare-and-swap token of the root flip (a mutating operation that
     * began at commit C refuses its own flip when the on-disk counter has
     * moved past C: another writer committed in between). 0 on pre-round-12
-    * sidecars. */
+    * sidecars.
+    *
+    * `lateCols`: data columns APPENDED by schema evolution after the
+    * dataset was created (writePartitionedDataset's evolveSchema). Slices
+    * written before an evolution hold SHORT rows the reader null-pads, and
+    * their stats entries/shards lack the late columns — for exactly these
+    * columns a missing per-slice stat provably means "every row null in
+    * this slice" (all writer paths record stats for every data column
+    * known at their write time), so pruning and metadata aggregates may
+    * substitute ColStats(null, null, rows) instead of degrading to a
+    * conservative scan forever after an evolution. A missing stat on a
+    * NON-late column keeps the conservative treatment. */
   final case class DatasetMeta(name: String, destinations: Set[String],
                                cols: Seq[String], units: Seq[String],
                                partCols: Seq[String], partUnits: Seq[String],
@@ -1173,7 +1190,8 @@ private[graft] object StarTableSource {
                                sliceStats: Seq[SliceStats] = Nil,
                                fileStats: Seq[FileStats] = Nil,
                                statsSharded: Boolean = false,
-                               commit: Long = 0L)
+                               commit: Long = 0L,
+                               lateCols: Seq[String] = Nil)
 
   /** Per-slice column statistics: `partition` aligns with
     * [[DatasetMeta.partCols]] (raw rendered values, null for the default
@@ -1292,12 +1310,16 @@ private[graft] object StarTableSource {
         .collect { case JsonBool(b) => b }.getOrElse(false)
       val commit = o.fields.get("commit")
         .collect { case JsonNumber(n) => n.toLong }.getOrElse(0L)
+      val lateCols = o.fields.get("lateColumns").toSeq.flatMap {
+        case JsonArray(vs) => vs.map(_.asInstanceOf[JsonString].value)
+        case _             => Nil
+      }
       val meta = DatasetMeta(
         o.fields("name").asInstanceOf[JsonString].value,
         strs("destinations").toSet,
         strs("columns"), strs("units"),
         strs("partitionBy"), strs("partitionUnits"), sep, sliceStats,
-        fileStats, statsSharded, commit)
+        fileStats, statsSharded, commit, lateCols)
       if (metaCache.size > 64) metaCache.clear()
       metaCache.put(key, meta)
       Some(meta)
@@ -1761,15 +1783,28 @@ private[graft] object StarTableSource {
     * same unit parsers as data cells, so the comparison sees exactly the
     * values the reader would produce. */
   def sliceContradicts(f: Filter, st: SliceStats,
-                       parse: Map[String, Any => Any]): Boolean =
-    statsContradict(f, st.rows, st.stats, parse)
+                       parse: Map[String, Any => Any],
+                       lateCols: Set[String] = Set.empty): Boolean =
+    statsContradict(f, st.rows, st.stats, parse, lateCols)
 
-  /** Core of [[sliceContradicts]], shared with per-FILE statistics. */
+  /** Core of [[sliceContradicts]], shared with per-FILE statistics.
+    * `lateCols` are schema-evolution columns ([[DatasetMeta.lateCols]]):
+    * a stats entry that predates the evolution lacks them, and for
+    * exactly those columns the missing stat provably means all-null
+    * (short rows null-pad), so it is treated as ColStats(null, null,
+    * rows) — IsNotNull(late) skips pre-evolution slices entirely; any
+    * OTHER missing stat stays conservative (read, never skip). */
   def statsContradict(f: Filter, rows: Long, stats: Map[String, ColStats],
-                      parse: Map[String, Any => Any]): Boolean = {
+                      parse: Map[String, Any => Any],
+                      lateCols: Set[String] = Set.empty): Boolean = {
+    def statOf(a: String): Option[ColStats] =
+      stats.get(a).orElse(
+        if (lateCols.contains(a) && stats.nonEmpty)
+          Some(ColStats(null, null, rows))
+        else None)
     def bounds(a: String): Option[(Any, Any)] =
       for {
-        cs <- stats.get(a)
+        cs <- statOf(a)
         p <- parse.get(a)
         if cs.min != null && cs.max != null
         mn <- scala.util.Try(p(cs.min)).toOption
@@ -1778,7 +1813,7 @@ private[graft] object StarTableSource {
       } yield (mn, mx)
     // every value in the slice/file is null/NaN → no comparison can hold
     def allNull(a: String): Boolean =
-      stats.get(a).exists(cs => cs.min == null && cs.max == null &&
+      statOf(a).exists(cs => cs.min == null && cs.max == null &&
         cs.nulls == rows)
     def outOfRange(a: String, v: Any): Boolean =
       bounds(a).exists { case (mn, mx) =>
@@ -1797,14 +1832,14 @@ private[graft] object StarTableSource {
       case In(a, vs)                =>
         allNull(a) || (vs.nonEmpty && vs.forall(v => outOfRange(a, v)))
       case IsNotNull(a)             =>
-        stats.get(a).exists(_.nulls == rows)
-      case IsNull(a)                => stats.get(a).exists(_.nulls == 0L)
+        statOf(a).exists(_.nulls == rows)
+      case IsNull(a)                => statOf(a).exists(_.nulls == 0L)
       case And(l, r)                =>
-        statsContradict(l, rows, stats, parse) ||
-          statsContradict(r, rows, stats, parse)
+        statsContradict(l, rows, stats, parse, lateCols) ||
+          statsContradict(r, rows, stats, parse, lateCols)
       case Or(l, r)                 =>
-        statsContradict(l, rows, stats, parse) &&
-          statsContradict(r, rows, stats, parse)
+        statsContradict(l, rows, stats, parse, lateCols) &&
+          statsContradict(r, rows, stats, parse, lateCols)
       case _                        => false
     }
   }

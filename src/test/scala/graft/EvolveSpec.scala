@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.CsvWriter
+import graft.model.StarTable
+import graft.sources.StarTableSource
+
+/** Round-12 dataset schema evolution (VERDICT r11 item 3): appending a
+  * batch with NEW data columns to an existing dataset. The sidecar's
+  * schema union is the commit point; pre-evolution slices' short rows
+  * read null-padded; the new columns are recorded as lateColumns so
+  * statistics pruning and metadata aggregates keep working (a missing
+  * per-slice stat on a late column provably means all-null). */
+class EvolveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** 3-slice dataset over (grp, v); returns root. */
+  private def base(tag: String, sharded: Boolean = false): String = {
+    val out = Files.createTempDirectory(s"graft_ev_$tag").toString + "/ds"
+    val df = spark.range(300).select(
+      concat(lit("g"), (col("id") % 3).cast("string")).as("grp"),
+      col("id").cast("double").as("v"))
+    CsvWriter.writePartitionedDataset(
+      StarTable.fromDataFrame(df, "ev"), out, partitionBy = Seq("grp"),
+      numFiles = 3, shardStats = if (sharded) Some(true) else None)
+    out
+  }
+
+  /** Evolve slice g1: same rows, plus w = v * 10. */
+  private def evolveG1(out: String): Unit = {
+    val df = spark.range(300).select(
+      concat(lit("g"), (col("id") % 3).cast("string")).as("grp"),
+      col("id").cast("double").as("v"),
+      (col("id").cast("double") * 10.0).as("w"))
+      .filter(col("grp") === "g1")
+    CsvWriter.writePartitionedDataset(
+      StarTable.fromDataFrame(df, "ev"), out, partitionBy = Seq("grp"),
+      numFiles = 2, overwriteSlices = true, evolveSchema = true)
+  }
+
+  test("evolution appends a column: union schema on read, pre-evolution " +
+    "slices null-padded, lateColumns recorded, commit advanced") {
+    val out = base("basic")
+    val c0 = StarTableSource.readDatasetMeta(Seq(out)).get.commit
+    evolveG1(out)
+    val m = StarTableSource.readDatasetMeta(Seq(out)).get
+    assert(m.cols === Seq("v", "w") && m.lateCols === Seq("w"))
+    assert(m.commit > c0)
+    val back = spark.read.format("startable").load(out)
+    assert(back.columns.toSet === Set("grp", "v", "w"))
+    val agg = back.groupBy("grp")
+      .agg(count(lit(1)).as("n"), count(col("w")).as("nw"),
+        sum(col("w")).as("sw"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.toString)))
+      .toMap
+    assert(agg("g0") === ((100L, 0L, None)), "pre-evolution slice must null-pad")
+    assert(agg("g2")._2 === 0L)
+    assert(agg("g1")._1 === 100L && agg("g1")._2 === 100L)
+    // w = v*10 for ids ≡ 1 mod 3: sum = 10 * (1 + 4 + ... + 298)
+    val expected = (1 until 300 by 3).map(_ * 10.0).sum
+    assert(agg("g1")._3.contains(expected.toString))
+  }
+
+  test("metadata aggregates keep working across an evolution: min/max over " +
+    "the late column folds pre-evolution slices as all-null (inline and " +
+    "sharded layouts)") {
+    for (sharded <- Seq(false, true)) {
+      val out = base(s"meta_$sharded", sharded)
+      evolveG1(out)
+      val agged = spark.read.format("startable").load(out)
+        .agg(min(col("w")).as("mn"), max(col("w")).as("mx"),
+          count(lit(1)).as("n"))
+      assert(agged.queryExecution.executedPlan.toString
+          .contains("StarMetaAggScan"),
+        s"metadata aggregate must engage over the evolved column (sharded=$sharded)")
+      val r = agged.collect().head
+      assert(r.getDouble(0) === 10.0 && r.getDouble(1) === 2980.0 &&
+        r.getLong(2) === 300L, r.toString)
+    }
+  }
+
+  test("IsNotNull on the late column prunes pre-evolution slices from the " +
+    "scan (their missing stat provably means all-null)") {
+    val out = base("prune")
+    evolveG1(out)
+    val before = StarTableSource.filesSkippedByStats.sum()
+    val n = spark.read.format("startable").load(out)
+      .filter(col("w").isNotNull).count()
+    assert(n === 100L)
+    assert(StarTableSource.filesSkippedByStats.sum() > before,
+      "pre-evolution slices were scanned instead of stats-pruned")
+  }
+
+  test("a missing stat on a NON-late column stays conservative: no skip, " +
+    "metadata aggregate falls back") {
+    import org.apache.spark.sql.sources.IsNotNull
+    // direct kernel check: same missing stat, only lateCols differs
+    val stats = Map("v" -> StarTableSource.ColStats("1.0", "2.0", 0L))
+    val parse = Map[String, Any => Any]("v" -> identity, "w" -> identity)
+    assert(StarTableSource.statsContradict(IsNotNull("w"), 10L, stats, parse,
+      lateCols = Set("w")), "late column: all-null is provable, skip")
+    assert(!StarTableSource.statsContradict(IsNotNull("w"), 10L, stats, parse),
+      "non-late column: a missing stat must never skip")
+  }
+
+  test("evolution refusals: reordered prefix, missing overwriteSlices, no " +
+    "new columns, and a non-evolve backfill with extra columns points at " +
+    "evolveSchema") {
+    val out = base("refuse")
+    val evolved = spark.range(9).select(
+      lit("g1").as("grp"), col("id").cast("double").as("w"),
+      col("id").cast("double").as("v"))
+    val e1 = intercept[IllegalArgumentException] {
+      CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(evolved, "ev"), out, Seq("grp"),
+        overwriteSlices = true, evolveSchema = true)
+    }
+    assert(e1.getMessage.contains("exact prefix"), e1.getMessage)
+    val ok = spark.range(9).select(lit("g1").as("grp"),
+      col("id").cast("double").as("v"), col("id").cast("double").as("w"))
+    val e2 = intercept[IllegalArgumentException] {
+      CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(ok, "ev"), out, Seq("grp"),
+        evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("overwriteSlices"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(ok, "ev"), out, Seq("grp"),
+        overwriteSlices = true)
+    }
+    assert(e3.getMessage.contains("evolveSchema = true"), e3.getMessage)
+    evolveG1(out)
+    val same = spark.range(9).select(lit("g1").as("grp"),
+      col("id").cast("double").as("v"), col("id").cast("double").as("w"))
+    val e4 = intercept[IllegalArgumentException] {
+      CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(same, "ev"), out, Seq("grp"),
+        overwriteSlices = true, evolveSchema = true)
+    }
+    assert(e4.getMessage.contains("no new columns"), e4.getMessage)
+  }
+
+  test("lateColumns survive later backfills and maintenance passes") {
+    val out = base("carry")
+    evolveG1(out)
+    // ordinary backfill with the union schema
+    val upd = spark.range(10).select(lit("g0").as("grp"),
+      col("id").cast("double").as("v"),
+      (col("id").cast("double") * 5.0).as("w"))
+    CsvWriter.writePartitionedDataset(
+      StarTable.fromDataFrame(upd, "ev"), out, Seq("grp"),
+      overwriteSlices = true)
+    assert(StarTableSource.readDatasetMeta(Seq(out)).get.lateCols === Seq("w"))
+    graft.operators.Maintenance.clusterStarDataset(spark, out, Seq("v"),
+      targetBytes = 16 * 1024)
+    assert(StarTableSource.readDatasetMeta(Seq(out)).get.lateCols === Seq("w"))
+    // g2 remains pre-evolution: the metadata aggregate still engages
+    val agged = spark.read.format("startable").load(out)
+      .agg(max(col("w")).as("mx"), count(lit(1)).as("n"))
+    assert(agged.queryExecution.executedPlan.toString
+      .contains("StarMetaAggScan"))
+    val r = agged.collect().head
+    assert(r.getDouble(0) === 2980.0 && r.getLong(1) === 210L, r.toString)
+  }
+}
