@@ -719,6 +719,30 @@ object RelationalQueries {
           max(col("l_linestatus")).as("max_status"))
     }),
 
+    // The same crash-vacuum-compact drill on the SHARDED stats layout:
+    // per-leaf stat shards must ride the whole repair — staged with the
+    // killed compaction (deleted by vacuum), restored with the orphaned
+    // leaf (the trash rename carries the shard), regenerated by the clean
+    // compaction. The grouped aggregate must still be a METADATA read
+    // afterwards (StarMetaAggScan asserted: a drill that silently
+    // stripped a shard would fall back to scanning and hide the
+    // regression), and the oracle recomputes from the ORIGINAL parquet so
+    // a row lost by the restore or a bound bent by the shard carry-over
+    // breaks the hash.
+    "q_dataset_vacuum_sharded" -> ((s, dir) => {
+      val ds = vacuumedShardedDatasetFor(s, dir)
+      val agged = s.read.format("startable").load(ds)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+      require(agged.queryExecution.executedPlan.toString
+          .contains("StarMetaAggScan"),
+        "q_dataset_vacuum_sharded: the metadata aggregate did not engage " +
+          "after the crash-vacuum-compact drill — a shard was lost")
+      agged
+    }),
+
     // SCHEMA EVOLUTION under the gate: the dataset is created WITHOUT
     // l_discount, then one slice (l_returnflag=R) is backfilled with the
     // column appended (writePartitionedDataset evolveSchema=true — the
@@ -932,6 +956,63 @@ object RelationalQueries {
       require(rep.removedDirs >= 1 && rep.removedTmpFiles >= 1,
         s"q_dataset_vacuum drill: leftovers survived the vacuum: $rep")
       // 4. the repaired dataset is maintainable: a clean compaction runs
+      graft.operators.Maintenance.compactStarDataset(s, path,
+        targetBytes = 64 * 1024)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    path
+  }
+
+  /** Build-once crashed-then-vacuumed SHARDED dataset
+    * (q_dataset_vacuum_sharded): the vacuumedDatasetFor drill on the
+    * per-leaf-shard layout — staging (with its regenerated shard) killed,
+    * the R leaf orphaned WITH its live shard, vacuum restores/cleans, a
+    * clean compaction then re-installs every leaf's shard. */
+  private def vacuumedShardedDatasetFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|vacshds1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_vacshds_$key"
+    val marker = java.nio.file.Paths.get(path, "_graft_vacuumed")
+    if (!java.nio.file.Files.exists(marker)) {
+      def deleteTree(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
+        f.delete(): Unit
+      }
+      deleteTree(new java.io.File(path))
+      graft.io.CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(
+          Tables.df(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_linestatus"), col("l_extendedprice")),
+          "lineitem_vacsh"),
+        path, partitionBy = Seq("l_returnflag"), numFiles = 4,
+        shardStats = Some(true))
+      final class Kill extends RuntimeException("vacuum drill kill")
+      graft.operators.Maintenance.faultHook =
+        p => if (p == "compact:staged") throw new Kill
+      val killed =
+        try {
+          graft.operators.Maintenance.compactStarDataset(s, path,
+            targetBytes = 64 * 1024)
+          false
+        } catch { case _: Kill => true }
+        finally graft.operators.Maintenance.faultHook = _ => ()
+      require(killed, "q_dataset_vacuum_sharded drill: the fault hook " +
+        "did not fire — the drill exercised nothing")
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val leaf = new org.apache.hadoop.fs.Path(root, "l_returnflag=R")
+      require(fs.rename(leaf,
+        new org.apache.hadoop.fs.Path(root, ".l_returnflag=R__old")),
+        "q_dataset_vacuum_sharded drill: could not orphan the R leaf")
+      fs.create(new org.apache.hadoop.fs.Path(root,
+        "._startable_dataset.json.tmp"), true).close()
+      val rep = graft.operators.Maintenance.vacuumStarDataset(s, path,
+        tmpMinAgeMs = 0)
+      require(rep.restoredLeaves == 1,
+        s"q_dataset_vacuum_sharded drill: expected 1 restored leaf, got $rep")
+      require(rep.removedDirs >= 1 && rep.removedTmpFiles >= 1,
+        s"q_dataset_vacuum_sharded drill: leftovers survived: $rep")
       graft.operators.Maintenance.compactStarDataset(s, path,
         targetBytes = 64 * 1024)
       java.nio.file.Files.write(marker, Array.emptyByteArray)
@@ -1513,6 +1594,14 @@ object RelationalQueries {
         |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem""".stripMargin,
+
+    // the sharded drill's post-repair METADATA aggregate must equal DuckDB
+    // over the original rows — shards survived kill/orphan/restore/compact
+    "q_dataset_vacuum_sharded" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // metadata-only min/max must equal DuckDB recomputing from the rows
     "q_dataset_minmax" ->
