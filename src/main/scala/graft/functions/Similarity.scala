@@ -371,7 +371,7 @@ object Similarity {
                     seed: Long = 42L,
                     embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val shift = math.max(numPlanes - coarseBits, 0)
-    val probeCond = (0 until tables).map { t =>
+    val perTable: Seq[(Int, Seq[Long], Seq[Long])] = (0 until tables).map { t =>
       val planes = hyperplanes(numPlanes, dim, seed + t * 1000L)
       val margins = planes.map(p =>
         p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum)
@@ -387,16 +387,32 @@ object Similarity {
         .sortBy(_._1)
         .take(nprobe)
         .map(_._2)
-      val coarse = buckets.map(_ >> shift).distinct
+      (t, buckets.map(_ >> shift).distinct, buckets)
+    }
+    val probeCond = perTable.map { case (t, coarse, buckets) =>
       col("tbl") === t && col("bcoarse").isInCollection(coarse) &&
         col("bucket").isInCollection(buckets)
     }.reduce(_ || _)
+    // Targeted partition-directory read (same rationale as
+    // [[readIvfLists]]): list only the probed (tbl, bcoarse) directories
+    // instead of running full partition discovery over the whole index on
+    // every probe — planning cost ∝ probed buckets, not index width.
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(path)
+    val fs = rootPath.getFileSystem(conf)
+    val dirs = perTable.flatMap { case (t, coarse, _) =>
+      coarse.map(c =>
+        new org.apache.hadoop.fs.Path(rootPath, s"tbl=$t/bcoarse=$c"))
+    }.filter(fs.exists).map(_.toString)
+    val src =
+      if (dirs.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.option("basePath", path).parquet(dirs: _*)
     // Project to (id, cosine) BEFORE deduplicating across tables: the
     // groupBy partial-aggregates map-side, so the shuffle carries 16-byte
     // rows for near-distinct candidates — deduplicating first would shuffle
     // the embeddings themselves (~20× wider). max() of identical values is
     // deterministic.
-    spark.read.parquet(path)
+    src
       .filter(probeCond)
       .select(col(idCol), cosine(col(embCol), vecLit(query)).as("__cos"))
       .groupBy(col(idCol))
@@ -561,6 +577,28 @@ object Similarity {
     * so a probe reads only `nprobe` partitions of a 100 TB index instead of
     * scanning it (directory-level partition pruning — verified by PlanSpec's
     * PartitionFilters assertion). */
+  /** Read ONLY the selected `ivf_list=` partition directories of an IVF
+    * index. `spark.read.parquet(root).filter(list in ...)` would run full
+    * partition DISCOVERY over all nlist directories on every probe —
+    * measured 4× slower than a brute-force scan at 500k vectors / 256
+    * lists, pure listing cost. Targeted paths with basePath keep planning
+    * cost ∝ nprobe, not nlist (at 100 TB: a handful of object-store
+    * listings instead of thousands). Empty lists (no vectors assigned at
+    * build time) have no directory and are skipped. */
+  private def readIvfLists(spark: org.apache.spark.sql.SparkSession,
+                           root: String, lists: Seq[Int]): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val dirs = lists.map(l => new org.apache.hadoop.fs.Path(rootPath, s"ivf_list=$l"))
+      .filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty)
+      // every probed list is empty (degenerate tiny index): the full-read
+      // fallback is correct and only ever pays on that degenerate shape
+      spark.read.parquet(root).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.option("basePath", root).parquet(dirs: _*)
+  }
+
   def writeIvfIndex(df: DataFrame, embCol: String, idCol: String, path: String,
                     nlist: Int, dim: Int, seed: Long = 7L): Unit =
     ivfAssign(df, embCol, idCol, nlist, dim, seed)
@@ -585,8 +623,7 @@ object Similarity {
     val probeLists = anchors.zipWithIndex
       .sortBy { case (a, _) => -cos(a, query) }
       .take(nprobe).map(_._2)
-    spark.read.parquet(path)
-      .filter(col("ivf_list").isInCollection(probeLists))
+    readIvfLists(spark, path, probeLists)
       .select(col(idCol),
         cosine(col(embCol), vecLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
@@ -664,8 +701,7 @@ object Similarity {
     val probeLists = centroids.zipWithIndex
       .sortBy { case (c, i) => (d2(c), i) }
       .take(nprobe).map(_._2)
-    spark.read.parquet(path)
-      .filter(col("ivf_list").isInCollection(probeLists))
+    readIvfLists(spark, path, probeLists)
       .select(col(idCol), cosine(col(embCol), vecLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -888,8 +924,7 @@ object Similarity {
       .sortBy { case (c, i) => (d2(c), i) }
       .take(nprobe).map(_._2)
     val adc = adcCosine(readCodebooks(spark, path), query)
-    spark.read.parquet(s"$path/codes")
-      .filter(col("ivf_list").isInCollection(probeLists))
+    readIvfLists(spark, s"$path/codes", probeLists)
       .select(col(idCol), adc.as("adc_cosine"))
       .orderBy(col("adc_cosine").desc, col(idCol).asc)
       .limit(topK)
