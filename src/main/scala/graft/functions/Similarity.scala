@@ -397,16 +397,9 @@ object Similarity {
     // [[readIvfLists]]): list only the probed (tbl, bcoarse) directories
     // instead of running full partition discovery over the whole index on
     // every probe — planning cost ∝ probed buckets, not index width.
-    val conf = spark.sessionState.newHadoopConf()
-    val rootPath = new org.apache.hadoop.fs.Path(path)
-    val fs = rootPath.getFileSystem(conf)
-    val dirs = perTable.flatMap { case (t, coarse, _) =>
-      coarse.map(c =>
-        new org.apache.hadoop.fs.Path(rootPath, s"tbl=$t/bcoarse=$c"))
-    }.filter(fs.exists).map(_.toString)
-    val src =
-      if (dirs.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.option("basePath", path).parquet(dirs: _*)
+    val src = readIndexDirs(spark, path, perTable.flatMap {
+      case (t, coarse, _) => coarse.map(c => s"tbl=$t/bcoarse=$c")
+    })
     // Project to (id, cosine) BEFORE deduplicating across tables: the
     // groupBy partial-aggregates map-side, so the shuffle carries 16-byte
     // rows for near-distinct candidates — deduplicating first would shuffle
@@ -586,15 +579,21 @@ object Similarity {
     * listings instead of thousands). Empty lists (no vectors assigned at
     * build time) have no directory and are skipped. */
   private def readIvfLists(spark: org.apache.spark.sql.SparkSession,
-                           root: String, lists: Seq[Int]): DataFrame = {
+                           root: String, lists: Seq[Int]): DataFrame =
+    readIndexDirs(spark, root, lists.map(l => s"ivf_list=$l"))
+
+  /** Core of the targeted read, shared with the LSH probe (whose
+    * partition layout is `tbl=<t>/bcoarse=<c>`). */
+  private def readIndexDirs(spark: org.apache.spark.sql.SparkSession,
+                            root: String, subdirs: Seq[String]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
-    val dirs = lists.map(l => new org.apache.hadoop.fs.Path(rootPath, s"ivf_list=$l"))
+    val dirs = subdirs.map(d => new org.apache.hadoop.fs.Path(rootPath, d))
       .filter(fs.exists).map(_.toString)
     if (dirs.isEmpty)
-      // every probed list is empty (degenerate tiny index): the full-read
-      // fallback is correct and only ever pays on that degenerate shape
+      // every probed partition is empty (degenerate tiny index): the
+      // full-read fallback is correct and only pays on that shape
       spark.read.parquet(root).filter(org.apache.spark.sql.functions.lit(false))
     else spark.read.option("basePath", root).parquet(dirs: _*)
   }

@@ -522,7 +522,9 @@ object CsvWriter {
           val n = existing.cols.size
           require(dataCols.size > n,
             s"writePartitionedDataset: evolveSchema with no new columns — " +
-              s"dataset at $outDir already holds ${existing.cols.mkString(", ")}")
+              s"dataset at $outDir already holds ${existing.cols.mkString(", ")}" +
+              " (a retry of an already-committed evolution should rerun " +
+              "as a plain backfill: evolveSchema = false)")
           require(dataCols.take(n) == existing.cols &&
               dataCols.take(n).map(t.unit) == existing.units,
             s"writePartitionedDataset: evolveSchema requires the existing " +
@@ -652,13 +654,41 @@ object CsvWriter {
         else m.fileStats.filterNot(s => rewrittenParts.contains(s.partition))
       if (stripped.size != m.sliceStats.size ||
           strippedFiles.size != m.fileStats.size) {
-        writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stripped,
-          strippedFiles, expectCommit = Some(lastCommit),
-          lateCols = lateCols)
+        // the strip rewrite keeps the CURRENT schema verbatim (for an
+        // evolve backfill that means the OLD columns): the union schema
+        // is published only by the FINAL flip after the data landed, so
+        // a crash between strip and data leaves a sidecar an identical
+        // retry accepts — publishing the union early would make the
+        // retry refuse with "no new columns" and wedge at-least-once
+        // schedulers
+        writeSidecarRaw(outDir, m.copy(sliceStats = stripped), strippedFiles)
         lastCommit = Some(lastCommit.getOrElse(0L) + 1L)
       }
     }
     faultHook("backfill:pre-data")
+    // A FULL overwrite of an EXISTING dataset stages into a hidden sibling
+    // and swaps at the end, for two reasons both discovered the hard way:
+    // (a) the static sink's delete-then-write would wipe the directory
+    // INCLUDING the writer lease taken above — a second writer arriving
+    // mid-job would see no dataset, skip/retake the lease, and interleave
+    // part files into the same partition dirs; (b) a crash mid-write used
+    // to leave a sidecar-less husk where a complete dataset stood. With
+    // the swap, readers and the lease see the OLD dataset untouched until
+    // the two-rename commit; crash leftovers are inert hidden siblings
+    // vacuumStarDataset cleans.
+    val replaceExisting = !overwriteSlices &&
+      graft.sources.StarTableSource.readDatasetMeta(Seq(outDir)).isDefined
+    val rootPath = new org.apache.hadoop.fs.Path(outDir)
+    val dataDir: String =
+      if (!replaceExisting) outDir
+      else new org.apache.hadoop.fs.Path(rootPath.getParent,
+        "." + rootPath.getName + "__overwriting").toString
+    if (replaceExisting) {
+      val fs = rootPath.getFileSystem(
+        graft.sources.StarTableSource.activeHadoopConf())
+      val staging = new org.apache.hadoop.fs.Path(dataDir)
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
     val pathCols = partitionPathCols(t, partitionBy, naRep,
       "writePartitionedDataset")
     val valueCol = org.apache.spark.sql.functions.concat_ws(sep,
@@ -686,7 +716,7 @@ object CsvWriter {
       } finally
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     } else
-      shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(outDir)
+      shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(dataDir)
     faultHook("backfill:pre-sidecar")
     if (sharded) {
       // Sharded layout: one distributed read-back pass computes per-FILE
@@ -698,11 +728,11 @@ object CsvWriter {
       // dataset is never visible half-built. Crash between data and
       // shards: shardless slices are read, never skipped (conservative).
       if (collectStats)
-        writeSliceShards(t.df.sparkSession, outDir, dataCols,
+        writeSliceShards(t.df.sparkSession, dataDir, dataCols,
           dataCols.map(t.unit), partitionBy, sep, naRep,
           onlySlices = if (overwriteSlices) Some(rewrittenParts) else None,
           recordFileEntries = collectFileStats.getOrElse(true))
-      writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, Nil, Nil,
+      writeDatasetSidecar(t, dataDir, dataCols, partitionBy, sep, Nil, Nil,
         statsSharded = true,
         // the full (static) overwrite deleted the old sidecar with the
         // directory; a backfill's sidecar survives at the observed commit
@@ -729,14 +759,25 @@ object CsvWriter {
           .getOrElse(Nil)
       val written: Seq[graft.sources.StarTableSource.FileStats] =
         if (capped || !collectStats || !collectFileStats.getOrElse(numFiles > 0)) Nil
-        else computeWrittenFileStats(t.df.sparkSession, outDir, dataCols,
+        else computeWrittenFileStats(t.df.sparkSession, dataDir, dataCols,
           dataCols.map(t.unit), partitionBy, sep, naRep,
           onlySlices = if (overwriteSlices) Some(rewrittenParts) else None)
       // sidecar LAST: readers refuse a dataset without it
-      writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep, stats,
+      writeDatasetSidecar(t, dataDir, dataCols, partitionBy, sep, stats,
         survivors ++ written,
         expectCommit = Some(if (overwriteSlices) lastCommit else None),
         lateCols = lateCols)
+    }
+    if (replaceExisting) {
+      // two-rename commit: old root to hidden trash, staging in, trash
+      // deleted (the old lease file dies with the trash — our handle's
+      // release is then a token-checked no-op)
+      val fs = rootPath.getFileSystem(
+        graft.sources.StarTableSource.activeHadoopConf())
+      graft.operators.Maintenance.swapLeaf(fs, "writePartitionedDataset",
+        rootPath, new org.apache.hadoop.fs.Path(dataDir))
+      graft.sources.StarTableSource.invalidateMetaCache(outDir)
+      graft.sources.StarTableSource.invalidateShardCache(outDir)
     }
   }
 
@@ -1376,6 +1417,13 @@ object CsvWriter {
         }
     }
     spark.streams.addListener(listener)
+    // registration gap: a query that FAILED its first micro-batch may have
+    // posted its terminated event before addListener ran (the bus does not
+    // replay) — release here if it is already dead; release is idempotent
+    if (!q.isActive) {
+      lock.release()
+      spark.streams.removeListener(listener)
+    }
     new LockReleasingQuery(q, () => lock.release())
     } catch {
       case e: Throwable => lock.release(); throw e

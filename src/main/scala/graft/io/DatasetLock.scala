@@ -53,7 +53,12 @@ object DatasetLock {
   /** A held lease; [[release]] is idempotent and only ever deletes the
     * lock if it still carries this handle's token (a lease lost to a
     * forced break or a directory overwrite is never someone else's lease
-    * deleted). */
+    * deleted). The token check is check-then-act — a [[breakLock]] fired
+    * WHILE this holder was alive, followed by a new acquisition landing
+    * exactly between this release's read and delete, could remove the new
+    * holder's file; that ordering requires breaking a LIVE holder's lock,
+    * which [[breakLock]]'s contract already forbids (break only crashed
+    * holders). */
   final class Handle private[DatasetLock] (fs: FileSystem, path: Path,
                                            val info: LockInfo) {
     @volatile private var released = false

@@ -252,8 +252,8 @@ object Maintenance {
     * trash sibling, rename staging in, restore on a failed install —
     * crash-safe up to the window between the two renames (a leftover
     * hidden trash/staging dir is inert to all listings). */
-  private def swapLeaf(fs: org.apache.hadoop.fs.FileSystem, op: String,
-                       leaf: Path, staging: Path): Unit = {
+  private[graft] def swapLeaf(fs: org.apache.hadoop.fs.FileSystem, op: String,
+                              leaf: Path, staging: Path): Unit = {
     val trash = new Path(leaf.getParent, "." + leaf.getName + "__old")
     if (fs.exists(trash)) fs.delete(trash, true)
     if (!fs.rename(leaf, trash))
@@ -527,7 +527,8 @@ object Maintenance {
                                 removedBytes: Long, removedTmpFiles: Long)
 
   /** Clean the crash leftovers of the staging-and-swap protocols (hidden
-    * `.<leaf>__old` / `__compacting` / `__clustering` siblings and stale
+    * `.<leaf>__old` / `__compacting` / `__clustering` /
+    * `__overwriting` siblings and stale
     * `.*.tmp` sidecar files) from a dataset or partitioned-table tree.
     * Leftovers are INERT (every listing skips dot-names), so vacuuming is
     * about storage, not correctness — with one crucial exception this
@@ -548,44 +549,51 @@ object Maintenance {
                         tmpMinAgeMs: Long = 3600000L): VacuumReport = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val Suffixes = Seq("__old", "__compacting", "__clustering")
+    val Suffixes = Seq("__old", "__compacting", "__clustering", "__overwriting")
     var restored = 0L; var removedDirs = 0L; var removedBytes = 0L
     var removedTmp = 0L
     val now = System.currentTimeMillis()
 
-    // The FLAT (non-partitioned) layout's swap stages its siblings beside
-    // the ROOT itself (outside the walk below): restore an orphaned root
-    // from its trash sibling first, then clean the root's own leftovers.
-    Suffixes.foreach { suffix =>
-      val sib = new Path(root.getParent, "." + root.getName + suffix)
-      if (fs.exists(sib)) {
-        if (suffix == "__old" && !fs.exists(root)) {
-          if (!fs.rename(sib, root))
-            throw new java.io.IOException(
-              s"vacuumStarDataset: could not restore $root from $sib")
-          restored += 1
-        } else {
-          removedBytes +=
-            (try fs.getContentSummary(sib).getLength
-             catch { case _: java.io.IOException => 0L })
-          fs.delete(sib, true)
-          removedDirs += 1
-        }
+    // Pre-lease work is ONLY the orphaned-root restore: a missing root
+    // cannot hold a lock file, and the orphan state is by construction a
+    // crashed (therefore lease-less) writer's. Every DELETION — including
+    // the root-level staging/trash siblings — waits for the lease below:
+    // a live flat-layout compaction's fully-staged `.root__compacting`
+    // deleted pre-lease would strand its swap with no staging to install
+    // (the exact silent-damage race the lease exists to refuse).
+    {
+      val trashRoot = new Path(root.getParent, "." + root.getName + "__old")
+      if (!fs.exists(root) && fs.exists(trashRoot)) {
+        if (!fs.rename(trashRoot, root))
+          throw new java.io.IOException(
+            s"vacuumStarDataset: could not restore $root from $trashRoot")
+        restored += 1
       }
     }
     require(fs.exists(root),
       s"vacuumStarDataset: $path does not exist (and no restorable " +
         s".${root.getName}__old sibling was found)")
 
-    // Writer lease for the walk: vacuum racing a live compaction/
+    // Writer lease for every deletion: vacuum racing a live compaction/
     // clustering would delete the staging directory the sibling is about
     // to install (the doc's "do not run while a job is in flight" now
-    // REFUSES mechanically instead of relying on the operator). The
-    // root-orphan restore above runs pre-lease by necessity — a missing
-    // root cannot hold a lock file — and is itself a repair of a crashed
-    // (therefore lease-less) writer.
+    // REFUSES mechanically instead of relying on the operator).
     graft.io.DatasetLock.withLock(path, "vacuum",
       spark.sparkContext.hadoopConfiguration) {
+
+    // flat-layout swap leftovers beside the ROOT itself (outside the walk
+    // below); the root exists here, so any remaining trash sibling is a
+    // completed swap's leftover — deletable
+    Suffixes.foreach { suffix =>
+      val sib = new Path(root.getParent, "." + root.getName + suffix)
+      if (fs.exists(sib)) {
+        removedBytes +=
+          (try fs.getContentSummary(sib).getLength
+           catch { case _: java.io.IOException => 0L })
+        fs.delete(sib, true)
+        removedDirs += 1
+      }
+    }
 
     def sizeOf(p: Path): Long =
       try fs.getContentSummary(p).getLength catch { case _: java.io.IOException => 0L }

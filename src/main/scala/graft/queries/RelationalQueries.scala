@@ -822,6 +822,12 @@ object RelationalQueries {
     })
   )
 
+  /** Recursive delete for the build-once dataset fixtures' rebuild path. */
+  private def deleteTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
+    f.delete(): Unit
+  }
+
   /** Build-once-per-dataset hive-partitioned StarTable dataset (memoized:
     * the sidecar is written LAST by writePartitionedDataset, so its
     * existence marks a complete dataset — the _params.json discipline). */
@@ -852,10 +858,6 @@ object RelationalQueries {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_evds_$key"
     val marker = java.nio.file.Paths.get(path, "_graft_evolved")
     if (!java.nio.file.Files.exists(marker)) {
-      def deleteTree(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
-        f.delete(): Unit
-      }
       deleteTree(new java.io.File(path))
       val li = Tables.df(s, dir, "lineitem")
       graft.io.CsvWriter.writePartitionedDataset(
@@ -914,10 +916,6 @@ object RelationalQueries {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_vacds_$key"
     val marker = java.nio.file.Paths.get(path, "_graft_vacuumed")
     if (!java.nio.file.Files.exists(marker)) {
-      def deleteTree(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
-        f.delete(): Unit
-      }
       deleteTree(new java.io.File(path))
       graft.io.CsvWriter.writePartitionedDataset(
         StarTable.fromDataFrame(
@@ -975,10 +973,6 @@ object RelationalQueries {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_vacshds_$key"
     val marker = java.nio.file.Paths.get(path, "_graft_vacuumed")
     if (!java.nio.file.Files.exists(marker)) {
-      def deleteTree(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
-        f.delete(): Unit
-      }
       deleteTree(new java.io.File(path))
       graft.io.CsvWriter.writePartitionedDataset(
         StarTable.fromDataFrame(
@@ -1032,10 +1026,6 @@ object RelationalQueries {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_clds_$key"
     val marker = java.nio.file.Paths.get(path, "_graft_clustered")
     if (!java.nio.file.Files.exists(marker)) {
-      def deleteTree(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
-        f.delete(): Unit
-      }
       deleteTree(new java.io.File(path))
       graft.io.CsvWriter.writePartitionedDataset(
         StarTable.fromDataFrame(

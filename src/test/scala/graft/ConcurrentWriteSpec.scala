@@ -183,6 +183,39 @@ class ConcurrentWriteSpec extends AnyFunSuite {
     assert(totalRows(out) === 200 + 25)
   }
 
+  test("a FULL overwrite of an existing dataset stages and swaps: a crash " +
+    "mid-protocol leaves the old dataset intact and readable, and the " +
+    "writer lease is never deleted out from under the holder") {
+    val out = freshDataset("swap")
+    val before = spark.read.format("startable").load(out)
+      .agg(sum(col("v"))).collect().head.get(0).toString
+    val repl = spark.range(10).select(lit("z").as("grp"),
+      col("id").cast("double").as("v"))
+    // crash AFTER the staged data write, BEFORE the staged sidecar: the
+    // pre-swap static overwrite used to delete the live dataset (and its
+    // lock) up front — a crash here left a sidecar-less husk
+    final class Kill extends RuntimeException("overwrite drill kill")
+    val prev = CsvWriter.faultHook
+    CsvWriter.faultHook = p => if (p == "backfill:pre-sidecar") throw new Kill
+    try intercept[Kill] {
+      CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(repl, "cw_swap"), out, Seq("grp"))
+    } finally CsvWriter.faultHook = prev
+    assert(spark.read.format("startable").load(out)
+      .agg(sum(col("v"))).collect().head.get(0).toString === before,
+      "the old dataset must survive a crashed full overwrite untouched")
+    // the crashed attempt's lease released (exception path) and its
+    // staging is an inert hidden sibling vacuum cleans
+    val rep = Maintenance.vacuumStarDataset(spark, out)
+    assert(rep.removedDirs >= 1, s"staging leftover not cleaned: $rep")
+    // the clean re-run replaces the dataset wholesale via the swap
+    CsvWriter.writePartitionedDataset(
+      StarTable.fromDataFrame(repl, "cw_swap"), out, Seq("grp"))
+    assert(totalRows(out) === 10L)
+    assert(graft.sources.StarTableSource.readDatasetMeta(Seq(out))
+      .get.name === "cw_swap")
+  }
+
   test("every sidecar install bumps the commit counter monotonically") {
     val out = freshDataset("counter")
     val c1 = graft.sources.StarTableSource.readDatasetMeta(Seq(out)).get.commit

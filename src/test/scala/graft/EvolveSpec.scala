@@ -146,6 +146,27 @@ class EvolveSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("no new columns"), e4.getMessage)
   }
 
+  test("a crash between the stats strip and the data write leaves an " +
+    "evolve RETRYABLE: the union schema publishes only at the final flip") {
+    val out = base("retry")
+    final class Kill extends RuntimeException("evolve drill kill")
+    val prev = CsvWriter.faultHook
+    CsvWriter.faultHook = p => if (p == "backfill:pre-data") throw new Kill
+    try intercept[Kill] { evolveG1(out) }
+    finally CsvWriter.faultHook = prev
+    // the sidecar still carries the OLD schema (strip preserved it), so
+    // readers see the old columns and the IDENTICAL retry is accepted —
+    // an early union publish would refuse it with "no new columns"
+    val mid = StarTableSource.readDatasetMeta(Seq(out)).get
+    assert(mid.cols === Seq("v") && mid.lateCols.isEmpty,
+      s"union schema leaked before the data landed: $mid")
+    evolveG1(out) // at-least-once retry
+    val m = StarTableSource.readDatasetMeta(Seq(out)).get
+    assert(m.cols === Seq("v", "w") && m.lateCols === Seq("w"))
+    assert(spark.read.format("startable").load(out)
+      .filter(col("w").isNotNull).count() === 100L)
+  }
+
   test("lateColumns survive later backfills and maintenance passes") {
     val out = base("carry")
     evolveG1(out)
