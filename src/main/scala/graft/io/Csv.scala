@@ -474,7 +474,8 @@ object CsvWriter {
     // with its first sidecar.
     if (graft.sources.StarTableSource.readDatasetMeta(Seq(outDir)).isDefined)
       DatasetLock.withLock(outDir,
-        if (overwriteSlices) "backfill" else "overwrite") {
+        if (overwriteSlices) "backfill" else "overwrite",
+        awaitMs = DatasetLock.awaitMsFromConf(t.df.sparkSession)) {
         writePartitionedDatasetImpl(t, outDir, partitionBy, sep, naRep,
           numFiles, overwriteSlices, collectStats, filesPerSlice,
           collectFileStats, shardStats, evolveSchema)

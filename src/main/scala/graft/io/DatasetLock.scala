@@ -111,21 +111,39 @@ object DatasetLock {
     read(p.getFileSystem(conf), p)
   }
 
+  /** Session override for the detect-and-refuse default: a positive
+    * `spark.graft.lock.awaitMs` makes every lease acquisition WAIT up to
+    * that long (polling) for the holder to finish before refusing — the
+    * serialized-writers mode for pipelines whose maintenance jobs are
+    * allowed to queue behind a short ingest instead of failing the run. */
+  def awaitMsFromConf(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.lock.awaitMs").map(_.toLong).getOrElse(0L)
+
   /** Acquire the root's writer lease for `op`, refusing loudly
-    * ([[ConcurrentWriteException]]) when another writer holds it. */
+    * ([[ConcurrentWriteException]]) when another writer holds it —
+    * after waiting up to `awaitMs` (polling every 500 ms) when positive. */
   def acquire(rootDir: String, op: String,
               conf: Configuration =
-                graft.sources.StarTableSource.activeHadoopConf()): Handle = {
+                graft.sources.StarTableSource.activeHadoopConf(),
+              awaitMs: Long = 0L): Handle = {
     val p = lockPath(rootDir)
     val fs = p.getFileSystem(conf)
+    val deadline = System.currentTimeMillis() + math.max(0L, awaitMs)
     def refuse(holder: LockInfo): Nothing =
       throw new ConcurrentWriteException(
         s"dataset at $rootDir is locked: ${holder.describe(System.currentTimeMillis())} " +
           s"— a concurrent writer is in flight; '$op' refuses rather than " +
-          "interleave. Wait for it to finish, or if it crashed, clear the " +
+          "interleave" +
+          (if (awaitMs > 0) s" (waited ${awaitMs / 1000} s)" else "") +
+          ". Wait for it to finish, or if it crashed, clear the " +
           "stale lease with Maintenance.breakDatasetLock " +
           "(CALL graft.system.break_dataset_lock).")
-    read(fs, p).foreach(refuse)
+    var holder = read(fs, p)
+    while (holder.isDefined && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      holder = read(fs, p)
+    }
+    holder.foreach(refuse)
     val info = LockInfo(op,
       s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}",
       System.currentTimeMillis(),
@@ -155,8 +173,9 @@ object DatasetLock {
     * breakDatasetLock exists for. */
   def withLock[A](rootDir: String, op: String,
                   conf: Configuration =
-                    graft.sources.StarTableSource.activeHadoopConf())(f: => A): A = {
-    val h = acquire(rootDir, op, conf)
+                    graft.sources.StarTableSource.activeHadoopConf(),
+                  awaitMs: Long = 0L)(f: => A): A = {
+    val h = acquire(rootDir, op, conf, awaitMs)
     try f finally h.release()
   }
 

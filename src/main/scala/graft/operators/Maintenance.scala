@@ -238,7 +238,8 @@ object Maintenance {
     // its commits — rows committed into a leaf between our listing and
     // our swap would otherwise be silently dropped
     graft.io.DatasetLock.withLock(path, "compact",
-      spark.sparkContext.hadoopConfiguration) {
+      spark.sparkContext.hadoopConfiguration,
+      graft.io.DatasetLock.awaitMsFromConf(spark)) {
       val report = compact(spark, path, targetBytes, Nil, "text")
       // sharded layout: compaction re-installed each leaf's shard (files
       // stripped) — drop any cached parses of the OLD shards
@@ -302,7 +303,8 @@ object Maintenance {
     // writer lease (see compactStarDataset); the meta is re-read UNDER the
     // lock so the commit this pass CAS-flips against is the locked state
     graft.io.DatasetLock.withLock(path, "cluster",
-      spark.sparkContext.hadoopConfiguration) {
+      spark.sparkContext.hadoopConfiguration,
+      graft.io.DatasetLock.awaitMsFromConf(spark)) {
       clusterStarDatasetLocked(spark, path, sortCols, targetBytes)
     }
   }
@@ -474,7 +476,8 @@ object Maintenance {
         s"${graft.io.CsvWriter.DatasetMetaFile} sidecar — not a StarTable " +
         "dataset")
     graft.io.DatasetLock.withLock(path, "shard-stats",
-      spark.sparkContext.hadoopConfiguration) {
+      spark.sparkContext.hadoopConfiguration,
+      graft.io.DatasetLock.awaitMsFromConf(spark)) {
       shardDatasetStatsLocked(spark, path)
     }
   }
@@ -579,7 +582,8 @@ object Maintenance {
     // to install (the doc's "do not run while a job is in flight" now
     // REFUSES mechanically instead of relying on the operator).
     graft.io.DatasetLock.withLock(path, "vacuum",
-      spark.sparkContext.hadoopConfiguration) {
+      spark.sparkContext.hadoopConfiguration,
+      graft.io.DatasetLock.awaitMsFromConf(spark)) {
 
     // flat-layout swap leftovers beside the ROOT itself (outside the walk
     // below); the root exists here, so any remaining trash sibling is a
@@ -686,7 +690,8 @@ object Maintenance {
     // the only copy); plain parquet trees have no lease discipline
     if (graft.sources.StarTableSource.readDatasetMeta(Seq(path)).isDefined)
       graft.io.DatasetLock.withLock(path, "drop-partitions",
-        spark.sparkContext.hadoopConfiguration)(drop())
+        spark.sparkContext.hadoopConfiguration,
+        graft.io.DatasetLock.awaitMsFromConf(spark))(drop())
     else drop()
   }
 }

@@ -216,6 +216,37 @@ class ConcurrentWriteSpec extends AnyFunSuite {
       .get.name === "cw_swap")
   }
 
+  test("spark.graft.lock.awaitMs turns refusal into bounded serialized " +
+    "wait: a backfill queued behind a compaction completes after release") {
+    val out = freshDataset("await")
+    val upd = spark.range(7).select(lit("b").as("grp"),
+      (col("id").cast("double") + 90000.0).as("v"))
+    spark.conf.set("spark.graft.lock.awaitMs", "60000")
+    try {
+      val staged = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      Maintenance.faultHook = p =>
+        if (p == "compact:staged") { staged.countDown(); release.await() }
+      val compactor = new Thread(() =>
+        try Maintenance.compactStarDataset(spark, out, 64 * 1024): Unit
+        finally ())
+      compactor.start()
+      assert(staged.await(120, TimeUnit.SECONDS))
+      // release the compaction shortly AFTER the backfill starts waiting
+      new Thread(() => { Thread.sleep(2000); release.countDown() }).start()
+      // with the await conf this BLOCKS until the lease frees, then runs
+      CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(upd, "cw_await"), out, Seq("grp"),
+        overwriteSlices = true)
+      compactor.join(120000)
+      Maintenance.faultHook = _ => ()
+      assert(totalRows(out) === 200 + 7)
+    } finally {
+      spark.conf.unset("spark.graft.lock.awaitMs")
+      Maintenance.faultHook = _ => ()
+    }
+  }
+
   test("every sidecar install bumps the commit counter monotonically") {
     val out = freshDataset("counter")
     val c1 = graft.sources.StarTableSource.readDatasetMeta(Seq(out)).get.commit
