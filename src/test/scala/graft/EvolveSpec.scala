@@ -167,6 +167,42 @@ class EvolveSpec extends AnyFunSuite {
       .filter(col("w").isNotNull).count() === 100L)
   }
 
+  test("a second evolution accumulates lateColumns; slices see exactly " +
+    "the columns that existed when they were last written") {
+    val out = base("twice")
+    evolveG1(out)
+    // second evolution: add u on slice g2 (which has neither w nor u yet)
+    val df2 = spark.range(300).select(
+      concat(lit("g"), (col("id") % 3).cast("string")).as("grp"),
+      col("id").cast("double").as("v"),
+      (col("id").cast("double") * 10.0).as("w"),
+      (col("id").cast("double") + 0.5).as("u"))
+      .filter(col("grp") === "g2")
+    CsvWriter.writePartitionedDataset(
+      StarTable.fromDataFrame(df2, "ev"), out, Seq("grp"),
+      overwriteSlices = true, evolveSchema = true)
+    val m = StarTableSource.readDatasetMeta(Seq(out)).get
+    assert(m.cols === Seq("v", "w", "u") && m.lateCols === Seq("w", "u"))
+    val agg = spark.read.format("startable").load(out).groupBy("grp")
+      .agg(count(col("w")).as("nw"), count(col("u")).as("nu"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // g0: original write (neither); g1: first evolution (w only);
+    // g2: second evolution (both — its backfill wrote the union schema)
+    assert(agg("g0") === ((0L, 0L)) && agg("g1") === ((100L, 0L)) &&
+      agg("g2") === ((100L, 100L)), agg.toString)
+    // metadata min/max over BOTH late columns still engages
+    val agged = spark.read.format("startable").load(out)
+      .agg(max(col("w")).as("mw"), max(col("u")).as("mu"),
+        count(lit(1)).as("n"))
+    assert(agged.queryExecution.executedPlan.toString
+      .contains("StarMetaAggScan"))
+    val r = agged.collect().head
+    // max w = 2990 (g2's id 299, written by the SECOND evolution's union
+    // backfill), max u = 299.5 (g2 only)
+    assert(r.getDouble(0) === 2990.0 && r.getDouble(1) === 299.5 &&
+      r.getLong(2) === 300L, r.toString)
+  }
+
   test("lateColumns survive later backfills and maintenance passes") {
     val out = base("carry")
     evolveG1(out)
