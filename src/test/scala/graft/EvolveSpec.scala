@@ -203,6 +203,71 @@ class EvolveSpec extends AnyFunSuite {
       r.getLong(2) === 300L, r.toString)
   }
 
+  test("a STREAMED dataset evolves across a stop/restart: the resumed " +
+    "stream carries the new column, old slices read null-padded, and the " +
+    "sidecar keeps lateColumns") {
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val basePath = Files.createTempDirectory("graft_ev_stream")
+    val staging1 = basePath.resolve("staging1").toString
+    val out = basePath.resolve("ds").toString
+    // leg 1: stream (grp, v) — the pre-evolution schema
+    spark.range(40).select(
+      when(col("id") % 2 === 0, "a").otherwise("b").as("grp"),
+      col("id").cast(DoubleType).as("v"))
+      .repartition(2).write.parquet(staging1)
+    val s1 = spark.readStream.schema(StructType(Seq(
+        StructField("grp", StringType), StructField("v", DoubleType))))
+      .parquet(staging1)
+    val q1 = CsvWriter.streamPartitionedDataset(
+      StarTable.fromDataFrame(s1, "evs", units = Map("grp" -> "text")),
+      out, Seq("grp"), basePath.resolve("ckpt1").toString)
+    try q1.processAllAvailable() finally q1.stop()
+    // evolve: backfill slice c with the appended column w (the lease is
+    // free — stop() released it synchronously)
+    val evolved = spark.range(10).select(lit("c").as("grp"),
+      col("id").cast(DoubleType).as("v"),
+      (col("id").cast(DoubleType) * 2.0).as("w"))
+    CsvWriter.writePartitionedDataset(
+      StarTable.fromDataFrame(evolved, "evs"), out, Seq("grp"),
+      overwriteSlices = true, evolveSchema = true)
+    // leg 2: the resumed stream must now carry the union schema — the
+    // old shape is refused (it would silently fork the dataset schema)
+    val sOld = spark.readStream.schema(StructType(Seq(
+        StructField("grp", StringType), StructField("v", DoubleType))))
+      .parquet(staging1)
+    intercept[IllegalArgumentException] {
+      CsvWriter.streamPartitionedDataset(
+        StarTable.fromDataFrame(sOld, "evs", units = Map("grp" -> "text")),
+        out, Seq("grp"), basePath.resolve("ckpt_bad").toString)
+    }
+    // the resumed stream REUSES its checkpoint AND its staging dir (the
+    // real resume shape): the sink's _spark_metadata batch ids are
+    // dataset-global, so a fresh checkpoint would replay batch ids the
+    // manifest already holds and the sink would skip them, and the file
+    // source's offsets are path-bound. New files in the same staging
+    // carry the new column; committed leg-1 files are never re-read.
+    spark.range(40, 60).select(
+      when(col("id") % 2 === 0, "a").otherwise("b").as("grp"),
+      col("id").cast(DoubleType).as("v"),
+      (col("id").cast(DoubleType) * 2.0).as("w"))
+      .repartition(2).write.mode("append").parquet(staging1)
+    val s2 = spark.readStream.schema(StructType(Seq(
+        StructField("grp", StringType), StructField("v", DoubleType),
+        StructField("w", DoubleType))))
+      .parquet(staging1)
+    val q2 = CsvWriter.streamPartitionedDataset(
+      StarTable.fromDataFrame(s2, "evs", units = Map("grp" -> "text")),
+      out, Seq("grp"), basePath.resolve("ckpt1").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val m = StarTableSource.readDatasetMeta(Seq(out)).get
+    assert(m.cols === Seq("v", "w") && m.lateCols === Seq("w"))
+    val agg = spark.read.format("startable").load(out)
+      .agg(count(lit(1)).as("n"), count(col("w")).as("nw"))
+      .collect().head
+    // 40 leg-1 rows (w null-padded) + 10 evolved + 20 leg-2 rows with w
+    assert(agg.getLong(0) === 70L && agg.getLong(1) === 30L, agg.toString)
+  }
+
   test("lateColumns survive later backfills and maintenance passes") {
     val out = base("carry")
     evolveG1(out)
