@@ -95,6 +95,51 @@ object Bench {
     else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
   }
 
+  /** Pinned stable SHUFFLE-AXIS controls (round 13): contention is not
+    * one axis — the r12 record showed CPU controls at 1.27 while
+    * shuffle-heavy queries drifted ~2.3× (disk/shuffle-path contention
+    * the CPU controls are blind to), burning 30 reruns that adjudicated
+    * nothing. These three are code-stable, shuffle-bound, with ≥0.5 s
+    * priors; their first-pass/prior median labels the run's IO axis the
+    * way [[ControlQueries]] labels the CPU axis. */
+  val ShuffleControlQueries: Seq[String] =
+    Seq("q_event_gap", "q_group_median", "q_zipf")
+
+  /** The shuffle/IO-AXIS query set: queries whose cost is dominated by
+    * shuffle or file IO, so a contended-window adjudication must compare
+    * them against the shuffle controls, not the CPU controls. Derived
+    * EMPIRICALLY from two immutable records (BENCH_FULL r12-local vs
+    * BENCH_OFFICIAL_r10): every common ≥0.2 s query whose r12/r10 ratio
+    * exceeded 1.25× that window's CPU control ratio — i.e. provably
+    * IO-sensitive in a measured IO-contended window — plus the
+    * stream/dataset/startable families wholesale (file IO by
+    * construction). Pinned by BenchPriorSpec. */
+  val ShuffleAxisQueries: Set[String] = Set(
+    "q_anti_join", "q_bm25_search", "q_bpe_tokenize", "q_calibration",
+    "q_chi2_independence", "q_concat_union", "q_corpus_stats",
+    "q_dataset_card", "q_doc_quality", "q_doc_readability",
+    "q_doc_redact", "q_doc_tokens", "q_doc_topic", "q_emb_covariance",
+    "q_emb_pq_probe", "q_emb_pq_rerank", "q_event_anomaly", "q_event_gap",
+    "q_event_seasonal",
+    "q_events_hourly", "q_except", "q_fillna_value", "q_global_agg",
+    "q_gram_novelty", "q_group_having", "q_group_median",
+    "q_group_quantiles", "q_grouping_sets", "q_hard_negatives", "q_hits",
+    "q_hll_distinct", "q_hybrid_search", "q_incr_agg", "q_intersect",
+    "q_jaro_join", "q_json_extract", "q_kcore", "q_keyness",
+    "q_kmv_distinct", "q_ks_test", "q_label_prop", "q_langid_confusion",
+    "q_mad_outliers", "q_mann_whitney", "q_match_distribution",
+    "q_merge_scd2", "q_pareto", "q_point_lookup", "q_ppr", "q_prf_search",
+    "q_profile", "q_range_join", "q_source_overlap", "q_split_drift",
+    "q_token_burstiness", "q_token_topk", "q_top_docs_per_lang",
+    "q_triangles", "q_weighted_pagerank", "q_window_top_order",
+    "q_winsorize", "q_zipf")
+
+  /** Axis of a query: true = shuffle/IO, false = CPU. */
+  def shuffleAxis(name: String): Boolean =
+    ShuffleAxisQueries.contains(name) ||
+      name.startsWith("q_stream_") || name.startsWith("q_dataset_") ||
+      name.startsWith("q_startable_")
+
   def shouldRerun(name: String, first: Double, p: Double,
                   contention: Double = 1.0): Boolean =
     p > 0.05 && {
@@ -278,6 +323,23 @@ object Bench {
     // elevated record reads as "contended window" from the JSON alone
     // (the round-11 record needed a judge re-time session to prove that).
     val ctrlRatio = controlRatio(firstPass.toMap, prior)
+    // the IO-axis twin (round 13): the shuffle-bound pinned controls'
+    // median vs the same immutable prior — in an IO-contended window this
+    // reads ~2× while the CPU controls read ~1.2, and vice versa
+    val shufRatio = controlRatio(firstPass.toMap, prior, ShuffleControlQueries)
+
+    // Per-axis contention for the rerun trigger: a CPU-bound query's
+    // threshold scales with the CPU window, a shuffle-bound query's with
+    // the IO window (max of the measured shuffle controls and the
+    // fixed-work probe, which historically UNDERSTATES query-level drift:
+    // r12 probe 1.25× vs ~2.3× measured on queries). One-axis scaling
+    // burned 30 reruns in r12 — every shuffle query tripped a trigger
+    // scaled by the (cleaner) CPU-side factor.
+    def axisContention(name: String): Double =
+      if (shuffleAxis(name))
+        math.max(math.max(1.0, shufRatio),
+          contentionFactor(calibrationShuffle, priorShuffle.getOrElse(0.9)))
+      else math.max(1.0, ctrlRatio)
 
     // Regression-rerun discipline: any query whose median regressed ≥2× vs
     // the prior record gets one clean serialized re-timing at the END of
@@ -289,9 +351,7 @@ object Bench {
     val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = firstPass.map { case (name, first) =>
       prior.get(name) match {
-        case Some(p) if shouldRerun(name, first, p,
-            contentionFactor(calibrationShuffle,
-              priorShuffle.getOrElse(0.9))) =>
+        case Some(p) if shouldRerun(name, first, p, axisContention(name)) =>
           val again = timeQuery(name, SparkEntry.queries(name), reps)
           reruns(name) = (first, again)
           name -> math.min(first, again)
@@ -300,21 +360,25 @@ object Bench {
     }
     val total = results.map(_._2).sum
 
-    // Contention-normalized view: raw seconds divided by the control ratio
-    // — the number comparable across differently-contended windows. The
-    // raw values stay the record; normalized values are the adjudication.
-    val totalNormalized = total / ctrlRatio
+    // Contention-normalized view: raw seconds divided by the query's OWN
+    // axis ratio — the number comparable across differently-contended
+    // windows. The raw values stay the record; normalized values are the
+    // adjudication. Ratios are floored at 0.5 (a division by a tiny
+    // accidental ratio must not fabricate a 3× "speedup").
+    def axisRatio(name: String): Double =
+      math.max(0.5, if (shuffleAxis(name)) shufRatio else ctrlRatio)
+    val totalNormalized = results.map { case (n, v) => v / axisRatio(n) }.sum
 
     // Full-precision record → repo file (survives any stdout truncation).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullQsNorm = results.map { case (k, v) => "\"" + k + "\":" + v / ctrlRatio }
+    val fullQsNorm = results.map { case (k, v) => "\"" + k + "\":" + v / axisRatio(k) }
       .mkString("{", ",", "}")
     val rerunsJson = reruns.map { case (k, (f, a)) =>
       "\"" + k + "\":{\"first\":" + f + ",\"rerun\":" + a + "}"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","control_ratio":$ctrlRatio,"value_normalized":$totalNormalized,"calibration_s":$calibration,"calibration_shuffle_s":$calibrationShuffle,"calibration_saturate_s":$calibrationSaturate,"prior_shuffle_s":${priorShuffle.getOrElse(-1.0)},"reruns":$rerunsJson,"queries":$fullQs,"queries_normalized":$fullQsNorm,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","control_ratio":$ctrlRatio,"shuffle_ratio":$shufRatio,"value_normalized":$totalNormalized,"calibration_s":$calibration,"calibration_shuffle_s":$calibrationShuffle,"calibration_saturate_s":$calibrationSaturate,"prior_shuffle_s":${priorShuffle.getOrElse(-1.0)},"reruns":$rerunsJson,"queries":$fullQs,"queries_normalized":$fullQsNorm,"sf":"$sfDir","reps":$reps}"""
     if (only.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
@@ -331,7 +395,7 @@ object Bench {
     // entries leaves ~200 for the envelope + the build tool's epilogue.
     def fmt2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val budget = 1640 // envelope grew by the control_ratio fields
+    val budget = 1610 // envelope grew by the control_ratio/shuffle_ratio fields
     val bySlow = results.sortBy(-_._2)
     val sb = new StringBuilder
     var kept = 0
@@ -344,7 +408,7 @@ object Bench {
     }
     val omitted = results.size - kept
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","control_ratio":${fmt2(ctrlRatio)},"value_normalized":${fmt2(totalNormalized)},"calibration_s":${fmt2(calibration)},"cal_shuffle_s":${fmt2(calibrationShuffle)},"cal_saturate_s":${fmt2(calibrationSaturate)},"reruns":${reruns.size},"queries":{${sb.toString}},"n_queries":${results.size},"omitted_fastest":$omitted,"full":"BENCH_FULL.json","sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","control_ratio":${fmt2(ctrlRatio)},"shuffle_ratio":${fmt2(shufRatio)},"value_normalized":${fmt2(totalNormalized)},"calibration_s":${fmt2(calibration)},"cal_shuffle_s":${fmt2(calibrationShuffle)},"cal_saturate_s":${fmt2(calibrationSaturate)},"reruns":${reruns.size},"queries":{${sb.toString}},"n_queries":${results.size},"omitted_fastest":$omitted,"full":"BENCH_FULL.json","sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

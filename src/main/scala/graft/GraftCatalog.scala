@@ -160,6 +160,28 @@ object GraftCatalog {
         spark, str(r, 0)))),
 
     new MaintenanceProcedure(
+      "evolve_dataset_schema",
+      "Append data columns to a StarTable dataset by rewriting the sidecar " +
+        "alone — no data write; old slices read null-padded " +
+        "(graft.io.CsvWriter.evolveDatasetSchema). `columns` is " +
+        "comma-separated name:unit pairs (unit defaults to '-')",
+      Seq(in("path", StringType), in("columns", StringType)),
+      StructType(Seq(StructField("columns_added", LongType, nullable = false))),
+      (spark, r) => {
+        val cols = strs(r, 1).map { tok =>
+          tok.split(':') match {
+            case Array(n)    => n.trim -> "-"
+            case Array(n, u) => n.trim -> u.trim
+            case _ => throw new IllegalArgumentException(
+              s"evolve_dataset_schema: malformed column spec '$tok' " +
+                "(expected name or name:unit)")
+          }
+        }
+        graft.io.CsvWriter.evolveDatasetSchema(spark, str(r, 0), cols)
+        Seq(cols.size.toLong)
+      }),
+
+    new MaintenanceProcedure(
       "break_dataset_lock",
       "Forcibly clear a dataset's writer lease after a CRASHED writer " +
         "(graft.operators.Maintenance.breakDatasetLock) — never call " +

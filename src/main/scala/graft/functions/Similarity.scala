@@ -828,6 +828,64 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Composed PQ probe + exact re-rank — the ONE-CALL form of the pattern
+    * the ANN rehearsal proved necessary: raw ADC ranking is a byte-
+    * reduction stage, not a ranking (recall@10 was 0.188 on the 500k×64d
+    * rehearsal corpus); feeding its top `topK × rerankFactor` candidates
+    * into an exact cosine over the original float vectors recovers 0.86+
+    * recall at m=8 k=64 with rerank@200 (the measured defaults:
+    * rerankFactor = 20 × topK 10 = 200 candidates).
+    *
+    * Scale shape: the ADC scan reads m ints/vector (32-64× less IO than
+    * floats); the candidate ids — a few hundred — are collected (the
+    * centroid-table class of justified driver collect) and pushed into the
+    * float table's scan as an `id IN (...)` predicate, so the re-rank
+    * reads only the candidate rows' row groups (parquet id-stats pruning),
+    * never a full float scan. Output matches [[bruteForceTopK]]'s shape
+    * (id, cosine) so the two compose and compare directly. */
+  def probePqIndexReranked(spark: org.apache.spark.sql.SparkSession,
+                           path: String, vectors: DataFrame, embCol: String,
+                           query: Seq[Float], topK: Int,
+                           rerankFactor: Int = 20,
+                           idCol: String = "vec_id"): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val candidateIds = probePqIndex(spark, path, query, topK * rerankFactor,
+      idCol).select(col(idCol)).collect().map(_.get(0)).toSeq
+    rerankExact(vectors, embCol, idCol, candidateIds, query, topK)
+  }
+
+  /** [[probePqIndexReranked]] for the IVF-PQ index: coarse-list pruning ×
+    * PQ compression on the candidate scan, exact cosine on the rerank.
+    * Rehearsal-measured default: nprobe=16, rerank@200 → 0.756 recall@10
+    * (raise nprobe before rerankFactor when recall is short — missed
+    * candidates are usually in unprobed lists, not mis-ranked). */
+  def probeIvfPqIndexReranked(spark: org.apache.spark.sql.SparkSession,
+                              path: String, vectors: DataFrame, embCol: String,
+                              query: Seq[Float], topK: Int, nprobe: Int,
+                              rerankFactor: Int = 20,
+                              idCol: String = "vec_id"): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val candidateIds = probeIvfPqIndex(spark, path, query,
+      topK * rerankFactor, nprobe, idCol).select(col(idCol))
+      .collect().map(_.get(0)).toSeq
+    rerankExact(vectors, embCol, idCol, candidateIds, query, topK)
+  }
+
+  /** Exact-cosine re-rank of a bounded candidate id set against the float
+    * vectors: the ids ride as an IN predicate into the vector scan
+    * (pushed to parquet — candidate row groups only), then one codegen'd
+    * cosine + TakeOrderedAndProject. */
+  private def rerankExact(vectors: DataFrame, embCol: String, idCol: String,
+                          candidateIds: Seq[Any], query: Seq[Float],
+                          topK: Int): DataFrame = {
+    require(candidateIds.nonEmpty,
+      "rerankExact: empty candidate set (is the index empty?)")
+    vectors.filter(col(idCol).isin(candidateIds: _*))
+      .select(col(idCol), cosine(col(embCol), vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
                             path: String): Map[(Int, Int), Array[Double]] =
     spark.read.parquet(s"$path/codebooks")

@@ -466,24 +466,65 @@ object CsvWriter {
       "writePartitionedDataset: evolveSchema is a backfill mode — pass " +
         "overwriteSlices = true (a full overwrite needs no evolution: it " +
         "replaces the schema wholesale)")
-    // Writer lease (round 12): any write over an EXISTING dataset —
-    // backfill or full overwrite — takes the root's DatasetLock so it
-    // cannot interleave with a concurrent compaction/clustering/vacuum/
-    // stream ingest (silent lost-commit windows otherwise). A write to a
-    // fresh root has no sibling to race; it starts the lease discipline
-    // with its first sidecar.
-    if (graft.sources.StarTableSource.readDatasetMeta(Seq(outDir)).isDefined)
-      DatasetLock.withLock(outDir,
-        if (overwriteSlices) "backfill" else "overwrite",
-        awaitMs = DatasetLock.awaitMsFromConf(t.df.sparkSession)) {
-        writePartitionedDatasetImpl(t, outDir, partitionBy, sep, naRep,
-          numFiles, overwriteSlices, collectStats, filesPerSlice,
-          collectFileStats, shardStats, evolveSchema)
-      }
-    else
+    // Writer lease (round 12, slice-scoped since round 13): any write over
+    // an EXISTING dataset takes a DatasetLock so it cannot interleave with
+    // a concurrent compaction/clustering/vacuum/stream ingest (silent
+    // lost-commit windows otherwise). A full overwrite or a schema
+    // evolution is EXCLUSIVE (it touches the whole root / the schema); a
+    // plain backfill takes a SHARED lease scoped to exactly the slices it
+    // rewrites, so the daily parallel-ingest shape — independent
+    // partitions landing concurrently — fans out instead of serializing
+    // on one root lock (overlapping backfills still refuse each other).
+    // A write to a fresh root has no sibling to race; it starts the lease
+    // discipline with its first sidecar.
+    val spark = t.df.sparkSession
+    val awaitMs = DatasetLock.awaitMsFromConf(spark)
+    val ttlMs = DatasetLock.ttlMsFromConf(spark)
+    def impl(lock: Option[DatasetLock.Handle],
+             parts: Option[Set[Seq[String]]]): Unit =
       writePartitionedDatasetImpl(t, outDir, partitionBy, sep, naRep,
         numFiles, overwriteSlices, collectStats, filesPerSlice,
-        collectFileStats, shardStats, evolveSchema)
+        collectFileStats, shardStats, evolveSchema, lock, parts)
+    if (graft.sources.StarTableSource.readDatasetMeta(Seq(outDir)).isEmpty)
+      impl(None, None)
+    else if (!overwriteSlices)
+      DatasetLock.withLockHandle(outDir, "overwrite",
+        awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), None))
+    else if (evolveSchema)
+      DatasetLock.withLockHandle(outDir, "backfill-evolve",
+        awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), None))
+    else touchedSlices(t, partitionBy, naRep) match {
+      case Some(parts) if parts.nonEmpty =>
+        DatasetLock.withSharedLock(outDir, "backfill", parts,
+          awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), Some(parts)))
+      case Some(_) => // empty input: nothing to rewrite, but the sidecar
+        // protocol still runs (commit bump) — exclusive keeps it simple
+        DatasetLock.withLockHandle(outDir, "backfill",
+          awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), Some(Set.empty)))
+      case None => // slice set too large to record in a lease — exclusive
+        DatasetLock.withLockHandle(outDir, "backfill",
+          awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), None))
+    }
+  }
+
+  /** A shared backfill lease records the exact slice set it rewrites; a
+    * lock file is a poor home for an unbounded list, so beyond this many
+    * touched slices the backfill falls back to the exclusive root lease. */
+  private[graft] val MaxSharedLockSlices = 1000
+
+  /** The distinct rendered partition-path tuples of `t` — the slice set a
+    * backfill rewrites, computed UP FRONT for the shared lease (and passed
+    * down so the write protocol does not recompute it). None when the
+    * count exceeds [[MaxSharedLockSlices]]. */
+  private def touchedSlices(t: StarTable, partitionBy: Seq[String],
+                            naRep: String): Option[Set[Seq[String]]] = {
+    val keys = partitionPathCols(t, partitionBy, naRep,
+      "writePartitionedDataset")
+    val rows = t.df.select(keys: _*).distinct()
+      .limit(MaxSharedLockSlices + 1).collect()
+    if (rows.length > MaxSharedLockSlices) None
+    else Some(rows.map(r => partitionBy.indices.map(i =>
+      if (r.isNullAt(i)) null else r.getString(i)): Seq[String]).toSet)
   }
 
   private def writePartitionedDatasetImpl(t: StarTable, outDir: String,
@@ -496,7 +537,15 @@ object CsvWriter {
                               filesPerSlice: Int,
                               collectFileStats: Option[Boolean],
                               shardStats: Option[Boolean],
-                              evolveSchema: Boolean = false): Unit = {
+                              evolveSchema: Boolean = false,
+                              lock: Option[DatasetLock.Handle] = None,
+                              precomputedParts: Option[Set[Seq[String]]] = None): Unit = {
+    // a SHARED (slice-scoped) lease means siblings may be flipping the
+    // root sidecar concurrently: every sidecar mutation below then goes
+    // through the flip lock as a read-merge-install instead of the
+    // exclusive path's strict observed-commit CAS
+    val sharedLease = lock.exists(_.info.slices.nonEmpty)
+    val lockToken: Option[String] = lock.map(_.info.token)
     require(filesPerSlice >= 1,
       s"writePartitionedDataset: filesPerSlice must be >= 1, got $filesPerSlice")
     require(partitionBy.nonEmpty,
@@ -608,8 +657,9 @@ object CsvWriter {
     val sharded: Boolean = shardedPre ||
       (capped && existingMeta.isEmpty && shardStats.isEmpty)
     // which slice entries the incoming data replaces (for stat stripping
-    // inline; for the shard read-back restriction sharded)
-    val rewrittenParts: Set[Seq[String]] = {
+    // inline; for the shard read-back restriction sharded) — reuses the
+    // slice set the shared lease already computed when available
+    val rewrittenParts: Set[Seq[String]] = precomputedParts.getOrElse {
       if (sharded) {
         if (!overwriteSlices) Set.empty
         else {
@@ -646,7 +696,23 @@ object CsvWriter {
     // that commits mid-protocol turns this writer's next flip into a loud
     // ConcurrentWriteException instead of a silent revert.
     var lastCommit: Option[Long] = existingMeta.map(_.commit)
-    existingMeta.foreach { m =>
+    if (sharedLease) {
+      // shared lease: the strip is a read-merge-install under the FLIP
+      // lock against the THEN-CURRENT sidecar — a disjoint sibling may
+      // have flipped since this writer's meta read, and its entries must
+      // survive our strip (slice sets are disjoint by the lease contract,
+      // so filtering OUR partitions never touches theirs)
+      if (existingMeta.isDefined && rewrittenParts.nonEmpty)
+        mutateSidecarUnderFlip(outDir) { cur =>
+          val stripped = cur.sliceStats
+            .filterNot(s => rewrittenParts.contains(s.partition))
+          val strippedFiles = cur.fileStats
+            .filterNot(s => rewrittenParts.contains(s.partition))
+          if (stripped.size == cur.sliceStats.size &&
+              strippedFiles.size == cur.fileStats.size) None // nothing ours
+          else Some((cur.copy(sliceStats = stripped), strippedFiles))
+        }
+    } else existingMeta.foreach { m =>
       val stripped =
         if (capped) Nil
         else m.sliceStats.filterNot(s => rewrittenParts.contains(s.partition))
@@ -662,7 +728,8 @@ object CsvWriter {
         // retry accepts — publishing the union early would make the
         // retry refuse with "no new columns" and wedge at-least-once
         // schedulers
-        writeSidecarRaw(outDir, m.copy(sliceStats = stripped), strippedFiles)
+        writeSidecarRaw(outDir, m.copy(sliceStats = stripped), strippedFiles,
+          lockToken = lockToken)
         lastCommit = Some(lastCommit.getOrElse(0L) + 1L)
       }
     }
@@ -679,6 +746,15 @@ object CsvWriter {
     // vacuumStarDataset cleans.
     val replaceExisting = !overwriteSlices &&
       graft.sources.StarTableSource.readDatasetMeta(Seq(outDir)).isDefined
+    // the swapped-in dataset's commit counter continues ABOVE the old
+    // root's — a reset to 1 would open an ABA window for the CAS second
+    // defense (a lock-bypassing writer that began at commit 1 of the
+    // pre-overwrite dataset would pass the check) and break cross-
+    // overwrite monotonicity
+    val overwriteSeedCommit: Long =
+      if (!replaceExisting) 1L
+      else graft.sources.StarTableSource.readDatasetMeta(Seq(outDir))
+        .map(_.commit + 1L).getOrElse(1L)
     val rootPath = new org.apache.hadoop.fs.Path(outDir)
     val dataDir: String =
       if (!replaceExisting) outDir
@@ -708,15 +784,18 @@ object CsvWriter {
         out.repartition(numFiles,
           partitionBy.map(org.apache.spark.sql.functions.col) :+ salt: _*)
       }
-    if (overwriteSlices) {
-      val spark = t.df.sparkSession
-      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-      try {
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(outDir)
-      } finally
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    } else
+    if (overwriteSlices)
+      // dynamic overwrite as a PER-WRITE option, never a session-conf
+      // flip: two concurrent shared backfills restoring a session global
+      // would race (one restore would flip the other's still-running
+      // write back to STATIC overwrite — a silent full wipe); the option
+      // is scoped to this write alone. Concurrent dynamic overwrites are
+      // job-isolated on disk too: each stages under its own
+      // .spark-staging-<jobId> and commits only its own partition dirs.
+      shaped.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionBy: _*).text(outDir)
+    else
       shaped.write.mode("overwrite").partitionBy(partitionBy: _*).text(dataDir)
     faultHook("backfill:pre-sidecar")
     if (sharded) {
@@ -733,12 +812,19 @@ object CsvWriter {
           dataCols.map(t.unit), partitionBy, sep, naRep,
           onlySlices = if (overwriteSlices) Some(rewrittenParts) else None,
           recordFileEntries = collectFileStats.getOrElse(true))
-      writeDatasetSidecar(t, dataDir, dataCols, partitionBy, sep, Nil, Nil,
-        statsSharded = true,
-        // the full (static) overwrite deleted the old sidecar with the
-        // directory; a backfill's sidecar survives at the observed commit
-        expectCommit = Some(if (overwriteSlices) lastCommit else None),
-        lateCols = lateCols)
+      if (sharedLease)
+        // sharded layout's root sidecar carries only schema + marker; the
+        // flip is still a read-merge so the commit chain stays linear
+        // across disjoint siblings
+        mutateSidecarUnderFlip(outDir)(cur => Some((cur, cur.fileStats)))
+      else
+        writeDatasetSidecar(t, dataDir, dataCols, partitionBy, sep, Nil, Nil,
+          statsSharded = true,
+          // the full (static) overwrite stages a fresh sidecar; a
+          // backfill's sidecar survives at the observed commit
+          expectCommit = Some(if (overwriteSlices) lastCommit else None),
+          lateCols = lateCols, lockToken = lockToken,
+          seedCommit = overwriteSeedCommit)
       graft.sources.StarTableSource.invalidateShardCache(outDir)
     } else {
       val stats: Seq[graft.sources.StarTableSource.SliceStats] =
@@ -764,10 +850,22 @@ object CsvWriter {
           dataCols.map(t.unit), partitionBy, sep, naRep,
           onlySlices = if (overwriteSlices) Some(rewrittenParts) else None)
       // sidecar LAST: readers refuse a dataset without it
-      writeDatasetSidecar(t, dataDir, dataCols, partitionBy, sep, stats,
-        survivors ++ written,
-        expectCommit = Some(if (overwriteSlices) lastCommit else None),
-        lateCols = lateCols)
+      if (sharedLease)
+        // read-merge under the flip lock: OUR slices' entries replaced
+        // with the fresh aggregates, every sibling's entry (including
+        // ones committed while our data was writing) carried verbatim
+        mutateSidecarUnderFlip(outDir) { cur =>
+          Some((cur.copy(sliceStats = cur.sliceStats
+             .filterNot(s => rewrittenParts.contains(s.partition)) ++ fresh),
+           cur.fileStats.filterNot(s => rewrittenParts.contains(s.partition))
+             ++ written))
+        }
+      else
+        writeDatasetSidecar(t, dataDir, dataCols, partitionBy, sep, stats,
+          survivors ++ written,
+          expectCommit = Some(if (overwriteSlices) lastCommit else None),
+          lateCols = lateCols, lockToken = lockToken,
+          seedCommit = overwriteSeedCommit)
     }
     if (replaceExisting) {
       // two-rename commit: old root to hidden trash, staging in, trash
@@ -1134,10 +1232,82 @@ object CsvWriter {
                                   fileStats: Seq[graft.sources.StarTableSource.FileStats] = Nil,
                                   statsSharded: Boolean = false,
                                   expectCommit: Option[Option[Long]] = None,
-                                  lateCols: Seq[String] = Nil): Unit =
+                                  lateCols: Seq[String] = Nil,
+                                  lockToken: Option[String] = None,
+                                  seedCommit: Long = 1L): Unit =
     writeSidecarFields(outDir, t.name, t.destinations, dataCols,
       dataCols.map(t.unit), partitionBy, partitionBy.map(t.unit), sep,
-      sliceStats, fileStats, statsSharded, expectCommit, lateCols)
+      sliceStats, fileStats, statsSharded, expectCommit, lateCols,
+      lockToken, seedCommit)
+
+  /** METADATA-ONLY schema evolution: append `newCols` (name, unit) pairs
+    * to an existing dataset's schema by rewriting the SIDECAR alone — no
+    * slice is backfilled. Every existing slice's short rows read
+    * null-padded on the new columns from the commit on; the columns are
+    * recorded as `lateColumns`, so statistics pruning and metadata
+    * aggregates keep engaging (a slice entry with no stat for a late
+    * column provably means all-null), and the NEXT plain backfill simply
+    * carries the new columns (its incoming schema now matches the
+    * dataset's). This is the "add the column only for future appends"
+    * shape; [[writePartitionedDataset]]'s `evolveSchema = true` remains
+    * the evolve-with-data variant. Exclusive lease: a schema flip must
+    * not interleave with any writer. */
+  def evolveDatasetSchema(spark: SparkSession, outDir: String,
+                          newCols: Seq[(String, String)]): Unit = {
+    require(newCols.nonEmpty, "evolveDatasetSchema: no columns to append")
+    val names = newCols.map(_._1)
+    require(names.distinct == names,
+      s"evolveDatasetSchema: duplicate new column names ${names.mkString(", ")}")
+    DatasetLock.withLockHandle(outDir, "evolve-schema",
+      awaitMs = DatasetLock.awaitMsFromConf(spark),
+      ttlMs = DatasetLock.ttlMsFromConf(spark)) { h =>
+      graft.sources.StarTableSource.invalidateMetaCache(outDir)
+      val cur = graft.sources.StarTableSource.readDatasetMeta(Seq(outDir))
+        .getOrElse(throw new IllegalArgumentException(
+          s"evolveDatasetSchema: $outDir has no $DatasetMetaFile sidecar — " +
+            "not a StarTable dataset"))
+      val clash = names.filter(n =>
+        cur.cols.contains(n) || cur.partCols.contains(n))
+      require(clash.isEmpty,
+        s"evolveDatasetSchema: column(s) ${clash.mkString(", ")} already " +
+          s"exist in the dataset at $outDir (${cur.cols.mkString(", ")}; " +
+          s"partitioned by ${cur.partCols.mkString(", ")})")
+      writeSidecarFields(outDir, cur.name, cur.destinations,
+        cur.cols ++ names, cur.units ++ newCols.map(_._2),
+        cur.partCols, cur.partUnits, cur.sep,
+        cur.sliceStats, cur.fileStats, cur.statsSharded,
+        expectCommit = Some(Some(cur.commit)),
+        lateCols = (cur.lateCols ++ names).distinct,
+        lockToken = Some(h.info.token))
+    }
+    graft.sources.StarTableSource.invalidateMetaCache(outDir)
+  }
+
+  /** Read-merge-install of the root sidecar under the FLIP lock — the
+    * shared-lease sidecar mutation primitive. Re-reads the THEN-CURRENT
+    * sidecar (cache invalidated first), applies `f` — which must only
+    * add/remove the caller's OWN slices' entries (disjointness is the
+    * shared-lease contract) — and installs with the CAS expecting the
+    * commit just read. Flips serialize on the flip lock, so the CAS can
+    * only trip on a lock bypasser racing the install window itself.
+    * `f` returning None skips the install (nothing to change). */
+  private def mutateSidecarUnderFlip(outDir: String)(
+      f: graft.sources.StarTableSource.DatasetMeta =>
+        Option[(graft.sources.StarTableSource.DatasetMeta,
+                Seq[graft.sources.StarTableSource.FileStats])]): Unit =
+    DatasetLock.withFlipLock(outDir) { flipToken =>
+      graft.sources.StarTableSource.invalidateMetaCache(outDir)
+      val cur = graft.sources.StarTableSource.readDatasetMeta(Seq(outDir))
+        .getOrElse(throw new ConcurrentWriteException(
+          s"dataset at $outDir: sidecar vanished during a shared backfill " +
+            "— a concurrent full overwrite or delete raced this writer"))
+      f(cur).foreach { case (m2, files2) =>
+        writeSidecarFields(outDir, m2.name, m2.destinations, m2.cols,
+          m2.units, m2.partCols, m2.partUnits, m2.sep, m2.sliceStats, files2,
+          m2.statsSharded, expectCommit = Some(Some(cur.commit)),
+          lateCols = m2.lateCols, lockToken = Some(flipToken))
+      }
+    }
 
   /** Rewrite an existing dataset's sidecar with fresh FILE statistics,
     * everything else (schema, sep, slice stats) verbatim — the
@@ -1147,11 +1317,12 @@ object CsvWriter {
     * refuse instead of silently reverting its sidecar. */
   private[graft] def writeSidecarRaw(outDir: String,
       meta: graft.sources.StarTableSource.DatasetMeta,
-      fileStats: Seq[graft.sources.StarTableSource.FileStats]): Unit =
+      fileStats: Seq[graft.sources.StarTableSource.FileStats],
+      lockToken: Option[String] = None): Unit =
     writeSidecarFields(outDir, meta.name, meta.destinations, meta.cols,
       meta.units, meta.partCols, meta.partUnits, meta.sep, meta.sliceStats,
       fileStats, meta.statsSharded, expectCommit = Some(Some(meta.commit)),
-      lateCols = meta.lateCols)
+      lateCols = meta.lateCols, lockToken = lockToken)
 
   private def writeSidecarFields(outDir: String, name: String,
                                  destinations: Set[String],
@@ -1162,7 +1333,15 @@ object CsvWriter {
                                  fileStats: Seq[graft.sources.StarTableSource.FileStats],
                                  statsSharded: Boolean = false,
                                  expectCommit: Option[Option[Long]] = None,
-                                 lateCols: Seq[String] = Nil): Unit = {
+                                 lateCols: Seq[String] = Nil,
+                                 lockToken: Option[String] = None,
+                                 seedCommit: Long = 1L): Unit = {
+    // Lease-ownership gate (first defense, round 13): when the root is
+    // under ANY live lease, the installer must present the current
+    // exclusive token or the current flip token — a tokenless install
+    // against a leased root is a lock bypass, refused at the bypasser's
+    // own write instead of (only) at the victim's next flip.
+    DatasetLock.verifyWriteAuthority(outDir, lockToken)
     // CAS at the flip: the second defense behind the DatasetLock lease —
     // a writer that bypassed the lease (legacy code, a force-broken lock)
     // is caught here, before its install can revert a sibling's commit.
@@ -1176,8 +1355,11 @@ object CsvWriter {
           "concurrent writer committed in between; rerun this operation " +
           "against the current state")
     }
-    val newCommit: Long =
-      expectCommit.flatten.orElse(current).getOrElse(0L) + 1L
+    // seedCommit keeps the counter monotonic ACROSS a full overwrite's
+    // root swap (the staged sidecar continues above the replaced root's
+    // commit instead of resetting to 1 — closing the CAS ABA window)
+    val newCommit: Long = math.max(seedCommit,
+      expectCommit.flatten.orElse(current).getOrElse(0L) + 1L)
     import graft.io.JsonValue._
     def optStr(s: String): JsonValue = if (s == null) JsonNull else JsonString(s)
     val statsJson = JsonArray(sliceStats.toVector.map { s =>
@@ -1202,6 +1384,9 @@ object CsvWriter {
       "partitionBy" -> JsonArray(partitionBy.toVector.map(JsonString(_))),
       "partitionUnits" -> JsonArray(partUnits.toVector.map(JsonString(_))),
       "sep" -> JsonString(sep),
+      // stored as a JSON double on purpose (the sidecar's only number
+      // type): exact to 2^53 commits — do NOT "fix" into a string, the
+      // reader parses JsonNumber
       "commit" -> JsonNumber(newCommit.toDouble)) ++
       (if (!statsSharded) Nil else Seq("statsSharded" -> JsonBool(true))) ++
       (if (lateCols.isEmpty) Nil
@@ -1351,8 +1536,13 @@ object CsvWriter {
     // listing and its swap are silently lost) — the single worst
     // concurrent-writer window on a dataset. Held until the query
     // terminates: released synchronously by the returned handle's stop(),
-    // and by a listener backstop when the query dies on its own.
-    val lock = DatasetLock.acquire(outDir, "stream-ingest")
+    // and by a listener backstop when the query dies on its own. The
+    // lease heartbeat keeps it live for the stream's whole run; awaitMs
+    // applies here as everywhere (a stream start queued behind a short
+    // compaction waits it out instead of refusing).
+    val lock = DatasetLock.acquire(outDir, "stream-ingest",
+      awaitMs = DatasetLock.awaitMsFromConf(t.df.sparkSession),
+      ttlMs = DatasetLock.ttlMsFromConf(t.df.sparkSession))
     try {
     val existing = graft.sources.StarTableSource.readDatasetMeta(Seq(outDir))
     // streaming into an existing dataset must not silently fork its schema
@@ -1390,7 +1580,8 @@ object CsvWriter {
     // outside stale ranges; readers fall back to partition-level pruning
     writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep,
       expectCommit = Some(existing.map(_.commit)),
-      lateCols = existing.map(_.lateCols).getOrElse(Nil))
+      lateCols = existing.map(_.lateCols).getOrElse(Nil),
+      lockToken = Some(lock.info.token))
     val pathCols = partitionPathCols(t, partitionBy, naRep,
       "streamPartitionedDataset")
     val valueCol = concat_ws(sep,

@@ -24,64 +24,198 @@ final class ConcurrentWriteException(msg: String)
   * /root/reference/pdtable/io/load/_orchestrators.py:24); a production
   * pipeline runs ingest and maintenance concurrently on day one.
   *
-  * Semantics: DETECT-AND-REFUSE, not wait-and-retry. Acquisition
-  * atomically creates `_startable_lock.json` inside the root
-  * (`fs.create(path, overwrite = false)` — the HDFS/local atomic-create
-  * primitive) and verifies ownership by reading back its unique token, so
-  * even on stores where create-no-overwrite is check-then-act the losing
-  * racer of the tiny window sees the other's token and refuses. A held
-  * lock fails fast with the holder's operation, owner, and age — the
-  * caller decides whether to wait or, after a crash, clear it with
-  * [[graft.operators.Maintenance.breakDatasetLock]]. The `_` prefix keeps
-  * the file invisible to every data listing.
+  * Three lock kinds, all JSON files inside the root (the `_` prefix keeps
+  * them invisible to every data listing):
+  *
+  *  - EXCLUSIVE (`_startable_lock.json`): sole-writer lease taken by
+  *    maintenance (compact/cluster/vacuum/stats migration/drop), full
+  *    overwrites, schema evolution, and stream ingest. Mutually exclusive
+  *    with everything.
+  *  - SHARED (`_startable_lock.shared.<token>.json`): slice-scoped
+  *    backfill lease recording the exact partition set the holder
+  *    rewrites. Any number of shared holders with pairwise-DISJOINT slice
+  *    sets coexist — the daily parallel-ingest shape — while an
+  *    overlapping shared sibling or any exclusive writer is refused.
+  *  - FLIP (`_startable_flip.json`): a short-lived mutex serializing root
+  *    SIDECAR rewrites among shared holders (each flip is a read-merge-
+  *    install against the then-current sidecar, so disjoint backfills
+  *    never clobber each other's stat entries).
+  *
+  * Liveness: every lease carries a TTL and is RENEWED by a daemon
+  * heartbeat (interval ttl/4) for as long as its holder runs. A lease
+  * whose `renewedAtMs` is older than its TTL was abandoned by a killed
+  * process (exceptions release in `finally`; only kill -9 leaves one) and
+  * any acquirer may break-and-take it — no human `break_dataset_lock`
+  * needed for the common crash. A LIVE holder is never usurped: its
+  * heartbeat keeps the lease fresh, and a holder that could not renew
+  * within its own TTL (epic GC pause, FS outage) marks itself lost and
+  * refuses further sidecar writes rather than zombie-writing over a
+  * legitimate successor.
+  *
+  * Acquisition atomicity: on `file:` stores the lock is created with
+  * NIO CREATE_NEW (O_EXCL — truly atomic, no read-back window). On other
+  * stores `fs.create(path, overwrite = false)` is used (atomic on HDFS);
+  * for stores where create-no-overwrite is check-then-act (object-store
+  * semantics) a losing racer can truncate the winner's file AFTER the
+  * winner's first read-back, so acquisition re-verifies the token a
+  * second time after a short grace delay. A racer whose own
+  * check-to-create gap exceeds that grace window remains a residual
+  * hazard on such stores — the sidecar commit CAS below is the backstop.
+  *
+  * Semantics: DETECT-AND-REFUSE by default. A held lock fails fast with
+  * the holder's operation, owner, and age; `spark.graft.lock.awaitMs`
+  * turns refusal into a bounded poll; expired leases are taken over
+  * automatically. [[graft.operators.Maintenance.breakDatasetLock]] remains
+  * for the operator who must evict a lease that never expires (legacy
+  * files with no TTL, unreadable lock files).
   *
   * This is the first coordination layer, not a transaction log: readers
   * never take locks (reads stay lock-free and scale-free), and a second
   * defense — the sidecar commit counter with compare-and-swap semantics
-  * at the root flip ([[CsvWriter.writeDatasetSidecar]]) — catches writers
+  * at the root flip ([[CsvWriter.writeDatasetSidecar]]), plus the
+  * lease-ownership check every sidecar install performs — catches writers
   * that bypassed the lease (legacy code, a broken lock). */
 object DatasetLock {
 
   val LockFile = "_startable_lock.json"
+  val SharedLockPrefix = "_startable_lock.shared."
+  val FlipLockFile = "_startable_flip.json"
+
+  /** Default lease TTL (10 min) — heartbeats land every ttl/4, so a
+    * holder survives pauses up to ~7.5 min before self-invalidating. */
+  val DefaultTtlMs: Long = 600000L
+
+  /** Grace delay before the second read-back on stores whose
+    * create-no-overwrite is check-then-act (never paid on `file:`/HDFS,
+    * whose creates are atomic). */
+  private val GraceMs = 100L
 
   final case class LockInfo(op: String, owner: String, acquiredAtMs: Long,
-                            token: String) {
+                            token: String,
+                            renewedAtMs: Long = 0L, ttlMs: Long = 0L,
+                            slices: Set[Seq[String]] = Set.empty) {
     def describe(nowMs: Long): String =
-      s"operation '$op' by $owner, acquired ${(nowMs - acquiredAtMs) / 1000} s ago"
+      s"operation '$op' by $owner, acquired ${(nowMs - acquiredAtMs) / 1000} s ago" +
+        (if (ttlMs > 0) s" (lease TTL ${ttlMs / 1000} s, last renewed " +
+          s"${(nowMs - effectiveRenewedAt) / 1000} s ago)"
+         else " (no lease TTL — break manually if crashed)")
+    def effectiveRenewedAt: Long = math.max(acquiredAtMs, renewedAtMs)
+    /** Abandoned by a killed process: TTL elapsed with no heartbeat. A
+      * zero TTL (legacy lock files, unreadable locks) never expires —
+      * conservative: only the operator's break clears those. */
+    def expired(nowMs: Long): Boolean =
+      ttlMs > 0 && nowMs - effectiveRenewedAt > ttlMs
+    /** Conflict tie-break: the EARLIER acquisition wins; the loser
+      * retreats. Total order via the unique token. */
+    def beats(other: LockInfo): Boolean =
+      acquiredAtMs < other.acquiredAtMs ||
+        (acquiredAtMs == other.acquiredAtMs && token < other.token)
   }
+
+  /** One daemon heartbeat thread renews every live handle's lease. */
+  private lazy val renewer: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-dataset-lock-renewer")
+      t.setDaemon(true)
+      t
+    }
 
   /** A held lease; [[release]] is idempotent and only ever deletes the
     * lock if it still carries this handle's token (a lease lost to a
-    * forced break or a directory overwrite is never someone else's lease
-    * deleted). The token check is check-then-act — a [[breakLock]] fired
-    * WHILE this holder was alive, followed by a new acquisition landing
-    * exactly between this release's read and delete, could remove the new
-    * holder's file; that ordering requires breaking a LIVE holder's lock,
-    * which [[breakLock]]'s contract already forbids (break only crashed
-    * holders). */
+    * forced break, an expiry takeover, or a directory overwrite is never
+    * someone else's lease deleted). The token check is check-then-act —
+    * a [[breakLock]] fired WHILE this holder was alive, followed by a new
+    * acquisition landing exactly between this release's read and delete,
+    * could remove the new holder's file; that ordering requires breaking
+    * a LIVE holder's lock, which [[breakLock]]'s contract already forbids
+    * (break only crashed holders). */
   final class Handle private[DatasetLock] (fs: FileSystem, path: Path,
-                                           val info: LockInfo) {
+                                           @volatile private var infoVar: LockInfo) {
+    def info: LockInfo = infoVar
     @volatile private var released = false
+    @volatile private var lostVar = false
+    @volatile private[DatasetLock] var renewTask: java.util.concurrent.ScheduledFuture[_] = null
+
+    /** True when this handle's lease was usurped or could not be renewed
+      * within its own TTL — the holder must stop writing (its successor
+      * may already be running). Sidecar installs check this through the
+      * token they present; long protocols may also poll it directly. */
+    def lost: Boolean = lostVar
+
+    /** The heartbeat: refresh `renewedAtMs` in place (rename-overwrite —
+      * the same atomic-install primitive as the sidecar) after verifying
+      * the lease is still ours AND still within TTL. A holder that wakes
+      * past its own TTL must NOT rewrite: an expiry takeover may have
+      * legitimately replaced it, and the zombie's rewrite would clobber
+      * the successor. */
+    private[DatasetLock] def renew(): Unit = synchronized {
+      if (released || lostVar) return
+      val now = System.currentTimeMillis()
+      if (infoVar.expired(now)) { markLost(); return }
+      read(fs, path) match {
+        case Some(cur) if cur.token == infoVar.token =>
+          val next = infoVar.copy(renewedAtMs = now)
+          try {
+            installOverwrite(fs, path, render(next))
+            // verify: on check-then-act stores a racer could have landed
+            // between our read and our install — a mismatch means the
+            // lease is no longer safely ours
+            if (read(fs, path).exists(_.token == next.token)) infoVar = next
+            else markLost()
+          } catch { case _: java.io.IOException => () } // retry next beat
+        case _ => markLost() // broken or taken over
+      }
+    }
+
+    private def markLost(): Unit = {
+      lostVar = true
+      val t = renewTask
+      if (t != null) t.cancel(false)
+    }
+
     def release(): Unit = synchronized {
       if (!released) {
         released = true
+        val t = renewTask
+        if (t != null) t.cancel(false)
         try {
-          if (read(fs, path).exists(_.token == info.token))
+          if (!lostVar && read(fs, path).exists(_.token == infoVar.token))
             fs.delete(path, false)
         } catch { case _: java.io.IOException => () }
       }
+    }
+
+    /** TEST SEAM: simulate a kill -9 — stop the heartbeat and forget the
+      * lease WITHOUT deleting the lock file, leaving exactly the on-disk
+      * state a crashed process leaves. */
+    private[graft] def abandon(): Unit = synchronized {
+      released = true
+      val t = renewTask
+      if (t != null) t.cancel(false)
     }
   }
 
   private def lockPath(rootDir: String): Path =
     new Path(new Path(rootDir), LockFile)
+  private def flipPath(rootDir: String): Path =
+    new Path(new Path(rootDir), FlipLockFile)
+  private def sharedPath(rootDir: String, token: String): Path =
+    new Path(new Path(rootDir), SharedLockPrefix + token + ".json")
 
   private def render(i: LockInfo): String = {
     import JsonValue._
     JsonValue.write(JsonObject(scala.collection.immutable.ListMap(
       "op" -> JsonString(i.op), "owner" -> JsonString(i.owner),
       "acquiredAtMs" -> JsonNumber(i.acquiredAtMs.toDouble),
-      "token" -> JsonString(i.token))))
+      "renewedAtMs" -> JsonNumber(i.effectiveRenewedAt.toDouble),
+      "ttlMs" -> JsonNumber(i.ttlMs.toDouble),
+      "token" -> JsonString(i.token)) ++
+      (if (i.slices.isEmpty) Nil
+       else Seq("slices" -> JsonArray(
+         i.slices.toVector
+           .sortBy(_.map(v => if (v == null) "" else v).mkString(" "))
+           .map(tuple => JsonArray(tuple.toVector.map(v =>
+             if (v == null) JsonNull else JsonString(v)))))))))
   }
 
   private def read(fs: FileSystem, path: Path): Option[LockInfo] =
@@ -91,18 +225,43 @@ object DatasetLock {
       import JsonValue._
       val o = JsonValue.parse(txt).asInstanceOf[JsonObject]
       def s(k: String) = o.fields(k).asInstanceOf[JsonString].value
-      Some(LockInfo(s("op"), s("owner"),
-        o.fields("acquiredAtMs").asInstanceOf[JsonNumber].value.toLong,
-        s("token")))
+      def n(k: String): Long = o.fields.get(k) match {
+        case Some(JsonNumber(v)) => v.toLong
+        case _ => 0L
+      }
+      val slices: Set[Seq[String]] = o.fields.get("slices") match {
+        case Some(JsonArray(items)) => items.map {
+          case JsonArray(vs) => vs.map {
+            case JsonString(v) => v
+            case _             => null
+          }: Seq[String]
+          case _ => Seq.empty[String]
+        }.toSet
+        case _ => Set.empty
+      }
+      Some(LockInfo(s("op"), s("owner"), n("acquiredAtMs"), s("token"),
+        n("renewedAtMs"), n("ttlMs"), slices))
     } catch {
       case _: java.io.FileNotFoundException => None
       case _: Exception =>
         // a truncated lock (crash mid-create) still MEANS "locked" — an
         // unreadable holder is reported as such, never silently ignored
+        // (ttl 0: never auto-expires; the operator breaks it)
         Some(LockInfo("<unreadable lock file>", "<unknown>", 0L, ""))
     }
 
-  /** The current holder, if any. */
+  /** All live + expired SHARED leases on the root (file order). */
+  private def readSharedLocks(rootDir: String, fs: FileSystem)
+      : Seq[(Path, LockInfo)] = {
+    val root = new Path(rootDir)
+    val names =
+      try fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(SharedLockPrefix))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    names.flatMap(p => read(fs, p).map(p -> _))
+  }
+
+  /** The current exclusive holder, if any. */
   def readLock(rootDir: String,
                conf: Configuration =
                  graft.sources.StarTableSource.activeHadoopConf())
@@ -119,73 +278,378 @@ object DatasetLock {
   def awaitMsFromConf(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("spark.graft.lock.awaitMs").map(_.toLong).getOrElse(0L)
 
-  /** Acquire the root's writer lease for `op`, refusing loudly
-    * ([[ConcurrentWriteException]]) when another writer holds it —
-    * after waiting up to `awaitMs` (polling every 500 ms) when positive. */
+  /** Session override for the lease TTL (`spark.graft.lock.ttlMs`,
+    * default 10 min): how long after its last heartbeat a lease counts as
+    * abandoned and becomes takeable. */
+  def ttlMsFromConf(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.lock.ttlMs").map(_.toLong)
+      .getOrElse(DefaultTtlMs)
+
+  /** Atomic create-no-overwrite returning false when the path already
+    * exists. `file:` stores go through NIO CREATE_NEW (O_EXCL — content
+    * may trail the create by microseconds; a reader catching the gap sees
+    * an unreadable lock, which conservatively means "locked"). Other
+    * stores use the Hadoop primitive, atomic on HDFS, check-then-act on
+    * object stores — those pay the grace re-verify in [[acquireFile]]. */
+  private def atomicCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.write(local, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      val os =
+        try fs.create(p, false)
+        catch { case _: java.io.IOException => return false }
+      try os.write(bytes) finally os.close()
+      true
+    }
+
+  /** Rename-overwrite install (the heartbeat's rewrite primitive). */
+  private def installOverwrite(fs: FileSystem, p: Path, txt: String): Unit = {
+    val tmp = new Path(p.getParent, "." + p.getName + ".tmp." +
+      java.util.UUID.randomUUID().toString.take(8))
+    val os = fs.create(tmp, true)
+    try os.write(txt.getBytes("UTF-8")) finally os.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+        fs.getConf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"lock renew: could not install $p")
+    }
+  }
+
+  private def refuse(rootDir: String, op: String, holder: LockInfo,
+                     awaitMs: Long): Nothing =
+    throw new ConcurrentWriteException(
+      s"dataset at $rootDir is locked: ${holder.describe(System.currentTimeMillis())} " +
+        s"— a concurrent writer is in flight; '$op' refuses rather than " +
+        "interleave" +
+        (if (awaitMs > 0) s" (waited ${awaitMs / 1000} s)" else "") +
+        ". Wait for it to finish, or if it crashed, clear the " +
+        "stale lease with Maintenance.breakDatasetLock " +
+        "(CALL graft.system.break_dataset_lock).")
+
+  private def newInfo(op: String, ttlMs: Long,
+                      slices: Set[Seq[String]] = Set.empty): LockInfo = {
+    val now = System.currentTimeMillis()
+    LockInfo(op,
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName,
+      now, java.util.UUID.randomUUID().toString, now,
+      if (ttlMs < 0) DefaultTtlMs else ttlMs, slices)
+  }
+
+  /** Try to evict an EXPIRED lease at `p`: re-read immediately before
+    * deleting and only delete while it is still the same abandoned token
+    * (narrows the check-then-act window to the delete syscall; a racer
+    * that re-created in that window is caught by the read-back + grace
+    * verify of whoever creates next). */
+  private def tryEvictExpired(fs: FileSystem, p: Path, observed: LockInfo): Unit = {
+    val now = System.currentTimeMillis()
+    if (read(fs, p).exists(cur => cur.token == observed.token && cur.expired(now)))
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+    // pace the retry loop: a persistently failing delete (permissions, FS
+    // outage) must degrade to a slow poll, never a busy spin
+    Thread.sleep(25L)
+  }
+
+  /** Core single-file acquisition loop shared by the exclusive and flip
+    * locks: create-no-overwrite, token read-back (twice, grace-spaced, on
+    * non-atomic stores), expiry takeover, bounded wait. Returns the
+    * created info; the caller wraps it in a [[Handle]]. */
+  private def acquireFile(rootDir: String, p: Path, fs: FileSystem,
+                          op: String, awaitMs: Long, ttlMs: Long,
+                          atomicStore: Boolean): LockInfo = {
+    val deadline = System.currentTimeMillis() + math.max(0L, awaitMs)
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    while (true) {
+      read(fs, p) match {
+        case Some(holder) if holder.expired(System.currentTimeMillis()) =>
+          tryEvictExpired(fs, p, holder) // then retry the create below
+        case Some(holder) =>
+          if (System.currentTimeMillis() < deadline) {
+            // jittered poll: many queued waiters must not stampede the
+            // store (or the freed lock) on one synchronized beat
+            Thread.sleep(350L + rnd.nextInt(300))
+          } else refuse(rootDir, op, holder, awaitMs)
+        case None =>
+          val info = newInfo(op, ttlMs)
+          if (atomicCreate(fs, p, render(info).getBytes("UTF-8"))) {
+            def owned: Boolean = read(fs, p).exists(_.token == info.token)
+            if (!atomicStore) {
+              // check-then-act store: a racer whose exists() predated our
+              // create may truncate us AFTER a single read-back — verify
+              // again past the grace window (see the class doc for the
+              // residual hazard beyond it)
+              if (!owned) read(fs, p) match {
+                case Some(other) => refuse(rootDir, op, other, awaitMs)
+                case None        => () // vanished: retry the loop
+              } else {
+                Thread.sleep(GraceMs)
+                if (owned) return info
+                read(fs, p).foreach(refuse(rootDir, op, _, awaitMs))
+              }
+            } else {
+              if (owned) return info
+              read(fs, p) match {
+                case Some(other) => refuse(rootDir, op, other, awaitMs)
+                case None        => () // vanished: retry
+              }
+            }
+          }
+          // create lost the race (or ownership vanished): loop — the new
+          // holder is read at the top and waited on / taken over / refused
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def startHeartbeat(h: Handle, ttlMs: Long): Handle = {
+    if (ttlMs > 0) {
+      val interval = math.max(50L, ttlMs / 4)
+      h.renewTask = renewer.scheduleAtFixedRate(
+        () => try h.renew() catch { case _: Throwable => () },
+        interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+    h
+  }
+
+  /** Acquire the root's EXCLUSIVE writer lease for `op`, refusing loudly
+    * ([[ConcurrentWriteException]]) when another writer holds it — after
+    * waiting up to `awaitMs` when positive. An expired lease (crashed
+    * holder past its TTL with no heartbeat) is taken over automatically.
+    * `ttlMs` < 0 means [[DefaultTtlMs]]; 0 disables expiry (legacy). */
   def acquire(rootDir: String, op: String,
               conf: Configuration =
                 graft.sources.StarTableSource.activeHadoopConf(),
-              awaitMs: Long = 0L): Handle = {
+              awaitMs: Long = 0L,
+              ttlMs: Long = -1L): Handle = {
     val p = lockPath(rootDir)
     val fs = p.getFileSystem(conf)
+    val atomicStore = fs.getScheme == "file" || fs.getScheme == "hdfs"
+    val ttl = if (ttlMs < 0) DefaultTtlMs else ttlMs
     val deadline = System.currentTimeMillis() + math.max(0L, awaitMs)
-    def refuse(holder: LockInfo): Nothing =
-      throw new ConcurrentWriteException(
-        s"dataset at $rootDir is locked: ${holder.describe(System.currentTimeMillis())} " +
-          s"— a concurrent writer is in flight; '$op' refuses rather than " +
-          "interleave" +
-          (if (awaitMs > 0) s" (waited ${awaitMs / 1000} s)" else "") +
-          ". Wait for it to finish, or if it crashed, clear the " +
-          "stale lease with Maintenance.breakDatasetLock " +
-          "(CALL graft.system.break_dataset_lock).")
-    var holder = read(fs, p)
-    while (holder.isDefined && System.currentTimeMillis() < deadline) {
-      Thread.sleep(500)
-      holder = read(fs, p)
-    }
-    holder.foreach(refuse)
-    val info = LockInfo(op,
-      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}",
-      System.currentTimeMillis(),
-      java.util.UUID.randomUUID().toString)
-    val os =
-      try fs.create(p, false)
-      catch {
-        // another writer won the create race
-        case _: java.io.IOException => read(fs, p).foreach(refuse)
-          throw new ConcurrentWriteException(
-            s"dataset at $rootDir: lock create raced and lost at $p")
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    while (true) {
+      val info = acquireFile(rootDir, p, fs, op,
+        math.max(0L, deadline - System.currentTimeMillis()), ttl, atomicStore)
+      // the exclusive file is ours; now it must not coexist with LIVE
+      // shared (slice-scoped backfill) leases
+      val now = System.currentTimeMillis()
+      val shared = readSharedLocks(rootDir, fs)
+      shared.filter(_._2.expired(now)).foreach { case (sp, si) =>
+        tryEvictExpired(fs, sp, si)
       }
-    try os.write(render(info).getBytes("UTF-8")) finally os.close()
-    // read-back ownership check: on stores whose create-no-overwrite is
-    // check-then-act, the losing racer sees the winner's token here
-    read(fs, p) match {
-      case Some(cur) if cur.token == info.token => new Handle(fs, p, info)
-      case Some(other)                          => refuse(other)
-      case None => throw new ConcurrentWriteException(
-        s"dataset at $rootDir: lock vanished during acquisition at $p")
+      val live = shared.filterNot(_._2.expired(now))
+      val blocking = live.filter { case (_, si) => si.beats(info) }
+      if (blocking.isEmpty) {
+        // shared files created AFTER ours lose the tie-break: their own
+        // post-create check sees this exclusive and retreats before
+        // starting any work — safe to proceed without waiting them out
+        return startHeartbeat(new Handle(fs, p, info), ttl)
+      }
+      // an established shared backfill predates us: yield and wait/refuse
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+      if (System.currentTimeMillis() >= deadline)
+        refuse(rootDir, op, blocking.head._2, awaitMs)
+      Thread.sleep(350L + rnd.nextInt(300))
     }
+    throw new IllegalStateException("unreachable")
   }
 
-  /** Run `f` under the root's writer lease, releasing under `finally` —
-    * a fault-drill kill (exception) unwinds to a released lock; only a
-    * PROCESS crash leaves the lease behind, exactly the state
-    * breakDatasetLock exists for. */
+  /** Acquire a SHARED slice-scoped lease: coexists with other shared
+    * holders whose recorded slice sets are DISJOINT from `slices`;
+    * refused by (and refuses) any exclusive holder and any overlapping
+    * shared sibling. `slices` are the rendered partition-path value
+    * tuples the holder will rewrite (exactly
+    * [[CsvWriter.writePartitionedDataset]]'s rewritten set). */
+  def acquireShared(rootDir: String, op: String, slices: Set[Seq[String]],
+                    conf: Configuration =
+                      graft.sources.StarTableSource.activeHadoopConf(),
+                    awaitMs: Long = 0L,
+                    ttlMs: Long = -1L): Handle = {
+    require(slices.nonEmpty, "acquireShared: empty slice set (use acquire)")
+    val ttl = if (ttlMs < 0) DefaultTtlMs else ttlMs
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(conf)
+    val exPath = lockPath(rootDir)
+    val deadline = System.currentTimeMillis() + math.max(0L, awaitMs)
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    def waitOrRefuse(holder: LockInfo): Unit = {
+      if (System.currentTimeMillis() >= deadline)
+        refuse(rootDir, op, holder, awaitMs)
+      Thread.sleep(350L + rnd.nextInt(300))
+    }
+    def overlapping(si: LockInfo): Boolean =
+      si.slices.isEmpty || (si.slices & slices).nonEmpty
+    while (true) {
+      val now = System.currentTimeMillis()
+      // 1. exclusive holder present? (expired → evict, live → wait)
+      read(fs, exPath) match {
+        case Some(ex) if ex.expired(now) => tryEvictExpired(fs, exPath, ex)
+        case Some(ex)                    => waitOrRefuse(ex)
+        case None =>
+          // 2. overlapping live shared sibling present? (pre-create check —
+          // cheap early out; the authoritative check is post-create)
+          val pre = readSharedLocks(rootDir, fs)
+          pre.filter(_._2.expired(now)).foreach { case (sp, si) =>
+            tryEvictExpired(fs, sp, si)
+          }
+          pre.find { case (_, si) => !si.expired(now) && overlapping(si) } match {
+            case Some((_, si)) => waitOrRefuse(si)
+            case None =>
+              // 3. create our UNIQUELY-NAMED shared file (no create race on
+              // the file itself — conflicts resolve by the tie-break below)
+              val info = newInfo(op, ttl, slices)
+              val myPath = sharedPath(rootDir, info.token)
+              if (!atomicCreate(fs, myPath, render(info).getBytes("UTF-8")))
+                throw new ConcurrentWriteException(
+                  s"dataset at $rootDir: shared lock create failed at $myPath")
+              // 4. post-create verification: any exclusive or overlapping
+              // shared that BEATS us (earlier acquisition) wins — we
+              // retreat; anything we beat will itself retreat before doing
+              // work (both sides apply the same total order)
+              val now2 = System.currentTimeMillis()
+              val exNow = read(fs, exPath).filterNot(_.expired(now2))
+              val sharedNow = readSharedLocks(rootDir, fs)
+                .filter { case (sp, si) => sp.getName != myPath.getName &&
+                  !si.expired(now2) && overlapping(si) }
+              val beatenBy: Option[LockInfo] =
+                exNow.filter(_.beats(info)).orElse(
+                  sharedNow.map(_._2).find(_.beats(info)))
+              beatenBy match {
+                case Some(winner) =>
+                  try fs.delete(myPath, false)
+                  catch { case _: java.io.IOException => () }
+                  waitOrRefuse(winner)
+                case None =>
+                  return startHeartbeat(new Handle(fs, myPath, info), ttl)
+              }
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Run `f` under the root's exclusive writer lease, releasing under
+    * `finally` — a fault-drill kill (exception) unwinds to a released
+    * lock; only a PROCESS crash leaves the lease behind, and the TTL
+    * heartbeat makes even that self-healing. */
   def withLock[A](rootDir: String, op: String,
                   conf: Configuration =
                     graft.sources.StarTableSource.activeHadoopConf(),
-                  awaitMs: Long = 0L)(f: => A): A = {
-    val h = acquire(rootDir, op, conf, awaitMs)
+                  awaitMs: Long = 0L,
+                  ttlMs: Long = -1L)(f: => A): A = {
+    val h = acquire(rootDir, op, conf, awaitMs, ttlMs)
     try f finally h.release()
   }
 
-  /** Forcibly clear the root's lease (operator intervention after a
-    * crashed writer). Returns true when a lock was removed. */
+  /** [[withLock]] variant passing the handle to `f` (sidecar installs
+    * present its token as their write authority). */
+  def withLockHandle[A](rootDir: String, op: String,
+                        conf: Configuration =
+                          graft.sources.StarTableSource.activeHadoopConf(),
+                        awaitMs: Long = 0L,
+                        ttlMs: Long = -1L)(f: Handle => A): A = {
+    val h = acquire(rootDir, op, conf, awaitMs, ttlMs)
+    try f(h) finally h.release()
+  }
+
+  /** Run `f` under a shared slice-scoped lease (see [[acquireShared]]). */
+  def withSharedLock[A](rootDir: String, op: String, slices: Set[Seq[String]],
+                        conf: Configuration =
+                          graft.sources.StarTableSource.activeHadoopConf(),
+                        awaitMs: Long = 0L,
+                        ttlMs: Long = -1L)(f: Handle => A): A = {
+    val h = acquireShared(rootDir, op, slices, conf, awaitMs, ttlMs)
+    try f(h) finally h.release()
+  }
+
+  /** Serialize a root-sidecar mutation among SHARED holders: a short
+    * exclusive mutex (60 s TTL, generous built-in wait — flips are
+    * milliseconds) under which the caller re-reads the then-current
+    * sidecar and installs its merge. `f` receives the flip token to
+    * present as write authority. */
+  def withFlipLock[A](rootDir: String,
+                      conf: Configuration =
+                        graft.sources.StarTableSource.activeHadoopConf(),
+                      awaitMs: Long = 30000L)(f: String => A): A = {
+    val p = flipPath(rootDir)
+    val fs = p.getFileSystem(conf)
+    val atomicStore = fs.getScheme == "file" || fs.getScheme == "hdfs"
+    val info = acquireFile(rootDir, p, fs, "sidecar-flip", awaitMs,
+      ttlMs = 60000L, atomicStore)
+    try f(info.token)
+    finally {
+      try {
+        if (read(fs, p).exists(_.token == info.token)) fs.delete(p, false)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Write-authority gate for root-sidecar installs — the lease-side twin
+    * of the commit CAS: when the root is under ANY live lease, the
+    * installer must present the current exclusive token (sole writer) or
+    * the current flip token (a shared holder's serialized merge). A
+    * tokenless install against a leased root is a lock bypass — the
+    * round-12 CAS caught these at the VICTIM's next flip; this check
+    * refuses them at the bypasser's own write. A root with no live lease
+    * accepts tokenless installs (fresh datasets, single-writer use) —
+    * there the CAS remains the only guard, as before. */
+  private[graft] def verifyWriteAuthority(rootDir: String,
+      token: Option[String],
+      conf: Configuration =
+        graft.sources.StarTableSource.activeHadoopConf()): Unit = {
+    val exPath = lockPath(rootDir)
+    val fs = exPath.getFileSystem(conf)
+    val now = System.currentTimeMillis()
+    read(fs, exPath).filterNot(_.expired(now)) match {
+      case Some(ex) =>
+        if (!token.contains(ex.token)) throw new ConcurrentWriteException(
+          s"dataset at $rootDir: sidecar install without the writer lease — " +
+            s"the root is exclusively leased (${ex.describe(now)}) and this " +
+            "writer does not hold it: a concurrent writer is in flight; " +
+            "refusing rather than interleave")
+      case None =>
+        val liveShared = readSharedLocks(rootDir, fs)
+          .map(_._2).filterNot(_.expired(now))
+        if (liveShared.nonEmpty) {
+          val flip = read(fs, flipPath(rootDir)).filterNot(_.expired(now))
+          val ok = flip.exists(fi => token.contains(fi.token))
+          if (!ok) throw new ConcurrentWriteException(
+            s"dataset at $rootDir: sidecar install while slice-scoped " +
+              s"backfill leases are live (${liveShared.head.describe(now)}" +
+              (if (liveShared.size > 1) s" and ${liveShared.size - 1} more" else "") +
+              ") — root-sidecar mutations must serialize through the flip " +
+              "lock (DatasetLock.withFlipLock); refusing a bypassing install")
+        }
+    }
+  }
+
+  /** Forcibly clear the root's leases — exclusive, shared, and flip
+    * (operator intervention after a crashed writer whose lease cannot
+    * expire: legacy no-TTL locks, unreadable lock files). Returns true
+    * when at least one lock was removed. */
   def breakLock(rootDir: String,
                 conf: Configuration =
                   graft.sources.StarTableSource.activeHadoopConf()): Boolean = {
     val p = lockPath(rootDir)
     val fs = p.getFileSystem(conf)
-    fs.exists(p) && fs.delete(p, false)
+    var any = false
+    if (fs.exists(p) && fs.delete(p, false)) any = true
+    val fp = flipPath(rootDir)
+    if (fs.exists(fp) && fs.delete(fp, false)) any = true
+    readSharedLocks(rootDir, fs).foreach { case (sp, _) =>
+      if (fs.delete(sp, false)) any = true
+    }
+    any
   }
 }

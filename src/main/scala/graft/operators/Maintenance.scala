@@ -110,7 +110,26 @@ object Maintenance {
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
               sortCols: Seq[String] = Nil,
-              format: String = "parquet"): CompactionReport = {
+              format: String = "parquet"): CompactionReport =
+    // Writer lease on PLAIN trees too (round 13): the lost-leaf race the
+    // dataset lease closed in round 12 — a second compaction/retention
+    // sweep interleaving with a leaf's two-rename swap — applies
+    // identically to parquet/Z-order/bucketed directories. The lock file
+    // is an advisory `_`-named sibling every data listing (Spark's
+    // included) ignores; no sidecar is needed for an advisory lease.
+    graft.io.DatasetLock.withLock(path, "compact",
+      spark.sparkContext.hadoopConfiguration,
+      graft.io.DatasetLock.awaitMsFromConf(spark),
+      graft.io.DatasetLock.ttlMsFromConf(spark)) {
+      compactLocked(spark, path, targetBytes, sortCols, format)
+    }
+
+  /** [[compact]] body, callable by holders that already took the root
+    * lease ([[compactStarDataset]] — the lock is not reentrant). */
+  private[operators] def compactLocked(spark: SparkSession, path: String,
+              targetBytes: Long,
+              sortCols: Seq[String],
+              format: String): CompactionReport = {
     require(targetBytes > 0, s"compact: targetBytes must be positive")
     require(format == "parquet" || format == "text",
       s"compact: unsupported format '$format' (parquet or text)")
@@ -239,8 +258,9 @@ object Maintenance {
     // our swap would otherwise be silently dropped
     graft.io.DatasetLock.withLock(path, "compact",
       spark.sparkContext.hadoopConfiguration,
-      graft.io.DatasetLock.awaitMsFromConf(spark)) {
-      val report = compact(spark, path, targetBytes, Nil, "text")
+      graft.io.DatasetLock.awaitMsFromConf(spark),
+      graft.io.DatasetLock.ttlMsFromConf(spark)) {
+      val report = compactLocked(spark, path, targetBytes, Nil, "text")
       // sharded layout: compaction re-installed each leaf's shard (files
       // stripped) — drop any cached parses of the OLD shards
       graft.sources.StarTableSource.invalidateShardCache(path)
@@ -260,6 +280,16 @@ object Maintenance {
     if (!fs.rename(leaf, trash))
       throw new java.io.IOException(s"$op: could not move $leaf aside")
     if (!fs.rename(staging, leaf)) {
+      // surface a concurrent collision explicitly: if the live leaf
+      // REAPPEARED between the two renames (a racing vacuum restored the
+      // trash sibling — its lease should have refused it, unless forced),
+      // a blind restore-rename would silently move the trash INTO the
+      // restored dir on some stores; name the collision instead
+      if (fs.exists(leaf))
+        throw new graft.io.ConcurrentWriteException(
+          s"$op: $leaf reappeared mid-swap (a concurrent writer restored " +
+            s"or recreated it) — staging left at $staging, trash at " +
+            s"$trash; resolve the collision and re-run")
       fs.rename(trash, leaf) // restore
       throw new java.io.IOException(s"$op: could not install $staging")
     }
@@ -302,16 +332,19 @@ object Maintenance {
         "dataset")
     // writer lease (see compactStarDataset); the meta is re-read UNDER the
     // lock so the commit this pass CAS-flips against is the locked state
-    graft.io.DatasetLock.withLock(path, "cluster",
+    graft.io.DatasetLock.withLockHandle(path, "cluster",
       spark.sparkContext.hadoopConfiguration,
-      graft.io.DatasetLock.awaitMsFromConf(spark)) {
-      clusterStarDatasetLocked(spark, path, sortCols, targetBytes)
+      graft.io.DatasetLock.awaitMsFromConf(spark),
+      graft.io.DatasetLock.ttlMsFromConf(spark)) { h =>
+      clusterStarDatasetLocked(spark, path, sortCols, targetBytes,
+        Some(h.info.token))
     }
   }
 
   private def clusterStarDatasetLocked(spark: SparkSession, path: String,
                                        sortCols: Seq[String],
-                                       targetBytes: Long): ClusterReport = {
+                                       targetBytes: Long,
+                                       lockToken: Option[String]): ClusterReport = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DoubleType
     val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(path))
@@ -451,7 +484,7 @@ object Maintenance {
             "statistics (reads stay correct, file skipping disabled)")
           Nil
         } else allFileStats
-      graft.io.CsvWriter.writeSidecarRaw(path, meta, keptFileStats)
+      graft.io.CsvWriter.writeSidecarRaw(path, meta, keptFileStats, lockToken)
       ClusterReport(byLeaf.size.toLong, filesBefore, filesAfter, bytesBefore,
         bytesAfter, keptFileStats.size.toLong)
     }
@@ -475,14 +508,16 @@ object Maintenance {
       s"shardDatasetStats: $path has no " +
         s"${graft.io.CsvWriter.DatasetMetaFile} sidecar — not a StarTable " +
         "dataset")
-    graft.io.DatasetLock.withLock(path, "shard-stats",
+    graft.io.DatasetLock.withLockHandle(path, "shard-stats",
       spark.sparkContext.hadoopConfiguration,
-      graft.io.DatasetLock.awaitMsFromConf(spark)) {
-      shardDatasetStatsLocked(spark, path)
+      graft.io.DatasetLock.awaitMsFromConf(spark),
+      graft.io.DatasetLock.ttlMsFromConf(spark)) { h =>
+      shardDatasetStatsLocked(spark, path, Some(h.info.token))
     }
   }
 
-  private def shardDatasetStatsLocked(spark: SparkSession, path: String): Long = {
+  private def shardDatasetStatsLocked(spark: SparkSession, path: String,
+                                      lockToken: Option[String]): Long = {
     val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(path))
       .getOrElse(throw new IllegalArgumentException(
         s"shardDatasetStats: $path has no " +
@@ -521,7 +556,8 @@ object Maintenance {
       if (fs.exists(sp)) fs.delete(sp, false)
     }
     graft.io.CsvWriter.writeSidecarRaw(path,
-      meta.copy(sliceStats = Nil, fileStats = Nil, statsSharded = true), Nil)
+      meta.copy(sliceStats = Nil, fileStats = Nil, statsSharded = true), Nil,
+      lockToken)
     graft.sources.StarTableSource.invalidateShardCache(path)
     targets.size.toLong
   }
@@ -567,6 +603,25 @@ object Maintenance {
     {
       val trashRoot = new Path(root.getParent, "." + root.getName + "__old")
       if (!fs.exists(root) && fs.exists(trashRoot)) {
+        // a LIVE full overwrite passes through this exact transient state
+        // mid-swap (root renamed to trash, staging about to be installed):
+        // restoring the trash now would make the overwriter's commit
+        // rename fail confusingly. A FRESH `.<root>__overwriting` staging
+        // sibling marks that window — refuse loudly and let the overwrite
+        // finish (a CRASHED overwrite's staging ages past tmpMinAgeMs,
+        // after which the restore proceeds).
+        val staging = new Path(root.getParent,
+          "." + root.getName + "__overwriting")
+        val stagingFresh =
+          try fs.exists(staging) &&
+            now - fs.getFileStatus(staging).getModificationTime < tmpMinAgeMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (stagingFresh) throw new graft.io.ConcurrentWriteException(
+          s"vacuumStarDataset: $path is mid-swap of a full overwrite " +
+            s"(fresh staging sibling $staging beside the trash) — a " +
+            "concurrent writer is committing; retry after it finishes " +
+            s"(or after the staging is older than ${tmpMinAgeMs / 1000} s " +
+            "if it crashed)")
         if (!fs.rename(trashRoot, root))
           throw new java.io.IOException(
             s"vacuumStarDataset: could not restore $root from $trashRoot")
@@ -583,7 +638,8 @@ object Maintenance {
     // REFUSES mechanically instead of relying on the operator).
     graft.io.DatasetLock.withLock(path, "vacuum",
       spark.sparkContext.hadoopConfiguration,
-      graft.io.DatasetLock.awaitMsFromConf(spark)) {
+      graft.io.DatasetLock.awaitMsFromConf(spark),
+      graft.io.DatasetLock.ttlMsFromConf(spark)) {
 
     // flat-layout swap leftovers beside the ROOT itself (outside the walk
     // below); the root exists here, so any remaining trash sibling is a
@@ -656,12 +712,11 @@ object Maintenance {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "writePartitioned: no partition columns")
-    val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
-    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // per-write option, not a session-conf flip: concurrent writers
+    // restoring a session global race each other (a restore mid-sibling
+    // flips the sibling's overwrite to STATIC — a silent full wipe)
+    df.write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
   }
 
   /** Drop whole partition directories by value — retention/TTL deletes
@@ -685,13 +740,14 @@ object Maintenance {
       }
       dropped
     }
-    // StarTable datasets take the writer lease (a retention sweep deleting
-    // a leaf a live compaction is mid-swap on would strand its staging as
-    // the only copy); plain parquet trees have no lease discipline
-    if (graft.sources.StarTableSource.readDatasetMeta(Seq(path)).isDefined)
-      graft.io.DatasetLock.withLock(path, "drop-partitions",
-        spark.sparkContext.hadoopConfiguration,
-        graft.io.DatasetLock.awaitMsFromConf(spark))(drop())
-    else drop()
+    // Writer lease on EVERY tree (round 13 extends it beyond StarTable
+    // datasets): a retention sweep deleting a leaf a live compaction is
+    // mid-swap on would strand its staging as the only copy — the race is
+    // layout-independent, and the advisory `_`-named lock file needs no
+    // sidecar.
+    graft.io.DatasetLock.withLock(path, "drop-partitions",
+      spark.sparkContext.hadoopConfiguration,
+      graft.io.DatasetLock.awaitMsFromConf(spark),
+      graft.io.DatasetLock.ttlMsFromConf(spark))(drop())
   }
 }

@@ -1264,6 +1264,23 @@ object PipelineQueries {
         .select(col("vec_id"))
     }),
 
+    // Composed PQ probe + EXACT re-rank (round 13, the rehearsal-derived
+    // one-call operator): the ADC probe's top-(13×4) candidate ids are
+    // pushed into the float-vector scan as an IN predicate and re-scored
+    // with exact cosine — the ranking now comes from float math, pinning
+    // candidate collection, predicate pushdown, exact re-scoring, and the
+    // tie-break end to end. Family 3's 13 members are the only vectors
+    // with cosine ≈ 1 to base 3 (cross-family ≤ ~0.48), so the exact
+    // top-13 is again exactly family 3 — engine-independent.
+    "q_emb_pq_rerank" -> ((s, dir) => {
+      val path = pqIndexFor(s, dir)
+      val probe = star(s, dir, "embeddings").df.filter(col("vec_id") === 3)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.probePqIndexReranked(s, path, plantedClusters(s, dir),
+          "embedding", probe, topK = 13, rerankFactor = 4)
+        .select(col("vec_id"))
+    }),
+
     // Composed IVF-PQ probe (the FAISS IVFPQ shape): coarse lists prune
     // the scan to nprobe partitions AND the pruned scan reads m-int PQ
     // codes instead of float vectors — the two savings multiply; at 100 TB
@@ -2309,6 +2326,10 @@ object PipelineQueries {
 
     // PQ ADC probe recovers the same planted family (see the query note).
     "q_emb_pq_probe" ->
+      "SELECT CAST(3000 + i AS BIGINT) AS vec_id FROM range(13) t(i)",
+
+    // PQ + exact re-rank: the same family, ranked by exact float cosine.
+    "q_emb_pq_rerank" ->
       "SELECT CAST(3000 + i AS BIGINT) AS vec_id FROM range(13) t(i)",
 
     // IVF-PQ probe: same planted family through pruning + ADC composed.

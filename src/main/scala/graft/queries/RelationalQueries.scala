@@ -784,6 +784,47 @@ object RelationalQueries {
       agged
     }),
 
+    // METADATA-ONLY evolution under the gate (round 13): the column is
+    // appended by rewriting the sidecar ALONE (evolveDatasetSchema — no
+    // slice backfilled), after which every old slice null-pads it; the
+    // NEXT plain backfill (no evolveSchema flag) then carries the column
+    // naturally. The oracle recomputes from the original parquet with
+    // discount non-null only in the backfilled R slice — a cell
+    // mis-aligned by the sidecar-only flip, a metadata aggregate fold
+    // that forgot the lateColumn license, or a backfill that dropped the
+    // appended tail all break the hash.
+    "q_dataset_evolve_meta" -> ((s, dir) => {
+      val ds = metaEvolvedDatasetFor(s, dir)
+      val agged = s.read.format("startable").load(ds)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count(col("l_discount")).as("n_disc"),
+          sum(dec(col("l_discount"))).cast(DoubleType).as("sum_disc"),
+          max(col("l_discount")).as("max_disc"))
+        .orderBy(col("l_returnflag"))
+      agged
+    }),
+
+    // DISJOINT CONCURRENT BACKFILLS under the gate (round 13): the
+    // dataset this query reads was written by TWO writer threads holding
+    // slice-scoped SHARED leases simultaneously (a barrier at the
+    // pre-sidecar fault point guarantees both data writes overlapped),
+    // each transforming its own slice — the daily parallel-ingest shape.
+    // The oracle recomputes the per-slice transforms from the original
+    // parquet: a row lost to an interleaved dynamic overwrite, a stat
+    // entry clobbered by a non-merged sidecar flip, or a commit dropped
+    // by the CAS chain all break the hash.
+    "q_dataset_backfill_parallel" -> ((s, dir) => {
+      val ds = parallelBackfilledDatasetFor(s, dir)
+      s.read.format("startable").load(ds)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_linestatus")).as("max_status"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_dataset_stats" -> ((s, dir) => {
       val ds = partitionedDatasetFor(s, dir)
       val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(ds))
@@ -874,6 +915,103 @@ object RelationalQueries {
           "lineitem_evolve"),
         path, partitionBy = Seq("l_returnflag"), numFiles = 4,
         overwriteSlices = true, evolveSchema = true)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    path
+  }
+
+  /** Build-once METADATA-ONLY-evolved dataset (q_dataset_evolve_meta):
+    * created without l_discount, the column appended by evolveDatasetSchema
+    * (sidecar rewrite, NO data write — every slice null-pads), then the R
+    * slice backfilled as a PLAIN backfill that simply carries the new
+    * column. Marker written only after the whole sequence commits. */
+  private def metaEvolvedDatasetFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|mevds1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_mevds_$key"
+    val marker = java.nio.file.Paths.get(path, "_graft_meta_evolved")
+    if (!java.nio.file.Files.exists(marker)) {
+      deleteTree(new java.io.File(path))
+      val li = Tables.df(s, dir, "lineitem")
+      graft.io.CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(
+          li.select(col("l_returnflag"), col("l_linestatus"),
+            col("l_extendedprice")),
+          "lineitem_mevolve"),
+        path, partitionBy = Seq("l_returnflag"), numFiles = 4)
+      graft.io.CsvWriter.evolveDatasetSchema(s, path,
+        Seq("l_discount" -> "-"))
+      // immediately after the sidecar-only flip: the column reads all-null
+      require(s.read.format("startable").load(path)
+          .agg(count(col("l_discount"))).head().getLong(0) == 0L,
+        "q_dataset_evolve_meta drill: the metadata-only evolve must read " +
+          "all-null before any backfill")
+      graft.io.CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(
+          li.filter(col("l_returnflag") === "R")
+            .select(col("l_returnflag"), col("l_linestatus"),
+              col("l_extendedprice"), col("l_discount")),
+          "lineitem_mevolve"),
+        path, partitionBy = Seq("l_returnflag"), numFiles = 4,
+        overwriteSlices = true) // PLAIN backfill: the schema already evolved
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    path
+  }
+
+  /** Build-once PARALLEL-backfilled dataset (q_dataset_backfill_parallel):
+    * two writer threads take slice-scoped SHARED leases on the same root
+    * and rewrite DISJOINT slices concurrently — a barrier at the
+    * pre-sidecar fault point holds both until both data writes landed, so
+    * the leases, the dynamic overwrites, and the flip-lock sidecar merges
+    * provably overlapped. A: price ×2; R: price +7 (both exact double ops
+    * an oracle mirrors bit-for-bit). Marker written after both commit. */
+  private def parallelBackfilledDatasetFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|pbds1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pbds_$key"
+    val marker = java.nio.file.Paths.get(path, "_graft_parallel")
+    if (!java.nio.file.Files.exists(marker)) {
+      deleteTree(new java.io.File(path))
+      val li = Tables.df(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice"))
+      graft.io.CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(li, "lineitem_par"),
+        path, partitionBy = Seq("l_returnflag"), numFiles = 4)
+      val before = graft.sources.StarTableSource.readDatasetMeta(Seq(path))
+        .get.commit
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val prevHook = graft.io.CsvWriter.faultHook
+      graft.io.CsvWriter.faultHook = p =>
+        if (p == "backfill:pre-sidecar")
+          barrier.await(180, java.util.concurrent.TimeUnit.SECONDS): Unit
+      val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      def backfill(flag: String, priceExpr: Column): Thread = new Thread(() =>
+        try graft.io.CsvWriter.writePartitionedDataset(
+          StarTable.fromDataFrame(
+            li.filter(col("l_returnflag") === flag)
+              .withColumn("l_extendedprice", priceExpr), "lineitem_par"),
+          path, partitionBy = Seq("l_returnflag"), overwriteSlices = true)
+        catch { case t: Throwable => errs.compareAndSet(null, t) })
+      val ta = backfill("A", col("l_extendedprice") * 2.0)
+      val tb = backfill("R", col("l_extendedprice") + 7.0)
+      try {
+        ta.start(); tb.start()
+        ta.join(300000); tb.join(300000)
+      } finally graft.io.CsvWriter.faultHook = prevHook
+      val t = errs.get()
+      if (t != null) throw new IllegalStateException(
+        "q_dataset_backfill_parallel drill: a concurrent backfill failed", t)
+      val after = graft.sources.StarTableSource.readDatasetMeta(Seq(path)).get
+      require(after.commit == before + 4,
+        s"q_dataset_backfill_parallel drill: expected 4 serialized flips " +
+          s"($before -> ${before + 4}), got ${after.commit}")
+      require(after.sliceStats.map(_.partition.head).toSet == Set("A", "N", "R"),
+        s"q_dataset_backfill_parallel drill: a sidecar merge lost a slice " +
+          s"entry: ${after.sliceStats.map(_.partition)}")
       java.nio.file.Files.write(marker, Array.emptyByteArray)
     }
     path
@@ -1584,6 +1722,34 @@ object RelationalQueries {
         |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem""".stripMargin,
+
+    // metadata-only evolution: discount carries only in the R slice, whose
+    // backfill was a PLAIN one against the already-evolved schema
+    "q_dataset_evolve_meta" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN l_returnflag = 'R' THEN l_discount END)
+        |    AS BIGINT) AS n_disc,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS sum_disc,
+        |  CAST(max(CASE WHEN l_returnflag = 'R' THEN l_discount END)
+        |    AS DOUBLE) AS max_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // parallel disjoint backfills: slice A doubled, slice R +7, N verbatim
+    // — exact double ops both engines compute identically on the same
+    // parquet doubles
+    "q_dataset_backfill_parallel" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * 2
+        |    WHEN l_returnflag = 'R' THEN l_extendedprice + 7
+        |    ELSE l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(min(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * 2
+        |    WHEN l_returnflag = 'R' THEN l_extendedprice + 7
+        |    ELSE l_extendedprice END) AS DOUBLE) AS min_price,
+        |  max(l_linestatus) AS max_status
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the sharded drill's post-repair METADATA aggregate must equal DuckDB
     // over the original rows — shards survived kill/orphan/restore/compact

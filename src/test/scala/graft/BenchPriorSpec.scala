@@ -141,6 +141,42 @@ class BenchPriorSpec extends AnyFunSuite {
         s"control $c has no usable prior (${m.get(c)})"))
   }
 
+  test("per-axis classification (round 13): shuffle-axis queries compare " +
+    "against the shuffle controls, CPU queries against the CPU controls") {
+    // axis membership pinned on representatives of each family
+    assert(Bench.shuffleAxis("q_stream_dedup"), "streams are IO-axis")
+    assert(Bench.shuffleAxis("q_dataset_stats"), "dataset writes are IO-axis")
+    assert(Bench.shuffleAxis("q_startable_connector"))
+    assert(Bench.shuffleAxis("q_weighted_pagerank"), "iterative graph shuffles")
+    assert(Bench.shuffleAxis("q_point_lookup"), "file-index probes")
+    assert(Bench.shuffleAxis("q_emb_pq_rerank"), "PQ probes scan index files")
+    assert(!Bench.shuffleAxis("q1_pricing_summary"), "CPU controls stay CPU")
+    assert(!Bench.shuffleAxis("q6_forecast_revenue"), "single-pass scans are CPU-axis")
+    assert(!Bench.shuffleAxis("q_ann_bruteforce"), "one codegen scan + top-k")
+    // the two control sets are disjoint and both axes' controls exist
+    assert(Bench.ControlQueries.toSet.intersect(
+      Bench.ShuffleControlQueries.toSet).isEmpty)
+    Bench.ShuffleControlQueries.foreach { c =>
+      assert(SparkEntry.queries.contains(c), s"shuffle control $c not in queries")
+      assert(Bench.shuffleAxis(c), s"shuffle control $c must be shuffle-axis")
+    }
+    Bench.ControlQueries.foreach(c =>
+      assert(!Bench.shuffleAxis(c), s"CPU control $c must not be shuffle-axis"))
+    // shuffle controls have usable priors on the official record
+    val p = java.nio.file.Paths.get("/root/repo/BENCH_OFFICIAL_r10.json")
+    assume(java.nio.file.Files.exists(p))
+    val m = Bench.parsePriorText(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+      "/root/testdata/sf0.1")
+    Bench.ShuffleControlQueries.foreach(c =>
+      assert(m.get(c).exists(_ > 0.2),
+        s"shuffle control $c has no usable prior (${m.get(c)})"))
+    // every pinned shuffle-axis name refers to a real query (no typos —
+    // names derived from the r12/r10 records must survive renames)
+    Bench.ShuffleAxisQueries.foreach(q =>
+      assert(SparkEntry.queries.contains(q), s"$q in ShuffleAxisQueries but not in queries"))
+  }
+
   test("the committed r10 official record parses as the current prior") {
     val p = java.nio.file.Paths.get("/root/repo/BENCH_OFFICIAL_r10.json")
     assume(java.nio.file.Files.exists(p))

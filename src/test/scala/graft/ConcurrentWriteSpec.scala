@@ -143,8 +143,10 @@ class ConcurrentWriteSpec extends AnyFunSuite {
   test("a crashed writer's stale lease refuses with the repair named; " +
     "breakDatasetLock clears it") {
     val out = freshDataset("stale")
-    // simulate a process kill: acquire and never release
-    DatasetLock.acquire(out, "backfill")
+    // simulate a process kill: acquire, stop the heartbeat, never release
+    // (the default 10-min TTL keeps the lease live for this test's window;
+    // expiry takeover has its own spec in LeaseLivenessSpec)
+    DatasetLock.acquire(out, "backfill").abandon()
     val e = intercept[ConcurrentWriteException] {
       Maintenance.compactStarDataset(spark, out, 64 * 1024)
     }
@@ -156,14 +158,16 @@ class ConcurrentWriteSpec extends AnyFunSuite {
     assert(totalRows(out) === 400)
   }
 
-  test("the sidecar commit counter CAS-refuses a flip when a lock-bypassing " +
-    "sibling committed mid-protocol") {
+  test("a lock-bypassing sibling's sidecar install mid-protocol is refused " +
+    "(write-authority gate at the bypasser's own write)") {
     val out = freshDataset("cas")
     val upd = spark.range(25).select(lit("a").as("grp"),
       (col("id").cast("double") + 50000.0).as("v"))
     // rogue sibling: at the backfill's pre-sidecar window, rewrite the
-    // sidecar DIRECTLY (bypassing the lease the backfill holds) — the
-    // backfill's own flip must then refuse, never silently revert it
+    // sidecar DIRECTLY (bypassing the lease the backfill holds). Round 12
+    // caught this at the VICTIM's next flip via the commit CAS; since
+    // round 13 the bypasser's own install refuses up front (the root is
+    // leased and the rogue presents no token) — earlier and stronger.
     val hook: String => Unit = p =>
       if (p == "backfill:pre-sidecar") {
         val m = graft.sources.StarTableSource.readDatasetMeta(Seq(out)).get
@@ -176,7 +180,9 @@ class ConcurrentWriteSpec extends AnyFunSuite {
           StarTable.fromDataFrame(upd, "cw_cas"), out,
           partitionBy = Seq("grp"), overwriteSlices = true)
       } finally interceptHookSwap(prevHook)
-    assert(e.getMessage.contains("commit moved"), e.getMessage)
+    assert(e.getMessage.contains("without the writer lease") ||
+      e.getMessage.contains("bypassing install") ||
+      e.getMessage.contains("commit moved"), e.getMessage)
     // the refused flip left a CONSERVATIVE sidecar (the rogue's stats were
     // stripped of slice a by the backfill's pre-data strip): reads stay
     // correct — slice a holds the new rows, slice b the old

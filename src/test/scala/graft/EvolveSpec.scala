@@ -268,6 +268,57 @@ class EvolveSpec extends AnyFunSuite {
     assert(agg.getLong(0) === 70L && agg.getLong(1) === 30L, agg.toString)
   }
 
+  test("METADATA-ONLY evolution (round 13): the sidecar alone evolves — " +
+    "old slices null-pad, the next PLAIN backfill carries the column, " +
+    "stats pruning and metadata aggregates stay engaged") {
+    for (sharded <- Seq(false, true)) {
+      val out = base(s"metaonly_$sharded", sharded)
+      val c0 = StarTableSource.readDatasetMeta(Seq(out)).get.commit
+      CsvWriter.evolveDatasetSchema(spark, out, Seq("w" -> "-"))
+      val m = StarTableSource.readDatasetMeta(Seq(out)).get
+      assert(m.cols === Seq("v", "w") && m.units.last === "-" &&
+        m.lateCols === Seq("w") && m.commit > c0, m.toString)
+      val back = spark.read.format("startable").load(out)
+      assert(back.columns.toSet === Set("grp", "v", "w"))
+      // every slice predates the column: all rows read, w all-null
+      val r0 = back.agg(count(lit(1)).as("n"), count(col("w")).as("nw"))
+        .collect().head
+      assert(r0.getLong(0) === 300L && r0.getLong(1) === 0L)
+      // IsNotNull(w) prunes EVERY slice (missing late-col stat = all-null)
+      val before = StarTableSource.filesSkippedByStats.sum()
+      assert(back.filter(col("w").isNotNull).count() === 0L)
+      assert(StarTableSource.filesSkippedByStats.sum() > before,
+        s"pre-evolution slices must be stats-pruned (sharded=$sharded)")
+      // the next PLAIN backfill (no evolveSchema flag) carries the column
+      val upd = spark.range(10).select(lit("g0").as("grp"),
+        col("id").cast("double").as("v"),
+        (col("id").cast("double") * 5.0).as("w"))
+      CsvWriter.writePartitionedDataset(
+        StarTable.fromDataFrame(upd, "ev"), out, Seq("grp"),
+        overwriteSlices = true)
+      val agged = spark.read.format("startable").load(out)
+        .agg(max(col("w")).as("mw"), count(lit(1)).as("n"))
+      assert(agged.queryExecution.executedPlan.toString
+        .contains("StarMetaAggScan"),
+        s"metadata aggregate must engage after a metadata-only evolve (sharded=$sharded)")
+      val r = agged.collect().head
+      assert(r.getDouble(0) === 45.0 && r.getLong(1) === 210L, r.toString)
+    }
+    // refusals: clashing name, empty list, not a dataset
+    val out2 = base("metaonly_refuse")
+    val e1 = intercept[IllegalArgumentException] {
+      CsvWriter.evolveDatasetSchema(spark, out2, Seq("v" -> "-"))
+    }
+    assert(e1.getMessage.contains("already exist"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      CsvWriter.evolveDatasetSchema(spark, out2, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      CsvWriter.evolveDatasetSchema(spark,
+        Files.createTempDirectory("graft_ev_notads").toString, Seq("w" -> "-"))
+    }
+  }
+
   test("lateColumns survive later backfills and maintenance passes") {
     val out = base("carry")
     evolveG1(out)

@@ -64,6 +64,30 @@ class ProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL graft.system.evolve_dataset_schema appends columns by sidecar " +
+    "rewrite alone: old slices null-pad, the next plain backfill carries " +
+    "them") {
+    withCatalog {
+      val ds = mkDataset()
+      val r = spark.sql(s"CALL graft.system.evolve_dataset_schema(" +
+        s"path => '$ds', columns => 'y, z:text')").head()
+      assert(r.getLong(0) === 2L)
+      val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(ds)).get
+      assert(meta.cols === Seq("x", "y", "z") &&
+        meta.units === Seq("-", "-", "text") &&
+        meta.lateCols === Seq("y", "z"), meta.toString)
+      val back = spark.read.format("startable").load(ds)
+      assert(back.columns.toSet === Set("grp", "x", "y", "z"))
+      assert(back.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.col("y"))).head().getLong(0) === 0L)
+      // malformed spec refuses
+      intercept[Exception] {
+        spark.sql(s"CALL graft.system.evolve_dataset_schema(" +
+          s"path => '$ds', columns => 'a:b:c')").collect()
+      }
+    }
+  }
+
   test("CALL graft.system.drop_partitions drops slices; vacuum_dataset " +
     "cleans leftovers; unknown procedure refuses with the available list") {
     withCatalog {
