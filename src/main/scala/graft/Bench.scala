@@ -108,13 +108,24 @@ object Bench {
   /** The shuffle/IO-AXIS query set: queries whose cost is dominated by
     * shuffle or file IO, so a contended-window adjudication must compare
     * them against the shuffle controls, not the CPU controls. Derived
-    * EMPIRICALLY from two immutable records (BENCH_FULL r12-local vs
-    * BENCH_OFFICIAL_r10): every common ≥0.2 s query whose r12/r10 ratio
-    * exceeded 1.25× that window's CPU control ratio — i.e. provably
-    * IO-sensitive in a measured IO-contended window — plus the
-    * stream/dataset/startable families wholesale (file IO by
-    * construction). Pinned by BenchPriorSpec. */
+    * EMPIRICALLY from immutable records: every common ≥0.2 s query whose
+    * (contended r12-local)/(r10-official) ratio exceeded 1.25× that
+    * window's CPU control ratio — i.e. provably IO-sensitive in a
+    * measured IO-contended window — plus the stream/dataset/startable
+    * families wholesale (file IO by construction), plus the iterative-
+    * shuffle / index-file families the first r13 record showed drifting
+    * ~2× in a window whose CPU controls read 1.11 (graph iteration,
+    * dedup-index builds, n-gram perplexity joins, probe file reads).
+    * Pinned by BenchPriorSpec. */
   val ShuffleAxisQueries: Set[String] = Set(
+    "q_pagerank", "q_cluster_split", "q_dedup_content",
+    "q_dedup_incremental", "q_dedup_index", "q_dedup_keep_best",
+    "q_decontaminate_scrub", "q_doc_trigram_ppl", "q_doc_bigram_ppl",
+    "q_doc_kn_ppl", "q_emb_ivf_probe", "q_emb_ivfpq_probe",
+    "q_emb_kmeans_corpus", "q_entity_resolution", "q_fuzzy_join",
+    "q_funnel_steps", "q_event_twap", "q_gram_novelty_cross",
+    "q_tfidf_terms", "q_temperature_mix", "q_multimodal_features",
+    "q_multimodal_frames",
     "q_anti_join", "q_bm25_search", "q_bpe_tokenize", "q_calibration",
     "q_chi2_independence", "q_concat_union", "q_corpus_stats",
     "q_dataset_card", "q_doc_quality", "q_doc_readability",

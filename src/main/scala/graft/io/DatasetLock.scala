@@ -218,37 +218,51 @@ object DatasetLock {
              if (v == null) JsonNull else JsonString(v)))))))))
   }
 
-  private def read(fs: FileSystem, path: Path): Option[LockInfo] =
-    try {
-      val in = fs.open(path)
-      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      import JsonValue._
-      val o = JsonValue.parse(txt).asInstanceOf[JsonObject]
-      def s(k: String) = o.fields(k).asInstanceOf[JsonString].value
-      def n(k: String): Long = o.fields.get(k) match {
-        case Some(JsonNumber(v)) => v.toLong
-        case _ => 0L
-      }
-      val slices: Set[Seq[String]] = o.fields.get("slices") match {
-        case Some(JsonArray(items)) => items.map {
-          case JsonArray(vs) => vs.map {
-            case JsonString(v) => v
-            case _             => null
-          }: Seq[String]
-          case _ => Seq.empty[String]
-        }.toSet
-        case _ => Set.empty
-      }
-      Some(LockInfo(s("op"), s("owner"), n("acquiredAtMs"), s("token"),
-        n("renewedAtMs"), n("ttlMs"), slices))
-    } catch {
-      case _: java.io.FileNotFoundException => None
-      case _: Exception =>
-        // a truncated lock (crash mid-create) still MEANS "locked" — an
-        // unreadable holder is reported as such, never silently ignored
-        // (ttl 0: never auto-expires; the operator breaks it)
-        Some(LockInfo("<unreadable lock file>", "<unknown>", 0L, ""))
+  private def readOnce(fs: FileSystem, path: Path): Option[LockInfo] = {
+    val in = fs.open(path)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    import JsonValue._
+    val o = JsonValue.parse(txt).asInstanceOf[JsonObject]
+    def s(k: String) = o.fields(k).asInstanceOf[JsonString].value
+    def n(k: String): Long = o.fields.get(k) match {
+      case Some(JsonNumber(v)) => v.toLong
+      case _ => 0L
     }
+    val slices: Set[Seq[String]] = o.fields.get("slices") match {
+      case Some(JsonArray(items)) => items.map {
+        case JsonArray(vs) => vs.map {
+          case JsonString(v) => v
+          case _             => null
+        }: Seq[String]
+        case _ => Seq.empty[String]
+      }.toSet
+      case _ => Set.empty
+    }
+    Some(LockInfo(s("op"), s("owner"), n("acquiredAtMs"), s("token"),
+      n("renewedAtMs"), n("ttlMs"), slices))
+  }
+
+  private def read(fs: FileSystem, path: Path): Option[LockInfo] = {
+    // Up to 3 attempts, 50 ms apart: a lock file can be TRANSIENTLY
+    // unreadable while its holder's heartbeat rewrites it on a store
+    // without an atomic overwrite-rename — a retry sees the settled
+    // state. Only a PERSISTENTLY unreadable file (crash mid-create)
+    // becomes the sentinel below.
+    var attempt = 0
+    while (true) {
+      try return readOnce(fs, path)
+      catch {
+        case _: java.io.FileNotFoundException => return None
+        case _: Exception if attempt < 2 => attempt += 1; Thread.sleep(50L)
+        case _: Exception =>
+          // a truncated lock (crash mid-create) still MEANS "locked" — an
+          // unreadable holder is reported as such, never silently ignored
+          // (ttl 0: never auto-expires; the operator breaks it)
+          return Some(LockInfo("<unreadable lock file>", "<unknown>", 0L, ""))
+      }
+    }
+    None // unreachable
+  }
 
   /** All live + expired SHARED leases on the root (file order). */
   private def readSharedLocks(rootDir: String, fs: FileSystem)
@@ -309,23 +323,37 @@ object DatasetLock {
       true
     }
 
-  /** Rename-overwrite install (the heartbeat's rewrite primitive). */
-  private def installOverwrite(fs: FileSystem, p: Path, txt: String): Unit = {
-    val tmp = new Path(p.getParent, "." + p.getName + ".tmp." +
-      java.util.UUID.randomUUID().toString.take(8))
-    val os = fs.create(tmp, true)
-    try os.write(txt.getBytes("UTF-8")) finally os.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
-        fs.getConf)
-      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException | _: java.io.IOException =>
-        if (fs.exists(p)) fs.delete(p, false)
-        if (!fs.rename(tmp, p))
-          throw new java.io.IOException(s"lock renew: could not install $p")
+  /** Rename-overwrite install (the heartbeat's rewrite primitive). On
+    * `file:` stores this MUST be NIO ATOMIC_MOVE: Hadoop's local
+    * FileContext rename-OVERWRITE is delete-then-rename, and a reader in
+    * that window sees a missing or partial lock — the exact flicker that
+    * makes an acquirer misread a live lease (found by LeaseLivenessSpec's
+    * live-holder drill racing reads against heartbeats). */
+  private def installOverwrite(fs: FileSystem, p: Path, txt: String): Unit =
+    if (fs.getScheme == "file") {
+      val target = java.nio.file.Paths.get(p.toUri.getPath)
+      val tmp = target.resolveSibling("." + target.getFileName.toString +
+        ".tmp." + java.util.UUID.randomUUID().toString.take(8))
+      java.nio.file.Files.write(tmp, txt.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(p.getParent, "." + p.getName + ".tmp." +
+        java.util.UUID.randomUUID().toString.take(8))
+      val os = fs.create(tmp, true)
+      try os.write(txt.getBytes("UTF-8")) finally os.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+          fs.getConf)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          if (fs.exists(p)) fs.delete(p, false)
+          if (!fs.rename(tmp, p))
+            throw new java.io.IOException(s"lock renew: could not install $p")
+      }
     }
-  }
 
   private def refuse(rootDir: String, op: String, holder: LockInfo,
                      awaitMs: Long): Nothing =
@@ -384,29 +412,19 @@ object DatasetLock {
           val info = newInfo(op, ttlMs)
           if (atomicCreate(fs, p, render(info).getBytes("UTF-8"))) {
             def owned: Boolean = read(fs, p).exists(_.token == info.token)
-            if (!atomicStore) {
-              // check-then-act store: a racer whose exists() predated our
-              // create may truncate us AFTER a single read-back — verify
-              // again past the grace window (see the class doc for the
-              // residual hazard beyond it)
-              if (!owned) read(fs, p) match {
-                case Some(other) => refuse(rootDir, op, other, awaitMs)
-                case None        => () // vanished: retry the loop
-              } else {
-                Thread.sleep(GraceMs)
-                if (owned) return info
-                read(fs, p).foreach(refuse(rootDir, op, _, awaitMs))
-              }
-            } else {
-              if (owned) return info
-              read(fs, p) match {
-                case Some(other) => refuse(rootDir, op, other, awaitMs)
-                case None        => () // vanished: retry
-              }
-            }
+            // check-then-act stores: a racer whose exists() predated our
+            // create may truncate us AFTER a single read-back — verify
+            // again past the grace window (see the class doc for the
+            // residual hazard beyond it)
+            val ok =
+              if (atomicStore) owned
+              else owned && { Thread.sleep(GraceMs); owned }
+            if (ok) return info
           }
-          // create lost the race (or ownership vanished): loop — the new
-          // holder is read at the top and waited on / taken over / refused
+          // create lost the race (or ownership was taken by a racer):
+          // loop — the holder is read at the top and waited on / taken
+          // over / refused at the deadline, exactly like a pre-existing
+          // lock (a lost race must not refuse while awaitMs remains)
       }
     }
     throw new IllegalStateException("unreachable")
