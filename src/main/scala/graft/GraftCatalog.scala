@@ -59,7 +59,7 @@ object GraftCatalog {
   /** One maintenance procedure: fixed parameters, a one-row report. The
     * unbound and bound forms coincide (parameters are static — `bind` has
     * nothing to specialize; Spark casts arguments to the declared types). */
-  private final class MaintenanceProcedure(
+  private class MaintenanceProcedure(
       pname: String, desc: String,
       params: Seq[ProcedureParameter],
       resultSchema: StructType,
@@ -158,6 +158,63 @@ object GraftCatalog {
       StructType(Seq(StructField("shards_written", LongType, nullable = false))),
       (spark, r) => Seq(graft.operators.Maintenance.shardDatasetStats(
         spark, str(r, 0)))),
+
+    new MaintenanceProcedure(
+      "show_dataset_locks",
+      "List a dataset root's writer leases (exclusive, shared, flip) " +
+        "with holder, age, heartbeat recency, and expiry judgment " +
+        "(graft.io.DatasetLock.listLocks) — read-only",
+      Seq(in("path", StringType)),
+      StructType(Seq(
+        StructField("kind", StringType, nullable = false),
+        StructField("op", StringType, nullable = false),
+        StructField("owner", StringType, nullable = false),
+        StructField("acquired_s_ago", LongType, nullable = false),
+        StructField("renewed_s_ago", LongType, nullable = false),
+        StructField("ttl_s", LongType, nullable = false),
+        StructField("expired", BooleanType, nullable = false),
+        StructField("slices", StringType, nullable = true))),
+      (spark, r) => {
+        // multi-row result: LocalScan rows are built by the caller below,
+        // so this procedure returns them through a dedicated run path
+        throw new IllegalStateException("handled by callMultiRow")
+      }) {
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val now = System.currentTimeMillis()
+        val lockRows: Array[InternalRow] =
+          graft.io.DatasetLock.listLocks(path,
+            SparkSession.active.sparkContext.hadoopConfiguration)
+          .map { case (kind, i, expired) =>
+            InternalRow.fromSeq(Seq(
+              org.apache.spark.unsafe.types.UTF8String.fromString(kind),
+              org.apache.spark.unsafe.types.UTF8String.fromString(i.op),
+              org.apache.spark.unsafe.types.UTF8String.fromString(i.owner),
+              (now - i.acquiredAtMs) / 1000L,
+              (now - i.effectiveRenewedAt) / 1000L,
+              i.ttlMs / 1000L,
+              expired,
+              if (i.slices.isEmpty) null
+              else org.apache.spark.unsafe.types.UTF8String.fromString(
+                i.slices.toSeq.map(_.map(v => if (v == null) "null" else v)
+                  .mkString("/")).sorted.mkString(","))))
+          }.toArray
+        val schema = StructType(Seq(
+          StructField("kind", StringType, nullable = false),
+          StructField("op", StringType, nullable = false),
+          StructField("owner", StringType, nullable = false),
+          StructField("acquired_s_ago", LongType, nullable = false),
+          StructField("renewed_s_ago", LongType, nullable = false),
+          StructField("ttl_s", LongType, nullable = false),
+          StructField("expired", BooleanType, nullable = false),
+          StructField("slices", StringType, nullable = true)))
+        val scan: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = lockRows
+          override def readSchema(): StructType = schema
+        }
+        util.Collections.singletonList(scan).iterator()
+      }
+    },
 
     new MaintenanceProcedure(
       "evolve_dataset_schema",

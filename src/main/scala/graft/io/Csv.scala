@@ -493,6 +493,10 @@ object CsvWriter {
     else if (evolveSchema)
       DatasetLock.withLockHandle(outDir, "backfill-evolve",
         awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), None))
+    else if (partitionBy.isEmpty || !partitionBy.forall(t.columnNames.contains))
+      // malformed arguments: let the impl raise its precise requires
+      // (they fire before any data or lock is touched)
+      impl(None, None)
     else touchedSlices(t, partitionBy, naRep) match {
       case Some(parts) if parts.nonEmpty =>
         DatasetLock.withSharedLock(outDir, "backfill", parts,

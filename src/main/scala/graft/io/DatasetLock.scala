@@ -275,6 +275,25 @@ object DatasetLock {
     names.flatMap(p => read(fs, p).map(p -> _))
   }
 
+  /** Operator visibility: every lease currently on the root — exclusive,
+    * shared, flip — as (kind, info, expiredNow). Read-only; stale entries
+    * are judged, not evicted (acquisition does the evicting). */
+  def listLocks(rootDir: String,
+                conf: Configuration =
+                  graft.sources.StarTableSource.activeHadoopConf())
+      : Seq[(String, LockInfo, Boolean)] = {
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(conf)
+    val now = System.currentTimeMillis()
+    val ex = read(fs, lockPath(rootDir)).map(i =>
+      ("exclusive", i, i.expired(now)))
+    val flip = read(fs, flipPath(rootDir)).map(i => ("flip", i, i.expired(now)))
+    val shared = readSharedLocks(rootDir, fs).map { case (_, i) =>
+      ("shared", i, i.expired(now))
+    }
+    ex.toSeq ++ shared ++ flip.toSeq
+  }
+
   /** The current exclusive holder, if any. */
   def readLock(rootDir: String,
                conf: Configuration =

@@ -88,6 +88,30 @@ class ProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL graft.system.show_dataset_locks lists exclusive and shared " +
+    "leases with liveness judgment; empty after release") {
+    withCatalog {
+      val ds = mkDataset()
+      val h = graft.io.DatasetLock.acquire(ds, "compact")
+      val hs = graft.io.DatasetLock.acquireShared(ds + "_other", "backfill",
+        Set(Seq("d1")))
+      try {
+        val rows = spark.sql(
+          s"CALL graft.system.show_dataset_locks(path => '$ds')").collect()
+        assert(rows.length === 1)
+        assert(rows.head.getString(0) === "exclusive" &&
+          rows.head.getString(1) === "compact" &&
+          !rows.head.getBoolean(6), rows.head.toString)
+        val shared = spark.sql(
+          s"CALL graft.system.show_dataset_locks(path => '${ds}_other')").collect()
+        assert(shared.length === 1 && shared.head.getString(0) === "shared" &&
+          shared.head.getString(7) === "d1", shared.head.toString)
+      } finally { h.release(); hs.release() }
+      assert(spark.sql(
+        s"CALL graft.system.show_dataset_locks(path => '$ds')").collect().isEmpty)
+    }
+  }
+
   test("CALL graft.system.drop_partitions drops slices; vacuum_dataset " +
     "cleans leftovers; unknown procedure refuses with the available list") {
     withCatalog {
