@@ -142,6 +142,18 @@ object DatasetLock {
       * token they present; long protocols may also poll it directly. */
     def lost: Boolean = lostVar
 
+    /** Fencing check for long multi-leaf protocols: refuse loudly the
+      * moment the lease is lost (a successor may already be writing) —
+      * called before each destructive step (leaf swap, delete), so a
+      * zombie maintenance pass stops instead of corrupting its
+      * successor's work. */
+    def checkHeld(op: String): Unit =
+      if (lostVar) throw new ConcurrentWriteException(
+        s"$op: this writer's lease on ${path.getParent} was LOST " +
+          "(missed heartbeats past the TTL, or a forced break followed by " +
+          "a takeover) — a successor writer may already be running; " +
+          "aborting before further destructive steps")
+
     /** The heartbeat: refresh `renewedAtMs` in place (rename-overwrite —
       * the same atomic-install primitive as the sidecar) after verifying
       * the lease is still ours AND still within TTL. A holder that wakes

@@ -117,19 +117,23 @@ object Maintenance {
     // identically to parquet/Z-order/bucketed directories. The lock file
     // is an advisory `_`-named sibling every data listing (Spark's
     // included) ignores; no sidecar is needed for an advisory lease.
-    graft.io.DatasetLock.withLock(path, "compact",
+    graft.io.DatasetLock.withLockHandle(path, "compact",
       spark.sparkContext.hadoopConfiguration,
       graft.io.DatasetLock.awaitMsFromConf(spark),
-      graft.io.DatasetLock.ttlMsFromConf(spark)) {
-      compactLocked(spark, path, targetBytes, sortCols, format)
+      graft.io.DatasetLock.ttlMsFromConf(spark)) { h =>
+      compactLocked(spark, path, targetBytes, sortCols, format, Some(h))
     }
 
   /** [[compact]] body, callable by holders that already took the root
-    * lease ([[compactStarDataset]] — the lock is not reentrant). */
+    * lease ([[compactStarDataset]] — the lock is not reentrant). `lock`
+    * fences each leaf swap: a pass whose lease was lost mid-run (TTL
+    * takeover after a long stall) stops before its next destructive
+    * step. */
   private[operators] def compactLocked(spark: SparkSession, path: String,
               targetBytes: Long,
               sortCols: Seq[String],
-              format: String): CompactionReport = {
+              format: String,
+              lock: Option[graft.io.DatasetLock.Handle] = None): CompactionReport = {
     require(targetBytes > 0, s"compact: targetBytes must be positive")
     require(format == "parquet" || format == "text",
       s"compact: unsupported format '$format' (parquet or text)")
@@ -220,6 +224,7 @@ object Maintenance {
             graft.io.JsonValue.JsonObject(o.fields - "files")))
       }
       faultHook(s"compact:staged")
+      lock.foreach(_.checkHeld("compact")) // fencing: no swap on a lost lease
       swapLeaf(fs, "compact", p, staging)
 
       val after = dataFiles(p)
@@ -256,11 +261,11 @@ object Maintenance {
     // refuses us (and vice versa) instead of interleaving leaf swaps with
     // its commits — rows committed into a leaf between our listing and
     // our swap would otherwise be silently dropped
-    graft.io.DatasetLock.withLock(path, "compact",
+    graft.io.DatasetLock.withLockHandle(path, "compact",
       spark.sparkContext.hadoopConfiguration,
       graft.io.DatasetLock.awaitMsFromConf(spark),
-      graft.io.DatasetLock.ttlMsFromConf(spark)) {
-      val report = compactLocked(spark, path, targetBytes, Nil, "text")
+      graft.io.DatasetLock.ttlMsFromConf(spark)) { h =>
+      val report = compactLocked(spark, path, targetBytes, Nil, "text", Some(h))
       // sharded layout: compaction re-installed each leaf's shard (files
       // stripped) — drop any cached parses of the OLD shards
       graft.sources.StarTableSource.invalidateShardCache(path)
@@ -336,15 +341,15 @@ object Maintenance {
       spark.sparkContext.hadoopConfiguration,
       graft.io.DatasetLock.awaitMsFromConf(spark),
       graft.io.DatasetLock.ttlMsFromConf(spark)) { h =>
-      clusterStarDatasetLocked(spark, path, sortCols, targetBytes,
-        Some(h.info.token))
+      clusterStarDatasetLocked(spark, path, sortCols, targetBytes, Some(h))
     }
   }
 
   private def clusterStarDatasetLocked(spark: SparkSession, path: String,
                                        sortCols: Seq[String],
                                        targetBytes: Long,
-                                       lockToken: Option[String]): ClusterReport = {
+                                       lock: Option[graft.io.DatasetLock.Handle]): ClusterReport = {
+    val lockToken: Option[String] = lock.map(_.info.token)
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DoubleType
     val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(path))
@@ -446,6 +451,7 @@ object Maintenance {
               raw, leafStats, meta.cols, meta.units),
             if (leafStats.size > 1) leafStats else Nil))
       faultHook("cluster:staged")
+      lock.foreach(_.checkHeld("clusterStarDataset")) // fencing
       swapLeaf(fs, "clusterStarDataset", leaf, staging)
 
       if (!meta.statsSharded &&

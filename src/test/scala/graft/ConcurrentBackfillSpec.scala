@@ -184,6 +184,44 @@ class ConcurrentBackfillSpec extends AnyFunSuite {
     val t = errs.get(); if (t != null) throw t
   }
 
+  test("a maintenance pass whose lease is LOST mid-run (forced break + " +
+    "takeover) fences: it refuses before its next leaf swap") {
+    val out = freshDataset("fence")
+    spark.conf.set("spark.graft.lock.ttlMs", "1200") // heartbeat every 300 ms
+    val staged = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    Maintenance.faultHook = p =>
+      if (p == "compact:staged") { staged.countDown(); release.await() }
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val compactor = new Thread(() =>
+      try { Maintenance.compactStarDataset(spark, out, 64 * 1024): Unit }
+      catch { case t: Throwable => errs.set(t) })
+    try {
+      compactor.start()
+      assert(staged.await(120, TimeUnit.SECONDS))
+      // operator error: break the LIVE lease; a successor takes and
+      // releases it — the parked compactor's heartbeat must notice
+      assert(graft.io.DatasetLock.breakLock(out))
+      val successor = graft.io.DatasetLock.acquire(out, "backfill")
+      Thread.sleep(1500) // > 2 heartbeat intervals: the loss is observed
+      successor.release()
+    } finally {
+      release.countDown()
+      compactor.join(120000)
+      Maintenance.faultHook = _ => ()
+      spark.conf.unset("spark.graft.lock.ttlMs")
+    }
+    val t = errs.get()
+    assert(t != null && t.isInstanceOf[ConcurrentWriteException] &&
+      t.getMessage.contains("LOST"),
+      s"the fenced compaction must refuse before swapping, got: $t")
+    // the dataset is untouched and maintainable after cleanup
+    assert(spark.read.format("startable").load(out).count() === 300)
+    assert(Maintenance.vacuumStarDataset(spark, out).removedDirs >= 1)
+    Maintenance.compactStarDataset(spark, out, 64 * 1024)
+    assert(spark.read.format("startable").load(out).count() === 300)
+  }
+
   test("plain-parquet trees get the lease too: a second compaction racing " +
     "a parked one refuses instead of interleaving leaf swaps") {
     val base = Files.createTempDirectory("graft_cb_parquet").toString + "/t"
