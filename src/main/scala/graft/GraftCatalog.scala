@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
@@ -27,13 +28,133 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * discipline, same reports) and returns the report as a one-row result.
   * Procedures are side-effecting, so `isDeterministic` is false and Spark
   * executes each CALL exactly once, eagerly. */
-class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog {
   private var catalogName = "graft"
+  private var warehouseDir: String = _
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouseDir = Option(options.get("warehouse")).getOrElse(
+      System.getProperty("java.io.tmpdir") + s"/graft_catalog_$name")
+  }
 
   override def name(): String = catalogName
+
+  // --- named StarTable datasets (TableCatalog) ---------------------------
+  //
+  // `CREATE TABLE graft.db.t USING startable LOCATION '/data/ds'`
+  // registers NAME → LOCATION in a tiny JSON registry under the catalog's
+  // warehouse dir; the dataset SIDECAR stays the single source of truth
+  // for schema and units (loadTable re-infers on every resolution, so an
+  // evolve/backfill is visible to the named table immediately). Tables
+  // are EXTERNAL: drop unregisters the name, never touches data.
+
+  private def registryPath: org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(warehouseDir, "_graft_tables.json")
+
+  private def idKey(ident: Identifier): Vector[String] =
+    (ident.namespace.toVector :+ ident.name).map(_.toLowerCase(java.util.Locale.ROOT))
+
+  private def readRegistry(): Map[Vector[String], String] = {
+    val conf = graft.sources.StarTableSource.activeHadoopConf()
+    val p = registryPath
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    import graft.io.JsonValue._
+    graft.io.JsonValue.parse(txt).asInstanceOf[JsonArray].values.map { e =>
+      val o = e.asInstanceOf[JsonObject]
+      val parts = o.fields("table").asInstanceOf[JsonArray].values
+        .map(_.asInstanceOf[JsonString].value).toVector
+      parts -> o.fields("location").asInstanceOf[JsonString].value
+    }.toMap
+  }
+
+  private def writeRegistry(m: Map[Vector[String], String]): Unit = {
+    import graft.io.JsonValue._
+    val json = graft.io.JsonValue.write(JsonArray(
+      m.toVector.sortBy(_._1.mkString(".")).map { case (parts, loc) =>
+        JsonObject(scala.collection.immutable.ListMap(
+          "table" -> JsonArray(parts.map(JsonString(_))),
+          "location" -> JsonString(loc)))
+      }))
+    val conf = graft.sources.StarTableSource.activeHadoopConf()
+    graft.io.CsvWriter.atomicInstallJson(
+      registryPath.getFileSystem(conf), conf, registryPath, json)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    readRegistry().keys.toSeq
+      .filter(_.init == namespace.toVector.map(_.toLowerCase(java.util.Locale.ROOT)))
+      .sortBy(_.mkString("."))
+      .map(parts => Identifier.of(parts.init.toArray, parts.last))
+      .toArray
+
+  override def loadTable(ident: Identifier): Table =
+    readRegistry().get(idKey(ident)) match {
+      case Some(loc) =>
+        graft.sources.StarTableSource.tableFor(Map("path" -> loc))
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val reg = readRegistry()
+    if (reg.contains(idKey(ident))) throw new TableAlreadyExistsException(ident)
+    val props = info.properties()
+    val provider = Option(props.get(TableCatalog.PROP_PROVIDER))
+    require(provider.forall(_.equalsIgnoreCase("startable")),
+      s"graft catalog: only `USING startable` tables can be registered, " +
+        s"got provider '${provider.getOrElse("")}'")
+    val location = Option(props.get(TableCatalog.PROP_LOCATION))
+      .orElse(Option(props.get(TableCatalog.OPTION_PREFIX + "path")))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft catalog: a named StarTable dataset is EXTERNAL — give its " +
+          "root with LOCATION '/path/to/dataset' (or OPTIONS (path ...)); " +
+          "the sidecar there is the source of truth for schema and units"))
+    // the location must already resolve (sidecar or parseable StarTable
+    // file) — a typo'd path must refuse at CREATE, not at first SELECT;
+    // this also checks any user-declared columns against the real schema
+    val resolved = graft.sources.StarTableSource.tableFor(Map("path" -> location))
+    val declared = info.columns()
+    if (declared.nonEmpty) {
+      val real = resolved.schema().fields.map(_.name).toSeq
+      val given = declared.map(_.name).toSeq
+      require(given == real,
+        s"graft catalog: declared columns (${given.mkString(", ")}) do not " +
+          s"match the dataset at $location (${real.mkString(", ")}); omit " +
+          "the column list — the sidecar is the source of truth")
+    }
+    writeRegistry(reg + (idKey(ident) -> location))
+    resolved
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — the dataset sidecar " +
+        "is the source of truth; evolve columns with " +
+        "CALL graft.system.evolve_dataset_schema (or the evolve backfill) " +
+        "and maintain with the graft.system procedures")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val reg = readRegistry()
+    val k = idKey(ident)
+    if (!reg.contains(k)) false
+    else {
+      // EXTERNAL semantics: unregister the name; the dataset stays
+      writeRegistry(reg - k)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val reg = readRegistry()
+    val ok = idKey(oldIdent)
+    val nk = idKey(newIdent)
+    if (!reg.contains(ok)) throw new NoSuchTableException(oldIdent)
+    if (reg.contains(nk)) throw new TableAlreadyExistsException(newIdent)
+    writeRegistry(reg - ok + (nk -> reg(ok)))
+  }
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))

@@ -1126,6 +1126,21 @@ private[graft] final class CellScanner(sep: String) {
 
 private[graft] object StarTableSource {
 
+  /** Catalog-facing factory: the DSv2 table for the given reader options
+    * (path / table / sep), schema inferred from the dataset sidecar or
+    * file header exactly as `spark.read.format("startable")` would — the
+    * [[graft.GraftCatalog]] TableCatalog's loadTable hook (the sidecar
+    * stays the single source of truth for a named table's schema and
+    * units). */
+  def tableFor(props: Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val jmap = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => jmap.put(k, v) }
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(jmap)
+    val schema = new StarTableSource().inferSchema(opts)
+    new StarTableTable(schema, props)
+  }
+
   /** The active session's Hadoop configuration (driver side), else a fresh
     * default (plain library use without a session). Threading this instead
     * of `new Configuration()` makes object-store credentials and custom

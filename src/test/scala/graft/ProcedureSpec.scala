@@ -88,6 +88,45 @@ class ProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("named datasets (round-13 stretch): CREATE TABLE graft.db.t USING " +
+    "startable LOCATION round-trips through the catalog with units " +
+    "intact; the sidecar stays the source of truth; rename/drop are " +
+    "external (names only)") {
+    withCatalog {
+      val ds = mkDataset()
+      spark.sql(
+        s"CREATE TABLE graft.data.named_ds USING startable LOCATION '$ds'")
+      val back = spark.table("graft.data.named_ds")
+      assert(back.count() === 600)
+      assert(back.schema("grp").metadata
+        .getString(graft.model.StarTable.UnitMetaKey) === "text",
+        "units must ride the catalog resolution")
+      val listed = spark.sql("SHOW TABLES IN graft.data").collect()
+        .map(_.getString(1))
+      assert(listed.contains("named_ds"), listed.mkString(", "))
+      // a sidecar-only evolution is visible through the NAME immediately
+      // (loadTable re-infers from the sidecar on every resolution)
+      graft.io.CsvWriter.evolveDatasetSchema(spark, ds, Seq("zz" -> "-"))
+      assert(spark.table("graft.data.named_ds").columns.contains("zz"))
+      // rename remaps the name; drop unregisters it; the DATA survives both
+      // the TO name is resolved INSIDE the same catalog (no catalog prefix)
+      spark.sql("ALTER TABLE graft.data.named_ds RENAME TO data.named_ds2")
+      assert(spark.table("graft.data.named_ds2").count() === 600)
+      spark.sql("DROP TABLE graft.data.named_ds2")
+      intercept[Exception] { spark.table("graft.data.named_ds2").collect() }
+      assert(spark.read.format("startable").load(ds).count() === 600,
+        "DROP TABLE must be external: the dataset survives")
+      // refusals: a typo'd location fails at CREATE, not at first SELECT;
+      // ALTER TABLE points at the procedures
+      intercept[Exception] {
+        spark.sql("CREATE TABLE graft.data.bad USING startable " +
+          "LOCATION '/nonexistent_graft_ds'")
+      }
+      assert(spark.sql("SHOW TABLES IN graft.data").collect().isEmpty,
+        "a failed CREATE must not register the name")
+    }
+  }
+
   test("CALL graft.system.show_dataset_locks lists exclusive and shared " +
     "leases with liveness judgment; empty after release") {
     withCatalog {
