@@ -143,7 +143,12 @@ object Bench {
     "q_profile", "q_range_join", "q_source_overlap", "q_split_drift",
     "q_token_burstiness", "q_token_topk", "q_top_docs_per_lang",
     "q_triangles", "q_weighted_pagerank", "q_window_top_order",
-    "q_winsorize", "q_zipf")
+    "q_winsorize", "q_zipf",
+    // second-window evidence (r13 contended record, judge re-time): these
+    // drifted with the 1.79x shuffle window while the CPU controls read
+    // 0.98, and the serialized re-time exonerated each — IO-sensitive
+    "q_decontaminate_bloom", "q_pivot_qty", "q_percent_rank",
+    "q_setsim_join", "q_knn_graph", "q_mutual_nn", "q_emb_outliers")
 
   /** Axis of a query: true = shuffle/IO, false = CPU. */
   def shuffleAxis(name: String): Boolean =

@@ -487,29 +487,41 @@ object DatasetLock {
     val ttl = if (ttlMs < 0) DefaultTtlMs else ttlMs
     val deadline = System.currentTimeMillis() + math.max(0L, awaitMs)
     val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    val info = acquireFile(rootDir, p, fs, op,
+      math.max(0L, deadline - System.currentTimeMillis()), ttl, atomicStore)
+    // The exclusive file is ours; it must not coexist with LIVE shared
+    // (slice-scoped backfill) leases. EVERY live shared lease blocks —
+    // never a wall-clock tie-break: acquiredAtMs comes from each writer's
+    // own System.currentTimeMillis, so cross-process ordering by it would
+    // let a skewed clock convince both sides they win (a shared holder
+    // that completed acquisition before this file existed never re-checks).
+    // Instead this side WAITS the live set out while HOLDING its file
+    // (heartbeat already running, so the wait cannot expire the lease):
+    // new shared acquirers' post-create check sees this exclusive and
+    // retreats unconditionally, so the live set only drains — no
+    // starvation in either direction, no clock anywhere.
+    val handle = startHeartbeat(new Handle(fs, p, info), ttl)
+    // on non-atomic stores a shared create in flight during the first
+    // listing may surface late: require one clean re-list past the grace
+    var settled = atomicStore
     while (true) {
-      val info = acquireFile(rootDir, p, fs, op,
-        math.max(0L, deadline - System.currentTimeMillis()), ttl, atomicStore)
-      // the exclusive file is ours; now it must not coexist with LIVE
-      // shared (slice-scoped backfill) leases
       val now = System.currentTimeMillis()
       val shared = readSharedLocks(rootDir, fs)
       shared.filter(_._2.expired(now)).foreach { case (sp, si) =>
         tryEvictExpired(fs, sp, si)
       }
       val live = shared.filterNot(_._2.expired(now))
-      val blocking = live.filter { case (_, si) => si.beats(info) }
-      if (blocking.isEmpty) {
-        // shared files created AFTER ours lose the tie-break: their own
-        // post-create check sees this exclusive and retreats before
-        // starting any work — safe to proceed without waiting them out
-        return startHeartbeat(new Handle(fs, p, info), ttl)
+      if (live.isEmpty) {
+        if (settled) return handle
+        Thread.sleep(GraceMs)
+        settled = true
+      } else if (System.currentTimeMillis() >= deadline) {
+        handle.release()
+        refuse(rootDir, op, live.head._2, awaitMs)
+      } else {
+        settled = atomicStore // a drain observed after a wait must re-settle
+        Thread.sleep(350L + rnd.nextInt(300))
       }
-      // an established shared backfill predates us: yield and wait/refuse
-      try fs.delete(p, false) catch { case _: java.io.IOException => () }
-      if (System.currentTimeMillis() >= deadline)
-        refuse(rootDir, op, blocking.head._2, awaitMs)
-      Thread.sleep(350L + rnd.nextInt(300))
     }
     throw new IllegalStateException("unreachable")
   }
@@ -562,18 +574,23 @@ object DatasetLock {
               if (!atomicCreate(fs, myPath, render(info).getBytes("UTF-8")))
                 throw new ConcurrentWriteException(
                   s"dataset at $rootDir: shared lock create failed at $myPath")
-              // 4. post-create verification: any exclusive or overlapping
-              // shared that BEATS us (earlier acquisition) wins — we
-              // retreat; anything we beat will itself retreat before doing
-              // work (both sides apply the same total order)
+              // 4. post-create verification. ANY live exclusive wins —
+              // the exclusive side holds its file and waits out every live
+              // shared lease (no wall-clock ordering: clocks are
+              // per-machine), so this side must retreat unconditionally;
+              // on strongly-consistent stores at least one side of the
+              // create/list race observes the other. An overlapping shared
+              // sibling resolves by the RECORDED-VALUE tie-break: both
+              // sides compare the same two written (acquiredAtMs, token)
+              // pairs, so the outcome is consistent regardless of clock
+              // skew — exactly one retreats.
               val now2 = System.currentTimeMillis()
               val exNow = read(fs, exPath).filterNot(_.expired(now2))
               val sharedNow = readSharedLocks(rootDir, fs)
                 .filter { case (sp, si) => sp.getName != myPath.getName &&
                   !si.expired(now2) && overlapping(si) }
               val beatenBy: Option[LockInfo] =
-                exNow.filter(_.beats(info)).orElse(
-                  sharedNow.map(_._2).find(_.beats(info)))
+                exNow.orElse(sharedNow.map(_._2).find(_.beats(info)))
               beatenBy match {
                 case Some(winner) =>
                   try fs.delete(myPath, false)
