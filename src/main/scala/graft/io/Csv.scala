@@ -916,12 +916,7 @@ object CsvWriter {
         val root = new org.apache.hadoop.fs.Path(outDir)
         val fs = root.getFileSystem(conf)
         parts.toSeq.flatMap { raw =>
-          val leaf = partitionBy.zip(raw).foldLeft(root) { case (p, (c, v)) =>
-            new org.apache.hadoop.fs.Path(p, c + "=" +
-              (if (v == null) "__HIVE_DEFAULT_PARTITION__"
-               else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                 .escapePathName(v)))
-          }
+          val leaf = sliceLeafPath(root, partitionBy, raw)
           try fs.listStatus(leaf).toSeq
             .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
               !s.getPath.getName.startsWith("."))
@@ -990,6 +985,20 @@ object CsvWriter {
         }
       }
   }
+
+  /** The `col=value` leaf directory of a slice tuple (raw rendered
+    * partition VALUES in partition-column order, null = the default
+    * partition). Path escaping matches the file sink's
+    * (ExternalCatalogUtils) — the parity dropPartitions relies on. */
+  private[graft] def sliceLeafPath(root: org.apache.hadoop.fs.Path,
+                                   partitionBy: Seq[String],
+                                   raw: Seq[String]): org.apache.hadoop.fs.Path =
+    partitionBy.zip(raw).foldLeft(root) { case (p, (c, v)) =>
+      new org.apache.hadoop.fs.Path(p, c + "=" +
+        (if (v == null) "__HIVE_DEFAULT_PARTITION__"
+         else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+           .escapePathName(v)))
+    }
 
   /** Test-only fault injection for crash-consistency drills: called at
     * named points of multi-step write protocols; a drill installs a
@@ -1520,7 +1529,8 @@ object CsvWriter {
   def streamPartitionedDataset(t: StarTable, outDir: String,
                                partitionBy: Seq[String], checkpoint: String,
                                sep: String = DefaultSep,
-                               naRep: String = DefaultNaRep)
+                               naRep: String = DefaultNaRep,
+                               coexist: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(t.df.isStreaming,
       "streamPartitionedDataset: t must wrap a streaming DataFrame " +
@@ -1534,6 +1544,9 @@ object CsvWriter {
     val dataCols = t.columnNames.filterNot(partitionBy.contains)
     require(dataCols.nonEmpty,
       "streamPartitionedDataset: at least one non-partition column required")
+    if (coexist)
+      return streamCoexist(t, outDir, partitionBy, checkpoint, sep, naRep,
+        dataCols)
     // Writer lease for the STREAM's whole lifetime: a compaction racing a
     // live ingest would swap leaves out from under the sink's in-flight
     // batch (rows committed into the old leaf between the compactor's
@@ -1662,6 +1675,288 @@ object CsvWriter {
     }
     override def explain(): Unit = q.explain()
     override def explain(extended: Boolean): Unit = q.explain(extended)
+  }
+
+  /** COEXISTING streaming ingest (`coexist = true`): the steady-state
+    * 100 TB shape is one forever-stream + daily disjoint backfills +
+    * nightly maintenance of old slices, and the exclusive-lease mode
+    * cannot express it — the stream's root lease excludes every other
+    * writer for its whole lifetime. This mode holds a SHARED slice-scoped
+    * lease instead, seeded with the [[DatasetLock.streamIntentSlice]]
+    * marker and GROWN (never shrunk) by the slices each micro-batch
+    * actually touches, BEFORE that batch's data lands — so:
+    *
+    *  - a backfill of slices the stream never touched proceeds
+    *    concurrently (disjoint shared leases);
+    *  - slice-scoped maintenance of pre-stream slices
+    *    ([[graft.operators.Maintenance.compactStarDataset]] with
+    *    `onlySlices`) proceeds concurrently;
+    *  - a backfill or compaction OVERLAPPING the stream's touched slices
+    *    refuses (or queues) exactly like any shared-lease conflict, and a
+    *    batch about to touch a slice a sibling holds waits the sibling
+    *    out (`spark.graft.stream.extendAwaitMs`, default 60 s);
+    *  - full-root operations (vacuum, schema evolution, full overwrite,
+    *    root compaction) still refuse while the stream lives — they are
+    *    exclusive by nature.
+    *
+    * Unlike the exclusive mode, pre-existing slice statistics are KEPT:
+    * they are stripped per slice at the stream's FIRST TOUCH of that
+    * slice (appended rows may fall outside recorded ranges), through the
+    * same flip-serialized sidecar merge as any shared commit. Slices the
+    * stream never touches keep their stats — at 100 TB that preserves
+    * pruning over the entire history instead of nuking it at stream
+    * start.
+    *
+    * Exactly-once: micro-batches commit through `foreachBatch` with an
+    * idempotent install — the batch stages into a hidden dir, moves into
+    * the live leaves under DETERMINISTIC names
+    * (`part-s<streamKey>-b<batchId>-<i>`), and records the batch id in a
+    * `_startable_stream.<key>.json` high-water mark (atomic install). A
+    * replay after a crash first deletes any files of its own batch id,
+    * then re-installs byte-identical content — duplicates cannot survive
+    * a restart that reuses the checkpoint (the streamKey derives from the
+    * checkpoint path, so resume keeps the same file-name space). The
+    * residual window matches the exclusive mode's: a crash AFTER some
+    * moves with NO restart leaves that batch partially visible until the
+    * stream resumes. */
+  private def streamCoexist(t: StarTable, outDir: String,
+                            partitionBy: Seq[String], checkpoint: String,
+                            sep: String, naRep: String,
+                            dataCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = t.df.sparkSession
+    val conf = graft.sources.StarTableSource.activeHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = rootPath.getFileSystem(conf)
+    // stable across restarts: resume reuses the checkpoint, hence the
+    // same commit file, part-file name space, and lease sentinel
+    val streamKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(new org.apache.hadoop.fs.Path(checkpoint).toString
+        .getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    val lock = DatasetLock.acquireShared(outDir, "stream-ingest",
+      Set(DatasetLock.streamIntentSlice(streamKey)),
+      awaitMs = DatasetLock.awaitMsFromConf(spark),
+      ttlMs = DatasetLock.ttlMsFromConf(spark))
+    try {
+      graft.sources.StarTableSource.invalidateMetaCache(outDir)
+      graft.sources.StarTableSource.readDatasetMeta(Seq(outDir)) match {
+        case Some(m) =>
+          // streaming into an existing dataset must not silently fork its
+          // schema or line format
+          val incoming = (t.name, dataCols, dataCols.map(t.unit),
+            partitionBy, partitionBy.map(t.unit), sep)
+          val current = (m.name, m.cols, m.units, m.partCols, m.partUnits, m.sep)
+          require(incoming == current,
+            s"streamPartitionedDataset: dataset at $outDir holds $current, " +
+              s"incoming stream is $incoming")
+        case None =>
+          // fresh dataset: publish the schema sidecar before the first
+          // batch; the write-authority gate sees our live shared lease,
+          // so the install serializes through the flip lock like any
+          // shared-holder commit
+          DatasetLock.withFlipLock(outDir) { token =>
+            writeDatasetSidecar(t, outDir, dataCols, partitionBy, sep,
+              expectCommit = Some(None), lockToken = Some(token))
+          }
+      }
+      val commitPath = new org.apache.hadoop.fs.Path(rootPath,
+        s"_startable_stream.$streamKey.json")
+      val committedAtStart: Long = readStreamHighWater(fs, commitPath)
+      val extendAwaitMs: Long =
+        spark.conf.getOption("spark.graft.stream.extendAwaitMs")
+          .map(_.toLong).getOrElse(60000L)
+      val lastCommitted = new java.util.concurrent.atomic.AtomicLong(committedAtStart)
+      val q = t.df.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          if (batchId > lastCommitted.get()) {
+            commitStreamBatch(t.copy(df = batch), outDir, partitionBy, sep,
+              naRep, dataCols, lock, streamKey, batchId, extendAwaitMs,
+              conf, commitPath)
+            lastCommitted.set(batchId)
+          }
+        }
+        .start()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            lock.release()
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+      if (!q.isActive) {
+        lock.release()
+        spark.streams.removeListener(listener)
+      }
+      new LockReleasingQuery(q, () => lock.release())
+    } catch {
+      case e: Throwable => lock.release(); throw e
+    }
+  }
+
+  /** A coexisting stream's batch files above its recorded high-water mark
+    * are IN-DOUBT — a restart replays them (delete-by-name + re-install),
+    * so a maintenance pass must not absorb them into rewritten files (the
+    * replay's delete would miss and the re-install would duplicate).
+    * True when any of `names` belongs to an uncommitted stream batch. */
+  private[graft] def hasInDoubtStreamFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                           root: org.apache.hadoop.fs.Path,
+                                           names: Seq[String]): Boolean = {
+    val re = "part-s([0-9a-f]+)-b([0-9]+)-.*".r
+    names.flatMap {
+      case re(k, b) => Some(k -> b.toLong)
+      case _        => None
+    }.groupBy(_._1).exists { case (k, ids) =>
+      val hw = readStreamHighWater(fs,
+        new org.apache.hadoop.fs.Path(root, s"_startable_stream.$k.json"))
+      ids.exists(_._2 > hw)
+    }
+  }
+
+  /** The last committed batch id of a coexisting stream (-1 = none). */
+  private[graft] def readStreamHighWater(fs: org.apache.hadoop.fs.FileSystem,
+                                  commitPath: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(commitPath)) -1L
+    else {
+      val in = fs.open(commitPath)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      JsonValue.parse(txt) match {
+        case o: JsonValue.JsonObject => o.fields.get("lastBatchId") match {
+          case Some(JsonValue.JsonNumber(v)) => v.toLong
+          case _ => -1L
+        }
+        case _ => -1L
+      }
+    }
+
+  /** One micro-batch of a coexisting stream: extend the lease with the
+    * batch's newly-touched slices, strip those slices' now-stale
+    * statistics, stage + idempotently install the data, record the batch
+    * high-water mark. See [[streamCoexist]] for the crash windows. */
+  private def commitStreamBatch(bt: StarTable, outDir: String,
+                                partitionBy: Seq[String], sep: String,
+                                naRep: String, dataCols: Seq[String],
+                                lock: DatasetLock.Handle, streamKey: String,
+                                batchId: Long, extendAwaitMs: Long,
+                                conf: org.apache.hadoop.conf.Configuration,
+                                commitPath: org.apache.hadoop.fs.Path): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = rootPath.getFileSystem(conf)
+    // the batch's touched slices (bounded: a lease records an explicit
+    // set; a single micro-batch above the cap is pathological partitioning)
+    val keys = partitionPathCols(bt, partitionBy, naRep,
+      "streamPartitionedDataset")
+    val rows = bt.df.select(keys: _*).distinct()
+      .limit(MaxSharedLockSlices + 1).collect()
+    require(rows.length <= MaxSharedLockSlices,
+      s"streamPartitionedDataset: batch $batchId touches more than " +
+        s"$MaxSharedLockSlices distinct slices — repartition the stream " +
+        "by coarser keys or batch less data")
+    val parts: Set[Seq[String]] = rows.map(r => partitionBy.indices.map(i =>
+      if (r.isNullAt(i)) null else r.getString(i)): Seq[String]).toSet
+    if (parts.nonEmpty) {
+      // grow the lease BEFORE writing — from here, overlapping backfills
+      // and slice-scoped maintenance refuse (or queue behind) these slices
+      val newParts = parts.filterNot(lock.info.slices.contains)
+      if (newParts.nonEmpty) {
+        lock.extendSlices(newParts, awaitMs = extendAwaitMs)
+        // first touch invalidates the slice's recorded statistics:
+        // appended rows may fall outside the recorded ranges. Strip is
+        // conservative — no stats means the slice is read, never skipped.
+        stripSliceStats(outDir, newParts, partitionBy, fs, conf)
+      }
+      faultHook("stream:pre-data")
+      // idempotent install: stage, then move under deterministic names
+      val staging = new org.apache.hadoop.fs.Path(rootPath,
+        s".__stream_${streamKey}_b$batchId")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      val pathCols = partitionPathCols(bt, partitionBy, naRep,
+        "streamPartitionedDataset")
+      val valueCol = concat_ws(sep,
+        distributedCells(bt.select(dataCols: _*), naRep): _*).as("value")
+      bt.df.select(pathCols :+ valueCol: _*).write.mode("overwrite")
+        .partitionBy(partitionBy: _*).text(staging.toString)
+      val prefix = s"part-s$streamKey-b$batchId-"
+      // replay hygiene first: remove every file of a previous attempt of
+      // THIS batch (the replayed offsets carry the same data, so the
+      // touched-slice set is identical — deleting by prefix across it
+      // covers every file the dead attempt could have installed)
+      parts.foreach { raw =>
+        val target = sliceLeafPath(rootPath, partitionBy, raw)
+        try fs.listStatus(target).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+          .foreach(st => fs.delete(st.getPath, false))
+        catch { case _: java.io.FileNotFoundException => () }
+      }
+      faultHook("stream:pre-install")
+      def stagedLeaves(d: org.apache.hadoop.fs.Path, rel: Seq[String])
+          : Seq[(org.apache.hadoop.fs.Path, Seq[String])] = {
+        val entries = fs.listStatus(d).toSeq.filterNot(st =>
+          st.getPath.getName.startsWith("_") ||
+            st.getPath.getName.startsWith("."))
+        val dirs = entries.filter(_.isDirectory)
+        if (dirs.isEmpty) Seq((d, rel))
+        else dirs.flatMap(st => stagedLeaves(st.getPath, rel :+ st.getPath.getName))
+      }
+      stagedLeaves(staging, Nil).filter(_._2.nonEmpty).foreach { case (d, rel) =>
+        val target = rel.foldLeft(rootPath)(
+          (p, seg) => new org.apache.hadoop.fs.Path(p, seg))
+        fs.mkdirs(target)
+        val files = fs.listStatus(d).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath).sortBy(_.getName)
+        files.zipWithIndex.foreach { case (f, i) =>
+          val dst = new org.apache.hadoop.fs.Path(target, f"$prefix$i%05d.txt")
+          if (!fs.rename(f, dst)) throw new java.io.IOException(
+            s"streamPartitionedDataset: could not install $f as $dst")
+        }
+      }
+      fs.delete(staging, true)
+    }
+    faultHook("stream:pre-commit")
+    atomicInstallJson(fs, conf, commitPath, JsonValue.write(
+      JsonValue.JsonObject(scala.collection.immutable.ListMap(
+        "lastBatchId" -> JsonValue.JsonNumber(batchId.toDouble)))))
+  }
+
+  /** Strip the recorded statistics of `parts` — inline sidecar entries
+    * through a flip-serialized read-merge, sharded layouts by deleting
+    * the touched leaves' shard files (a missing shard reads
+    * conservatively). */
+  private def stripSliceStats(outDir: String, parts: Set[Seq[String]],
+                              partitionBy: Seq[String],
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              conf: org.apache.hadoop.conf.Configuration): Unit = {
+    graft.sources.StarTableSource.invalidateMetaCache(outDir)
+    graft.sources.StarTableSource.readDatasetMeta(Seq(outDir)).foreach { m =>
+      if (m.statsSharded) {
+        val rootPath = new org.apache.hadoop.fs.Path(outDir)
+        parts.foreach { raw =>
+          val sp = new org.apache.hadoop.fs.Path(
+            sliceLeafPath(rootPath, partitionBy, raw), SliceShardFile)
+          if (fs.exists(sp)) fs.delete(sp, false)
+        }
+        graft.sources.StarTableSource.invalidateShardCache(outDir)
+      }
+      if (m.sliceStats.exists(s => parts.contains(s.partition)) ||
+          m.fileStats.exists(s => parts.contains(s.partition)))
+        mutateSidecarUnderFlip(outDir) { cur =>
+          val s2 = cur.sliceStats.filterNot(s => parts.contains(s.partition))
+          val f2 = cur.fileStats.filterNot(s => parts.contains(s.partition))
+          if (s2.size == cur.sliceStats.size &&
+              f2.size == cur.fileStats.size) None
+          else Some((cur.copy(sliceStats = s2), f2))
+        }
+    }
   }
 
   /** The codegen'd data-row rendering shared by [[writeDistributed]] and

@@ -205,7 +205,91 @@ object DatasetLock {
       val t = renewTask
       if (t != null) t.cancel(false)
     }
+
+    /** Extend a SHARED lease's recorded slice set IN PLACE — the dynamic-
+      * intent primitive for continuous ingest: a stream does not know its
+      * future slices up front, so its lease starts with the
+      * [[StreamIntentSlice]] marker and grows by the slices each
+      * micro-batch actually touches, BEFORE that batch's data lands.
+      *
+      * Protocol (same shape as [[acquireShared]]'s create): verify no
+      * live overlapping shared sibling, install the union, then RE-LIST —
+      * an overlapping live sibling observed after the install means the
+      * symmetric race fired, and the EXTENDER yields: it rolls the
+      * extension back and waits (the sibling's established work wins; our
+      * lease's age is irrelevant to slices it never held). On strongly-
+      * consistent stores at least one side of the install/list race
+      * observes the other, so two writers can never both hold an
+      * overlapping slice. A live EXCLUSIVE lease needs no check here: the
+      * exclusive side cannot start while ANY shared lease lives, ours
+      * included.
+      *
+      * Waits up to `awaitMs` for conflicting siblings to drain, then
+      * refuses ([[ConcurrentWriteException]]). Throws if this lease was
+      * lost (the holder must stop writing, not extend). */
+    def extendSlices(add: Set[Seq[String]], awaitMs: Long = 0L): Unit = {
+      require(infoVar.slices.nonEmpty,
+        "extendSlices: only a SHARED (slice-scoped) lease can extend")
+      if (add.forall(infoVar.slices.contains)) return
+      val rootDir = path.getParent.toString
+      val deadline = System.currentTimeMillis() + math.max(0L, awaitMs)
+      val rnd = java.util.concurrent.ThreadLocalRandom.current()
+      def liveOverlapping(): Option[LockInfo] = {
+        val now = System.currentTimeMillis()
+        readSharedLocks(rootDir, fs).collectFirst {
+          case (sp, si) if sp.getName != path.getName &&
+            !si.expired(now) &&
+            (si.slices.isEmpty || (si.slices & add).nonEmpty) => si
+        }
+      }
+      def waitOrRefuse(holder: LockInfo): Unit = {
+        if (System.currentTimeMillis() >= deadline)
+          refuse(rootDir, s"${infoVar.op} (extend slices)", holder, awaitMs)
+        Thread.sleep(350L + rnd.nextInt(300))
+      }
+      // install under the handle monitor (the heartbeat rewrites the same
+      // file); all waiting happens OUTSIDE it so renews keep landing
+      def install(next: LockInfo): Boolean = synchronized {
+        checkHeld("extend-slices")
+        installOverwrite(fs, path, render(next))
+        if (read(fs, path).exists(_.token == next.token)) {
+          infoVar = next; true
+        } else { markLost(); false }
+      }
+      while (true) {
+        checkHeld("extend-slices")
+        liveOverlapping() match {
+          case Some(holder) => waitOrRefuse(holder)
+          case None =>
+            val prev = infoVar
+            val next = prev.copy(slices = prev.slices ++ add,
+              renewedAtMs = System.currentTimeMillis())
+            if (!install(next)) checkHeld("extend-slices") // throws (lost)
+            liveOverlapping() match {
+              case None => return
+              case Some(holder) =>
+                // symmetric race: a sibling acquired an overlapping set
+                // while our install was in flight — yield, wait, retry
+                if (!install(prev.copy(
+                    renewedAtMs = System.currentTimeMillis())))
+                  checkHeld("extend-slices")
+                waitOrRefuse(holder)
+            }
+        }
+      }
+    }
   }
+
+  /** Sentinel slice for a dynamic shared lease (stream ingest): present
+    * from acquisition so the lease is visibly slice-scoped and non-empty,
+    * collides with no real slice (rendered partition values are grouped
+    * per partition column; this lives in a reserved name space) and with
+    * no SIBLING stream's sentinel (the stream key is part of it — two
+    * coexisting streams on one dataset hold disjoint sentinels). Grown by
+    * [[Handle.extendSlices]] as batches touch real slices. */
+  val StreamIntentPrefix = "__stream-intent__"
+  def streamIntentSlice(streamKey: String): Seq[String] =
+    Seq(StreamIntentPrefix + streamKey)
 
   private def lockPath(rootDir: String): Path =
     new Path(new Path(rootDir), LockFile)

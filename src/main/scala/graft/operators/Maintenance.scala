@@ -133,7 +133,8 @@ object Maintenance {
               targetBytes: Long,
               sortCols: Seq[String],
               format: String,
-              lock: Option[graft.io.DatasetLock.Handle] = None): CompactionReport = {
+              lock: Option[graft.io.DatasetLock.Handle] = None,
+              onlyLeaves: Option[Seq[Path]] = None): CompactionReport = {
     require(targetBytes > 0, s"compact: targetBytes must be positive")
     require(format == "parquet" || format == "text",
       s"compact: unsupported format '$format' (parquet or text)")
@@ -176,6 +177,16 @@ object Maintenance {
       val before = dataFiles(p)
       val bytesBefore = before.map(_.getLen).sum
       if (before.isEmpty)
+        return CompactionReport(0L, 0L, 0L, 0L)
+      // A crashed coexisting stream's batches ABOVE its recorded
+      // high-water mark are IN-DOUBT: a restart will replay them by
+      // deleting its own batch files by name and re-installing. Absorbing
+      // those files into a compacted file now would make the replay's
+      // delete miss them — the re-install would then DUPLICATE the rows.
+      // Skip the leaf (compaction is best-effort maintenance; the next
+      // pass after the stream resumes or is vacuumed picks it up).
+      if (format == "text" && graft.io.CsvWriter.hasInDoubtStreamFiles(
+          fs, root, before.map(_.getPath.getName)))
         return CompactionReport(0L, 0L, 0L, 0L)
       val nOut = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
 
@@ -232,7 +243,8 @@ object Maintenance {
         after.size.toLong, after.map(_.getLen).sum)
     }
 
-    parMapLeaves(leaves(root), maintenanceParallelism(spark))(compactDir)
+    val targets = onlyLeaves.getOrElse(leaves(root)).filter(fs.exists)
+    parMapLeaves(targets, maintenanceParallelism(spark))(compactDir)
       .foldLeft(CompactionReport(0, 0, 0, 0)) {
         (a, b) => CompactionReport(a.filesBefore + b.filesBefore,
           a.bytesBefore + b.bytesBefore, a.filesAfter + b.filesAfter,
@@ -251,25 +263,57 @@ object Maintenance {
     * per-slice incremental writes leave many small files; this is the
     * maintenance pass that keeps a long-lived dataset scan-efficient. */
   def compactStarDataset(spark: SparkSession, path: String,
-                         targetBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+                         targetBytes: Long = 128L * 1024 * 1024,
+                         onlySlices: Set[Seq[String]] = Set.empty): CompactionReport = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(root, graft.io.CsvWriter.DatasetMetaFile)),
       s"compactStarDataset: $path has no ${graft.io.CsvWriter.DatasetMetaFile} " +
         "sidecar — not a StarTable dataset (for parquet tables use compact)")
-    // writer lease: a live stream ingest / backfill / vacuum on this root
-    // refuses us (and vice versa) instead of interleaving leaf swaps with
-    // its commits — rows committed into a leaf between our listing and
-    // our swap would otherwise be silently dropped
-    graft.io.DatasetLock.withLockHandle(path, "compact",
-      spark.sparkContext.hadoopConfiguration,
-      graft.io.DatasetLock.awaitMsFromConf(spark),
-      graft.io.DatasetLock.ttlMsFromConf(spark)) { h =>
-      val report = compactLocked(spark, path, targetBytes, Nil, "text", Some(h))
-      // sharded layout: compaction re-installed each leaf's shard (files
-      // stripped) — drop any cached parses of the OLD shards
-      graft.sources.StarTableSource.invalidateShardCache(path)
-      report
+    if (onlySlices.isEmpty)
+      // writer lease: a live stream ingest / backfill / vacuum on this root
+      // refuses us (and vice versa) instead of interleaving leaf swaps with
+      // its commits — rows committed into a leaf between our listing and
+      // our swap would otherwise be silently dropped
+      graft.io.DatasetLock.withLockHandle(path, "compact",
+        spark.sparkContext.hadoopConfiguration,
+        graft.io.DatasetLock.awaitMsFromConf(spark),
+        graft.io.DatasetLock.ttlMsFromConf(spark)) { h =>
+        val report = compactLocked(spark, path, targetBytes, Nil, "text", Some(h))
+        // sharded layout: compaction re-installed each leaf's shard (files
+        // stripped) — drop any cached parses of the OLD shards
+        graft.sources.StarTableSource.invalidateShardCache(path)
+        report
+      }
+    else {
+      // SLICE-SCOPED compaction: a SHARED lease on exactly `onlySlices`
+      // (raw rendered partition VALUES in partition-column order, null =
+      // default partition) — the nightly-maintenance shape that coexists
+      // with a live coexisting stream ingest and with disjoint backfills.
+      // Overlapping the stream's touched slices (or a backfill's) refuses
+      // like any shared-lease conflict. The root sidecar is untouched
+      // (slice stats are value-invariant under a bit-identical rewrite;
+      // per-file entries in the inline layout become inert — stale
+      // basenames) so no flip is needed: scoped compactions of distinct
+      // slices are fully concurrent.
+      val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(path))
+        .getOrElse(throw new IllegalArgumentException(
+          s"compactStarDataset: unreadable sidecar at $path"))
+      val bad = onlySlices.filter(_.size != meta.partCols.size)
+      require(bad.isEmpty,
+        s"compactStarDataset: slice tuple(s) ${bad.mkString(", ")} do not " +
+          s"match the dataset's partitioning (${meta.partCols.mkString(", ")})")
+      graft.io.DatasetLock.withSharedLock(path, "compact", onlySlices,
+        spark.sparkContext.hadoopConfiguration,
+        graft.io.DatasetLock.awaitMsFromConf(spark),
+        graft.io.DatasetLock.ttlMsFromConf(spark)) { h =>
+        val leaves = onlySlices.toSeq.map(raw =>
+          graft.io.CsvWriter.sliceLeafPath(root, meta.partCols, raw))
+        val report = compactLocked(spark, path, targetBytes, Nil, "text",
+          Some(h), onlyLeaves = Some(leaves))
+        graft.sources.StarTableSource.invalidateShardCache(path)
+        report
+      }
     }
   }
 
@@ -394,6 +438,12 @@ object Maintenance {
     def clusterLeaf(dir: String, raw: Seq[String],
                     slice: Seq[(String, Long)]): LeafResult = {
       val leaf = new Path(dir)
+      // same in-doubt guard as compaction: never absorb a crashed
+      // coexisting stream's uncommitted batch files into rewritten ones
+      // (the replay after restart would re-install them — duplicates)
+      if (graft.io.CsvWriter.hasInDoubtStreamFiles(fs, new Path(path),
+          slice.map(f => new Path(f._1).getName)))
+        return LeafResult(0L, 0L, 0L, 0L, Nil)
       val bytes = slice.map(_._2).sum
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val staging = new Path(leaf.getParent, "." + leaf.getName + "__clustering")
