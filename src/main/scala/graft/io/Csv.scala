@@ -490,24 +490,41 @@ object CsvWriter {
     else if (!overwriteSlices)
       DatasetLock.withLockHandle(outDir, "overwrite",
         awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), None))
-    else if (evolveSchema)
-      DatasetLock.withLockHandle(outDir, "backfill-evolve",
-        awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), None))
-    else if (partitionBy.isEmpty || !partitionBy.forall(t.columnNames.contains))
-      // malformed arguments: let the impl raise its precise requires
-      // (they fire before any data or lock is touched)
-      impl(None, None)
-    else touchedSlices(t, partitionBy, naRep) match {
-      case Some(parts) if parts.nonEmpty =>
-        DatasetLock.withSharedLock(outDir, "backfill", parts,
-          awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), Some(parts)))
-      case Some(_) => // empty input: nothing to rewrite, but the sidecar
-        // protocol still runs (commit bump) — exclusive keeps it simple
-        DatasetLock.withLockHandle(outDir, "backfill",
-          awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), Some(Set.empty)))
-      case None => // slice set too large to record in a lease — exclusive
-        DatasetLock.withLockHandle(outDir, "backfill",
-          awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), None))
+    else {
+      // PIN the backfill input for the protocol's lifetime: the slice set
+      // is computed up front (for the lease), the stats aggregate and the
+      // data write then RE-EXECUTE the plan — for a non-deterministic or
+      // concurrently-changing source those executions could diverge, and
+      // the dynamic overwrite would rewrite partitions the lease never
+      // recorded (escaping mutual exclusion, leaving stale sidecar
+      // entries describing replaced bytes). Caching makes the three
+      // passes read ONE materialization (and saves two recomputes of an
+      // expensive input); the residual is executor loss evicting cached
+      // blocks mid-protocol, which recomputes — the strip-first sidecar
+      // discipline keeps even that window conservative.
+      val pin = t.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      if (pin) t.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (evolveSchema)
+          DatasetLock.withLockHandle(outDir, "backfill-evolve",
+            awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), None))
+        else if (partitionBy.isEmpty || !partitionBy.forall(t.columnNames.contains))
+          // malformed arguments: let the impl raise its precise requires
+          // (they fire before any data or lock is touched)
+          impl(None, None)
+        else touchedSlices(t, partitionBy, naRep) match {
+          case Some(parts) if parts.nonEmpty =>
+            DatasetLock.withSharedLock(outDir, "backfill", parts,
+              awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), Some(parts)))
+          case Some(_) => // empty input: nothing to rewrite, but the sidecar
+            // protocol still runs (commit bump) — exclusive keeps it simple
+            DatasetLock.withLockHandle(outDir, "backfill",
+              awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), Some(Set.empty)))
+          case None => // slice set too large to record in a lease — exclusive
+            DatasetLock.withLockHandle(outDir, "backfill",
+              awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), None))
+        }
+      } finally if (pin) t.df.unpersist(false)
     }
   }
 
@@ -701,21 +718,15 @@ object CsvWriter {
     // ConcurrentWriteException instead of a silent revert.
     var lastCommit: Option[Long] = existingMeta.map(_.commit)
     if (sharedLease) {
-      // shared lease: the strip is a read-merge-install under the FLIP
-      // lock against the THEN-CURRENT sidecar — a disjoint sibling may
-      // have flipped since this writer's meta read, and its entries must
-      // survive our strip (slice sets are disjoint by the lease contract,
-      // so filtering OUR partitions never touches theirs)
+      // shared lease: the strip is a staged merge intent, applied by a
+      // BATCHED drain under the flip lock against the THEN-CURRENT
+      // sidecar — a disjoint sibling may have flipped since this writer's
+      // meta read, and its entries must survive our strip (slice sets are
+      // disjoint by the lease contract, so filtering OUR partitions never
+      // touches theirs). Blocks until applied: data must not land while
+      // stale stats still describe the slices.
       if (existingMeta.isDefined && rewrittenParts.nonEmpty)
-        mutateSidecarUnderFlip(outDir) { cur =>
-          val stripped = cur.sliceStats
-            .filterNot(s => rewrittenParts.contains(s.partition))
-          val strippedFiles = cur.fileStats
-            .filterNot(s => rewrittenParts.contains(s.partition))
-          if (stripped.size == cur.sliceStats.size &&
-              strippedFiles.size == cur.fileStats.size) None // nothing ours
-          else Some((cur.copy(sliceStats = stripped), strippedFiles))
-        }
+        applySidecarMergeBatched(outDir, lock.get, rewrittenParts, Nil, Nil)
     } else existingMeta.foreach { m =>
       val stripped =
         if (capped) Nil
@@ -817,10 +828,10 @@ object CsvWriter {
           onlySlices = if (overwriteSlices) Some(rewrittenParts) else None,
           recordFileEntries = collectFileStats.getOrElse(true))
       if (sharedLease)
-        // sharded layout's root sidecar carries only schema + marker; the
-        // flip is still a read-merge so the commit chain stays linear
-        // across disjoint siblings
-        mutateSidecarUnderFlip(outDir)(cur => Some((cur, cur.fileStats)))
+        // sharded layout's root sidecar carries only schema + marker; a
+        // pure commit-bump intent keeps the chain linear across disjoint
+        // siblings, and one drain covers every sibling that finished
+        applySidecarMergeBatched(outDir, lock.get, Set.empty, Nil, Nil)
       else
         writeDatasetSidecar(t, dataDir, dataCols, partitionBy, sep, Nil, Nil,
           statsSharded = true,
@@ -855,15 +866,13 @@ object CsvWriter {
           onlySlices = if (overwriteSlices) Some(rewrittenParts) else None)
       // sidecar LAST: readers refuse a dataset without it
       if (sharedLease)
-        // read-merge under the flip lock: OUR slices' entries replaced
-        // with the fresh aggregates, every sibling's entry (including
-        // ones committed while our data was writing) carried verbatim
-        mutateSidecarUnderFlip(outDir) { cur =>
-          Some((cur.copy(sliceStats = cur.sliceStats
-             .filterNot(s => rewrittenParts.contains(s.partition)) ++ fresh),
-           cur.fileStats.filterNot(s => rewrittenParts.contains(s.partition))
-             ++ written))
-        }
+        // staged merge, batch-drained under the flip lock: OUR slices'
+        // entries replaced with the fresh aggregates, every sibling's
+        // entry (including ones committed while our data was writing)
+        // carried verbatim — and N siblings finishing together cost ~1
+        // flip, not N
+        applySidecarMergeBatched(outDir, lock.get, rewrittenParts,
+          fresh, written)
       else
         writeDatasetSidecar(t, dataDir, dataCols, partitionBy, sep, stats,
           survivors ++ written,
@@ -1179,13 +1188,30 @@ object CsvWriter {
                                       onlySlices: Option[Set[Seq[String]]])
       : Seq[graft.sources.StarTableSource.FileStats] = {
     val conf = spark.sessionState.newHadoopConf()
-    val listing = graft.sources.StarTableSource.listPartitionedFiles(
-      Seq(outDir), partitionBy, conf)
-    val targets = listing.groupBy(_._3)
-      .filter { case (raw, fsOf) =>
-        fsOf.sizeIs > 1 && onlySlices.forall(_.contains(raw))
-      }
-    val targetFiles = targets.values.flatten.map(_._1).toSeq.sorted
+    // backfill: construct the rewritten leaves DIRECTLY — touched-
+    // proportional cost (a 1-slice backfill must not pay an O(dataset)
+    // walk), and immune to a DISJOINT sibling's dynamic-overwrite commit
+    // window (its leaf is briefly absent mid-replace; a root walk racing
+    // it threw FileNotFoundException — caught by the 16-writer fan-out
+    // rehearsal)
+    val bySlice: Map[Seq[String], Seq[String]] = onlySlices match {
+      case Some(parts) =>
+        val root = new org.apache.hadoop.fs.Path(outDir)
+        val fs = root.getFileSystem(conf)
+        parts.toSeq.map { raw =>
+          val leaf = sliceLeafPath(root, partitionBy, raw)
+          raw -> (try fs.listStatus(leaf).toSeq
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            .map(_.getPath.toString)
+          catch { case _: java.io.FileNotFoundException => Nil })
+        }.toMap
+      case None => graft.sources.StarTableSource.listPartitionedFiles(
+          Seq(outDir), partitionBy, conf)
+        .groupBy(_._3).view.mapValues(_.map(_._1)).toMap
+    }
+    val targets = bySlice.filter { case (_, fsOf) => fsOf.sizeIs > 1 }
+    val targetFiles = targets.values.flatten.toSeq.sorted
     if (targetFiles.isEmpty) return Nil
     if (targetFiles.size > MaxStatSlices) {
       System.err.println(s"[graft] WARN writePartitionedDataset: more than " +
@@ -1321,6 +1347,165 @@ object CsvWriter {
           lateCols = m2.lateCols, lockToken = Some(flipToken))
       }
     }
+
+  /** Staged sidecar-merge intents: `_startable_pending.<leaseToken>.<n>
+    * .json` files beside the sidecar. Round 13 measured the ceiling of
+    * per-holder serialized flips — 6.15× at 8 concurrent backfills but
+    * only 2.50× at 16, every holder's read-merge-install queueing on one
+    * mutex. Batched flips lift it: a holder STAGES its merge as an intent
+    * file, and whichever holder wins the flip lock DRAINS every staged
+    * intent into ONE read-merge-install — 16 finished writers cost ~1-2
+    * flips instead of 16. A holder returns only after its intent is
+    * applied (the file is deleted by the drain), so lease release still
+    * implies visible stats — ordering with successors is unchanged. */
+  private[graft] val PendingMergePrefix = "_startable_pending."
+
+  private final case class MergeIntent(holderToken: String,
+      strip: Set[Seq[String]],
+      addSlices: Seq[graft.sources.StarTableSource.SliceStats],
+      addFiles: Seq[graft.sources.StarTableSource.FileStats])
+
+  /** Stage `intent` and wait until SOME drain (ours or a sibling's)
+    * applies it. Replaces the per-holder [[mutateSidecarUnderFlip]] in
+    * the shared-backfill path. Reapplication is idempotent (strip ⊇ the
+    * added entries' partitions — a crash between a drain's install and
+    * its deletes merely re-strips and re-adds the same entries), and a
+    * drain applies an intent ONLY while its holder's lease is live: an
+    * orphan (crashed holder) is deleted unapplied, which is conservative
+    * — its holder provably never wrote data after the un-applied stage
+    * (holders block right here until applied). */
+  private def applySidecarMergeBatched(outDir: String,
+      handle: DatasetLock.Handle,
+      strip: Set[Seq[String]],
+      addSlices: Seq[graft.sources.StarTableSource.SliceStats],
+      addFiles: Seq[graft.sources.StarTableSource.FileStats]): Unit = {
+    require(addSlices.forall(s => strip.contains(s.partition)) &&
+        addFiles.forall(f => strip.contains(f.partition)),
+      "applySidecarMergeBatched: added entries must be covered by the " +
+        "strip set (reapplication idempotence)")
+    val conf = graft.sources.StarTableSource.activeHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(conf)
+    import JsonValue._
+    def optStr(s: String): JsonValue = if (s == null) JsonNull else JsonString(s)
+    val intentJson = JsonValue.write(JsonObject(scala.collection.immutable.ListMap(
+      "holder" -> JsonString(handle.info.token),
+      "strip" -> JsonArray(strip.toVector
+        .sortBy(_.map(v => if (v == null) "" else v).mkString(" "))
+        .map(t => JsonArray(t.toVector.map(optStr)))),
+      "sliceStats" -> JsonArray(addSlices.toVector.map { s =>
+        JsonObject(scala.collection.immutable.ListMap(
+          "partition" -> JsonArray(s.partition.toVector.map(optStr)),
+          "rows" -> JsonNumber(s.rows.toDouble),
+          "stats" -> colStatsJson(s.stats)))
+      }),
+      "fileStats" -> JsonArray(addFiles.toVector.map { f =>
+        JsonObject(scala.collection.immutable.ListMap(
+          "partition" -> JsonArray(f.partition.toVector.map(optStr)),
+          "file" -> JsonString(f.file),
+          "rows" -> JsonNumber(f.rows.toDouble),
+          "stats" -> colStatsJson(f.stats)))
+      }))))
+    val myPath = new org.apache.hadoop.fs.Path(root,
+      PendingMergePrefix + handle.info.token + "." +
+        java.util.UUID.randomUUID().toString.take(8) + ".json")
+    atomicInstallJson(fs, conf, myPath, intentJson)
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    // disappearance means APPLIED only while the lease is provably live:
+    // a sibling's drain deletes an EXPIRED holder's intent UNAPPLIED, and
+    // the two states look identical on disk. The heartbeat marks a lost
+    // lease within ttl/4 of waking from a fatal stall; the explicit
+    // expiry re-check below closes the remaining gap (modulo the
+    // documented cross-host clock residual all TTL leases share).
+    def appliedOrLost(): Boolean =
+      if (fs.exists(myPath)) false
+      else if (!handle.lost &&
+          !handle.info.expired(System.currentTimeMillis())) true
+      else throw new ConcurrentWriteException(
+        s"dataset at $outDir: this writer's staged sidecar merge " +
+          "disappeared while its lease was expired — a sibling's drain " +
+          "dropped it as an orphan; the merge was NOT applied, aborting")
+    while (true) {
+      // a zombie must not spin here forever — and must not treat its own
+      // intent's disappearance as success once the lease is lost (an
+      // orphan-delete looks identical)
+      handle.checkHeld("sidecar-merge")
+      if (appliedOrLost()) {
+        graft.sources.StarTableSource.invalidateMetaCache(outDir)
+        return
+      }
+      DatasetLock.tryFlipLock(outDir, conf, waitMs = 1000L) { token =>
+        drainPendingMerges(outDir, token, fs, conf)
+      } match {
+        case Some(_) if appliedOrLost() =>
+          graft.sources.StarTableSource.invalidateMetaCache(outDir)
+          return
+        case _ => Thread.sleep(25L + rnd.nextInt(50))
+      }
+    }
+  }
+
+  /** Under the flip lock: apply EVERY staged live-holder intent in one
+    * read-merge-install, then delete the applied (and any orphaned)
+    * intent files. Must be called with the flip token. */
+  private def drainPendingMerges(outDir: String, flipToken: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val pendings =
+      try fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(PendingMergePrefix))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    if (pendings.isEmpty) return
+    val liveTokens = DatasetLock.liveSharedTokens(outDir, conf)
+    val (liveFiles, orphanFiles) = pendings.partition { p =>
+      val rest = p.getName.stripPrefix(PendingMergePrefix)
+      liveTokens.exists(t => rest.startsWith(t + "."))
+    }
+    val intents = liveFiles.map { p =>
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      import JsonValue._
+      val o = JsonValue.parse(txt).asInstanceOf[JsonObject]
+      def optStr(x: JsonValue): String = x match {
+        case JsonString(s) => s
+        case _             => null
+      }
+      val strip: Set[Seq[String]] = o.fields("strip") match {
+        case JsonArray(ts) => ts.map {
+          case JsonArray(vs) => vs.map(optStr): Seq[String]
+          case _             => Seq.empty[String]
+        }.toSet
+        case _ => Set.empty
+      }
+      MergeIntent(o.fields("holder").asInstanceOf[JsonString].value, strip,
+        graft.sources.StarTableSource.sliceStatsFromJson(
+          o.fields.get("sliceStats")),
+        graft.sources.StarTableSource.fileStatsFromJson(
+          o.fields.get("fileStats")))
+    }
+    if (intents.nonEmpty) {
+      graft.sources.StarTableSource.invalidateMetaCache(outDir)
+      val cur = graft.sources.StarTableSource.readDatasetMeta(Seq(outDir))
+        .getOrElse(throw new ConcurrentWriteException(
+          s"dataset at $outDir: sidecar vanished during a shared backfill " +
+            "— a concurrent full overwrite or delete raced this writer"))
+      val allStrip: Set[Seq[String]] = intents.flatMap(_.strip).toSet
+      val mergedSlices = cur.sliceStats
+        .filterNot(s => allStrip.contains(s.partition)) ++
+        intents.flatMap(_.addSlices)
+      val mergedFiles = cur.fileStats
+        .filterNot(s => allStrip.contains(s.partition)) ++
+        intents.flatMap(_.addFiles)
+      writeSidecarFields(outDir, cur.name, cur.destinations, cur.cols,
+        cur.units, cur.partCols, cur.partUnits, cur.sep, mergedSlices,
+        mergedFiles, cur.statsSharded, expectCommit = Some(Some(cur.commit)),
+        lateCols = cur.lateCols, lockToken = Some(flipToken))
+    }
+    (liveFiles ++ orphanFiles).foreach { p =>
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+    }
+  }
 
   /** Rewrite an existing dataset's sidecar with fresh FILE statistics,
     * everything else (schema, sep, slice stats) verbatim — the

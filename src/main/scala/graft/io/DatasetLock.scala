@@ -745,6 +745,35 @@ object DatasetLock {
     }
   }
 
+  /** Non-blocking [[withFlipLock]]: run `f` under the flip mutex if it can
+    * be acquired within `waitMs`, else return None WITHOUT throwing — the
+    * primitive behind batched sidecar merges, where a holder that cannot
+    * flip right now first checks whether a sibling's drain already applied
+    * its staged intent. */
+  def tryFlipLock[A](rootDir: String,
+                     conf: Configuration =
+                       graft.sources.StarTableSource.activeHadoopConf(),
+                     waitMs: Long = 1000L)(f: String => A): Option[A] =
+    try Some(withFlipLock(rootDir, conf, awaitMs = waitMs)(f))
+    catch { case _: ConcurrentWriteException => None }
+
+  /** Tokens of every LIVE shared lease on the root — the drain's holder-
+    * liveness judgment: a staged merge intent whose holder lease is gone
+    * or expired is an orphan (its writer died; applying its entries could
+    * resurrect stats a successor has since replaced — they are dropped,
+    * which is conservative: strips it missed stay stripped, adds it
+    * missed leave slices statless, both read-don't-skip). */
+  private[graft] def liveSharedTokens(rootDir: String,
+      conf: Configuration =
+        graft.sources.StarTableSource.activeHadoopConf()): Set[String] = {
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(conf)
+    val now = System.currentTimeMillis()
+    readSharedLocks(rootDir, fs).collect {
+      case (_, si) if !si.expired(now) => si.token
+    }.toSet
+  }
+
   /** Write-authority gate for root-sidecar installs — the lease-side twin
     * of the commit CAS: when the root is under ANY live lease, the
     * installer must present the current exclusive token (sole writer) or

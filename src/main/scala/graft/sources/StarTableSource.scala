@@ -1292,35 +1292,8 @@ private[graft] object StarTableSource {
       // optional fields: a pre-r9 sidecar has none — default sep, no stats
       val sep = o.fields.get("sep").collect { case JsonString(s) => s }
         .getOrElse(";")
-      def colStatsOf(so: JsonObject): Map[String, ColStats] =
-        so.fields.map {
-          case (c, cs: JsonObject) =>
-            c -> ColStats(optStr(cs.fields("min")), optStr(cs.fields("max")),
-              cs.fields("nulls").asInstanceOf[JsonNumber].value.toLong)
-          case (c, other) => throw new IllegalArgumentException(
-            s"column stats for '$c' is not an object: $other")
-        }.toMap
-      val sliceStats = o.fields.get("sliceStats").toSeq.flatMap {
-        case JsonArray(slices) => slices.map { sv =>
-          val so = sv.asInstanceOf[JsonObject]
-          SliceStats(
-            so.fields("partition").asInstanceOf[JsonArray].values.map(optStr),
-            so.fields("rows").asInstanceOf[JsonNumber].value.toLong,
-            colStatsOf(so.fields("stats").asInstanceOf[JsonObject]))
-        }
-        case _ => Nil
-      }
-      val fileStats = o.fields.get("fileStats").toSeq.flatMap {
-        case JsonArray(fsv) => fsv.map { fv =>
-          val fo = fv.asInstanceOf[JsonObject]
-          FileStats(
-            fo.fields("partition").asInstanceOf[JsonArray].values.map(optStr),
-            fo.fields("file").asInstanceOf[JsonString].value,
-            fo.fields("rows").asInstanceOf[JsonNumber].value.toLong,
-            colStatsOf(fo.fields("stats").asInstanceOf[JsonObject]))
-        }
-        case _ => Nil
-      }
+      val sliceStats = sliceStatsFromJson(o.fields.get("sliceStats"))
+      val fileStats = fileStatsFromJson(o.fields.get("fileStats"))
       val statsSharded = o.fields.get("statsSharded")
         .collect { case JsonBool(b) => b }.getOrElse(false)
       val commit = o.fields.get("commit")
@@ -1347,6 +1320,64 @@ private[graft] object StarTableSource {
           s"startable source: unreadable dataset sidecar $metaPath " +
             s"(${e.getClass.getSimpleName}: ${e.getMessage}); repair or " +
             "remove it", e)
+    }
+  }
+
+  private[graft] def colStatsFromJson(
+      so: graft.io.JsonValue.JsonObject): Map[String, ColStats] = {
+    import graft.io.JsonValue._
+    def optStr(v: graft.io.JsonValue): String = v match {
+      case JsonString(s) => s
+      case _             => null
+    }
+    so.fields.map {
+      case (c, cs: JsonObject) =>
+        c -> ColStats(optStr(cs.fields("min")), optStr(cs.fields("max")),
+          cs.fields("nulls").asInstanceOf[JsonNumber].value.toLong)
+      case (c, other) => throw new IllegalArgumentException(
+        s"column stats for '$c' is not an object: $other")
+    }.toMap
+  }
+
+  /** Parse a `sliceStats`-shaped JSON array (shared by the root sidecar
+    * and the staged pending-merge intents). */
+  private[graft] def sliceStatsFromJson(
+      v: Option[graft.io.JsonValue]): Seq[SliceStats] = {
+    import graft.io.JsonValue._
+    def optStr(x: graft.io.JsonValue): String = x match {
+      case JsonString(s) => s
+      case _             => null
+    }
+    v.toSeq.flatMap {
+      case JsonArray(slices) => slices.map { sv =>
+        val so = sv.asInstanceOf[JsonObject]
+        SliceStats(
+          so.fields("partition").asInstanceOf[JsonArray].values.map(optStr),
+          so.fields("rows").asInstanceOf[JsonNumber].value.toLong,
+          colStatsFromJson(so.fields("stats").asInstanceOf[JsonObject]))
+      }
+      case _ => Nil
+    }
+  }
+
+  /** Parse a `fileStats`-shaped JSON array (shared like the above). */
+  private[graft] def fileStatsFromJson(
+      v: Option[graft.io.JsonValue]): Seq[FileStats] = {
+    import graft.io.JsonValue._
+    def optStr(x: graft.io.JsonValue): String = x match {
+      case JsonString(s) => s
+      case _             => null
+    }
+    v.toSeq.flatMap {
+      case JsonArray(fsv) => fsv.map { fv =>
+        val fo = fv.asInstanceOf[JsonObject]
+        FileStats(
+          fo.fields("partition").asInstanceOf[JsonArray].values.map(optStr),
+          fo.fields("file").asInstanceOf[JsonString].value,
+          fo.fields("rows").asInstanceOf[JsonNumber].value.toLong,
+          colStatsFromJson(fo.fields("stats").asInstanceOf[JsonObject]))
+      }
+      case _ => Nil
     }
   }
 
@@ -1624,11 +1655,25 @@ private[graft] object StarTableSource {
               futs.map { case (w, f) =>
                 try w -> f.get()
                 catch {
-                  case e: java.util.concurrent.ExecutionException => throw e.getCause
+                  case e: java.util.concurrent.ExecutionException =>
+                    e.getCause match {
+                      // a dir listed in the parent wave can legitimately
+                      // vanish before its own listing: a concurrent
+                      // writer's dynamic-overwrite commit or a partition
+                      // drop replaces/removes leaves non-atomically, and
+                      // readers are lock-free by design — treat as empty
+                      // (the state before that writer's commit)
+                      case _: java.io.FileNotFoundException =>
+                        w -> Seq.empty[org.apache.hadoop.fs.FileStatus]
+                      case c => throw c
+                    }
                 }
               }
             } finally pool.shutdownNow()
-          } else wave.map(w => w -> fs.listStatus(w._1).toSeq)
+          } else wave.map(w => w -> (
+            try fs.listStatus(w._1).toSeq
+            catch { case _: java.io.FileNotFoundException =>
+              Seq.empty[org.apache.hadoop.fs.FileStatus] }))
 
         val next = Seq.newBuilder[(org.apache.hadoop.fs.Path, Map[String, String])]
         listed.foreach { case ((_, spec), entries) =>

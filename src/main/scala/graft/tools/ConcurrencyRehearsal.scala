@@ -98,7 +98,8 @@ object ConcurrencyRehearsal {
     println(f"serial  backfills: $serialS%8.2f s")
     println(f"concurrent (shared leases): $concS%8.2f s   speedup ${serialS / concS}%4.2f x")
     println(s"commit chain: serial ${mSerial.commit}, concurrent ${mConc.commit} " +
-      "(both = 1 initial + 2 per backfill)")
+      "(serial = 1 initial + 2 per backfill; concurrent ≤ that — batched " +
+      "drains apply many staged merges per flip)")
     println(s"slice stats: ${mConc.sliceStats.size} entries, checksums equal")
     spark.stop()
   }

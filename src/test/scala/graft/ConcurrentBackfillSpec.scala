@@ -87,9 +87,13 @@ class ConcurrentBackfillSpec extends AnyFunSuite {
       Set(Seq("a"), Seq("b"), Seq("c")))
     val rowsBySlice = after.sliceStats.map(s => s.partition.head -> s.rows).toMap
     assert(rowsBySlice === Map("a" -> 40L, "b" -> 40L, "c" -> 100L))
-    // commit chain: 2 strips + 2 installs = 4 serialized flips
-    assert(after.commit === before.commit + 4,
-      s"commit must advance once per flip: ${before.commit} -> ${after.commit}")
+    // commit chain: linear and monotone. With BATCHED flips (round 14)
+    // one drain may apply BOTH writers' staged merges, so the advance is
+    // 2..4 (2 strips + 2 installs, each pair batchable into one flip) —
+    // the r13 exactly-4 pin was the per-holder-serialized cost the
+    // batching exists to remove
+    assert(after.commit > before.commit && after.commit <= before.commit + 4,
+      s"commit chain not linear: ${before.commit} -> ${after.commit}")
     // and no lease leaked
     assert(DatasetLock.readLock(out).isEmpty)
     assert(Maintenance.vacuumStarDataset(spark, out).restoredLeaves === 0)
