@@ -28,7 +28,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * discipline, same reports) and returns the report as a one-row result.
   * Procedures are side-effecting, so `isDeterministic` is false and Spark
   * executes each CALL exactly once, eagerly. */
-class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog {
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName = "graft"
   private var warehouseDir: String = _
 
@@ -55,52 +56,94 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
   private def idKey(ident: Identifier): Vector[String] =
     (ident.namespace.toVector :+ ident.name).map(_.toLowerCase(java.util.Locale.ROOT))
 
-  private def readRegistry(): Map[Vector[String], String] = {
+  /** The registry: registered tables (name parts → dataset location) plus
+    * explicitly-created namespaces. One JSON file; entries with a "table"
+    * key are tables, entries with a "namespace" key are namespaces
+    * (pre-r14 files contain only table entries and parse unchanged). */
+  private case class Registry(tables: Map[Vector[String], TableEntry],
+                              namespaces: Set[Vector[String]])
+  private case class TableEntry(location: String,
+                                options: Map[String, String])
+
+  private def readRegistry(): Registry = {
     val conf = graft.sources.StarTableSource.activeHadoopConf()
     val p = registryPath
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Map.empty
+    if (!fs.exists(p)) return Registry(Map.empty, Set.empty)
     val in = fs.open(p)
     val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     import graft.io.JsonValue._
-    graft.io.JsonValue.parse(txt).asInstanceOf[JsonArray].values.map { e =>
-      val o = e.asInstanceOf[JsonObject]
-      val parts = o.fields("table").asInstanceOf[JsonArray].values
-        .map(_.asInstanceOf[JsonString].value).toVector
-      parts -> o.fields("location").asInstanceOf[JsonString].value
+    val entries = graft.io.JsonValue.parse(txt).asInstanceOf[JsonArray].values
+    val tables = entries.collect {
+      case o: JsonObject if o.fields.contains("table") =>
+        val opts: Map[String, String] = o.fields.get("options") match {
+          case Some(oo: JsonObject) => oo.fields.collect {
+            case (k, JsonString(v)) => k -> v
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        o.fields("table").asInstanceOf[JsonArray].values
+          .map(_.asInstanceOf[JsonString].value).toVector ->
+          TableEntry(o.fields("location").asInstanceOf[JsonString].value, opts)
     }.toMap
+    val namespaces = entries.collect {
+      case o: JsonObject if o.fields.contains("namespace") =>
+        o.fields("namespace").asInstanceOf[JsonArray].values
+          .map(_.asInstanceOf[JsonString].value).toVector
+    }.toSet
+    Registry(tables, namespaces)
   }
 
-  private def writeRegistry(m: Map[Vector[String], String]): Unit = {
+  private def writeRegistry(m: Registry): Unit = {
     import graft.io.JsonValue._
     val json = graft.io.JsonValue.write(JsonArray(
-      m.toVector.sortBy(_._1.mkString(".")).map { case (parts, loc) =>
+      m.tables.toVector.sortBy(_._1.mkString(".")).map { case (parts, e) =>
         JsonObject(scala.collection.immutable.ListMap(
           "table" -> JsonArray(parts.map(JsonString(_))),
-          "location" -> JsonString(loc)))
+          "location" -> JsonString(e.location)) ++
+          (if (e.options.isEmpty) Nil
+           else Seq("options" -> JsonObject(
+             scala.collection.immutable.ListMap(e.options.toSeq.sortBy(_._1)
+               .map { case (k, v) => k -> (JsonString(v): graft.io.JsonValue) }: _*))))
+        ): graft.io.JsonValue
+      } ++ m.namespaces.toVector.sortBy(_.mkString(".")).map { ns =>
+        JsonObject(scala.collection.immutable.ListMap(
+          "namespace" -> JsonArray(ns.map(JsonString(_))))): graft.io.JsonValue
       }))
     val conf = graft.sources.StarTableSource.activeHadoopConf()
     graft.io.CsvWriter.atomicInstallJson(
       registryPath.getFileSystem(conf), conf, registryPath, json)
   }
 
+  /** CAS for registry mutations: every read-modify-write serializes
+    * through a short mutex on the warehouse dir (the DatasetLock flip
+    * primitive — atomic create, 60 s TTL against crashed mutators), so
+    * two sessions' concurrent CREATE/DROP/RENAME can no longer silently
+    * discard each other's registration via last-write-wins. `f` re-reads
+    * the then-current registry INSIDE the mutex. */
+  private def mutateRegistry[A](f: Registry => (Option[Registry], A)): A =
+    graft.io.DatasetLock.withFlipLock(warehouseDir) { _ =>
+      val (next, out) = f(readRegistry())
+      next.foreach(writeRegistry)
+      out
+    }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    readRegistry().keys.toSeq
+    readRegistry().tables.keys.toSeq
       .filter(_.init == namespace.toVector.map(_.toLowerCase(java.util.Locale.ROOT)))
       .sortBy(_.mkString("."))
       .map(parts => Identifier.of(parts.init.toArray, parts.last))
       .toArray
 
   override def loadTable(ident: Identifier): Table =
-    readRegistry().get(idKey(ident)) match {
-      case Some(loc) =>
-        graft.sources.StarTableSource.tableFor(Map("path" -> loc))
+    readRegistry().tables.get(idKey(ident)) match {
+      case Some(e) =>
+        graft.sources.StarTableSource.tableFor(
+          e.options + ("path" -> e.location))
       case None => throw new NoSuchTableException(ident)
     }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    val reg = readRegistry()
-    if (reg.contains(idKey(ident))) throw new TableAlreadyExistsException(ident)
     val props = info.properties()
     val provider = Option(props.get(TableCatalog.PROP_PROVIDER))
     require(provider.forall(_.equalsIgnoreCase("startable")),
@@ -115,7 +158,15 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
     // the location must already resolve (sidecar or parseable StarTable
     // file) — a typo'd path must refuse at CREATE, not at first SELECT;
     // this also checks any user-declared columns against the real schema
-    val resolved = graft.sources.StarTableSource.tableFor(Map("path" -> location))
+    import scala.jdk.CollectionConverters._
+    val passOpts: Map[String, String] = props.asScala.collect {
+      case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) &&
+          k.stripPrefix(TableCatalog.OPTION_PREFIX)
+            .toLowerCase(java.util.Locale.ROOT) != "path" =>
+        k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
+    }.toMap
+    val resolved = graft.sources.StarTableSource.tableFor(
+      passOpts + ("path" -> location))
     val declared = info.columns()
     if (declared.nonEmpty) {
       val real = resolved.schema().fields.map(_.name).toSeq
@@ -125,7 +176,12 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
           s"match the dataset at $location (${real.mkString(", ")}); omit " +
           "the column list — the sidecar is the source of truth")
     }
-    writeRegistry(reg + (idKey(ident) -> location))
+    mutateRegistry { reg =>
+      if (reg.tables.contains(idKey(ident)))
+        throw new TableAlreadyExistsException(ident)
+      (Some(reg.copy(tables =
+        reg.tables + (idKey(ident) -> TableEntry(location, passOpts)))), ())
+    }
     resolved
   }
 
@@ -136,24 +192,99 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
         "CALL graft.system.evolve_dataset_schema (or the evolve backfill) " +
         "and maintain with the graft.system procedures")
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val reg = readRegistry()
+  override def dropTable(ident: Identifier): Boolean = mutateRegistry { reg =>
     val k = idKey(ident)
-    if (!reg.contains(k)) false
-    else {
+    if (!reg.tables.contains(k)) (None, false)
+    else
       // EXTERNAL semantics: unregister the name; the dataset stays
-      writeRegistry(reg - k)
-      true
+      (Some(reg.copy(tables = reg.tables - k)), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    mutateRegistry { reg =>
+      val ok = idKey(oldIdent)
+      val nk = idKey(newIdent)
+      if (!reg.tables.contains(ok)) throw new NoSuchTableException(oldIdent)
+      if (reg.tables.contains(nk)) throw new TableAlreadyExistsException(newIdent)
+      (Some(reg.copy(tables = reg.tables - ok + (nk -> reg.tables(ok)))), ())
+    }
+
+  // --- namespaces (SupportsNamespaces) -----------------------------------
+  //
+  // A namespace EXISTS when explicitly created (CREATE NAMESPACE) or
+  // implied by a registered table's name — the permissive V2 shape: a
+  // table may be registered under a namespace that was never declared,
+  // and SHOW NAMESPACES reflects both kinds.
+
+  private def nsKey(ns: Array[String]): Vector[String] =
+    ns.toVector.map(_.toLowerCase(java.util.Locale.ROOT))
+
+  private def allNamespaces(reg: Registry): Set[Vector[String]] =
+    reg.namespaces ++ reg.tables.keys.map(_.init).filter(_.nonEmpty)
+
+  override def listNamespaces(): Array[Array[String]] =
+    allNamespaces(readRegistry()).map(_.take(1)).toSeq
+      .sortBy(_.mkString(".")).map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val reg = readRegistry()
+    val parent = nsKey(namespace)
+    if (parent.nonEmpty && !allNamespaces(reg).exists(_.startsWith(parent)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace)
+    allNamespaces(reg)
+      .filter(ns => ns.size > parent.size && ns.startsWith(parent))
+      .map(_.take(parent.size + 1)).toSeq
+      .sortBy(_.mkString(".")).map(_.toArray).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val k = nsKey(namespace)
+    k.isEmpty || allNamespaces(readRegistry()).exists(_.startsWith(k))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    require(metadata.isEmpty || metadata.keySet().stream()
+        .allMatch(k => k == "owner" || k == "comment" || k == "location"),
+      "graft catalog: namespaces carry no custom properties")
+    mutateRegistry { reg =>
+      val k = nsKey(namespace)
+      if (allNamespaces(reg).contains(k))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NamespaceAlreadyExistsException(namespace)
+      (Some(reg.copy(namespaces = reg.namespaces + k)), ())
     }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val reg = readRegistry()
-    val ok = idKey(oldIdent)
-    val nk = idKey(newIdent)
-    if (!reg.contains(ok)) throw new NoSuchTableException(oldIdent)
-    if (reg.contains(nk)) throw new TableAlreadyExistsException(newIdent)
-    writeRegistry(reg - ok + (nk -> reg(ok)))
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = mutateRegistry { reg =>
+    val k = nsKey(namespace)
+    if (!allNamespaces(reg).exists(_.startsWith(k))) (None, false)
+    else {
+      val tablesUnder = reg.tables.keys.filter(_.init.startsWith(k)).toSeq
+      if (tablesUnder.nonEmpty && !cascade)
+        throw new IllegalStateException(
+          s"graft catalog: namespace ${namespace.mkString(".")} holds " +
+            s"${tablesUnder.size} table(s) — DROP ... CASCADE unregisters " +
+            "the names (EXTERNAL semantics: the datasets stay)")
+      (Some(Registry(
+        reg.tables.filterNot(_._1.init.startsWith(k)),
+        reg.namespaces.filterNot(_.startsWith(k)))), true)
+    }
   }
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {

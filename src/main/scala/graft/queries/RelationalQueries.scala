@@ -860,6 +860,19 @@ object RelationalQueries {
           .cast(DoubleType).as("sum_m"),
           count(lit(1)).as("n"))
         .withColumn("table_name", lit(back.name))
+    }),
+
+    // NAMED CATALOG TABLE under the gate (round 14): a region-nation
+    // rollup is written as a StarTable, registered by NAME in the graft
+    // TableCatalog (CREATE TABLE ... USING startable LOCATION, with the
+    // `table` OPTION riding the registry), REWRITTEN through the name
+    // (INSERT OVERWRITE — the DSv2 named write), and read back through
+    // the name. A registration lost to the registry race, an option
+    // dropped by resolution, or a named write that forked the file all
+    // break the hash against DuckDB recomputing the rollup from parquet.
+    "q_catalog_named" -> ((s, dir) => {
+      val fq = namedCatalogTableFor(s, dir)
+      s.table(fq).orderBy(col("r_name"))
     })
   )
 
@@ -867,6 +880,43 @@ object RelationalQueries {
   private def deleteTree(f: java.io.File): Unit = {
     val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
     f.delete(): Unit
+  }
+
+  /** Build-once NAMED catalog table (q_catalog_named): seed StarTable at
+    * a location, register it by name in the graft catalog (default
+    * warehouse, so every session in this JVM/host agrees), then REWRITE
+    * it through the name with INSERT OVERWRITE. Returns the fully
+    * qualified name. The CREATE runs on every call (IF NOT EXISTS — a
+    * cleaned warehouse re-registers; a present one no-ops). */
+  private def namedCatalogTableFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|named1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_named_$key"
+    s.conf.set("spark.sql.catalog.graft", "graft.GraftCatalog")
+    val fq = s"graft.gate.named_$key"
+    val marker = java.nio.file.Paths.get(loc, "_graft_named_done")
+    if (!java.nio.file.Files.exists(marker)) {
+      deleteTree(new java.io.File(loc))
+      val rollup = Tables.df(s, dir, "nation").join(
+          Tables.df(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).cast(DoubleType).as("n_nations"),
+          min(col("n_name")).as("first_nation"))
+      // seed so the location resolves at CREATE; the named INSERT
+      // OVERWRITE below then replaces it wholesale
+      rollup.limit(1).write.format("startable")
+        .option("table", "nations_by_region").mode("overwrite").save(loc)
+      s.sql(s"CREATE TABLE IF NOT EXISTS $fq USING startable " +
+        s"OPTIONS (`table` 'nations_by_region') LOCATION '$loc'")
+      rollup.createOrReplaceTempView(s"q_catalog_named_src_$key")
+      s.sql(s"INSERT OVERWRITE $fq SELECT * FROM q_catalog_named_src_$key")
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    } else
+      s.sql(s"CREATE TABLE IF NOT EXISTS $fq USING startable " +
+        s"OPTIONS (`table` 'nations_by_region') LOCATION '$loc'")
+    fq
   }
 
   /** Build-once-per-dataset hive-partitioned StarTable dataset (memoized:
@@ -1750,6 +1800,15 @@ object RelationalQueries {
         |    ELSE l_extendedprice END) AS DOUBLE) AS min_price,
         |  max(l_linestatus) AS max_status
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // named catalog table: the rollup read back THROUGH THE NAME (after
+    // the named INSERT OVERWRITE) must equal DuckDB recomputing it from
+    // the original parquet
+    "q_catalog_named" ->
+      """SELECT r_name, CAST(count(*) AS DOUBLE) AS n_nations,
+        |  min(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     // the sharded drill's post-repair METADATA aggregate must equal DuckDB
     // over the original rows — shards survived kill/orphan/restore/compact

@@ -183,4 +183,80 @@ class ProcedureSpec extends AnyFunSuite {
       assert(e2.getMessage != null)
     }
   }
+
+  test("concurrent CREATE TABLE from two threads: the registry CAS keeps " +
+    "both registrations (round-14 hardening)") {
+    withCatalog {
+      val ds1 = mkDataset(); val ds2 = mkDataset()
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      def create(n: Int, ds: String): Thread = new Thread(() =>
+        try {
+          barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+          spark.sql(s"CREATE TABLE graft.race$tag.t$n USING startable " +
+            s"LOCATION '$ds'")
+        } catch { case t: Throwable => errs.compareAndSet(null, t) })
+      val a = create(1, ds1); val b = create(2, ds2)
+      a.start(); b.start(); a.join(60000); b.join(60000)
+      val t = errs.get(); if (t != null) throw t
+      val listed = spark.sql(s"SHOW TABLES IN graft.race$tag").collect()
+        .map(_.getString(1)).toSet
+      assert(listed === Set("t1", "t2"),
+        s"a racing CREATE dropped a registration: $listed")
+      assert(spark.table(s"graft.race$tag.t1").count() === 600)
+      spark.sql(s"DROP TABLE graft.race$tag.t1")
+      spark.sql(s"DROP TABLE graft.race$tag.t2")
+    }
+  }
+
+  test("namespaces: CREATE/SHOW/DROP NAMESPACE; table-implied namespaces " +
+    "list; DROP of a non-empty namespace needs CASCADE and stays external") {
+    withCatalog {
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      spark.sql(s"CREATE NAMESPACE graft.ns$tag")
+      val shown = spark.sql("SHOW NAMESPACES IN graft").collect()
+        .map(_.getString(0)).toSet
+      assert(shown.contains(s"ns$tag"), shown.mkString(", "))
+      // duplicate create refuses; IF NOT EXISTS tolerates
+      intercept[Exception] { spark.sql(s"CREATE NAMESPACE graft.ns$tag") }
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.ns$tag")
+      // a registered table IMPLIES its namespace
+      val ds = mkDataset()
+      spark.sql(s"CREATE TABLE graft.imp$tag.t USING startable LOCATION '$ds'")
+      assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+        .map(_.getString(0)).contains(s"imp$tag"))
+      // DROP of the empty namespace works; the non-empty one refuses
+      // without CASCADE, and CASCADE unregisters names but keeps data
+      spark.sql(s"DROP NAMESPACE graft.ns$tag")
+      intercept[Exception] { spark.sql(s"DROP NAMESPACE graft.imp$tag") }
+      spark.sql(s"DROP NAMESPACE graft.imp$tag CASCADE")
+      intercept[Exception] { spark.table(s"graft.imp$tag.t").collect() }
+      assert(spark.read.format("startable").load(ds).count() === 600,
+        "CASCADE must stay external: the dataset survives")
+    }
+  }
+
+  test("named-table WRITE: INSERT OVERWRITE graft.db.t rewrites the " +
+    "StarTable through the name; registered OPTIONS ride resolution") {
+    withCatalog {
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val loc = Files.createTempDirectory("graft_namedw").toString
+      Seq(("seed", 0.0)).toDF("k", "v").write.format("startable")
+        .option("table", "nt").mode("overwrite").save(loc)
+      spark.sql(s"CREATE TABLE graft.wns.insert$tag USING startable " +
+        s"OPTIONS (`table` 'nt') LOCATION '$loc'")
+      Seq(("x", 10.0), ("y", 20.0), ("z", 30.0)).toDF("k", "v")
+        .createOrReplaceTempView(s"named_w_src")
+      spark.sql(s"INSERT OVERWRITE graft.wns.insert$tag " +
+        "SELECT k, v FROM named_w_src")
+      val back = spark.table(s"graft.wns.insert$tag")
+      assert(back.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ===
+        Set(("x", 10.0), ("y", 20.0), ("z", 30.0)))
+      // the write replaced nt.csv in place (the registered table option
+      // rode the catalog resolution into the write builder)
+      assert(new java.io.File(s"$loc/nt.csv").isFile)
+      spark.sql(s"DROP TABLE graft.wns.insert$tag")
+    }
+  }
 }
