@@ -85,6 +85,117 @@ object DatasetLock {
     * holder survives pauses up to ~7.5 min before self-invalidating. */
   val DefaultTtlMs: Long = 600000L
 
+  /** Pluggable lock-FILE primitives (round 14, VERDICT r13 item 3): the
+    * lease protocol is store-agnostic, but its safety case depends on two
+    * per-store properties this trait makes explicit —
+    *
+    *  - [[atomicCreate]]: create-no-overwrite is a true test-and-set
+    *    (O_EXCL on `file:`, server-side on HDFS, If-None-Match
+    *    conditional-put on capable object stores). When false, the
+    *    protocol pays the grace-delayed DOUBLE read-back after create.
+    *  - [[atomicOverwrite]]: the heartbeat's overwrite-install never
+    *    leaves the path transiently absent (rename(2) / server-atomic
+    *    rename / conditional-put). When false, the protocol (a) retries
+    *    unreadable reads, and (b) CONFIRMS an absent lock twice across a
+    *    grace delay before creating over it — an acquirer racing a LIVE
+    *    holder's delete-then-recreate rewrite must not usurp it.
+    *
+    * A conditional-put backend (etag/If-None-Match) simply reports both
+    * true and the residual object-store hazards disappear outright;
+    * [[HadoopLockStore]] is the default, with NIO fast paths on `file:`. */
+  private[graft] trait LockStore {
+    def atomicCreate: Boolean
+    def atomicOverwrite: Boolean
+    /** Create-no-overwrite; false when the path already exists. */
+    def createNew(p: Path, bytes: Array[Byte]): Boolean
+    /** Throws FileNotFoundException when absent; other exceptions mean
+      * transiently/persistently unreadable (the caller retries). */
+    def readBytes(p: Path): Array[Byte]
+    def installOverwrite(p: Path, bytes: Array[Byte]): Unit
+    def delete(p: Path): Unit
+  }
+
+  /** The Hadoop-FS-backed default store. */
+  private[graft] final class HadoopLockStore(fs: FileSystem) extends LockStore {
+    private val isLocal = fs.getScheme == "file"
+    override def atomicCreate: Boolean = isLocal || fs.getScheme == "hdfs"
+    override def atomicOverwrite: Boolean = isLocal || fs.getScheme == "hdfs"
+
+    override def createNew(p: Path, bytes: Array[Byte]): Boolean =
+      if (isLocal) {
+        // NIO CREATE_NEW (O_EXCL): RawLocalFileSystem's create(p, false)
+        // is check-then-act — the JVM primitive is truly atomic
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        try {
+          java.nio.file.Files.createDirectories(local.getParent)
+          java.nio.file.Files.write(local, bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        val os =
+          try fs.create(p, false)
+          catch { case _: java.io.IOException => return false }
+        try os.write(bytes) finally os.close()
+        true
+      }
+
+    override def readBytes(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try in.readAllBytes() finally in.close()
+    }
+
+    override def installOverwrite(p: Path, bytes: Array[Byte]): Unit =
+      if (isLocal) {
+        // MUST be NIO ATOMIC_MOVE: Hadoop's local FileContext
+        // rename-OVERWRITE is delete-then-rename, and a reader in that
+        // window sees a missing lock — the flicker that makes an
+        // acquirer misread a live lease (found by LeaseLivenessSpec's
+        // live-holder drill)
+        val target = java.nio.file.Paths.get(p.toUri.getPath)
+        val tmp = target.resolveSibling("." + target.getFileName.toString +
+          ".tmp." + java.util.UUID.randomUUID().toString.take(8))
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        val tmp = new Path(p.getParent, "." + p.getName + ".tmp." +
+          java.util.UUID.randomUUID().toString.take(8))
+        val os = fs.create(tmp, true)
+        try os.write(bytes) finally os.close()
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+            fs.getConf)
+          fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            if (fs.exists(p)) fs.delete(p, false)
+            if (!fs.rename(tmp, p))
+              throw new java.io.IOException(s"lock renew: could not install $p")
+        }
+      }
+
+    override def delete(p: Path): Unit = { fs.delete(p, false): Unit }
+  }
+
+  /** Store resolution — a TEST SEAM ([[withStoreFactory]]) swaps in
+    * simulated check-then-act / conditional-put stores. */
+  @volatile private[graft] var storeFactory: FileSystem => LockStore =
+    fs => new HadoopLockStore(fs)
+
+  private def storeFor(fs: FileSystem): LockStore = storeFactory(fs)
+
+  /** Run `body` with every lock-file operation routed through the stores
+    * `f` builds — restores the default factory under `finally`. Serial
+    * test use only (the factory is a process global). */
+  private[graft] def withStoreFactory[A](f: FileSystem => LockStore)(body: => A): A = {
+    val prev = storeFactory
+    storeFactory = f
+    try body finally storeFactory = prev
+  }
+
   /** Grace delay before the second read-back on stores whose
     * create-no-overwrite is check-then-act (never paid on `file:`/HDFS,
     * whose creates are atomic). */
@@ -315,8 +426,7 @@ object DatasetLock {
   }
 
   private def readOnce(fs: FileSystem, path: Path): Option[LockInfo] = {
-    val in = fs.open(path)
-    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val txt = new String(storeFor(fs).readBytes(path), "UTF-8")
     import JsonValue._
     val o = JsonValue.parse(txt).asInstanceOf[JsonObject]
     def s(k: String) = o.fields(k).asInstanceOf[JsonString].value
@@ -414,61 +524,13 @@ object DatasetLock {
     spark.conf.getOption("spark.graft.lock.ttlMs").map(_.toLong)
       .getOrElse(DefaultTtlMs)
 
-  /** Atomic create-no-overwrite returning false when the path already
-    * exists. `file:` stores go through NIO CREATE_NEW (O_EXCL — content
-    * may trail the create by microseconds; a reader catching the gap sees
-    * an unreadable lock, which conservatively means "locked"). Other
-    * stores use the Hadoop primitive, atomic on HDFS, check-then-act on
-    * object stores — those pay the grace re-verify in [[acquireFile]]. */
+  /** Create-no-overwrite through the store (see [[LockStore]]). */
   private def atomicCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
-    if (fs.getScheme == "file") {
-      val local = java.nio.file.Paths.get(p.toUri.getPath)
-      try {
-        java.nio.file.Files.createDirectories(local.getParent)
-        java.nio.file.Files.write(local, bytes,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      val os =
-        try fs.create(p, false)
-        catch { case _: java.io.IOException => return false }
-      try os.write(bytes) finally os.close()
-      true
-    }
+    storeFor(fs).createNew(p, bytes)
 
-  /** Rename-overwrite install (the heartbeat's rewrite primitive). On
-    * `file:` stores this MUST be NIO ATOMIC_MOVE: Hadoop's local
-    * FileContext rename-OVERWRITE is delete-then-rename, and a reader in
-    * that window sees a missing or partial lock — the exact flicker that
-    * makes an acquirer misread a live lease (found by LeaseLivenessSpec's
-    * live-holder drill racing reads against heartbeats). */
+  /** Overwrite-install through the store (the heartbeat's primitive). */
   private def installOverwrite(fs: FileSystem, p: Path, txt: String): Unit =
-    if (fs.getScheme == "file") {
-      val target = java.nio.file.Paths.get(p.toUri.getPath)
-      val tmp = target.resolveSibling("." + target.getFileName.toString +
-        ".tmp." + java.util.UUID.randomUUID().toString.take(8))
-      java.nio.file.Files.write(tmp, txt.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      val tmp = new Path(p.getParent, "." + p.getName + ".tmp." +
-        java.util.UUID.randomUUID().toString.take(8))
-      val os = fs.create(tmp, true)
-      try os.write(txt.getBytes("UTF-8")) finally os.close()
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
-          fs.getConf)
-        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch {
-        case _: UnsupportedOperationException | _: java.io.IOException =>
-          if (fs.exists(p)) fs.delete(p, false)
-          if (!fs.rename(tmp, p))
-            throw new java.io.IOException(s"lock renew: could not install $p")
-      }
-    }
+    storeFor(fs).installOverwrite(p, txt.getBytes("UTF-8"))
 
   private def refuse(rootDir: String, op: String, holder: LockInfo,
                      awaitMs: Long): Nothing =
@@ -506,11 +568,12 @@ object DatasetLock {
 
   /** Core single-file acquisition loop shared by the exclusive and flip
     * locks: create-no-overwrite, token read-back (twice, grace-spaced, on
-    * non-atomic stores), expiry takeover, bounded wait. Returns the
+    * non-atomic-create stores), absent-confirmation (on non-atomic-
+    * overwrite stores), expiry takeover, bounded wait. Returns the
     * created info; the caller wraps it in a [[Handle]]. */
   private def acquireFile(rootDir: String, p: Path, fs: FileSystem,
-                          op: String, awaitMs: Long, ttlMs: Long,
-                          atomicStore: Boolean): LockInfo = {
+                          op: String, awaitMs: Long, ttlMs: Long): LockInfo = {
+    val st = storeFor(fs)
     val deadline = System.currentTimeMillis() + math.max(0L, awaitMs)
     val rnd = java.util.concurrent.ThreadLocalRandom.current()
     while (true) {
@@ -524,19 +587,31 @@ object DatasetLock {
             Thread.sleep(350L + rnd.nextInt(300))
           } else refuse(rootDir, op, holder, awaitMs)
         case None =>
-          val info = newInfo(op, ttlMs)
-          if (atomicCreate(fs, p, render(info).getBytes("UTF-8"))) {
-            def owned: Boolean = read(fs, p).exists(_.token == info.token)
-            // check-then-act stores: a racer whose exists() predated our
-            // create may truncate us AFTER a single read-back — verify
-            // again past the grace window (see the class doc for the
-            // residual hazard beyond it)
-            val ok =
-              if (atomicStore) owned
-              else owned && { Thread.sleep(GraceMs); owned }
-            if (ok) return info
+          // ADVICE r13: when the store's overwrite-install can leave the
+          // path transiently ABSENT (delete-then-recreate fallback), an
+          // absent read is only authoritative after a grace-delayed
+          // CONFIRMATION — otherwise an acquirer racing a LIVE holder's
+          // heartbeat rewrite would create over (usurp) a live lease.
+          val confirmedAbsent = st.atomicOverwrite || {
+            Thread.sleep(GraceMs)
+            read(fs, p).isEmpty
           }
-          // create lost the race (or ownership was taken by a racer):
+          if (confirmedAbsent) {
+            val info = newInfo(op, ttlMs)
+            if (atomicCreate(fs, p, render(info).getBytes("UTF-8"))) {
+              def owned: Boolean = read(fs, p).exists(_.token == info.token)
+              // check-then-act stores: a racer whose exists() predated our
+              // create may truncate us AFTER a single read-back — verify
+              // again past the grace window (see the class doc for the
+              // residual hazard beyond it)
+              val ok =
+                if (st.atomicCreate) owned
+                else owned && { Thread.sleep(GraceMs); owned }
+              if (ok) return info
+            }
+          }
+          // create lost the race, ownership was taken by a racer, or the
+          // "absent" lock reappeared (a live holder's rewrite window):
           // loop — the holder is read at the top and waited on / taken
           // over / refused at the deadline, exactly like a pre-existing
           // lock (a lost race must not refuse while awaitMs remains)
@@ -567,12 +642,13 @@ object DatasetLock {
               ttlMs: Long = -1L): Handle = {
     val p = lockPath(rootDir)
     val fs = p.getFileSystem(conf)
-    val atomicStore = fs.getScheme == "file" || fs.getScheme == "hdfs"
+    val st = storeFor(fs)
+    val atomicStore = st.atomicCreate && st.atomicOverwrite
     val ttl = if (ttlMs < 0) DefaultTtlMs else ttlMs
     val deadline = System.currentTimeMillis() + math.max(0L, awaitMs)
     val rnd = java.util.concurrent.ThreadLocalRandom.current()
     val info = acquireFile(rootDir, p, fs, op,
-      math.max(0L, deadline - System.currentTimeMillis()), ttl, atomicStore)
+      math.max(0L, deadline - System.currentTimeMillis()), ttl)
     // The exclusive file is ours; it must not coexist with LIVE shared
     // (slice-scoped backfill) leases. EVERY live shared lease blocks —
     // never a wall-clock tie-break: acquiredAtMs comes from each writer's
@@ -734,9 +810,8 @@ object DatasetLock {
                       awaitMs: Long = 30000L)(f: String => A): A = {
     val p = flipPath(rootDir)
     val fs = p.getFileSystem(conf)
-    val atomicStore = fs.getScheme == "file" || fs.getScheme == "hdfs"
     val info = acquireFile(rootDir, p, fs, "sidecar-flip", awaitMs,
-      ttlMs = 60000L, atomicStore)
+      ttlMs = 60000L)
     try f(info.token)
     finally {
       try {
