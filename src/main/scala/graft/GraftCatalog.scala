@@ -446,10 +446,13 @@ object GraftCatalog {
               (now - i.effectiveRenewedAt) / 1000L,
               i.ttlMs / 1000L,
               expired,
-              if (i.slices.isEmpty) null
-              else org.apache.spark.unsafe.types.UTF8String.fromString(
-                i.slices.toSeq.map(_.map(v => if (v == null) "null" else v)
-                  .mkString("/")).sorted.mkString(","))))
+              if (i.slices.nonEmpty)
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  i.slices.toSeq.map(_.map(v => if (v == null) "null" else v)
+                    .mkString("/")).sorted.mkString(","))
+              else i.digest.map(d =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  s"~${d.count} slices (digest)")).orNull))
           }.toArray
         val schema = StructType(Seq(
           StructField("kind", StringType, nullable = false),

@@ -513,9 +513,19 @@ object CsvWriter {
           // (they fire before any data or lock is touched)
           impl(None, None)
         else touchedSlices(t, partitionBy, naRep) match {
-          case Some(parts) if parts.nonEmpty =>
+          case Some(parts) if parts.nonEmpty && parts.size <= MaxSharedLockSlices =>
             DatasetLock.withSharedLock(outDir, "backfill", parts,
               awaitMs = awaitMs, ttlMs = ttlMs)(h => impl(Some(h), Some(parts)))
+          case Some(parts) if parts.nonEmpty =>
+            // WIDE backfill (r13 stretch): the lease carries a Bloom
+            // digest of the touched set — disjoint explicit siblings
+            // (and the stream's slices) still coexist via refuse-on-
+            // maybe membership tests; the write protocol itself keeps
+            // the exact set
+            DatasetLock.withSharedLock(outDir, "backfill", Set.empty,
+              awaitMs = awaitMs, ttlMs = ttlMs,
+              digest = Some(graft.io.DatasetLock.SliceDigest.build(parts)))(
+              h => impl(Some(h), Some(parts)))
           case Some(_) => // empty input: nothing to rewrite, but the sidecar
             // protocol still runs (commit bump) — exclusive keeps it simple
             DatasetLock.withLockHandle(outDir, "backfill",
@@ -530,8 +540,17 @@ object CsvWriter {
 
   /** A shared backfill lease records the exact slice set it rewrites; a
     * lock file is a poor home for an unbounded list, so beyond this many
-    * touched slices the backfill falls back to the exclusive root lease. */
+    * touched slices the lease records a Bloom DIGEST of the set instead
+    * (refuse-on-maybe — see [[DatasetLock.SliceDigest]]), and beyond
+    * [[MaxDigestLockSlices]] the backfill falls back to the exclusive
+    * root lease outright. */
   private[graft] val MaxSharedLockSlices = 1000
+
+  /** Digest-lease ceiling: the driver collects the distinct slice tuples
+    * once for the lease + stat-strip protocol; 100k tuples is a few MB of
+    * driver memory and covers any sane wide backfill (beyond it the write
+    * is effectively a full rewrite — exclusive is the honest lease). */
+  private[graft] val MaxDigestLockSlices = 100000
 
   /** The distinct rendered partition-path tuples of `t` — the slice set a
     * backfill rewrites, computed UP FRONT for the shared lease (and passed
@@ -542,8 +561,8 @@ object CsvWriter {
     val keys = partitionPathCols(t, partitionBy, naRep,
       "writePartitionedDataset")
     val rows = t.df.select(keys: _*).distinct()
-      .limit(MaxSharedLockSlices + 1).collect()
-    if (rows.length > MaxSharedLockSlices) None
+      .limit(MaxDigestLockSlices + 1).collect()
+    if (rows.length > MaxDigestLockSlices) None
     else Some(rows.map(r => partitionBy.indices.map(i =>
       if (r.isNullAt(i)) null else r.getString(i)): Seq[String]).toSet)
   }
@@ -565,7 +584,8 @@ object CsvWriter {
     // root sidecar concurrently: every sidecar mutation below then goes
     // through the flip lock as a read-merge-install instead of the
     // exclusive path's strict observed-commit CAS
-    val sharedLease = lock.exists(_.info.slices.nonEmpty)
+    val sharedLease = lock.exists(h =>
+      h.info.slices.nonEmpty || h.info.digest.isDefined)
     val lockToken: Option[String] = lock.map(_.info.token)
     require(filesPerSlice >= 1,
       s"writePartitionedDataset: filesPerSlice must be >= 1, got $filesPerSlice")

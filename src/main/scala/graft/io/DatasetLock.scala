@@ -201,10 +201,59 @@ object DatasetLock {
     * whose creates are atomic). */
   private val GraceMs = 100L
 
+  /** Compact slice-set digest for SHARED leases whose touched-slice set
+    * is too wide to record explicitly (VERDICT r13 stretch): a Bloom
+    * filter with REFUSE-ON-MAYBE semantics — a false positive causes a
+    * spurious refusal, never a lost exclusion. Digest-vs-digest overlap
+    * is conservatively always true (disjointness of two Bloom filters is
+    * unprovable), so two wide backfills still serialize; digest-vs-
+    * explicit coexists whenever every explicit tuple tests negative. */
+  final case class SliceDigest(bits: Array[Long], numHashes: Int, count: Int) {
+    private def hashPair(t: Seq[String]): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      t.foreach { v =>
+        md.update(if (v == null) Array[Byte](0)
+          else (v + "").getBytes("UTF-8"))
+      }
+      val d = md.digest()
+      val bb = java.nio.ByteBuffer.wrap(d)
+      (bb.getLong(0), bb.getLong(8))
+    }
+    private def m: Int = bits.length * 64
+    def mightContain(t: Seq[String]): Boolean = {
+      val (h1, h2) = hashPair(t)
+      (0 until numHashes).forall { i =>
+        val idx = java.lang.Math.floorMod(h1 + i.toLong * h2, m.toLong).toInt
+        (bits(idx >> 6) & (1L << (idx & 63))) != 0L
+      }
+    }
+    private[DatasetLock] def add(t: Seq[String]): Unit = {
+      val (h1, h2) = hashPair(t)
+      (0 until numHashes).foreach { i =>
+        val idx = java.lang.Math.floorMod(h1 + i.toLong * h2, m.toLong).toInt
+        bits(idx >> 6) |= (1L << (idx & 63))
+      }
+    }
+  }
+
+  object SliceDigest {
+    /** ~10 bits/element (<1% false-positive at k=7), power-of-two words,
+      * capped at 2^20 bits (128 KiB — a lock file stays small). */
+    def build(tuples: Iterable[Seq[String]]): SliceDigest = {
+      val n = tuples.size
+      var mBits = 1024
+      while (mBits < n * 10 && mBits < (1 << 20)) mBits <<= 1
+      val d = SliceDigest(new Array[Long](mBits / 64), 7, n)
+      tuples.foreach(d.add)
+      d
+    }
+  }
+
   final case class LockInfo(op: String, owner: String, acquiredAtMs: Long,
                             token: String,
                             renewedAtMs: Long = 0L, ttlMs: Long = 0L,
-                            slices: Set[Seq[String]] = Set.empty) {
+                            slices: Set[Seq[String]] = Set.empty,
+                            digest: Option[SliceDigest] = None) {
     def describe(nowMs: Long): String =
       s"operation '$op' by $owner, acquired ${(nowMs - acquiredAtMs) / 1000} s ago" +
         (if (ttlMs > 0) s" (lease TTL ${ttlMs / 1000} s, last renewed " +
@@ -221,6 +270,20 @@ object DatasetLock {
     def beats(other: LockInfo): Boolean =
       acquiredAtMs < other.acquiredAtMs ||
         (acquiredAtMs == other.acquiredAtMs && token < other.token)
+    /** Does this lease's touched-slice claim overlap a sibling's claim?
+      * An empty explicit set with no digest is a LEGACY/unknown claim and
+      * overlaps everything; digest-vs-digest is conservatively true. */
+    def overlapsWith(otherSlices: Set[Seq[String]],
+                     otherDigest: Option[SliceDigest]): Boolean =
+      (digest, otherDigest) match {
+        case (Some(_), Some(_)) => true
+        case (Some(d), None) =>
+          otherSlices.isEmpty || otherSlices.exists(d.mightContain)
+        case (None, Some(od)) =>
+          slices.isEmpty || slices.exists(od.mightContain)
+        case (None, None) =>
+          slices.isEmpty || otherSlices.isEmpty || (slices & otherSlices).nonEmpty
+      }
   }
 
   /** One daemon heartbeat thread renews every live handle's lease. */
@@ -422,7 +485,18 @@ object DatasetLock {
          i.slices.toVector
            .sortBy(_.map(v => if (v == null) "" else v).mkString(" "))
            .map(tuple => JsonArray(tuple.toVector.map(v =>
-             if (v == null) JsonNull else JsonString(v)))))))))
+             if (v == null) JsonNull else JsonString(v))))))) ++
+      (i.digest match {
+        case None => Nil
+        case Some(d) =>
+          val bb = java.nio.ByteBuffer.allocate(d.bits.length * 8)
+          d.bits.foreach(bb.putLong)
+          Seq(
+            "digestBits" -> JsonString(
+              java.util.Base64.getEncoder.encodeToString(bb.array())),
+            "digestHashes" -> JsonNumber(d.numHashes.toDouble),
+            "digestCount" -> JsonNumber(d.count.toDouble))
+      })))
   }
 
   private def readOnce(fs: FileSystem, path: Path): Option[LockInfo] = {
@@ -444,8 +518,17 @@ object DatasetLock {
       }.toSet
       case _ => Set.empty
     }
+    val digest: Option[SliceDigest] = o.fields.get("digestBits") match {
+      case Some(JsonString(b64)) =>
+        val bytes = java.util.Base64.getDecoder.decode(b64)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val longs = new Array[Long](bytes.length / 8)
+        longs.indices.foreach(i => longs(i) = bb.getLong(i * 8))
+        Some(SliceDigest(longs, n("digestHashes").toInt, n("digestCount").toInt))
+      case _ => None
+    }
     Some(LockInfo(s("op"), s("owner"), n("acquiredAtMs"), s("token"),
-      n("renewedAtMs"), n("ttlMs"), slices))
+      n("renewedAtMs"), n("ttlMs"), slices, digest))
   }
 
   private def read(fs: FileSystem, path: Path): Option[LockInfo] = {
@@ -544,12 +627,13 @@ object DatasetLock {
         "(CALL graft.system.break_dataset_lock).")
 
   private def newInfo(op: String, ttlMs: Long,
-                      slices: Set[Seq[String]] = Set.empty): LockInfo = {
+                      slices: Set[Seq[String]] = Set.empty,
+                      digest: Option[SliceDigest] = None): LockInfo = {
     val now = System.currentTimeMillis()
     LockInfo(op,
       java.lang.management.ManagementFactory.getRuntimeMXBean.getName,
       now, java.util.UUID.randomUUID().toString, now,
-      if (ttlMs < 0) DefaultTtlMs else ttlMs, slices)
+      if (ttlMs < 0) DefaultTtlMs else ttlMs, slices, digest)
   }
 
   /** Try to evict an EXPIRED lease at `p`: re-read immediately before
@@ -696,8 +780,10 @@ object DatasetLock {
                     conf: Configuration =
                       graft.sources.StarTableSource.activeHadoopConf(),
                     awaitMs: Long = 0L,
-                    ttlMs: Long = -1L): Handle = {
-    require(slices.nonEmpty, "acquireShared: empty slice set (use acquire)")
+                    ttlMs: Long = -1L,
+                    digest: Option[SliceDigest] = None): Handle = {
+    require(slices.nonEmpty || digest.isDefined,
+      "acquireShared: empty slice claim (use acquire, or pass a digest)")
     val ttl = if (ttlMs < 0) DefaultTtlMs else ttlMs
     val root = new Path(rootDir)
     val fs = root.getFileSystem(conf)
@@ -709,8 +795,7 @@ object DatasetLock {
         refuse(rootDir, op, holder, awaitMs)
       Thread.sleep(350L + rnd.nextInt(300))
     }
-    def overlapping(si: LockInfo): Boolean =
-      si.slices.isEmpty || (si.slices & slices).nonEmpty
+    def overlapping(si: LockInfo): Boolean = si.overlapsWith(slices, digest)
     while (true) {
       val now = System.currentTimeMillis()
       // 1. exclusive holder present? (expired → evict, live → wait)
@@ -729,7 +814,7 @@ object DatasetLock {
             case None =>
               // 3. create our UNIQUELY-NAMED shared file (no create race on
               // the file itself — conflicts resolve by the tie-break below)
-              val info = newInfo(op, ttl, slices)
+              val info = newInfo(op, ttl, slices, digest)
               val myPath = sharedPath(rootDir, info.token)
               if (!atomicCreate(fs, myPath, render(info).getBytes("UTF-8")))
                 throw new ConcurrentWriteException(
@@ -794,8 +879,9 @@ object DatasetLock {
                         conf: Configuration =
                           graft.sources.StarTableSource.activeHadoopConf(),
                         awaitMs: Long = 0L,
-                        ttlMs: Long = -1L)(f: Handle => A): A = {
-    val h = acquireShared(rootDir, op, slices, conf, awaitMs, ttlMs)
+                        ttlMs: Long = -1L,
+                        digest: Option[SliceDigest] = None)(f: Handle => A): A = {
+    val h = acquireShared(rootDir, op, slices, conf, awaitMs, ttlMs, digest)
     try f(h) finally h.release()
   }
 

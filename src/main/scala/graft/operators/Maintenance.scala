@@ -719,7 +719,22 @@ object Maintenance {
       catch { case _: java.io.FileNotFoundException => return }
       entries.foreach { st =>
         val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith(".") &&
+        if (st.isDirectory && n.startsWith(".__stream_")) {
+          // a coexisting stream's batch staging that never finished its
+          // install — the replay after restart re-stages from scratch,
+          // and the exclusive vacuum lease guarantees no stream is live
+          removedBytes += sizeOf(st.getPath)
+          fs.delete(st.getPath, true)
+          removedDirs += 1
+        } else if (st.isFile &&
+            n.startsWith(graft.io.CsvWriter.PendingMergePrefix)) {
+          // a staged sidecar-merge intent whose holder died before any
+          // drain ran — under the exclusive vacuum lease every shared
+          // lease is gone, so all pendings are orphans (drains would
+          // drop them unapplied anyway; see DatasetLock.liveSharedTokens)
+          fs.delete(st.getPath, false)
+          removedTmp += 1
+        } else if (st.isDirectory && n.startsWith(".") &&
             Suffixes.exists(n.endsWith)) {
           val suffix = Suffixes.find(n.endsWith).get
           val live = new Path(dir, n.stripPrefix(".").stripSuffix(suffix))
