@@ -30,7 +30,7 @@ object SparkEntry {
     * amortized over the query stream, so steady-state probe latency is the
     * honest metric (build cost is a write-path property, like any other
     * index). */
-  val indexedQueries: Set[String] = Set("q_ann_lsh", "q_emb_ivf_probe", "q_emb_pq_probe", "q_emb_pq_rerank", "q_emb_ivfpq_probe", "q_point_lookup", "q_dedup_index", "q_startable_connector", "q_startable_dataset", "q_startable_partitioned", "q_parquet_units", "q_dataset_stats", "q_dataset_count", "q_dataset_minmax", "q_dataset_group_agg", "q_dataset_count_filtered", "q_dataset_sharded", "q_dataset_vacuum", "q_dataset_vacuum_sharded", "q_dataset_cluster", "q_dataset_evolve", "q_dataset_evolve_minmax", "q_dataset_evolve_meta", "q_dataset_backfill_parallel", "q_catalog_named", "q_stream_startable", "q_stream_dataset_read", "q_modularity", "q_conductance")
+  val indexedQueries: Set[String] = Set("q_ann_lsh", "q_emb_ivf_probe", "q_emb_pq_probe", "q_emb_pq_rerank", "q_emb_ivfpq_probe", "q_point_lookup", "q_dedup_index", "q_startable_connector", "q_startable_dataset", "q_startable_partitioned", "q_parquet_units", "q_dataset_stats", "q_dataset_count", "q_dataset_minmax", "q_dataset_group_agg", "q_dataset_count_filtered", "q_dataset_sharded", "q_dataset_vacuum", "q_dataset_vacuum_sharded", "q_dataset_cluster", "q_dataset_evolve", "q_dataset_evolve_minmax", "q_dataset_evolve_meta", "q_dataset_backfill_parallel", "q_catalog_named", "q_stream_startable", "q_stream_coexist", "q_stream_dataset_read", "q_modularity", "q_conductance")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

@@ -405,6 +405,27 @@ object StreamingQueries {
           .cast(DoubleType).as("sum_value"),
           count(lit(1)).as("n"),
           max(col("ts")).as("last_ts"))
+    }),
+
+    // The STEADY-STATE 100 TB shape under the gate (round 14): a
+    // COEXISTING stream (shared slice-scoped lease, coexist = true)
+    // ingests the non-view events in real micro-batches while — with the
+    // stream STILL LIVE — a disjoint backfill REPLACES the seeded (wrong-
+    // valued) view slice and a slice-scoped compaction rewrites it, then
+    // one more batch streams in. The readback aggregates the whole
+    // dataset; the oracle recomputes over the original parquet. A row
+    // lost to the lease coexistence (stream vs backfill vs compaction), a
+    // batch duplicated by the deterministic-name install, or a stale
+    // seeded value surviving the mid-stream backfill all break the hash.
+    "q_stream_coexist" -> ((s, dir) => {
+      val ds = coexistStreamedDatasetFor(s, dir)
+      s.read.format("startable").load(ds)
+        .groupBy(col("event_type"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_value"),
+          count(lit(1)).as("n"),
+          max(col("ts")).as("last_ts"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -451,6 +472,89 @@ object StreamingQueries {
       s"q_stream_startable: expected >= 2 data-carrying micro-batches, " +
         s"got $dataBatches — the staging layout no longer forces real " +
         "incremental ingestion")
+    java.nio.file.Files.createFile(marker)
+    out
+  }
+
+  /** Build-once COEXISTING-stream dataset (q_stream_coexist): seed the
+    * `view` slice with WRONG values (+1e6), stream the non-view events
+    * through `coexist = true` in real micro-batches, and — while the
+    * stream is LIVE — backfill the view slice with the CORRECT rows
+    * (disjoint shared lease) and compact it slice-scoped, then stream one
+    * more batch. The final dataset must equal the plain events aggregate:
+    * the seeded wrong values survive only if the mid-stream backfill was
+    * refused or lost. */
+  private def coexistStreamedDatasetFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|qsc1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_qsc_$key")
+    val out = base.resolve("ds").toString
+    val marker = base.resolve("ds").resolve("_graft_coexist_done")
+    if (java.nio.file.Files.exists(marker)) return out
+    deleteTree(base.toFile)
+    val staging = base.resolve("staging").toString
+    val late = base.resolve("late").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = Tables.df(s, dir, "events")
+      .select(col("event_type"), col("user_id"), col("value"), col("ts"))
+    val name = "events_coexist"
+    val units = Map("event_type" -> "text", "ts" -> "datetime")
+    // seed: the view slice with PROVABLY WRONG values — the mid-stream
+    // backfill must replace every one of them
+    graft.io.CsvWriter.writePartitionedDataset(
+      graft.model.StarTable.fromDataFrame(
+        ev.filter(col("event_type") === "view")
+          .withColumn("value", col("value") + lit(1e6)),
+        name, units = units),
+      out, Seq("event_type"))
+    // stream source: the non-view events in 3 files + 1 late file
+    val nonView = ev.filter(col("event_type") =!= "view")
+    nonView.filter(col("user_id") % 3 =!= lit(0)).repartition(3)
+      .write.mode("overwrite").parquet(staging)
+    nonView.filter(col("user_id") % 3 === lit(0)).coalesce(1)
+      .write.mode("overwrite").parquet(late)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(base.resolve("src").toString + "/*")
+    // the source reads a glob of subdirs so the late file can arrive as a
+    // genuinely new batch after the mid-stream maintenance
+    java.nio.file.Files.createDirectories(base.resolve("src"))
+    def move(from: String, subdir: String): Unit = {
+      val dst = base.resolve("src").resolve(subdir)
+      java.nio.file.Files.move(java.nio.file.Paths.get(from), dst)
+    }
+    move(staging, "b1")
+    val q = graft.io.CsvWriter.streamPartitionedDataset(
+      graft.model.StarTable.fromDataFrame(stream, name, units = units),
+      out, Seq("event_type"), ckpt, coexist = true)
+    try {
+      q.processAllAvailable()
+      // STREAM LIVE: replace the wrong-valued view slice (disjoint shared
+      // lease coexists with the stream's) and compact it slice-scoped
+      graft.io.CsvWriter.writePartitionedDataset(
+        graft.model.StarTable.fromDataFrame(
+          ev.filter(col("event_type") === "view"), name, units = units),
+        out, Seq("event_type"), overwriteSlices = true)
+      val rep = graft.operators.Maintenance.compactStarDataset(
+        s, out, onlySlices = Set(Seq("view")))
+      require(rep.filesBefore >= 1,
+        "q_stream_coexist: the view-slice compaction found nothing — the " +
+          "mid-stream backfill did not land")
+      // one more real batch AFTER the maintenance
+      move(late, "b2")
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 2,
+        s"q_stream_coexist: expected >= 2 data-carrying micro-batches, " +
+          s"got $dataBatches")
+    } finally q.stop()
     java.nio.file.Files.createFile(marker)
     out
   }
@@ -560,6 +664,13 @@ object StreamingQueries {
          |  CAST(max(ts) AS TIMESTAMP) AS last_ts
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1""".stripMargin,
+
+    // the coexisting-stream lifecycle must land the WHOLE events table:
+    // streamed non-view slices + the mid-stream backfilled view slice
+    "q_stream_coexist" ->
+      s"""SELECT event_type, ${sqlDsum("value")} AS sum_value,
+         |  count(*) AS n, CAST(max(ts) AS TIMESTAMP) AS last_ts
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // session_window semantics: a new session starts when the gap is >= 30min
     "q_stream_sessions" ->
