@@ -1381,7 +1381,8 @@ object CsvWriter {
   private[graft] val PendingMergePrefix = "_startable_pending."
 
   private final case class MergeIntent(holderToken: String,
-      strip: Set[Seq[String]],
+      stripSlices: Set[Seq[String]],
+      stripFiles: Set[Seq[String]],
       addSlices: Seq[graft.sources.StarTableSource.SliceStats],
       addFiles: Seq[graft.sources.StarTableSource.FileStats])
 
@@ -1394,25 +1395,32 @@ object CsvWriter {
     * orphan (crashed holder) is deleted unapplied, which is conservative
     * — its holder provably never wrote data after the un-applied stage
     * (holders block right here until applied). */
-  private def applySidecarMergeBatched(outDir: String,
+  private[graft] def applySidecarMergeBatched(outDir: String,
       handle: DatasetLock.Handle,
-      strip: Set[Seq[String]],
+      stripSlices: Set[Seq[String]],
       addSlices: Seq[graft.sources.StarTableSource.SliceStats],
-      addFiles: Seq[graft.sources.StarTableSource.FileStats]): Unit = {
-    require(addSlices.forall(s => strip.contains(s.partition)) &&
-        addFiles.forall(f => strip.contains(f.partition)),
-      "applySidecarMergeBatched: added entries must be covered by the " +
-        "strip set (reapplication idempotence)")
+      addFiles: Seq[graft.sources.StarTableSource.FileStats],
+      stripFilesOverride: Option[Set[Seq[String]]] = None): Unit = {
+    // slice and file entries strip independently: a backfill replaces
+    // both for its partitions; slice-scoped CLUSTERING keeps the (reorder-
+    // invariant) slice entries and replaces only the file tier
+    val stripFiles = stripFilesOverride.getOrElse(stripSlices)
+    require(addSlices.forall(s => stripSlices.contains(s.partition)) &&
+        addFiles.forall(f => stripFiles.contains(f.partition)),
+      "applySidecarMergeBatched: added entries must be covered by their " +
+        "strip sets (reapplication idempotence)")
     val conf = graft.sources.StarTableSource.activeHadoopConf()
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(conf)
     import JsonValue._
     def optStr(s: String): JsonValue = if (s == null) JsonNull else JsonString(s)
+    def tuplesJson(ts: Set[Seq[String]]): JsonValue = JsonArray(ts.toVector
+      .sortBy(_.map(v => if (v == null) "" else v).mkString(" "))
+      .map(t => JsonArray(t.toVector.map(optStr))))
     val intentJson = JsonValue.write(JsonObject(scala.collection.immutable.ListMap(
       "holder" -> JsonString(handle.info.token),
-      "strip" -> JsonArray(strip.toVector
-        .sortBy(_.map(v => if (v == null) "" else v).mkString(" "))
-        .map(t => JsonArray(t.toVector.map(optStr)))),
+      "strip" -> tuplesJson(stripSlices),
+      "stripFiles" -> tuplesJson(stripFiles),
       "sliceStats" -> JsonArray(addSlices.toVector.map { s =>
         JsonObject(scala.collection.immutable.ListMap(
           "partition" -> JsonArray(s.partition.toVector.map(optStr)),
@@ -1491,14 +1499,18 @@ object CsvWriter {
         case JsonString(s) => s
         case _             => null
       }
-      val strip: Set[Seq[String]] = o.fields("strip") match {
-        case JsonArray(ts) => ts.map {
+      def tuples(k: String): Set[Seq[String]] = o.fields.get(k) match {
+        case Some(JsonArray(ts)) => ts.map {
           case JsonArray(vs) => vs.map(optStr): Seq[String]
           case _             => Seq.empty[String]
         }.toSet
         case _ => Set.empty
       }
-      MergeIntent(o.fields("holder").asInstanceOf[JsonString].value, strip,
+      val stripSlices = tuples("strip")
+      MergeIntent(o.fields("holder").asInstanceOf[JsonString].value,
+        stripSlices,
+        if (o.fields.contains("stripFiles")) tuples("stripFiles")
+        else stripSlices,
         graft.sources.StarTableSource.sliceStatsFromJson(
           o.fields.get("sliceStats")),
         graft.sources.StarTableSource.fileStatsFromJson(
@@ -1510,12 +1522,13 @@ object CsvWriter {
         .getOrElse(throw new ConcurrentWriteException(
           s"dataset at $outDir: sidecar vanished during a shared backfill " +
             "— a concurrent full overwrite or delete raced this writer"))
-      val allStrip: Set[Seq[String]] = intents.flatMap(_.strip).toSet
+      val allStripSlices: Set[Seq[String]] = intents.flatMap(_.stripSlices).toSet
+      val allStripFiles: Set[Seq[String]] = intents.flatMap(_.stripFiles).toSet
       val mergedSlices = cur.sliceStats
-        .filterNot(s => allStrip.contains(s.partition)) ++
+        .filterNot(s => allStripSlices.contains(s.partition)) ++
         intents.flatMap(_.addSlices)
       val mergedFiles = cur.fileStats
-        .filterNot(s => allStrip.contains(s.partition)) ++
+        .filterNot(s => allStripFiles.contains(s.partition)) ++
         intents.flatMap(_.addFiles)
       writeSidecarFields(outDir, cur.name, cur.destinations, cur.cols,
         cur.units, cur.partCols, cur.partUnits, cur.sep, mergedSlices,

@@ -373,26 +373,43 @@ object Maintenance {
     * (capped) stats collect. */
   def clusterStarDataset(spark: SparkSession, path: String,
                          sortCols: Seq[String],
-                         targetBytes: Long = 128L * 1024 * 1024): ClusterReport = {
+                         targetBytes: Long = 128L * 1024 * 1024,
+                         onlySlices: Set[Seq[String]] = Set.empty): ClusterReport = {
     require(targetBytes > 0, "clusterStarDataset: targetBytes must be positive")
     require(graft.sources.StarTableSource.readDatasetMeta(Seq(path)).isDefined,
       s"clusterStarDataset: $path has no " +
         s"${graft.io.CsvWriter.DatasetMetaFile} sidecar — not a StarTable " +
         "dataset")
-    // writer lease (see compactStarDataset); the meta is re-read UNDER the
-    // lock so the commit this pass CAS-flips against is the locked state
-    graft.io.DatasetLock.withLockHandle(path, "cluster",
-      spark.sparkContext.hadoopConfiguration,
-      graft.io.DatasetLock.awaitMsFromConf(spark),
-      graft.io.DatasetLock.ttlMsFromConf(spark)) { h =>
-      clusterStarDatasetLocked(spark, path, sortCols, targetBytes, Some(h))
-    }
+    if (onlySlices.isEmpty)
+      // writer lease (see compactStarDataset); the meta is re-read UNDER the
+      // lock so the commit this pass CAS-flips against is the locked state
+      graft.io.DatasetLock.withLockHandle(path, "cluster",
+        spark.sparkContext.hadoopConfiguration,
+        graft.io.DatasetLock.awaitMsFromConf(spark),
+        graft.io.DatasetLock.ttlMsFromConf(spark)) { h =>
+        clusterStarDatasetLocked(spark, path, sortCols, targetBytes, Some(h))
+      }
+    else
+      // SLICE-SCOPED clustering: a SHARED lease on exactly `onlySlices`
+      // (raw rendered partition values) — nightly file-tier maintenance of
+      // old slices that coexists with a live coexisting stream and with
+      // disjoint backfills. The root sidecar's file entries for these
+      // slices go through a flip-serialized batched merge; slice entries
+      // are reorder-invariant and untouched.
+      graft.io.DatasetLock.withSharedLock(path, "cluster", onlySlices,
+        spark.sparkContext.hadoopConfiguration,
+        graft.io.DatasetLock.awaitMsFromConf(spark),
+        graft.io.DatasetLock.ttlMsFromConf(spark)) { h =>
+        clusterStarDatasetLocked(spark, path, sortCols, targetBytes, Some(h),
+          onlySlices = Some(onlySlices))
+      }
   }
 
   private def clusterStarDatasetLocked(spark: SparkSession, path: String,
                                        sortCols: Seq[String],
                                        targetBytes: Long,
-                                       lock: Option[graft.io.DatasetLock.Handle]): ClusterReport = {
+                                       lock: Option[graft.io.DatasetLock.Handle],
+                                       onlySlices: Option[Set[Seq[String]]] = None): ClusterReport = {
     val lockToken: Option[String] = lock.map(_.info.token)
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DoubleType
@@ -415,9 +432,22 @@ object Maintenance {
     def cellExpr(cells: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
       graft.io.CsvWriter.parsedCellExpr(cells, i, meta.units(i))
 
-    // slice inventory: files grouped by leaf directory
-    val files = graft.sources.StarTableSource.listPartitionedFiles(
-      Seq(path), meta.partCols, conf)
+    // slice inventory: files grouped by leaf directory. A SCOPED pass
+    // constructs its leaves directly — touched-proportional cost, and no
+    // root walk to race a disjoint sibling's commit window
+    val files = onlySlices match {
+      case Some(parts) => parts.toSeq.flatMap { raw =>
+        val leaf = graft.io.CsvWriter.sliceLeafPath(new Path(path),
+          meta.partCols, raw)
+        try fs.listStatus(leaf).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => (st.getPath.toString, st.getLen, raw))
+        catch { case _: java.io.FileNotFoundException => Nil }
+      }
+      case None => graft.sources.StarTableSource.listPartitionedFiles(
+        Seq(path), meta.partCols, conf).map(f => (f._1, f._2, f._3))
+    }
     val byLeaf: Seq[((String, Seq[String]), Seq[(String, Long)])] =
       files.groupBy(f => (new Path(f._1).getParent.toString, f._3))
         .map { case ((dir, raw), fsOfDir) =>
@@ -540,7 +570,17 @@ object Maintenance {
             "statistics (reads stay correct, file skipping disabled)")
           Nil
         } else allFileStats
-      graft.io.CsvWriter.writeSidecarRaw(path, meta, keptFileStats, lockToken)
+      onlySlices match {
+        case Some(parts) =>
+          // shared lease: replace ONLY this pass's slices' file entries
+          // through the batched flip merge — sibling writers' entries
+          // (and every slice entry) survive verbatim
+          graft.io.CsvWriter.applySidecarMergeBatched(path, lock.get,
+            Set.empty, Nil, keptFileStats, stripFilesOverride = Some(parts))
+        case None =>
+          graft.io.CsvWriter.writeSidecarRaw(path, meta, keptFileStats,
+            lockToken)
+      }
       ClusterReport(byLeaf.size.toLong, filesBefore, filesAfter, bytesBefore,
         bytesAfter, keptFileStats.size.toLong)
     }

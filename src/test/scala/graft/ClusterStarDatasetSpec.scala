@@ -232,4 +232,42 @@ class ClusterStarDatasetSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("grp"))
   }
+
+  test("slice-scoped clustering (round 14): a SHARED lease clusters one " +
+    "slice's file tier while slice stats and sibling slices stay intact") {
+    val out = mkDataset()
+    val before = allLines(out)
+    val metaBefore = graft.sources.StarTableSource.readDatasetMeta(Seq(out)).get
+    val g0Before = graft.sources.StarTableSource.listPartitionedFiles(
+      Seq(out), Seq("grp")).filter(_._3 == Seq("g0")).map(_._1).sorted
+    val rep = graft.operators.Maintenance.clusterStarDataset(
+      spark, out, Seq("x"), targetBytes = 20000,
+      onlySlices = Set(Seq("g1")))
+    assert(rep.slices == 1 && rep.filesAfter > 1, rep.toString)
+    assert(allLines(out) == before, "scoped clustering altered line bytes")
+    graft.sources.StarTableSource.invalidateMetaCache(out)
+    val meta = graft.sources.StarTableSource.readDatasetMeta(Seq(out)).get
+    // slice entries reorder-invariant: carried verbatim, commit advanced
+    assert(meta.sliceStats.map(s => s.partition -> s.rows).toMap ==
+      metaBefore.sliceStats.map(s => s.partition -> s.rows).toMap)
+    assert(meta.commit > metaBefore.commit)
+    // file entries exist ONLY for the clustered slice (g0 was written
+    // unshuffled by numFiles and carried no entries; g1 gains fresh ones)
+    assert(meta.fileStats.nonEmpty &&
+      meta.fileStats.forall(_.partition == Seq("g1")),
+      meta.fileStats.map(f => (f.partition, f.file)).toString)
+    // g0's data files untouched (same paths as before the pass)
+    val g0After = graft.sources.StarTableSource.listPartitionedFiles(
+      Seq(out), Seq("grp")).filter(_._3 == Seq("g0")).map(_._1).sorted
+    assert(g0After == g0Before, s"g0 files changed: $g0After vs $g0Before")
+    // no lease or staged intent left behind
+    assert(graft.io.DatasetLock.listLocks(out).isEmpty)
+    // a scoped range query over g1 skips files via the fresh entries
+    val back = spark.read.format("startable").load(out)
+    graft.sources.StarTableSource.resetPushdownCounters()
+    back.filter(col("grp") === "g1" && col("x") >= 101.0 && col("x") < 121.0)
+      .select("tag").collect()
+    assert(graft.sources.StarTableSource.filesSkippedByStats.sum() > 0,
+      "scoped clustering produced no usable file statistics")
+  }
 }
