@@ -345,13 +345,24 @@ object GraftCatalog {
   private def strs(r: InternalRow, i: Int): Seq[String] =
     str(r, i).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
 
+  /** Comma-separated slice tuples: `a,b` = two 1-column slices;
+    * `a/x,b/y` = two 2-column slices. `null` names the default
+    * partition; empty string = no scoping (full pass). */
+  private def sliceTuples(r: InternalRow, i: Int): Set[Seq[String]] =
+    strs(r, i).map(t => t.split('/').toSeq.map(_.trim)
+      .map(v => if (v == "null") null else v): Seq[String]).toSet
+
   private[graft] val procedures: Map[String, UnboundProcedure] = Seq[UnboundProcedure](
     new MaintenanceProcedure(
       "compact_dataset",
       "Rewrite a StarTable dataset's slices as ~target_bytes files " +
-        "(graft.operators.Maintenance.compactStarDataset)",
+        "(graft.operators.Maintenance.compactStarDataset). `slices` " +
+        "(optional, comma-separated `v1/v2` partition-value tuples) " +
+        "compacts ONLY those slices under a SHARED lease — coexists with " +
+        "a live coexisting stream and disjoint backfills",
       Seq(in("path", StringType),
-        inDefault("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+        inDefault("target_bytes", LongType, (128L * 1024 * 1024).toString),
+        inDefault("slices", StringType, "''")),
       StructType(Seq(
         StructField("files_before", LongType, nullable = false),
         StructField("bytes_before", LongType, nullable = false),
@@ -359,7 +370,7 @@ object GraftCatalog {
         StructField("bytes_after", LongType, nullable = false))),
       (spark, r) => {
         val rep = graft.operators.Maintenance.compactStarDataset(
-          spark, str(r, 0), r.getLong(1))
+          spark, str(r, 0), r.getLong(1), onlySlices = sliceTuples(r, 2))
         Seq(rep.filesBefore, rep.bytesBefore, rep.filesAfter, rep.bytesAfter)
       }),
 
@@ -367,9 +378,12 @@ object GraftCatalog {
       "cluster_dataset",
       "Range-cluster each slice of a StarTable dataset by sort_cols " +
         "(comma-separated) and record per-file statistics " +
-        "(graft.operators.Maintenance.clusterStarDataset)",
+        "(graft.operators.Maintenance.clusterStarDataset). `slices` " +
+        "(optional, comma-separated `v1/v2` tuples) clusters ONLY those " +
+        "slices under a SHARED lease",
       Seq(in("path", StringType), in("sort_cols", StringType),
-        inDefault("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+        inDefault("target_bytes", LongType, (128L * 1024 * 1024).toString),
+        inDefault("slices", StringType, "''")),
       StructType(Seq(
         StructField("slices", LongType, nullable = false),
         StructField("files_before", LongType, nullable = false),
@@ -379,7 +393,8 @@ object GraftCatalog {
         StructField("file_stats_written", LongType, nullable = false))),
       (spark, r) => {
         val rep = graft.operators.Maintenance.clusterStarDataset(
-          spark, str(r, 0), strs(r, 1), r.getLong(2))
+          spark, str(r, 0), strs(r, 1), r.getLong(2),
+          onlySlices = sliceTuples(r, 3))
         Seq(rep.slices, rep.filesBefore, rep.filesAfter,
           rep.bytesBefore, rep.bytesAfter, rep.fileStatsWritten)
       }),

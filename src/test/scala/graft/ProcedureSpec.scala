@@ -259,4 +259,28 @@ class ProcedureSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE graft.wns.insert$tag")
     }
   }
+
+  test("CALL compact_dataset / cluster_dataset with slices => runs the " +
+    "scoped SHARED-lease pass on exactly those slices") {
+    withCatalog {
+      val ds = mkDataset()
+      val g0Before = graft.sources.StarTableSource.listPartitionedFiles(
+        Seq(ds), Seq("grp")).filter(_._3 == Seq("g0")).map(_._1).sorted
+      val r = spark.sql(
+        s"CALL graft.system.compact_dataset(path => '$ds', slices => 'g1')")
+        .head()
+      assert(r.getLong(0) >= r.getLong(2) && r.getLong(2) >= 1,
+        s"scoped compaction report off: $r")
+      // untouched sibling slice keeps its exact files
+      val g0After = graft.sources.StarTableSource.listPartitionedFiles(
+        Seq(ds), Seq("grp")).filter(_._3 == Seq("g0")).map(_._1).sorted
+      assert(g0After === g0Before)
+      val c = spark.sql(
+        s"CALL graft.system.cluster_dataset(path => '$ds', " +
+          "sort_cols => 'x', slices => 'g2')").head()
+      assert(c.getLong(0) === 1L, s"expected 1 clustered slice: $c")
+      assert(spark.read.format("startable").load(ds).count() === 600)
+      assert(graft.io.DatasetLock.listLocks(ds).isEmpty)
+    }
+  }
 }
