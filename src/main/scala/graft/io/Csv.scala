@@ -1535,6 +1535,11 @@ object CsvWriter {
         mergedFiles, cur.statsSharded, expectCommit = Some(Some(cur.commit)),
         lateCols = cur.lateCols, lockToken = Some(flipToken))
     }
+    // crash window drilled by BatchedFlipCrashSpec: a drain dying HERE
+    // (install landed, deletes pending) leaves every intent on disk —
+    // the next drain REAPPLIES them, which is idempotent because each
+    // intent's added entries are covered by its strip sets
+    faultHook("drain:pre-delete")
     (liveFiles ++ orphanFiles).foreach { p =>
       try fs.delete(p, false) catch { case _: java.io.IOException => () }
     }
