@@ -1056,9 +1056,14 @@ object RelationalQueries {
       if (t != null) throw new IllegalStateException(
         "q_dataset_backfill_parallel drill: a concurrent backfill failed", t)
       val after = graft.sources.StarTableSource.readDatasetMeta(Seq(path)).get
-      require(after.commit == before + 4,
-        s"q_dataset_backfill_parallel drill: expected 4 serialized flips " +
-          s"($before -> ${before + 4}), got ${after.commit}")
+      // With BATCHED flips (round 14) a flip-holder may drain its sibling's
+      // staged merge intent into ONE install, so the chain advances by 3
+      // when the drains coalesced and by 4 when each holder flipped alone —
+      // the same relaxed pin ConcurrentBackfillSpec carries. Monotone and
+      // bounded is the invariant; the exact count depends on interleaving.
+      require(after.commit > before && after.commit <= before + 4,
+        s"q_dataset_backfill_parallel drill: commit chain not linear/bounded " +
+          s"($before -> ${after.commit}, expected ($before, ${before + 4}])")
       require(after.sliceStats.map(_.partition.head).toSet == Set("A", "N", "R"),
         s"q_dataset_backfill_parallel drill: a sidecar merge lost a slice " +
           s"entry: ${after.sliceStats.map(_.partition)}")

@@ -1,0 +1,48 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `explain("formatted")` for the named declared queries to
+  * `<outDir>/<query>_<suffix>.txt` — the round-14 optimization evidence
+  * files (plans/r14/*_before.txt / *_after.txt). Bench-equivalent session
+  * conf so the captured plan is the one the bench times.
+  *
+  * Usage: sbt "runMain graft.tools.ExplainDump <outDir> <suffix> <q1,q2,...>"
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val Array(outDir, suffix, names) = args.take(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "1048576")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      try {
+        val df = fn(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.write(Paths.get(outDir, s"${n}_$suffix.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"[explain] wrote $n")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[explain] $n FAILED: ${e.getMessage}")
+      }
+      // free any kernel-internal caches the query left behind
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    spark.stop()
+  }
+}
