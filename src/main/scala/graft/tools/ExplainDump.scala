@@ -6,8 +6,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Dumps `explain("formatted")` for the named declared queries to
   * `<outDir>/<query>_<suffix>.txt` — the round-14 optimization evidence
-  * files (plans/r14/*_before.txt / *_after.txt). Bench-equivalent session
-  * conf so the captured plan is the one the bench times.
+  * files under plans/r14 (suffix "before" or "after"). Bench-equivalent
+  * session conf so the captured plan is the one the bench times.
   *
   * Usage: sbt "runMain graft.tools.ExplainDump <outDir> <suffix> <q1,q2,...>"
   */
