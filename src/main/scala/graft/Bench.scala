@@ -180,6 +180,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing is BYTE-based: with parallelismFirst (default) it
+      // still floors partitions at minPartitionSize (default 1 MB), so a
+      // compute-dense stage above a small shuffle (pair joins over int8
+      // codes, per-token aggregates — kilobytes of keys, quadratic or
+      // hash-heavy work) collapses to ONE task and serializes on one core
+      // (measured: q_knn_graph's pair-join stage ran 1.48 s on 1 task at
+      // local[32]). 64 KB keeps such stages parallel while remaining a
+      // provable no-op at production scale, where every real shuffle
+      // partition is far above any floor (the advisory size governs
+      // there). Parameterized; the local default is what the driver
+      // benches.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Bound AQE's per-update plan-string render: a deep iterative plan

@@ -35,6 +35,31 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   */
 object Graph {
 
+  /** Run `body` with iteration-tuned session conf: pinned shuffle
+    * partitions (when iterPartitions > 0) and AQE bypassed for the loop.
+    * A bounded fixed-point loop re-executes the SAME tiny plan shape
+    * every round over flattened, persisted generations with an explicit
+    * partition contract (`iterPartitions`), so runtime re-planning adds
+    * no information — but AQE re-plans each generation and schedules
+    * every query stage as its own job. Measured at local[32] sf0.1:
+    * pageRank spent 3.3 s of a 7.5 s wall in DRIVER gaps across 85 jobs
+    * (~10 jobs/iteration); with AQE bypassed the loop is ~3 jobs per
+    * iteration. Static planning still sees exact sizes for broadcast
+    * decisions: every generation is a materialized InMemoryRelation. */
+  private def withIterConf[T](spark: org.apache.spark.sql.SparkSession,
+                              iterPartitions: Int)(body: => T): T = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    if (iterPartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   private def intDiv(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
@@ -58,12 +83,9 @@ object Graph {
                dampPct: Int = 85, iterPartitions: Int = 0): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be 0..100, got $dampPct")
-    val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (iterPartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
-    try pageRankImpl(edges, srcCol, dstCol, iterations, massScale, dampPct)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    withIterConf(edges.sparkSession, iterPartitions) {
+      pageRankImpl(edges, srcCol, dstCol, iterations, massScale, dampPct)
+    }
   }
 
   private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
@@ -175,12 +197,9 @@ object Graph {
             rounds: Int = 4, iterPartitions: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds > 0, s"rounds must be positive, got $rounds")
-    val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (iterPartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
-    try kCoreImpl(edges, srcCol, dstCol, k, rounds)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    withIterConf(edges.sparkSession, iterPartitions) {
+      kCoreImpl(edges, srcCol, dstCol, k, rounds)
+    }
   }
 
   private def kCoreImpl(edges: DataFrame, srcCol: String, dstCol: String,
@@ -232,12 +251,9 @@ object Graph {
                        iterations: Int = 4,
                        iterPartitions: Int = 0): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
-    val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (iterPartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
-    try lpImpl(edges, srcCol, dstCol, iterations)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    withIterConf(edges.sparkSession, iterPartitions) {
+      lpImpl(edges, srcCol, dstCol, iterations)
+    }
   }
 
   private def lpImpl(edges: DataFrame, srcCol: String, dstCol: String,
@@ -294,12 +310,9 @@ object Graph {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(seeds.nonEmpty, "personalizedPageRank: empty seed set")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be 0..100, got $dampPct")
-    val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (iterPartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
-    try pprImpl(edges, srcCol, dstCol, seeds, iterations, massScale, dampPct)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    withIterConf(edges.sparkSession, iterPartitions) {
+      pprImpl(edges, srcCol, dstCol, seeds, iterations, massScale, dampPct)
+    }
   }
 
   private def pprImpl(edges: DataFrame, srcCol: String, dstCol: String,
@@ -380,12 +393,9 @@ object Graph {
            iterPartitions: Int = 0): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(massScale > 0, s"massScale must be positive, got $massScale")
-    val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (iterPartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
-    try hitsImpl(edges, srcCol, dstCol, iterations, massScale)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    withIterConf(edges.sparkSession, iterPartitions) {
+      hitsImpl(edges, srcCol, dstCol, iterations, massScale)
+    }
   }
 
   private def hitsImpl(edges: DataFrame, srcCol: String, dstCol: String,
@@ -464,13 +474,10 @@ object Graph {
                        iterPartitions: Int = 0): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be 0..100, got $dampPct")
-    val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (iterPartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
-    try weightedPrImpl(edges, srcCol, dstCol, weightCol, iterations,
-      massScale, dampPct)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    withIterConf(edges.sparkSession, iterPartitions) {
+      weightedPrImpl(edges, srcCol, dstCol, weightCol, iterations,
+        massScale, dampPct)
+    }
   }
 
   private def weightedPrImpl(edges: DataFrame, srcCol: String, dstCol: String,
@@ -549,12 +556,9 @@ object Graph {
                    iterPartitions: Int = 0): DataFrame = {
     require(seeds.nonEmpty, "bfsDistances: no seeds")
     require(rounds >= 0, s"bfsDistances: rounds must be >= 0, got $rounds")
-    val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (iterPartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
-    try bfsImpl(edges, srcCol, dstCol, seeds, rounds)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    withIterConf(edges.sparkSession, iterPartitions) {
+      bfsImpl(edges, srcCol, dstCol, seeds, rounds)
+    }
   }
 
   private def bfsImpl(edges: DataFrame, srcCol: String, dstCol: String,

@@ -168,10 +168,7 @@ object AnalyticQueries {
     // 8-iteration fixpoint is bit-exact against the unrolled DuckDB
     // oracle. One shuffle per iteration; edge table flattened + cached.
     "q_pagerank" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
       // returned still cached (EAGER contract; the bench sweeps barriers);
       // iteration shuffles sized to the small rank table, not the session
       graft.functions.Graph.pageRank(edges, "src", "dst", iterations = 8,
@@ -184,10 +181,7 @@ object AnalyticQueries {
     // dangling mass return only to them; integer arithmetic throughout,
     // so the 6-iteration fixpoint is bit-exact vs the unrolled oracle.
     "q_ppr" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
       graft.functions.Graph.personalizedPageRank(edges, "src", "dst",
         seeds = Seq(1L, 2L, 3L), iterations = 6, iterPartitions = 8)
     }),
@@ -199,10 +193,7 @@ object AnalyticQueries {
     // triangle SET is orientation-independent, so the oracle enumerates
     // naively — the engine must agree exactly.
     "q_triangles" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
       graft.functions.Graph.triangleCounts(edges, "src", "dst")
     }),
 
@@ -210,10 +201,7 @@ object AnalyticQueries {
     // k = 10 — survivors + their in-core degrees, bit-exact vs the
     // unrolled oracle.
     "q_kcore" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
       graft.functions.Graph.kCore(edges, "src", "dst", k = 10, rounds = 4,
         iterPartitions = 8)
     }),
@@ -222,10 +210,7 @@ object AnalyticQueries {
     // neighbor-majority voting with deterministic (count desc, label asc)
     // tie-breaks; 4 rounds unrolled bit-exactly in the oracle.
     "q_label_prop" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
       graft.functions.Graph.labelPropagation(edges, "src", "dst",
         iterations = 4, iterPartitions = 8)
     }),
@@ -234,10 +219,7 @@ object AnalyticQueries {
     // seed users within 4 rounds — exact integers, bit-matched against
     // the unrolled per-round-minimum oracle.
     "q_bfs" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
       graft.functions.Graph.bfsDistances(edges, "src", "dst",
         seeds = Seq(1L, 2L), rounds = 4, iterPartitions = 8)
     }),
@@ -248,10 +230,7 @@ object AnalyticQueries {
     // degree cap are loudly dropped, and the oracle mirrors the whole
     // chain including the cap.
     "q_link_predict" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
       graft.functions.Graph.adamicAdar(edges, "src", "dst",
         k = 20, maxDegree = 10000)
     }),
@@ -317,10 +296,7 @@ object AnalyticQueries {
     // frequently-referenced targets instead of splitting evenly. Same
     // integer micro-mass contract as q_pagerank, oracle unrolled.
     "q_weighted_pagerank" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       graft.functions.Graph.weightedPageRank(edges, "src", "dst", "w",
         iterations = 6, iterPartitions = 8)
@@ -334,10 +310,7 @@ object AnalyticQueries {
     // and the oracle RE-DERIVES the communities via the unrolled LP
     // mirror rather than trusting them.
     "q_modularity" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
       val comm = lpCommunitiesFor(s, dir)
       val und = edges
         .select(least(col("src"), col("dst")).as("a"),
@@ -375,10 +348,7 @@ object AnalyticQueries {
     // statistics; one rounded division each; the oracle re-derives the
     // communities through the unrolled LP mirror.
     "q_conductance" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
       val comm = lpCommunitiesFor(s, dir)
       val und = edges
         .select(least(col("src"), col("dst")).as("a"),
@@ -420,10 +390,7 @@ object AnalyticQueries {
     // Integer bucket = number of doublings (bit length − 1), exact in
     // both engines.
     "q_degree_dist" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
       val und = edges
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -446,10 +413,7 @@ object AnalyticQueries {
     // Long arithmetic; the oracle is the programmatically unrolled
     // 6-iteration DuckDB mirror, bit for bit.
     "q_hits" -> ((s, dir) => {
-      val edges = star(s, dir, "events").df
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
+      val edges = linkEdges(s, dir)
       graft.functions.Graph.hits(edges, "src", "dst", iterations = 6,
         iterPartitions = 8)
     }),
@@ -1415,6 +1379,21 @@ object AnalyticQueries {
     * parquet _SUCCESS marker; the timed queries measure partition-quality
     * SCORING, not re-clustering. LP itself is deterministic (the oracle
     * re-derives the identical communities via the unrolled SQL mirror). */
+  /** The harvested (user_id → props.k) link graph every graph query
+    * consumes. [[graft.functions.Spread]] first: events is a single-file,
+    * single-row-group scan, so without it the fused JSON-parse +
+    * partial-distinct map stage runs as ONE task (measured 1.24 s at
+    * local[32] while 31 cores idled); at production scale the scan arrives
+    * pre-split and Spread is a no-op. */
+  private def linkEdges(s: SparkSession, dir: String): DataFrame =
+    // project to the two consumed columns BEFORE the exchange (§2.3): the
+    // spread shuffle then moves (user_id, props), not the full event row
+    graft.functions.Spread(
+        star(s, dir, "events").df.select(col("user_id"), col("props")))
+      .select(col("user_id").as("src"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
+      .filter(col("dst").isNotNull)
+
   private def lpCommunitiesFor(s: SparkSession, dir: String): DataFrame = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|lp4".getBytes("UTF-8"))
@@ -1422,11 +1401,7 @@ object AnalyticQueries {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_lp4_$key"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS"))) {
-      val edges = Tables.df(s, dir, "events")
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("dst"))
-        .filter(col("dst").isNotNull)
-      graft.functions.Graph.labelPropagation(edges, "src", "dst",
+      graft.functions.Graph.labelPropagation(linkEdges(s, dir), "src", "dst",
         iterations = 4, iterPartitions = 8)
         .write.mode("overwrite").parquet(path)
     }
