@@ -392,12 +392,9 @@ object Dedup {
     * caller. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
                           iterPartitions: Int = 0): DataFrame = {
-    val spark = pairs.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    if (iterPartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
-    try connectedComponentsImpl(pairs, maxIter)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    IterConf.withIterConf(pairs.sparkSession, iterPartitions) {
+      connectedComponentsImpl(pairs, maxIter)
+    }
   }
 
   private def connectedComponentsImpl(pairs: DataFrame, maxIter: Int): DataFrame = {

@@ -35,30 +35,7 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   */
 object Graph {
 
-  /** Run `body` with iteration-tuned session conf: pinned shuffle
-    * partitions (when iterPartitions > 0) and AQE bypassed for the loop.
-    * A bounded fixed-point loop re-executes the SAME tiny plan shape
-    * every round over flattened, persisted generations with an explicit
-    * partition contract (`iterPartitions`), so runtime re-planning adds
-    * no information — but AQE re-plans each generation and schedules
-    * every query stage as its own job. Measured at local[32] sf0.1:
-    * pageRank spent 3.3 s of a 7.5 s wall in DRIVER gaps across 85 jobs
-    * (~10 jobs/iteration); with AQE bypassed the loop is ~3 jobs per
-    * iteration. Static planning still sees exact sizes for broadcast
-    * decisions: every generation is a materialized InMemoryRelation. */
-  private def withIterConf[T](spark: org.apache.spark.sql.SparkSession,
-                              iterPartitions: Int)(body: => T): T = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    if (iterPartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", iterPartitions)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
-  }
+  import IterConf.withIterConf
 
   private def intDiv(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
@@ -643,14 +620,26 @@ object Graph {
       .select(col("z"),
         (round(lit(1.0) / log(col("deg")), 12).cast(DecimalType(28, 12)) *
           lit(1000000000000L)).cast(LongType).as("w12"))
-    // attach the weight (and thereby the keep-set) BEFORE the self-join —
-    // a dropped hub must never enter the wedge explosion — and PERSIST the
-    // filtered adjacency: both self-join legs read the one cached copy
-    // instead of re-running the degree aggregate + weight join per leg
-    val adjW = adj.join(w, Seq("z")).persist(MEMORY_AND_DISK)
-    val wedges = adjW
-      .join(adjW.select(col("z"), col("x").as("y")), Seq("z"))
-      .filter(col("x") < col("y"))
+    // attach the weight (and thereby the keep-set) BEFORE enumerating —
+    // a dropped hub must never enter the wedge explosion. Each kept
+    // intermediate's (distinct) neighbors collapse into ONE sorted array
+    // (w12 is constant per z, so it rides the grouping key) and only the
+    // i<j pairs are emitted by slice-explosion: the previous
+    // join-then-filter formulation enumerated all deg² ordered pairs
+    // through a sort-merge self-join and dropped half AFTER the join
+    // (measured: that wedge stage was 6.6 s of a 15.5 s executor total
+    // at bench shape). Same pair set and weights, half the aggregate
+    // input, no per-leg sort. Skew contract unchanged: a hub's pairs
+    // were already generated inside one join partition; maxDegree
+    // bounds the array at 1e4 ids.
+    val adjList = adj.join(w, Seq("z"))
+      .groupBy(col("z"), col("w12"))
+      .agg(sort_array(collect_list(col("x"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+    val wedges = adjList
+      .select(col("w12"), posexplode(col("xs")).as(Seq("__i", "x")), col("xs"))
+      .select(col("w12"), col("x"),
+        explode(expr("slice(xs, __i + 2, size(xs))")).as("y"))
     // Σw12 → exact DECIMAL(30,12) via ×10^-12 (precision 17+12+1 = 30,
     // no adjustPrecisionScale) — bit-identical to the old decimal sum
     val scored = wedges
@@ -667,6 +656,6 @@ object Graph {
     val win = org.apache.spark.sql.expressions.Window
       .orderBy(col("aa_score").desc, col("a").asc, col("b").asc)
     val result = top.withColumn("rank", row_number().over(win).cast(LongType))
-    Dedup.materializeAndFree(result, und, deg, adjW)
+    Dedup.materializeAndFree(result, und, deg)
   }
 }

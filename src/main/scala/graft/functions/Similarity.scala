@@ -107,12 +107,22 @@ object Similarity {
                       idCol: String, k: Int, maxGroupSize: Int = 20000,
                       outScale: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val s = array_max(transform(col(embCol), x => abs(x.cast("double"))))
-    val codes = df.select(col(groupCol).as("__grp"), col(idCol).as("__id"),
-      transform(col(embCol), x =>
-        when(s > 0, floor(x.cast("double") / s * 127 + 0.5))
-          .otherwise(lit(0.0))).as("__codes"))
+    // Spread + persist: the interpreted quantize transform is the heavy
+    // map pass and THREE consumers read it (the block-size guard and both
+    // self-join legs) — uncached it re-ran per consumer, fused into a
+    // one-task single-file scan (measured 1.2 s + 1.5 s single-task
+    // stages at bench shape). EAGER via materializeAndFree; the caller
+    // owns one unpersist() on the result.
+    val s = array_max(transform(col("__emb"), x => abs(x.cast("double"))))
+    val codes = graft.functions.Spread(
+        df.select(col(groupCol).as("__grp"), col(idCol).as("__id"),
+          col(embCol).as("__emb")))
+      .select(col("__grp"), col("__id"),
+        transform(col("__emb"), x =>
+          when(s > 0, floor(x.cast("double") / s * 127 + 0.5))
+            .otherwise(lit(0.0))).as("__codes"))
       .withColumn("__n2", dot(col("__codes"), col("__codes")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val largest = codes.groupBy(col("__grp")).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head().getLong(0)
     require(largest <= maxGroupSize,
@@ -127,7 +137,7 @@ object Similarity {
     val den = sqrt(col("__n2a")) * sqrt(col("__n2b"))
     val cos = when(den > 0,
       round(dot(col("__ca"), col("__cb")) / den, outScale)).otherwise(lit(0.0))
-    a.join(b, Seq("__grp"))
+    val result = a.join(b, Seq("__grp"))
       .filter(col("__ida") =!= col("__idb"))
       .select(col("__ida"), col("__idb"), cos.as("cosine"))
       .groupBy(col("__ida"))
@@ -136,6 +146,7 @@ object Similarity {
       .select(col("__ida"), posexplode(col("__top")).as(Seq("__r", "__e")))
       .select(col("__ida").as(idCol), col("__e.id").as("neighbor_id"),
         col("__e.score").as("cosine"), (col("__r") + 1).cast("long").as("rank"))
+    Dedup.materializeAndFree(result, codes)
   }
 
   /** Mutual nearest neighbors: pairs whose top-1 same-block neighbors are
@@ -183,13 +194,19 @@ object Similarity {
   def hardPairs(df: DataFrame, blockCol: String, labelCol: String,
                 embCol: String, idCol: String,
                 maxBlockSize: Int = 20000, outScale: Int = 6): DataFrame = {
-    val s = array_max(transform(col(embCol), x => abs(x.cast("double"))))
-    val codes = df.select(col(blockCol).as("__blk"), col(labelCol).as("__lab"),
-      col(idCol).as("__id"),
-      transform(col(embCol), x =>
-        when(s > 0, floor(x.cast("double") / s * 127 + 0.5))
-          .otherwise(lit(0.0))).as("__codes"))
+    // Spread + persist: same contract as [[knnWithinGroups]] — the
+    // quantize transform feeds the guard and both join legs. EAGER via
+    // materializeAndFree; the caller owns one unpersist() on the result.
+    val s = array_max(transform(col("__emb"), x => abs(x.cast("double"))))
+    val codes = graft.functions.Spread(
+        df.select(col(blockCol).as("__blk"), col(labelCol).as("__lab"),
+          col(idCol).as("__id"), col(embCol).as("__emb")))
+      .select(col("__blk"), col("__lab"), col("__id"),
+        transform(col("__emb"), x =>
+          when(s > 0, floor(x.cast("double") / s * 127 + 0.5))
+            .otherwise(lit(0.0))).as("__codes"))
       .withColumn("__n2", dot(col("__codes"), col("__codes")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // max(n) over an EMPTY input is NULL — getLong would NPE (the
     // ZOrder.stats failure class); an empty corpus has no blocks to bound.
     val largestRow = codes.groupBy(col("__blk")).agg(count(lit(1)).as("n"))
@@ -209,7 +226,7 @@ object Similarity {
     val den = sqrt(col("__n2a")) * sqrt(col("__n2b"))
     val cos = when(den > 0,
       round(dot(col("__ca"), col("__cb")) / den, outScale)).otherwise(lit(0.0))
-    a.join(b, Seq("__blk"))
+    val result = a.join(b, Seq("__blk"))
       .filter(col("__ida") =!= col("__idb"))
       .select(col("__ida"), col("__laba"), col("__labb"), col("__idb"),
         cos.as("__cos"))
@@ -223,6 +240,7 @@ object Similarity {
       .select(col("__ida").as(idCol), col("__laba").as(labelCol),
         col("__neg.__idb").as("neg_id"), col("__neg.__cos").as("neg_cos"),
         col("__pos.__idb").as("pos_id"), col("__pos.__cos").as("pos_cos"))
+    Dedup.materializeAndFree(result, codes)
   }
 
   /** Engine-exact cosine scores against a literal query vector: per-element

@@ -44,11 +44,21 @@ object FuzzyJoin {
     * a two-sided self-join, so each input string crosses the wire once. */
   def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String,
                          maxBucketSize: Long = 10000L): DataFrame = {
-    val keyed = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    // Spread + persist: the deletion-neighborhood explode (len+1 hashed
+    // keys per string) is the operator's heavy map pass, and BOTH the
+    // hot-bucket guard and the blocking aggregate consume it — uncached
+    // it ran twice (measured 1.55 s + 2.31 s at bench shape on a 3-task
+    // scan while 29 cores idled). The guard still aggregates COUNTS
+    // first, so a degenerate corpus refuses before any oversized
+    // collect_list buffer is built. EAGER via materializeAndFree below;
+    // the caller owns one unpersist() on the result.
+    val keyed = graft.functions
+      .Spread(df.select(col(idCol).as("__id"), col(strCol).as("__s")))
       .filter(col("__s").isNotNull)
       .select(col("__id"), col("__s"),
         explode(deletionKeys(col("__s"))).as("__kraw"))
       .select(col("__id"), col("__s"), xxhash64(col("__kraw")).as("__k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
       .limit(1).collect()
@@ -61,7 +71,7 @@ object FuzzyJoin {
     val buckets = keyed.groupBy(col("__k"))
       .agg(collect_list(struct(col("__id"), col("__s"))).as("xs"))
       .filter(size(col("xs")) >= 2)
-    buckets
+    val result = buckets
       .select(posexplode(col("xs")).as(Seq("__i", "ra")), col("xs"))
       .select(col("ra"),
         explode(expr("slice(xs, __i + 2, size(xs))")).as("rb"))
@@ -77,6 +87,7 @@ object FuzzyJoin {
       .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b")).as("dist"))
+    graft.functions.Dedup.materializeAndFree(result, keyed)
   }
 
   /** Blocked Jaro-Winkler similarity self-join — the classic entity-
