@@ -57,12 +57,18 @@ object Bpe {
       s"numMerges must be in [1, 64], got $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
-    val vocab = df.select(explode(Text.tokens(col(textCol))).as("w"))
+    // Spread: the corpus tokenize feeding the word histogram is the one
+    // corpus-sized pass and otherwise fuses into a one-task single-file
+    // scan at bench shape
+    val vocab = Spread(df.select(col(textCol)))
+      .select(explode(Text.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(charSeq(col("w")).as("seq"), col("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     vocab.count() // EAGER: materialize the barrier before iterating
-    try {
+    // merge rounds iterate a fixed tiny plan over the cached vocab — the
+    // IterConf contract (AQE re-planning adds only driver latency here)
+    try IterConf.withIterConf(spark, 0) {
       var cur = vocab.select(col("seq"), col("freq"))
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
       for (step <- 1 to numMerges) {

@@ -129,10 +129,12 @@ object Dedup {
     // against CollapseProject inlining the pipeline into both self-join
     // legs; cached signatures are ~8·numHashes bytes/doc — ~0.3% of corpus
     // size at 100 TB.
-    val sig = df
-      .select(col(idCol).as("id"),
+    // Spread first: the fused tokenize+minhash projection is the corpus
+    // pass, and a single-file scan otherwise runs it on one task
+    val sig = Spread(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
         graft.functions.expressions.MinHashExpression
-          .minhashTokens(Text.tokens(col(textCol)), shingleSize, numHashes, seed.toLong)
+          .minhashTokens(Text.tokens(col("__t")), shingleSize, numHashes, seed.toLong)
           .as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Everything downstream moves 128-BIT SURROGATE KEYS, not the

@@ -50,8 +50,10 @@ object NaiveBayes {
   def trainAndPredict(df: DataFrame, idCol: String, textCol: String,
                       labelCol: String, logScale: Int = 6): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val base = df.select(col(idCol).as("__id"), col(labelCol).as("__true"),
-      col(textCol).as("__text"))
+    // Spread: the tokenize pass below is the corpus pass; a single-file
+    // scan otherwise fuses it into one task
+    val base = Spread(df.select(col(idCol).as("__id"),
+      col(labelCol).as("__true"), col(textCol).as("__text")))
 
     // ONE tokenize pass → per-document token counts. Persisted because
     // both training (class count table) and scoring consume it; the old

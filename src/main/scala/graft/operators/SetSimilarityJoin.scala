@@ -58,7 +58,7 @@ object SetSimilarityJoin {
     // ([[graft.functions.expressions.SortedOverlap]]) instead of
     // size(array_intersect(...)), which allocates a hash set + an
     // intersection array per candidate pair — at bench shape ~1.9 M pairs.
-    val docs = df
+    val docs = graft.functions.Spread(df.select(col(idCol), col(tokensCol)))
       .select(col(idCol).as("__id"),
         array_sort(array_distinct(col(tokensCol))).as("__toks"))
       .filter(size(col("__toks")) > 0)
@@ -160,7 +160,7 @@ object SetSimilarityJoin {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
     // sorted for the merge-count verification (see jaccardPairs)
-    val docs = df
+    val docs = graft.functions.Spread(df.select(col(idCol), col(tokensCol)))
       .select(col(idCol).as("__id"),
         array_sort(array_distinct(col(tokensCol))).as("__toks"))
       .filter(size(col("__toks")) > 0)
