@@ -391,7 +391,11 @@ object Dedup {
     * session is tuned for, and per-round latency is task overhead ×
     * stages × rounds (the pageRank/kCore lesson; at 100 TB of edges the
     * same knob goes UP). 0 = session default, preserving every existing
-    * caller. */
+    * caller. NOTE: AQE is disabled for the loop's duration — including at
+    * iterPartitions = 0 — because it re-plans each flattened generation
+    * for no information gain (see [[graft.functions.Graph]]'s note and
+    * [[IterConf.withIterConf]]); wrap the call in your own conf scope to
+    * restore runtime skew splitting for skewed iteration shuffles. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
                           iterPartitions: Int = 0): DataFrame = {
     IterConf.withIterConf(pairs.sparkSession, iterPartitions) {

@@ -54,7 +54,16 @@ object Graph {
     * session is tuned for, and per-iteration latency is TASK overhead ×
     * stages × iterations (the streaming state-store lesson: size the
     * shuffle to the state, not to the batch default; at 100 TB of edges
-    * the same knob goes UP). 0 = inherit the session setting. */
+    * the same knob goes UP). 0 = inherit the session setting.
+    *
+    * NOTE: every bounded-loop operator here (and
+    * [[Dedup.connectedComponents]]) additionally DISABLES AQE for the
+    * loop's duration — including when iterPartitions = 0 — because AQE
+    * re-plans the same flattened generation every round and schedules each
+    * query stage as its own job (measured: 3.3 s of driver gaps over 85
+    * jobs for an 8-iteration pageRank). Callers with heavily skewed
+    * iteration shuffles who want AQE's runtime skew splitting back can
+    * wrap the call in their own conf scope; see [[IterConf.withIterConf]]. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 8, massScale: Long = 1000000000000L,
                dampPct: Int = 85, iterPartitions: Int = 0): DataFrame = {

@@ -70,9 +70,18 @@ object NaiveBayes {
     val cnt = dtf.groupBy(col("__true").as("label"), col("token"))
       .agg(sum(col("__n")).as("__c"))
       .persist(lvl)
-    val vocab = cnt.select(col("token")).distinct().count()
-    val totalDocs = base.count()
-    require(vocab > 0, "naive bayes training corpus has no tokens")
+    // refusal (or a failed count) must not leak the persisted frames
+    val (vocab, totalDocs) = try {
+      val v = cnt.select(col("token")).distinct().count()
+      val t = base.count()
+      require(v > 0, "naive bayes training corpus has no tokens")
+      (v, t)
+    } catch {
+      case th: Throwable =>
+        cnt.unpersist(blocking = true)
+        dtf.unpersist(blocking = true)
+        throw th
+    }
 
     // Per-class stats: token mass + document count → k broadcastable rows.
     val labelStats = base.groupBy(col("__true").as("label"))

@@ -123,13 +123,19 @@ object Similarity {
             .otherwise(lit(0.0))).as("__codes"))
       .withColumn("__n2", dot(col("__codes"), col("__codes")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val largest = codes.groupBy(col("__grp")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head().getLong(0)
-    require(largest <= maxGroupSize,
-      s"knnWithinGroups: largest block holds $largest vectors (> " +
-        s"maxGroupSize=$maxGroupSize) — the within-block join is quadratic " +
-        "in that block. Use a finer blocking key (k-means clusters, LSH " +
-        "buckets) or raise maxGroupSize explicitly.")
+    // refusal must not leak the persisted frame (library callers catch
+    // the require and keep the session alive)
+    try {
+      val largest = codes.groupBy(col("__grp")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      require(largest <= maxGroupSize,
+        s"knnWithinGroups: largest block holds $largest vectors (> " +
+          s"maxGroupSize=$maxGroupSize) — the within-block join is quadratic " +
+          "in that block. Use a finer blocking key (k-means clusters, LSH " +
+          "buckets) or raise maxGroupSize explicitly.")
+    } catch {
+      case t: Throwable => codes.unpersist(blocking = true); throw t
+    }
     val a = codes.select(col("__grp"), col("__id").as("__ida"),
       col("__codes").as("__ca"), col("__n2").as("__n2a"))
     val b = codes.select(col("__grp"), col("__id").as("__idb"),
@@ -161,15 +167,21 @@ object Similarity {
   def mutualNearestNeighbors(df: DataFrame, groupCol: String, embCol: String,
                              idCol: String,
                              maxGroupSize: Int = 20000): DataFrame = {
-    val top = knnWithinGroups(df, groupCol, embCol, idCol, k = 1,
-        maxGroupSize)
+    // knnWithinGroups returns an EAGER cached frame (caller owns one
+    // unpersist): materialize the mutual pairs and free it here, so this
+    // operator honors the same caller-owns-one-unpersist contract instead
+    // of leaking the inner cache entry.
+    val knn = knnWithinGroups(df, groupCol, embCol, idCol, k = 1,
+      maxGroupSize)
+    val top = knn
       .filter(col("rank") === 1)
       .select(col(idCol).as("__v"), col("neighbor_id").as("__n"),
         col("cosine"))
     val rev = top.select(col("__n").as("__v"), col("__v").as("__n"))
-    top.join(rev, Seq("__v", "__n"))
+    val result = top.join(rev, Seq("__v", "__n"))
       .filter(col("__v") < col("__n"))
       .select(col("__v").as("id_a"), col("__n").as("id_b"), col("cosine"))
+    Dedup.materializeAndFree(result, knn)
   }
 
   /** Contrastive hard-pair mining (Schroff et al. 2015 FaceNet §3.2;
@@ -209,14 +221,19 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // max(n) over an EMPTY input is NULL — getLong would NPE (the
     // ZOrder.stats failure class); an empty corpus has no blocks to bound.
-    val largestRow = codes.groupBy(col("__blk")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head()
-    val largest = if (largestRow.isNullAt(0)) 0L else largestRow.getLong(0)
-    require(largest <= maxBlockSize,
-      s"hardPairs: largest block holds $largest vectors (> " +
-        s"maxBlockSize=$maxBlockSize) — the within-block join is quadratic " +
-        "in that block. Use a finer blocking key or raise maxBlockSize " +
-        "explicitly.")
+    // Refusal must not leak the persisted frame.
+    try {
+      val largestRow = codes.groupBy(col("__blk")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head()
+      val largest = if (largestRow.isNullAt(0)) 0L else largestRow.getLong(0)
+      require(largest <= maxBlockSize,
+        s"hardPairs: largest block holds $largest vectors (> " +
+          s"maxBlockSize=$maxBlockSize) — the within-block join is quadratic " +
+          "in that block. Use a finer blocking key or raise maxBlockSize " +
+          "explicitly.")
+    } catch {
+      case t: Throwable => codes.unpersist(blocking = true); throw t
+    }
     val a = codes.select(col("__blk"), col("__id").as("__ida"),
       col("__lab").as("__laba"), col("__codes").as("__ca"),
       col("__n2").as("__n2a"))

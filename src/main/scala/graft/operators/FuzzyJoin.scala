@@ -59,15 +59,21 @@ object FuzzyJoin {
         explode(deletionKeys(col("__s"))).as("__kraw"))
       .select(col("__id"), col("__s"), xxhash64(col("__kraw")).as("__k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucketSize)
-      .limit(1).collect()
-    require(hot.isEmpty,
-      s"editDistance1Pairs: a deletion-key bucket holds ${hot.headOption
-        .map(_.getLong(1)).getOrElse(0L)} strings, exceeding " +
-        s"maxBucketSize=$maxBucketSize — template-generated strings would " +
-        "make the block join quadratic; pre-segment the input or raise " +
-        "the cap explicitly")
+    // refusal must not leak the persisted frame (library callers catch
+    // the require and keep the session alive)
+    try {
+      val hot = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize)
+        .limit(1).collect()
+      require(hot.isEmpty,
+        s"editDistance1Pairs: a deletion-key bucket holds ${hot.headOption
+          .map(_.getLong(1)).getOrElse(0L)} strings, exceeding " +
+          s"maxBucketSize=$maxBucketSize — template-generated strings would " +
+          "make the block join quadratic; pre-segment the input or raise " +
+          "the cap explicitly")
+    } catch {
+      case t: Throwable => keyed.unpersist(blocking = true); throw t
+    }
     val buckets = keyed.groupBy(col("__k"))
       .agg(collect_list(struct(col("__id"), col("__s"))).as("xs"))
       .filter(size(col("xs")) >= 2)

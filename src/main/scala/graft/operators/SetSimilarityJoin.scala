@@ -85,14 +85,22 @@ object SetSimilarityJoin {
         col("col").as("__t"))
       .persist(lvl)
 
-    val hot = pref.groupBy("__t").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > maxBucketSize).limit(1).collect()
-    require(hot.isEmpty,
-      s"jaccardPairs: prefix-token posting list for '${hot.headOption
-        .map(_.getString(0)).getOrElse("")}' exceeds maxBucketSize=$maxBucketSize — " +
-        "the corpus is dominated by near-identical template documents and the " +
-        "index join would be quadratic; dedup exactly first or raise the cap " +
-        "explicitly")
+    // refusal must not leak the persisted frames
+    try {
+      val hot = pref.groupBy("__t").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > maxBucketSize).limit(1).collect()
+      require(hot.isEmpty,
+        s"jaccardPairs: prefix-token posting list for '${hot.headOption
+          .map(_.getString(0)).getOrElse("")}' exceeds maxBucketSize=$maxBucketSize — " +
+          "the corpus is dominated by near-identical template documents and the " +
+          "index join would be quadratic; dedup exactly first or raise the cap " +
+          "explicitly")
+    } catch {
+      case t: Throwable =>
+        pref.unpersist(blocking = true)
+        docs.unpersist(blocking = true)
+        throw t
+    }
 
     val a = pref.select(col("__t"), col("__id").as("id_a"),
       col("__n").as("n_a"), col("__p").as("p_a"))
@@ -182,12 +190,23 @@ object SetSimilarityJoin {
       .persist(lvl)
     val fullCounts = full.groupBy("__t").agg(count(lit(1)).as("__c"))
       .persist(lvl)
-    val hot = fullCounts.filter(col("__c") > maxBucketSize).limit(1).collect()
-    require(hot.isEmpty,
-      s"containmentPairs: posting list for '${hot.headOption
-        .map(_.getString(0)).getOrElse("")}' exceeds maxBucketSize=$maxBucketSize — " +
-        "drop corpus-wide stopwords/boilerplate tokens first or raise the " +
-        "cap explicitly")
+    // refusal must not leak the persisted frames (both guards below)
+    def freeOnRefusal[T](body: => T): T =
+      try body catch {
+        case t: Throwable =>
+          fullCounts.unpersist(blocking = true)
+          full.unpersist(blocking = true)
+          docs.unpersist(blocking = true)
+          throw t
+      }
+    freeOnRefusal {
+      val hot = fullCounts.filter(col("__c") > maxBucketSize).limit(1).collect()
+      require(hot.isEmpty,
+        s"containmentPairs: posting list for '${hot.headOption
+          .map(_.getString(0)).getOrElse("")}' exceeds maxBucketSize=$maxBucketSize — " +
+          "drop corpus-wide stopwords/boilerplate tokens first or raise the " +
+          "cap explicitly")
+    }
 
     // probe side: A's prefix only (robust length, clamped)
     val prefLen = least(
@@ -207,14 +226,16 @@ object SetSimilarityJoin {
     // vocabulary made 5k docs produce 12.7M genuinely-contained pairs —
     // and no filtering can shrink genuine output; refuse loudly instead
     // of grinding.
-    val est = pref.join(fullCounts, Seq("__t"))
-      .agg(coalesce(sum(col("__c")), lit(0L))).head().getLong(0)
-    require(est <= maxJoinRows,
-      s"containmentPairs: estimated candidate join volume $est exceeds " +
-        s"maxJoinRows=$maxJoinRows — the corpus's vocabulary is small " +
-        "relative to its document count, so the genuine containment output " +
-        "is near-quadratic. Raise the threshold, pre-block the corpus " +
-        "(e.g. by near-dup cluster), or raise maxJoinRows explicitly")
+    freeOnRefusal {
+      val est = pref.join(fullCounts, Seq("__t"))
+        .agg(coalesce(sum(col("__c")), lit(0L))).head().getLong(0)
+      require(est <= maxJoinRows,
+        s"containmentPairs: estimated candidate join volume $est exceeds " +
+          s"maxJoinRows=$maxJoinRows — the corpus's vocabulary is small " +
+          "relative to its document count, so the genuine containment output " +
+          "is near-quadratic. Raise the threshold, pre-block the corpus " +
+          "(e.g. by near-dup cluster), or raise maxJoinRows explicitly")
+    }
     fullCounts.unpersist(blocking = true)
 
     val alpha = ceil(lit(threshold) * col("n_a") - lit(1e-6))

@@ -11,6 +11,11 @@ object TimeQ {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
+      // match Bench's session exactly — without the 64k AQE floor a
+      // compute-dense stage above a small shuffle coalesces to one task
+      // here but not in the bench, making TimeQ numbers incomparable
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxPlanStringLength", "1048576")

@@ -31,4 +31,28 @@ object PlanBridge {
       df.queryExecution.toRdd.map(_.copy()).setName("graft_flattened_plan"),
       df.schema)
   }
+
+  /** Planned parallelism of a bare scan pipeline, WITHOUT executing any
+    * upstream stage.
+    *
+    * Returns Some(partition count) when `df`'s physical plan is
+    * exchange-free — a scan pipeline, possibly under projections, filters
+    * or unions — in which case building the plan's RDD only enumerates the
+    * planned input splits (no job runs, with or without AQE: adaptive
+    * execution materializes query STAGES, and stages exist only at
+    * exchanges). Returns None when the plan already contains an exchange:
+    * there the downstream parallelism is governed by shuffle partitions /
+    * AQE anyway, and probing it via `df.rdd` would finalize the adaptive
+    * plan and EXECUTE every upstream shuffle stage as a throwaway job —
+    * an arbitrary caller-supplied input would pay its whole pipeline
+    * twice. */
+  def scanParallelism(df: DataFrame): Option[Int] = {
+    val plan = df.queryExecution.sparkPlan
+    val hasExchange = plan.find {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }.isDefined
+    if (hasExchange) None
+    else Some(df.queryExecution.toRdd.getNumPartitions)
+  }
 }
